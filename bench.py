@@ -1,0 +1,85 @@
+"""Benchmark harness: headline engine queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS].
+
+Prints ONE JSON line:
+    {"metric": "...", "value": <total_sec>, "unit": "sec",
+     "queries": {name: sec, ...}, "sf": <sf>}
+
+Each query is forced with the noop sink (full plan executes, nothing is
+collected to the driver), after a warm-up pass of the parquet footer reads.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from engine.session import get_spark  # noqa: E402
+
+#: headline set: the flagship chain, scan-heavy aggs, join/window shapes, and
+#: the north-star dedup/similarity operators — the queries whose plans decide
+#: 100 TB viability.
+HEADLINE = [
+    "flagship_patron_chain",
+    "q1_pricing_summary",
+    "q3_order_revenue_topk",
+    "q5_nation_revenue",
+    "j1_left_join_fanout",
+    "j4_keepfirst_dedup",
+    "window_running_total",
+    "topk_per_group",
+    "session_window_agg",
+    "tumbling_window_agg",
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "ann_cosine_topk",
+    "f1_f2_address_key_hash",
+]
+
+
+def force(df) -> None:
+    df.write.format("noop").mode("overwrite").save()
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    spark = get_spark(app_name="spark-graft-bench")
+
+    from queries import SPARK_QUERIES
+
+    # warm-up: JVM + parquet footers + codegen paths on a trivial action
+    for name in ("region", "lineitem"):
+        spark.read.parquet(f"{sf_dir}/{name}.parquet").limit(1).count()
+
+    timings: dict[str, float] = {}
+    total = 0.0
+    for name in HEADLINE:
+        fn = SPARK_QUERIES[name]
+        t0 = time.time()
+        force(fn(spark, sf_dir))
+        dt = round(time.time() - t0, 3)
+        timings[name] = dt
+        total += dt
+        spark.catalog.clearCache()
+
+    print(
+        json.dumps(
+            {
+                "metric": "headline_query_pack_total",
+                "value": round(total, 3),
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

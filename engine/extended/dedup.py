@@ -1,0 +1,433 @@
+"""Corpus deduplication family — exact, MinHash+LSH, SimHash, n-gram Jaccard,
+embedding-cosine near-dup (north-star operators).
+
+Design for 100 TB (the whole point of these operators):
+
+- **never all-pairs.**  Every near-dup variant generates *candidate pairs*
+  through a bucketing shuffle (LSH bands / SimHash chunks / embedding
+  hyperplane signs) and verifies only within buckets.  Cost is
+  O(n · bands) map work + one shuffle on the bucket key + per-bucket
+  verification — all-pairs O(n²) never materializes.
+- **deterministic.**  All hash families derive from ``xxhash64(value, seed)``
+  with literal seeds — rerunning a round yields identical signatures, so the
+  operators are testable against fixed expectations and safe to re-run
+  incrementally.
+- **built-ins only.**  Signatures are higher-order array expressions
+  (transform/aggregate/zip_with over shingle arrays) — no Python in the row
+  path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from engine.extended.text import fingerprint, tokens, word_ngrams
+
+__all__ = [
+    "exact_dedup_docs",
+    "minhash_sigs",
+    "minhash_candidates",
+    "minhash_dedup",
+    "simhash_sigs",
+    "simhash_candidates",
+    "ngram_jaccard_pairs",
+    "embedding_near_dup",
+]
+
+
+# ---------------------------------------------------------------------------
+# Exact (hash-groupBy)
+# ---------------------------------------------------------------------------
+
+
+def exact_dedup_docs(
+    df: DataFrame, *, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Keep the lowest-id document per normalized-text fingerprint.
+
+    One shuffle on the 128-bit fingerprint; survives any scale because the
+    row payload never moves twice (min-id chosen via window over the hash).
+    """
+    w = Window.partitionBy("__fp").orderBy(F.col(id_col))
+    return (
+        df.withColumn("__fp", fingerprint(text_col))
+        .withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__fp", "__rn")
+    )
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH banding
+# ---------------------------------------------------------------------------
+
+
+def minhash_sigs(
+    df: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 64,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """(id, sig) — k independent min-hashes of the word-``shingle_n``-gram set.
+
+    Formulation chosen for scale: explode shingles → ONE groupBy(id) carrying
+    k codegen'd ``min(xxhash64(shingle, i))`` aggregates.  Partial (map-side)
+    aggregation collapses each document to one row *before* the shuffle, so
+    the exchange moves n_docs rows regardless of document length — unlike the
+    per-row higher-order-function formulation, which evaluates k array passes
+    per document in interpreted mode.  Documents with < shingle_n tokens drop
+    out (no shingles → no signature).
+    """
+    shingles = F.array_distinct(word_ngrams(text_col, shingle_n))
+    exploded = df.select(
+        F.col(id_col).alias("id"), F.explode(shingles).alias("shingle")
+    )
+    aggs = [
+        F.min(F.xxhash64(F.col("shingle"), F.lit(i))).alias(f"mh{i}")
+        for i in range(num_hashes)
+    ]
+    sigs = exploded.groupBy("id").agg(*aggs)
+    return sigs.select(
+        "id", F.array(*[F.col(f"mh{i}") for i in range(num_hashes)]).alias("sig")
+    )
+
+
+def _band_col(sig: Column, band: int, rows_per_band: int) -> Column:
+    """Hash one band (contiguous signature slice) to a single 64-bit key."""
+    return F.xxhash64(
+        F.array_join(
+            F.transform(
+                F.slice(sig, band * rows_per_band + 1, rows_per_band),
+                lambda v: v.cast("string"),
+            ),
+            ",",
+        ),
+        F.lit(band),
+    )
+
+
+def minhash_candidates(
+    df: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 64,
+    bands: int = 16,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """Candidate near-dup pairs via LSH banding.
+
+    Returns (id_a, id_b, est_jaccard) with id_a < id_b, where est_jaccard is
+    the fraction of equal minhashes — the standard unbiased Jaccard estimate.
+    Shuffle pattern: explode to n·bands band-keys → hash-join within buckets.
+    A bucket-size cap guards against degenerate buckets (boilerplate spam)
+    blowing up pairwise work at scale.
+    """
+    rows_per_band = num_hashes // bands
+    sigs = minhash_sigs(
+        df,
+        id_col=id_col,
+        text_col=text_col,
+        num_hashes=num_hashes,
+        shingle_n=shingle_n,
+    ).persist()
+    banded = sigs.select(
+        "id",
+        "sig",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        _band_col(F.col("sig"), b, rows_per_band).alias("bkey"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select("id", "sig", F.col("bb.band").alias("band"), F.col("bb.bkey").alias("bkey"))
+
+    a = banded.alias("a")
+    b = banded.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bkey") == F.col("b.bkey"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.col("a.sig").alias("sig_a"),
+            F.col("b.sig").alias("sig_b"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    # est_jaccard = (# equal signature positions) / num_hashes
+    est = (
+        F.size(F.filter(F.zip_with("sig_a", "sig_b", lambda x, y: x == y), lambda e: e))
+        / F.lit(float(num_hashes))
+    )
+    return pairs.select(
+        "id_a", "id_b", F.round(est, 4).alias("est_jaccard")
+    )
+
+
+def minhash_dedup(
+    df: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = 0.8,
+    **kw,
+) -> DataFrame:
+    """Drop near-duplicates: among candidate pairs with est_jaccard ≥
+    threshold, keep the lower id of each pair (union-by-min over one hop —
+    the standard single-pass approximation of connected components; full CC
+    would iterate this join to a fixed point)."""
+    cand = minhash_candidates(df, id_col=id_col, text_col=text_col, **kw).filter(
+        F.col("est_jaccard") >= threshold
+    )
+    losers = cand.select(F.col("id_b").alias(id_col)).distinct()
+    return df.join(losers, on=id_col, how="left_anti")
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+
+
+def simhash_sigs(
+    df: DataFrame, *, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """(id, sh) — 64-bit SimHash over word tokens.
+
+    For each bit position j: sum over tokens of (+1 if bit j of
+    xxhash64(token) else -1); simhash bit j = 1 iff the sum > 0.  Same
+    scale-shape as :func:`minhash_sigs`: explode tokens → one groupBy(id)
+    with 64 codegen'd conditional-sum aggregates (map-side partials collapse
+    each doc before the shuffle); documents with no tokens drop out.
+    """
+    exploded = df.select(
+        F.col(id_col).alias("id"), F.explode(tokens(text_col)).alias("tok")
+    ).withColumn("h", F.xxhash64("tok"))
+    aggs = [
+        F.sum(
+            F.when(
+                F.shiftright(F.col("h"), j).bitwiseAND(F.lit(1)) == 1, F.lit(1)
+            ).otherwise(F.lit(-1))
+        ).alias(f"b{j}")
+        for j in range(64)
+    ]
+    counts = exploded.groupBy("id").agg(*aggs)
+    # assemble the signature long; bit 63's constant is -(1<<63) (sign bit)
+    sh = None
+    for j in range(64):
+        c = (1 << j) if j < 63 else -(1 << 63)
+        term = F.when(F.col(f"b{j}") > 0, F.lit(c).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
+        sh = term if sh is None else sh.bitwiseOR(term)
+    return counts.select("id", sh.alias("sh"))
+
+
+def simhash_candidates(
+    df: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_hamming: int = 3,
+) -> DataFrame:
+    """Near-dup pairs by SimHash: bucket on each of 4 16-bit chunks
+    (pigeonhole: hamming ≤ 3 ⇒ at least one chunk equal), verify hamming
+    distance within buckets.  Returns (id_a, id_b, hamming)."""
+    sigs = simhash_sigs(df, id_col=id_col, text_col=text_col).persist()
+    chunks = sigs.select(
+        "id",
+        "sh",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(c).alias("chunk"),
+                        F.shiftright(F.col("sh"), 16 * c)
+                        .bitwiseAND(F.lit(0xFFFF))
+                        .alias("ckey"),
+                    )
+                    for c in range(4)
+                ]
+            )
+        ).alias("cc"),
+    ).select("id", "sh", F.col("cc.chunk").alias("chunk"), F.col("cc.ckey").alias("ckey"))
+    a, b = chunks.alias("a"), chunks.alias("b")
+    hamming = F.bit_count(F.col("a.sh").bitwiseXOR(F.col("b.sh")))
+    return (
+        a.join(
+            b,
+            (F.col("a.chunk") == F.col("b.chunk"))
+            & (F.col("a.ckey") == F.col("b.ckey"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            hamming.alias("hamming"),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .dropDuplicates(["id_a", "id_b"])
+    )
+
+
+# ---------------------------------------------------------------------------
+# n-gram Jaccard (exact verify; used standalone on candidates)
+# ---------------------------------------------------------------------------
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    pairs: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_n: int = 3,
+) -> DataFrame:
+    """Exact n-gram Jaccard for given (id_a, id_b) candidate pairs.
+
+    jaccard = |A ∩ B| / |A ∪ B| over distinct word shingles.  Joining the
+    shingle arrays onto the (small) candidate set keeps this a broadcast-side
+    verification, not a corpus-wide shuffle.
+    """
+    sh = df.select(
+        F.col(id_col).alias("id"),
+        F.array_distinct(word_ngrams(text_col, shingle_n)).alias("sh"),
+    )
+    out = (
+        pairs.join(sh.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a")), "id_a")
+        .join(sh.select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b")), "id_b")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.size(F.array_intersect("sh_a", "sh_b"))
+                / F.size(F.array_union("sh_a", "sh_b")),
+                4,
+            ),
+        )
+    )
+    return out.select("id_a", "id_b", "jaccard")
+
+
+# ---------------------------------------------------------------------------
+# Embedding-cosine near-dup
+# ---------------------------------------------------------------------------
+
+
+def _unit_hyperplanes(dim: int, planes: int) -> list[list[float]]:
+    """Deterministic pseudo-random hyperplanes from a splitmix-style integer
+    stream (no RNG dependency; stable across runs/machines)."""
+    vecs = []
+    state = 0x9E3779B97F4A7C15
+    for p in range(planes):
+        v = []
+        for d in range(dim):
+            state = (state * 6364136223846793005 + 1442695040888963407) % (1 << 64)
+            # map to [-1, 1)
+            v.append(((state >> 11) / float(1 << 53)) * 2.0 - 1.0)
+        vecs.append(v)
+    return vecs
+
+
+def _dot(vec_col: Column, const: list[float]) -> Column:
+    return F.aggregate(
+        F.zip_with(
+            vec_col,
+            F.array(*[F.lit(float(x)) for x in const]),
+            lambda a, b: a.cast("double") * b,
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def cosine(a: Column, b: Column) -> Column:
+    """cosine similarity of two float-array columns, computed in double."""
+    dot = F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    na = F.sqrt(
+        F.aggregate(
+            F.transform(a, lambda x: x.cast("double") * x.cast("double")),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+    )
+    nb = F.sqrt(
+        F.aggregate(
+            F.transform(b, lambda x: x.cast("double") * x.cast("double")),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+    )
+    return dot / (na * nb)
+
+
+def embedding_near_dup(
+    df: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 16,
+    planes: int = 16,
+    bands: int = 4,
+    threshold: float = 0.95,
+) -> DataFrame:
+    """Near-duplicate vectors by cosine ≥ threshold.
+
+    Bucketing: sign bits over ``planes`` fixed hyperplanes (random-projection
+    LSH), split into ``bands`` band-keys — a pair is a candidate if ANY band
+    of sign bits matches, which keeps recall high for cos≈1 pairs
+    (per-band collide prob (1-θ/π)^(planes/bands), any-of-``bands`` boosted).
+    Exact cosine verifies within buckets.  Returns (id_a, id_b, cos_sim).
+    """
+    hp = _unit_hyperplanes(dim, planes)
+    per_band = planes // bands
+    band_cols = []
+    for bidx in range(bands):
+        bits = [
+            F.when(
+                _dot(F.col(vec_col), hp[bidx * per_band + p]) >= 0, F.lit(1 << p)
+            ).otherwise(F.lit(0))
+            for p in range(per_band)
+        ]
+        acc = bits[0]
+        for x in bits[1:]:
+            acc = acc.bitwiseOR(x)
+        band_cols.append(F.struct(F.lit(bidx).alias("band"), acc.alias("bkey")))
+    sigs = (
+        df.select(
+            F.col(id_col).alias("id"),
+            F.col(vec_col).alias("v"),
+            F.explode(F.array(*band_cols)).alias("bb"),
+        )
+        .select("id", "v", F.col("bb.band").alias("band"), F.col("bb.bkey").alias("bkey"))
+        .persist()
+    )
+    a, b = sigs.alias("a"), sigs.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bkey") == F.col("b.bkey"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"), F.col("a.v").alias("va"), F.col("b.v").alias("vb"))
+        .dropDuplicates(["id_a", "id_b"])
+        .withColumn("cos_sim", F.round(cosine(F.col("va"), F.col("vb")), 4))
+        .filter(F.col("cos_sim") >= threshold)
+        .select("id_a", "id_b", "cos_sim")
+    )

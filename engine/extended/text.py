@@ -1,0 +1,176 @@
+"""Text analysis over document corpora — language-ID, quality scoring, token
+counting, fingerprinting (north-star operators; graded alongside SURVEY §2).
+
+Everything here is built from JVM-side expressions (split / regexp /
+higher-order array functions) so the hot path stays inside whole-stage
+codegen — no Python crosses the row stream.  Each operator has an exact
+ANSI-SQL twin (DuckDB oracle) because the heuristics are deliberately
+regex/count-based rather than model-based.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+__all__ = [
+    "tokens",
+    "token_count",
+    "word_ngrams",
+    "char_ngrams",
+    "lang_id_expr",
+    "quality_exprs",
+    "fingerprint",
+    "rolling_fingerprints",
+]
+
+#: token = maximal run of word characters, lowercased.
+_TOKEN_RE = "[a-z0-9']+"
+
+
+def tokens(col: Column | str) -> Column:
+    """Lowercased word tokens (BPE-ish: alnum runs, apostrophes kept)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.regexp_extract_all(F.lower(c), F.lit(_TOKEN_RE), F.lit(0))
+
+
+def token_count(col: str) -> Column:
+    return F.size(tokens(col))
+
+
+def word_ngrams(col: str, n: int) -> Column:
+    """Word n-gram shingles as strings (for MinHash / Jaccard)."""
+    toks = tokens(col)
+    return F.when(F.size(toks) < n, F.array().cast("array<string>")).otherwise(
+        F.transform(
+            F.sequence(F.lit(0), F.size(toks) - n),
+            lambda i: F.array_join(F.slice(toks, i + 1, n), " "),
+        )
+    )
+
+
+def char_ngrams(col: str, n: int) -> Column:
+    """Character n-grams of the lowercased, whitespace-collapsed text."""
+    norm = F.regexp_replace(F.lower(F.col(col)), r"\s+", " ")
+    return F.when(F.length(norm) < n, F.array().cast("array<string>")).otherwise(
+        F.transform(
+            F.sequence(F.lit(0), F.length(norm) - n),
+            lambda i: norm.substr(i + F.lit(1), F.lit(n)),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Language ID: stopword-hit scoring (deterministic n-gram heuristic)
+# ---------------------------------------------------------------------------
+
+#: high-frequency function words per language; hits are counted as whole-word
+#: regex matches.  Deliberately small: the point is the *operator shape*
+#: (argmax over per-language match counts), which scales to real lexicons.
+LANG_MARKERS = {
+    "en": r"\b(the|and|of|to|in|is|that|for|with|was)\b",
+    "de": r"\b(der|die|das|und|ist|nicht|mit|ein|eine|zu)\b",
+    "fr": r"\b(le|la|les|et|est|une|pour|dans|que|des)\b",
+    "es": r"\b(el|la|los|las|es|una|por|para|con|del)\b",
+    "it": r"\b(il|la|che|di|e|un|una|per|non|sono)\b",
+}
+
+
+def lang_hits(col: str, lang: str) -> Column:
+    pat = LANG_MARKERS[lang]
+    return F.size(F.regexp_extract_all(F.lower(F.col(col)), F.lit(pat), F.lit(0)))
+
+
+def lang_id_expr(col: str, *, min_hits: int = 1) -> Column:
+    """argmax over language marker-hit counts; 'und' (undetermined) when no
+    language reaches ``min_hits``.  Ties break by language-code order
+    (deterministic)."""
+    pairs = F.array(
+        *[
+            F.struct(lang_hits(col, lg).alias("hits"), F.lit(lg).alias("lang"))
+            for lg in sorted(LANG_MARKERS)
+        ]
+    )
+    best = F.array_max(
+        F.transform(
+            pairs,
+            # invert lang ordering inside the struct comparison so that on
+            # equal hits the *earlier* language code wins the array_max
+            lambda p: F.struct(
+                p["hits"].alias("hits"),
+                (-F.ascii(p["lang"])).alias("neg"),
+                p["lang"].alias("lang"),
+            ),
+        )
+    )
+    return F.when(best["hits"] < min_hits, F.lit("und")).otherwise(best["lang"])
+
+
+# ---------------------------------------------------------------------------
+# Quality scoring
+# ---------------------------------------------------------------------------
+
+
+def quality_exprs(col: str) -> dict[str, Column]:
+    """Length / ratio features used for corpus filtering.
+
+    Ratios are over total characters (n_chars>0 guarded); stopword ratio is
+    English-marker hits over token count.
+    """
+    n_chars = F.length(F.col(col))
+    toks = token_count(col)
+    alpha = F.length(F.regexp_replace(F.col(col), "[^A-Za-z]", ""))
+    digits = F.length(F.regexp_replace(F.col(col), "[^0-9]", ""))
+    punct = F.length(F.regexp_replace(F.col(col), r"[^.,;:!?'\"()\[\]-]", ""))
+    spaces = F.length(F.regexp_replace(F.col(col), r"[^ \t\n]", ""))
+    stop_hits = lang_hits(col, "en")
+    nz = F.when(n_chars > 0, n_chars.cast("double"))
+    return {
+        "n_chars": n_chars.cast("long"),
+        "n_tokens": toks.cast("long"),
+        "alpha_ratio": F.round(alpha / nz, 4),
+        "digit_ratio": F.round(digits / nz, 4),
+        "punct_ratio": F.round(punct / nz, 4),
+        "space_ratio": F.round(spaces / nz, 4),
+        "stopword_ratio": F.round(
+            stop_hits / F.when(toks > 0, toks.cast("double")), 4
+        ),
+        "mean_token_len": F.round(
+            F.when(
+                toks > 0,
+                F.aggregate(
+                    tokens(col), F.lit(0).cast("long"), lambda a, t: a + F.length(t)
+                ).cast("double")
+                / toks,
+            ),
+            4,
+        ),
+    }
+
+
+def with_quality(df: DataFrame, col: str = "text") -> DataFrame:
+    return df.withColumns(quality_exprs(col))
+
+
+# ---------------------------------------------------------------------------
+# Fingerprinting
+# ---------------------------------------------------------------------------
+
+
+def fingerprint(col: str) -> Column:
+    """Whole-document fingerprint: md5 of the casefolded, alnum-only text.
+    Robust to whitespace/punctuation edits; used as the exact-dedup key."""
+    norm = F.regexp_replace(F.lower(F.col(col)), "[^a-z0-9]", "")
+    return F.md5(norm)
+
+
+def rolling_fingerprints(col: str, *, window: int = 64, stride: int = 32) -> Column:
+    """Rolling-hash fingerprints: xxhash64 of each ``window``-char slice at
+    ``stride`` offsets over the normalized text — the winnowing-style shape
+    used for partial-overlap detection at corpus scale."""
+    norm = F.regexp_replace(F.lower(F.col(col)), r"\s+", " ")
+    n = F.length(norm)
+    starts = F.when(n < window, F.array(F.lit(0))).otherwise(
+        F.sequence(F.lit(0), F.greatest(n - window, F.lit(0)), F.lit(stride))
+    )
+    return F.transform(starts, lambda s: F.xxhash64(norm.substr(s + F.lit(1), F.lit(window))))

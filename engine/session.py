@@ -1,0 +1,81 @@
+"""SparkSession construction for the engine.
+
+One place for every config knob so that tests, the driver contract
+(``__spark_entry__``), and ``bench.py`` run with identical, scale-aware
+settings.  Key decisions (SURVEY §4, §7):
+
+- **UTC session timezone.**  The reference pins ET-vs-GMT semantics in its
+  golden tests (reference ``tests/test_pipeline_controller.py:23-26``); we pin
+  UTC at the session level and convert explicitly with
+  ``from_utc_timestamp`` where local-date semantics are required (F6), so no
+  result ever depends on the host timezone.  This also makes DuckDB-oracle
+  comparisons exact (DuckDB timestamps are naive-UTC).
+- **AQE on.**  Runtime coalescing of shuffle partitions + skew-join splitting
+  replace hand-tuned partition counts when the same plan runs at 1000×
+  the local test data size.
+- **Arrow on.**  Every Python seam (hashing, address parse, geocode cascade)
+  is a Pandas UDF / mapInPandas over Arrow batches — never row-at-a-time.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+__all__ = ["get_spark", "tune_for_local"]
+
+
+def get_spark(
+    app_name: str = "spark-graft-engine",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or fetch) the engine SparkSession.
+
+    ``master`` defaults to ``local[$SPARK_GRAFT_CPUS]`` (env, default 32) so
+    the same entry points run unchanged on a real cluster where ``master`` is
+    supplied by spark-submit.
+    """
+    if master is None:
+        cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+        master = f"local[{cpus}]"
+    if shuffle_partitions is None:
+        shuffle_partitions = int(os.environ.get("SPARK_GRAFT_SHUFFLE", "32"))
+
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(master)
+        # deterministic timezone semantics (SURVEY §7 risk 4)
+        .config("spark.sql.session.timeZone", "UTC")
+        # adaptive execution: partition coalescing + skew-join handling at scale
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        # Arrow for every pandas_udf / mapInPandas / toPandas hop
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
+        # parquet scans: pushdown + pruning are the point (SURVEY §4)
+        .config("spark.sql.parquet.filterPushdown", "true")
+        .config("spark.sql.parquet.aggregatePushdown", "true")
+        # quiet the UI/logs for harness runs
+        .config("spark.ui.enabled", os.environ.get("SPARK_GRAFT_UI", "false"))
+    )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark
+
+
+def tune_for_local(spark: SparkSession, approx_rows: int) -> None:
+    """Adjust shuffle parallelism to the working-set size.
+
+    At 100 TB the AQE coalescer handles this; on local[32] with tiny SF data
+    a 200-partition shuffle is pure overhead.  Callers that know their input
+    cardinality (e.g. bench.py) can call this once up front.
+    """
+    target = max(4, min(256, approx_rows // 50_000))
+    spark.conf.set("spark.sql.shuffle.partitions", str(target))

@@ -1,0 +1,1307 @@
+"""The engine's query pack — one named query per implemented operator from
+SURVEY.md §2 (+ the north-star extended operators), each with a DuckDB oracle
+SQL twin where the semantics are ANSI-SQL-expressible.
+
+Registration model: ``@q(name, sql)`` adds a (spark_fn, oracle_sql) pair to
+the module registries consumed by ``__spark_entry__``.  Spark fns take
+``(spark, sf_dir)`` and return a DataFrame; every computed column is aliased
+identically in both the DataFrame code and the SQL so the driver's
+column-sorted value hash lines up.
+
+Float discipline: every floating aggregate/ratio is rounded (usually 2-4
+decimals) in BOTH engines so double accumulation-order differences cannot
+break value hashes; date/timestamp outputs are emitted as formatted strings
+for the same reason.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from engine.ops import relational as R
+from engine.ops.dedup import keep_first
+from engine.ops.hashing import address_key, normalize_id, obfuscate_col
+from engine.schemas import load_table
+
+SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+ORACLE_SQL: dict[str, str] = {}
+
+SALT = "spark-graft"
+
+
+def q(name: str, sql: str | None = None):
+    def register(fn):
+        SPARK_QUERIES[name] = fn
+        if sql is not None:
+            ORACLE_SQL[name] = sql
+        return fn
+
+    return register
+
+
+def t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return load_table(spark, sf_dir, name)
+
+
+# ===========================================================================
+# §2.2 Projections / filters / scalar predicates (P1-P6)
+# ===========================================================================
+
+
+@q(
+    "p2_null_normalize",
+    """
+    SELECT o_orderkey,
+           CASE WHEN LENGTH(TRIM(o_orderpriority)) = 0 OR TRIM(o_orderpriority) = 'none'
+                THEN NULL ELSE TRIM(o_orderpriority) END AS priority_norm
+    FROM orders
+    """,
+)
+def p2_null_normalize(spark, sf_dir):
+    """P2: blank/'none' → NULL normalization (reference helpers/query_helper.py:8-10)."""
+    o = t(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey", R.normalize_code_col("o_orderpriority").alias("priority_norm")
+    )
+
+
+@q(
+    "p3_trim_projection",
+    """
+    SELECT c_custkey, TRIM(c_name) AS name_trim, TRIM(c_mktsegment) AS seg_trim
+    FROM customer
+    """,
+)
+def p3_trim_projection(spark, sf_dir):
+    """P1+P3: explicit projection with TRIM (helpers/query_helper.py:11)."""
+    c = t(spark, sf_dir, "customer")
+    return c.select(
+        "c_custkey",
+        F.trim("c_name").alias("name_trim"),
+        F.trim("c_mktsegment").alias("seg_trim"),
+    )
+
+
+@q(
+    "p4_ts_to_date",
+    """
+    SELECT l_orderkey, l_linenumber, CAST(CAST(l_shipdate AS DATE) AS VARCHAR) AS ship_date
+    FROM lineitem
+    """,
+)
+def p4_ts_to_date(spark, sf_dir):
+    """P4: TO_DATE(CAST(ts)) truncation (helpers/query_helper.py:12)."""
+    li = t(spark, sf_dir, "lineitem")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.to_date("l_shipdate").cast("string").alias("ship_date"),
+    )
+
+
+@q(
+    "p5_range_scan",
+    """
+    SELECT o_orderkey, o_custkey, CAST(o_orderdate AS VARCHAR) AS o_orderdate_s
+    FROM orders
+    WHERE o_orderdate IS NOT NULL
+      AND o_orderdate >= TIMESTAMP '1995-01-01 00:00:00'
+      AND o_orderdate <  TIMESTAMP '1996-01-01 00:00:00'
+    """,
+)
+def p5_range_scan(spark, sf_dir):
+    """P5/S1: half-open incremental range scan with non-null guard
+    (helpers/query_helper.py:20-23)."""
+    o = t(spark, sf_dir, "orders")
+    return R.range_scan(o, "o_orderdate", "1995-01-01 00:00:00", "1996-01-01 00:00:00").select(
+        "o_orderkey",
+        "o_custkey",
+        F.col("o_orderdate").cast("string").alias("o_orderdate_s"),
+    )
+
+
+@q(
+    "p6_in_list",
+    """
+    SELECT n_nationkey, n_name FROM nation WHERE n_name IN ('CHINA','FRANCE','PERU')
+    """,
+)
+def p6_in_list(spark, sf_dir):
+    """P6/S3: IN-list membership shipped as literals
+    (lib/pipeline_controller.py:317-319)."""
+    n = t(spark, sf_dir, "nation")
+    return R.in_list_filter(n, "n_name", ["CHINA", "FRANCE", "PERU"]).select(
+        "n_nationkey", "n_name"
+    )
+
+
+# ===========================================================================
+# §2.3 Joins (J1-J9)
+# ===========================================================================
+
+
+@q(
+    "j1_left_join_fanout",
+    """
+    SELECT o.o_orderkey, o.o_orderstatus, l.l_linenumber, l.l_quantity
+    FROM orders o LEFT JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    """,
+)
+def j1_left_join_fanout(spark, sf_dir):
+    """J1: deliberate 1:N fan-out left join (record_metadata × addresses,
+    helpers/query_helper.py:26-27); collapsed later by J4."""
+    o = t(spark, sf_dir, "orders")
+    li = t(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey"), "l_linenumber", "l_quantity"
+    )
+    return o.join(li, o.o_orderkey == li.l_orderkey, "left").select(
+        "o_orderkey", "o_orderstatus", "l_linenumber", "l_quantity"
+    )
+
+
+@q(
+    "j2_dim_chain_join",
+    """
+    SELECT c.c_custkey, n.n_name, r.r_name
+    FROM customer c
+    LEFT JOIN nation n ON c.c_nationkey = n.n_nationkey
+    LEFT JOIN region r ON n.n_regionkey = r.r_regionkey
+    """,
+)
+def j2_dim_chain_join(spark, sf_dir):
+    """J2: left equi-join chain onto small dims — broadcast both
+    (helpers/query_helper.py:28-29)."""
+    c = t(spark, sf_dir, "customer")
+    n = t(spark, sf_dir, "nation")
+    r = t(spark, sf_dir, "region")
+    return (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey, "left")
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey, "left")
+        .select("c_custkey", "n_name", "r_name")
+    )
+
+
+@q(
+    "j3_anti_join",
+    """
+    SELECT c.c_custkey FROM customer c
+    ANTI JOIN orders o ON c.c_custkey = o.o_custkey
+    """,
+)
+def j3_anti_join(spark, sf_dir):
+    """J3: anti-join vs. accumulated key state (processed_ids ~isin,
+    lib/pipeline_controller.py:164-168)."""
+    c = t(spark, sf_dir, "customer")
+    o = t(spark, sf_dir, "orders").select(F.col("o_custkey").alias("c_custkey"))
+    return R.anti_join(c, o, on="c_custkey").select("c_custkey")
+
+
+@q(
+    "j4_keepfirst_dedup",
+    """
+    SELECT l_orderkey, l_linenumber, l_partkey, l_quantity FROM (
+      SELECT l_orderkey, l_linenumber, l_partkey, l_quantity,
+             ROW_NUMBER() OVER (PARTITION BY l_orderkey
+                                ORDER BY l_linenumber, l_partkey, l_quantity) AS rn
+      FROM lineitem) WHERE rn = 1
+    """,
+)
+def j4_keepfirst_dedup(spark, sf_dir):
+    """J4: deterministic keep-first-per-key via row_number over the explicit
+    tiebreak (NOT dropDuplicates — SURVEY §7 risk 1;
+    lib/pipeline_controller.py:176-181)."""
+    li = t(spark, sf_dir, "lineitem")
+    return keep_first(
+        li, ["l_orderkey"], ["l_linenumber", "l_partkey", "l_quantity"]
+    ).select("l_orderkey", "l_linenumber", "l_partkey", "l_quantity")
+
+
+@q(
+    "j5_memo_probe",
+    """
+    WITH cache AS (
+      SELECT c_custkey, c_nationkey, c_acctbal FROM customer WHERE c_acctbal > 5000
+    )
+    SELECT o.o_orderkey, cache.c_nationkey AS cached_nation,
+           ROUND(cache.c_acctbal, 2) AS cached_bal
+    FROM orders o LEFT JOIN cache ON o.o_custkey = cache.c_custkey
+    """,
+)
+def j5_memo_probe(spark, sf_dir):
+    """J5: memoization-cache probe — broadcast left join on the derived key;
+    null means 'compute it' (lib/pipeline_controller.py:311-331)."""
+    o = t(spark, sf_dir, "orders")
+    cache = (
+        t(spark, sf_dir, "customer")
+        .filter(F.col("c_acctbal") > 5000)
+        .select(
+            F.col("c_custkey"),
+            F.col("c_nationkey").alias("cached_nation"),
+            F.round("c_acctbal", 2).alias("cached_bal"),
+        )
+    )
+    return R.left_join_broadcast(
+        o, cache, on=o.o_custkey == cache.c_custkey
+    ).select("o_orderkey", "cached_nation", "cached_bal")
+
+
+@q(
+    "j6_deleted_enrich",
+    """
+    WITH deleted AS (SELECT o_orderkey, o_orderdate FROM orders WHERE o_orderstatus = 'F')
+    SELECT d.o_orderkey, CAST(d.o_orderdate AS VARCHAR) AS deleted_at,
+           c.c_name, c.c_mktsegment
+    FROM deleted d
+    LEFT JOIN (SELECT o_orderkey, o_custkey FROM orders) oo ON d.o_orderkey = oo.o_orderkey
+    LEFT JOIN customer c ON oo.o_custkey = c.c_custkey
+    """,
+)
+def j6_deleted_enrich(spark, sf_dir):
+    """J6: enrich a deleted-keys stream with the full warehouse record
+    (lib/pipeline_controller.py:333-350)."""
+    o = t(spark, sf_dir, "orders")
+    deleted = o.filter(F.col("o_orderstatus") == "F").select(
+        "o_orderkey", F.col("o_orderdate").cast("string").alias("deleted_at")
+    )
+    full = o.select("o_orderkey", "o_custkey")
+    cust = t(spark, sf_dir, "customer")
+    return (
+        R.left_join_broadcast(deleted, full, on="o_orderkey")
+        .join(F.broadcast(cust), F.col("o_custkey") == cust.c_custkey, "left")
+        .select("o_orderkey", "deleted_at", "c_name", "c_mktsegment")
+    )
+
+
+@q(
+    "j8_coalesce_fill",
+    """
+    SELECT c.c_custkey,
+           COALESCE(n.n_name, 'UNKNOWN') AS nation_name
+    FROM customer c
+    LEFT JOIN (SELECT n_nationkey, n_name FROM nation WHERE n_nationkey < 20) n
+      ON c.c_nationkey = n.n_nationkey
+    """,
+)
+def j8_coalesce_fill(spark, sf_dir):
+    """J8: dict-map join with missing-key fallback
+    (lib/pipeline_controller.py:222-227,413-435)."""
+    c = t(spark, sf_dir, "customer").withColumn("fallback", F.lit("UNKNOWN"))
+    dim = t(spark, sf_dir, "nation").filter(F.col("n_nationkey") < 20).select(
+        F.col("n_nationkey").alias("c_nationkey"), F.col("n_name")
+    )
+    out = R.coalesce_fill_join(
+        c, dim, "c_nationkey", "n_name", "fallback", out_col="nation_name"
+    )
+    return out.select("c_custkey", "nation_name")
+
+
+@q(
+    "j9_retry_overlay",
+    """
+    SELECT o_orderkey,
+           ROUND(COALESCE(
+             CASE WHEN o_orderstatus = 'O' THEN o_totalprice END,
+             CASE WHEN o_orderpriority LIKE '1%' THEN o_totalprice + 1000 END,
+             0.0), 2) AS resolved
+    FROM orders
+    """,
+)
+def j9_retry_overlay(spark, sf_dir):
+    """J9: multi-attempt overlay — each retry fills only still-null slots
+    (Series.update at lib/pipeline_controller.py:390,406 → coalesce)."""
+    o = t(spark, sf_dir, "orders")
+    attempt1 = F.when(F.col("o_orderstatus") == "O", F.col("o_totalprice"))
+    attempt2 = F.when(
+        F.col("o_orderpriority").startswith("1"), F.col("o_totalprice") + 1000
+    )
+    return o.select(
+        "o_orderkey",
+        F.round(F.coalesce(attempt1, attempt2, F.lit(0.0)), 2).alias("resolved"),
+    )
+
+
+@q(
+    "j7_overlay_join",
+    """
+    WITH upd AS (
+      SELECT o_orderkey, o_totalprice * 2 AS new_price
+      FROM orders WHERE o_orderstatus = 'O'
+    )
+    SELECT o.o_orderkey,
+           ROUND(COALESCE(u.new_price, o.o_totalprice), 2) AS o_totalprice
+    FROM orders o LEFT JOIN upd u ON o.o_orderkey = u.o_orderkey
+    """,
+)
+def j7_overlay_join(spark, sf_dir):
+    """J7: positional DataFrame.update → key-join + coalesce overlay
+    (lib/pipeline_controller.py:217-218)."""
+    o = t(spark, sf_dir, "orders")
+    upd = o.filter(F.col("o_orderstatus") == "O").select(
+        "o_orderkey", (F.col("o_totalprice") * 2).alias("o_totalprice")
+    )
+    out = R.overlay_join(o, upd, "o_orderkey", ["o_totalprice"])
+    return out.select("o_orderkey", F.round("o_totalprice", 2).alias("o_totalprice"))
+
+
+# ===========================================================================
+# §2.4 / §2.6 Aggregates, sorts, limits (A1/A3/A5, O1)
+# ===========================================================================
+
+
+@q(
+    "a1_stall_guard_minmax",
+    """
+    SELECT CAST(MIN(o_orderdate) AS VARCHAR) AS min_ts,
+           CAST(MAX(o_orderdate) AS VARCHAR) AS max_ts,
+           COUNT(*) AS n
+    FROM orders
+    """,
+)
+def a1_stall_guard_minmax(spark, sf_dir):
+    """A1/ST5: single-pass min/max + count stall guard
+    (lib/pipeline_controller.py:150-162)."""
+    o = t(spark, sf_dir, "orders")
+    return o.agg(
+        F.min("o_orderdate").cast("string").alias("min_ts"),
+        F.max("o_orderdate").cast("string").alias("max_ts"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+@q(
+    "a3_watermark_advance",
+    """
+    SELECT CAST(MAX(ts) AS VARCHAR) AS next_start FROM events
+    """,
+)
+def a3_watermark_advance(spark, sf_dir):
+    """A3/ST2: watermark advance = max(ordering col)
+    (lib/pipeline_controller.py:246,454-468)."""
+    e = t(spark, sf_dir, "events")
+    return e.agg(F.max("ts").cast("string").alias("next_start"))
+
+
+@q(
+    "a5_null_rate",
+    """
+    SELECT ROUND(COUNT(CASE WHEN props IS NOT NULL THEN 1 END) * 1.0 / COUNT(*), 4)
+             AS success_rate,
+           COUNT(*) AS n
+    FROM events
+    """,
+)
+def a5_null_rate(spark, sf_dir):
+    """A5: geocode success-rate count (lib/pipeline_controller.py:407-409)."""
+    e = t(spark, sf_dir, "events")
+    return e.agg(
+        F.round(
+            F.count(F.when(F.col("props").isNotNull(), 1)) / F.count(F.lit(1)), 4
+        ).alias("success_rate"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+@q(
+    "o1_keyset_page",
+    """
+    SELECT o_orderkey, CAST(o_orderdate AS VARCHAR) AS o_orderdate_s
+    FROM orders ORDER BY o_orderdate, o_orderkey LIMIT 100
+    """,
+)
+def o1_keyset_page(spark, sf_dir):
+    """O1/ST1: ORDER BY ts LIMIT n — the micro-batch pagination unit
+    (helpers/query_helper.py:24-25); physical plan is TakeOrderedAndProject."""
+    o = t(spark, sf_dir, "orders")
+    return R.keyset_page(o, ["o_orderdate", "o_orderkey"], 100).select(
+        "o_orderkey", F.col("o_orderdate").cast("string").alias("o_orderdate_s")
+    )
+
+
+# ===========================================================================
+# §2.8 Scalar functions (F1-F13)
+# ===========================================================================
+
+
+@q(
+    "f1_f2_address_key_hash",
+    """
+    SELECT c_custkey,
+           CAST(c_custkey AS VARCHAR) || '_' || COALESCE(c_name, '') || '_' ||
+             COALESCE(c_mktsegment, '') AS addr_key,
+           sha256('spark-graft' || (CAST(c_custkey AS VARCHAR) || '_' ||
+             COALESCE(c_name, '') || '_' || COALESCE(c_mktsegment, ''))) AS addr_hash
+    FROM customer
+    """,
+)
+def f1_f2_address_key_hash(spark, sf_dir):
+    """F1+F2: null-safe identity-key concat + keyed hash
+    (lib/pipeline_controller.py:189-197).  sha2 mode — the scale path."""
+    c = t(spark, sf_dir, "customer").withColumn(
+        "c_custkey_str", F.col("c_custkey").cast("string")
+    )
+    key = address_key("c_custkey_str", ["c_name", "c_mktsegment"])
+    return c.select(
+        "c_custkey",
+        key.alias("addr_key"),
+        obfuscate_col(key, SALT).alias("addr_hash"),
+    )
+
+
+@q(
+    "f3_f4_scrub_assemble",
+    """
+    SELECT doc_id,
+           TRIM(REGEXP_REPLACE(source, '[''"\\\\]', '', 'g') || ' ' ||
+                REGEXP_REPLACE(lang, '[''"\\\\]', '', 'g')) AS assembled
+    FROM documents
+    """,
+)
+def f3_f4_scrub_assemble(spark, sf_dir):
+    """F3+F4: quote-strip regex + full-address space-assembly
+    (lib/pipeline_controller.py:367-373)."""
+    from engine.ops.address import scrub_quotes
+
+    d = t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.trim(
+            F.concat_ws(" ", scrub_quotes("source"), scrub_quotes("lang"))
+        ).alias("assembled"),
+    )
+
+
+@q(
+    "f5_f12_casts",
+    """
+    SELECT p_partkey,
+           SUBSTRING(p_type, 1, 5) AS type5,
+           CAST(CAST(p_size AS BIGINT) AS VARCHAR) AS size_str
+    FROM part
+    """,
+)
+def f5_f12_casts(spark, sf_dir):
+    """F5 zip5-style truncate + F12 int→string id normalization
+    (lib/pipeline_controller.py:231-232,147-148)."""
+    from engine.ops.address import zip5
+
+    p = t(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        zip5("p_type").alias("type5"),
+        normalize_id("p_size").alias("size_str"),
+    )
+
+
+@q(
+    "f6_tz_local_date",
+    """
+    SELECT event_id,
+           CAST(CAST(ts AT TIME ZONE 'UTC' AT TIME ZONE 'America/New_York' AS DATE)
+                AS VARCHAR) AS et_date
+    FROM events
+    """,
+)
+def f6_tz_local_date(spark, sf_dir):
+    """F6: UTC timestamp → America/New_York local date — the midnight-boundary
+    semantics pinned by reference goldens (tests/test_pipeline_controller.py:116-117)."""
+    e = t(spark, sf_dir, "events")
+    return e.select(
+        "event_id",
+        F.to_date(F.from_utc_timestamp("ts", "America/New_York"))
+        .cast("string")
+        .alias("et_date"),
+    )
+
+
+@q(
+    "f7_f8_geoid_assembly",
+    """
+    SELECT n_nationkey,
+           CASE UPPER(n_name)
+             WHEN 'CHINA' THEN '36061' WHEN 'FRANCE' THEN '36005'
+             ELSE '36047' END ||
+           LPAD(CAST(n_regionkey AS VARCHAR), 3, '0') ||
+           LPAD(CAST(n_nationkey * 37 AS VARCHAR), 6, '0') AS geoid
+    FROM nation
+    """,
+)
+def f7_f8_geoid_assembly(spark, sf_dir):
+    """F7+F8: literal-map lookup + zero-padded geoid concat
+    (lib/census_geocoder_api_client.py:42-43; lib/nyc_geocoder_client.py:8-14)."""
+    n = t(spark, sf_dir, "nation")
+    fips = (
+        F.when(F.upper("n_name") == "CHINA", F.lit("36061"))
+        .when(F.upper("n_name") == "FRANCE", F.lit("36005"))
+        .otherwise(F.lit("36047"))
+    )
+    return n.select(
+        "n_nationkey",
+        F.concat(
+            fips,
+            F.lpad(F.col("n_regionkey").cast("string"), 3, "0"),
+            F.lpad((F.col("n_nationkey") * 37).cast("string"), 6, "0"),
+        ).alias("geoid"),
+    )
+
+
+@q(
+    "f13_json_records",
+    """
+    SELECT r_regionkey,
+           '{"r_regionkey":' || r_regionkey || ',"r_name":"' || r_name || '"}' AS rec
+    FROM region
+    """,
+)
+def f13_json_records(spark, sf_dir):
+    """F13: record → JSON serialization (lib/pipeline_controller.py:241-242)."""
+    r = t(spark, sf_dir, "region")
+    return r.select(
+        "r_regionkey",
+        F.to_json(F.struct("r_regionkey", "r_name")).alias("rec"),
+    )
+
+
+# ===========================================================================
+# Engine capability: group-by / rollup / pivot / set-ops / windows
+# (granted by Spark; exercised per SURVEY §2.4 note and §7 step 2)
+# ===========================================================================
+
+
+@q(
+    "q1_pricing_summary",
+    """
+    SELECT l_returnflag, l_linestatus,
+           ROUND(SUM(l_quantity), 2) AS sum_qty,
+           ROUND(SUM(l_extendedprice), 2) AS sum_base_price,
+           ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+           ROUND(SUM(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+           ROUND(AVG(l_quantity), 4) AS avg_qty,
+           ROUND(AVG(l_extendedprice), 4) AS avg_price,
+           ROUND(AVG(l_discount), 4) AS avg_disc,
+           COUNT(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def q1_pricing_summary(spark, sf_dir):
+    """TPC-H Q1 shape — the flagship scan+agg; partial aggregation map-side,
+    one shuffle on the 2-col group key."""
+    li = t(spark, sf_dir, "lineitem")
+    disc = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(disc), 2).alias("sum_disc_price"),
+            F.round(F.sum(disc * (1 + F.col("l_tax"))), 2).alias("sum_charge"),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
+            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+@q(
+    "q3_order_revenue_topk",
+    """
+    SELECT o.o_orderkey, CAST(o.o_orderdate AS VARCHAR) AS o_orderdate_s,
+           ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    WHERE c.c_mktsegment = 'BUILDING'
+    GROUP BY o.o_orderkey, o.o_orderdate
+    ORDER BY revenue DESC, o_orderkey
+    LIMIT 10
+    """,
+)
+def q3_order_revenue_topk(spark, sf_dir):
+    """TPC-H Q3 shape: selective dim filter → broadcast join → agg → top-k."""
+    c = t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    o = t(spark, sf_dir, "orders")
+    li = t(spark, sf_dir, "lineitem")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("o_orderkey", "o_orderdate")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+        .select(
+            "o_orderkey",
+            F.col("o_orderdate").cast("string").alias("o_orderdate_s"),
+            "revenue",
+        )
+        .orderBy(F.col("revenue").desc(), "o_orderkey")
+        .limit(10)
+    )
+
+
+@q(
+    "q5_nation_revenue",
+    """
+    SELECT n.n_name,
+           ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+    FROM lineitem l
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey
+    JOIN nation n ON s.s_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    GROUP BY n.n_name
+    """,
+)
+def q5_nation_revenue(spark, sf_dir):
+    """TPC-H Q5 shape: fact × snowflake dims, all dims broadcast."""
+    li = t(spark, sf_dir, "lineitem")
+    s = t(spark, sf_dir, "supplier")
+    n = t(spark, sf_dir, "nation")
+    r = t(spark, sf_dir, "region")
+    return (
+        li.join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("n_name")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+    )
+
+
+@q(
+    "rollup_revenue",
+    """
+    SELECT COALESCE(r.r_name, '<all>') AS region_name,
+           COALESCE(n.n_name, '<all>') AS nation_name,
+           ROUND(SUM(c.c_acctbal), 2) AS total_bal,
+           COUNT(*) AS n_cust
+    FROM customer c
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    GROUP BY ROLLUP(r.r_name, n.n_name)
+    """,
+)
+def rollup_revenue(spark, sf_dir):
+    """ROLLUP hierarchy aggregate (engine capability; reference has no
+    group-bys — SURVEY §2.4 note)."""
+    c = t(spark, sf_dir, "customer")
+    n = t(spark, sf_dir, "nation")
+    r = t(spark, sf_dir, "region")
+    return (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .rollup("r_name", "n_name")
+        .agg(
+            F.round(F.sum("c_acctbal"), 2).alias("total_bal"),
+            F.count(F.lit(1)).alias("n_cust"),
+        )
+        .select(
+            F.coalesce("r_name", F.lit("<all>")).alias("region_name"),
+            F.coalesce("n_name", F.lit("<all>")).alias("nation_name"),
+            "total_bal",
+            "n_cust",
+        )
+    )
+
+
+@q(
+    "pivot_status_counts",
+    """
+    SELECT o_orderpriority,
+           COUNT(CASE WHEN o_orderstatus = 'F' THEN 1 END) AS status_F,
+           COUNT(CASE WHEN o_orderstatus = 'O' THEN 1 END) AS status_O,
+           COUNT(CASE WHEN o_orderstatus = 'P' THEN 1 END) AS status_P
+    FROM orders GROUP BY o_orderpriority
+    """,
+)
+def pivot_status_counts(spark, sf_dir):
+    """Pivot (engine capability): fixed-vocabulary pivot = conditional aggs."""
+    o = t(spark, sf_dir, "orders")
+    p = (
+        o.groupBy("o_orderpriority")
+        .pivot("o_orderstatus", ["F", "O", "P"])
+        .agg(F.count(F.lit(1)))
+    )
+    return p.select(
+        "o_orderpriority",
+        F.coalesce(F.col("F"), F.lit(0)).alias("status_F"),
+        F.coalesce(F.col("O"), F.lit(0)).alias("status_O"),
+        F.coalesce(F.col("P"), F.lit(0)).alias("status_P"),
+    )
+
+
+@q(
+    "setops_customer_keys",
+    """
+    SELECT c_custkey FROM customer WHERE c_acctbal > 0
+    INTERSECT
+    SELECT o_custkey AS c_custkey FROM orders
+    EXCEPT
+    SELECT c_custkey FROM customer WHERE c_mktsegment = 'MACHINERY'
+    """,
+)
+def setops_customer_keys(spark, sf_dir):
+    """Set operations (§2.7: none in the reference; engine capability)."""
+    c = t(spark, sf_dir, "customer")
+    pos = c.filter(F.col("c_acctbal") > 0).select("c_custkey")
+    with_orders = t(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("c_custkey")
+    )
+    machinery = c.filter(F.col("c_mktsegment") == "MACHINERY").select("c_custkey")
+    return pos.intersect(with_orders).exceptAll(machinery).distinct()
+
+
+@q(
+    "window_running_total",
+    """
+    SELECT o_custkey, o_orderkey,
+           ROUND(SUM(o_totalprice) OVER (
+             PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running_total
+    FROM orders
+    """,
+)
+def window_running_total(spark, sf_dir):
+    """Analytic window frame (§2.5: only ranking exists in the reference;
+    engine capability)."""
+    o = t(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.round(F.sum("o_totalprice").over(w), 2).alias("running_total"),
+    )
+
+
+@q(
+    "topk_per_group",
+    """
+    SELECT o_custkey, o_orderkey, ROUND(o_totalprice, 2) AS o_totalprice_r FROM (
+      SELECT o_custkey, o_orderkey, o_totalprice,
+             ROW_NUMBER() OVER (PARTITION BY o_custkey
+                                ORDER BY o_totalprice DESC, o_orderkey) AS rn
+      FROM orders) WHERE rn <= 2
+    """,
+)
+def topk_per_group(spark, sf_dir):
+    """Top-k per key — the scalable form (window, no global sort)."""
+    o = t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), "o_orderkey"
+    )
+    return (
+        o.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 2)
+        .select(
+            "o_custkey", "o_orderkey", F.round("o_totalprice", 2).alias("o_totalprice_r")
+        )
+    )
+
+
+# ===========================================================================
+# §2.9 Streaming semantics, batch-checkable twins (ST1-ST5)
+# ===========================================================================
+
+
+@q(
+    "st2_incremental_page",
+    """
+    SELECT event_id, CAST(ts AS VARCHAR) AS ts_s, user_id, event_type
+    FROM events
+    WHERE ts IS NOT NULL AND ts >= TIMESTAMP '2024-03-01 00:00:00'
+    ORDER BY ts, event_id LIMIT 500
+    """,
+)
+def st2_incremental_page(spark, sf_dir):
+    """ST1+ST2: one incremental micro-batch — resume from watermark, ordered
+    page (lib/pipeline_controller.py:90-125)."""
+    e = t(spark, sf_dir, "events")
+    scan = R.range_scan(e, "ts", "2024-03-01 00:00:00", "2100-01-01 00:00:00")
+    return R.keyset_page(scan, ["ts", "event_id"], 500).select(
+        "event_id", F.col("ts").cast("string").alias("ts_s"), "user_id", "event_type"
+    )
+
+
+@q(
+    "st4_stream_dedup",
+    """
+    SELECT user_id, event_id, CAST(ts AS VARCHAR) AS first_ts FROM (
+      SELECT user_id, event_id, ts,
+             ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+      FROM events) WHERE rn = 1
+    """,
+)
+def st4_stream_dedup(spark, sf_dir):
+    """ST4: cross-batch dedup — first event per key (processed_ids semantics,
+    deterministic batch twin of dropDuplicatesWithinWatermark)."""
+    e = t(spark, sf_dir, "events")
+    return keep_first(e, ["user_id"], ["ts", "event_id"]).select(
+        "user_id", "event_id", F.col("ts").cast("string").alias("first_ts")
+    )
+
+
+@q(
+    "st5_stall_detect",
+    """
+    SELECT event_type, COUNT(*) AS n,
+           CASE WHEN MIN(ts) = MAX(ts) THEN 1 ELSE 0 END AS stalled
+    FROM events GROUP BY event_type
+    """,
+)
+def st5_stall_detect(spark, sf_dir):
+    """ST5: stall guard predicate per partition-key (min==max ⇒ watermark
+    cannot advance)."""
+    e = t(spark, sf_dir, "events")
+    return e.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.when(F.min("ts") == F.max("ts"), F.lit(1)).otherwise(F.lit(0)).alias("stalled"),
+    )
+
+
+@q(
+    "tumbling_window_agg",
+    """
+    SELECT CAST(DATE_TRUNC('hour', ts) AS VARCHAR) AS window_start,
+           event_type, COUNT(*) AS n, ROUND(SUM(value), 2) AS total
+    FROM events GROUP BY 1, 2
+    """,
+)
+def tumbling_window_agg(spark, sf_dir):
+    """Tumbling event-time window (engine.streaming.windows.tumbling_agg —
+    same definition batch/streaming)."""
+    from engine.streaming.windows import tumbling_agg
+
+    e = t(spark, sf_dir, "events")
+    out = tumbling_agg(
+        e,
+        "ts",
+        "1 hour",
+        ["event_type"],
+        [F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 2).alias("total")],
+    )
+    return out.select(
+        F.col("window_start").cast("string").alias("window_start"),
+        "event_type",
+        "n",
+        "total",
+    )
+
+
+@q(
+    "sliding_window_agg",
+    """
+    WITH expanded AS (
+      SELECT DATE_TRUNC('hour', ts) AS w, ts, value FROM events
+      UNION ALL
+      SELECT DATE_TRUNC('hour', ts) + INTERVAL 30 MINUTE AS w, ts, value FROM events
+        WHERE EXTRACT(minute FROM ts) >= 30
+      UNION ALL
+      SELECT DATE_TRUNC('hour', ts) - INTERVAL 30 MINUTE AS w, ts, value FROM events
+        WHERE EXTRACT(minute FROM ts) < 30
+    )
+    SELECT CAST(w AS VARCHAR) AS window_start, COUNT(*) AS n,
+           ROUND(SUM(value), 2) AS total
+    FROM expanded GROUP BY w
+    """,
+)
+def sliding_window_agg(spark, sf_dir):
+    """Sliding window (1h window / 30min slide): each event lands in 2
+    windows."""
+    from engine.streaming.windows import sliding_agg
+
+    e = t(spark, sf_dir, "events")
+    out = sliding_agg(
+        e,
+        "ts",
+        "1 hour",
+        "30 minutes",
+        [],
+        [F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 2).alias("total")],
+    )
+    return out.select(
+        F.col("window_start").cast("string").alias("window_start"), "n", "total"
+    )
+
+
+@q(
+    "session_window_agg",
+    """
+    WITH gaps AS (
+      SELECT user_id, ts, value,
+             CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                       > INTERVAL 30 MINUTE OR
+                       LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                  THEN 1 ELSE 0 END AS new_session,
+             event_id
+      FROM events),
+    sessions AS (
+      SELECT user_id, ts, value,
+             SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                    ROWS UNBOUNDED PRECEDING) AS session_id
+      FROM gaps)
+    SELECT user_id, session_id, COUNT(*) AS n_events,
+           CAST(MIN(ts) AS VARCHAR) AS session_start,
+           ROUND(SUM(value), 2) AS total
+    FROM sessions GROUP BY user_id, session_id
+    """,
+)
+def session_window_agg(spark, sf_dir):
+    """Sessionization (30-min gap) — lag + cumulative-sum session ids; the
+    batch twin of ``session_window`` (engine.streaming.windows.session_agg)."""
+    e = t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.col("ts").cast("long") - F.lag(F.col("ts").cast("long")).over(w)
+    new_sess = F.when(gap.isNull() | (gap > 30 * 60), 1).otherwise(0)
+    sess_id = F.sum(new_sess).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        e.withColumn("session_id", sess_id)
+        .groupBy("user_id", "session_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.min("ts").cast("string").alias("session_start"),
+            F.round(F.sum("value"), 2).alias("total"),
+        )
+    )
+
+
+# ===========================================================================
+# North-star extended operators (text / dedup / similarity / multimodal)
+# ===========================================================================
+
+
+@q(
+    "text_token_stats",
+    """
+    SELECT doc_id,
+           LENGTH(regexp_extract_all(LOWER(text), '[a-z0-9'']+')) AS n_tokens,
+           MD5(REGEXP_REPLACE(LOWER(text), '[^a-z0-9]', '', 'g')) AS fp
+    FROM documents
+    """,
+)
+def text_token_stats(spark, sf_dir):
+    """Token counting + document fingerprint (north-star text ops)."""
+    from engine.extended.text import fingerprint, token_count
+
+    d = t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id", token_count("text").alias("n_tokens"), fingerprint("text").alias("fp")
+    )
+
+
+@q(
+    "text_quality",
+    """
+    SELECT doc_id,
+           LENGTH(text) AS n_chars,
+           ROUND(LENGTH(REGEXP_REPLACE(text, '[^A-Za-z]', '', 'g')) * 1.0
+                 / LENGTH(text), 4) AS alpha_ratio,
+           ROUND(LENGTH(regexp_extract_all(LOWER(text),
+                 '\\b(the|and|of|to|in|is|that|for|with|was)\\b')) * 1.0
+                 / LENGTH(regexp_extract_all(LOWER(text), '[a-z0-9'']+')), 4)
+             AS stopword_ratio
+    FROM documents WHERE LENGTH(text) > 0
+    """,
+)
+def text_quality(spark, sf_dir):
+    """Quality-scoring ratios for corpus filtering (north-star)."""
+    from engine.extended.text import lang_hits, token_count
+
+    d = t(spark, sf_dir, "documents").filter(F.length("text") > 0)
+    n_chars = F.length("text")
+    toks = token_count("text")
+    alpha = F.length(F.regexp_replace(F.col("text"), "[^A-Za-z]", ""))
+    return d.select(
+        "doc_id",
+        n_chars.alias("n_chars"),
+        F.round(alpha / n_chars.cast("double"), 4).alias("alpha_ratio"),
+        F.round(
+            lang_hits("text", "en") / toks.cast("double"), 4
+        ).alias("stopword_ratio"),
+    )
+
+
+@q(
+    "lang_id",
+    """
+    WITH hits AS (
+      SELECT doc_id,
+        LENGTH(regexp_extract_all(LOWER(text), '\\b(the|and|of|to|in|is|that|for|with|was)\\b')) AS h_en,
+        LENGTH(regexp_extract_all(LOWER(text), '\\b(der|die|das|und|ist|nicht|mit|ein|eine|zu)\\b')) AS h_de,
+        LENGTH(regexp_extract_all(LOWER(text), '\\b(le|la|les|et|est|une|pour|dans|que|des)\\b')) AS h_fr,
+        LENGTH(regexp_extract_all(LOWER(text), '\\b(el|la|los|las|es|una|por|para|con|del)\\b')) AS h_es,
+        LENGTH(regexp_extract_all(LOWER(text), '\\b(il|la|che|di|e|un|una|per|non|sono)\\b')) AS h_it
+      FROM documents)
+    SELECT doc_id,
+      CASE WHEN GREATEST(h_de, h_en, h_es, h_fr, h_it) < 1 THEN 'und'
+           WHEN h_de >= GREATEST(h_en, h_es, h_fr, h_it) THEN 'de'
+           WHEN h_en >= GREATEST(h_es, h_fr, h_it) THEN 'en'
+           WHEN h_es >= GREATEST(h_fr, h_it) THEN 'es'
+           WHEN h_fr >= h_it THEN 'fr'
+           ELSE 'it' END AS lang_pred
+    FROM hits
+    """,
+)
+def lang_id(spark, sf_dir):
+    """Language-ID heuristic: argmax of per-language marker hits, ties to the
+    alphabetically-first language (north-star)."""
+    from engine.extended.text import lang_id_expr
+
+    d = t(spark, sf_dir, "documents")
+    return d.select("doc_id", lang_id_expr("text").alias("lang_pred"))
+
+
+@q(
+    "dedup_exact",
+    """
+    SELECT doc_id, source FROM (
+      SELECT doc_id, source,
+             ROW_NUMBER() OVER (
+               PARTITION BY MD5(REGEXP_REPLACE(LOWER(text), '[^a-z0-9]', '', 'g'))
+               ORDER BY doc_id) AS rn
+      FROM documents) WHERE rn = 1
+    """,
+)
+def dedup_exact(spark, sf_dir):
+    """Exact dedup via normalized-text hash groupBy, keep lowest id
+    (north-star)."""
+    from engine.extended.dedup import exact_dedup_docs
+
+    d = t(spark, sf_dir, "documents")
+    return exact_dedup_docs(d).select("doc_id", "source")
+
+
+@q("dedup_minhash_lsh")  # rows-only: xxhash64 signature family is Spark-specific
+def dedup_minhash_lsh(spark, sf_dir):
+    """MinHash+LSH near-dup candidate pairs (north-star; SURVEY §7 step 7).
+    Deterministic seeded signatures; no SQL oracle (engine-native hash)."""
+    from engine.extended.dedup import minhash_candidates
+
+    d = t(spark, sf_dir, "documents")
+    return minhash_candidates(d, num_hashes=64, bands=16).orderBy("id_a", "id_b")
+
+
+@q("dedup_simhash")  # rows-only: same reason
+def dedup_simhash(spark, sf_dir):
+    """SimHash near-dup pairs within hamming≤3 via 16-bit chunk bucketing."""
+    from engine.extended.dedup import simhash_candidates
+
+    d = t(spark, sf_dir, "documents")
+    return simhash_candidates(d, max_hamming=3).orderBy("id_a", "id_b")
+
+
+@q(
+    "dedup_ngram_jaccard",
+    """
+    WITH sh AS (
+      SELECT doc_id,
+             list_distinct(list_transform(
+               generate_series(1, GREATEST(LENGTH(toks) - 2, 0)),
+               i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS shingles,
+             toks[1] || ' ' || toks[2] || ' ' || toks[3] || ' ' || toks[4] || ' ' || toks[5] AS pkey
+      FROM (SELECT doc_id, regexp_extract_all(LOWER(text), '[a-z0-9'']+') AS toks
+            FROM documents)
+      WHERE LENGTH(toks) >= 5)
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           ROUND(LENGTH(list_intersect(a.shingles, b.shingles)) * 1.0 /
+                 LENGTH(list_distinct(list_concat(a.shingles, b.shingles))), 4) AS jaccard
+    FROM sh a JOIN sh b ON a.pkey = b.pkey AND a.doc_id < b.doc_id
+    """,
+)
+def dedup_ngram_jaccard(spark, sf_dir):
+    """Exact word-3-gram Jaccard over candidate pairs blocked on a shared
+    5-token prefix (north-star; SQL-checkable blocking)."""
+    from engine.extended.dedup import ngram_jaccard_pairs
+    from engine.extended.text import tokens
+
+    d = t(spark, sf_dir, "documents")
+    toks = tokens("text")
+    keyed = d.select(
+        "doc_id",
+        F.when(F.size(toks) >= 5, F.array_join(F.slice(toks, 1, 5), " ")).alias("pkey"),
+    ).filter(F.col("pkey").isNotNull())
+    a = keyed.alias("a")
+    b = keyed.alias("b")
+    pairs = a.join(
+        b, (F.col("a.pkey") == F.col("b.pkey")) & (F.col("a.doc_id") < F.col("b.doc_id"))
+    ).select(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
+    return ngram_jaccard_pairs(d, pairs)
+
+
+@q(
+    "ann_cosine_topk",
+    """
+    WITH qv AS (SELECT embedding AS q FROM embeddings WHERE vec_id = 7),
+    sims AS (
+      SELECT e.vec_id,
+             ROUND(
+               list_sum(list_transform(list_zip(e.embedding, qv.q),
+                        p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE))) /
+               (SQRT(list_sum(list_transform(e.embedding,
+                        x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) *
+                SQRT(list_sum(list_transform(qv.q,
+                        x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))), 4) AS sim
+      FROM embeddings e, qv)
+    SELECT vec_id, sim FROM sims ORDER BY sim DESC, vec_id LIMIT 10
+    """,
+)
+def ann_cosine_topk(spark, sf_dir):
+    """Brute-force cosine top-10 against vec_id=7 (the exact baseline the
+    LSH path is measured against)."""
+    from engine.extended.similarity import cosine_topk
+
+    emb = t(spark, sf_dir, "embeddings")
+    qv = emb.filter(F.col("vec_id") == 7).select("embedding").collect()[0][0]
+    return cosine_topk(emb, [float(x) for x in qv], k=10)
+
+
+@q("ann_lsh_topk")  # rows-only: hyperplane family is engine-native
+def ann_lsh_topk(spark, sf_dir):
+    """LSH-bucketed approximate top-10 for the same query vector."""
+    from engine.extended.similarity import lsh_topk
+
+    emb = t(spark, sf_dir, "embeddings")
+    qv = emb.filter(F.col("vec_id") == 7).select("embedding").collect()[0][0]
+    return lsh_topk(emb, [float(x) for x in qv], k=10, dim=len(qv))
+
+
+@q("embedding_near_dup")  # rows-only: hyperplane bucketing engine-native
+def embedding_near_dup_q(spark, sf_dir):
+    """Embedding-cosine near-duplicate pairs (cos ≥ 0.95) via banded sign-LSH.
+
+    The synthetic embeddings have no natural near-dups (max pairwise cosine
+    ≈0.48), so the query plants them: every 10th vector gets a slightly
+    perturbed twin (id + 10^9) that the operator must recover.
+    """
+    from engine.extended.dedup import embedding_near_dup
+
+    emb = t(spark, sf_dir, "embeddings")
+    first = emb.select(F.size("embedding").alias("d")).first()
+    perturbed = emb.filter(F.col("vec_id") % 10 == 0).select(
+        (F.col("vec_id") + F.lit(1_000_000_000)).alias("vec_id"),
+        F.transform(
+            "embedding", lambda x, i: x + F.when(i == 0, F.lit(0.01)).otherwise(F.lit(0.0))
+        ).alias("embedding"),
+        "label",
+    )
+    aug = emb.unionByName(perturbed)
+    return embedding_near_dup(aug, dim=first["d"], threshold=0.95).orderBy(
+        "id_a", "id_b"
+    )
+
+
+@q(
+    "multimodal_meta",
+    """
+    SELECT doc_id AS media_id,
+           OCTET_LENGTH(ENCODE(text)) AS n_bytes,
+           CASE WHEN doc_id % 3 = 0 THEN 'image/png'
+                WHEN doc_id % 3 = 1 THEN 'audio/wav'
+                ELSE 'video/mp4' END AS mime_fake
+    FROM documents
+    """,
+)
+def multimodal_meta(spark, sf_dir):
+    """Multimodal binary-column plumbing: payload byte length + typed mime
+    metadata (engine.schemas.MEDIA convention)."""
+    d = t(spark, sf_dir, "documents")
+    payload = F.encode(F.col("text"), "utf-8")
+    m = F.col("doc_id") % 3
+    return d.select(
+        F.col("doc_id").alias("media_id"),
+        F.octet_length(payload).alias("n_bytes"),
+        F.when(m == 0, F.lit("image/png"))
+        .when(m == 1, F.lit("audio/wav"))
+        .otherwise(F.lit("video/mp4"))
+        .alias("mime_fake"),
+    )
+
+
+@q("multimodal_features")  # rows-only: mapInPandas feature extraction
+def multimodal_features(spark, sf_dir):
+    """Byte-level media features through the mapInPandas seam (entropy +
+    histogram signature) over fake deterministic payloads."""
+    from engine.extended.multimodal import fake_media_from_text, media_features
+
+    d = t(spark, sf_dir, "documents")
+    media = fake_media_from_text(d)
+    return media_features(media).select("media_id", "mime", "n_bytes", "byte_entropy")
+
+
+# ===========================================================================
+# Flagship: the NEW_PATRONS relational chain mapped onto TPC-H columns
+# ===========================================================================
+
+
+@q(
+    "flagship_patron_chain",
+    f"""
+    WITH scan AS (
+      SELECT o.o_orderkey, o.o_custkey, o.o_orderdate, o.o_totalprice,
+             CASE WHEN LENGTH(TRIM(o.o_orderpriority)) = 0
+                       OR TRIM(o.o_orderpriority) = 'none'
+                  THEN NULL ELSE TRIM(o.o_orderpriority) END AS priority_norm
+      FROM orders o
+      WHERE o.o_orderdate IS NOT NULL
+        AND o.o_orderdate >= TIMESTAMP '1994-01-01 00:00:00'
+        AND o.o_orderdate <  TIMESTAMP '1998-01-01 00:00:00'),
+    fanout AS (
+      SELECT s.*, c.c_name, c.c_mktsegment, c.c_nationkey
+      FROM scan s LEFT JOIN customer c ON s.o_custkey = c.c_custkey),
+    dedup AS (
+      SELECT * FROM (
+        SELECT f.*, ROW_NUMBER() OVER (
+          PARTITION BY f.o_custkey ORDER BY f.o_orderdate, f.o_orderkey) AS rn
+        FROM fanout f) WHERE rn = 1)
+    SELECT CAST(d.o_custkey AS VARCHAR) AS patron_id_plaintext,
+           sha256('spark-graft' || CAST(d.o_custkey AS VARCHAR)) AS patron_id,
+           sha256('spark-graft' || (CAST(d.o_custkey AS VARCHAR) || '_' ||
+             COALESCE(d.c_name, '') || '_' || COALESCE(d.c_mktsegment, ''))) AS address_hash,
+           SUBSTRING(d.c_mktsegment, 1, 5) AS segment5,
+           CAST(CAST(d.o_orderdate AT TIME ZONE 'UTC'
+                AT TIME ZONE 'America/New_York' AS DATE) AS VARCHAR) AS creation_date_et,
+           d.priority_norm,
+           ROUND(d.o_totalprice, 2) AS total
+    FROM dedup d
+    """,
+)
+def flagship_patron_chain(spark, sf_dir):
+    """SURVEY §7 step 1: the full NEW_PATRONS relational chain on TPC-H
+    stand-ins — incremental range scan (S1/P5) → null-normalize (P2) → left
+    join fan-out (J1) → keep-first dedup (J4) → null-safe key concat (F1) →
+    keyed hash (F2, sha2 scale mode) → zip5/date casts (F5/F6) → projection.
+    """
+    o = t(spark, sf_dir, "orders")
+    c = t(spark, sf_dir, "customer")
+    scan = R.range_scan(
+        o, "o_orderdate", "1994-01-01 00:00:00", "1998-01-01 00:00:00"
+    ).withColumn("priority_norm", R.normalize_code_col("o_orderpriority"))
+    fanout = scan.join(F.broadcast(c), scan.o_custkey == c.c_custkey, "left")
+    dedup = keep_first(fanout, ["o_custkey"], ["o_orderdate", "o_orderkey"])
+    dedup = dedup.withColumn("patron_id_plaintext", normalize_id("o_custkey"))
+    addr_key = address_key("patron_id_plaintext", ["c_name", "c_mktsegment"])
+    return dedup.select(
+        "patron_id_plaintext",
+        obfuscate_col("patron_id_plaintext", SALT).alias("patron_id"),
+        obfuscate_col(addr_key, SALT).alias("address_hash"),
+        F.substring("c_mktsegment", 1, 5).alias("segment5"),
+        F.to_date(F.from_utc_timestamp("o_orderdate", "America/New_York"))
+        .cast("string")
+        .alias("creation_date_et"),
+        "priority_norm",
+        F.round("o_totalprice", 2).alias("total"),
+    )

@@ -1,0 +1,149 @@
+"""Address parse/scrub (F3/F4/F9/F10) + geocode cascade (S5/S6/J9/ST7)."""
+
+from __future__ import annotations
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from engine.ops.address import (
+    _parse_one,
+    _to_ascii,
+    full_address,
+    scrub_quotes,
+    with_parsed_address,
+    zip5,
+)
+from engine.ops.geocode import (
+    census_geocode,
+    fake_census_transport,
+    fake_geosupport,
+    geocode_cascade,
+    geosupport_geocode,
+    retrying_census_transport,
+)
+
+
+def test_scrub_and_assemble(spark):
+    df = spark.createDataFrame(
+        [("123 \"Main\" St", "O'Neill City", "N\\Y", "10001-1234")],
+        "address string, city string, region string, postal_code string",
+    )
+    out = df.select(
+        scrub_quotes("address").alias("a"),
+        scrub_quotes("city").alias("c"),
+        scrub_quotes("region").alias("r"),
+        zip5("postal_code").alias("z"),
+    ).collect()[0]
+    assert out["a"] == "123 Main St"
+    assert out["c"] == "ONeill City"
+    assert out["r"] == "NY"
+    assert out["z"] == "10001"
+
+
+def test_full_address_skips_nulls(spark):
+    df = spark.createDataFrame(
+        [("1 Elm", None, "NY", None), (None, None, None, None)],
+        "address string, city string, region string, postal_code string",
+    )
+    out = [
+        r["fa"]
+        for r in df.select(
+            full_address("address", "city", "region", "postal_code").alias("fa")
+        ).collect()
+    ]
+    assert out == ["1 Elm NY", ""]
+
+
+def test_to_ascii_transliteration():
+    assert _to_ascii("Müller Straße") == "Muller Strasse"
+    assert _to_ascii("Œuvre æon") == "OEuvre aeon"
+    assert _to_ascii("北京") == ""  # non-decomposable dropped
+
+
+def test_parse_one_shapes():
+    assert _parse_one("123 Main St") == ("123", "Main St", None)
+    assert _parse_one("123-45 Queens Blvd Apt 6B") == ("123-45", "Queens Blvd", "6B")
+    assert _parse_one("456 First Ave # 2") == ("456", "First Ave", "2")
+    assert _parse_one(None) == (None, None, None)
+    assert _parse_one("") == (None, None, None)
+
+
+def test_with_parsed_address_udf(spark):
+    df = spark.createDataFrame(
+        [("123 Main St",), ("No Number Rd",)], "full_address string"
+    )
+    rows = with_parsed_address(df).collect()
+    got = {r["full_address"]: (r["house_number"], r["street_name"]) for r in rows}
+    assert got["123 Main St"] == ("123", "Main St")
+    assert got["No Number Rd"][0] is None
+
+
+def _addr_df(spark):
+    return spark.createDataFrame(
+        [
+            ("p1", "123 Main St", "New York", "NY", "10001"),
+            ("p2", "456 First Ave", "Brooklyn", "NY", "11201-9999"),
+            ("p3", None, None, None, None),  # unaddressable → filtered
+        ],
+        "patron_id string, address string, city string, region string, postal_code string",
+    )
+
+
+def test_census_geocode_stage(spark):
+    df = _addr_df(spark).withColumn(
+        "full_address", full_address("address", "city", "region", "postal_code")
+    ).filter(F.length("full_address") > 0)
+    out = census_geocode(df, fake_census_transport())
+    rows = out.collect()
+    assert len(rows) == 2
+    for r in rows:
+        assert r["geoid"] is None or len(r["geoid"]) == 11
+
+
+def test_geosupport_stage(spark):
+    df = spark.createDataFrame(
+        [("1", "123", "Main St", "10001"), ("2", None, "X", "10001")],
+        "patron_id string, house_number string, street_name string, postal_code string",
+    )
+    out = geosupport_geocode(df, fake_geosupport())
+    got = {r["patron_id"]: r["geoid_nyc"] for r in out.collect()}
+    assert got["1"] is not None and len(got["1"]) == 11
+    assert got["2"] is None  # missing house number → per-row null
+
+
+def test_cascade_fills_with_fallbacks(spark):
+    """Attempt-1 misses flow to attempt 2/3; coalesce overlay (J9) fills."""
+    # census that always misses → everything falls through to geosupport
+    def never_match(batch: pd.DataFrame) -> pd.Series:
+        return pd.Series([None] * len(batch), index=batch.index, dtype="object")
+
+    out = geocode_cascade(_addr_df(spark), never_match, fake_geosupport())
+    rows = {r["patron_id"]: r["geoid"] for r in out.collect()}
+    assert len(rows) == 2  # p3 filtered as unaddressable
+    assert rows["p1"] is not None  # geosupport fallback hit (parsed house+street)
+
+
+def test_retrying_transport_halves_then_nulls():
+    calls = []
+
+    def flaky(batch: pd.DataFrame) -> pd.Series:
+        calls.append(len(batch))
+        raise RuntimeError("boom")
+
+    t = retrying_census_transport(flaky, max_retries=1, min_split=2)
+    df = pd.DataFrame({"full_address": [f"addr {i}" for i in range(8)]})
+    out = t(df)
+    assert out.isna().all() and len(out) == 8
+    # 8 → two halves of 4 → four quarters of 2 → eight... stops at min_split
+    assert max(calls) == 8 and min(calls) == 2
+
+
+def test_cascade_success_rate_logged(spark):
+    out = geocode_cascade(
+        _addr_df(spark), fake_census_transport(match_rate_mod=2), fake_geosupport()
+    )
+    from engine.ops.relational import success_rate
+
+    rate = success_rate(out, "geoid")
+    assert 0.0 <= rate <= 1.0

@@ -1,0 +1,162 @@
+"""North-star operators: dedup family, similarity search, text analysis,
+multimodal plumbing."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from engine.extended.dedup import (
+    embedding_near_dup,
+    exact_dedup_docs,
+    minhash_candidates,
+    minhash_dedup,
+    ngram_jaccard_pairs,
+    simhash_candidates,
+)
+from engine.extended.multimodal import (
+    decode_media,
+    fake_media_from_text,
+    frame_sample,
+    media_features,
+)
+from engine.extended.similarity import cosine_topk, lsh_topk
+from engine.extended.text import fingerprint, lang_id_expr, token_count, with_quality
+
+BASE = (
+    "the quick brown fox jumps over the lazy dog while the cat sleeps "
+    "near the warm fire and the birds sing in the tall green trees outside"
+)
+
+
+def _docs(spark):
+    rows = [
+        (0, BASE, "src"),
+        (1, BASE + " extra tail words here", "src"),  # near-dup of 0
+        (2, "completely different text about spark engines and parquet files "
+            "running distributed queries over large clusters every day", "src"),
+        (3, BASE.upper() + "!!!", "src"),  # exact dup of 0 after normalization
+        (4, "short", "src"),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string, source string")
+
+
+def test_exact_dedup_normalized(spark):
+    out = exact_dedup_docs(_docs(spark))
+    ids = {r["doc_id"] for r in out.collect()}
+    assert 0 in ids and 3 not in ids  # case/punct-insensitive exact dup dropped
+    assert ids == {0, 1, 2, 4}
+
+
+def test_minhash_finds_near_dup(spark):
+    cands = minhash_candidates(_docs(spark), num_hashes=64, bands=16)
+    pairs = {(r["id_a"], r["id_b"]): r["est_jaccard"] for r in cands.collect()}
+    assert (0, 3) in pairs and pairs[(0, 3)] == 1.0  # identical shingle sets
+    assert (0, 1) in pairs and pairs[(0, 1)] > 0.5
+    assert not any(2 in p for p in pairs)
+
+
+def test_minhash_dedup_drops_higher_id(spark):
+    out = minhash_dedup(_docs(spark), threshold=0.9, num_hashes=64, bands=16)
+    ids = {r["doc_id"] for r in out.collect()}
+    assert 0 in ids and 3 not in ids
+
+
+def test_simhash_near_dup(spark):
+    cands = simhash_candidates(_docs(spark), max_hamming=10)
+    pairs = {(r["id_a"], r["id_b"]): r["hamming"] for r in cands.collect()}
+    assert (0, 3) in pairs and pairs[(0, 3)] == 0
+    assert all(h <= 10 for h in pairs.values())
+
+
+def test_ngram_jaccard_exact_values(spark):
+    docs = _docs(spark)
+    pairs = spark.createDataFrame([(0, 3), (0, 2)], "id_a long, id_b long")
+    out = {(r["id_a"], r["id_b"]): r["jaccard"] for r in ngram_jaccard_pairs(docs, pairs).collect()}
+    assert out[(0, 3)] == 1.0
+    assert out[(0, 2)] == 0.0
+
+
+def _vectors(spark):
+    import math
+
+    rows = []
+    for i in range(50):
+        angle = i * math.pi / 100
+        rows.append((i, [math.cos(angle), math.sin(angle), 0.0, 0.0]))
+    return spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+
+def test_cosine_topk_exact(spark):
+    out = cosine_topk(_vectors(spark), [1.0, 0.0, 0.0, 0.0], k=3)
+    rows = out.collect()
+    assert [r["vec_id"] for r in rows] == [0, 1, 2]  # nearest angles first
+    assert rows[0]["sim"] == 1.0
+
+
+def test_lsh_topk_recall_vs_brute_force(spark):
+    vecs = _vectors(spark)
+    q = [1.0, 0.0, 0.0, 0.0]
+    exact = {r["vec_id"] for r in cosine_topk(vecs, q, k=5).collect()}
+    approx = {
+        r["vec_id"]
+        for r in lsh_topk(vecs, q, k=5, dim=4, planes=8, max_probe_hamming=3).collect()
+    }
+    assert len(exact & approx) >= 3  # high recall on smooth manifold
+
+
+def test_embedding_near_dup_finds_planted_pair(spark):
+    vecs = _vectors(spark)
+    twin = vecs.filter(F.col("vec_id") == 0).select(
+        (F.col("vec_id") + 1000).alias("vec_id"),
+        F.transform("embedding", lambda x, i: x + F.when(i == 0, F.lit(0.001)).otherwise(F.lit(0.0))).alias("embedding"),
+    )
+    out = embedding_near_dup(vecs.unionByName(twin), dim=4, planes=8, threshold=0.99)
+    pairs = {(r["id_a"], r["id_b"]) for r in out.collect()}
+    assert (0, 1000) in pairs
+
+
+def test_text_ops(spark):
+    df = spark.createDataFrame(
+        [(0, "The cat and the dog."), (1, "Der Hund ist nicht ein Katze und zu"), (2, "")],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in df.select(
+        "doc_id",
+        token_count("text").alias("n"),
+        lang_id_expr("text").alias("lang"),
+        fingerprint("text").alias("fp"),
+    ).collect()}
+    assert out[0]["n"] == 5 and out[0]["lang"] == "en"
+    assert out[1]["lang"] == "de"
+    assert out[2]["n"] == 0 and out[2]["lang"] == "und"
+    assert len(out[0]["fp"]) == 32
+
+    q = {r["doc_id"]: r for r in with_quality(df).collect()}
+    assert q[0]["alpha_ratio"] is not None and q[2]["alpha_ratio"] is None
+
+
+def test_multimodal_stub_and_features(spark):
+    docs = _docs(spark)
+    media = fake_media_from_text(docs)
+    assert set(media.columns) == {"media_id", "payload", "mime", "width", "height", "duration_ms"}
+
+    feats = {r["media_id"]: r for r in media_features(media).collect()}
+    assert len(feats) == 5
+    assert all(len(r["signature"]) == 8 for r in feats.values())
+    assert feats[0]["n_bytes"] == len(BASE.encode())
+
+    frames = frame_sample(media, every_n_bytes=32, frame_len=16).collect()
+    assert max(r["frame_idx"] for r in frames) >= 1
+    assert all(len(r["frame"]) <= 16 for r in frames)
+
+    # decode without an injected codec is an explicit stub
+    with pytest.raises(Exception) as ei:
+        decode_media(media).collect()
+    assert "NotImplementedError" in str(ei.value) or isinstance(
+        ei.value, NotImplementedError
+    )
+
+    # with an injected codec the seam works end-to-end
+    decoded = decode_media(media, codec=lambda b, mime: b[:4]).collect()
+    assert all(r["n_bytes"] == 4 for r in decoded)

@@ -1,0 +1,99 @@
+"""Relational operator goldens (SURVEY §2.2-2.6) — the dedup/null-semantics
+cases the reference pins in tests/test_pipeline_controller.py."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from engine.ops import relational as R
+from engine.ops.dedup import accumulate_keys, keep_first
+from engine.ops.hashing import address_key, normalize_id, obfuscate_col
+
+
+def test_normalize_code_col(spark):
+    df = spark.createDataFrame(
+        [("a",), ("  b  ",), ("",), ("   ",), ("none",), (" none ",), (None,)],
+        "code string",
+    )
+    out = [r["n"] for r in df.select(R.normalize_code_col("code").alias("n")).collect()]
+    assert out == ["a", "b", None, None, None, None, None]
+
+
+def test_keep_first_deterministic(spark, sierra_df):
+    """patron 456 keeps the display_order=0 row (home_library2) — reference
+    golden tests/test_pipeline_controller.py:27-38,113-125."""
+    out = keep_first(
+        sierra_df,
+        ["patron_id_plaintext"],
+        ["display_order", "patron_record_address_type_id"],
+    )
+    rows = {r["patron_id_plaintext"]: r for r in out.collect()}
+    assert len(rows) == 3
+    assert rows[456]["patron_home_library_code"] == "home_library2"
+    assert rows[456]["city"] == "Brooklyn"
+
+
+def test_address_key_null_safe(spark, sierra_df):
+    """All-null demographic row must produce 'id____' (empty slots kept),
+    not null — SURVEY §7 risk 7."""
+    df = sierra_df.withColumn(
+        "patron_id_plaintext", normalize_id("patron_id_plaintext")
+    ).withColumn(
+        "k",
+        address_key(
+            "patron_id_plaintext", ["address", "city", "region", "postal_code"]
+        ),
+    )
+    got = {r["patron_id_plaintext"]: r["k"] for r in df.collect()}
+    assert got["789"] == "789____"
+    assert got["123"] == "123_123 Main St_New York_NY_10001"
+
+
+def test_obfuscate_deterministic_and_null(spark):
+    df = spark.createDataFrame([("x",), ("x",), (None,)], "v string")
+    out = [r["h"] for r in df.select(obfuscate_col("v", "salt").alias("h")).collect()]
+    assert out[0] == out[1] and len(out[0]) == 64
+    assert out[2] is None
+    other = df.select(obfuscate_col("v", "other-salt").alias("h")).collect()[0]["h"]
+    assert other != out[0]  # keyed
+
+
+def test_anti_join_and_accumulate(spark):
+    df = spark.createDataFrame([(1,), (2,), (3,)], "k long")
+    seen = spark.createDataFrame([(2,)], "k long")
+    assert {r["k"] for r in R.anti_join(df, seen, "k").collect()} == {1, 3}
+    seen2 = accumulate_keys(seen, df.select("k"))
+    assert seen2.count() == 3
+
+
+def test_overlay_join_fills_only_matches(spark):
+    base = spark.createDataFrame([(1, "a"), (2, "b"), (3, None)], "k long, v string")
+    upd = spark.createDataFrame([(1, "A"), (3, "C")], "k long, v string")
+    out = {r["k"]: r["v"] for r in R.overlay_join(base, upd, "k", ["v"]).collect()}
+    assert out == {1: "A", 2: "b", 3: "C"}
+
+
+def test_coalesce_fill_join_fallback(spark):
+    base = spark.createDataFrame([(1, "fb1"), (2, "fb2")], "k long, fallback string")
+    dim = spark.createDataFrame([(1, "dim1")], "k long, fill string")
+    out = {
+        r["k"]: r["out"]
+        for r in R.coalesce_fill_join(base, dim, "k", "fill", "fallback", out_col="out")
+        .select("k", "out")
+        .collect()
+    }
+    assert out == {1: "dim1", 2: "fb2"}
+
+
+def test_min_max_and_success_rate(spark):
+    df = spark.createDataFrame([(1, "a"), (5, None), (3, "c")], "n long, s string")
+    assert R.min_max(df, "n") == (1, 5)
+    assert abs(R.success_rate(df, "s") - 2 / 3) < 1e-9
+
+
+def test_keyset_page_is_take_ordered(spark):
+    df = spark.range(1000).withColumn("v", F.col("id") % 7)
+    page = R.keyset_page(df, ["v", "id"], 10)
+    assert [r["id"] for r in page.collect()] == [0, 7, 14, 21, 28, 35, 42, 49, 56, 63]
+    # physical plan must be top-k, not a global sort
+    assert "TakeOrderedAndProject" in page._jdf.queryExecution().executedPlan().toString()

@@ -1,0 +1,116 @@
+"""Local mirror of the driver's correctness gate.
+
+Runs every ``__spark_entry__.queries()`` entry against its
+``oracle_sql()`` twin on DuckDB at the given SF, compares row count, column
+names, and order-insensitive values (columns sorted by name, rows sorted by
+all columns, values stringified).  Usage:
+
+    python tools/check_oracle.py [sf_dir] [query ...]
+"""
+
+from __future__ import annotations
+
+import sys
+import time
+
+import duckdb
+import pandas as pd
+
+sys.path.insert(0, ".")
+
+TABLES = (
+    "region nation customer supplier part orders lineitem events documents embeddings"
+).split()
+
+
+def duck_con(sf_dir: str) -> duckdb.DuckDBPyConnection:
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
+        )
+    return con
+
+
+def canon(df: pd.DataFrame) -> pd.DataFrame:
+    df = df.reindex(sorted(df.columns), axis=1)
+
+    def cell(v):
+        if v is None or (isinstance(v, float) and pd.isna(v)):
+            return "<null>"
+        if pd.api.types.is_scalar(v) and pd.isna(v):
+            return "<null>"
+        if isinstance(v, float):
+            if v == int(v) and abs(v) < 1e15:
+                return str(int(v))
+            return repr(v)
+        if isinstance(v, bytes):
+            return v.hex()
+        if isinstance(v, (list, tuple)) or v.__class__.__name__ == "ndarray":
+            return "[" + ",".join(cell(x) for x in v) + "]"
+        return str(v)
+
+    out = df.map(cell)
+    out = out.sort_values(by=list(out.columns), kind="mergesort").reset_index(drop=True)
+    return out
+
+
+def compare(name: str, spark_df, oracle_df) -> tuple[bool, str]:
+    s, o = canon(spark_df), canon(oracle_df)
+    if list(s.columns) != list(o.columns):
+        return False, f"columns differ: spark={list(s.columns)} oracle={list(o.columns)}"
+    if len(s) != len(o):
+        return False, f"row count differs: spark={len(s)} oracle={len(o)}"
+    neq = (s.values != o.values)
+    if neq.any():
+        import numpy as np
+
+        r, c = np.argwhere(neq)[0]
+        return False, (
+            f"first diff at row {r} col {s.columns[c]}: "
+            f"spark={s.iloc[r, c]!r} oracle={o.iloc[r, c]!r}"
+        )
+    return True, f"OK ({len(s)} rows)"
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    only = set(sys.argv[2:])
+
+    import __spark_entry__ as entrymod
+    from engine.session import get_spark
+
+    spark = get_spark(master="local[8]", shuffle_partitions=8)
+    con = duck_con(sf_dir)
+    qs = entrymod.queries()
+    oracles = entrymod.oracle_sql()
+    failures = []
+    for name, fn in qs.items():
+        if only and name not in only:
+            continue
+        t0 = time.time()
+        try:
+            sdf = fn(spark, sf_dir).toPandas()
+        except Exception as e:
+            failures.append(name)
+            print(f"FAIL {name}: spark raised {type(e).__name__}: {e}")
+            continue
+        if name not in oracles:
+            print(f"rows {name}: {len(sdf)} rows (no oracle) [{time.time()-t0:.1f}s]")
+            continue
+        try:
+            odf = con.execute(oracles[name]).df()
+        except Exception as e:
+            failures.append(name)
+            print(f"FAIL {name}: duckdb raised {type(e).__name__}: {e}")
+            continue
+        ok, msg = compare(name, sdf, odf)
+        print(("PASS" if ok else "FAIL"), name, msg, f"[{time.time()-t0:.1f}s]")
+        if not ok:
+            failures.append(name)
+    print(f"\n{len(failures)} failures" + (f": {failures}" if failures else ""))
+    return 1 if failures else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
