@@ -63,6 +63,21 @@ def exact_dedup_docs(
 # ---------------------------------------------------------------------------
 
 
+def _spread(df: DataFrame) -> DataFrame:
+    """Ensure the CPU-heavy signature map-stage uses the full cluster.
+
+    A small parquet file arrives as 1-2 partitions; the signature hashing is
+    then single-threaded no matter how many cores exist.  A round-robin
+    repartition to the default parallelism moves each doc once — noise next
+    to the k·shingles hash work it unlocks, and the groupBy shuffles anyway.
+    """
+    sc = df.sparkSession.sparkContext
+    target = sc.defaultParallelism
+    if df.rdd.getNumPartitions() < max(2, target // 2):
+        return df.repartition(target)
+    return df
+
+
 def minhash_sigs(
     df: DataFrame,
     *,
@@ -82,7 +97,7 @@ def minhash_sigs(
     out (no shingles → no signature).
     """
     shingles = F.array_distinct(word_ngrams(text_col, shingle_n))
-    exploded = df.select(
+    exploded = _spread(df).select(
         F.col(id_col).alias("id"), F.explode(shingles).alias("shingle")
     )
     aggs = [
@@ -212,7 +227,7 @@ def simhash_sigs(
     with 64 codegen'd conditional-sum aggregates (map-side partials collapse
     each doc before the shuffle); documents with no tokens drop out.
     """
-    exploded = df.select(
+    exploded = _spread(df).select(
         F.col(id_col).alias("id"), F.explode(tokens(text_col)).alias("tok")
     ).withColumn("h", F.xxhash64("tok"))
     aggs = [

@@ -1,0 +1,121 @@
+"""As-of join and range join — operators Spark lacks natively (engine
+capability beyond the reference; pyspark guide "Common OLAP patterns").
+
+Both are implemented as compositions of existing DataFrame ops chosen for
+their shuffle shape, NOT as inequality joins (which Catalyst executes as
+broadcast-nested-loop — quadratic and non-viable at scale):
+
+- :func:`asof_join` — union the two sides, one window pass per key
+  (``last(value, ignorenulls=True)``): each probe row picks up the most
+  recent build-side row with ``ts <= probe.ts``.  Cost: one hash exchange on
+  the key + partition-local sort — the same plan a native as-of would need.
+- :func:`range_join_buckets` — equi-join on coarse time buckets (each probe
+  row joins its own and the preceding bucket) + exact range filter.  Turns an
+  inequality join into a hash join with bounded fan-out; bucket width tunes
+  selectivity vs duplication.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+__all__ = ["asof_join", "range_join_buckets"]
+
+
+def asof_join(
+    probe: DataFrame,
+    build: DataFrame,
+    key: str,
+    probe_ts: str,
+    build_ts: str,
+    value_cols: list[str],
+    *,
+    how: str = "left",
+) -> DataFrame:
+    """For each probe row, attach ``value_cols`` from the latest build row of
+    the same ``key`` with ``build_ts <= probe_ts`` (inclusive).
+
+    merge_asof semantics via union + window: build rows sort before probe rows
+    at equal timestamps (inclusive bound), then ``last(ignorenulls)`` carries
+    the most recent build values forward onto every probe row.
+    """
+    p = probe.withColumn("__ts", F.col(probe_ts)).withColumn("__side", F.lit(1))
+    b = build.withColumn("__ts", F.col(build_ts)).withColumn("__side", F.lit(0))
+
+    p_cols = probe.columns
+    all_cols = [key, "__ts", "__side"]
+    sel_p = p.select(
+        *all_cols,
+        *[F.col(c).alias(f"__p_{c}") for c in p_cols if c != key],
+        *[F.lit(None).cast(dict(build.dtypes)[c]).alias(f"__b_{c}") for c in value_cols],
+    )
+    sel_b = b.select(
+        *all_cols,
+        *[F.lit(None).cast(dict(probe.dtypes)[c]).alias(f"__p_{c}") for c in p_cols if c != key],
+        *[F.col(c).alias(f"__b_{c}") for c in value_cols],
+    )
+    unioned = sel_p.unionByName(sel_b)
+    w = (
+        Window.partitionBy(key)
+        .orderBy(F.col("__ts"), F.col("__side"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = unioned.select(
+        key,
+        "__ts",
+        "__side",
+        *[F.col(f"__p_{c}") for c in p_cols if c != key],
+        *[
+            F.last(F.col(f"__b_{c}"), ignorenulls=True).over(w).alias(f"__asof_{c}")
+            for c in value_cols
+        ],
+    )
+    out = carried.filter(F.col("__side") == 1).select(
+        key,
+        *[F.col(f"__p_{c}").alias(c) for c in p_cols if c != key],
+        *[F.col(f"__asof_{c}").alias(c) for c in value_cols],
+    )
+    if how == "inner":
+        out = out.dropna(subset=[value_cols[0]])
+    return out
+
+
+def range_join_buckets(
+    left: DataFrame,
+    right: DataFrame,
+    left_ts: str,
+    right_ts: str,
+    *,
+    lower: Column | None = None,
+    window_seconds: int,
+    bucket_seconds: int | None = None,
+    extra_key: tuple[str, str] | None = None,
+) -> DataFrame:
+    """Pairs (l, r) with ``r.ts ∈ [l.ts - window, l.ts]`` as a hash join.
+
+    Each left row probes its own bucket and enough preceding buckets to cover
+    the window; the exact predicate filters the fan-out.  With
+    ``bucket_seconds = window_seconds`` (default) each row joins exactly 2
+    buckets — the textbook bounded-fan-out range join.
+    """
+    bucket_seconds = bucket_seconds or window_seconds
+    n_back = (window_seconds + bucket_seconds - 1) // bucket_seconds
+
+    lb = F.floor(F.unix_timestamp(F.col(left_ts)) / bucket_seconds)
+    rb = F.floor(F.unix_timestamp(F.col(right_ts)) / bucket_seconds)
+
+    l_exp = left.withColumn(
+        "__bucket", F.explode(F.array(*[lb - i for i in range(n_back + 1)]))
+    )
+    r_b = right.withColumn("__bucket", rb)
+
+    cond = l_exp["__bucket"] == r_b["__bucket"]
+    if extra_key:
+        cond = cond & (l_exp[extra_key[0]] == r_b[extra_key[1]])
+    joined = l_exp.join(r_b, cond)
+    in_range = (
+        (F.col(right_ts) <= F.col(left_ts))
+        & (F.col(right_ts) >= F.col(left_ts) - F.expr(f"INTERVAL {window_seconds} SECONDS"))
+    )
+    return joined.filter(in_range).drop("__bucket")

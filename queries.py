@@ -1305,3 +1305,373 @@ def flagship_patron_chain(spark, sf_dir):
         "priority_norm",
         F.round("o_totalprice", 2).alias("total"),
     )
+
+
+# ===========================================================================
+# Capability pack 2: subqueries, grouping sets, unpivot, scalar packs,
+# as-of/range joins, JSON, percentiles (engine capabilities the reference
+# lacks but a replacement engine must carry — SURVEY §7 step 2 note)
+# ===========================================================================
+
+
+@q(
+    "q6_selective_agg",
+    """
+    SELECT ROUND(SUM(l_extendedprice * l_discount), 2) AS revenue,
+           COUNT(*) AS n
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1994-01-01 00:00:00'
+      AND l_shipdate <  TIMESTAMP '1995-01-01 00:00:00'
+      AND l_discount BETWEEN 0.05 AND 0.07
+      AND l_quantity < 24
+    """,
+)
+def q6_selective_agg(spark, sf_dir):
+    """TPC-H Q6 shape: highly selective scan-agg — every predicate must reach
+    the parquet reader (PushedFilters)."""
+    li = t(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= "1994-01-01")
+            & (F.col("l_shipdate") < "1995-01-01")
+            & (F.col("l_discount").between(0.05, 0.07))
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2).alias(
+                "revenue"
+            ),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )
+
+
+@q(
+    "json_extract_props",
+    """
+    SELECT event_id, CAST(json_extract(props, '$.k') AS BIGINT) AS k_val
+    FROM events WHERE props IS NOT NULL
+    """,
+)
+def json_extract_props(spark, sf_dir):
+    """JSON column extraction (events.props carries {"k": int})."""
+    e = t(spark, sf_dir, "events")
+    return e.filter(F.col("props").isNotNull()).select(
+        "event_id",
+        F.get_json_object("props", "$.k").cast("long").alias("k_val"),
+    )
+
+
+@q(
+    "exists_subquery",
+    """
+    SELECT c_custkey FROM customer c
+    WHERE EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 300000)
+    """,
+)
+def exists_subquery(spark, sf_dir):
+    """EXISTS ≡ left-semi join (decorrelated by hand — the scalable plan)."""
+    c = t(spark, sf_dir, "customer")
+    big = t(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 300000).select(
+        F.col("o_custkey").alias("c_custkey")
+    )
+    return R.semi_join(c, big, on="c_custkey").select("c_custkey")
+
+
+@q(
+    "scalar_subquery_above_avg",
+    """
+    SELECT o_orderkey FROM orders
+    WHERE o_totalprice > (SELECT AVG(o_totalprice) FROM orders)
+    """,
+)
+def scalar_subquery_above_avg(spark, sf_dir):
+    """Scalar subquery: compare each row against a global aggregate.
+    Expressed as an empty-key window avg (one exchange, no driver round-trip)."""
+    o = t(spark, sf_dir, "orders")
+    w = Window.partitionBy()
+    return (
+        o.withColumn("__avg", F.avg("o_totalprice").over(w))
+        .filter(F.col("o_totalprice") > F.col("__avg"))
+        .select("o_orderkey")
+    )
+
+
+@q(
+    "grouping_sets_agg",
+    """
+    SELECT COALESCE(o_orderstatus, '<all>') AS status,
+           COALESCE(o_orderpriority, '<all>') AS priority,
+           COUNT(*) AS n
+    FROM orders
+    GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+    """,
+)
+def grouping_sets_agg(spark, sf_dir):
+    """Explicit GROUPING SETS (SQL API — DataFrame has cube/rollup only)."""
+    t(spark, sf_dir, "orders").createOrReplaceTempView("orders_gs_v")
+    return spark.sql(
+        """
+        SELECT COALESCE(o_orderstatus, '<all>') AS status,
+               COALESCE(o_orderpriority, '<all>') AS priority,
+               COUNT(*) AS n
+        FROM orders_gs_v
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+        """
+    )
+
+
+@q(
+    "cube_agg",
+    """
+    SELECT COALESCE(CAST(n_regionkey AS VARCHAR), '<all>') AS region_key,
+           COALESCE(SUBSTRING(n_name, 1, 1), '<all>') AS initial,
+           COUNT(*) AS n
+    FROM nation GROUP BY CUBE(n_regionkey, SUBSTRING(n_name, 1, 1))
+    """,
+)
+def cube_agg(spark, sf_dir):
+    """CUBE over two derived dimensions."""
+    n = t(spark, sf_dir, "nation").withColumn("initial", F.substring("n_name", 1, 1))
+    return (
+        n.cube("n_regionkey", "initial")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            F.coalesce(F.col("n_regionkey").cast("string"), F.lit("<all>")).alias(
+                "region_key"
+            ),
+            F.coalesce("initial", F.lit("<all>")).alias("initial"),
+            "n",
+        )
+    )
+
+
+@q(
+    "unpivot_part_attrs",
+    """
+    SELECT p_partkey, 'size' AS attr, CAST(p_size AS DOUBLE) AS val FROM part
+    UNION ALL
+    SELECT p_partkey, 'retail' AS attr, p_retailprice AS val FROM part
+    """,
+)
+def unpivot_part_attrs(spark, sf_dir):
+    """Unpivot/melt wide→long (DataFrame.unpivot; oracle = UNION ALL)."""
+    p = t(spark, sf_dir, "part").select(
+        "p_partkey",
+        F.col("p_size").cast("double").alias("size"),
+        F.col("p_retailprice").alias("retail"),
+    )
+    return p.unpivot("p_partkey", ["size", "retail"], "attr", "val")
+
+
+@q(
+    "string_funcs_pack",
+    """
+    SELECT p_partkey,
+           UPPER(p_brand) AS up,
+           LPAD(CAST(p_size AS VARCHAR), 4, '0') AS padded,
+           REPLACE(p_type, ' ', '_') AS snake,
+           SPLIT_PART(p_type, ' ', 1) AS first_word,
+           levenshtein(p_brand, p_name) AS lev,
+           LENGTH(p_name) AS name_len,
+           REVERSE(p_brand) AS rev
+    FROM part
+    """,
+)
+def string_funcs_pack(spark, sf_dir):
+    """String function battery (upper/lpad/replace/split_part/levenshtein/
+    length/reverse) — all codegen built-ins."""
+    p = t(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.upper("p_brand").alias("up"),
+        F.lpad(F.col("p_size").cast("string"), 4, "0").alias("padded"),
+        F.replace(F.col("p_type"), F.lit(" "), F.lit("_")).alias("snake"),
+        F.split_part(F.col("p_type"), F.lit(" "), F.lit(1)).alias("first_word"),
+        F.levenshtein("p_brand", "p_name").alias("lev"),
+        F.length("p_name").alias("name_len"),
+        F.reverse("p_brand").alias("rev"),
+    )
+
+
+@q(
+    "date_funcs_pack",
+    """
+    SELECT o_orderkey,
+           EXTRACT(year FROM o_orderdate) AS y,
+           EXTRACT(month FROM o_orderdate) AS m,
+           EXTRACT(day FROM o_orderdate) AS d,
+           EXTRACT(dow FROM o_orderdate) + 1 AS dow_sun1,
+           CAST(CAST(o_orderdate AS DATE) + INTERVAL 30 DAY AS DATE)::VARCHAR AS plus30,
+           CAST(LAST_DAY(CAST(o_orderdate AS DATE)) AS VARCHAR) AS month_end,
+           DATEDIFF('day', DATE '1995-01-01', CAST(o_orderdate AS DATE)) AS days_since
+    FROM orders
+    """,
+)
+def date_funcs_pack(spark, sf_dir):
+    """Date function battery; DOW normalized to Sunday=1 in both engines."""
+    o = t(spark, sf_dir, "orders")
+    d = F.to_date("o_orderdate")
+    return o.select(
+        "o_orderkey",
+        F.year(d).alias("y"),
+        F.month(d).alias("m"),
+        F.dayofmonth(d).alias("d"),
+        F.dayofweek(d).alias("dow_sun1"),
+        F.date_add(d, 30).cast("string").alias("plus30"),
+        F.last_day(d).cast("string").alias("month_end"),
+        F.datediff(d, F.lit("1995-01-01").cast("date")).alias("days_since"),
+    )
+
+
+@q(
+    "array_agg_sorted",
+    """
+    SELECT o_custkey,
+           list_sort(list(o_orderkey)) AS order_keys,
+           COUNT(*) AS n
+    FROM orders GROUP BY o_custkey
+    """,
+)
+def array_agg_sorted(spark, sf_dir):
+    """Deterministic array aggregation: collect + sort (collect_list order is
+    partition-dependent; array_sort pins it)."""
+    o = t(spark, sf_dir, "orders")
+    return o.groupBy("o_custkey").agg(
+        F.array_sort(F.collect_list("o_orderkey")).alias("order_keys"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+@q(
+    "percentiles_exact",
+    """
+    SELECT l_returnflag,
+           list_transform(quantile_cont(l_extendedprice, [0.25, 0.5, 0.75]),
+                          x -> ROUND(x, 4)) AS price_quartiles
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def percentiles_exact(spark, sf_dir):
+    """Exact interpolated quantiles (Spark `percentile` ≡ DuckDB
+    `quantile_cont`)."""
+    li = t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.transform(
+            F.percentile("l_extendedprice", F.lit([0.25, 0.5, 0.75])),
+            lambda x: F.round(x, 4),
+        ).alias("price_quartiles")
+    )
+
+
+@q(
+    "null_funcs_pack",
+    """
+    SELECT c_custkey,
+           COALESCE(NULLIF(TRIM(c_mktsegment), ''), 'UNK') AS seg,
+           CASE WHEN c_acctbal IS NULL THEN 'missing'
+                WHEN c_acctbal < 0 THEN 'neg' ELSE 'pos' END AS bal_class,
+           GREATEST(c_acctbal, 0.0) AS floor0,
+           LEAST(CAST(c_nationkey AS BIGINT), 10) AS cap10
+    FROM customer
+    """,
+)
+def null_funcs_pack(spark, sf_dir):
+    """NULL-handling battery: nullif/coalesce/case/greatest/least."""
+    c = t(spark, sf_dir, "customer")
+    return c.select(
+        "c_custkey",
+        F.coalesce(F.nullif(F.trim("c_mktsegment"), F.lit("")), F.lit("UNK")).alias(
+            "seg"
+        ),
+        F.when(F.col("c_acctbal").isNull(), "missing")
+        .when(F.col("c_acctbal") < 0, "neg")
+        .otherwise("pos")
+        .alias("bal_class"),
+        F.greatest("c_acctbal", F.lit(0.0)).alias("floor0"),
+        F.least(F.col("c_nationkey").cast("long"), F.lit(10)).alias("cap10"),
+    )
+
+
+@q(
+    "asof_join_events_orders",
+    """
+    WITH probe AS (
+      SELECT o_orderkey, o_custkey % 50 AS key, o_orderdate AS pts FROM orders),
+    build AS (
+      SELECT user_id % 50 AS key,
+             TIMESTAMP '1992-01-01 00:00:00' + INTERVAL (event_id % 2000) DAY
+               + INTERVAL (event_id) SECOND AS bts,
+             value FROM events)
+    SELECT p.o_orderkey, p.key,
+           CAST(b.bts AS VARCHAR) AS asof_ts,
+           ROUND(b.value, 2) AS asof_value
+    FROM probe p ASOF LEFT JOIN build b
+      ON p.key = b.key AND b.bts <= p.pts
+    """,
+)
+def asof_join_events_orders(spark, sf_dir):
+    """As-of join (no Spark native): for each order, the latest event-derived
+    tick at or before the order date, per key.  Union+window formulation —
+    one shuffle on the key, no nested-loop (engine.ops.asof)."""
+    from engine.ops.asof import asof_join
+
+    o = t(spark, sf_dir, "orders")
+    e = t(spark, sf_dir, "events")
+    probe = o.select(
+        "o_orderkey", (F.col("o_custkey") % 50).alias("key"), F.col("o_orderdate").alias("pts")
+    )
+    build = e.select(
+        (F.col("user_id") % 50).alias("key"),
+        (
+            F.lit("1992-01-01 00:00:00").cast("timestamp")
+            + F.make_dt_interval(days=F.col("event_id") % 2000, secs=F.col("event_id"))
+        ).alias("bts"),
+        "value",
+    )
+    out = asof_join(probe, build, "key", "pts", "bts", ["bts", "value"])
+    return out.select(
+        "o_orderkey",
+        "key",
+        F.col("bts").cast("string").alias("asof_ts"),
+        F.round("value", 2).alias("asof_value"),
+    )
+
+
+@q(
+    "range_join_sessions",
+    """
+    SELECT a.event_id AS id_a, b.event_id AS id_b
+    FROM events a JOIN events b
+      ON a.user_id = b.user_id
+     AND b.ts <= a.ts
+     AND b.ts >= a.ts - INTERVAL 10 MINUTE
+     AND a.event_id <> b.event_id
+    """,
+)
+def range_join_sessions(spark, sf_dir):
+    """Range join (pairs of same-user events within 10 minutes) as a
+    bucketized hash join — never a nested loop (engine.ops.asof)."""
+    from engine.ops.asof import range_join_buckets
+
+    e = t(spark, sf_dir, "events")
+    a = e.select(F.col("event_id").alias("id_a"), F.col("user_id").alias("u_a"), F.col("ts").alias("ts_a"))
+    b = e.select(F.col("event_id").alias("id_b"), F.col("user_id").alias("u_b"), F.col("ts").alias("ts_b"))
+    out = range_join_buckets(
+        a, b, "ts_a", "ts_b", window_seconds=600, extra_key=("u_a", "u_b")
+    )
+    return out.filter(F.col("id_a") != F.col("id_b")).select("id_a", "id_b")
+
+
+@q("approx_sketches")  # rows-only: approximate results have no exact oracle
+def approx_sketches(spark, sf_dir):
+    """Approximate aggregates for the 100 TB path: HLL distinct counts and
+    approximate quantiles (t-digest class) per group — the operators that
+    replace exact distinct/percentile when keys don't fit memory."""
+    li = t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_partkey").alias("approx_parts"),
+        F.percentile_approx("l_extendedprice", 0.5, 1000).alias("approx_median"),
+        F.count(F.lit(1)).alias("n"),
+    )

@@ -1,0 +1,107 @@
+"""Physical-plan quality gates (the 100 TB design checks, SURVEY §4).
+
+These tests pin the *plan shape*, not results: filters reach the parquet
+scan, column pruning holds, small dims broadcast, top-k never global-sorts,
+and the as-of/range joins never degrade to nested loops.  A regression here
+is a scale bug even when results stay correct.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+SF = "/root/testdata/sf0.001"
+
+
+def plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_filter_pushdown_reaches_parquet(spark):
+    from queries import q6_selective_agg
+
+    p = plan(q6_selective_agg(spark, SF))
+    assert "PushedFilters: [" in p
+    # the range + quantity predicates must be in the pushed list
+    assert "l_shipdate" in p.split("PushedFilters")[1][:400]
+    assert "l_quantity" in p.split("PushedFilters")[1][:400]
+
+
+def test_column_pruning(spark):
+    from queries import p3_trim_projection
+
+    p = plan(p3_trim_projection(spark, SF))
+    read_schema = p.split("ReadSchema:")[1].splitlines()[0]
+    assert "c_custkey" in read_schema and "c_name" in read_schema
+    assert "c_acctbal" not in read_schema  # unused column never read
+
+
+def test_dim_joins_broadcast(spark):
+    from queries import j2_dim_chain_join, q5_nation_revenue
+
+    for fn in (j2_dim_chain_join, q5_nation_revenue):
+        p = plan(fn(spark, SF))
+        assert "BroadcastHashJoin" in p
+        assert "SortMergeJoin" not in p
+
+
+def test_keyset_page_no_global_sort(spark):
+    from queries import o1_keyset_page
+
+    p = plan(o1_keyset_page(spark, SF))
+    assert "TakeOrderedAndProject" in p
+
+
+def test_asof_and_range_join_never_nested_loop(spark):
+    from queries import asof_join_events_orders, range_join_sessions
+
+    for fn in (asof_join_events_orders, range_join_sessions):
+        p = plan(fn(spark, SF))
+        assert "BroadcastNestedLoopJoin" not in p
+        assert "CartesianProduct" not in p
+
+
+def test_keep_first_single_exchange(spark):
+    """J4 window dedup: exactly one hash exchange (on the dedup key)."""
+    from queries import j4_keepfirst_dedup
+
+    p = plan(j4_keepfirst_dedup(spark, SF))
+    assert p.count("Exchange hashpartitioning") == 1
+    assert "WindowGroupLimit" in p or "Window" in p
+
+
+def test_q1_partial_aggregation(spark):
+    """Scan-agg must partial-aggregate map-side before the exchange."""
+    from queries import q1_pricing_summary
+
+    p = plan(q1_pricing_summary(spark, SF))
+    assert "HashAggregate" in p
+    assert p.index("HashAggregate") < p.index("Exchange")  # final agg above exchange
+    assert "partial_sum" in p or "partial" in p.lower()
+
+
+def test_whole_stage_codegen_on_hot_path(spark):
+    from queries import q1_pricing_summary
+
+    df = q1_pricing_summary(spark, SF)
+    df.collect()  # AQE finalizes codegen stages only at execution
+    p = plan(df)
+    assert "isFinalPlan=true" in p
+    # '*(n)' node prefix = inside a WholeStageCodegen stage
+    assert "*(" in p
+
+
+def test_obfuscation_stays_jvm_side(spark):
+    """sha2-mode hashing must not appear as a Python UDF eval node."""
+    from queries import f1_f2_address_key_hash
+
+    p = plan(f1_f2_address_key_hash(spark, SF))
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+
+
+def test_memo_probe_broadcasts_cache(spark):
+    from queries import j5_memo_probe
+
+    p = plan(j5_memo_probe(spark, SF))
+    assert "BroadcastHashJoin" in p and "LeftOuter" in p
