@@ -25,7 +25,7 @@ from pyspark.sql import functions as F
 
 from engine.extended.dedup import _dot, _unit_hyperplanes, cosine
 
-__all__ = ["cosine_topk", "with_signature", "lsh_topk"]
+__all__ = ["cosine_topk", "with_signature", "lsh_topk", "ivf_build", "ivf_topk"]
 
 
 def cosine_topk(
@@ -109,6 +109,74 @@ def lsh_topk(
     sim = F.round(cosine(F.col(vec_col), q), round_to)
     return (
         probe.select(F.col(id_col), sim.alias("sim"))
+        .orderBy(F.col("sim").desc(), F.col(id_col))
+        .limit(k)
+    )
+
+
+# ---------------------------------------------------------------------------
+# IVF (inverted-file) ANN: coarse k-means quantizer + cluster-pruned scan
+# ---------------------------------------------------------------------------
+
+
+def ivf_build(
+    vectors: DataFrame,
+    *,
+    vec_col: str = "embedding",
+    n_lists: int = 16,
+    seed: int = 42,
+):
+    """Train the coarse quantizer and assign every vector to its list.
+
+    Returns ``(assigned_df, centroids)`` where ``assigned_df`` is the input
+    plus an ``ivf_list`` column and ``centroids`` is a plain Python list of
+    centers.  At deployment scale the assigned table is written out
+    partitioned by ``ivf_list`` so a probe reads only nprobe/n_lists of the
+    data — the partition-pruning path LSH cannot give you.
+    """
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector, vector_to_array
+
+    feat = vectors.withColumn("__features", array_to_vector(F.col(vec_col)))
+    km = KMeans(k=n_lists, seed=seed, featuresCol="__features", predictionCol="ivf_list")
+    model = km.fit(feat)
+    assigned = model.transform(feat).drop("__features")
+    centroids = [list(map(float, c)) for c in model.clusterCenters()]
+    return assigned, centroids
+
+
+def ivf_topk(
+    assigned: DataFrame,
+    centroids: list[list[float]],
+    query_vec: list[float],
+    *,
+    k: int = 10,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_to: int = 4,
+) -> DataFrame:
+    """Approximate top-k: exact-rank only the ``nprobe`` lists whose centroids
+    are nearest (by cosine) to the query.
+
+    The list filter is a literal ``isin`` — with the table partitioned by
+    ``ivf_list`` it becomes partition pruning (zero I/O for unprobed lists).
+    """
+    import math
+
+    def cos(a: list[float], b: list[float]) -> float:
+        dot = sum(x * y for x, y in zip(a, b))
+        na = math.sqrt(sum(x * x for x in a))
+        nb = math.sqrt(sum(x * x for x in b))
+        return dot / (na * nb) if na and nb else 0.0
+
+    ranked = sorted(range(len(centroids)), key=lambda i: -cos(centroids[i], query_vec))
+    probe_lists = ranked[:nprobe]
+    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    sim = F.round(cosine(F.col(vec_col), q), round_to)
+    return (
+        assigned.filter(F.col("ivf_list").isin(probe_lists))
+        .select(F.col(id_col), sim.alias("sim"))
         .orderBy(F.col("sim").desc(), F.col(id_col))
         .limit(k)
     )

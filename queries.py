@@ -1675,3 +1675,18 @@ def approx_sketches(spark, sf_dir):
         F.percentile_approx("l_extendedprice", 0.5, 1000).alias("approx_median"),
         F.count(F.lit(1)).alias("n"),
     )
+
+
+@q("ann_ivf_topk")  # rows-only: clustering assignment is engine-native
+def ann_ivf_topk(spark, sf_dir):
+    """IVF ANN: k-means coarse quantizer, probe the 3 nearest of 8 lists,
+    exact-rank survivors (partition-pruning ANN path at deployment scale)."""
+    from engine.extended.similarity import ivf_build, ivf_topk
+
+    emb = t(spark, sf_dir, "embeddings")
+    qv = [
+        float(x)
+        for x in emb.filter(F.col("vec_id") == 7).select("embedding").collect()[0][0]
+    ]
+    assigned, cents = ivf_build(emb, n_lists=8)
+    return ivf_topk(assigned, cents, qv, k=10, nprobe=3)
