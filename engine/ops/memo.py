@@ -1,0 +1,59 @@
+"""Memoization join — ``lookup_or_compute`` (SURVEY §7 step 4; §4 "semantic
+cache" row).
+
+The reference's central architectural pattern (lib/pipeline_controller.py:
+199-215 in /root/reference): probe a warehouse cache by a derived key (J5),
+run the expensive computation (geocoding) ONLY for cache misses, overlay the
+computed results back (J7), optionally backfill secondary columns from
+another keyed dim (J8).  The engine generalizes it: ``compute_fn`` is any
+DataFrame→DataFrame transformation, so the same helper memoizes geocoding,
+model inference, or any per-key enrichment.
+
+Scale shape: one broadcast join against the cache slice, compute over the
+(hopefully small) miss set only, one broadcast overlay join back.  The cache
+side is bounded by the batch's key set — ship keys to the cache store, never
+scan the store.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+__all__ = ["lookup_or_compute"]
+
+
+def lookup_or_compute(
+    df: DataFrame,
+    cache: DataFrame,
+    key: str,
+    value_cols: list[str],
+    compute_fn: Callable[[DataFrame], DataFrame],
+) -> DataFrame:
+    """Fill ``value_cols`` from ``cache`` by ``key``; compute only misses.
+
+    ``cache`` must carry (key, *value_cols).  ``compute_fn`` receives the
+    miss rows (original columns, without the cache values) and must return
+    (key, *value_cols) for them.  Returns ``df`` + ``value_cols``, where each
+    row's values come from the cache when present, else from the computation.
+    """
+    cached = cache.select(
+        key, *[F.col(c).alias(f"__cache_{c}") for c in value_cols]
+    )
+    probed = df.join(F.broadcast(cached), on=key, how="left")
+
+    misses = probed.filter(F.col(f"__cache_{value_cols[0]}").isNull()).select(
+        *df.columns
+    )
+    computed = compute_fn(misses).select(
+        key, *[F.col(c).alias(f"__new_{c}") for c in value_cols]
+    )
+
+    out = probed.join(F.broadcast(computed), on=key, how="left")
+    for c in value_cols:
+        out = out.withColumn(
+            c, F.coalesce(F.col(f"__cache_{c}"), F.col(f"__new_{c}"))
+        ).drop(f"__cache_{c}", f"__new_{c}")
+    return out

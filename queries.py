@@ -999,7 +999,7 @@ def text_token_stats(spark, sf_dir):
 
     d = t(spark, sf_dir, "documents")
     return d.select(
-        "doc_id", token_count("text").alias("n_tokens"), fingerprint("text").alias("fp")
+        "doc_id", token_count("text").cast("long").alias("n_tokens"), fingerprint("text").alias("fp")
     )
 
 
@@ -1027,7 +1027,7 @@ def text_quality(spark, sf_dir):
     alpha = F.length(F.regexp_replace(F.col("text"), "[^A-Za-z]", ""))
     return d.select(
         "doc_id",
-        n_chars.alias("n_chars"),
+        n_chars.cast("long").alias("n_chars"),
         F.round(alpha / n_chars.cast("double"), 4).alias("alpha_ratio"),
         F.round(
             lang_hits("text", "en") / toks.cast("double"), 4
@@ -1208,7 +1208,7 @@ def embedding_near_dup_q(spark, sf_dir):
     "multimodal_meta",
     """
     SELECT doc_id AS media_id,
-           OCTET_LENGTH(ENCODE(text)) AS n_bytes,
+           CAST(OCTET_LENGTH(ENCODE(text)) AS BIGINT) AS n_bytes,
            CASE WHEN doc_id % 3 = 0 THEN 'image/png'
                 WHEN doc_id % 3 = 1 THEN 'audio/wav'
                 ELSE 'video/mp4' END AS mime_fake
@@ -1223,7 +1223,7 @@ def multimodal_meta(spark, sf_dir):
     m = F.col("doc_id") % 3
     return d.select(
         F.col("doc_id").alias("media_id"),
-        F.octet_length(payload).alias("n_bytes"),
+        F.octet_length(payload).cast("long").alias("n_bytes"),
         F.when(m == 0, F.lit("image/png"))
         .when(m == 1, F.lit("audio/wav"))
         .otherwise(F.lit("video/mp4"))
@@ -1473,8 +1473,8 @@ def unpivot_part_attrs(spark, sf_dir):
            LPAD(CAST(p_size AS VARCHAR), 4, '0') AS padded,
            REPLACE(p_type, ' ', '_') AS snake,
            SPLIT_PART(p_type, ' ', 1) AS first_word,
-           levenshtein(p_brand, p_name) AS lev,
-           LENGTH(p_name) AS name_len,
+           CAST(levenshtein(p_brand, p_name) AS BIGINT) AS lev,
+           CAST(LENGTH(p_name) AS BIGINT) AS name_len,
            REVERSE(p_brand) AS rev
     FROM part
     """,
@@ -1489,8 +1489,8 @@ def string_funcs_pack(spark, sf_dir):
         F.lpad(F.col("p_size").cast("string"), 4, "0").alias("padded"),
         F.replace(F.col("p_type"), F.lit(" "), F.lit("_")).alias("snake"),
         F.split_part(F.col("p_type"), F.lit(" "), F.lit(1)).alias("first_word"),
-        F.levenshtein("p_brand", "p_name").alias("lev"),
-        F.length("p_name").alias("name_len"),
+        F.levenshtein("p_brand", "p_name").cast("long").alias("lev"),
+        F.length("p_name").cast("long").alias("name_len"),
         F.reverse("p_brand").alias("rev"),
     )
 
@@ -1515,13 +1515,13 @@ def date_funcs_pack(spark, sf_dir):
     d = F.to_date("o_orderdate")
     return o.select(
         "o_orderkey",
-        F.year(d).alias("y"),
-        F.month(d).alias("m"),
-        F.dayofmonth(d).alias("d"),
-        F.dayofweek(d).alias("dow_sun1"),
+        F.year(d).cast("long").alias("y"),
+        F.month(d).cast("long").alias("m"),
+        F.dayofmonth(d).cast("long").alias("d"),
+        F.dayofweek(d).cast("long").alias("dow_sun1"),
         F.date_add(d, 30).cast("string").alias("plus30"),
         F.last_day(d).cast("string").alias("month_end"),
-        F.datediff(d, F.lit("1995-01-01").cast("date")).alias("days_since"),
+        F.datediff(d, F.lit("1995-01-01").cast("date")).cast("long").alias("days_since"),
     )
 
 
@@ -1690,3 +1690,46 @@ def ann_ivf_topk(spark, sf_dir):
     ]
     assigned, cents = ivf_build(emb, n_lists=8)
     return ivf_topk(assigned, cents, qv, k=10, nprobe=3)
+
+
+@q(
+    "memo_lookup_or_compute",
+    """
+    WITH cache AS (
+      SELECT c_custkey, UPPER(c_name) AS display_name
+      FROM customer WHERE c_custkey % 3 = 0),
+    probed AS (
+      SELECT o.o_orderkey, o.o_custkey, cache.display_name AS cached
+      FROM orders o LEFT JOIN cache ON o.o_custkey = cache.c_custkey),
+    computed AS (
+      SELECT DISTINCT p.o_custkey, 'COMPUTED_' || CAST(p.o_custkey AS VARCHAR) AS computed
+      FROM probed p WHERE p.cached IS NULL)
+    SELECT p.o_orderkey,
+           COALESCE(p.cached, c.computed) AS display_name
+    FROM probed p LEFT JOIN computed c ON p.o_custkey = c.o_custkey
+    """,
+)
+def memo_lookup_or_compute(spark, sf_dir):
+    """The reference's memoization-join pattern as a generic engine op
+    (engine.ops.memo.lookup_or_compute): cache probe (J5) → compute ONLY
+    misses → coalesce overlay (J7).  Cache = customers with custkey%3==0."""
+    from engine.ops.memo import lookup_or_compute
+
+    o = t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    cache = (
+        t(spark, sf_dir, "customer")
+        .filter(F.col("c_custkey") % 3 == 0)
+        .select(
+            F.col("c_custkey").alias("o_custkey"),
+            F.upper("c_name").alias("display_name"),
+        )
+    )
+
+    def compute(misses):
+        return misses.select("o_custkey").distinct().withColumn(
+            "display_name",
+            F.concat(F.lit("COMPUTED_"), F.col("o_custkey").cast("string")),
+        )
+
+    out = lookup_or_compute(o, cache, "o_custkey", ["display_name"], compute)
+    return out.select("o_orderkey", "display_name")

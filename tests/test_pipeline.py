@@ -137,3 +137,27 @@ def test_incremental_runner_stall_guard(spark, tmp_path):
             lambda batch, seen: batch,
             now=dt.datetime(2021, 6, 1),
         )
+
+
+def test_updated_patrons_geocodes_only_misses(spark, sierra_df):
+    """Cache hit rows keep the cached geoid untouched; only misses flow
+    through the cascade (reference lib/pipeline_controller.py:212-215)."""
+    calls = []
+
+    def counting_census(batch):
+        calls.append(len(batch))
+        return fake_census_transport()(batch)
+
+    cfg = PipelineConfig(salt="test-salt")
+    # cache covers ONLY patron 123's address
+    full_cache = new_patrons_graph(sierra_df, cfg).withColumn(
+        "geoid", F.lit("11111111111")
+    )
+    cache = full_cache.filter(F.col("postal_code") == "10001")
+    out = updated_patrons_graph(
+        sierra_df, cache, cfg, census=counting_census, geosupport=fake_geosupport()
+    ).collect()
+    by_zip = {r["postal_code"]: r for r in out}
+    assert by_zip["10001"]["geoid"] == "11111111111"  # cache hit reused
+    # misses (456, 789) went to the cascade; 123 did not
+    assert sum(calls) <= 4  # attempts only over miss rows, never the hit
