@@ -1733,3 +1733,24 @@ def memo_lookup_or_compute(spark, sf_dir):
 
     out = lookup_or_compute(o, cache, "o_custkey", ["display_name"], compute)
     return out.select("o_orderkey", "display_name")
+
+
+@q("doc_overlap_winnow")  # rows-only: rolling xxhash64 family is engine-native
+def doc_overlap_winnow(spark, sf_dir):
+    """Partial-overlap candidate pairs via rolling-window fingerprints
+    (winnowing shape): docs sharing any 64-char window hash.  Catches
+    containment/quotation overlaps that whole-doc hashing misses."""
+    from engine.extended.text import rolling_fingerprints
+
+    d = t(spark, sf_dir, "documents")
+    fp = d.select(
+        F.col("doc_id").alias("id"),
+        F.explode(rolling_fingerprints("text", window=64, stride=32)).alias("fp"),
+    ).distinct()
+    a, b = fp.alias("a"), fp.alias("b")
+    return (
+        a.join(b, (F.col("a.fp") == F.col("b.fp")) & (F.col("a.id") < F.col("b.id")))
+        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .agg(F.count(F.lit(1)).alias("shared_windows"))
+        .orderBy("id_a", "id_b")
+    )

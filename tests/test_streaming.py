@@ -115,3 +115,55 @@ def test_run_available_now_foreachbatch(spark, tmp_path):
         dedup_keys=["event_id"],
     )
     assert sum(n for _, n in seen) == 0
+
+
+def test_stream_stream_join_with_watermarks(spark, tmp_path):
+    """Stream-stream inner join (clicks ⋈ views per user within 30 min) —
+    both sides watermarked so join state is bounded; result must equal the
+    static join of the same data."""
+    path = str(tmp_path / "ssj")
+    _write_events(spark, path)
+
+    def split(df):
+        clicks = df.filter(F.col("event_id") % 2 == 0).select(
+            F.col("user_id").alias("cu"), F.col("ts").alias("cts"),
+            F.col("event_id").alias("click_id"),
+        )
+        views = df.filter(F.col("event_id") % 2 == 1).select(
+            F.col("user_id").alias("vu"), F.col("ts").alias("vts"),
+            F.col("event_id").alias("view_id"),
+        )
+        return clicks, views
+
+    cond = lambda c, v: (  # noqa: E731
+        (c.cu == v.vu)
+        & (v.vts >= c.cts)
+        & (v.vts <= c.cts + F.expr("INTERVAL 30 MINUTES"))
+    )
+
+    static = spark.read.parquet(path)
+    sc_, sv = split(static)
+    expected = sorted(
+        (r["click_id"], r["view_id"])
+        for r in sc_.join(sv, cond(sc_, sv)).collect()
+    )
+
+    stream = parquet_stream(spark, path, EVENTS)
+    stc, stv = split(stream)
+    stc = stc.withWatermark("cts", "1 hour")
+    stv = stv.withWatermark("vts", "1 hour")
+    joined = stc.join(stv, cond(stc, stv)).select("click_id", "view_id")
+    q = (
+        joined.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("ssj_out")
+        .option("checkpointLocation", str(tmp_path / "ssj_ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = sorted(
+        (r["click_id"], r["view_id"])
+        for r in spark.sql("select * from ssj_out").collect()
+    )
+    assert got == expected and len(got) > 0
