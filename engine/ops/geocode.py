@@ -239,8 +239,11 @@ def geocode_cascade(
         .filter(F.length("full_address") > 0)
     )
 
-    # attempt 1: census on the raw assembled address
-    a1 = census_geocode(base, census, out_col="geoid_a1")
+    # attempt 1: census on the raw assembled address.  Each attempt is
+    # persisted: downstream joins/filters branch from it, and recomputation
+    # would re-invoke the EXTERNAL transport (cost + rate limits) — the
+    # cache pin is part of the operator's at-most-once-per-attempt contract.
+    a1 = census_geocode(base, census, out_col="geoid_a1").persist()
 
     # attempt 2: re-parse malformed (still-null) rows, rebuild address, retry
     misses1 = a1.filter(F.col("geoid_a1").isNull()).drop("geoid_a1")
@@ -258,7 +261,7 @@ def geocode_cascade(
             )
         ),
     )
-    a2 = census_geocode(reparsed, census, out_col="geoid_a2")
+    a2 = census_geocode(reparsed, census, out_col="geoid_a2").persist()
 
     # attempt 3: Geosupport for rows with house+street+zip
     misses2 = a2.filter(F.col("geoid_a2").isNull())

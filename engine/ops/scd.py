@@ -1,0 +1,95 @@
+"""CDC apply + SCD2 merge without a lakehouse format (pyspark guide "CDC /
+SCD2: emulate with anti-join + union + window").
+
+The harness image has no Delta/Iceberg jars, and at the reference's scale the
+same maintenance operations are expressible — exactly once per key — with
+plain DataFrame ops over parquet:
+
+- :func:`apply_changelog` — collapse an insert/update/delete changelog to the
+  latest op per key (window), then: deletes drop the key, upserts replace-or-
+  insert (anti-join + union).  One shuffle on the key for the window, one for
+  the anti-join — both on the same key, so AQE/bucketing can co-locate them.
+- :func:`scd2_merge` — type-2 dimension maintenance: rows for changed keys
+  are closed (``valid_to`` set) and a new current version appended; history
+  rows pass through untouched.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+__all__ = ["apply_changelog", "scd2_merge"]
+
+
+def apply_changelog(
+    snapshot: DataFrame,
+    changes: DataFrame,
+    key: str,
+    ts_cols: list[str],
+    op_col: str = "op",
+) -> DataFrame:
+    """Apply an I/U/D changelog to a snapshot; the latest change per key wins.
+
+    ``changes`` carries (key, *ts_cols, op_col, <same value columns as
+    snapshot>).  ``ts_cols`` must be a total order within a key (include a
+    tiebreaker).  Returns the post-image snapshot.
+    """
+    w = Window.partitionBy(key).orderBy(*[F.col(c).desc() for c in ts_cols])
+    latest = (
+        changes.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+    value_cols = [c for c in snapshot.columns if c != key]
+    upserts = latest.filter(F.col(op_col) != "D").select(key, *value_cols)
+    touched = latest.select(key)
+    survivors = snapshot.join(F.broadcast(touched), on=key, how="left_anti")
+    return survivors.unionByName(upserts)
+
+
+def scd2_merge(
+    dim: DataFrame,
+    updates: DataFrame,
+    key: str,
+    attr_cols: list[str],
+    *,
+    ts_col: str = "effective_ts",
+    valid_from: str = "valid_from",
+    valid_to: str = "valid_to",
+) -> DataFrame:
+    """Type-2 merge: ``dim`` rows are versioned (``valid_from``/``valid_to``,
+    null ``valid_to`` = current); ``updates`` carries one new version per key
+    (key, *attr_cols, ts_col).
+
+    Current rows of updated keys close at the update timestamp; a new open
+    version is appended; closed history and untouched keys pass through.
+    Updates that change nothing still produce a new version (idempotence is
+    the caller's concern — filter no-op updates upstream if undesired).
+    """
+    upd = updates.select(
+        key, *attr_cols, F.col(ts_col).alias("__new_from")
+    )
+    current = dim.filter(F.col(valid_to).isNull())
+    history = dim.filter(F.col(valid_to).isNotNull())
+
+    joined = current.join(F.broadcast(upd.select(key, "__new_from")), on=key, how="left")
+    closed = joined.withColumn(
+        valid_to,
+        F.when(F.col("__new_from").isNotNull(), F.col("__new_from")).otherwise(
+            F.col(valid_to)
+        ),
+    ).drop("__new_from")
+
+    new_rows = upd.select(
+        key,
+        *attr_cols,
+        F.col("__new_from").alias(valid_from),
+        F.lit(None).cast(dict(dim.dtypes)[valid_to]).alias(valid_to),
+    )
+    out_cols = dim.columns
+    return (
+        history.select(*out_cols)
+        .unionByName(closed.select(*out_cols))
+        .unionByName(new_rows.select(*out_cols))
+    )

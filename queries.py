@@ -1754,3 +1754,117 @@ def doc_overlap_winnow(spark, sf_dir):
         .agg(F.count(F.lit(1)).alias("shared_windows"))
         .orderBy("id_a", "id_b")
     )
+
+
+@q(
+    "cdc_apply_changelog",
+    """
+    WITH changes AS (
+      SELECT o_custkey AS c_custkey, o_orderdate, o_orderkey,
+             CASE WHEN o_orderstatus = 'F' AND o_orderkey % 10 = 0
+                  THEN 'D' ELSE 'U' END AS op,
+             ROUND(o_totalprice, 2) AS c_acctbal_new,
+             o_orderpriority AS c_mktsegment_new
+      FROM orders),
+    latest AS (
+      SELECT * FROM (
+        SELECT c.*, ROW_NUMBER() OVER (PARTITION BY c_custkey
+                     ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
+        FROM changes c) WHERE rn = 1),
+    survivors AS (
+      SELECT s.c_custkey, ROUND(s.c_acctbal, 2) AS c_acctbal, s.c_mktsegment
+      FROM customer s ANTI JOIN latest l ON s.c_custkey = l.c_custkey),
+    upserts AS (
+      SELECT c_custkey, c_acctbal_new AS c_acctbal, c_mktsegment_new AS c_mktsegment
+      FROM latest WHERE op <> 'D')
+    SELECT * FROM survivors UNION ALL SELECT * FROM upserts
+    """,
+)
+def cdc_apply_changelog(spark, sf_dir):
+    """CDC apply (MERGE-INTO emulation, no lakehouse format): latest I/U/D
+    change per key wins — engine.ops.scd.apply_changelog."""
+    from engine.ops.scd import apply_changelog
+
+    snapshot = t(spark, sf_dir, "customer").select(
+        "c_custkey", F.round("c_acctbal", 2).alias("c_acctbal"), "c_mktsegment"
+    )
+    o = t(spark, sf_dir, "orders")
+    changes = o.select(
+        F.col("o_custkey").alias("c_custkey"),
+        "o_orderdate",
+        "o_orderkey",
+        F.when(
+            (F.col("o_orderstatus") == "F") & (F.col("o_orderkey") % 10 == 0), "D"
+        )
+        .otherwise("U")
+        .alias("op"),
+        F.round("o_totalprice", 2).alias("c_acctbal"),
+        F.col("o_orderpriority").alias("c_mktsegment"),
+    )
+    return apply_changelog(
+        snapshot, changes, "c_custkey", ["o_orderdate", "o_orderkey"]
+    )
+
+
+@q(
+    "scd2_history_merge",
+    """
+    WITH dim AS (
+      SELECT c_custkey, c_mktsegment, TIMESTAMP '1990-01-01 00:00:00' AS valid_from,
+             CAST(NULL AS TIMESTAMP) AS valid_to
+      FROM customer),
+    upd AS (
+      SELECT * FROM (
+        SELECT o_custkey AS c_custkey, o_orderpriority AS c_mktsegment,
+               o_orderdate AS effective_ts,
+               ROW_NUMBER() OVER (PARTITION BY o_custkey
+                    ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
+        FROM orders) WHERE rn = 1),
+    closed AS (
+      SELECT d.c_custkey, d.c_mktsegment, d.valid_from,
+             COALESCE(u.effective_ts, d.valid_to) AS valid_to
+      FROM dim d LEFT JOIN upd u ON d.c_custkey = u.c_custkey),
+    new_rows AS (
+      SELECT c_custkey, c_mktsegment, effective_ts AS valid_from,
+             CAST(NULL AS TIMESTAMP) AS valid_to
+      FROM upd)
+    SELECT c_custkey, c_mktsegment,
+           CAST(valid_from AS VARCHAR) AS valid_from_s,
+           CAST(valid_to AS VARCHAR) AS valid_to_s
+    FROM (SELECT * FROM closed UNION ALL SELECT * FROM new_rows)
+    """,
+)
+def scd2_history_merge(spark, sf_dir):
+    """SCD2 merge (type-2 dimension maintenance without MERGE INTO): close
+    current versions of updated keys, append new open versions —
+    engine.ops.scd.scd2_merge."""
+    from engine.ops.scd import scd2_merge
+
+    dim = t(spark, sf_dir, "customer").select(
+        "c_custkey",
+        "c_mktsegment",
+        F.lit("1990-01-01 00:00:00").cast("timestamp").alias("valid_from"),
+        F.lit(None).cast("timestamp").alias("valid_to"),
+    )
+    o = t(spark, sf_dir, "orders")
+    w = Window.partitionBy("c_custkey").orderBy(
+        F.col("effective_ts").desc(), F.col("o_orderkey").desc()
+    )
+    latest = (
+        o.select(
+            F.col("o_custkey").alias("c_custkey"),
+            F.col("o_orderpriority").alias("c_mktsegment"),
+            F.col("o_orderdate").alias("effective_ts"),
+            "o_orderkey",
+        )
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .drop("rn", "o_orderkey")
+    )
+    out = scd2_merge(dim, latest, "c_custkey", ["c_mktsegment"])
+    return out.select(
+        "c_custkey",
+        "c_mktsegment",
+        F.col("valid_from").cast("string").alias("valid_from_s"),
+        F.col("valid_to").cast("string").alias("valid_to_s"),
+    )
