@@ -205,6 +205,10 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     to microseconds — exactly DuckDB's TIMESTAMP_NS→TIMESTAMP cast, so oracle
     comparisons line up.
     """
+    # deterministic timestamp semantics regardless of the hosting session:
+    # instants render/parse as UTC (engine contract; matches the naive-UTC
+    # DuckDB oracle).  Runtime conf — safe to set repeatedly.
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     if name == "events":
         from pyspark.sql import functions as F
 

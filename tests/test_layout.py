@@ -47,3 +47,22 @@ def test_bucketed_join_has_no_exchange(spark):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
         spark.sql("DROP TABLE IF EXISTS t_bl")
         spark.sql("DROP TABLE IF EXISTS t_br")
+
+
+def test_dynamic_partition_pruning(spark, tmp_path):
+    """A selective dim filter must prune fact partitions at runtime (DPP) —
+    the join-driven twin of static partition pruning."""
+    fact = spark.range(2000).select(
+        (F.col("id") % 20).alias("dim_id"), (F.col("id") * 3).alias("v")
+    )
+    path = str(tmp_path / "fact")
+    write_partitioned(fact, path, ["dim_id"])
+    dim = spark.range(20).select(
+        F.col("id").alias("dim_id"),
+        F.when(F.col("id") == 5, "pick").otherwise("skip").alias("tag"),
+    )
+    f = spark.read.parquet(path)
+    j = f.join(dim.filter(F.col("tag") == "pick"), "dim_id")
+    p = plan(j)
+    assert "dynamicpruning" in p.lower()
+    assert j.count() == 100
