@@ -1,0 +1,104 @@
+"""Top-level run orchestration — the reference's ``main.py`` equivalent
+(main.py:11-24 in /root/reference: load config, then run the three pipeline
+modes in sequence against one run timestamp).
+
+:func:`run_all_modes` wires config (S9) + state store (S4) + the three mode
+graphs (SURVEY §3) + sink (S7/S8) behind injected sources, so the same
+function serves tests (in-memory frames + fakes), local batch runs (parquet),
+and production (JDBC incremental sources, boto3 Kinesis transport).
+
+The single ``now`` snapshot matters: the reference freezes the run timestamp
+once so all three modes scan the same half-open interval (its tests pin this
+with a frozen clock, tests/test_main.py:9).  Cross-mode dedup (a patron both
+created and updated in the window emits once, ST4) falls out of sharing one
+``IncrementalRunner`` — its session key set spans modes.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+
+from engine.ops.avro_codec import to_avro_col
+from engine.ops.sinks import kinesis_put_batch
+from engine.pipeline import (
+    IncrementalRunner,
+    PipelineConfig,
+    PipelineMode,
+    RunStats,
+    deleted_patrons_graph,
+    new_patrons_graph,
+    updated_patrons_graph,
+)
+from engine.schemas import SINK_AVRO_SCHEMA, SINK_RECORD
+
+__all__ = ["RunReport", "make_avro_kinesis_sink", "run_all_modes"]
+
+
+@dataclass
+class RunReport:
+    new: RunStats
+    updated: RunStats
+    deleted: RunStats
+    started_at: dt.datetime
+
+
+def make_avro_kinesis_sink(transport, *, dry_run: bool = False):
+    """Sink callable for IncrementalRunner: project to the 11-field contract,
+    Avro-encode, put in ≤500 chunks.  Collect happens per micro-batch (the
+    batch is bounded by batch_size, like the reference's in-memory batch)."""
+    cols = [f.name for f in SINK_RECORD.fields]
+
+    def sink(df: DataFrame, batch_id: int) -> int:
+        enc = df.select(to_avro_col(df, cols, SINK_AVRO_SCHEMA).alias("record"))
+        records = [bytes(r["record"]) for r in enc.collect()]
+        if not dry_run and transport is not None:
+            kinesis_put_batch(records, transport, batch_id=batch_id)
+        return len(records)
+
+    return sink
+
+
+def run_all_modes(
+    spark: SparkSession,
+    cfg: PipelineConfig,
+    state_store,
+    *,
+    active_source: DataFrame,
+    deleted_source: DataFrame,
+    patron_info: DataFrame,
+    sink=None,
+    census=None,
+    geosupport=None,
+    now: dt.datetime | None = None,
+) -> RunReport:
+    """NEW → UPDATED → DELETED with one shared runner (shared dedup state) and
+    one frozen run timestamp (reference main.py:13)."""
+    started = now or dt.datetime.now(dt.timezone.utc).replace(tzinfo=None)
+    runner = IncrementalRunner(spark, cfg, state_store, sink=sink)
+
+    new_stats = runner.run_mode(
+        active_source,
+        PipelineMode.NEW_PATRONS,
+        lambda batch, seen: new_patrons_graph(
+            batch, cfg, seen=seen, census=census, geosupport=geosupport
+        ),
+        now=started,
+    )
+    upd_stats = runner.run_mode(
+        active_source,
+        PipelineMode.UPDATED_PATRONS,
+        lambda batch, seen: updated_patrons_graph(
+            batch, patron_info, cfg, seen=seen, census=census, geosupport=geosupport
+        ),
+        now=started,
+    )
+    del_stats = runner.run_mode(
+        deleted_source,
+        PipelineMode.DELETED_PATRONS,
+        lambda batch, seen: deleted_patrons_graph(batch, patron_info, cfg, seen=seen),
+        now=started,
+    )
+    return RunReport(new=new_stats, updated=upd_stats, deleted=del_stats, started_at=started)

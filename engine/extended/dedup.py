@@ -132,14 +132,18 @@ def minhash_candidates(
     num_hashes: int = 64,
     bands: int = 16,
     shingle_n: int = 3,
+    bucket_cap: int = 500,
 ) -> DataFrame:
     """Candidate near-dup pairs via LSH banding.
 
     Returns (id_a, id_b, est_jaccard) with id_a < id_b, where est_jaccard is
     the fraction of equal minhashes — the standard unbiased Jaccard estimate.
     Shuffle pattern: explode to n·bands band-keys → hash-join within buckets.
-    A bucket-size cap guards against degenerate buckets (boilerplate spam)
-    blowing up pairwise work at scale.
+
+    ``bucket_cap`` bounds each (band, bucket) to its lowest-id members before
+    the self-join: a degenerate bucket (identical boilerplate across millions
+    of docs) costs O(cap²) instead of O(n²).  True dup groups larger than the
+    cap still chain through their lowest-id member in other bands/rounds.
     """
     rows_per_band = num_hashes // bands
     sigs = minhash_sigs(
@@ -164,6 +168,13 @@ def minhash_candidates(
             )
         ).alias("bb"),
     ).select("id", "sig", F.col("bb.band").alias("band"), F.col("bb.bkey").alias("bkey"))
+    if bucket_cap:
+        wcap = Window.partitionBy("band", "bkey").orderBy("id")
+        banded = (
+            banded.withColumn("__bn", F.row_number().over(wcap))
+            .filter(F.col("__bn") <= bucket_cap)
+            .drop("__bn")
+        )
 
     a = banded.alias("a")
     b = banded.alias("b")

@@ -75,9 +75,27 @@ class PipelineConfig:
     max_batches: int | None = None
 
 
+def _ensure_sierra_columns(batch: DataFrame) -> DataFrame:
+    """Null-fill sierra columns a partial source omits (same tolerance as
+    ``_finalize`` on the way out): the graphs' contract is the full
+    SIERRA_PATRONS shape, but an incremental source that projects only
+    (id, ordering ts) must still flow — missing demographics are simply
+    null, exactly like the reference's all-null patron row."""
+    from engine.schemas import SIERRA_PATRONS
+
+    missing = {
+        f.name: F.lit(None).cast(f.dataType)
+        for f in SIERRA_PATRONS.fields
+        if f.name not in batch.columns
+    }
+    return batch.withColumns(missing) if missing else batch
+
+
 def _prep_batch(batch: DataFrame, seen: DataFrame | None, cfg: PipelineConfig) -> DataFrame:
-    """Shared head of all modes: id normalize (F12) → session anti-join (J3)
-    → keep-first dedup (J4, when tiebreak cols present)."""
+    """Shared head of all modes: schema tolerance → id normalize (F12) →
+    session anti-join (J3) → keep-first dedup (J4, when tiebreak cols
+    present)."""
+    batch = _ensure_sierra_columns(batch)
     out = batch.withColumn("patron_id_plaintext", normalize_id("patron_id_plaintext"))
     if seen is not None:
         out = R.anti_join(out, seen, on="patron_id_plaintext")
