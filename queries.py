@@ -1868,3 +1868,79 @@ def scd2_history_merge(spark, sf_dir):
         F.col("valid_from").cast("string").alias("valid_from_s"),
         F.col("valid_to").cast("string").alias("valid_to_s"),
     )
+
+
+@q(
+    "window_functions_pack",
+    """
+    SELECT o_orderkey,
+           ROUND(LAG(o_totalprice) OVER w, 2) AS prev_price,
+           ROUND(LEAD(o_totalprice) OVER w, 2) AS next_price,
+           NTILE(4) OVER w AS quartile,
+           ROUND(FIRST_VALUE(o_totalprice) OVER w, 2) AS first_price,
+           RANK() OVER (PARTITION BY o_custkey ORDER BY ROUND(o_totalprice, 2) DESC) AS price_rank
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+    """,
+)
+def window_functions_pack(spark, sf_dir):
+    """Analytic window battery: lag/lead/ntile/first_value/rank (engine
+    capability; reference uses only row_number semantics)."""
+    o = t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    wr = Window.partitionBy("o_custkey").orderBy(F.round("o_totalprice", 2).desc())
+    return o.select(
+        "o_orderkey",
+        F.round(F.lag("o_totalprice").over(w), 2).alias("prev_price"),
+        F.round(F.lead("o_totalprice").over(w), 2).alias("next_price"),
+        F.ntile(4).over(w).alias("quartile"),
+        F.round(F.first("o_totalprice").over(w), 2).alias("first_price"),
+        F.rank().over(wr).alias("price_rank"),
+    )
+
+
+@q(
+    "regex_pack",
+    """
+    SELECT p_partkey,
+           regexp_extract(p_name, '([a-z]+)$', 1) AS last_word,
+           CASE WHEN regexp_matches(p_type, '^PROMO') THEN 1 ELSE 0 END AS is_promo,
+           CAST(LENGTH(regexp_extract_all(p_name, '[aeiou]')) AS BIGINT) AS vowel_count,
+           regexp_replace(p_brand, '[0-9]+', '#', 'g') AS brand_masked
+    FROM part
+    """,
+)
+def regex_pack(spark, sf_dir):
+    """Regex battery: extract-group, match-predicate, match-count, masked
+    replace — all codegen built-ins."""
+    p = t(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.regexp_extract("p_name", "([a-z]+)$", 1).alias("last_word"),
+        F.when(F.col("p_type").rlike("^PROMO"), 1).otherwise(0).alias("is_promo"),
+        F.size(F.regexp_extract_all(F.col("p_name"), F.lit("[aeiou]"), F.lit(0)))
+        .cast("long")
+        .alias("vowel_count"),
+        F.regexp_replace("p_brand", "[0-9]+", "#").alias("brand_masked"),
+    )
+
+
+@q(
+    "correlated_above_group_avg",
+    """
+    SELECT o.o_orderkey FROM orders o
+    WHERE o.o_totalprice > (SELECT AVG(o2.o_totalprice) FROM orders o2
+                            WHERE o2.o_custkey = o.o_custkey)
+    """,
+)
+def correlated_above_group_avg(spark, sf_dir):
+    """Correlated scalar subquery, hand-decorrelated to a per-key window avg
+    (one exchange instead of a re-scan per outer row — the only plan that
+    survives scale)."""
+    o = t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey")
+    return (
+        o.withColumn("__avg", F.avg("o_totalprice").over(w))
+        .filter(F.col("o_totalprice") > F.col("__avg"))
+        .select("o_orderkey")
+    )
