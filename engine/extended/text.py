@@ -83,25 +83,21 @@ def lang_hits(col: str, lang: str) -> Column:
 
 def lang_id_expr(col: str, *, min_hits: int = 1) -> Column:
     """argmax over language marker-hit counts; 'und' (undetermined) when no
-    language reaches ``min_hits``.  Ties break by language-code order
-    (deterministic)."""
+    language reaches ``min_hits``.  Ties break to the alphabetically-first
+    language code: the fold keeps the incumbent unless a candidate is
+    STRICTLY better, and candidates arrive in sorted order — ``array_max``
+    over (hits, lang) would invert that (later code wins ties)."""
+    langs = sorted(LANG_MARKERS)
     pairs = F.array(
         *[
             F.struct(lang_hits(col, lg).alias("hits"), F.lit(lg).alias("lang"))
-            for lg in sorted(LANG_MARKERS)
+            for lg in langs
         ]
     )
-    best = F.array_max(
-        F.transform(
-            pairs,
-            # invert lang ordering inside the struct comparison so that on
-            # equal hits the *earlier* language code wins the array_max
-            lambda p: F.struct(
-                p["hits"].alias("hits"),
-                (-F.ascii(p["lang"])).alias("neg"),
-                p["lang"].alias("lang"),
-            ),
-        )
+    best = F.aggregate(
+        pairs,
+        F.struct(F.lit(-1).alias("hits"), F.lit("und").alias("lang")),
+        lambda acc, p: F.when(p["hits"] > acc["hits"], p).otherwise(acc),
     )
     return F.when(best["hits"] < min_hits, F.lit("und")).otherwise(best["lang"])
 
