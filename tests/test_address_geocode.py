@@ -147,3 +147,18 @@ def test_cascade_success_rate_logged(spark):
 
     rate = success_rate(out, "geoid")
     assert 0.0 <= rate <= 1.0
+
+
+def test_cascade_survives_total_transport_failure(spark):
+    """A transport that always raises must yield null geoids (wrapped in the
+    retry/halving transport), never a task failure — ST7 resilience."""
+
+    def always_raises(batch):
+        raise RuntimeError("service down")
+
+    t = retrying_census_transport(always_raises, max_retries=1, min_split=1000)
+    out = geocode_cascade(_addr_df(spark), t, fake_geosupport())
+    rows = {r["patron_id"]: r["geoid"] for r in out.collect()}
+    assert len(rows) == 2
+    # geosupport (attempt 3) can still fill rows with parseable house+street
+    assert rows["p1"] is not None

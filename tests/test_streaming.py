@@ -167,3 +167,80 @@ def test_stream_stream_join_with_watermarks(spark, tmp_path):
         for r in spark.sql("select * from ssj_out").collect()
     )
     assert got == expected and len(got) > 0
+
+
+def test_available_now_picks_up_new_files(spark, tmp_path):
+    """Second availableNow run processes ONLY files that arrived after the
+    first run — the poller's 'new rows since last watermark' case, with the
+    checkpoint playing the role of the S3 state."""
+    src = str(tmp_path / "inc")
+    ckpt = str(tmp_path / "inc_ck")
+    base = dt.datetime(2024, 1, 1)
+    b1 = [(i, base + dt.timedelta(minutes=i), 1, "click", 1.0, None) for i in range(5)]
+    spark.createDataFrame(b1, EVENTS).coalesce(1).write.mode("append").parquet(src)
+
+    counts = []
+    run_available_now(
+        parquet_stream(spark, src, EVENTS),
+        lambda df: df,
+        lambda df, bid: counts.append(df.count()),
+        ckpt,
+    )
+    assert sum(counts) == 5
+
+    b2 = [(i, base + dt.timedelta(minutes=i), 2, "view", 2.0, None) for i in range(5, 8)]
+    spark.createDataFrame(b2, EVENTS).coalesce(1).write.mode("append").parquet(src)
+    counts.clear()
+    run_available_now(
+        parquet_stream(spark, src, EVENTS),
+        lambda df: df,
+        lambda df, bid: counts.append(df.count()),
+        ckpt,
+    )
+    assert sum(counts) == 3  # only the new file's rows
+
+
+def test_streaming_session_window(spark, tmp_path):
+    """session_window in a real streaming query.  Append mode emits only
+    sessions the watermark has closed, so a far-future flush batch pushes the
+    watermark past every original session; the emitted set must then equal
+    the batch sessionization of the original data."""
+    path = str(tmp_path / "sess")
+    ckpt = str(tmp_path / "sess_ck")
+    _write_events(spark, path)
+    batch = session_agg(
+        spark.read.parquet(path), "ts", "10 minutes", ["user_id"],
+        [F.count(F.lit(1)).alias("n")],
+    )
+    expected = {(r["user_id"], r["window_start"]): r["n"] for r in batch.collect()}
+
+    emitted = []
+
+    def drain():
+        stream = parquet_stream(spark, path, EVENTS)
+        agg = session_agg(
+            stream, "ts", "10 minutes", ["user_id"],
+            [F.count(F.lit(1)).alias("n")], watermark="1 minute",
+        )
+        q = (
+            agg.writeStream.outputMode("append")
+            .foreachBatch(lambda df, bid: emitted.extend(df.collect()))
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    drain()
+    # flush: one far-future event per user advances the watermark
+    flush_ts = dt.datetime(2024, 2, 1)
+    flush = [(1000 + u, flush_ts, u, "flush", 0.0, None) for u in range(3)]
+    spark.createDataFrame(flush, EVENTS).coalesce(1).write.mode("append").parquet(path)
+    drain()
+
+    got = {
+        (r["user_id"], r["window_start"]): r["n"]
+        for r in emitted
+        if r["window_start"] < flush_ts  # exclude the flush sessions
+    }
+    assert got == expected
