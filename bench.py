@@ -38,6 +38,8 @@ HEADLINE = [
     "dedup_minhash_lsh",
     "ann_cosine_topk",
     "f1_f2_address_key_hash",
+    "cdc_apply_changelog",
+    "vocab_stats",
 ]
 
 

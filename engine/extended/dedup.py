@@ -33,6 +33,8 @@ __all__ = [
     "simhash_candidates",
     "ngram_jaccard_pairs",
     "embedding_near_dup",
+    "near_dup_groups",
+    "minhash_dedup_cc",
 ]
 
 
@@ -457,3 +459,81 @@ def embedding_near_dup(
         .filter(F.col("cos_sim") >= threshold)
         .select("id_a", "id_b", "cos_sim")
     )
+
+
+def near_dup_groups(
+    pairs: DataFrame, *, max_iterations: int = 10
+) -> DataFrame:
+    """Transitive closure of candidate pairs: (id, group_id) where group_id
+    is the smallest id reachable through the pair graph (connected
+    components via iterated label propagation / union-by-min).
+
+    Each iteration joins every node's current label against the edge list and
+    takes the min over neighbors' labels; converges in O(diameter) rounds —
+    near-dup graphs are shallow (chains of near-identical docs), so the
+    ``max_iterations`` cap is a safety net, not a correctness bound.  Each
+    round is one shuffle on id; labels are checkpointed to keep lineage flat.
+    """
+    edges = (
+        pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+        .unionByName(
+            pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst"))
+        )
+        .distinct()
+        .persist()
+    )
+    labels = (
+        edges.select(F.col("src").alias("id"))
+        .distinct()
+        .withColumn("group_id", F.col("id"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(max_iterations):
+        neighbor_min = (
+            edges.join(labels, edges.dst == labels.id)
+            .groupBy("src")
+            .agg(F.min("group_id").alias("nbr_min"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, labels.id == neighbor_min.src, "left")
+            .select(
+                "id",
+                F.least(
+                    F.col("group_id"), F.coalesce(F.col("nbr_min"), F.col("group_id"))
+                ).alias("group_id"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "id")
+            .filter(F.col("n.group_id") != F.col("o.group_id"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    edges.unpersist()
+    return labels
+
+
+def minhash_dedup_cc(
+    df: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = 0.8,
+    **kw,
+) -> DataFrame:
+    """Full transitive near-dup removal: LSH candidates → connected
+    components → keep each group's smallest id.  Unlike the single-hop
+    :func:`minhash_dedup`, a chain A~B~C collapses to {A} even when A and C
+    share no band."""
+    cand = minhash_candidates(df, id_col=id_col, text_col=text_col, **kw).filter(
+        F.col("est_jaccard") >= threshold
+    )
+    groups = near_dup_groups(cand)
+    losers = groups.filter(F.col("id") != F.col("group_id")).select(
+        F.col("id").alias(id_col)
+    )
+    return df.join(losers, on=id_col, how="left_anti")

@@ -1944,3 +1944,119 @@ def correlated_above_group_avg(spark, sf_dir):
         .filter(F.col("o_totalprice") > F.col("__avg"))
         .select("o_orderkey")
     )
+
+
+@q(
+    "vocab_stats",
+    """
+    WITH tok AS (
+      SELECT doc_id, UNNEST(regexp_extract_all(LOWER(text), '[a-z0-9'']+')) AS token
+      FROM documents)
+    SELECT token,
+           COUNT(*) AS term_freq,
+           COUNT(DISTINCT doc_id) AS doc_freq
+    FROM tok GROUP BY token
+    ORDER BY doc_freq DESC, term_freq DESC, token LIMIT 50
+    """,
+)
+def vocab_stats(spark, sf_dir):
+    """Corpus vocabulary statistics: term frequency + document frequency per
+    token, top-50 by DF (the vocabulary-building scan of a training-data
+    pipeline — explode + two-level aggregate, one shuffle on token)."""
+    from engine.extended.text import tokens
+
+    d = t(spark, sf_dir, "documents")
+    tok = d.select("doc_id", F.explode(tokens("text")).alias("token"))
+    return (
+        tok.groupBy("token")
+        .agg(
+            F.count(F.lit(1)).alias("term_freq"),
+            F.countDistinct("doc_id").alias("doc_freq"),
+        )
+        .orderBy(F.col("doc_freq").desc(), F.col("term_freq").desc(), "token")
+        .limit(50)
+    )
+
+
+@q(
+    "quality_filter_rate",
+    """
+    WITH scored AS (
+      SELECT source,
+             CASE WHEN LENGTH(text) >= 100
+                   AND LENGTH(regexp_extract_all(LOWER(text), '[a-z0-9'']+')) >= 20
+                   AND LENGTH(REGEXP_REPLACE(text, '[^A-Za-z]', '', 'g')) * 1.0
+                       / LENGTH(text) >= 0.5
+                  THEN 1 ELSE 0 END AS keep
+      FROM documents WHERE LENGTH(text) > 0)
+    SELECT source, COUNT(*) AS n_docs, SUM(keep) AS n_kept,
+           ROUND(SUM(keep) * 1.0 / COUNT(*), 4) AS keep_rate
+    FROM scored GROUP BY source
+    """,
+)
+def quality_filter_rate(spark, sf_dir):
+    """Corpus quality filter + per-source keep rate: the composed filter a
+    training pipeline applies before tokenization (length, token count,
+    alpha ratio thresholds)."""
+    from engine.extended.text import token_count
+
+    d = t(spark, sf_dir, "documents").filter(F.length("text") > 0)
+    alpha_ratio = (
+        F.length(F.regexp_replace(F.col("text"), "[^A-Za-z]", ""))
+        / F.length("text").cast("double")
+    )
+    keep = (
+        F.when(
+            (F.length("text") >= 100)
+            & (token_count("text") >= 20)
+            & (alpha_ratio >= 0.5),
+            1,
+        ).otherwise(0)
+    )
+    return (
+        d.withColumn("keep", keep)
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("keep").alias("n_kept"),
+            F.round(F.sum("keep") / F.count(F.lit(1)), 4).alias("keep_rate"),
+        )
+    )
+
+
+@q(
+    "dup_rate_by_source",
+    """
+    SELECT source,
+           COUNT(*) AS n_docs,
+           COUNT(DISTINCT MD5(REGEXP_REPLACE(LOWER(text), '[^a-z0-9]', '', 'g')))
+             AS n_unique,
+           ROUND(1.0 - COUNT(DISTINCT MD5(REGEXP_REPLACE(LOWER(text), '[^a-z0-9]', '', 'g')))
+                 * 1.0 / COUNT(*), 4) AS dup_rate
+    FROM documents GROUP BY source
+    """,
+)
+def dup_rate_by_source(spark, sf_dir):
+    """Exact-duplicate rate per source — the dedup health metric a corpus
+    pipeline tracks per ingest feed (distinct fingerprints vs rows)."""
+    from engine.extended.text import fingerprint
+
+    d = t(spark, sf_dir, "documents")
+    uniq = F.countDistinct(fingerprint("text"))
+    return d.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        uniq.alias("n_unique"),
+        F.round(F.lit(1.0) - uniq / F.count(F.lit(1)), 4).alias("dup_rate"),
+    )
+
+
+@q("dedup_minhash_cc")  # rows-only: engine-native hashes + iterative CC
+def dedup_minhash_cc(spark, sf_dir):
+    """Transitive near-dup removal: LSH candidates → connected components
+    (union-by-min to fixpoint) → keep each group's smallest doc_id."""
+    from engine.extended.dedup import minhash_dedup_cc
+
+    d = t(spark, sf_dir, "documents")
+    return minhash_dedup_cc(d, threshold=0.5).select("doc_id", "source").orderBy(
+        "doc_id"
+    )

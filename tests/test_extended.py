@@ -160,3 +160,32 @@ def test_multimodal_stub_and_features(spark):
     # with an injected codec the seam works end-to-end
     decoded = decode_media(media, codec=lambda b, mime: b[:4]).collect()
     assert all(r["n_bytes"] == 4 for r in decoded)
+
+
+def test_near_dup_groups_transitive(spark):
+    from engine.extended.dedup import near_dup_groups
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11), (20, 21), (21, 22)],
+        "id_a long, id_b long",
+    )
+    out = {r["id"]: r["group_id"] for r in near_dup_groups(pairs).collect()}
+    assert out == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 20: 20, 21: 20, 22: 20}
+
+
+def test_minhash_dedup_cc_collapses_chain(spark):
+    """A→B→C chain of near-dups collapses to one survivor even though A and C
+    are not direct candidates."""
+    from engine.extended.dedup import minhash_dedup_cc
+
+    words = [f"w{i}" for i in range(40)]
+    a = " ".join(words)
+    b = " ".join(words[5:] + [f"x{i}" for i in range(5)])     # ~near a
+    c = " ".join(words[10:] + [f"x{i}" for i in range(10)])   # ~near b, farther from a
+    docs = spark.createDataFrame(
+        [(0, a), (1, b), (2, c), (3, "entirely different content about engines")],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"] for r in minhash_dedup_cc(docs, threshold=0.5, num_hashes=64, bands=32).collect()}
+    assert 0 in out and 3 in out
+    assert out == {0, 3}  # 1 and 2 folded into 0's group transitively
