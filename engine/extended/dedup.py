@@ -113,17 +113,16 @@ def minhash_sigs(
 
 
 def _band_col(sig: Column, band: int, rows_per_band: int) -> Column:
-    """Hash one band (contiguous signature slice) to a single 64-bit key."""
-    return F.xxhash64(
-        F.array_join(
-            F.transform(
-                F.slice(sig, band * rows_per_band + 1, rows_per_band),
-                lambda v: v.cast("string"),
-            ),
-            ",",
-        ),
-        F.lit(band),
-    )
+    """Hash one band (contiguous signature slice) to a single 64-bit key.
+
+    xxhash64 over the raw band elements + band index — no string
+    materialization (the array_join formulation tripled codegen size and
+    allocated a string per row·band)."""
+    elems = [
+        F.element_at(sig, band * rows_per_band + i + 1)
+        for i in range(rows_per_band)
+    ]
+    return F.xxhash64(*elems, F.lit(band))
 
 
 def minhash_candidates(

@@ -36,6 +36,7 @@ __all__ = [
     "min_max",
     "success_rate",
     "watermark_max",
+    "missing_key_audit",
 ]
 
 
@@ -199,3 +200,20 @@ def success_rate(df: DataFrame, col: str) -> float:
         F.count(F.lit(1)).alias("n"),
     ).collect()[0]
     return (row["ok"] / row["n"]) if row["n"] else 0.0
+
+
+# -- J8 audit: keys missing from the dim (reference logs a warning listing
+# -- them, lib/pipeline_controller.py:427-435) ------------------------------
+def missing_key_audit(df: DataFrame, dim: DataFrame, key: str, *, sample: int = 20):
+    """Keys present in ``df`` but absent from ``dim``: (count, sample list).
+
+    The reference warns with the full id list; at scale the full list is a
+    DataFrame — this returns the count plus a bounded sample for the log
+    line, leaving the anti-join result reusable by callers that need it all.
+    """
+    missing = df.select(key).distinct().join(
+        F.broadcast(dim.select(key).distinct()), on=key, how="left_anti"
+    )
+    count = missing.count()
+    sample_vals = [r[key] for r in missing.limit(sample).collect()] if count else []
+    return count, sample_vals

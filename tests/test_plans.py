@@ -105,3 +105,49 @@ def test_memo_probe_broadcasts_cache(spark):
 
     p = plan(j5_memo_probe(spark, SF))
     assert "BroadcastHashJoin" in p and "LeftOuter" in p
+
+
+def test_aqe_splits_skewed_join(spark):
+    """AQE must mark and split the skewed side of a sort-merge join: 95% of
+    the left rows share one key, thresholds lowered so local data triggers
+    the optimization."""
+    import pyspark.sql.functions as F
+
+    left = spark.range(20000).select(
+        F.when(F.col("id") % 20 != 0, 1).otherwise(F.col("id")).alias("k"),
+        F.col("id").alias("v"),
+    )
+    right = spark.range(2000).select(F.col("id").alias("k"), F.lit("r").alias("rv"))
+    old = {
+        "spark.sql.autoBroadcastJoinThreshold": spark.conf.get(
+            "spark.sql.autoBroadcastJoinThreshold"
+        ),
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": spark.conf.get(
+            "spark.sql.adaptive.skewJoin.skewedPartitionFactor"
+        ),
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": spark.conf.get(
+            "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes"
+        ),
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": spark.conf.get(
+            "spark.sql.adaptive.advisoryPartitionSizeInBytes"
+        ),
+    }
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "1")
+        spark.conf.set(
+            "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "8KB"
+        )
+        spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "8KB")
+        j = left.join(right, "k")
+        # collect() executes j's own query execution so AQE finalizes ITS plan
+        # (count() would build and execute a separate aggregate plan)
+        rows = j.collect()
+        # 19000 hot-key (k=1) matches + 100 sparse keys (0,20,…,1980)
+        assert len(rows) == 19100
+        p = plan(j)
+        assert "isFinalPlan=true" in p
+        assert "skew=true" in p
+    finally:
+        for k, v in old.items():
+            spark.conf.set(k, v)

@@ -97,3 +97,25 @@ def test_keyset_page_is_take_ordered(spark):
     assert [r["id"] for r in page.collect()] == [0, 7, 14, 21, 28, 35, 42, 49, 56, 63]
     # physical plan must be top-k, not a global sort
     assert "TakeOrderedAndProject" in page._jdf.queryExecution().executedPlan().toString()
+
+
+def test_missing_key_audit(spark):
+    df = spark.createDataFrame([(1,), (2,), (3,), (3,)], "k long")
+    dim = spark.createDataFrame([(1,)], "k long")
+    count, sample = R.missing_key_audit(df, dim, "k")
+    assert count == 2 and set(sample) == {2, 3}
+
+
+def test_obfuscate_bcrypt_mode_gated(spark):
+    """bcrypt mode must fail fast with a clear error when the wheel is
+    absent (engine images without it fall back to sha2 by configuration)."""
+    from engine.ops import hashing
+
+    if hashing.HAS_BCRYPT:
+        import pytest
+
+        pytest.skip("bcrypt present in this image")
+    import pytest
+
+    with pytest.raises(ImportError, match="bcrypt"):
+        hashing.obfuscate_col("v", "salt", mode="bcrypt")
