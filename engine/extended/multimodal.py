@@ -40,6 +40,8 @@ __all__ = [
     "decode_media",
     "media_features",
     "frame_sample",
+    "resize_media",
+    "fake_resizer",
 ]
 
 #: codec signature: payload bytes -> decoded ndarray-ish bytes (opaque here)
@@ -169,3 +171,69 @@ def frame_sample(df: DataFrame, *, every_n_bytes: int = 256, frame_len: int = 64
             yield pd.DataFrame(out_rows, columns=["media_id", "frame_idx", "frame"])
 
     return df.mapInPandas(run, schema=FRAMES_SCHEMA)
+
+
+RESIZED_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("mime", StringType()),
+        StructField("payload", BinaryType()),
+        StructField("width", IntegerType()),
+        StructField("height", IntegerType()),
+    ]
+)
+
+#: resizer signature: (payload, mime, src_w, src_h, dst_w, dst_h) -> bytes
+Resizer = Callable[[bytes, str, int, int, int, int], bytes]
+
+
+def fake_resizer() -> Resizer:
+    """Deterministic stand-in for an image resizer (PIL.Image.resize in a
+    real deployment): scales the byte budget by the area ratio — payload
+    sizes behave like a real downscale, so downstream size/partition logic
+    is exercised honestly."""
+
+    def resize(payload: bytes, mime: str, sw: int, sh: int, dw: int, dh: int) -> bytes:
+        if sw <= 0 or sh <= 0:
+            return payload
+        target = max(1, int(len(payload) * (dw * dh) / (sw * sh)))
+        if target <= len(payload):
+            return payload[:target]
+        reps = (target + len(payload) - 1) // len(payload)
+        return (payload * reps)[:target]
+
+    return resize
+
+
+def resize_media(
+    df: DataFrame, width: int, height: int, *, resizer: Resizer | None = None
+) -> DataFrame:
+    """Resize every payload to (width, height) through the mapInPandas seam.
+
+    Without an injected resizer this raises NotImplementedError at execution
+    (clearly-marked stub — the image libs aren't in this container); the
+    plumbing (schema, batching, metadata rewrite) is real either way.
+    """
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            if resizer is None:
+                raise NotImplementedError(
+                    "no resize backend in this image; inject a Resizer "
+                    "(e.g. PIL-based) to resize payloads"
+                )
+            out = [
+                resizer(bytes(p), m, int(w), int(h), width, height)
+                for p, m, w, h in zip(b["payload"], b["mime"], b["width"], b["height"])
+            ]
+            yield pd.DataFrame(
+                {
+                    "media_id": b["media_id"],
+                    "mime": b["mime"],
+                    "payload": out,
+                    "width": [width] * len(b),
+                    "height": [height] * len(b),
+                }
+            )
+
+    return df.mapInPandas(run, schema=RESIZED_SCHEMA)

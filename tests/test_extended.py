@@ -189,3 +189,15 @@ def test_minhash_dedup_cc_collapses_chain(spark):
     out = {r["doc_id"] for r in minhash_dedup_cc(docs, threshold=0.5, num_hashes=64, bands=32).collect()}
     assert 0 in out and 3 in out
     assert out == {0, 3}  # 1 and 2 folded into 0's group transitively
+
+
+def test_resize_media_stub_and_fake(spark):
+    from engine.extended.multimodal import fake_media_from_text, fake_resizer, resize_media
+
+    media = fake_media_from_text(_docs(spark))
+    with pytest.raises(Exception):
+        resize_media(media, 64, 64).collect()  # stub without a backend
+
+    out = {r["media_id"]: r for r in resize_media(media, 64, 64, resizer=fake_resizer()).collect()}
+    assert all(r["width"] == 64 and r["height"] == 64 for r in out.values())
+    assert all(len(r["payload"]) >= 1 for r in out.values())
