@@ -2060,3 +2060,43 @@ def dedup_minhash_cc(spark, sf_dir):
     return minhash_dedup_cc(d, threshold=0.5).select("doc_id", "source").orderBy(
         "doc_id"
     )
+
+
+@q(
+    "dataset_split",
+    """
+    WITH labeled AS (
+      SELECT doc_id,
+             CASE
+               WHEN CAST(('0x' || SUBSTRING(MD5(CAST(doc_id AS VARCHAR)), 1, 4)) AS INTEGER)
+                    < CAST(0.8 * 65536 AS INTEGER) THEN 'train'
+               WHEN CAST(('0x' || SUBSTRING(MD5(CAST(doc_id AS VARCHAR)), 1, 4)) AS INTEGER)
+                    < CAST(0.9 * 65536 AS INTEGER) THEN 'val'
+               ELSE 'test' END AS split
+      FROM documents)
+    SELECT split, COUNT(*) AS n FROM labeled GROUP BY split
+    """,
+)
+def dataset_split(spark, sf_dir):
+    """Deterministic train/val/test split from md5(doc_id) — reproducible
+    across engines/runs/row orders (engine.extended.sampling.hash_split)."""
+    from engine.extended.sampling import hash_split
+
+    d = t(spark, sf_dir, "documents")
+    return (
+        d.withColumn("split", hash_split("doc_id"))
+        .groupBy("split")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+@q("stratified_sample")  # rows-only: seeded engine-native RNG
+def stratified_sample_q(spark, sf_dir):
+    """Seeded per-language stratified sample of documents (class-balanced
+    subset without collecting group sizes)."""
+    from engine.extended.sampling import stratified_sample
+
+    d = t(spark, sf_dir, "documents")
+    langs = [r["lang"] for r in d.select("lang").distinct().collect()]
+    out = stratified_sample(d, "lang", {lg: 0.5 for lg in langs}, seed=42)
+    return out.groupBy("lang").agg(F.count(F.lit(1)).alias("n_sampled")).orderBy("lang")
