@@ -2100,3 +2100,57 @@ def stratified_sample_q(spark, sf_dir):
     langs = [r["lang"] for r in d.select("lang").distinct().collect()]
     out = stratified_sample(d, "lang", {lg: 0.5 for lg in langs}, seed=42)
     return out.groupBy("lang").agg(F.count(F.lit(1)).alias("n_sampled")).orderBy("lang")
+
+
+@q(
+    "hybrid_search_topk",
+    """
+    WITH tok AS (
+      SELECT doc_id, regexp_extract_all(LOWER(text), '[a-z0-9'']+') AS toks
+      FROM documents),
+    stats AS (
+      SELECT COUNT(*) AS n,
+             COUNT(CASE WHEN list_contains(toks, 'spark') THEN 1 END) AS df_spark,
+             COUNT(CASE WHEN list_contains(toks, 'merge') THEN 1 END) AS df_merge
+      FROM tok),
+    lex AS (
+      SELECT t.doc_id,
+             ROUND(
+               LN((s.n + 1.0) / (s.df_spark + 1.0)) *
+                 (LENGTH(list_filter(t.toks, x -> x = 'spark')) /
+                  (LENGTH(list_filter(t.toks, x -> x = 'spark')) + 1.2)) +
+               LN((s.n + 1.0) / (s.df_merge + 1.0)) *
+                 (LENGTH(list_filter(t.toks, x -> x = 'merge')) /
+                  (LENGTH(list_filter(t.toks, x -> x = 'merge')) + 1.2)), 4)
+               AS lex_score
+      FROM tok t, stats s),
+    qv AS (SELECT embedding AS q FROM embeddings WHERE vec_id = 3),
+    vec AS (
+      SELECT e.vec_id AS doc_id,
+             ROUND(
+               list_sum(list_transform(list_zip(e.embedding, qv.q),
+                        p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE))) /
+               (SQRT(list_sum(list_transform(e.embedding,
+                        x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) *
+                SQRT(list_sum(list_transform(qv.q,
+                        x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))), 4) AS vec_score
+      FROM embeddings e, qv)
+    SELECT l.doc_id, l.lex_score, v.vec_score,
+           ROUND(l.lex_score + v.vec_score, 4) AS score
+    FROM lex l JOIN vec v ON l.doc_id = v.doc_id
+    ORDER BY score DESC, l.doc_id LIMIT 10
+    """,
+)
+def hybrid_search_topk(spark, sf_dir):
+    """Hybrid lexical+vector retrieval: BM25-style query-term scoring fused
+    with cosine similarity to a query embedding, exact top-10
+    (engine.extended.search.hybrid_topk)."""
+    from engine.extended.search import hybrid_topk
+
+    d = t(spark, sf_dir, "documents")
+    emb = t(spark, sf_dir, "embeddings")
+    qv = [
+        float(x)
+        for x in emb.filter(F.col("vec_id") == 3).select("embedding").collect()[0][0]
+    ]
+    return hybrid_topk(d, emb, ["spark", "merge"], qv, k=10, alpha=1.0)
