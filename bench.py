@@ -54,9 +54,41 @@ def main() -> None:
 
     from queries import SPARK_QUERIES
 
-    # warm-up: JVM + parquet footers + codegen paths on a trivial action
+    # warm-up (untimed): parquet footers + JIT for the operator classes the
+    # pack uses — hash-agg, window, broadcast join, explode+hash-agg, top-k —
+    # so per-query timings measure the queries, not first-use JVM compilation.
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
     for name in ("region", "lineitem"):
         spark.read.parquet(f"{sf_dir}/{name}.parquet").limit(1).count()
+    r = spark.range(10000).select(
+        (F.col("id") % 100).alias("k"), F.col("id").alias("v")
+    )
+    dim = spark.range(100).select(F.col("id").alias("k"), F.lit("d").alias("d"))
+    w = Window.partitionBy("k").orderBy("v")
+    warm = (
+        r.join(F.broadcast(dim), "k")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 2)
+        .groupBy("k")
+        .agg(F.sum("v").alias("s"), F.min(F.xxhash64("d", F.lit(1))).alias("h"))
+        .orderBy(F.col("s").desc())
+        .limit(5)
+    )
+    warm.write.format("noop").mode("overwrite").save()
+    spark.range(1000).select(
+        F.explode(F.array(*[F.lit(i) for i in range(4)])).alias("e")
+    ).groupBy("e").count().write.format("noop").mode("overwrite").save()
+    # the 64-min-aggregate signature plan is the single largest codegen unit
+    # in the pack — compile it once on a 20-row corpus
+    from engine.extended.dedup import minhash_candidates
+
+    tiny = spark.createDataFrame(
+        [(i, f"alpha beta gamma delta epsilon zeta doc{i} eta theta") for i in range(20)],
+        "doc_id long, text string",
+    )
+    minhash_candidates(tiny).write.format("noop").mode("overwrite").save()
 
     timings: dict[str, float] = {}
     total = 0.0
