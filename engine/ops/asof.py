@@ -40,6 +40,12 @@ def asof_join(
     at equal timestamps (inclusive bound), then ``last(ignorenulls)`` carries
     the most recent build values forward onto every probe row.
     """
+    clash = set(value_cols) & {c for c in probe.columns if c != key}
+    if clash:
+        raise ValueError(
+            f"value_cols {sorted(clash)} collide with probe columns — alias "
+            "the build side before the as-of join"
+        )
     p = probe.withColumn("__ts", F.col(probe_ts)).withColumn("__side", F.lit(1))
     b = build.withColumn("__ts", F.col(build_ts)).withColumn("__side", F.lit(0))
 

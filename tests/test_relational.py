@@ -119,3 +119,30 @@ def test_obfuscate_bcrypt_mode_gated(spark):
 
     with pytest.raises(ImportError, match="bcrypt"):
         hashing.obfuscate_col("v", "salt", mode="bcrypt")
+
+
+def test_asof_join_rejects_column_collision(spark):
+    import pytest
+    from engine.ops.asof import asof_join
+
+    probe = spark.createDataFrame([(1, 10, 5.0)], "k long, pts long, value double")
+    build = spark.createDataFrame([(1, 5, 7.0)], "k long, bts long, value double")
+    with pytest.raises(ValueError, match="collide"):
+        asof_join(probe, build, "k", "pts", "bts", ["value"])
+
+
+def test_asof_join_basic_semantics(spark):
+    from engine.ops.asof import asof_join
+
+    probe = spark.createDataFrame(
+        [(1, 10), (1, 3), (2, 10)], "k long, pts long"
+    )
+    build = spark.createDataFrame(
+        [(1, 5, "a"), (1, 10, "b"), (1, 12, "c")], "k long, bts long, tag string"
+    )
+    out = {(r["k"], r["pts"]): r["tag"] for r in asof_join(
+        probe, build, "k", "pts", "bts", ["tag"]
+    ).collect()}
+    assert out[(1, 10)] == "b"   # inclusive bound picks the equal-ts build row
+    assert out[(1, 3)] is None   # nothing at or before
+    assert out[(2, 10)] is None  # no build rows for key 2
