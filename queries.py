@@ -2154,3 +2154,257 @@ def hybrid_search_topk(spark, sf_dir):
         for x in emb.filter(F.col("vec_id") == 3).select("embedding").collect()[0][0]
     ]
     return hybrid_topk(d, emb, ["spark", "merge"], qv, k=10, alpha=1.0)
+
+
+# ===========================================================================
+# Pipeline mode graphs, oracle-verified end-to-end (SURVEY §3): a sierra-
+# shaped source derived deterministically from orders×customer runs through
+# the REAL mode graphs; the oracle replicates the whole chain in SQL.
+# ===========================================================================
+
+
+def _sierra_from_orders(spark, sf_dir):
+    o = t(spark, sf_dir, "orders")
+    c = t(spark, sf_dir, "customer")
+    return (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .select(
+            F.col("o_custkey").alias("patron_id_plaintext"),
+            (F.col("o_orderkey") % 5).alias("ptype_code"),
+            F.lit(None).cast("long").alias("pcode3"),
+            F.col("o_orderpriority").alias("patron_home_library_code"),
+            F.col("c_mktsegment").alias("city"),
+            F.lit("NY").alias("region"),
+            F.concat(F.lpad((F.col("o_orderkey") % 89999 + 10000).cast("string"), 5, "0"),
+                     F.lit("-1234")).alias("postal_code"),
+            F.col("c_name").alias("address"),
+            F.to_date("o_orderdate").alias("circ_active_date_et"),
+            F.lit(None).cast("date").alias("deletion_date_et"),
+            F.col("o_orderdate").alias("last_updated_timestamp"),
+            F.col("o_orderdate").alias("creation_timestamp"),
+            F.col("o_orderkey").cast("int").alias("display_order"),
+            F.lit(1).alias("patron_record_address_type_id"),
+        )
+    )
+
+
+_SIERRA_SQL = """
+      SELECT o.o_custkey AS patron_id_plaintext,
+             o.o_orderkey % 5 AS ptype_code,
+             CAST(NULL AS BIGINT) AS pcode3,
+             o.o_orderpriority AS patron_home_library_code,
+             c.c_mktsegment AS city,
+             'NY' AS region,
+             LPAD(CAST(o.o_orderkey % 89999 + 10000 AS VARCHAR), 5, '0') || '-1234'
+               AS postal_code,
+             c.c_name AS address,
+             CAST(o.o_orderdate AS DATE) AS circ_active_date_et,
+             o.o_orderdate AS creation_timestamp,
+             o.o_orderkey AS display_order
+      FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+"""
+
+
+@q(
+    "pipeline_new_mode",
+    f"""
+    WITH sierra AS ({_SIERRA_SQL}),
+    dedup AS (
+      SELECT * FROM (
+        SELECT s.*, ROW_NUMBER() OVER (PARTITION BY patron_id_plaintext
+                                       ORDER BY display_order) AS rn
+        FROM sierra s) WHERE rn = 1)
+    SELECT sha256('spark-graft' || CAST(patron_id_plaintext AS VARCHAR)) AS patron_id,
+           sha256('spark-graft' ||
+             (CAST(patron_id_plaintext AS VARCHAR) || '_' ||
+              COALESCE(address, '') || '_' || COALESCE(city, '') || '_' ||
+              COALESCE(region, '') || '_' || COALESCE(postal_code, ''))) AS address_hash,
+           SUBSTRING(postal_code, 1, 5) AS postal_code,
+           CAST(NULL AS VARCHAR) AS geoid,
+           CAST(CAST(creation_timestamp AT TIME ZONE 'UTC'
+                AT TIME ZONE 'America/New_York' AS DATE) AS VARCHAR) AS creation_date_et,
+           CAST(NULL AS VARCHAR) AS deletion_date_et,
+           CAST(circ_active_date_et AS VARCHAR) AS circ_active_date_et,
+           ptype_code,
+           pcode3,
+           patron_home_library_code,
+           patron_home_library_code AS initial_patron_home_library_code
+    FROM dedup
+    """,
+)
+def pipeline_new_mode(spark, sf_dir):
+    """The REAL new_patrons_graph (engine.pipeline) end-to-end over a
+    deterministic sierra-shaped source, hash-checked against a full SQL
+    replication of the chain: keep-first dedup (J4) → keyed hashes (F1/F2) →
+    zip5 (F5) → ET dates (F6) → 11-field sink projection."""
+    from engine.pipeline import PipelineConfig, new_patrons_graph
+
+    src = _sierra_from_orders(spark, sf_dir)
+    return new_patrons_graph(src, PipelineConfig(salt=SALT))
+
+
+@q(
+    "pipeline_deleted_mode",
+    f"""
+    WITH sierra AS ({_SIERRA_SQL}),
+    dedup AS (
+      SELECT * FROM (
+        SELECT s.*, ROW_NUMBER() OVER (PARTITION BY patron_id_plaintext
+                                       ORDER BY display_order) AS rn
+        FROM sierra s) WHERE rn = 1),
+    warehouse AS (
+      SELECT sha256('spark-graft' || CAST(patron_id_plaintext AS VARCHAR)) AS patron_id,
+             sha256('spark-graft' ||
+               (CAST(patron_id_plaintext AS VARCHAR) || '_' ||
+                COALESCE(address, '') || '_' || COALESCE(city, '') || '_' ||
+                COALESCE(postal_code, ''))) AS address_hash,
+             SUBSTRING(postal_code, 1, 5) AS postal_code,
+             '36061' || LPAD(CAST(patron_id_plaintext % 1000000 AS VARCHAR), 6, '0') AS geoid,
+             CAST(CAST(creation_timestamp AS DATE) AS VARCHAR) AS creation_date_et,
+             CAST(circ_active_date_et AS VARCHAR) AS circ_active_date_et,
+             ptype_code, pcode3, patron_home_library_code,
+             patron_home_library_code AS initial_patron_home_library_code
+      FROM dedup WHERE patron_id_plaintext % 2 = 0),
+    deleted AS (
+      SELECT DISTINCT o_custkey AS patron_id_plaintext,
+             DATE '2024-06-01' AS deletion_date_et
+      FROM orders WHERE o_orderstatus = 'F')
+    SELECT d.patron_id, w.address_hash, w.postal_code, w.geoid,
+           w.creation_date_et,
+           CAST(d.deletion_date_et AS VARCHAR) AS deletion_date_et,
+           w.circ_active_date_et, w.ptype_code, w.pcode3,
+           CAST(NULL AS VARCHAR) AS patron_home_library_code,
+           w.initial_patron_home_library_code
+    FROM (SELECT patron_id_plaintext, deletion_date_et,
+                 sha256('spark-graft' || CAST(patron_id_plaintext AS VARCHAR)) AS patron_id
+          FROM deleted) d
+    LEFT JOIN (SELECT * FROM warehouse) w ON d.patron_id = w.patron_id
+    """,
+)
+def pipeline_deleted_mode(spark, sf_dir):
+    """The REAL deleted_patrons_graph: hash deleted ids, enrich from a
+    warehouse slice (J6; even custkeys cached), carry the deletion date.
+
+    Note the warehouse address_hash uses a 3-part key (address, city,
+    postal) — it is opaque cargo here, so the oracle just replicates the
+    derivation; phlc is dropped by the graph (warehouse value not carried).
+    """
+    from engine.pipeline import PipelineConfig, deleted_patrons_graph
+    from engine.ops.hashing import address_key, normalize_id, obfuscate_col
+    from engine.ops.dedup import keep_first
+    from engine.ops.address import zip5
+    import datetime as dt
+
+    src = _sierra_from_orders(spark, sf_dir)
+    dedup = keep_first(src, ["patron_id_plaintext"], ["display_order"]).withColumn(
+        "patron_id_plaintext", normalize_id("patron_id_plaintext")
+    )
+    warehouse = (
+        dedup.filter(F.col("patron_id_plaintext").cast("long") % 2 == 0)
+        .select(
+            obfuscate_col("patron_id_plaintext", SALT).alias("patron_id"),
+            obfuscate_col(
+                address_key("patron_id_plaintext", ["address", "city", "postal_code"]),
+                SALT,
+            ).alias("address_hash"),
+            zip5("postal_code").alias("postal_code"),
+            F.concat(
+                F.lit("36061"),
+                F.lpad((F.col("patron_id_plaintext").cast("long") % 1000000).cast("string"), 6, "0"),
+            ).alias("geoid"),
+            F.to_date("creation_timestamp").cast("string").alias("creation_date_et"),
+            F.col("circ_active_date_et").cast("string").alias("circ_active_date_et"),
+            "ptype_code",
+            "pcode3",
+            "patron_home_library_code",
+            F.col("patron_home_library_code").alias("initial_patron_home_library_code"),
+        )
+    )
+    deleted = (
+        t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderstatus") == "F")
+        .select(F.col("o_custkey").alias("patron_id_plaintext"))
+        .distinct()
+        .withColumn("deletion_date_et", F.lit(dt.date(2024, 6, 1)))
+    )
+    return deleted_patrons_graph(deleted, warehouse, PipelineConfig(salt=SALT))
+
+
+@q(
+    "pipeline_updated_mode",
+    f"""
+    WITH sierra AS ({_SIERRA_SQL}),
+    dedup AS (
+      SELECT * FROM (
+        SELECT s.*, ROW_NUMBER() OVER (PARTITION BY patron_id_plaintext
+                                       ORDER BY display_order) AS rn
+        FROM sierra s) WHERE rn = 1),
+    hashed AS (
+      SELECT d.*,
+             sha256('spark-graft' || CAST(patron_id_plaintext AS VARCHAR)) AS patron_id,
+             sha256('spark-graft' ||
+               (CAST(patron_id_plaintext AS VARCHAR) || '_' ||
+                COALESCE(address, '') || '_' || COALESCE(city, '') || '_' ||
+                COALESCE(region, '') || '_' || COALESCE(postal_code, ''))) AS address_hash
+      FROM dedup d),
+    cache AS (
+      SELECT address_hash,
+             '36061' || LPAD(CAST(patron_id_plaintext % 1000000 AS VARCHAR), 6, '0')
+               AS cached_geoid,
+             'CACHED_' || patron_home_library_code AS cached_iphlc
+      FROM hashed WHERE patron_id_plaintext % 2 = 0)
+    SELECT h.patron_id,
+           h.address_hash,
+           SUBSTRING(h.postal_code, 1, 5) AS postal_code,
+           c.cached_geoid AS geoid,
+           CAST(CAST(h.creation_timestamp AT TIME ZONE 'UTC'
+                AT TIME ZONE 'America/New_York' AS DATE) AS VARCHAR) AS creation_date_et,
+           CAST(NULL AS VARCHAR) AS deletion_date_et,
+           CAST(h.circ_active_date_et AS VARCHAR) AS circ_active_date_et,
+           h.ptype_code, h.pcode3, h.patron_home_library_code,
+           COALESCE(c.cached_iphlc, h.patron_home_library_code)
+             AS initial_patron_home_library_code
+    FROM hashed h LEFT JOIN cache c ON h.address_hash = c.address_hash
+    """,
+)
+def pipeline_updated_mode(spark, sf_dir):
+    """The REAL updated_patrons_graph: memo-cache probe by address_hash (J5,
+    even custkeys cached with geoids + iphlc), miss rows keep null geoid
+    (no geocoder injected), iphlc backfill chain (J8: cache → warehouse →
+    current phlc)."""
+    from engine.pipeline import PipelineConfig, updated_patrons_graph
+    from engine.ops.dedup import keep_first
+    from engine.ops.hashing import address_key, normalize_id, obfuscate_col
+
+    src = _sierra_from_orders(spark, sf_dir)
+    dedup = keep_first(src, ["patron_id_plaintext"], ["display_order"]).withColumn(
+        "patron_id_plaintext", normalize_id("patron_id_plaintext")
+    )
+    even = dedup.filter(F.col("patron_id_plaintext").cast("long") % 2 == 0)
+    warehouse = even.select(
+        obfuscate_col("patron_id_plaintext", SALT).alias("patron_id"),
+        obfuscate_col(
+            address_key(
+                "patron_id_plaintext", ["address", "city", "region", "postal_code"]
+            ),
+            SALT,
+        ).alias("address_hash"),
+        F.lit(None).cast("string").alias("postal_code"),
+        F.concat(
+            F.lit("36061"),
+            F.lpad(
+                (F.col("patron_id_plaintext").cast("long") % 1000000).cast("string"),
+                6,
+                "0",
+            ),
+        ).alias("geoid"),
+        F.lit(None).cast("string").alias("creation_date_et"),
+        F.lit(None).cast("string").alias("circ_active_date_et"),
+        F.lit(None).cast("long").alias("ptype_code"),
+        F.lit(None).cast("long").alias("pcode3"),
+        F.lit(None).cast("string").alias("patron_home_library_code"),
+        F.concat(F.lit("CACHED_"), F.col("patron_home_library_code")).alias(
+            "initial_patron_home_library_code"
+        ),
+    )
+    return updated_patrons_graph(src, warehouse, PipelineConfig(salt=SALT))
