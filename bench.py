@@ -40,6 +40,7 @@ HEADLINE = [
     "f1_f2_address_key_hash",
     "cdc_apply_changelog",
     "vocab_stats",
+    "pipeline_new_mode",
 ]
 
 
