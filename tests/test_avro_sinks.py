@@ -74,3 +74,33 @@ def test_write_kinesis_driver_mode_and_dry_run(spark):
     assert n == 2 and len(transport.records) == 2
     n2 = write_kinesis(df, transport, dry_run=True)
     assert n2 == 2 and len(transport.records) == 2  # dry run: no new puts
+
+
+def test_write_kinesis_executor_mode(spark, tmp_path):
+    """Executor-side puts: a picklable file-based transport records each
+    chunk from the worker processes; chunking and totals must hold across
+    partitions."""
+    import glob
+    import os
+    import uuid
+
+    out_dir = str(tmp_path / "puts")
+    os.makedirs(out_dir, exist_ok=True)
+
+    def transport(records, batch_id):
+        p = os.path.join(out_dir, f"{batch_id}-{uuid.uuid4().hex}.chunk")
+        with open(p, "wb") as f:
+            f.write(b"\n".join(bytes(r) for r in records))
+
+    df = spark.createDataFrame(
+        [(f"rec{i}".encode(),) for i in range(1203)], "record binary"
+    ).repartition(3)
+    n = write_kinesis(df, transport, batch_id=9, mode="executor")
+    assert n == 1203
+    chunks = glob.glob(f"{out_dir}/9-*.chunk")
+    sizes = sorted(
+        len(open(c, "rb").read().split(b"\n")) for c in chunks
+    )
+    assert sum(sizes) == 1203
+    assert max(sizes) <= KINESIS_MAX_BATCH  # no chunk exceeds the service cap
+    assert len(chunks) >= 3  # at least one put per partition
