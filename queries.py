@@ -1010,10 +1010,12 @@ def text_token_stats(spark, sf_dir):
            LENGTH(text) AS n_chars,
            ROUND(LENGTH(REGEXP_REPLACE(text, '[^A-Za-z]', '', 'g')) * 1.0
                  / LENGTH(text), 4) AS alpha_ratio,
-           ROUND(LENGTH(regexp_extract_all(LOWER(text),
-                 '\\b(the|and|of|to|in|is|that|for|with|was)\\b')) * 1.0
-                 / LENGTH(regexp_extract_all(LOWER(text), '[a-z0-9'']+')), 4)
-             AS stopword_ratio
+           CASE WHEN LENGTH(regexp_extract_all(LOWER(text), '[a-z0-9'']+')) = 0
+                THEN NULL
+                ELSE ROUND(LENGTH(regexp_extract_all(LOWER(text),
+                     '\\b(the|and|of|to|in|is|that|for|with|was)\\b')) * 1.0
+                     / LENGTH(regexp_extract_all(LOWER(text), '[a-z0-9'']+')), 4)
+                END AS stopword_ratio
     FROM documents WHERE LENGTH(text) > 0
     """,
 )
@@ -1030,7 +1032,7 @@ def text_quality(spark, sf_dir):
         n_chars.cast("long").alias("n_chars"),
         F.round(alpha / n_chars.cast("double"), 4).alias("alpha_ratio"),
         F.round(
-            lang_hits("text", "en") / toks.cast("double"), 4
+            lang_hits("text", "en") / F.when(toks > 0, toks.cast("double")), 4
         ).alias("stopword_ratio"),
     )
 

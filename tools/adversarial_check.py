@@ -1,0 +1,205 @@
+"""Adversarial oracle audit: run every oracle-paired query against tiny
+hand-crafted tables full of edge cases — sort ties, blank/whitespace strings,
+duplicate rows, same-timestamp events, zero vectors, empty text — and
+compare Spark vs DuckDB exactly like the driver would.
+
+The shipped testdata is well-behaved; divergences on ties/NaN/null ordering
+only fire on data like this.  Usage: python tools/adversarial_check.py
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+import os
+import sys
+import tempfile
+
+sys.path.insert(0, ".")
+
+import pandas as pd  # noqa: E402
+
+import duckdb  # noqa: E402
+
+from tools.check_oracle import TABLES, canon, compare  # noqa: E402
+
+
+def duck_con_dirs(sf_dir: str):
+    """DuckDB views over Spark-written parquet DIRECTORIES (vs the driver's
+    single files)."""
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM "
+            f"read_parquet('{sf_dir}/{t}.parquet/*.parquet')"
+        )
+    return con
+
+
+def build_tables(path: str, spark) -> None:
+    def write(name, pdf, schema):
+        spark.createDataFrame(pdf, schema=schema).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(f"{path}/{name}.parquet")
+
+    write(
+        "region",
+        [(0, "ALPHA"), (1, "ALPHA"), (2, "beta ")],  # duplicate names, trailing space
+        "r_regionkey int, r_name string",
+    )
+    write(
+        "nation",
+        [(i, n, i % 3) for i, n in enumerate(
+            ["CHINA", "CHINA", "FRANCE", "none", "", "  ", "PERU", "peru"]
+        )],
+        "n_nationkey int, n_name string, n_regionkey int",
+    )
+    write(
+        "customer",
+        [
+            (1, "Alice", 0, 100.0, "BUILDING"),
+            (2, "Alice", 0, 100.0, "BUILDING"),     # full tie with 1
+            (3, "", 1, -5.559999999, "none"),        # blank name, near-half bal
+            (4, "Dora", 2, 0.0, ""),                 # empty segment
+            (5, "Eve", 2, 5000.0, "MACHINERY"),
+            (6, "O'Hara \"Q\"", 1, None, "BUILDING"),  # quotes + null bal
+        ],
+        "c_custkey long, c_name string, c_nationkey int, c_acctbal double, c_mktsegment string",
+    )
+    write(
+        "supplier",
+        [(1, "S1", 0, 10.0), (2, "S1", 0, 10.0)],
+        "s_suppkey long, s_name string, s_nationkey int, s_acctbal double",
+    )
+    write(
+        "part",
+        [
+            (1, "azure linen", "Brand#1", "PROMO BURNISHED", 5, 1.005),
+            (2, "azure linen", "Brand#1", "PROMO BURNISHED", 5, 1.005),  # dup
+            (3, "x", "B2", " ", 0, 0.0),  # whitespace type
+        ],
+        "p_partkey long, p_name string, p_brand string, p_type string, p_size int, p_retailprice double",
+    )
+    d0 = dt.datetime(1995, 6, 1)
+    write(
+        "orders",
+        [
+            # same customer, identical totalprice (topk tie), same date
+            (10, 1, "O", 500.0, d0, "1-URGENT"),
+            (11, 1, "O", 500.0, d0, "1-URGENT"),
+            (12, 1, "F", 250.125, d0, "none"),
+            (13, 2, "F", 0.0, dt.datetime(1995, 6, 2), ""),
+            (14, 3, "P", 99.995, dt.datetime(1994, 12, 31, 23, 59, 59), "  "),
+            (15, 5, "O", 300000.5, dt.datetime(1996, 1, 1), "5-LOW"),
+            (20, 6, "F", 500.0, d0, "2-HIGH"),  # F + orderkey%10==0 → CDC delete
+        ],
+        "o_orderkey long, o_custkey long, o_orderstatus string, o_totalprice double, o_orderdate timestamp, o_orderpriority string",
+    )
+    write(
+        "lineitem",
+        [
+            # duplicate complete rows (j4 full tie) + a second linenumber
+            (10, 1, 1, 1, 5.0, 100.0, 0.05, 0.02, "N", "O", d0),
+            (10, 1, 1, 1, 5.0, 100.0, 0.05, 0.02, "N", "O", d0),
+            (10, 2, 1, 2, 3.0, 50.0, 0.06, 0.01, "N", "O", d0),
+            (11, 3, 2, 1, 0.0, 0.0, 0.0, 0.0, "R", "F", dt.datetime(1994, 3, 1)),
+            (12, 1, 1, 1, 24.0, 10.0, 0.07, 0.0, "A", "F", dt.datetime(1994, 6, 1)),
+        ],
+        "l_orderkey long, l_partkey long, l_suppkey long, l_linenumber int, "
+        "l_quantity double, l_extendedprice double, l_discount double, l_tax double, "
+        "l_returnflag string, l_linestatus string, l_shipdate timestamp",
+    )
+    t0 = dt.datetime(2024, 3, 1, 12, 0, 0)
+    write(
+        "events",
+        [
+            (1, t0, 7, "click", 1.0, '{"k": 1}'),
+            (2, t0, 7, "click", 2.0, None),            # same ts same user (tie)
+            (3, t0 + dt.timedelta(minutes=29), 7, "view", 3.0, '{"k": 2}'),
+            (4, t0 + dt.timedelta(minutes=61), 7, "view", 4.0, '{"k": -3}'),
+            (5, t0, 8, "error", -1.5, '{"k": 0}'),
+            (6, dt.datetime(2024, 3, 2, 4, 0, 0), 8, "signup", 0.0, None),  # ET midnight edge
+        ],
+        "event_id long, ts timestamp, user_id long, event_type string, value double, props string",
+    )
+    write(
+        "documents",
+        [
+            (0, "the quick brown fox jumps over the lazy dog again and again", "en", "web", 60),
+            (1, "THE QUICK BROWN FOX jumps over the lazy dog again and again!!!", "en", "web", 62),  # exact dup of 0 normalized
+            (2, "", "en", "web", 0),                     # empty text
+            (3, "   ", "en", "book", 3),                 # whitespace only
+            (4, "der hund und die katze sind nicht da zu haus", "de", "book", 44),
+            (5, "le chat est dans la maison pour le moment", "fr", "web", 41),
+            (6, "the los", "und", "web", 7),             # en/es marker tie
+            (7, "short", "en", "book", 5),
+        ],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    import math
+
+    vecs = []
+    for i in range(12):
+        angle = i * math.pi / 12
+        vecs.append((i, [math.cos(angle), math.sin(angle), 0.0, 0.1 * i], i % 3))
+    vecs.append((99, [1.0, 0.0, 0.0, 0.0], 0))   # duplicate direction of vec 0
+    vecs.append((100, [0.0, 0.0, 0.0, 0.0], 1))  # zero vector (cosine 0/0)
+    vecs.append((7, [0.5, 0.5, 0.5, 0.5], 2)) if False else None
+    write(
+        "embeddings",
+        vecs,
+        "vec_id long, embedding array<float>, label int",
+    )
+
+
+# queries that look up specific ids absent from the adversarial tables
+SKIP = {
+    "ann_cosine_topk",      # needs vec_id=7 (present: checked below)
+    "hybrid_search_topk",   # needs vec_id=3
+    "ann_lsh_topk",
+    "ann_ivf_topk",
+    "embedding_near_dup",
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    "dedup_minhash_cc",
+    "multimodal_features",
+    "stratified_sample",
+    "doc_overlap_winnow",
+}
+
+
+def main() -> int:
+    import __spark_entry__ as entrymod
+    from engine.session import get_spark
+
+    spark = get_spark(master="local[4]", shuffle_partitions=4)
+    tmp = tempfile.mkdtemp(prefix="adversarial_sf_")
+    build_tables(tmp, spark)
+    con = duck_con_dirs(tmp)
+    qs = entrymod.queries()
+    oracles = entrymod.oracle_sql()
+    failures = []
+    for name, fn in qs.items():
+        if name not in oracles or name in SKIP:
+            continue
+        try:
+            sdf = fn(spark, tmp).toPandas()
+        except Exception as e:
+            failures.append(name)
+            print(f"FAIL {name}: spark raised {type(e).__name__}: {str(e)[:160]}")
+            continue
+        try:
+            odf = con.execute(oracles[name]).df()
+        except Exception as e:
+            failures.append(name)
+            print(f"FAIL {name}: duckdb raised {type(e).__name__}: {str(e)[:160]}")
+            continue
+        ok, msg = compare(name, sdf, odf)
+        print(("PASS" if ok else "FAIL"), name, msg)
+        if not ok:
+            failures.append(name)
+    print(f"\n{len(failures)} failures" + (f": {failures}" if failures else ""))
+    return 1 if failures else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
