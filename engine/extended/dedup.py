@@ -400,7 +400,10 @@ def cosine(a: Column, b: Column) -> Column:
             lambda acc, x: acc + x,
         )
     )
-    return dot / (na * nb)
+    # zero vectors: null similarity, never a division error (one bad
+    # embedding must not fail the job — caught by the adversarial audit)
+    denom = na * nb
+    return F.when(denom > 0, dot / denom)
 
 
 def embedding_near_dup(

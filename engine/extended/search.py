@@ -103,4 +103,4 @@ def hybrid_topk(
             F.lit(alpha) * F.col("lex_score") + F.col("vec_score"), round_to
         ).alias("score"),
     )
-    return fused.orderBy(F.col("score").desc(), F.col(doc_id)).limit(k)
+    return fused.orderBy(F.col("score").desc_nulls_last(), F.col(doc_id)).limit(k)

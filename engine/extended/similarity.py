@@ -46,7 +46,7 @@ def cosine_topk(
     sim = F.round(cosine(F.col(vec_col), q), round_to)
     return (
         vectors.select(F.col(id_col), sim.alias("sim"))
-        .orderBy(F.col("sim").desc(), F.col(id_col))
+        .orderBy(F.col("sim").desc_nulls_last(), F.col(id_col))
         .limit(k)
     )
 
@@ -109,7 +109,7 @@ def lsh_topk(
     sim = F.round(cosine(F.col(vec_col), q), round_to)
     return (
         probe.select(F.col(id_col), sim.alias("sim"))
-        .orderBy(F.col("sim").desc(), F.col(id_col))
+        .orderBy(F.col("sim").desc_nulls_last(), F.col(id_col))
         .limit(k)
     )
 
@@ -177,6 +177,6 @@ def ivf_topk(
     return (
         assigned.filter(F.col("ivf_list").isin(probe_lists))
         .select(F.col(id_col), sim.alias("sim"))
-        .orderBy(F.col("sim").desc(), F.col(id_col))
+        .orderBy(F.col("sim").desc_nulls_last(), F.col(id_col))
         .limit(k)
     )

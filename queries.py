@@ -1150,15 +1150,20 @@ def dedup_ngram_jaccard(spark, sf_dir):
     WITH qv AS (SELECT embedding AS q FROM embeddings WHERE vec_id = 7),
     sims AS (
       SELECT e.vec_id,
-             ROUND(
+             CASE WHEN SQRT(list_sum(list_transform(e.embedding,
+                        x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) *
+                       SQRT(list_sum(list_transform(qv.q,
+                        x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) > 0
+             THEN ROUND(
                list_sum(list_transform(list_zip(e.embedding, qv.q),
                         p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE))) /
                (SQRT(list_sum(list_transform(e.embedding,
                         x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) *
                 SQRT(list_sum(list_transform(qv.q,
-                        x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))), 4) AS sim
+                        x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))), 4)
+             END AS sim
       FROM embeddings e, qv)
-    SELECT vec_id, sim FROM sims ORDER BY sim DESC, vec_id LIMIT 10
+    SELECT vec_id, sim FROM sims ORDER BY sim DESC NULLS LAST, vec_id LIMIT 10
     """,
 )
 def ann_cosine_topk(spark, sf_dir):
@@ -2129,18 +2134,23 @@ def stratified_sample_q(spark, sf_dir):
     qv AS (SELECT embedding AS q FROM embeddings WHERE vec_id = 3),
     vec AS (
       SELECT e.vec_id AS doc_id,
-             ROUND(
+             CASE WHEN SQRT(list_sum(list_transform(e.embedding,
+                        x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) *
+                       SQRT(list_sum(list_transform(qv.q,
+                        x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) > 0
+             THEN ROUND(
                list_sum(list_transform(list_zip(e.embedding, qv.q),
                         p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE))) /
                (SQRT(list_sum(list_transform(e.embedding,
                         x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) *
                 SQRT(list_sum(list_transform(qv.q,
-                        x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))), 4) AS vec_score
+                        x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))), 4)
+             END AS vec_score
       FROM embeddings e, qv)
     SELECT l.doc_id, l.lex_score, v.vec_score,
            ROUND(l.lex_score + v.vec_score, 4) AS score
     FROM lex l JOIN vec v ON l.doc_id = v.doc_id
-    ORDER BY score DESC, l.doc_id LIMIT 10
+    ORDER BY score DESC NULLS LAST, l.doc_id LIMIT 10
     """,
 )
 def hybrid_search_topk(spark, sf_dir):
