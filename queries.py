@@ -2420,3 +2420,60 @@ def pipeline_updated_mode(spark, sf_dir):
         ),
     )
     return updated_patrons_graph(src, warehouse, PipelineConfig(salt=SALT))
+
+
+@q(
+    "corpus_curation_pipeline",
+    """
+    WITH filtered AS (
+      SELECT doc_id, text, source FROM documents
+      WHERE LENGTH(text) >= 50
+        AND LENGTH(regexp_extract_all(LOWER(text), '[a-z0-9'']+')) >= 10
+        AND LENGTH(REGEXP_REPLACE(text, '[^A-Za-z]', '', 'g')) * 1.0
+            / LENGTH(text) >= 0.5),
+    deduped AS (
+      SELECT doc_id, text, source FROM (
+        SELECT f.*, ROW_NUMBER() OVER (
+          PARTITION BY MD5(REGEXP_REPLACE(LOWER(text), '[^a-z0-9]', '', 'g'))
+          ORDER BY doc_id) AS rn
+        FROM filtered f) WHERE rn = 1),
+    split AS (
+      SELECT *,
+        CASE WHEN CAST(('0x' || SUBSTRING(MD5(CAST(doc_id AS VARCHAR)), 1, 4))
+                       AS INTEGER) < CAST(0.8 * 65536 AS INTEGER) THEN 'train'
+             WHEN CAST(('0x' || SUBSTRING(MD5(CAST(doc_id AS VARCHAR)), 1, 4))
+                       AS INTEGER) < CAST(0.9 * 65536 AS INTEGER) THEN 'val'
+             ELSE 'test' END AS split
+      FROM deduped)
+    SELECT split, COUNT(*) AS n_docs,
+           ROUND(AVG(LENGTH(text)), 2) AS avg_chars,
+           CAST(SUM(LENGTH(regexp_extract_all(LOWER(text), '[a-z0-9'']+')))
+                AS BIGINT) AS total_tokens
+    FROM split GROUP BY split
+    """,
+)
+def corpus_curation_pipeline(spark, sf_dir):
+    """The full training-data curation chain as ONE declarative plan:
+    quality filter → exact dedup (keep lowest id) → deterministic
+    train/val/test split → per-split stats.  Composed purely from engine
+    operators, so Catalyst fuses the whole thing: one scan, one dedup
+    shuffle, one stats shuffle."""
+    from engine.extended.dedup import exact_dedup_docs
+    from engine.extended.sampling import hash_split
+    from engine.extended.text import token_count
+
+    d = t(spark, sf_dir, "documents")
+    alpha_ratio = (
+        F.length(F.regexp_replace(F.col("text"), "[^A-Za-z]", ""))
+        / F.length("text").cast("double")
+    )
+    filtered = d.filter(
+        (F.length("text") >= 50) & (token_count("text") >= 10) & (alpha_ratio >= 0.5)
+    ).select("doc_id", "text", "source")
+    deduped = exact_dedup_docs(filtered)
+    split = deduped.withColumn("split", hash_split("doc_id"))
+    return split.groupBy("split").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.round(F.avg(F.length("text")), 2).alias("avg_chars"),
+        F.sum(token_count("text")).cast("long").alias("total_tokens"),
+    )
