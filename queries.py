@@ -2477,3 +2477,69 @@ def corpus_curation_pipeline(spark, sf_dir):
         F.round(F.avg(F.length("text")), 2).alias("avg_chars"),
         F.sum(token_count("text")).cast("long").alias("total_tokens"),
     )
+
+
+@q(
+    "funnel_conversion",
+    """
+    WITH fv AS (
+      SELECT user_id, MIN(CASE WHEN event_type = 'view' THEN ts END) AS first_view
+      FROM events GROUP BY user_id),
+    fc AS (
+      SELECT e.user_id, f.first_view,
+             MIN(CASE WHEN e.event_type = 'click' AND e.ts >= f.first_view
+                      THEN e.ts END) AS first_click
+      FROM events e JOIN fv f ON e.user_id = f.user_id
+      GROUP BY e.user_id, f.first_view),
+    fp AS (
+      SELECT c.user_id, c.first_view, c.first_click,
+             MIN(CASE WHEN e.event_type = 'purchase' AND e.ts >= c.first_click
+                      THEN e.ts END) AS first_purchase
+      FROM events e JOIN fc c ON e.user_id = c.user_id
+      GROUP BY c.user_id, c.first_view, c.first_click)
+    SELECT COUNT(CASE WHEN first_view IS NOT NULL THEN 1 END) AS n_view,
+           COUNT(CASE WHEN first_click IS NOT NULL THEN 1 END) AS n_view_click,
+           COUNT(CASE WHEN first_purchase IS NOT NULL THEN 1 END) AS n_full_funnel
+    FROM fp
+    """,
+)
+def funnel_conversion(spark, sf_dir):
+    """Ordered funnel (view → click → purchase) per user: each stage's first
+    timestamp must be at or after the previous stage's.  Two window passes
+    over the same user partitioning — one shuffle total, no self-joins."""
+    from pyspark.sql import Window as W
+
+    e = t(spark, sf_dir, "events")
+    w = W.partitionBy("user_id")
+    step1 = e.withColumn(
+        "first_view", F.min(F.when(F.col("event_type") == "view", F.col("ts"))).over(w)
+    )
+    step2 = step1.withColumn(
+        "first_click",
+        F.min(
+            F.when(
+                (F.col("event_type") == "click") & (F.col("ts") >= F.col("first_view")),
+                F.col("ts"),
+            )
+        ).over(w),
+    )
+    step3 = step2.withColumn(
+        "first_purchase",
+        F.min(
+            F.when(
+                (F.col("event_type") == "purchase")
+                & (F.col("ts") >= F.col("first_click")),
+                F.col("ts"),
+            )
+        ).over(w),
+    )
+    per_user = step3.groupBy("user_id").agg(
+        F.max("first_view").alias("first_view"),
+        F.max("first_click").alias("first_click"),
+        F.max("first_purchase").alias("first_purchase"),
+    )
+    return per_user.agg(
+        F.count(F.when(F.col("first_view").isNotNull(), 1)).alias("n_view"),
+        F.count(F.when(F.col("first_click").isNotNull(), 1)).alias("n_view_click"),
+        F.count(F.when(F.col("first_purchase").isNotNull(), 1)).alias("n_full_funnel"),
+    )
