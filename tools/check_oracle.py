@@ -80,7 +80,12 @@ def main() -> int:
     import __spark_entry__ as entrymod
     from engine.session import get_spark
 
-    spark = get_spark(master="local[8]", shuffle_partitions=8)
+    import os
+
+    spark = get_spark(
+        master=os.environ.get("CHECK_MASTER", "local[8]"),
+        shuffle_partitions=int(os.environ.get("CHECK_SHUFFLE", "8")),
+    )
     con = duck_con(sf_dir)
     qs = entrymod.queries()
     oracles = entrymod.oracle_sql()
