@@ -2543,3 +2543,28 @@ def funnel_conversion(spark, sf_dir):
         F.count(F.when(F.col("first_click").isNotNull(), 1)).alias("n_view_click"),
         F.count(F.when(F.col("first_purchase").isNotNull(), 1)).alias("n_full_funnel"),
     )
+
+
+@q(
+    "stats_aggregates",
+    """
+    SELECT l_returnflag,
+           ROUND(corr(l_quantity, l_extendedprice), 4) AS qty_price_corr,
+           ROUND(covar_pop(l_quantity, l_extendedprice), 2) AS qty_price_covar,
+           ROUND(stddev_samp(l_extendedprice), 2) AS price_stddev,
+           ROUND(var_samp(l_quantity), 4) AS qty_var
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def stats_aggregates(spark, sf_dir):
+    """Statistical aggregate family: correlation, population covariance,
+    sample stddev/variance — all single-pass codegen aggregates."""
+    li = t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.corr("l_quantity", "l_extendedprice"), 4).alias("qty_price_corr"),
+        F.round(F.covar_pop("l_quantity", "l_extendedprice"), 2).alias(
+            "qty_price_covar"
+        ),
+        F.round(F.stddev_samp("l_extendedprice"), 2).alias("price_stddev"),
+        F.round(F.var_samp("l_quantity"), 4).alias("qty_var"),
+    )
