@@ -24,14 +24,20 @@ __all__ = [
     "rolling_fingerprints",
 ]
 
-#: token = maximal run of word characters, lowercased.
-_TOKEN_RE = "[a-z0-9']+"
+#: token = maximal ASCII alnum/apostrophe run, matched on the ORIGINAL text
+#: and lowercased per token.  Deliberately not lower-then-match: Unicode
+#: lowercasing differs between engines (Java vs utf8proc disagree on 'İ' and
+#: friends), while ASCII-class matching + ASCII lowering is engine-invariant.
+#: Non-ASCII characters act as token separators.
+_TOKEN_RE = "[A-Za-z0-9']+"
 
 
 def tokens(col: Column | str) -> Column:
-    """Lowercased word tokens (BPE-ish: alnum runs, apostrophes kept)."""
+    """Lowercased word tokens (BPE-ish: ASCII alnum runs, apostrophes kept)."""
     c = F.col(col) if isinstance(col, str) else col
-    return F.regexp_extract_all(F.lower(c), F.lit(_TOKEN_RE), F.lit(0))
+    return F.transform(
+        F.regexp_extract_all(c, F.lit(_TOKEN_RE), F.lit(0)), lambda t: F.lower(t)
+    )
 
 
 def token_count(col: str) -> Column:
@@ -64,21 +70,23 @@ def char_ngrams(col: str, n: int) -> Column:
 # Language ID: stopword-hit scoring (deterministic n-gram heuristic)
 # ---------------------------------------------------------------------------
 
-#: high-frequency function words per language; hits are counted as whole-word
-#: regex matches.  Deliberately small: the point is the *operator shape*
-#: (argmax over per-language match counts), which scales to real lexicons.
+#: high-frequency function words per language; hits are counted as token-set
+#: membership over :func:`tokens` (no \b regexes — word-boundary semantics
+#: around non-ASCII text are engine-dependent).  Deliberately small: the
+#: point is the *operator shape* (argmax over per-language match counts),
+#: which scales to real lexicons.
 LANG_MARKERS = {
-    "en": r"\b(the|and|of|to|in|is|that|for|with|was)\b",
-    "de": r"\b(der|die|das|und|ist|nicht|mit|ein|eine|zu)\b",
-    "fr": r"\b(le|la|les|et|est|une|pour|dans|que|des)\b",
-    "es": r"\b(el|la|los|las|es|una|por|para|con|del)\b",
-    "it": r"\b(il|la|che|di|e|un|una|per|non|sono)\b",
+    "en": ["the", "and", "of", "to", "in", "is", "that", "for", "with", "was"],
+    "de": ["der", "die", "das", "und", "ist", "nicht", "mit", "ein", "eine", "zu"],
+    "fr": ["le", "la", "les", "et", "est", "une", "pour", "dans", "que", "des"],
+    "es": ["el", "la", "los", "las", "es", "una", "por", "para", "con", "del"],
+    "it": ["il", "la", "che", "di", "e", "un", "una", "per", "non", "sono"],
 }
 
 
 def lang_hits(col: str, lang: str) -> Column:
-    pat = LANG_MARKERS[lang]
-    return F.size(F.regexp_extract_all(F.lower(F.col(col)), F.lit(pat), F.lit(0)))
+    words = F.array(*[F.lit(w) for w in LANG_MARKERS[lang]])
+    return F.size(F.filter(tokens(col), lambda t: F.array_contains(words, t)))
 
 
 def lang_id_expr(col: str, *, min_hits: int = 1) -> Column:
@@ -156,7 +164,7 @@ def with_quality(df: DataFrame, col: str = "text") -> DataFrame:
 def fingerprint(col: str) -> Column:
     """Whole-document fingerprint: md5 of the casefolded, alnum-only text.
     Robust to whitespace/punctuation edits; used as the exact-dedup key."""
-    norm = F.regexp_replace(F.lower(F.col(col)), "[^a-z0-9]", "")
+    norm = F.lower(F.regexp_replace(F.col(col), "[^A-Za-z0-9]", ""))
     return F.md5(norm)
 
 

@@ -988,8 +988,8 @@ def session_window_agg(spark, sf_dir):
     "text_token_stats",
     """
     SELECT doc_id,
-           LENGTH(regexp_extract_all(LOWER(text), '[a-z0-9'']+')) AS n_tokens,
-           MD5(REGEXP_REPLACE(LOWER(text), '[^a-z0-9]', '', 'g')) AS fp
+           LENGTH(list_transform(regexp_extract_all(text, '[A-Za-z0-9'']+'), x -> LOWER(x))) AS n_tokens,
+           MD5(LOWER(REGEXP_REPLACE(text, '[^A-Za-z0-9]', '', 'g'))) AS fp
     FROM documents
     """,
 )
@@ -1010,11 +1010,12 @@ def text_token_stats(spark, sf_dir):
            LENGTH(text) AS n_chars,
            ROUND(LENGTH(REGEXP_REPLACE(text, '[^A-Za-z]', '', 'g')) * 1.0
                  / LENGTH(text), 4) AS alpha_ratio,
-           CASE WHEN LENGTH(regexp_extract_all(LOWER(text), '[a-z0-9'']+')) = 0
+           CASE WHEN LENGTH(list_transform(regexp_extract_all(text, '[A-Za-z0-9'']+'), x -> LOWER(x))) = 0
                 THEN NULL
-                ELSE ROUND(LENGTH(regexp_extract_all(LOWER(text),
-                     '\\b(the|and|of|to|in|is|that|for|with|was)\\b')) * 1.0
-                     / LENGTH(regexp_extract_all(LOWER(text), '[a-z0-9'']+')), 4)
+                ELSE ROUND(LENGTH(list_filter(
+                       list_transform(regexp_extract_all(text, '[A-Za-z0-9'']+'), x -> LOWER(x)),
+                       x -> x IN ('the','and','of','to','in','is','that','for','with','was'))) * 1.0
+                     / LENGTH(list_transform(regexp_extract_all(text, '[A-Za-z0-9'']+'), x -> LOWER(x))), 4)
                 END AS stopword_ratio
     FROM documents WHERE LENGTH(text) > 0
     """,
@@ -1040,14 +1041,18 @@ def text_quality(spark, sf_dir):
 @q(
     "lang_id",
     """
-    WITH hits AS (
+    WITH tok AS (
       SELECT doc_id,
-        LENGTH(regexp_extract_all(LOWER(text), '\\b(the|and|of|to|in|is|that|for|with|was)\\b')) AS h_en,
-        LENGTH(regexp_extract_all(LOWER(text), '\\b(der|die|das|und|ist|nicht|mit|ein|eine|zu)\\b')) AS h_de,
-        LENGTH(regexp_extract_all(LOWER(text), '\\b(le|la|les|et|est|une|pour|dans|que|des)\\b')) AS h_fr,
-        LENGTH(regexp_extract_all(LOWER(text), '\\b(el|la|los|las|es|una|por|para|con|del)\\b')) AS h_es,
-        LENGTH(regexp_extract_all(LOWER(text), '\\b(il|la|che|di|e|un|una|per|non|sono)\\b')) AS h_it
-      FROM documents)
+             list_transform(regexp_extract_all(text, '[A-Za-z0-9'']+'), x -> LOWER(x)) AS toks
+      FROM documents),
+    hits AS (
+      SELECT doc_id,
+        LENGTH(list_filter(toks, x -> x IN ('the','and','of','to','in','is','that','for','with','was'))) AS h_en,
+        LENGTH(list_filter(toks, x -> x IN ('der','die','das','und','ist','nicht','mit','ein','eine','zu'))) AS h_de,
+        LENGTH(list_filter(toks, x -> x IN ('le','la','les','et','est','une','pour','dans','que','des'))) AS h_fr,
+        LENGTH(list_filter(toks, x -> x IN ('el','la','los','las','es','una','por','para','con','del'))) AS h_es,
+        LENGTH(list_filter(toks, x -> x IN ('il','la','che','di','e','un','una','per','non','sono'))) AS h_it
+      FROM tok)
     SELECT doc_id,
       CASE WHEN GREATEST(h_de, h_en, h_es, h_fr, h_it) < 1 THEN 'und'
            WHEN h_de >= GREATEST(h_en, h_es, h_fr, h_it) THEN 'de'
@@ -1073,7 +1078,7 @@ def lang_id(spark, sf_dir):
     SELECT doc_id, source FROM (
       SELECT doc_id, source,
              ROW_NUMBER() OVER (
-               PARTITION BY MD5(REGEXP_REPLACE(LOWER(text), '[^a-z0-9]', '', 'g'))
+               PARTITION BY MD5(LOWER(REGEXP_REPLACE(text, '[^A-Za-z0-9]', '', 'g')))
                ORDER BY doc_id) AS rn
       FROM documents) WHERE rn = 1
     """,
@@ -1115,7 +1120,7 @@ def dedup_simhash(spark, sf_dir):
                generate_series(1, GREATEST(LENGTH(toks) - 2, 0)),
                i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS shingles,
              toks[1] || ' ' || toks[2] || ' ' || toks[3] || ' ' || toks[4] || ' ' || toks[5] AS pkey
-      FROM (SELECT doc_id, regexp_extract_all(LOWER(text), '[a-z0-9'']+') AS toks
+      FROM (SELECT doc_id, list_transform(regexp_extract_all(text, '[A-Za-z0-9'']+'), x -> LOWER(x)) AS toks
             FROM documents)
       WHERE LENGTH(toks) >= 5)
     SELECT a.doc_id AS id_a, b.doc_id AS id_b,
@@ -1957,7 +1962,7 @@ def correlated_above_group_avg(spark, sf_dir):
     "vocab_stats",
     """
     WITH tok AS (
-      SELECT doc_id, UNNEST(regexp_extract_all(LOWER(text), '[a-z0-9'']+')) AS token
+      SELECT doc_id, UNNEST(list_transform(regexp_extract_all(text, '[A-Za-z0-9'']+'), x -> LOWER(x))) AS token
       FROM documents)
     SELECT token,
            COUNT(*) AS term_freq,
@@ -1991,7 +1996,7 @@ def vocab_stats(spark, sf_dir):
     WITH scored AS (
       SELECT source,
              CASE WHEN LENGTH(text) >= 100
-                   AND LENGTH(regexp_extract_all(LOWER(text), '[a-z0-9'']+')) >= 20
+                   AND LENGTH(list_transform(regexp_extract_all(text, '[A-Za-z0-9'']+'), x -> LOWER(x))) >= 20
                    AND LENGTH(REGEXP_REPLACE(text, '[^A-Za-z]', '', 'g')) * 1.0
                        / LENGTH(text) >= 0.5
                   THEN 1 ELSE 0 END AS keep
@@ -2036,9 +2041,9 @@ def quality_filter_rate(spark, sf_dir):
     """
     SELECT source,
            COUNT(*) AS n_docs,
-           COUNT(DISTINCT MD5(REGEXP_REPLACE(LOWER(text), '[^a-z0-9]', '', 'g')))
+           COUNT(DISTINCT MD5(LOWER(REGEXP_REPLACE(text, '[^A-Za-z0-9]', '', 'g'))))
              AS n_unique,
-           ROUND(1.0 - COUNT(DISTINCT MD5(REGEXP_REPLACE(LOWER(text), '[^a-z0-9]', '', 'g')))
+           ROUND(1.0 - COUNT(DISTINCT MD5(LOWER(REGEXP_REPLACE(text, '[^A-Za-z0-9]', '', 'g'))))
                  * 1.0 / COUNT(*), 4) AS dup_rate
     FROM documents GROUP BY source
     """,
@@ -2113,7 +2118,7 @@ def stratified_sample_q(spark, sf_dir):
     "hybrid_search_topk",
     """
     WITH tok AS (
-      SELECT doc_id, regexp_extract_all(LOWER(text), '[a-z0-9'']+') AS toks
+      SELECT doc_id, list_transform(regexp_extract_all(text, '[A-Za-z0-9'']+'), x -> LOWER(x)) AS toks
       FROM documents),
     stats AS (
       SELECT COUNT(*) AS n,
@@ -2428,13 +2433,13 @@ def pipeline_updated_mode(spark, sf_dir):
     WITH filtered AS (
       SELECT doc_id, text, source FROM documents
       WHERE LENGTH(text) >= 50
-        AND LENGTH(regexp_extract_all(LOWER(text), '[a-z0-9'']+')) >= 10
+        AND LENGTH(list_transform(regexp_extract_all(text, '[A-Za-z0-9'']+'), x -> LOWER(x))) >= 10
         AND LENGTH(REGEXP_REPLACE(text, '[^A-Za-z]', '', 'g')) * 1.0
             / LENGTH(text) >= 0.5),
     deduped AS (
       SELECT doc_id, text, source FROM (
         SELECT f.*, ROW_NUMBER() OVER (
-          PARTITION BY MD5(REGEXP_REPLACE(LOWER(text), '[^a-z0-9]', '', 'g'))
+          PARTITION BY MD5(LOWER(REGEXP_REPLACE(text, '[^A-Za-z0-9]', '', 'g')))
           ORDER BY doc_id) AS rn
         FROM filtered f) WHERE rn = 1),
     split AS (
@@ -2447,7 +2452,7 @@ def pipeline_updated_mode(spark, sf_dir):
       FROM deduped)
     SELECT split, COUNT(*) AS n_docs,
            ROUND(AVG(LENGTH(text)), 2) AS avg_chars,
-           CAST(SUM(LENGTH(regexp_extract_all(LOWER(text), '[a-z0-9'']+')))
+           CAST(SUM(LENGTH(list_transform(regexp_extract_all(text, '[A-Za-z0-9'']+'), x -> LOWER(x))))
                 AS BIGINT) AS total_tokens
     FROM split GROUP BY split
     """,

@@ -132,6 +132,8 @@ def build_tables(path: str, spark) -> None:
             (5, "le chat est dans la maison pour le moment", "fr", "web", 41),
             (6, "the los", "und", "web", 7),             # en/es marker tie
             (7, "short", "en", "book", 5),
+            (8, "İstanbul Straße ÄÖÜ the CAFÉ naïve the résumé", "de", "web", 46),  # unicode lowering
+            (9, "ＦＵＬＬＷＩＤＴＨ ｔｅｘｔ ｔｈｅ 1２3", "en", "web", 20),  # fullwidth forms
         ],
         "doc_id long, text string, lang string, source string, n_chars long",
     )
