@@ -91,6 +91,7 @@ def build_tables(path: str, spark) -> None:
             (14, 3, "P", 99.995, dt.datetime(1994, 12, 31, 23, 59, 59), "  "),
             (15, 5, "O", 300000.5, dt.datetime(1996, 1, 1), "5-LOW"),
             (20, 6, "F", 500.0, d0, "2-HIGH"),  # F + orderkey%10==0 → CDC delete
+            (21, 4, "O", -123.455, d0, "3-MEDIUM"),  # negative price
         ],
         "o_orderkey long, o_custkey long, o_orderstatus string, o_totalprice double, o_orderdate timestamp, o_orderpriority string",
     )
@@ -118,6 +119,9 @@ def build_tables(path: str, spark) -> None:
             (4, t0 + dt.timedelta(minutes=61), 7, "view", 4.0, '{"k": -3}'),
             (5, t0, 8, "error", -1.5, '{"k": 0}'),
             (6, dt.datetime(2024, 3, 2, 4, 0, 0), 8, "signup", 0.0, None),  # ET midnight edge
+            (7, dt.datetime(2024, 3, 10, 6, 59, 59), 9, "view", 1.0, None),   # just before ET spring-forward
+            (8, dt.datetime(2024, 3, 10, 7, 0, 1), 9, "click", 1.0, None),    # just after (2:00->3:00 ET)
+            (9, dt.datetime(2024, 11, 3, 5, 30, 0), 9, "purchase", 1.0, None),# inside the repeated fall-back hour
         ],
         "event_id long, ts timestamp, user_id long, event_type string, value double, props string",
     )
@@ -134,6 +138,7 @@ def build_tables(path: str, spark) -> None:
             (7, "short", "en", "book", 5),
             (8, "İstanbul Straße ÄÖÜ the CAFÉ naïve the résumé", "de", "web", 46),  # unicode lowering
             (9, "ＦＵＬＬＷＩＤＴＨ ｔｅｘｔ ｔｈｅ 1２3", "en", "web", 20),  # fullwidth forms
+            (10, "party 🎉 time 🚀🚀 the 🤖 end", "en", "web", 24),  # astral-plane emoji
         ],
         "doc_id long, text string, lang string, source string, n_chars long",
     )
