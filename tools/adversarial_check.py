@@ -176,6 +176,16 @@ def main() -> int:
     qs = entrymod.queries()
     oracles = entrymod.oracle_sql()
     failures = []
+    # crash-safety pass: rows-only queries must run on edge data too
+    for name, fn in qs.items():
+        if name in oracles or name in SKIP:
+            continue
+        try:
+            n = len(fn(spark, tmp).toPandas())
+            print(f"rows {name}: {n} rows (edge data, no oracle)")
+        except Exception as e:
+            failures.append(name)
+            print(f"FAIL {name}: spark raised {type(e).__name__}: {str(e)[:160]}")
     for name, fn in qs.items():
         if name not in oracles or name in SKIP:
             continue
