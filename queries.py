@@ -2573,3 +2573,59 @@ def stats_aggregates(spark, sf_dir):
         F.round(F.stddev_samp("l_extendedprice"), 2).alias("price_stddev"),
         F.round(F.var_samp("l_quantity"), 4).alias("qty_var"),
     )
+
+
+@q("geocode_cascade_fake")  # rows-only: external-call seam with injected fakes
+def geocode_cascade_fake(spark, sf_dir):
+    """The full three-attempt geocode cascade (S5 census → reparse+retry →
+    S6 Geosupport, J9 overlay) over customer-derived addresses, with the
+    deterministic fake transports — the mapInPandas enrichment seam run
+    through the driver contract."""
+    from engine.ops.geocode import (
+        fake_census_transport,
+        fake_geosupport,
+        geocode_cascade,
+    )
+
+    c = t(spark, sf_dir, "customer")
+    addresses = c.select(
+        F.col("c_custkey").cast("string").alias("patron_id"),
+        F.concat(
+            (F.col("c_custkey") % 900 + 100).cast("string"),
+            F.lit(" "),
+            F.coalesce(F.col("c_name"), F.lit("Main")),
+            F.lit(" St"),
+        ).alias("address"),
+        F.col("c_mktsegment").alias("city"),
+        F.lit("NY").alias("region"),
+        F.lpad((F.col("c_custkey") % 89999 + 10000).cast("string"), 5, "0").alias(
+            "postal_code"
+        ),
+    )
+    out = geocode_cascade(
+        addresses, fake_census_transport(), fake_geosupport()
+    )
+    return out.select("patron_id", "geoid").orderBy("patron_id")
+
+
+@q("address_parse")  # rows-only: regex+NFKD parser runs in an Arrow UDF
+def address_parse(spark, sf_dir):
+    """Free-text address parsing (F9+F10): house number / street / unit
+    extraction with unicode→ASCII transliteration, via the Arrow-batched
+    parse UDF over synthetic address lines."""
+    from engine.ops.address import with_parsed_address
+
+    c = t(spark, sf_dir, "customer")
+    lines = c.select(
+        "c_custkey",
+        F.concat(
+            (F.col("c_custkey") % 9000 + 1000).cast("string"),
+            F.lit(" "),
+            F.coalesce(F.col("c_name"), F.lit("Elm")),
+            F.lit(" Ave Apt "),
+            (F.col("c_custkey") % 50).cast("string"),
+        ).alias("full_address"),
+    )
+    return with_parsed_address(lines).select(
+        "c_custkey", "house_number", "street_name", "unit"
+    ).orderBy("c_custkey")
