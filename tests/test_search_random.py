@@ -74,3 +74,19 @@ def test_keep_first_matches_pandas_reference_semantics(spark):
         assert got.reset_index(drop=True).equals(
             expected.reset_index(drop=True)
         ), f"trial {trial} diverged"
+
+
+def test_hash_split_distribution_and_stability(spark):
+    from engine.extended.sampling import hash_split
+    from pyspark.sql import functions as F
+
+    df = spark.range(10000).select(F.col("id"))
+    out = df.withColumn("split", hash_split("id"))
+    counts = {r["split"]: r["n"] for r in out.groupBy("split").agg(F.count("*").alias("n")).collect()}
+    assert abs(counts["train"] / 10000 - 0.8) < 0.02
+    assert abs(counts["val"] / 10000 - 0.1) < 0.02
+    assert abs(counts["test"] / 10000 - 0.1) < 0.02
+    # stability: same key → same split on re-run and under different partitioning
+    again = {r["id"]: r["split"] for r in df.repartition(13).withColumn("split", hash_split("id")).collect()}
+    first = {r["id"]: r["split"] for r in out.collect()}
+    assert first == again
