@@ -146,3 +146,41 @@ def test_asof_join_basic_semantics(spark):
     assert out[(1, 10)] == "b"   # inclusive bound picks the equal-ts build row
     assert out[(1, 3)] is None   # nothing at or before
     assert out[(2, 10)] is None  # no build rows for key 2
+
+
+def test_range_join_multi_bucket_path(spark):
+    """bucket_seconds < window_seconds → each probe row joins >2 buckets;
+    result must equal the plain inequality join."""
+    import datetime as dt
+
+    from engine.ops.asof import range_join_buckets
+
+    base = dt.datetime(2024, 1, 1)
+    a = spark.createDataFrame(
+        [(i, base + dt.timedelta(seconds=90 * i)) for i in range(20)],
+        "id_a long, ts_a timestamp",
+    )
+    b = spark.createDataFrame(
+        [(i, base + dt.timedelta(seconds=60 * i)) for i in range(30)],
+        "id_b long, ts_b timestamp",
+    )
+    bucketed = range_join_buckets(
+        a, b, "ts_a", "ts_b", window_seconds=300, bucket_seconds=120
+    ).select("id_a", "id_b")
+    plain = a.join(
+        b,
+        (F.col("ts_b") <= F.col("ts_a"))
+        & (F.col("ts_b") >= F.col("ts_a") - F.expr("INTERVAL 300 SECONDS")),
+    ).select("id_a", "id_b")
+    assert sorted(map(tuple, bucketed.collect())) == sorted(map(tuple, plain.collect()))
+    assert plain.count() > 0
+
+
+def test_salted_join_left_semantics(spark):
+    from engine.ops.skew import salted_join
+
+    left = spark.createDataFrame([(1, "a"), (2, "b"), (9, "c")], "k long, v string")
+    right = spark.createDataFrame([(1, "one"), (2, "two")], "k long, name string")
+    plain = left.join(right, "k", "left").select("k", "v", "name")
+    salted = salted_join(left, right, "k", salts=4, how="left").select("k", "v", "name")
+    assert sorted(map(tuple, plain.collect())) == sorted(map(tuple, salted.collect()))
