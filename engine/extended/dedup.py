@@ -35,6 +35,8 @@ __all__ = [
     "embedding_near_dup",
     "near_dup_groups",
     "minhash_dedup_cc",
+    "minhash_band_index",
+    "minhash_incremental",
 ]
 
 
@@ -539,3 +541,112 @@ def minhash_dedup_cc(
         F.col("id").alias(id_col)
     )
     return df.join(losers, on=id_col, how="left_anti")
+
+
+def minhash_band_index(
+    df: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 64,
+    bands: int = 16,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """(id, sig, band, bkey) — the persistable LSH band index of a corpus.
+
+    At deployment scale this table is written once, partitioned/bucketed by
+    (band, bkey); each incremental batch probes it instead of recomputing
+    corpus signatures (see :func:`minhash_incremental`).
+    """
+    rows_per_band = num_hashes // bands
+    sigs = minhash_sigs(
+        df, id_col=id_col, text_col=text_col, num_hashes=num_hashes, shingle_n=shingle_n
+    )
+    return sigs.select(
+        "id",
+        "sig",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        _band_col(F.col("sig"), b, rows_per_band).alias("bkey"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select("id", "sig", F.col("bb.band").alias("band"), F.col("bb.bkey").alias("bkey"))
+
+
+def minhash_incremental(
+    new_docs: DataFrame,
+    corpus_index: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 64,
+    bands: int = 16,
+    shingle_n: int = 3,
+    threshold: float = 0.8,
+):
+    """Dedup an incremental batch against an existing corpus WITHOUT
+    recomputing corpus signatures.
+
+    Returns ``(kept_new_docs, updated_index)``: new docs whose signature
+    collides with a corpus band bucket AND whose estimated Jaccard ≥
+    threshold are dropped (the corpus copy wins); within-batch duplicates
+    resolve by lowest id.  ``updated_index`` = corpus index + surviving new
+    docs' bands — feed it to the next batch (the reference's memoization
+    pattern applied to dedup state).
+
+    Shuffle shape: the batch's band table joins the (bucketed) corpus index
+    on (band, bkey) — batch-sized probe, corpus never rescanned.
+    """
+    new_index = minhash_band_index(
+        new_docs,
+        id_col=id_col,
+        text_col=text_col,
+        num_hashes=num_hashes,
+        bands=bands,
+        shingle_n=shingle_n,
+    ).persist()
+
+    def est(a, b):
+        return F.size(
+            F.filter(F.zip_with(a, b, lambda x, y: x == y), lambda e: e)
+        ) / F.lit(float(num_hashes))
+
+    # vs corpus: any collision with est ≥ threshold kills the new doc
+    vs_corpus = (
+        new_index.alias("n")
+        .join(
+            corpus_index.alias("c"),
+            (F.col("n.band") == F.col("c.band")) & (F.col("n.bkey") == F.col("c.bkey")),
+        )
+        .filter(est(F.col("n.sig"), F.col("c.sig")) >= threshold)
+        .select(F.col("n.id").alias("dup_id"))
+        .distinct()
+    )
+    # within batch: higher id loses to lower id
+    within = (
+        new_index.alias("a")
+        .join(
+            new_index.alias("b"),
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bkey") == F.col("b.bkey"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .filter(est(F.col("a.sig"), F.col("b.sig")) >= threshold)
+        .select(F.col("b.id").alias("dup_id"))
+        .distinct()
+    )
+    dups = vs_corpus.unionByName(within).distinct()
+    kept = new_docs.join(
+        dups.withColumnRenamed("dup_id", id_col), on=id_col, how="left_anti"
+    )
+    surviving_index = new_index.join(
+        dups.withColumnRenamed("dup_id", "id"), on="id", how="left_anti"
+    )
+    updated_index = corpus_index.unionByName(surviving_index)
+    return kept, updated_index

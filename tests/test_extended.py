@@ -201,3 +201,36 @@ def test_resize_media_stub_and_fake(spark):
     out = {r["media_id"]: r for r in resize_media(media, 64, 64, resizer=fake_resizer()).collect()}
     assert all(r["width"] == 64 and r["height"] == 64 for r in out.values())
     assert all(len(r["payload"]) >= 1 for r in out.values())
+
+
+def test_minhash_incremental_against_corpus(spark):
+    """Batch 2 docs that near-duplicate the indexed corpus are dropped
+    WITHOUT recomputing corpus signatures; novel docs survive and extend
+    the index for batch 3."""
+    from engine.extended.dedup import minhash_band_index, minhash_incremental
+
+    corpus = _docs(spark)  # ids 0-4
+    index = minhash_band_index(corpus).persist()
+
+    batch = spark.createDataFrame(
+        [
+            (100, BASE + " tiny change", "b2"),  # near-dup of corpus doc 0
+            (101, "genuinely novel content about incremental dedup indexes "
+                  "probing persisted band tables at corpus scale", "b2"),
+            (102, "genuinely novel content about incremental dedup indexes "
+                  "probing persisted band tables at corpus scale today", "b2"),  # near-dup of 101
+        ],
+        "doc_id long, text string, source string",
+    )
+    kept, updated = minhash_incremental(batch, index, threshold=0.5)
+    kept_ids = {r["doc_id"] for r in kept.collect()}
+    assert kept_ids == {101}  # 100 collides with corpus, 102 with 101
+
+    # the updated index answers for the survivor in the next batch
+    batch3 = spark.createDataFrame(
+        [(200, "genuinely novel content about incremental dedup indexes "
+               "probing persisted band tables at corpus scale", "b3")],
+        "doc_id long, text string, source string",
+    )
+    kept3, _ = minhash_incremental(batch3, updated, threshold=0.5)
+    assert kept3.count() == 0  # duplicate of newly indexed 101
