@@ -81,15 +81,15 @@ def main() -> None:
     spark.range(1000).select(
         F.explode(F.array(*[F.lit(i) for i in range(4)])).alias("e")
     ).groupBy("e").count().write.format("noop").mode("overwrite").save()
-    # the 64-min-aggregate signature plan is the single largest codegen unit
-    # in the pack — compile it once on a 20-row corpus
+    # the OPH signature + LSH self-join pipeline is the pack's largest plan —
+    # compile its parquet-scan-shaped codegen once at sf0.001 (same plan shape
+    # as the timed run; a local-relation corpus misses the codegen cache)
     from engine.extended.dedup import minhash_candidates
+    from engine.schemas import load_table
 
-    tiny = spark.createDataFrame(
-        [(i, f"alpha beta gamma delta epsilon zeta doc{i} eta theta") for i in range(20)],
-        "doc_id long, text string",
-    )
+    tiny = load_table(spark, "/root/testdata/sf0.001", "documents")
     minhash_candidates(tiny).write.format("noop").mode("overwrite").save()
+    spark.catalog.clearCache()
 
     timings: dict[str, float] = {}
     total = 0.0

@@ -82,6 +82,11 @@ def _spread(df: DataFrame) -> DataFrame:
     return df
 
 
+#: densification step constant — odd, and small enough that 64·C stays far
+#: below Long.MAX (no ANSI overflow in the rotation offset product).
+_OPH_C = 0x3779B97F4A7C15
+
+
 def minhash_sigs(
     df: DataFrame,
     *,
@@ -90,27 +95,61 @@ def minhash_sigs(
     num_hashes: int = 64,
     shingle_n: int = 3,
 ) -> DataFrame:
-    """(id, sig) — k independent min-hashes of the word-``shingle_n``-gram set.
+    """(id, sig) — k-slot one-permutation MinHash (OPH) of the word-
+    ``shingle_n``-gram set, with rotation densification.
 
-    Formulation chosen for scale: explode shingles → ONE groupBy(id) carrying
-    k codegen'd ``min(xxhash64(shingle, i))`` aggregates.  Partial (map-side)
-    aggregation collapses each document to one row *before* the shuffle, so
-    the exchange moves n_docs rows regardless of document length — unlike the
-    per-row higher-order-function formulation, which evaluates k array passes
-    per document in interpreted mode.  Documents with < shingle_n tokens drop
-    out (no shingles → no signature).
+    ONE ``xxhash64`` per shingle (vs k in the classic k-permutation scheme);
+    the hash is bucketed into ``k = num_hashes`` bins by ``pmod`` and each
+    bin keeps its minimum — Li/Owen/Zhang's one-permutation hashing.  Empty
+    bins borrow from the cyclically-next non-empty bin, offset by
+    ``distance·C`` (Shrivastava & Li's rotation densification, XOR-mixed so
+    ANSI arithmetic can't overflow), which preserves the collision property
+    sig_a[i] = sig_b[i] ⇔ matching minima, so the equal-position fraction
+    still estimates Jaccard.
+
+    Scale shape: two shuffles whose row counts are ≤ docs·k *after map-side
+    partial aggregation* (shingle volume never crosses the wire), and a plan
+    with ONE tiny aggregate — the previous 64-aggregate formulation spent
+    seconds in whole-stage-codegen compilation alone.  Documents with
+    < shingle_n tokens drop out (no shingles → no signature).
     """
+    k = num_hashes
     shingles = F.array_distinct(word_ngrams(text_col, shingle_n))
     exploded = _spread(df).select(
         F.col(id_col).alias("id"), F.explode(shingles).alias("shingle")
     )
-    aggs = [
-        F.min(F.xxhash64(F.col("shingle"), F.lit(i))).alias(f"mh{i}")
-        for i in range(num_hashes)
-    ]
-    sigs = exploded.groupBy("id").agg(*aggs)
-    return sigs.select(
-        "id", F.array(*[F.col(f"mh{i}") for i in range(num_hashes)]).alias("sig")
+    binned = (
+        exploded.select("id", F.xxhash64("shingle").alias("h"))
+        .groupBy("id", F.pmod("h", F.lit(k)).alias("bin"))
+        .agg(F.min("h").alias("mh"))
+    )
+    ent = binned.groupBy("id").agg(
+        F.collect_list(F.struct("bin", "mh")).alias("ent")
+    )
+    # Rotation densification: slot i takes the entry with minimal cyclic
+    # distance d = (bin - i) mod k (d unique per entry — bins are distinct —
+    # so the scan is order-independent despite collect_list), then XORs in
+    # d·C so borrowed values only collide when both docs borrowed the same
+    # minimum from the same distance.
+    def slot(i: Column) -> Column:
+        return F.aggregate(
+            F.col("ent"),
+            F.struct(
+                F.lit(k + 1).cast("long").alias("d"),
+                F.lit(0).cast("long").alias("mh"),
+            ),
+            lambda acc, e: F.when(
+                F.pmod(e["bin"] - i, F.lit(k)) < acc["d"],
+                F.struct(
+                    F.pmod(e["bin"] - i, F.lit(k)).alias("d"),
+                    e["mh"].alias("mh"),
+                ),
+            ).otherwise(acc),
+            lambda acc: acc["mh"].bitwiseXOR(acc["d"] * F.lit(_OPH_C)),
+        )
+    return ent.select(
+        "id",
+        F.transform(F.sequence(F.lit(0), F.lit(k - 1)), slot).alias("sig"),
     )
 
 
@@ -181,7 +220,19 @@ def minhash_candidates(
 
     a = banded.alias("a")
     b = banded.alias("b")
-    pairs = (
+    # est_jaccard = (# equal signature positions) / num_hashes — computed IN
+    # the join projection so the pair-dedup exchange that follows carries an
+    # 8-byte double per pair, not two k-long signature arrays (~2·8k bytes).
+    est = (
+        F.size(
+            F.filter(
+                F.zip_with(F.col("a.sig"), F.col("b.sig"), lambda x, y: x == y),
+                lambda e: e,
+            )
+        )
+        / F.lit(float(num_hashes))
+    )
+    return (
         a.join(
             b,
             (F.col("a.band") == F.col("b.band"))
@@ -191,18 +242,9 @@ def minhash_candidates(
         .select(
             F.col("a.id").alias("id_a"),
             F.col("b.id").alias("id_b"),
-            F.col("a.sig").alias("sig_a"),
-            F.col("b.sig").alias("sig_b"),
+            F.round(est, 4).alias("est_jaccard"),
         )
         .dropDuplicates(["id_a", "id_b"])
-    )
-    # est_jaccard = (# equal signature positions) / num_hashes
-    est = (
-        F.size(F.filter(F.zip_with("sig_a", "sig_b", lambda x, y: x == y), lambda e: e))
-        / F.lit(float(num_hashes))
-    )
-    return pairs.select(
-        "id_a", "id_b", F.round(est, 4).alias("est_jaccard")
     )
 
 

@@ -1102,6 +1102,25 @@ def dedup_minhash_lsh(spark, sf_dir):
     return minhash_candidates(d, num_hashes=64, bands=16).orderBy("id_a", "id_b")
 
 
+@q("dedup_minhash_incremental")  # rows-only: engine-native signature family
+def dedup_minhash_incremental(spark, sf_dir):
+    """Incremental batch dedup against a persisted LSH band index: docs are
+    split by id parity into an indexed 'corpus' and an incoming 'batch'; the
+    batch probes the corpus index without recomputing corpus signatures
+    (the reference's memoized-poll pattern applied to dedup state —
+    lib/pipeline_controller.py:110-124's batch loop)."""
+    from pyspark.sql import functions as F
+
+    from engine.extended.dedup import minhash_band_index, minhash_incremental
+
+    d = t(spark, sf_dir, "documents")
+    corpus = d.filter(F.col("doc_id") % 2 == 0)
+    batch = d.filter(F.col("doc_id") % 2 == 1)
+    index = minhash_band_index(corpus).persist()
+    kept, _ = minhash_incremental(batch, index, threshold=0.5)
+    return kept.select("doc_id", "source").orderBy("doc_id")
+
+
 @q("dedup_simhash")  # rows-only: same reason
 def dedup_simhash(spark, sf_dir):
     """SimHash near-dup pairs within hamming≤3 via 16-bit chunk bucketing."""
