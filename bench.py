@@ -6,7 +6,13 @@ Prints ONE JSON line:
      "queries": {name: sec, ...}, "sf": <sf>}
 
 Each query is forced with the noop sink (full plan executes, nothing is
-collected to the driver), after a warm-up pass of the parquet footer reads.
+collected to the driver).  Warm-up policy: every headline query runs once,
+untimed, at sf0.001 first — same plan shape, so whole-stage-codegen and
+planner caches are hot — then the timed pass runs at the target SF.  The
+timed numbers therefore measure data-proportional execution, which is the
+quantity that extrapolates to cluster scale (at 100 TB, one-time JIT cost
+is amortized to zero; on local[32] with ~MB inputs it would otherwise be
+the majority of wall time and drown the signal).
 """
 
 from __future__ import annotations
@@ -55,41 +61,16 @@ def main() -> None:
 
     from queries import SPARK_QUERIES
 
-    # warm-up (untimed): parquet footers + JIT for the operator classes the
-    # pack uses — hash-agg, window, broadcast join, explode+hash-agg, top-k —
-    # so per-query timings measure the queries, not first-use JVM compilation.
-    from pyspark.sql import Window
-    from pyspark.sql import functions as F
-
-    for name in ("region", "lineitem"):
+    # warm-up (untimed): run every headline query once at sf0.001.  Identical
+    # plan shapes → codegen/planner caches are hot for the timed pass, whose
+    # numbers then scale with data volume, not first-use JVM compilation.
+    warm_dir = os.environ.get("SPARK_GRAFT_WARM_DIR", "/root/testdata/sf0.001")
+    for name in HEADLINE:
+        force(SPARK_QUERIES[name](spark, warm_dir))
+        spark.catalog.clearCache()
+    # parquet footers of the target SF (I/O warm-up, not plan warm-up)
+    for name in ("region", "lineitem", "documents"):
         spark.read.parquet(f"{sf_dir}/{name}.parquet").limit(1).count()
-    r = spark.range(10000).select(
-        (F.col("id") % 100).alias("k"), F.col("id").alias("v")
-    )
-    dim = spark.range(100).select(F.col("id").alias("k"), F.lit("d").alias("d"))
-    w = Window.partitionBy("k").orderBy("v")
-    warm = (
-        r.join(F.broadcast(dim), "k")
-        .withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") <= 2)
-        .groupBy("k")
-        .agg(F.sum("v").alias("s"), F.min(F.xxhash64("d", F.lit(1))).alias("h"))
-        .orderBy(F.col("s").desc())
-        .limit(5)
-    )
-    warm.write.format("noop").mode("overwrite").save()
-    spark.range(1000).select(
-        F.explode(F.array(*[F.lit(i) for i in range(4)])).alias("e")
-    ).groupBy("e").count().write.format("noop").mode("overwrite").save()
-    # the OPH signature + LSH self-join pipeline is the pack's largest plan —
-    # compile its parquet-scan-shaped codegen once at sf0.001 (same plan shape
-    # as the timed run; a local-relation corpus misses the codegen cache)
-    from engine.extended.dedup import minhash_candidates
-    from engine.schemas import load_table
-
-    tiny = load_table(spark, "/root/testdata/sf0.001", "documents")
-    minhash_candidates(tiny).write.format("noop").mode("overwrite").save()
-    spark.catalog.clearCache()
 
     timings: dict[str, float] = {}
     total = 0.0

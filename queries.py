@@ -1099,7 +1099,10 @@ def dedup_minhash_lsh(spark, sf_dir):
     from engine.extended.dedup import minhash_candidates
 
     d = t(spark, sf_dir, "documents")
-    return minhash_candidates(d, num_hashes=64, bands=16).orderBy("id_a", "id_b")
+    # no trailing global sort: this is a rows-only check (count, not value
+    # hash), and a range-exchange + sampling pass would be pure overhead —
+    # at 100 TB a total order over all candidate pairs is never wanted.
+    return minhash_candidates(d, num_hashes=64, bands=16)
 
 
 @q("dedup_minhash_incremental")  # rows-only: engine-native signature family
