@@ -1,0 +1,208 @@
+"""Corpus-curation operators a large-scale training-data pipeline needs:
+PII redaction, repetition-based quality metrics (Gopher/C4-style), TF-IDF
+term scoring, and benchmark-contamination measurement.
+
+These extend the reference's PII posture (it bcrypt-obfuscates identifiers,
+``lib/pipeline_controller.py:195-197``) to free-text scrubbing, and its
+quality gating idea to the repetition heuristics used for LLM corpora.
+
+Scale shape (the design point is 100 TB of `documents`):
+
+- **PII redaction is pure codegen** — a chain of ``regexp_replace`` on the
+  JVM row stream; no shuffle, no Python.
+- **Repetition / TF-IDF / contamination are explode + two-level
+  aggregates** — the shuffle carries (id, term, partial-count), never raw
+  text, and map-side partial aggregation collapses each document's terms
+  before the wire.  Contamination probes a broadcast benchmark-shingle set,
+  so the 100 TB side is never re-partitioned.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from engine.extended.text import tokens, word_ngrams
+
+__all__ = [
+    "PII_PATTERNS",
+    "redact_pii",
+    "pii_counts",
+    "repetition_metrics",
+    "tfidf_top_terms",
+    "ngram_contamination",
+]
+
+#: (name, regex, replacement) applied IN ORDER.  Patterns are written in the
+#: common subset of Java regex and RE2 (no lookaround, no \b) so the DuckDB
+#: oracle can run the identical expressions.  Email runs first so an address
+#: host is consumed before the IP rule sees it; replacement tokens contain no
+#: digits, so later rules can never match inside an earlier substitution.
+PII_PATTERNS: list[tuple[str, str, str]] = [
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("ip", r"[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}", "<IP>"),
+    ("ssn", r"[0-9]{3}-[0-9]{2}-[0-9]{4}", "<SSN>"),
+    ("phone", r"\(?[0-9]{3}\)?[-. ][0-9]{3}[-. ][0-9]{4}", "<PHONE>"),
+]
+
+
+def redact_pii(col: Column | str) -> Column:
+    """Replace emails / IPv4s / SSNs / phone numbers with typed tokens.
+
+    Sequential ``regexp_replace`` chain — stays inside whole-stage codegen.
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    for _, pat, repl in PII_PATTERNS:
+        c = F.regexp_replace(c, pat, repl)
+    return c
+
+
+def pii_counts(col: str) -> dict[str, Column]:
+    """Per-kind match counts on the ORIGINAL text (counts are independent
+    per pattern; an IP inside an email address counts for both — documented
+    semantics, identical in the SQL twin)."""
+    return {
+        f"n_{name}": F.size(F.regexp_extract_all(F.col(col), F.lit(pat), F.lit(0)))
+        for name, pat, _ in PII_PATTERNS
+    }
+
+
+def repetition_metrics(
+    df: DataFrame, *, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Gopher-style repetition features per document:
+
+    - ``dup_token_ratio``  = 1 − distinct/total tokens
+    - ``top_token_ratio``  = occurrences of the most frequent token / total
+    - ``top_bigram_ratio`` = occurrences of the most frequent bigram / total
+      bigrams (null when the doc has < 2 tokens)
+
+    Documents with zero tokens drop out (no repetition signal exists).
+    Two explode→two-level-aggregate pipelines joined on id; each shuffle
+    carries per-(doc, term) partial counts only.
+    """
+    toks = df.select(
+        F.col(id_col).alias("id"), F.explode(tokens(text_col)).alias("tok")
+    )
+    tc = toks.groupBy("id", "tok").agg(F.count(F.lit(1)).alias("c"))
+    per_tok = tc.groupBy("id").agg(
+        F.sum("c").alias("n_tokens"),
+        F.count(F.lit(1)).alias("n_distinct"),
+        F.max("c").alias("top_c"),
+    )
+    bigs = df.select(
+        F.col(id_col).alias("id"), F.explode(word_ngrams(text_col, 2)).alias("bg")
+    )
+    bc = bigs.groupBy("id", "bg").agg(F.count(F.lit(1)).alias("c"))
+    per_big = bc.groupBy("id").agg(
+        F.sum("c").alias("n_bigrams"), F.max("c").alias("top_bc")
+    )
+    nt = F.col("n_tokens").cast("double")
+    return (
+        per_tok.join(per_big, "id", "left")
+        .select(
+            F.col("id").alias(id_col),
+            "n_tokens",
+            F.round(F.lit(1.0) - F.col("n_distinct") / nt, 4).alias(
+                "dup_token_ratio"
+            ),
+            F.round(F.col("top_c") / nt, 4).alias("top_token_ratio"),
+            F.round(
+                F.col("top_bc") / F.col("n_bigrams").cast("double"), 4
+            ).alias("top_bigram_ratio"),
+        )
+    )
+
+
+def tfidf_top_terms(
+    df: DataFrame,
+    *,
+    group_col: str = "source",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 5,
+) -> DataFrame:
+    """Top-``k`` terms per ``group_col`` by TF-IDF.
+
+    tf = term occurrences within the group; idf = ln((N+1)/(df+1)) with
+    N = total documents, df = documents containing the term.  Ranking uses
+    the ROUNDED score (ties → lexicographically-first term) so the result is
+    stable across engines whose ``ln`` differs in the last ulp.
+
+    Shape: one explode, a (group, term) aggregate, a term-level aggregate
+    joined back, and a per-group top-k window — all partial-agg friendly;
+    N is a broadcast scalar, not a driver-side collect.
+    """
+    from pyspark.sql import Window
+
+    tok = df.select(
+        F.col(id_col).alias("id"),
+        F.col(group_col).alias("grp"),
+        F.explode(tokens(text_col)).alias("term"),
+    )
+    tf = tok.groupBy("grp", "term").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tok.groupBy("term").agg(F.countDistinct("id").alias("df"))
+    n_docs = df.agg(F.count(F.lit(1)).alias("n_docs"))
+    scored = (
+        tf.join(dfreq, "term")
+        .crossJoin(F.broadcast(n_docs))
+        .withColumn(
+            "tfidf",
+            F.round(
+                F.col("tf")
+                * F.log((F.col("n_docs") + F.lit(1.0)) / (F.col("df") + F.lit(1.0))),
+                4,
+            ),
+        )
+    )
+    w = Window.partitionBy("grp").orderBy(F.col("tfidf").desc(), F.col("term"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            F.col("grp").alias(group_col), "term", "tf", "df", "tfidf", "rank"
+        )
+    )
+
+
+def ngram_contamination(
+    df: DataFrame,
+    eval_df: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_n: int = 3,
+) -> DataFrame:
+    """Benchmark-contamination check: for each training document, the
+    fraction of its DISTINCT word ``shingle_n``-grams that appear anywhere
+    in the evaluation corpus.
+
+    Returns (id, n_shingles, contamination) for documents with ≥ 1 shingle.
+    The evaluation shingle set is deduplicated and broadcast — the training
+    corpus is scanned once and never re-partitioned by shingle, so the probe
+    survives a 100 TB training side as long as the benchmark set stays
+    dimension-sized (it does: eval suites are millions of shingles, not
+    billions).
+    """
+    eval_sh = (
+        eval_df.select(F.explode(word_ngrams(text_col, shingle_n)).alias("sh"))
+        .distinct()
+        .withColumn("hit", F.lit(1))
+    )
+    doc_sh = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(F.array_distinct(word_ngrams(text_col, shingle_n))).alias("sh"),
+    )
+    return (
+        doc_sh.join(F.broadcast(eval_sh), "sh", "left")
+        .groupBy("id")
+        .agg(
+            F.count(F.lit(1)).alias("n_shingles"),
+            F.round(
+                F.sum(F.coalesce(F.col("hit"), F.lit(0)))
+                / F.count(F.lit(1)).cast("double"),
+                4,
+            ).alias("contamination"),
+        )
+        .withColumnRenamed("id", id_col)
+    )

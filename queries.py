@@ -2651,3 +2651,155 @@ def address_parse(spark, sf_dir):
     return with_parsed_address(lines).select(
         "c_custkey", "house_number", "street_name", "unit"
     ).orderBy("c_custkey")
+
+
+# ===========================================================================
+# Corpus curation (PII redaction, repetition quality, TF-IDF, contamination)
+# ===========================================================================
+
+
+@q(
+    "pii_redact",
+    """
+    SELECT doc_id,
+           REGEXP_REPLACE(REGEXP_REPLACE(REGEXP_REPLACE(REGEXP_REPLACE(text,
+             '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+             '[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}', '<IP>', 'g'),
+             '[0-9]{3}-[0-9]{2}-[0-9]{4}', '<SSN>', 'g'),
+             '\\(?[0-9]{3}\\)?[-. ][0-9]{3}[-. ][0-9]{4}', '<PHONE>', 'g')
+             AS redacted,
+           LENGTH(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')) AS n_email,
+           LENGTH(regexp_extract_all(text, '[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}')) AS n_ip,
+           LENGTH(regexp_extract_all(text, '[0-9]{3}-[0-9]{2}-[0-9]{4}')) AS n_ssn,
+           LENGTH(regexp_extract_all(text, '\\(?[0-9]{3}\\)?[-. ][0-9]{3}[-. ][0-9]{4}')) AS n_phone
+    FROM documents
+    """,
+)
+def pii_redact(spark, sf_dir):
+    """Free-text PII scrubbing (emails / IPv4 / SSN / phone → typed tokens)
+    with per-kind match counts — the text-side completion of the reference's
+    identifier obfuscation (lib/pipeline_controller.py:195-197).  Pure
+    regexp_replace chain: zero shuffles, whole-stage codegen."""
+    from engine.extended.curation import pii_counts, redact_pii
+
+    d = t(spark, sf_dir, "documents")
+    counts = pii_counts("text")
+    return d.select(
+        "doc_id",
+        redact_pii("text").alias("redacted"),
+        *[c.alias(n) for n, c in counts.items()],
+    )
+
+
+@q(
+    "repetition_metrics",
+    """
+    WITH tok AS (
+      SELECT doc_id,
+             UNNEST(list_transform(regexp_extract_all(text, '[A-Za-z0-9'']+'),
+                                   x -> LOWER(x))) AS tok
+      FROM documents),
+    tc AS (SELECT doc_id, tok, COUNT(*) AS c FROM tok GROUP BY doc_id, tok),
+    tstats AS (
+      SELECT doc_id, SUM(c) AS n_tokens, COUNT(*) AS n_distinct, MAX(c) AS top_c
+      FROM tc GROUP BY doc_id),
+    toklist AS (
+      SELECT doc_id,
+             list_transform(regexp_extract_all(text, '[A-Za-z0-9'']+'),
+                            x -> LOWER(x)) AS toks
+      FROM documents),
+    bg AS (
+      SELECT doc_id, toks, UNNEST(range(1, len(toks))) AS i
+      FROM toklist WHERE len(toks) >= 2),
+    bgrams AS (
+      SELECT doc_id, array_to_string(toks[i:i+1], ' ') AS bg FROM bg),
+    bc AS (SELECT doc_id, bg, COUNT(*) AS c FROM bgrams GROUP BY doc_id, bg),
+    bstats AS (
+      SELECT doc_id, SUM(c) AS n_bigrams, MAX(c) AS top_bc FROM bc GROUP BY doc_id)
+    SELECT t.doc_id, t.n_tokens,
+           ROUND(1.0 - t.n_distinct * 1.0 / t.n_tokens, 4) AS dup_token_ratio,
+           ROUND(t.top_c * 1.0 / t.n_tokens, 4) AS top_token_ratio,
+           ROUND(b.top_bc * 1.0 / b.n_bigrams, 4) AS top_bigram_ratio
+    FROM tstats t LEFT JOIN bstats b USING (doc_id)
+    """,
+)
+def repetition_metrics_q(spark, sf_dir):
+    """Gopher-style repetition quality features (duplicate-token fraction,
+    top-token fraction, top-bigram fraction) per document — the repetition
+    filters an LLM corpus pipeline applies after exact dedup."""
+    from engine.extended.curation import repetition_metrics
+
+    d = t(spark, sf_dir, "documents")
+    return repetition_metrics(d)
+
+
+@q(
+    "tfidf_top_terms",
+    """
+    WITH tok AS (
+      SELECT doc_id, source,
+             UNNEST(list_transform(regexp_extract_all(text, '[A-Za-z0-9'']+'),
+                                   x -> LOWER(x))) AS term
+      FROM documents),
+    tf AS (SELECT source, term, COUNT(*) AS tf FROM tok GROUP BY source, term),
+    dfreq AS (SELECT term, COUNT(DISTINCT doc_id) AS df FROM tok GROUP BY term),
+    n AS (SELECT COUNT(*) AS n_docs FROM documents),
+    scored AS (
+      SELECT tf.source, tf.term, tf.tf, dfreq.df,
+             ROUND(tf.tf * LN((n.n_docs + 1.0) / (dfreq.df + 1.0)), 4) AS tfidf
+      FROM tf JOIN dfreq USING (term), n),
+    ranked AS (
+      SELECT *, ROW_NUMBER() OVER (
+               PARTITION BY source ORDER BY tfidf DESC, term) AS rank
+      FROM scored)
+    SELECT source, term, tf, df, tfidf, rank FROM ranked WHERE rank <= 5
+    """,
+)
+def tfidf_top_terms_q(spark, sf_dir):
+    """Top-5 TF-IDF terms per source feed: the per-domain signature-term scan
+    of corpus analytics.  Ranks by the ROUNDED score so cross-engine ln()
+    ulp differences cannot flip the window order."""
+    from engine.extended.curation import tfidf_top_terms
+
+    d = t(spark, sf_dir, "documents")
+    return tfidf_top_terms(d, k=5)
+
+
+@q(
+    "ngram_contamination",
+    """
+    WITH toklist AS (
+      SELECT doc_id,
+             list_transform(regexp_extract_all(text, '[A-Za-z0-9'']+'),
+                            x -> LOWER(x)) AS toks
+      FROM documents),
+    tri AS (
+      SELECT doc_id, toks, UNNEST(range(1, len(toks) - 1)) AS i
+      FROM toklist WHERE len(toks) >= 3),
+    shingles AS (
+      SELECT DISTINCT doc_id, array_to_string(toks[i:i+2], ' ') AS sh FROM tri),
+    eval_sh AS (
+      SELECT DISTINCT sh FROM shingles WHERE doc_id % 97 = 0),
+    train AS (
+      SELECT doc_id, sh FROM shingles WHERE doc_id % 97 <> 0)
+    SELECT t.doc_id,
+           COUNT(*) AS n_shingles,
+           ROUND(SUM(CASE WHEN e.sh IS NOT NULL THEN 1 ELSE 0 END) * 1.0
+                 / COUNT(*), 4) AS contamination
+    FROM train t LEFT JOIN eval_sh e ON t.sh = e.sh
+    GROUP BY t.doc_id
+    """,
+)
+def ngram_contamination_q(spark, sf_dir):
+    """Benchmark-contamination measurement: per training doc, the fraction of
+    its distinct 3-gram shingles that occur in a held-out eval slice
+    (doc_id % 97 = 0).  The eval shingle set is broadcast; the training side
+    is never re-partitioned — the probe that must survive a 100 TB corpus."""
+    from pyspark.sql import functions as F
+
+    from engine.extended.curation import ngram_contamination
+
+    d = t(spark, sf_dir, "documents")
+    eval_df = d.filter(F.col("doc_id") % 97 == 0)
+    train = d.filter(F.col("doc_id") % 97 != 0)
+    return ngram_contamination(train, eval_df)

@@ -1,0 +1,125 @@
+"""Unit tests for the corpus-curation operators (PII redaction, repetition
+quality, TF-IDF, contamination) — golden-value style, mirroring the
+reference's golden-frame tests (SURVEY §5)."""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import functions as F
+
+from engine.extended.curation import (
+    ngram_contamination,
+    pii_counts,
+    redact_pii,
+    repetition_metrics,
+    tfidf_top_terms,
+)
+
+
+def _redact(spark, text: str) -> dict:
+    df = spark.createDataFrame([(text,)], "text string")
+    out = df.select(
+        redact_pii("text").alias("r"),
+        *[c.alias(n) for n, c in pii_counts("text").items()],
+    )
+    return out.collect()[0].asDict()
+
+
+def test_pii_redact_email_ip_ssn_phone(spark):
+    r = _redact(spark, "a@b.com and 10.0.0.1 and 123-45-6789 and (212) 555-0199")
+    assert r["r"] == "<EMAIL> and <IP> and <SSN> and <PHONE>"
+    assert (r["n_email"], r["n_ip"], r["n_ssn"], r["n_phone"]) == (1, 1, 1, 1)
+
+
+def test_pii_redact_email_host_ip_not_double_redacted(spark):
+    # alpha TLD required for email; bare-IP hosts fall through to the IP rule
+    r = _redact(spark, "root@10.0.0.1")
+    assert r["r"] == "root@<IP>"
+    assert r["n_email"] == 0
+
+
+def test_pii_redact_ssn_not_confused_with_phone(spark):
+    r = _redact(spark, "123-45-6789 vs 123-456-7890")
+    assert r["r"] == "<SSN> vs <PHONE>"
+
+
+def test_pii_redact_clean_text_is_identity(spark):
+    r = _redact(spark, "no pii here, just words and the number 12345")
+    assert r["r"] == "no pii here, just words and the number 12345"
+    assert r["n_email"] == r["n_ip"] == r["n_ssn"] == r["n_phone"] == 0
+
+
+def test_repetition_metrics_golden(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "spam spam spam spam"),       # 1 distinct / 4; bigram 'spam spam' x3
+            (2, "all words here differ"),     # no repetition
+            (3, "one"),                       # single token → no bigrams (null)
+            (4, ""),                          # no tokens → dropped
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r.asDict() for r in repetition_metrics(df).collect()}
+    assert set(out) == {1, 2, 3}
+    assert out[1]["dup_token_ratio"] == 0.75
+    assert out[1]["top_token_ratio"] == 1.0
+    assert out[1]["top_bigram_ratio"] == 1.0
+    assert out[2]["dup_token_ratio"] == 0.0
+    assert out[2]["top_token_ratio"] == 0.25
+    assert out[3]["top_bigram_ratio"] is None
+
+
+def test_tfidf_scores_and_ranking(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "alpha alpha beta", "s1"),
+            (2, "beta gamma", "s2"),
+            (3, "gamma gamma gamma", "s2"),
+        ],
+        "doc_id long, text string, source string",
+    )
+    out = tfidf_top_terms(df, k=5).collect()
+    by_key = {(r["source"], r["term"]): r for r in out}
+    # alpha: tf=2 in s1, df=1, N=3 → 2*ln(4/2)
+    got = by_key[("s1", "alpha")]
+    assert got["tfidf"] == round(2 * math.log(4 / 2), 4)
+    assert got["rank"] == 1
+    # gamma in s2: tf=4, df=2 → 4*ln(4/3)
+    assert by_key[("s2", "gamma")]["tfidf"] == round(4 * math.log(4 / 3), 4)
+    # every group emits at most k rows, ranks are 1..n
+    for src in ("s1", "s2"):
+        ranks = sorted(r["rank"] for r in out if r["source"] == src)
+        assert ranks == list(range(1, len(ranks) + 1))
+
+
+def test_contamination_fractions(spark):
+    eval_df = spark.createDataFrame(
+        [(100, "the quick brown fox jumps")], "doc_id long, text string"
+    )
+    train = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps"),   # fully contained → 1.0
+            (2, "totally novel text with nothing shared here"),  # 0.0
+            (3, "the quick brown cat sat down"),  # 1 of 4 shingles shared
+            (4, "to sh"),                        # < 3 tokens → no shingles, dropped
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r.asDict() for r in ngram_contamination(train, eval_df).collect()}
+    assert set(out) == {1, 2, 3}
+    assert out[1]["contamination"] == 1.0
+    assert out[2]["contamination"] == 0.0
+    assert out[3]["contamination"] == 0.25
+    assert out[3]["n_shingles"] == 4
+
+
+def test_contamination_plan_broadcasts_eval_side(spark):
+    eval_df = spark.createDataFrame(
+        [(100, "the quick brown fox jumps")], "doc_id long, text string"
+    )
+    train = spark.createDataFrame(
+        [(1, "the quick brown fox jumps")], "doc_id long, text string"
+    )
+    plan = ngram_contamination(train, eval_df)._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan  # the 100 TB side is never re-partitioned

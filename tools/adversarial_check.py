@@ -139,6 +139,13 @@ def build_tables(path: str, spark) -> None:
             (8, "İstanbul Straße ÄÖÜ the CAFÉ naïve the résumé", "de", "web", 46),  # unicode lowering
             (9, "ＦＵＬＬＷＩＤＴＨ ｔｅｘｔ ｔｈｅ 1２3", "en", "web", 20),  # fullwidth forms
             (10, "party 🎉 time 🚀🚀 the 🤖 end", "en", "web", 24),  # astral-plane emoji
+            # PII: email, IP-in-email-host, SSN vs phone shape, parenthesized phone
+            (11, "mail bob.smith+x@example.co.uk or root@10.0.0.1 now", "en", "web", 50),
+            (12, "ssn 123-45-6789 phone 212-555-0199 ip 256.1.2.3", "en", "web", 47),
+            (13, "call (212) 555-0199 or 212.555.0199 at 1.2.3.4", "en", "web", 46),
+            # degenerate repetition (dup_token_ratio → 1, single bigram)
+            (14, "spam spam spam spam spam spam", "en", "web", 29),
+            (97 * 2, "the quick brown fox jumps over the lazy dog again and again", "en", "web", 60),  # eval-slice member duplicating doc 0 (contamination = 1)
         ],
         "doc_id long, text string, lang string, source string, n_chars long",
     )
