@@ -42,6 +42,8 @@ HEADLINE = [
     "tumbling_window_agg",
     "dedup_exact",
     "dedup_minhash_lsh",
+    "pii_redact",
+    "repetition_metrics",
     "ann_cosine_topk",
     "f1_f2_address_key_hash",
     "cdc_apply_changelog",

@@ -22,7 +22,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from engine.extended.text import tokens, word_ngrams
+from engine.extended.text import ngrams_from, tokens
 
 __all__ = [
     "PII_PATTERNS",
@@ -91,8 +91,8 @@ def repetition_metrics(
         F.max("c").alias("top_c"),
     )
     bigs = df.select(
-        F.col(id_col).alias("id"), F.explode(word_ngrams(text_col, 2)).alias("bg")
-    )
+        F.col(id_col).alias("id"), tokens(text_col).alias("__toks")
+    ).select("id", F.explode(ngrams_from(F.col("__toks"), 2)).alias("bg"))
     bc = bigs.groupBy("id", "bg").agg(F.count(F.lit(1)).alias("c"))
     per_big = bc.groupBy("id").agg(
         F.sum("c").alias("n_bigrams"), F.max("c").alias("top_bc")
@@ -185,13 +185,18 @@ def ngram_contamination(
     billions).
     """
     eval_sh = (
-        eval_df.select(F.explode(word_ngrams(text_col, shingle_n)).alias("sh"))
+        eval_df.select(tokens(text_col).alias("__toks"))
+        .select(F.explode(ngrams_from(F.col("__toks"), shingle_n)).alias("sh"))
         .distinct()
         .withColumn("hit", F.lit(1))
     )
     doc_sh = df.select(
-        F.col(id_col).alias("id"),
-        F.explode(F.array_distinct(word_ngrams(text_col, shingle_n))).alias("sh"),
+        F.col(id_col).alias("id"), tokens(text_col).alias("__toks")
+    ).select(
+        "id",
+        F.explode(F.array_distinct(ngrams_from(F.col("__toks"), shingle_n))).alias(
+            "sh"
+        ),
     )
     return (
         doc_sh.join(F.broadcast(eval_sh), "sh", "left")

@@ -22,7 +22,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-from engine.extended.text import fingerprint, tokens, word_ngrams
+from engine.extended.text import fingerprint, ngrams_from, tokens
 
 __all__ = [
     "exact_dedup_docs",
@@ -114,9 +114,17 @@ def minhash_sigs(
     < shingle_n tokens drop out (no shingles → no signature).
     """
     k = num_hashes
-    shingles = F.array_distinct(word_ngrams(text_col, shingle_n))
-    exploded = _spread(df).select(
-        F.col(id_col).alias("id"), F.explode(shingles).alias("shingle")
+    # project tokens ONCE, then shingle from the alias — the inline form
+    # re-tokenizes per shingle inside the transform lambda (12× slower)
+    exploded = (
+        _spread(df)
+        .select(F.col(id_col).alias("id"), tokens(text_col).alias("__toks"))
+        .select(
+            "id",
+            F.explode(
+                F.array_distinct(ngrams_from(F.col("__toks"), shingle_n))
+            ).alias("shingle"),
+        )
     )
     binned = (
         exploded.select("id", F.xxhash64("shingle").alias("h"))
@@ -373,8 +381,9 @@ def ngram_jaccard_pairs(
     verification, not a corpus-wide shuffle.
     """
     sh = df.select(
-        F.col(id_col).alias("id"),
-        F.array_distinct(word_ngrams(text_col, shingle_n)).alias("sh"),
+        F.col(id_col).alias("id"), tokens(text_col).alias("__toks")
+    ).select(
+        "id", F.array_distinct(ngrams_from(F.col("__toks"), shingle_n)).alias("sh")
     )
     out = (
         pairs.join(sh.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a")), "id_a")

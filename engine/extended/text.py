@@ -16,12 +16,15 @@ from pyspark.sql import functions as F
 __all__ = [
     "tokens",
     "token_count",
+    "ngrams_from",
     "word_ngrams",
     "char_ngrams",
+    "norm_text",
     "lang_id_expr",
     "quality_exprs",
     "fingerprint",
     "rolling_fingerprints",
+    "rolling_fingerprints_from",
 ]
 
 #: token = maximal ASCII alnum/apostrophe run, matched on the ORIGINAL text
@@ -44,9 +47,18 @@ def token_count(col: str) -> Column:
     return F.size(tokens(col))
 
 
-def word_ngrams(col: str, n: int) -> Column:
-    """Word n-gram shingles as strings (for MinHash / Jaccard)."""
-    toks = tokens(col)
+def ngrams_from(toks: Column, n: int) -> Column:
+    """n-gram shingles from an ALREADY-PROJECTED token-array column.
+
+    ``toks`` must be a cheap reference (an aliased column), not an inline
+    ``tokens(...)`` expression: the input is referenced once per output
+    shingle inside the ``transform`` lambda, where Catalyst performs no
+    common-subexpression elimination.  An inline tokenization there costs
+    O(tokens) regex extractions **per shingle** — measured 12× slower at
+    sf0.1.  Hot paths therefore project ``tokens(text).alias("__toks")``
+    first (CollapseProject keeps the boundary: the alias is non-cheap and
+    multiply referenced), then call this on the alias.
+    """
     return F.when(F.size(toks) < n, F.array().cast("array<string>")).otherwise(
         F.transform(
             F.sequence(F.lit(0), F.size(toks) - n),
@@ -55,15 +67,34 @@ def word_ngrams(col: str, n: int) -> Column:
     )
 
 
+def word_ngrams(col: str, n: int) -> Column:
+    """Word n-gram shingles as strings (for MinHash / Jaccard).
+
+    Convenience inline form for tiny/cold paths ONLY — it re-tokenizes per
+    shingle (see :func:`ngrams_from`); hot paths must pre-project tokens.
+    """
+    return ngrams_from(tokens(col), n)
+
+
 def char_ngrams(col: str, n: int) -> Column:
-    """Character n-grams of the lowercased, whitespace-collapsed text."""
-    norm = F.regexp_replace(F.lower(F.col(col)), r"\s+", " ")
+    """Character n-grams of the lowercased, whitespace-collapsed text.
+
+    Inline form; pre-project :func:`norm_text` and slice that alias on hot
+    paths (same re-evaluation trap as :func:`ngrams_from`).
+    """
+    norm = norm_text(col)
     return F.when(F.length(norm) < n, F.array().cast("array<string>")).otherwise(
         F.transform(
             F.sequence(F.lit(0), F.length(norm) - n),
             lambda i: norm.substr(i + F.lit(1), F.lit(n)),
         )
     )
+
+
+def norm_text(col: Column | str) -> Column:
+    """Lowercased, whitespace-collapsed text (the char-window normal form)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.regexp_replace(F.lower(c), r"\s+", " ")
 
 
 # ---------------------------------------------------------------------------
@@ -168,13 +199,22 @@ def fingerprint(col: str) -> Column:
     return F.md5(norm)
 
 
-def rolling_fingerprints(col: str, *, window: int = 64, stride: int = 32) -> Column:
-    """Rolling-hash fingerprints: xxhash64 of each ``window``-char slice at
-    ``stride`` offsets over the normalized text — the winnowing-style shape
-    used for partial-overlap detection at corpus scale."""
-    norm = F.regexp_replace(F.lower(F.col(col)), r"\s+", " ")
+def rolling_fingerprints_from(
+    norm: Column, *, window: int = 64, stride: int = 32
+) -> Column:
+    """Rolling-hash fingerprints from an ALREADY-PROJECTED normalized-text
+    column (see :func:`ngrams_from` for why the input must be an alias):
+    xxhash64 of each ``window``-char slice at ``stride`` offsets — the
+    winnowing-style shape used for partial-overlap detection at corpus
+    scale."""
     n = F.length(norm)
     starts = F.when(n < window, F.array(F.lit(0))).otherwise(
         F.sequence(F.lit(0), F.greatest(n - window, F.lit(0)), F.lit(stride))
     )
     return F.transform(starts, lambda s: F.xxhash64(norm.substr(s + F.lit(1), F.lit(window))))
+
+
+def rolling_fingerprints(col: str, *, window: int = 64, stride: int = 32) -> Column:
+    """Inline form of :func:`rolling_fingerprints_from` (re-normalizes per
+    slice — tiny/cold paths only; hot paths project :func:`norm_text` first)."""
+    return rolling_fingerprints_from(norm_text(col), window=window, stride=stride)

@@ -1774,13 +1774,19 @@ def doc_overlap_winnow(spark, sf_dir):
     """Partial-overlap candidate pairs via rolling-window fingerprints
     (winnowing shape): docs sharing any 64-char window hash.  Catches
     containment/quotation overlaps that whole-doc hashing misses."""
-    from engine.extended.text import rolling_fingerprints
+    from engine.extended.text import norm_text, rolling_fingerprints_from
 
     d = t(spark, sf_dir, "documents")
-    fp = d.select(
-        F.col("doc_id").alias("id"),
-        F.explode(rolling_fingerprints("text", window=64, stride=32)).alias("fp"),
-    ).distinct()
+    fp = (
+        d.select(F.col("doc_id").alias("id"), norm_text("text").alias("__norm"))
+        .select(
+            "id",
+            F.explode(
+                rolling_fingerprints_from(F.col("__norm"), window=64, stride=32)
+            ).alias("fp"),
+        )
+        .distinct()
+    )
     a, b = fp.alias("a"), fp.alias("b")
     return (
         a.join(b, (F.col("a.fp") == F.col("b.fp")) & (F.col("a.id") < F.col("b.id")))
