@@ -22,9 +22,9 @@ from engine.extended.text import tokens
 __all__ = ["tfidf_scores", "hybrid_topk"]
 
 
-def _term_tf(term: str) -> Column:
-    """term frequency of one query term in the token array."""
-    return F.size(F.filter(tokens("text"), lambda t: t == F.lit(term)))
+def _term_tf(toks: Column, term: str) -> Column:
+    """term frequency of one query term in a pre-projected token array."""
+    return F.size(F.filter(toks, lambda t: t == F.lit(term)))
 
 
 def tfidf_scores(
@@ -56,13 +56,16 @@ def tfidf_scores(
     for term in query_terms:
         dfs[term] = df_row[term]
 
+    # tokenize ONCE behind an alias boundary — the per-term tf filters then
+    # reference the array instead of re-running the regex per term
+    toked = docs.select(F.col(id_col), tokens("text").alias("__toks"))
     score = None
     for term in query_terms:
         idf = math.log((n_docs + 1) / (dfs[term] + 1))
-        tf = _term_tf(term).cast("double")
+        tf = _term_tf(F.col("__toks"), term).cast("double")
         part = F.lit(idf) * (tf / (tf + F.lit(k1)))
         score = part if score is None else score + part
-    return docs.select(
+    return toked.select(
         F.col(id_col), F.round(score, round_to).alias("lex_score")
     )
 

@@ -20,6 +20,8 @@ __all__ = [
     "word_ngrams",
     "char_ngrams",
     "norm_text",
+    "lang_hits_from",
+    "lang_id_from",
     "lang_id_expr",
     "quality_exprs",
     "fingerprint",
@@ -115,21 +117,23 @@ LANG_MARKERS = {
 }
 
 
-def lang_hits(col: str, lang: str) -> Column:
+def lang_hits_from(toks: Column, lang: str) -> Column:
+    """Marker-hit count from an already-projected token-array column."""
     words = F.array(*[F.lit(w) for w in LANG_MARKERS[lang]])
-    return F.size(F.filter(tokens(col), lambda t: F.array_contains(words, t)))
+    return F.size(F.filter(toks, lambda t: F.array_contains(words, t)))
 
 
-def lang_id_expr(col: str, *, min_hits: int = 1) -> Column:
-    """argmax over language marker-hit counts; 'und' (undetermined) when no
-    language reaches ``min_hits``.  Ties break to the alphabetically-first
-    language code: the fold keeps the incumbent unless a candidate is
-    STRICTLY better, and candidates arrive in sorted order — ``array_max``
-    over (hits, lang) would invert that (later code wins ties)."""
+def lang_hits(col: str, lang: str) -> Column:
+    return lang_hits_from(tokens(col), lang)
+
+
+def lang_id_from(toks: Column, *, min_hits: int = 1) -> Column:
+    """:func:`lang_id_expr` over an already-projected token array — use this
+    on hot paths: the inline form tokenizes once per candidate language."""
     langs = sorted(LANG_MARKERS)
     pairs = F.array(
         *[
-            F.struct(lang_hits(col, lg).alias("hits"), F.lit(lg).alias("lang"))
+            F.struct(lang_hits_from(toks, lg).alias("hits"), F.lit(lg).alias("lang"))
             for lg in langs
         ]
     )
@@ -139,6 +143,19 @@ def lang_id_expr(col: str, *, min_hits: int = 1) -> Column:
         lambda acc, p: F.when(p["hits"] > acc["hits"], p).otherwise(acc),
     )
     return F.when(best["hits"] < min_hits, F.lit("und")).otherwise(best["lang"])
+
+
+def lang_id_expr(col: str, *, min_hits: int = 1) -> Column:
+    """argmax over language marker-hit counts; 'und' (undetermined) when no
+    language reaches ``min_hits``.  Ties break to the alphabetically-first
+    language code: the fold keeps the incumbent unless a candidate is
+    STRICTLY better, and candidates arrive in sorted order — ``array_max``
+    over (hits, lang) would invert that (later code wins ties).
+
+    Inline convenience form; hot paths project ``tokens(col)`` once and call
+    :func:`lang_id_from` on the alias (one tokenization instead of one per
+    candidate language)."""
+    return lang_id_from(tokens(col), min_hits=min_hits)
 
 
 # ---------------------------------------------------------------------------

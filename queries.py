@@ -1022,18 +1022,20 @@ def text_token_stats(spark, sf_dir):
 )
 def text_quality(spark, sf_dir):
     """Quality-scoring ratios for corpus filtering (north-star)."""
-    from engine.extended.text import lang_hits, token_count
+    from engine.extended.text import lang_hits_from, tokens
 
     d = t(spark, sf_dir, "documents").filter(F.length("text") > 0)
+    toks = F.col("__toks")
+    n_toks = F.size(toks)
     n_chars = F.length("text")
-    toks = token_count("text")
     alpha = F.length(F.regexp_replace(F.col("text"), "[^A-Za-z]", ""))
-    return d.select(
+    return d.select("doc_id", "text", tokens("text").alias("__toks")).select(
         "doc_id",
         n_chars.cast("long").alias("n_chars"),
         F.round(alpha / n_chars.cast("double"), 4).alias("alpha_ratio"),
         F.round(
-            lang_hits("text", "en") / F.when(toks > 0, toks.cast("double")), 4
+            lang_hits_from(toks, "en") / F.when(n_toks > 0, n_toks.cast("double")),
+            4,
         ).alias("stopword_ratio"),
     )
 
@@ -1066,10 +1068,12 @@ def text_quality(spark, sf_dir):
 def lang_id(spark, sf_dir):
     """Language-ID heuristic: argmax of per-language marker hits, ties to the
     alphabetically-first language (north-star)."""
-    from engine.extended.text import lang_id_expr
+    from engine.extended.text import lang_id_from, tokens
 
     d = t(spark, sf_dir, "documents")
-    return d.select("doc_id", lang_id_expr("text").alias("lang_pred"))
+    return d.select("doc_id", tokens("text").alias("__toks")).select(
+        "doc_id", lang_id_from(F.col("__toks")).alias("lang_pred")
+    )
 
 
 @q(
