@@ -31,6 +31,7 @@ __all__ = [
     "repetition_metrics",
     "tfidf_top_terms",
     "ngram_contamination",
+    "pack_sequences",
 ]
 
 #: (name, regex, replacement) applied IN ORDER.  Patterns are written in the
@@ -210,4 +211,51 @@ def ngram_contamination(
             ).alias("contamination"),
         )
         .withColumnRenamed("id", id_col)
+    )
+
+
+def pack_sequences(
+    df: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    budget: int = 256,
+    shards: int = 16,
+) -> DataFrame:
+    """Streaming-concatenation sequence packing: documents are concatenated
+    in id order and cut at ``budget``-token boundaries — each document lands
+    in the training sequence where its first token falls
+    (``seq = floor(preceding_cumulative_tokens / budget)``), the standard
+    pre-training packing layout.
+
+    Returns one row per (shard, seq_id): document count and token total.
+    Sharding (``pmod(id, shards)``) keeps the running-sum window
+    partition-local — a single global order would serialize the cumsum on
+    one task; with shards the packing is deterministic per shard and all
+    shards run in parallel, which is the only layout that survives 100 TB.
+    """
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy("__shard")
+        .orderBy(id_col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    toked = df.select(
+        F.col(id_col).alias(id_col),
+        F.pmod(F.col(id_col), F.lit(shards)).alias("__shard"),
+        F.size(tokens(text_col)).alias("__n_tok"),
+    )
+    binned = toked.withColumn(
+        "seq_id",
+        F.floor(
+            F.coalesce(F.sum("__n_tok").over(w), F.lit(0)) / F.lit(budget)
+        ),
+    )
+    return (
+        binned.groupBy(F.col("__shard").alias("shard"), "seq_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("__n_tok").alias("n_tokens"),
+        )
     )

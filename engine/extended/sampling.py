@@ -15,7 +15,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["hash_split", "stratified_sample"]
+__all__ = ["hash_split", "stratified_sample", "mixture_sample"]
 
 
 def hash_split(
@@ -50,3 +50,53 @@ def stratified_sample(
     """Per-stratum Bernoulli sample (seeded, one pass, no group-size
     collection).  Engine-native randomness → rows-only in the harness."""
     return df.sampleBy(strata_col, fractions, seed=seed)
+
+
+def mixture_sample(
+    df: DataFrame,
+    targets: dict[str, float],
+    *,
+    group_col: str = "source",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Largest exact subsample matching a target group mixture.
+
+    Given target proportions (e.g. ``{"web": 0.6, "book": 0.4}``), find the
+    maximal total size whose per-group quotas ``floor(wᵍ·scale)`` fit inside
+    every group's available rows (``scale = min over groups of nᵍ/wᵍ``), then
+    keep each group's quota by md5-rank — deterministic across runs, row
+    orders, and engines (the domain-reweighting step of corpus mixing).
+    Groups absent from ``targets`` are dropped.
+
+    Scale shape: one count aggregate (group-cardinality-sized), a broadcast
+    of the quota table, and one window rank per group — the corpus is
+    shuffled once on ``group_col``.  No driver-side collection.
+    """
+    from pyspark.sql import Window
+
+    wmap = F.create_map(
+        *[F.lit(x) for kv in targets.items() for x in (kv[0], float(kv[1]))]
+    )
+    counts = (
+        df.groupBy(group_col)
+        .agg(F.count(F.lit(1)).alias("__n_avail"))
+        .withColumn("__w", wmap[F.col(group_col)])
+        .filter(F.col("__w") > 0)
+    )
+    scale = counts.agg(
+        F.min(F.col("__n_avail") / F.col("__w")).alias("__scale")
+    )
+    quotas = counts.crossJoin(F.broadcast(scale)).select(
+        group_col,
+        "__n_avail",
+        F.floor(F.col("__w") * F.col("__scale")).alias("__quota"),
+    )
+    rk = Window.partitionBy(group_col).orderBy(
+        F.md5(F.concat(F.col(id_col).cast("string"), F.lit("|mix"))), id_col
+    )
+    return (
+        df.withColumn("__rk", F.row_number().over(rk))
+        .join(F.broadcast(quotas), group_col)
+        .filter(F.col("__rk") <= F.col("__quota"))
+        .drop("__rk", "__n_avail", "__quota")
+    )

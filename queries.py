@@ -2813,3 +2813,85 @@ def ngram_contamination_q(spark, sf_dir):
     eval_df = d.filter(F.col("doc_id") % 97 == 0)
     train = d.filter(F.col("doc_id") % 97 != 0)
     return ngram_contamination(train, eval_df)
+
+
+@q(
+    "sequence_pack",
+    """
+    WITH toked AS (
+      SELECT doc_id, doc_id % 16 AS shard,
+             LENGTH(list_transform(regexp_extract_all(text, '[A-Za-z0-9'']+'),
+                                   x -> LOWER(x))) AS n_tok
+      FROM documents),
+    binned AS (
+      SELECT shard,
+             CAST(FLOOR(COALESCE(SUM(n_tok) OVER (
+               PARTITION BY shard ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) / 256.0)
+               AS BIGINT) AS seq_id,
+             n_tok
+      FROM toked)
+    SELECT shard, seq_id, COUNT(*) AS n_docs, SUM(n_tok) AS n_tokens
+    FROM binned GROUP BY shard, seq_id
+    """,
+)
+def sequence_pack(spark, sf_dir):
+    """Pre-training sequence packing (streaming concatenation, 256-token
+    budget, 16 shards): each doc lands in the sequence where its first token
+    falls.  Sharding keeps the running-sum window partition-local — the only
+    packing layout whose cumsum parallelizes at 100 TB."""
+    from engine.extended.curation import pack_sequences
+
+    d = t(spark, sf_dir, "documents")
+    return pack_sequences(d, budget=256, shards=16)
+
+
+@q(
+    "mixture_sample",
+    """
+    WITH weighted AS (
+      SELECT source, COUNT(*) AS n_avail,
+             CASE source WHEN 'src0' THEN 0.5 WHEN 'src1' THEN 0.3
+                         WHEN 'src2' THEN 0.2 END AS w
+      FROM documents GROUP BY source),
+    eligible AS (SELECT * FROM weighted WHERE w > 0),
+    scaled AS (SELECT MIN(n_avail / w) AS scale FROM eligible),
+    quotas AS (
+      SELECT e.source, e.n_avail, CAST(FLOOR(e.w * s.scale) AS BIGINT) AS quota
+      FROM eligible e, scaled s),
+    ranked AS (
+      SELECT d.doc_id, d.source,
+             ROW_NUMBER() OVER (
+               PARTITION BY d.source
+               ORDER BY MD5(CAST(d.doc_id AS VARCHAR) || '|mix'), d.doc_id) AS rk
+      FROM documents d JOIN quotas q ON d.source = q.source),
+    kept AS (
+      SELECT r.source, r.doc_id FROM ranked r JOIN quotas q ON r.source = q.source
+      WHERE r.rk <= q.quota)
+    SELECT k.source, q.n_avail, COUNT(*) AS n_kept,
+           ROUND(COUNT(*) * 1.0 / SUM(COUNT(*)) OVER (), 4) AS achieved_frac
+    FROM kept k JOIN quotas q ON k.source = q.source
+    GROUP BY k.source, q.n_avail
+    """,
+)
+def mixture_sample_q(spark, sf_dir):
+    """Domain-mixture reweighting: largest exact subsample hitting target
+    proportions {src0: .5, src1: .3, src2: .2} (md5-rank deterministic;
+    unlisted sources dropped).  Verifies the achieved mixture per source."""
+    from engine.extended.sampling import mixture_sample
+
+    d = t(spark, sf_dir, "documents")
+    avail = d.groupBy("source").agg(F.count(F.lit(1)).alias("n_avail"))
+    kept = mixture_sample(d, {"src0": 0.5, "src1": 0.3, "src2": 0.2})
+    per = kept.groupBy("source").agg(F.count(F.lit(1)).alias("n_kept"))
+    total = per.agg(F.sum("n_kept").alias("__total"))
+    return (
+        per.join(avail, "source")
+        .crossJoin(F.broadcast(total))
+        .select(
+            "source",
+            "n_avail",
+            "n_kept",
+            F.round(F.col("n_kept") / F.col("__total"), 4).alias("achieved_frac"),
+        )
+    )

@@ -123,3 +123,71 @@ def test_contamination_plan_broadcasts_eval_side(spark):
     )
     plan = ngram_contamination(train, eval_df)._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan  # the 100 TB side is never re-partitioned
+
+
+def test_pack_sequences_golden(spark):
+    # one shard (ids all ≡ 1 mod 16 absent — use ids 0..3 with shards=1)
+    from engine.extended.curation import pack_sequences
+
+    df = spark.createDataFrame(
+        [
+            (0, "a b c"),        # 3 tokens, prev_cum 0  → seq 0
+            (1, "d e"),          # 2 tokens, prev_cum 3  → seq 0
+            (2, "f g h i"),      # 4 tokens, prev_cum 5  → seq 1 (floor(5/4))
+            (3, "j"),            # 1 token,  prev_cum 9  → seq 2
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        (r["shard"], r["seq_id"]): r.asDict()
+        for r in pack_sequences(df, budget=4, shards=1).collect()
+    }
+    assert out[(0, 0)]["n_docs"] == 2 and out[(0, 0)]["n_tokens"] == 5
+    assert out[(0, 1)]["n_docs"] == 1 and out[(0, 1)]["n_tokens"] == 4
+    assert out[(0, 2)]["n_docs"] == 1 and out[(0, 2)]["n_tokens"] == 1
+
+
+def test_pack_sequences_sharding_is_partition_local(spark):
+    from engine.extended.curation import pack_sequences
+
+    df = spark.createDataFrame(
+        [(i, "w " * 10) for i in range(40)], "doc_id long, text string"
+    )
+    plan = (
+        pack_sequences(df, budget=16, shards=8)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    # the running sum must be a partitioned window, never a global one
+    assert "windowspecdefinition(__shard" in plan
+
+
+def test_mixture_sample_hits_target_proportions(spark):
+    from engine.extended.sampling import mixture_sample
+
+    rows = [(i, "s_big") for i in range(600)] + [
+        (1000 + i, "s_small") for i in range(100)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+    kept = mixture_sample(
+        df, {"s_big": 0.5, "s_small": 0.5}, group_col="source"
+    )
+    counts = {r["source"]: r["n"] for r in
+              kept.groupBy("source").agg(F.count(F.lit(1)).alias("n")).collect()}
+    # s_small is the binding constraint: scale = 100/0.5 = 200 → 100 each
+    assert counts == {"s_big": 100, "s_small": 100}
+
+
+def test_mixture_sample_is_deterministic_and_drops_unlisted(spark):
+    from engine.extended.sampling import mixture_sample
+
+    rows = [(i, ["a", "b", "c"][i % 3]) for i in range(90)]
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+    k1 = sorted(r["doc_id"] for r in mixture_sample(df, {"a": 0.7, "b": 0.3}).collect())
+    k2 = sorted(
+        r["doc_id"]
+        for r in mixture_sample(
+            df.repartition(7), {"a": 0.7, "b": 0.3}
+        ).collect()
+    )
+    assert k1 == k2  # row-order / partitioning invariant
+    assert not any(i % 3 == 2 for i in k1)  # source 'c' dropped
