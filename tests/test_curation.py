@@ -191,3 +191,23 @@ def test_mixture_sample_is_deterministic_and_drops_unlisted(spark):
     )
     assert k1 == k2  # row-order / partitioning invariant
     assert not any(i % 3 == 2 for i in k1)  # source 'c' dropped
+
+
+def test_pack_sequences_conserves_docs_and_tokens(spark):
+    # invariant: packing is a partition of the corpus — no doc or token is
+    # lost or double-counted, for any budget/shard combination
+    from engine.extended.curation import pack_sequences
+    from engine.extended.text import token_count
+
+    df = spark.createDataFrame(
+        [(i, ("tok " * (1 + i % 17)).strip()) for i in range(200)],
+        "doc_id long, text string",
+    )
+    expect_docs = df.count()
+    expect_tokens = df.select(F.sum(token_count("text"))).collect()[0][0]
+    for budget, shards in ((16, 4), (64, 1), (7, 32)):
+        packed = pack_sequences(df, budget=budget, shards=shards)
+        agg = packed.agg(
+            F.sum("n_docs").alias("d"), F.sum("n_tokens").alias("t")
+        ).collect()[0]
+        assert (agg["d"], agg["t"]) == (expect_docs, expect_tokens), (budget, shards)
