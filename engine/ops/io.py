@@ -17,7 +17,13 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 
-__all__ = ["write_partitioned", "write_bucketed", "read_table"]
+__all__ = [
+    "write_partitioned",
+    "write_bucketed",
+    "read_table",
+    "zorder_key",
+    "cluster_by_zorder",
+]
 
 
 def write_partitioned(
@@ -49,3 +55,46 @@ def write_bucketed(
 
 def read_table(spark: SparkSession, table: str) -> DataFrame:
     return spark.table(table)
+
+
+def zorder_key(cols, *, bits: int = 16):
+    """Morton (Z-order) interleaving of ``len(cols)`` non-negative integer
+    columns into one clustering key.
+
+    Sorting/range-partitioning a table by this key before writing gives
+    every file a bounded min/max span on EVERY input column simultaneously —
+    multi-column data skipping from single-column file statistics, the
+    standard lakehouse clustering trick (a single-column sort leaves the
+    other columns' per-file spans at full width, so predicates on them prune
+    nothing).  Callers pre-scale values into ``[0, 2**bits)`` (e.g.
+    ``pmod(hash, lit(65536))`` or an epoch-day offset).
+
+    Pure integer bit expression → whole-stage codegen, no shuffle of its
+    own, and exactly reproducible in any engine with shift/and/or (the
+    DuckDB oracle runs the identical formula).
+    """
+    from pyspark.sql import functions as F
+
+    n = len(cols)
+    acc = F.lit(0).cast("long")
+    for b in range(bits):
+        for i, c in enumerate(cols):
+            src = (F.col(c) if isinstance(c, str) else c).cast("long")
+            bit = F.shiftright(src, b).bitwiseAND(F.lit(1))
+            acc = acc.bitwiseOR(F.shiftleft(bit, b * n + i))
+    return acc
+
+
+def cluster_by_zorder(
+    df: DataFrame, cols: list[str], *, bits: int = 16, n_files: int = 32
+) -> DataFrame:
+    """Range-partition by the Z-order key into ``n_files`` write groups and
+    sort within each — the write-side layout pass.  One range exchange
+    (sampled boundaries), then each task writes one locality-clustered
+    file."""
+    keyed = df.withColumn("__z", zorder_key(cols, bits=bits))
+    return (
+        keyed.repartitionByRange(n_files, "__z")
+        .sortWithinPartitions("__z")
+        .drop("__z")
+    )

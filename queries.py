@@ -2895,3 +2895,33 @@ def mixture_sample_q(spark, sf_dir):
             F.round(F.col("n_kept") / F.col("__total"), 4).alias("achieved_frac"),
         )
     )
+
+
+def _zorder_oracle_sql(bits: int = 8) -> str:
+    # the exact Morton interleave zorder_key() emits, as DuckDB bit arithmetic
+    terms = []
+    for b in range(bits):
+        terms.append(f"((((o_orderkey % 256) >> {b}) & 1) << {2 * b})")
+        terms.append(f"((((o_custkey % 256) >> {b}) & 1) << {2 * b + 1})")
+    z = " | ".join(terms)
+    return f"""
+    SELECT o_orderkey, ({z}) AS zkey FROM orders
+    """
+
+
+@q("zorder_key", _zorder_oracle_sql())
+def zorder_key_q(spark, sf_dir):
+    """Morton/Z-order clustering key over (orderkey, custkey) low bytes —
+    the multi-column data-skipping layout key (engine.ops.io.zorder_key;
+    write-side pass = cluster_by_zorder).  Pure codegen bit arithmetic,
+    bit-identical across engines."""
+    from engine.ops.io import zorder_key
+
+    o = t(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        zorder_key(
+            [F.pmod("o_orderkey", F.lit(256)), F.pmod("o_custkey", F.lit(256))],
+            bits=8,
+        ).alias("zkey"),
+    )

@@ -66,3 +66,44 @@ def test_dynamic_partition_pruning(spark, tmp_path):
     p = plan(j)
     assert "dynamicpruning" in p.lower()
     assert j.count() == 100
+
+
+def test_zorder_clustering_bounds_both_column_spans(spark, tmp_path):
+    """Z-order layout: every file gets a bounded min/max span on BOTH
+    clustered columns (multi-column data skipping); a single-column sort
+    leaves the second column's per-file span at full width."""
+    from pyspark.sql import functions as F
+
+    from engine.ops.io import cluster_by_zorder
+
+    n = 64
+    grid = spark.range(n * n).select(
+        (F.col("id") % n).alias("x"), (F.col("id") / n).cast("long").alias("y")
+    )
+
+    def avg_spans(df_sorted, path):
+        df_sorted.write.mode("overwrite").parquet(path)
+        per_file = (
+            spark.read.parquet(path)
+            .groupBy(F.input_file_name().alias("f"))
+            .agg(
+                (F.max("x") - F.min("x")).alias("sx"),
+                (F.max("y") - F.min("y")).alias("sy"),
+            )
+            .agg(F.avg("sx").alias("ax"), F.avg("sy").alias("ay"))
+            .collect()[0]
+        )
+        return per_file["ax"], per_file["ay"]
+
+    zx, zy = avg_spans(
+        cluster_by_zorder(grid, ["x", "y"], bits=6, n_files=16),
+        str(tmp_path / "zorder"),
+    )
+    sx, sy = avg_spans(
+        grid.repartitionByRange(16, "x").sortWithinPartitions("x"),
+        str(tmp_path / "xsort"),
+    )
+    # z-order: both dimensions bounded well below full width (63)
+    assert zx < 32 and zy < 32, (zx, zy)
+    # x-sort: x is tight but y spans (nearly) the full range — no skipping
+    assert sx < 8 and sy > 48, (sx, sy)
