@@ -15,7 +15,13 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["hash_split", "stratified_sample", "mixture_sample"]
+__all__ = [
+    "hash_split",
+    "stratified_sample",
+    "mixture_sample",
+    "per_key_sample",
+    "shard_assign",
+]
 
 
 def hash_split(
@@ -50,6 +56,69 @@ def stratified_sample(
     """Per-stratum Bernoulli sample (seeded, one pass, no group-size
     collection).  Engine-native randomness → rows-only in the harness."""
     return df.sampleBy(strata_col, fractions, seed=seed)
+
+
+def per_key_sample(
+    df: DataFrame,
+    group_col: str,
+    *,
+    k: int,
+    id_col: str = "doc_id",
+    salt: str = "pks",
+) -> DataFrame:
+    """Deterministic uniform sample of at most ``k`` rows per group.
+
+    Reservoir-sampling semantics (uniform within each group, exactly
+    ``min(k, group_size)`` rows) without RNG state: the md5 of the row id is
+    the random tag, so the selection is reproducible across runs, row orders,
+    partition counts, and engines — the property driver-seeded ``sample``
+    lacks.
+
+    Scale shape: one shuffle on ``group_col``; the ``row_number <= k`` filter
+    is recognized by Catalyst's WindowGroupLimit, which keeps a per-partition
+    top-k heap instead of fully sorting each group — cost O(n log k), state
+    O(k) per group, so a hot key degrades gracefully rather than spilling a
+    whole-group sort.
+    """
+    from pyspark.sql import Window
+
+    tag = F.md5(F.concat(F.col(id_col).cast("string"), F.lit("|" + salt)))
+    w = Window.partitionBy(group_col).orderBy(tag, F.col(id_col))
+    return (
+        df.withColumn("__rk", F.row_number().over(w))
+        .filter(F.col("__rk") <= k)
+        .drop("__rk")
+    )
+
+
+def shard_assign(
+    df: DataFrame,
+    *,
+    n_shards: int,
+    id_col: str = "doc_id",
+    salt: str = "shard",
+    position: bool = True,
+) -> DataFrame:
+    """Deterministic global shuffle for training-shard writes.
+
+    ``shard`` = md5-bucket of the row id mod ``n_shards`` — a pure expression
+    (no shuffle to assign, content-stable across epochs and engines).
+    ``shard_pos`` = hash rank within the shard, i.e. the within-shard read
+    order.  Writing ``partitionBy(shard)`` with rows sorted by ``shard_pos``
+    gives every epoch reader the same globally-shuffled order WITHOUT a
+    global sort: the only exchange is the hash partition on ``shard``, which
+    is exactly the write partitioning, and the per-shard sort is
+    partition-local (``sortWithinPartitions``).
+    """
+    from pyspark.sql import Window
+
+    h = F.md5(F.concat(F.col(id_col).cast("string"), F.lit("|" + salt)))
+    bucket = F.conv(F.substring(h, 1, 8), 16, 10).cast("long")
+    out = df.withColumn("shard", (bucket % n_shards).cast("int"))
+    if position:
+        w = Window.partitionBy("shard").orderBy(h, F.col(id_col))
+        out = out.withColumn("shard_pos", F.row_number().over(w))
+    return out
 
 
 def mixture_sample(

@@ -1,0 +1,174 @@
+"""SemDeDup-style semantic deduplication over embedding columns (north-star).
+
+Pipeline shape from the public SemDeDup paper (Abbas et al. 2023,
+arXiv:2303.09540): partition the embedding space into clusters (here the
+precomputed ``label`` column, or an IVF/k-means assignment from
+:func:`engine.extended.similarity.ivf_build`), compare pairs ONLY within a
+cluster, and drop all but one member of each semantic-duplicate set.
+
+Scale shape — the reason this survives 100 TB where naive all-pairs cannot:
+
+- The self-join key is the cluster id, so the pair explosion is
+  O(sum of cluster_size**2), not O(n**2); with k ~ sqrt(n) balanced clusters
+  that is ~O(n**1.5) work spread across the cluster key.  One mega-cluster is
+  the failure mode to watch — bound cluster sizes upstream via the k choice
+  (or re-cluster oversized ones).
+- Row norms are projected ONCE per row before the self-join, so each pair
+  costs a single dot product (one ``zip_with``/``aggregate`` pass) instead of
+  three array passes — the same project-behind-an-alias discipline the text
+  ops use for tokens.
+- The keeper rule ("drop the higher id of any qualifying pair") is a pure
+  distinct + left_anti — deterministic across runs, row orders, and partition
+  counts, no iterative connected components needed (transitive chains all
+  collapse onto their minimum-id representative's set).
+
+Reference parity note: the reference pipeline has no embedding operators —
+this module is part of the north-star LLM-corpus surface
+(``/root/repo/BASELINE.json``), a sibling of
+:mod:`engine.extended.dedup`'s MinHash/SimHash text paths.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+__all__ = ["centroids_by", "pairwise_sims", "semdedup_pairs", "semdedup"]
+
+
+def _norm(vec_col: Column) -> Column:
+    return F.sqrt(
+        F.aggregate(
+            F.transform(vec_col, lambda x: x.cast("double") * x.cast("double")),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+    )
+
+
+def centroids_by(
+    df: DataFrame,
+    *,
+    cluster_col: str = "label",
+    vec_col: str = "embedding",
+    round_to: int | None = 4,
+) -> DataFrame:
+    """Per-cluster mean embedding as ``(cluster, pos, centroid)`` rows.
+
+    ``posexplode`` + groupBy(cluster, pos): the explode is map-local and the
+    aggregate collapses map-side, so the shuffle carries one partial per
+    (task, cluster, dim) — O(clusters * dim), independent of row count.
+    ``pos`` is 1-based (matches SQL ``generate_subscripts``).
+    """
+    exploded = df.select(
+        F.col(cluster_col),
+        F.posexplode(F.col(vec_col)).alias("pos", "val"),
+    ).select(
+        cluster_col,
+        (F.col("pos") + 1).alias("pos"),
+        F.col("val").cast("double").alias("val"),
+    )
+    mean = F.avg("val")
+    if round_to is not None:
+        mean = F.round(mean, round_to)
+    return exploded.groupBy(cluster_col, "pos").agg(mean.alias("centroid"))
+
+
+def pairwise_sims(
+    df: DataFrame,
+    *,
+    cluster_col: str = "label",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_to: int = 4,
+) -> DataFrame:
+    """All within-cluster pairs (a_id < b_id) with exact cosine similarity.
+
+    Norms are computed in the pre-join projection (once per row); the join
+    itself evaluates only the pair dot product.  Zero vectors yield NULL
+    similarity (never a division error), matching
+    :func:`engine.extended.dedup.cosine`.
+    """
+    v = df.select(
+        F.col(cluster_col).alias("__c"),
+        F.col(id_col).alias("__id"),
+        F.col(vec_col).alias("__v"),
+        _norm(F.col(vec_col)).alias("__n"),
+    )
+    a = v.select(
+        F.col("__c"),
+        F.col("__id").alias("a_id"),
+        F.col("__v").alias("__av"),
+        F.col("__n").alias("__an"),
+    )
+    b = v.select(
+        F.col("__c"),
+        F.col("__id").alias("b_id"),
+        F.col("__v").alias("__bv"),
+        F.col("__n").alias("__bn"),
+    )
+    dot = F.aggregate(
+        F.zip_with("__av", "__bv", lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    denom = F.col("__an") * F.col("__bn")
+    sim = F.when(denom > 0, F.round(dot / denom, round_to))
+    return (
+        a.join(b, "__c")
+        .filter(F.col("a_id") < F.col("b_id"))
+        .select(F.col("__c").alias(cluster_col), "a_id", "b_id", sim.alias("sim"))
+    )
+
+
+def semdedup_pairs(
+    df: DataFrame,
+    *,
+    threshold: float,
+    cluster_col: str = "label",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_to: int = 4,
+) -> DataFrame:
+    """Within-cluster semantic-duplicate pairs: cosine >= ``threshold``.
+
+    The threshold is applied to the ROUNDED similarity so the decision is
+    identical in any engine that reproduces the arithmetic (oracle parity).
+    """
+    return pairwise_sims(
+        df,
+        cluster_col=cluster_col,
+        id_col=id_col,
+        vec_col=vec_col,
+        round_to=round_to,
+    ).filter(F.col("sim") >= threshold)
+
+
+def semdedup(
+    df: DataFrame,
+    *,
+    threshold: float,
+    cluster_col: str = "label",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Semantic dedup: drop every row that has a qualifying near-twin with a
+    smaller id; keep everything else.
+
+    Deterministic keeper rule — each duplicate pair contributes its higher id
+    to the drop set, so the minimum-id member of any duplicate set always
+    survives.  Shape: pairs -> distinct drop ids -> broadcast left_anti
+    (the drop set is ~duplicate count, small relative to the corpus).
+    """
+    drops = (
+        semdedup_pairs(
+            df,
+            threshold=threshold,
+            cluster_col=cluster_col,
+            id_col=id_col,
+            vec_col=vec_col,
+        )
+        .select(F.col("b_id").alias(id_col))
+        .distinct()
+    )
+    return df.join(F.broadcast(drops), id_col, "left_anti")

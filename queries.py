@@ -2925,3 +2925,144 @@ def zorder_key_q(spark, sf_dir):
             bits=8,
         ).alias("zkey"),
     )
+
+
+# ===========================================================================
+# North-star: deterministic sampling/sharding + SemDeDup (semantic dedup)
+# ===========================================================================
+
+
+@q(
+    "per_key_sample",
+    """
+    WITH ranked AS (
+      SELECT source, doc_id,
+             ROW_NUMBER() OVER (
+               PARTITION BY source
+               ORDER BY MD5(CAST(doc_id AS VARCHAR) || '|pks'), doc_id) AS rk
+      FROM documents)
+    SELECT source, doc_id FROM ranked WHERE rk <= 5
+    """,
+)
+def per_key_sample_q(spark, sf_dir):
+    """Deterministic reservoir-style sample: ≤5 docs per source, ranked by
+    md5(id) so the pick is uniform, engine-independent, and partition-count
+    invariant (engine.extended.sampling.per_key_sample)."""
+    from engine.extended.sampling import per_key_sample
+
+    d = t(spark, sf_dir, "documents")
+    return per_key_sample(d, "source", k=5).select("source", "doc_id")
+
+
+@q(
+    "shard_assign",
+    """
+    WITH h AS (
+      SELECT doc_id, MD5(CAST(doc_id AS VARCHAR) || '|shard') AS hx
+      FROM documents)
+    SELECT doc_id,
+           CAST(CAST(('0x' || SUBSTRING(hx, 1, 8)) AS BIGINT) % 8 AS INTEGER) AS shard,
+           ROW_NUMBER() OVER (
+             PARTITION BY CAST(('0x' || SUBSTRING(hx, 1, 8)) AS BIGINT) % 8
+             ORDER BY hx, doc_id) AS shard_pos
+    FROM h
+    """,
+)
+def shard_assign_q(spark, sf_dir):
+    """Deterministic global shuffle into 8 training shards with within-shard
+    positions — the epoch-stable shard-writer ordering
+    (engine.extended.sampling.shard_assign)."""
+    from engine.extended.sampling import shard_assign
+
+    d = t(spark, sf_dir, "documents")
+    return shard_assign(d, n_shards=8).select("doc_id", "shard", "shard_pos")
+
+
+@q(
+    "label_centroids",
+    """
+    WITH x AS (
+      SELECT label, generate_subscripts(embedding, 1) AS pos,
+             CAST(UNNEST(embedding) AS DOUBLE) AS val
+      FROM embeddings)
+    SELECT label, pos, ROUND(AVG(val), 4) AS centroid
+    FROM x GROUP BY label, pos
+    """,
+)
+def label_centroids_q(spark, sf_dir):
+    """Per-cluster mean embedding (the SemDeDup/IVF centroid computation):
+    posexplode + map-side partial avg — shuffle O(clusters×dim), not O(rows)
+    (engine.extended.semdedup.centroids_by)."""
+    from engine.extended.semdedup import centroids_by
+
+    e = t(spark, sf_dir, "embeddings")
+    return centroids_by(e)
+
+
+_SEMDEDUP_PAIRS_SQL = """
+    WITH v AS (
+      SELECT label, vec_id, embedding,
+             SQRT(list_sum(list_transform(embedding,
+                  x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm
+      FROM embeddings),
+    p AS (
+      SELECT a.label AS label, a.vec_id AS a_id, b.vec_id AS b_id,
+             CASE WHEN a.nrm * b.nrm > 0 THEN ROUND(
+               list_sum(list_transform(list_zip(a.embedding, b.embedding),
+                        x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))
+               / (a.nrm * b.nrm), 4)
+             END AS sim
+      FROM v a JOIN v b ON a.label = b.label AND a.vec_id < b.vec_id)
+"""
+
+
+@q(
+    "semdedup_pairs",
+    _SEMDEDUP_PAIRS_SQL
+    + """
+    SELECT label, a_id, b_id, sim FROM p WHERE sim >= 0.4
+    """,
+)
+def semdedup_pairs_q(spark, sf_dir):
+    """SemDeDup candidate pairs: within-cluster exact cosine ≥ 0.4 (threshold
+    on the rounded value — engine-exact).  Norms projected once per row
+    before the self-join (engine.extended.semdedup.semdedup_pairs)."""
+    from engine.extended.semdedup import semdedup_pairs
+
+    e = t(spark, sf_dir, "embeddings")
+    return semdedup_pairs(e, threshold=0.4)
+
+
+@q(
+    "semdedup_prune",
+    _SEMDEDUP_PAIRS_SQL
+    + """
+    , drops AS (SELECT DISTINCT b_id FROM p WHERE sim >= 0.3)
+    SELECT e.label,
+           COUNT(*) FILTER (WHERE d.b_id IS NULL) AS n_kept,
+           COUNT(d.b_id) AS n_dropped
+    FROM embeddings e LEFT JOIN drops d ON e.vec_id = d.b_id
+    GROUP BY e.label
+    """,
+)
+def semdedup_prune_q(spark, sf_dir):
+    """SemDeDup keeper rule per cluster: drop the higher id of every
+    qualifying pair (cos ≥ 0.3), keep the rest — kept/dropped counts per
+    label (engine.extended.semdedup.semdedup)."""
+    from engine.extended.semdedup import semdedup_pairs
+
+    e = t(spark, sf_dir, "embeddings")
+    drops = (
+        semdedup_pairs(e, threshold=0.3)
+        .select(F.col("b_id").alias("vec_id"))
+        .distinct()
+        .withColumn("__dropped", F.lit(1))
+    )
+    return (
+        e.join(F.broadcast(drops), "vec_id", "left")
+        .groupBy("label")
+        .agg(
+            F.count(F.when(F.col("__dropped").isNull(), 1)).alias("n_kept"),
+            F.count("__dropped").alias("n_dropped"),
+        )
+    )

@@ -1,0 +1,141 @@
+"""Golden-frame tests: deterministic sampling/sharding + SemDeDup family."""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import functions as F
+
+from engine.extended.sampling import per_key_sample, shard_assign
+from engine.extended.semdedup import (
+    centroids_by,
+    pairwise_sims,
+    semdedup,
+    semdedup_pairs,
+)
+
+
+def _corpus(spark, n=40):
+    rows = [(i, f"g{i % 3}") for i in range(n)]
+    return spark.createDataFrame(rows, "doc_id long, source string")
+
+
+# ---------------------------------------------------------------------------
+# per_key_sample
+# ---------------------------------------------------------------------------
+
+
+def test_per_key_sample_caps_each_group(spark):
+    out = per_key_sample(_corpus(spark), "source", k=4).collect()
+    by_group = {}
+    for r in out:
+        by_group.setdefault(r["source"], set()).add(r["doc_id"])
+    assert set(by_group) == {"g0", "g1", "g2"}
+    assert all(len(ids) == 4 for ids in by_group.values())
+
+
+def test_per_key_sample_keeps_small_groups_whole(spark):
+    df = spark.createDataFrame([(1, "a"), (2, "a"), (3, "b")], "doc_id long, source string")
+    out = per_key_sample(df, "source", k=5).collect()
+    assert {(r["source"], r["doc_id"]) for r in out} == {("a", 1), ("a", 2), ("b", 3)}
+
+
+def test_per_key_sample_partition_invariant(spark):
+    base = {(r["source"], r["doc_id"]) for r in per_key_sample(_corpus(spark), "source", k=4).collect()}
+    shuffled = _corpus(spark).repartition(7, "doc_id")
+    again = {(r["source"], r["doc_id"]) for r in per_key_sample(shuffled, "source", k=4).collect()}
+    assert base == again
+
+
+# ---------------------------------------------------------------------------
+# shard_assign
+# ---------------------------------------------------------------------------
+
+
+def test_shard_assign_positions_contiguous(spark):
+    out = shard_assign(_corpus(spark), n_shards=4).collect()
+    assert len(out) == 40
+    shards = {}
+    for r in out:
+        assert 0 <= r["shard"] < 4
+        shards.setdefault(r["shard"], []).append(r["shard_pos"])
+    for positions in shards.values():
+        assert sorted(positions) == list(range(1, len(positions) + 1))
+
+
+def test_shard_assign_stable_under_repartition(spark):
+    a = {(r["doc_id"], r["shard"], r["shard_pos"]) for r in shard_assign(_corpus(spark), n_shards=4).collect()}
+    b = {
+        (r["doc_id"], r["shard"], r["shard_pos"])
+        for r in shard_assign(_corpus(spark).repartition(9), n_shards=4).collect()
+    }
+    assert a == b
+
+
+def test_shard_assign_without_position_is_pure_projection(spark):
+    out = shard_assign(_corpus(spark), n_shards=4, position=False)
+    assert "shard_pos" not in out.columns
+    # no window/exchange in the plan: assignment must stay a map-side expression
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan and "Window" not in plan
+
+
+# ---------------------------------------------------------------------------
+# centroids / SemDeDup
+# ---------------------------------------------------------------------------
+
+
+def _vecs(spark):
+    c30, s30 = math.cos(math.pi / 6), math.sin(math.pi / 6)
+    rows = [
+        (0, [1.0, 0.0], 0),     # cluster 0 anchor
+        (1, [1.0, 0.0], 0),     # exact duplicate direction of 0
+        (2, [c30, s30], 0),     # 30 deg from 0 -> cos 0.866
+        (3, [0.0, 1.0], 0),     # orthogonal
+        (4, [0.0, 0.0], 0),     # zero vector -> null sims
+        (5, [1.0, 0.0], 1),     # same direction, DIFFERENT cluster: never paired
+    ]
+    return spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
+
+
+def test_centroids_by_exact_means(spark):
+    df = spark.createDataFrame(
+        [(0, [1.0, 3.0], 7), (1, [3.0, 5.0], 7), (2, [2.0, 2.0], 8)],
+        "vec_id long, embedding array<float>, label int",
+    )
+    got = {(r["label"], r["pos"]): r["centroid"] for r in centroids_by(df).collect()}
+    assert got == {(7, 1): 2.0, (7, 2): 4.0, (8, 1): 2.0, (8, 2): 2.0}
+
+
+def test_pairwise_sims_within_cluster_only(spark):
+    pairs = {(r["a_id"], r["b_id"]): r["sim"] for r in pairwise_sims(_vecs(spark)).collect()}
+    assert pairs[(0, 1)] == 1.0
+    assert pairs[(0, 2)] == round(math.cos(math.pi / 6), 4)
+    assert pairs[(0, 3)] == 0.0
+    assert pairs[(0, 4)] is None and pairs[(1, 4)] is None  # zero vector -> null
+    assert not any(5 in p for p in pairs)  # cross-cluster pair never formed
+
+
+def test_semdedup_pairs_threshold_on_rounded_sim(spark):
+    got = {(r["a_id"], r["b_id"]) for r in semdedup_pairs(_vecs(spark), threshold=0.86).collect()}
+    assert got == {(0, 1), (0, 2), (1, 2)}
+
+
+def test_semdedup_keeps_min_id_of_each_dup_set(spark):
+    kept = {r["vec_id"] for r in semdedup(_vecs(spark), threshold=0.86).collect()}
+    # 1 and 2 are near-twins of 0 -> dropped; 3 (orthogonal), 4 (zero), 5
+    # (other cluster) survive
+    assert kept == {0, 3, 4, 5}
+
+
+def test_semdedup_transitive_chain_collapses_to_min_id(spark):
+    a = [1.0, 0.0]
+    b = [math.cos(math.radians(25)), math.sin(math.radians(25))]
+    c = [math.cos(math.radians(50)), math.sin(math.radians(50))]
+    df = spark.createDataFrame(
+        [(10, a, 0), (11, b, 0), (12, c, 0)],
+        "vec_id long, embedding array<float>, label int",
+    )
+    # cos(25 deg) ~ 0.906 >= 0.87 links 10~11 and 11~12; cos(50 deg) ~ 0.64 doesn't
+    kept = {r["vec_id"] for r in semdedup(df, threshold=0.87).collect()}
+    assert kept == {10}
