@@ -45,6 +45,7 @@ HEADLINE = [
     "pii_redact",
     "repetition_metrics",
     "ann_cosine_topk",
+    "semdedup_pairs",
     "f1_f2_address_key_hash",
     "cdc_apply_changelog",
     "vocab_stats",

@@ -81,6 +81,7 @@ def pairwise_sims(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     round_to: int = 4,
+    probe_parallelism: int | None = None,
 ) -> DataFrame:
     """All within-cluster pairs (a_id < b_id) with exact cosine similarity.
 
@@ -88,7 +89,15 @@ def pairwise_sims(
     itself evaluates only the pair dot product.  Zero vectors yield NULL
     similarity (never a division error), matching
     :func:`engine.extended.dedup.cosine`.
+
+    ``probe_parallelism``: the pair stage costs O(sum cluster_size**2) dot
+    products — far more than the scan that feeds it — so when the input has
+    fewer splits than cores (small files, post-filter coalesce), one
+    round-robin exchange of the probe side buys full parallelism for the
+    quadratic stage.  Leave None when the scan already yields enough splits.
     """
+    if probe_parallelism:
+        df = df.repartition(probe_parallelism)
     v = df.select(
         F.col(cluster_col).alias("__c"),
         F.col(id_col).alias("__id"),
@@ -129,11 +138,14 @@ def semdedup_pairs(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     round_to: int = 4,
+    probe_parallelism: int | None = None,
 ) -> DataFrame:
     """Within-cluster semantic-duplicate pairs: cosine >= ``threshold``.
 
     The threshold is applied to the ROUNDED similarity so the decision is
     identical in any engine that reproduces the arithmetic (oracle parity).
+    Catalyst pushes the threshold into the join condition, so non-qualifying
+    pairs die before materialization.
     """
     return pairwise_sims(
         df,
@@ -141,6 +153,7 @@ def semdedup_pairs(
         id_col=id_col,
         vec_col=vec_col,
         round_to=round_to,
+        probe_parallelism=probe_parallelism,
     ).filter(F.col("sim") >= threshold)
 
 

@@ -3030,7 +3030,9 @@ def semdedup_pairs_q(spark, sf_dir):
     from engine.extended.semdedup import semdedup_pairs
 
     e = t(spark, sf_dir, "embeddings")
-    return semdedup_pairs(e, threshold=0.4)
+    return semdedup_pairs(
+        e, threshold=0.4, probe_parallelism=spark.sparkContext.defaultParallelism
+    )
 
 
 @q(
