@@ -49,6 +49,7 @@ HEADLINE = [
     "f1_f2_address_key_hash",
     "cdc_apply_changelog",
     "vocab_stats",
+    "dsir_select",
     "pipeline_new_mode",
 ]
 

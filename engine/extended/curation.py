@@ -32,6 +32,7 @@ __all__ = [
     "tfidf_top_terms",
     "ngram_contamination",
     "pack_sequences",
+    "chunk_tokens",
 ]
 
 #: (name, regex, replacement) applied IN ORDER.  Patterns are written in the
@@ -257,5 +258,44 @@ def pack_sequences(
         .agg(
             F.count(F.lit(1)).alias("n_docs"),
             F.sum("__n_tok").alias("n_tokens"),
+        )
+    )
+
+
+def chunk_tokens(
+    df: DataFrame,
+    *,
+    size: int,
+    stride: int,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Sliding token windows over each document: chunks of ``size`` tokens
+    every ``stride`` tokens (stride < size ⇒ overlapping context windows —
+    the RAG / long-context chunking layout; stride == size ⇒ disjoint).
+
+    Returns (id, chunk_id, n_tokens, chunk_text).  Zero-token documents are
+    dropped (no chunk to emit).  Per-row compute only: tokenize ONCE behind
+    an alias boundary (HOF lambdas get no CSE — see engine.extended.text),
+    then explode the start offsets and slice.  No shuffle at all — the
+    operator is a pure flatMap, so it pipelines into whatever follows.
+    """
+    toks = df.select(
+        F.col(id_col),
+        tokens(text_col).alias("__toks"),
+    ).withColumn("__n", F.size("__toks"))
+    starts = F.sequence(F.lit(0), F.col("__n") - 1, F.lit(int(stride)))
+    return (
+        toks.filter(F.col("__n") > 0)
+        .select(F.col(id_col), F.col("__toks"), F.explode(starts).alias("__start"))
+        .select(
+            id_col,
+            (F.col("__start") / stride).cast("int").alias("chunk_id"),
+            F.size(F.slice("__toks", F.col("__start") + 1, F.lit(int(size)))).alias(
+                "n_tokens"
+            ),
+            F.array_join(
+                F.slice("__toks", F.col("__start") + 1, F.lit(int(size))), " "
+            ).alias("chunk_text"),
         )
     )

@@ -1,0 +1,108 @@
+"""Importance-weighted data selection (DSIR-style) for training corpora.
+
+Public method: Xie et al. 2023, "Data Selection for Language Models via
+Importance Resampling" (arXiv:2302.03169) — score each candidate document by
+the log-likelihood ratio of a *target* language model over a *background*
+(raw-corpus) model, then keep the highest-scoring fraction.  This
+implementation uses smoothed unigram models over the engine's standard
+tokenization (:func:`engine.extended.text.tokens`), which keeps every step
+relational and oracle-checkable; hashed-n-gram features are a drop-in
+replacement of the token column.
+
+Scale shape:
+
+- One explode over tokens, ONE shuffle on the token key to build both
+  distributions in a single aggregate (target counts via conditional sum —
+  no second pass over the corpus for the target slice).
+- The vocabulary table (token → log ratio) is vocabulary-sized, not
+  corpus-sized, and is broadcast back onto the token stream; per-document
+  scores then collapse with map-side partial aggregation on ``doc_id``.
+- Nothing is collected to the driver; totals ride along as a broadcast
+  single-row table.
+
+Reference parity: the reference pipeline has no corpus-selection operators —
+this is north-star surface (``/root/repo/BASELINE.json``), a sibling of
+:mod:`engine.extended.curation`'s quality metrics.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from engine.extended.text import tokens
+
+__all__ = ["importance_scores", "dsir_select"]
+
+
+def importance_scores(
+    df: DataFrame,
+    target: Column,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    smoothing: float = 1.0,
+    round_to: int = 4,
+) -> DataFrame:
+    """Per-document mean unigram log-likelihood ratio target/background.
+
+    ``target`` is a boolean column marking the in-domain slice (e.g.
+    ``F.col("lang") == "en"``).  Background = the whole corpus, so the ratio
+    is well-defined for every token the corpus contains; add-``smoothing``
+    keeps tokens absent from the target slice finite.  Documents with zero
+    tokens are dropped (no evidence either way).
+    """
+    tok = df.select(
+        F.col(id_col),
+        target.alias("__is_target"),
+        F.explode(tokens(text_col)).alias("token"),
+    )
+    counts = tok.groupBy("token").agg(
+        F.count(F.lit(1)).alias("n_bg"),
+        F.sum(F.when(F.col("__is_target"), 1).otherwise(0)).alias("n_t"),
+    )
+    totals = counts.agg(
+        F.sum("n_bg").alias("tot_bg"),
+        F.sum("n_t").alias("tot_t"),
+        F.count(F.lit(1)).alias("vocab"),
+    )
+    s = F.lit(float(smoothing))
+    ratio = counts.crossJoin(F.broadcast(totals)).select(
+        "token",
+        (
+            F.log((F.col("n_t") + s) / (F.col("tot_t") + s * F.col("vocab")))
+            - F.log((F.col("n_bg") + s) / (F.col("tot_bg") + s * F.col("vocab")))
+        ).alias("__llr"),
+    )
+    return (
+        tok.join(F.broadcast(ratio), "token")
+        .groupBy(id_col)
+        .agg(F.round(F.avg("__llr"), round_to).alias("score"))
+    )
+
+
+def dsir_select(
+    df: DataFrame,
+    target: Column,
+    *,
+    k: int,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    smoothing: float = 1.0,
+    round_to: int = 4,
+) -> DataFrame:
+    """Top-``k`` documents by importance score (deterministic: ties on the
+    ROUNDED score break by id, so the selection is engine-independent).
+
+    The top-k is ``TakeOrderedAndProject`` over the scores table — no global
+    sort; at corpus scale ``k`` rows flow to the driver-side heap merge.
+    """
+    scores = importance_scores(
+        df,
+        target,
+        id_col=id_col,
+        text_col=text_col,
+        smoothing=smoothing,
+        round_to=round_to,
+    )
+    return scores.orderBy(F.col("score").desc(), F.col(id_col)).limit(k)

@@ -25,7 +25,14 @@ from pyspark.sql import functions as F
 
 from engine.extended.dedup import _dot, _unit_hyperplanes, cosine
 
-__all__ = ["cosine_topk", "with_signature", "lsh_topk", "ivf_build", "ivf_topk"]
+__all__ = [
+    "cosine_topk",
+    "with_signature",
+    "lsh_topk",
+    "ivf_build",
+    "ivf_topk",
+    "knn_join",
+]
 
 
 def cosine_topk(
@@ -179,4 +186,60 @@ def ivf_topk(
         .select(F.col(id_col), sim.alias("sim"))
         .orderBy(F.col("sim").desc_nulls_last(), F.col(id_col))
         .limit(k)
+    )
+
+
+def knn_join(
+    queries: DataFrame,
+    corpus: DataFrame,
+    *,
+    k: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_to: int = 4,
+) -> DataFrame:
+    """Exact k-nearest-neighbors join: for EVERY query vector, the top-k
+    corpus vectors by cosine (the batch generalization of cosine_topk —
+    retrieval-index building, kNN-classifier labeling, hard-negative mining).
+
+    Returns (q_id, c_id, sim, rank).  Plan shape: norms are projected once
+    per side, the query side is broadcast (queries ≪ corpus is the
+    operating regime), and the per-query top-k is a rank-k window on q_id —
+    WindowGroupLimit keeps a k-heap per query instead of sorting |corpus|
+    rows.  Cost is O(|Q|·|C|) dot products spread over the corpus's
+    partitions; for |Q| beyond broadcast size, pre-filter the pair space
+    with lsh_topk/ivf_topk buckets and feed the survivors here.
+    """
+    from pyspark.sql import Window
+
+    def side(df: DataFrame, prefix: str) -> DataFrame:
+        return df.select(
+            F.col(id_col).alias(f"{prefix}_id"),
+            F.col(vec_col).alias(f"__{prefix}v"),
+            F.sqrt(
+                F.aggregate(
+                    F.transform(vec_col, lambda x: x.cast("double") * x.cast("double")),
+                    F.lit(0.0),
+                    lambda acc, x: acc + x,
+                )
+            ).alias(f"__{prefix}n"),
+        )
+
+    q = side(queries, "q")
+    c = side(corpus, "c")
+    dot = F.aggregate(
+        F.zip_with("__qv", "__cv", lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    denom = F.col("__qn") * F.col("__cn")
+    sim = F.when(denom > 0, F.round(dot / denom, round_to))
+    pairs = c.join(F.broadcast(q), F.col("q_id") != F.col("c_id")).select(
+        "q_id", "c_id", sim.alias("sim")
+    )
+    w = Window.partitionBy("q_id").orderBy(F.col("sim").desc_nulls_last(), F.col("c_id"))
+    return (
+        pairs.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("q_id", "c_id", "sim", "rank")
     )

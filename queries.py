@@ -3068,3 +3068,101 @@ def semdedup_prune_q(spark, sf_dir):
             F.count("__dropped").alias("n_dropped"),
         )
     )
+
+
+_TOK_SQL = "list_transform(regexp_extract_all(text, '[A-Za-z0-9'']+'), x -> LOWER(x))"
+
+
+@q(
+    "dsir_select",
+    f"""
+    WITH tok AS (
+      SELECT doc_id, (lang = 'en') AS is_t, UNNEST({_TOK_SQL}) AS token
+      FROM documents),
+    counts AS (
+      SELECT token, COUNT(*) AS n_bg,
+             SUM(CASE WHEN is_t THEN 1 ELSE 0 END) AS n_t
+      FROM tok GROUP BY token),
+    tot AS (SELECT SUM(n_bg) AS tot_bg, SUM(n_t) AS tot_t, COUNT(*) AS vocab
+            FROM counts),
+    ratio AS (
+      SELECT token,
+             LN((n_t + 1.0) / (tot_t + 1.0 * vocab))
+             - LN((n_bg + 1.0) / (tot_bg + 1.0 * vocab)) AS llr
+      FROM counts, tot),
+    scores AS (
+      SELECT tok.doc_id, ROUND(AVG(r.llr), 4) AS score
+      FROM tok JOIN ratio r USING (token) GROUP BY tok.doc_id)
+    SELECT doc_id, score FROM scores ORDER BY score DESC, doc_id LIMIT 50
+    """,
+)
+def dsir_select_q(spark, sf_dir):
+    """DSIR-style data selection (Xie et al. 2023): top-50 documents by mean
+    unigram log-likelihood ratio of the lang='en' target slice over the whole
+    corpus — one token shuffle builds both distributions, the vocab table is
+    broadcast back (engine.extended.selection.dsir_select)."""
+    from engine.extended.selection import dsir_select
+
+    d = t(spark, sf_dir, "documents")
+    return dsir_select(d, F.col("lang") == "en", k=50)
+
+
+@q(
+    "chunk_tokens",
+    f"""
+    WITH tok AS (
+      SELECT doc_id, {_TOK_SQL} AS toks FROM documents),
+    st AS (
+      SELECT doc_id, toks, UNNEST(generate_series(0, len(toks) - 1, 16)) AS s
+      FROM tok WHERE len(toks) > 0)
+    SELECT doc_id,
+           CAST(s / 16 AS INTEGER) AS chunk_id,
+           len(list_slice(toks, s + 1, s + 32)) AS n_tokens,
+           array_to_string(list_slice(toks, s + 1, s + 32), ' ') AS chunk_text
+    FROM st
+    """,
+)
+def chunk_tokens_q(spark, sf_dir):
+    """Sliding context-window chunking: 32-token chunks every 16 tokens
+    (50% overlap), tokenized once behind an alias boundary — a pure flatMap,
+    zero shuffle (engine.extended.curation.chunk_tokens)."""
+    from engine.extended.curation import chunk_tokens
+
+    d = t(spark, sf_dir, "documents")
+    return chunk_tokens(d, size=32, stride=16)
+
+
+@q(
+    "knn_join_exact",
+    """
+    WITH v AS (
+      SELECT vec_id, embedding,
+             SQRT(list_sum(list_transform(embedding,
+                  x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm
+      FROM embeddings),
+    q AS (SELECT * FROM v WHERE vec_id % 100 = 7),
+    p AS (
+      SELECT q.vec_id AS q_id, c.vec_id AS c_id,
+             CASE WHEN q.nrm * c.nrm > 0 THEN ROUND(
+               list_sum(list_transform(list_zip(q.embedding, c.embedding),
+                        x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))
+               / (q.nrm * c.nrm), 4)
+             END AS sim
+      FROM q JOIN v c ON q.vec_id <> c.vec_id),
+    r AS (
+      SELECT q_id, c_id, sim,
+             ROW_NUMBER() OVER (PARTITION BY q_id
+               ORDER BY sim DESC NULLS LAST, c_id) AS rank
+      FROM p)
+    SELECT q_id, c_id, sim, rank FROM r WHERE rank <= 3
+    """,
+)
+def knn_join_exact_q(spark, sf_dir):
+    """Exact kNN join: top-3 corpus neighbors for every query vector
+    (vec_id % 100 = 7 slice) — broadcast query side, norms projected
+    pre-join, per-query WindowGroupLimit top-k
+    (engine.extended.similarity.knn_join)."""
+    from engine.extended.similarity import knn_join
+
+    e = t(spark, sf_dir, "embeddings")
+    return knn_join(e.filter(F.col("vec_id") % 100 == 7), e, k=3)

@@ -1,0 +1,122 @@
+"""Golden-frame tests: DSIR selection, token chunking, exact kNN join."""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import functions as F
+
+from engine.extended.curation import chunk_tokens
+from engine.extended.selection import dsir_select, importance_scores
+from engine.extended.similarity import knn_join
+
+
+# ---------------------------------------------------------------------------
+# importance_scores / dsir_select
+# ---------------------------------------------------------------------------
+
+
+def _lang_docs(spark):
+    rows = [
+        (0, "aaa aaa bbb", "en"),   # mostly target-heavy tokens
+        (1, "ccc ccc ddd", "de"),   # background-only tokens
+        (2, "aaa ccc", "de"),       # mixed
+        (3, "", "en"),              # zero tokens -> dropped
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string, lang string")
+
+
+def test_importance_scores_rank_target_like_docs_higher(spark):
+    scores = {
+        r["doc_id"]: r["score"]
+        for r in importance_scores(_lang_docs(spark), F.col("lang") == "en").collect()
+    }
+    assert 3 not in scores  # zero-token doc has no score
+    # doc 0 is made of tokens frequent in the en slice -> highest score;
+    # doc 1's tokens never appear in the target -> lowest
+    assert scores[0] > scores[2] > scores[1]
+
+
+def test_importance_scores_match_hand_computation(spark):
+    # corpus: aaa x3 (2 in target), bbb x1 (target), ccc x3, ddd x1
+    # tot_bg=8, tot_t=3 (doc0: aaa aaa bbb), vocab=4, smoothing=1
+    def llr(n_t, n_bg):
+        return math.log((n_t + 1) / (3 + 4)) - math.log((n_bg + 1) / (8 + 4))
+
+    expected_doc2 = round((llr(2, 3) + llr(0, 3)) / 2, 4)  # aaa, ccc
+    scores = {
+        r["doc_id"]: r["score"]
+        for r in importance_scores(_lang_docs(spark), F.col("lang") == "en").collect()
+    }
+    assert scores[2] == expected_doc2
+
+
+def test_dsir_select_top_k_deterministic(spark):
+    out = dsir_select(_lang_docs(spark), F.col("lang") == "en", k=2).collect()
+    assert [r["doc_id"] for r in out] == [0, 2]
+
+
+# ---------------------------------------------------------------------------
+# chunk_tokens
+# ---------------------------------------------------------------------------
+
+
+def test_chunk_tokens_overlapping_windows(spark):
+    df = spark.createDataFrame(
+        [(1, "t0 t1 t2 t3 t4 t5 t6")], "doc_id long, text string"
+    )
+    rows = {r["chunk_id"]: r for r in chunk_tokens(df, size=4, stride=2).collect()}
+    assert set(rows) == {0, 1, 2, 3}
+    assert rows[0]["chunk_text"] == "t0 t1 t2 t3" and rows[0]["n_tokens"] == 4
+    assert rows[1]["chunk_text"] == "t2 t3 t4 t5"
+    assert rows[2]["chunk_text"] == "t4 t5 t6" and rows[2]["n_tokens"] == 3
+    assert rows[3]["chunk_text"] == "t6" and rows[3]["n_tokens"] == 1
+
+
+def test_chunk_tokens_disjoint_when_stride_equals_size(spark):
+    df = spark.createDataFrame([(1, "a b c d e")], "doc_id long, text string")
+    rows = chunk_tokens(df, size=2, stride=2).collect()
+    texts = [r["chunk_text"] for r in sorted(rows, key=lambda r: r["chunk_id"])]
+    assert texts == ["a b", "c d", "e"]
+
+
+def test_chunk_tokens_drops_empty_docs_and_has_no_shuffle(spark):
+    df = spark.createDataFrame([(1, ""), (2, "   "), (3, "x")], "doc_id long, text string")
+    out = chunk_tokens(df, size=4, stride=4)
+    assert [(r["doc_id"], r["chunk_text"]) for r in out.collect()] == [(3, "x")]
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan  # pure flatMap: pipelines into the consumer
+
+
+# ---------------------------------------------------------------------------
+# knn_join
+# ---------------------------------------------------------------------------
+
+
+def _unit_vecs(spark):
+    def v(deg):
+        return [math.cos(math.radians(deg)), math.sin(math.radians(deg))]
+
+    rows = [(0, v(0)), (1, v(10)), (2, v(30)), (3, v(90)), (4, v(180))]
+    return spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+
+def test_knn_join_ranks_by_angle(spark):
+    e = _unit_vecs(spark)
+    out = knn_join(e.filter(F.col("vec_id") == 0), e, k=3).collect()
+    assert [(r["c_id"], r["rank"]) for r in sorted(out, key=lambda r: r["rank"])] == [
+        (1, 1),
+        (2, 2),
+        (3, 3),
+    ]
+
+
+def test_knn_join_every_query_gets_k_neighbors(spark):
+    e = _unit_vecs(spark)
+    out = knn_join(e, e, k=2).collect()
+    per_q = {}
+    for r in out:
+        assert r["q_id"] != r["c_id"]  # self-pairs excluded
+        per_q.setdefault(r["q_id"], []).append(r["rank"])
+    assert set(per_q) == {0, 1, 2, 3, 4}
+    assert all(sorted(v) == [1, 2] for v in per_q.values())
