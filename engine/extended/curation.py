@@ -33,6 +33,7 @@ __all__ = [
     "ngram_contamination",
     "pack_sequences",
     "chunk_tokens",
+    "contamination_attribution",
 ]
 
 #: (name, regex, replacement) applied IN ORDER.  Patterns are written in the
@@ -298,4 +299,53 @@ def chunk_tokens(
                 F.slice("__toks", F.col("__start") + 1, F.lit(int(size))), " "
             ).alias("chunk_text"),
         )
+    )
+
+
+def contamination_attribution(
+    df: DataFrame,
+    eval_df: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_n: int = 3,
+    k: int = 3,
+) -> DataFrame:
+    """Attribute benchmark leakage to its source: for each evaluation
+    document, the top-``k`` training documents by count of shared DISTINCT
+    word ``shingle_n``-grams (the follow-up question after
+    :func:`ngram_contamination` flags an eval slice as leaked: *which*
+    training docs carry the overlap).
+
+    Returns (eval_id, train_id, n_shared, rank).  The eval shingle set is
+    dimension-sized and broadcast with its ids; the training corpus streams
+    through once — matches collapse map-side on (eval, train) before the
+    single shuffle, and the per-eval top-k is a WindowGroupLimit heap.
+    """
+    from pyspark.sql import Window
+
+    eval_sh = eval_df.select(
+        F.col(id_col).alias("eval_id"), tokens(text_col).alias("__toks")
+    ).select(
+        "eval_id",
+        F.explode(F.array_distinct(ngrams_from(F.col("__toks"), shingle_n))).alias("sh"),
+    )
+    train_sh = df.select(
+        F.col(id_col).alias("train_id"), tokens(text_col).alias("__toks")
+    ).select(
+        "train_id",
+        F.explode(F.array_distinct(ngrams_from(F.col("__toks"), shingle_n))).alias("sh"),
+    )
+    hits = (
+        train_sh.join(F.broadcast(eval_sh), "sh")
+        .groupBy("eval_id", "train_id")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+    w = Window.partitionBy("eval_id").orderBy(
+        F.col("n_shared").desc(), F.col("train_id")
+    )
+    return (
+        hits.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("eval_id", "train_id", "n_shared", "rank")
     )

@@ -3166,3 +3166,71 @@ def knn_join_exact_q(spark, sf_dir):
 
     e = t(spark, sf_dir, "embeddings")
     return knn_join(e.filter(F.col("vec_id") % 100 == 7), e, k=3)
+
+
+@q(
+    "contamination_attribution",
+    """
+    WITH toklist AS (
+      SELECT doc_id,
+             list_transform(regexp_extract_all(text, '[A-Za-z0-9'']+'),
+                            x -> LOWER(x)) AS toks
+      FROM documents),
+    tri AS (
+      SELECT doc_id, toks, UNNEST(range(1, len(toks) - 1)) AS i
+      FROM toklist WHERE len(toks) >= 3),
+    shingles AS (
+      SELECT DISTINCT doc_id, array_to_string(toks[i:i+2], ' ') AS sh FROM tri),
+    ev AS (SELECT doc_id AS eval_id, sh FROM shingles WHERE doc_id % 97 = 0),
+    tr AS (SELECT doc_id AS train_id, sh FROM shingles WHERE doc_id % 97 <> 0),
+    hits AS (
+      SELECT eval_id, train_id, COUNT(*) AS n_shared
+      FROM tr JOIN ev USING (sh) GROUP BY eval_id, train_id),
+    r AS (
+      SELECT eval_id, train_id, n_shared,
+             ROW_NUMBER() OVER (PARTITION BY eval_id
+               ORDER BY n_shared DESC, train_id) AS rank
+      FROM hits)
+    SELECT eval_id, train_id, n_shared, rank FROM r WHERE rank <= 3
+    """,
+)
+def contamination_attribution_q(spark, sf_dir):
+    """Leak attribution: for each eval doc (doc_id % 97 = 0 slice), the top-3
+    training docs by shared distinct 3-gram shingles — broadcast eval
+    shingles, map-side (eval,train) collapse, WindowGroupLimit top-k
+    (engine.extended.curation.contamination_attribution)."""
+    from engine.extended.curation import contamination_attribution
+
+    d = t(spark, sf_dir, "documents")
+    return contamination_attribution(
+        d.filter(F.col("doc_id") % 97 != 0), d.filter(F.col("doc_id") % 97 == 0), k=3
+    )
+
+
+@q(
+    "embedding_quantize",
+    """
+    WITH m AS (
+      SELECT vec_id, embedding,
+             list_max(list_transform(embedding,
+                      x -> ABS(CAST(x AS DOUBLE)))) AS amax
+      FROM embeddings)
+    SELECT vec_id,
+           ROUND(amax / 127.0, 6) AS qscale_r,
+           CASE WHEN amax > 0 THEN
+             list_transform(embedding,
+               x -> CAST(ROUND(CAST(x AS DOUBLE) / (amax / 127.0)) AS INTEGER))
+           ELSE list_transform(embedding, x -> 0) END AS qvec
+    FROM m
+    """,
+)
+def embedding_quantize_q(spark, sf_dir):
+    """Symmetric int8 scalar quantization of the embedding column — the 4×
+    vector-storage code path; int codes compare bit-for-bit across engines
+    (engine.extended.similarity.quantize_int8)."""
+    from engine.extended.similarity import quantize_int8
+
+    e = t(spark, sf_dir, "embeddings")
+    return quantize_int8(e).select(
+        "vec_id", F.round("qscale", 6).alias("qscale_r"), "qvec"
+    )

@@ -120,3 +120,63 @@ def test_knn_join_every_query_gets_k_neighbors(spark):
         per_q.setdefault(r["q_id"], []).append(r["rank"])
     assert set(per_q) == {0, 1, 2, 3, 4}
     assert all(sorted(v) == [1, 2] for v in per_q.values())
+
+
+# ---------------------------------------------------------------------------
+# contamination_attribution
+# ---------------------------------------------------------------------------
+
+
+def test_contamination_attribution_finds_the_leaking_doc(spark):
+    from engine.extended.curation import contamination_attribution
+
+    train = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog"),  # full overlap
+            (2, "the quick brown cat sits on the warm mat"),     # partial
+            (3, "totally unrelated text about query engines"),   # none
+        ],
+        "doc_id long, text string",
+    )
+    ev = spark.createDataFrame(
+        [(97, "the quick brown fox jumps over the lazy dog")],
+        "doc_id long, text string",
+    )
+    rows = contamination_attribution(train, ev, k=2).collect()
+    ranked = [(r["train_id"], r["rank"]) for r in sorted(rows, key=lambda r: r["rank"])]
+    assert ranked == [(1, 1), (2, 2)]
+    assert all(r["eval_id"] == 97 for r in rows)
+    top = {r["rank"]: r["n_shared"] for r in rows}
+    assert top[1] == 7  # all 7 distinct trigrams of the 9-token eval doc
+    assert top[2] == 1  # only "the quick brown"
+
+
+# ---------------------------------------------------------------------------
+# int8 quantization
+# ---------------------------------------------------------------------------
+
+
+def test_quantize_int8_codes_and_roundtrip(spark):
+    from engine.extended.similarity import dequantize_int8, quantize_int8
+
+    df = spark.createDataFrame(
+        [(0, [1.0, -0.5, 0.0]), (1, [0.0, 0.0, 0.0])],
+        "vec_id long, embedding array<float>",
+    )
+    out = dequantize_int8(quantize_int8(df))
+    rows = {r["vec_id"]: r for r in out.collect()}
+    assert rows[0]["qvec"] == [127, -64, 0]  # round(-63.5) away from zero
+    assert abs(rows[0]["qscale"] - 1.0 / 127) < 1e-12
+    # roundtrip error bounded by scale/2 per component
+    for orig, deq in zip([1.0, -0.5, 0.0], rows[0]["embedding_deq"]):
+        assert abs(orig - deq) <= rows[0]["qscale"] / 2 + 1e-12
+    assert rows[1]["qvec"] == [0, 0, 0] and rows[1]["qscale"] == 0.0
+    assert rows[1]["embedding_deq"] == [0.0, 0.0, 0.0]  # zero vector exact
+
+
+def test_quantize_int8_is_shuffle_free(spark):
+    from engine.extended.similarity import quantize_int8
+
+    df = spark.createDataFrame([(0, [0.25, -0.75])], "vec_id long, embedding array<float>")
+    plan = quantize_int8(df)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
