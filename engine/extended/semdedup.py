@@ -33,7 +33,14 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["centroids_by", "pairwise_sims", "semdedup_pairs", "semdedup"]
+__all__ = [
+    "centroids_by",
+    "pairwise_sims",
+    "semdedup_pairs",
+    "semdedup",
+    "cross_pairs",
+    "semdedup_incremental",
+]
 
 
 def _norm(vec_col: Column) -> Column:
@@ -185,3 +192,76 @@ def semdedup(
         .distinct()
     )
     return df.join(F.broadcast(drops), id_col, "left_anti")
+
+
+def cross_pairs(
+    batch: DataFrame,
+    corpus: DataFrame,
+    *,
+    cluster_col: str = "label",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_to: int = 4,
+) -> DataFrame:
+    """Within-cluster (batch × corpus) pairs with exact cosine — the probe
+    step of incremental semantic dedup.  Same norm-once discipline as
+    :func:`pairwise_sims`; no ordering constraint (the sides are disjoint
+    sets by construction).  Returns (cluster, a_id=batch, b_id=corpus, sim).
+    """
+
+    def side(df: DataFrame, prefix: str) -> DataFrame:
+        return df.select(
+            F.col(cluster_col).alias("__c"),
+            F.col(id_col).alias(f"{prefix}_id"),
+            F.col(vec_col).alias(f"__{prefix}v"),
+            _norm(F.col(vec_col)).alias(f"__{prefix}n"),
+        )
+
+    a, b = side(batch, "a"), side(corpus, "b")
+    dot = F.aggregate(
+        F.zip_with("__av", "__bv", lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    denom = F.col("__an") * F.col("__bn")
+    sim = F.when(denom > 0, F.round(dot / denom, round_to))
+    return a.join(b, "__c").select(
+        F.col("__c").alias(cluster_col), "a_id", "b_id", sim.alias("sim")
+    )
+
+
+def semdedup_incremental(
+    batch: DataFrame,
+    corpus: DataFrame,
+    *,
+    threshold: float,
+    cluster_col: str = "label",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Incremental semantic dedup: accept only batch rows that are novel
+    against the ALREADY-ACCEPTED corpus and within the batch itself.
+
+    Two stages, both cluster-confined: (1) anti-join away batch rows with a
+    qualifying corpus twin — the corpus never re-pairs with itself, so
+    ingesting N batches costs O(batch × corpus-per-cluster) per batch, not a
+    full-corpus re-dedup (the same persisted-index shape as the incremental
+    MinHash path, engine.extended.dedup); (2) :func:`semdedup` the survivors.
+    Accepted rows are the caller's corpus-append set.
+    """
+    dup_vs_corpus = (
+        cross_pairs(
+            batch, corpus, cluster_col=cluster_col, id_col=id_col, vec_col=vec_col
+        )
+        .filter(F.col("sim") >= threshold)
+        .select(F.col("a_id").alias(id_col))
+        .distinct()
+    )
+    fresh = batch.join(F.broadcast(dup_vs_corpus), id_col, "left_anti")
+    return semdedup(
+        fresh,
+        threshold=threshold,
+        cluster_col=cluster_col,
+        id_col=id_col,
+        vec_col=vec_col,
+    )

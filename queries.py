@@ -3234,3 +3234,48 @@ def embedding_quantize_q(spark, sf_dir):
     return quantize_int8(e).select(
         "vec_id", F.round("qscale", 6).alias("qscale_r"), "qvec"
     )
+
+
+@q(
+    "semdedup_incremental",
+    """
+    WITH v AS (
+      SELECT label, vec_id, embedding,
+             SQRT(list_sum(list_transform(embedding,
+                  x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm
+      FROM embeddings),
+    corpus AS (SELECT * FROM v WHERE vec_id % 2 = 0),
+    batch  AS (SELECT * FROM v WHERE vec_id % 2 = 1),
+    xhit AS (
+      SELECT DISTINCT b.vec_id AS id
+      FROM batch b JOIN corpus c ON b.label = c.label
+      WHERE CASE WHEN b.nrm * c.nrm > 0 THEN ROUND(
+              list_sum(list_transform(list_zip(b.embedding, c.embedding),
+                       x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))
+              / (b.nrm * c.nrm), 4) END >= 0.3),
+    fresh AS (SELECT * FROM batch WHERE vec_id NOT IN (SELECT id FROM xhit)),
+    p AS (
+      SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+             CASE WHEN a.nrm * b.nrm > 0 THEN ROUND(
+               list_sum(list_transform(list_zip(a.embedding, b.embedding),
+                        x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))
+               / (a.nrm * b.nrm), 4) END AS sim
+      FROM fresh a JOIN fresh b ON a.label = b.label AND a.vec_id < b.vec_id),
+    drops AS (SELECT DISTINCT b_id FROM p WHERE sim >= 0.3)
+    SELECT vec_id, label FROM fresh
+    WHERE vec_id NOT IN (SELECT b_id FROM drops)
+    """,
+)
+def semdedup_incremental_q(spark, sf_dir):
+    """Incremental semantic dedup: the odd-id half of the embeddings arrives
+    as a new batch and is accepted only if novel against the even-id corpus
+    AND within itself — per-batch cost stays O(batch × cluster slice), the
+    persisted-index ingest shape (engine.extended.semdedup.semdedup_incremental)."""
+    from engine.extended.semdedup import semdedup_incremental
+
+    e = t(spark, sf_dir, "embeddings")
+    return semdedup_incremental(
+        e.filter(F.col("vec_id") % 2 == 1),
+        e.filter(F.col("vec_id") % 2 == 0),
+        threshold=0.3,
+    ).select("vec_id", "label")

@@ -139,3 +139,26 @@ def test_semdedup_transitive_chain_collapses_to_min_id(spark):
     # cos(25 deg) ~ 0.906 >= 0.87 links 10~11 and 11~12; cos(50 deg) ~ 0.64 doesn't
     kept = {r["vec_id"] for r in semdedup(df, threshold=0.87).collect()}
     assert kept == {10}
+
+
+def test_semdedup_incremental_rejects_corpus_twins_and_batch_dups(spark):
+    from engine.extended.semdedup import semdedup_incremental
+
+    corpus = spark.createDataFrame(
+        [(0, [1.0, 0.0], 0), (2, [0.0, 1.0], 0)],
+        "vec_id long, embedding array<float>, label int",
+    )
+    batch = spark.createDataFrame(
+        [
+            (11, [1.0, 0.0], 0),    # twin of corpus 0 -> rejected
+            (13, [-1.0, 1.0], 0),   # novel direction -> accepted
+            (15, [-1.0, 1.0], 0),   # batch-internal dup of 13 -> rejected
+            (17, [0.0, 1.0], 1),    # same dir as corpus 2 but other cluster -> accepted
+        ],
+        "vec_id long, embedding array<float>, label int",
+    )
+    kept = {
+        r["vec_id"]
+        for r in semdedup_incremental(batch, corpus, threshold=0.95).collect()
+    }
+    assert kept == {13, 17}
