@@ -3279,3 +3279,99 @@ def semdedup_incremental_q(spark, sf_dir):
         e.filter(F.col("vec_id") % 2 == 0),
         threshold=0.3,
     ).select("vec_id", "label")
+
+
+@q(
+    "corpus_pipeline_v2",
+    """
+    WITH red AS (
+      SELECT doc_id, source, lang,
+             REGEXP_REPLACE(REGEXP_REPLACE(REGEXP_REPLACE(REGEXP_REPLACE(text,
+               '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+               '[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}', '<IP>', 'g'),
+               '[0-9]{3}-[0-9]{2}-[0-9]{4}', '<SSN>', 'g'),
+               '\\(?[0-9]{3}\\)?[-. ][0-9]{3}[-. ][0-9]{4}', '<PHONE>', 'g')
+               AS text
+      FROM documents),
+    filtered AS (
+      SELECT doc_id, text, source, lang FROM red
+      WHERE LENGTH(text) >= 50
+        AND LENGTH(list_transform(regexp_extract_all(text, '[A-Za-z0-9'']+'), x -> LOWER(x))) >= 10
+        AND LENGTH(REGEXP_REPLACE(text, '[^A-Za-z]', '', 'g')) * 1.0
+            / LENGTH(text) >= 0.5),
+    deduped AS (
+      SELECT doc_id, text, source, lang FROM (
+        SELECT f.*, ROW_NUMBER() OVER (
+          PARTITION BY MD5(LOWER(REGEXP_REPLACE(text, '[^A-Za-z0-9]', '', 'g')))
+          ORDER BY doc_id) AS rn
+        FROM filtered f) WHERE rn = 1),
+    tok AS (
+      SELECT doc_id, (lang = 'en') AS is_t,
+             UNNEST(list_transform(regexp_extract_all(text, '[A-Za-z0-9'']+'), x -> LOWER(x))) AS token
+      FROM deduped),
+    counts AS (
+      SELECT token, COUNT(*) AS n_bg,
+             SUM(CASE WHEN is_t THEN 1 ELSE 0 END) AS n_t
+      FROM tok GROUP BY token),
+    tot AS (SELECT SUM(n_bg) AS tot_bg, SUM(n_t) AS tot_t, COUNT(*) AS vocab
+            FROM counts),
+    ratio AS (
+      SELECT token,
+             LN((n_t + 1.0) / (tot_t + 1.0 * vocab))
+             - LN((n_bg + 1.0) / (tot_bg + 1.0 * vocab)) AS llr
+      FROM counts, tot),
+    scores AS (
+      SELECT tok.doc_id, ROUND(AVG(r.llr), 4) AS score
+      FROM tok JOIN ratio r USING (token) GROUP BY tok.doc_id),
+    selected AS (
+      SELECT d.doc_id, d.text, s.score FROM deduped d
+      JOIN scores s USING (doc_id) WHERE s.score >= 0),
+    sharded AS (
+      SELECT *,
+             CAST(CAST(('0x' || SUBSTRING(MD5(CAST(doc_id AS VARCHAR) || '|shard'), 1, 8))
+                  AS BIGINT) % 4 AS INTEGER) AS shard
+      FROM selected)
+    SELECT shard, COUNT(*) AS n_docs,
+           CAST(SUM(LENGTH(list_transform(regexp_extract_all(text, '[A-Za-z0-9'']+'), x -> LOWER(x))))
+                AS BIGINT) AS total_tokens,
+           ROUND(AVG(score), 4) AS avg_score
+    FROM sharded GROUP BY shard
+    """,
+)
+def corpus_pipeline_v2(spark, sf_dir):
+    """The extended curation chain as ONE declarative plan: PII redaction →
+    quality filter → exact dedup → DSIR importance gate (keep docs scoring
+    more target-like than background, score ≥ 0 vs the lang='en' target) →
+    deterministic shard assignment → per-shard stats.  Every stage is an
+    engine operator; Catalyst fuses redaction+filter into the scan, and the
+    only exchanges are the dedup fingerprint, the DSIR token aggregate, and
+    the final shard stats."""
+    from engine.extended.curation import redact_pii
+    from engine.extended.dedup import exact_dedup_docs
+    from engine.extended.sampling import shard_assign
+    from engine.extended.selection import importance_scores
+    from engine.extended.text import token_count
+
+    d = t(spark, sf_dir, "documents").select(
+        "doc_id", "source", "lang", redact_pii("text").alias("text")
+    )
+    alpha_ratio = (
+        F.length(F.regexp_replace(F.col("text"), "[^A-Za-z]", ""))
+        / F.length("text").cast("double")
+    )
+    filtered = d.filter(
+        (F.length("text") >= 50) & (token_count("text") >= 10) & (alpha_ratio >= 0.5)
+    ).select("doc_id", "text", "source", "lang")
+    deduped = exact_dedup_docs(filtered)
+    scores = importance_scores(deduped, F.col("lang") == "en")
+    selected = (
+        deduped.join(scores, "doc_id")
+        .filter(F.col("score") >= 0)
+        .select("doc_id", "text", "score")
+    )
+    sharded = shard_assign(selected, n_shards=4, position=False)
+    return sharded.groupBy("shard").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(token_count("text")).cast("long").alias("total_tokens"),
+        F.round(F.avg("score"), 4).alias("avg_score"),
+    )

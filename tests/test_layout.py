@@ -107,3 +107,40 @@ def test_zorder_clustering_bounds_both_column_spans(spark, tmp_path):
     assert zx < 32 and zy < 32, (zx, zy)
     # x-sort: x is tight but y spans (nearly) the full range — no skipping
     assert sx < 8 and sy > 48, (sx, sy)
+
+
+def test_shard_assign_write_layout_is_epoch_stable(spark, tmp_path):
+    """The promised training-shard layout: partitionBy(shard) with rows
+    sorted by shard_pos inside each partition — every epoch reader sees the
+    same order, with no global sort in the plan."""
+    from engine.extended.sampling import shard_assign
+
+    docs = spark.range(200).select(F.col("id").alias("doc_id"))
+    sharded = shard_assign(docs, n_shards=4)
+    path = str(tmp_path / "shards")
+    (
+        sharded.repartition(4, "shard")
+        .sortWithinPartitions("shard_pos")
+        .write.partitionBy("shard")
+        .mode("overwrite")
+        .parquet(path)
+    )
+    back = spark.read.parquet(path)
+    # partition pruning works on the shard dir layout
+    one = back.filter(F.col("shard") == 2)
+    pf = plan(one).split("PartitionFilters:")[1].split("]")[0]
+    assert "shard" in pf and "= 2" in pf
+    # within each shard FILE the rows are already in shard_pos order
+    import glob
+
+    import pyarrow.parquet as pq
+
+    for shard_dir in glob.glob(f"{path}/shard=*"):
+        for f in glob.glob(f"{shard_dir}/*.parquet"):
+            col = pq.read_table(f, columns=["shard_pos"])["shard_pos"].to_pylist()
+            assert col == sorted(col)
+    # a second run over a reshuffled input produces the identical layout
+    again = shard_assign(docs.repartition(13), n_shards=4)
+    a = {(r["doc_id"], r["shard"], r["shard_pos"]) for r in sharded.collect()}
+    b = {(r["doc_id"], r["shard"], r["shard_pos"]) for r in again.collect()}
+    assert a == b
