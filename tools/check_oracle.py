@@ -41,8 +41,11 @@ def canon(df: pd.DataFrame) -> pd.DataFrame:
         if pd.api.types.is_scalar(v) and pd.isna(v):
             return "<null>"
         if isinstance(v, float):
-            if v == int(v) and abs(v) < 1e15:
-                return str(int(v))
+            # Driver-parity: do NOT collapse 1.0 -> "1".  The driver's
+            # comparator distinguishes int64 from float64 cells, so a DuckDB
+            # HUGEINT (SUM over an integer column) that lands in pandas as
+            # float64 must be CAST(... AS BIGINT) in the oracle SQL, not
+            # papered over here.
             return repr(v)
         if isinstance(v, bytes):
             return v.hex()
