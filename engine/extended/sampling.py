@@ -137,20 +137,29 @@ def mixture_sample(
     orders, and engines (the domain-reweighting step of corpus mixing).
     Groups absent from ``targets`` are dropped.
 
+    A target group with NO corpus rows caps the scale at 0, so the result is
+    EMPTY rather than a silently skewed mixture (a 100%%-web sample when the
+    caller asked for 60/40 web/book and books are missing) — the targets are
+    outer-joined against observed counts so absent groups count as 0
+    available, not "not constraining".
+
     Scale shape: one count aggregate (group-cardinality-sized), a broadcast
     of the quota table, and one window rank per group — the corpus is
     shuffled once on ``group_col``.  No driver-side collection.
     """
     from pyspark.sql import Window
 
-    wmap = F.create_map(
-        *[F.lit(x) for kv in targets.items() for x in (kv[0], float(kv[1]))]
-    )
+    spark = df.sparkSession
+    tgt = spark.createDataFrame(
+        [(k, float(v)) for k, v in targets.items()], [group_col, "__w"]
+    ).filter(F.col("__w") > 0)
     counts = (
-        df.groupBy(group_col)
-        .agg(F.count(F.lit(1)).alias("__n_avail"))
-        .withColumn("__w", wmap[F.col(group_col)])
-        .filter(F.col("__w") > 0)
+        tgt.join(
+            df.groupBy(group_col).agg(F.count(F.lit(1)).alias("__n_avail")),
+            group_col,
+            "left",
+        )
+        .withColumn("__n_avail", F.coalesce(F.col("__n_avail"), F.lit(0)))
     )
     scale = counts.agg(
         F.min(F.col("__n_avail") / F.col("__w")).alias("__scale")

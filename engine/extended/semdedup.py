@@ -171,14 +171,22 @@ def semdedup(
     cluster_col: str = "label",
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    broadcast_drops: bool | None = None,
 ) -> DataFrame:
     """Semantic dedup: drop every row that has a qualifying near-twin with a
     smaller id; keep everything else.
 
     Deterministic keeper rule — each duplicate pair contributes its higher id
     to the drop set, so the minimum-id member of any duplicate set always
-    survives.  Shape: pairs -> distinct drop ids -> broadcast left_anti
-    (the drop set is ~duplicate count, small relative to the corpus).
+    survives.  Shape: pairs -> distinct drop ids -> left_anti.
+
+    ``broadcast_drops`` controls the anti-join strategy.  ``True`` forces a
+    broadcast (cheap when duplicates are rare); ``False`` forces a shuffled
+    anti-join (safe when the corpus is duplicate-heavy — exactly the corpora
+    SemDeDup targets, where the drop set is corpus-scale and a forced
+    broadcast would OOM the driver).  ``None`` (default) leaves the choice to
+    Catalyst/AQE via autoBroadcastJoinThreshold, which sees the actual drop
+    set size at runtime.
     """
     drops = (
         semdedup_pairs(
@@ -191,7 +199,11 @@ def semdedup(
         .select(F.col("b_id").alias(id_col))
         .distinct()
     )
-    return df.join(F.broadcast(drops), id_col, "left_anti")
+    if broadcast_drops is True:
+        drops = F.broadcast(drops)
+    elif broadcast_drops is False:
+        drops = drops.hint("shuffle_hash")
+    return df.join(drops, id_col, "left_anti")
 
 
 def cross_pairs(

@@ -199,6 +199,7 @@ def knn_join(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     round_to: int = 4,
+    exclude_self: bool = True,
 ) -> DataFrame:
     """Exact k-nearest-neighbors join: for EVERY query vector, the top-k
     corpus vectors by cosine (the batch generalization of cosine_topk —
@@ -211,6 +212,12 @@ def knn_join(
     rows.  Cost is O(|Q|·|C|) dot products spread over the corpus's
     partitions; for |Q| beyond broadcast size, pre-filter the pair space
     with lsh_topk/ivf_topk buckets and feed the survivors here.
+
+    ``exclude_self=True`` (the default) drops pairs with ``q_id == c_id`` —
+    correct ONLY when queries share the corpus's id space (self-kNN, the
+    usual mining setup).  When queries and corpus are DIFFERENT tables whose
+    id spaces may coincide by accident, pass ``exclude_self=False`` or a
+    legitimate equal-id neighbor is silently lost.
     """
     from pyspark.sql import Window
 
@@ -236,9 +243,8 @@ def knn_join(
     )
     denom = F.col("__qn") * F.col("__cn")
     sim = F.when(denom > 0, F.round(dot / denom, round_to))
-    pairs = c.join(F.broadcast(q), F.col("q_id") != F.col("c_id")).select(
-        "q_id", "c_id", sim.alias("sim")
-    )
+    cond = F.col("q_id") != F.col("c_id") if exclude_self else F.lit(True)
+    pairs = c.join(F.broadcast(q), cond).select("q_id", "c_id", sim.alias("sim"))
     w = Window.partitionBy("q_id").orderBy(F.col("sim").desc_nulls_last(), F.col("c_id"))
     return (
         pairs.withColumn("rank", F.row_number().over(w))
@@ -269,17 +275,23 @@ def quantize_int8(
     Round-half-away-from-zero matches every engine that computes the same
     doubles, so codes are EXACTLY reproducible — the oracle compares the int
     arrays bit-for-bit.
+
+    The scale is projected behind an alias BEFORE the codes transform and
+    referenced as ``F.col(scale_col)`` inside the lambda: HOF lambdas get no
+    common-subexpression elimination, so inlining the O(d) ``array_max``
+    expression there would re-evaluate it per element — O(d²) per vector
+    (the measured-12× trap documented in engine/extended/text.py).
     """
     amax = F.array_max(F.transform(vec_col, lambda x: F.abs(x.cast("double"))))
-    scale = (amax / F.lit(127.0)).alias(scale_col)
+    scaled = df.withColumn(scale_col, amax / F.lit(127.0))
     codes = F.when(
-        amax > 0,
+        F.col(scale_col) > 0,
         F.transform(
             vec_col,
-            lambda x: F.round(x.cast("double") / (amax / F.lit(127.0))).cast("int"),
+            lambda x: F.round(x.cast("double") / F.col(scale_col)).cast("int"),
         ),
     ).otherwise(F.transform(vec_col, lambda x: F.lit(0)))
-    return df.withColumn(scale_col, scale).withColumn(code_col, codes)
+    return scaled.withColumn(code_col, codes)
 
 
 def dequantize_int8(

@@ -211,3 +211,15 @@ def test_pack_sequences_conserves_docs_and_tokens(spark):
             F.sum("n_docs").alias("d"), F.sum("n_tokens").alias("t")
         ).collect()[0]
         assert (agg["d"], agg["t"]) == (expect_docs, expect_tokens), (budget, shards)
+
+
+def test_mixture_sample_missing_target_group_yields_empty(spark):
+    # a target group with zero corpus rows caps scale at 0: the contract is
+    # an empty result, never a silently collapsed (100%-web) mixture
+    from engine.extended.sampling import mixture_sample
+
+    df = spark.createDataFrame(
+        [(i, "web") for i in range(50)], "doc_id long, source string"
+    )
+    out = mixture_sample(df, {"web": 0.6, "book": 0.4}, group_col="source")
+    assert out.count() == 0

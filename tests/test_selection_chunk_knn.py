@@ -180,3 +180,25 @@ def test_quantize_int8_is_shuffle_free(spark):
     df = spark.createDataFrame([(0, [0.25, -0.75])], "vec_id long, embedding array<float>")
     plan = quantize_int8(df)._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
+
+
+def test_knn_join_exclude_self_flag_keeps_equal_ids_for_disjoint_tables(spark):
+    # queries and corpus from different tables whose id spaces coincide:
+    # exclude_self=False must keep the legitimate equal-id neighbor
+    q = _unit_vecs(spark).filter(F.col("vec_id") == 0)
+    out = knn_join(q, _unit_vecs(spark), k=2, exclude_self=False).collect()
+    ranked = [(r["c_id"], r["rank"]) for r in sorted(out, key=lambda r: r["rank"])]
+    assert ranked == [(0, 1), (1, 2)]  # the identical vector is rank 1
+
+
+def test_quantize_int8_scale_projected_outside_transform_lambda(spark):
+    # HOF lambdas get no CSE: the O(d) array_max must appear ONCE in the
+    # optimized plan (projected behind qscale), not inlined per element
+    from engine.extended.similarity import quantize_int8
+
+    e = _unit_vecs(spark)
+    plan = (
+        quantize_int8(e).select("qvec", "qscale")
+        ._jdf.queryExecution().optimizedPlan().toString()
+    )
+    assert plan.count("array_max") == 1
