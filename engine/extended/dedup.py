@@ -87,6 +87,33 @@ def _spread(df: DataFrame) -> DataFrame:
 _OPH_C = 0x3779B97F4A7C15
 
 
+def md5_long(col: Column) -> Column:
+    """60-bit nonnegative hash from the first 15 md5 hex digits.
+
+    The DUAL-IMPLEMENTABLE hash family: its DuckDB twin is
+    ``CAST(('0x' || SUBSTRING(MD5(x), 1, 15)) AS BIGINT)`` — bit-identical,
+    so signature pipelines built on it are SQL-oracle-checkable end to end.
+    15 digits (not 16) keeps the value under 2^60, inside signed-64 range in
+    both engines with no sign/overflow divergence.
+    """
+    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
+
+
+def _hash64(col: Column, hash_fn: str) -> Column:
+    """Pluggable 64-bit hash for the signature families.
+
+    ``"xxhash64"`` (default) is the production family — fastest JVM path.
+    ``"md5"`` is :func:`md5_long` — ~2× slower but dual-implementable, used
+    by the oracle-paired registry queries so the driver can value-hash-check
+    minhash/simhash results against DuckDB.
+    """
+    if hash_fn == "xxhash64":
+        return F.xxhash64(col)
+    if hash_fn == "md5":
+        return md5_long(col)
+    raise ValueError(f"unknown hash_fn {hash_fn!r} (use 'xxhash64' or 'md5')")
+
+
 def minhash_sigs(
     df: DataFrame,
     *,
@@ -94,6 +121,7 @@ def minhash_sigs(
     text_col: str = "text",
     num_hashes: int = 64,
     shingle_n: int = 3,
+    hash_fn: str = "xxhash64",
 ) -> DataFrame:
     """(id, sig) — k-slot one-permutation MinHash (OPH) of the word-
     ``shingle_n``-gram set, with rotation densification.
@@ -127,7 +155,7 @@ def minhash_sigs(
         )
     )
     binned = (
-        exploded.select("id", F.xxhash64("shingle").alias("h"))
+        exploded.select("id", _hash64(F.col("shingle"), hash_fn).alias("h"))
         .groupBy("id", F.pmod("h", F.lit(k)).alias("bin"))
         .agg(F.min("h").alias("mh"))
     )
@@ -161,17 +189,23 @@ def minhash_sigs(
     )
 
 
-def _band_col(sig: Column, band: int, rows_per_band: int) -> Column:
+def _band_col(sig: Column, band: int, rows_per_band: int, hash_fn: str = "xxhash64") -> Column:
     """Hash one band (contiguous signature slice) to a single 64-bit key.
 
-    xxhash64 over the raw band elements + band index — no string
+    xxhash64 mode hashes the raw band elements + band index — no string
     materialization (the array_join formulation tripled codegen size and
-    allocated a string per row·band)."""
+    allocated a string per row·band).  md5 mode concat_ws's the elements
+    (the only md5 input form DuckDB can mirror exactly) — the extra string
+    cost is the price of oracle checkability, paid only in md5 mode."""
     elems = [
         F.element_at(sig, band * rows_per_band + i + 1)
         for i in range(rows_per_band)
     ]
-    return F.xxhash64(*elems, F.lit(band))
+    if hash_fn == "xxhash64":
+        return F.xxhash64(*elems, F.lit(band))
+    return md5_long(
+        F.concat_ws("|", *[e.cast("string") for e in elems], F.lit(str(band)))
+    )
 
 
 def minhash_candidates(
@@ -183,6 +217,7 @@ def minhash_candidates(
     bands: int = 16,
     shingle_n: int = 3,
     bucket_cap: int = 500,
+    hash_fn: str = "xxhash64",
 ) -> DataFrame:
     """Candidate near-dup pairs via LSH banding.
 
@@ -202,6 +237,7 @@ def minhash_candidates(
         text_col=text_col,
         num_hashes=num_hashes,
         shingle_n=shingle_n,
+        hash_fn=hash_fn,
     ).persist()
     banded = sigs.select(
         "id",
@@ -211,7 +247,7 @@ def minhash_candidates(
                 *[
                     F.struct(
                         F.lit(b).alias("band"),
-                        _band_col(F.col("sig"), b, rows_per_band).alias("bkey"),
+                        _band_col(F.col("sig"), b, rows_per_band, hash_fn).alias("bkey"),
                     )
                     for b in range(bands)
                 ]
@@ -281,7 +317,11 @@ def minhash_dedup(
 
 
 def simhash_sigs(
-    df: DataFrame, *, id_col: str = "doc_id", text_col: str = "text"
+    df: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    hash_fn: str = "xxhash64",
 ) -> DataFrame:
     """(id, sh) — 64-bit SimHash over word tokens.
 
@@ -293,7 +333,7 @@ def simhash_sigs(
     """
     exploded = _spread(df).select(
         F.col(id_col).alias("id"), F.explode(tokens(text_col)).alias("tok")
-    ).withColumn("h", F.xxhash64("tok"))
+    ).withColumn("h", _hash64(F.col("tok"), hash_fn))
     aggs = [
         F.sum(
             F.when(
@@ -320,11 +360,19 @@ def simhash_candidates(
     id_col: str = "doc_id",
     text_col: str = "text",
     max_hamming: int = 3,
+    hash_fn: str = "xxhash64",
+    bucket_cap: int = 500,
 ) -> DataFrame:
     """Near-dup pairs by SimHash: bucket on each of 4 16-bit chunks
     (pigeonhole: hamming ≤ 3 ⇒ at least one chunk equal), verify hamming
-    distance within buckets.  Returns (id_a, id_b, hamming)."""
-    sigs = simhash_sigs(df, id_col=id_col, text_col=text_col).persist()
+    distance within buckets.  Returns (id_a, id_b, hamming).
+
+    ``bucket_cap`` bounds each (chunk, ckey) bucket to its lowest-id members
+    before the self-join (same degenerate-bucket bound as minhash LSH): a
+    pathological chunk value shared by millions of near-identical docs costs
+    O(cap²), not O(n²).
+    """
+    sigs = simhash_sigs(df, id_col=id_col, text_col=text_col, hash_fn=hash_fn).persist()
     chunks = sigs.select(
         "id",
         "sh",
@@ -342,6 +390,13 @@ def simhash_candidates(
             )
         ).alias("cc"),
     ).select("id", "sh", F.col("cc.chunk").alias("chunk"), F.col("cc.ckey").alias("ckey"))
+    if bucket_cap:
+        wcap = Window.partitionBy("chunk", "ckey").orderBy("id")
+        chunks = (
+            chunks.withColumn("__cn", F.row_number().over(wcap))
+            .filter(F.col("__cn") <= bucket_cap)
+            .drop("__cn")
+        )
     a, b = chunks.alias("a"), chunks.alias("b")
     hamming = F.bit_count(F.col("a.sh").bitwiseXOR(F.col("b.sh")))
     return (
@@ -602,6 +657,7 @@ def minhash_band_index(
     num_hashes: int = 64,
     bands: int = 16,
     shingle_n: int = 3,
+    hash_fn: str = "xxhash64",
 ) -> DataFrame:
     """(id, sig, band, bkey) — the persistable LSH band index of a corpus.
 
@@ -611,7 +667,12 @@ def minhash_band_index(
     """
     rows_per_band = num_hashes // bands
     sigs = minhash_sigs(
-        df, id_col=id_col, text_col=text_col, num_hashes=num_hashes, shingle_n=shingle_n
+        df,
+        id_col=id_col,
+        text_col=text_col,
+        num_hashes=num_hashes,
+        shingle_n=shingle_n,
+        hash_fn=hash_fn,
     )
     return sigs.select(
         "id",
@@ -621,7 +682,7 @@ def minhash_band_index(
                 *[
                     F.struct(
                         F.lit(b).alias("band"),
-                        _band_col(F.col("sig"), b, rows_per_band).alias("bkey"),
+                        _band_col(F.col("sig"), b, rows_per_band, hash_fn).alias("bkey"),
                     )
                     for b in range(bands)
                 ]
@@ -640,6 +701,7 @@ def minhash_incremental(
     bands: int = 16,
     shingle_n: int = 3,
     threshold: float = 0.8,
+    hash_fn: str = "xxhash64",
 ):
     """Dedup an incremental batch against an existing corpus WITHOUT
     recomputing corpus signatures.
@@ -661,6 +723,7 @@ def minhash_incremental(
         num_hashes=num_hashes,
         bands=bands,
         shingle_n=shingle_n,
+        hash_fn=hash_fn,
     ).persist()
 
     def est(a, b):

@@ -1096,20 +1096,99 @@ def dedup_exact(spark, sf_dir):
     return exact_dedup_docs(d).select("doc_id", "source")
 
 
-@q("dedup_minhash_lsh")  # rows-only: xxhash64 signature family is Spark-specific
+# --- dual-implementable (md5-mode) oracle SQL for the LSH families --------
+# The production hash family is xxhash64 (fastest JVM path, no DuckDB twin);
+# these registry queries run the SAME operators in hash_fn="md5" mode, whose
+# 60-bit hash (first 15 md5 hex digits) is bit-identical in DuckDB
+# (`CAST(('0x' || SUBSTRING(MD5(x), 1, 15)) AS BIGINT)`), making the whole
+# signature pipeline — OPH binning, rotation densification, banding, bucket
+# caps, pair estimation — value-hash-checkable by the driver.
+
+_MD5H = "CAST(('0x' || SUBSTRING(MD5({x}), 1, 15)) AS BIGINT)"
+_TOKS_SQL = "list_transform(regexp_extract_all(text, '[A-Za-z0-9'']+'), x -> LOWER(x))"
+_OPH_C_SQL = 0x3779B97F4A7C15
+
+
+def _minhash_with_sql(*, k: int = 64, n: int = 3, bands: int = 16) -> str:
+    """WITH-clause chain ending in banded(doc_id, sig, band, bkey) — the
+    DuckDB twin of minhash_sigs + band explosion in md5 mode."""
+    rpb = k // bands
+    branches = []
+    for b in range(bands):
+        elems = ", ".join(f"CAST(sig[{b * rpb + i + 1}] AS VARCHAR)" for i in range(rpb))
+        key = _MD5H.format(x=f"CONCAT_WS('|', {elems}, '{b}')")
+        branches.append(f"SELECT doc_id, sig, {b} AS band, {key} AS bkey FROM sigs")
+    banded = "\n      UNION ALL\n      ".join(branches)
+    return f"""
+    WITH toks AS (
+      SELECT doc_id, {_TOKS_SQL} AS toks FROM documents),
+    shingles AS (
+      SELECT doc_id, UNNEST(list_distinct(CASE WHEN LENGTH(toks) < {n}
+        THEN CAST([] AS VARCHAR[])
+        ELSE list_transform(range(0, LENGTH(toks) - {n - 1}),
+             i -> array_to_string(list_slice(toks, i + 1, i + {n}), ' ')) END)) AS shingle
+      FROM toks),
+    hashed AS (SELECT doc_id, {_MD5H.format(x='shingle')} AS h FROM shingles),
+    binned AS (SELECT doc_id, h % {k} AS bin, MIN(h) AS mh
+               FROM hashed GROUP BY doc_id, h % {k}),
+    slots AS (
+      SELECT doc_id, i,
+             xor(arg_min(mh, ((bin - i) % {k} + {k}) % {k}),
+                 MIN(((bin - i) % {k} + {k}) % {k}) * {_OPH_C_SQL}) AS sv
+      FROM binned CROSS JOIN (SELECT UNNEST(range(0, {k})) AS i) ix
+      GROUP BY doc_id, i),
+    sigs AS (SELECT doc_id, list(sv ORDER BY i) AS sig FROM slots GROUP BY doc_id),
+    banded AS (
+      {banded})"""
+
+
+_EST_SQL = "LENGTH(list_filter(list_zip({a}.sig, {b}.sig), p -> p[1] = p[2])) / 64.0"
+
+
+@q(
+    "dedup_minhash_lsh",
+    _minhash_with_sql()
+    + f""",
+    capped AS (
+      SELECT doc_id, sig, band, bkey FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY band, bkey ORDER BY doc_id) AS rn
+        FROM banded) WHERE rn <= 500)
+    SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+           ROUND({_EST_SQL.format(a='a', b='b')}, 4) AS est_jaccard
+    FROM capped a JOIN capped b
+      ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id
+    """,
+)
 def dedup_minhash_lsh(spark, sf_dir):
     """MinHash+LSH near-dup candidate pairs (north-star; SURVEY §7 step 7).
-    Deterministic seeded signatures; no SQL oracle (engine-native hash)."""
+    md5-mode hash family so the full pipeline is oracle-checkable; the
+    xxhash64 production family is benchmarked separately (bench.py)."""
     from engine.extended.dedup import minhash_candidates
 
     d = t(spark, sf_dir, "documents")
-    # no trailing global sort: this is a rows-only check (count, not value
-    # hash), and a range-exchange + sampling pass would be pure overhead —
+    # no trailing global sort: the driver comparator sorts rows itself, and
     # at 100 TB a total order over all candidate pairs is never wanted.
-    return minhash_candidates(d, num_hashes=64, bands=16)
+    return minhash_candidates(d, num_hashes=64, bands=16, hash_fn="md5")
 
 
-@q("dedup_minhash_incremental")  # rows-only: engine-native signature family
+@q(
+    "dedup_minhash_incremental",
+    _minhash_with_sql()
+    + f""",
+    cb AS (SELECT * FROM banded WHERE doc_id % 2 = 0),
+    bb AS (SELECT * FROM banded WHERE doc_id % 2 = 1),
+    dups AS (
+      SELECT n.doc_id AS dup_id
+      FROM bb n JOIN cb c ON n.band = c.band AND n.bkey = c.bkey
+      WHERE {_EST_SQL.format(a='n', b='c')} >= 0.5
+      UNION
+      SELECT b.doc_id
+      FROM bb a JOIN bb b ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id
+      WHERE {_EST_SQL.format(a='a', b='b')} >= 0.5)
+    SELECT d.doc_id, d.source FROM documents d
+    WHERE d.doc_id % 2 = 1 AND d.doc_id NOT IN (SELECT dup_id FROM dups)
+    """,
+)
 def dedup_minhash_incremental(spark, sf_dir):
     """Incremental batch dedup against a persisted LSH band index: docs are
     split by id parity into an indexed 'corpus' and an incoming 'batch'; the
@@ -1123,18 +1202,50 @@ def dedup_minhash_incremental(spark, sf_dir):
     d = t(spark, sf_dir, "documents")
     corpus = d.filter(F.col("doc_id") % 2 == 0)
     batch = d.filter(F.col("doc_id") % 2 == 1)
-    index = minhash_band_index(corpus).persist()
-    kept, _ = minhash_incremental(batch, index, threshold=0.5)
+    index = minhash_band_index(corpus, hash_fn="md5").persist()
+    kept, _ = minhash_incremental(batch, index, threshold=0.5, hash_fn="md5")
     return kept.select("doc_id", "source").orderBy("doc_id")
 
 
-@q("dedup_simhash")  # rows-only: same reason
+def _simhash_sql() -> str:
+    sums = ",\n             ".join(
+        f"SUM(CASE WHEN (hv >> {j}) & 1 = 1 THEN 1 ELSE -1 END) AS b{j}"
+        for j in range(64)
+    )
+    c = lambda j: (1 << j) if j < 63 else -(1 << 63)  # noqa: E731
+    assembly = " | ".join(
+        f"(CASE WHEN b{j} > 0 THEN CAST({c(j)} AS BIGINT) ELSE CAST(0 AS BIGINT) END)"
+        for j in range(64)
+    )
+    return f"""
+    WITH tk AS (SELECT doc_id, UNNEST({_TOKS_SQL}) AS tok FROM documents),
+    h AS (SELECT doc_id, {_MD5H.format(x='tok')} AS hv FROM tk),
+    bits AS (SELECT doc_id,
+             {sums}
+             FROM h GROUP BY doc_id),
+    sg AS (SELECT doc_id, ({assembly}) AS sh FROM bits),
+    chunks AS (
+      SELECT doc_id, sh, c AS chunk, (sh >> (16 * c)) & 65535 AS ckey
+      FROM sg CROSS JOIN (SELECT UNNEST(range(0, 4)) AS c) t),
+    capped AS (SELECT doc_id, sh, chunk, ckey FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY chunk, ckey ORDER BY doc_id) AS rn
+      FROM chunks) WHERE rn <= 500)
+    SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+           CAST(bit_count(xor(a.sh, b.sh)) AS INTEGER) AS hamming
+    FROM capped a JOIN capped b
+      ON a.chunk = b.chunk AND a.ckey = b.ckey AND a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.sh, b.sh)) <= 3
+    """
+
+
+@q("dedup_simhash", _simhash_sql())
 def dedup_simhash(spark, sf_dir):
-    """SimHash near-dup pairs within hamming≤3 via 16-bit chunk bucketing."""
+    """SimHash near-dup pairs within hamming≤3 via 16-bit chunk bucketing
+    (md5-mode hash family — oracle-checkable; see dedup_minhash_lsh)."""
     from engine.extended.dedup import simhash_candidates
 
     d = t(spark, sf_dir, "documents")
-    return simhash_candidates(d, max_hamming=3).orderBy("id_a", "id_b")
+    return simhash_candidates(d, max_hamming=3, hash_fn="md5").orderBy("id_a", "id_b")
 
 
 @q(
@@ -1207,7 +1318,62 @@ def ann_cosine_topk(spark, sf_dir):
     return cosine_topk(emb, [float(x) for x in qv], k=10)
 
 
-@q("ann_lsh_topk")  # rows-only: hyperplane family is engine-native
+# --- hyperplane sign-LSH oracles ------------------------------------------
+# The hyperplanes are deterministic constants (engine.extended.dedup.
+# _unit_hyperplanes — a splitmix-style integer stream), so the SAME literal
+# arrays are embedded in the DuckDB SQL: the sign signatures, hamming
+# pre-filter, and cosine verification are all reproducible bit-for-bit.
+# Generated for the testdata embedding dim (64); the adversarial edge tables
+# use the same dim.
+
+_EMB_DIM = 64
+
+
+def _plane_literal(plane: list[float]) -> str:
+    return "[" + ", ".join(repr(float(w)) for w in plane) + "]"
+
+
+def _lsh_sig_sql(vec_expr: str, hp: list[list[float]], *, bit_base: int = 0) -> str:
+    """OR-of-sign-bits signature over the given hyperplanes (DuckDB twin of
+    engine.extended.similarity.with_signature / the per-band keys)."""
+    terms = []
+    for p, plane in enumerate(hp):
+        dot = (
+            f"list_sum(list_transform(list_zip({vec_expr}, {_plane_literal(plane)}), "
+            f"x -> CAST(x[1] AS DOUBLE) * x[2]))"
+        )
+        terms.append(
+            f"(CASE WHEN {dot} >= 0 THEN CAST({1 << (bit_base + p)} AS BIGINT)"
+            f" ELSE CAST(0 AS BIGINT) END)"
+        )
+    return "(" + " | ".join(terms) + ")"
+
+
+def _ann_lsh_sql() -> str:
+    from engine.extended.dedup import _unit_hyperplanes
+
+    hp = _unit_hyperplanes(_EMB_DIM, 16)
+    return f"""
+    WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 7),
+    sq AS (SELECT qv, {_lsh_sig_sql('qv', hp)} AS qsig,
+           SQRT(list_sum(list_transform(qv, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS qn
+           FROM q),
+    s AS (SELECT vec_id, embedding, {_lsh_sig_sql('embedding', hp)} AS sig,
+          SQRT(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm
+          FROM embeddings)
+    SELECT s.vec_id,
+           CASE WHEN s.nrm * sq.qn > 0 THEN ROUND(
+             list_sum(list_transform(list_zip(s.embedding, sq.qv),
+                      x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))
+             / (s.nrm * sq.qn), 4) END AS sim
+    FROM s CROSS JOIN sq
+    WHERE bit_count(xor(s.sig, sq.qsig)) <= 4
+    ORDER BY sim DESC NULLS LAST, s.vec_id
+    LIMIT 10
+    """
+
+
+@q("ann_lsh_topk", _ann_lsh_sql())
 def ann_lsh_topk(spark, sf_dir):
     """LSH-bucketed approximate top-10 for the same query vector."""
     from engine.extended.similarity import lsh_topk
@@ -1217,7 +1383,45 @@ def ann_lsh_topk(spark, sf_dir):
     return lsh_topk(emb, [float(x) for x in qv], k=10, dim=len(qv))
 
 
-@q("embedding_near_dup")  # rows-only: hyperplane bucketing engine-native
+def _embedding_near_dup_sql() -> str:
+    from engine.extended.dedup import _unit_hyperplanes
+
+    hp = _unit_hyperplanes(_EMB_DIM, 16)
+    per_band = 4
+    branches = []
+    for b in range(4):
+        key = _lsh_sig_sql("v", hp[b * per_band : (b + 1) * per_band])
+        branches.append(f"SELECT vec_id, v, {b} AS band, {key} AS bkey FROM aug")
+    banded = "\n      UNION ALL\n      ".join(branches)
+    return f"""
+    WITH aug AS (
+      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      FROM embeddings
+      UNION ALL
+      SELECT vec_id + 1000000000,
+             list_transform(embedding,
+               (x, i) -> CAST(x AS DOUBLE) + CASE WHEN i = 1 THEN 0.01 ELSE 0.0 END)
+      FROM embeddings WHERE vec_id % 10 = 0),
+    banded AS (
+      {banded}),
+    cand AS (
+      SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+      FROM banded a JOIN banded b
+        ON a.band = b.band AND a.bkey = b.bkey AND a.vec_id < b.vec_id),
+    v2 AS (SELECT vec_id, v,
+           SQRT(list_sum(list_transform(v, x -> x * x))) AS nrm FROM aug),
+    scored AS (
+      SELECT c.id_a, c.id_b,
+             CASE WHEN va.nrm * vb.nrm > 0 THEN ROUND(
+               list_sum(list_transform(list_zip(va.v, vb.v), x -> x[1] * x[2]))
+               / (va.nrm * vb.nrm), 4) END AS cos_sim
+      FROM cand c JOIN v2 va ON va.vec_id = c.id_a
+                  JOIN v2 vb ON vb.vec_id = c.id_b)
+    SELECT id_a, id_b, cos_sim FROM scored WHERE cos_sim >= 0.95
+    """
+
+
+@q("embedding_near_dup", _embedding_near_dup_sql())
 def embedding_near_dup_q(spark, sf_dir):
     """Embedding-cosine near-duplicate pairs (cos ≥ 0.95) via banded sign-LSH.
 

@@ -151,13 +151,17 @@ def build_tables(path: str, spark) -> None:
     )
     import math
 
+    # dim matches the testdata embeddings (64): the hyperplane sign-LSH
+    # oracles embed dim-64 plane literals, so edge vectors must be dim-64 too
+    def v64(head: list[float]) -> list[float]:
+        return head + [0.0] * (64 - len(head))
+
     vecs = []
     for i in range(12):
         angle = i * math.pi / 12
-        vecs.append((i, [math.cos(angle), math.sin(angle), 0.0, 0.1 * i], i % 3))
-    vecs.append((99, [1.0, 0.0, 0.0, 0.0], 0))   # duplicate direction of vec 0
-    vecs.append((100, [0.0, 0.0, 0.0, 0.0], 1))  # zero vector (cosine 0/0)
-    vecs.append((7, [0.5, 0.5, 0.5, 0.5], 2)) if False else None
+        vecs.append((i, v64([math.cos(angle), math.sin(angle), 0.0, 0.1 * i]), i % 3))
+    vecs.append((99, v64([1.0]), 0))   # duplicate direction of vec 0
+    vecs.append((100, v64([]), 1))     # zero vector (cosine 0/0)
     write(
         "embeddings",
         vecs,
