@@ -31,6 +31,8 @@ def lookup_or_compute(
     key: str,
     value_cols: list[str],
     compute_fn: Callable[[DataFrame], DataFrame],
+    *,
+    broadcast_overlays: bool | None = True,
 ) -> DataFrame:
     """Fill ``value_cols`` from ``cache`` by ``key``; compute only misses.
 
@@ -38,11 +40,28 @@ def lookup_or_compute(
     miss rows (original columns, without the cache values) and must return
     (key, *value_cols) for them.  Returns ``df`` + ``value_cols``, where each
     row's values come from the cache when present, else from the computation.
+
+    ``broadcast_overlays``: ``True`` (default) hints both the cache slice and
+    the computed-miss overlay broadcast — right when the cache probe is
+    key-bounded and misses are rare (the reference's operating regime, where
+    the miss set is one batch's uncached keys).  ``False`` drops the hints so
+    the joins shuffle — required when the miss set can approach corpus scale
+    (cold cache over a large backfill), where a forced broadcast of the
+    computed overlay would OOM the driver.  ``None`` lets AQE choose per join
+    from runtime sizes.
     """
+
+    def maybe_b(d: DataFrame) -> DataFrame:
+        if broadcast_overlays is True:
+            return F.broadcast(d)
+        if broadcast_overlays is False:
+            return d.hint("shuffle_hash")
+        return d
+
     cached = cache.select(
         key, *[F.col(c).alias(f"__cache_{c}") for c in value_cols]
     )
-    probed = df.join(F.broadcast(cached), on=key, how="left")
+    probed = df.join(maybe_b(cached), on=key, how="left")
 
     misses = probed.filter(F.col(f"__cache_{value_cols[0]}").isNull()).select(
         *df.columns
@@ -51,7 +70,7 @@ def lookup_or_compute(
         key, *[F.col(c).alias(f"__new_{c}") for c in value_cols]
     )
 
-    out = probed.join(F.broadcast(computed), on=key, how="left")
+    out = probed.join(maybe_b(computed), on=key, how="left")
     for c in value_cols:
         out = out.withColumn(
             c, F.coalesce(F.col(f"__cache_{c}"), F.col(f"__new_{c}"))

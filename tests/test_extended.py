@@ -234,3 +234,23 @@ def test_minhash_incremental_against_corpus(spark):
     )
     kept3, _ = minhash_incremental(batch3, updated, threshold=0.5)
     assert kept3.count() == 0  # duplicate of newly indexed 101
+
+
+def test_simhash_bucket_cap_bounds_degenerate_buckets(spark):
+    # 40 identical docs collide in every 16-bit chunk; cap=5 bounds each
+    # bucket to its 5 lowest ids, so pair count is O(cap^2), not O(n^2)
+    rows = [(i, "the same boilerplate text repeated everywhere", "web") for i in range(40)]
+    df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    out = simhash_candidates(df, max_hamming=3, bucket_cap=5).collect()
+    ids = {r["id_a"] for r in out} | {r["id_b"] for r in out}
+    assert ids == {0, 1, 2, 3, 4}          # only the cap survivors pair
+    assert len(out) == 10                  # C(5,2), not C(40,2)=780
+
+
+def test_minhash_md5_mode_matches_xxhash_semantics(spark):
+    # same candidate-pair CONTRACT under either hash family: the known
+    # near-dup pair must surface with the same est_jaccard for identical docs
+    cands = minhash_candidates(_docs(spark), num_hashes=64, bands=16, hash_fn="md5")
+    pairs = {(r["id_a"], r["id_b"]): r["est_jaccard"] for r in cands.collect()}
+    assert (0, 3) in pairs and pairs[(0, 3)] == 1.0
+    assert not any(2 in p for p in pairs)

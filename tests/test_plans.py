@@ -151,3 +151,23 @@ def test_aqe_splits_skewed_join(spark):
     finally:
         for k, v in old.items():
             spark.conf.set(k, v)
+
+
+def test_lookup_or_compute_join_strategy_follows_flag(spark):
+    """broadcast_overlays=True pins BroadcastHashJoin; False must NOT
+    broadcast the overlays (large cold-cache miss sets would OOM a forced
+    driver broadcast) — the joins fall back to a shuffle strategy."""
+    from engine.ops.memo import lookup_or_compute
+
+    df = spark.range(2000).select(F.col("id").alias("k"), F.lit("x").alias("payload"))
+    cache = spark.range(500).select(F.col("id").alias("k"), (F.col("id") * 2).alias("v"))
+
+    def compute(misses):
+        return misses.select("k", (F.col("k") * 2).alias("v"))
+
+    p_b = plan(lookup_or_compute(df, cache, "k", ["v"], compute, broadcast_overlays=True))
+    assert "BroadcastHashJoin" in p_b
+
+    p_s = plan(lookup_or_compute(df, cache, "k", ["v"], compute, broadcast_overlays=False))
+    assert "BroadcastHashJoin" not in p_s
+    assert "ShuffledHashJoin" in p_s or "SortMergeJoin" in p_s
