@@ -8,11 +8,17 @@ decode / feature-extract / resize / frame-sample steps are ``mapInPandas``
 seams — the Arrow batch carries the binary column zero-copy into pandas,
 the (pluggable) codec runs per batch, and the result is again a typed frame.
 
-The image/audio libraries are NOT in the harness image, so the real codecs
-are stubbed: :func:`decode_media` raises ``NotImplementedError`` unless a
-codec is injected, and :func:`fake_media_from_text` manufactures
-deterministic payloads so the Spark-side plumbing (schema, batching,
-partitioning, UDF signatures) is fully exercised by tests and the harness.
+The heavyweight media libraries are NOT in the harness image, but the
+default path is REAL where stdlib allows it: :mod:`engine.extended.
+imagecodec` provides a dependency-free PNG decoder/encoder (zlib IDAT +
+filter reconstruction), PNG/JPEG/GIF/BMP header parsing, and a
+nearest-neighbor raw-pixel resizer.  ``decode_media`` therefore decodes PNG
+payloads to raw pixels and attaches parsed (width, height, channels) for
+every known header — no NotImplementedError on the default path —
+while the ``Codec`` / ``Resizer`` injection seams remain for PIL/ffmpeg in
+a real deployment.  :func:`fake_media_from_text` manufactures deterministic
+payloads (and :func:`fake_png_corpus` real PNGs) so the Spark-side plumbing
+(schema, batching, partitioning, UDF signatures) is fully exercised.
 """
 
 from __future__ import annotations
@@ -37,6 +43,7 @@ from pyspark.sql.types import (
 
 __all__ = [
     "fake_media_from_text",
+    "fake_png_corpus",
     "decode_media",
     "media_features",
     "frame_sample",
@@ -67,37 +74,103 @@ def fake_media_from_text(df: DataFrame, *, id_col: str = "doc_id", text_col: str
     )
 
 
+def fake_png_corpus(
+    df: DataFrame, *, id_col: str = "doc_id", text_col: str = "text", max_side: int = 24
+) -> DataFrame:
+    """Deterministic corpus of REAL (decodable) PNGs from a text table.
+
+    Per doc: dimensions and pixel bytes derive from the sha256 stream of the
+    text, so payloads are stable across runs/partitionings; the PNGs exercise
+    the genuine decode path (zlib + filters) end to end.  mapInPandas seam —
+    identical batch shape to a real tar-shard/S3 ingest.
+    """
+    from engine.extended.imagecodec import png_encode
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            rows = []
+            for mid, text in zip(b[id_col], b[text_col]):
+                seed = hashlib.sha256((text or "").encode()).digest()
+                w = 4 + seed[0] % (max_side - 3)
+                h = 4 + seed[1] % (max_side - 3)
+                ch = (1, 3, 4)[seed[2] % 3]
+                need = w * h * ch
+                stream = bytearray()
+                counter = 0
+                while len(stream) < need:
+                    stream += hashlib.sha256(seed + struct.pack("<I", counter)).digest()
+                    counter += 1
+                payload = png_encode(bytes(stream[:need]), w, h, ch)
+                rows.append((mid, payload, "image/png", w, h, ch))
+            yield pd.DataFrame(
+                rows,
+                columns=["media_id", "payload", "mime", "width", "height", "channels"],
+            )
+
+    schema = StructType(
+        [
+            StructField("media_id", LongType()),
+            StructField("payload", BinaryType()),
+            StructField("mime", StringType()),
+            StructField("width", IntegerType()),
+            StructField("height", IntegerType()),
+            StructField("channels", IntegerType()),
+        ]
+    )
+    return df.select(F.col(id_col), F.col(text_col)).mapInPandas(run, schema=schema)
+
+
 DECODED_SCHEMA = StructType(
     [
         StructField("media_id", LongType()),
         StructField("mime", StringType()),
         StructField("decoded", BinaryType()),
         StructField("n_bytes", LongType()),
+        StructField("width", IntegerType()),
+        StructField("height", IntegerType()),
+        StructField("channels", IntegerType()),
     ]
 )
 
 
 def decode_media(df: DataFrame, codec: Codec | None = None) -> DataFrame:
-    """Decode payloads via an injected codec (PIL/librosa/ffmpeg in a real
-    deployment).  Without a codec this raises at *plan execution* time —
-    clearly marking the stub — unless ``codec='identity'`` semantics are
-    injected by tests."""
+    """Decode payloads to raw content + parsed dimensions.
+
+    The default codec is the stdlib-only :func:`engine.extended.imagecodec.
+    default_codec`: PNG payloads genuinely decode to raw interleaved pixels;
+    JPEG/GIF/BMP payloads pass through with header-parsed (width, height,
+    channels); unknown bytes pass through with null dimensions.  Inject a
+    ``Codec`` (PIL/librosa/ffmpeg) to replace the byte decode — header
+    metadata stays stdlib-parsed either way.
+    """
+    from engine.extended.imagecodec import default_codec, parse_header
+
+    active = codec or default_codec
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for b in batches:
-            if codec is None:
-                raise NotImplementedError(
-                    "no media codec available in this image; inject a Codec "
-                    "(e.g. PIL.Image.open for image/*) to decode payloads"
+            rows = []
+            for mid, payload, m in zip(b["media_id"], b["payload"], b["mime"]):
+                data = bytes(payload)
+                decoded = active(data, m)
+                hdr = parse_header(data)
+                rows.append(
+                    (
+                        mid,
+                        m,
+                        decoded,
+                        len(decoded),
+                        hdr["width"] if hdr else None,
+                        hdr["height"] if hdr else None,
+                        hdr["channels"] if hdr else None,
+                    )
                 )
-            decoded = [codec(bytes(p), m) for p, m in zip(b["payload"], b["mime"])]
             yield pd.DataFrame(
-                {
-                    "media_id": b["media_id"],
-                    "mime": b["mime"],
-                    "decoded": decoded,
-                    "n_bytes": [len(d) for d in decoded],
-                }
+                rows,
+                columns=[
+                    "media_id", "mime", "decoded", "n_bytes",
+                    "width", "height", "channels",
+                ],
             )
 
     return df.mapInPandas(run, schema=DECODED_SCHEMA)
@@ -210,20 +283,20 @@ def resize_media(
 ) -> DataFrame:
     """Resize every payload to (width, height) through the mapInPandas seam.
 
-    Without an injected resizer this raises NotImplementedError at execution
-    (clearly-marked stub — the image libs aren't in this container); the
-    plumbing (schema, batching, metadata rewrite) is real either way.
+    The default resizer is the stdlib-only :func:`engine.extended.imagecodec.
+    default_resizer`: PNG payloads get a REAL nearest-neighbor resample
+    (decode → resample raw pixels → re-encode); other payloads scale their
+    byte budget by area ratio so downstream size logic stays honest.  Inject
+    a ``Resizer`` (PIL-based) for higher-quality kernels / other formats.
     """
+    from engine.extended.imagecodec import default_resizer
+
+    active = resizer or default_resizer
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for b in batches:
-            if resizer is None:
-                raise NotImplementedError(
-                    "no resize backend in this image; inject a Resizer "
-                    "(e.g. PIL-based) to resize payloads"
-                )
             out = [
-                resizer(bytes(p), m, int(w), int(h), width, height)
+                active(bytes(p), m, int(w), int(h), width, height)
                 for p, m, w, h in zip(b["payload"], b["mime"], b["width"], b["height"])
             ]
             yield pd.DataFrame(

@@ -1484,6 +1484,28 @@ def multimodal_features(spark, sf_dir):
     return media_features(media).select("media_id", "mime", "n_bytes", "byte_entropy")
 
 
+@q("multimodal_decode")  # rows-only: stdlib PNG decode runs in an Arrow UDF
+def multimodal_decode(spark, sf_dir):
+    """REAL image decode end to end: deterministic PNGs (zlib + filters) are
+    decoded by the stdlib codec (engine.extended.imagecodec) on the DEFAULT
+    path — no injected backend — and every decoded byte count must equal
+    width*height*channels from the header."""
+    from engine.extended.multimodal import decode_media, fake_png_corpus
+
+    d = t(spark, sf_dir, "documents")
+    decoded = decode_media(fake_png_corpus(d))
+    return decoded.select(
+        "media_id",
+        "width",
+        "height",
+        "channels",
+        "n_bytes",
+        (F.col("n_bytes") == F.col("width") * F.col("height") * F.col("channels")).alias(
+            "decode_exact"
+        ),
+    ).orderBy("media_id")
+
+
 # ===========================================================================
 # Flagship: the NEW_PATRONS relational chain mapped onto TPC-H columns
 # ===========================================================================

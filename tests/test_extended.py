@@ -150,12 +150,11 @@ def test_multimodal_stub_and_features(spark):
     assert max(r["frame_idx"] for r in frames) >= 1
     assert all(len(r["frame"]) <= 16 for r in frames)
 
-    # decode without an injected codec is an explicit stub
-    with pytest.raises(Exception) as ei:
-        decode_media(media).collect()
-    assert "NotImplementedError" in str(ei.value) or isinstance(
-        ei.value, NotImplementedError
-    )
+    # default path: unknown (utf-8 text) payloads pass through with null
+    # parsed dimensions — no stub raise
+    decoded_default = {r["media_id"]: r for r in decode_media(media).collect()}
+    assert all(r["width"] is None for r in decoded_default.values())
+    assert decoded_default[0]["n_bytes"] == len(BASE.encode())
 
     # with an injected codec the seam works end-to-end
     decoded = decode_media(media, codec=lambda b, mime: b[:4]).collect()
@@ -191,16 +190,86 @@ def test_minhash_dedup_cc_collapses_chain(spark):
     assert out == {0, 3}  # 1 and 2 folded into 0's group transitively
 
 
-def test_resize_media_stub_and_fake(spark):
+def test_resize_media_default_and_fake(spark):
     from engine.extended.multimodal import fake_media_from_text, fake_resizer, resize_media
 
     media = fake_media_from_text(_docs(spark))
-    with pytest.raises(Exception):
-        resize_media(media, 64, 64).collect()  # stub without a backend
+    # default path (non-PNG payloads): byte-budget scaling, no raise
+    out_default = {r["media_id"]: r for r in resize_media(media, 64, 64).collect()}
+    assert all(r["width"] == 64 and r["height"] == 64 for r in out_default.values())
 
     out = {r["media_id"]: r for r in resize_media(media, 64, 64, resizer=fake_resizer()).collect()}
     assert all(r["width"] == 64 and r["height"] == 64 for r in out.values())
     assert all(len(r["payload"]) >= 1 for r in out.values())
+
+
+def test_png_codec_roundtrip_and_real_decode(spark):
+    """fake_png_corpus payloads are REAL PNGs: header-parsed dims match, the
+    stdlib decode recovers exactly the encoded pixel bytes, and decode_media's
+    DEFAULT path (no injected codec) produces w*h*ch raw bytes."""
+    from engine.extended.imagecodec import parse_header, png_decode, png_encode
+    from engine.extended.multimodal import fake_png_corpus
+
+    pngs = fake_png_corpus(_docs(spark))
+    rows = pngs.collect()
+    assert len(rows) == 5
+    for r in rows:
+        data = bytes(r["payload"])
+        hdr = parse_header(data)
+        assert hdr["format"] == "png"
+        assert (hdr["width"], hdr["height"], hdr["channels"]) == (
+            r["width"], r["height"], r["channels"]
+        )
+        w, h, ch, pixels = png_decode(data)
+        assert len(pixels) == w * h * ch
+        assert png_encode(pixels, w, h, ch) == data  # bit-exact round-trip
+
+    decoded = {r["media_id"]: r for r in decode_media(pngs).collect()}
+    for r in rows:
+        d = decoded[r["media_id"]]
+        assert d["n_bytes"] == r["width"] * r["height"] * r["channels"]
+        assert (d["width"], d["height"], d["channels"]) == (
+            r["width"], r["height"], r["channels"]
+        )
+
+
+def test_png_nn_resize_is_a_real_resample(spark):
+    """Resizing a PNG through the default path re-encodes a valid PNG of the
+    target dimensions whose pixels are the nearest-neighbor sample."""
+    from engine.extended.imagecodec import nn_resize_raw, png_decode, png_encode
+    from engine.extended.multimodal import fake_png_corpus, resize_media
+
+    pngs = fake_png_corpus(_docs(spark))
+    src = {r["media_id"]: r for r in pngs.collect()}
+    out = {r["media_id"]: r for r in resize_media(pngs, 8, 6).collect()}
+    for mid, r in out.items():
+        w, h, ch, pixels = png_decode(bytes(r["payload"]))
+        assert (w, h) == (8, 6)
+        sw, sh, sch, spix = png_decode(bytes(src[mid]["payload"]))
+        assert ch == sch
+        assert pixels == nn_resize_raw(spix, sw, sh, 8, 6, sch)
+
+
+def test_jpeg_gif_header_parse():
+    """Hand-built JPEG SOF0 / GIF headers parse to the right dimensions."""
+    import struct as st
+
+    from engine.extended.imagecodec import parse_header
+
+    jpeg = (
+        b"\xff\xd8"                                   # SOI
+        + b"\xff\xe0" + st.pack(">H", 16) + b"JFIF\x00" + b"\x00" * 9  # APP0
+        + b"\xff\xc0" + st.pack(">H", 17) + b"\x08" + st.pack(">HH", 240, 320)
+        + b"\x03" + b"\x01\x11\x00\x02\x11\x01\x03\x11\x01"            # SOF0
+    )
+    hdr = parse_header(jpeg)
+    assert (hdr["format"], hdr["width"], hdr["height"], hdr["channels"]) == (
+        "jpeg", 320, 240, 3
+    )
+    gif = b"GIF89a" + st.pack("<HH", 100, 50) + b"\x00\x00\x00"
+    g = parse_header(gif)
+    assert (g["format"], g["width"], g["height"]) == ("gif", 100, 50)
+    assert parse_header(b"random bytes") is None
 
 
 def test_minhash_incremental_against_corpus(spark):
