@@ -35,6 +35,8 @@ __all__ = [
     "zip5",
     "ascii_scrub_expr",
     "parse_address_udf",
+    "reformat_malformed_address",
+    "RepeatedLabelError",
     "HAS_USADDRESS",
 ]
 
@@ -180,6 +182,173 @@ def parse_address_udf():
 
         _parse_udf_cache = _udf
     return _parse_udf_cache
+
+
+# ---------------------------------------------------------------------------
+# Full reformat (reference helpers/address_helper.py:20-102) — row-level
+# parse + RepeatedLabelError combine + per-field charset scrub
+# ---------------------------------------------------------------------------
+
+#: label groups folded into single fields (helpers/address_helper.py:10-17)
+_STREET_KEYS = [
+    "StreetNamePreDirectional", "StreetNamePreModifier", "StreetNamePreType",
+    "StreetName", "StreetNamePostType", "StreetNamePostModifier",
+    "StreetNamePostDirectional",
+]
+_SECONDARY_KEYS = [
+    "BuildingName", "SubaddressType", "OccupancyType", "OccupancyIdentifier",
+]
+_ADDRESS_TAG_MAP = dict.fromkeys(_STREET_KEYS, "street")
+_ADDRESS_TAG_MAP.update(dict.fromkeys(_SECONDARY_KEYS, "line2"))
+
+
+class RepeatedLabelError(Exception):
+    """Engine-native twin of ``usaddress.RepeatedLabelError`` — raised by a
+    tagger when the CRF assigns the same label to non-adjacent tokens.
+    Carries ``parsed_string``: the raw [(token, label), ...] sequence."""
+
+    def __init__(self, original_string, parsed_string, original_label=""):
+        super().__init__(f"repeated label in {original_string!r}")
+        self.original_string = original_string
+        self.parsed_string = parsed_string
+        self.original_label = original_label
+
+
+def _combine_repeated_labels(parsed_string, label):
+    """Concatenate DISTINCT portions carrying ``label`` (reference
+    helpers/address_helper.py:72-85); None when nothing matched."""
+    output_list = []
+    for portion in parsed_string:
+        if portion[1] == label and portion[0] not in output_list:
+            output_list.append(portion[0])
+    output = " ".join(output_list).strip()
+    return output if output else None
+
+
+def _combine_multilabel_field(parsed_string, labels):
+    """Combine a label GROUP into one field (street/line2), de-duplicating
+    per label (reference helpers/address_helper.py:88-102)."""
+    output_list = []
+    for label in labels:
+        parsed = _combine_repeated_labels(parsed_string, label)
+        if parsed is not None and parsed not in output_list:
+            output_list.append(parsed)
+    return " ".join(output_list).strip()
+
+
+#: the reference's per-field scrub regexes (helpers/address_helper.py:52-68);
+#: applied AFTER transliteration, so the accented ranges are vestigial but
+#: kept for byte parity with its outputs
+_CITY_REGION_SCRUB = re.compile("[^A-Za-zÀ-ÖØ-öø-ÿ-\\s]")
+_STREET_SCRUB = re.compile("[^A-Za-zÀ-ÖØ-öø-ÿ0-9-\\s#&.,;:+@/]")
+_POSTAL_SCRUB = re.compile("[^\\d-]")
+
+
+def _fallback_tagger(addr: str):
+    """Deterministic stand-in for ``usaddress.tag(s, tag_mapping=...)`` when
+    the wheel is absent: trailing zip, then trailing 2-letter state, leading
+    house number, unit marker, remainder split street/city at the last
+    street-type word.  Covers the reference's test shapes, not the CRF."""
+    s = addr.strip()
+    out: dict[str, str] = {}
+    m = re.search(r"(\d{5}(?:-\d{4})?)\s*$", s)
+    if m:
+        out["ZipCode"] = m.group(1)
+        s = s[: m.start()].strip()
+    m = re.search(r"\b([A-Z]{2})\.?\s*$", s)
+    if m:
+        out["StateName"] = m.group(1)
+        s = s[: m.start()].strip()
+    m = re.match(r"^(\d+[A-Za-z]?(?:-\d+)?)\s+", s)
+    if m:
+        out["AddressNumber"] = m.group(1)
+        s = s[m.end():].strip()
+    unit, post = "", ""
+    m = re.search(r"(?:#|\b(?:APT\.?|UNIT|STE\.?|SUITE|FL\.?|RM\.?))\s*[\w-]+", s, re.I)
+    if m:
+        unit = m.group(0).strip()
+        post = s[m.end():].strip(" ,")
+        s = s[: m.start()].strip()
+    street_type = re.compile(
+        r"\b(AVE(?:NUE)?|ST(?:REET)?|R(?:OA)?D|BLVD|BOULEVARD|DR(?:IVE)?|"
+        r"LN|LANE|CT|COURT|PL(?:ACE)?|WAY|TER(?:RACE)?|PKWY|PARKWAY)\b\.?",
+        re.I,
+    )
+    last = None
+    for m in street_type.finditer(s):
+        last = m
+    if last:
+        out["street"] = s[: last.end()].strip(" ,")
+        rest = (s[last.end():].strip(" ,") + " " + post).strip()
+        if rest:
+            out["PlaceName"] = rest
+    else:
+        if s:
+            out["street"] = s
+        if post:
+            out["PlaceName"] = post
+    if unit:
+        out["line2"] = unit
+    return out, "StreetAddress"
+
+
+def reformat_malformed_address(address_row: dict, *, tagger=None) -> dict:
+    """Parse ``full_address`` and overwrite city/region/postal_code/address
+    components — semantics of the reference's ``reformat_malformed_address``
+    (helpers/address_helper.py:20-68) including the RepeatedLabelError
+    combine path and the per-field charset scrubs.
+
+    ``tagger(full_address) -> (mapping, type)`` defaults to ``usaddress.tag``
+    with the reference's tag_mapping when the wheel is importable, else the
+    deterministic fallback.  Transliteration uses NFKD+table (the harness has
+    no ``unidecode``); both produce ASCII for the reference's test alphabet.
+    """
+    row = dict(address_row)
+    if tagger is None:
+        if HAS_USADDRESS:  # pragma: no cover - wheel absent in harness image
+            def tagger(s):
+                return _usaddress.tag(s, tag_mapping=_ADDRESS_TAG_MAP)
+        else:
+            tagger = _fallback_tagger
+
+    repeated = (
+        (RepeatedLabelError, _usaddress.RepeatedLabelError)
+        if HAS_USADDRESS
+        else RepeatedLabelError
+    )
+    row["house_number"] = ""
+    try:
+        parsed, _ = tagger(row["full_address"])
+        row["city"] = parsed.get("PlaceName", "")
+        row["region"] = parsed.get("StateName", "")
+        row["postal_code"] = parsed.get("ZipCode", "")
+        row["house_number"] = parsed.get("AddressNumber", "")
+        row["street_name"] = parsed.get("street", "")
+        row["address"] = (
+            row["house_number"] + " " + row["street_name"] + " "
+            + parsed.get("line2", "")
+        ).strip()
+    except repeated as e:
+        for field, label in [
+            ("city", "PlaceName"), ("region", "StateName"),
+            ("postal_code", "ZipCode"), ("house_number", "AddressNumber"),
+        ]:
+            row[field] = _combine_repeated_labels(e.parsed_string, label) or row[field]
+        row["street_name"] = _combine_multilabel_field(e.parsed_string, _STREET_KEYS)
+        line2 = _combine_multilabel_field(e.parsed_string, _SECONDARY_KEYS)
+        address = (
+            row["house_number"] + " " + row["street_name"] + " " + line2
+        ).strip()
+        if address:
+            row["address"] = address
+
+    row["city"] = _CITY_REGION_SCRUB.sub("", _to_ascii(row["city"])).strip()
+    row["region"] = _CITY_REGION_SCRUB.sub("", _to_ascii(row["region"])).strip()
+    row["street_name"] = _STREET_SCRUB.sub("", _to_ascii(row["street_name"])).strip()
+    row["address"] = _STREET_SCRUB.sub("", _to_ascii(row["address"])).strip()
+    row["postal_code"] = _POSTAL_SCRUB.sub("", _to_ascii(row["postal_code"])).strip()
+    row["house_number"] = _to_ascii(row["house_number"])
+    return row
 
 
 def with_parsed_address(df: DataFrame, addr_col: str = "full_address") -> DataFrame:

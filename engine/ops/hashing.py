@@ -10,10 +10,13 @@ README.md:57).  Two engine modes:
   (SURVEY §7 risk 2): bcrypt's work factor is intentionally slow, and a
   keyed-hash contract (deterministic string→string, salt-secret) is satisfied
   by SHA-256 with a secret salt at a ~10⁵× higher throughput.
-- ``bcrypt`` (gated): exact reference-compatible hashes via an Arrow-batched
-  pandas UDF, available only if the ``bcrypt`` wheel is importable.  CPU-bound
-  — repartition before applying so executor cores replace the reference's
-  ThreadPoolExecutor.
+- ``bcrypt``: exact reference-compatible hashes via an Arrow-batched pandas
+  UDF.  Uses the C ``bcrypt`` wheel when importable; otherwise falls back to
+  the vendored pure-Python implementation (engine/ops/bcrypt_pure.py,
+  validated against the public OpenWall test vectors) so the contract is
+  honored everywhere.  CPU-bound by design — repartition before applying so
+  executor cores replace the reference's ThreadPoolExecutor; the pure-Python
+  path is for parity testing and small keyed batches, never the 100 TB path.
 """
 
 from __future__ import annotations
@@ -57,7 +60,9 @@ def obfuscate_col(col: Column | str, salt: str, *, mode: str = "sha2") -> Column
 
     ``mode='sha2'`` → ``sha2(concat(salt, value), 256)``, nulls propagate.
     ``mode='bcrypt'`` → reference-identical ``bcrypt.hashpw(value, salt)``
-    via pandas UDF (requires the bcrypt wheel and a full ``$2b$...`` salt).
+    via pandas UDF: the C wheel when present, else the vendored pure-Python
+    bcrypt (same hashes — see engine/ops/bcrypt_pure.py).  Needs a full
+    ``$2b$NN$...`` salt string.
     """
     c = F.col(col) if isinstance(col, str) else col
     if mode == "sha2":
@@ -65,17 +70,20 @@ def obfuscate_col(col: Column | str, salt: str, *, mode: str = "sha2") -> Column
             F.sha2(F.concat(F.lit(salt), c), 256)
         )
     if mode == "bcrypt":
-        if not HAS_BCRYPT:  # pragma: no cover
-            raise ImportError("bcrypt mode requires the bcrypt package")
-        salt_b = salt.encode("utf-8")
+        if HAS_BCRYPT:  # pragma: no cover - wheel absent in harness image
+            salt_b = salt.encode("utf-8")
+
+            def _hash(v: str) -> str:
+                return _bcrypt.hashpw(v.encode("utf-8"), salt_b).decode("utf-8")
+        else:
+            from engine.ops.bcrypt_pure import hashpw
+
+            def _hash(v: str) -> str:
+                return hashpw(v.encode("utf-8"), salt)
 
         @pandas_udf(StringType())
         def _bcrypt_udf(s: pd.Series) -> pd.Series:
-            return s.map(
-                lambda v: None
-                if v is None
-                else _bcrypt.hashpw(v.encode("utf-8"), salt_b).decode("utf-8")
-            )
+            return s.map(lambda v: None if v is None else _hash(v))
 
         return _bcrypt_udf(c)
     raise ValueError(f"unknown obfuscation mode: {mode}")

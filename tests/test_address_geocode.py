@@ -162,3 +162,131 @@ def test_cascade_survives_total_transport_failure(spark):
     assert len(rows) == 2
     # geosupport (attempt 3) can still fill rows with parseable house+street
     assert rows["p1"] is not None
+
+
+# ---------------------------------------------------------------------------
+# reformat_malformed_address — the reference's golden cases, verbatim
+# (/root/reference/tests/test_address_helper.py:10-146), run through an
+# injected tagger so they pin the combine/scrub semantics with AND without
+# the usaddress wheel
+# ---------------------------------------------------------------------------
+
+from collections import OrderedDict
+
+from engine.ops.address import RepeatedLabelError, reformat_malformed_address
+
+_BASE = {
+    "address": "123 REAL AVE APT 1",
+    "city": "NEW YORK",
+    "region": "NY",
+    "postal_code": "11111-2222",
+    "full_address": "123 REAL AVE APT 1 NEW YORK NY 11111-2222",
+}
+
+
+def _tag(mapping):
+    return lambda s: (mapping, "StreetAddress")
+
+
+def _raise_repeated(parsed):
+    def tagger(s):
+        raise RepeatedLabelError(s, parsed, "StreetAddress")
+
+    return tagger
+
+
+def test_reformat_good_address():
+    out = reformat_malformed_address(
+        dict(_BASE),
+        tagger=_tag(OrderedDict([
+            ("AddressNumber", "123"), ("street", "REAL AVE"), ("line2", "APT 1"),
+            ("PlaceName", "NEW YORK"), ("StateName", "NY"), ("ZipCode", "11111-2222"),
+        ])),
+    )
+    assert out == {**_BASE, "house_number": "123", "street_name": "REAL AVE"}
+
+
+def test_reformat_misordered_address():
+    row = {
+        "address": "123", "city": "REAL AVE APT 1", "region": "NEW YORK NY",
+        "postal_code": "11111-2222",
+        "full_address": "123 REAL AVE APT 1 NEW YORK NY 11111-2222",
+    }
+    out = reformat_malformed_address(
+        row,
+        tagger=_tag(OrderedDict([
+            ("AddressNumber", "123"), ("street", "REAL AVE"), ("line2", "APT 1"),
+            ("PlaceName", "NEW YORK"), ("StateName", "NY"), ("ZipCode", "11111-2222"),
+        ])),
+    )
+    assert out == {**_BASE, "house_number": "123", "street_name": "REAL AVE"}
+
+
+def test_reformat_character_replacement():
+    row = {
+        "address": "123 $R%E{A[L∆ ÁVE", "city": "N1E2W3 Y.O,R#K",
+        "region": "1N&Y.", "postal_code": "abc11111-2.2,2+2d",
+        "full_address": "123 $R%E{A[L∆ ÁVE N1E2W3 Y.O,R#K 1N&Y. abc11111-2.2,2+2d",
+    }
+    out = reformat_malformed_address(
+        row,
+        tagger=_tag(OrderedDict([
+            ("AddressNumber", "123"), ("street", "$R%E{A[L∆ ÁVE"),
+            ("PlaceName", "N1E2W3 Y.O,R#K"), ("StateName", "1N&Y."),
+            ("ZipCode", "abc11111-2.2,2+2d"),
+        ])),
+    )
+    assert out == {
+        "address": "123 REAL AVE", "city": "NEW YORK", "region": "NY",
+        "postal_code": "11111-2222", "full_address": row["full_address"],
+        "house_number": "123", "street_name": "REAL AVE",
+    }
+
+
+def test_reformat_repeated_labels_error():
+    out = reformat_malformed_address(
+        dict(_BASE),
+        tagger=_raise_repeated([
+            ("123", "AddressNumber"), ("REAL", "StreetName"), ("AVE", "StreetName"),
+            ("APT", "OccupancyType"), ("1", "OccupancyIdentifier"),
+            ("NEW", "PlaceName"), ("YORK NY", "PlaceName"), ("11111", "ZipCode"),
+        ]),
+    )
+    assert out == {
+        "address": "123 REAL AVE APT 1", "city": "NEW YORK NY", "region": "NY",
+        "postal_code": "11111", "full_address": _BASE["full_address"],
+        "house_number": "123", "street_name": "REAL AVE",
+    }
+
+
+def test_reformat_repeated_address():
+    row = {
+        "address": "123 REAL AVE", "city": "123 REAL AVE", "region": "NEW YORK NY",
+        "postal_code": "11111-2222",
+        "full_address": "123 REAL AVE 123 REAL AVE NEW YORK NY 11111-2222",
+    }
+    out = reformat_malformed_address(
+        row,
+        tagger=_raise_repeated([
+            ("123", "AddressNumber"), ("123", "AddressNumber"),
+            ("REAL AVE", "StreetName"), ("REAL AVE", "StreetName"),
+            ("NEW YORK", "PlaceName"), ("NY", "StateName"), ("11111-2222", "ZipCode"),
+        ]),
+    )
+    assert out == {
+        "address": "123 REAL AVE", "city": "NEW YORK", "region": "NY",
+        "postal_code": "11111-2222", "full_address": row["full_address"],
+        "house_number": "123", "street_name": "REAL AVE",
+    }
+
+
+def test_reformat_default_fallback_tagger_parses_reference_shape():
+    # no tagger injected, no wheel in the image: the deterministic fallback
+    # must still decompose the reference's canonical full_address
+    out = reformat_malformed_address(dict(_BASE))
+    assert out["house_number"] == "123"
+    assert out["street_name"] == "REAL AVE"
+    assert out["city"] == "NEW YORK"
+    assert out["region"] == "NY"
+    assert out["postal_code"] == "11111-2222"
+    assert out["address"] == "123 REAL AVE APT 1"

@@ -106,19 +106,48 @@ def test_missing_key_audit(spark):
     assert count == 2 and set(sample) == {2, 3}
 
 
-def test_obfuscate_bcrypt_mode_gated(spark):
-    """bcrypt mode must fail fast with a clear error when the wheel is
-    absent (engine images without it fall back to sha2 by configuration)."""
+def test_obfuscate_bcrypt_mode_reference_identical(spark):
+    """bcrypt mode produces REAL bcrypt hashes even without the wheel (the
+    vendored pure-Python fallback) — pinned to a public OpenWall test vector
+    so wheel and fallback provably agree."""
     from engine.ops import hashing
 
-    if hashing.HAS_BCRYPT:
-        import pytest
+    df = spark.createDataFrame([("U*U",), ("U*U*",), (None,)], "v string")
+    out = [
+        r["h"]
+        for r in df.select(
+            hashing.obfuscate_col(
+                "v", "$2a$05$CCCCCCCCCCCCCCCCCCCCC.", mode="bcrypt"
+            ).alias("h")
+        ).collect()
+    ]
+    assert out[0] == "$2a$05$CCCCCCCCCCCCCCCCCCCCC.E5YPO9kmyuRGyh0XouQYb4YMJKvyOeW"
+    assert out[1] == "$2a$05$CCCCCCCCCCCCCCCCCCCCC.VGOzA784oUp/Z0DY336zx7pLYAy0lwK"
+    assert out[2] is None
 
-        pytest.skip("bcrypt present in this image")
-    import pytest
 
-    with pytest.raises(ImportError, match="bcrypt"):
-        hashing.obfuscate_col("v", "salt", mode="bcrypt")
+def test_bcrypt_pure_openwall_vectors():
+    """The vendored bcrypt against the published OpenWall crypt_blowfish
+    known-answer tests (incl. the >72-byte truncation case)."""
+    from engine.ops.bcrypt_pure import gensalt_from_bytes, hashpw
+
+    vectors = [
+        (b"U*U", "$2a$05$CCCCCCCCCCCCCCCCCCCCC.E5YPO9kmyuRGyh0XouQYb4YMJKvyOeW"),
+        (b"U*U*", "$2a$05$CCCCCCCCCCCCCCCCCCCCC.VGOzA784oUp/Z0DY336zx7pLYAy0lwK"),
+        (b"U*U*U", "$2a$05$XXXXXXXXXXXXXXXXXXXXXOAcXxm9kjPGEMsLznoKqmqw7tc8WCx4a"),
+        (
+            b"0123456789abcdefghijklmnopqrstuvwxyz"
+            b"ABCDEFGHIJKLMNOPQRSTUVWXYZ0123456789"
+            b"chars after 72 are ignored",
+            "$2a$05$abcdefghijklmnopqrstuu5s2v8.iXieOjg/.AySBTTZIIVFJeBui",
+        ),
+    ]
+    for pw, expect in vectors:
+        assert hashpw(pw, expect[:29]) == expect
+    # deterministic config-driven salt construction round-trips
+    salt = gensalt_from_bytes(bytes(range(16)), rounds=4)
+    assert salt.startswith("$2b$04$") and len(salt) == 29
+    assert hashpw(b"key", salt) == hashpw(b"key", salt)
 
 
 def test_asof_join_rejects_column_collision(spark):
