@@ -217,18 +217,23 @@ def fingerprint(col: str) -> Column:
 
 
 def rolling_fingerprints_from(
-    norm: Column, *, window: int = 64, stride: int = 32
+    norm: Column, *, window: int = 64, stride: int = 32, hash_fn: str = "xxhash64"
 ) -> Column:
     """Rolling-hash fingerprints from an ALREADY-PROJECTED normalized-text
     column (see :func:`ngrams_from` for why the input must be an alias):
-    xxhash64 of each ``window``-char slice at ``stride`` offsets — the
+    hash of each ``window``-char slice at ``stride`` offsets — the
     winnowing-style shape used for partial-overlap detection at corpus
-    scale."""
+    scale.  ``hash_fn``: xxhash64 (production) or the dual-implementable
+    md5 family (oracle-checkable; see engine.extended.dedup.md5_long)."""
+    from engine.extended.dedup import _hash64
+
     n = F.length(norm)
     starts = F.when(n < window, F.array(F.lit(0))).otherwise(
         F.sequence(F.lit(0), F.greatest(n - window, F.lit(0)), F.lit(stride))
     )
-    return F.transform(starts, lambda s: F.xxhash64(norm.substr(s + F.lit(1), F.lit(window))))
+    return F.transform(
+        starts, lambda s: _hash64(norm.substr(s + F.lit(1), F.lit(window)), hash_fn)
+    )
 
 
 def rolling_fingerprints(col: str, *, window: int = 64, stride: int = 32) -> Column:

@@ -50,9 +50,19 @@ def scrub_quotes(col: Column | str) -> Column:
 
 
 # -- F4: full-address assembly (lib/pipeline_controller.py:370-373) ----------
-def full_address(*cols: str) -> Column:
-    """Space-join address parts, null-safe, trimmed.  ``concat_ws`` skips
-    nulls, which here matches the reference's ``fillna('') + strip()``."""
+def full_address(*cols: str, strict_parity: bool = False) -> Column:
+    """Space-join address parts, null-safe, trimmed.
+
+    Default: ``concat_ws`` skips null slots — single spaces throughout,
+    functionally equivalent for geocoding.  ``strict_parity=True`` is
+    byte-identical to the reference's ``fillna('') + ' '.join + strip()``
+    (lib/pipeline_controller.py:370-373): a null MIDDLE part leaves a double
+    space — use it when outputs are diffed against the reference's frames.
+    """
+    if strict_parity:
+        return F.trim(
+            F.concat_ws(" ", *[F.coalesce(F.col(c), F.lit("")) for c in cols])
+        )
     return F.trim(F.concat_ws(" ", *[F.col(c) for c in cols]))
 
 

@@ -1109,9 +1109,12 @@ _TOKS_SQL = "list_transform(regexp_extract_all(text, '[A-Za-z0-9'']+'), x -> LOW
 _OPH_C_SQL = 0x3779B97F4A7C15
 
 
-def _minhash_with_sql(*, k: int = 64, n: int = 3, bands: int = 16) -> str:
+def _minhash_with_sql(*, k: int = 64, n: int = 3, bands: int = 16, recursive: bool = False) -> str:
     """WITH-clause chain ending in banded(doc_id, sig, band, bkey) — the
-    DuckDB twin of minhash_sigs + band explosion in md5 mode."""
+    DuckDB twin of minhash_sigs + band explosion in md5 mode.
+
+    ``recursive=True`` opens the clause as WITH RECURSIVE so callers can
+    append a recursive CTE (the connected-components closure)."""
     rpb = k // bands
     branches = []
     for b in range(bands):
@@ -1120,7 +1123,7 @@ def _minhash_with_sql(*, k: int = 64, n: int = 3, bands: int = 16) -> str:
         branches.append(f"SELECT doc_id, sig, {b} AS band, {key} AS bkey FROM sigs")
     banded = "\n      UNION ALL\n      ".join(branches)
     return f"""
-    WITH toks AS (
+    WITH {"RECURSIVE " if recursive else ""}toks AS (
       SELECT doc_id, {_TOKS_SQL} AS toks FROM documents),
     shingles AS (
       SELECT doc_id, UNNEST(list_distinct(CASE WHEN LENGTH(toks) < {n}
@@ -1999,20 +2002,49 @@ def memo_lookup_or_compute(spark, sf_dir):
     return out.select("o_orderkey", "display_name")
 
 
-@q("doc_overlap_winnow")  # rows-only: rolling xxhash64 family is engine-native
+@q(
+    "doc_overlap_winnow",
+    f"""
+    WITH nrm AS (
+      SELECT doc_id,
+             REGEXP_REPLACE(LOWER(REGEXP_REPLACE(text, '[^ -~]', '', 'g')),
+                            '\\s+', ' ', 'g') AS n
+      FROM documents),
+    st AS (
+      SELECT doc_id, n,
+             UNNEST(CASE WHEN LENGTH(n) < 64 THEN [CAST(0 AS BIGINT)]
+               ELSE range(0, CAST(LENGTH(n) - 64 AS BIGINT) + 1, 32) END) AS s
+      FROM nrm),
+    fp AS (SELECT DISTINCT doc_id,
+           {_MD5H.format(x='SUBSTRING(n, s + 1, 64)')} AS fp FROM st)
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS shared_windows
+    FROM fp a JOIN fp b ON a.fp = b.fp AND a.doc_id < b.doc_id
+    GROUP BY a.doc_id, b.doc_id
+    """,
+)
 def doc_overlap_winnow(spark, sf_dir):
     """Partial-overlap candidate pairs via rolling-window fingerprints
     (winnowing shape): docs sharing any 64-char window hash.  Catches
-    containment/quotation overlaps that whole-doc hashing misses."""
-    from engine.extended.text import norm_text, rolling_fingerprints_from
+    containment/quotation overlaps that whole-doc hashing misses.
+
+    md5-mode hash + ASCII-restricted normalization (non-ASCII stripped
+    BEFORE lowering): ASCII lowercasing is engine-invariant, Unicode
+    lowering is not (Java vs utf8proc disagree on İ and friends), so the
+    oracle twin is exact by construction."""
+    from engine.extended.text import rolling_fingerprints_from
 
     d = t(spark, sf_dir, "documents")
+    norm = F.regexp_replace(
+        F.lower(F.regexp_replace(F.col("text"), "[^ -~]", "")), r"\s+", " "
+    )
     fp = (
-        d.select(F.col("doc_id").alias("id"), norm_text("text").alias("__norm"))
+        d.select(F.col("doc_id").alias("id"), norm.alias("__norm"))
         .select(
             "id",
             F.explode(
-                rolling_fingerprints_from(F.col("__norm"), window=64, stride=32)
+                rolling_fingerprints_from(
+                    F.col("__norm"), window=64, stride=32, hash_fn="md5"
+                )
             ).alias("fp"),
         )
         .distinct()
@@ -2320,16 +2352,46 @@ def dup_rate_by_source(spark, sf_dir):
     )
 
 
-@q("dedup_minhash_cc")  # rows-only: engine-native hashes + iterative CC
+@q(
+    "dedup_minhash_cc",
+    _minhash_with_sql(recursive=True)
+    + f""",
+    capped AS (
+      SELECT doc_id, sig, band, bkey FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY band, bkey ORDER BY doc_id) AS rn
+        FROM banded) WHERE rn <= 500),
+    prs AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM capped a JOIN capped b
+        ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id
+      WHERE ROUND({_EST_SQL.format(a='a', b='b')}, 4) >= 0.5),
+    edges AS (
+      SELECT id_a AS src, id_b AS dst FROM prs
+      UNION
+      SELECT id_b, id_a FROM prs),
+    reach AS (
+      SELECT src AS id, src AS lbl FROM edges
+      UNION
+      SELECT e.dst AS id, r.lbl FROM reach r JOIN edges e ON e.src = r.id),
+    losers AS (
+      SELECT id FROM (SELECT id, MIN(lbl) AS group_id FROM reach GROUP BY id)
+      WHERE group_id <> id)
+    SELECT d.doc_id, d.source FROM documents d
+    WHERE d.doc_id NOT IN (SELECT id FROM losers)
+    """,
+)
 def dedup_minhash_cc(spark, sf_dir):
     """Transitive near-dup removal: LSH candidates → connected components
-    (union-by-min to fixpoint) → keep each group's smallest doc_id."""
+    (union-by-min to fixpoint) → keep each group's smallest doc_id.  The
+    oracle mirrors the iterated label propagation with a recursive CTE
+    (min reachable id per node), so even the ITERATIVE operator is
+    value-hash-checked (md5-mode hash family)."""
     from engine.extended.dedup import minhash_dedup_cc
 
     d = t(spark, sf_dir, "documents")
-    return minhash_dedup_cc(d, threshold=0.5).select("doc_id", "source").orderBy(
-        "doc_id"
-    )
+    return minhash_dedup_cc(d, threshold=0.5, hash_fn="md5").select(
+        "doc_id", "source"
+    ).orderBy("doc_id")
 
 
 @q(

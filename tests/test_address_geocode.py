@@ -290,3 +290,15 @@ def test_reformat_default_fallback_tagger_parses_reference_shape():
     assert out["region"] == "NY"
     assert out["postal_code"] == "11111-2222"
     assert out["address"] == "123 REAL AVE APT 1"
+
+
+def test_full_address_strict_parity_double_space(spark):
+    # reference fillna('') + ' '.join leaves a DOUBLE space around a null
+    # middle part; default mode collapses it (concat_ws skips nulls)
+    from engine.ops.address import full_address
+
+    df = spark.createDataFrame([("123 Main St", None, "NYC")], "a string, b string, c string")
+    strict = df.select(full_address("a", "b", "c", strict_parity=True).alias("f")).first()["f"]
+    loose = df.select(full_address("a", "b", "c").alias("f")).first()["f"]
+    assert strict == "123 Main St  NYC"
+    assert loose == "123 Main St NYC"
