@@ -34,6 +34,11 @@ __all__ = [
     "pack_sequences",
     "chunk_tokens",
     "contamination_attribution",
+    "bigram_lm_scores",
+    "URL_RE",
+    "extract_urls",
+    "url_domain",
+    "domain_blocklist_filter",
 ]
 
 #: (name, regex, replacement) applied IN ORDER.  Patterns are written in the
@@ -349,3 +354,93 @@ def contamination_attribution(
         .filter(F.col("rank") <= k)
         .select("eval_id", "train_id", "n_shared", "rank")
     )
+
+
+# ---------------------------------------------------------------------------
+# Bigram language-model quality scoring (self-scored corpus LM)
+# ---------------------------------------------------------------------------
+
+
+def bigram_lm_scores(
+    df: DataFrame, *, id_col: str = "doc_id", text_col: str = "text", round_to: int = 4
+) -> DataFrame:
+    """Per-document average bigram log-probability under the corpus's OWN
+    bigram model — the shape of KenLM-perplexity quality filtering
+    (CCNet/RedPajama) with the model training fused into the same plan.
+
+    ``P(w2 | w1) = c(w1 w2) / c(w1·)`` with ``c(w1·)`` = bigrams starting
+    with w1 (so P sums to 1 per history, and self-scoring needs no
+    smoothing: every scored bigram exists in the model).  Returns
+    (doc_id, n_bigrams, avg_logp); boilerplate-heavy docs score high,
+    unusual token sequences score low.
+
+    Scale shape: bigram counts via one explode + groupBy with map-side
+    partials (the shuffle carries distinct-bigram partials, not token
+    volume); history counts derive from the COUNT TABLE, never a second
+    corpus pass; scoring joins are hash joins on the bigram/history keys.
+    """
+    toks = df.select(F.col(id_col).alias(id_col), tokens(text_col).alias("__toks"))
+    bg = toks.select(
+        id_col, F.explode(ngrams_from(F.col("__toks"), 2)).alias("bg")
+    )
+    c2 = bg.groupBy("bg").agg(F.count(F.lit(1)).alias("__c2"))
+    w1 = F.element_at(F.split(F.col("bg"), " "), 1)
+    c1 = c2.groupBy(w1.alias("__w1")).agg(F.sum("__c2").alias("__c1"))
+    scored = (
+        bg.join(c2, "bg")
+        .withColumn("__w1", w1)
+        .join(c1, "__w1")
+        .withColumn("__logp", F.log2(F.col("__c2") / F.col("__c1")))
+    )
+    return scored.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_bigrams"),
+        F.round(F.avg("__logp"), round_to).alias("avg_logp"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# URL extraction / domain blocklist filtering
+# ---------------------------------------------------------------------------
+
+#: Java-regex ∩ RE2 subset (no lookaround, no \b) — the oracle runs the
+#: identical pattern.
+URL_RE = r"https?://[A-Za-z0-9.-]+(?:/[^\s]*)?"
+
+
+def extract_urls(col: Column | str) -> Column:
+    """Array of http(s) URLs found in the text."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.regexp_extract_all(c, F.lit(URL_RE), F.lit(0))
+
+
+def url_domain(col: Column | str) -> Column:
+    """Host part of one URL string (empty string on non-URL input)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.regexp_extract(c, "https?://([A-Za-z0-9.-]+)", 1)
+
+
+def domain_blocklist_filter(
+    df: DataFrame,
+    blocked: DataFrame,
+    *,
+    text_col: str = "text",
+    domain_col: str = "domain",
+) -> DataFrame:
+    """Drop documents containing ANY URL whose domain is blocklisted — the
+    C4/RefinedWeb curation step.
+
+    ``blocked`` is a 1-column domain table (dimension-sized at any corpus
+    scale → broadcast anti-join; the corpus is scanned once, URLs never
+    leave their partition except as the per-doc match verdict).
+    """
+    doc_domains = df.select(
+        "*", F.explode_outer(extract_urls(text_col)).alias("__url")
+    ).withColumn("__dom", url_domain(F.col("__url")))
+    flagged = (
+        doc_domains.join(
+            F.broadcast(blocked.select(F.col(domain_col).alias("__dom"))), "__dom"
+        )
+        .select(df.columns[0])
+        .distinct()
+    )
+    return df.join(F.broadcast(flagged), df.columns[0], "left_anti")

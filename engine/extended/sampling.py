@@ -178,3 +178,49 @@ def mixture_sample(
         .filter(F.col("__rk") <= F.col("__quota"))
         .drop("__rk", "__n_avail", "__quota")
     )
+
+
+def temperature_mixture(
+    df: DataFrame,
+    *,
+    alpha: float,
+    total: int,
+    group_col: str = "source",
+    id_col: str = "doc_id",
+    salt: str = "temp",
+) -> DataFrame:
+    """Temperature-weighted mixture sample: group g gets
+    ``quota_g = min(n_g, floor(total * n_g^alpha / sum(n^alpha)))`` rows —
+    the multilingual/domain rebalancing rule (alpha < 1 flattens the head,
+    alpha = 1 is proportional, alpha = 0 is uniform-by-group).
+
+    Rows within each group are chosen by md5-rank (hash IS the RNG:
+    deterministic across runs, row orders, partitionings, engines).  Quotas
+    saturated at n_g are NOT redistributed — the realized total can undershoot
+    ``total`` when a tail group runs dry (documented, matches the simple
+    temperature rule).
+
+    Scale shape: one group-cardinality count agg, a broadcast quota table,
+    one md5-rank window per group — a single exchange on ``group_col``.
+    """
+    from pyspark.sql import Window
+
+    counts = df.groupBy(group_col).agg(F.count(F.lit(1)).alias("__n"))
+    w = counts.withColumn("__w", F.pow(F.col("__n").cast("double"), F.lit(float(alpha))))
+    tot = w.agg(F.sum("__w").alias("__sw"))
+    quotas = w.crossJoin(F.broadcast(tot)).select(
+        group_col,
+        F.least(
+            F.col("__n"),
+            F.floor(F.lit(float(total)) * F.col("__w") / F.col("__sw")).cast("long"),
+        ).alias("__quota"),
+    )
+    rk = Window.partitionBy(group_col).orderBy(
+        F.md5(F.concat(F.col(id_col).cast("string"), F.lit("|" + salt))), id_col
+    )
+    return (
+        df.withColumn("__rk", F.row_number().over(rk))
+        .join(F.broadcast(quotas), group_col)
+        .filter(F.col("__rk") <= F.col("__quota"))
+        .drop("__rk", "__quota")
+    )

@@ -34,6 +34,7 @@ __all__ = [
     "knn_join",
     "quantize_int8",
     "dequantize_int8",
+    "matryoshka_truncate",
 ]
 
 
@@ -306,3 +307,46 @@ def dequantize_int8(
         out_col,
         F.transform(code_col, lambda c: c.cast("double") * F.col(scale_col)),
     )
+
+
+def matryoshka_truncate(
+    df: DataFrame,
+    dims: int,
+    *,
+    vec_col: str = "embedding",
+    out_col: str = "mrl_vec",
+    renormalize: bool = True,
+    round_to: int | None = None,
+) -> DataFrame:
+    """Matryoshka-style dimensionality truncation: keep the first ``dims``
+    components and (optionally) L2-renormalize — the storage/recall tier
+    below full vectors (MRL embeddings are trained so prefixes stay
+    meaningful; truncation is then a free 4-16x index shrink).
+
+    Pure per-row expressions, zero shuffle.  The norm is projected behind an
+    alias BEFORE the rescale transform (HOF lambdas get no CSE — the same
+    O(d^2) trap quantize_int8 documents).  Zero-prefix vectors keep zeros.
+    ``round_to`` rounds components for oracle-exact comparison.
+    """
+    head = F.transform(
+        F.slice(F.col(vec_col), 1, dims), lambda x: x.cast("double")
+    )
+    out = df.withColumn("__mrl_head", head)
+    if renormalize:
+        nrm = F.sqrt(
+            F.aggregate(
+                F.transform("__mrl_head", lambda x: x * x),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+        )
+        out = out.withColumn("__mrl_nrm", nrm)
+        scaled = F.when(
+            F.col("__mrl_nrm") > 0,
+            F.transform("__mrl_head", lambda x: x / F.col("__mrl_nrm")),
+        ).otherwise(F.col("__mrl_head"))
+    else:
+        scaled = F.col("__mrl_head")
+    if round_to is not None:
+        scaled = F.transform(scaled, lambda x: F.round(x, round_to))
+    return out.withColumn(out_col, scaled).drop("__mrl_head", "__mrl_nrm")

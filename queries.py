@@ -1487,6 +1487,161 @@ def multimodal_features(spark, sf_dir):
     return media_features(media).select("media_id", "mime", "n_bytes", "byte_entropy")
 
 
+@q(
+    "bigram_lm_quality",
+    """
+    WITH toks AS (
+      SELECT doc_id, list_transform(regexp_extract_all(text, '[A-Za-z0-9'']+'),
+                                    x -> LOWER(x)) AS toks
+      FROM documents),
+    bg AS (
+      SELECT doc_id, UNNEST(CASE WHEN LENGTH(toks) < 2 THEN CAST([] AS VARCHAR[])
+        ELSE list_transform(range(0, LENGTH(toks) - 1),
+             i -> array_to_string(list_slice(toks, i + 1, i + 2), ' ')) END) AS bg
+      FROM toks),
+    c2 AS (SELECT bg, COUNT(*) AS c2 FROM bg GROUP BY bg),
+    c1 AS (SELECT split_part(bg, ' ', 1) AS w1, SUM(c2) AS c1 FROM c2 GROUP BY 1)
+    SELECT b.doc_id, COUNT(*) AS n_bigrams,
+           ROUND(AVG(log2(c2.c2 / c1.c1)), 4) AS avg_logp
+    FROM bg b JOIN c2 ON b.bg = c2.bg
+    JOIN c1 ON split_part(b.bg, ' ', 1) = c1.w1
+    GROUP BY b.doc_id
+    """,
+)
+def bigram_lm_quality(spark, sf_dir):
+    """Model-based quality scoring: per-doc average bigram log-prob under the
+    corpus's own bigram LM (the KenLM-perplexity filtering shape with model
+    training fused into the plan — engine.extended.curation.bigram_lm_scores)."""
+    from engine.extended.curation import bigram_lm_scores
+
+    d = t(spark, sf_dir, "documents")
+    return bigram_lm_scores(d)
+
+
+_URL_T2_SQL = """
+      SELECT doc_id, source,
+             text || ' see https://' || source || '.example.org/doc/'
+                  || CAST(doc_id AS VARCHAR)
+                  || CASE WHEN doc_id % 5 = 0
+                     THEN ' and http://blocked.example.net/x' ELSE '' END AS tx
+      FROM documents"""
+
+
+def _url_text2_expr():
+    return F.concat(
+        F.col("text"),
+        F.lit(" see https://"), F.col("source"), F.lit(".example.org/doc/"),
+        F.col("doc_id").cast("string"),
+        F.when(
+            F.col("doc_id") % 5 == 0, F.lit(" and http://blocked.example.net/x")
+        ).otherwise(F.lit("")),
+    )
+
+
+@q(
+    "url_domain_stats",
+    f"""
+    WITH t2 AS ({_URL_T2_SQL}),
+    u AS (SELECT doc_id,
+          UNNEST(regexp_extract_all(tx, 'https?://[A-Za-z0-9.-]+(?:/[^\\s]*)?')) AS url
+          FROM t2)
+    SELECT regexp_extract(url, 'https?://([A-Za-z0-9.-]+)', 1) AS domain,
+           COUNT(*) AS n_urls, COUNT(DISTINCT doc_id) AS n_docs
+    FROM u GROUP BY 1
+    """,
+)
+def url_domain_stats(spark, sf_dir):
+    """URL extraction + per-domain stats (the C4/RefinedWeb domain-profile
+    step).  Documents get deterministic URLs planted (the synthetic corpus
+    has none), then extraction/domain-grouping runs the real operators
+    (engine.extended.curation.extract_urls/url_domain)."""
+    from engine.extended.curation import extract_urls, url_domain
+
+    d = t(spark, sf_dir, "documents")
+    u = d.select(
+        "doc_id", F.explode(extract_urls(_url_text2_expr())).alias("url")
+    ).withColumn("domain", url_domain(F.col("url")))
+    return u.groupBy("domain").agg(
+        F.count(F.lit(1)).alias("n_urls"),
+        F.countDistinct("doc_id").alias("n_docs"),
+    )
+
+
+@q(
+    "domain_blocklist_kept",
+    f"""
+    WITH t2 AS ({_URL_T2_SQL}),
+    u AS (SELECT doc_id,
+          UNNEST(regexp_extract_all(tx, 'https?://[A-Za-z0-9.-]+(?:/[^\\s]*)?')) AS url
+          FROM t2),
+    flagged AS (
+      SELECT DISTINCT doc_id FROM u
+      WHERE regexp_extract(url, 'https?://([A-Za-z0-9.-]+)', 1) = 'blocked.example.net')
+    SELECT t2.source, COUNT(*) AS n_kept FROM t2
+    WHERE t2.doc_id NOT IN (SELECT doc_id FROM flagged)
+    GROUP BY t2.source
+    """,
+)
+def domain_blocklist_kept(spark, sf_dir):
+    """Domain blocklist filter: docs containing any URL on a blocked domain
+    are dropped (broadcast anti-join; engine.extended.curation.
+    domain_blocklist_filter); per-source survivor counts."""
+    from engine.extended.curation import domain_blocklist_filter
+
+    d = t(spark, sf_dir, "documents")
+    d2 = d.select("doc_id", _url_text2_expr().alias("text"), "source")
+    blocked = spark.createDataFrame([("blocked.example.net",)], "domain string")
+    kept = domain_blocklist_filter(d2, blocked)
+    return kept.groupBy("source").agg(F.count(F.lit(1)).alias("n_kept"))
+
+
+@q(
+    "embedding_matryoshka",
+    """
+    WITH tr AS (
+      SELECT vec_id, list_transform(list_slice(embedding, 1, 16),
+                                    x -> CAST(x AS DOUBLE)) AS v
+      FROM embeddings),
+    n AS (SELECT vec_id, v,
+          SQRT(list_sum(list_transform(v, x -> x * x))) AS nrm FROM tr)
+    SELECT vec_id,
+           CASE WHEN nrm > 0 THEN list_transform(v, x -> ROUND(x / nrm, 4))
+                ELSE list_transform(v, x -> ROUND(x, 4)) END AS mrl_vec
+    FROM n
+    """,
+)
+def embedding_matryoshka_q(spark, sf_dir):
+    """Matryoshka truncation: first-16-dim prefix, L2-renormalized — the
+    vector storage/recall tier below full embeddings (engine.extended.
+    similarity.matryoshka_truncate; pure expressions, zero shuffle)."""
+    from engine.extended.similarity import matryoshka_truncate
+
+    e = t(spark, sf_dir, "embeddings")
+    return matryoshka_truncate(e, 16, round_to=4).select("vec_id", "mrl_vec")
+
+
+@q(
+    "temperature_mixture_sample",
+    """
+    WITH c AS (SELECT source, COUNT(*) AS n FROM documents GROUP BY source),
+    w AS (SELECT source, n, POWER(n, 0.5) AS w FROM c),
+    q AS (SELECT source,
+          LEAST(n, CAST(FLOOR(200.0 * w / (SELECT SUM(w) FROM w)) AS BIGINT)) AS quota
+          FROM w)
+    SELECT source, quota AS n_sampled FROM q WHERE quota > 0
+    """,
+)
+def temperature_mixture_q(spark, sf_dir):
+    """Temperature-weighted (alpha=0.5) domain rebalancing sample of 200
+    docs: quota_g = floor(200 * n_g^0.5 / sum n^0.5), rows by md5-rank
+    (engine.extended.sampling.temperature_mixture)."""
+    from engine.extended.sampling import temperature_mixture
+
+    d = t(spark, sf_dir, "documents")
+    out = temperature_mixture(d, alpha=0.5, total=200, group_col="source")
+    return out.groupBy("source").agg(F.count(F.lit(1)).alias("n_sampled"))
+
+
 @q("multimodal_decode")  # rows-only: stdlib PNG decode runs in an Arrow UDF
 def multimodal_decode(spark, sf_dir):
     """REAL image decode end to end: deterministic PNGs (zlib + filters) are

@@ -1,0 +1,135 @@
+"""Round-2 curation/sampling/similarity additions: bigram LM quality, URL
+blocklist filtering, Matryoshka truncation, temperature mixture, JSONL
+source."""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import functions as F
+
+from engine.extended.curation import (
+    bigram_lm_scores,
+    domain_blocklist_filter,
+    extract_urls,
+    url_domain,
+)
+from engine.extended.sampling import temperature_mixture
+from engine.extended.similarity import matryoshka_truncate
+
+
+def test_bigram_lm_scores_hand_computed(spark):
+    # corpus: d1 "x y x y", d2 "x z"
+    # bigram counts: xy=2, yx=1, xz=1; history counts: x.=3, y.=1
+    # d1 logps: log2(2/3), log2(1/1), log2(2/3); d2: log2(1/3)
+    df = spark.createDataFrame(
+        [(1, "x y x y"), (2, "x z"), (3, "solo")], "doc_id long, text string"
+    )
+    out = {r["doc_id"]: r for r in bigram_lm_scores(df).collect()}
+    assert set(out) == {1, 2}  # <2 tokens -> no score (doc 3 absent)
+    assert out[1]["n_bigrams"] == 3
+    assert out[1]["avg_logp"] == round(2 * math.log2(2 / 3) / 3, 4)
+    assert out[2]["avg_logp"] == round(math.log2(1 / 3), 4)
+
+
+def test_url_extract_and_domain(spark):
+    df = spark.createDataFrame(
+        [(1, "go to https://a.example.org/x/y and http://b.net now"), (2, "no links")],
+        "doc_id long, text string",
+    )
+    rows = {
+        r["doc_id"]: r["urls"]
+        for r in df.select("doc_id", extract_urls("text").alias("urls")).collect()
+    }
+    assert rows[1] == ["https://a.example.org/x/y", "http://b.net"]
+    assert rows[2] == []
+    dom = df.select(url_domain(F.lit("https://a.example.org/x")).alias("d")).first()["d"]
+    assert dom == "a.example.org"
+
+
+def test_domain_blocklist_filter_drops_flagged_docs(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "see https://good.org/a"),
+            (2, "see https://evil.example.net/b ok"),
+            (3, "plain text"),
+            (4, "both https://good.org/c http://evil.example.net/d"),
+        ],
+        "doc_id long, text string",
+    )
+    blocked = spark.createDataFrame([("evil.example.net",)], "domain string")
+    kept = {r["doc_id"] for r in domain_blocklist_filter(df, blocked).collect()}
+    assert kept == {1, 3}
+
+
+def test_matryoshka_truncate_renormalizes_prefix(spark):
+    df = spark.createDataFrame(
+        [(1, [3.0, 4.0, 100.0, 100.0]), (2, [0.0, 0.0, 5.0, 5.0])],
+        "vec_id long, embedding array<float>",
+    )
+    out = {
+        r["vec_id"]: r["mrl_vec"]
+        for r in matryoshka_truncate(df, 2, round_to=4).select("vec_id", "mrl_vec").collect()
+    }
+    assert out[1] == [0.6, 0.8]       # 3-4-5 triangle, unit-normalized
+    assert out[2] == [0.0, 0.0]       # zero prefix stays zero (no div-by-0)
+
+
+def test_matryoshka_truncate_is_shuffle_free(spark):
+    df = spark.createDataFrame([(1, [1.0, 2.0, 3.0])], "vec_id long, embedding array<float>")
+    plan = (
+        matryoshka_truncate(df, 2)._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Exchange" not in plan
+
+
+def test_temperature_mixture_quota_rule(spark):
+    # 90 'web' + 10 'book', alpha=0.5, total=41:
+    # w = (sqrt(90), sqrt(10)), shares = .75/.25 -> quotas floor(30.75)=30, floor(10.25)=10
+    rows = [(i, "web") for i in range(90)] + [(100 + i, "book") for i in range(10)]
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+    out = temperature_mixture(df, alpha=0.5, total=41, group_col="source")
+    counts = {r["source"]: r["n"] for r in
+              out.groupBy("source").agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert counts == {"web": 30, "book": 10}
+    # determinism under repartition
+    a = sorted(r["doc_id"] for r in out.collect())
+    b = sorted(
+        r["doc_id"]
+        for r in temperature_mixture(
+            df.repartition(7), alpha=0.5, total=41, group_col="source"
+        ).collect()
+    )
+    assert a == b
+
+
+def test_temperature_mixture_saturates_small_groups(spark):
+    # alpha=0 -> uniform-by-group quotas; a tiny group saturates at n_g
+    rows = [(i, "big") for i in range(100)] + [(200, "tiny")]
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+    counts = {
+        r["source"]: r["n"]
+        for r in temperature_mixture(df, alpha=0.0, total=50, group_col="source")
+        .groupBy("source").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    assert counts == {"big": 25, "tiny": 1}  # floor(50*.5)=25; tiny capped at 1
+
+
+def test_jsonl_roundtrip_and_quarantine(spark, tmp_path):
+    from engine.sources.jsonl import DOCUMENTS_SCHEMA, read_jsonl, write_jsonl
+
+    df = spark.createDataFrame(
+        [(1, "hello", "en", "web"), (2, "welt", "de", "book")],
+        "doc_id long, text string, lang string, source string",
+    )
+    p = str(tmp_path / "docs_jsonl")
+    write_jsonl(df, p)
+    # plant a corrupt shard line
+    with open(f"{p}/zz_corrupt.json", "w") as f:
+        f.write('{"doc_id": 3, "text": "ok", "lang": "en", "source": "web"}\n')
+        f.write("{this is not json\n")
+    good, quarantine = read_jsonl(spark, p, DOCUMENTS_SCHEMA)
+    assert {r["doc_id"] for r in good.collect()} == {1, 2, 3}
+    assert good.columns == ["doc_id", "text", "lang", "source"]
+    bad = quarantine.collect()
+    assert len(bad) == 1 and bad[0]["raw_line"].startswith("{this")
