@@ -1642,6 +1642,82 @@ def temperature_mixture_q(spark, sf_dir):
     return out.groupBy("source").agg(F.count(F.lit(1)).alias("n_sampled"))
 
 
+@q(
+    "corpus_pipeline_v3",
+    f"""
+    WITH t2 AS ({_URL_T2_SQL}),
+    u AS (SELECT doc_id,
+          UNNEST(regexp_extract_all(tx, 'https?://[A-Za-z0-9.-]+(?:/[^\\s]*)?')) AS url
+          FROM t2),
+    flagged AS (
+      SELECT DISTINCT doc_id FROM u
+      WHERE regexp_extract(url, 'https?://([A-Za-z0-9.-]+)', 1) = 'blocked.example.net'),
+    kept AS (
+      SELECT doc_id, tx, source FROM t2
+      WHERE doc_id NOT IN (SELECT doc_id FROM flagged)),
+    toks AS (
+      SELECT doc_id, source, list_transform(regexp_extract_all(tx, '[A-Za-z0-9'']+'),
+                                            x -> LOWER(x)) AS toks
+      FROM kept),
+    bg AS (
+      SELECT doc_id, UNNEST(CASE WHEN LENGTH(toks) < 2 THEN CAST([] AS VARCHAR[])
+        ELSE list_transform(range(0, LENGTH(toks) - 1),
+             i -> array_to_string(list_slice(toks, i + 1, i + 2), ' ')) END) AS bg
+      FROM toks),
+    c2 AS (SELECT bg, COUNT(*) AS c2 FROM bg GROUP BY bg),
+    c1 AS (SELECT split_part(bg, ' ', 1) AS w1, SUM(c2) AS c1 FROM c2 GROUP BY 1),
+    scores AS (
+      SELECT b.doc_id, COUNT(*) AS n_bigrams,
+             ROUND(AVG(log2(c2.c2 / c1.c1)), 4) AS avg_logp
+      FROM bg b JOIN c2 ON b.bg = c2.bg
+      JOIN c1 ON split_part(b.bg, ' ', 1) = c1.w1
+      GROUP BY b.doc_id),
+    good AS (
+      SELECT k.doc_id, k.source, s.avg_logp
+      FROM kept k JOIN scores s ON k.doc_id = s.doc_id
+      WHERE s.avg_logp >= -4.9),
+    ranked AS (
+      SELECT g.*, ROW_NUMBER() OVER (
+        PARTITION BY source
+        ORDER BY MD5(CAST(doc_id AS VARCHAR) || '|temp'), doc_id) AS rk
+      FROM good g),
+    cnt AS (SELECT source, COUNT(*) AS n FROM good GROUP BY source),
+    w AS (SELECT source, n, POWER(n, 0.5) AS w FROM cnt),
+    q AS (SELECT source,
+          LEAST(n, CAST(FLOOR(150.0 * w / (SELECT SUM(w) FROM w)) AS BIGINT)) AS quota
+          FROM w),
+    mixed AS (SELECT r.source, r.avg_logp FROM ranked r
+              JOIN q ON r.source = q.source WHERE r.rk <= q.quota)
+    SELECT source, COUNT(*) AS n_docs, ROUND(AVG(avg_logp), 4) AS mean_logp
+    FROM mixed GROUP BY source
+    """,
+)
+def corpus_pipeline_v3(spark, sf_dir):
+    """Composed curation pipeline v3 — the round-2 operators end to end in
+    ONE plan: URL blocklist filter → self-scored bigram-LM quality gate
+    (avg_logp ≥ -4.9) → temperature mixture (α=0.5, 150 docs) → per-source
+    stats.  The LM trains on the POST-FILTER corpus inside the same DAG
+    (no separate training pass — the count tables are plan nodes)."""
+    from engine.extended.curation import bigram_lm_scores, domain_blocklist_filter
+    from engine.extended.sampling import temperature_mixture
+
+    d = t(spark, sf_dir, "documents")
+    d2 = d.select("doc_id", _url_text2_expr().alias("text"), "source")
+    blocked = spark.createDataFrame([("blocked.example.net",)], "domain string")
+    kept = domain_blocklist_filter(d2, blocked)
+    scores = bigram_lm_scores(kept)
+    good = (
+        kept.join(scores, "doc_id")
+        .filter(F.col("avg_logp") >= -4.9)
+        .select("doc_id", "source", "avg_logp")
+    )
+    mixed = temperature_mixture(good, alpha=0.5, total=150, group_col="source")
+    return mixed.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.round(F.avg("avg_logp"), 4).alias("mean_logp"),
+    )
+
+
 @q("multimodal_decode")  # rows-only: stdlib PNG decode runs in an Arrow UDF
 def multimodal_decode(spark, sf_dir):
     """REAL image decode end to end: deterministic PNGs (zlib + filters) are

@@ -97,3 +97,56 @@ def test_parse_response_handles_ragged_rows():
     out = parse_response_csv(ragged)
     assert len(out) == 3
     assert out["match"].tolist() == ["Match", None, None]
+
+
+# ---------------------------------------------------------------------------
+# round-2 pure-Python seams: PNG codec, bcrypt b64, pi stream
+# ---------------------------------------------------------------------------
+
+
+@given(
+    st.integers(min_value=1, max_value=12),
+    st.integers(min_value=1, max_value=12),
+    st.sampled_from([1, 2, 3, 4]),
+    st.integers(min_value=0, max_value=2**32 - 1),
+)
+@settings(max_examples=30, deadline=None)
+def test_png_encode_decode_round_trip(w, h, ch, seed):
+    """decode(encode(pixels)) == pixels for arbitrary small images — the
+    filter-reconstruction path is exercised via zlib'd scanlines."""
+    import hashlib
+
+    from engine.extended.imagecodec import png_decode, png_encode
+
+    need = w * h * ch
+    stream = bytearray()
+    counter = 0
+    while len(stream) < need:
+        stream += hashlib.sha256(f"{seed}|{counter}".encode()).digest()
+        counter += 1
+    pixels = bytes(stream[:need])
+    data = png_encode(pixels, w, h, ch)
+    dw, dh, dch, out = png_decode(data)
+    assert (dw, dh, dch) == (w, h, ch)
+    assert out == pixels
+
+
+@given(st.binary(min_size=0, max_size=40))
+@settings(max_examples=50, deadline=None)
+def test_bcrypt_b64_round_trip(raw):
+    from engine.ops.bcrypt_pure import _b64_decode, _b64_encode
+
+    assert _b64_decode(_b64_encode(raw), len(raw)) == raw
+
+
+@given(st.binary(min_size=16, max_size=16), st.binary(min_size=0, max_size=30))
+@settings(max_examples=5, deadline=None)
+def test_bcrypt_deterministic_and_salt_sensitive(salt16, pw):
+    from engine.ops.bcrypt_pure import gensalt_from_bytes, hashpw
+
+    salt = gensalt_from_bytes(salt16, rounds=4)
+    h1 = hashpw(pw, salt)
+    assert h1 == hashpw(pw, salt)           # deterministic
+    assert h1.startswith("$2b$04$") and len(h1) == 60
+    other = gensalt_from_bytes(bytes(b ^ 0xFF for b in salt16), rounds=4)
+    assert hashpw(pw, other) != h1          # salt changes the hash
