@@ -133,3 +133,38 @@ def test_jsonl_roundtrip_and_quarantine(spark, tmp_path):
     assert good.columns == ["doc_id", "text", "lang", "source"]
     bad = quarantine.collect()
     assert len(bad) == 1 and bad[0]["raw_line"].startswith("{this")
+
+
+def test_tar_shard_source_roundtrip_and_png_decode(spark, tmp_path):
+    """WebDataset-style tar shards: write 2 shards of (png, txt) samples,
+    read members in parallel, group into sample dicts, and REALLY decode the
+    PNG payloads with the stdlib codec."""
+    from engine.extended.imagecodec import png_decode, png_encode
+    from engine.sources.tarshard import group_samples, read_tar_shards, write_tar_shard
+
+    def sample(i):
+        pixels = bytes((i * 37 + j) % 251 for j in range(6 * 4 * 3))
+        return png_encode(pixels, 6, 4, 3), f"caption number {i}".encode()
+
+    for shard in range(2):
+        rows = []
+        for i in range(shard * 3, shard * 3 + 3):
+            png, txt = sample(i)
+            rows.append((f"{i:06d}.png", png))
+            rows.append((f"{i:06d}.txt", txt))
+        write_tar_shard(rows, str(tmp_path / f"shard{shard}.tar"))
+
+    members = read_tar_shards(spark, str(tmp_path / "*.tar"))
+    assert members.count() == 12
+    assert set(members.select("ext").distinct().toPandas()["ext"]) == {"png", "txt"}
+
+    grouped = group_samples(members).collect()
+    assert len(grouped) == 6
+    for r in grouped:
+        parts = r["parts"]
+        assert set(parts) == {"png", "txt"}
+        w, h, ch, pixels = png_decode(bytes(parts["png"]))
+        assert (w, h, ch) == (6, 4, 3)
+        i = int(r["key"])
+        assert pixels == bytes((i * 37 + j) % 251 for j in range(6 * 4 * 3))
+        assert bytes(parts["txt"]) == f"caption number {i}".encode()
