@@ -200,6 +200,11 @@ def temperature_mixture(
     ``total`` when a tail group runs dry (documented, matches the simple
     temperature rule).
 
+    The floor carries a +1e-9 epsilon: ``sum(n^alpha)`` is an order-dependent
+    double sum, so a share that is EXACTLY integral (equal-sized groups) sits
+    on the floor boundary and would otherwise flip by one row between runs /
+    engines.  The epsilon resolves the boundary upward deterministically.
+
     Scale shape: one group-cardinality count agg, a broadcast quota table,
     one md5-rank window per group — a single exchange on ``group_col``.
     """
@@ -212,7 +217,9 @@ def temperature_mixture(
         group_col,
         F.least(
             F.col("__n"),
-            F.floor(F.lit(float(total)) * F.col("__w") / F.col("__sw")).cast("long"),
+            F.floor(
+                F.lit(float(total)) * F.col("__w") / F.col("__sw") + F.lit(1e-9)
+            ).cast("long"),
         ).alias("__quota"),
     )
     rk = Window.partitionBy(group_col).orderBy(

@@ -77,7 +77,11 @@ def centroids_by(
     )
     mean = F.avg("val")
     if round_to is not None:
-        mean = F.round(mean, round_to)
+        # + 0.0 canonicalizes IEEE negative zero: ROUND(-0.00004, 4) is -0.0,
+        # whose string form diverges between engines/frames ('-0.0' vs '0.0')
+        # and breaks value hashes — adding positive zero maps -0.0 -> 0.0 and
+        # is the identity elsewhere.  Mirrored in the SQL oracle.
+        mean = F.round(mean, round_to) + F.lit(0.0)
     return exploded.groupBy(cluster_col, "pos").agg(mean.alias("centroid"))
 
 

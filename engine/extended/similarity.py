@@ -348,5 +348,7 @@ def matryoshka_truncate(
     else:
         scaled = F.col("__mrl_head")
     if round_to is not None:
-        scaled = F.transform(scaled, lambda x: F.round(x, round_to))
+        # + 0.0 canonicalizes IEEE negative zero (repr divergence breaks
+        # value hashes — see centroids_by); identity for every other value
+        scaled = F.transform(scaled, lambda x: F.round(x, round_to) + F.lit(0.0))
     return out.withColumn(out_col, scaled).drop("__mrl_head", "__mrl_nrm")

@@ -1605,8 +1605,8 @@ def domain_blocklist_kept(spark, sf_dir):
     n AS (SELECT vec_id, v,
           SQRT(list_sum(list_transform(v, x -> x * x))) AS nrm FROM tr)
     SELECT vec_id,
-           CASE WHEN nrm > 0 THEN list_transform(v, x -> ROUND(x / nrm, 4))
-                ELSE list_transform(v, x -> ROUND(x, 4)) END AS mrl_vec
+           CASE WHEN nrm > 0 THEN list_transform(v, x -> ROUND(x / nrm, 4) + 0.0)
+                ELSE list_transform(v, x -> ROUND(x, 4) + 0.0) END AS mrl_vec
     FROM n
     """,
 )
@@ -1626,7 +1626,7 @@ def embedding_matryoshka_q(spark, sf_dir):
     WITH c AS (SELECT source, COUNT(*) AS n FROM documents GROUP BY source),
     w AS (SELECT source, n, POWER(n, 0.5) AS w FROM c),
     q AS (SELECT source,
-          LEAST(n, CAST(FLOOR(200.0 * w / (SELECT SUM(w) FROM w)) AS BIGINT)) AS quota
+          LEAST(n, CAST(FLOOR(200.0 * w / (SELECT SUM(w) FROM w) + 1e-9) AS BIGINT)) AS quota
           FROM w)
     SELECT source, quota AS n_sampled FROM q WHERE quota > 0
     """,
@@ -1684,7 +1684,7 @@ def temperature_mixture_q(spark, sf_dir):
     cnt AS (SELECT source, COUNT(*) AS n FROM good GROUP BY source),
     w AS (SELECT source, n, POWER(n, 0.5) AS w FROM cnt),
     q AS (SELECT source,
-          LEAST(n, CAST(FLOOR(150.0 * w / (SELECT SUM(w) FROM w)) AS BIGINT)) AS quota
+          LEAST(n, CAST(FLOOR(150.0 * w / (SELECT SUM(w) FROM w) + 1e-9) AS BIGINT)) AS quota
           FROM w),
     mixed AS (SELECT r.source, r.avg_logp FROM ranked r
               JOIN q ON r.source = q.source WHERE r.rk <= q.quota)
@@ -3505,7 +3505,7 @@ def shard_assign_q(spark, sf_dir):
       SELECT label, generate_subscripts(embedding, 1) AS pos,
              CAST(UNNEST(embedding) AS DOUBLE) AS val
       FROM embeddings)
-    SELECT label, pos, ROUND(AVG(val), 4) AS centroid
+    SELECT label, pos, ROUND(AVG(val), 4) + 0.0 AS centroid
     FROM x GROUP BY label, pos
     """,
 )

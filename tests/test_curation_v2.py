@@ -168,3 +168,35 @@ def test_tar_shard_source_roundtrip_and_png_decode(spark, tmp_path):
         i = int(r["key"])
         assert pixels == bytes((i * 37 + j) % 251 for j in range(6 * 4 * 3))
         assert bytes(parts["txt"]) == f"caption number {i}".encode()
+
+
+def test_centroid_negative_zero_normalized(spark):
+    # ROUND(avg(-0.00004), 4) is IEEE -0.0; repr divergence ('-0.0' vs '0.0')
+    # breaks cross-engine value hashes -> the operator must emit +0.0
+    import math
+
+    from engine.extended.semdedup import centroids_by
+
+    df = spark.createDataFrame(
+        [(0, [-0.00004, 0.5])], "label int, embedding array<float>"
+    )
+    rows = {r["pos"]: r["centroid"] for r in centroids_by(df).collect()}
+    assert rows[1] == 0.0 and math.copysign(1, rows[1]) > 0
+    m = matryoshka_truncate(
+        spark.createDataFrame([(1, [-0.00001, 1.0])], "vec_id long, embedding array<float>"),
+        2, round_to=4,
+    ).select("mrl_vec").first()["mrl_vec"]
+    assert m[0] == 0.0 and math.copysign(1, m[0]) > 0
+
+
+def test_temperature_mixture_integral_share_boundary(spark):
+    # 4 equal groups, total 80 -> every share is EXACTLY 20.0; the floor
+    # epsilon must resolve the boundary upward (20 rows each, never 19)
+    rows = [(g * 100 + i, f"g{g}") for g in range(4) for i in range(25)]
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+    counts = {
+        r["source"]: r["n"]
+        for r in temperature_mixture(df, alpha=0.5, total=80, group_col="source")
+        .groupBy("source").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    assert counts == {f"g{g}": 20 for g in range(4)}

@@ -162,6 +162,9 @@ def build_tables(path: str, spark) -> None:
         vecs.append((i, v64([math.cos(angle), math.sin(angle), 0.0, 0.1 * i]), i % 3))
     vecs.append((99, v64([1.0]), 0))   # duplicate direction of vec 0
     vecs.append((100, v64([]), 1))     # zero vector (cosine 0/0)
+    # lone cluster whose centroid rounds to IEEE -0.0 (negative-zero repr
+    # canary: centroids/matryoshka must normalize -0.0 -> 0.0)
+    vecs.append((101, v64([-0.00004]), 3))
     write(
         "embeddings",
         vecs,
