@@ -572,7 +572,7 @@ def embedding_near_dup(
 
 
 def near_dup_groups(
-    pairs: DataFrame, *, max_iterations: int = 10
+    pairs: DataFrame, *, max_iterations: int = 20
 ) -> DataFrame:
     """Transitive closure of candidate pairs: (id, group_id) where group_id
     is the smallest id reachable through the pair graph (connected
@@ -580,9 +580,12 @@ def near_dup_groups(
 
     Each iteration joins every node's current label against the edge list and
     takes the min over neighbors' labels; converges in O(diameter) rounds —
-    near-dup graphs are shallow (chains of near-identical docs), so the
-    ``max_iterations`` cap is a safety net, not a correctness bound.  Each
-    round is one shuffle on id; labels are checkpointed to keep lineage flat.
+    near-dup graphs are shallow (chains of near-identical docs).  Each round
+    is one shuffle on id; labels are checkpointed to keep lineage flat.  If
+    labels are STILL changing after ``max_iterations``, the function RAISES
+    rather than silently returning partial components: a truncated closure
+    is a wrong dedup decision at any scale — raise the cap (one shuffle per
+    extra round), don't ship the partial answer.
     """
     edges = (
         pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
@@ -598,6 +601,7 @@ def near_dup_groups(
         .withColumn("group_id", F.col("id"))
         .localCheckpoint(eager=True)
     )
+    changed = -1
     for _ in range(max_iterations):
         neighbor_min = (
             edges.join(labels, edges.dst == labels.id)
@@ -624,6 +628,12 @@ def near_dup_groups(
         if changed == 0:
             break
     edges.unpersist()
+    if changed != 0:
+        raise RuntimeError(
+            f"near_dup_groups did not converge in {max_iterations} iterations "
+            f"({changed} labels still changing) — raise max_iterations; a "
+            "truncated closure would be a silent wrong dedup"
+        )
     return labels
 
 

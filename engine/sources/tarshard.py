@@ -13,12 +13,12 @@ share a basename per sample (``000123.png`` + ``000123.txt`` +
   ``map<ext, payload>`` column (the WebDataset sample dict).
 
 At 100 TB: shards are immutable blobs, so the scan parallelizes to the shard
-count; member extraction is pure per-shard CPU with no shuffle; only
-``group_samples`` shuffles, keyed on (shard, key) — and because every member
-of a sample lives in the SAME shard by construction, a future optimization
-can replace it with a per-partition groupBy (mapPartitions) for zero
-exchange.  Memory bound: one shard per task in memory — keep shards at the
-conventional ≤1 GB.
+count; member extraction is pure per-shard CPU with no shuffle.
+:func:`read_tar_samples` groups members into samples INSIDE the extraction
+seam (every member of a sample lives in the same shard by construction) —
+zero exchanges end to end; :func:`group_samples` is the shuffle-based
+equivalent over an already-materialized member table.  Memory bound: one
+shard per task in memory — keep shards at the conventional ≤1 GB.
 """
 
 from __future__ import annotations
@@ -32,12 +32,18 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
     BinaryType,
+    MapType,
     StringType,
     StructField,
     StructType,
 )
 
-__all__ = ["read_tar_shards", "group_samples", "write_tar_shard"]
+__all__ = [
+    "read_tar_shards",
+    "read_tar_samples",
+    "group_samples",
+    "write_tar_shard",
+]
 
 MEMBER_SCHEMA = StructType(
     [
@@ -73,6 +79,44 @@ def read_tar_shards(spark: SparkSession, path_glob: str) -> DataFrame:
             yield pd.DataFrame(rows, columns=["shard", "key", "ext", "payload"])
 
     return shards.select("path", "content").mapInPandas(extract, schema=MEMBER_SCHEMA)
+
+
+SAMPLE_SCHEMA = StructType(
+    [
+        StructField("shard", StringType()),
+        StructField("key", StringType()),
+        StructField("parts", MapType(StringType(), BinaryType())),
+    ]
+)
+
+
+def read_tar_samples(spark: SparkSession, path_glob: str) -> DataFrame:
+    """(shard, key, parts: map<ext, payload>) with ZERO exchanges: every
+    member of a sample lives in the same shard file, so grouping happens
+    inside the extraction seam (one dict build per shard in-executor) —
+    the mapPartitions rewrite :func:`group_samples` trades a shuffle for.
+    """
+    shards = spark.read.format("binaryFile").load(path_glob)
+
+    def extract_grouped(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            rows = []
+            for path, content in zip(b["path"], b["content"]):
+                samples: dict[str, dict[str, bytes]] = {}
+                with tarfile.open(fileobj=io.BytesIO(bytes(content))) as tf:
+                    for m in tf.getmembers():
+                        if not m.isfile():
+                            continue
+                        key, dot, ext = m.name.rpartition(".")
+                        if not dot:
+                            key, ext = m.name, ""
+                        samples.setdefault(key, {})[ext] = tf.extractfile(m).read()
+                rows.extend((path, k, parts) for k, parts in samples.items())
+            yield pd.DataFrame(rows, columns=["shard", "key", "parts"])
+
+    return shards.select("path", "content").mapInPandas(
+        extract_grouped, schema=SAMPLE_SCHEMA
+    )
 
 
 def group_samples(members: DataFrame) -> DataFrame:

@@ -200,3 +200,25 @@ def test_temperature_mixture_integral_share_boundary(spark):
         .groupBy("source").agg(F.count(F.lit(1)).alias("n")).collect()
     }
     assert counts == {f"g{g}": 20 for g in range(4)}
+
+
+def test_read_tar_samples_zero_exchange_matches_grouped(spark, tmp_path):
+    from engine.extended.imagecodec import png_encode
+    from engine.sources.tarshard import group_samples, read_tar_samples, read_tar_shards, write_tar_shard
+
+    rows = []
+    for i in range(3):
+        rows.append((f"{i}.png", png_encode(bytes(range(12)), 2, 2, 3)))
+        rows.append((f"{i}.txt", f"t{i}".encode()))
+    write_tar_shard(rows, str(tmp_path / "s.tar"))
+
+    direct = read_tar_samples(spark, str(tmp_path / "*.tar"))
+    assert "Exchange" not in direct._jdf.queryExecution().executedPlan().toString()
+    d = {r["key"]: dict(r["parts"]) for r in direct.collect()}
+    g = {
+        r["key"]: dict(r["parts"])
+        for r in group_samples(read_tar_shards(spark, str(tmp_path / "*.tar"))).collect()
+    }
+    assert {k: {e: bytes(v) for e, v in p.items()} for k, p in d.items()} == {
+        k: {e: bytes(v) for e, v in p.items()} for k, p in g.items()
+    }

@@ -323,3 +323,20 @@ def test_minhash_md5_mode_matches_xxhash_semantics(spark):
     pairs = {(r["id_a"], r["id_b"]): r["est_jaccard"] for r in cands.collect()}
     assert (0, 3) in pairs and pairs[(0, 3)] == 1.0
     assert not any(2 in p for p in pairs)
+
+
+def test_near_dup_groups_raises_on_non_convergence(spark):
+    # a 5-hop chain cannot close in 2 iterations; partial components are a
+    # silent wrong dedup, so the operator must raise, not return
+    from engine.extended.dedup import near_dup_groups
+
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(6)], "id_a long, id_b long"
+    )
+    import pytest as _pytest
+
+    with _pytest.raises(RuntimeError, match="did not converge"):
+        near_dup_groups(chain, max_iterations=2)
+    # and converges fine with the default cap
+    out = {r["id"]: r["group_id"] for r in near_dup_groups(chain).collect()}
+    assert set(out.values()) == {0}
