@@ -340,3 +340,24 @@ def test_near_dup_groups_raises_on_non_convergence(spark):
     # and converges fine with the default cap
     out = {r["id"]: r["group_id"] for r in near_dup_groups(chain).collect()}
     assert set(out.values()) == {0}
+
+
+def test_md5_long_bit_identical_to_duckdb(spark):
+    """The dual-implementable hash primitive itself, pinned cross-engine on
+    adversarial strings (unicode, quotes, empty, long, controls)."""
+    import duckdb
+
+    from engine.extended.dedup import md5_long
+
+    strs = [
+        "", " ", "hello world", "O'Hara \"Q\"", "İstanbul Straße",
+        "🎉🚀", "a" * 500, "line1\nline2\ttab", "|pipe|salt|", "123-45-6789",
+    ]
+    df = spark.createDataFrame([(s,) for s in strs], "s string")
+    got = {r["s"]: r["h"] for r in df.select("s", md5_long(F.col("s")).alias("h")).collect()}
+    con = duckdb.connect()
+    for s in strs:
+        expect = con.execute(
+            "SELECT CAST(('0x' || SUBSTRING(MD5(?), 1, 15)) AS BIGINT)", [s]
+        ).fetchone()[0]
+        assert got[s] == expect, s
