@@ -423,24 +423,42 @@ def domain_blocklist_filter(
     df: DataFrame,
     blocked: DataFrame,
     *,
+    id_col: str = "doc_id",
     text_col: str = "text",
     domain_col: str = "domain",
+    broadcast_flagged: bool | None = None,
 ) -> DataFrame:
     """Drop documents containing ANY URL whose domain is blocklisted — the
     C4/RefinedWeb curation step.
 
     ``blocked`` is a 1-column domain table (dimension-sized at any corpus
-    scale → broadcast anti-join; the corpus is scanned once, URLs never
-    leave their partition except as the per-doc match verdict).
+    scale → always broadcast on the INNER flag join; the corpus is scanned
+    once, URLs never leave their partition except as the per-doc verdict).
+
+    The FLAGGED set, by contrast, scales with the corpus (every doc
+    containing a blocked-domain URL), so the final anti-join strategy is a
+    tri-state ``broadcast_flagged`` knob, same contract as
+    :func:`engine.extended.semdedup.semantic_dedup`'s ``broadcast_drops``:
+    ``True`` forces broadcast (clean corpora, rare hits), ``False`` forces a
+    shuffled anti-join (spam-heavy corpora where the flag set is
+    corpus-scale and a forced broadcast would OOM the driver), ``None``
+    (default) leaves the choice to Catalyst/AQE, which sees the actual
+    flagged size at runtime.
     """
+    if id_col not in df.columns:
+        raise ValueError(f"id_col {id_col!r} not in {df.columns}")
     doc_domains = df.select(
-        "*", F.explode_outer(extract_urls(text_col)).alias("__url")
+        id_col, F.explode_outer(extract_urls(text_col)).alias("__url")
     ).withColumn("__dom", url_domain(F.col("__url")))
     flagged = (
         doc_domains.join(
             F.broadcast(blocked.select(F.col(domain_col).alias("__dom"))), "__dom"
         )
-        .select(df.columns[0])
+        .select(id_col)
         .distinct()
     )
-    return df.join(F.broadcast(flagged), df.columns[0], "left_anti")
+    if broadcast_flagged is True:
+        flagged = F.broadcast(flagged)
+    elif broadcast_flagged is False:
+        flagged = flagged.hint("shuffle_hash")
+    return df.join(flagged, id_col, "left_anti")

@@ -576,16 +576,22 @@ def near_dup_groups(
 ) -> DataFrame:
     """Transitive closure of candidate pairs: (id, group_id) where group_id
     is the smallest id reachable through the pair graph (connected
-    components via iterated label propagation / union-by-min).
+    components via label propagation + pointer doubling).
 
-    Each iteration joins every node's current label against the edge list and
-    takes the min over neighbors' labels; converges in O(diameter) rounds —
-    near-dup graphs are shallow (chains of near-identical docs).  Each round
-    is one shuffle on id; labels are checkpointed to keep lineage flat.  If
-    labels are STILL changing after ``max_iterations``, the function RAISES
-    rather than silently returning partial components: a truncated closure
-    is a wrong dedup decision at any scale — raise the cap (one shuffle per
-    extra round), don't ship the partial answer.
+    Each round does TWO label moves: (1) union-by-min over neighbors (one
+    hop through the edge list), then (2) pointer doubling — every node jumps
+    to its current group leader's label (``group_id`` is always a node id,
+    so labels self-join).  Doubling makes the propagation distance grow
+    geometrically, so convergence is O(log diameter) rounds, not
+    O(diameter): a 100 000-hop chain (pathological but legal input at corpus
+    scale) converges in ~17 rounds where plain propagation needs 100 000.
+    The default ``max_iterations=20`` therefore covers any component a real
+    corpus can produce (diameter ≲ 2^20).  Each round is two shuffles on id;
+    labels are checkpointed to keep lineage flat.  If labels are STILL
+    changing after ``max_iterations``, the function RAISES rather than
+    silently returning partial components: a truncated closure is a wrong
+    dedup decision at any scale — raise the cap, don't ship the partial
+    answer.
     """
     edges = (
         pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
@@ -608,12 +614,26 @@ def near_dup_groups(
             .groupBy("src")
             .agg(F.min("group_id").alias("nbr_min"))
         )
+        hopped = labels.join(
+            neighbor_min, labels.id == neighbor_min.src, "left"
+        ).select(
+            "id",
+            F.least(
+                F.col("group_id"), F.coalesce(F.col("nbr_min"), F.col("group_id"))
+            ).alias("group_id"),
+        )
+        # pointer doubling: jump to the leader's label (leader is a node, so
+        # its row exists in `hopped`); left join keeps self-rooted nodes
+        leader = hopped.select(
+            F.col("id").alias("__lid"), F.col("group_id").alias("__lgrp")
+        )
         new_labels = (
-            labels.join(neighbor_min, labels.id == neighbor_min.src, "left")
+            hopped.join(leader, hopped.group_id == F.col("__lid"), "left")
             .select(
                 "id",
                 F.least(
-                    F.col("group_id"), F.coalesce(F.col("nbr_min"), F.col("group_id"))
+                    F.col("group_id"),
+                    F.coalesce(F.col("__lgrp"), F.col("group_id")),
                 ).alias("group_id"),
             )
             .localCheckpoint(eager=True)

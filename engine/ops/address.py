@@ -254,11 +254,30 @@ _STREET_SCRUB = re.compile("[^A-Za-zÀ-ÖØ-öø-ÿ0-9-\\s#&.,;:+@/]")
 _POSTAL_SCRUB = re.compile("[^\\d-]")
 
 
+#: USPS state/territory codes — the trailing-state match is restricted to
+#: this allowlist so street-type suffixes ('123 MAIN ST') never parse as a
+#: StateName (round-2 advice: the bare 2-letter match corrupted region and
+#: street on the no-usaddress path, silently).
+_US_STATE_CODES = frozenset(
+    "AL AK AZ AR CA CO CT DE FL GA HI ID IL IN IA KS KY LA ME MD MA MI MN MS "
+    "MO MT NE NV NH NJ NM NY NC ND OH OK OR PA RI SC SD TN TX UT VT VA WA WV "
+    "WI WY DC PR VI GU AS MP".split()
+)
+
+#: state codes that double as street-type suffixes or common address words
+#: ('MAIN CT', 'CANAL LA'); stripped only with corroborating context (a zip
+#: was found or the address is comma-separated).
+_AMBIGUOUS_STATE_CODES = frozenset(
+    "CT LA IN OR OH OK AL ME PA HI DE ID".split()
+)
+
+
 def _fallback_tagger(addr: str):
     """Deterministic stand-in for ``usaddress.tag(s, tag_mapping=...)`` when
-    the wheel is absent: trailing zip, then trailing 2-letter state, leading
-    house number, unit marker, remainder split street/city at the last
-    street-type word.  Covers the reference's test shapes, not the CRF."""
+    the wheel is absent: trailing zip, then trailing state code (USPS
+    allowlist; ambiguous codes need zip/comma corroboration), leading house
+    number, unit marker, remainder split street/city at the last street-type
+    word.  Covers the reference's test shapes, not the CRF."""
     s = addr.strip()
     out: dict[str, str] = {}
     m = re.search(r"(\d{5}(?:-\d{4})?)\s*$", s)
@@ -266,7 +285,11 @@ def _fallback_tagger(addr: str):
         out["ZipCode"] = m.group(1)
         s = s[: m.start()].strip()
     m = re.search(r"\b([A-Z]{2})\.?\s*$", s)
-    if m:
+    if m and m.group(1) in _US_STATE_CODES and (
+        m.group(1) not in _AMBIGUOUS_STATE_CODES
+        or "ZipCode" in out
+        or "," in s
+    ):
         out["StateName"] = m.group(1)
         s = s[: m.start()].strip()
     m = re.match(r"^(\d+[A-Za-z]?(?:-\d+)?)\s+", s)

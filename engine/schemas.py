@@ -200,10 +200,15 @@ MEDIA = StructType(
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one testdata table.  Parquet carries its own schema; no inference.
 
-    The ``events`` table stores nanosecond timestamps, which Spark 4 refuses
-    by default (PARQUET_TYPE_ILLEGAL); we read them as int64 nanos and floor
-    to microseconds — exactly DuckDB's TIMESTAMP_NS→TIMESTAMP cast, so oracle
-    comparisons line up.
+    The ``events`` table's timestamp physical type has varied across driver
+    generations: nanosecond (Spark 4 refuses it by default with
+    PARQUET_TYPE_ILLEGAL — read as int64 nanos, floor to microseconds,
+    exactly DuckDB's TIMESTAMP_NS→TIMESTAMP cast) and µs with
+    isAdjustedToUTC=false (arrives as TIMESTAMP_NTZ, which Spark won't cast
+    to BIGINT — reinterpret as a UTC instant; the session zone is pinned to
+    UTC below, so the wall-clock values are unchanged and match the
+    naive-timestamp DuckDB oracle).  Both normalize to plain TIMESTAMP so
+    downstream epoch arithmetic (``cast(ts as long)``) works either way.
     """
     # deterministic timestamp semantics regardless of the hosting session:
     # instants render/parse as UTC (engine contract; matches the naive-UTC
@@ -214,9 +219,12 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-        if dict(df.dtypes).get("ts") == "bigint":
+        ts_type = dict(df.dtypes).get("ts")
+        if ts_type == "bigint":
             # integer division: double division rounds at the µs boundary
             df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        elif ts_type == "timestamp_ntz":
+            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
         return df
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 

@@ -17,11 +17,13 @@ Design for scale:
 
 from __future__ import annotations
 
+from typing import NamedTuple
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.types import LongType, StringType, StructField, StructType
 
-__all__ = ["read_jsonl", "write_jsonl", "DOCUMENTS_SCHEMA"]
+__all__ = ["read_jsonl", "write_jsonl", "JsonlRead", "DOCUMENTS_SCHEMA"]
 
 #: the documents-table shape as a JSONL declaration
 DOCUMENTS_SCHEMA = StructType(
@@ -34,19 +36,35 @@ DOCUMENTS_SCHEMA = StructType(
 )
 
 
+class JsonlRead(NamedTuple):
+    """Result of :func:`read_jsonl`.  ``good``/``quarantine`` are views over
+    ONE cached parse; call :meth:`unpersist` once both have been consumed to
+    release the executor storage that cache pins (on a 100 TB ingest the
+    cached parse is the dominant storage cost of the read)."""
+
+    good: DataFrame
+    quarantine: DataFrame
+    parsed: DataFrame
+
+    def unpersist(self, blocking: bool = False) -> None:
+        self.parsed.unpersist(blocking)
+
+
 def read_jsonl(
     spark: SparkSession,
     path: str,
     schema: StructType,
     *,
     corrupt_col: str = "_corrupt_record",
-) -> tuple[DataFrame, DataFrame]:
+) -> JsonlRead:
     """Parse JSONL shards under ``path`` with a declared schema.
 
-    Returns ``(good, quarantine)``: rows parsing cleanly (corrupt column
-    dropped) and the raw text of lines that did not.  The parse is cached
-    before splitting — both halves come from ONE scan, and Spark's
-    "corrupt-column-only query" restriction never triggers.
+    Returns a :class:`JsonlRead` of (good, quarantine, parsed): rows parsing
+    cleanly (corrupt column dropped), the raw text of lines that did not,
+    and the cached parent parse.  The parse is cached before splitting —
+    both halves come from ONE scan, and Spark's "corrupt-column-only query"
+    restriction never triggers.  The CALLER owns the cache's lifetime:
+    ``result.unpersist()`` after materializing both halves.
     """
     full = StructType(list(schema.fields) + [StructField(corrupt_col, StringType())])
     parsed = (
@@ -60,7 +78,7 @@ def read_jsonl(
     quarantine = parsed.filter(F.col(corrupt_col).isNotNull()).select(
         F.col(corrupt_col).alias("raw_line")
     )
-    return good, quarantine
+    return JsonlRead(good, quarantine, parsed)
 
 
 def write_jsonl(df: DataFrame, path: str, *, compression: str | None = None) -> None:

@@ -1145,7 +1145,15 @@ def _minhash_with_sql(*, k: int = 64, n: int = 3, bands: int = 16, recursive: bo
       {banded})"""
 
 
-_EST_SQL = "LENGTH(list_filter(list_zip({a}.sig, {b}.sig), p -> p[1] = p[2])) / 64.0"
+def _est_sql(a: str, b: str, *, k: int = 64) -> str:
+    """Jaccard-estimate expression over two ``sig`` arrays; the divisor is
+    the signature length, so it must track ``_minhash_with_sql(k=...)``."""
+    return (
+        f"LENGTH(list_filter(list_zip({a}.sig, {b}.sig), p -> p[1] = p[2]))"
+        f" / {float(k)}"
+    )
+
+
 
 
 @q(
@@ -1157,7 +1165,7 @@ _EST_SQL = "LENGTH(list_filter(list_zip({a}.sig, {b}.sig), p -> p[1] = p[2])) / 
         SELECT *, ROW_NUMBER() OVER (PARTITION BY band, bkey ORDER BY doc_id) AS rn
         FROM banded) WHERE rn <= 500)
     SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
-           ROUND({_EST_SQL.format(a='a', b='b')}, 4) AS est_jaccard
+           ROUND({_est_sql('a', 'b')}, 4) AS est_jaccard
     FROM capped a JOIN capped b
       ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id
     """,
@@ -1183,11 +1191,11 @@ def dedup_minhash_lsh(spark, sf_dir):
     dups AS (
       SELECT n.doc_id AS dup_id
       FROM bb n JOIN cb c ON n.band = c.band AND n.bkey = c.bkey
-      WHERE {_EST_SQL.format(a='n', b='c')} >= 0.5
+      WHERE {_est_sql('n', 'c')} >= 0.5
       UNION
       SELECT b.doc_id
       FROM bb a JOIN bb b ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id
-      WHERE {_EST_SQL.format(a='a', b='b')} >= 0.5)
+      WHERE {_est_sql('a', 'b')} >= 0.5)
     SELECT d.doc_id, d.source FROM documents d
     WHERE d.doc_id % 2 = 1 AND d.doc_id NOT IN (SELECT dup_id FROM dups)
     """,
@@ -2595,7 +2603,7 @@ def dup_rate_by_source(spark, sf_dir):
       SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
       FROM capped a JOIN capped b
         ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id
-      WHERE ROUND({_EST_SQL.format(a='a', b='b')}, 4) >= 0.5),
+      WHERE ROUND({_est_sql('a', 'b')}, 4) >= 0.5),
     edges AS (
       SELECT id_a AS src, id_b AS dst FROM prs
       UNION

@@ -302,3 +302,32 @@ def test_full_address_strict_parity_double_space(spark):
     loose = df.select(full_address("a", "b", "c").alias("f")).first()["f"]
     assert strict == "123 Main St  NYC"
     assert loose == "123 Main St NYC"
+
+def test_fallback_tagger_state_allowlist():
+    # round-2 advice: a bare trailing 2-letter token must NOT become a state
+    # unless it is a USPS code — 'ST' here is the street type, not a state
+    from engine.ops.address import _fallback_tagger
+
+    parsed, _ = _fallback_tagger("123 MAIN ST")
+    assert "StateName" not in parsed
+    assert parsed["street"] == "MAIN ST"
+    assert parsed["AddressNumber"] == "123"
+
+
+def test_fallback_tagger_ambiguous_state_needs_context():
+    from engine.ops.address import _fallback_tagger
+
+    # 'CT' without a zip or comma is the street type (court), kept in street
+    parsed, _ = _fallback_tagger("9 ROCKY CT")
+    assert "StateName" not in parsed
+    assert parsed["street"] == "ROCKY CT"
+    # with a trailing zip the same token IS Connecticut
+    parsed, _ = _fallback_tagger("9 ROCKY RD HARTFORD CT 06103")
+    assert parsed["StateName"] == "CT"
+    assert parsed["ZipCode"] == "06103"
+    assert parsed["street"] == "ROCKY RD"
+    assert parsed["PlaceName"] == "HARTFORD"
+    # unambiguous codes still strip without a zip
+    parsed, _ = _fallback_tagger("456 OAK AVE BROOKLYN NY")
+    assert parsed["StateName"] == "NY"
+    assert parsed["PlaceName"] == "BROOKLYN"

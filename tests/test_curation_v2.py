@@ -128,11 +128,15 @@ def test_jsonl_roundtrip_and_quarantine(spark, tmp_path):
     with open(f"{p}/zz_corrupt.json", "w") as f:
         f.write('{"doc_id": 3, "text": "ok", "lang": "en", "source": "web"}\n')
         f.write("{this is not json\n")
-    good, quarantine = read_jsonl(spark, p, DOCUMENTS_SCHEMA)
+    result = read_jsonl(spark, p, DOCUMENTS_SCHEMA)
+    good, quarantine = result.good, result.quarantine
     assert {r["doc_id"] for r in good.collect()} == {1, 2, 3}
     assert good.columns == ["doc_id", "text", "lang", "source"]
     bad = quarantine.collect()
     assert len(bad) == 1 and bad[0]["raw_line"].startswith("{this")
+    assert result.parsed.is_cached
+    result.unpersist(blocking=True)
+    assert not result.parsed.is_cached
 
 
 def test_tar_shard_source_roundtrip_and_png_decode(spark, tmp_path):

@@ -361,3 +361,21 @@ def test_md5_long_bit_identical_to_duckdb(spark):
             "SELECT CAST(('0x' || SUBSTRING(MD5(?), 1, 15)) AS BIGINT)", [s]
         ).fetchone()[0]
         assert got[s] == expect, s
+
+def test_near_dup_groups_pointer_doubling_long_chain(spark):
+    """A 100-hop chain (diameter 99) is far beyond the default cap under
+    plain one-hop propagation; pointer doubling closes it in O(log d)
+    rounds, so the default max_iterations=20 converges easily."""
+    from engine.extended.dedup import near_dup_groups
+
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(100)], "id_a long, id_b long"
+    )
+    out = {r["id"]: r["group_id"] for r in near_dup_groups(chain).collect()}
+    assert len(out) == 101 and set(out.values()) == {0}
+    # the loud failure survives: a cap too low to even detect convergence
+    # still raises instead of shipping a partial closure
+    import pytest as _pytest
+
+    with _pytest.raises(RuntimeError, match="did not converge"):
+        near_dup_groups(chain, max_iterations=2)
