@@ -160,52 +160,74 @@ def minhash_sigs(
         .agg(F.min("h").alias("mh"))
     )
     ent = binned.groupBy("id").agg(
-        F.collect_list(F.struct("bin", "mh")).alias("ent")
+        F.sort_array(F.collect_list(F.struct("bin", "mh"))).alias("ent")
     )
-    # Rotation densification: slot i takes the entry with minimal cyclic
-    # distance d = (bin - i) mod k (d unique per entry — bins are distinct —
-    # so the scan is order-independent despite collect_list), then XORs in
-    # d·C so borrowed values only collide when both docs borrowed the same
-    # minimum from the same distance.
-    def slot(i: Column) -> Column:
-        return F.aggregate(
-            F.col("ent"),
-            F.struct(
-                F.lit(k + 1).cast("long").alias("d"),
-                F.lit(0).cast("long").alias("mh"),
-            ),
-            lambda acc, e: F.when(
-                F.pmod(e["bin"] - i, F.lit(k)) < acc["d"],
-                F.struct(
-                    F.pmod(e["bin"] - i, F.lit(k)).alias("d"),
-                    e["mh"].alias("mh"),
+    # Rotation densification, segment form: slot i takes the entry with
+    # minimal cyclic distance d = (bin - i) mod k, XORed with d·C so borrowed
+    # values only collide when both docs borrowed the same minimum from the
+    # same distance.  With entries sorted by bin, the chooser for slot i is
+    # simply the nearest bin at-or-above i (cyclically), so each entry j
+    # covers the contiguous slot range (bin_{j-1}, bin_j] and the first entry
+    # additionally wraps to cover (bin_last, k).  Emitting those segments and
+    # sorting by slot is O(k log k) per doc; the previous per-slot scan over
+    # all entries was O(k²) (64×64 = 4096 conditional struct evaluations per
+    # doc) and dominated signature time.
+    def seg(e: Column, j: Column) -> Column:
+        filled = F.transform(
+            F.sequence(
+                F.when(j == 0, F.lit(0)).otherwise(
+                    F.element_at(F.col("ent"), j)["bin"] + 1
                 ),
-            ).otherwise(acc),
-            lambda acc: acc["mh"].bitwiseXOR(acc["d"] * F.lit(_OPH_C)),
+                e["bin"],
+            ),
+            lambda i: F.struct(
+                i.alias("slot"),
+                e["mh"].bitwiseXOR((e["bin"] - i) * F.lit(_OPH_C)).alias("v"),
+            ),
         )
+        last_bin = F.element_at(F.col("ent"), F.size(F.col("ent")))["bin"]
+        wrap = F.when(
+            (j == 0) & (last_bin < k - 1),
+            F.transform(
+                F.sequence(last_bin + 1, F.lit(k - 1)),
+                lambda i: F.struct(
+                    i.alias("slot"),
+                    e["mh"]
+                    .bitwiseXOR((e["bin"] + k - i) * F.lit(_OPH_C))
+                    .alias("v"),
+                ),
+            ),
+        ).otherwise(F.slice(filled, 1, 0))
+        return F.concat(filled, wrap)
+
     return ent.select(
         "id",
-        F.transform(F.sequence(F.lit(0), F.lit(k - 1)), slot).alias("sig"),
+        F.transform(
+            F.sort_array(F.flatten(F.transform(F.col("ent"), seg))),
+            lambda s: s["v"],
+        ).alias("sig"),
     )
 
 
 def _band_col(sig: Column, band: int, rows_per_band: int, hash_fn: str = "xxhash64") -> Column:
-    """Hash one band (contiguous signature slice) to a single 64-bit key.
+    """Key one band (contiguous signature slice) for the bucket join.
 
-    xxhash64 mode hashes the raw band elements + band index — no string
-    materialization (the array_join formulation tripled codegen size and
-    allocated a string per row·band).  md5 mode concat_ws's the elements
-    (the only md5 input form DuckDB can mirror exactly) — the extra string
-    cost is the price of oracle checkability, paid only in md5 mode."""
-    elems = [
-        F.element_at(sig, band * rows_per_band + i + 1)
-        for i in range(rows_per_band)
-    ]
+    xxhash64 mode hashes the raw band elements + band index to a 64-bit
+    scalar — no string materialization, narrowest possible exchange key (the
+    production path).  md5 mode uses the RAW SLICE itself (array<long>) as
+    the key: band equality is slice equality, so no hash is needed at all,
+    and DuckDB mirrors it exactly with ``list_slice`` — this replaced an
+    md5-over-concat_ws key that stringified every slot per row·band (the
+    round-2 bench's visible shave).  The band index is implicit: every join
+    and window already pairs bkey with the ``band`` column, so equal slices
+    from different bands never collide."""
     if hash_fn == "xxhash64":
+        elems = [
+            F.element_at(sig, band * rows_per_band + i + 1)
+            for i in range(rows_per_band)
+        ]
         return F.xxhash64(*elems, F.lit(band))
-    return md5_long(
-        F.concat_ws("|", *[e.cast("string") for e in elems], F.lit(str(band)))
-    )
+    return F.slice(sig, band * rows_per_band + 1, rows_per_band)
 
 
 def minhash_candidates(

@@ -1118,8 +1118,9 @@ def _minhash_with_sql(*, k: int = 64, n: int = 3, bands: int = 16, recursive: bo
     rpb = k // bands
     branches = []
     for b in range(bands):
-        elems = ", ".join(f"CAST(sig[{b * rpb + i + 1}] AS VARCHAR)" for i in range(rpb))
-        key = _MD5H.format(x=f"CONCAT_WS('|', {elems}, '{b}')")
+        # bkey is the RAW band slice (list equality == band equality; no
+        # hash needed) — mirrors _band_col's md5-mode slice key exactly
+        key = f"list_slice(sig, {b * rpb + 1}, {b * rpb + rpb})"
         branches.append(f"SELECT doc_id, sig, {b} AS band, {key} AS bkey FROM sigs")
     banded = "\n      UNION ALL\n      ".join(branches)
     return f"""
