@@ -31,6 +31,9 @@ __all__ = [
     "lsh_topk",
     "ivf_build",
     "ivf_topk",
+    "ivf_build_seeded",
+    "ivf_topk_seeded",
+    "quantized_vec",
     "knn_join",
     "quantize_int8",
     "dequantize_int8",
@@ -182,6 +185,139 @@ def ivf_topk(
 
     ranked = sorted(range(len(centroids)), key=lambda i: -cos(centroids[i], query_vec))
     probe_lists = ranked[:nprobe]
+    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    sim = F.round(cosine(F.col(vec_col), q), round_to)
+    return (
+        assigned.filter(F.col("ivf_list").isin(probe_lists))
+        .select(F.col(id_col), sim.alias("sim"))
+        .orderBy(F.col("sim").desc_nulls_last(), F.col(id_col))
+        .limit(k)
+    )
+
+
+def _seeded_argmin(cents: list[list[float]], q_col: str = "__q") -> Column:
+    """Index of the nearest centroid by squared euclidean distance over the
+    QUANTIZED integer components, tie-break lowest centroid id.
+
+    The fold is ``aggregate`` over ``zip_with`` — a fixed left-to-right
+    double accumulation, the same operation order the DuckDB oracle's
+    ``list_sum(list_transform(list_zip(...)))`` performs, so distances are
+    bit-identical across engines (inputs are exact: quantized bigints and
+    centroid doubles derived from exact integer sums)."""
+    structs = []
+    for j, c in enumerate(cents):
+        carr = F.array(*[F.lit(float(v)) for v in c])
+        d = F.aggregate(
+            F.zip_with(
+                q_col, carr, lambda x, y: (x.cast("double") - y) * (x.cast("double") - y)
+            ),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+        structs.append(F.struct(d.alias("d"), F.lit(j).alias("cid")))
+    return F.array_min(F.array(*structs))["cid"]
+
+
+def quantized_vec(vec_col: str | Column, quant: float = 1_000_000.0) -> Column:
+    """Exact-integer view of an embedding: ``round(x * quant)`` as bigint.
+    Round-half-away-from-zero matches across engines (same contract
+    :func:`quantize_int8` relies on)."""
+    c = F.col(vec_col) if isinstance(vec_col, str) else vec_col
+    return F.transform(c, lambda x: F.round(x.cast("double") * F.lit(quant)).cast("long"))
+
+
+def ivf_build_seeded(
+    vectors: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_lists: int = 8,
+    iters: int = 2,
+    dim: int = 64,
+    quant: float = 1_000_000.0,
+) -> tuple[DataFrame, list[list[float]]]:
+    """Deterministic seeded k-means coarse quantizer — the oracle-able twin
+    of :func:`ivf_build` (MLlib KMeans stays the production training path;
+    this path exists so the FULL IVF query is hash-checkable cross-engine).
+
+    Determinism strategy (every step reproducible bit-for-bit in ANSI SQL):
+
+    1. components quantize to exact bigints (``round(x*quant)``) — cluster
+       sums become ORDER-INDEPENDENT integer arithmetic, so shuffle
+       nondeterminism can never flip a centroid;
+    2. seeds are the ``n_lists`` first vectors by ``md5(cast(id))`` rank —
+       the engine-neutral RNG this repo uses everywhere sampling needs
+       cross-engine determinism;
+    3. exactly ``iters`` Lloyd rounds; each centroid component is
+       ``int_sum / count`` — one correctly-rounded IEEE division of exact
+       integers, identical in Python / Spark / DuckDB; empty clusters keep
+       their previous centroid;
+    4. assignment distance is a fixed left-to-right double fold
+       (:func:`_seeded_argmin`), tie-break lowest centroid id.
+
+    Scale shape: each round is ONE groupBy shuffle producing ``n_lists``
+    rows of ``dim`` integer sums (collected — dimension-sized, like every
+    1-row aggregate collect in this repo); the points table is scanned
+    ``iters + 1`` times, so the caller persists/writes it at deployment
+    scale (the returned frame is built on a persisted quantized view; call
+    ``.unpersist()`` on it when done, same caller contract as read_jsonl).
+
+    Returns ``(assigned, centroids)``: the input plus ``ivf_list``, and the
+    final centroid component doubles.
+    """
+    pts = vectors.select(
+        *vectors.columns, quantized_vec(vec_col, quant).alias("__q")
+    ).persist()
+    seed_rows = (
+        pts.orderBy(F.md5(F.col(id_col).cast("string")), F.col(id_col))
+        .limit(n_lists)
+        .select("__q")
+        .collect()
+    )
+    cents = [[float(v) for v in r["__q"]] for r in seed_rows]
+    for _ in range(iters):
+        sums = (
+            pts.withColumn("__cid", _seeded_argmin(cents))
+            .groupBy("__cid")
+            .agg(
+                F.count(F.lit(1)).alias("cnt"),
+                *[F.sum(F.element_at("__q", i + 1)).alias(f"s{i}") for i in range(dim)],
+            )
+            .collect()
+        )
+        new = {r["__cid"]: [r[f"s{i}"] / r["cnt"] for i in range(dim)] for r in sums}
+        cents = [new.get(j, cents[j]) for j in range(n_lists)]
+    assigned = pts.withColumn("ivf_list", _seeded_argmin(cents)).drop("__q")
+    return assigned, cents
+
+
+def ivf_topk_seeded(
+    assigned: DataFrame,
+    cents: list[list[float]],
+    query_qvec: list[float],
+    query_vec: list[float],
+    *,
+    k: int = 10,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_to: int = 4,
+) -> DataFrame:
+    """Probe-side of the seeded IVF: rank centroids by squared euclidean
+    distance to the QUANTIZED query (``query_qvec`` — exact ints, so the
+    Python ranking here equals the oracle's SQL ranking bit-for-bit),
+    exact-rank the ``nprobe`` nearest lists by cosine against the raw query.
+
+    The list filter is a literal ``isin`` — partition pruning when the
+    table is written ``partitionBy(ivf_list)``, same contract as
+    :func:`ivf_topk`."""
+    dists = []
+    for j, c in enumerate(cents):
+        d = 0.0
+        for x, y in zip(query_qvec, c):
+            d = d + (float(x) - y) * (float(x) - y)
+        dists.append((d, j))
+    probe_lists = [j for _, j in sorted(dists)[:nprobe]]
     q = F.array(*[F.lit(float(x)) for x in query_vec])
     sim = F.round(cosine(F.col(vec_col), q), round_to)
     return (

@@ -2184,19 +2184,110 @@ def approx_sketches(spark, sf_dir):
     )
 
 
-@q("ann_ivf_topk")  # rows-only: clustering assignment is engine-native
+def _ivf_seeded_sql(
+    *, n_lists: int = 8, iters: int = 2, nprobe: int = 3, k: int = 10, qid: int = 7
+) -> str:
+    """DuckDB twin of ivf_build_seeded + ivf_topk_seeded: md5-rank seeds,
+    ``iters`` unrolled Lloyd rounds over exact-integer quantized components
+    (sums are order-independent bigint arithmetic; centroid components are
+    one IEEE division of exact ints), squared-euclid assignment with the
+    same left-to-right double fold Spark's ``aggregate(zip_with(...))``
+    performs, cosine re-rank of the ``nprobe`` probed lists."""
+    dist = (
+        "list_sum(list_transform(list_zip({a}, {b}), "
+        "z -> (CAST(z[1] AS DOUBLE) - z[2]) * (CAST(z[1] AS DOUBLE) - z[2])))"
+    )
+    parts = [
+        f"""
+    WITH pts AS (
+      SELECT vec_id, embedding,
+             list_transform(embedding,
+               x -> CAST(round(CAST(x AS DOUBLE) * 1000000.0) AS BIGINT)) AS q
+      FROM embeddings),
+    seeds AS (
+      SELECT q, ROW_NUMBER() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1 AS cid
+      FROM (SELECT vec_id, q FROM pts
+            ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT {n_lists})),
+    c0 AS (SELECT cid, list_transform(q, x -> CAST(x AS DOUBLE)) AS c FROM seeds)"""
+    ]
+    for it in range(iters):
+        parts.append(
+            f""",
+    a{it} AS (
+      SELECT vec_id, q, cid FROM (
+        SELECT p.vec_id, p.q, c.cid,
+               ROW_NUMBER() OVER (PARTITION BY p.vec_id
+                 ORDER BY {dist.format(a='p.q', b='c.c')}, c.cid) AS rn
+        FROM pts p CROSS JOIN c{it} c) WHERE rn = 1),
+    s{it} AS (
+      SELECT cid, i, SUM(x) AS s, COUNT(*) AS cnt FROM (
+        SELECT cid, generate_subscripts(q, 1) AS i, UNNEST(q) AS x FROM a{it})
+      GROUP BY cid, i),
+    n{it} AS (SELECT cid, list(CAST(s AS DOUBLE) / CAST(cnt AS DOUBLE) ORDER BY i) AS c
+              FROM s{it} GROUP BY cid),
+    c{it + 1} AS (SELECT c{it}.cid, COALESCE(n{it}.c, c{it}.c) AS c
+                  FROM c{it} LEFT JOIN n{it} USING (cid))"""
+        )
+    cf = f"c{iters}"
+    parts.append(
+        f""",
+    af AS (
+      SELECT vec_id, cid FROM (
+        SELECT p.vec_id, c.cid,
+               ROW_NUMBER() OVER (PARTITION BY p.vec_id
+                 ORDER BY {dist.format(a='p.q', b='c.c')}, c.cid) AS rn
+        FROM pts p CROSS JOIN {cf} c) WHERE rn = 1),
+    qq AS (SELECT q, embedding AS qv,
+           SQRT(list_sum(list_transform(embedding,
+             x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS qn
+           FROM pts WHERE vec_id = {qid}),
+    probe AS (
+      SELECT cid FROM (
+        SELECT c.cid,
+               ROW_NUMBER() OVER (ORDER BY {dist.format(a='qq.q', b='c.c')}, c.cid) AS rn
+        FROM {cf} c CROSS JOIN qq) WHERE rn <= {nprobe})
+    SELECT e.vec_id,
+           CASE WHEN SQRT(list_sum(list_transform(e.embedding,
+                    x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) * qq.qn > 0
+           THEN ROUND(
+             list_sum(list_transform(list_zip(e.embedding, qq.qv),
+                      p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE))) /
+             (SQRT(list_sum(list_transform(e.embedding,
+                      x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) * qq.qn), 4)
+           END AS sim
+    FROM pts e
+    JOIN af ON e.vec_id = af.vec_id
+    CROSS JOIN qq
+    WHERE af.cid IN (SELECT cid FROM probe)
+    ORDER BY sim DESC NULLS LAST, e.vec_id
+    LIMIT {k}"""
+    )
+    return "".join(parts)
+
+
+@q("ann_ivf_topk", _ivf_seeded_sql())
 def ann_ivf_topk(spark, sf_dir):
-    """IVF ANN: k-means coarse quantizer, probe the 3 nearest of 8 lists,
-    exact-rank survivors (partition-pruning ANN path at deployment scale)."""
-    from engine.extended.similarity import ivf_build, ivf_topk
+    """IVF ANN: deterministic seeded k-means coarse quantizer (md5-rank
+    seeds, 2 Lloyd rounds over exact-integer quantized components — fully
+    oracle-able, unlike the MLlib ``ivf_build`` production-training path),
+    probe the 3 nearest of 8 lists, exact-rank survivors by cosine
+    (partition-pruning ANN path at deployment scale)."""
+    from engine.extended.similarity import (
+        ivf_build_seeded,
+        ivf_topk_seeded,
+        quantized_vec,
+    )
 
     emb = t(spark, sf_dir, "embeddings")
-    qv = [
-        float(x)
-        for x in emb.filter(F.col("vec_id") == 7).select("embedding").collect()[0][0]
-    ]
-    assigned, cents = ivf_build(emb, n_lists=8)
-    return ivf_topk(assigned, cents, qv, k=10, nprobe=3)
+    qrow = (
+        emb.filter(F.col("vec_id") == 7)
+        .select(F.col("embedding"), quantized_vec("embedding").alias("qq"))
+        .collect()[0]
+    )
+    qv = [float(x) for x in qrow["embedding"]]
+    qq = [float(x) for x in qrow["qq"]]
+    assigned, cents = ivf_build_seeded(emb, n_lists=8, iters=2, dim=len(qv))
+    return ivf_topk_seeded(assigned, cents, qq, qv, k=10, nprobe=3)
 
 
 @q(

@@ -50,6 +50,46 @@ def test_ivf_recall(spark):
     assert len(set(exact) & set(approx)) >= 4  # smooth manifold → high recall
 
 
+def test_ivf_seeded_deterministic_and_partition_invariant(spark):
+    """The seeded k-means must give the SAME assignment regardless of
+    partitioning (integer sums are order-independent) and across repeat
+    builds — that is the property making the full IVF query oracle-able."""
+    from engine.extended.similarity import ivf_build_seeded
+
+    import math
+
+    rows = [
+        (i, [math.cos(i * 0.37) * (1 + i % 3), math.sin(i * 0.91), float(i % 7) / 7, 0.25])
+        for i in range(120)
+    ]
+    vecs = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+    def build(df):
+        assigned, cents = ivf_build_seeded(df, n_lists=4, iters=2, dim=4)
+        out = {r["vec_id"]: r["ivf_list"] for r in assigned.collect()}
+        assigned.unpersist()
+        return out, cents
+
+    a1, c1 = build(vecs.repartition(3))
+    a2, c2 = build(vecs.repartition(13))
+    assert a1 == a2 and c1 == c2
+    assert len(a1) == 120 and set(a1.values()) <= {0, 1, 2, 3}
+
+
+def test_ivf_seeded_empty_cluster_keeps_seed(spark):
+    """Fewer distinct points than lists → some clusters go empty; their
+    centroid must stay at the seed (the oracle's COALESCE branch)."""
+    from engine.extended.similarity import ivf_build_seeded
+
+    rows = [(i, [float(i % 2), 1.0]) for i in range(10)]
+    vecs = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    assigned, cents = ivf_build_seeded(vecs, n_lists=4, iters=2, dim=2)
+    lists = {r["ivf_list"] for r in assigned.collect()}
+    assigned.unpersist()
+    assert len(lists) <= 2  # only two distinct points exist
+    assert len(cents) == 4 and all(len(c) == 2 for c in cents)
+
+
 def test_streaming_avro_kinesis_end_to_end(spark, tmp_path, sierra_df):
     """The full north-star chain as a streaming job: parquet stream →
     pipeline graph → Avro encode → 500-chunked Kinesis put — then decode the
