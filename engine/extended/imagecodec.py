@@ -7,15 +7,19 @@ Real decode where the format allows it with stdlib only:
   the inverse (filter 0 + deflate) for writing.  Covers bit-depth 8, color
   types 0/2/4/6 (grey, RGB, grey+alpha, RGBA); palette/interlace/16-bit
   raise cleanly (inject PIL for those).
-- **JPEG / GIF / BMP**: header-only metadata (dimensions + channels) —
-  baseline JPEG entropy decoding is out of scope for a stdlib parser, so
-  ``decode`` passes the payload through with real metadata attached.
+- **JPEG**: full baseline-sequential decode/encode via
+  :mod:`engine.extended.jpegcodec` — Huffman entropy decode, dequantize,
+  IDCT, chroma upsample (4:4:4 / 4:2:2 / 4:2:0), restart intervals.
+  Progressive/arithmetic/12-bit raise cleanly (inject PIL).
+- **GIF / BMP**: header-only metadata (dimensions + channels); ``decode``
+  passes the payload through with real metadata attached.
 
 This makes ``decode_media`` / ``resize_media`` genuinely functional on the
-default path (no NotImplementedError): PNG payloads round-trip through raw
-pixels, other known formats carry parsed metadata, unknown bytes pass
-through untouched.  A real deployment still injects PIL/ffmpeg via the same
-``Codec`` / ``Resizer`` seams for the formats this module only headers.
+default path (no NotImplementedError): PNG and baseline JPEG payloads
+round-trip through raw pixels, other known formats carry parsed metadata,
+unknown bytes pass through untouched.  A real deployment still injects
+PIL/ffmpeg via the same ``Codec`` / ``Resizer`` seams for speed and the
+esoteric variants.
 """
 
 from __future__ import annotations
@@ -211,29 +215,46 @@ def nn_resize_raw(
 
 
 def default_codec(payload: bytes, mime: str) -> bytes:
-    """The built-in Codec: PNG -> raw pixels (real decode); other known
-    headers -> payload unchanged (metadata comes from :func:`parse_header`);
-    unknown bytes -> unchanged.  Never raises on the default path."""
+    """The built-in Codec: PNG and baseline JPEG -> raw pixels (real
+    decode); other known headers -> payload unchanged (metadata comes from
+    :func:`parse_header`); unknown bytes -> unchanged.  Never raises on the
+    default path (esoteric variants pass through with real metadata)."""
     hdr = parse_header(payload)
     if hdr and hdr["format"] == "png":
         try:
             return png_decode(payload)[3]
         except ValueError:
             return payload  # esoteric PNG variant: pass through, meta still real
+    if hdr and hdr["format"] == "jpeg":
+        from engine.extended.jpegcodec import jpeg_decode
+
+        try:
+            return jpeg_decode(payload)[3]
+        except ValueError:
+            return payload  # progressive/arithmetic: pass through
     return payload
 
 
 def default_resizer(
     payload: bytes, mime: str, sw: int, sh: int, dw: int, dh: int
 ) -> bytes:
-    """The built-in Resizer: PNG payloads decode -> NN-resample -> re-encode
-    (a REAL resize); non-PNG payloads scale their byte budget by area ratio
-    so size-dependent downstream logic stays honest."""
+    """The built-in Resizer: PNG and baseline JPEG payloads decode ->
+    NN-resample -> re-encode (a REAL resize, same container format out);
+    other payloads scale their byte budget by area ratio so size-dependent
+    downstream logic stays honest."""
     hdr = parse_header(payload)
     if hdr and hdr["format"] == "png":
         try:
             w, h, ch, pixels = png_decode(payload)
             return png_encode(nn_resize_raw(pixels, w, h, dw, dh, ch), dw, dh, ch)
+        except ValueError:
+            pass
+    if hdr and hdr["format"] == "jpeg":
+        from engine.extended.jpegcodec import jpeg_decode, jpeg_encode
+
+        try:
+            w, h, ch, pixels = jpeg_decode(payload)
+            return jpeg_encode(nn_resize_raw(pixels, w, h, dw, dh, ch), dw, dh, ch)
         except ValueError:
             pass
     if sw <= 0 or sh <= 0 or not payload:

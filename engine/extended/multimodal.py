@@ -44,6 +44,7 @@ from pyspark.sql.types import (
 __all__ = [
     "fake_media_from_text",
     "fake_png_corpus",
+    "fake_image_corpus",
     "decode_media",
     "media_features",
     "frame_sample",
@@ -120,6 +121,58 @@ def fake_png_corpus(
     return df.select(F.col(id_col), F.col(text_col)).mapInPandas(run, schema=schema)
 
 
+def fake_image_corpus(
+    df: DataFrame, *, id_col: str = "doc_id", text_col: str = "text", max_side: int = 24
+) -> DataFrame:
+    """Deterministic MIXED image corpus: half the docs get a real PNG, half
+    a real baseline JPEG (4:4:4 or 4:2:0, grayscale or RGB) — the format
+    split of a web-scraped corpus, exercising BOTH stdlib decoders through
+    the same mapInPandas seam.  JPEG is lossy, so for JPEG rows the decode
+    contract is the PIXEL COUNT (n_bytes == w*h*ch), not byte equality."""
+    from engine.extended.imagecodec import png_encode
+    from engine.extended.jpegcodec import jpeg_encode
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            rows = []
+            for mid, text in zip(b[id_col], b[text_col]):
+                seed = hashlib.sha256((text or "").encode()).digest()
+                w = 4 + seed[0] % (max_side - 3)
+                h = 4 + seed[1] % (max_side - 3)
+                as_jpeg = seed[3] % 2 == 1
+                ch = (1, 3)[seed[2] % 2] if as_jpeg else (1, 3, 4)[seed[2] % 3]
+                need = w * h * ch
+                stream = bytearray()
+                counter = 0
+                while len(stream) < need:
+                    stream += hashlib.sha256(seed + struct.pack("<I", counter)).digest()
+                    counter += 1
+                if as_jpeg:
+                    sub = "420" if seed[4] % 2 else "444"
+                    payload = jpeg_encode(bytes(stream[:need]), w, h, ch, subsampling=sub)
+                    mime = "image/jpeg"
+                else:
+                    payload = png_encode(bytes(stream[:need]), w, h, ch)
+                    mime = "image/png"
+                rows.append((mid, payload, mime, w, h, ch))
+            yield pd.DataFrame(
+                rows,
+                columns=["media_id", "payload", "mime", "width", "height", "channels"],
+            )
+
+    schema = StructType(
+        [
+            StructField("media_id", LongType()),
+            StructField("payload", BinaryType()),
+            StructField("mime", StringType()),
+            StructField("width", IntegerType()),
+            StructField("height", IntegerType()),
+            StructField("channels", IntegerType()),
+        ]
+    )
+    return df.select(F.col(id_col), F.col(text_col)).mapInPandas(run, schema=schema)
+
+
 DECODED_SCHEMA = StructType(
     [
         StructField("media_id", LongType()),
@@ -137,11 +190,12 @@ def decode_media(df: DataFrame, codec: Codec | None = None) -> DataFrame:
     """Decode payloads to raw content + parsed dimensions.
 
     The default codec is the stdlib-only :func:`engine.extended.imagecodec.
-    default_codec`: PNG payloads genuinely decode to raw interleaved pixels;
-    JPEG/GIF/BMP payloads pass through with header-parsed (width, height,
-    channels); unknown bytes pass through with null dimensions.  Inject a
-    ``Codec`` (PIL/librosa/ffmpeg) to replace the byte decode — header
-    metadata stays stdlib-parsed either way.
+    default_codec`: PNG and baseline-JPEG payloads genuinely decode to raw
+    interleaved pixels (``n_bytes == width*height*channels``); GIF/BMP
+    payloads pass through with header-parsed (width, height, channels);
+    unknown bytes pass through with null dimensions.  Inject a ``Codec``
+    (PIL/librosa/ffmpeg) to replace the byte decode — header metadata stays
+    stdlib-parsed either way.
     """
     from engine.extended.imagecodec import default_codec, parse_header
 

@@ -1727,18 +1727,20 @@ def corpus_pipeline_v3(spark, sf_dir):
     )
 
 
-@q("multimodal_decode")  # rows-only: stdlib PNG decode runs in an Arrow UDF
+@q("multimodal_decode")  # rows-only: stdlib image decode runs in an Arrow UDF
 def multimodal_decode(spark, sf_dir):
-    """REAL image decode end to end: deterministic PNGs (zlib + filters) are
-    decoded by the stdlib codec (engine.extended.imagecodec) on the DEFAULT
-    path — no injected backend — and every decoded byte count must equal
-    width*height*channels from the header."""
-    from engine.extended.multimodal import decode_media, fake_png_corpus
+    """REAL image decode end to end over a MIXED corpus: deterministic PNGs
+    (zlib + filters) and baseline JPEGs (Huffman + IDCT + chroma upsample)
+    are decoded by the stdlib codecs on the DEFAULT path — no injected
+    backend — and every decoded byte count must equal
+    width*height*channels from the header, for BOTH formats."""
+    from engine.extended.multimodal import decode_media, fake_image_corpus
 
     d = t(spark, sf_dir, "documents")
-    decoded = decode_media(fake_png_corpus(d))
+    decoded = decode_media(fake_image_corpus(d))
     return decoded.select(
         "media_id",
+        "mime",
         "width",
         "height",
         "channels",

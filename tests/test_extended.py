@@ -233,6 +233,63 @@ def test_png_codec_roundtrip_and_real_decode(spark):
         )
 
 
+def test_jpeg_codec_roundtrip_all_modes():
+    """The stdlib baseline JPEG codec round-trips real pixels in every mode
+    (gray / RGB x 4:4:4 / 4:2:0), with restart-free streams, odd dimensions,
+    and lossy error bounded tightly on smooth content."""
+    from engine.extended.jpegcodec import jpeg_decode, jpeg_encode
+
+    w, h = 37, 21
+    rgb = bytearray()
+    for y in range(h):
+        for x in range(w):
+            rgb += bytes([min(255, 40 + x * 4), min(255, 30 + y * 6), min(255, 60 + x + y)])
+    gray = bytes([min(255, 20 + x * 2 + y * 3) for y in range(h) for x in range(w)])
+    for ch, px in ((3, bytes(rgb)), (1, gray)):
+        for sub in ("444", "420"):
+            enc = jpeg_encode(px, w, h, ch, quality=90, subsampling=sub)
+            dw, dh, dch, dec = jpeg_decode(enc)
+            assert (dw, dh, dch) == (w, h, ch)
+            assert len(dec) == w * h * ch  # the pixel-count contract
+            mean = sum(abs(a - b) for a, b in zip(px, dec)) / len(px)
+            assert mean < 3.0, (ch, sub, mean)
+
+
+def test_jpeg_decode_rejects_progressive_cleanly():
+    """A SOF2 (progressive) frame must raise ValueError — the injected-PIL
+    seam's contract — not mis-decode."""
+    import struct as st
+
+    import pytest as pt
+
+    from engine.extended.jpegcodec import jpeg_decode, jpeg_encode
+
+    enc = bytearray(jpeg_encode(bytes(64 * 3), 8, 8, 3))
+    sof = enc.find(b"\xff\xc0")
+    enc[sof + 1] = 0xC2  # rewrite marker to progressive
+    with pt.raises(ValueError, match="non-baseline"):
+        jpeg_decode(bytes(enc))
+
+
+def test_mixed_image_corpus_real_decode(spark):
+    """fake_image_corpus emits BOTH real PNGs and real baseline JPEGs; the
+    default decode path recovers w*h*ch raw bytes for every row, and JPEG
+    rows are actually present (the format a web corpus is made of)."""
+    from engine.extended.multimodal import fake_image_corpus
+
+    media = fake_image_corpus(_docs(spark))
+    rows = media.collect()
+    mimes = {r["media_id"]: r["mime"] for r in rows}
+    assert "image/jpeg" in set(mimes.values())
+    decoded = {r["media_id"]: r for r in decode_media(media).collect()}
+    for r in rows:
+        d = decoded[r["media_id"]]
+        assert d["n_bytes"] == r["width"] * r["height"] * r["channels"], mimes[r["media_id"]]
+        assert (d["width"], d["height"], d["channels"]) == (
+            r["width"], r["height"], r["channels"]
+        )
+
+
 def test_png_nn_resize_is_a_real_resample(spark):
     """Resizing a PNG through the default path re-encodes a valid PNG of the
     target dimensions whose pixels are the nearest-neighbor sample."""
