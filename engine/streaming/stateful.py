@@ -14,6 +14,18 @@ State is per key-group in the Spark state store; with event-time timeout the
 state TTLs out under the watermark, bounding memory (SURVEY §7 risk 5).
 Both work on a streaming DataFrame; in tests the stream is a file source
 drained with ``availableNow``.
+
+**Long-run hardening** (round-3 verdict item 5): a poller that runs for
+months cannot keep all state on the JVM heap.  Two levers, both test-pinned:
+
+- :func:`rocksdb_state_conf` — session conf switching the state store to
+  RocksDB (off-heap, spillable, changelog-checkpointed), the store any
+  long-running production stream should use;
+- ``ttl_minutes`` on :func:`dedup_with_audit` — event-time timeout that
+  REMOVES a key's state once the watermark passes its last activity by the
+  TTL, so state size tracks the active-key working set, not stream history
+  (``stream_dedup`` gets the same bound from
+  ``dropDuplicatesWithinWatermark`` natively).
 """
 
 from __future__ import annotations
@@ -32,7 +44,25 @@ from pyspark.sql.types import (
     TimestampType,
 )
 
-__all__ = ["dedup_with_audit", "running_stats"]
+__all__ = ["dedup_with_audit", "running_stats", "rocksdb_state_conf"]
+
+
+def rocksdb_state_conf(*, changelog: bool = True) -> dict[str, str]:
+    """Session conf for the RocksDB state store provider — the long-run
+    posture for every stateful query here (state lives off-heap and spills
+    to local disk; changelog checkpointing writes per-batch deltas instead
+    of full snapshots).  Pass to ``get_spark(extra_conf=...)`` or set on an
+    existing session before ``start()``."""
+    conf = {
+        "spark.sql.streaming.stateStore.providerClass": (
+            "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+        ),
+    }
+    if changelog:
+        conf[
+            "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled"
+        ] = "true"
+    return conf
 
 DEDUP_OUTPUT = StructType(
     [
@@ -44,45 +74,98 @@ DEDUP_OUTPUT = StructType(
 )
 
 DEDUP_STATE = StructType(
-    [StructField("seen", LongType()), StructField("dups", LongType())]
+    [
+        StructField("seen", LongType()),
+        StructField("dups", LongType()),
+        StructField("last_ms", LongType()),  # max event-time seen (epoch ms)
+    ]
 )
 
 
-def _dedup_fn(
-    key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
-) -> Iterator[pd.DataFrame]:
-    seen, dups = state.get if state.exists else (0, 0)
-    first_ts = None
-    batch_rows = 0
-    for pdf in pdfs:
-        batch_rows += len(pdf)
-        ts_min = pdf["ts"].min()
-        if first_ts is None or ts_min < first_ts:
-            first_ts = ts_min
-    emitted = 0
-    if seen == 0 and batch_rows > 0:
-        emitted = 1
-        dups += batch_rows - 1
-        seen = 1
-    else:
-        dups += batch_rows
-    state.update((seen, dups))
-    yield pd.DataFrame(
-        {
-            "key": [key[0]],
-            "first_ts": [first_ts],
-            "emitted": [emitted],
-            "dup_count": [dups],
-        }
-    )
+def _make_dedup_fn(ttl_ms: int | None):
+    def fn(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        if ttl_ms is not None and state.hasTimedOut:
+            # watermark passed last activity + TTL with no new data: drop
+            # the key's state entirely (the memory bound for long runs)
+            state.remove()
+            return
+        seen, dups, last_ms = state.get if state.exists else (0, 0, 0)
+        wm = state.getCurrentWatermarkMs() if ttl_ms is not None else 0
+        if ttl_ms is not None and seen and wm > last_ms + ttl_ms:
+            # the key's state EXPIRED before this arrival (even if the
+            # timeout callback hasn't fired yet because data and timeout
+            # landed in the same batch): a re-occurrence past the TTL is a
+            # NEW first sight — the dropDuplicatesWithinWatermark contract
+            seen, dups = 0, 0
+        first_ts = None
+        max_ts = None
+        batch_rows = 0
+        for pdf in pdfs:
+            batch_rows += len(pdf)
+            ts_min = pdf["ts"].min()
+            ts_max = pdf["ts"].max()
+            if first_ts is None or ts_min < first_ts:
+                first_ts = ts_min
+            if max_ts is None or ts_max > max_ts:
+                max_ts = ts_max
+        emitted = 0
+        if seen == 0 and batch_rows > 0:
+            emitted = 1
+            dups += batch_rows - 1
+            seen = 1
+        else:
+            dups += batch_rows
+        if max_ts is not None:
+            last_ms = max(last_ms, int(max_ts.value // 1_000_000))
+        state.update((seen, dups, last_ms))
+        if ttl_ms is not None:
+            # timeout must sit strictly above the current watermark
+            state.setTimeoutTimestamp(max(last_ms + ttl_ms, wm + 60_000))
+        yield pd.DataFrame(
+            {
+                "key": [key[0]],
+                "first_ts": [first_ts],
+                "emitted": [emitted],
+                "dup_count": [dups],
+            }
+        )
+
+    return fn
 
 
-def dedup_with_audit(df: DataFrame, key_col: str, ts_col: str = "ts") -> DataFrame:
+_dedup_fn = _make_dedup_fn(None)  # back-compat alias (unbounded-state mode)
+
+
+def dedup_with_audit(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str = "ts",
+    *,
+    ttl_minutes: float | None = None,
+    watermark: str = "10 minutes",
+) -> DataFrame:
     """ST4 with receipts: one output row per key per micro-batch; ``emitted=1``
     exactly once per key across the stream's lifetime, ``dup_count`` tracks
     suppressed re-occurrences (the reference only logs these; here they are
-    first-class output for the idempotence audit)."""
+    first-class output for the idempotence audit).
+
+    ``ttl_minutes`` bounds state for long runs: an event-time timeout evicts
+    a key once the watermark passes its last activity by the TTL, so state
+    size tracks the active working set (a key recurring AFTER eviction
+    re-emits — the standard within-watermark dedup contract).  ``None``
+    keeps the exact-lifetime semantics (unbounded state; use RocksDB)."""
     keyed = df.select(df[key_col].cast("string").alias("key"), df[ts_col].alias("ts"))
+    if ttl_minutes is not None and df.isStreaming:
+        keyed = keyed.withWatermark("ts", watermark)
+        return keyed.groupBy("key").applyInPandasWithState(
+            _make_dedup_fn(int(ttl_minutes * 60_000)),
+            outputStructType=DEDUP_OUTPUT,
+            stateStructType=DEDUP_STATE,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
+        )
     return keyed.groupBy("key").applyInPandasWithState(
         _dedup_fn,
         outputStructType=DEDUP_OUTPUT,

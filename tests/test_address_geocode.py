@@ -165,6 +165,81 @@ def test_cascade_survives_total_transport_failure(spark):
 
 
 # ---------------------------------------------------------------------------
+# reformat_malformed_address — generated malformed-address fuzz corpus
+# (round-3 verdict item 7: extend beyond the 5 goldens)
+# ---------------------------------------------------------------------------
+
+
+def test_reformat_fuzz_corpus_generated():
+    """300+ generated permutations of house/street/unit/city/state/zip (plus
+    adversarial junk rows) through the no-wheel fallback path.  Pins the
+    reference's CONTRACT on every row — never raises, scrubbed charsets,
+    address reassembled from the parsed parts — and exact field recovery
+    wherever the combination is unambiguous."""
+    import itertools
+    import re as _re
+
+    from engine.ops.address import reformat_malformed_address, _fallback_tagger
+
+    houses = ["123", "45A", "6-8"]
+    streets = ["MAIN", "W 42ND", "OCEAN VIEW"]
+    stypes = ["ST", "AVE", "BLVD", "COURT"]
+    units = ["", "# 5", "APT 2B", "SUITE 300"]
+    cities = ["", "NEW YORK", "ALBANY"]
+    states = ["NY", "CT", ""]  # CT doubles as a street type — the trap
+    zips = ["", "10001", "10001-1234"]
+
+    combos = list(itertools.product(houses, streets, stypes, units, cities, states, zips))
+    # deterministic thinning to keep runtime sane while crossing every axis
+    combos = combos[:: max(1, len(combos) // 320)]
+    assert len(combos) >= 300
+
+    city_ok = _re.compile(r"^[A-Za-z\-\s]*$")
+    postal_ok = _re.compile(r"^[\d-]*$")
+    for house, sname, stype, unit, city, state, zip5 in combos:
+        parts = [f"{house} {sname} {stype}"]
+        if unit:
+            parts.append(unit)
+        if city:
+            parts.append(city)
+        if state:
+            parts.append(state)
+        if zip5:
+            parts.append(zip5)
+        full = " ".join(parts)
+        row = {
+            "address": "", "city": "x", "region": "x", "postal_code": "x",
+            "full_address": full,
+        }
+        out = reformat_malformed_address(row, tagger=_fallback_tagger)
+        # contract invariants (reference helpers/address_helper.py:52-68)
+        assert city_ok.match(out["city"]), (full, out["city"])
+        assert city_ok.match(out["region"]), (full, out["region"])
+        assert postal_ok.match(out["postal_code"]), (full, out["postal_code"])
+        assert out["address"].startswith(out["house_number"]), full
+        assert zip5 == out["postal_code"] or (not zip5 and out["postal_code"] == ""), full
+        assert out["house_number"] == house, full
+        # state recovery: exact when unambiguous or corroborated by a zip
+        if state == "NY" or (state and zip5):
+            assert out["region"] == state, (full, out["region"])
+            if city:
+                assert out["city"] == city, (full, out["city"])
+            assert out["street_name"] == f"{sname} {stype}", (full, out["street_name"])
+        # the street type must never leak into the postal code
+        assert stype not in out["postal_code"], full
+
+    # adversarial junk must not raise and must honor the scrubs
+    for junk in ["", "   ", "!!!", "12345", "CAFÉ STRAßE 12", "##", "A" * 500]:
+        row = {
+            "address": "", "city": "c", "region": "r", "postal_code": "p",
+            "full_address": junk,
+        }
+        out = reformat_malformed_address(row, tagger=_fallback_tagger)
+        assert postal_ok.match(out["postal_code"]), junk
+        assert city_ok.match(out["city"]), junk
+
+
+# ---------------------------------------------------------------------------
 # reformat_malformed_address — the reference's golden cases, verbatim
 # (/root/reference/tests/test_address_helper.py:10-146), run through an
 # injected tagger so they pin the combine/scrub semantics with AND without
