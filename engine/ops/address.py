@@ -99,21 +99,43 @@ def ascii_scrub_expr(col: Column | str, field: str) -> Column:
 # ---------------------------------------------------------------------------
 
 # Deterministic fallback transliteration: NFKD-decompose and drop combining
-# marks; a small table for characters NFKD can't decompose.
+# marks; explicit tables for characters NFKD can't decompose — Latin ligature
+# letters plus standard practical romanization for Cyrillic and Greek (the
+# two non-Latin scripts a US address feed actually sees; reference
+# helpers/address_helper.py:52-68 routes these through unidecode).
+_CYRILLIC = {
+    "а": "a", "б": "b", "в": "v", "г": "g", "д": "d", "е": "e", "ё": "e",
+    "ж": "zh", "з": "z", "и": "i", "й": "i", "к": "k", "л": "l", "м": "m",
+    "н": "n", "о": "o", "п": "p", "р": "r", "с": "s", "т": "t", "у": "u",
+    "ф": "f", "х": "kh", "ц": "ts", "ч": "ch", "ш": "sh", "щ": "shch",
+    "ъ": "", "ы": "y", "ь": "", "э": "e", "ю": "yu", "я": "ya",
+    "є": "ie", "і": "i", "ї": "i", "ґ": "g",
+}
+_GREEK = {
+    "α": "a", "β": "b", "γ": "g", "δ": "d", "ε": "e", "ζ": "z", "η": "i",
+    "θ": "th", "ι": "i", "κ": "k", "λ": "l", "μ": "m", "ν": "n", "ξ": "x",
+    "ο": "o", "π": "p", "ρ": "r", "σ": "s", "ς": "s", "τ": "t", "υ": "y",
+    "φ": "f", "χ": "ch", "ψ": "ps", "ω": "o",
+}
 _TRANSLIT = str.maketrans(
     {
         "ß": "ss", "æ": "ae", "Æ": "AE", "ø": "o", "Ø": "O",
         "đ": "d", "Đ": "D", "ł": "l", "Ł": "L", "þ": "th", "Þ": "Th",
         "œ": "oe", "Œ": "OE", "ð": "d", "Ð": "D",
+        **_CYRILLIC,
+        **{k.upper(): v.capitalize() for k, v in _CYRILLIC.items() if v},
+        **_GREEK,
+        **{k.upper(): v.capitalize() for k, v in _GREEK.items() if k != "ς"},
     }
 )
 
 
 def _to_ascii(s: str) -> str:
-    s = s.translate(_TRANSLIT)
-    return (
-        unicodedata.normalize("NFKD", s).encode("ascii", "ignore").decode("ascii")
-    )
+    # NFKD FIRST so accented non-Latin letters (ό, ё, й) decompose to a base
+    # letter the table can map plus combining marks the encode step drops;
+    # Latin ligatures (ß œ æ) survive NFKD and are mapped by the table.
+    s = unicodedata.normalize("NFKD", s).translate(_TRANSLIT)
+    return s.encode("ascii", "ignore").decode("ascii")
 
 
 # Fallback tagger: leading house number, optional unit suffix, rest = street.

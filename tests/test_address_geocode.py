@@ -61,6 +61,16 @@ def test_to_ascii_transliteration():
     assert _to_ascii("北京") == ""  # non-decomposable dropped
 
 
+def test_to_ascii_cyrillic_greek_romanization():
+    assert _to_ascii("Щербаков") == "Shcherbakov"
+    assert _to_ascii("улица Пушкина") == "ulitsa Pushkina"
+    assert _to_ascii("Дніпро") == "Dnipro"
+    assert _to_ascii("Οδός Ψαρών") == "Odos Psaron"
+    assert _to_ascii("θάλασσα") == "thalassa"
+    # mixed-script line keeps the Latin part untouched
+    assert _to_ascii("123 Главная St") == "123 Glavnaya St"
+
+
 def test_parse_one_shapes():
     assert _parse_one("123 Main St") == ("123", "Main St", None)
     assert _parse_one("123-45 Queens Blvd Apt 6B") == ("123-45", "Queens Blvd", "6B")
