@@ -37,6 +37,9 @@ __all__ = [
     "minhash_dedup_cc",
     "minhash_band_index",
     "minhash_incremental",
+    "doc_spans",
+    "duplicate_span_stats",
+    "remove_duplicate_spans",
 ]
 
 
@@ -816,3 +819,143 @@ def minhash_incremental(
     )
     updated_index = corpus_index.unionByName(surviving_index)
     return kept, updated_index
+
+
+# ---------------------------------------------------------------------------
+# Span-level dedup (remove exact duplicated token spans across the corpus —
+# the "repeated boilerplate paragraph" pass; reference analogue: the
+# keep-first row dedup of lib/pipeline_controller.py:176-181 applied at
+# sub-document granularity)
+# ---------------------------------------------------------------------------
+
+
+def doc_spans(
+    df: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    span_tokens: int = 8,
+    hash_fn: str = "xxhash64",
+) -> DataFrame:
+    """(id, pos, span, fp): non-overlapping ``span_tokens``-token windows.
+
+    The final partial window is kept (fingerprinted as-is) so spans cover
+    the whole document and reassembly is lossless.  Pure expression work —
+    tokenize once, slice per position — zero shuffles.
+    """
+    n_spans = F.ceil(F.size("__toks") / F.lit(span_tokens)).cast("int")
+    toked = df.select(
+        F.col(id_col).alias("id"), tokens(text_col).alias("__toks")
+    ).filter(F.size("__toks") > 0)
+    spans = toked.select(
+        "id",
+        F.explode(F.sequence(F.lit(0), n_spans - 1)).alias("pos"),
+        F.col("__toks"),
+    ).select(
+        "id",
+        "pos",
+        F.array_join(
+            F.slice("__toks", F.col("pos") * span_tokens + 1, span_tokens), " "
+        ).alias("span"),
+    )
+    return spans.withColumn("fp", _hash64(F.col("span"), hash_fn))
+
+
+def duplicate_span_stats(
+    df: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    span_tokens: int = 8,
+    min_count: int = 2,
+    hash_fn: str = "xxhash64",
+    round_to: int = 4,
+) -> DataFrame:
+    """Per-doc duplicated-span profile: (id, n_spans, n_dup_spans, dup_fraction).
+
+    A span is "duplicated" when its fingerprint occurs ``min_count``+ times
+    corpus-wide.  Shuffle budget: one fingerprint aggregate (map-side
+    partials collapse identical boilerplate before the exchange), one join
+    of spans against the *duplicated-only* fingerprint set (filtered before
+    the join, so the probe side is the rare-duplicate slice, not the
+    corpus), one per-doc aggregate.
+    """
+    spans = doc_spans(
+        df, id_col=id_col, text_col=text_col,
+        span_tokens=span_tokens, hash_fn=hash_fn,
+    )
+    dup_fps = (
+        spans.groupBy("fp")
+        .agg(F.count(F.lit(1)).alias("__cnt"))
+        .filter(F.col("__cnt") >= min_count)
+        .select("fp")
+        .withColumn("__dup", F.lit(1))
+    )
+    return (
+        spans.join(dup_fps, "fp", "left")
+        .groupBy("id")
+        .agg(
+            F.count(F.lit(1)).alias("n_spans"),
+            F.count("__dup").alias("n_dup_spans"),
+        )
+        .select(
+            F.col("id").alias(id_col),
+            "n_spans",
+            "n_dup_spans",
+            F.round(F.col("n_dup_spans") / F.col("n_spans"), round_to).alias(
+                "dup_fraction"
+            ),
+        )
+    )
+
+
+def remove_duplicate_spans(
+    df: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    span_tokens: int = 8,
+    min_count: int = 2,
+    hash_fn: str = "xxhash64",
+) -> DataFrame:
+    """Rewrite each doc dropping spans duplicated corpus-wide — except in the
+    span's canonical owner (lowest id containing it), which keeps its copy so
+    every span survives exactly once (the RefinedWeb/C4 boilerplate-removal
+    shape).
+
+    Returns (id, clean_text, n_spans, n_dropped).  Reassembly is a per-doc
+    sort of the kept (pos, span) pairs — array_sort over a collected struct
+    list, never a global sort.  Docs whose every span was dropped surface
+    with clean_text = '' rather than disappearing.
+    """
+    spans = doc_spans(
+        df, id_col=id_col, text_col=text_col,
+        span_tokens=span_tokens, hash_fn=hash_fn,
+    )
+    dup_owner = (
+        spans.groupBy("fp")
+        .agg(F.count(F.lit(1)).alias("__cnt"), F.min("id").alias("__owner"))
+        .filter(F.col("__cnt") >= min_count)
+        .select("fp", "__owner")
+    )
+    tagged = spans.join(dup_owner, "fp", "left")
+    kept_flag = F.col("__owner").isNull() | (F.col("__owner") == F.col("id"))
+    return (
+        tagged.groupBy("id")
+        .agg(
+            F.count(F.lit(1)).alias("n_spans"),
+            F.sum(F.when(~kept_flag, 1).otherwise(0)).cast("long").alias("n_dropped"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.when(kept_flag, F.struct("pos", "span"))
+                        )
+                    ),
+                    lambda s: s["span"],
+                ),
+                " ",
+            ).alias("clean_text"),
+        )
+        .select(F.col("id").alias(id_col), "clean_text", "n_spans", "n_dropped")
+    )

@@ -21,6 +21,7 @@ __all__ = [
     "mixture_sample",
     "per_key_sample",
     "shard_assign",
+    "global_order",
 ]
 
 
@@ -230,4 +231,57 @@ def temperature_mixture(
         .join(F.broadcast(quotas), group_col)
         .filter(F.col("__rk") <= F.col("__quota"))
         .drop("__rk", "__quota")
+    )
+
+
+def global_order(
+    df: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    salt: str = "order",
+    prefix_len: int = 2,
+) -> DataFrame:
+    """Total deterministic global position (0-based) WITHOUT a global sort.
+
+    ``global_pos`` equals the row's rank under ``ORDER BY md5(id|salt), id``
+    — the epoch-stable "global shuffle" order a resumable dataloader needs
+    absolute offsets for — but is computed scale-safely in three steps:
+
+    1. shard = the first ``prefix_len`` hex chars of the md5 (a PREFIX, so
+       shard order is consistent with full-hash order — unlike a mod bucket);
+    2. rank within shard via a partitioned window (the only corpus exchange);
+    3. shard offsets from a 16^prefix_len-row count table (cumulative-summed
+       on the driver-sized side and broadcast back).
+
+    The default 256 shards keep each window partition ~1/256 of the corpus;
+    raise ``prefix_len`` to 3 (4096 shards) beyond ~10¹⁰ rows.
+    """
+    from pyspark.sql import Window
+
+    h = F.md5(F.concat(F.col(id_col).cast("string"), F.lit("|" + salt)))
+    sharded = df.withColumn("__h", h).withColumn(
+        "__shard", F.substring("__h", 1, prefix_len)
+    )
+    w = Window.partitionBy("__shard").orderBy("__h", F.col(id_col))
+    ranked = sharded.withColumn("__rk", F.row_number().over(w))
+    offsets = (
+        sharded.groupBy("__shard")
+        .agg(F.count(F.lit(1)).alias("__cnt"))
+        .withColumn(
+            "__offset",
+            F.coalesce(
+                F.sum("__cnt").over(
+                    Window.orderBy("__shard").rowsBetween(
+                        Window.unboundedPreceding, -1
+                    )
+                ),
+                F.lit(0),
+            ),
+        )
+        .select("__shard", "__offset")
+    )
+    return (
+        ranked.join(F.broadcast(offsets), "__shard")
+        .withColumn("global_pos", (F.col("__offset") + F.col("__rk") - 1).cast("long"))
+        .drop("__h", "__shard", "__rk", "__offset")
     )

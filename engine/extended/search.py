@@ -19,7 +19,7 @@ from pyspark.sql import functions as F
 from engine.extended.dedup import cosine
 from engine.extended.text import tokens
 
-__all__ = ["tfidf_scores", "hybrid_topk"]
+__all__ = ["tfidf_scores", "bm25_scores", "hybrid_topk"]
 
 
 def _term_tf(toks: Column, term: str) -> Column:
@@ -68,6 +68,60 @@ def tfidf_scores(
     return toked.select(
         F.col(id_col), F.round(score, round_to).alias("lex_score")
     )
+
+
+def bm25_scores(
+    docs: DataFrame,
+    query_terms: list[str],
+    *,
+    id_col: str = "doc_id",
+    k1: float = 1.2,
+    b: float = 0.75,
+    round_to: int = 4,
+) -> DataFrame:
+    """(id, bm25): full Okapi BM25 with document-length normalization.
+
+    score = Σ_t idf(t) · tf·(k1+1) / (tf + k1·(1 − b + b·dl/avgdl)), with the
+    Lucene-style non-negative idf = ln(1 + (N − df + 0.5)/(df + 0.5)).
+
+    Corpus statistics (N, avgdl, per-term df) come from ONE combined
+    aggregate scan and are inlined as literals — per-query scalars, the
+    100 TB analogue being a broadcast stats table refreshed with the corpus.
+    The scoring pass is then a single codegen scan: tokenize once behind an
+    alias boundary, per-term tf as array filters — no corpus shuffle at all.
+    """
+    import math
+
+    # tokenize ONCE behind an alias boundary — higher-order expressions are
+    # not CSE'd, so aggregating over tokens("text") per stat would re-run
+    # the regex 2+len(terms) times per row
+    stats = (
+        docs.select(tokens("text").alias("__toks"))
+        .agg(
+            F.count(F.lit(1)).alias("__n"),
+            F.avg(F.size("__toks")).alias("__avgdl"),
+            *[
+                F.count(F.when(F.array_contains("__toks", term), 1)).alias(
+                    f"__df_{i}"
+                )
+                for i, term in enumerate(query_terms)
+            ],
+        )
+        .collect()[0]
+    )
+    n_docs, avgdl = stats["__n"], float(stats["__avgdl"])
+
+    toked = docs.select(F.col(id_col), tokens("text").alias("__toks"))
+    dl = F.size("__toks").cast("double")
+    norm = F.lit(k1) * (F.lit(1.0 - b) + F.lit(b) * dl / F.lit(avgdl))
+    score = None
+    for i, term in enumerate(query_terms):
+        df_t = stats[f"__df_{i}"]
+        idf = math.log(1.0 + (n_docs - df_t + 0.5) / (df_t + 0.5))
+        tf = _term_tf(F.col("__toks"), term).cast("double")
+        part = F.lit(idf) * tf * F.lit(k1 + 1.0) / (tf + norm)
+        score = part if score is None else score + part
+    return toked.select(F.col(id_col), F.round(score, round_to).alias("bm25"))
 
 
 def hybrid_topk(

@@ -3999,6 +3999,137 @@ def corpus_pipeline_v2(spark, sf_dir):
     )
 
 
+_BM25_TERMS = ["spark", "merge", "table"]
+
+
+def _bm25_term_sql(term: str, i: int) -> str:
+    tf = f"LENGTH(list_filter(t.toks, x -> x = '{term}'))"
+    return (
+        f"LN(1 + (s.n - s.df{i} + 0.5) / (s.df{i} + 0.5)) * {tf} * 2.2\n"
+        f"             / ({tf} + 1.2 * (0.25 + 0.75 * LENGTH(t.toks) / s.avgdl))"
+    )
+
+
+@q(
+    "bm25_rank",
+    f"""
+    WITH tok AS (SELECT doc_id, {_TOKS_SQL} AS toks FROM documents),
+    stats AS (
+      SELECT COUNT(*) AS n, AVG(LENGTH(toks)) AS avgdl,
+             {", ".join(f"COUNT(CASE WHEN list_contains(toks, '{t_}') THEN 1 END) AS df{i}" for i, t_ in enumerate(_BM25_TERMS))}
+      FROM tok)
+    SELECT t.doc_id,
+           ROUND({" + ".join(_bm25_term_sql(t_, i) for i, t_ in enumerate(_BM25_TERMS))}, 4) AS bm25
+    FROM tok t, stats s
+    ORDER BY bm25 DESC NULLS LAST, t.doc_id LIMIT 15
+    """,
+)
+def bm25_rank(spark, sf_dir):
+    """Full Okapi BM25 ranking (length-normalized, Lucene-style idf) over the
+    corpus for a literal query — the lexical-retrieval primitive
+    (engine.extended.search.bm25_scores).  Stats come from one combined
+    aggregate scan; scoring is a single codegen scan; top-k is
+    TakeOrderedAndProject, never a global sort."""
+    from engine.extended.search import bm25_scores
+
+    d = t(spark, sf_dir, "documents")
+    return (
+        bm25_scores(d, _BM25_TERMS)
+        .orderBy(F.col("bm25").desc_nulls_last(), "doc_id")
+        .limit(15)
+    )
+
+
+_SPAN_SQL = f"""
+    WITH tok AS (
+      SELECT doc_id, {_TOKS_SQL} AS toks FROM documents),
+    nz AS (SELECT doc_id, toks FROM tok WHERE LENGTH(toks) > 0),
+    pos AS (
+      SELECT doc_id, toks,
+             UNNEST(range(0, CAST(CEIL(LENGTH(toks) / 8.0) AS BIGINT))) AS pos
+      FROM nz),
+    spans AS (
+      SELECT doc_id, pos,
+             array_to_string(list_slice(toks, pos * 8 + 1, pos * 8 + 8), ' ') AS span
+      FROM pos),
+    fps AS (SELECT doc_id, pos, span, {_MD5H.format(x='span')} AS fp FROM spans),
+    owners AS (
+      SELECT fp, COUNT(*) AS cnt, MIN(doc_id) AS owner
+      FROM fps GROUP BY fp)"""
+
+
+@q(
+    "span_dup_stats",
+    _SPAN_SQL
+    + """
+    SELECT f.doc_id, CAST(COUNT(*) AS BIGINT) AS n_spans,
+           CAST(SUM(CASE WHEN o.cnt >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_spans,
+           ROUND(SUM(CASE WHEN o.cnt >= 2 THEN 1 ELSE 0 END) * 1.0 / COUNT(*), 4)
+             AS dup_fraction
+    FROM fps f JOIN owners o USING (fp)
+    GROUP BY f.doc_id
+    """,
+)
+def span_dup_stats(spark, sf_dir):
+    """Per-doc duplicated-span profile: fraction of non-overlapping 8-token
+    spans whose fingerprint occurs 2+ times corpus-wide — the boilerplate
+    detector that decides whether a doc needs span-level rewriting
+    (engine.extended.dedup.duplicate_span_stats; md5 mode for the oracle,
+    xxhash64 in production)."""
+    from engine.extended.dedup import duplicate_span_stats
+
+    d = t(spark, sf_dir, "documents")
+    return duplicate_span_stats(d, span_tokens=8, min_count=2, hash_fn="md5")
+
+
+@q(
+    "span_dedup_rewrite",
+    _SPAN_SQL
+    + """
+    SELECT f.doc_id,
+           COALESCE(STRING_AGG(f.span, ' ' ORDER BY f.pos)
+                    FILTER (WHERE o.cnt < 2 OR o.owner = f.doc_id), '')
+             AS clean_text,
+           CAST(COUNT(*) AS BIGINT) AS n_spans,
+           CAST(SUM(CASE WHEN o.cnt >= 2 AND o.owner <> f.doc_id THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_dropped
+    FROM fps f JOIN owners o USING (fp)
+    GROUP BY f.doc_id
+    """,
+)
+def span_dedup_rewrite(spark, sf_dir):
+    """Span-level dedup rewrite: every duplicated 8-token span survives only
+    in its canonical owner (lowest doc id); other docs are reassembled
+    without it (the RefinedWeb/C4 boilerplate-removal pass;
+    engine.extended.dedup.remove_duplicate_spans)."""
+    from engine.extended.dedup import remove_duplicate_spans
+
+    d = t(spark, sf_dir, "documents")
+    return remove_duplicate_spans(d, span_tokens=8, min_count=2, hash_fn="md5")
+
+
+@q(
+    "global_order_positions",
+    """
+    SELECT doc_id,
+           CAST(ROW_NUMBER() OVER (
+             ORDER BY MD5(CAST(doc_id AS VARCHAR) || '|order'), doc_id) - 1
+             AS BIGINT) AS global_pos
+    FROM documents
+    """,
+)
+def global_order_positions(spark, sf_dir):
+    """Deterministic total order (epoch-stable global shuffle with absolute
+    offsets) computed WITHOUT a global sort: md5-prefix shards + per-shard
+    window rank + broadcast cumulative shard offsets
+    (engine.extended.sampling.global_order).  The oracle IS the global sort —
+    proving the sharded computation equals ORDER BY md5(id)."""
+    from engine.extended.sampling import global_order
+
+    d = t(spark, sf_dir, "documents").select("doc_id")
+    return global_order(d).select("doc_id", "global_pos")
+
+
 # ===========================================================================
 # Registration order (driver verification window)
 # ===========================================================================

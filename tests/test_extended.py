@@ -436,3 +436,67 @@ def test_near_dup_groups_pointer_doubling_long_chain(spark):
 
     with _pytest.raises(RuntimeError, match="did not converge"):
         near_dup_groups(chain, max_iterations=2)
+
+
+def test_span_dedup_rewrite_keeps_canonical_owner(spark):
+    """A boilerplate span shared by three docs survives only in the lowest
+    id; unique spans are untouched; a doc that is ALL boilerplate rewrites
+    to ''."""
+    from engine.extended.dedup import duplicate_span_stats, remove_duplicate_spans
+
+    boiler = "terms of service apply to all users here"  # 8 tokens
+    rows = [
+        (0, boiler + " alpha beta gamma delta epsilon zeta eta theta"),
+        (1, boiler + " one two three four five six seven eight"),
+        (2, boiler),
+        (3, "totally unique text with no duplicated spans at all"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["doc_id"]: r
+        for r in remove_duplicate_spans(df, span_tokens=8).collect()
+    }
+    assert got[0]["clean_text"].startswith(boiler)  # owner keeps its copy
+    assert got[0]["n_dropped"] == 0
+    assert got[1]["clean_text"] == "one two three four five six seven eight"
+    assert got[1]["n_dropped"] == 1
+    assert got[2]["clean_text"] == "" and got[2]["n_dropped"] == 1
+    assert got[3]["n_dropped"] == 0
+
+    stats = {
+        r["doc_id"]: r for r in duplicate_span_stats(df, span_tokens=8).collect()
+    }
+    assert stats[2]["dup_fraction"] == 1.0
+    assert stats[3]["dup_fraction"] == 0.0
+    assert stats[0]["n_spans"] == 2 and stats[0]["n_dup_spans"] == 1
+
+
+def test_global_order_partition_count_invariant(spark):
+    """global_pos is a permutation of 0..n-1 and identical across
+    repartitionings (the determinism shard_assign gives per shard, extended
+    to an absolute global offset)."""
+    from engine.extended.sampling import global_order
+
+    df = spark.range(1000).select(F.col("id").alias("doc_id"))
+    a = {r["doc_id"]: r["global_pos"] for r in global_order(df).collect()}
+    b = {
+        r["doc_id"]: r["global_pos"]
+        for r in global_order(df.repartition(7)).collect()
+    }
+    assert a == b
+    assert sorted(a.values()) == list(range(1000))
+
+
+def test_bm25_orders_by_relevance(spark):
+    """tf saturation + length norm: the short doc dense in the query term
+    outranks a long one with equal tf; absent-term docs score 0."""
+    from engine.extended.search import bm25_scores
+
+    rows = [
+        (0, "spark spark spark engine"),
+        (1, "spark spark spark " + " ".join(["pad"] * 60)),
+        (2, "nothing relevant in here"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r["bm25"] for r in bm25_scores(df, ["spark"]).collect()}
+    assert got[0] > got[1] > got[2] == 0.0
