@@ -48,10 +48,14 @@ def address_key(id_col: str, addr_cols: list[str], *, sep: str = "_") -> Column:
 
     The reference ``fillna('')`` before concatenating
     (lib/pipeline_controller.py:189-194).  ``concat_ws`` alone *skips* null
-    slots (shifting separators), so every column is coalesced to '' explicitly —
-    the silent-corruption spot called out in SURVEY §7 risk 7.
+    slots (shifting separators), so every column — INCLUDING the id, which a
+    left-join miss or dirty feed can null out (the 10× skew gate's 5%
+    null-key orders caught the uncoalesced id slot) — is coalesced to ''
+    explicitly: the silent-corruption spot called out in SURVEY §7 risk 7.
     """
-    parts = [F.col(id_col)] + [F.coalesce(F.col(c), F.lit("")) for c in addr_cols]
+    parts = [F.coalesce(F.col(id_col).cast("string"), F.lit(""))] + [
+        F.coalesce(F.col(c), F.lit("")) for c in addr_cols
+    ]
     return F.concat_ws(sep, *parts)
 
 

@@ -574,10 +574,15 @@ def f13_json_records(spark, sf_dir):
     "q1_pricing_summary",
     """
     SELECT l_returnflag, l_linestatus,
-           ROUND(SUM(l_quantity), 2) AS sum_qty,
-           ROUND(SUM(l_extendedprice), 2) AS sum_base_price,
-           ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
-           ROUND(SUM(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+           CAST(ROUND(SUM(CAST(l_quantity AS DECIMAL(12,2))), 2) AS DOUBLE) AS sum_qty,
+           CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(12,2))), 2) AS DOUBLE) AS sum_base_price,
+           CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+                          * (1 - CAST(l_discount AS DECIMAL(4,2)))), 2) AS DOUBLE)
+             AS sum_disc_price,
+           CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+                          * (1 - CAST(l_discount AS DECIMAL(4,2)))
+                          * (1 + CAST(l_tax AS DECIMAL(4,2)))), 2) AS DOUBLE)
+             AS sum_charge,
            ROUND(AVG(l_quantity), 4) AS avg_qty,
            ROUND(AVG(l_extendedprice), 4) AS avg_price,
            ROUND(AVG(l_discount), 4) AS avg_disc,
@@ -589,17 +594,27 @@ def f13_json_records(spark, sf_dir):
 )
 def q1_pricing_summary(spark, sf_dir):
     """TPC-H Q1 shape — the flagship scan+agg; partial aggregation map-side,
-    one shuffle on the 2-col group key."""
+    one shuffle on the 2-col group key.
+
+    Money SUMs accumulate in DECIMAL (as TPC-H itself types them): double
+    group-sums associate differently per engine/partitioning, and the 10×
+    skew-gate showed the drift crossing ROUND boundaries once a hot group
+    passes ~10⁹ in magnitude.  Inputs are 2-decimal by contract, so the
+    casts are lossless and the sums bit-stable at any scale.  AVGs stay
+    double: their magnitude is row-scale, leaving ~10⁷× drift headroom."""
     li = t(spark, sf_dir, "lineitem")
-    disc = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    qty = F.col("l_quantity").cast("decimal(12,2)")
+    price = F.col("l_extendedprice").cast("decimal(12,2)")
+    disc = price * (F.lit(1) - F.col("l_discount").cast("decimal(4,2)"))
+    charge = disc * (F.lit(1) + F.col("l_tax").cast("decimal(4,2)"))
     return (
         li.filter(F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
-            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
-            F.round(F.sum(disc), 2).alias("sum_disc_price"),
-            F.round(F.sum(disc * (1 + F.col("l_tax"))), 2).alias("sum_charge"),
+            F.round(F.sum(qty), 2).cast("double").alias("sum_qty"),
+            F.round(F.sum(price), 2).cast("double").alias("sum_base_price"),
+            F.round(F.sum(disc), 2).cast("double").alias("sum_disc_price"),
+            F.round(F.sum(charge), 2).cast("double").alias("sum_charge"),
             F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
             F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
             F.round(F.avg("l_discount"), 4).alias("avg_disc"),
@@ -612,7 +627,9 @@ def q1_pricing_summary(spark, sf_dir):
     "q3_order_revenue_topk",
     """
     SELECT o.o_orderkey, CAST(o.o_orderdate AS VARCHAR) AS o_orderdate_s,
-           ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+           CAST(ROUND(SUM(CAST(l.l_extendedprice AS DECIMAL(12,2))
+                          * (1 - CAST(l.l_discount AS DECIMAL(4,2)))), 2) AS DOUBLE)
+             AS revenue
     FROM customer c
     JOIN orders o ON c.c_custkey = o.o_custkey
     JOIN lineitem l ON o.o_orderkey = l.l_orderkey
@@ -633,8 +650,14 @@ def q3_order_revenue_topk(spark, sf_dir):
         .groupBy("o_orderkey", "o_orderdate")
         .agg(
             F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
-            ).alias("revenue")
+                F.sum(
+                    F.col("l_extendedprice").cast("decimal(12,2)")
+                    * (F.lit(1) - F.col("l_discount").cast("decimal(4,2)"))
+                ),
+                2,
+            )
+            .cast("double")
+            .alias("revenue")
         )
         .select(
             "o_orderkey",
@@ -650,7 +673,9 @@ def q3_order_revenue_topk(spark, sf_dir):
     "q5_nation_revenue",
     """
     SELECT n.n_name,
-           ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+           CAST(ROUND(SUM(CAST(l.l_extendedprice AS DECIMAL(12,2))
+                          * (1 - CAST(l.l_discount AS DECIMAL(4,2)))), 2) AS DOUBLE)
+             AS revenue
     FROM lineitem l
     JOIN supplier s ON l.l_suppkey = s.s_suppkey
     JOIN nation n ON s.s_nationkey = n.n_nationkey
@@ -671,8 +696,14 @@ def q5_nation_revenue(spark, sf_dir):
         .groupBy("n_name")
         .agg(
             F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
-            ).alias("revenue")
+                F.sum(
+                    F.col("l_extendedprice").cast("decimal(12,2)")
+                    * (F.lit(1) - F.col("l_discount").cast("decimal(4,2)"))
+                ),
+                2,
+            )
+            .cast("double")
+            .alias("revenue")
         )
     )
 
@@ -764,15 +795,24 @@ def setops_customer_keys(spark, sf_dir):
     "window_running_total",
     """
     SELECT o_custkey, o_orderkey,
-           ROUND(SUM(o_totalprice) OVER (
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
              PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
-             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running_total
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+             AS running_total
     FROM orders
     """,
 )
 def window_running_total(spark, sf_dir):
     """Analytic window frame (§2.5: only ranking exists in the reference;
-    engine capability)."""
+    engine capability).
+
+    The accumulator is DECIMAL(18,2), not DOUBLE: windowed sums associate
+    differently across engines (Spark accumulates sequentially, DuckDB uses
+    a segment tree), and on a hot partition the double drift crosses
+    ROUND-boundaries — the 10× skew gate caught exactly that at a 600k-row
+    hot customer.  Exact decimal arithmetic is association-free, so the
+    running total is bit-stable at any scale; prices are 2-decimal by
+    contract, making the cast lossless."""
     o = t(spark, sf_dir, "orders")
     w = (
         Window.partitionBy("o_custkey")
@@ -782,7 +822,10 @@ def window_running_total(spark, sf_dir):
     return o.select(
         "o_custkey",
         "o_orderkey",
-        F.round(F.sum("o_totalprice").over(w), 2).alias("running_total"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+        .over(w)
+        .cast("double")
+        .alias("running_total"),
     )
 
 
@@ -1056,7 +1099,7 @@ def text_quality(spark, sf_dir):
         LENGTH(list_filter(toks, x -> x IN ('il','la','che','di','e','un','una','per','non','sono'))) AS h_it
       FROM tok)
     SELECT doc_id,
-      CASE WHEN GREATEST(h_de, h_en, h_es, h_fr, h_it) < 1 THEN 'und'
+      CASE WHEN COALESCE(GREATEST(h_de, h_en, h_es, h_fr, h_it), 0) < 1 THEN 'und'
            WHEN h_de >= GREATEST(h_en, h_es, h_fr, h_it) THEN 'de'
            WHEN h_en >= GREATEST(h_es, h_fr, h_it) THEN 'en'
            WHEN h_es >= GREATEST(h_fr, h_it) THEN 'es'
@@ -1778,7 +1821,7 @@ def multimodal_decode(spark, sf_dir):
         FROM fanout f) WHERE rn = 1)
     SELECT CAST(d.o_custkey AS VARCHAR) AS patron_id_plaintext,
            sha256('spark-graft' || CAST(d.o_custkey AS VARCHAR)) AS patron_id,
-           sha256('spark-graft' || (CAST(d.o_custkey AS VARCHAR) || '_' ||
+           sha256('spark-graft' || (COALESCE(CAST(d.o_custkey AS VARCHAR), '') || '_' ||
              COALESCE(d.c_name, '') || '_' || COALESCE(d.c_mktsegment, ''))) AS address_hash,
            SUBSTRING(d.c_mktsegment, 1, 5) AS segment5,
            CAST(CAST(d.o_orderdate AT TIME ZONE 'UTC'
@@ -1826,7 +1869,9 @@ def flagship_patron_chain(spark, sf_dir):
 @q(
     "q6_selective_agg",
     """
-    SELECT ROUND(SUM(l_extendedprice * l_discount), 2) AS revenue,
+    SELECT CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+                          * CAST(l_discount AS DECIMAL(4,2))), 2) AS DOUBLE)
+             AS revenue,
            COUNT(*) AS n
     FROM lineitem
     WHERE l_shipdate >= TIMESTAMP '1994-01-01 00:00:00'
@@ -1847,9 +1892,15 @@ def q6_selective_agg(spark, sf_dir):
             & (F.col("l_quantity") < 24)
         )
         .agg(
-            F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2).alias(
-                "revenue"
-            ),
+            F.round(
+                F.sum(
+                    F.col("l_extendedprice").cast("decimal(12,2)")
+                    * F.col("l_discount").cast("decimal(4,2)")
+                ),
+                2,
+            )
+            .cast("double")
+            .alias("revenue"),
             F.count(F.lit(1)).alias("n"),
         )
     )
