@@ -53,6 +53,22 @@ HEADLINE = [
     "pipeline_new_mode",
 ]
 
+#: operators added after the pack was frozen (round-2/3): timed separately so
+#: the headline total stays round-over-round comparable; reported in the same
+#: JSON line under "secondary" (not counted in "value").
+SECONDARY = [
+    "bigram_lm_quality",
+    "url_domain_stats",
+    "temperature_mixture_sample",
+    "embedding_matryoshka",
+    "doc_overlap_winnow",
+    "corpus_pipeline_v3",
+    "bm25_rank",
+    "span_dup_stats",
+    "span_dedup_rewrite",
+    "global_order_positions",
+]
+
 
 def force(df) -> None:
     df.write.format("noop").mode("overwrite").save()
@@ -69,7 +85,7 @@ def main() -> None:
     # plan shapes → codegen/planner caches are hot for the timed pass, whose
     # numbers then scale with data volume, not first-use JVM compilation.
     warm_dir = os.environ.get("SPARK_GRAFT_WARM_DIR", "/root/testdata/sf0.001")
-    for name in HEADLINE:
+    for name in HEADLINE + SECONDARY:
         force(SPARK_QUERIES[name](spark, warm_dir))
         spark.catalog.clearCache()
     # parquet footers of the target SF (I/O warm-up, not plan warm-up)
@@ -87,6 +103,14 @@ def main() -> None:
         total += dt
         spark.catalog.clearCache()
 
+    secondary: dict[str, float] = {}
+    for name in SECONDARY:
+        fn = SPARK_QUERIES[name]
+        t0 = time.time()
+        force(fn(spark, sf_dir))
+        secondary[name] = round(time.time() - t0, 3)
+        spark.catalog.clearCache()
+
     print(
         json.dumps(
             {
@@ -94,6 +118,7 @@ def main() -> None:
                 "value": round(total, 3),
                 "unit": "sec",
                 "queries": timings,
+                "secondary": secondary,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }
         )

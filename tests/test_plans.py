@@ -171,3 +171,42 @@ def test_lookup_or_compute_join_strategy_follows_flag(spark):
     p_s = plan(lookup_or_compute(df, cache, "k", ["v"], compute, broadcast_overlays=False))
     assert "BroadcastHashJoin" not in p_s
     assert "ShuffledHashJoin" in p_s or "SortMergeJoin" in p_s
+
+
+def test_runtime_bloom_filter_reduces_shuffle_join(spark):
+    """When the dim side is too big to broadcast but carries a selective
+    filter, Spark must inject a runtime bloom filter on the fact side —
+    the shuffle-join row reduction that matters at 100 TB (the fact scan
+    drops non-matching rows BEFORE the exchange).  Thresholds lowered so
+    local-size data qualifies; on a real cluster the defaults
+    (creation ≤ 10 MB, application ≥ 10 GB scan) gate it to exactly the
+    fact-dim shape this test pins."""
+    old = {
+        "spark.sql.autoBroadcastJoinThreshold": spark.conf.get(
+            "spark.sql.autoBroadcastJoinThreshold"
+        ),
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold":
+            spark.conf.get(
+                "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold"
+            ),
+    }
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        spark.conf.set(
+            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+            "0",
+        )
+        li = spark.read.parquet(f"{SF}/lineitem.parquet")
+        o = spark.read.parquet(f"{SF}/orders.parquet").filter(
+            F.col("o_orderpriority") == "1-URGENT"
+        )
+        j = (
+            li.join(o, li.l_orderkey == o.o_orderkey)
+            .groupBy("o_orderpriority")
+            .count()
+        )
+        p = plan(j)
+        assert "bloom_filter_agg" in p or "BloomFilterMightContain" in p
+    finally:
+        for k, v in old.items():
+            spark.conf.set(k, v)
