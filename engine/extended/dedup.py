@@ -713,12 +713,21 @@ def minhash_band_index(
     bands: int = 16,
     shingle_n: int = 3,
     hash_fn: str = "xxhash64",
+    bucket_cap: int = 500,
 ) -> DataFrame:
     """(id, sig, band, bkey) — the persistable LSH band index of a corpus.
 
     At deployment scale this table is written once, partitioned/bucketed by
     (band, bkey); each incremental batch probes it instead of recomputing
     corpus signatures (see :func:`minhash_incremental`).
+
+    ``bucket_cap`` keeps only each bucket's ``bucket_cap`` lowest-id members
+    (same contract and tradeoff as :func:`minhash_candidates`): a degenerate
+    bucket — identical boilerplate shared by millions of docs — otherwise
+    makes every future probe of that bucket O(n), unbounded.  For exact
+    duplicates the cap is lossless (every member has the same signature, so
+    any surviving member kills the incoming dup); capped per materialization,
+    so re-cap on index compaction if buckets grow across many batches.
     """
     rows_per_band = num_hashes // bands
     sigs = minhash_sigs(
@@ -729,7 +738,7 @@ def minhash_band_index(
         shingle_n=shingle_n,
         hash_fn=hash_fn,
     )
-    return sigs.select(
+    index = sigs.select(
         "id",
         "sig",
         F.explode(
@@ -744,6 +753,14 @@ def minhash_band_index(
             )
         ).alias("bb"),
     ).select("id", "sig", F.col("bb.band").alias("band"), F.col("bb.bkey").alias("bkey"))
+    if bucket_cap:
+        w = Window.partitionBy("band", "bkey").orderBy("id")
+        index = (
+            index.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") <= bucket_cap)
+            .drop("__rn")
+        )
+    return index
 
 
 def minhash_incremental(

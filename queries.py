@@ -1202,16 +1202,28 @@ def _est_sql(a: str, b: str, *, k: int = 64) -> str:
 
 @q(
     "dedup_minhash_lsh",
+    # pair-first shape: dedupe bare (id_a, id_b) BEFORE touching signatures —
+    # the raw band join multiplies rows by Σ C(bucket, 2), and carrying two
+    # 64-slot sigs (plus a list_zip per row) through that blow-up spilled
+    # DuckDB past local disk on the skewed pack; 16-byte id pairs stream
+    # through fine and the sigs join back once per DISTINCT pair (exactly
+    # what the Spark side does: est computed in the join projection, 8-byte
+    # pair exchange).
     _minhash_with_sql()
     + f""",
     capped AS (
-      SELECT doc_id, sig, band, bkey FROM (
-        SELECT *, ROW_NUMBER() OVER (PARTITION BY band, bkey ORDER BY doc_id) AS rn
-        FROM banded) WHERE rn <= 500)
-    SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
-           ROUND({_est_sql('a', 'b')}, 4) AS est_jaccard
-    FROM capped a JOIN capped b
-      ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id
+      SELECT doc_id, band, bkey FROM (
+        SELECT doc_id, band, bkey,
+               ROW_NUMBER() OVER (PARTITION BY band, bkey ORDER BY doc_id) AS rn
+        FROM banded) WHERE rn <= 500),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM capped a JOIN capped b
+        ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id)
+    SELECT c.id_a, c.id_b, ROUND({_est_sql('sa', 'sb')}, 4) AS est_jaccard
+    FROM cand c
+    JOIN sigs sa ON sa.doc_id = c.id_a
+    JOIN sigs sb ON sb.doc_id = c.id_b
     """,
 )
 def dedup_minhash_lsh(spark, sf_dir):
@@ -1228,18 +1240,32 @@ def dedup_minhash_lsh(spark, sf_dir):
 
 @q(
     "dedup_minhash_incremental",
+    # pair-first + per-build bucket caps, mirroring minhash_band_index's
+    # bucket_cap=500 (lowest ids per (band, bkey) within each build) and the
+    # lean candidate shape (bare id pairs through the band join; sigs joined
+    # back once per DISTINCT pair for the est filter).
     _minhash_with_sql()
     + f""",
-    cb AS (SELECT * FROM banded WHERE doc_id % 2 = 0),
-    bb AS (SELECT * FROM banded WHERE doc_id % 2 = 1),
-    dups AS (
-      SELECT n.doc_id AS dup_id
+    cb AS (SELECT doc_id, band, bkey FROM (
+      SELECT doc_id, band, bkey,
+             ROW_NUMBER() OVER (PARTITION BY band, bkey ORDER BY doc_id) AS rn
+      FROM banded WHERE doc_id % 2 = 0) WHERE rn <= 500),
+    bb AS (SELECT doc_id, band, bkey FROM (
+      SELECT doc_id, band, bkey,
+             ROW_NUMBER() OVER (PARTITION BY band, bkey ORDER BY doc_id) AS rn
+      FROM banded WHERE doc_id % 2 = 1) WHERE rn <= 500),
+    cand AS (
+      SELECT DISTINCT n.doc_id AS dup_id, c.doc_id AS other_id
       FROM bb n JOIN cb c ON n.band = c.band AND n.bkey = c.bkey
-      WHERE {_est_sql('n', 'c')} >= 0.5
       UNION
-      SELECT b.doc_id
-      FROM bb a JOIN bb b ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id
-      WHERE {_est_sql('a', 'b')} >= 0.5)
+      SELECT DISTINCT b.doc_id AS dup_id, a.doc_id AS other_id
+      FROM bb a JOIN bb b ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id),
+    dups AS (
+      SELECT DISTINCT cand.dup_id
+      FROM cand
+      JOIN sigs sa ON sa.doc_id = cand.dup_id
+      JOIN sigs sb ON sb.doc_id = cand.other_id
+      WHERE {_est_sql('sa', 'sb')} >= 0.5)
     SELECT d.doc_id, d.source FROM documents d
     WHERE d.doc_id % 2 = 1 AND d.doc_id NOT IN (SELECT dup_id FROM dups)
     """,
@@ -2741,14 +2767,20 @@ def dup_rate_by_source(spark, sf_dir):
     _minhash_with_sql(recursive=True)
     + f""",
     capped AS (
-      SELECT doc_id, sig, band, bkey FROM (
-        SELECT *, ROW_NUMBER() OVER (PARTITION BY band, bkey ORDER BY doc_id) AS rn
+      SELECT doc_id, band, bkey FROM (
+        SELECT doc_id, band, bkey,
+               ROW_NUMBER() OVER (PARTITION BY band, bkey ORDER BY doc_id) AS rn
         FROM banded) WHERE rn <= 500),
-    prs AS (
+    cand AS (
       SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
       FROM capped a JOIN capped b
-        ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id
-      WHERE ROUND({_est_sql('a', 'b')}, 4) >= 0.5),
+        ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id),
+    prs AS (
+      SELECT c.id_a, c.id_b
+      FROM cand c
+      JOIN sigs sa ON sa.doc_id = c.id_a
+      JOIN sigs sb ON sb.doc_id = c.id_b
+      WHERE ROUND({_est_sql('sa', 'sb')}, 4) >= 0.5),
     edges AS (
       SELECT id_a AS src, id_b AS dst FROM prs
       UNION
