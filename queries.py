@@ -1184,8 +1184,9 @@ def _minhash_with_sql(*, k: int = 64, n: int = 3, bands: int = 16, recursive: bo
                  MIN(((bin - i) % {k} + {k}) % {k}) * {_OPH_C_SQL}) AS sv
       FROM binned CROSS JOIN (SELECT UNNEST(range(0, {k})) AS i) ix
       GROUP BY doc_id, i),
-    sigs AS (SELECT doc_id, list(sv ORDER BY i) AS sig FROM slots GROUP BY doc_id),
-    banded AS (
+    sigs AS MATERIALIZED (
+      SELECT doc_id, list(sv ORDER BY i) AS sig FROM slots GROUP BY doc_id),
+    banded AS MATERIALIZED (
       {banded})"""
 
 
@@ -1211,7 +1212,7 @@ def _est_sql(a: str, b: str, *, k: int = 64) -> str:
     # pair exchange).
     _minhash_with_sql()
     + f""",
-    capped AS (
+    capped AS MATERIALIZED (
       SELECT doc_id, band, bkey FROM (
         SELECT doc_id, band, bkey,
                ROW_NUMBER() OVER (PARTITION BY band, bkey ORDER BY doc_id) AS rn
@@ -1246,11 +1247,11 @@ def dedup_minhash_lsh(spark, sf_dir):
     # back once per DISTINCT pair for the est filter).
     _minhash_with_sql()
     + f""",
-    cb AS (SELECT doc_id, band, bkey FROM (
+    cb AS MATERIALIZED (SELECT doc_id, band, bkey FROM (
       SELECT doc_id, band, bkey,
              ROW_NUMBER() OVER (PARTITION BY band, bkey ORDER BY doc_id) AS rn
       FROM banded WHERE doc_id % 2 = 0) WHERE rn <= 500),
-    bb AS (SELECT doc_id, band, bkey FROM (
+    bb AS MATERIALIZED (SELECT doc_id, band, bkey FROM (
       SELECT doc_id, band, bkey,
              ROW_NUMBER() OVER (PARTITION BY band, bkey ORDER BY doc_id) AS rn
       FROM banded WHERE doc_id % 2 = 1) WHERE rn <= 500),
@@ -2766,7 +2767,7 @@ def dup_rate_by_source(spark, sf_dir):
     "dedup_minhash_cc",
     _minhash_with_sql(recursive=True)
     + f""",
-    capped AS (
+    capped AS MATERIALIZED (
       SELECT doc_id, band, bkey FROM (
         SELECT doc_id, band, bkey,
                ROW_NUMBER() OVER (PARTITION BY band, bkey ORDER BY doc_id) AS rn
