@@ -39,6 +39,10 @@ __all__ = [
     "extract_urls",
     "url_domain",
     "domain_blocklist_filter",
+    "HTML_STRIP_STEPS",
+    "HTML_ENTITIES",
+    "html_to_text",
+    "hashed_quality_score",
 ]
 
 #: (name, regex, replacement) applied IN ORDER.  Patterns are written in the
@@ -462,3 +466,91 @@ def domain_blocklist_filter(
     elif broadcast_flagged is False:
         flagged = flagged.hint("shuffle_hash")
     return df.join(flagged, id_col, "left_anti")
+
+
+# ---------------------------------------------------------------------------
+# HTML → text extraction (the first stage of every web-scrape pipeline)
+# ---------------------------------------------------------------------------
+
+#: tag-strip passes applied IN ORDER; Java-regex ∩ RE2 subset ((?i) inline
+#: flag, [\s\S] for DOTALL, non-greedy *?) so the DuckDB oracle runs the
+#: identical patterns.  script/style bodies are payload, not prose, so their
+#: CONTENT dies with the element; comments next (they may contain markup);
+#: then any remaining tag.
+HTML_STRIP_STEPS: list[tuple[str, str]] = [
+    (r"(?i)<script[^>]*>[\s\S]*?</script\s*>", " "),
+    (r"(?i)<style[^>]*>[\s\S]*?</style\s*>", " "),
+    (r"<!--[\s\S]*?-->", " "),
+    (r"<[^>]+>", " "),
+]
+
+#: literal entity decodes; ``&amp;`` LAST so ``&amp;lt;`` yields ``&lt;``
+#: (the HTML5 double-escape rule), never ``<``.
+HTML_ENTITIES: list[tuple[str, str]] = [
+    ("&lt;", "<"),
+    ("&gt;", ">"),
+    ("&quot;", '"'),
+    ("&#39;", "'"),
+    ("&apos;", "'"),
+    ("&nbsp;", " "),
+    ("&amp;", "&"),
+]
+
+
+def html_to_text(col: Column | str) -> Column:
+    """Boilerplate-free prose from raw HTML: drop script/style bodies,
+    comments and tags, decode the common literal entities, collapse
+    whitespace.  Pure regexp/replace chain — zero shuffles, whole-stage
+    codegen; the C4-style extraction pass before any quality filter."""
+    c = F.col(col) if isinstance(col, str) else col
+    for pat, rep in HTML_STRIP_STEPS:
+        c = F.regexp_replace(c, pat, rep)
+    for ent, rep in HTML_ENTITIES:
+        c = F.replace(c, F.lit(ent), F.lit(rep))
+    return F.trim(F.regexp_replace(c, r"\s+", " "))
+
+
+# ---------------------------------------------------------------------------
+# Hashed linear quality classifier (fastText-shape scoring)
+# ---------------------------------------------------------------------------
+
+
+def hashed_quality_score(
+    text_col: Column,
+    *,
+    n_buckets: int = 4096,
+    prefix: str = "q",
+) -> dict[str, Column]:
+    """fastText-style hashed bag-of-words linear score over an
+    ALREADY-PROJECTED token-array column (see text.ngrams_from for why).
+
+    Each token hashes to a weight bucket (dual-implementable md5_long — the
+    classifier is oracle-checkable end to end); the bucket's weight is a
+    deterministic integer in [-98, 98] derived from the bucket id, standing
+    in for trained parameters (real deployments broadcast a weight table and
+    map-join it; the OPERATOR SHAPE — hash, gather, mean, squash — is
+    identical).  The per-doc sum stays integer (exact, order-independent),
+    so the only float op is one final sigmoid on an exact value — no
+    accumulation-order divergence between engines.
+
+    Zero shuffles: transform + aggregate inside codegen, one scan.
+    """
+    from engine.extended.dedup import md5_long
+
+    toks = text_col
+    bucket = lambda t: F.pmod(  # noqa: E731
+        md5_long(F.concat(F.lit(prefix + "|"), t)), F.lit(n_buckets)
+    )
+    wsum = F.aggregate(
+        F.transform(toks, lambda t: bucket(t) % 197 - 98),
+        F.lit(0).cast("long"),
+        lambda acc, w: acc + w,
+    )
+    n = F.size(toks)
+    raw = F.when(n > 0, wsum.cast("double") / (F.lit(98.0) * n)).otherwise(F.lit(0.0))
+    score = F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-F.lit(4.0) * raw)), 4)
+    return {
+        "weight_sum": wsum,
+        "quality_score": score,
+        "quality_label": (score >= 0.5).cast("int"),
+    }

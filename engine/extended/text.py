@@ -20,10 +20,13 @@ __all__ = [
     "word_ngrams",
     "char_ngrams",
     "norm_text",
+    "ascii_norm_text",
     "lang_hits_from",
     "lang_id_from",
     "lang_id_expr",
     "quality_exprs",
+    "char_entropy_from",
+    "char_entropy_expr",
     "fingerprint",
     "rolling_fingerprints",
     "rolling_fingerprints_from",
@@ -97,6 +100,19 @@ def norm_text(col: Column | str) -> Column:
     """Lowercased, whitespace-collapsed text (the char-window normal form)."""
     c = F.col(col) if isinstance(col, str) else col
     return F.regexp_replace(F.lower(c), r"\s+", " ")
+
+
+def ascii_norm_text(col: Column | str) -> Column:
+    """ASCII-restricted normal form: non-printable-ASCII stripped BEFORE
+    lowering, then whitespace-collapsed.  ASCII lowercasing is
+    engine-invariant while Unicode lowering is not (Java vs utf8proc
+    disagree on İ and friends), and stripping first also removes the
+    UTF-16-unit vs codepoint length divergence on astral-plane input — the
+    normal form every oracle-paired char-level operator builds on."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.regexp_replace(
+        F.lower(F.regexp_replace(c, "[^ -~]", "")), r"\s+", " "
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -202,6 +218,41 @@ def quality_exprs(col: str) -> dict[str, Column]:
 
 def with_quality(df: DataFrame, col: str = "text") -> DataFrame:
     return df.withColumns(quality_exprs(col))
+
+
+def char_entropy_from(norm: Column) -> Column:
+    """Shannon character entropy (nats) from an ALREADY-PROJECTED
+    normalized-text column — the standard gibberish/binary-noise filter
+    (low entropy = repeated filler, high = random bytes).
+
+    Zero-shuffle formulation: the per-char histogram is computed as
+    ``length(s) - length(replace(s, c, ''))`` over the SORTED distinct-char
+    array, so no explode/groupBy touches the row stream; cost is
+    O(distinct_chars × len) per doc with distinct_chars ≤ charset size.
+    The fold runs over a sorted array in both engines, making the float
+    accumulation order—and therefore the oracle hash—deterministic.
+    Identity used: H = ln(n) - (Σ cnt·ln cnt)/n, so only counts (exact
+    integers) enter the lambda and the final expression does one division.
+    """
+    chars = F.array_sort(F.array_distinct(F.regexp_extract_all(norm, F.lit(r"[\s\S]"), F.lit(0))))
+    n = F.length(norm)
+    cnt = lambda c: n - F.length(F.replace(norm, c, F.lit("")))  # noqa: E731
+    sum_clnc = F.aggregate(
+        chars,
+        F.lit(0.0),
+        lambda acc, c: acc + cnt(c).cast("double") * F.log(cnt(c).cast("double")),
+    )
+    return F.when(
+        n > 0, F.round(F.log(n.cast("double")) - sum_clnc / n, 4)
+    ).otherwise(F.lit(0.0))
+
+
+def char_entropy_expr(col: str) -> Column:
+    """Inline convenience form of :func:`char_entropy_from` over the
+    ASCII-restricted normal form (re-normalizes inside the fold — tiny/cold
+    paths only; hot paths project :func:`ascii_norm_text` once and pass the
+    alias)."""
+    return char_entropy_from(ascii_norm_text(col))
 
 
 # ---------------------------------------------------------------------------

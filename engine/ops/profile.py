@@ -1,0 +1,65 @@
+"""Column profiling: the data-quality summary every ingest pipeline runs
+before trusting a feed (the reference validates its inputs ad hoc —
+row-count guards in lib/pipeline_controller.py and null checks scattered
+through helpers/; this operator is that validation generalized to a single
+declarative pass).
+
+One aggregate scan produces every per-column statistic as ONE wide row
+(count / nulls / exact distinct / min / max as canonical strings); a
+zero-shuffle ``stack`` unpivot then reshapes it to one row per column.
+At 100 TB the only caveat is exact COUNT(DISTINCT): Spark plans multiple
+distinct aggregates as one Expand (rows × columns blow-up before partial
+aggregation), so ``exact_distinct=False`` swaps in HLL
+``approx_count_distinct`` — same single-scan shape, no Expand, constant
+memory — which is the right default on corpus-scale feeds (the exact mode
+is the oracle-checkable one).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+__all__ = ["table_profile"]
+
+
+def _canon_str(c, dtype: str):
+    """Engine-portable string form for an aggregated min/max value: dates
+    are ISO, floats are rounded to 2 and rendered via DECIMAL so Spark and
+    the SQL oracle print identical text ('1.50', not '1.5').  Applied AFTER
+    the min/max aggregate so ordering is native (numeric), never
+    lexicographic."""
+    if dtype in ("double", "float"):
+        return F.round(c, 2).cast("decimal(28,2)").cast("string")
+    return c.cast("string")
+
+
+def table_profile(
+    df: DataFrame, cols: list[str], *, exact_distinct: bool = True
+) -> DataFrame:
+    """(column, n_rows, n_null, n_distinct, min_value, max_value), one row
+    per profiled column, ordered by column name."""
+    dtypes = dict(df.dtypes)
+    aggs = []
+    for c in cols:
+        nd = (
+            F.count_distinct(F.col(c))
+            if exact_distinct
+            else F.approx_count_distinct(c)
+        )
+        aggs += [
+            F.count(F.lit(1)).alias(f"__n_{c}"),
+            F.sum(F.col(c).isNull().cast("long")).alias(f"__nn_{c}"),
+            nd.alias(f"__nd_{c}"),
+            _canon_str(F.min(F.col(c)), dtypes[c]).alias(f"__min_{c}"),
+            _canon_str(F.max(F.col(c)), dtypes[c]).alias(f"__max_{c}"),
+        ]
+    wide = df.agg(*aggs)
+    stack_args = ", ".join(
+        f"'{c}', `__n_{c}`, `__nn_{c}`, `__nd_{c}`, `__min_{c}`, `__max_{c}`"
+        for c in cols
+    )
+    return wide.selectExpr(
+        f"stack({len(cols)}, {stack_args}) AS "
+        "(`column`, n_rows, n_null, n_distinct, min_value, max_value)"
+    ).orderBy("column")

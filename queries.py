@@ -2442,12 +2442,10 @@ def doc_overlap_winnow(spark, sf_dir):
     BEFORE lowering): ASCII lowercasing is engine-invariant, Unicode
     lowering is not (Java vs utf8proc disagree on İ and friends), so the
     oracle twin is exact by construction."""
-    from engine.extended.text import rolling_fingerprints_from
+    from engine.extended.text import ascii_norm_text, rolling_fingerprints_from
 
     d = t(spark, sf_dir, "documents")
-    norm = F.regexp_replace(
-        F.lower(F.regexp_replace(F.col("text"), "[^ -~]", "")), r"\s+", " "
-    )
+    norm = ascii_norm_text("text")
     fp = (
         d.select(F.col("doc_id").alias("id"), norm.alias("__norm"))
         .select(
@@ -4212,6 +4210,184 @@ def global_order_positions(spark, sf_dir):
 
     d = t(spark, sf_dir, "documents").select("doc_id")
     return global_order(d).select("doc_id", "global_pos")
+
+
+_HTML_PRE = (
+    '<html><head><style>p {color: red}</style>'
+    '<script type="text/js">if (1 < 2 && x > 0) alert("hi")</script></head>'
+    '<!-- comment <b>bold</b> --><body><p id="p1">'
+)
+_HTML_POST = (
+    '</p><br/><div>Tail &amp;amp; &lt;tag&gt; &quot;q&quot; &#39;s&#39;'
+    ' &nbsp;end</div></body></html>'
+)
+
+
+@q(
+    "html_extract",
+    f"""
+    WITH raw AS (
+      SELECT doc_id,
+             '{_HTML_PRE.replace("'", "''")}' || text ||
+             '{_HTML_POST.replace("'", "''")}' AS html
+      FROM documents),
+    stripped AS (
+      SELECT doc_id,
+             REGEXP_REPLACE(REGEXP_REPLACE(REGEXP_REPLACE(REGEXP_REPLACE(html,
+               '(?i)<script[^>]*>[\\s\\S]*?</script\\s*>', ' ', 'g'),
+               '(?i)<style[^>]*>[\\s\\S]*?</style\\s*>', ' ', 'g'),
+               '<!--[\\s\\S]*?-->', ' ', 'g'),
+               '<[^>]+>', ' ', 'g') AS s
+      FROM raw)
+    SELECT doc_id,
+           TRIM(REGEXP_REPLACE(
+             REPLACE(REPLACE(REPLACE(REPLACE(REPLACE(REPLACE(REPLACE(s,
+               '&lt;', '<'), '&gt;', '>'), '&quot;', '"'), '&#39;', ''''),
+               '&apos;', ''''), '&nbsp;', ' '), '&amp;', '&'),
+             '\\s+', ' ', 'g')) AS clean_text,
+           LENGTH(html) AS n_html_chars
+    FROM stripped JOIN raw USING (doc_id)
+    """,
+)
+def html_extract(spark, sf_dir):
+    """HTML → text extraction (script/style/comment/tag strip + literal
+    entity decode + whitespace collapse) — the C4-style first stage of a
+    web-scrape curation pipeline (engine.extended.curation.html_to_text).
+    The synthetic corpus carries no markup, so each doc is wrapped in a
+    deterministic HTML shell IN-PLAN (same expression in both engines: shell
+    exercises nested tags, a script with < > && operators, a commented-out
+    tag, and the double-escape rule &amp;amp; → &amp;).  Zero shuffles."""
+    from engine.extended.curation import html_to_text
+
+    d = t(spark, sf_dir, "documents")
+    html = F.concat(F.lit(_HTML_PRE), F.col("text"), F.lit(_HTML_POST))
+    return d.select(
+        "doc_id",
+        html_to_text(html).alias("clean_text"),
+        F.length(html).alias("n_html_chars"),
+    )
+
+
+@q(
+    "quality_classifier",
+    f"""
+    WITH tok AS (SELECT doc_id, {_TOKS_SQL} AS toks FROM documents),
+    ws AS (
+      SELECT doc_id, LENGTH(toks) AS n,
+             CASE WHEN toks IS NULL THEN NULL ELSE CAST(COALESCE(
+               list_aggregate(list_transform(toks,
+                 t -> ({_MD5H.format(x="'q|' || t")} % 4096) % 197 - 98), 'sum'),
+               0) AS BIGINT) END AS weight_sum
+      FROM tok)
+    SELECT doc_id, weight_sum,
+           ROUND(1.0 / (1.0 + EXP(-4.0 *
+             CASE WHEN n > 0 THEN weight_sum / (98.0 * n) ELSE 0.0 END)), 4)
+             AS quality_score,
+           CAST(ROUND(1.0 / (1.0 + EXP(-4.0 *
+             CASE WHEN n > 0 THEN weight_sum / (98.0 * n) ELSE 0.0 END)), 4)
+             >= 0.5 AS INT) AS quality_label
+    FROM ws
+    """,
+)
+def quality_classifier(spark, sf_dir):
+    """fastText-shape hashed bag-of-words linear classifier: token → md5
+    weight bucket → deterministic integer weight → exact integer sum → one
+    sigmoid (engine.extended.curation.hashed_quality_score).  The model-
+    scoring operator every learned quality filter reduces to; dual-
+    implementable hash makes the whole classifier oracle-checkable.  Zero
+    shuffles, single codegen scan."""
+    from engine.extended.curation import hashed_quality_score
+    from engine.extended.text import tokens
+
+    d = t(spark, sf_dir, "documents")
+    toked = d.select("doc_id", tokens("text").alias("__toks"))
+    scores = hashed_quality_score(F.col("__toks"))
+    return toked.select(
+        "doc_id", *[c.alias(n) for n, c in scores.items()]
+    )
+
+
+@q(
+    "char_entropy",
+    r"""
+    WITH norm AS (
+      SELECT doc_id,
+             REGEXP_REPLACE(LOWER(REGEXP_REPLACE(text, '[^ -~]', '', 'g')),
+                            '\s+', ' ', 'g') AS nt
+      FROM documents),
+    ch AS (
+      SELECT doc_id, nt, LENGTH(nt) AS n,
+             list_sort(list_distinct(regexp_extract_all(nt, '[\s\S]'))) AS chars
+      FROM norm),
+    s AS (
+      SELECT doc_id, n,
+             list_aggregate(list_transform(chars,
+               c -> (n - LENGTH(REPLACE(nt, c, ''))) *
+                    LN(n - LENGTH(REPLACE(nt, c, '')))), 'sum') AS sc
+      FROM ch)
+    SELECT doc_id,
+           CASE WHEN n > 0 THEN ROUND(LN(n) - sc / n, 4) ELSE 0.0 END
+             AS char_entropy
+    FROM s
+    """,
+)
+def char_entropy(spark, sf_dir):
+    """Shannon character entropy per doc — the gibberish / binary-noise
+    filter (engine.extended.text.char_entropy_from).  Zero-shuffle
+    formulation: histogram via length-minus-replace over the SORTED distinct
+    char array (deterministic float fold order in both engines), identity
+    H = ln(n) − Σ cnt·ln(cnt)/n so only exact integers enter the fold.
+    ASCII-restricted normal form (ascii_norm_text) — Unicode lowering and
+    astral-plane length are engine-dependent; printable ASCII is not."""
+    from engine.extended.text import ascii_norm_text, char_entropy_from
+
+    d = t(spark, sf_dir, "documents")
+    return d.select("doc_id", ascii_norm_text("text").alias("__nt")).select(
+        "doc_id", char_entropy_from(F.col("__nt")).alias("char_entropy")
+    )
+
+
+_PROFILE_COLS = [
+    "o_custkey", "o_orderdate", "o_orderkey", "o_orderpriority",
+    "o_orderstatus", "o_totalprice",
+]
+
+
+def _profile_col_sql(c: str, canon: str) -> str:
+    return f"""
+      SELECT '{c}' AS "column", COUNT(*) AS n_rows,
+             CAST(SUM(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_null,
+             COUNT(DISTINCT {c}) AS n_distinct,
+             {canon.format(x=f"MIN({c})")} AS min_value,
+             {canon.format(x=f"MAX({c})")} AS max_value
+      FROM orders"""
+
+
+@q(
+    "table_profile",
+    " UNION ALL ".join(
+        _profile_col_sql(
+            c,
+            "CAST(CAST(ROUND({x}, 2) AS DECIMAL(28,2)) AS VARCHAR)"
+            if c == "o_totalprice"
+            else "CAST({x} AS VARCHAR)",
+        )
+        for c in _PROFILE_COLS
+    )
+    + ' ORDER BY "column"',
+)
+def table_profile(spark, sf_dir):
+    """Per-column data-quality profile of a feed (count / nulls / exact
+    distinct / canonical min / max), one aggregate scan + zero-shuffle stack
+    unpivot (engine.ops.profile.table_profile) — the declarative form of the
+    reference's scattered input validation (row-count guards,
+    lib/pipeline_controller.py:204-210).  At 100 TB: exact_distinct=False
+    swaps the Expand for HLL sketches; same shape."""
+    from engine.ops.profile import table_profile as profile
+
+    d = t(spark, sf_dir, "orders")
+    return profile(d, _PROFILE_COLS)
 
 
 # ===========================================================================

@@ -1,0 +1,132 @@
+"""Round-3 curation additions: HTML → text extraction, hashed linear
+quality classifier, character entropy, column profiling."""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import functions as F
+
+from engine.extended.curation import hashed_quality_score, html_to_text
+from engine.extended.text import char_entropy_expr
+from engine.ops.profile import table_profile
+
+
+def _one(spark, html: str) -> str:
+    return (
+        spark.createDataFrame([(html,)], "h string")
+        .select(html_to_text("h").alias("t"))
+        .first()["t"]
+    )
+
+
+def test_html_to_text_strips_script_style_comments_tags(spark):
+    html = (
+        '<html><head><STYLE media="all">p {a:1}</STYLE>'
+        "<script>if (1 < 2 && x > 0) alert('hi')</script></head>"
+        "<!-- hidden <b>markup</b> --><body><p>Hello <i>world</i></p></body></html>"
+    )
+    assert _one(spark, html) == "Hello world"
+
+
+def test_html_to_text_entities_and_double_escape(spark):
+    # &amp;lt; must decode to the LITERAL "&lt;", never to "<" (amp runs last,
+    # left-to-right non-overlapping), and &nbsp; becomes plain space.
+    assert (
+        _one(spark, "a &lt;tag&gt; &quot;q&quot; &#39;s&#39;&nbsp;b &amp;lt;c")
+        == 'a <tag> "q" \'s\' b &lt;c'
+    )
+
+
+def test_html_to_text_collapses_whitespace(spark):
+    assert _one(spark, "<div>a</div>\n\n  <div>b</div>\t c") == "a b c"
+
+
+def test_hashed_quality_score_matches_hand_computation(spark):
+    from engine.extended.dedup import md5_long
+
+    df = spark.createDataFrame(
+        [(1, "alpha beta beta"), (2, ""), (3, None)], "doc_id long, text string"
+    )
+    from engine.extended.text import tokens
+
+    out = {
+        r["doc_id"]: r
+        for r in df.select(
+            "doc_id", tokens("text").alias("__toks")
+        )
+        .select(
+            "doc_id",
+            *[
+                c.alias(n)
+                for n, c in hashed_quality_score(F.col("__toks")).items()
+            ],
+        )
+        .collect()
+    }
+    # hand-compute the weights through the same dual-implementable hash
+    buckets = {
+        r["t"]: r["b"]
+        for r in spark.createDataFrame([("alpha",), ("beta",)], "t string")
+        .select(
+            "t",
+            (
+                F.pmod(md5_long(F.concat(F.lit("q|"), F.col("t"))), F.lit(4096))
+                % 197
+                - 98
+            ).alias("b"),
+        )
+        .collect()
+    }
+    expect = buckets["alpha"] + 2 * buckets["beta"]
+    assert out[1]["weight_sum"] == expect
+    raw = expect / (98.0 * 3)
+    assert out[1]["quality_score"] == round(1.0 / (1.0 + math.exp(-4.0 * raw)), 4)
+    assert out[1]["quality_label"] == int(out[1]["quality_score"] >= 0.5)
+    # empty text: zero weight, neutral score; null text: null sum, neutral score
+    assert out[2]["weight_sum"] == 0 and out[2]["quality_score"] == 0.5
+    assert out[3]["weight_sum"] is None and out[3]["quality_score"] == 0.5
+
+
+def test_char_entropy_known_values(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "aaaa"),
+            (2, "abab"),
+            (3, "abcd"),
+            (4, ""),
+            (5, None),
+            (6, "🎉🎉aåa"),  # non-ASCII stripped pre-lowering → "aa" → H=0
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r["doc_id"]: r["h"]
+        for r in df.select(
+            "doc_id", char_entropy_expr("text").alias("h")
+        ).collect()
+    }
+    assert out[1] == 0.0  # single symbol
+    assert out[2] == round(math.log(2), 4)  # two equiprobable symbols
+    assert out[3] == round(math.log(4), 4)  # four equiprobable symbols
+    assert out[4] == 0.0 and out[5] == 0.0
+    assert out[6] == 0.0
+
+
+def test_table_profile_stats_and_canonical_strings(spark):
+    df = spark.createDataFrame(
+        [(1, 10.5, "b"), (2, None, "a"), (2, 3.0, None)],
+        "k long, v double, s string",
+    )
+    rows = {r["column"]: r for r in table_profile(df, ["k", "v", "s"]).collect()}
+    assert list(rows) == ["k", "s", "v"]  # ordered by column name
+    assert rows["k"]["n_rows"] == 3 and rows["k"]["n_distinct"] == 2
+    assert rows["v"]["n_null"] == 1
+    assert rows["v"]["min_value"] == "3.00" and rows["v"]["max_value"] == "10.50"
+    assert rows["s"]["min_value"] == "a" and rows["s"]["max_value"] == "b"
+    # HLL mode keeps the same shape/columns
+    approx = {
+        r["column"]: r
+        for r in table_profile(df, ["k"], exact_distinct=False).collect()
+    }
+    assert approx["k"]["n_distinct"] >= 1
