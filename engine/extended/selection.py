@@ -32,7 +32,7 @@ from pyspark.sql import functions as F
 
 from engine.extended.text import tokens
 
-__all__ = ["importance_scores", "dsir_select"]
+__all__ = ["importance_scores", "dsir_select", "quantile_buckets"]
 
 
 def importance_scores(
@@ -106,3 +106,54 @@ def dsir_select(
         round_to=round_to,
     )
     return scores.orderBy(F.col("score").desc(), F.col(id_col)).limit(k)
+
+
+def quantile_buckets(
+    df: DataFrame,
+    metric_col: str,
+    *,
+    probs: tuple[float, ...] = (1 / 3, 2 / 3),
+    bucket_col: str = "bucket",
+    exact: bool = True,
+) -> DataFrame:
+    """Assign each row a quantile bucket of ``metric_col`` — the
+    CCNet-style head/middle/tail split (bucket 0 = at-or-below the first
+    boundary) used to stratify a corpus by model perplexity before
+    per-bucket sampling.
+
+    Boundaries come from ONE aggregate pass (``percentile_disc``: the
+    smallest value whose cumulative distribution reaches p — discrete, so
+    the boundary is an actual data value and the comparison semantics are
+    engine-exact, no interpolation arithmetic to diverge on); assignment is
+    a broadcast 1-row cross join + pure comparisons, so the corpus is
+    scanned twice and shuffled never.  At 100 TB set ``exact=False``:
+    ``approx_percentile`` replaces the exact sort-based aggregate with a
+    bounded-memory sketch — same plan shape, boundaries within the sketch's
+    relative error (bucket SIZES shift marginally; the operator contract —
+    monotone bucketing by metric — is unchanged).
+
+    A value EQUAL to a boundary lands in the lower bucket; a NULL metric
+    yields a NULL bucket (comparisons null-propagate in both engines).
+    """
+    if exact:
+        aggs = [
+            F.expr(
+                f"percentile_disc({p!r}) WITHIN GROUP (ORDER BY {metric_col})"
+            ).alias(f"__qb{i}")
+            for i, p in enumerate(probs)
+        ]
+    else:
+        aggs = [
+            F.percentile_approx(metric_col, p).alias(f"__qb{i}")
+            for i, p in enumerate(probs)
+        ]
+    bounds = df.agg(*aggs)
+    bucket = None
+    for i in range(len(probs)):
+        term = (F.col(metric_col) > F.col(f"__qb{i}")).cast("int")
+        bucket = term if bucket is None else bucket + term
+    return (
+        df.crossJoin(F.broadcast(bounds))
+        .withColumn(bucket_col, bucket)
+        .drop(*[f"__qb{i}" for i in range(len(probs))])
+    )

@@ -4390,6 +4390,83 @@ def table_profile(spark, sf_dir):
     return profile(d, _PROFILE_COLS)
 
 
+_PPL_P = (1 / 3, 2 / 3)
+
+
+@q(
+    "perplexity_buckets",
+    f"""
+    WITH toks AS (
+      SELECT doc_id, {_TOKS_SQL} AS toks FROM documents),
+    bg AS (
+      SELECT doc_id, UNNEST(CASE WHEN LENGTH(toks) < 2 THEN CAST([] AS VARCHAR[])
+        ELSE list_transform(range(0, LENGTH(toks) - 1),
+             i -> array_to_string(list_slice(toks, i + 1, i + 2), ' ')) END) AS bg
+      FROM toks),
+    c2 AS (SELECT bg, COUNT(*) AS c2 FROM bg GROUP BY bg),
+    c1 AS (SELECT split_part(bg, ' ', 1) AS w1, SUM(c2) AS c1 FROM c2 GROUP BY 1),
+    sc AS (
+      SELECT b.doc_id, COUNT(*) AS n_bigrams,
+             ROUND(AVG(log2(c2.c2 / c1.c1)), 4) AS avg_logp
+      FROM bg b JOIN c2 ON b.bg = c2.bg
+      JOIN c1 ON split_part(b.bg, ' ', 1) = c1.w1
+      GROUP BY b.doc_id),
+    bounds AS (
+      SELECT quantile_disc(avg_logp, {_PPL_P[0]!r}) AS b0,
+             quantile_disc(avg_logp, {_PPL_P[1]!r}) AS b1
+      FROM sc)
+    SELECT doc_id, n_bigrams, avg_logp,
+           CAST(avg_logp > b0 AS INT) + CAST(avg_logp > b1 AS INT) AS ppl_bucket
+    FROM sc, bounds
+    """,
+)
+def perplexity_buckets(spark, sf_dir):
+    """CCNet-style perplexity stratification: score every doc under the
+    corpus's own bigram LM, then split into head/middle/tail terciles by
+    discrete quantile boundaries (engine.extended.selection.quantile_buckets
+    over engine.extended.curation.bigram_lm_scores).  percentile_disc picks
+    an ACTUAL data value as each boundary, so bucketing is engine-exact;
+    boundary assignment is a broadcast 1-row cross join — no extra
+    shuffle beyond the LM itself.  exact=False swaps in the approximate
+    sketch at corpus scale."""
+    from engine.extended.curation import bigram_lm_scores
+    from engine.extended.selection import quantile_buckets
+
+    d = t(spark, sf_dir, "documents")
+    return quantile_buckets(
+        bigram_lm_scores(d), "avg_logp", probs=_PPL_P, bucket_col="ppl_bucket"
+    )
+
+
+def _zorder_sql() -> str:
+    from engine.ops.layout import zorder_key_sql
+
+    z = zorder_key_sql(["o_custkey", "o_orderkey"], bits=16)
+    return f"""
+    SELECT o_orderkey, {z} AS z_key, ({z} >> 24) AS z_bucket
+    FROM orders
+    """
+
+
+@q("zorder_layout", _zorder_sql())
+def zorder_layout(spark, sf_dir):
+    """Z-order (Morton) clustering key over (o_custkey, o_orderkey) plus the
+    coarse curve-segment bucket that becomes a file assignment — the layout
+    pass that makes multi-dimensional parquet min/max pruning work at 100 TB
+    (engine.ops.layout; zorder_write does repartitionByRange + sorted write).
+    Pure bit-interleave expression, zero shuffles in this verification
+    query; the oracle checks the curve bit-for-bit."""
+    from engine.ops.layout import zorder_key_expr
+
+    o = t(spark, sf_dir, "orders")
+    zkey = zorder_key_expr(["o_custkey", "o_orderkey"], bits=16)
+    return o.select(
+        "o_orderkey",
+        zkey.alias("z_key"),
+        F.shiftright(zkey, 24).cast("long").alias("z_bucket"),
+    )
+
+
 # ===========================================================================
 # Registration order (driver verification window)
 # ===========================================================================

@@ -1,0 +1,98 @@
+"""Round-3 selection/layout additions: quantile bucketing and Z-order keys."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from engine.extended.selection import quantile_buckets
+from engine.ops.layout import zorder_key_expr, zorder_key_sql, zorder_write
+
+
+def test_quantile_buckets_terciles_and_boundary_ties(spark):
+    df = spark.createDataFrame(
+        [(i, float(v)) for i, v in enumerate([1, 2, 3, 4, 5, 6])],
+        "id long, m double",
+    )
+    out = {r["id"]: r["bucket"] for r in quantile_buckets(df, "m").collect()}
+    # boundaries (percentile_disc 1/3, 2/3 over 6 rows) = 2.0 and 4.0;
+    # equality lands in the LOWER bucket
+    assert out == {0: 0, 1: 0, 2: 1, 3: 1, 4: 2, 5: 2}
+
+
+def test_quantile_buckets_null_metric_and_constant_column(spark):
+    df = spark.createDataFrame(
+        [(1, 5.0), (2, 5.0), (3, None)], "id long, m double"
+    )
+    rows = {r["id"]: r["bucket"] for r in quantile_buckets(df, "m").collect()}
+    assert rows[1] == 0 and rows[2] == 0  # all equal -> one bucket
+    assert rows[3] is None  # null metric -> null bucket
+
+
+def test_quantile_buckets_approx_mode_same_shape(spark):
+    df = spark.createDataFrame(
+        [(i, float(i)) for i in range(30)], "id long, m double"
+    )
+    out = quantile_buckets(df, "m", exact=False)
+    assert out.columns == ["id", "m", "bucket"]
+    buckets = {r["bucket"] for r in out.collect()}
+    assert buckets == {0, 1, 2}
+
+
+def test_zorder_key_interleaves_bits(spark):
+    # x=3 (11b), y=1 (01b), 2 bits: positions x->0,2  y->1,3  => 0111b = 7
+    df = spark.createDataFrame([(3, 1)], "x long, y long")
+    key = df.select(
+        zorder_key_expr(["x", "y"], bits=2).alias("k")
+    ).first()["k"]
+    assert key == 7
+    # SQL twin produces the identical value via Spark SQL evaluation
+    sql_key = df.selectExpr(
+        zorder_key_sql(["x", "y"], bits=2) + " AS k"
+    ).first()["k"]
+    assert sql_key == 7
+
+
+def test_zorder_key_locality_beats_lexicographic(spark):
+    # points on a 2^8 grid: z-range of a small square is tighter than the
+    # full-key range a lexicographic (x-major) sort would give column y
+    df = spark.createDataFrame(
+        [(x, y) for x in range(0, 256, 16) for y in range(0, 256, 16)],
+        "x long, y long",
+    )
+    keyed = df.withColumn("k", zorder_key_expr(["x", "y"], bits=8))
+    sq = keyed.filter((F.col("x") < 32) & (F.col("y") < 32))
+    lo, hi = sq.agg(F.min("k"), F.max("k")).first()
+    full_hi = keyed.agg(F.max("k")).first()[0]
+    assert hi - lo < full_hi / 16  # the square occupies one tight curve segment
+
+
+def test_zorder_key_range_guard():
+    import pytest
+
+    with pytest.raises(ValueError):
+        zorder_key_expr(["a", "b", "c", "d"], bits=16)
+
+
+def test_zorder_write_clusters_files(spark, tmp_path):
+    df = spark.createDataFrame(
+        [(i, (i * 37) % 64, (i * 91) % 64) for i in range(512)],
+        "id long, x long, y long",
+    )
+    path = str(tmp_path / "z")
+    zorder_write(df, path, ["x", "y"], bits=6, n_files=4)
+    back = spark.read.parquet(path)
+    assert back.count() == 512
+    # per-file key ranges must be disjoint (range partitioning on the curve)
+    import pyspark.sql.functions as SF
+
+    stats = (
+        back.withColumn("k", zorder_key_expr(["x", "y"], bits=6))
+        .withColumn("f", SF.input_file_name())
+        .groupBy("f")
+        .agg(SF.min("k").alias("lo"), SF.max("k").alias("hi"))
+        .orderBy("lo")
+        .collect()
+    )
+    assert len(stats) >= 2
+    for a, b in zip(stats, stats[1:]):
+        assert a["hi"] <= b["lo"]
