@@ -67,6 +67,13 @@ SECONDARY = [
     "span_dup_stats",
     "span_dedup_rewrite",
     "global_order_positions",
+    # round-3 additions
+    "html_extract",
+    "quality_classifier",
+    "char_entropy",
+    "table_profile",
+    "perplexity_buckets",
+    "zorder_layout",
 ]
 
 
