@@ -1,0 +1,130 @@
+"""Data-quality operators: declarative constraint checking and snapshot
+diffing — the regression gates a production feed runs between pipeline
+versions (the reference validates ad hoc: row-count guards and null checks
+in lib/pipeline_controller.py; these generalize that to one declarative
+pass per concern).
+
+Everything is a plain aggregate / join plan:
+
+- :func:`check_constraints` — row-level predicates in ONE codegen scan
+  (violation counts per rule, no matter how many rules);
+- :func:`check_unique` / :func:`check_foreign_key` — the two rule shapes
+  that need their own plan (an aggregate on the key; a broadcast anti-join
+  against the dimension);
+- :func:`snapshot_diff` — added / removed / changed rows between two
+  versions of a table, keyed full-outer join comparing dual-implementable
+  row hashes (md5 over a null-sentineled concat, so the diff itself is
+  oracle-checkable).
+
+At 100 TB: constraint counts are map-side partials (rule count × tasks
+rows cross the wire); uniqueness shuffles once on the key; FK checks
+broadcast the dimension; snapshot diff is one co-partitioned join on the
+key — bucket both versions on the key and the exchange disappears
+(`test_layout`'s co-located join gate applies).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+__all__ = [
+    "check_constraints",
+    "check_unique",
+    "check_foreign_key",
+    "row_hash",
+    "snapshot_diff",
+]
+
+
+def check_constraints(df: DataFrame, checks: dict[str, Column]) -> DataFrame:
+    """(rule, n_violations, n_rows) per named predicate; a NULL predicate
+    result counts as a violation (unknown is not compliance).  One scan,
+    map-side partial aggregation regardless of rule count."""
+    aggs = [
+        F.sum(
+            F.when(F.coalesce(cond, F.lit(False)), 0).otherwise(1)
+        ).alias(f"__v_{name}")
+        for name, cond in checks.items()
+    ]
+    wide = df.agg(F.count(F.lit(1)).alias("__n"), *aggs)
+    stack_args = ", ".join(f"'{n}', `__v_{n}`" for n in checks)
+    return wide.selectExpr(
+        f"stack({len(checks)}, {stack_args}) AS (rule, n_violations)",
+        "__n AS n_rows",
+    ).orderBy("rule")
+
+
+def check_unique(df: DataFrame, cols: list[str]) -> DataFrame:
+    """(n_keys, n_dup_keys, n_dup_rows): key-cardinality uniqueness audit.
+    One shuffle on the key; the second aggregate folds the key-sized count
+    table, never the rows."""
+    per_key = df.groupBy(*cols).agg(F.count(F.lit(1)).alias("__c"))
+    return per_key.agg(
+        F.count(F.lit(1)).alias("n_keys"),
+        F.sum((F.col("__c") > 1).cast("long")).alias("n_dup_keys"),
+        F.sum(F.when(F.col("__c") > 1, F.col("__c")).otherwise(0)).alias(
+            "n_dup_rows"
+        ),
+    )
+
+
+def check_foreign_key(
+    df: DataFrame, col: str, dim: DataFrame, dim_col: str
+) -> DataFrame:
+    """(n_orphans, n_null_keys): referential-integrity audit of ``df.col``
+    against ``dim.dim_col``.  Broadcast anti-join (dimension-sized right
+    side); NULL keys are reported separately, not as orphans (SQL FK
+    semantics)."""
+    orphans = df.filter(F.col(col).isNotNull()).join(
+        F.broadcast(dim.select(F.col(dim_col).alias(col)).distinct()),
+        col,
+        "left_anti",
+    )
+    n_orphans = orphans.agg(F.count(F.lit(1)).alias("n_orphans"))
+    n_nulls = df.agg(
+        F.sum(F.col(col).isNull().cast("long")).alias("n_null_keys")
+    )
+    return n_orphans.crossJoin(n_nulls)
+
+
+#: sentinel for NULL inside the row hash — chosen to not collide with data
+#: (ASCII unit separator, never present in the text domains).
+_NULL_SENTINEL = "\x1f<null>\x1f"
+
+
+def row_hash(cols: list[str]) -> Column:
+    """Dual-implementable row fingerprint: md5 over the '|'-joined values
+    with an explicit NULL sentinel (coalesce-into-concat_ws would make
+    NULL and '' collide).  DuckDB twin:
+    ``MD5(CONCAT_WS('|', COALESCE(CAST(c AS VARCHAR), sentinel), ...))``."""
+    parts = [
+        F.coalesce(F.col(c).cast("string"), F.lit(_NULL_SENTINEL)) for c in cols
+    ]
+    return F.md5(F.concat_ws("|", *parts))
+
+
+def snapshot_diff(
+    old: DataFrame,
+    new: DataFrame,
+    key_cols: list[str],
+    compare_cols: list[str],
+) -> DataFrame:
+    """(keys…, change) with change ∈ added | removed | changed: the
+    regression diff between two versions of a table.  Unchanged rows are
+    dropped BEFORE anything leaves the join, so the result is
+    delta-sized.  One key-partitioned full-outer join; bucketing both
+    snapshots on the key makes it exchange-free."""
+    oh = old.select(*key_cols, row_hash(compare_cols).alias("__oh"))
+    nh = new.select(*key_cols, row_hash(compare_cols).alias("__nh"))
+    joined = oh.join(nh, key_cols, "full_outer")
+    change = (
+        F.when(F.col("__oh").isNull(), F.lit("added"))
+        .when(F.col("__nh").isNull(), F.lit("removed"))
+        .when(F.col("__oh") != F.col("__nh"), F.lit("changed"))
+    )
+    return (
+        joined.withColumn("change", change)
+        .filter(F.col("change").isNotNull())
+        .select(*key_cols, "change")
+    )

@@ -4467,6 +4467,121 @@ def zorder_layout(spark, sf_dir):
     )
 
 
+@q(
+    "constraint_audit",
+    """
+    WITH base AS (
+      SELECT COUNT(*) AS n,
+        CAST(SUM(CASE WHEN NOT COALESCE(o_totalprice > 0, FALSE)
+                 THEN 1 ELSE 0 END) AS BIGINT) AS v_price,
+        CAST(SUM(CASE WHEN NOT COALESCE(o_orderdate IS NOT NULL, FALSE)
+                 THEN 1 ELSE 0 END) AS BIGINT) AS v_date,
+        CAST(SUM(CASE WHEN NOT COALESCE(LENGTH(o_orderpriority) > 0, FALSE)
+                 THEN 1 ELSE 0 END) AS BIGINT) AS v_prio
+      FROM orders)
+    SELECT 'orderdate_not_null' AS rule, v_date AS n_violations, n AS n_rows
+      FROM base
+    UNION ALL SELECT 'priority_nonempty', v_prio, n FROM base
+    UNION ALL SELECT 'totalprice_positive', v_price, n FROM base
+    ORDER BY rule
+    """,
+)
+def constraint_audit(spark, sf_dir):
+    """Declarative row-level constraint audit (great-expectations shape):
+    N named predicates → violation counts in ONE codegen scan with
+    map-side partials (engine.ops.quality.check_constraints); NULL
+    predicate results count as violations."""
+    from engine.ops.quality import check_constraints
+
+    o = t(spark, sf_dir, "orders")
+    return check_constraints(
+        o,
+        {
+            "totalprice_positive": F.col("o_totalprice") > 0,
+            "orderdate_not_null": F.col("o_orderdate").isNotNull(),
+            "priority_nonempty": F.length("o_orderpriority") > 0,
+        },
+    )
+
+
+@q(
+    "referential_audit",
+    """
+    WITH pk AS (
+      SELECT COUNT(*) AS n_keys,
+             CAST(SUM(CASE WHEN c > 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_dup_keys,
+             CAST(SUM(CASE WHEN c > 1 THEN c ELSE 0 END) AS BIGINT)
+               AS n_dup_rows
+      FROM (SELECT o_orderkey, COUNT(*) AS c FROM orders GROUP BY 1)),
+    fk AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_orphans
+      FROM orders o
+      WHERE o.o_custkey IS NOT NULL
+        AND NOT EXISTS (SELECT 1 FROM customer c
+                        WHERE c.c_custkey = o.o_custkey)),
+    nn AS (
+      SELECT CAST(SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_null_keys
+      FROM orders)
+    SELECT * FROM pk, fk, nn
+    """,
+)
+def referential_audit(spark, sf_dir):
+    """Key-integrity audit: primary-key uniqueness (one shuffle on the key,
+    second fold over the key-sized count table) + referential integrity of
+    o_custkey against customer (broadcast anti-join; NULL keys reported
+    separately per SQL FK semantics) — engine.ops.quality.check_unique /
+    check_foreign_key composed into one row."""
+    from engine.ops.quality import check_foreign_key, check_unique
+
+    o = t(spark, sf_dir, "orders")
+    c = t(spark, sf_dir, "customer")
+    uniq = check_unique(o, ["o_orderkey"])
+    fk = check_foreign_key(o, "o_custkey", c, "c_custkey")
+    return uniq.crossJoin(F.broadcast(fk))
+
+
+@q(
+    "snapshot_audit",
+    """
+    SELECT o_orderkey, 'removed' AS change FROM orders WHERE o_orderkey % 97 = 0
+    UNION ALL
+    SELECT o_orderkey, 'changed' FROM orders
+    WHERE o_orderkey % 13 = 0 AND o_orderkey % 97 <> 0
+      AND o_totalprice IS NOT NULL
+    UNION ALL
+    SELECT o_orderkey + 10000000, 'added' FROM orders WHERE o_orderkey % 101 = 0
+    """,
+)
+def snapshot_audit(spark, sf_dir):
+    """Snapshot regression diff (engine.ops.quality.snapshot_diff): old =
+    orders; new = a deterministically perturbed version built IN-PLAN
+    (drop keys ≡0 mod 97, bump price on keys ≡0 mod 13, add remapped
+    copies of keys ≡0 mod 101).  The oracle PREDICTS the diff from the
+    perturbation independently — it never sees the row hashes — so it
+    verifies the operator's semantics, not a mirror of its internals.
+    One key-partitioned full-outer join, delta-sized output."""
+    from engine.ops.quality import snapshot_diff
+
+    key = F.col("o_orderkey")
+    compare = ["o_custkey", "o_totalprice", "o_orderstatus"]
+    o = t(spark, sf_dir, "orders")
+    bumped = F.when(
+        (key % 13 == 0) & F.col("o_totalprice").isNotNull(),
+        F.col("o_totalprice") + 1.0,
+    ).otherwise(F.col("o_totalprice"))
+    newv = o.filter(~(key % 97 == 0)).select(
+        key, F.col("o_custkey"), bumped.alias("o_totalprice"), "o_orderstatus"
+    )
+    added = o.filter(key % 101 == 0).select(
+        (key + 10000000).alias("o_orderkey"), *compare
+    )
+    return snapshot_diff(
+        o, newv.unionByName(added), ["o_orderkey"], compare
+    )
+
+
 # ===========================================================================
 # Registration order (driver verification window)
 # ===========================================================================
