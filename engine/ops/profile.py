@@ -20,7 +20,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["table_profile"]
+__all__ = ["table_profile", "group_quantiles", "int_histogram"]
 
 
 def _canon_str(c, dtype: str):
@@ -63,3 +63,73 @@ def table_profile(
         f"stack({len(cols)}, {stack_args}) AS "
         "(`column`, n_rows, n_null, n_distinct, min_value, max_value)"
     ).orderBy("column")
+
+
+def group_quantiles(
+    df: DataFrame,
+    group_cols: list[str],
+    metric_col: str,
+    *,
+    probs: tuple[float, ...] = (0.25, 0.5, 0.75),
+    exact: bool = True,
+) -> DataFrame:
+    """Per-group discrete quantiles of an integer metric (+ group count),
+    ordered by group.  ``percentile_disc`` returns an ACTUAL data value
+    (cast back to long), so results are engine-exact — no interpolation.
+    One shuffle on the group key; ``exact=False`` swaps in the
+    bounded-memory ``approx_percentile`` sketch for corpus-scale metrics
+    (same plan shape, values within sketch error)."""
+    if exact:
+        aggs = [
+            F.expr(
+                f"percentile_disc({p!r}) WITHIN GROUP (ORDER BY {metric_col})"
+            )
+            .cast("long")
+            .alias(f"q{int(round(p * 100)):02d}")
+            for p in probs
+        ]
+    else:
+        aggs = [
+            F.percentile_approx(metric_col, p)
+            .cast("long")
+            .alias(f"q{int(round(p * 100)):02d}")
+            for p in probs
+        ]
+    return (
+        df.groupBy(*group_cols)
+        .agg(F.count(F.lit(1)).alias("n_rows"), *aggs)
+        .orderBy(*group_cols)
+    )
+
+
+def int_histogram(
+    df: DataFrame, metric_col: str, *, lo: int, hi: int, n_buckets: int
+) -> DataFrame:
+    """Fixed-width histogram of an integer metric: (bucket, lo_edge,
+    hi_edge, n_rows) with bucket -1 for underflow and ``n_buckets`` for
+    overflow.  The bucket index is INTEGER arithmetic
+    (``(x - lo) * n div (hi - lo)``) — exact and engine-invariant, unlike
+    float ``width_bucket`` boundary behavior.  One exchange carrying at
+    most ``n_buckets + 2`` partial counts per task."""
+    x = F.col(metric_col).cast("long")
+    span = hi - lo
+    bucket = (
+        F.when(x < lo, F.lit(-1))
+        .when(x >= hi, F.lit(n_buckets))
+        .otherwise(F.expr(f"(({metric_col} - {lo}) * {n_buckets}) div {span}"))
+        .cast("long")
+    )
+    out = (
+        df.select(bucket.alias("bucket"))
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("n_rows"))
+    )
+    width = span / n_buckets
+    return out.select(
+        "bucket",
+        F.round(F.lit(lo) + F.col("bucket") * F.lit(width), 4).alias("lo_edge"),
+        F.round(F.lit(lo) + (F.col("bucket") + 1) * F.lit(width), 4).alias(
+            "hi_edge"
+        ),
+        "n_rows",
+    ).orderBy("bucket")

@@ -4582,6 +4582,52 @@ def snapshot_audit(spark, sf_dir):
     )
 
 
+@q(
+    "doclen_quantiles",
+    """
+    SELECT source, COUNT(*) AS n_rows,
+           CAST(quantile_disc(n_chars, 0.25) AS BIGINT) AS q25,
+           CAST(quantile_disc(n_chars, 0.5) AS BIGINT) AS q50,
+           CAST(quantile_disc(n_chars, 0.75) AS BIGINT) AS q75
+    FROM documents GROUP BY source ORDER BY source
+    """,
+)
+def doclen_quantiles(spark, sf_dir):
+    """Per-source document-length quartiles (engine.ops.profile
+    .group_quantiles): discrete percentiles are actual data values, so the
+    grouped summary is engine-exact; one shuffle on the group key,
+    exact=False swaps in the sketch at corpus scale."""
+    from engine.ops.profile import group_quantiles
+
+    d = t(spark, sf_dir, "documents")
+    return group_quantiles(d, ["source"], "n_chars")
+
+
+@q(
+    "doclen_histogram",
+    """
+    WITH b AS (
+      SELECT CASE WHEN n_chars < 0 THEN -1
+                  WHEN n_chars >= 600 THEN 12
+                  ELSE (n_chars * 12) // 600 END AS bucket
+      FROM documents)
+    SELECT bucket, ROUND(bucket * 50.0, 4) AS lo_edge,
+           ROUND((bucket + 1) * 50.0, 4) AS hi_edge,
+           COUNT(*) AS n_rows
+    FROM b GROUP BY bucket ORDER BY bucket
+    """,
+)
+def doclen_histogram(spark, sf_dir):
+    """Fixed-width histogram of document length (engine.ops.profile
+    .int_histogram): integer-arithmetic bucket index (engine-invariant, no
+    float width_bucket boundary drift), under/overflow buckets, one
+    exchange of at most buckets+2 partial counts per task."""
+    from engine.ops.profile import int_histogram
+
+    d = t(spark, sf_dir, "documents")
+    return int_histogram(d, "n_chars", lo=0, hi=600, n_buckets=12)
+
+
 # ===========================================================================
 # Registration order (driver verification window)
 # ===========================================================================

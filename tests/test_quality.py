@@ -55,6 +55,36 @@ def test_snapshot_diff_classifies_changes(spark):
     assert out == {2: "changed", 3: "removed", 5: "added"}
 
 
+def test_group_quantiles_discrete_values(spark):
+    from engine.ops.profile import group_quantiles
+
+    df = spark.createDataFrame(
+        [("a", v) for v in [1, 2, 3, 4]] + [("b", 10)], "g string, m long"
+    )
+    rows = {r["g"]: r for r in group_quantiles(df, ["g"], "m").collect()}
+    assert (rows["a"]["q25"], rows["a"]["q50"], rows["a"]["q75"]) == (1, 2, 3)
+    assert rows["b"]["q50"] == 10 and rows["b"]["n_rows"] == 1
+    approx = group_quantiles(df, ["g"], "m", exact=False).columns
+    assert approx == ["g", "n_rows", "q25", "q50", "q75"]
+
+
+def test_int_histogram_buckets_and_overflow(spark):
+    from engine.ops.profile import int_histogram
+
+    df = spark.createDataFrame(
+        [(v,) for v in [-5, 0, 49, 50, 99, 100, 250]], "m long"
+    )
+    rows = {
+        r["bucket"]: r
+        for r in int_histogram(df, "m", lo=0, hi=100, n_buckets=2).collect()
+    }
+    assert rows[-1]["n_rows"] == 1  # underflow
+    assert rows[0]["n_rows"] == 2  # 0, 49
+    assert rows[1]["n_rows"] == 2  # 50, 99 (boundary 50 goes UP)
+    assert rows[2]["n_rows"] == 2  # 100, 250 overflow
+    assert (rows[0]["lo_edge"], rows[0]["hi_edge"]) == (0.0, 50.0)
+
+
 def test_snapshot_diff_null_vs_empty_do_not_collide(spark):
     old = spark.createDataFrame([(1, None)], "k long, v string")
     new = spark.createDataFrame([(1, "")], "k long, v string")
