@@ -383,6 +383,12 @@ def bigram_lm_scores(
     volume); history counts derive from the COUNT TABLE, never a second
     corpus pass; scoring joins are hash joins on the bigram/history keys.
     """
+    # The tokenize+explode subtree is evaluated twice (model counts and
+    # probe) — deliberate: a pre-deduped (doc, bigram, k) probe was measured
+    # SLOWER (the occurrence-volume exchange it adds costs more than the
+    # repeated scan saves, and Spark does not reuse the exchange across the
+    # aggregate boundary).  At 100 TB, persist the bigram projection or
+    # accept the second scan — both beat shuffling raw occurrence volume.
     toks = df.select(F.col(id_col).alias(id_col), tokens(text_col).alias("__toks"))
     bg = toks.select(
         id_col, F.explode(ngrams_from(F.col("__toks"), 2)).alias("bg")
