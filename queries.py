@@ -4628,6 +4628,127 @@ def doclen_histogram(spark, sf_dir):
     return int_histogram(d, "n_chars", lo=0, hi=600, n_buckets=12)
 
 
+@q(
+    "exists_order_priority",
+    """
+    SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS order_count
+    FROM orders o
+    WHERE EXISTS (SELECT 1 FROM lineitem l
+                  WHERE l.l_orderkey = o.o_orderkey AND l.l_returnflag = 'R')
+    GROUP BY o_orderpriority ORDER BY o_orderpriority
+    """,
+)
+def exists_order_priority(spark, sf_dir):
+    """TPC-H Q4 shape — correlated EXISTS decorrelated to a left-semi join
+    (filter pushed below the join so only 'R' lineitems build the hash
+    side), then one group-key exchange with map-side partials."""
+    o = t(spark, sf_dir, "orders")
+    li = t(spark, sf_dir, "lineitem")
+    semi = o.join(
+        li.filter(F.col("l_returnflag") == "R").select(
+            F.col("l_orderkey").alias("o_orderkey")
+        ),
+        "o_orderkey",
+        "left_semi",
+    )
+    return (
+        semi.groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+        .orderBy("o_orderpriority")
+    )
+
+
+@q(
+    "rich_idle_customers",
+    """
+    WITH thr AS (
+      SELECT SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS total,
+             COUNT(*) AS nn
+      FROM customer WHERE c_acctbal > 0)
+    SELECT c_mktsegment, CAST(COUNT(*) AS BIGINT) AS n_cust,
+           CAST(ROUND(SUM(CAST(c_acctbal AS DECIMAL(18,2))), 2) AS DOUBLE)
+             AS total_bal
+    FROM customer c, thr
+    WHERE CAST(c_acctbal AS DECIMAL(18,2)) * nn > total
+      AND NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey
+                      AND o.o_orderdate >= TIMESTAMP '2000-06-01 00:00:00')
+    GROUP BY c_mktsegment ORDER BY c_mktsegment
+    """,
+)
+def rich_idle_customers(spark, sf_dir):
+    """TPC-H Q22 shape — scalar-subquery threshold (above-average balance)
+    + NOT EXISTS anti-join (no RECENT orders) + per-segment rollup.  The average comparison is
+    CROSS-MULTIPLIED (bal·n > Σbal) so the threshold stays exact decimal
+    arithmetic — a float mean would put boundary customers at the mercy of
+    engine-specific summation order.  Threshold rides a broadcast 1-row
+    table; the anti-join shuffles once on the key."""
+    c = t(spark, sf_dir, "customer")
+    o = t(spark, sf_dir, "orders")
+    bal = F.col("c_acctbal").cast("decimal(18,2)")
+    thr = c.filter(F.col("c_acctbal") > 0).agg(
+        F.sum(bal).alias("__total"), F.count(F.lit(1)).alias("__nn")
+    )
+    rich = c.crossJoin(F.broadcast(thr)).filter(
+        bal * F.col("__nn") > F.col("__total")
+    )
+    idle = rich.join(
+        o.filter(F.col("o_orderdate") >= "2000-06-01").select(
+            F.col("o_custkey").alias("c_custkey")
+        ),
+        "c_custkey",
+        "left_anti",
+    )
+    return (
+        idle.groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_cust"),
+            F.round(F.sum(bal), 2).cast("double").alias("total_bal"),
+        )
+        .orderBy("c_mktsegment")
+    )
+
+
+@q(
+    "supplier_value_share",
+    """
+    WITH sv AS (
+      SELECT l_suppkey,
+             SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+                 * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS value
+      FROM lineitem GROUP BY l_suppkey),
+    tot AS (SELECT SUM(value) AS total, COUNT(*) AS nn FROM sv)
+    SELECT l_suppkey, CAST(ROUND(value, 2) AS DOUBLE) AS net_value
+    FROM sv, tot
+    WHERE value * nn * 20 > 21 * total
+    ORDER BY l_suppkey
+    """,
+)
+def supplier_value_share(spark, sf_dir):
+    """TPC-H Q11 shape — HAVING against a global-total scalar subquery:
+    suppliers whose share exceeds 1.05× the mean share (scale-invariant,
+    unlike a fixed fraction).  The test is cross-multiplied
+    (value·n·20 > 21·Σvalue) so it stays exact decimal math;
+    the total derives from the SAME per-supplier aggregate (supplier-sized,
+    one extra fold), never a second lineitem pass."""
+    li = t(spark, sf_dir, "lineitem")
+    val = F.col("l_extendedprice").cast("decimal(12,2)") * (
+        1 - F.col("l_discount").cast("decimal(4,2)")
+    )
+    sv = li.groupBy("l_suppkey").agg(F.sum(val).alias("__value"))
+    tot = sv.agg(
+        F.sum("__value").alias("__total"), F.count(F.lit(1)).alias("__nn")
+    )
+    return (
+        sv.crossJoin(F.broadcast(tot))
+        .filter(F.col("__value") * F.col("__nn") * 20 > F.col("__total") * 21)
+        .select(
+            "l_suppkey",
+            F.round("__value", 2).cast("double").alias("net_value"),
+        )
+        .orderBy("l_suppkey")
+    )
+
+
 # ===========================================================================
 # Registration order (driver verification window)
 # ===========================================================================
