@@ -73,7 +73,6 @@ SECONDARY = [
     "char_entropy",
     "table_profile",
     "perplexity_buckets",
-    "zorder_layout",
 ]
 
 

@@ -22,7 +22,9 @@ __all__ = [
     "write_bucketed",
     "read_table",
     "zorder_key",
+    "zorder_key_sql",
     "cluster_by_zorder",
+    "zorder_write",
 ]
 
 
@@ -76,6 +78,8 @@ def zorder_key(cols, *, bits: int = 16):
     from pyspark.sql import functions as F
 
     n = len(cols)
+    if bits * n > 63:
+        raise ValueError(f"bits*cols = {bits * n} exceeds signed-64 range")
     acc = F.lit(0).cast("long")
     for b in range(bits):
         for i, c in enumerate(cols):
@@ -83,6 +87,19 @@ def zorder_key(cols, *, bits: int = 16):
             bit = F.shiftright(src, b).bitwiseAND(F.lit(1))
             acc = acc.bitwiseOR(F.shiftleft(bit, b * n + i))
     return acc
+
+
+def zorder_key_sql(cols: list[str], *, bits: int = 16) -> str:
+    """ANSI-SQL twin of :func:`zorder_key` (same bit placement; disjoint
+    bits let ``+`` stand in for ``|``).  ``cols`` are column expressions
+    already scaled into ``[0, 2**bits)``, same contract as the Spark side."""
+    n = len(cols)
+    terms = [
+        f"((({c}) >> {b}) & 1) * {1 << (b * n + i)}"
+        for b in range(bits)
+        for i, c in enumerate(cols)
+    ]
+    return "(" + " + ".join(terms) + ")"
 
 
 def cluster_by_zorder(
@@ -98,3 +115,22 @@ def cluster_by_zorder(
         .sortWithinPartitions("__z")
         .drop("__z")
     )
+
+
+def zorder_write(
+    df: DataFrame,
+    path: str,
+    cols: list[str],
+    *,
+    bits: int = 16,
+    n_files: int = 32,
+    mode: str = "overwrite",
+) -> None:
+    """:func:`cluster_by_zorder` + parquet write: per-file key ranges are
+    disjoint curve segments (range partitioning), so row-group min/max
+    stats stay tight on EVERY interleaved column — multi-dimensional file
+    pruning without a table format (the mechanism behind Delta's OPTIMIZE
+    ZORDER BY, as a plain expression + write)."""
+    cluster_by_zorder(df, cols, bits=bits, n_files=n_files).write.mode(
+        mode
+    ).parquet(path)

@@ -4438,35 +4438,6 @@ def perplexity_buckets(spark, sf_dir):
     )
 
 
-def _zorder_sql() -> str:
-    from engine.ops.layout import zorder_key_sql
-
-    z = zorder_key_sql(["o_custkey", "o_orderkey"], bits=16)
-    return f"""
-    SELECT o_orderkey, {z} AS z_key, ({z} >> 24) AS z_bucket
-    FROM orders
-    """
-
-
-@q("zorder_layout", _zorder_sql())
-def zorder_layout(spark, sf_dir):
-    """Z-order (Morton) clustering key over (o_custkey, o_orderkey) plus the
-    coarse curve-segment bucket that becomes a file assignment — the layout
-    pass that makes multi-dimensional parquet min/max pruning work at 100 TB
-    (engine.ops.layout; zorder_write does repartitionByRange + sorted write).
-    Pure bit-interleave expression, zero shuffles in this verification
-    query; the oracle checks the curve bit-for-bit."""
-    from engine.ops.layout import zorder_key_expr
-
-    o = t(spark, sf_dir, "orders")
-    zkey = zorder_key_expr(["o_custkey", "o_orderkey"], bits=16)
-    return o.select(
-        "o_orderkey",
-        zkey.alias("z_key"),
-        F.shiftright(zkey, 24).cast("long").alias("z_bucket"),
-    )
-
-
 @q(
     "constraint_audit",
     """

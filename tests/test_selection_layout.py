@@ -5,7 +5,7 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from engine.extended.selection import quantile_buckets
-from engine.ops.layout import zorder_key_expr, zorder_key_sql, zorder_write
+from engine.ops.io import zorder_key, zorder_key_sql, zorder_write
 
 
 def test_quantile_buckets_terciles_and_boundary_ties(spark):
@@ -42,7 +42,7 @@ def test_zorder_key_interleaves_bits(spark):
     # x=3 (11b), y=1 (01b), 2 bits: positions x->0,2  y->1,3  => 0111b = 7
     df = spark.createDataFrame([(3, 1)], "x long, y long")
     key = df.select(
-        zorder_key_expr(["x", "y"], bits=2).alias("k")
+        zorder_key(["x", "y"], bits=2).alias("k")
     ).first()["k"]
     assert key == 7
     # SQL twin produces the identical value via Spark SQL evaluation
@@ -59,7 +59,7 @@ def test_zorder_key_locality_beats_lexicographic(spark):
         [(x, y) for x in range(0, 256, 16) for y in range(0, 256, 16)],
         "x long, y long",
     )
-    keyed = df.withColumn("k", zorder_key_expr(["x", "y"], bits=8))
+    keyed = df.withColumn("k", zorder_key(["x", "y"], bits=8))
     sq = keyed.filter((F.col("x") < 32) & (F.col("y") < 32))
     lo, hi = sq.agg(F.min("k"), F.max("k")).first()
     full_hi = keyed.agg(F.max("k")).first()[0]
@@ -70,7 +70,7 @@ def test_zorder_key_range_guard():
     import pytest
 
     with pytest.raises(ValueError):
-        zorder_key_expr(["a", "b", "c", "d"], bits=16)
+        zorder_key(["a", "b", "c", "d"], bits=16)
 
 
 def test_zorder_write_clusters_files(spark, tmp_path):
@@ -86,7 +86,7 @@ def test_zorder_write_clusters_files(spark, tmp_path):
     import pyspark.sql.functions as SF
 
     stats = (
-        back.withColumn("k", zorder_key_expr(["x", "y"], bits=6))
+        back.withColumn("k", zorder_key(["x", "y"], bits=6))
         .withColumn("f", SF.input_file_name())
         .groupBy("f")
         .agg(SF.min("k").alias("lo"), SF.max("k").alias("hi"))
