@@ -210,3 +210,53 @@ def test_runtime_bloom_filter_reduces_shuffle_join(spark):
     finally:
         for k, v in old.items():
             spark.conf.set(k, v)
+
+
+def test_round3_text_ops_zero_exchange(spark):
+    # html_extract / quality_classifier / char_entropy are pure expression
+    # chains: any Exchange in these plans is a scale regression.
+    from queries import char_entropy, html_extract, quality_classifier
+
+    for fn in (html_extract, quality_classifier, char_entropy):
+        p = plan(fn(spark, SF))
+        assert "Exchange" not in p, fn.__name__
+        assert "Python" not in p, fn.__name__  # stays JVM-side
+
+
+def test_exists_semi_join_broadcasts_and_filters_build_side(spark):
+    from queries import exists_order_priority
+
+    p = plan(exists_order_priority(spark, SF))
+    assert "LeftSemi" in p
+    assert "BroadcastNestedLoopJoin" not in p
+    # the returnflag filter must sit below the join, pushed to the
+    # lineitem scan (so only 'R' rows build the broadcast hash side)
+    assert "EqualTo(l_returnflag,R)" in p
+
+
+def test_constraint_audit_partial_aggregation(spark):
+    from queries import constraint_audit
+
+    p = plan(constraint_audit(spark, SF))
+    # one scan, partial -> final agg, single 1-row exchange
+    assert p.count("Scan parquet") == 1
+    assert "partial" in p.lower()
+
+
+def test_scalar_threshold_rides_broadcast(spark):
+    from queries import rich_idle_customers, supplier_value_share
+
+    for fn in (rich_idle_customers, supplier_value_share):
+        p = plan(fn(spark, SF))
+        assert "BroadcastNestedLoopJoin" in p or "BroadcastHashJoin" in p
+        # the 1-row threshold table must be the broadcast side, never the fact
+        assert "SortMergeJoin" not in p.split("Broadcast")[0]
+
+
+def test_quantile_buckets_single_boundary_pass(spark):
+    from queries import perplexity_buckets
+
+    p = plan(perplexity_buckets(spark, SF))
+    # boundary assignment joins a broadcast 1-row table; no extra shuffle of
+    # the scored corpus beyond the LM's own aggregations
+    assert "BroadcastNestedLoopJoin" in p  # 1-row cross join
