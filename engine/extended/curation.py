@@ -366,7 +366,12 @@ def contamination_attribution(
 
 
 def bigram_lm_scores(
-    df: DataFrame, *, id_col: str = "doc_id", text_col: str = "text", round_to: int = 4
+    df: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    round_to: int = 4,
+    carry_cols: list[str] | None = None,
 ) -> DataFrame:
     """Per-document average bigram log-probability under the corpus's OWN
     bigram model — the shape of KenLM-perplexity quality filtering
@@ -382,6 +387,11 @@ def bigram_lm_scores(
     partials (the shuffle carries distinct-bigram partials, not token
     volume); history counts derive from the COUNT TABLE, never a second
     corpus pass; scoring joins are hash joins on the bigram/history keys.
+
+    ``carry_cols`` ride through the explode and the final per-doc group so
+    a composed pipeline can keep e.g. ``source`` WITHOUT joining the
+    scores back to the (possibly expensive) input subtree — each such join
+    would re-evaluate that subtree once more.
     """
     # The tokenize+explode subtree is evaluated twice (model counts and
     # probe) — deliberate: a pre-deduped (doc, bigram, k) probe was measured
@@ -389,9 +399,12 @@ def bigram_lm_scores(
     # repeated scan saves, and Spark does not reuse the exchange across the
     # aggregate boundary).  At 100 TB, persist the bigram projection or
     # accept the second scan — both beat shuffling raw occurrence volume.
-    toks = df.select(F.col(id_col).alias(id_col), tokens(text_col).alias("__toks"))
+    carry = list(carry_cols or [])
+    toks = df.select(
+        F.col(id_col).alias(id_col), *carry, tokens(text_col).alias("__toks")
+    )
     bg = toks.select(
-        id_col, F.explode(ngrams_from(F.col("__toks"), 2)).alias("bg")
+        id_col, *carry, F.explode(ngrams_from(F.col("__toks"), 2)).alias("bg")
     )
     c2 = bg.groupBy("bg").agg(F.count(F.lit(1)).alias("__c2"))
     w1 = F.element_at(F.split(F.col("bg"), " "), 1)
@@ -402,7 +415,7 @@ def bigram_lm_scores(
         .join(c1, "__w1")
         .withColumn("__logp", F.log2(F.col("__c2") / F.col("__c1")))
     )
-    return scored.groupBy(id_col).agg(
+    return scored.groupBy(id_col, *carry).agg(
         F.count(F.lit(1)).alias("n_bigrams"),
         F.round(F.avg("__logp"), round_to).alias("avg_logp"),
     )
@@ -526,6 +539,7 @@ def hashed_quality_score(
     *,
     n_buckets: int = 4096,
     prefix: str = "q",
+    hash_fn: str = "md5",
 ) -> dict[str, Column]:
     """fastText-style hashed bag-of-words linear score over an
     ALREADY-PROJECTED token-array column (see text.ngrams_from for why).
@@ -540,12 +554,15 @@ def hashed_quality_score(
     accumulation-order divergence between engines.
 
     Zero shuffles: transform + aggregate inside codegen, one scan.
+    ``hash_fn='md5'`` (default) is the oracle-checkable family;
+    ``'xxhash64'`` is the cheaper production hash (same contract as the
+    signature operators in engine.extended.dedup).
     """
-    from engine.extended.dedup import md5_long
+    from engine.extended.dedup import _hash64
 
     toks = text_col
     bucket = lambda t: F.pmod(  # noqa: E731
-        md5_long(F.concat(F.lit(prefix + "|"), t)), F.lit(n_buckets)
+        _hash64(F.concat(F.lit(prefix + "|"), t), hash_fn), F.lit(n_buckets)
     )
     wsum = F.aggregate(
         F.transform(toks, lambda t: bucket(t) % 197 - 98),

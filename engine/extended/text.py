@@ -236,11 +236,14 @@ def char_entropy_from(norm: Column) -> Column:
     """
     chars = F.array_sort(F.array_distinct(F.regexp_extract_all(norm, F.lit(r"[\s\S]"), F.lit(0))))
     n = F.length(norm)
-    cnt = lambda c: n - F.length(F.replace(norm, c, F.lit("")))  # noqa: E731
+    # count each char ONCE into an array, then fold — the fold lambda
+    # references its argument twice, and an inline cnt() there would run
+    # the length+replace pair twice per char (no CSE inside HOF lambdas).
+    counts = F.transform(
+        chars, lambda c: (n - F.length(F.replace(norm, c, F.lit("")))).cast("double")
+    )
     sum_clnc = F.aggregate(
-        chars,
-        F.lit(0.0),
-        lambda acc, c: acc + cnt(c).cast("double") * F.log(cnt(c).cast("double")),
+        counts, F.lit(0.0), lambda acc, x: acc + x * F.log(x)
     )
     return F.when(
         n > 0, F.round(F.log(n.cast("double")) - sum_clnc / n, 4)

@@ -1784,11 +1784,11 @@ def corpus_pipeline_v3(spark, sf_dir):
     d2 = d.select("doc_id", _url_text2_expr().alias("text"), "source")
     blocked = spark.createDataFrame([("blocked.example.net",)], "domain string")
     kept = domain_blocklist_filter(d2, blocked)
-    scores = bigram_lm_scores(kept)
-    good = (
-        kept.join(scores, "doc_id")
-        .filter(F.col("avg_logp") >= -4.9)
-        .select("doc_id", "source", "avg_logp")
+    # source rides THROUGH the scorer (carry_cols) — joining scores back to
+    # `kept` would re-evaluate the blocklist-filter subtree a third time.
+    scores = bigram_lm_scores(kept, carry_cols=["source"])
+    good = scores.filter(F.col("avg_logp") >= -4.9).select(
+        "doc_id", "source", "avg_logp"
     )
     mixed = temperature_mixture(good, alpha=0.5, total=150, group_col="source")
     return mixed.groupBy("source").agg(
