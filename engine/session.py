@@ -47,6 +47,15 @@ def get_spark(
     builder = (
         SparkSession.builder.appName(app_name)
         .master(master)
+        # local-mode executor heap: Spark's 1g default dies on wide-row
+        # stages (Expand over the 10× stress tables), while an oversized
+        # heap REGRESSES the shuffle-heavy queries (measured: minhash 2.8 s
+        # at 4g vs 6.9 s at 24g — bigger young gen, worse locality).  4g is
+        # the measured sweet spot on this box; override via env.  A cluster
+        # manager's per-executor setting takes over off-local.
+        .config(
+            "spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "4g")
+        )
         # deterministic timezone semantics (SURVEY §7 risk 4)
         .config("spark.sql.session.timeZone", "UTC")
         # adaptive execution: partition coalescing + skew-join handling at scale
