@@ -94,6 +94,8 @@ def zorder_key_sql(cols: list[str], *, bits: int = 16) -> str:
     bits let ``+`` stand in for ``|``).  ``cols`` are column expressions
     already scaled into ``[0, 2**bits)``, same contract as the Spark side."""
     n = len(cols)
+    if bits * n > 63:
+        raise ValueError(f"bits*cols = {bits * n} exceeds signed-64 range")
     terms = [
         f"((({c}) >> {b}) & 1) * {1 << (b * n + i)}"
         for b in range(bits)

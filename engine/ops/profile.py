@@ -39,8 +39,12 @@ def table_profile(
 ) -> DataFrame:
     """(column, n_rows, n_null, n_distinct, min_value, max_value), one row
     per profiled column, ordered by column name."""
+    from engine.ops.quality import _check_ident
+
+    for c in cols:
+        _check_ident(c, "column name")
     dtypes = dict(df.dtypes)
-    aggs = []
+    aggs = [F.count(F.lit(1)).alias("__n")]
     for c in cols:
         nd = (
             F.count_distinct(F.col(c))
@@ -48,7 +52,6 @@ def table_profile(
             else F.approx_count_distinct(c)
         )
         aggs += [
-            F.count(F.lit(1)).alias(f"__n_{c}"),
             F.sum(F.col(c).isNull().cast("long")).alias(f"__nn_{c}"),
             nd.alias(f"__nd_{c}"),
             _canon_str(F.min(F.col(c)), dtypes[c]).alias(f"__min_{c}"),
@@ -56,7 +59,7 @@ def table_profile(
         ]
     wide = df.agg(*aggs)
     stack_args = ", ".join(
-        f"'{c}', `__n_{c}`, `__nn_{c}`, `__nd_{c}`, `__min_{c}`, `__max_{c}`"
+        f"'{c}', `__n`, `__nn_{c}`, `__nd_{c}`, `__min_{c}`, `__max_{c}`"
         for c in cols
     )
     return wide.selectExpr(
@@ -79,21 +82,26 @@ def group_quantiles(
     One shuffle on the group key; ``exact=False`` swaps in the
     bounded-memory ``approx_percentile`` sketch for corpus-scale metrics
     (same plan shape, values within sketch error)."""
+    aliases = [f"q{int(round(p * 100)):02d}" for p in probs]
+    if len(set(aliases)) != len(aliases):
+        raise ValueError(
+            f"probs {probs} collide after rounding to integer percents {aliases}"
+        )
     if exact:
         aggs = [
             F.expr(
                 f"percentile_disc({p!r}) WITHIN GROUP (ORDER BY {metric_col})"
             )
             .cast("long")
-            .alias(f"q{int(round(p * 100)):02d}")
-            for p in probs
+            .alias(a)
+            for p, a in zip(probs, aliases)
         ]
     else:
         aggs = [
             F.percentile_approx(metric_col, p)
             .cast("long")
-            .alias(f"q{int(round(p * 100)):02d}")
-            for p in probs
+            .alias(a)
+            for p, a in zip(probs, aliases)
         ]
     return (
         df.groupBy(*group_cols)

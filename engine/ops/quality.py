@@ -25,6 +25,8 @@ key — bucket both versions on the key and the exchange disappears
 
 from __future__ import annotations
 
+import re
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -36,11 +38,22 @@ __all__ = [
     "snapshot_diff",
 ]
 
+_IDENT_RE = re.compile(r"^[A-Za-z0-9_][A-Za-z0-9_ .-]*$")
+
+
+def _check_ident(name: str, what: str) -> None:
+    """Names are interpolated into a generated ``stack(...)`` selectExpr;
+    reject anything that could escape its string/backtick quoting."""
+    if not _IDENT_RE.match(name):
+        raise ValueError(f"{what} {name!r} contains characters unsafe for SQL interpolation")
+
 
 def check_constraints(df: DataFrame, checks: dict[str, Column]) -> DataFrame:
     """(rule, n_violations, n_rows) per named predicate; a NULL predicate
     result counts as a violation (unknown is not compliance).  One scan,
     map-side partial aggregation regardless of rule count."""
+    for name in checks:
+        _check_ident(name, "rule name")
     aggs = [
         F.sum(
             F.when(F.coalesce(cond, F.lit(False)), 0).otherwise(1)
@@ -88,20 +101,24 @@ def check_foreign_key(
     return n_orphans.crossJoin(n_nulls)
 
 
-#: sentinel for NULL inside the row hash — chosen to not collide with data
-#: (ASCII unit separator, never present in the text domains).
-_NULL_SENTINEL = "\x1f<null>\x1f"
+#: sentinel for NULL inside the row hash — cannot collide with any md5 hex
+#: digest (wrong length, non-hex chars).
+_NULL_SENTINEL = "<null>"
 
 
 def row_hash(cols: list[str]) -> Column:
-    """Dual-implementable row fingerprint: md5 over the '|'-joined values
-    with an explicit NULL sentinel (coalesce-into-concat_ws would make
-    NULL and '' collide).  DuckDB twin:
-    ``MD5(CONCAT_WS('|', COALESCE(CAST(c AS VARCHAR), sentinel), ...))``."""
+    """Dual-implementable row fingerprint: md5 over the concatenation of
+    PER-COLUMN md5 digests (NULL → a non-hex sentinel).  Hashing each
+    column first makes every segment fixed-width, so no delimiter-injection
+    collision exists: values containing separators can never realign across
+    column boundaries (plain ``concat_ws('|', ...)`` would hash
+    ``('x|y','z')`` and ``('x','y|z')`` identically).  DuckDB twin:
+    ``MD5(CONCAT(COALESCE(MD5(CAST(c AS VARCHAR)), '<null>'), ...))``."""
     parts = [
-        F.coalesce(F.col(c).cast("string"), F.lit(_NULL_SENTINEL)) for c in cols
+        F.coalesce(F.md5(F.col(c).cast("string")), F.lit(_NULL_SENTINEL))
+        for c in cols
     ]
-    return F.md5(F.concat_ws("|", *parts))
+    return F.md5(F.concat(*parts))
 
 
 def snapshot_diff(

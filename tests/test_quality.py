@@ -90,3 +90,45 @@ def test_snapshot_diff_null_vs_empty_do_not_collide(spark):
     new = spark.createDataFrame([(1, "")], "k long, v string")
     out = snapshot_diff(old, new, ["k"], ["v"]).collect()
     assert [(r["k"], r["change"]) for r in out] == [(1, "changed")]
+
+
+def test_row_hash_no_delimiter_injection(spark):
+    from engine.ops.quality import snapshot_diff
+
+    # ('x|y','z') vs ('x','y|z') must NOT collide (per-column hashing)
+    old = spark.createDataFrame([(1, "x|y", "z")], "k long, a string, b string")
+    new = spark.createDataFrame([(1, "x", "y|z")], "k long, a string, b string")
+    out = snapshot_diff(old, new, ["k"], ["a", "b"]).collect()
+    assert [(r["k"], r["change"]) for r in out] == [(1, "changed")]
+
+
+def test_unsafe_names_rejected(spark):
+    import pytest
+
+    from engine.ops.profile import table_profile
+    from engine.ops.quality import check_constraints
+
+    df = spark.createDataFrame([(1,)], "k long")
+    with pytest.raises(ValueError):
+        check_constraints(df, {"isn't safe": F.col("k") > 0})
+    with pytest.raises(ValueError):
+        table_profile(df.withColumnRenamed("k", "k`x"), ["k`x"])
+
+
+def test_group_quantiles_alias_collision_rejected(spark):
+    import pytest
+
+    from engine.ops.profile import group_quantiles
+
+    df = spark.createDataFrame([(1, 1)], "g long, m long")
+    with pytest.raises(ValueError):
+        group_quantiles(df, ["g"], "m", probs=(0.333, 0.3349))
+
+
+def test_zorder_key_sql_range_guard():
+    import pytest
+
+    from engine.ops.io import zorder_key_sql
+
+    with pytest.raises(ValueError):
+        zorder_key_sql(["a", "b", "c", "d"], bits=16)
