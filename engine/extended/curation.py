@@ -520,13 +520,20 @@ def html_to_text(col: Column | str) -> Column:
     """Boilerplate-free prose from raw HTML: drop script/style bodies,
     comments and tags, decode the common literal entities, collapse
     whitespace.  Pure regexp/replace chain — zero shuffles, whole-stage
-    codegen; the C4-style extraction pass before any quality filter."""
+    codegen; the C4-style extraction pass before any quality filter.
+
+    Literal U+00A0 normalizes to plain space (it IS whitespace in HTML
+    rendering, same as the ``&nbsp;`` entity form), and the final edge
+    strip is an explicit ASCII-space regexp rather than TRIM — engine
+    TRIMs disagree on Unicode spaces (DuckDB strips U+00A0, the JVM does
+    not; fuzz-found, seed 0)."""
     c = F.col(col) if isinstance(col, str) else col
     for pat, rep in HTML_STRIP_STEPS:
         c = F.regexp_replace(c, pat, rep)
     for ent, rep in HTML_ENTITIES:
         c = F.replace(c, F.lit(ent), F.lit(rep))
-    return F.trim(F.regexp_replace(c, r"\s+", " "))
+    c = F.replace(c, F.lit("\xa0"), F.lit(" "))
+    return F.regexp_replace(F.regexp_replace(c, r"\s+", " "), "^ +| +$", "")
 
 
 # ---------------------------------------------------------------------------

@@ -205,6 +205,10 @@ def decode_media(df: DataFrame, codec: Codec | None = None) -> DataFrame:
         for b in batches:
             rows = []
             for mid, payload, m in zip(b["media_id"], b["payload"], b["mime"]):
+                if payload is None:
+                    # missing payload: metadata row survives, content nulls
+                    rows.append((mid, m, None, None, None, None, None))
+                    continue
                 data = bytes(payload)
                 decoded = active(data, m)
                 hdr = parse_header(data)
@@ -251,6 +255,9 @@ def media_features(df: DataFrame, *, sig_dim: int = 8) -> DataFrame:
         for b in batches:
             rows = []
             for mid, mime, payload in zip(b["media_id"], b["mime"], b["payload"]):
+                if payload is None:
+                    rows.append((mid, mime, None, None, None))
+                    continue
                 data = bytes(payload)
                 n = len(data)
                 counts = [0] * 256

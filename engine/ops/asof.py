@@ -39,6 +39,15 @@ def asof_join(
     merge_asof semantics via union + window: build rows sort before probe rows
     at equal timestamps (inclusive bound), then ``last(ignorenulls)`` carries
     the most recent build values forward onto every probe row.
+
+    NULL timestamps: a build row with NULL ``build_ts`` is dropped (an
+    unknown event time cannot be "the latest at or before" anything — left
+    in, it would sort NULLS FIRST and masquerade as an
+    earlier-than-everything match), and a probe row with NULL ``probe_ts``
+    matches nothing (its values come back NULL, the row itself survives a
+    left join).  Engines disagree here — DuckDB's sort-based ASOF with
+    NULLS LAST hands a NULL probe the LATEST build row — so the contract
+    is pinned explicitly (fuzz-found).
     """
     clash = set(value_cols) & {c for c in probe.columns if c != key}
     if clash:
@@ -47,7 +56,11 @@ def asof_join(
             "the build side before the as-of join"
         )
     p = probe.withColumn("__ts", F.col(probe_ts)).withColumn("__side", F.lit(1))
-    b = build.withColumn("__ts", F.col(build_ts)).withColumn("__side", F.lit(0))
+    b = (
+        build.filter(F.col(build_ts).isNotNull())
+        .withColumn("__ts", F.col(build_ts))
+        .withColumn("__side", F.lit(0))
+    )
 
     p_cols = probe.columns
     all_cols = [key, "__ts", "__side"]

@@ -172,8 +172,12 @@ def keyset_page(df: DataFrame, order_cols: list[str], limit: int) -> DataFrame:
     """``ORDER BY ... LIMIT n`` — the reference's micro-batch unit
     (helpers/query_helper.py:24-25,39-40).  Catalyst executes this as
     ``TakeOrderedAndProject`` (per-partition top-k + merge), never a global
-    sort, so it scales to arbitrarily large scans."""
-    return df.orderBy(*[F.col(c) for c in order_cols]).limit(limit)
+    sort, so it scales to arbitrarily large scans.
+
+    NULLS LAST pinned explicitly: the reference's source is Postgres, whose
+    ASC default is NULLS LAST, while Spark's is NULLS FIRST — on a nullable
+    ordering column the page contents would silently differ (fuzz-found)."""
+    return df.orderBy(*[F.col(c).asc_nulls_last() for c in order_cols]).limit(limit)
 
 
 # -- A1/ST5: min/max stall guard ---------------------------------------------

@@ -408,7 +408,7 @@ def a5_null_rate(spark, sf_dir):
     "o1_keyset_page",
     """
     SELECT o_orderkey, CAST(o_orderdate AS VARCHAR) AS o_orderdate_s
-    FROM orders ORDER BY o_orderdate, o_orderkey LIMIT 100
+    FROM orders ORDER BY o_orderdate NULLS LAST, o_orderkey LIMIT 100
     """,
 )
 def o1_keyset_page(spark, sf_dir):
@@ -796,7 +796,7 @@ def setops_customer_keys(spark, sf_dir):
     """
     SELECT o_custkey, o_orderkey,
            CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
-             PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+             PARTITION BY o_custkey ORDER BY o_orderdate NULLS LAST, o_orderkey
              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
              AS running_total
     FROM orders
@@ -816,7 +816,7 @@ def window_running_total(spark, sf_dir):
     o = t(spark, sf_dir, "orders")
     w = (
         Window.partitionBy("o_custkey")
-        .orderBy("o_orderdate", "o_orderkey")
+        .orderBy(F.col("o_orderdate").asc_nulls_last(), "o_orderkey")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     return o.select(
@@ -2194,14 +2194,20 @@ def null_funcs_pack(spark, sf_dir):
     SELECT p.o_orderkey, p.key,
            CAST(b.bts AS VARCHAR) AS asof_ts,
            ROUND(b.value, 2) AS asof_value
-    FROM probe p ASOF LEFT JOIN build b
+    FROM (SELECT * FROM probe WHERE pts IS NOT NULL) p ASOF LEFT JOIN build b
       ON p.key = b.key AND b.bts <= p.pts
+    UNION ALL
+    SELECT o_orderkey, key, CAST(NULL AS VARCHAR) AS asof_ts,
+           CAST(NULL AS DOUBLE) AS asof_value
+    FROM probe WHERE pts IS NULL
     """,
 )
 def asof_join_events_orders(spark, sf_dir):
     """As-of join (no Spark native): for each order, the latest event-derived
     tick at or before the order date, per key.  Union+window formulation —
-    one shuffle on the key, no nested-loop (engine.ops.asof)."""
+    one shuffle on the key, no nested-loop (engine.ops.asof).  A NULL probe
+    timestamp matches nothing (the oracle carves those rows out explicitly:
+    DuckDB's sort-based ASOF would hand them the latest build row)."""
     from engine.ops.asof import asof_join
 
     o = t(spark, sf_dir, "orders")
@@ -2589,17 +2595,21 @@ def scd2_history_merge(spark, sf_dir):
            ROUND(LEAD(o_totalprice) OVER w, 2) AS next_price,
            NTILE(4) OVER w AS quartile,
            ROUND(FIRST_VALUE(o_totalprice) OVER w, 2) AS first_price,
-           RANK() OVER (PARTITION BY o_custkey ORDER BY ROUND(o_totalprice, 2) DESC) AS price_rank
+           RANK() OVER (PARTITION BY o_custkey ORDER BY ROUND(o_totalprice, 2) DESC NULLS LAST) AS price_rank
     FROM orders
-    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate NULLS LAST, o_orderkey)
     """,
 )
 def window_functions_pack(spark, sf_dir):
     """Analytic window battery: lag/lead/ntile/first_value/rank (engine
     capability; reference uses only row_number semantics)."""
     o = t(spark, sf_dir, "orders")
-    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
-    wr = Window.partitionBy("o_custkey").orderBy(F.round("o_totalprice", 2).desc())
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_orderdate").asc_nulls_last(), "o_orderkey"
+    )
+    wr = Window.partitionBy("o_custkey").orderBy(
+        F.round("o_totalprice", 2).desc_nulls_last()
+    )
     return o.select(
         "o_orderkey",
         F.round(F.lag("o_totalprice").over(w), 2).alias("prev_price"),
@@ -2647,12 +2657,18 @@ def regex_pack(spark, sf_dir):
 def correlated_above_group_avg(spark, sf_dir):
     """Correlated scalar subquery, hand-decorrelated to a per-key window avg
     (one exchange instead of a re-scan per outer row — the only plan that
-    survives scale)."""
+    survives scale).  A NULL correlation key can never satisfy the
+    correlated form (the subquery matches no rows, AVG is NULL), but a
+    window PARTITION BY groups NULL keys together — the decorrelation must
+    exclude them explicitly (fuzz-found)."""
     o = t(spark, sf_dir, "orders")
     w = Window.partitionBy("o_custkey")
     return (
         o.withColumn("__avg", F.avg("o_totalprice").over(w))
-        .filter(F.col("o_totalprice") > F.col("__avg"))
+        .filter(
+            F.col("o_custkey").isNotNull()
+            & (F.col("o_totalprice") > F.col("__avg"))
+        )
         .select("o_orderkey")
     )
 
@@ -4240,11 +4256,11 @@ _HTML_POST = (
                '<[^>]+>', ' ', 'g') AS s
       FROM raw)
     SELECT doc_id,
-           TRIM(REGEXP_REPLACE(
-             REPLACE(REPLACE(REPLACE(REPLACE(REPLACE(REPLACE(REPLACE(s,
+           REGEXP_REPLACE(REGEXP_REPLACE(
+             REPLACE(REPLACE(REPLACE(REPLACE(REPLACE(REPLACE(REPLACE(REPLACE(s,
                '&lt;', '<'), '&gt;', '>'), '&quot;', '"'), '&#39;', ''''),
-               '&apos;', ''''), '&nbsp;', ' '), '&amp;', '&'),
-             '\\s+', ' ', 'g')) AS clean_text,
+               '&apos;', ''''), '&nbsp;', ' '), '&amp;', '&'), ' ', ' '),
+             '\\s+', ' ', 'g'), '^ +| +$', '', 'g') AS clean_text,
            LENGTH(html) AS n_html_chars
     FROM stripped JOIN raw USING (doc_id)
     """,

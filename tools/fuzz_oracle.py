@@ -1,0 +1,181 @@
+"""Property-based oracle fuzzing: regenerate the volatile tables with
+hostile random content and run the full DuckDB gate against them.
+
+The curated edge tables in ``adversarial_check.py`` encode failure modes we
+already thought of; this tool searches for the ones we didn't.  Per seed it
+rebuilds ``documents`` (random mixtures of ASCII soup, Unicode scripts,
+emoji/astral, control characters, HTML-ish fragments, URLs/emails/PII
+shapes, pathological whitespace, empty and NULL text) and ``orders``
+(random NULL keys/prices/dates, negative and huge amounts, duplicated
+non-key values), drops them into a copy of the sf0.001 directory, and runs
+``check_oracle`` over every oracle-paired query.
+
+Usage: python tools/fuzz_oracle.py [n_seeds] [query ...]
+Exit 0 = every seed clean.  A failure prints the seed so the exact corpus
+is reproducible (all generation is ``numpy.random.default_rng(seed)``).
+
+Found-by-this-tool ledger (fixes land at the OPERATOR level):
+- html_to_text: DuckDB TRIM strips U+00A0, JVM trim does not → NBSP now
+  normalizes to space and the edge strip is an explicit ASCII regexp.
+- keyset_page / window frames: Spark ASC defaults NULLS FIRST, Postgres
+  and DuckDB default NULLS LAST → orderings over nullable columns are now
+  pinned NULLS LAST on both sides.
+- correlated_above_group_avg: a window PARTITION BY groups NULL keys
+  together, but the correlated subquery it decorrelates can never match a
+  NULL key → decorrelation now excludes NULL keys explicitly.
+- asof_join: NULL build timestamps masqueraded as earlier-than-everything
+  matches (NULLS FIRST sort); NULL probe timestamps got the LATEST build
+  row from DuckDB's sort-based ASOF → contract pinned: NULL build ts
+  dropped, NULL probe ts matches nothing.
+- media_features / decode_media: NULL payloads crashed the Arrow UDF →
+  null-content rows now pass through with null features.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import subprocess
+import sys
+import tempfile
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+BASE = "/root/testdata/sf0.001"
+
+WORDS = (
+    "the quick brown fox key agg row scan slow fast table value part hash "
+    "merge batch spark order data column join small line customer query big "
+    "stream group vector window filter sort"
+).split()
+
+UNICODE_POOL = [
+    "İstanbul", "Straße", "naïve", "résumé", "ÄÖÜ", "ĳ", "ﬁ",  # lowering traps
+    "москва", "Ελλάδα", "北京", "東京", "한국",  # scripts
+    "🎉", "🚀🚀", "🤖", "👨‍👩‍👧‍👦", "🇺🇸",  # astral + ZWJ + flags
+    " ", " ", "​", "﻿",  # exotic whitespace/marks
+]
+
+FRAGMENTS = [
+    "<div class='x'>frag</div>", "<script>1<2&&3>4</script>", "<!-- c -->",
+    "&amp;lt; &nbsp; &quot;", "https://ex.example.org/p?q=1", "a.b+c@example.net",
+    "10.0.0.1", "123-45-6789", "(212) 555-0199", "tab\there", "quote'mid",
+    'double"mid', "back\\slash", "pipe|mid", "nul\x00byte",
+]
+
+
+def rand_text(rng: np.random.Generator) -> str | None:
+    kind = rng.integers(0, 10)
+    if kind == 0:
+        return None
+    if kind == 1:
+        return ""
+    if kind == 2:
+        return " \t\n  "
+    n = int(rng.integers(1, 60))
+    parts = []
+    for _ in range(n):
+        r = rng.integers(0, 10)
+        if r < 6:
+            parts.append(WORDS[rng.integers(0, len(WORDS))])
+        elif r < 8:
+            parts.append(UNICODE_POOL[rng.integers(0, len(UNICODE_POOL))])
+        else:
+            parts.append(FRAGMENTS[rng.integers(0, len(FRAGMENTS))])
+    sep = [" ", "  ", "\n", "\t"][int(rng.integers(0, 4))]
+    return sep.join(parts)
+
+
+def fuzz_documents(rng: np.random.Generator, n: int = 400) -> pa.Table:
+    texts = [rand_text(rng) for _ in range(n)]
+    langs = rng.choice(["en", "de", "fr", "es", "it", "und"], n).tolist()
+    sources = rng.choice(["web", "book", "code"], n).tolist()
+    return pa.table(
+        {
+            "doc_id": pa.array(range(n), pa.int64()),
+            "text": pa.array(texts, pa.string()),
+            "lang": pa.array(langs, pa.string()),
+            "source": pa.array(sources, pa.string()),
+            "n_chars": pa.array(
+                [len(t) if t is not None else None for t in texts], pa.int64()
+            ),
+        }
+    )
+
+
+def fuzz_orders(rng: np.random.Generator, n: int = 1200) -> pa.Table:
+    keys = list(range(1, n + 1))  # PK stays unique (snapshot diff contract)
+    cust = [
+        None if rng.random() < 0.05 else int(rng.integers(1, 200)) for _ in range(n)
+    ]
+    price = [
+        None
+        if rng.random() < 0.05
+        else round(float(rng.uniform(-1e4, 1e7)), 2)
+        for _ in range(n)
+    ]
+    base = np.datetime64("1995-01-01", "us")
+    dates = [
+        None
+        if rng.random() < 0.03
+        else base + np.timedelta64(int(rng.integers(0, 2400)) * 86_400_000_000, "us")
+        for _ in range(n)
+    ]
+    status = rng.choice(["O", "F", "P", "", "X"], n).tolist()
+    prio = rng.choice(["1-URGENT", "2-HIGH", "3-MEDIUM", "", "5-LOW"], n).tolist()
+    return pa.table(
+        {
+            "o_orderkey": pa.array(keys, pa.int64()),
+            "o_custkey": pa.array(cust, pa.int64()),
+            "o_orderstatus": pa.array(status, pa.string()),
+            "o_totalprice": pa.array(price, pa.float64()),
+            "o_orderdate": pa.array(dates, pa.timestamp("us")),
+            "o_orderpriority": pa.array(prio, pa.string()),
+        }
+    )
+
+
+def run_seed(seed: int, only: list[str]) -> int:
+    rng = np.random.default_rng(seed)
+    d = tempfile.mkdtemp(prefix=f"fuzz{seed}_")
+    try:
+        for t in os.listdir(BASE):
+            src = os.path.join(BASE, t)
+            dst = os.path.join(d, t)
+            if os.path.isdir(src):
+                shutil.copytree(src, dst)
+            else:
+                shutil.copy(src, dst)
+        pq.write_table(fuzz_documents(rng), os.path.join(d, "documents.parquet"))
+        pq.write_table(fuzz_orders(rng), os.path.join(d, "orders.parquet"))
+        r = subprocess.run(
+            [sys.executable, "tools/check_oracle.py", d, *only],
+            capture_output=True,
+            text=True,
+            timeout=1800,
+        )
+        tail = r.stdout.strip().splitlines()
+        fails = [ln for ln in tail if ln.startswith("FAIL")]
+        print(f"seed {seed}: {tail[-1] if tail else '??'}")
+        for ln in fails:
+            print("   ", ln[:300])
+        return r.returncode
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
+def main() -> int:
+    args = sys.argv[1:]
+    n_seeds = int(args[0]) if args and args[0].isdigit() else 3
+    only = args[1:] if args and args[0].isdigit() else args
+    rc = 0
+    for seed in range(n_seeds):
+        rc |= run_seed(seed, only)
+    print("CLEAN" if rc == 0 else "FUZZ FAILURES — reproduce with the seed above")
+    return rc
+
+
+if __name__ == "__main__":
+    sys.exit(main())
