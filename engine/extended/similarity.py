@@ -419,7 +419,14 @@ def quantize_int8(
     expression there would re-evaluate it per element — O(d²) per vector
     (the measured-12× trap documented in engine/extended/text.py).
     """
-    amax = F.array_max(F.transform(vec_col, lambda x: F.abs(x.cast("double"))))
+    # + 0.0 folds IEEE -0.0 into +0.0: engines disagree on ABS(-0.0) (a
+    # conditional-negate ABS leaves it signed), and a -0.0 scale breaks the
+    # cross-engine value hash (same fix as centroids/matryoshka; fuzz-found
+    # on all-±0.0 vectors).
+    amax = (
+        F.array_max(F.transform(vec_col, lambda x: F.abs(x.cast("double"))))
+        + F.lit(0.0)
+    )
     scaled = df.withColumn(scale_col, amax / F.lit(127.0))
     codes = F.when(
         F.col(scale_col) > 0,

@@ -56,23 +56,36 @@ def asof_join(
             "the build side before the as-of join"
         )
     p = probe.withColumn("__ts", F.col(probe_ts)).withColumn("__side", F.lit(1))
+    # SQL equality never matches NULL keys, but a window PARTITION BY groups
+    # them — drop NULL-key build rows (they can match nothing) while
+    # NULL-key probe rows survive with no match, exactly the ASOF-join
+    # contract of an equality predicate (fuzz-found).
     b = (
-        build.filter(F.col(build_ts).isNotNull())
+        build.filter(F.col(build_ts).isNotNull() & F.col(key).isNotNull())
         .withColumn("__ts", F.col(build_ts))
         .withColumn("__side", F.lit(0))
     )
 
     p_cols = probe.columns
     all_cols = [key, "__ts", "__side"]
+    # build values ride in ONE struct that is null exactly when there is no
+    # build row: carrying bare columns with last(ignorenulls) would skip a
+    # matched build row whose VALUE is null and resurrect an older one
+    # (fuzz-found) — "latest row, null value" and "no row yet" must stay
+    # distinguishable.
+    from pyspark.sql import types as T
+
+    bschema = {f.name: f for f in build.schema.fields}
+    bv_type = T.StructType([bschema[c] for c in value_cols])
     sel_p = p.select(
         *all_cols,
         *[F.col(c).alias(f"__p_{c}") for c in p_cols if c != key],
-        *[F.lit(None).cast(dict(build.dtypes)[c]).alias(f"__b_{c}") for c in value_cols],
+        F.lit(None).cast(bv_type).alias("__bv"),
     )
     sel_b = b.select(
         *all_cols,
         *[F.lit(None).cast(dict(probe.dtypes)[c]).alias(f"__p_{c}") for c in p_cols if c != key],
-        *[F.col(c).alias(f"__b_{c}") for c in value_cols],
+        F.struct(*[F.col(c) for c in value_cols]).alias("__bv"),
     )
     unioned = sel_p.unionByName(sel_b)
     w = (
@@ -85,19 +98,16 @@ def asof_join(
         "__ts",
         "__side",
         *[F.col(f"__p_{c}") for c in p_cols if c != key],
-        *[
-            F.last(F.col(f"__b_{c}"), ignorenulls=True).over(w).alias(f"__asof_{c}")
-            for c in value_cols
-        ],
+        F.last(F.col("__bv"), ignorenulls=True).over(w).alias("__bv"),
     )
-    out = carried.filter(F.col("__side") == 1).select(
+    matched = carried.filter(F.col("__side") == 1)
+    if how == "inner":
+        matched = matched.filter(F.col("__bv").isNotNull())
+    return matched.select(
         key,
         *[F.col(f"__p_{c}").alias(c) for c in p_cols if c != key],
-        *[F.col(f"__asof_{c}").alias(c) for c in value_cols],
+        *[F.col("__bv")[c].alias(c) for c in value_cols],
     )
-    if how == "inner":
-        out = out.dropna(subset=[value_cols[0]])
-    return out
 
 
 def range_join_buckets(

@@ -31,8 +31,14 @@ def keep_first(df: DataFrame, key_cols: list[str], order_cols: list[str]) -> Dat
     ``duplicated(keep='first')`` (lib/pipeline_controller.py:176-181).  The
     window needs only partition-local sort after a hash exchange on the key —
     at 100 TB this is one shuffle, and AQE splits skewed keys.
+
+    NULLS LAST pinned on the ordering (Postgres/reference ASC semantics;
+    Spark defaults NULLS FIRST): a row with an unknown ordering value must
+    never win "first" over a known one (fuzz-found).
     """
-    w = Window.partitionBy(*key_cols).orderBy(*[F.col(c) for c in order_cols])
+    w = Window.partitionBy(*key_cols).orderBy(
+        *[F.col(c).asc_nulls_last() for c in order_cols]
+    )
     return (
         df.withColumn("__rn", F.row_number().over(w))
         .filter(F.col("__rn") == 1)

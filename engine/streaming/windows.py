@@ -28,9 +28,18 @@ __all__ = [
 
 
 def _maybe_watermark(df: DataFrame, ts_col: str, delay: str | None) -> DataFrame:
+    """Watermark (streaming only) + drop NULL event times (both modes).
+
+    An event with an unknown timestamp belongs to no window: streaming
+    would never admit it past the watermark, and in batch the engines
+    disagree on where it lands (Spark's window() nulls it out, a SQL
+    date_trunc groups it; a session cumsum splits vs absorbs it depending
+    on NULL sort order — fuzz-found).  Excluding it is the only semantics
+    that is engine-invariant AND batch/streaming-consistent."""
+    d = df.filter(F.col(ts_col).isNotNull())
     if delay and df.isStreaming:
-        return df.withWatermark(ts_col, delay)
-    return df
+        return d.withWatermark(ts_col, delay)
+    return d
 
 
 def tumbling_agg(

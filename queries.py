@@ -883,7 +883,7 @@ def st2_incremental_page(spark, sf_dir):
     """
     SELECT user_id, event_id, CAST(ts AS VARCHAR) AS first_ts FROM (
       SELECT user_id, event_id, ts,
-             ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+             ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts NULLS LAST, event_id) AS rn
       FROM events) WHERE rn = 1
     """,
 )
@@ -919,7 +919,7 @@ def st5_stall_detect(spark, sf_dir):
     """
     SELECT CAST(DATE_TRUNC('hour', ts) AS VARCHAR) AS window_start,
            event_type, COUNT(*) AS n, ROUND(SUM(value), 2) AS total
-    FROM events GROUP BY 1, 2
+    FROM events WHERE ts IS NOT NULL GROUP BY 1, 2
     """,
 )
 def tumbling_window_agg(spark, sf_dir):
@@ -948,6 +948,7 @@ def tumbling_window_agg(spark, sf_dir):
     """
     WITH expanded AS (
       SELECT DATE_TRUNC('hour', ts) AS w, ts, value FROM events
+        WHERE ts IS NOT NULL
       UNION ALL
       SELECT DATE_TRUNC('hour', ts) + INTERVAL 30 MINUTE AS w, ts, value FROM events
         WHERE EXTRACT(minute FROM ts) >= 30
@@ -989,7 +990,7 @@ def sliding_window_agg(spark, sf_dir):
                        LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
                   THEN 1 ELSE 0 END AS new_session,
              event_id
-      FROM events),
+      FROM events WHERE ts IS NOT NULL),
     sessions AS (
       SELECT user_id, ts, value,
              CAST(SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
@@ -1004,7 +1005,7 @@ def sliding_window_agg(spark, sf_dir):
 def session_window_agg(spark, sf_dir):
     """Sessionization (30-min gap) — lag + cumulative-sum session ids; the
     batch twin of ``session_window`` (engine.streaming.windows.session_agg)."""
-    e = t(spark, sf_dir, "events")
+    e = t(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     gap = F.col("ts").cast("long") - F.lag(F.col("ts").cast("long")).over(w)
     new_sess = F.when(gap.isNull() | (gap > 30 * 60), 1).otherwise(0)
@@ -3240,7 +3241,7 @@ def corpus_curation_pipeline(spark, sf_dir):
     """
     WITH fv AS (
       SELECT user_id, MIN(CASE WHEN event_type = 'view' THEN ts END) AS first_view
-      FROM events GROUP BY user_id),
+      FROM events WHERE user_id IS NOT NULL GROUP BY user_id),
     fc AS (
       SELECT e.user_id, f.first_view,
              MIN(CASE WHEN e.event_type = 'click' AND e.ts >= f.first_view
@@ -3265,7 +3266,9 @@ def funnel_conversion(spark, sf_dir):
     over the same user partitioning — one shuffle total, no self-joins."""
     from pyspark.sql import Window as W
 
-    e = t(spark, sf_dir, "events")
+    # a funnel needs an identified user: NULL user_id would form a window
+    # partition here but can never survive the oracle's equi-joins
+    e = t(spark, sf_dir, "events").filter(F.col("user_id").isNotNull())
     w = W.partitionBy("user_id")
     step1 = e.withColumn(
         "first_view", F.min(F.when(F.col("event_type") == "view", F.col("ts"))).over(w)
@@ -3933,7 +3936,7 @@ def contamination_attribution_q(spark, sf_dir):
     WITH m AS (
       SELECT vec_id, embedding,
              list_max(list_transform(embedding,
-                      x -> ABS(CAST(x AS DOUBLE)))) AS amax
+                      x -> ABS(CAST(x AS DOUBLE)))) + 0.0 AS amax
       FROM embeddings)
     SELECT vec_id,
            ROUND(amax / 127.0, 6) AS qscale_r,

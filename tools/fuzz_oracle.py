@@ -29,6 +29,21 @@ Found-by-this-tool ledger (fixes land at the OPERATOR level):
   dropped, NULL probe ts matches nothing.
 - media_features / decode_media: NULL payloads crashed the Arrow UDF →
   null-content rows now pass through with null features.
+- event-time windows (tumbling/sliding/session) disagreed on NULL event
+  times (Spark drops, date_trunc groups, session cumsum splits-vs-absorbs
+  by NULL sort order) → operators now exclude NULL timestamps: the only
+  semantics that is engine-invariant AND batch/streaming-consistent.
+- keep_first ordered NULLS FIRST (Spark default), so an unknown-ts row
+  beat known ones → NULLS LAST pinned (Postgres/reference semantics).
+- funnel windows partitioned NULL user_ids into a group the oracle's
+  equi-joins can never produce → unidentified users excluded.
+- asof_join carried bare values with last(ignorenulls), conflating "build
+  row with NULL value" with "no build row yet" (it resurrected stale
+  values) → build values now ride ONE struct, null exactly when unmatched;
+  NULL-key build rows dropped (SQL equality matches nothing, a window
+  PARTITION BY groups them).
+- quantize_int8: engines disagree on ABS(-0.0), so an all-±0.0 vector got
+  a -0.0 scale on one side → amax normalized with + 0.0.
 """
 
 from __future__ import annotations
@@ -137,6 +152,58 @@ def fuzz_orders(rng: np.random.Generator, n: int = 1200) -> pa.Table:
     )
 
 
+def fuzz_events(rng: np.random.Generator, n: int = 1500) -> pa.Table:
+    base = np.datetime64("2024-01-01", "us")
+    ts = [
+        None
+        if rng.random() < 0.03
+        else base + np.timedelta64(int(rng.integers(0, 40 * 86_400)) * 1_000_000, "us")
+        for _ in range(n)
+    ]
+    user = [None if rng.random() < 0.05 else int(rng.integers(1, 40)) for _ in range(n)]
+    etype = rng.choice(["click", "view", "signup", "error", ""], n).tolist()
+    value = [
+        None if rng.random() < 0.03 else round(float(rng.uniform(-1e3, 1e6)), 2)
+        for _ in range(n)
+    ]
+    props = [
+        None if rng.random() < 0.05 else '{"k": %d}' % rng.integers(0, 100)
+        for _ in range(n)
+    ]
+    return pa.table(
+        {
+            "event_id": pa.array(range(n), pa.int64()),
+            "ts": pa.array(ts, pa.timestamp("us")),
+            "user_id": pa.array(user, pa.int64()),
+            "event_type": pa.array(etype, pa.string()),
+            "value": pa.array(value, pa.float64()),
+            "props": pa.array(props, pa.string()),
+        }
+    )
+
+
+def fuzz_embeddings(rng: np.random.Generator, n: int = 300, dim: int = 64) -> pa.Table:
+    vecs = []
+    for _ in range(n):
+        r = rng.random()
+        if r < 0.03:
+            vecs.append(None)
+        elif r < 0.08:
+            vecs.append([0.0] * dim)  # zero vector: norm guards
+        elif r < 0.12:
+            vecs.append([round(float(x), 6) for x in rng.normal(0, 1e-12, dim)])
+        else:
+            vecs.append([round(float(x), 4) for x in rng.normal(0, 1, dim)])
+    labels = [None if rng.random() < 0.05 else int(rng.integers(0, 10)) for _ in range(n)]
+    return pa.table(
+        {
+            "vec_id": pa.array(range(n), pa.int64()),
+            "embedding": pa.array(vecs, pa.list_(pa.float32())),
+            "label": pa.array(labels, pa.int32()),
+        }
+    )
+
+
 def run_seed(seed: int, only: list[str]) -> int:
     rng = np.random.default_rng(seed)
     d = tempfile.mkdtemp(prefix=f"fuzz{seed}_")
@@ -150,6 +217,8 @@ def run_seed(seed: int, only: list[str]) -> int:
                 shutil.copy(src, dst)
         pq.write_table(fuzz_documents(rng), os.path.join(d, "documents.parquet"))
         pq.write_table(fuzz_orders(rng), os.path.join(d, "orders.parquet"))
+        pq.write_table(fuzz_events(rng), os.path.join(d, "events.parquet"))
+        pq.write_table(fuzz_embeddings(rng), os.path.join(d, "embeddings.parquet"))
         r = subprocess.run(
             [sys.executable, "tools/check_oracle.py", d, *only],
             capture_output=True,
