@@ -150,7 +150,9 @@ def ivf_build(
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector, vector_to_array
 
-    feat = vectors.withColumn("__features", array_to_vector(F.col(vec_col)))
+    feat = vectors.filter(F.col(vec_col).isNotNull()).withColumn(
+        "__features", array_to_vector(F.col(vec_col))
+    )
     km = KMeans(k=n_lists, seed=seed, featuresCol="__features", predictionCol="ivf_list")
     model = km.fit(feat)
     assigned = model.transform(feat).drop("__features")
@@ -265,9 +267,14 @@ def ivf_build_seeded(
     Returns ``(assigned, centroids)``: the input plus ``ivf_list``, and the
     final centroid component doubles.
     """
-    pts = vectors.select(
-        *vectors.columns, quantized_vec(vec_col, quant).alias("__q")
-    ).persist()
+    # a NULL vector belongs to no cluster (and a NULL seed row would crash
+    # the driver-side centroid build; fuzz-found) — exclude up front, same
+    # contract the oracle's pts CTE mirrors
+    pts = (
+        vectors.filter(F.col(vec_col).isNotNull())
+        .select(*vectors.columns, quantized_vec(vec_col, quant).alias("__q"))
+        .persist()
+    )
     seed_rows = (
         pts.orderBy(F.md5(F.col(id_col).cast("string")), F.col(id_col))
         .limit(n_lists)

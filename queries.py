@@ -1369,10 +1369,25 @@ def dedup_ngram_jaccard(spark, sf_dir):
     return ngram_jaccard_pairs(d, pairs)
 
 
+def _query_vec_rows(emb, preferred: int):
+    """Deterministic query-vector pick that survives hostile data: the
+    embedding of the smallest vec_id >= ``preferred`` with a non-null
+    vector (== ``preferred`` itself on the real testdata).  Mirrored
+    verbatim in every oracle's qv CTE (fuzz-found: a NULL embedding at the
+    hard-coded id crashed the driver-side literal build)."""
+    vid = (
+        emb.filter(F.col("embedding").isNotNull() & (F.col("vec_id") >= preferred))
+        .agg(F.min("vec_id"))
+        .first()[0]
+    )
+    row = emb.filter(F.col("vec_id") == vid).select("embedding").collect()[0][0]
+    return [float(x) for x in row]
+
+
 @q(
     "ann_cosine_topk",
     """
-    WITH qv AS (SELECT embedding AS q FROM embeddings WHERE vec_id = 7),
+    WITH qv AS (SELECT embedding AS q FROM embeddings WHERE embedding IS NOT NULL AND vec_id = (SELECT MIN(vec_id) FROM embeddings WHERE embedding IS NOT NULL AND vec_id >= 7)),
     sims AS (
       SELECT e.vec_id,
              CASE WHEN SQRT(list_sum(list_transform(e.embedding,
@@ -1391,14 +1406,16 @@ def dedup_ngram_jaccard(spark, sf_dir):
     SELECT vec_id, sim FROM sims ORDER BY sim DESC NULLS LAST, vec_id LIMIT 10
     """,
 )
+
+
 def ann_cosine_topk(spark, sf_dir):
     """Brute-force cosine top-10 against vec_id=7 (the exact baseline the
     LSH path is measured against)."""
     from engine.extended.similarity import cosine_topk
 
     emb = t(spark, sf_dir, "embeddings")
-    qv = emb.filter(F.col("vec_id") == 7).select("embedding").collect()[0][0]
-    return cosine_topk(emb, [float(x) for x in qv], k=10)
+    qv = _query_vec_rows(emb, 7)
+    return cosine_topk(emb, qv, k=10)
 
 
 # --- hyperplane sign-LSH oracles ------------------------------------------
@@ -1437,7 +1454,7 @@ def _ann_lsh_sql() -> str:
 
     hp = _unit_hyperplanes(_EMB_DIM, 16)
     return f"""
-    WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 7),
+    WITH q AS (SELECT embedding AS qv FROM embeddings WHERE embedding IS NOT NULL AND vec_id = (SELECT MIN(vec_id) FROM embeddings WHERE embedding IS NOT NULL AND vec_id >= 7)),
     sq AS (SELECT qv, {_lsh_sig_sql('qv', hp)} AS qsig,
            SQRT(list_sum(list_transform(qv, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS qn
            FROM q),
@@ -1462,8 +1479,8 @@ def ann_lsh_topk(spark, sf_dir):
     from engine.extended.similarity import lsh_topk
 
     emb = t(spark, sf_dir, "embeddings")
-    qv = emb.filter(F.col("vec_id") == 7).select("embedding").collect()[0][0]
-    return lsh_topk(emb, [float(x) for x in qv], k=10, dim=len(qv))
+    qv = _query_vec_rows(emb, 7)
+    return lsh_topk(emb, qv, k=10, dim=len(qv))
 
 
 def _embedding_near_dup_sql() -> str:
@@ -2290,7 +2307,7 @@ def _ivf_seeded_sql(
       SELECT vec_id, embedding,
              list_transform(embedding,
                x -> CAST(round(CAST(x AS DOUBLE) * 1000000.0) AS BIGINT)) AS q
-      FROM embeddings),
+      FROM embeddings WHERE embedding IS NOT NULL),
     seeds AS (
       SELECT q, ROW_NUMBER() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1 AS cid
       FROM (SELECT vec_id, q FROM pts
@@ -2327,7 +2344,7 @@ def _ivf_seeded_sql(
     qq AS (SELECT q, embedding AS qv,
            SQRT(list_sum(list_transform(embedding,
              x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS qn
-           FROM pts WHERE vec_id = {qid}),
+           FROM pts WHERE embedding IS NOT NULL AND vec_id = (SELECT MIN(vec_id) FROM pts WHERE embedding IS NOT NULL AND vec_id >= {qid})),
     probe AS (
       SELECT cid FROM (
         SELECT c.cid,
@@ -2366,8 +2383,13 @@ def ann_ivf_topk(spark, sf_dir):
     )
 
     emb = t(spark, sf_dir, "embeddings")
+    qvid = (
+        emb.filter(F.col("embedding").isNotNull() & (F.col("vec_id") >= 7))
+        .agg(F.min("vec_id"))
+        .first()[0]
+    )
     qrow = (
-        emb.filter(F.col("vec_id") == 7)
+        emb.filter(F.col("vec_id") == qvid)
         .select(F.col("embedding"), quantized_vec("embedding").alias("qq"))
         .collect()[0]
     )
@@ -2888,7 +2910,7 @@ def stratified_sample_q(spark, sf_dir):
                   (LENGTH(list_filter(t.toks, x -> x = 'merge')) + 1.2)), 4)
                AS lex_score
       FROM tok t, stats s),
-    qv AS (SELECT embedding AS q FROM embeddings WHERE vec_id = 3),
+    qv AS (SELECT embedding AS q FROM embeddings WHERE embedding IS NOT NULL AND vec_id = (SELECT MIN(vec_id) FROM embeddings WHERE embedding IS NOT NULL AND vec_id >= 3)),
     vec AS (
       SELECT e.vec_id AS doc_id,
              CASE WHEN SQRT(list_sum(list_transform(e.embedding,
@@ -2918,10 +2940,7 @@ def hybrid_search_topk(spark, sf_dir):
 
     d = t(spark, sf_dir, "documents")
     emb = t(spark, sf_dir, "embeddings")
-    qv = [
-        float(x)
-        for x in emb.filter(F.col("vec_id") == 3).select("embedding").collect()[0][0]
-    ]
+    qv = _query_vec_rows(emb, 3)
     return hybrid_topk(d, emb, ["spark", "merge"], qv, k=10, alpha=1.0)
 
 

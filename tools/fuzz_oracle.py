@@ -44,6 +44,13 @@ Found-by-this-tool ledger (fixes land at the OPERATOR level):
   PARTITION BY groups them).
 - quantize_int8: engines disagree on ABS(-0.0), so an all-±0.0 vector got
   a -0.0 scale on one side → amax normalized with + 0.0.
+- IVF k-means iterated NULL vectors (a NULL seed row crashed the
+  driver-side centroid build) → clustering excludes NULL vectors, mirrored
+  in the oracle's pts CTE.
+- the ANN queries collected a hard-coded vec_id's embedding as the query
+  literal; NULL there crashed the literal build → query pick is now "the
+  smallest vec_id >= preferred with a non-null vector", mirrored verbatim
+  in every qv CTE.
 """
 
 from __future__ import annotations
@@ -204,6 +211,90 @@ def fuzz_embeddings(rng: np.random.Generator, n: int = 300, dim: int = 64) -> pa
     )
 
 
+def fuzz_customer(rng: np.random.Generator, n: int = 200) -> pa.Table:
+    names = [
+        None
+        if rng.random() < 0.05
+        else rng.choice(
+            ["  Customer#%d  " % i, "Ünïcode#%d" % i, "O'Brien %d" % i, "", "   "]
+        )
+        for i in range(n)
+    ]
+    return pa.table(
+        {
+            "c_custkey": pa.array(range(1, n + 1), pa.int64()),
+            "c_name": pa.array(names, pa.string()),
+            "c_nationkey": pa.array(
+                [None if rng.random() < 0.05 else int(rng.integers(0, 30)) for _ in range(n)],
+                pa.int64(),
+            ),
+            "c_acctbal": pa.array(
+                [None if rng.random() < 0.05 else round(float(rng.uniform(-1e3, 1e4)), 2) for _ in range(n)],
+                pa.float64(),
+            ),
+            "c_mktsegment": pa.array(
+                rng.choice(["BUILDING", "MACHINERY", "", "AUTOMOBILE"], n).tolist(),
+                pa.string(),
+            ),
+        }
+    )
+
+
+def fuzz_lineitem(rng: np.random.Generator, n: int = 4000) -> pa.Table:
+    # money stays inside the DECIMAL(12,2) contract (overflow SEMANTICS
+    # differ across engines — Spark's non-ANSI cast nulls, DuckDB errors —
+    # and the operators document 2-decimal bounded money as a data contract)
+    base = np.datetime64("1995-01-01", "us")
+    return pa.table(
+        {
+            "l_orderkey": pa.array(
+                [int(rng.integers(1, 1500)) for _ in range(n)], pa.int64()
+            ),
+            "l_partkey": pa.array(
+                [None if rng.random() < 0.03 else int(rng.integers(1, 200)) for _ in range(n)],
+                pa.int64(),
+            ),
+            "l_suppkey": pa.array(
+                [None if rng.random() < 0.03 else int(rng.integers(1, 50)) for _ in range(n)],
+                pa.int64(),
+            ),
+            "l_linenumber": pa.array(
+                [int(rng.integers(1, 8)) for _ in range(n)], pa.int64()
+            ),
+            "l_quantity": pa.array(
+                [None if rng.random() < 0.03 else float(rng.integers(1, 51)) for _ in range(n)],
+                pa.float64(),
+            ),
+            "l_extendedprice": pa.array(
+                [None if rng.random() < 0.03 else round(float(rng.uniform(-100, 1e5)), 2) for _ in range(n)],
+                pa.float64(),
+            ),
+            "l_discount": pa.array(
+                [None if rng.random() < 0.03 else round(float(rng.uniform(0, 0.99)), 2) for _ in range(n)],
+                pa.float64(),
+            ),
+            "l_tax": pa.array(
+                [round(float(rng.uniform(0, 0.08)), 2) for _ in range(n)], pa.float64()
+            ),
+            "l_returnflag": pa.array(
+                rng.choice(["R", "A", "N", ""], n).tolist(), pa.string()
+            ),
+            "l_linestatus": pa.array(
+                rng.choice(["O", "F"], n).tolist(), pa.string()
+            ),
+            "l_shipdate": pa.array(
+                [
+                    None
+                    if rng.random() < 0.03
+                    else base + np.timedelta64(int(rng.integers(0, 2400)) * 86_400_000_000, "us")
+                    for _ in range(n)
+                ],
+                pa.timestamp("us"),
+            ),
+        }
+    )
+
+
 def run_seed(seed: int, only: list[str]) -> int:
     rng = np.random.default_rng(seed)
     d = tempfile.mkdtemp(prefix=f"fuzz{seed}_")
@@ -219,6 +310,8 @@ def run_seed(seed: int, only: list[str]) -> int:
         pq.write_table(fuzz_orders(rng), os.path.join(d, "orders.parquet"))
         pq.write_table(fuzz_events(rng), os.path.join(d, "events.parquet"))
         pq.write_table(fuzz_embeddings(rng), os.path.join(d, "embeddings.parquet"))
+        pq.write_table(fuzz_customer(rng), os.path.join(d, "customer.parquet"))
+        pq.write_table(fuzz_lineitem(rng), os.path.join(d, "lineitem.parquet"))
         r = subprocess.run(
             [sys.executable, "tools/check_oracle.py", d, *only],
             capture_output=True,
