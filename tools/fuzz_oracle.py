@@ -3,12 +3,14 @@ hostile random content and run the full DuckDB gate against them.
 
 The curated edge tables in ``adversarial_check.py`` encode failure modes we
 already thought of; this tool searches for the ones we didn't.  Per seed it
-rebuilds ``documents`` (random mixtures of ASCII soup, Unicode scripts,
-emoji/astral, control characters, HTML-ish fragments, URLs/emails/PII
-shapes, pathological whitespace, empty and NULL text) and ``orders``
-(random NULL keys/prices/dates, negative and huge amounts, duplicated
-non-key values), drops them into a copy of the sf0.001 directory, and runs
-``check_oracle`` over every oracle-paired query.
+rebuilds six tables — ``documents`` (random mixtures of ASCII soup, Unicode
+scripts, emoji/astral, control characters, HTML-ish fragments, URLs/emails/
+PII shapes, pathological whitespace, empty and NULL text), ``orders`` and
+``lineitem`` (NULL keys/amounts/dates, negative money inside the decimal
+contract), ``events`` (NULL timestamps/users), ``embeddings`` (NULL, zero,
+and denormal vectors), ``customer`` (NULL/unicode/padded names) — drops
+them into a copy of the sf0.001 directory, and runs ``check_oracle`` over
+every oracle-paired query.
 
 Usage: python tools/fuzz_oracle.py [n_seeds] [query ...]
 Exit 0 = every seed clean.  A failure prints the seed so the exact corpus
