@@ -551,12 +551,19 @@ def f7_f8_geoid_assembly(spark, sf_dir):
     "f13_json_records",
     """
     SELECT r_regionkey,
-           '{"r_regionkey":' || r_regionkey || ',"r_name":"' || r_name || '"}' AS rec
+           '{' || CONCAT_WS(',',
+             CASE WHEN r_regionkey IS NOT NULL
+                  THEN '"r_regionkey":' || r_regionkey END,
+             CASE WHEN r_name IS NOT NULL
+                  THEN '"r_name":"' || r_name || '"' END) || '}' AS rec
     FROM region
     """,
 )
 def f13_json_records(spark, sf_dir):
-    """F13: record → JSON serialization (lib/pipeline_controller.py:241-242)."""
+    """F13: record → JSON serialization (lib/pipeline_controller.py:241-242).
+    NULL fields are OMITTED (Spark to_json default); the oracle's CONCAT_WS
+    mirrors that — a naive '||' chain would null the whole record
+    (fuzz-found on a NULL dim name)."""
     r = t(spark, sf_dir, "region")
     return r.select(
         "r_regionkey",
@@ -2078,7 +2085,9 @@ def unpivot_part_attrs(spark, sf_dir):
            LPAD(CAST(p_size AS VARCHAR), 4, '0') AS padded,
            REPLACE(p_type, ' ', '_') AS snake,
            SPLIT_PART(p_type, ' ', 1) AS first_word,
-           CAST(levenshtein(p_brand, p_name) AS BIGINT) AS lev,
+           CAST(levenshtein(REGEXP_REPLACE(p_brand, '[^ -~]', '', 'g'),
+                            REGEXP_REPLACE(p_name, '[^ -~]', '', 'g'))
+                AS BIGINT) AS lev,
            CAST(LENGTH(p_name) AS BIGINT) AS name_len,
            REVERSE(p_brand) AS rev
     FROM part
@@ -2094,7 +2103,13 @@ def string_funcs_pack(spark, sf_dir):
         F.lpad(F.col("p_size").cast("string"), 4, "0").alias("padded"),
         F.replace(F.col("p_type"), F.lit(" "), F.lit("_")).alias("snake"),
         F.split_part(F.col("p_type"), F.lit(" "), F.lit(1)).alias("first_word"),
-        F.levenshtein("p_brand", "p_name").cast("long").alias("lev"),
+        # ASCII-restricted: DuckDB levenshtein counts BYTES on non-ASCII
+        # while Spark counts codepoints (fuzz-found) — same discipline as
+        # every char-level oracle op (text.ascii_norm_text)
+        F.levenshtein(
+            F.regexp_replace("p_brand", "[^ -~]", ""),
+            F.regexp_replace("p_name", "[^ -~]", ""),
+        ).cast("long").alias("lev"),
         F.length("p_name").cast("long").alias("name_len"),
         F.reverse("p_brand").alias("rev"),
     )

@@ -8,7 +8,8 @@ scripts, emoji/astral, control characters, HTML-ish fragments, URLs/emails/
 PII shapes, pathological whitespace, empty and NULL text), ``orders`` and
 ``lineitem`` (NULL keys/amounts/dates, negative money inside the decimal
 contract), ``events`` (NULL timestamps/users), ``embeddings`` (NULL, zero,
-and denormal vectors), ``customer`` (NULL/unicode/padded names) — drops
+and denormal vectors), ``customer`` (NULL/unicode/padded names), and the four dims with NULL
+names/FKs — drops
 them into a copy of the sf0.001 directory, and runs ``check_oracle`` over
 every oracle-paired query.
 
@@ -53,6 +54,12 @@ Found-by-this-tool ledger (fixes land at the OPERATOR level):
   literal; NULL there crashed the literal build → query pick is now "the
   smallest vec_id >= preferred with a non-null vector", mirrored verbatim
   in every qv CTE.
+- f13's JSON oracle was a '||' chain, so ONE null field nulled the whole
+  record while Spark's to_json omits null fields → CONCAT_WS of per-field
+  CASEs mirrors the omission semantics.
+- DuckDB levenshtein counts BYTES on non-ASCII, Spark counts codepoints →
+  the comparison pair is ASCII-restricted, same discipline as every
+  char-level oracle op.
 """
 
 from __future__ import annotations
@@ -297,6 +304,72 @@ def fuzz_lineitem(rng: np.random.Generator, n: int = 4000) -> pa.Table:
     )
 
 
+def fuzz_dims(rng: np.random.Generator) -> dict[str, pa.Table]:
+    """part / supplier / nation / region with NULL names, keys, and
+    attributes (keys stay unique; NULL FK values exercise join drops)."""
+    np_, ns, nn, nr = 120, 40, 25, 5
+    maybe = lambda v, p=0.05: None if rng.random() < p else v  # noqa: E731
+    return {
+        "part": pa.table(
+            {
+                "p_partkey": pa.array(range(1, np_ + 1), pa.int64()),
+                "p_name": pa.array(
+                    [maybe(rng.choice(["azure plum thistle", "Ünïcode pärt", "", "promo  padded "])) for _ in range(np_)],
+                    pa.string(),
+                ),
+                "p_brand": pa.array(
+                    [maybe("Brand#%d" % rng.integers(10, 60)) for _ in range(np_)], pa.string()
+                ),
+                "p_type": pa.array(
+                    rng.choice(["PROMO BRUSHED", "STANDARD", "", "promo lower"], np_).tolist(),
+                    pa.string(),
+                ),
+                "p_size": pa.array(
+                    [maybe(int(rng.integers(1, 50))) for _ in range(np_)], pa.int32()
+                ),
+                "p_retailprice": pa.array(
+                    [maybe(round(float(rng.uniform(0, 2000)), 2)) for _ in range(np_)],
+                    pa.float64(),
+                ),
+            }
+        ),
+        "supplier": pa.table(
+            {
+                "s_suppkey": pa.array(range(1, ns + 1), pa.int64()),
+                "s_name": pa.array(
+                    [maybe("Supplier#%03d" % i) for i in range(ns)], pa.string()
+                ),
+                "s_nationkey": pa.array(
+                    [maybe(int(rng.integers(0, nn))) for _ in range(ns)], pa.int32()
+                ),
+                "s_acctbal": pa.array(
+                    [maybe(round(float(rng.uniform(-1e3, 1e4)), 2)) for _ in range(ns)],
+                    pa.float64(),
+                ),
+            }
+        ),
+        "nation": pa.table(
+            {
+                "n_nationkey": pa.array(range(nn), pa.int32()),
+                "n_name": pa.array(
+                    [maybe("NATION %d" % i, 0.08) for i in range(nn)], pa.string()
+                ),
+                "n_regionkey": pa.array(
+                    [maybe(int(rng.integers(0, nr)), 0.08) for _ in range(nn)], pa.int32()
+                ),
+            }
+        ),
+        "region": pa.table(
+            {
+                "r_regionkey": pa.array(range(nr), pa.int32()),
+                "r_name": pa.array(
+                    [maybe("REGION %d" % i, 0.2) for i in range(nr)], pa.string()
+                ),
+            }
+        ),
+    }
+
+
 def run_seed(seed: int, only: list[str]) -> int:
     rng = np.random.default_rng(seed)
     d = tempfile.mkdtemp(prefix=f"fuzz{seed}_")
@@ -314,6 +387,8 @@ def run_seed(seed: int, only: list[str]) -> int:
         pq.write_table(fuzz_embeddings(rng), os.path.join(d, "embeddings.parquet"))
         pq.write_table(fuzz_customer(rng), os.path.join(d, "customer.parquet"))
         pq.write_table(fuzz_lineitem(rng), os.path.join(d, "lineitem.parquet"))
+        for tname, tbl in fuzz_dims(rng).items():
+            pq.write_table(tbl, os.path.join(d, f"{tname}.parquet"))
         r = subprocess.run(
             [sys.executable, "tools/check_oracle.py", d, *only],
             capture_output=True,
