@@ -282,6 +282,11 @@ def ivf_build_seeded(
         .collect()
     )
     cents = [[float(v) for v in r["__q"]] for r in seed_rows]
+    if not cents:
+        raise ValueError("ivf_build_seeded: no non-null vectors to cluster")
+    # fewer vectors than n_lists → operate with what exists (the oracle's
+    # seeds-LIMIT degrades the same way; indexing past cents crashed)
+    n_lists = len(cents)
     for _ in range(iters):
         sums = (
             pts.withColumn("__cid", _seeded_argmin(cents))

@@ -555,15 +555,22 @@ def f7_f8_geoid_assembly(spark, sf_dir):
              CASE WHEN r_regionkey IS NOT NULL
                   THEN '"r_regionkey":' || r_regionkey END,
              CASE WHEN r_name IS NOT NULL
-                  THEN '"r_name":"' || r_name || '"' END) || '}' AS rec
+                  THEN '"r_name":"' ||
+                       REPLACE(REPLACE(REPLACE(REPLACE(REPLACE(r_name,
+                         CHR(92), CHR(92) || CHR(92)),
+                         '"', CHR(92) || '"'),
+                         CHR(10), CHR(92) || 'n'),
+                         CHR(13), CHR(92) || 'r'),
+                         CHR(9), CHR(92) || 't') || '"' END) || '}' AS rec
     FROM region
     """,
 )
 def f13_json_records(spark, sf_dir):
     """F13: record → JSON serialization (lib/pipeline_controller.py:241-242).
     NULL fields are OMITTED (Spark to_json default); the oracle's CONCAT_WS
-    mirrors that — a naive '||' chain would null the whole record
-    (fuzz-found on a NULL dim name)."""
+    mirrors that — a naive '||' chain would null the whole record — and the
+    name is JSON-escaped (backslash, quote, newline/CR/tab) to match
+    to_json's encoder (both fuzz-found)."""
     r = t(spark, sf_dir, "region")
     return r.select(
         "r_regionkey",
@@ -1379,16 +1386,19 @@ def dedup_ngram_jaccard(spark, sf_dir):
 def _query_vec_rows(emb, preferred: int):
     """Deterministic query-vector pick that survives hostile data: the
     embedding of the smallest vec_id >= ``preferred`` with a non-null
-    vector (== ``preferred`` itself on the real testdata).  Mirrored
-    verbatim in every oracle's qv CTE (fuzz-found: a NULL embedding at the
-    hard-coded id crashed the driver-side literal build)."""
-    vid = (
+    vector (== ``preferred`` itself on the real testdata), fetched in ONE
+    TakeOrderedAndProject job.  Returns None when no such vector exists —
+    callers emit an EMPTY result then, matching the oracle's empty qv CTE
+    (fuzz-found: a NULL embedding at the hard-coded id crashed the
+    driver-side literal build)."""
+    rows = (
         emb.filter(F.col("embedding").isNotNull() & (F.col("vec_id") >= preferred))
-        .agg(F.min("vec_id"))
-        .first()[0]
+        .orderBy("vec_id")
+        .limit(1)
+        .select("embedding")
+        .collect()
     )
-    row = emb.filter(F.col("vec_id") == vid).select("embedding").collect()[0][0]
-    return [float(x) for x in row]
+    return [float(x) for x in rows[0][0]] if rows else None
 
 
 @q(
@@ -1422,6 +1432,8 @@ def ann_cosine_topk(spark, sf_dir):
 
     emb = t(spark, sf_dir, "embeddings")
     qv = _query_vec_rows(emb, 7)
+    if qv is None:
+        return emb.select("vec_id", F.lit(None).cast("double").alias("sim")).limit(0)
     return cosine_topk(emb, qv, k=10)
 
 
@@ -1487,6 +1499,8 @@ def ann_lsh_topk(spark, sf_dir):
 
     emb = t(spark, sf_dir, "embeddings")
     qv = _query_vec_rows(emb, 7)
+    if qv is None:
+        return emb.select("vec_id", F.lit(None).cast("double").alias("sim")).limit(0)
     return lsh_topk(emb, qv, k=10, dim=len(qv))
 
 
@@ -2398,18 +2412,17 @@ def ann_ivf_topk(spark, sf_dir):
     )
 
     emb = t(spark, sf_dir, "embeddings")
-    qvid = (
+    qrows = (
         emb.filter(F.col("embedding").isNotNull() & (F.col("vec_id") >= 7))
-        .agg(F.min("vec_id"))
-        .first()[0]
-    )
-    qrow = (
-        emb.filter(F.col("vec_id") == qvid)
+        .orderBy("vec_id")
+        .limit(1)
         .select(F.col("embedding"), quantized_vec("embedding").alias("qq"))
-        .collect()[0]
+        .collect()
     )
-    qv = [float(x) for x in qrow["embedding"]]
-    qq = [float(x) for x in qrow["qq"]]
+    if not qrows:
+        return emb.select("vec_id", F.lit(None).cast("double").alias("sim")).limit(0)
+    qv = [float(x) for x in qrows[0]["embedding"]]
+    qq = [float(x) for x in qrows[0]["qq"]]
     assigned, cents = ivf_build_seeded(emb, n_lists=8, iters=2, dim=len(qv))
     return ivf_topk_seeded(assigned, cents, qq, qv, k=10, nprobe=3)
 
@@ -2956,6 +2969,10 @@ def hybrid_search_topk(spark, sf_dir):
     d = t(spark, sf_dir, "documents")
     emb = t(spark, sf_dir, "embeddings")
     qv = _query_vec_rows(emb, 3)
+    if qv is None:
+        return d.select(
+            "doc_id", F.lit(None).cast("double").alias("score")
+        ).limit(0)
     return hybrid_topk(d, emb, ["spark", "merge"], qv, k=10, alpha=1.0)
 
 

@@ -173,11 +173,11 @@ def fuzz_events(rng: np.random.Generator, n: int = 1500) -> pa.Table:
     ts = [
         None
         if rng.random() < 0.03
-        else base + np.timedelta64(int(rng.integers(0, 40 * 86_400)) * 1_000_000, "us")
+        else base + np.timedelta64(int(rng.integers(0, 90 * 86_400)) * 1_000_000, "us")
         for _ in range(n)
     ]
     user = [None if rng.random() < 0.05 else int(rng.integers(1, 40)) for _ in range(n)]
-    etype = rng.choice(["click", "view", "signup", "error", ""], n).tolist()
+    etype = rng.choice(["click", "view", "purchase", "signup", "error", ""], n).tolist()
     value = [
         None if rng.random() < 0.03 else round(float(rng.uniform(-1e3, 1e6)), 2)
         for _ in range(n)
@@ -207,7 +207,7 @@ def fuzz_embeddings(rng: np.random.Generator, n: int = 300, dim: int = 64) -> pa
         elif r < 0.08:
             vecs.append([0.0] * dim)  # zero vector: norm guards
         elif r < 0.12:
-            vecs.append([round(float(x), 6) for x in rng.normal(0, 1e-12, dim)])
+            vecs.append([float(x) for x in rng.normal(0, 1e-12, dim)])  # true tiny norms
         else:
             vecs.append([round(float(x), 4) for x in rng.normal(0, 1, dim)])
     labels = [None if rng.random() < 0.05 else int(rng.integers(0, 10)) for _ in range(n)]
@@ -363,7 +363,16 @@ def fuzz_dims(rng: np.random.Generator) -> dict[str, pa.Table]:
             {
                 "r_regionkey": pa.array(range(nr), pa.int32()),
                 "r_name": pa.array(
-                    [maybe("REGION %d" % i, 0.2) for i in range(nr)], pa.string()
+                    [
+                        maybe(
+                            rng.choice(
+                                ["REGION %d" % i, 'RE"GION\\%d' % i, "R\tG\n%d" % i]
+                            ),
+                            0.2,
+                        )
+                        for i in range(nr)
+                    ],
+                    pa.string(),
                 ),
             }
         ),
