@@ -1,0 +1,74 @@
+"""Composed STREAMING curation pipeline end-to-end: the round-3 curation
+operators (HTML extraction, hashed quality classifier, fingerprint dedup)
+driven through Structured Streaming — proving the same expressions run
+unchanged under readStream + stateful dedup + foreachBatch, the way a
+continuously-ingesting corpus would consume them."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+
+def test_streaming_curation_pipeline(spark, tmp_path):
+    from engine.extended.curation import hashed_quality_score, html_to_text
+    from engine.extended.text import fingerprint, tokens
+    from engine.streaming.incremental import run_available_now
+    from engine.streaming.windows import stream_dedup
+
+    src_dir = str(tmp_path / "in")
+    # two micro-batch files; doc 2 is an exact near-duplicate of doc 1
+    # (same fingerprint after tag strip), doc 4 arrives in a later file
+    batch1 = spark.createDataFrame(
+        [
+            (1, "2024-01-01 00:00:00", "<p>alpha beta gamma</p>"),
+            (2, "2024-01-01 00:05:00", "<div>alpha   beta GAMMA!</div>"),
+            (3, "2024-01-01 00:10:00", "<script>x</script><p>delta only</p>"),
+        ],
+        "doc_id long, ts_s string, html string",
+    ).withColumn("ts", F.col("ts_s").cast("timestamp"))
+    batch2 = spark.createDataFrame(
+        [(4, "2024-01-01 00:20:00", "<p>epsilon zeta</p>")],
+        "doc_id long, ts_s string, html string",
+    ).withColumn("ts", F.col("ts_s").cast("timestamp"))
+    batch1.write.mode("overwrite").parquet(src_dir)
+    batch2.write.mode("append").parquet(src_dir)
+
+    stream = (
+        spark.readStream.schema(
+            "doc_id long, ts_s string, html string, ts timestamp"
+        ).parquet(src_dir)
+    )
+    cleaned = stream.select(
+        "doc_id", "ts", html_to_text("html").alias("text")
+    ).withColumn("fp", fingerprint("text"))
+    deduped = stream_dedup(cleaned, ["fp"], "ts")
+
+    seen: list = []
+
+    def transform(df):
+        toked = df.select("doc_id", "fp", tokens("text").alias("__toks"))
+        scores = hashed_quality_score(F.col("__toks"))
+        return toked.select("doc_id", "fp", scores["quality_score"].alias("q"))
+
+    def sink(df, batch_id):
+        seen.extend(df.collect())
+
+    run_available_now(
+        deduped,
+        transform,
+        sink,
+        str(tmp_path / "ckpt"),
+        query_name="curation-stream-test",
+    )
+
+    by_id = {r["doc_id"]: r for r in seen}
+    # docs 1 and 2 share a casefolded-alnum fingerprint after tag strip:
+    # exactly ONE survives (dropDuplicatesWithinWatermark keeps whichever
+    # the stream processed first — arrival order, not id order)
+    assert len(by_id) == 3
+    assert {3, 4} <= set(by_id)
+    assert len(set(by_id) & {1, 2}) == 1
+    survivor = (set(by_id) & {1, 2}).pop()
+    assert 0.0 <= by_id[survivor]["q"] <= 1.0
+    fps = [r["fp"] for r in seen]
+    assert len(fps) == len(set(fps))  # one row per distinct fingerprint
