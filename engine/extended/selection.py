@@ -135,10 +135,13 @@ def quantile_buckets(
     A value EQUAL to a boundary lands in the lower bucket; a NULL metric
     yields a NULL bucket (comparisons null-propagate in both engines).
     """
+    from engine.ops.quality import _check_ident
+
+    _check_ident(metric_col, "metric column")
     if exact:
         aggs = [
             F.expr(
-                f"percentile_disc({p!r}) WITHIN GROUP (ORDER BY {metric_col})"
+                f"percentile_disc({p!r}) WITHIN GROUP (ORDER BY `{metric_col}`)"
             ).alias(f"__qb{i}")
             for i, p in enumerate(probs)
         ]

@@ -82,6 +82,9 @@ def group_quantiles(
     One shuffle on the group key; ``exact=False`` swaps in the
     bounded-memory ``approx_percentile`` sketch for corpus-scale metrics
     (same plan shape, values within sketch error)."""
+    from engine.ops.quality import _check_ident
+
+    _check_ident(metric_col, "metric column")
     aliases = [f"q{int(round(p * 100)):02d}" for p in probs]
     if len(set(aliases)) != len(aliases):
         raise ValueError(
@@ -90,7 +93,7 @@ def group_quantiles(
     if exact:
         aggs = [
             F.expr(
-                f"percentile_disc({p!r}) WITHIN GROUP (ORDER BY {metric_col})"
+                f"percentile_disc({p!r}) WITHIN GROUP (ORDER BY `{metric_col}`)"
             )
             .cast("long")
             .alias(a)
@@ -119,12 +122,19 @@ def int_histogram(
     (``(x - lo) * n div (hi - lo)``) — exact and engine-invariant, unlike
     float ``width_bucket`` boundary behavior.  One exchange carrying at
     most ``n_buckets + 2`` partial counts per task."""
+    from engine.ops.quality import _check_ident
+
+    _check_ident(metric_col, "metric column")
     x = F.col(metric_col).cast("long")
     span = hi - lo
     bucket = (
         F.when(x < lo, F.lit(-1))
         .when(x >= hi, F.lit(n_buckets))
-        .otherwise(F.expr(f"(({metric_col} - {lo}) * {n_buckets}) div {span}"))
+        .otherwise(
+            F.expr(
+                f"((CAST(`{metric_col}` AS BIGINT) - {lo}) * {n_buckets}) div {span}"
+            )
+        )
         .cast("long")
     )
     out = (

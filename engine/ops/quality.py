@@ -52,6 +52,8 @@ def check_constraints(df: DataFrame, checks: dict[str, Column]) -> DataFrame:
     """(rule, n_violations, n_rows) per named predicate; a NULL predicate
     result counts as a violation (unknown is not compliance).  One scan,
     map-side partial aggregation regardless of rule count."""
+    if not checks:
+        raise ValueError("checks must be non-empty")
     for name in checks:
         _check_ident(name, "rule name")
     aggs = [

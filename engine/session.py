@@ -52,7 +52,10 @@ def get_spark(
         # heap REGRESSES the shuffle-heavy queries (measured: minhash 2.8 s
         # at 4g vs 6.9 s at 24g — bigger young gen, worse locality).  4g is
         # the measured sweet spot on this box; override via env.  A cluster
-        # manager's per-executor setting takes over off-local.
+        # manager's per-executor setting takes over off-local.  NOTE:
+        # spark.driver.memory only takes effect when THIS builder launches
+        # the JVM — a getOrCreate against an already-running gateway keeps
+        # the existing heap (we warn below when they differ).
         .config(
             "spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "4g")
         )
@@ -76,6 +79,17 @@ def get_spark(
         builder = builder.config(k, v)
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    requested_mem = os.environ.get("SPARK_GRAFT_DRIVER_MEM", "4g")
+    actual_mem = spark.conf.get("spark.driver.memory", None)
+    if actual_mem is not None and actual_mem != requested_mem:
+        import warnings
+
+        warnings.warn(
+            f"spark.driver.memory is {actual_mem!r} (JVM already running), "
+            f"not the requested {requested_mem!r}; driver memory is "
+            "first-launch-only in local mode",
+            stacklevel=2,
+        )
     return spark
 
 

@@ -1822,12 +1822,23 @@ def corpus_pipeline_v3(spark, sf_dir):
     d = t(spark, sf_dir, "documents")
     d2 = d.select("doc_id", _url_text2_expr().alias("text"), "source")
     blocked = spark.createDataFrame([("blocked.example.net",)], "domain string")
-    kept = domain_blocklist_filter(d2, blocked)
+    # The composed DAG consumes the post-filter corpus 4× unaided (model
+    # counts + probe inside the scorer, then quota counts + ranked stream
+    # inside the mixture), each consumption re-running the scan + URL
+    # explode + anti-join.  Persist the two cut points instead: `kept`
+    # (post-filter corpus — MEMORY_AND_DISK, one materialization feeds both
+    # scorer passes) and `good` (per-doc score rows, tiny) so the mixture's
+    # two reads never re-run the scoring joins.  A window-based single-pass
+    # scorer was rejected: count-over-partition(bg) serializes hot bigrams
+    # into one task — a 100 TB skew regression the hash aggregate avoids.
+    kept = domain_blocklist_filter(d2, blocked).persist()
     # source rides THROUGH the scorer (carry_cols) — joining scores back to
     # `kept` would re-evaluate the blocklist-filter subtree a third time.
     scores = bigram_lm_scores(kept, carry_cols=["source"])
-    good = scores.filter(F.col("avg_logp") >= -4.9).select(
-        "doc_id", "source", "avg_logp"
+    good = (
+        scores.filter(F.col("avg_logp") >= -4.9)
+        .select("doc_id", "source", "avg_logp")
+        .persist()
     )
     mixed = temperature_mixture(good, alpha=0.5, total=150, group_col="source")
     return mixed.groupBy("source").agg(

@@ -260,3 +260,63 @@ def test_quantile_buckets_single_boundary_pass(spark):
     # boundary assignment joins a broadcast 1-row table; no extra shuffle of
     # the scored corpus beyond the LM's own aggregations
     assert "BroadcastNestedLoopJoin" in p  # 1-row cross join
+
+
+def _walk_nodes(jplan, acc):
+    acc.append(jplan.nodeName())
+    ch = jplan.children()
+    for i in range(ch.size()):
+        _walk_nodes(ch.apply(i), acc)
+    return acc
+
+
+def physical_nodes(df) -> list[str]:
+    """Node names of the physical plan tree (AQE initial plan unwrapped).
+    InMemoryTableScan is a LEAF here — its cached child subtree is built
+    once at materialization, so it must NOT count as a live re-scan."""
+    jp = df._jdf.queryExecution().executedPlan()
+    if jp.nodeName() == "AdaptiveSparkPlan":
+        jp = jp.initialPlan()
+    return _walk_nodes(jp, [])
+
+
+def test_corpus_pipeline_v3_single_corpus_pass(spark):
+    """The composed pipeline consumes its post-filter corpus 4× (model +
+    probe in the scorer, quota counts + ranked stream in the mixture).
+    VERDICT r3 #1: those reads must hit the persisted cut points — ZERO
+    live parquet re-scans of `documents` in the final plan, every repeat
+    read an InMemoryTableScan."""
+    from queries import corpus_pipeline_v3
+
+    nodes = physical_nodes(corpus_pipeline_v3(spark, SF))
+    scans = [n for n in nodes if "Scan parquet" in n or "FileSourceScan" in n]
+    imts = [n for n in nodes if "InMemoryTableScan" in n]
+    assert scans == [], f"live file scans in composed plan: {scans}"
+    assert len(imts) >= 2, f"expected cached reads, got {nodes}"
+
+
+def test_bigram_scorer_reads_cached_input_twice(spark):
+    """Scorer-level version of the same gate: with a persisted input, the
+    model-count and probe sides are both InMemoryTableScans of ONE
+    materialization — the blocklist-filter subtree appears zero times
+    live."""
+    from pyspark.sql import functions as F
+
+    from engine.extended.curation import bigram_lm_scores, domain_blocklist_filter
+    from queries import _url_text2_expr, t
+
+    d = t(spark, SF, "documents").select(
+        "doc_id", _url_text2_expr().alias("text"), "source"
+    )
+    blocked = spark.createDataFrame([("blocked.example.net",)], "domain string")
+    kept = domain_blocklist_filter(d, blocked).persist()
+    try:
+        nodes = physical_nodes(bigram_lm_scores(kept, carry_cols=["source"]))
+        scans = [n for n in nodes if "Scan parquet" in n or "FileSourceScan" in n]
+        imts = [n for n in nodes if "InMemoryTableScan" in n]
+        assert scans == [], f"live file scans in scorer plan: {scans}"
+        # probe + model-count sides (the c2 subtree prints twice pre-AQE;
+        # runtime ReuseExchange collapses it) — all cache reads, no rescans
+        assert 2 <= len(imts) <= 3, f"expected cached reads, got {nodes}"
+    finally:
+        kept.unpersist()
