@@ -80,6 +80,33 @@ def force(df) -> None:
     df.write.format("noop").mode("overwrite").save()
 
 
+def _ensure_skew_pack() -> str | None:
+    """Generate (once; cached by a marker file) the bench skew pack:
+    sf0.01 base replicated ×10 by tools/skewgen.py — same row volume as the
+    uniform sf0.1 pack, hostile distribution."""
+    base = os.environ.get("SPARK_GRAFT_SKEW_BASE", "/root/testdata/sf0.01")
+    factor = int(os.environ.get("SPARK_GRAFT_SKEW_FACTOR", "10"))
+    out = os.environ.get(
+        "SPARK_GRAFT_SKEW_DIR",
+        os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                     "fixtures", "skew_bench"),
+    )
+    marker = os.path.join(out, f".skewgen-{os.path.basename(base)}-x{factor}")
+    if not os.path.exists(marker):
+        try:
+            sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), "tools"))
+            import skewgen
+
+            skewgen.generate(base, out, factor=factor)
+            with open(marker, "w") as f:
+                f.write("ok\n")
+        except Exception as e:  # pragma: no cover - bench must still report
+            print(f"skew pack generation failed ({e}); skipping skew pass",
+                  file=sys.stderr)
+            return None
+    return out
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
@@ -117,6 +144,23 @@ def main() -> None:
         secondary[name] = round(time.time() - t0, 3)
         spark.catalog.clearCache()
 
+    # Skew pass (VERDICT r3 #8): the same frozen headline pack over a
+    # skewgen-derived pack of EQUAL volume (sf0.01 base × factor 10 ≈ sf0.1
+    # rows) with hot join keys / null keys / duplicate timestamps / hot LSH
+    # buckets injected — so a perf regression on skewed keys is caught
+    # round-over-round the way correctness ones are.  Expectation: no query
+    # >2× its uniform-data time.  Disable with SPARK_GRAFT_SKEW=0.
+    skewed: dict[str, float] = {}
+    if os.environ.get("SPARK_GRAFT_SKEW", "1") != "0":
+        skew_dir = _ensure_skew_pack()
+        if skew_dir is not None:
+            for name in HEADLINE:
+                fn = SPARK_QUERIES[name]
+                t0 = time.time()
+                force(fn(spark, skew_dir))
+                skewed[name] = round(time.time() - t0, 3)
+                spark.catalog.clearCache()
+
     print(
         json.dumps(
             {
@@ -125,6 +169,8 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "secondary": secondary,
+                "skewed": skewed,
+                "skewed_total": round(sum(skewed.values()), 3),
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }
         )

@@ -45,14 +45,40 @@ class RunReport:
     started_at: dt.datetime
 
 
-def make_avro_kinesis_sink(transport, *, dry_run: bool = False):
+def make_avro_kinesis_sink(
+    transport,
+    *,
+    dry_run: bool = False,
+    schema_source: str | dict | None = None,
+    schema_transport=None,
+):
     """Sink callable for IncrementalRunner: project to the 11-field contract,
     Avro-encode, put in ≤500 chunks.  Collect happens per micro-batch (the
-    batch is bounded by batch_size, like the reference's in-memory batch)."""
+    batch is bounded by batch_size, like the reference's in-memory batch).
+
+    ``schema_source`` enables the SURVEY §1.3 startup guard (reference:
+    registry fetch at controller construction, lib/pipeline_controller.py:59):
+    a registry URL (fetched via the injected ``schema_transport``) or an
+    already-parsed Avro schema dict, verified field-by-field against
+    SINK_RECORD HERE — at sink construction — so a drifted contract raises
+    SchemaDriftError before any batch runs.  The verified registry schema
+    then drives the encoder.  ``None`` keeps the engine-local stand-in
+    schema (no external registry in the sandbox)."""
+    from engine.ops.avro_registry import check_schema_compat, fetch_avro_schema
+
+    if schema_source is None:
+        avro_schema = SINK_AVRO_SCHEMA
+    else:
+        avro_schema = (
+            fetch_avro_schema(schema_source, transport=schema_transport)
+            if isinstance(schema_source, str)
+            else schema_source
+        )
+        check_schema_compat(avro_schema, SINK_RECORD)
     cols = [f.name for f in SINK_RECORD.fields]
 
     def sink(df: DataFrame, batch_id: int) -> int:
-        enc = df.select(to_avro_col(df, cols, SINK_AVRO_SCHEMA).alias("record"))
+        enc = df.select(to_avro_col(df, cols, avro_schema).alias("record"))
         records = [bytes(r["record"]) for r in enc.collect()]
         if not dry_run and transport is not None:
             kinesis_put_batch(records, transport, batch_id=batch_id)

@@ -11,8 +11,9 @@ Scale shape — the reason this survives 100 TB where naive all-pairs cannot:
 - The self-join key is the cluster id, so the pair explosion is
   O(sum of cluster_size**2), not O(n**2); with k ~ sqrt(n) balanced clusters
   that is ~O(n**1.5) work spread across the cluster key.  One mega-cluster is
-  the failure mode to watch — bound cluster sizes upstream via the k choice
-  (or re-cluster oversized ones).
+  the failure mode to watch — ``cluster_cap`` bounds it operator-side (the
+  cap's lowest-id rows pair, overflow rows are kept un-compared); re-cluster
+  with a larger k when capped coverage isn't acceptable.
 - Row norms are projected ONCE per row before the self-join, so each pair
   costs a single dot product (one ``zip_with``/``aggregate`` pass) instead of
   three array passes — the same project-behind-an-alias discipline the text
@@ -93,6 +94,7 @@ def pairwise_sims(
     vec_col: str = "embedding",
     round_to: int = 4,
     probe_parallelism: int | None = None,
+    cluster_cap: int | None = None,
 ) -> DataFrame:
     """All within-cluster pairs (a_id < b_id) with exact cosine similarity.
 
@@ -106,9 +108,28 @@ def pairwise_sims(
     fewer splits than cores (small files, post-filter coalesce), one
     round-robin exchange of the probe side buys full parallelism for the
     quadratic stage.  Leave None when the scan already yields enough splits.
+
+    ``cluster_cap`` bounds the mega-cluster failure mode (one skewed cluster
+    turning the whole job into a single O(size²) bucket): only the
+    ``cluster_cap`` lowest-id rows of each cluster enter the pair join, so
+    the worst cluster costs O(cap²) dot products and O(size log size) for
+    the row_number pre-pass — the same discipline as ``bucket_cap`` in
+    :func:`engine.extended.dedup.minhash_candidates`.  Overflow rows emit no
+    pairs (they are all KEPT by the downstream anti-join); re-cluster with a
+    larger k when that matters.  ``None`` (the oracle-exact default)
+    disables the cap.
     """
     if probe_parallelism:
         df = df.repartition(probe_parallelism)
+    if cluster_cap:
+        from pyspark.sql import Window
+
+        wcap = Window.partitionBy(cluster_col).orderBy(id_col)
+        df = (
+            df.withColumn("__cn", F.row_number().over(wcap))
+            .filter(F.col("__cn") <= cluster_cap)
+            .drop("__cn")
+        )
     v = df.select(
         F.col(cluster_col).alias("__c"),
         F.col(id_col).alias("__id"),
@@ -150,6 +171,7 @@ def semdedup_pairs(
     vec_col: str = "embedding",
     round_to: int = 4,
     probe_parallelism: int | None = None,
+    cluster_cap: int | None = None,
 ) -> DataFrame:
     """Within-cluster semantic-duplicate pairs: cosine >= ``threshold``.
 
@@ -165,6 +187,7 @@ def semdedup_pairs(
         vec_col=vec_col,
         round_to=round_to,
         probe_parallelism=probe_parallelism,
+        cluster_cap=cluster_cap,
     ).filter(F.col("sim") >= threshold)
 
 
@@ -176,6 +199,7 @@ def semdedup(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     broadcast_drops: bool | None = None,
+    cluster_cap: int | None = None,
 ) -> DataFrame:
     """Semantic dedup: drop every row that has a qualifying near-twin with a
     smaller id; keep everything else.
@@ -199,6 +223,7 @@ def semdedup(
             cluster_col=cluster_col,
             id_col=id_col,
             vec_col=vec_col,
+            cluster_cap=cluster_cap,
         )
         .select(F.col("b_id").alias(id_col))
         .distinct()
@@ -254,6 +279,7 @@ def semdedup_incremental(
     cluster_col: str = "label",
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    cluster_cap: int | None = None,
 ) -> DataFrame:
     """Incremental semantic dedup: accept only batch rows that are novel
     against the ALREADY-ACCEPTED corpus and within the batch itself.
@@ -280,4 +306,5 @@ def semdedup_incremental(
         cluster_col=cluster_col,
         id_col=id_col,
         vec_col=vec_col,
+        cluster_cap=cluster_cap,
     )

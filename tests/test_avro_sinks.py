@@ -104,3 +104,79 @@ def test_write_kinesis_executor_mode(spark, tmp_path):
     assert sum(sizes) == 1203
     assert max(sizes) <= KINESIS_MAX_BATCH  # no chunk exceeds the service cap
     assert len(chunks) >= 3  # at least one put per partition
+
+
+# -- registry fetch + startup schema guard (SURVEY §1.3) -----------------------
+
+
+def test_fetch_avro_schema_unwraps_registry_envelope():
+    import json
+
+    from engine.ops.avro_registry import fetch_avro_schema
+
+    raw = {"type": "record", "name": "R", "fields": [
+        {"name": "a", "type": ["null", "string"]}]}
+    envelope = json.dumps({"data": {"schema": json.dumps(raw)}})
+    got = fetch_avro_schema("http://reg/x", transport=lambda url: envelope)
+    assert got == raw
+    # raw schema body works too
+    got2 = fetch_avro_schema("http://reg/x", transport=lambda url: json.dumps(raw))
+    assert got2 == raw
+
+
+def test_startup_schema_check_passes_on_matching_contract():
+    from engine.ops.avro_registry import check_schema_compat
+
+    check_schema_compat(SINK_AVRO_SCHEMA, SINK_RECORD)  # no raise
+
+
+def test_startup_schema_check_names_every_drift():
+    import copy
+
+    import pytest
+
+    from engine.ops.avro_registry import SchemaDriftError, check_schema_compat
+
+    drifted = copy.deepcopy(SINK_AVRO_SCHEMA)
+    drifted["fields"][0]["type"] = ["null", "long"]     # patron_id: wrong type
+    del drifted["fields"][1]                            # address_hash: missing
+    drifted["fields"].append({"name": "extra", "type": ["null", "string"]})
+    with pytest.raises(SchemaDriftError) as ei:
+        check_schema_compat(drifted, SINK_RECORD)
+    msg = str(ei.value)
+    assert "patron_id" in msg and "address_hash" in msg and "extra" in msg
+
+
+def test_sink_construction_fails_fast_on_drifted_registry(spark):
+    """The guard runs at make_avro_kinesis_sink time — BEFORE any batch —
+    mirroring the reference's constructor-time registry fetch
+    (lib/pipeline_controller.py:59)."""
+    import copy
+    import json
+
+    import pytest
+
+    from engine.app import make_avro_kinesis_sink
+    from engine.ops.avro_registry import SchemaDriftError
+
+    drifted = copy.deepcopy(SINK_AVRO_SCHEMA)
+    drifted["fields"][7]["type"] = ["null", "string"]  # ptype_code long->string
+    body = json.dumps({"data": {"schema": json.dumps(drifted)}})
+    with pytest.raises(SchemaDriftError, match="ptype_code"):
+        make_avro_kinesis_sink(
+            None,
+            dry_run=True,
+            schema_source="http://registry/current-schemas/PatronInfo",
+            schema_transport=lambda url: body,
+        )
+    # the matching contract constructs fine and the sink encodes
+    sink = make_avro_kinesis_sink(
+        None,
+        dry_run=True,
+        schema_source="http://registry/current-schemas/PatronInfo",
+        schema_transport=lambda url: json.dumps(SINK_AVRO_SCHEMA),
+    )
+    row = {f.name: None for f in SINK_RECORD.fields}
+    row.update(patron_id="p1", ptype_code=3)
+    df = spark.createDataFrame([row], SINK_RECORD)
+    assert sink(df, 0) == 1

@@ -118,15 +118,40 @@ def test_table_profile_stats_and_canonical_strings(spark):
         [(1, 10.5, "b"), (2, None, "a"), (2, 3.0, None)],
         "k long, v double, s string",
     )
-    rows = {r["column"]: r for r in table_profile(df, ["k", "v", "s"]).collect()}
+    rows = {
+        r["column"]: r
+        for r in table_profile(df, ["k", "v", "s"], exact_distinct=True).collect()
+    }
     assert list(rows) == ["k", "s", "v"]  # ordered by column name
     assert rows["k"]["n_rows"] == 3 and rows["k"]["n_distinct"] == 2
     assert rows["v"]["n_null"] == 1
     assert rows["v"]["min_value"] == "3.00" and rows["v"]["max_value"] == "10.50"
     assert rows["s"]["min_value"] == "a" and rows["s"]["max_value"] == "b"
-    # HLL mode keeps the same shape/columns
-    approx = {
-        r["column"]: r
-        for r in table_profile(df, ["k"], exact_distinct=False).collect()
-    }
+    # default (HLL) mode keeps the same shape/columns
+    approx = {r["column"]: r for r in table_profile(df, ["k"]).collect()}
     assert approx["k"]["n_distinct"] >= 1
+
+
+def test_table_profile_exact_edge_semantics(spark):
+    """The two-pass exact path must match native COUNT(DISTINCT): -0.0 and
+    0.0 merge, NaN is one value, an all-NULL column counts 0, and the plan
+    carries no gid-Expand in EITHER mode."""
+    nan = float("nan")
+    df = spark.createDataFrame(
+        [(0.0, None), (-0.0, None), (nan, None), (nan, None), (1.5, None)],
+        "d double, z string",
+    )
+    rows = {
+        r["column"]: r
+        for r in table_profile(df, ["d", "z"], exact_distinct=True).collect()
+    }
+    assert rows["d"]["n_distinct"] == 3  # {0.0, NaN, 1.5}
+    assert rows["z"]["n_distinct"] == 0 and rows["z"]["n_null"] == 5
+    for exact in (True, False):
+        plan = (
+            table_profile(df, ["d", "z"], exact_distinct=exact)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert "Expand" not in plan

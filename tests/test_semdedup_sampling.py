@@ -162,3 +162,36 @@ def test_semdedup_incremental_rejects_corpus_twins_and_batch_dups(spark):
         for r in semdedup_incremental(batch, corpus, threshold=0.95).collect()
     }
     assert kept == {13, 17}
+
+
+def test_pairwise_sims_cluster_cap_bounds_mega_cluster(spark):
+    """VERDICT r3 #3: one skewed cluster must not turn the pair join into a
+    single O(size^2) bucket.  With cluster_cap=c, only the c lowest-id rows
+    of each cluster pair (<= c*(c-1)/2 pairs per cluster); overflow rows
+    emit no pairs and survive the dedup anti-join."""
+    n_mega = 200
+    rows = [(i, [1.0, 0.0], 0) for i in range(n_mega)]  # mega cluster, all dups
+    rows += [(1000, [1.0, 0.0], 1), (1001, [1.0, 0.0], 1)]  # small cluster
+    df = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    )
+
+    capped = pairwise_sims(df, cluster_cap=10).collect()
+    mega = [r for r in capped if r["a_id"] < 1000]
+    assert len(mega) == 10 * 9 // 2  # cap^2 pairs, not 200*199/2
+    assert {r["a_id"] for r in mega} | {r["b_id"] for r in mega} == set(range(10))
+    # the small, uncapped cluster still pairs fully
+    assert any(r["a_id"] == 1000 and r["b_id"] == 1001 for r in capped)
+
+    # capped dedup: within-cap dups drop, overflow rows are all KEPT
+    kept = {
+        r["vec_id"]
+        for r in semdedup(df, threshold=0.99, cluster_cap=10).collect()
+    }
+    assert 0 in kept and 1 not in kept and 9 not in kept
+    assert set(range(10, n_mega)) <= kept  # overflow never compared
+    assert 1000 in kept and 1001 not in kept
+
+    # default (no cap) semantics unchanged: every dup beyond the min id drops
+    kept_exact = {r["vec_id"] for r in semdedup(df, threshold=0.99).collect()}
+    assert kept_exact == {0, 1000}

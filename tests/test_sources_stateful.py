@@ -107,6 +107,43 @@ def test_load_config_layering(tmp_path, monkeypatch):
     assert cfg["mode"] == "new"  # default survives
 
 
+def test_load_config_encrypted_section_round_trip(tmp_path):
+    """Reference layout (config/devel.yaml:2-33): PLAINTEXT_VARIABLES merge
+    directly, ENCRYPTED_VARIABLES go through the injected decrypt hook (KMS
+    in production, a fake here)."""
+    y = tmp_path / "c.yaml"
+    y.write_text(
+        "PLAINTEXT_VARIABLES:\n"
+        "  AWS_REGION: us-east-1\n"
+        "  BATCH_SIZE: 20\n"
+        "ENCRYPTED_VARIABLES:\n"
+        "  DB_PASSWORD: enc:hunter2\n"
+        "  BCRYPT_SALT: enc:pepper\n"
+    )
+    calls = []
+
+    def fake_decrypt(ct):
+        calls.append(ct)
+        assert ct.startswith("enc:")
+        return ct[4:]
+
+    cfg = load_config(str(y), decrypt=fake_decrypt)
+    assert cfg["AWS_REGION"] == "us-east-1" and cfg["BATCH_SIZE"] == 20
+    assert cfg["DB_PASSWORD"] == "hunter2" and cfg["BCRYPT_SALT"] == "pepper"
+    assert sorted(calls) == ["enc:hunter2", "enc:pepper"]
+
+
+def test_load_config_encrypted_without_decryptor_fails_fast(tmp_path):
+    """Secrets must never flow through as ciphertext: an encrypted section
+    with no decrypt hook is a startup error, not a silent passthrough."""
+    import pytest
+
+    y = tmp_path / "c.yaml"
+    y.write_text("ENCRYPTED_VARIABLES:\n  DB_PASSWORD: ciphertext\n")
+    with pytest.raises(ValueError, match="no decrypt"):
+        load_config(str(y))
+
+
 # -- custom stateful operators -------------------------------------------------
 
 
