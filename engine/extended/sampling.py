@@ -208,20 +208,28 @@ def temperature_mixture(
 
     Scale shape: one group-cardinality count agg, a broadcast quota table,
     one md5-rank window per group — a single exchange on ``group_col``.
+    ``sum(n^alpha)`` folds over the GROUP-CARDINALITY table via an
+    unpartitioned window (single partition of #groups rows — the same
+    benign shape as global_order's offsets table), not a second aggregate +
+    cross join: one fewer barrier on the quota path.
     """
     from pyspark.sql import Window
 
     counts = df.groupBy(group_col).agg(F.count(F.lit(1)).alias("__n"))
-    w = counts.withColumn("__w", F.pow(F.col("__n").cast("double"), F.lit(float(alpha))))
-    tot = w.agg(F.sum("__w").alias("__sw"))
-    quotas = w.crossJoin(F.broadcast(tot)).select(
-        group_col,
-        F.least(
-            F.col("__n"),
-            F.floor(
-                F.lit(float(total)) * F.col("__w") / F.col("__sw") + F.lit(1e-9)
-            ).cast("long"),
-        ).alias("__quota"),
+    wexpr = F.pow(F.col("__n").cast("double"), F.lit(float(alpha)))
+    quotas = (
+        counts.withColumn("__w", wexpr)
+        .withColumn("__sw", F.sum("__w").over(Window.partitionBy()))
+        .select(
+            group_col,
+            F.least(
+                F.col("__n"),
+                F.floor(
+                    F.lit(float(total)) * F.col("__w") / F.col("__sw")
+                    + F.lit(1e-9)
+                ).cast("long"),
+            ).alias("__quota"),
+        )
     )
     rk = Window.partitionBy(group_col).orderBy(
         F.md5(F.concat(F.col(id_col).cast("string"), F.lit("|" + salt))), id_col
