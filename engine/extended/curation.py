@@ -38,6 +38,10 @@ __all__ = [
     "URL_RE",
     "extract_urls",
     "url_domain",
+    "MOJIBAKE_MAP",
+    "fix_mojibake",
+    "TRACKING_PARAM_RE",
+    "canonical_url",
     "domain_blocklist_filter",
     "HTML_STRIP_STEPS",
     "HTML_ENTITIES",
@@ -440,6 +444,99 @@ def url_domain(col: Column | str) -> Column:
     """Host part of one URL string (empty string on non-URL input)."""
     c = F.col(col) if isinstance(col, str) else col
     return F.regexp_extract(c, "https?://([A-Za-z0-9.-]+)", 1)
+
+
+#: cp1252-mojibake repair table: the UTF-8 byte sequences of the most
+#: common non-ASCII chars, mis-decoded as cp1252/latin-1 ("Ã©" for "é",
+#: "â€™" for a curly apostrophe).  LITERAL replacements applied in order
+#: (3-byte punctuation first — its prefix "â" must not be half-eaten by a
+#: 2-byte rule), every pair printable in both engines, so the DuckDB twin
+#: runs the identical REPLACE chain.  A general repair needs a real
+#: re-encode (ftfy); this fixed table is the declarative 95% of it — the
+#: same pragmatic pass Dolma/RedPajama-style cleaning applies.
+MOJIBAKE_MAP: list[tuple[str, str]] = [
+    ("\u00e2\u20ac\u2122", "\u2019"),  # â€™ -> right single quote
+    ("\u00e2\u20ac\u0153", "\u201c"),  # â€œ -> left double quote
+    ("\u00e2\u20ac\u201c", "\u2013"),  # â€“ -> en dash
+    ("\u00e2\u20ac\u201d", "\u2014"),  # â€” -> em dash
+    ("\u00e2\u20ac\u00a6", "\u2026"),  # â€¦ -> ellipsis
+    ("\u00e2\u201a\u00ac", "\u20ac"),  # â‚¬ -> euro sign
+    ("\u00c3\u00a9", "\u00e9"),  # Ã© -> é
+    ("\u00c3\u00a8", "\u00e8"),  # Ã¨ -> è
+    ("\u00c3\u00aa", "\u00ea"),  # Ãª -> ê
+    ("\u00c3\u00a1", "\u00e1"),  # Ã¡ -> á
+    ("\u00c3\u00a0", "\u00e0"),  # Ã + nbsp -> à
+    ("\u00c3\u00a2", "\u00e2"),  # Ã¢ -> â
+    ("\u00c3\u00a4", "\u00e4"),  # Ã¤ -> ä
+    ("\u00c3\u00a3", "\u00e3"),  # Ã£ -> ã
+    ("\u00c3\u00ad", "\u00ed"),  # Ã­ -> í
+    ("\u00c3\u00ae", "\u00ee"),  # Ã® -> î
+    ("\u00c3\u00b3", "\u00f3"),  # Ã³ -> ó
+    ("\u00c3\u00b4", "\u00f4"),  # Ã´ -> ô
+    ("\u00c3\u00b6", "\u00f6"),  # Ã¶ -> ö
+    ("\u00c3\u00b5", "\u00f5"),  # Ãµ -> õ
+    ("\u00c3\u00ba", "\u00fa"),  # Ãº -> ú
+    ("\u00c3\u00bb", "\u00fb"),  # Ã» -> û
+    ("\u00c3\u00bc", "\u00fc"),  # Ã¼ -> ü
+    ("\u00c3\u00b1", "\u00f1"),  # Ã± -> ñ
+    ("\u00c3\u00a7", "\u00e7"),  # Ã§ -> ç
+    ("\u00c2\u00ab", "\u00ab"),  # Â« -> «
+    ("\u00c2\u00bb", "\u00bb"),  # Â» -> »
+    ("\u00c2\u00b0", "\u00b0"),  # Â° -> °
+    ("\u00c2\u00a0", "\u00a0"),  # Â + nbsp -> nbsp
+]
+
+
+def fix_mojibake(col: Column | str) -> Column:
+    """Repair the :data:`MOJIBAKE_MAP` cp1252 double-encodings in one
+    literal-replace chain — zero shuffles, whole-stage codegen, and
+    idempotent on already-clean text (the repaired forms are never
+    themselves map keys)."""
+    c = F.col(col) if isinstance(col, str) else col
+    for bad, good in MOJIBAKE_MAP:
+        c = F.replace(c, F.lit(bad), F.lit(good))
+    return c
+
+
+TRACKING_PARAM_RE = r"(utm_[A-Za-z]+|fbclid|gclid|mc_cid|mc_eid)"
+
+
+def canonical_url(col: Column | str) -> Column:
+    """Canonical form of one URL string — the normalization pass BEFORE
+    URL-level dedup (the C4/RefinedWeb crawl-frontier discipline: the same
+    page arrives as ``HTTP://WWW.Site.com:80/a/?utm_source=x#top`` and
+    ``http://site.com/a`` and must collapse to one key).
+
+    Deterministic chain, defined BY the chain (Java-regex ∩ RE2 subset so
+    the DuckDB oracle runs the identical patterns, with the ``'g'`` flag
+    where DuckDB defaults to first-match):
+
+    1. drop the fragment;
+    2. strip tracking query params (``utm_*``, ``fbclid``, ``gclid``,
+       ``mc_cid``/``mc_eid``) wherever they sit, repairing the separator;
+    3. lowercase scheme and host (path/query case is significant and kept);
+    4. drop a leading ``www.`` and the scheme's default port;
+    5. trim trailing slashes.
+
+    Non-URL input yields NULL (no scheme match).  Pure expression chain —
+    zero shuffles, whole-stage codegen.
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    u = F.regexp_replace(c, r"#.*$", "")
+    u = F.regexp_replace(u, r"&" + TRACKING_PARAM_RE + r"=[^&]*", "")
+    u = F.regexp_replace(u, r"\?" + TRACKING_PARAM_RE + r"=[^&]*&", "?")
+    u = F.regexp_replace(u, r"\?" + TRACKING_PARAM_RE + r"=[^&]*$", "")
+    scheme = F.lower(F.regexp_extract(u, r"^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
+    host = F.lower(F.regexp_extract(u, r"^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)", 1))
+    host = F.regexp_replace(host, r"^www\.", "")
+    host = (
+        F.when(scheme == "http", F.regexp_replace(host, r":80$", ""))
+        .when(scheme == "https", F.regexp_replace(host, r":443$", ""))
+        .otherwise(host)
+    )
+    rest = F.regexp_extract(u, r"^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*(.*)$", 1)
+    rest = F.regexp_replace(rest, r"/+$", "")
+    return F.when(scheme != "", F.concat(scheme, F.lit("://"), host, rest))
 
 
 def domain_blocklist_filter(

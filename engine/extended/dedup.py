@@ -40,6 +40,8 @@ __all__ = [
     "doc_spans",
     "duplicate_span_stats",
     "remove_duplicate_spans",
+    "doc_lines",
+    "line_dedup_rewrite",
 ]
 
 
@@ -975,4 +977,90 @@ def remove_duplicate_spans(
             ).alias("clean_text"),
         )
         .select(F.col("id").alias(id_col), "clean_text", "n_spans", "n_dropped")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Line-level dedup (remove boilerplate LINES shared across documents — the
+# CCNet/RefinedWeb line-wise filter: "Sign in", cookie banners, nav menus.
+# Sibling of the token-span pass above: spans catch copied prose runs;
+# lines catch template furniture that newline structure delimits exactly)
+# ---------------------------------------------------------------------------
+
+
+def doc_lines(
+    df: DataFrame, *, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """(id, pos, line, norm): newline-split positions (0-based), the raw
+    line verbatim, and the ASCII-edge-stripped normal form used for
+    cross-document matching.
+
+    The normalizer is an explicit ``[ \\t\\r]`` edge regexp, never TRIM —
+    engine TRIMs disagree on Unicode spaces (the html_to_text fuzz
+    finding), and stripping ``\\r`` folds CRLF corpora onto LF ones.  Pure
+    projection — tokenless, zero shuffles; NULL-text docs contribute no
+    rows (split of NULL explodes to nothing), empty-text docs contribute
+    one empty line so they survive rewriting verbatim.
+    """
+    return df.select(
+        F.col(id_col).alias("id"),
+        F.posexplode(F.split(F.col(text_col), "\n")).alias("pos", "line"),
+    ).withColumn(
+        "norm", F.regexp_replace(F.col("line"), r"^[ \t\r]+|[ \t\r]+$", "")
+    )
+
+
+def line_dedup_rewrite(
+    df: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_docs: int = 2,
+    hash_fn: str = "xxhash64",
+) -> DataFrame:
+    """Rewrite each doc dropping every line whose normal form appears in
+    ``min_docs``+ DISTINCT documents (all occurrences drop — boilerplate has
+    no canonical owner, unlike copied prose in
+    :func:`remove_duplicate_spans`).  Blank lines never match (paragraph
+    structure survives) and docs whose every line dropped surface with
+    clean_text = '' rather than disappearing.
+
+    Returns (id, clean_text, n_lines, n_dropped).  Shuffle budget: one
+    fingerprint aggregate for per-line document counts (two-level: partials
+    collapse (fp, id) duplicates map-side, then fold to fp — the hot
+    "Home" line costs one partial per task, not its occurrence volume), one
+    join of lines against the FILTERED boilerplate fingerprint set (the
+    rare slice, broadcastable on clean corpora), one per-doc reassembly
+    aggregate sorting (pos, line) structs in memory — never a global sort.
+    ``hash_fn='md5'`` makes the fingerprints dual-implementable for the SQL
+    oracle; xxhash64 is the production default (8-byte shuffle keys).
+    """
+    lines = doc_lines(df, id_col=id_col, text_col=text_col)
+    fp = F.when(F.col("norm") != "", _hash64(F.col("norm"), hash_fn))
+    lines = lines.withColumn("fp", fp)
+    boiler = (
+        lines.filter(F.col("fp").isNotNull())
+        .groupBy("fp")
+        .agg(F.count_distinct("id").alias("__nd"))
+        .filter(F.col("__nd") >= min_docs)
+        .select("fp", F.lit(1).alias("__boiler"))
+    )
+    tagged = lines.join(boiler, "fp", "left")
+    kept = F.col("__boiler").isNull()
+    return (
+        tagged.groupBy("id")
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            F.sum(F.when(~kept, 1).otherwise(0)).cast("long").alias("n_dropped"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.when(kept, F.struct("pos", "line")))
+                    ),
+                    lambda s: s["line"],
+                ),
+                "\n",
+            ).alias("clean_text"),
+        )
+        .select(F.col("id").alias(id_col), "clean_text", "n_lines", "n_dropped")
     )

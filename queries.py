@@ -4280,6 +4280,201 @@ def span_dedup_rewrite(spark, sf_dir):
     return remove_duplicate_spans(d, span_tokens=8, min_count=2, hash_fn="md5")
 
 
+def _moji_sql_chain(expr: str) -> str:
+    from engine.extended.curation import MOJIBAKE_MAP
+
+    for bad, good in MOJIBAKE_MAP:
+        expr = f"REPLACE({expr}, '{bad}', '{good}')"
+    return expr
+
+
+@q(
+    "mojibake_repair",
+    f"""
+    WITH t2 AS (
+      SELECT doc_id,
+             text || ' â€œLÃ©on â€“ cafÃ©â€¦ Â«RÃ©sumÃ©Â» '
+                  || CAST(doc_id % 3 AS VARCHAR) AS tx
+      FROM documents WHERE text IS NOT NULL)
+    SELECT doc_id,
+           RIGHT({_moji_sql_chain('tx')}, 30) AS fixed_tail,
+           CAST(LENGTH(tx) - LENGTH({_moji_sql_chain('tx')}) AS BIGINT)
+             AS n_chars_repaired
+    FROM t2
+    """,
+)
+def mojibake_repair(spark, sf_dir):
+    """cp1252 mojibake repair (engine.extended.curation.fix_mojibake) — the
+    ftfy-style cleaning pass every web corpus needs: UTF-8 bytes mis-decoded
+    as cp1252 ('Ã©' for 'é', 'â€™' for a curly quote) fixed by a literal
+    replace chain, idempotent on clean text.  Deterministic mojibake is
+    planted per doc; repaired-character counts are length deltas, exact in
+    both engines."""
+    from engine.extended.curation import fix_mojibake
+
+    d = t(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    d2 = d.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" â€œLÃ©on â€“ cafÃ©â€¦ Â«RÃ©sumÃ©Â» "),
+            (F.col("doc_id") % 3).cast("string"),
+        ).alias("tx"),
+    )
+    return d2.withColumn("fx", fix_mojibake("tx")).select(
+        "doc_id",
+        F.expr("right(fx, 30)").alias("fixed_tail"),
+        (F.length("tx") - F.length("fx")).cast("long").alias("n_chars_repaired"),
+    )
+
+
+@q(
+    "url_canonical_groups",
+    """
+    WITH raw AS (
+      SELECT doc_id,
+             'HTTP://WWW.' || source
+               || CASE WHEN doc_id % 2 = 0 THEN '.Example.COM:80' ELSE '.example.com' END
+               || '/p/' || CAST(doc_id % 7 AS VARCHAR)
+               || CASE WHEN doc_id % 3 = 0
+                       THEN '/?utm_source=x&q=' || CAST(doc_id % 5 AS VARCHAR)
+                       WHEN doc_id % 3 = 1
+                       THEN '/?q=' || CAST(doc_id % 5 AS VARCHAR) || '&utm_campaign=z'
+                       ELSE '/' END
+               || CASE WHEN doc_id % 4 = 0 THEN '#frag' ELSE '' END AS url
+      FROM documents),
+    canon AS (
+      SELECT doc_id, url,
+        CASE WHEN regexp_extract(u3, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1) <> '' THEN
+          LOWER(regexp_extract(u3, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) || '://'
+          || CASE LOWER(regexp_extract(u3, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1))
+             WHEN 'http' THEN regexp_replace(hostn, ':80$', '')
+             WHEN 'https' THEN regexp_replace(hostn, ':443$', '')
+             ELSE hostn END
+          || regexp_replace(regexp_extract(u3, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*(.*)$', 1),
+                            '/+$', '')
+        END AS canon_url
+      FROM (
+        SELECT doc_id, url, u3,
+               regexp_replace(
+                 LOWER(regexp_extract(u3, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1)),
+                 '^www\\.', '') AS hostn
+        FROM (
+          SELECT doc_id, url,
+            regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+              url, '#.*$', '', 'g'),
+              '&(utm_[A-Za-z]+|fbclid|gclid|mc_cid|mc_eid)=[^&]*', '', 'g'),
+              '\\?(utm_[A-Za-z]+|fbclid|gclid|mc_cid|mc_eid)=[^&]*&', '?', 'g'),
+              '\\?(utm_[A-Za-z]+|fbclid|gclid|mc_cid|mc_eid)=[^&]*$', '', 'g') AS u3
+          FROM raw)))
+    SELECT canon_url, CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(COUNT(DISTINCT url) AS BIGINT) AS n_raw_forms
+    FROM canon GROUP BY canon_url
+    """,
+)
+def url_canonical_groups(spark, sf_dir):
+    """URL canonicalization (engine.extended.curation.canonical_url) — the
+    normalization before URL-level dedup: scheme/host case, www., default
+    ports, tracking params, fragments and trailing slashes all collapse, so
+    messy crawl variants of one page share a canonical key.  Deterministic
+    messy URLs are planted per doc (the synthetic corpus has none), then
+    grouped by canonical form with raw-variant counts."""
+    from engine.extended.curation import canonical_url
+
+    d = t(spark, sf_dir, "documents")
+    raw = d.select(
+        "doc_id",
+        F.concat(
+            F.lit("HTTP://WWW."),
+            F.col("source"),
+            F.when(F.col("doc_id") % 2 == 0, F.lit(".Example.COM:80")).otherwise(
+                F.lit(".example.com")
+            ),
+            F.lit("/p/"),
+            (F.col("doc_id") % 7).cast("string"),
+            F.when(
+                F.col("doc_id") % 3 == 0,
+                F.concat(
+                    F.lit("/?utm_source=x&q="), (F.col("doc_id") % 5).cast("string")
+                ),
+            )
+            .when(
+                F.col("doc_id") % 3 == 1,
+                F.concat(
+                    F.lit("/?q="),
+                    (F.col("doc_id") % 5).cast("string"),
+                    F.lit("&utm_campaign=z"),
+                ),
+            )
+            .otherwise(F.lit("/")),
+            F.when(F.col("doc_id") % 4 == 0, F.lit("#frag")).otherwise(F.lit("")),
+        ).alias("url"),
+    )
+    return raw.select("doc_id", "url", canonical_url("url").alias("canon_url")).groupBy(
+        "canon_url"
+    ).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.count_distinct("url").alias("n_raw_forms"),
+    )
+
+
+@q(
+    "line_dedup_rewrite",
+    f"""
+    WITH t2 AS (
+      SELECT doc_id,
+             text || chr(10) || 'Shared footer - all rights reserved'
+                  || CASE WHEN doc_id % 3 = 0
+                     THEN chr(10) || '  Promo: subscribe now  ' ELSE '' END AS tx
+      FROM documents WHERE text IS NOT NULL),
+    ls AS (SELECT doc_id, string_split(tx, chr(10)) AS ls FROM t2),
+    pos AS (SELECT doc_id, ls, UNNEST(range(1, LENGTH(ls) + 1)) AS pos FROM ls),
+    lines AS (
+      SELECT doc_id, pos - 1 AS pos, ls[pos] AS line,
+             regexp_replace(ls[pos], '^[ \t\r]+|[ \t\r]+$', '', 'g') AS norm
+      FROM pos),
+    fps AS (
+      SELECT doc_id, pos, line,
+             CASE WHEN norm <> '' THEN {_MD5H.format(x='norm')} END AS fp
+      FROM lines),
+    boiler AS (
+      SELECT fp FROM fps WHERE fp IS NOT NULL
+      GROUP BY fp HAVING COUNT(DISTINCT doc_id) >= 2)
+    SELECT f.doc_id,
+           COALESCE(STRING_AGG(f.line, chr(10) ORDER BY f.pos)
+                    FILTER (WHERE b.fp IS NULL), '') AS clean_text,
+           CAST(COUNT(*) AS BIGINT) AS n_lines,
+           CAST(SUM(CASE WHEN b.fp IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_dropped
+    FROM fps f LEFT JOIN boiler b ON f.fp = b.fp
+    GROUP BY f.doc_id
+    """,
+)
+def line_dedup_rewrite(spark, sf_dir):
+    """Line-level boilerplate dedup (CCNet/RefinedWeb line-wise filter):
+    every line whose ASCII-normalized form appears in 2+ distinct docs is
+    dropped from ALL docs — template furniture has no canonical owner,
+    unlike the copied-prose spans of span_dedup_rewrite.  The synthetic
+    corpus has no newlines, so deterministic boilerplate is planted (a
+    universal footer + a promo line in every third doc) and the real
+    operator (engine.extended.dedup.line_dedup_rewrite, md5 mode for the
+    oracle) rewrites it away."""
+    from engine.extended.dedup import line_dedup_rewrite as ldr
+
+    d = t(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    d2 = d.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit("\nShared footer - all rights reserved"),
+            F.when(
+                F.col("doc_id") % 3 == 0, F.lit("\n  Promo: subscribe now  ")
+            ).otherwise(F.lit("")),
+        ).alias("text"),
+    )
+    return ldr(d2, min_docs=2, hash_fn="md5")
+
+
 @q(
     "global_order_positions",
     """

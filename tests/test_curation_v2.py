@@ -226,3 +226,37 @@ def test_read_tar_samples_zero_exchange_matches_grouped(spark, tmp_path):
     assert {k: {e: bytes(v) for e, v in p.items()} for k, p in d.items()} == {
         k: {e: bytes(v) for e, v in p.items()} for k, p in g.items()
     }
+
+
+def test_canonical_url_chain(spark):
+    """Scheme/host lowering, www + default-port drop, tracking-param strip
+    with separator repair, fragment drop, trailing-slash trim; non-URLs and
+    NULLs yield NULL."""
+    from engine.extended.curation import canonical_url
+
+    cases = [
+        ("HTTP://WWW.Site.com:80/a/?utm_source=x&q=1#top", "http://site.com/a/?q=1"),
+        ("https://site.com:443/a?utm_campaign=z", "https://site.com/a"),
+        ("http://site.com/a/", "http://site.com/a"),
+        ("https://Other.org/Path/To?b=2&utm_medium=m&c=3",
+         "https://other.org/Path/To?b=2&c=3"),
+        ("http://site.com:8080/x", "http://site.com:8080/x"),  # non-default port kept
+        ("https://site.com/?fbclid=abc", "https://site.com"),
+        ("not a url", None),
+        (None, None),
+    ]
+    df = spark.createDataFrame([(u,) for u, _ in cases], "u string")
+    got = [r["c"] for r in df.select(canonical_url("u").alias("c")).collect()]
+    assert got == [want for _, want in cases]
+
+
+def test_fix_mojibake_repairs_and_is_idempotent(spark):
+    from engine.extended.curation import fix_mojibake
+
+    bad = "cafÃ© â€œquotedâ€™ â€“ dash"
+    want = "café “quoted’ – dash"
+    df = spark.createDataFrame([(bad,), (want,), (None,)], "t string")
+    got = [r["f"] for r in df.select(fix_mojibake("t").alias("f")).collect()]
+    assert got[0] == want
+    assert got[1] == want  # idempotent on clean text
+    assert got[2] is None

@@ -500,3 +500,32 @@ def test_bm25_orders_by_relevance(spark):
     df = spark.createDataFrame(rows, "doc_id long, text string")
     got = {r["doc_id"]: r["bm25"] for r in bm25_scores(df, ["spark"]).collect()}
     assert got[0] > got[1] > got[2] == 0.0
+
+
+def test_line_dedup_rewrite_drops_boilerplate_everywhere(spark):
+    """Line-wise boilerplate filter: a line shared by 2+ DISTINCT docs drops
+    from ALL docs (no canonical owner); blank lines never match; CRLF folds
+    onto LF via the \\r-stripping normalizer; a doc of pure boilerplate
+    surfaces with clean_text = ''."""
+    from engine.extended.dedup import line_dedup_rewrite
+
+    docs = [
+        (1, "unique alpha\nSign in\n\nbody one"),
+        (2, "Sign in\r\nbody two"),        # CRLF variant of the same line
+        (3, "  Sign in  \nbody three\nbody three"),  # padded variant; own dup line
+        (4, "Sign in"),                    # pure boilerplate
+        (5, ""),                           # empty text -> one empty line, kept
+    ]
+    out = {
+        r["doc_id"]: r
+        for r in line_dedup_rewrite(
+            spark.createDataFrame(docs, "doc_id long, text string")
+        ).collect()
+    }
+    assert out[1]["clean_text"] == "unique alpha\n\nbody one"
+    assert out[1]["n_lines"] == 4 and out[1]["n_dropped"] == 1
+    assert out[2]["clean_text"] == "body two" and out[2]["n_dropped"] == 1
+    # doc 3's repeated 'body three' is within ONE doc -> not boilerplate
+    assert out[3]["clean_text"] == "body three\nbody three"
+    assert out[4]["clean_text"] == "" and out[4]["n_dropped"] == 1
+    assert out[5]["clean_text"] == "" and out[5]["n_lines"] == 1 and out[5]["n_dropped"] == 0
