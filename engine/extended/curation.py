@@ -509,11 +509,16 @@ def canonical_url(col: Column | str) -> Column:
 
     Deterministic chain, defined BY the chain (Java-regex ∩ RE2 subset so
     the DuckDB oracle runs the identical patterns, with the ``'g'`` flag
-    where DuckDB defaults to first-match):
+    where DuckDB defaults to first-match).  Anchors are ``\\z`` — Java's
+    ``$`` matches BEFORE a trailing newline where RE2's does not (engine
+    divergence on unstripped crawl lines); the fragment strip is
+    ``#[\\s\\S]*`` (to absolute end, no anchor needed):
 
     1. drop the fragment;
-    2. strip tracking query params (``utm_*``, ``fbclid``, ``gclid``,
-       ``mc_cid``/``mc_eid``) wherever they sit, repairing the separator;
+    2. strip tracking params (``utm_*``, ``fbclid``, ``gclid``,
+       ``mc_cid``/``mc_eid``) INSIDE THE QUERY STRING ONLY (a literal
+       ``&utm_x=`` in a path segment is legal per RFC 3986 and must not
+       collapse distinct pages), repairing the separator;
     3. lowercase scheme and host (path/query case is significant and kept);
     4. drop a leading ``www.`` and the scheme's default port;
     5. trim trailing slashes.
@@ -522,20 +527,23 @@ def canonical_url(col: Column | str) -> Column:
     zero shuffles, whole-stage codegen.
     """
     c = F.col(col) if isinstance(col, str) else col
-    u = F.regexp_replace(c, r"#.*$", "")
-    u = F.regexp_replace(u, r"&" + TRACKING_PARAM_RE + r"=[^&]*", "")
-    u = F.regexp_replace(u, r"\?" + TRACKING_PARAM_RE + r"=[^&]*&", "?")
-    u = F.regexp_replace(u, r"\?" + TRACKING_PARAM_RE + r"=[^&]*$", "")
+    u = F.regexp_replace(c, r"#[\s\S]*", "")
+    pre = F.regexp_extract(u, r"^([^?]*)", 1)
+    qs = F.regexp_extract(u, r"^[^?]*(\?[\s\S]*)", 1)
+    qs = F.regexp_replace(qs, r"&" + TRACKING_PARAM_RE + r"=[^&]*", "")
+    qs = F.regexp_replace(qs, r"\?" + TRACKING_PARAM_RE + r"=[^&]*&", "?")
+    qs = F.regexp_replace(qs, r"\?" + TRACKING_PARAM_RE + r"=[^&]*\z", "")
+    u = F.concat(pre, qs)
     scheme = F.lower(F.regexp_extract(u, r"^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
     host = F.lower(F.regexp_extract(u, r"^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)", 1))
     host = F.regexp_replace(host, r"^www\.", "")
     host = (
-        F.when(scheme == "http", F.regexp_replace(host, r":80$", ""))
-        .when(scheme == "https", F.regexp_replace(host, r":443$", ""))
+        F.when(scheme == "http", F.regexp_replace(host, r":80\z", ""))
+        .when(scheme == "https", F.regexp_replace(host, r":443\z", ""))
         .otherwise(host)
     )
-    rest = F.regexp_extract(u, r"^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*(.*)$", 1)
-    rest = F.regexp_replace(rest, r"/+$", "")
+    rest = F.regexp_extract(u, r"^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([\s\S]*)", 1)
+    rest = F.regexp_replace(rest, r"/+\z", "")
     return F.when(scheme != "", F.concat(scheme, F.lit("://"), host, rest))
 
 

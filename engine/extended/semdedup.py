@@ -243,12 +243,28 @@ def cross_pairs(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     round_to: int = 4,
+    cluster_cap: int | None = None,
 ) -> DataFrame:
     """Within-cluster (batch × corpus) pairs with exact cosine — the probe
     step of incremental semantic dedup.  Same norm-once discipline as
     :func:`pairwise_sims`; no ordering constraint (the sides are disjoint
     sets by construction).  Returns (cluster, a_id=batch, b_id=corpus, sim).
+
+    ``cluster_cap`` bounds the CORPUS side per cluster (lowest-id rows),
+    exactly like the within-cluster cap in :func:`pairwise_sims` — a hot
+    corpus cluster would otherwise make the probe O(batch_in_cluster ×
+    cluster_size) in one bucket.  The batch side is run-bounded by
+    construction and stays uncapped.
     """
+    if cluster_cap:
+        from pyspark.sql import Window
+
+        wcap = Window.partitionBy(cluster_col).orderBy(id_col)
+        corpus = (
+            corpus.withColumn("__cn", F.row_number().over(wcap))
+            .filter(F.col("__cn") <= cluster_cap)
+            .drop("__cn")
+        )
 
     def side(df: DataFrame, prefix: str) -> DataFrame:
         return df.select(
@@ -293,7 +309,12 @@ def semdedup_incremental(
     """
     dup_vs_corpus = (
         cross_pairs(
-            batch, corpus, cluster_col=cluster_col, id_col=id_col, vec_col=vec_col
+            batch,
+            corpus,
+            cluster_col=cluster_col,
+            id_col=id_col,
+            vec_col=vec_col,
+            cluster_cap=cluster_cap,
         )
         .filter(F.col("sim") >= threshold)
         .select(F.col("a_id").alias(id_col))

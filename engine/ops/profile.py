@@ -46,14 +46,17 @@ def _distinct_key(c: str, dtype: str):
     """Injective canonical form for exact-distinct counting: two values map
     to the same key iff native COUNT(DISTINCT) would merge them.  Doubles
     add +0.0 (IEEE -0.0 == 0.0 under native distinct; their strings differ);
-    binary goes through hex (UTF-8 decode is lossy); everything else casts
-    injectively (Java shortest-roundtrip for floats, full precision for
-    timestamps)."""
+    binary goes through hex (UTF-8 decode is lossy); arrays/structs/maps go
+    through to_json (a bare string cast renders ['a, b'] and ['a','b']
+    identically — silent undercount); everything else casts injectively
+    (Java shortest-roundtrip for floats, full precision for timestamps)."""
     col = F.col(c)
     if dtype in ("double", "float"):
         return (col + F.lit(0.0)).cast("string")
     if dtype == "binary":
         return F.hex(col)
+    if dtype.startswith(("array", "struct", "map")):
+        return F.to_json(col)
     return col.cast("string")
 
 

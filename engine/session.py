@@ -26,6 +26,18 @@ from pyspark.sql import SparkSession
 __all__ = ["get_spark", "tune_for_local"]
 
 
+_MEM_UNITS = {"k": 1 << 10, "m": 1 << 20, "g": 1 << 30, "t": 1 << 40}
+
+
+def _mem_bytes(size: str) -> int:
+    """JVM memory string -> bytes ('4g', '4096m', '512', '1gb' all parse;
+    a bare number is bytes, matching Spark's byteStringAsBytes)."""
+    s = size.strip().lower().removesuffix("b")
+    if s and s[-1] in _MEM_UNITS:
+        return int(float(s[:-1]) * _MEM_UNITS[s[-1]])
+    return int(s)
+
+
 def get_spark(
     app_name: str = "spark-graft-engine",
     master: str | None = None,
@@ -80,8 +92,11 @@ def get_spark(
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     requested_mem = os.environ.get("SPARK_GRAFT_DRIVER_MEM", "4g")
-    actual_mem = spark.conf.get("spark.driver.memory", None)
-    if actual_mem is not None and actual_mem != requested_mem:
+    # unset conf on a pre-existing gateway means the JVM runs Spark's 1g
+    # default — exactly the mismatch worth warning about; compare in BYTES
+    # so '4096m' vs '4g' never false-positives
+    actual_mem = spark.conf.get("spark.driver.memory", "1g")
+    if _mem_bytes(actual_mem) != _mem_bytes(requested_mem):
         import warnings
 
         warnings.warn(

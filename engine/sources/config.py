@@ -65,9 +65,14 @@ def load_config(
     original behavior."""
     cfg: dict = dict(defaults or {})
     if yaml_path and os.path.exists(yaml_path):
+        # the except gates ONLY the yaml import — a decrypt hook that lazily
+        # imports boto3 must fail loudly, never be swallowed into a config
+        # with silently-missing secrets
         try:
             import yaml  # gated: not guaranteed in every image
-
+        except ImportError:  # pragma: no cover
+            yaml = None
+        if yaml is not None:
             with open(yaml_path, encoding="utf-8") as f:
                 loaded = yaml.safe_load(f) or {}
             if not isinstance(loaded, dict):
@@ -79,6 +84,14 @@ def load_config(
                     raise ValueError(
                         f"{yaml_path}: PLAINTEXT/ENCRYPTED_VARIABLES must be mappings"
                     )
+                # mixed layouts keep their other top-level keys (flat merge)
+                cfg.update(
+                    {
+                        k: v
+                        for k, v in loaded.items()
+                        if k not in ("PLAINTEXT_VARIABLES", "ENCRYPTED_VARIABLES")
+                    }
+                )
                 cfg.update(plain)
                 if enc:
                     if decrypt is None:
@@ -91,8 +104,6 @@ def load_config(
                         cfg[key] = decrypt(ciphertext)
             else:
                 cfg.update(loaded)
-        except ImportError:  # pragma: no cover
-            pass
     for key, val in os.environ.items():
         if key.startswith(env_prefix):
             name = key[len(env_prefix) :].lower()

@@ -4348,11 +4348,11 @@ def mojibake_repair(spark, sf_dir):
         CASE WHEN regexp_extract(u3, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1) <> '' THEN
           LOWER(regexp_extract(u3, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) || '://'
           || CASE LOWER(regexp_extract(u3, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1))
-             WHEN 'http' THEN regexp_replace(hostn, ':80$', '')
-             WHEN 'https' THEN regexp_replace(hostn, ':443$', '')
+             WHEN 'http' THEN regexp_replace(hostn, ':80\\z', '')
+             WHEN 'https' THEN regexp_replace(hostn, ':443\\z', '')
              ELSE hostn END
-          || regexp_replace(regexp_extract(u3, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*(.*)$', 1),
-                            '/+$', '')
+          || regexp_replace(regexp_extract(u3, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([\\s\\S]*)', 1),
+                            '/+\\z', '')
         END AS canon_url
       FROM (
         SELECT doc_id, url, u3,
@@ -4361,12 +4361,16 @@ def mojibake_repair(spark, sf_dir):
                  '^www\\.', '') AS hostn
         FROM (
           SELECT doc_id, url,
-            regexp_replace(regexp_replace(regexp_replace(regexp_replace(
-              url, '#.*$', '', 'g'),
-              '&(utm_[A-Za-z]+|fbclid|gclid|mc_cid|mc_eid)=[^&]*', '', 'g'),
-              '\\?(utm_[A-Za-z]+|fbclid|gclid|mc_cid|mc_eid)=[^&]*&', '?', 'g'),
-              '\\?(utm_[A-Za-z]+|fbclid|gclid|mc_cid|mc_eid)=[^&]*$', '', 'g') AS u3
-          FROM raw)))
+                 regexp_extract(u1, '^([^?]*)', 1)
+                 || regexp_replace(regexp_replace(regexp_replace(
+                      regexp_extract(u1, '^[^?]*(\\?[\\s\\S]*)', 1),
+                      '&(utm_[A-Za-z]+|fbclid|gclid|mc_cid|mc_eid)=[^&]*', '', 'g'),
+                      '\\?(utm_[A-Za-z]+|fbclid|gclid|mc_cid|mc_eid)=[^&]*&', '?', 'g'),
+                      '\\?(utm_[A-Za-z]+|fbclid|gclid|mc_cid|mc_eid)=[^&]*\\z', '', 'g')
+                   AS u3
+          FROM (SELECT doc_id, url,
+                       regexp_replace(url, '#[\\s\\S]*', '', 'g') AS u1
+                FROM raw))))
     SELECT canon_url, CAST(COUNT(*) AS BIGINT) AS n_docs,
            CAST(COUNT(DISTINCT url) AS BIGINT) AS n_raw_forms
     FROM canon GROUP BY canon_url
@@ -4715,13 +4719,19 @@ def perplexity_buckets(spark, sf_dir):
     an ACTUAL data value as each boundary, so bucketing is engine-exact;
     boundary assignment is a broadcast 1-row cross join — no extra
     shuffle beyond the LM itself.  exact=False swaps in the approximate
-    sketch at corpus scale."""
+    sketch at corpus scale.
+
+    The scored frame is PERSISTED (per-doc rows, tiny next to the corpus):
+    quantile_buckets consumes it twice (boundary aggregate + assignment),
+    and without the cut point each consumption re-runs the whole LM —
+    the same duplicate-subtree disease corpus_pipeline_v3 had (r4)."""
     from engine.extended.curation import bigram_lm_scores
     from engine.extended.selection import quantile_buckets
 
     d = t(spark, sf_dir, "documents")
+    scores = bigram_lm_scores(d).persist()
     return quantile_buckets(
-        bigram_lm_scores(d), "avg_logp", probs=_PPL_P, bucket_col="ppl_bucket"
+        scores, "avg_logp", probs=_PPL_P, bucket_col="ppl_bucket"
     )
 
 

@@ -242,6 +242,10 @@ def test_canonical_url_chain(spark):
          "https://other.org/Path/To?b=2&c=3"),
         ("http://site.com:8080/x", "http://site.com:8080/x"),  # non-default port kept
         ("https://site.com/?fbclid=abc", "https://site.com"),
+        # literal &utm_ in the PATH is RFC-legal and must survive
+        ("http://site.com/a&utm_source=x/b", "http://site.com/a&utm_source=x/b"),
+        # trailing newline: \z anchors must NOT strip before it (RE2 parity)
+        ("http://site.com/a/\n", "http://site.com/a/\n"),
         ("not a url", None),
         (None, None),
     ]

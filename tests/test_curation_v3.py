@@ -155,3 +155,16 @@ def test_table_profile_exact_edge_semantics(spark):
             .toString()
         )
         assert "Expand" not in plan
+
+
+def test_table_profile_exact_distinct_on_array_column(spark):
+    """Complex types go through to_json, not a bare string cast: ['a, b']
+    and ['a','b'] must stay distinct."""
+    df = spark.createDataFrame(
+        [(["a, b"],), (["a", "b"],), (["a", "b"],)], "tags array<string>"
+    )
+    rows = {
+        r["column"]: r
+        for r in table_profile(df, ["tags"], exact_distinct=True).collect()
+    }
+    assert rows["tags"]["n_distinct"] == 2

@@ -195,3 +195,34 @@ def test_pairwise_sims_cluster_cap_bounds_mega_cluster(spark):
     # default (no cap) semantics unchanged: every dup beyond the min id drops
     kept_exact = {r["vec_id"] for r in semdedup(df, threshold=0.99).collect()}
     assert kept_exact == {0, 1000}
+
+
+def test_semdedup_incremental_caps_corpus_side(spark):
+    """cluster_cap must bound the batch-vs-corpus probe too: a hot corpus
+    cluster only exposes its cap lowest-id rows, so batch rows matching
+    ONLY overflow corpus rows are (documentedly) accepted as novel."""
+    from engine.extended.semdedup import semdedup_incremental
+
+    corpus = spark.createDataFrame(
+        [(i, [1.0, 0.0] if i >= 5 else [0.0, 1.0], 0) for i in range(100)],
+        "vec_id long, embedding array<float>, label int",
+    )
+    # corpus ids 0-4 point north; 5-99 point east.  cap=5 keeps only 0-4.
+    batch = spark.createDataFrame(
+        [(1000, [1.0, 0.0], 0), (1001, [0.0, 1.0], 0)],
+        "vec_id long, embedding array<float>, label int",
+    )
+    kept = {
+        r["vec_id"]
+        for r in semdedup_incremental(
+            batch, corpus, threshold=0.99, cluster_cap=5
+        ).collect()
+    }
+    # 1001 matches capped corpus rows (0-4) -> rejected; 1000 matches only
+    # overflow rows -> accepted under the cap
+    assert kept == {1000}
+    kept_exact = {
+        r["vec_id"]
+        for r in semdedup_incremental(batch, corpus, threshold=0.99).collect()
+    }
+    assert kept_exact == set()

@@ -339,3 +339,29 @@ def test_running_stats_accumulates(spark, tmp_path):
             final[r["key"]] = r
     assert final["7"]["n"] == 3 and final["7"]["total"] == 10
     assert final["8"]["n"] == 1 and final["8"]["total"] == 1
+
+
+def test_load_config_decrypt_errors_propagate(tmp_path):
+    """The yaml import gate must not swallow a decrypt hook's ImportError
+    (e.g. a lazy boto3 import on a box without it) — that would silently
+    drop every secret."""
+    import pytest
+
+    y = tmp_path / "c.yaml"
+    y.write_text("ENCRYPTED_VARIABLES:\n  DB_PASSWORD: ct\n")
+
+    def broken_decrypt(ct):
+        raise ImportError("No module named 'boto3'")
+
+    with pytest.raises(ImportError, match="boto3"):
+        load_config(str(y), decrypt=broken_decrypt)
+
+
+def test_load_config_mixed_layout_keeps_flat_keys(tmp_path):
+    y = tmp_path / "c.yaml"
+    y.write_text(
+        "mode: updated\n"
+        "PLAINTEXT_VARIABLES:\n  BATCH_SIZE: 7\n"
+    )
+    cfg = load_config(str(y))
+    assert cfg["mode"] == "updated" and cfg["BATCH_SIZE"] == 7
