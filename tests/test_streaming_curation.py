@@ -72,3 +72,58 @@ def test_streaming_curation_pipeline(spark, tmp_path):
     assert 0.0 <= by_id[survivor]["q"] <= 1.0
     fps = [r["fp"] for r in seen]
     assert len(fps) == len(set(fps))  # one row per distinct fingerprint
+
+
+def test_streaming_curation_with_url_and_mojibake_normalization(spark, tmp_path):
+    """Round-4 stateless curation ops composed INTO the stream: mojibake
+    repair runs before extraction/fingerprinting (so a cp1252-garbled copy
+    of a clean doc dedups against it), and canonical_url keys the stream by
+    normalized source URL — both pure expression chains, unchanged under
+    readStream."""
+    from engine.extended.curation import canonical_url, fix_mojibake, html_to_text
+    from engine.extended.text import fingerprint
+    from engine.streaming.incremental import run_available_now
+    from engine.streaming.windows import stream_dedup
+
+    src_dir = str(tmp_path / "in")
+    rows = [
+        # doc 11: clean; doc 12: SAME text mojibake-garbled + messy URL
+        # variant of the same page -> must dedup onto one survivor
+        (11, "2024-01-01 00:00:00", "<p>café déjà vu</p>",
+         "http://site.com/a"),
+        (12, "2024-01-01 00:05:00", "<p>cafÃ© dÃ©jÃ  vu</p>",
+         "HTTP://WWW.Site.com:80/a/?utm_source=x#f"),
+        (13, "2024-01-01 00:10:00", "<p>other page</p>",
+         "https://other.org/b"),
+    ]
+    spark.createDataFrame(
+        rows, "doc_id long, ts_s string, html string, url string"
+    ).withColumn("ts", F.col("ts_s").cast("timestamp")).write.mode(
+        "overwrite"
+    ).parquet(src_dir)
+
+    stream = spark.readStream.schema(
+        "doc_id long, ts_s string, html string, url string, ts timestamp"
+    ).parquet(src_dir)
+    cleaned = stream.select(
+        "doc_id",
+        "ts",
+        html_to_text(fix_mojibake("html")).alias("text"),
+        canonical_url("url").alias("canon_url"),
+    ).withColumn("fp", fingerprint("text"))
+    deduped = stream_dedup(cleaned, ["fp"], "ts")
+
+    seen: list = []
+    run_available_now(
+        deduped,
+        lambda df: df.select("doc_id", "canon_url", "fp"),
+        lambda df, bid: seen.extend(df.collect()),
+        str(tmp_path / "ckpt2"),
+        query_name="curation-stream-r4-test",
+    )
+
+    by_id = {r["doc_id"]: r for r in seen}
+    assert len(by_id) == 2 and 13 in by_id
+    survivor = (set(by_id) & {11, 12}).pop()
+    # both variants canonicalize to the same URL key
+    assert by_id[survivor]["canon_url"] == "http://site.com/a"
