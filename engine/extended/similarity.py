@@ -35,6 +35,7 @@ __all__ = [
     "ivf_topk_seeded",
     "quantized_vec",
     "knn_join",
+    "lsh_knn_join",
     "quantize_int8",
     "dequantize_int8",
     "matryoshka_truncate",
@@ -394,6 +395,116 @@ def knn_join(
     sim = F.when(denom > 0, F.round(dot / denom, round_to))
     cond = F.col("q_id") != F.col("c_id") if exclude_self else F.lit(True)
     pairs = c.join(F.broadcast(q), cond).select("q_id", "c_id", sim.alias("sim"))
+    w = Window.partitionBy("q_id").orderBy(F.col("sim").desc_nulls_last(), F.col("c_id"))
+    return (
+        pairs.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("q_id", "c_id", "sim", "rank")
+    )
+
+
+def lsh_knn_join(
+    queries: DataFrame,
+    corpus: DataFrame,
+    *,
+    k: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 16,
+    planes: int = 16,
+    bands: int = 4,
+    bucket_cap: int | None = None,
+    round_to: int = 4,
+    exclude_self: bool = False,
+) -> DataFrame:
+    """Approximate kNN join for query sides too big to broadcast — the
+    scale path :func:`knn_join`'s docstring points at.
+
+    Both sides get band keys from the SAME deterministic hyperplanes
+    (sign-LSH, ``planes`` bits split into ``bands`` keys); a (query,
+    corpus) pair is a candidate iff ANY band key matches; exact cosine
+    verifies candidates and a rank-``k`` window per query keeps the top-k.
+    Returns (q_id, c_id, sim, rank) — queries whose buckets caught fewer
+    than k corpus rows return fewer rows, and bucket-less queries return
+    none (approximate by design; raise ``bands`` or lower ``planes`` for
+    recall).
+
+    Scale shape: the band join moves BARE ID PAIRS (band keys + ids, never
+    vectors); vectors and norms join back once per DISTINCT pair — the
+    same lean-candidate discipline as the incremental MinHash path.  The
+    shuffle budget is one exchange on the band key + one on the pair, both
+    O(collisions), plus the top-k window on q_id (WindowGroupLimit heap).
+    ``bucket_cap`` bounds a hot corpus bucket (identical-vector floods) to
+    its cap lowest-id rows, like every other cap in the dedup family.
+
+    ``exclude_self=False`` is the default — two DIFFERENT tables may share
+    ids by accident; pass True only for self-kNN over one id space.
+    """
+    from pyspark.sql import Window
+
+    hp = _unit_hyperplanes(dim, planes)
+    per_band = planes // bands
+
+    def banded_ids(df: DataFrame, prefix: str) -> DataFrame:
+        band_cols = []
+        for bidx in range(bands):
+            bits = [
+                F.when(
+                    _dot(F.col(vec_col), hp[bidx * per_band + p]) >= 0,
+                    F.lit(1 << p),
+                ).otherwise(F.lit(0))
+                for p in range(per_band)
+            ]
+            acc = bits[0]
+            for x in bits[1:]:
+                acc = acc.bitwiseOR(x)
+            band_cols.append(
+                F.struct(F.lit(bidx).alias("band"), acc.cast("long").alias("bkey"))
+            )
+        return df.select(
+            F.col(id_col).alias(f"{prefix}_id"),
+            F.explode(F.array(*band_cols)).alias("bb"),
+        ).select(f"{prefix}_id", F.col("bb.band").alias("band"), F.col("bb.bkey").alias("bkey"))
+
+    qb = banded_ids(queries, "q")
+    cb = banded_ids(corpus, "c")
+    if bucket_cap:
+        wcap = Window.partitionBy("band", "bkey").orderBy("c_id")
+        cb = (
+            cb.withColumn("__bn", F.row_number().over(wcap))
+            .filter(F.col("__bn") <= bucket_cap)
+            .drop("__bn")
+        )
+    cand = qb.join(cb, ["band", "bkey"]).select("q_id", "c_id")
+    if exclude_self:
+        cand = cand.filter(F.col("q_id") != F.col("c_id"))
+    cand = cand.dropDuplicates(["q_id", "c_id"])
+
+    def side(df: DataFrame, prefix: str) -> DataFrame:
+        return df.select(
+            F.col(id_col).alias(f"{prefix}_id"),
+            F.col(vec_col).alias(f"__{prefix}v"),
+            F.sqrt(
+                F.aggregate(
+                    F.transform(vec_col, lambda x: x.cast("double") * x.cast("double")),
+                    F.lit(0.0),
+                    lambda acc, x: acc + x,
+                )
+            ).alias(f"__{prefix}n"),
+        )
+
+    dot = F.aggregate(
+        F.zip_with("__qv", "__cv", lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    denom = F.col("__qn") * F.col("__cn")
+    sim = F.when(denom > 0, F.round(dot / denom, round_to))
+    pairs = (
+        cand.join(side(queries, "q"), "q_id")
+        .join(side(corpus, "c"), "c_id")
+        .select("q_id", "c_id", sim.alias("sim"))
+    )
     w = Window.partitionBy("q_id").orderBy(F.col("sim").desc_nulls_last(), F.col("c_id"))
     return (
         pairs.withColumn("rank", F.row_number().over(w))

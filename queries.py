@@ -3962,6 +3962,73 @@ def knn_join_exact_q(spark, sf_dir):
     return knn_join(e.filter(F.col("vec_id") % 100 == 7), e, k=3)
 
 
+def _knn_join_lsh_sql() -> str:
+    from engine.extended.dedup import _unit_hyperplanes
+
+    hp = _unit_hyperplanes(_EMB_DIM, 16)
+    per_band = 4
+    branches = []
+    for b in range(4):
+        key = _lsh_sig_sql("embedding", hp[b * per_band : (b + 1) * per_band])
+        branches.append(
+            f"SELECT vec_id, {b} AS band, {key} AS bkey FROM nn"
+        )
+    banded = "\n      UNION ALL\n      ".join(branches)
+    return f"""
+    WITH nn AS (
+      SELECT vec_id, embedding FROM embeddings WHERE embedding IS NOT NULL),
+    banded AS (
+      {banded}),
+    qb AS (SELECT vec_id AS q_id, band, bkey FROM banded WHERE vec_id % 100 = 7),
+    cand AS (
+      SELECT DISTINCT q.q_id, c.vec_id AS c_id
+      FROM qb q JOIN banded c ON q.band = c.band AND q.bkey = c.bkey
+      WHERE q.q_id <> c.vec_id),
+    v AS (
+      SELECT vec_id, embedding,
+             SQRT(list_sum(list_transform(embedding,
+                  x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm
+      FROM nn),
+    p AS (
+      SELECT cand.q_id, cand.c_id,
+             CASE WHEN q.nrm * c.nrm > 0 THEN ROUND(
+               list_sum(list_transform(list_zip(q.embedding, c.embedding),
+                        x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))
+               / (q.nrm * c.nrm), 4)
+             END AS sim
+      FROM cand JOIN v q ON q.vec_id = cand.q_id
+                JOIN v c ON c.vec_id = cand.c_id),
+    r AS (
+      SELECT q_id, c_id, sim,
+             ROW_NUMBER() OVER (PARTITION BY q_id
+               ORDER BY sim DESC NULLS LAST, c_id) AS rank
+      FROM p)
+    SELECT q_id, c_id, sim, rank FROM r WHERE rank <= 3
+    """
+
+
+@q("knn_join_lsh", _knn_join_lsh_sql())
+def knn_join_lsh_q(spark, sf_dir):
+    """Approximate kNN JOIN via shared sign-LSH bands — the scale path for
+    query sides too big to broadcast (engine.extended.similarity.
+    lsh_knn_join): both sides banded with the same deterministic
+    hyperplanes, bare-id candidate pairs through the band join, vectors
+    joined back once per distinct pair, per-query top-3.  Same query slice
+    as knn_join_exact so recall is directly comparable."""
+    from engine.extended.similarity import lsh_knn_join
+
+    e = t(spark, sf_dir, "embeddings").filter(F.col("embedding").isNotNull())
+    return lsh_knn_join(
+        e.filter(F.col("vec_id") % 100 == 7),
+        e,
+        k=3,
+        dim=_EMB_DIM,
+        planes=16,
+        bands=4,
+        exclude_self=True,
+    )
+
+
 @q(
     "contamination_attribution",
     """

@@ -202,3 +202,43 @@ def test_quantize_int8_scale_projected_outside_transform_lambda(spark):
         ._jdf.queryExecution().optimizedPlan().toString()
     )
     assert plan.count("array_max") == 1
+
+
+def test_lsh_knn_join_matches_exact_on_tight_clusters(spark):
+    """Near-identical vectors share all band keys, so the LSH join finds
+    the same neighbors as the exact join for cos~1 pairs; bucket_cap bounds
+    a flooded bucket to its cap lowest corpus ids."""
+    import math
+
+    from engine.extended.similarity import knn_join, lsh_knn_join
+
+    def ray(theta, eps=0.0):
+        return [math.cos(theta) + eps, math.sin(theta)] + [0.0] * 14
+
+    rows = []
+    # two tight clusters of 4 + a lone outlier
+    for i in range(4):
+        rows.append((i, ray(0.0, eps=i * 1e-4)))
+        rows.append((10 + i, ray(math.pi / 2, eps=i * 1e-4)))
+    rows.append((99, ray(math.pi, 0.0)))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    qs = df.filter(F.col("vec_id").isin(0, 10))
+
+    exact = {
+        (r["q_id"], r["rank"]): r["c_id"]
+        for r in knn_join(qs, df, k=2).collect()
+    }
+    approx = {
+        (r["q_id"], r["rank"]): r["c_id"]
+        for r in lsh_knn_join(
+            qs, df, k=2, dim=16, planes=16, bands=4, exclude_self=True
+        ).collect()
+    }
+    assert approx == exact  # tight clusters: full recall
+
+    capped = lsh_knn_join(
+        qs, df, k=3, dim=16, planes=16, bands=4, exclude_self=True,
+        bucket_cap=2,
+    ).collect()
+    # with cap 2, each bucket exposes its 2 lowest corpus ids only
+    assert all(r["c_id"] <= 11 or r["c_id"] == 99 for r in capped)
