@@ -42,6 +42,8 @@ __all__ = [
     "remove_duplicate_spans",
     "doc_lines",
     "line_dedup_rewrite",
+    "line_fp_index",
+    "line_dedup_incremental",
 ]
 
 
@@ -1046,6 +1048,92 @@ def line_dedup_rewrite(
         .select("fp", F.lit(1).alias("__boiler"))
     )
     tagged = lines.join(boiler, "fp", "left")
+    kept = F.col("__boiler").isNull()
+    return (
+        tagged.groupBy("id")
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            F.sum(F.when(~kept, 1).otherwise(0)).cast("long").alias("n_dropped"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.when(kept, F.struct("pos", "line")))
+                    ),
+                    lambda s: s["line"],
+                ),
+                "\n",
+            ).alias("clean_text"),
+        )
+        .select(F.col("id").alias(id_col), "clean_text", "n_lines", "n_dropped")
+    )
+
+
+def line_fp_index(
+    df: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    hash_fn: str = "xxhash64",
+) -> DataFrame:
+    """(fp, n_docs): distinct-document counts per non-blank normalized line
+    — the persisted corpus-side state of incremental line dedup (sibling of
+    :func:`minhash_band_index`).  Two-level (fp, id) aggregate; the shuffle
+    carries distinct pairs, never occurrence volume.
+
+    Merge a new batch's index with ``old.union(new).groupBy('fp').sum()``
+    ONLY when batches carry disjoint document ids (the incremental-runner
+    contract); overlapping ids need a recount from raw lines.
+    """
+    lines = doc_lines(df, id_col=id_col, text_col=text_col)
+    return (
+        lines.filter(F.col("norm") != "")
+        .select(_hash64(F.col("norm"), hash_fn).alias("fp"), F.col("id"))
+        .groupBy("fp")
+        .agg(F.count_distinct("id").alias("n_docs"))
+    )
+
+
+def line_dedup_incremental(
+    batch: DataFrame,
+    index: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_docs: int = 2,
+    hash_fn: str = "xxhash64",
+) -> DataFrame:
+    """Rewrite a NEW batch against an existing :func:`line_fp_index`: a
+    line drops when its combined distinct-doc count — index plus this
+    batch — reaches ``min_docs``.  The corpus never re-reads its raw lines
+    (the index IS its state), so ingesting N batches costs O(batch lines +
+    index probe) per batch, exactly the incremental-MinHash discipline.
+
+    Returns (id, clean_text, n_lines, n_dropped), same contract as
+    :func:`line_dedup_rewrite` (blank lines never match; all-dropped docs
+    surface with clean_text = '').  The index side of the count join is
+    filtered to fingerprints THE BATCH CONTAINS before the join, so the
+    probe side is batch-sized, broadcastable on typical batches.
+    """
+    lines = doc_lines(batch, id_col=id_col, text_col=text_col)
+    fp = F.when(F.col("norm") != "", _hash64(F.col("norm"), hash_fn))
+    lines = lines.withColumn("fp", fp)
+    batch_counts = (
+        lines.filter(F.col("fp").isNotNull())
+        .groupBy("fp")
+        .agg(F.count_distinct("id").alias("__bn"))
+    )
+    combined = (
+        batch_counts.join(
+            index.select("fp", F.col("n_docs").alias("__in")), "fp", "left"
+        )
+        .select(
+            "fp",
+            (F.col("__bn") + F.coalesce(F.col("__in"), F.lit(0))).alias("__nd"),
+        )
+        .filter(F.col("__nd") >= min_docs)
+        .select("fp", F.lit(1).alias("__boiler"))
+    )
+    tagged = lines.join(F.broadcast(combined), "fp", "left")
     kept = F.col("__boiler").isNull()
     return (
         tagged.groupBy("id")

@@ -4546,6 +4546,82 @@ def line_dedup_rewrite(spark, sf_dir):
     return ldr(d2, min_docs=2, hash_fn="md5")
 
 
+_LINE_T2_SQL = """
+      SELECT doc_id,
+             text || chr(10) || 'Shared footer - all rights reserved'
+                  || CASE WHEN doc_id % 3 = 0
+                     THEN chr(10) || '  Promo: subscribe now  ' ELSE '' END AS tx
+      FROM documents WHERE text IS NOT NULL"""
+
+
+def _line_fps_sql(src: str) -> str:
+    norm = "regexp_replace(ls[pos], '^[ \t\r]+|[ \t\r]+$', '', 'g')"
+    fp_hash = _MD5H.format(x=norm)
+    return f"""
+    ls_{src} AS (SELECT doc_id, string_split(tx, chr(10)) AS ls FROM {src}),
+    pos_{src} AS (SELECT doc_id, ls, UNNEST(range(1, LENGTH(ls) + 1)) AS pos
+                  FROM ls_{src}),
+    fps_{src} AS (
+      SELECT doc_id, pos - 1 AS pos, ls[pos] AS line,
+             CASE WHEN {norm} <> '' THEN {fp_hash} END AS fp
+      FROM pos_{src})"""
+
+
+@q(
+    "line_dedup_incremental",
+    f"""
+    WITH t2 AS ({_LINE_T2_SQL}),
+    corpus AS (SELECT * FROM t2 WHERE doc_id % 3 <> 0),
+    batch AS (SELECT * FROM t2 WHERE doc_id % 3 = 0),
+    {_line_fps_sql('corpus')},
+    {_line_fps_sql('batch')},
+    icounts AS (
+      SELECT fp, COUNT(DISTINCT doc_id) AS n_docs
+      FROM fps_corpus WHERE fp IS NOT NULL GROUP BY fp),
+    bcounts AS (
+      SELECT fp, COUNT(DISTINCT doc_id) AS bn
+      FROM fps_batch WHERE fp IS NOT NULL GROUP BY fp),
+    boiler AS (
+      SELECT b.fp FROM bcounts b LEFT JOIN icounts i USING (fp)
+      WHERE b.bn + COALESCE(i.n_docs, 0) >= 2)
+    SELECT f.doc_id,
+           COALESCE(STRING_AGG(f.line, chr(10) ORDER BY f.pos)
+                    FILTER (WHERE b.fp IS NULL), '') AS clean_text,
+           CAST(COUNT(*) AS BIGINT) AS n_lines,
+           CAST(SUM(CASE WHEN b.fp IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_dropped
+    FROM fps_batch f LEFT JOIN boiler b ON f.fp = b.fp
+    GROUP BY f.doc_id
+    """,
+)
+def line_dedup_incremental_q(spark, sf_dir):
+    """INCREMENTAL line dedup (engine.extended.dedup.line_fp_index +
+    line_dedup_incremental): the corpus's per-line distinct-doc counts are
+    a persisted index; a new batch rewrites against index + its own
+    internal counts without the corpus ever re-reading raw lines — the
+    same persisted-state shape as the incremental MinHash path.  Here the
+    prior corpus is doc_id % 3 != 0 and the batch is doc_id % 3 = 0: the
+    universal footer drops via the INDEX count, the batch-only promo line
+    drops via the BATCH count."""
+    from engine.extended.dedup import line_dedup_incremental, line_fp_index
+
+    d = t(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    t2 = d.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit("\nShared footer - all rights reserved"),
+            F.when(
+                F.col("doc_id") % 3 == 0, F.lit("\n  Promo: subscribe now  ")
+            ).otherwise(F.lit("")),
+        ).alias("text"),
+    )
+    corpus = t2.filter(F.col("doc_id") % 3 != 0)
+    batch = t2.filter(F.col("doc_id") % 3 == 0)
+    index = line_fp_index(corpus, hash_fn="md5")
+    return line_dedup_incremental(batch, index, min_docs=2, hash_fn="md5")
+
+
 @q(
     "global_order_positions",
     """

@@ -529,3 +529,51 @@ def test_line_dedup_rewrite_drops_boilerplate_everywhere(spark):
     assert out[3]["clean_text"] == "body three\nbody three"
     assert out[4]["clean_text"] == "" and out[4]["n_dropped"] == 1
     assert out[5]["clean_text"] == "" and out[5]["n_lines"] == 1 and out[5]["n_dropped"] == 0
+
+
+def test_line_dedup_incremental_combines_index_and_batch_counts(spark):
+    """Index-only lines (footer in the corpus), batch-only dups (promo in
+    two batch docs), and cross-boundary singles (one corpus + one batch
+    occurrence) all reach min_docs=2 and drop; genuinely novel lines stay.
+    The corpus never re-reads raw lines — only its (fp, n_docs) index."""
+    from engine.extended.dedup import line_dedup_incremental, line_fp_index
+
+    corpus = spark.createDataFrame(
+        [(1, "footer\nold news"), (2, "footer\nboundary line")],
+        "doc_id long, text string",
+    )
+    batch = spark.createDataFrame(
+        [
+            (10, "footer\npromo\nfresh alpha"),
+            (11, "promo\nboundary line\nfresh beta"),
+        ],
+        "doc_id long, text string",
+    )
+    index = line_fp_index(corpus)
+    out = {
+        r["doc_id"]: r
+        for r in line_dedup_incremental(batch, index, min_docs=2).collect()
+    }
+    # footer: index count 2 -> drops.  promo: batch count 2 -> drops.
+    # boundary line: 1 (index) + 1 (batch) -> drops.  fresh lines stay.
+    assert out[10]["clean_text"] == "fresh alpha" and out[10]["n_dropped"] == 2
+    assert out[11]["clean_text"] == "fresh beta" and out[11]["n_dropped"] == 2
+
+    # index merge contract: disjoint-id batches sum exactly
+    from pyspark.sql import functions as F
+
+    merged = (
+        index.union(line_fp_index(batch))
+        .groupBy("fp")
+        .agg(F.sum("n_docs").alias("n_docs"))
+    )
+    out2 = {
+        r["doc_id"]: r
+        for r in line_dedup_incremental(
+            spark.createDataFrame([(20, "fresh alpha\nnewest")], "doc_id long, text string"),
+            merged,
+            min_docs=2,
+        ).collect()
+    }
+    # 'fresh alpha' is now in the merged index once + this batch once -> drops
+    assert out2[20]["clean_text"] == "newest" and out2[20]["n_dropped"] == 1
