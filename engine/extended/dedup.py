@@ -44,6 +44,7 @@ __all__ = [
     "line_dedup_rewrite",
     "line_fp_index",
     "line_dedup_incremental",
+    "sign_band_structs",
 ]
 
 
@@ -543,6 +544,37 @@ def cosine(a: Column, b: Column) -> Column:
     return F.when(denom > 0, dot / denom)
 
 
+def sign_band_structs(vec_col: str, hp: list[list[float]], bands: int) -> Column:
+    """Array of (band, bkey) structs: the hyperplane sign bits of ``hp``
+    split into ``bands`` band keys — THE shared bucketing expression of the
+    sign-LSH family (:func:`embedding_near_dup` here,
+    :func:`engine.extended.similarity.lsh_knn_join` on the other side of
+    the import edge).  Validates the split: ``len(hp) % bands != 0`` would
+    silently drop trailing hyperplanes (lower recall than configured) and
+    ``bands > len(hp)`` would build empty keys."""
+    planes = len(hp)
+    if bands < 1 or planes % bands != 0:
+        raise ValueError(
+            f"planes ({planes}) must be a positive multiple of bands ({bands})"
+        )
+    per_band = planes // bands
+    band_cols = []
+    for bidx in range(bands):
+        bits = [
+            F.when(
+                _dot(F.col(vec_col), hp[bidx * per_band + p]) >= 0, F.lit(1 << p)
+            ).otherwise(F.lit(0))
+            for p in range(per_band)
+        ]
+        acc = bits[0]
+        for x in bits[1:]:
+            acc = acc.bitwiseOR(x)
+        band_cols.append(
+            F.struct(F.lit(bidx).alias("band"), acc.cast("long").alias("bkey"))
+        )
+    return F.array(*band_cols)
+
+
 def embedding_near_dup(
     df: DataFrame,
     *,
@@ -562,24 +594,11 @@ def embedding_near_dup(
     Exact cosine verifies within buckets.  Returns (id_a, id_b, cos_sim).
     """
     hp = _unit_hyperplanes(dim, planes)
-    per_band = planes // bands
-    band_cols = []
-    for bidx in range(bands):
-        bits = [
-            F.when(
-                _dot(F.col(vec_col), hp[bidx * per_band + p]) >= 0, F.lit(1 << p)
-            ).otherwise(F.lit(0))
-            for p in range(per_band)
-        ]
-        acc = bits[0]
-        for x in bits[1:]:
-            acc = acc.bitwiseOR(x)
-        band_cols.append(F.struct(F.lit(bidx).alias("band"), acc.alias("bkey")))
     sigs = (
         df.select(
             F.col(id_col).alias("id"),
             F.col(vec_col).alias("v"),
-            F.explode(F.array(*band_cols)).alias("bb"),
+            F.explode(sign_band_structs(vec_col, hp, bands)).alias("bb"),
         )
         .select("id", "v", F.col("bb.band").alias("band"), F.col("bb.bkey").alias("bkey"))
         .persist()
@@ -1082,7 +1101,9 @@ def line_fp_index(
 
     Merge a new batch's index with ``old.union(new).groupBy('fp').sum()``
     ONLY when batches carry disjoint document ids (the incremental-runner
-    contract); overlapping ids need a recount from raw lines.
+    contract); overlapping ids need a recount from raw lines.  The index
+    stores bare fingerprints with NO hash metadata — every later probe
+    (:func:`line_dedup_incremental`) must pass the same ``hash_fn``.
     """
     lines = doc_lines(df, id_col=id_col, text_col=text_col)
     return (
@@ -1110,9 +1131,17 @@ def line_dedup_incremental(
 
     Returns (id, clean_text, n_lines, n_dropped), same contract as
     :func:`line_dedup_rewrite` (blank lines never match; all-dropped docs
-    surface with clean_text = '').  The index side of the count join is
-    filtered to fingerprints THE BATCH CONTAINS before the join, so the
-    probe side is batch-sized, broadcastable on typical batches.
+    surface with clean_text = '').  The index is first SEMI-JOINED down to
+    fingerprints THE BATCH CONTAINS (broadcast of the batch fp set — a
+    left-outer with the batch preserved could never broadcast the batch
+    side, and would shuffle the corpus-scale index every batch); the
+    count join then runs against that batch-sized slice, broadcast.
+
+    ``hash_fn`` MUST match the family the index was built with: the index
+    carries no hash metadata, and an md5-built index probed with xxhash64
+    fingerprints simply never matches — index-side boilerplate passes
+    through silently.  The registry query pins both sides to md5; keep
+    production pairs on the xxhash64 default end to end.
     """
     lines = doc_lines(batch, id_col=id_col, text_col=text_col)
     fp = F.when(F.col("norm") != "", _hash64(F.col("norm"), hash_fn))
@@ -1122,9 +1151,14 @@ def line_dedup_incremental(
         .groupBy("fp")
         .agg(F.count_distinct("id").alias("__bn"))
     )
+    index_slice = index.join(
+        F.broadcast(batch_counts.select("fp")), "fp", "left_semi"
+    )
     combined = (
         batch_counts.join(
-            index.select("fp", F.col("n_docs").alias("__in")), "fp", "left"
+            F.broadcast(index_slice.select("fp", F.col("n_docs").alias("__in"))),
+            "fp",
+            "left",
         )
         .select(
             "fp",

@@ -341,6 +341,47 @@ def ivf_topk_seeded(
     )
 
 
+def _norm_side(df: DataFrame, prefix: str, id_col: str, vec_col: str) -> DataFrame:
+    """(prefix_id, __prefixv, __prefixn): id + vector + norm, projected once
+    per side — the shared pre-join discipline of both kNN joins."""
+    return df.select(
+        F.col(id_col).alias(f"{prefix}_id"),
+        F.col(vec_col).alias(f"__{prefix}v"),
+        F.sqrt(
+            F.aggregate(
+                F.transform(vec_col, lambda x: x.cast("double") * x.cast("double")),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+        ).alias(f"__{prefix}n"),
+    )
+
+
+def _topk_per_query(pairs: DataFrame, k: int) -> DataFrame:
+    """Rank-k window per query — WindowGroupLimit keeps a k-heap per q_id
+    instead of sorting each query's full candidate list."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("q_id").orderBy(
+        F.col("sim").desc_nulls_last(), F.col("c_id")
+    )
+    return (
+        pairs.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("q_id", "c_id", "sim", "rank")
+    )
+
+
+def _pair_sim_expr(round_to: int) -> Column:
+    dot = F.aggregate(
+        F.zip_with("__qv", "__cv", lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    denom = F.col("__qn") * F.col("__cn")
+    return F.when(denom > 0, F.round(dot / denom, round_to))
+
+
 def knn_join(
     queries: DataFrame,
     corpus: DataFrame,
@@ -369,38 +410,12 @@ def knn_join(
     id spaces may coincide by accident, pass ``exclude_self=False`` or a
     legitimate equal-id neighbor is silently lost.
     """
-    from pyspark.sql import Window
-
-    def side(df: DataFrame, prefix: str) -> DataFrame:
-        return df.select(
-            F.col(id_col).alias(f"{prefix}_id"),
-            F.col(vec_col).alias(f"__{prefix}v"),
-            F.sqrt(
-                F.aggregate(
-                    F.transform(vec_col, lambda x: x.cast("double") * x.cast("double")),
-                    F.lit(0.0),
-                    lambda acc, x: acc + x,
-                )
-            ).alias(f"__{prefix}n"),
-        )
-
-    q = side(queries, "q")
-    c = side(corpus, "c")
-    dot = F.aggregate(
-        F.zip_with("__qv", "__cv", lambda x, y: x.cast("double") * y.cast("double")),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
-    )
-    denom = F.col("__qn") * F.col("__cn")
-    sim = F.when(denom > 0, F.round(dot / denom, round_to))
+    q = _norm_side(queries, "q", id_col, vec_col)
+    c = _norm_side(corpus, "c", id_col, vec_col)
+    sim = _pair_sim_expr(round_to)
     cond = F.col("q_id") != F.col("c_id") if exclude_self else F.lit(True)
     pairs = c.join(F.broadcast(q), cond).select("q_id", "c_id", sim.alias("sim"))
-    w = Window.partitionBy("q_id").orderBy(F.col("sim").desc_nulls_last(), F.col("c_id"))
-    return (
-        pairs.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select("q_id", "c_id", "sim", "rank")
-    )
+    return _topk_per_query(pairs, k)
 
 
 def lsh_knn_join(
@@ -442,28 +457,14 @@ def lsh_knn_join(
     """
     from pyspark.sql import Window
 
+    from engine.extended.dedup import sign_band_structs
+
     hp = _unit_hyperplanes(dim, planes)
-    per_band = planes // bands
 
     def banded_ids(df: DataFrame, prefix: str) -> DataFrame:
-        band_cols = []
-        for bidx in range(bands):
-            bits = [
-                F.when(
-                    _dot(F.col(vec_col), hp[bidx * per_band + p]) >= 0,
-                    F.lit(1 << p),
-                ).otherwise(F.lit(0))
-                for p in range(per_band)
-            ]
-            acc = bits[0]
-            for x in bits[1:]:
-                acc = acc.bitwiseOR(x)
-            band_cols.append(
-                F.struct(F.lit(bidx).alias("band"), acc.cast("long").alias("bkey"))
-            )
         return df.select(
             F.col(id_col).alias(f"{prefix}_id"),
-            F.explode(F.array(*band_cols)).alias("bb"),
+            F.explode(sign_band_structs(vec_col, hp, bands)).alias("bb"),
         ).select(f"{prefix}_id", F.col("bb.band").alias("band"), F.col("bb.bkey").alias("bkey"))
 
     qb = banded_ids(queries, "q")
@@ -480,37 +481,12 @@ def lsh_knn_join(
         cand = cand.filter(F.col("q_id") != F.col("c_id"))
     cand = cand.dropDuplicates(["q_id", "c_id"])
 
-    def side(df: DataFrame, prefix: str) -> DataFrame:
-        return df.select(
-            F.col(id_col).alias(f"{prefix}_id"),
-            F.col(vec_col).alias(f"__{prefix}v"),
-            F.sqrt(
-                F.aggregate(
-                    F.transform(vec_col, lambda x: x.cast("double") * x.cast("double")),
-                    F.lit(0.0),
-                    lambda acc, x: acc + x,
-                )
-            ).alias(f"__{prefix}n"),
-        )
-
-    dot = F.aggregate(
-        F.zip_with("__qv", "__cv", lambda x, y: x.cast("double") * y.cast("double")),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
-    )
-    denom = F.col("__qn") * F.col("__cn")
-    sim = F.when(denom > 0, F.round(dot / denom, round_to))
     pairs = (
-        cand.join(side(queries, "q"), "q_id")
-        .join(side(corpus, "c"), "c_id")
-        .select("q_id", "c_id", sim.alias("sim"))
+        cand.join(_norm_side(queries, "q", id_col, vec_col), "q_id")
+        .join(_norm_side(corpus, "c", id_col, vec_col), "c_id")
+        .select("q_id", "c_id", _pair_sim_expr(round_to).alias("sim"))
     )
-    w = Window.partitionBy("q_id").orderBy(F.col("sim").desc_nulls_last(), F.col("c_id"))
-    return (
-        pairs.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select("q_id", "c_id", "sim", "rank")
-    )
+    return _topk_per_query(pairs, k)
 
 
 # ---------------------------------------------------------------------------

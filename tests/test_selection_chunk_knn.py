@@ -240,5 +240,14 @@ def test_lsh_knn_join_matches_exact_on_tight_clusters(spark):
         qs, df, k=3, dim=16, planes=16, bands=4, exclude_self=True,
         bucket_cap=2,
     ).collect()
-    # with cap 2, each bucket exposes its 2 lowest corpus ids only
-    assert all(r["c_id"] <= 11 or r["c_id"] == 99 for r in capped)
+    # with cap 2, each bucket exposes its 2 lowest corpus ids only — pin the
+    # EXACT allowed set so a cap failure in either cluster's buckets fails
+    # (c_id <= 11 alone would let uncapped 2/3 through)
+    assert {r["c_id"] for r in capped} <= {0, 1, 10, 11, 99}
+
+    import pytest
+
+    with pytest.raises(ValueError, match="multiple of bands"):
+        lsh_knn_join(qs, df, k=1, dim=16, planes=10, bands=4)
+    with pytest.raises(ValueError, match="multiple of bands"):
+        lsh_knn_join(qs, df, k=1, dim=16, planes=4, bands=8)

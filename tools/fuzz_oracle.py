@@ -416,10 +416,20 @@ def run_seed(seed: int, only: list[str]) -> int:
 
 def main() -> int:
     args = sys.argv[1:]
-    n_seeds = int(args[0]) if args and args[0].isdigit() else 3
-    only = args[1:] if args and args[0].isdigit() else args
+    # first arg: seed count N (seeds 0..N-1) or an explicit A:B range —
+    # soaks split across multiple invocations need fresh seeds, not reruns
+    seeds = range(3)
+    only = args
+    if args:
+        head = args[0]
+        if head.isdigit():
+            seeds, only = range(int(head)), args[1:]
+        elif ":" in head:
+            a, b = head.split(":", 1)
+            if a.isdigit() and b.isdigit():
+                seeds, only = range(int(a), int(b)), args[1:]
     rc = 0
-    for seed in range(n_seeds):
+    for seed in seeds:
         rc |= run_seed(seed, only)
     print("CLEAN" if rc == 0 else "FUZZ FAILURES — reproduce with the seed above")
     return rc
