@@ -34,6 +34,9 @@ __all__ = [
     "ivf_build_seeded",
     "ivf_topk_seeded",
     "quantized_vec",
+    "pq_train_seeded",
+    "pq_encode",
+    "pq_adc_topk",
     "knn_join",
     "lsh_knn_join",
     "quantize_int8",
@@ -337,6 +340,240 @@ def ivf_topk_seeded(
         assigned.filter(F.col("ivf_list").isin(probe_lists))
         .select(F.col(id_col), sim.alias("sim"))
         .orderBy(F.col("sim").desc_nulls_last(), F.col(id_col))
+        .limit(k)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (PQ): per-subspace codebooks + asymmetric-distance scan
+# ---------------------------------------------------------------------------
+
+
+def _pq_validate(dim: int, m: int) -> int:
+    if m < 1 or dim % m != 0:
+        raise ValueError(f"dim ({dim}) must be a positive multiple of m ({m})")
+    return dim // m
+
+
+def _pq_cb_lit(cents: list[list[list[float]]]) -> Column:
+    """codebooks as a nested literal: cb[sj+1][cid+1] = centroid array."""
+    return F.array(
+        *[
+            F.array(*[F.array(*[F.lit(float(v)) for v in c]) for c in sub])
+            for sub in cents
+        ]
+    )
+
+
+def _pq_sqdist(sub_col: Column, cent_col: Column) -> Column:
+    """Left-to-right double fold of (int - double)^2 — the same operation
+    order as the oracle's ``list_sum(list_transform(list_zip(...)))`` and
+    the driver-side Python fold, so distances are bit-identical across all
+    three (same contract as :func:`_seeded_argmin`)."""
+    return F.aggregate(
+        F.zip_with(
+            sub_col, cent_col, lambda x, y: (x.cast("double") - y) * (x.cast("double") - y)
+        ),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def _pq_argmin(cb_col: Column, sub_col: Column, ksub: int) -> Column:
+    """Nearest-centroid id within one subspace's codebook (``cb_col`` is the
+    ksub×dsub array for the row's own subspace), tie-break lowest cid."""
+    structs = []
+    for cidx in range(ksub):
+        d = _pq_sqdist(sub_col, F.element_at(cb_col, cidx + 1))
+        structs.append(F.struct(d.alias("d"), F.lit(cidx).alias("cid")))
+    return F.array_min(F.array(*structs))["cid"]
+
+
+def pq_train_seeded(
+    vectors: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    m: int = 4,
+    ksub: int = 8,
+    iters: int = 2,
+    dim: int = 64,
+    quant: float = 1_000_000.0,
+) -> list[list[list[float]]]:
+    """Train deterministic product-quantization codebooks: split every vector
+    into ``m`` subvectors of ``dim/m`` components and run an independent
+    seeded k-means (``ksub`` centroids, ``iters`` Lloyd rounds) per subspace
+    — Jégou/Douze/Schmid's PQ, the memory rung below int8 on the
+    vector-storage ladder (``m`` small codes per vector ≈ 32-64× smaller
+    than float32, which is how 100 TB of embeddings fits a cluster's RAM).
+
+    Same determinism contract as :func:`ivf_build_seeded` (exact-integer
+    quantized components, md5-ranked seed rows shared by all subspaces,
+    fixed ``iters``, one IEEE division per centroid component — sums stay
+    far below 2^53 so the Python division equals the oracle's
+    double-cast division; empty clusters keep their previous centroid).
+
+    Scale shape: each round is ONE groupBy shuffle on (subspace, cid)
+    producing ``m·ksub`` rows of integer sums; the subvector explode
+    multiplies row count by ``m`` but each row carries only ``dim/m``
+    components, so total shuffled volume equals the input's.  Returns
+    ``codebooks[sj][cid]`` centroid-component doubles.
+    """
+    dsub = _pq_validate(dim, m)
+    pts = (
+        vectors.filter(F.col(vec_col).isNotNull())
+        .select(F.col(id_col).alias("__id"), quantized_vec(vec_col, quant).alias("__q"))
+        .persist()
+    )
+    seed_rows = (
+        pts.orderBy(F.md5(F.col("__id").cast("string")), F.col("__id"))
+        .limit(ksub)
+        .select("__q")
+        .collect()
+    )
+    if not seed_rows:
+        raise ValueError("pq_train_seeded: no non-null vectors to cluster")
+    # fewer vectors than ksub → operate with what exists (the oracle's
+    # seeds-LIMIT degrades the same way, same contract as ivf_build_seeded)
+    ksub = len(seed_rows)
+    cents = [
+        [[float(v) for v in r["__q"][j * dsub : (j + 1) * dsub]] for r in seed_rows]
+        for j in range(m)
+    ]
+    sub = pts.select(
+        "__id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(j).alias("sj"),
+                        F.slice("__q", j * dsub + 1, dsub).alias("subq"),
+                    )
+                    for j in range(m)
+                ]
+            )
+        ).alias("__s"),
+    ).select("__id", F.col("__s.sj").alias("sj"), F.col("__s.subq").alias("subq"))
+    for _ in range(iters):
+        # project the row's own subspace codebook ONCE behind an alias —
+        # inlining the full m×ksub×dsub literal into each of the ksub
+        # distance folds would repeat it ksub times in codegen (the no-CSE
+        # trap quantize_int8 documents for HOF lambdas)
+        assigned = sub.withColumn(
+            "__cb", F.element_at(_pq_cb_lit(cents), F.col("sj") + 1)
+        ).withColumn("__cid", _pq_argmin(F.col("__cb"), F.col("subq"), ksub))
+        sums = (
+            assigned.groupBy("sj", "__cid")
+            .agg(
+                F.count(F.lit(1)).alias("cnt"),
+                *[
+                    F.sum(F.element_at("subq", i + 1)).alias(f"s{i}")
+                    for i in range(dsub)
+                ],
+            )
+            .collect()
+        )
+        new = {
+            (r["sj"], r["__cid"]): [r[f"s{i}"] / r["cnt"] for i in range(dsub)]
+            for r in sums
+        }
+        cents = [
+            [new.get((j, c), cents[j][c]) for c in range(ksub)] for j in range(m)
+        ]
+    pts.unpersist()
+    return cents
+
+
+def pq_encode(
+    df: DataFrame,
+    codebooks: list[list[list[float]]],
+    *,
+    vec_col: str = "embedding",
+    code_col: str = "pq_code",
+    quant: float = 1_000_000.0,
+) -> DataFrame:
+    """Attach the PQ code array: ``code[j]`` = nearest ``codebooks[j]``
+    centroid of subvector ``j`` (``m`` small ints per vector — the stored
+    representation; at deployment scale this column replaces the raw
+    vectors in the index and the float column moves to cold storage).
+
+    Pure per-row expressions, zero shuffle; NULL vectors get NULL codes.
+    """
+    m = len(codebooks)
+    ksub = len(codebooks[0])
+    dsub = len(codebooks[0][0])
+    qv = quantized_vec(vec_col, quant)
+    out = df.withColumn("__pq_q", F.when(F.col(vec_col).isNotNull(), qv))
+    codes = F.array(
+        *[
+            _pq_argmin(
+                F.array(*[F.array(*[F.lit(float(v)) for v in c]) for c in codebooks[j]]),
+                F.slice("__pq_q", j * dsub + 1, dsub),
+                ksub,
+            )
+            for j in range(m)
+        ]
+    )
+    return out.withColumn(
+        code_col, F.when(F.col("__pq_q").isNotNull(), codes)
+    ).drop("__pq_q")
+
+
+def pq_adc_topk(
+    encoded: DataFrame,
+    codebooks: list[list[list[float]]],
+    query_qvec: list[float],
+    *,
+    k: int = 10,
+    id_col: str = "vec_id",
+    code_col: str = "pq_code",
+    quant: float = 1_000_000.0,
+    round_to: int = 6,
+) -> DataFrame:
+    """Asymmetric-distance (ADC) top-k over PQ codes: the query's distance
+    to every codebook centroid is precomputed into an ``m × ksub`` lookup
+    table (driver-side — the same left-to-right fold the SQL oracle and
+    :func:`_pq_sqdist` perform, so table entries are bit-identical), and
+    each stored vector's approximate distance is the sum of ``m`` table
+    lookups — no float vector is ever read at query time.
+
+    The scan is pure codegen (element_at on a literal table; no join, no
+    shuffle) + ``TakeOrderedAndProject`` — at 100 TB this is a scan of the
+    code column only (``m`` bytes/vector), the entire point of PQ.
+    Distances are rescaled by ``quant²`` back to raw units and rounded;
+    ascending order, ties break by id.  Returns (id, adist).
+    """
+    m = len(codebooks)
+    dsub = len(codebooks[0][0])
+    if len(query_qvec) != m * dsub:
+        raise ValueError(
+            f"query dim {len(query_qvec)} != codebook dim {m * dsub}"
+        )
+    lut = []
+    for j, sub in enumerate(codebooks):
+        row = []
+        for c in sub:
+            d = 0.0
+            for x, y in zip(query_qvec[j * dsub : (j + 1) * dsub], c):
+                d = d + (float(x) - y) * (float(x) - y)
+            row.append(d)
+        lut.append(row)
+    lut_lit = F.array(
+        *[F.array(*[F.lit(float(d)) for d in row]) for row in lut]
+    )
+    terms = F.transform(
+        code_col,
+        lambda c, i: F.element_at(F.element_at(lut_lit, i + 1), c + 1),
+    )
+    adist = F.round(
+        F.aggregate(terms, F.lit(0.0), lambda acc, v: acc + v)
+        / F.lit(float(quant) * float(quant)),
+        round_to,
+    )
+    return (
+        encoded.filter(F.col(code_col).isNotNull())
+        .select(F.col(id_col), adist.alias("adist"))
+        .orderBy(F.col("adist").asc_nulls_last(), F.col(id_col))
         .limit(k)
     )
 

@@ -2447,6 +2447,126 @@ def ann_ivf_topk(spark, sf_dir):
     return ivf_topk_seeded(assigned, cents, qq, qv, k=10, nprobe=3)
 
 
+def _pq_adc_sql(
+    *,
+    m: int = 4,
+    ksub: int = 8,
+    iters: int = 2,
+    dsub: int = 16,
+    k: int = 10,
+    qid: int = 7,
+) -> str:
+    """DuckDB twin of pq_train_seeded + pq_encode + pq_adc_topk: md5-rank
+    seed rows shared by all ``m`` subspaces, ``iters`` unrolled Lloyd rounds
+    per subspace over exact-integer quantized subvectors (grouping key is
+    (subspace, centroid) so ONE set of CTEs trains all subspaces at once),
+    then asymmetric distance = per-subspace query-to-centroid distance summed
+    in subspace order (``list_sum(list(d ORDER BY sj))`` — the same
+    left-to-right fold the Spark LUT scan performs)."""
+    dist = (
+        "list_sum(list_transform(list_zip({a}, {b}), "
+        "z -> (CAST(z[1] AS DOUBLE) - z[2]) * (CAST(z[1] AS DOUBLE) - z[2])))"
+    )
+    parts = [
+        f"""
+    WITH pts AS (
+      SELECT vec_id,
+             list_transform(embedding,
+               x -> CAST(round(CAST(x AS DOUBLE) * 1000000.0) AS BIGINT)) AS q
+      FROM embeddings WHERE embedding IS NOT NULL),
+    sjs AS (SELECT UNNEST(range(0, {m})) AS sj),
+    seeds AS (
+      SELECT q, ROW_NUMBER() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1 AS cid
+      FROM (SELECT vec_id, q FROM pts
+            ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT {ksub})),
+    sub AS (
+      SELECT vec_id, sj,
+             list_slice(q, sj * {dsub} + 1, sj * {dsub} + {dsub}) AS subq
+      FROM pts CROSS JOIN sjs),
+    c0 AS (
+      SELECT sj, cid,
+             list_transform(list_slice(q, sj * {dsub} + 1, sj * {dsub} + {dsub}),
+                            x -> CAST(x AS DOUBLE)) AS c
+      FROM seeds CROSS JOIN sjs)"""
+    ]
+    for it in range(iters):
+        parts.append(
+            f""",
+    a{it} AS (
+      SELECT vec_id, sj, subq, cid FROM (
+        SELECT s.vec_id, s.sj, s.subq, c.cid,
+               ROW_NUMBER() OVER (PARTITION BY s.vec_id, s.sj
+                 ORDER BY {dist.format(a='s.subq', b='c.c')}, c.cid) AS rn
+        FROM sub s JOIN c{it} c ON s.sj = c.sj) WHERE rn = 1),
+    s{it} AS (
+      SELECT sj, cid, i, SUM(x) AS s, COUNT(*) AS cnt FROM (
+        SELECT sj, cid, generate_subscripts(subq, 1) AS i, UNNEST(subq) AS x FROM a{it})
+      GROUP BY sj, cid, i),
+    n{it} AS (SELECT sj, cid, list(CAST(s AS DOUBLE) / CAST(cnt AS DOUBLE) ORDER BY i) AS c
+              FROM s{it} GROUP BY sj, cid),
+    c{it + 1} AS (SELECT c{it}.sj, c{it}.cid, COALESCE(n{it}.c, c{it}.c) AS c
+                  FROM c{it} LEFT JOIN n{it}
+                  ON c{it}.sj = n{it}.sj AND c{it}.cid = n{it}.cid)"""
+        )
+    cf = f"c{iters}"
+    parts.append(
+        f""",
+    af AS (
+      SELECT vec_id, sj, cid FROM (
+        SELECT s.vec_id, s.sj, c.cid,
+               ROW_NUMBER() OVER (PARTITION BY s.vec_id, s.sj
+                 ORDER BY {dist.format(a='s.subq', b='c.c')}, c.cid) AS rn
+        FROM sub s JOIN {cf} c ON s.sj = c.sj) WHERE rn = 1),
+    qsub AS (
+      SELECT sj, list_slice(q, sj * {dsub} + 1, sj * {dsub} + {dsub}) AS subq
+      FROM (SELECT q FROM pts
+            WHERE vec_id = (SELECT MIN(vec_id) FROM pts WHERE vec_id >= {qid}))
+      CROSS JOIN sjs),
+    lut AS (
+      SELECT c.sj, c.cid, {dist.format(a='qsub.subq', b='c.c')} AS d
+      FROM {cf} c JOIN qsub ON c.sj = qsub.sj)
+    SELECT af.vec_id,
+           ROUND(list_sum(list(lut.d ORDER BY lut.sj)) / 1000000000000.0, 6) AS adist
+    FROM af JOIN lut ON af.sj = lut.sj AND af.cid = lut.cid
+    GROUP BY af.vec_id
+    ORDER BY adist ASC NULLS LAST, af.vec_id
+    LIMIT {k}"""
+    )
+    return "".join(parts)
+
+
+@q("ann_pq_adc_topk", _pq_adc_sql())
+def ann_pq_adc_topk(spark, sf_dir):
+    """Product-quantization ANN: deterministic per-subspace codebooks (4
+    subspaces × 8 centroids, 2 Lloyd rounds — the oracle-able twin of
+    FAISS-style PQ training), codes stored as 4 small ints per vector
+    (~64× smaller than float32 — how 100 TB of embeddings fits in RAM),
+    query scored by asymmetric distance: a 4×8 lookup table of
+    query-to-centroid distances, summed per stored code with NO float
+    vector read at query time (pure codegen scan + TakeOrderedAndProject)."""
+    from engine.extended.similarity import (
+        pq_adc_topk,
+        pq_encode,
+        pq_train_seeded,
+        quantized_vec,
+    )
+
+    emb = t(spark, sf_dir, "embeddings")
+    qrows = (
+        emb.filter(F.col("embedding").isNotNull() & (F.col("vec_id") >= 7))
+        .orderBy("vec_id")
+        .limit(1)
+        .select(quantized_vec("embedding").alias("qq"))
+        .collect()
+    )
+    if not qrows:
+        return emb.select("vec_id", F.lit(None).cast("double").alias("adist")).limit(0)
+    qq = [int(x) for x in qrows[0]["qq"]]
+    cb = pq_train_seeded(emb, m=4, ksub=8, iters=2, dim=len(qq))
+    enc = pq_encode(emb, cb)
+    return pq_adc_topk(enc, cb, qq, k=10)
+
+
 @q(
     "memo_lookup_or_compute",
     """

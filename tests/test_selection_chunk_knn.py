@@ -251,3 +251,133 @@ def test_lsh_knn_join_matches_exact_on_tight_clusters(spark):
         lsh_knn_join(qs, df, k=1, dim=16, planes=10, bands=4)
     with pytest.raises(ValueError, match="multiple of bands"):
         lsh_knn_join(qs, df, k=1, dim=16, planes=4, bands=8)
+
+
+# ---------------------------------------------------------------------------
+# Product quantization: pq_train_seeded / pq_encode / pq_adc_topk
+# ---------------------------------------------------------------------------
+
+
+def _pq_corpus(spark):
+    """Two tight clusters in 8-d: ids 0-3 near e1, ids 10-13 near e2."""
+    rows = []
+    for i in range(4):
+        rows.append((i, [1.0, 0.01 * i, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0]))
+        rows.append((10 + i, [0.0, 0.0, 0.0, 0.0, 1.0, 0.01 * i, 0.0, 0.0]))
+    return spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+
+def test_pq_identical_vectors_share_codes(spark):
+    from engine.extended.similarity import pq_encode, pq_train_seeded
+
+    df = spark.createDataFrame(
+        [(0, [1.0, 2.0, 3.0, 4.0]), (1, [1.0, 2.0, 3.0, 4.0]), (2, [-9.0, 0.0, 5.0, 5.0])],
+        "vec_id long, embedding array<float>",
+    )
+    cb = pq_train_seeded(df, m=2, ksub=2, iters=2, dim=4)
+    codes = {r["vec_id"]: r["pq_code"] for r in pq_encode(df, cb).collect()}
+    assert codes[0] == codes[1]
+    assert len(codes[0]) == 2  # m codes per vector
+
+
+def test_pq_adc_ranks_own_cluster_first(spark):
+    from engine.extended.similarity import (
+        pq_adc_topk,
+        pq_encode,
+        pq_train_seeded,
+        quantized_vec,
+    )
+
+    df = _pq_corpus(spark)
+    cb = pq_train_seeded(df, m=2, ksub=2, iters=2, dim=8)
+    enc = pq_encode(df, cb)
+    qq = [
+        int(x)
+        for x in df.filter(F.col("vec_id") == 0)
+        .select(quantized_vec("embedding").alias("qq"))
+        .collect()[0]["qq"]
+    ]
+    top = pq_adc_topk(enc, cb, qq, k=4).collect()
+    assert {r["vec_id"] for r in top} == {0, 1, 2, 3}  # query's own cluster
+    # ascending distance, deterministic tie-break by id
+    dists = [r["adist"] for r in top]
+    assert dists == sorted(dists)
+
+
+def test_pq_adc_matches_python_reference(spark):
+    """ADC distances equal an independent driver-side recomputation
+    (codes looked up in the same codebooks, same fold order)."""
+    from engine.extended.similarity import (
+        pq_adc_topk,
+        pq_encode,
+        pq_train_seeded,
+        quantized_vec,
+    )
+
+    df = _pq_corpus(spark)
+    m, dsub = 2, 4
+    cb = pq_train_seeded(df, m=m, ksub=2, iters=1, dim=8)
+    enc = pq_encode(df, cb)
+    rows = enc.select("vec_id", quantized_vec("embedding").alias("qq"), "pq_code").collect()
+    qq = [int(x) for x in rows[0]["qq"]]
+    want = {}
+    for r in rows:
+        d = 0.0
+        for j in range(m):
+            c = cb[j][r["pq_code"][j]]
+            s = 0.0
+            for x, y in zip(qq[j * dsub : (j + 1) * dsub], c):
+                s = s + (float(x) - y) * (float(x) - y)
+            d = d + s
+        want[r["vec_id"]] = round(d / 1e12, 6)
+    got = {r["vec_id"]: r["adist"] for r in pq_adc_topk(enc, cb, qq, k=100).collect()}
+    assert got == want
+
+
+def test_pq_encode_null_vector_null_code_and_adc_skips_it(spark):
+    from engine.extended.similarity import pq_adc_topk, pq_encode, pq_train_seeded
+
+    df = spark.createDataFrame(
+        [(0, [1.0, 2.0, 3.0, 4.0]), (1, None), (2, [0.0, 0.0, 1.0, 1.0])],
+        "vec_id long, embedding array<float>",
+    )
+    cb = pq_train_seeded(df, m=2, ksub=2, iters=1, dim=4)
+    enc = pq_encode(df, cb)
+    codes = {r["vec_id"]: r["pq_code"] for r in enc.collect()}
+    assert codes[1] is None
+    ids = {r["vec_id"] for r in pq_adc_topk(enc, cb, [0, 0, 0, 0], k=10).collect()}
+    assert ids == {0, 2}
+
+
+def test_pq_validates_dim_and_empty(spark):
+    import pytest
+
+    from engine.extended.similarity import pq_train_seeded
+
+    df = spark.createDataFrame(
+        [(0, [1.0, 2.0, 3.0])], "vec_id long, embedding array<float>"
+    )
+    with pytest.raises(ValueError, match="multiple of m"):
+        pq_train_seeded(df, m=2, ksub=2, iters=1, dim=3)
+    empty = df.filter(F.col("vec_id") < 0)
+    with pytest.raises(ValueError, match="no non-null vectors"):
+        pq_train_seeded(empty, m=1, ksub=2, iters=1, dim=3)
+
+
+def test_pq_encode_and_adc_are_shuffle_free(spark):
+    """The stored-side plans are pure projections: encode adds the code
+    column with no Exchange; the ADC scan is filter+project+TakeOrdered."""
+    from engine.extended.similarity import pq_adc_topk, pq_encode, pq_train_seeded
+
+    df = _pq_corpus(spark)
+    cb = pq_train_seeded(df, m=2, ksub=2, iters=1, dim=8)
+    enc = pq_encode(df, cb)
+    assert "Exchange" not in enc._jdf.queryExecution().executedPlan().toString()
+    plan = (
+        pq_adc_topk(enc, cb, [0] * 8, k=3)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "TakeOrderedAndProject" in plan
+    assert "Exchange" not in plan
