@@ -47,6 +47,9 @@ __all__ = [
     "HTML_ENTITIES",
     "html_to_text",
     "hashed_quality_score",
+    "bloom_bit_words",
+    "bloom_member",
+    "bloom_contamination",
 ]
 
 #: (name, regex, replacement) applied IN ORDER.  Patterns are written in the
@@ -689,3 +692,157 @@ def hashed_quality_score(
         "quality_score": score,
         "quality_label": (score >= 0.5).cast("int"),
     }
+
+
+# ---------------------------------------------------------------------------
+# Bloom-filter membership: constant-memory decontamination probe
+# ---------------------------------------------------------------------------
+
+
+def _bloom_validate(n_hashes: int, m_bits: int) -> None:
+    if n_hashes < 1:
+        raise ValueError(f"n_hashes must be >= 1, got {n_hashes}")
+    if m_bits < 64 or m_bits % 64 != 0:
+        raise ValueError(f"m_bits must be a positive multiple of 64, got {m_bits}")
+
+
+def _bloom_positions(col: Column, n_hashes: int, m_bits: int, hash_fn: str) -> list[Column]:
+    """Bit positions of a key: ``pmod(hash('bf{i}|' || key), m_bits)`` per
+    hash index — the standard k-independent-hash construction, with the
+    repo's pluggable hash family (md5 mode is dual-implementable, so the
+    filter's exact bit pattern — false positives included — reproduces in
+    the SQL oracle)."""
+    from engine.extended.dedup import _hash64
+
+    return [
+        F.pmod(_hash64(F.concat(F.lit(f"bf{i}|"), col), hash_fn), F.lit(m_bits))
+        for i in range(n_hashes)
+    ]
+
+
+def bloom_bit_words(
+    keys: DataFrame,
+    *,
+    key_col: str = "sh",
+    n_hashes: int = 3,
+    m_bits: int = 16384,
+    hash_fn: str = "md5",
+) -> list[int]:
+    """Build the Bloom bit array for a key set: returns ``m_bits / 64``
+    signed-64 words (the driver-side representation :func:`bloom_member`
+    embeds as a literal).
+
+    Scale contract: the collect is the DISTINCT SET-BIT POSITIONS — bounded
+    by ``m_bits`` regardless of key-set size, so a billion-key eval suite
+    still collects at most ``m_bits`` small ints.  The filter itself is
+    ``m_bits / 8`` bytes (2 KiB at the default 16384) versus the O(set)
+    broadcast of :func:`ngram_contamination` — the trade is a tunable
+    false-positive rate ``(1 - e^(-kn/m))^k``, which for decontamination
+    means a few extra docs conservatively flagged, never a miss.
+    """
+    _bloom_validate(n_hashes, m_bits)
+    pos = _bloom_positions(F.col(key_col), n_hashes, m_bits, hash_fn)
+    rows = (
+        keys.filter(F.col(key_col).isNotNull())
+        .select(F.explode(F.array(*pos)).alias("p"))
+        .distinct()
+        .collect()
+    )
+    words = [0] * (m_bits // 64)
+    for r in rows:
+        p = int(r["p"])
+        words[p // 64] |= 1 << (p % 64)
+    # Python ints are unbounded; fold bit 63 back into signed-64 range so
+    # each word round-trips through a Spark LongType literal
+    return [w - (1 << 64) if w >= (1 << 63) else w for w in words]
+
+
+def bloom_member(
+    col: Column | str,
+    words: list[int],
+    *,
+    n_hashes: int = 3,
+    m_bits: int = 16384,
+    hash_fn: str = "md5",
+) -> Column:
+    """Boolean membership probe against a built filter: true iff ALL
+    ``n_hashes`` bit positions of the key are set.
+
+    Pure codegen (hash → element_at on the literal word array → mask test);
+    no join, no shuffle, no Python — the probe side of a 100 TB
+    decontamination pass is a bare scan.  Bit masks come from a 64-entry
+    power-of-two literal because the Python API's shift functions take only
+    literal shift amounts.  NULL keys probe NULL (never a crash).
+    """
+    _bloom_validate(n_hashes, m_bits)
+    if len(words) != m_bits // 64:
+        raise ValueError(f"words has {len(words)} entries, want {m_bits // 64}")
+    c = F.col(col) if isinstance(col, str) else col
+    words_lit = F.array(*[F.lit(int(w)).cast("long") for w in words])
+    pow2 = [1 << b for b in range(63)] + [-(1 << 63)]
+    pow2_lit = F.array(*[F.lit(int(v)).cast("long") for v in pow2])
+    cond = None
+    for p in _bloom_positions(c, n_hashes, m_bits, hash_fn):
+        word = F.element_at(words_lit, F.floor(p / 64).cast("int") + 1)
+        mask = F.element_at(pow2_lit, F.pmod(p, F.lit(64)).cast("int") + 1)
+        hit = word.bitwiseAND(mask) != 0
+        cond = hit if cond is None else cond & hit
+    # explicit NULL gate: a NULL key must probe NULL, and the element_at
+    # fold does not reliably propagate a NULL index through the mask test
+    return F.when(c.isNotNull(), cond)
+
+
+def bloom_contamination(
+    df: DataFrame,
+    eval_df: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_n: int = 3,
+    n_hashes: int = 3,
+    m_bits: int = 16384,
+    hash_fn: str = "md5",
+) -> DataFrame:
+    """Constant-memory variant of :func:`ngram_contamination`: the eval
+    corpus's shingle set becomes a Bloom filter, and each training doc
+    counts how many of its distinct shingles the filter flags.
+
+    Returns (id, n_shingles, n_flagged, bloom_rate).  ``bloom_rate`` is an
+    UPPER BOUND on the true contamination (false positives inflate it, set
+    by ``m_bits``; false negatives cannot occur), which is the safe
+    direction for decontamination — conservatively quarantine, then
+    exact-check the flagged slice if needed.
+
+    Scale shape: building the filter aggregates eval shingles down to
+    ≤ ``m_bits`` bit positions (one distinct-aggregate, driver-bounded by
+    construction); the training scan is shingle → 3 hashes → bit tests —
+    ZERO joins, so nothing about the eval set's size ever touches the
+    training side's plan.
+    """
+    eval_sh = eval_df.select(tokens(text_col).alias("__toks")).select(
+        F.explode(ngrams_from(F.col("__toks"), shingle_n)).alias("sh")
+    )
+    words = bloom_bit_words(
+        eval_sh, key_col="sh", n_hashes=n_hashes, m_bits=m_bits, hash_fn=hash_fn
+    )
+    doc_sh = df.select(
+        F.col(id_col).alias("id"), tokens(text_col).alias("__toks")
+    ).select(
+        "id",
+        F.explode(F.array_distinct(ngrams_from(F.col("__toks"), shingle_n))).alias("sh"),
+    )
+    flagged = bloom_member(
+        "sh", words, n_hashes=n_hashes, m_bits=m_bits, hash_fn=hash_fn
+    ).cast("int")
+    return (
+        doc_sh.select("id", flagged.alias("__hit"))
+        .groupBy("id")
+        .agg(
+            F.count(F.lit(1)).alias("n_shingles"),
+            F.sum("__hit").alias("n_flagged"),
+            F.round(
+                F.sum("__hit") / F.count(F.lit(1)).cast("double"), 4
+            ).alias("bloom_rate"),
+        )
+        .withColumnRenamed("id", id_col)
+    )

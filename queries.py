@@ -3730,6 +3730,62 @@ def ngram_contamination_q(spark, sf_dir):
 
 
 @q(
+    "contamination_bloom",
+    """
+    WITH toklist AS (
+      SELECT doc_id,
+             list_transform(regexp_extract_all(text, '[A-Za-z0-9'']+'),
+                            x -> LOWER(x)) AS toks
+      FROM documents),
+    tri AS (
+      SELECT doc_id, toks, UNNEST(range(1, len(toks) - 1)) AS i
+      FROM toklist WHERE len(toks) >= 3),
+    shingles AS (
+      SELECT DISTINCT doc_id, array_to_string(toks[i:i+2], ' ') AS sh FROM tri),
+    eval_sh AS (
+      SELECT DISTINCT sh FROM shingles WHERE doc_id % 97 = 0),
+    train AS (
+      SELECT doc_id, sh FROM shingles WHERE doc_id % 97 <> 0),
+    idx AS (SELECT UNNEST(range(0, 3)) AS i),
+    bits AS (
+      SELECT DISTINCT
+             CAST(('0x' || SUBSTRING(MD5('bf' || CAST(i AS VARCHAR) || '|' || sh), 1, 15))
+                  AS BIGINT) % 16384 AS p
+      FROM eval_sh CROSS JOIN idx),
+    probe AS (
+      SELECT t.doc_id, t.sh, i.i,
+             CAST(('0x' || SUBSTRING(MD5('bf' || CAST(i.i AS VARCHAR) || '|' || t.sh), 1, 15))
+                  AS BIGINT) % 16384 AS p
+      FROM train t CROSS JOIN idx i),
+    hit AS (
+      SELECT doc_id, sh,
+             (SUM(CASE WHEN b.p IS NOT NULL THEN 1 ELSE 0 END) = 3) AS flagged
+      FROM probe pp LEFT JOIN bits b ON pp.p = b.p
+      GROUP BY doc_id, sh)
+    SELECT doc_id,
+           COUNT(*) AS n_shingles,
+           CAST(SUM(CASE WHEN flagged THEN 1 ELSE 0 END) AS BIGINT) AS n_flagged,
+           ROUND(SUM(CASE WHEN flagged THEN 1 ELSE 0 END) * 1.0 / COUNT(*), 4)
+             AS bloom_rate
+    FROM hit GROUP BY doc_id
+    """,
+)
+def contamination_bloom_q(spark, sf_dir):
+    """Constant-memory decontamination: the eval slice's shingle set becomes
+    a 16384-bit Bloom filter (2 KiB vs an O(set) broadcast) and the training
+    scan probes it with pure codegen bit tests — ZERO joins on the 100 TB
+    side.  The md5 hash family makes the filter's exact bit pattern — false
+    positives included — reproducible in the SQL oracle, so the driver
+    value-hash-checks an approximate data structure exactly."""
+    from engine.extended.curation import bloom_contamination
+
+    d = t(spark, sf_dir, "documents")
+    eval_df = d.filter(F.col("doc_id") % 97 == 0)
+    train = d.filter(F.col("doc_id") % 97 != 0)
+    return bloom_contamination(train, eval_df)
+
+
+@q(
     "sequence_pack",
     """
     WITH toked AS (

@@ -168,3 +168,97 @@ def test_table_profile_exact_distinct_on_array_column(spark):
         for r in table_profile(df, ["tags"], exact_distinct=True).collect()
     }
     assert rows["tags"]["n_distinct"] == 2
+
+
+# ---------------------------------------------------------------------------
+# Bloom-filter membership / contamination
+# ---------------------------------------------------------------------------
+
+
+def _bloom_docs(spark):
+    return spark.createDataFrame(
+        [
+            (0, "the quick brown fox jumps over the lazy dog"),   # eval
+            (1, "the quick brown fox jumps somewhere else today"),  # overlaps
+            (2, "completely different words about spark engines here"),
+            (3, ""),  # no shingles: drops out
+        ],
+        "doc_id long, text string",
+    )
+
+
+def test_bloom_has_no_false_negatives(spark):
+    """Every shingle actually in the filter's key set must probe true —
+    probing the eval docs against their own filter flags everything."""
+    from engine.extended.curation import bloom_contamination
+
+    d = _bloom_docs(spark)
+    ev = d.filter(F.col("doc_id") == 0)
+    out = {r["doc_id"]: r for r in bloom_contamination(ev, ev).collect()}
+    assert out[0]["n_flagged"] == out[0]["n_shingles"]
+    assert out[0]["bloom_rate"] == 1.0
+
+
+def test_bloom_rate_upper_bounds_exact_contamination(spark):
+    """False positives only inflate the rate — bloom_rate >= the exact
+    broadcast-join contamination for every doc, and with 16384 bits and a
+    handful of keys the two coincide on this corpus."""
+    from engine.extended.curation import bloom_contamination, ngram_contamination
+
+    d = _bloom_docs(spark)
+    ev = d.filter(F.col("doc_id") == 0)
+    train = d.filter(F.col("doc_id") != 0)
+    bloom = {r["doc_id"]: r for r in bloom_contamination(train, ev).collect()}
+    exact = {r["doc_id"]: r for r in ngram_contamination(train, ev).collect()}
+    assert set(bloom) == set(exact) == {1, 2}
+    for i in exact:
+        assert bloom[i]["n_shingles"] == exact[i]["n_shingles"]
+        assert bloom[i]["bloom_rate"] >= exact[i]["contamination"]
+    assert bloom[1]["bloom_rate"] > 0.0  # overlapping doc is caught
+    assert bloom[2]["bloom_rate"] == 0.0  # disjoint doc stays clean here
+
+
+def test_bloom_probe_plan_has_no_join(spark):
+    """The scale claim: the training-side scan is joinless codegen — the
+    eval set's size can never re-shape the 100 TB side's plan."""
+    from engine.extended.curation import bloom_contamination
+
+    d = _bloom_docs(spark)
+    plan = (
+        bloom_contamination(d.filter(F.col("doc_id") != 0), d.filter(F.col("doc_id") == 0))
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Join" not in plan
+
+
+def test_bloom_words_shape_and_validation(spark):
+    import pytest
+
+    from engine.extended.curation import bloom_bit_words, bloom_member
+
+    keys = spark.createDataFrame([("a b c",), (None,)], "sh string")
+    words = bloom_bit_words(keys, m_bits=256, n_hashes=2)
+    assert len(words) == 4  # 256 / 64
+    assert any(w != 0 for w in words)
+    assert all(-(1 << 63) <= w < (1 << 63) for w in words)
+    with pytest.raises(ValueError, match="multiple of 64"):
+        bloom_bit_words(keys, m_bits=100)
+    with pytest.raises(ValueError, match="n_hashes"):
+        bloom_bit_words(keys, n_hashes=0)
+    with pytest.raises(ValueError, match="entries"):
+        bloom_member("sh", words, m_bits=512, n_hashes=2)
+
+
+def test_bloom_member_null_key_probes_null(spark):
+    from engine.extended.curation import bloom_bit_words, bloom_member
+
+    keys = spark.createDataFrame([("x",)], "sh string")
+    words = bloom_bit_words(keys, m_bits=64, n_hashes=2)
+    probe = spark.createDataFrame([("x",), (None,)], "sh string")
+    got = probe.select(
+        bloom_member("sh", words, m_bits=64, n_hashes=2).alias("m")
+    ).collect()
+    assert got[0]["m"] is True
+    assert got[1]["m"] is None
