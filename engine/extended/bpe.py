@@ -1,0 +1,177 @@
+"""Byte-pair-encoding merge-rule training over a corpus — the tokenizer-
+vocabulary-induction step of an LLM data pipeline (Sennrich et al. 2016),
+re-expressed Spark-first.
+
+Shape that survives 100 TB: the corpus is tokenized and aggregated to a
+WORD-FREQUENCY table in one pass (explode + count, map-side partial agg) —
+everything after trains on that table, whose row count is the DISTINCT
+vocabulary (millions), not the corpus (billions).  Each merge round is one
+pair-count aggregate over the word table (shuffle carries (pair,
+partial-count)) plus a 1-row argmax collect, and the merge itself is a
+pure-codegen string replace — no Python ever touches row data.
+
+Cross-engine determinism (the whole chain is SQL-oracle-checkable):
+
+- symbol sequences are SPACE-FRAMED, DOUBLE-SPACE-JOINED strings
+  (``' a  b  c '``): every symbol is bounded by a space on each side, so a
+  literal ``REPLACE(seq, ' a  b ', ' ab ')`` can neither match inside a
+  multi-char symbol nor miss an adjacent occurrence (each match consumes
+  one space of each neighboring double separator and the replacement
+  restores it — the framing is invariant under merges), and leftmost
+  non-overlapping literal replace is the same operation in the JVM and
+  DuckDB;
+- the best pair each round is (max summed count, then lexicographically
+  smallest left/right symbol) — tokens are ASCII (``[A-Za-z0-9']``), so
+  string comparison agrees across engines;
+- rounds are FIXED: round r's argmax is computed after round r-1's merge,
+  exactly as the oracle's unrolled CTE chain replays it.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from engine.extended.text import tokens
+
+__all__ = ["char_seq", "word_frequencies", "bpe_train", "bpe_apply"]
+
+
+def char_seq(tok: Column | str) -> Column:
+    """Initial symbol sequence of a word: characters, double-space-joined,
+    single-space-framed (``'abc'`` → ``' a  b  c '``)."""
+    c = F.col(tok) if isinstance(tok, str) else tok
+    raw = F.regexp_replace(c, "(.)", "$1  ")
+    return F.concat(
+        F.lit(" "), F.substring(raw, F.lit(1), F.length(raw) - 2), F.lit(" ")
+    )
+
+
+def word_frequencies(
+    df: DataFrame, *, text_col: str = "text"
+) -> DataFrame:
+    """(word, cnt): the one corpus-sized pass.  Everything downstream of
+    this aggregate is vocabulary-sized."""
+    return (
+        df.select(F.explode(tokens(text_col)).alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def _pair_counts(words: DataFrame) -> DataFrame:
+    """(l, r, c): adjacent-symbol pair counts weighted by word frequency.
+    One explode over positions + one aggregate; symbols are re-derived from
+    the seq string so the expression chain stays pure codegen."""
+    syms = F.split(F.substring("seq", F.lit(2), F.length("seq") - 2), "  ")
+    # guard: Spark's sequence(1, 0) yields a DESCENDING [1, 0], so a
+    # single-symbol word would probe indexes 0 and 2 (ANSI error) — words
+    # with < 2 symbols simply have no pairs
+    idx = F.when(
+        F.size(syms) >= 2, F.sequence(F.lit(1), F.size(syms) - 1)
+    ).otherwise(F.array().cast("array<int>"))
+    exploded = words.select(
+        "cnt", syms.alias("__sy"), F.explode(idx).alias("i")
+    )
+    return (
+        exploded.select(
+            "cnt",
+            F.element_at("__sy", F.col("i")).alias("l"),
+            F.element_at("__sy", F.col("i") + 1).alias("r"),
+        )
+        .groupBy("l", "r")
+        .agg(F.sum("cnt").alias("c"))
+    )
+
+
+def bpe_train(
+    corpus: DataFrame,
+    *,
+    text_col: str = "text",
+    rounds: int = 6,
+) -> tuple[list[dict], DataFrame]:
+    """Learn ``rounds`` BPE merge rules from the corpus.
+
+    Returns ``(rules, words)``: rules as dicts with keys ``merge_rank, lhs,
+    rhs, merged, pair_count`` (fewer than ``rounds`` when the vocabulary
+    runs out of repeated pairs), and the final persisted word table (caller
+    unpersists — same contract as read_jsonl).  Each round's argmax is a
+    1-row collect (driver-side scalar, like every argmax in this repo);
+    the merge applies as a literal string replace on the persisted
+    vocabulary table, so round r+1's counts see round r's merge without a
+    corpus re-read.
+    """
+    if rounds < 1:
+        raise ValueError(f"rounds must be >= 1, got {rounds}")
+    words = (
+        word_frequencies(corpus, text_col=text_col)
+        .select("cnt", char_seq("word").alias("seq"))
+        .persist()
+    )
+    rules: list[dict] = []
+    for rank in range(rounds):
+        best = (
+            _pair_counts(words)
+            .orderBy(F.col("c").desc(), "l", "r")
+            .limit(1)
+            .collect()
+        )
+        if not best:
+            break
+        l, r, c = best[0]["l"], best[0]["r"], int(best[0]["c"])
+        rules.append(
+            {
+                "merge_rank": rank,
+                "lhs": l,
+                "rhs": r,
+                "merged": l + r,
+                "pair_count": c,
+            }
+        )
+        merged_words = words.select(
+            "cnt",
+            F.replace(
+                F.col("seq"), F.lit(f" {l}  {r} "), F.lit(f" {l}{r} ")
+            ).alias("seq"),
+        ).persist()
+        words.unpersist()
+        words = merged_words
+    return rules, words
+
+
+def bpe_apply(
+    df: DataFrame,
+    rules: list[dict],
+    *,
+    text_col: str = "text",
+    out_col: str = "bpe_symbols",
+) -> DataFrame:
+    """Segment every document's tokens with the learned merges: each token's
+    char sequence gets the ``rules`` replayed IN RANK ORDER (a chain of
+    literal replaces — pure codegen, zero shuffle), then splits back into a
+    symbol array.  Adds ``out_col`` as array<array<string>> (one symbol
+    array per token)."""
+    toks = tokens(text_col)
+
+    def segment(tok: Column) -> Column:
+        seq = char_seq(tok)
+        for ru in rules:
+            seq = F.replace(
+                seq,
+                F.lit(f" {ru['lhs']}  {ru['rhs']} "),
+                F.lit(f" {ru['merged']} "),
+            )
+        return F.split(F.substring(seq, F.lit(2), F.length(seq) - 2), "  ")
+
+    return df.withColumn(out_col, F.transform(toks, segment))
+
+
+def rules_df(spark: SparkSession, rules: list[dict]) -> DataFrame:
+    """The merge table as a DataFrame (stable schema even when empty)."""
+    return spark.createDataFrame(
+        [
+            (r["merge_rank"], r["lhs"], r["rhs"], r["merged"], r["pair_count"])
+            for r in rules
+        ],
+        "merge_rank int, lhs string, rhs string, merged string, pair_count bigint",
+    )

@@ -3729,6 +3729,107 @@ def ngram_contamination_q(spark, sf_dir):
     return ngram_contamination(train, eval_df)
 
 
+def _bpe_sql(rounds: int, final: str) -> str:
+    """DuckDB twin of bpe_train (engine/extended/bpe.py): word frequencies,
+    space-framed double-space-joined char sequences, then ``rounds``
+    unrolled merge rounds — pair counts from adjacent symbol positions,
+    argmax with (count DESC, lhs, rhs) tie-break, literal-REPLACE merge
+    (the framing invariant makes literal replace exact; see the module
+    docstring).  ``final`` selects over the per-round ``b{r}`` argmax CTEs
+    and the final word table ``w{rounds}``."""
+    parts = [
+        """
+    WITH wf AS (
+      SELECT word, COUNT(*) AS cnt FROM (
+        SELECT UNNEST(list_transform(regexp_extract_all(text, '[A-Za-z0-9'']+'),
+                                     x -> LOWER(x))) AS word
+        FROM documents) GROUP BY word),
+    w0 AS (
+      SELECT cnt, ' ' || substr(s, 1, length(s) - 2) || ' ' AS seq
+      FROM (SELECT cnt, regexp_replace(word, '(.)', '\\1  ', 'g') AS s FROM wf))"""
+    ]
+    for r in range(rounds):
+        parts.append(
+            f""",
+    p{r} AS (
+      SELECT sy[i] AS lhs, sy[i + 1] AS rhs, SUM(cnt) AS c
+      FROM (SELECT cnt, sy, UNNEST(range(1, len(sy))) AS i
+            FROM (SELECT cnt,
+                         string_split(substr(seq, 2, length(seq) - 2), '  ') AS sy
+                  FROM w{r}))
+      GROUP BY lhs, rhs),
+    b{r} AS (SELECT lhs, rhs, c FROM p{r} ORDER BY c DESC, lhs, rhs LIMIT 1),
+    w{r + 1} AS (
+      SELECT cnt,
+             REPLACE(seq, ' ' || lhs || '  ' || rhs || ' ',
+                     ' ' || lhs || rhs || ' ') AS seq
+      FROM w{r} CROSS JOIN b{r})"""
+        )
+    parts.append(final)
+    return "".join(parts)
+
+
+_BPE_ROUNDS = 6
+
+@q(
+    "bpe_merge_rules",
+    _bpe_sql(
+        _BPE_ROUNDS,
+        "\n    "
+        + "\n    UNION ALL ".join(
+            f"SELECT {r} AS merge_rank, lhs, rhs, lhs || rhs AS merged, "
+            f"CAST(c AS BIGINT) AS pair_count FROM b{r}"
+            for r in range(_BPE_ROUNDS)
+        ),
+    ),
+)
+def bpe_merge_rules_q(spark, sf_dir):
+    """BPE tokenizer training over the corpus: the 6 highest-count adjacent
+    symbol-pair merges, learned iteratively (each round's counts see the
+    previous round's merge).  The corpus is read ONCE into a word-frequency
+    table; every round after that is vocabulary-sized — the only shape that
+    trains a tokenizer on 100 TB."""
+    from engine.extended.bpe import bpe_train, rules_df
+
+    d = t(spark, sf_dir, "documents")
+    rules, words = bpe_train(d, rounds=_BPE_ROUNDS)
+    words.unpersist()
+    return rules_df(spark, rules)
+
+
+@q(
+    "bpe_symbol_stats",
+    _bpe_sql(
+        _BPE_ROUNDS,
+        f"""
+    SELECT sym, CAST(SUM(cnt) AS BIGINT) AS n FROM (
+      SELECT cnt, UNNEST(string_split(substr(seq, 2, length(seq) - 2), '  ')) AS sym
+      FROM w{_BPE_ROUNDS})
+    GROUP BY sym ORDER BY n DESC, sym LIMIT 30""",
+    ),
+)
+def bpe_symbol_stats_q(spark, sf_dir):
+    """Corpus symbol frequencies AFTER the learned merges (top 30): the
+    emergent subword vocabulary.  Computed from the merged word-frequency
+    table directly — applying rules to the raw corpus again would re-read
+    100 TB for an answer the vocabulary table already carries."""
+    from engine.extended.bpe import bpe_train
+
+    d = t(spark, sf_dir, "documents")
+    _, words = bpe_train(d, rounds=_BPE_ROUNDS)
+    syms = F.split(
+        F.substring("seq", F.lit(2), F.length("seq") - 2), "  "
+    )
+    out = (
+        words.select("cnt", F.explode(syms).alias("sym"))
+        .groupBy("sym")
+        .agg(F.sum("cnt").alias("n"))
+        .orderBy(F.col("n").desc(), "sym")
+        .limit(30)
+    )
+    return out
+
+
 @q(
     "contamination_bloom",
     """
