@@ -1,0 +1,119 @@
+"""Graph analytics over edge tables — the link-graph layer of a corpus
+pipeline (crawl-frontier prioritization, domain authority for quality
+weighting), alongside the connected-components family in
+engine/extended/dedup.py.
+
+The operators here are ITERATIVE with a fixed round count, like the seeded
+k-means in similarity.py: every round is plain integer arithmetic, so the
+whole chain is order-independent under shuffle, bit-identical across
+engines, and SQL-oracle-checkable with unrolled CTEs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+__all__ = ["pagerank"]
+
+
+def _idiv(a: Column, b: Column) -> Column:
+    """Exact floor division of non-negative longs in pure Column algebra,
+    valid for dividends below 2^53 (the documented pagerank bound):
+    ``a - pmod(a, b)`` stays in LONG arithmetic, is an exact multiple of
+    ``b``, and both it and the integer quotient are exactly representable
+    doubles — so the division is exact and the cast truncates an exact
+    integer value, with no rounding boundary case anywhere in the chain
+    (a naive ``floor(a / b)`` instead floors a correctly-rounded
+    NON-integer quotient, whose exactness argument fails right at the
+    2^53 edge)."""
+    return ((a - F.pmod(a, b)) / b).cast("long")
+
+
+def pagerank(
+    edges: DataFrame,
+    *,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    iters: int = 3,
+    damping_pct: int = 85,
+    unit: int = 1_000_000,
+    materialize: bool = True,
+) -> DataFrame:
+    """Fixed-iteration PageRank in integer micro-units: every node starts at
+    ``unit``; each round a node sends ``rank div outdeg`` to each successor
+    and collects ``unit·(100-damping_pct)/100 + (damping_pct · Σ inbound)
+    div 100``.
+
+    All arithmetic is integer (floor divisions, integer sums) — unlike
+    float PageRank, the result is independent of shuffle order and
+    bit-identical in any engine, at the cost of rounding mass down a few
+    micro-units per hop.  Dangling nodes (no out-edges) absorb mass, the
+    standard simple variant.  Exactness needs
+    ``unit · n_nodes · damping_pct < 2^53`` (~10^8 nodes at the default
+    unit — shrink ``unit`` beyond that).
+
+    Returns (node, rank) — rank in micro-units, bigint.
+
+    Scale shape: each round is one src-keyed join (edges ⋈ ranks ⋈ outdeg —
+    co-partitioned on the same key, one exchange per side that AQE reuses)
+    and one dst-keyed aggregate with map-side partial sums.
+    ``materialize=True`` (default) persists and forces each round — the
+    only way an iterative frame survives at scale (an unbroken 3-round
+    lineage re-reads the edge table 3^depth times on failure recovery);
+    the final frame stays persisted for the caller to unpersist, same
+    contract as bpe_train.
+    """
+    if iters < 1:
+        raise ValueError(f"iters must be >= 1, got {iters}")
+    if not 1 <= damping_pct <= 100:
+        raise ValueError(f"damping_pct must be in [1, 100], got {damping_pct}")
+    if unit < 1:
+        raise ValueError(f"unit must be >= 1, got {unit}")
+    e = edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .union(e.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+    od = e.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
+    if materialize:
+        e = e.persist()
+        nodes = nodes.persist()
+        od = od.persist()
+    base = unit * (100 - damping_pct) // 100
+    ranks = nodes.select("node", F.lit(int(unit)).cast("long").alias("rank"))
+    prev = None
+    for _ in range(iters):
+        contribs = (
+            e.join(ranks.withColumnRenamed("node", "src"), "src")
+            .join(od, "src")
+            .select(
+                F.col("dst").alias("node"),
+                _idiv(F.col("rank"), F.col("outdeg")).alias("c"),
+            )
+        )
+        s = contribs.groupBy("node").agg(F.sum("c").alias("s"))
+        new = nodes.join(s, "node", "left").select(
+            "node",
+            (
+                F.lit(int(base))
+                + _idiv(
+                    F.lit(int(damping_pct))
+                    * F.coalesce(F.col("s"), F.lit(0).cast("long")),
+                    F.lit(100),
+                )
+            ).alias("rank"),
+        )
+        if materialize:
+            new = new.persist()
+            new.count()
+            if prev is not None:
+                prev.unpersist()
+            prev = new
+        ranks = new
+    if materialize:
+        e.unpersist()
+        nodes.unpersist()
+        od.unpersist()
+    return ranks

@@ -3729,6 +3729,67 @@ def ngram_contamination_q(spark, sf_dir):
     return ngram_contamination(train, eval_df)
 
 
+def _pagerank_sql(*, iters: int = 3, k: int = 20) -> str:
+    """DuckDB twin of engine.extended.graph.pagerank over the
+    supplier↔customer shipping graph: integer micro-unit ranks, floor
+    divisions (DuckDB ``//`` = the engine's exact pmod-subtract division),
+    ``iters`` unrolled rounds — integer sums are shuffle-order-independent,
+    so even an iterative graph algorithm value-hash-checks exactly."""
+    parts = [
+        """
+    WITH le AS (
+      SELECT DISTINCT 'S' || CAST(l_suppkey AS VARCHAR) AS src,
+                      'C' || CAST(o_custkey AS VARCHAR) AS dst
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+    e AS (SELECT src, dst FROM le UNION SELECT dst, src FROM le),
+    nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+    od AS (SELECT src, COUNT(*) AS outdeg FROM e GROUP BY src),
+    r0 AS (SELECT node, CAST(1000000 AS BIGINT) AS rank FROM nodes)"""
+    ]
+    for it in range(iters):
+        parts.append(
+            f""",
+    c{it} AS (
+      SELECT e.dst AS node, CAST(SUM(r.rank // od.outdeg) AS BIGINT) AS s
+      FROM e JOIN r{it} r ON e.src = r.node JOIN od ON e.src = od.src
+      GROUP BY e.dst),
+    r{it + 1} AS (
+      SELECT n.node,
+             CAST(150000 + (85 * COALESCE(c.s, 0)) // 100 AS BIGINT) AS rank
+      FROM nodes n LEFT JOIN c{it} c ON n.node = c.node)"""
+        )
+    parts.append(
+        f"""
+    SELECT node, rank FROM r{iters} ORDER BY rank DESC, node LIMIT {k}"""
+    )
+    return "".join(parts)
+
+
+@q("pagerank_topk", _pagerank_sql())
+def pagerank_topk(spark, sf_dir):
+    """Link-graph authority: 3 PageRank rounds over the supplier↔customer
+    shipping graph (both directions, distinct edges), top 20 nodes.  Ranks
+    are integer micro-units with floor divisions, so the iterative result
+    is shuffle-order-independent and oracle-exact — the crawl-authority
+    computation a corpus pipeline runs over its domain link graph."""
+    from engine.extended.graph import pagerank
+
+    li = t(spark, sf_dir, "lineitem")
+    o = t(spark, sf_dir, "orders")
+    fwd = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .select(
+            F.concat(F.lit("S"), F.col("l_suppkey").cast("string")).alias("src"),
+            F.concat(F.lit("C"), F.col("o_custkey").cast("string")).alias("dst"),
+        )
+        .distinct()
+    )
+    edges = fwd.union(fwd.select(F.col("dst").alias("src"), F.col("src").alias("dst"))).distinct()
+    ranks = pagerank(edges, iters=3)
+    out = ranks.orderBy(F.col("rank").desc(), "node").limit(20)
+    return out
+
+
 def _bpe_sql(rounds: int, final: str) -> str:
     """DuckDB twin of bpe_train (engine/extended/bpe.py): word frequencies,
     space-framed double-space-joined char sequences, then ``rounds``
