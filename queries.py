@@ -3729,6 +3729,182 @@ def ngram_contamination_q(spark, sf_dir):
     return ngram_contamination(train, eval_df)
 
 
+def _ivfpq_sql(
+    *,
+    n_lists: int = 8,
+    ivf_iters: int = 2,
+    m: int = 4,
+    ksub: int = 8,
+    pq_iters: int = 2,
+    dsub: int = 16,
+    nprobe: int = 3,
+    k: int = 10,
+    qid: int = 7,
+) -> str:
+    """DuckDB twin of the composed IVF-PQ probe (the FAISS IVFADC layout):
+    the seeded-IVF CTE chain (``i_*``) assigns every vector to a coarse
+    list and ranks the query's ``nprobe`` nearest lists; the seeded-PQ
+    chain (``p_*``) learns global codebooks and codes; the final select
+    ADC-scores ONLY vectors whose list is probed.  Codebooks are global
+    (not per-list residuals) — documented simplification, same answer
+    shape."""
+    dist = (
+        "list_sum(list_transform(list_zip({a}, {b}), "
+        "z -> (CAST(z[1] AS DOUBLE) - z[2]) * (CAST(z[1] AS DOUBLE) - z[2])))"
+    )
+    parts = [
+        f"""
+    WITH pts AS (
+      SELECT vec_id,
+             list_transform(embedding,
+               x -> CAST(round(CAST(x AS DOUBLE) * 1000000.0) AS BIGINT)) AS q
+      FROM embeddings WHERE embedding IS NOT NULL),
+    i_seeds AS (
+      SELECT q, ROW_NUMBER() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1 AS cid
+      FROM (SELECT vec_id, q FROM pts
+            ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT {n_lists})),
+    i_c0 AS (SELECT cid, list_transform(q, x -> CAST(x AS DOUBLE)) AS c FROM i_seeds)"""
+    ]
+    for it in range(ivf_iters):
+        parts.append(
+            f""",
+    i_a{it} AS (
+      SELECT vec_id, q, cid FROM (
+        SELECT p.vec_id, p.q, c.cid,
+               ROW_NUMBER() OVER (PARTITION BY p.vec_id
+                 ORDER BY {dist.format(a='p.q', b='c.c')}, c.cid) AS rn
+        FROM pts p CROSS JOIN i_c{it} c) WHERE rn = 1),
+    i_s{it} AS (
+      SELECT cid, i, SUM(x) AS s, COUNT(*) AS cnt FROM (
+        SELECT cid, generate_subscripts(q, 1) AS i, UNNEST(q) AS x FROM i_a{it})
+      GROUP BY cid, i),
+    i_n{it} AS (SELECT cid, list(CAST(s AS DOUBLE) / CAST(cnt AS DOUBLE) ORDER BY i) AS c
+                FROM i_s{it} GROUP BY cid),
+    i_c{it + 1} AS (SELECT i_c{it}.cid, COALESCE(i_n{it}.c, i_c{it}.c) AS c
+                    FROM i_c{it} LEFT JOIN i_n{it} ON i_c{it}.cid = i_n{it}.cid)"""
+        )
+    icf = f"i_c{ivf_iters}"
+    parts.append(
+        f""",
+    i_af AS (
+      SELECT vec_id, cid FROM (
+        SELECT p.vec_id, c.cid,
+               ROW_NUMBER() OVER (PARTITION BY p.vec_id
+                 ORDER BY {dist.format(a='p.q', b='c.c')}, c.cid) AS rn
+        FROM pts p CROSS JOIN {icf} c) WHERE rn = 1),
+    qq AS (SELECT q FROM pts
+           WHERE vec_id = (SELECT MIN(vec_id) FROM pts WHERE vec_id >= {qid})),
+    i_probe AS (
+      SELECT cid FROM (
+        SELECT c.cid,
+               ROW_NUMBER() OVER (ORDER BY {dist.format(a='qq.q', b='c.c')}, c.cid) AS rn
+        FROM {icf} c CROSS JOIN qq) WHERE rn <= {nprobe}),
+    sjs AS (SELECT UNNEST(range(0, {m})) AS sj),
+    p_seeds AS (
+      SELECT q, ROW_NUMBER() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1 AS cid
+      FROM (SELECT vec_id, q FROM pts
+            ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT {ksub})),
+    p_sub AS (
+      SELECT vec_id, sj,
+             list_slice(q, sj * {dsub} + 1, sj * {dsub} + {dsub}) AS subq
+      FROM pts CROSS JOIN sjs),
+    p_c0 AS (
+      SELECT sj, cid,
+             list_transform(list_slice(q, sj * {dsub} + 1, sj * {dsub} + {dsub}),
+                            x -> CAST(x AS DOUBLE)) AS c
+      FROM p_seeds CROSS JOIN sjs)"""
+    )
+    for it in range(pq_iters):
+        parts.append(
+            f""",
+    p_a{it} AS (
+      SELECT vec_id, sj, subq, cid FROM (
+        SELECT s.vec_id, s.sj, s.subq, c.cid,
+               ROW_NUMBER() OVER (PARTITION BY s.vec_id, s.sj
+                 ORDER BY {dist.format(a='s.subq', b='c.c')}, c.cid) AS rn
+        FROM p_sub s JOIN p_c{it} c ON s.sj = c.sj) WHERE rn = 1),
+    p_s{it} AS (
+      SELECT sj, cid, i, SUM(x) AS s, COUNT(*) AS cnt FROM (
+        SELECT sj, cid, generate_subscripts(subq, 1) AS i, UNNEST(subq) AS x FROM p_a{it})
+      GROUP BY sj, cid, i),
+    p_n{it} AS (SELECT sj, cid, list(CAST(s AS DOUBLE) / CAST(cnt AS DOUBLE) ORDER BY i) AS c
+                FROM p_s{it} GROUP BY sj, cid),
+    p_c{it + 1} AS (SELECT p_c{it}.sj, p_c{it}.cid, COALESCE(p_n{it}.c, p_c{it}.c) AS c
+                    FROM p_c{it} LEFT JOIN p_n{it}
+                    ON p_c{it}.sj = p_n{it}.sj AND p_c{it}.cid = p_n{it}.cid)"""
+        )
+    pcf = f"p_c{pq_iters}"
+    parts.append(
+        f""",
+    p_af AS (
+      SELECT vec_id, sj, cid FROM (
+        SELECT s.vec_id, s.sj, c.cid,
+               ROW_NUMBER() OVER (PARTITION BY s.vec_id, s.sj
+                 ORDER BY {dist.format(a='s.subq', b='c.c')}, c.cid) AS rn
+        FROM p_sub s JOIN {pcf} c ON s.sj = c.sj) WHERE rn = 1),
+    p_qsub AS (
+      SELECT sj, list_slice(q, sj * {dsub} + 1, sj * {dsub} + {dsub}) AS subq
+      FROM qq CROSS JOIN sjs),
+    p_lut AS (
+      SELECT c.sj, c.cid, {dist.format(a='p_qsub.subq', b='c.c')} AS d
+      FROM {pcf} c JOIN p_qsub ON c.sj = p_qsub.sj)
+    SELECT p_af.vec_id,
+           ROUND(list_sum(list(p_lut.d ORDER BY p_lut.sj)) / 1000000000000.0, 6) AS adist
+    FROM p_af
+    JOIN i_af ON p_af.vec_id = i_af.vec_id
+    JOIN p_lut ON p_af.sj = p_lut.sj AND p_af.cid = p_lut.cid
+    WHERE i_af.cid IN (SELECT cid FROM i_probe)
+    GROUP BY p_af.vec_id
+    ORDER BY adist ASC NULLS LAST, p_af.vec_id
+    LIMIT {k}"""
+    )
+    return "".join(parts)
+
+
+@q("ann_ivfpq_topk", _ivfpq_sql())
+def ann_ivfpq_topk(spark, sf_dir):
+    """The composed IVF-PQ probe — the FAISS IVFADC index layout on Spark:
+    the seeded coarse quantizer prunes the scan to 3 of 8 lists (partition
+    pruning when the table is written partitionBy(ivf_list)), and the
+    survivors are scored from 4-byte PQ codes by table lookup — at 100 TB
+    the query touches nprobe/n_lists of the data and reads only the code
+    column.  Pure composition of ivf_build_seeded + pq_train_seeded +
+    pq_encode + pq_adc_topk; global codebooks (not per-list residuals —
+    documented simplification)."""
+    from engine.extended.similarity import (
+        ivf_build_seeded,
+        pq_adc_topk,
+        pq_encode,
+        pq_train_seeded,
+        quantized_vec,
+    )
+
+    emb = t(spark, sf_dir, "embeddings")
+    qrows = (
+        emb.filter(F.col("embedding").isNotNull() & (F.col("vec_id") >= 7))
+        .orderBy("vec_id")
+        .limit(1)
+        .select(quantized_vec("embedding").alias("qq"))
+        .collect()
+    )
+    if not qrows:
+        return emb.select("vec_id", F.lit(None).cast("double").alias("adist")).limit(0)
+    qq = [int(x) for x in qrows[0]["qq"]]
+    assigned, cents = ivf_build_seeded(emb, n_lists=8, iters=2, dim=len(qq))
+    dists = []
+    for j, c in enumerate(cents):
+        d = 0.0
+        for x, y in zip(qq, c):
+            d = d + (float(x) - y) * (float(x) - y)
+        dists.append((d, j))
+    probe_lists = [j for _, j in sorted(dists)[:3]]
+    cb = pq_train_seeded(emb, m=4, ksub=8, iters=2, dim=len(qq))
+    enc = pq_encode(assigned, cb)
+    return pq_adc_topk(
+        enc.filter(F.col("ivf_list").isin(probe_lists)), cb, qq, k=10
+    )
+
+
 def _pagerank_sql(*, iters: int = 3, k: int = 20) -> str:
     """DuckDB twin of engine.extended.graph.pagerank over the
     supplier↔customer shipping graph: integer micro-unit ranks, floor
