@@ -3729,6 +3729,47 @@ def ngram_contamination_q(spark, sf_dir):
     return ngram_contamination(train, eval_df)
 
 
+def _funnel_sql(steps: list[str], *, window_days: int = 7) -> str:
+    """DuckDB twin of engine.extended.funnel.funnel_steps: per-step cohort
+    CTEs (first occurrence strictly after the previous step's, within the
+    window), counts unioned in step order."""
+    parts = [
+        f"""
+    WITH s1 AS (
+      SELECT user_id, MIN(ts) AS t FROM events
+      WHERE event_type = '{steps[0]}' GROUP BY user_id)"""
+    ]
+    for i in range(1, len(steps)):
+        parts.append(
+            f""",
+    s{i + 1} AS (
+      SELECT e.user_id, MIN(e.ts) AS t
+      FROM events e JOIN s{i} p ON e.user_id = p.user_id
+      WHERE e.event_type = '{steps[i]}'
+        AND e.ts > p.t AND e.ts <= p.t + INTERVAL {window_days} DAY
+      GROUP BY e.user_id)"""
+        )
+    selects = [
+        f"SELECT {i + 1} AS step, '{s}' AS step_name, COUNT(*) AS n_users FROM s{i + 1}"
+        for i, s in enumerate(steps)
+    ]
+    parts.append("\n    " + "\n    UNION ALL ".join(selects))
+    return "".join(parts)
+
+
+@q("funnel_conversion", _funnel_sql(["view", "click", "purchase"]))
+def funnel_conversion_q(spark, sf_dir):
+    """Sequential funnel over the event stream: users whose first view is
+    followed by a first click, then a first purchase, each strictly later
+    and within 7 days of the previous step.  Step k joins the shrinking
+    user-cardinality cohort, never event×event — the funnel shape that
+    holds at 100 TB of events."""
+    from engine.extended.funnel import funnel_steps
+
+    e = t(spark, sf_dir, "events")
+    return funnel_steps(e, ["view", "click", "purchase"], window_days=7)
+
+
 def _ivfpq_sql(
     *,
     n_lists: int = 8,
