@@ -50,6 +50,7 @@ __all__ = [
     "bloom_bit_words",
     "bloom_member",
     "bloom_contamination",
+    "pmi_collocations",
 ]
 
 #: (name, regex, replacement) applied IN ORDER.  Patterns are written in the
@@ -845,4 +846,65 @@ def bloom_contamination(
             ).alias("bloom_rate"),
         )
         .withColumnRenamed("id", id_col)
+    )
+
+
+def pmi_collocations(
+    df: DataFrame,
+    *,
+    text_col: str = "text",
+    min_count: int = 5,
+    k: int = 20,
+) -> DataFrame:
+    """Collocation mining: the ``k`` adjacent token pairs with the highest
+    pointwise mutual information — ``ln(p(a,b) / (p(a)·p(b)))`` over corpus
+    unigram/bigram frequencies.  The phrase-discovery pass that seeds
+    multi-word vocabulary entries and n-gram merge candidates.
+
+    ``min_count`` floors the bigram count (PMI is noise for rare pairs);
+    ranking uses the ROUNDED score with (a, b) tie-breaks, the same
+    ulp-stability discipline as tfidf_top_terms.
+
+    Shape: two explode→aggregate pipelines (unigrams, adjacent bigrams),
+    both map-side partial-aggregated; totals are 1-row broadcast cross
+    joins; the bigram table joins the vocabulary-sized unigram table
+    twice on the token key.  Nothing corpus-sized crosses the wire after
+    the first aggregates.
+    """
+    toklist = df.select(tokens(text_col).alias("__toks"))
+    uni = toklist.select(F.explode("__toks").alias("w"))
+    ucnt = uni.groupBy("w").agg(F.count(F.lit(1)).alias("uc"))
+    un = ucnt.agg(F.sum("uc").alias("n"))
+    # guard: sequence(1, 0) is DESCENDING in Spark (the BPE pair-count
+    # trap) — docs with < 2 tokens have no bigrams
+    idx = F.when(
+        F.size("__toks") >= 2, F.sequence(F.lit(1), F.size("__toks") - 1)
+    ).otherwise(F.array().cast("array<int>"))
+    bi = toklist.select("__toks", F.explode(idx).alias("i")).select(
+        F.element_at("__toks", F.col("i")).alias("a"),
+        F.element_at("__toks", F.col("i") + 1).alias("b"),
+    )
+    bcnt = bi.groupBy("a", "b").agg(F.count(F.lit(1)).alias("pair_count"))
+    bn = bcnt.agg(F.sum("pair_count").alias("m"))
+    ua = ucnt.select(F.col("w").alias("a"), F.col("uc").alias("ca"))
+    ub = ucnt.select(F.col("w").alias("b"), F.col("uc").alias("cb"))
+    pmi = F.round(
+        F.log(
+            (F.col("pair_count") * F.lit(1.0) / F.col("m"))
+            / (
+                (F.col("ca") * F.lit(1.0) / F.col("n"))
+                * (F.col("cb") * F.lit(1.0) / F.col("n"))
+            )
+        ),
+        4,
+    )
+    return (
+        bcnt.filter(F.col("pair_count") >= min_count)
+        .join(ua, "a")
+        .join(ub, "b")
+        .crossJoin(F.broadcast(un))
+        .crossJoin(F.broadcast(bn))
+        .select("a", "b", "pair_count", pmi.alias("pmi"))
+        .orderBy(F.col("pmi").desc(), "a", "b")
+        .limit(k)
     )

@@ -42,6 +42,7 @@ __all__ = [
     "quantize_int8",
     "dequantize_int8",
     "matryoshka_truncate",
+    "jl_project",
 ]
 
 
@@ -831,3 +832,42 @@ def matryoshka_truncate(
         # value hashes — see centroids_by); identity for every other value
         scaled = F.transform(scaled, lambda x: F.round(x, round_to) + F.lit(0.0))
     return out.withColumn(out_col, scaled).drop("__mrl_head", "__mrl_nrm")
+
+
+def jl_project(
+    df: DataFrame,
+    out_dim: int,
+    *,
+    vec_col: str = "embedding",
+    out_col: str = "jl_vec",
+    dim: int = 64,
+    round_to: int | None = 6,
+) -> DataFrame:
+    """Johnson-Lindenstrauss random projection: multiply every vector by a
+    fixed ``out_dim × dim`` matrix of deterministic pseudo-random entries
+    (the splitmix hyperplane family shared with the sign-LSH ops) scaled by
+    ``sqrt(3 / out_dim)`` so uniform[-1,1) entries (variance 1/3) preserve
+    expected norms — the DATA-INDEPENDENT reduction tier: unlike
+    matryoshka_truncate it needs no trained embedding structure, and
+    unlike PQ it needs no codebooks, so it applies to any vector column
+    on first contact.
+
+    Pure per-row expressions (``out_dim`` fixed-order dot folds), zero
+    shuffle; NULL vectors project to NULL.  ``round_to`` rounds components
+    (+0.0 canonicalizes IEEE negative zero) for oracle-exact comparison.
+    """
+    if out_dim < 1 or out_dim > dim:
+        raise ValueError(f"out_dim must be in [1, {dim}], got {out_dim}")
+    from engine.extended.dedup import _dot, _unit_hyperplanes
+
+    planes = _unit_hyperplanes(dim, out_dim)
+    scale = (3.0 / out_dim) ** 0.5
+    comps = []
+    for p in planes:
+        c = _dot(F.col(vec_col), p) * F.lit(scale)
+        if round_to is not None:
+            c = F.round(c, round_to) + F.lit(0.0)
+        comps.append(c)
+    return df.withColumn(
+        out_col, F.when(F.col(vec_col).isNotNull(), F.array(*comps))
+    )

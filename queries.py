@@ -3729,6 +3729,84 @@ def ngram_contamination_q(spark, sf_dir):
     return ngram_contamination(train, eval_df)
 
 
+def _jl_sql(*, dim: int = 64, out_dim: int = 8) -> str:
+    """DuckDB twin of jl_project: the deterministic splitmix hyperplanes
+    inlined as literals (full-precision repr round-trips to the same
+    double), per-component fixed-order dot fold × the sqrt(3/out_dim)
+    scale, rounded + negative-zero-canonicalized like the Spark side."""
+    from engine.extended.dedup import _unit_hyperplanes
+
+    planes = _unit_hyperplanes(dim, out_dim)
+    scale = repr((3.0 / out_dim) ** 0.5)
+    comps = []
+    for p in planes:
+        lit = "list_value(" + ", ".join(repr(float(v)) for v in p) + ")"
+        comps.append(
+            f"ROUND(list_sum(list_transform(list_zip(embedding, {lit}), "
+            f"z -> CAST(z[1] AS DOUBLE) * z[2])) * {scale}, 6) + 0.0"
+        )
+    comps_sql = ",\n             ".join(comps)
+    return f"""
+    SELECT vec_id,
+           CASE WHEN embedding IS NOT NULL THEN list_value(
+             {comps_sql})
+           END AS jl_vec
+    FROM embeddings"""
+
+
+@q("embedding_jl_project", _jl_sql())
+def embedding_jl_project_q(spark, sf_dir):
+    """Johnson-Lindenstrauss projection 64→8: the data-independent
+    dimensionality-reduction tier (no trained structure like Matryoshka,
+    no codebooks like PQ — applies to any vector column on first contact).
+    Pure per-row codegen, zero shuffle."""
+    from engine.extended.similarity import jl_project
+
+    emb = t(spark, sf_dir, "embeddings")
+    return jl_project(emb, 8, dim=64).select("vec_id", "jl_vec")
+
+
+@q(
+    "pmi_collocations",
+    """
+    WITH toklist AS (
+      SELECT list_transform(regexp_extract_all(text, '[A-Za-z0-9'']+'),
+                            x -> LOWER(x)) AS toks
+      FROM documents),
+    ucnt AS (
+      SELECT w, COUNT(*) AS uc FROM (SELECT UNNEST(toks) AS w FROM toklist)
+      GROUP BY w),
+    un AS (SELECT SUM(uc) AS n FROM ucnt),
+    bcnt AS (
+      SELECT a, b, COUNT(*) AS pair_count FROM (
+        SELECT toks[i] AS a, toks[i + 1] AS b
+        FROM (SELECT toks, UNNEST(range(1, len(toks))) AS i
+              FROM toklist WHERE len(toks) >= 2))
+      GROUP BY a, b),
+    bn AS (SELECT SUM(pair_count) AS m FROM bcnt)
+    SELECT a, b, pair_count,
+           ROUND(LN((pair_count * 1.0 / bn.m)
+                    / ((ua.uc * 1.0 / un.n) * (ub.uc * 1.0 / un.n))), 4) AS pmi
+    FROM bcnt
+    JOIN ucnt ua ON bcnt.a = ua.w
+    JOIN ucnt ub ON bcnt.b = ub.w
+    CROSS JOIN un CROSS JOIN bn
+    WHERE pair_count >= 5
+    ORDER BY pmi DESC, a, b
+    LIMIT 20
+    """,
+)
+def pmi_collocations_q(spark, sf_dir):
+    """Collocation mining: top-20 adjacent token pairs by pointwise mutual
+    information (count floor 5) — the phrase-discovery pass that seeds
+    multi-word vocabulary entries.  Ranked by the ROUNDED score so
+    cross-engine ln() ulp differences cannot flip the order."""
+    from engine.extended.curation import pmi_collocations
+
+    d = t(spark, sf_dir, "documents")
+    return pmi_collocations(d, min_count=5, k=20)
+
+
 def _funnel_sql(steps: list[str], *, window_days: int = 7) -> str:
     """DuckDB twin of engine.extended.funnel.funnel_steps: per-step cohort
     CTEs (first occurrence strictly after the previous step's, within the

@@ -262,3 +262,74 @@ def test_bloom_member_null_key_probes_null(spark):
     ).collect()
     assert got[0]["m"] is True
     assert got[1]["m"] is None
+
+
+# ---------------------------------------------------------------------------
+# PMI collocations / JL projection
+# ---------------------------------------------------------------------------
+
+
+def test_pmi_hand_computed(spark):
+    """5 docs of exactly 'new york': p(a,b)=1, p(new)=p(york)=1/2 →
+    PMI = ln(4) = 1.3863."""
+    from engine.extended.curation import pmi_collocations
+
+    d = spark.createDataFrame(
+        [(i, "new york") for i in range(5)], "doc_id long, text string"
+    )
+    got = pmi_collocations(d, min_count=5, k=10).collect()
+    assert len(got) == 1
+    r = got[0]
+    assert (r["a"], r["b"], r["pair_count"]) == ("new", "york", 5)
+    assert r["pmi"] == 1.3863
+
+
+def test_pmi_min_count_floor(spark):
+    from engine.extended.curation import pmi_collocations
+
+    d = spark.createDataFrame(
+        [(0, "rare pair"), (1, "other words entirely")],
+        "doc_id long, text string",
+    )
+    assert pmi_collocations(d, min_count=2, k=10).collect() == []
+
+
+def test_jl_project_matches_python_fold(spark):
+    import math
+
+    from engine.extended.dedup import _unit_hyperplanes
+    from engine.extended.similarity import jl_project
+
+    vec = [float(i % 7) - 3.0 for i in range(16)]
+    d = spark.createDataFrame(
+        [(0, vec), (1, None)], "vec_id long, embedding array<float>"
+    )
+    got = {r["vec_id"]: r["jl_vec"] for r in jl_project(d, 4, dim=16).collect()}
+    assert got[1] is None
+    planes = _unit_hyperplanes(16, 4)
+    scale = math.sqrt(3.0 / 4)
+    import numpy as np
+
+    f32 = [float(np.float32(v)) for v in vec]
+    want = []
+    for p in planes:
+        s = 0.0
+        for x, y in zip(f32, p):
+            s = s + x * y
+        want.append(round(s * scale, 6) + 0.0)
+    assert got[0] == want
+    assert len(got[0]) == 4
+
+
+def test_jl_project_validation_and_plan(spark):
+    import pytest
+
+    from engine.extended.similarity import jl_project
+
+    d = spark.createDataFrame([(0, [1.0] * 8)], "vec_id long, embedding array<float>")
+    with pytest.raises(ValueError, match="out_dim"):
+        jl_project(d, 0, dim=8)
+    with pytest.raises(ValueError, match="out_dim"):
+        jl_project(d, 9, dim=8)
+    plan = jl_project(d, 2, dim=8)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
