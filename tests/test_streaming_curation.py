@@ -127,3 +127,56 @@ def test_streaming_curation_with_url_and_mojibake_normalization(spark, tmp_path)
     survivor = (set(by_id) & {11, 12}).pop()
     # both variants canonicalize to the same URL key
     assert by_id[survivor]["canon_url"] == "http://site.com/a"
+
+
+def test_streaming_bloom_decontamination_gate(spark, tmp_path):
+    """The Bloom probe as a STREAMING ingest gate: the filter is built once
+    from the (static) eval corpus and applied per micro-batch as a pure
+    expression — a contaminated doc (shares its shingles with the eval set)
+    is dropped in-stream, clean docs pass.  No joins, no state: the gate
+    costs the same whether the eval suite has 10^2 or 10^9 shingles."""
+    from engine.extended.curation import bloom_bit_words, bloom_member
+    from engine.extended.text import ngrams_from, tokens
+    from engine.streaming.incremental import run_available_now
+
+    eval_df = spark.createDataFrame(
+        [(100, "the quick brown fox jumps over the lazy dog")],
+        "doc_id long, text string",
+    )
+    eval_sh = eval_df.select(tokens("text").alias("__toks")).select(
+        F.explode(ngrams_from(F.col("__toks"), 3)).alias("sh")
+    )
+    words = bloom_bit_words(eval_sh, key_col="sh")
+
+    src_dir = str(tmp_path / "in")
+    spark.createDataFrame(
+        [
+            (1, "2024-01-01 00:00:00",
+             "report the quick brown fox jumps over everything"),  # contaminated
+            (2, "2024-01-01 00:05:00", "entirely unrelated corpus content here"),
+        ],
+        "doc_id long, ts_s string, text string",
+    ).withColumn("ts", F.col("ts_s").cast("timestamp")).write.mode(
+        "overwrite"
+    ).parquet(src_dir)
+
+    stream = spark.readStream.schema(
+        "doc_id long, ts_s string, text string, ts timestamp"
+    ).parquet(src_dir)
+    toked = stream.select("doc_id", "ts", tokens("text").alias("__toks"))
+    # per-ROW gate: ANY shingle hitting the filter marks the doc — a
+    # stateless exists() over the shingle array, no aggregation, no state
+    contaminated = F.exists(
+        ngrams_from(F.col("__toks"), 3), lambda sh: bloom_member(sh, words)
+    )
+    gated = toked.select("doc_id", "ts", contaminated.alias("hit"))
+
+    seen: list = []
+    run_available_now(
+        gated,
+        lambda df: df.filter(~F.col("hit")).select("doc_id"),
+        lambda df, bid: seen.extend(df.collect()),
+        str(tmp_path / "ckpt3"),
+        query_name="bloom-stream-test",
+    )
+    assert {r["doc_id"] for r in seen} == {2}
