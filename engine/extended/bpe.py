@@ -34,7 +34,7 @@ from pyspark.sql import functions as F
 
 from engine.extended.text import tokens
 
-__all__ = ["char_seq", "word_frequencies", "bpe_train", "bpe_apply"]
+__all__ = ["char_seq", "word_frequencies", "bpe_train", "bpe_apply", "rules_df"]
 
 
 def char_seq(tok: Column | str) -> Column:
@@ -134,6 +134,10 @@ def bpe_train(
                 F.col("seq"), F.lit(f" {l}  {r} "), F.lit(f" {l}{r} ")
             ).alias("seq"),
         ).persist()
+        # materialize the merged table BEFORE dropping its parent's cache —
+        # unpersisting first would leave every later round recomputing from
+        # the corpus (the pagerank persist→force→unpersist-prev discipline)
+        merged_words.count()
         words.unpersist()
         words = merged_words
     return rules, words

@@ -33,6 +33,7 @@ __all__ = [
     "ivf_topk",
     "ivf_build_seeded",
     "ivf_topk_seeded",
+    "probe_lists_seeded",
     "quantized_vec",
     "pq_train_seeded",
     "pq_encode",
@@ -308,6 +309,23 @@ def ivf_build_seeded(
     return assigned, cents
 
 
+def probe_lists_seeded(
+    cents: list[list[float]], query_qvec: list[float], nprobe: int
+) -> list[int]:
+    """The ``nprobe`` centroid ids nearest the QUANTIZED query by squared
+    euclidean distance — the driver-side ranking shared by
+    :func:`ivf_topk_seeded` and the composed IVF-PQ probe.  The fold is
+    left-to-right over exact ints vs centroid doubles, the determinism
+    contract every consumer's oracle replays; keep ONE copy."""
+    dists = []
+    for j, c in enumerate(cents):
+        d = 0.0
+        for x, y in zip(query_qvec, c):
+            d = d + (float(x) - y) * (float(x) - y)
+        dists.append((d, j))
+    return [j for _, j in sorted(dists)[:nprobe]]
+
+
 def ivf_topk_seeded(
     assigned: DataFrame,
     cents: list[list[float]],
@@ -328,13 +346,7 @@ def ivf_topk_seeded(
     The list filter is a literal ``isin`` — partition pruning when the
     table is written ``partitionBy(ivf_list)``, same contract as
     :func:`ivf_topk`."""
-    dists = []
-    for j, c in enumerate(cents):
-        d = 0.0
-        for x, y in zip(query_qvec, c):
-            d = d + (float(x) - y) * (float(x) - y)
-        dists.append((d, j))
-    probe_lists = [j for _, j in sorted(dists)[:nprobe]]
+    probe_lists = probe_lists_seeded(cents, query_qvec, nprobe)
     q = F.array(*[F.lit(float(x)) for x in query_vec])
     sim = F.round(cosine(F.col(vec_col), q), round_to)
     return (

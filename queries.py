@@ -3995,6 +3995,7 @@ def ann_ivfpq_topk(spark, sf_dir):
         pq_adc_topk,
         pq_encode,
         pq_train_seeded,
+        probe_lists_seeded,
         quantized_vec,
     )
 
@@ -4010,13 +4011,7 @@ def ann_ivfpq_topk(spark, sf_dir):
         return emb.select("vec_id", F.lit(None).cast("double").alias("adist")).limit(0)
     qq = [int(x) for x in qrows[0]["qq"]]
     assigned, cents = ivf_build_seeded(emb, n_lists=8, iters=2, dim=len(qq))
-    dists = []
-    for j, c in enumerate(cents):
-        d = 0.0
-        for x, y in zip(qq, c):
-            d = d + (float(x) - y) * (float(x) - y)
-        dists.append((d, j))
-    probe_lists = [j for _, j in sorted(dists)[:3]]
+    probe_lists = probe_lists_seeded(cents, qq, 3)
     cb = pq_train_seeded(emb, m=4, ksub=8, iters=2, dim=len(qq))
     enc = pq_encode(assigned, cb)
     return pq_adc_topk(
@@ -4080,7 +4075,10 @@ def pagerank_topk(spark, sf_dir):
         .distinct()
     )
     edges = fwd.union(fwd.select(F.col("dst").alias("src"), F.col("src").alias("dst"))).distinct()
-    ranks = pagerank(edges, iters=3)
+    # lazy mode: the registry sweep runs hundreds of queries in one session,
+    # and a persisted result frame would stay cached for all of them (the
+    # materialized mode is the >1-executor scale path, exercised in pytest)
+    ranks = pagerank(edges, iters=3, materialize=False)
     out = ranks.orderBy(F.col("rank").desc(), "node").limit(20)
     return out
 
@@ -4117,9 +4115,10 @@ def _bpe_sql(rounds: int, final: str) -> str:
     b{r} AS (SELECT lhs, rhs, c FROM p{r} ORDER BY c DESC, lhs, rhs LIMIT 1),
     w{r + 1} AS (
       SELECT cnt,
-             REPLACE(seq, ' ' || lhs || '  ' || rhs || ' ',
-                     ' ' || lhs || rhs || ' ') AS seq
-      FROM w{r} CROSS JOIN b{r})"""
+             CASE WHEN b.lhs IS NULL THEN seq
+                  ELSE REPLACE(seq, ' ' || b.lhs || '  ' || b.rhs || ' ',
+                               ' ' || b.lhs || b.rhs || ' ') END AS seq
+      FROM w{r} LEFT JOIN b{r} b ON TRUE)"""
         )
     parts.append(final)
     return "".join(parts)
@@ -4183,6 +4182,11 @@ def bpe_symbol_stats_q(spark, sf_dir):
         .orderBy(F.col("n").desc(), "sym")
         .limit(30)
     )
+    # release the training cache now: the registry sweep would otherwise
+    # strand it for the whole session.  The result recomputes the (small)
+    # word table once at collect time — the training collects already ran
+    # against the cache.
+    words.unpersist()
     return out
 
 

@@ -97,3 +97,43 @@ def test_bpe_apply_is_shuffle_free(spark):
         bpe_apply(d, rules)._jdf.queryExecution().executedPlan().toString()
     )
     assert "Exchange" not in plan
+
+
+def test_bpe_oracle_parity_when_merges_exhaust(spark):
+    """The divergence a review caught: when the vocabulary runs out of
+    pairs before the round budget, Spark's bpe_train breaks and KEEPS the
+    word table — the SQL twin's per-round merge must preserve it too (a
+    CROSS JOIN against the empty argmax wiped it to zero rows)."""
+    import duckdb
+    import pandas as pd
+
+    from queries import _bpe_sql
+
+    rows = [(0, "ab"), (1, "ab"), (2, "ab")]
+    d = spark.createDataFrame(rows, "doc_id long, text string")
+    rules, words = bpe_train(d, rounds=3)
+    assert [r["merged"] for r in rules] == ["ab"]  # merges exhaust at 1
+    from pyspark.sql import functions as F
+
+    syms = F.split(F.substring("seq", F.lit(2), F.length("seq") - 2), "  ")
+    spark_stats = sorted(
+        (r["sym"], r["n"])
+        for r in words.select("cnt", F.explode(syms).alias("sym"))
+        .groupBy("sym")
+        .agg(F.sum("cnt").alias("n"))
+        .collect()
+    )
+    words.unpersist()
+
+    con = duckdb.connect()
+    con.register("documents", pd.DataFrame(rows, columns=["doc_id", "text"]))
+    sql = _bpe_sql(
+        3,
+        """
+    SELECT sym, CAST(SUM(cnt) AS BIGINT) AS n FROM (
+      SELECT cnt, UNNEST(string_split(substr(seq, 2, length(seq) - 2), '  ')) AS sym
+      FROM w3)
+    GROUP BY sym ORDER BY sym""",
+    )
+    oracle_stats = sorted((r[0], r[1]) for r in con.execute(sql).fetchall())
+    assert spark_stats == oracle_stats == [("ab", 3)]
