@@ -50,6 +50,8 @@ __all__ = [
     "frame_sample",
     "resize_media",
     "fake_resizer",
+    "image_ahash",
+    "image_near_dup_pairs",
 ]
 
 #: codec signature: payload bytes -> decoded ndarray-ish bytes (opaque here)
@@ -371,3 +373,148 @@ def resize_media(
             )
 
     return df.mapInPandas(run, schema=RESIZED_SCHEMA)
+
+
+AHASH_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("mime", StringType()),
+        StructField("width", IntegerType()),
+        StructField("height", IntegerType()),
+        StructField("ahash", LongType()),
+    ]
+)
+
+
+def image_ahash(df: DataFrame, *, grid: int = 8, codec: Codec | None = None) -> DataFrame:
+    """Perceptual average-hash per image: decode, integer-grayscale,
+    nearest-neighbor subsample to ``grid×grid``, threshold each cell at the
+    grid mean → ``grid²`` bits (64 at the default).  The classic aHash —
+    robust to resizing/re-encoding, the entry-level image near-dup
+    fingerprint (dHash/pHash drop into the same seam).
+
+    All arithmetic is INTEGER (channel mean by floor division, strict-
+    greater threshold so ties are 0), so hashes are deterministic across
+    partitionings and platforms.  Rows whose payload is missing or whose
+    decode doesn't yield ``width·height·channels`` raw bytes (unknown
+    format, pass-through codec) get a NULL hash and survive the row —
+    one bad image never fails the job.
+
+    mapInPandas seam over (media_id, payload, mime); the output carries no
+    pixels — ``grid²`` bits per image is what ships to the dedup join.
+    """
+    if grid < 1 or grid * grid > 64:
+        raise ValueError(f"grid must be in [1, 8] (grid^2 bits <= 64), got {grid}")
+    from engine.extended.imagecodec import default_codec, parse_header
+
+    active = codec or default_codec
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            rows = []
+            for mid, payload, m in zip(b["media_id"], b["payload"], b["mime"]):
+                if payload is None:
+                    rows.append((mid, m, None, None, None))
+                    continue
+                data = bytes(payload)
+                hdr = parse_header(data)
+                w = hdr["width"] if hdr else None
+                h = hdr["height"] if hdr else None
+                ch = hdr["channels"] if hdr else None
+                decoded = active(data, m)
+                if not (w and h and ch) or len(decoded) != w * h * ch:
+                    rows.append((mid, m, w, h, None))
+                    continue
+                grays = []
+                for gy in range(grid):
+                    sy = gy * h // grid
+                    for gx in range(grid):
+                        sx = gx * w // grid
+                        off = (sy * w + sx) * ch
+                        px = decoded[off : off + ch]
+                        grays.append(sum(px) // ch)
+                mean = sum(grays) // (grid * grid)
+                bits = 0
+                for i, g in enumerate(grays):
+                    if g > mean:
+                        bits |= 1 << i
+                if bits >= 1 << 63:
+                    bits -= 1 << 64
+                rows.append((mid, m, w, h, bits))
+            yield pd.DataFrame(
+                rows, columns=["media_id", "mime", "width", "height", "ahash"]
+            )
+
+    return df.mapInPandas(run, schema=AHASH_SCHEMA)
+
+
+def image_near_dup_pairs(
+    hashes: DataFrame,
+    *,
+    max_hamming: int = 6,
+    id_col: str = "media_id",
+    hash_col: str = "ahash",
+    bucket_cap: int | None = 500,
+) -> DataFrame:
+    """Near-duplicate image pairs by aHash hamming distance — the SimHash
+    banding trick on the image fingerprint: the 64-bit hash splits into
+    4 × 16-bit chunks used as bucket keys, candidates are pairs agreeing
+    on ANY chunk, and candidates verify with ``bit_count(xor)``.  Pure
+    DataFrame ops after the hash UDF: one shuffle on the chunk key, pair
+    volume O(collisions), ``bucket_cap`` bounds identical-image floods
+    like every cap in the dedup family.
+
+    Recall note: by pigeonhole, a pair within hamming ≤ 3 MUST agree on
+    at least one of the 4 chunks, so recall is exact for
+    ``max_hamming < 4``; for 4-6 (the default radius) a pair could in
+    principle spread one differing bit into every chunk and be missed —
+    raise the chunk count (more bands of fewer bits) where higher radii
+    must be exhaustive, the same trade simhash_pairs documents.
+    """
+    if max_hamming < 0 or max_hamming > 64:
+        raise ValueError(f"max_hamming must be in [0, 64], got {max_hamming}")
+    base = hashes.filter(F.col(hash_col).isNotNull()).select(
+        F.col(id_col).alias("id"), F.col(hash_col).alias("h")
+    )
+    chunks = base.select(
+        "id",
+        "h",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(c).alias("chunk"),
+                        F.shiftrightunsigned(F.col("h"), c * 16)
+                        .bitwiseAND(F.lit(0xFFFF))
+                        .alias("ckey"),
+                    )
+                    for c in range(4)
+                ]
+            )
+        ).alias("cc"),
+    ).select("id", "h", F.col("cc.chunk").alias("chunk"), F.col("cc.ckey").alias("ckey"))
+    if bucket_cap:
+        from pyspark.sql import Window
+
+        wcap = Window.partitionBy("chunk", "ckey").orderBy("id")
+        chunks = (
+            chunks.withColumn("__bn", F.row_number().over(wcap))
+            .filter(F.col("__bn") <= bucket_cap)
+            .drop("__bn")
+        )
+    a = chunks.select(
+        F.col("chunk"), F.col("ckey"), F.col("id").alias("id_a"), F.col("h").alias("h_a")
+    )
+    bb = chunks.select(
+        F.col("chunk"), F.col("ckey"), F.col("id").alias("id_b"), F.col("h").alias("h_b")
+    )
+    cand = (
+        a.join(bb, ["chunk", "ckey"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "h_a", "h_b")
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    dist = F.bit_count(F.col("h_a").bitwiseXOR(F.col("h_b")))
+    return cand.select(
+        "id_a", "id_b", dist.alias("hamming")
+    ).filter(F.col("hamming") <= max_hamming)

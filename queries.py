@@ -1880,6 +1880,42 @@ def multimodal_decode(spark, sf_dir):
     ).orderBy("media_id")
 
 
+@q("image_near_dup")  # rows-only: the aHash fingerprint needs the pixel decode UDF
+def image_near_dup_q(spark, sf_dir):
+    """Image near-duplicate detection end to end: deterministic PNG corpus
+    (every doc_id % 50 == 0 gets its successor's image planted, so known
+    duplicate pairs exist) → stdlib decode → 64-bit average-hash (integer
+    arithmetic, platform-stable) → banded hamming pair join (4 × 16-bit
+    chunk buckets, bit_count verify).  Only the grid²-bit fingerprints
+    reach the join — at 100 TB of images the pair stage never touches
+    pixels."""
+    from engine.extended.multimodal import (
+        fake_png_corpus,
+        image_ahash,
+        image_near_dup_pairs,
+    )
+
+    d = t(spark, sf_dir, "documents")
+    donor = d.select(
+        (F.col("doc_id") - 1).alias("doc_id"), F.col("text").alias("__donor")
+    )
+    planted = (
+        d.select("doc_id", "text")
+        .join(donor, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.when(
+                (F.col("doc_id") % 50 == 0) & F.col("__donor").isNotNull(),
+                F.col("__donor"),
+            )
+            .otherwise(F.col("text"))
+            .alias("text"),
+        )
+    )
+    hashes = image_ahash(fake_png_corpus(planted))
+    return image_near_dup_pairs(hashes, max_hamming=6).orderBy("id_a", "id_b")
+
+
 # ===========================================================================
 # Flagship: the NEW_PATRONS relational chain mapped onto TPC-H columns
 # ===========================================================================

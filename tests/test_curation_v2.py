@@ -264,3 +264,74 @@ def test_fix_mojibake_repairs_and_is_idempotent(spark):
     assert got[0] == want
     assert got[1] == want  # idempotent on clean text
     assert got[2] is None
+
+
+# ---------------------------------------------------------------------------
+# Image perceptual hashing (aHash) + hamming near-dup pairs
+# ---------------------------------------------------------------------------
+
+
+def _gradient_png(w=16, h=16, flip=False, tweak_px=None):
+    from engine.extended.imagecodec import png_encode
+
+    px = bytearray()
+    for y in range(h):
+        for x in range(w):
+            v = (x * 255) // (w - 1)
+            if flip:
+                v = 255 - v
+            px.append(v)
+    if tweak_px is not None:
+        px[tweak_px] = 255 - px[tweak_px]
+    return png_encode(bytes(px), w, h, 1)
+
+
+def test_image_ahash_identical_and_near_images(spark):
+    from engine.extended.multimodal import image_ahash
+
+    rows = [
+        (1, _gradient_png(), "image/png"),
+        (2, _gradient_png(tweak_px=5), "image/png"),   # one pixel flipped
+        (3, _gradient_png(flip=True), "image/png"),    # inverse gradient
+        (4, None, "image/png"),                        # missing payload
+        (5, b"\x00\x01not-an-image", "application/octet-stream"),
+    ]
+    df = spark.createDataFrame(rows, "media_id long, payload binary, mime string")
+    got = {r["media_id"]: r for r in image_ahash(df).collect()}
+    assert got[1]["ahash"] is not None
+
+    def hd(a, b):  # hashes are SIGNED longs: mask before counting
+        return bin((a ^ b) & ((1 << 64) - 1)).count("1")
+
+    # a single flipped pixel moves at most one grid cell: hamming <= 1
+    assert hd(got[1]["ahash"], got[2]["ahash"]) <= 1
+    # the inverse gradient flips every thresholded cell: far away
+    assert hd(got[1]["ahash"], got[3]["ahash"]) > 20
+    assert got[4]["ahash"] is None  # missing payload survives with null
+    assert got[5]["ahash"] is None  # undecodable bytes survive with null
+
+
+def test_image_near_dup_pairs_finds_only_the_near_pair(spark):
+    from engine.extended.multimodal import image_ahash, image_near_dup_pairs
+
+    rows = [
+        (1, _gradient_png(), "image/png"),
+        (2, _gradient_png(tweak_px=5), "image/png"),
+        (3, _gradient_png(flip=True), "image/png"),
+    ]
+    df = spark.createDataFrame(rows, "media_id long, payload binary, mime string")
+    pairs = image_near_dup_pairs(image_ahash(df), max_hamming=3).collect()
+    assert [(r["id_a"], r["id_b"]) for r in pairs] == [(1, 2)]
+    assert pairs[0]["hamming"] <= 1
+
+
+def test_image_ahash_validation(spark):
+    import pytest
+
+    from engine.extended.multimodal import image_ahash, image_near_dup_pairs
+
+    df = spark.createDataFrame([(1, b"", "x")], "media_id long, payload binary, mime string")
+    with pytest.raises(ValueError, match="grid"):
+        image_ahash(df, grid=9)
+    with pytest.raises(ValueError, match="max_hamming"):
+        image_near_dup_pairs(df.withColumnRenamed("payload", "ahash"), max_hamming=65)
