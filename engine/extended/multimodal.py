@@ -52,6 +52,9 @@ __all__ = [
     "fake_resizer",
     "image_ahash",
     "image_near_dup_pairs",
+    "fake_wav_corpus",
+    "audio_features",
+    "audio_fingerprint",
 ]
 
 #: codec signature: payload bytes -> decoded ndarray-ish bytes (opaque here)
@@ -518,3 +521,181 @@ def image_near_dup_pairs(
     return cand.select(
         "id_a", "id_b", dist.alias("hamming")
     ).filter(F.col("hamming") <= max_hamming)
+
+
+# ---------------------------------------------------------------------------
+# Audio: real stdlib WAV decode + PCM features + energy-sign fingerprint
+# ---------------------------------------------------------------------------
+
+
+def fake_wav_corpus(
+    df: DataFrame, *, id_col: str = "doc_id", text_col: str = "text", max_frames: int = 2048
+) -> DataFrame:
+    """Deterministic corpus of REAL (decodable) PCM16 WAVs from a text
+    table — the audio sibling of fake_png_corpus: frame count / rate /
+    channels and the sample stream derive from the sha256 stream of the
+    text, so payloads are stable across runs and partitionings."""
+    from engine.extended.audiocodec import wav_encode
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            rows = []
+            for mid, text in zip(b[id_col], b[text_col]):
+                seed = hashlib.sha256((text or "").encode()).digest()
+                n_frames = 256 + struct.unpack_from("<H", seed, 0)[0] % (max_frames - 255)
+                ch = 1 + seed[2] % 2
+                rate = (8000, 16000, 44100)[seed[3] % 3]
+                need = n_frames * ch
+                stream = bytearray()
+                counter = 0
+                while len(stream) < need * 2:
+                    stream += hashlib.sha256(seed + struct.pack("<I", counter)).digest()
+                    counter += 1
+                samples = list(
+                    struct.unpack(f"<{need}h", bytes(stream[: need * 2]))
+                )
+                rows.append((mid, wav_encode(samples, rate, ch), "audio/wav", rate, ch))
+            yield pd.DataFrame(
+                rows, columns=["media_id", "payload", "mime", "sample_rate", "channels"]
+            )
+
+    schema = StructType(
+        [
+            StructField("media_id", LongType()),
+            StructField("payload", BinaryType()),
+            StructField("mime", StringType()),
+            StructField("sample_rate", IntegerType()),
+            StructField("channels", IntegerType()),
+        ]
+    )
+    return df.select(F.col(id_col), F.col(text_col)).mapInPandas(run, schema=schema)
+
+
+AUDIO_FEATURES_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("sample_rate", IntegerType()),
+        StructField("channels", IntegerType()),
+        StructField("n_frames", LongType()),
+        StructField("duration_ms", LongType()),
+        StructField("peak", IntegerType()),
+        StructField("rms", DoubleType()),
+        StructField("zero_crossings", LongType()),
+    ]
+)
+
+
+def audio_features(df: DataFrame) -> DataFrame:
+    """Per-clip PCM features off the REAL decode: peak amplitude, RMS
+    (sqrt of the exact integer mean-square — one correctly-rounded IEEE
+    op, deterministic), and zero-crossing count of the first channel.
+    Undecodable payloads survive with null features — one bad clip never
+    fails the job.  mapInPandas seam, same batch shape as the image path.
+    """
+    import math
+
+    from engine.extended.audiocodec import parse_wav_header, wav_decode
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            rows = []
+            for mid, payload in zip(b["media_id"], b["payload"]):
+                if payload is None:
+                    rows.append((mid, None, None, None, None, None, None, None))
+                    continue
+                data = bytes(payload)
+                hdr = parse_wav_header(data)
+                samples = wav_decode(data)
+                if hdr is None or samples is None or not samples:
+                    rows.append((mid, None, None, None, None, None, None, None))
+                    continue
+                ch = hdr["channels"]
+                mono = samples[::ch]  # first channel
+                peak = max(abs(s) for s in samples)
+                ms = sum(s * s for s in samples) // len(samples)
+                rms = round(math.sqrt(ms), 4)
+                zc = sum(
+                    1
+                    for i in range(1, len(mono))
+                    if (mono[i - 1] < 0) != (mono[i] < 0)
+                )
+                rows.append(
+                    (
+                        mid,
+                        hdr["sample_rate"],
+                        ch,
+                        hdr["n_frames"],
+                        hdr["duration_ms"],
+                        peak,
+                        rms,
+                        zc,
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "media_id", "sample_rate", "channels", "n_frames",
+                    "duration_ms", "peak", "rms", "zero_crossings",
+                ],
+            )
+
+    return df.mapInPandas(run, schema=AUDIO_FEATURES_SCHEMA)
+
+
+AUDIO_FP_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("afp", LongType()),
+    ]
+)
+
+
+def audio_fingerprint(df: DataFrame, *, n_windows: int = 64) -> DataFrame:
+    """Energy-delta-sign fingerprint per clip (Philips-robust-hash style,
+    the audio analog of aHash): the first channel splits into
+    ``n_windows`` equal windows, bit i = 1 iff window i's integer energy
+    exceeds window i-1's (window -1 wraps to the last).  All integer
+    comparisons — platform- and partitioning-stable — and robust to
+    volume scaling by ~sign preservation of energy DELTAS.
+
+    Pairs then go through the SAME hamming band join as images
+    (:func:`image_near_dup_pairs` with ``hash_col='afp'``) — one
+    fingerprint-dedup engine, two modalities.  Clips with fewer frames
+    than ``n_windows`` (or undecodable) get a NULL fingerprint.
+    """
+    if n_windows < 2 or n_windows > 64:
+        raise ValueError(f"n_windows must be in [2, 64], got {n_windows}")
+    from engine.extended.audiocodec import parse_wav_header, wav_decode
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            rows = []
+            for mid, payload in zip(b["media_id"], b["payload"]):
+                if payload is None:
+                    rows.append((mid, None))
+                    continue
+                data = bytes(payload)
+                hdr = parse_wav_header(data)
+                samples = wav_decode(data)
+                if hdr is None or samples is None:
+                    rows.append((mid, None))
+                    continue
+                mono = samples[:: hdr["channels"]]
+                if len(mono) < n_windows:
+                    rows.append((mid, None))
+                    continue
+                win = len(mono) // n_windows
+                energies = [
+                    sum(s * s for s in mono[i * win : (i + 1) * win])
+                    for i in range(n_windows)
+                ]
+                bits = 0
+                for i in range(n_windows):
+                    if energies[i] > energies[i - 1]:
+                        bits |= 1 << i
+                if bits >= 1 << 63:
+                    bits -= 1 << 64
+                rows.append((mid, bits))
+            yield pd.DataFrame(rows, columns=["media_id", "afp"])
+
+    return df.mapInPandas(run, schema=AUDIO_FP_SCHEMA)

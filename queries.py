@@ -1916,6 +1916,54 @@ def image_near_dup_q(spark, sf_dir):
     return image_near_dup_pairs(hashes, max_hamming=6).orderBy("id_a", "id_b")
 
 
+@q("audio_features")  # rows-only: stdlib WAV decode runs in an Arrow UDF
+def audio_features_q(spark, sf_dir):
+    """REAL audio decode end to end: deterministic PCM16 WAV corpus →
+    stdlib RIFF parse + sample decode → per-clip features (peak, RMS,
+    zero crossings, duration).  The audio leg of the multimodal surface,
+    same mapInPandas seam and null-survival contract as the image leg."""
+    from engine.extended.multimodal import audio_features, fake_wav_corpus
+
+    d = t(spark, sf_dir, "documents")
+    return audio_features(fake_wav_corpus(d)).orderBy("media_id")
+
+
+@q("audio_near_dup")  # rows-only: fingerprint needs the PCM decode UDF
+def audio_near_dup_q(spark, sf_dir):
+    """Audio near-duplicate detection: energy-delta-sign fingerprints
+    (64 windows, integer comparisons) through the SAME hamming band join
+    the image path uses — one fingerprint-dedup engine, two modalities.
+    Duplicate clips are planted (doc_id % 50 == 0 borrows its successor's
+    audio) so known positives exist."""
+    from engine.extended.multimodal import (
+        audio_fingerprint,
+        fake_wav_corpus,
+        image_near_dup_pairs,
+    )
+
+    d = t(spark, sf_dir, "documents")
+    donor = d.select(
+        (F.col("doc_id") - 1).alias("doc_id"), F.col("text").alias("__donor")
+    )
+    planted = (
+        d.select("doc_id", "text")
+        .join(donor, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.when(
+                (F.col("doc_id") % 50 == 0) & F.col("__donor").isNotNull(),
+                F.col("__donor"),
+            )
+            .otherwise(F.col("text"))
+            .alias("text"),
+        )
+    )
+    fps = audio_fingerprint(fake_wav_corpus(planted))
+    return image_near_dup_pairs(fps, max_hamming=4, hash_col="afp").orderBy(
+        "id_a", "id_b"
+    )
+
+
 # ===========================================================================
 # Flagship: the NEW_PATRONS relational chain mapped onto TPC-H columns
 # ===========================================================================

@@ -335,3 +335,85 @@ def test_image_ahash_validation(spark):
         image_ahash(df, grid=9)
     with pytest.raises(ValueError, match="max_hamming"):
         image_near_dup_pairs(df.withColumnRenamed("payload", "ahash"), max_hamming=65)
+
+
+# ---------------------------------------------------------------------------
+# Audio: WAV codec round-trip, PCM features, energy fingerprint
+# ---------------------------------------------------------------------------
+
+
+def test_wav_codec_roundtrip_and_header():
+    from engine.extended.audiocodec import parse_wav_header, wav_decode, wav_encode
+
+    samples = [0, 100, -100, 32767, -32768, 7, -7, 0]
+    data = wav_encode(samples, 16000, 2)
+    hdr = parse_wav_header(data)
+    assert hdr == {
+        "sample_rate": 16000, "channels": 2, "bits": 16,
+        "n_frames": 4, "duration_ms": 0,
+    }
+    assert wav_decode(data) == samples
+    assert parse_wav_header(b"not a wav") is None
+    assert wav_decode(b"RIFF\x00\x00\x00\x00WAVEjunk") is None
+
+
+def test_audio_features_constant_signal(spark):
+    """A constant-amplitude clip: peak == |v|, rms == |v|, zero crossings 0."""
+    from engine.extended.audiocodec import wav_encode
+    from engine.extended.multimodal import audio_features
+
+    clip = wav_encode([1000] * 400, 8000, 1)
+    bad = b"\x00\x01\x02"
+    df = spark.createDataFrame(
+        [(1, clip), (2, None), (3, bad)], "media_id long, payload binary"
+    )
+    got = {r["media_id"]: r for r in audio_features(df).collect()}
+    assert got[1]["peak"] == 1000
+    assert got[1]["rms"] == 1000.0
+    assert got[1]["zero_crossings"] == 0
+    assert got[1]["n_frames"] == 400
+    assert got[1]["duration_ms"] == 50
+    assert got[2]["rms"] is None and got[3]["rms"] is None  # null-survival
+
+
+def test_audio_fingerprint_volume_invariant_and_discriminative(spark):
+    """Same clip at double volume keeps the exact fingerprint (energy
+    DELTAS scale together); a different random clip lands far away."""
+    import hashlib
+    import struct as st
+
+    from engine.extended.audiocodec import wav_encode
+    from engine.extended.multimodal import audio_fingerprint, image_near_dup_pairs
+
+    def noise(seed, n=1024, scale=1):
+        stream = bytearray()
+        c = 0
+        while len(stream) < n * 2:
+            stream += hashlib.sha256(seed + st.pack("<I", c)).digest()
+            c += 1
+        vals = st.unpack(f"<{n}h", bytes(stream[: n * 2]))
+        return [max(-32768, min(32767, v * scale // 2)) for v in vals]
+
+    a = wav_encode(noise(b"a"), 8000, 1)
+    a_loud = wav_encode([v * 2 for v in noise(b"a")], 8000, 1)
+    c = wav_encode(noise(b"c"), 8000, 1)
+    df = spark.createDataFrame(
+        [(1, a), (2, a_loud), (3, c)], "media_id long, payload binary"
+    )
+    got = {r["media_id"]: r["afp"] for r in audio_fingerprint(df).collect()}
+    assert got[1] == got[2]  # volume-invariant
+    far = bin((got[1] ^ got[3]) & ((1 << 64) - 1)).count("1")
+    assert far > 10
+    pairs = image_near_dup_pairs(
+        audio_fingerprint(df), max_hamming=3, hash_col="afp"
+    ).collect()
+    assert [(r["id_a"], r["id_b"]) for r in pairs] == [(1, 2)]
+
+
+def test_audio_fingerprint_short_clip_nulls(spark):
+    from engine.extended.audiocodec import wav_encode
+    from engine.extended.multimodal import audio_fingerprint
+
+    short = wav_encode([5] * 10, 8000, 1)  # fewer frames than windows
+    df = spark.createDataFrame([(1, short)], "media_id long, payload binary")
+    assert audio_fingerprint(df).collect()[0]["afp"] is None
