@@ -25,6 +25,7 @@ __all__ = [
     "zorder_key_sql",
     "cluster_by_zorder",
     "zorder_write",
+    "compact_small_files",
 ]
 
 
@@ -136,3 +137,61 @@ def zorder_write(
     cluster_by_zorder(df, cols, bits=bits, n_files=n_files).write.mode(
         mode
     ).parquet(path)
+
+
+def compact_small_files(
+    spark: SparkSession,
+    src_path: str,
+    dst_path: str,
+    *,
+    target_file_bytes: int = 128 * 1024 * 1024,
+    sort_cols: list[str] | None = None,
+) -> dict:
+    """Small-file compaction: rewrite a parquet directory into
+    ``ceil(total_bytes / target_file_bytes)`` files.
+
+    The operational op every streaming/incremental pipeline needs: each
+    micro-batch appends a few small files, and a month later the table has
+    10^6 of them — every scan then pays 10^6 opens and the driver pays a
+    10^6-entry listing.  Compaction restores the ~128 MB file size the
+    scan planner wants (one task per file, full read-ahead).
+
+    ``sort_cols`` optionally re-sorts within the rewrite (repartition +
+    sortWithinPartitions) so compaction can simultaneously restore a
+    clustering (e.g. the Z-order key) that appends destroyed.  Returns
+    {files_before, bytes_total, files_after} for the caller's audit log.
+
+    Writes to ``dst_path`` (swap-after-verify is the caller's move — an
+    in-place rewrite that fails mid-way would destroy the table).
+    """
+    if target_file_bytes < 1:
+        raise ValueError(f"target_file_bytes must be >= 1, got {target_file_bytes}")
+    import math
+
+    files = (
+        spark.read.format("binaryFile")
+        .option("recursiveFileLookup", "true")
+        .load(src_path)
+        .select("length")
+        .collect()
+    )
+    files_before = len(files)
+    bytes_total = sum(r["length"] for r in files)
+    n_out = max(1, math.ceil(bytes_total / target_file_bytes))
+    df = spark.read.parquet(src_path)
+    if sort_cols:
+        out = df.repartition(n_out).sortWithinPartitions(*sort_cols)
+    else:
+        out = df.repartition(n_out)
+    out.write.mode("overwrite").parquet(dst_path)
+    files_after = len(
+        spark.read.format("binaryFile")
+        .load(dst_path + "/*.parquet")
+        .select("length")
+        .collect()
+    )
+    return {
+        "files_before": files_before,
+        "bytes_total": bytes_total,
+        "files_after": files_after,
+    }

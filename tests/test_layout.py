@@ -144,3 +144,46 @@ def test_shard_assign_write_layout_is_epoch_stable(spark, tmp_path):
     a = {(r["doc_id"], r["shard"], r["shard_pos"]) for r in sharded.collect()}
     b = {(r["doc_id"], r["shard"], r["shard_pos"]) for r in again.collect()}
     assert a == b
+
+
+def test_compact_small_files_restores_file_size(spark, tmp_path):
+    from engine.ops.io import compact_small_files
+
+    src = str(tmp_path / "frag")
+    dst = str(tmp_path / "compact")
+    # 40 tiny appended files (the streaming-append pathology)
+    for i in range(40):
+        spark.range(i * 10, i * 10 + 10).write.mode("append").parquet(src)
+    stats = compact_small_files(
+        spark, src, dst, target_file_bytes=10 * 1024 * 1024
+    )
+    assert stats["files_before"] >= 40
+    assert stats["files_after"] == 1  # tiny total → one target file
+    got = spark.read.parquet(dst)
+    assert got.count() == 400
+    assert {r["id"] for r in got.collect()} == set(range(400))
+
+
+def test_compact_small_files_with_sort_and_validation(spark, tmp_path):
+    import pytest
+
+    from engine.ops.io import compact_small_files
+
+    src = str(tmp_path / "f2")
+    for i in range(4):
+        spark.range(100).selectExpr(
+            f"id + {i * 100} as id", "id % 7 as k"
+        ).write.mode("append").parquet(src)
+    dst = str(tmp_path / "c2")
+    compact_small_files(
+        spark, src, dst, target_file_bytes=1 << 30, sort_cols=["k", "id"]
+    )
+    import glob
+
+    part = sorted(glob.glob(dst + "/part-*.parquet"))
+    assert len(part) == 1
+    rows = spark.read.parquet(part[0]).collect()  # single-file read order
+    keys = [(r["k"], r["id"]) for r in rows]
+    assert keys == sorted(keys)  # clustering restored within the file
+    with pytest.raises(ValueError, match="target_file_bytes"):
+        compact_small_files(spark, src, dst, target_file_bytes=0)
