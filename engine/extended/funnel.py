@@ -23,7 +23,7 @@ from functools import reduce
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["funnel_steps"]
+__all__ = ["funnel_steps", "cohort_retention"]
 
 
 def funnel_steps(
@@ -71,3 +71,39 @@ def funnel_steps(
         )
         prev = cur
     return reduce(DataFrame.union, out_frames)
+
+
+def cohort_retention(
+    events: DataFrame,
+    *,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Monthly cohort-retention matrix: users grouped by the month of their
+    FIRST event; for each (cohort, k) the count of cohort users active k
+    calendar months later — the companion analytic to :func:`funnel_steps`.
+
+    Month arithmetic is integer (``year·12 + month`` differences), so the
+    result is engine-exact with no interval/rounding semantics in play.
+    Returns (cohort 'yyyy-MM', k, n_users), k ≥ 0.
+
+    Shape: one user-keyed min aggregate, one user-keyed join back, a
+    distinct on (user, k) partial-aggregated before the wire, then the
+    (cohort, k) count — nothing event-cardinality crosses more than one
+    exchange.
+    """
+    ev = events.filter(
+        F.col(user_col).isNotNull() & F.col(ts_col).isNotNull()
+    ).select(F.col(user_col).alias("u"), F.col(ts_col).alias("ts"))
+    firsts = ev.groupBy("u").agg(F.min("ts").alias("t0"))
+    ym = lambda c: F.year(c) * 12 + F.month(c)  # noqa: E731
+    acts = (
+        ev.join(firsts, "u")
+        .select(
+            "u",
+            F.date_format("t0", "yyyy-MM").alias("cohort"),
+            (ym(F.col("ts")) - ym(F.col("t0"))).alias("k"),
+        )
+        .distinct()
+    )
+    return acts.groupBy("cohort", "k").agg(F.count(F.lit(1)).alias("n_users"))

@@ -3919,6 +3919,34 @@ def _funnel_sql(steps: list[str], *, window_days: int = 7) -> str:
     return "".join(parts)
 
 
+@q(
+    "cohort_retention",
+    """
+    WITH ev AS (
+      SELECT user_id AS u, ts FROM events
+      WHERE user_id IS NOT NULL AND ts IS NOT NULL),
+    firsts AS (SELECT u, MIN(ts) AS t0 FROM ev GROUP BY u),
+    acts AS (
+      SELECT DISTINCT ev.u,
+             strftime(f.t0, '%Y-%m') AS cohort,
+             (YEAR(ev.ts) * 12 + MONTH(ev.ts))
+               - (YEAR(f.t0) * 12 + MONTH(f.t0)) AS k
+      FROM ev JOIN firsts f ON ev.u = f.u)
+    SELECT cohort, k, COUNT(*) AS n_users FROM acts GROUP BY cohort, k
+    """,
+)
+def cohort_retention_q(spark, sf_dir):
+    """Monthly cohort-retention matrix over the event stream: users keyed
+    by first-event month, counted per calendar-month offset.  Integer
+    month arithmetic (year·12 + month differences) keeps the result
+    engine-exact; nothing event-cardinality crosses more than one
+    exchange."""
+    from engine.extended.funnel import cohort_retention
+
+    e = t(spark, sf_dir, "events")
+    return cohort_retention(e)
+
+
 @q("funnel_conversion", _funnel_sql(["view", "click", "purchase"]))
 def funnel_conversion_q(spark, sf_dir):
     """Sequential funnel over the event stream: users whose first view is

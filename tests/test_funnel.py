@@ -90,3 +90,54 @@ def test_funnel_validation(spark):
         funnel_steps(e, [])
     with pytest.raises(ValueError, match="window_days"):
         funnel_steps(e, ["view"], window_days=0)
+
+
+def test_cohort_retention_hand_computed(spark):
+    from engine.extended.funnel import cohort_retention
+
+    e = _ev(
+        spark,
+        [
+            # user 1: first in Jan, active Jan + Feb + Apr
+            (dt.datetime(2024, 1, 5), 1, "view"),
+            (dt.datetime(2024, 2, 10), 1, "click"),
+            (dt.datetime(2024, 4, 1), 1, "view"),
+            # user 2: first in Jan, Jan only (two events, one (u, k) row)
+            (dt.datetime(2024, 1, 20), 2, "view"),
+            (dt.datetime(2024, 1, 21), 2, "view"),
+            # user 3: first in Feb, active Feb + Mar
+            (dt.datetime(2024, 2, 1), 3, "view"),
+            (dt.datetime(2024, 3, 30), 3, "view"),
+            # null user / null ts excluded
+            (dt.datetime(2024, 1, 1), None, "view"),
+            (None, 4, "view"),
+        ],
+    )
+    got = {
+        (r["cohort"], r["k"]): r["n_users"] for r in cohort_retention(e).collect()
+    }
+    assert got == {
+        ("2024-01", 0): 2,
+        ("2024-01", 1): 1,
+        ("2024-01", 3): 1,
+        ("2024-02", 0): 1,
+        ("2024-02", 1): 1,
+    }
+
+
+def test_cohort_retention_year_boundary(spark):
+    """Dec → Jan is k=1, not a negative or 11-month artifact — the
+    year·12+month arithmetic, not MONTH() subtraction."""
+    from engine.extended.funnel import cohort_retention
+
+    e = _ev(
+        spark,
+        [
+            (dt.datetime(2023, 12, 31), 1, "view"),
+            (dt.datetime(2024, 1, 1), 1, "view"),
+        ],
+    )
+    got = {
+        (r["cohort"], r["k"]): r["n_users"] for r in cohort_retention(e).collect()
+    }
+    assert got == {("2023-12", 0): 1, ("2023-12", 1): 1}
