@@ -73,6 +73,14 @@ SECONDARY = [
     "char_entropy",
     "table_profile",
     "perplexity_buckets",
+    # round-4 continuation additions
+    "ann_pq_adc_topk",
+    "contamination_bloom",
+    "bpe_merge_rules",
+    "pagerank_topk",
+    "funnel_conversion",
+    "pmi_collocations",
+    "embedding_jl_project",
 ]
 
 

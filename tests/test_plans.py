@@ -320,3 +320,38 @@ def test_bigram_scorer_reads_cached_input_twice(spark):
         assert 2 <= len(imts) <= 3, f"expected cached reads, got {nodes}"
     finally:
         kept.unpersist()
+
+
+def test_funnel_pushes_step_predicates_to_the_scan(spark):
+    """Each funnel step's event_type equality must reach the parquet scan
+    (PushedFilters) — at 100 TB each step reads one type's fraction, not
+    the whole event table."""
+    from queries import SPARK_QUERIES
+
+    p = plan(SPARK_QUERIES["funnel_conversion"](spark, SF))
+    assert "PushedFilters" in p
+    for step in ("view", "click", "purchase"):
+        assert f"EqualTo(event_type,{step})" in p, f"step {step} not pushed:\n{p[:2000]}"
+
+
+def test_pmi_collocations_partial_aggregates_and_broadcast_totals(spark):
+    """The unigram/bigram aggregates must map-side combine (partial_count
+    before the exchange) and the two 1-row totals must broadcast — nothing
+    corpus-sized crosses the wire after the first aggregates."""
+    from queries import SPARK_QUERIES
+
+    p = plan(SPARK_QUERIES["pmi_collocations"](spark, SF))
+    assert "partial_count" in p or "partial_sum" in p
+    assert p.count("BroadcastNestedLoopJoin") == 2  # the two 1-row totals
+    assert "SortMergeJoin" not in p  # token joins stay broadcast at this size
+
+
+def test_cohort_retention_partial_aggregates(spark):
+    """The (user, k) distinct and the (cohort, k) count both partial-
+    aggregate; the firsts join keys on the user column both sides."""
+    from queries import SPARK_QUERIES
+
+    p = plan(SPARK_QUERIES["cohort_retention"](spark, SF))
+    assert "partial_min" in p  # firsts aggregate combines map-side
+    assert "HashAggregate" in p
+    assert "BroadcastNestedLoopJoin" not in p
