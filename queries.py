@@ -3920,6 +3920,45 @@ def _funnel_sql(steps: list[str], *, window_days: int = 7) -> str:
 
 
 @q(
+    "timeseries_gapfill",
+    """
+    WITH ev AS (
+      SELECT user_id AS k, ts AS t, value AS v FROM events
+      WHERE user_id IS NOT NULL AND ts IS NOT NULL AND user_id % 100 = 0),
+    bounds AS (SELECT k, MIN(t) AS t0, MAX(t) AS t1 FROM ev GROUP BY k),
+    ticks AS (
+      SELECT k, UNNEST(generate_series(t0, t1, INTERVAL 3600 SECOND)) AS t,
+             CAST(NULL AS DOUBLE) AS v, 1 AS is_tick
+      FROM bounds),
+    obs AS (SELECT k, t, v, 0 AS is_tick FROM ev),
+    u AS (SELECT * FROM obs UNION ALL SELECT * FROM ticks),
+    f AS (SELECT k, t, is_tick,
+                 LAST_VALUE(v IGNORE NULLS) OVER (
+                   PARTITION BY k ORDER BY t, is_tick, v
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled
+          FROM u)
+    SELECT k AS user_id, strftime(t, '%Y-%m-%d %H:%M:%S') AS tick, filled
+    FROM f WHERE is_tick = 1
+    """,
+)
+def timeseries_gapfill_q(spark, sf_dir):
+    """Hourly gap-filled, forward-filled series per sampled user (the
+    TimescaleDB time_bucket_gapfill + locf primitive): tick grids are
+    GENERATED from per-key bounds (sequence + explode — no calendar-table
+    join) and the fill is one window pass over ticks ∪ observations.
+    Values are copied, never recomputed, so the fill is bit-exact."""
+    from engine.extended.timeseries import gapfill_ffill
+
+    e = t(spark, sf_dir, "events").filter(F.col("user_id") % 100 == 0)
+    out = gapfill_ffill(e, step_seconds=3600)
+    return out.select(
+        "user_id",
+        F.date_format("tick", "yyyy-MM-dd HH:mm:ss").alias("tick"),
+        "filled",
+    )
+
+
+@q(
     "cohort_retention",
     """
     WITH ev AS (
