@@ -57,9 +57,11 @@ def parse_wav_header(data: bytes) -> dict | None:
     while pos + 8 <= len(data):
         cid = data[pos : pos + 4]
         (clen,) = struct.unpack_from("<I", data, pos + 4)
-        if cid == b"fmt " and pos + 8 + 16 <= len(data):
+        if cid == b"fmt " and fmt is None and pos + 8 + 16 <= len(data):
             fmt = struct.unpack_from("<HHIIHH", data, pos + 8)
-        elif cid == b"data":
+        elif cid == b"data" and data_len is None:
+            # FIRST data chunk only — wav_decode returns the first chunk's
+            # samples, so the frame count must describe the same bytes
             data_len = min(clen, len(data) - pos - 8)
         pos += 8 + clen + (clen & 1)
     if fmt is None or data_len is None:

@@ -31,6 +31,7 @@ __all__ = [
     "minhash_dedup",
     "simhash_sigs",
     "simhash_candidates",
+    "hamming_band_pairs",
     "ngram_jaccard_pairs",
     "embedding_near_dup",
     "near_dup_groups",
@@ -384,26 +385,34 @@ def simhash_sigs(
     return counts.select("id", sh.alias("sh"))
 
 
-def simhash_candidates(
-    df: DataFrame,
+def hamming_band_pairs(
+    sigs: DataFrame,
     *,
-    id_col: str = "doc_id",
-    text_col: str = "text",
+    id_col: str = "id",
+    hash_col: str = "sh",
     max_hamming: int = 3,
-    hash_fn: str = "xxhash64",
-    bucket_cap: int = 500,
+    bucket_cap: int | None = 500,
 ) -> DataFrame:
-    """Near-dup pairs by SimHash: bucket on each of 4 16-bit chunks
-    (pigeonhole: hamming ≤ 3 ⇒ at least one chunk equal), verify hamming
-    distance within buckets.  Returns (id_a, id_b, hamming).
+    """(id_a, id_b, hamming) pairs of 64-bit signatures agreeing on at
+    least one of 4 × 16-bit chunks and within ``max_hamming`` — THE shared
+    banding engine behind every hamming fingerprint family: SimHash text
+    near-dup here, image aHash and audio energy fingerprints in
+    engine/extended/multimodal.py (one copy, per the sign-LSH precedent of
+    ``sign_band_structs``).
 
-    ``bucket_cap`` bounds each (chunk, ckey) bucket to its lowest-id members
-    before the self-join (same degenerate-bucket bound as minhash LSH): a
-    pathological chunk value shared by millions of near-identical docs costs
-    O(cap²), not O(n²).
+    Pigeonhole: hamming ≤ 3 guarantees a shared chunk, so recall is exact
+    up to 3; above that the banding is approximate (documented per
+    caller).  ``bucket_cap`` bounds each (chunk, ckey) bucket to its
+    lowest-id members before the self-join: a pathological chunk value
+    shared by millions of near-identical items costs O(cap²), not O(n²).
+    NULL signatures are excluded up front.
     """
-    sigs = simhash_sigs(df, id_col=id_col, text_col=text_col, hash_fn=hash_fn).persist()
-    chunks = sigs.select(
+    if max_hamming < 0 or max_hamming > 64:
+        raise ValueError(f"max_hamming must be in [0, 64], got {max_hamming}")
+    base = sigs.filter(F.col(hash_col).isNotNull()).select(
+        F.col(id_col).alias("id"), F.col(hash_col).alias("sh")
+    )
+    chunks = base.select(
         "id",
         "sh",
         F.explode(
@@ -443,6 +452,26 @@ def simhash_candidates(
         )
         .filter(F.col("hamming") <= max_hamming)
         .dropDuplicates(["id_a", "id_b"])
+    )
+
+
+def simhash_candidates(
+    df: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_hamming: int = 3,
+    hash_fn: str = "xxhash64",
+    bucket_cap: int = 500,
+) -> DataFrame:
+    """Near-dup pairs by SimHash: bucket on each of 4 16-bit chunks
+    (pigeonhole: hamming ≤ 3 ⇒ at least one chunk equal), verify hamming
+    distance within buckets.  Returns (id_a, id_b, hamming) — the text
+    instantiation of :func:`hamming_band_pairs`.
+    """
+    sigs = simhash_sigs(df, id_col=id_col, text_col=text_col, hash_fn=hash_fn).persist()
+    return hamming_band_pairs(
+        sigs, max_hamming=max_hamming, bucket_cap=bucket_cap
     )
 
 

@@ -459,68 +459,27 @@ def image_near_dup_pairs(
     hash_col: str = "ahash",
     bucket_cap: int | None = 500,
 ) -> DataFrame:
-    """Near-duplicate image pairs by aHash hamming distance — the SimHash
-    banding trick on the image fingerprint: the 64-bit hash splits into
-    4 × 16-bit chunks used as bucket keys, candidates are pairs agreeing
-    on ANY chunk, and candidates verify with ``bit_count(xor)``.  Pure
-    DataFrame ops after the hash UDF: one shuffle on the chunk key, pair
-    volume O(collisions), ``bucket_cap`` bounds identical-image floods
-    like every cap in the dedup family.
+    """Near-duplicate image pairs by aHash hamming distance, delegating to
+    the SHARED banding engine :func:`engine.extended.dedup.
+    hamming_band_pairs` (the same 4 × 16-bit chunk buckets + bit_count
+    verify that serves SimHash text near-dup and audio fingerprints —
+    one copy, three modalities).  Pure DataFrame ops after the hash UDF;
+    fingerprints, never pixels, reach the join.
 
-    Recall note: by pigeonhole, a pair within hamming ≤ 3 MUST agree on
-    at least one of the 4 chunks, so recall is exact for
-    ``max_hamming < 4``; for 4-6 (the default radius) a pair could in
-    principle spread one differing bit into every chunk and be missed —
-    raise the chunk count (more bands of fewer bits) where higher radii
-    must be exhaustive, the same trade simhash_pairs documents.
+    Recall note: pigeonhole makes recall exact for ``max_hamming < 4``;
+    for 4-6 (the default radius) a pair could in principle spread one
+    differing bit into every chunk and be missed — raise the chunk count
+    where higher radii must be exhaustive.
     """
-    if max_hamming < 0 or max_hamming > 64:
-        raise ValueError(f"max_hamming must be in [0, 64], got {max_hamming}")
-    base = hashes.filter(F.col(hash_col).isNotNull()).select(
-        F.col(id_col).alias("id"), F.col(hash_col).alias("h")
-    )
-    chunks = base.select(
-        "id",
-        "h",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(c).alias("chunk"),
-                        F.shiftrightunsigned(F.col("h"), c * 16)
-                        .bitwiseAND(F.lit(0xFFFF))
-                        .alias("ckey"),
-                    )
-                    for c in range(4)
-                ]
-            )
-        ).alias("cc"),
-    ).select("id", "h", F.col("cc.chunk").alias("chunk"), F.col("cc.ckey").alias("ckey"))
-    if bucket_cap:
-        from pyspark.sql import Window
+    from engine.extended.dedup import hamming_band_pairs
 
-        wcap = Window.partitionBy("chunk", "ckey").orderBy("id")
-        chunks = (
-            chunks.withColumn("__bn", F.row_number().over(wcap))
-            .filter(F.col("__bn") <= bucket_cap)
-            .drop("__bn")
-        )
-    a = chunks.select(
-        F.col("chunk"), F.col("ckey"), F.col("id").alias("id_a"), F.col("h").alias("h_a")
+    return hamming_band_pairs(
+        hashes,
+        id_col=id_col,
+        hash_col=hash_col,
+        max_hamming=max_hamming,
+        bucket_cap=bucket_cap,
     )
-    bb = chunks.select(
-        F.col("chunk"), F.col("ckey"), F.col("id").alias("id_b"), F.col("h").alias("h_b")
-    )
-    cand = (
-        a.join(bb, ["chunk", "ckey"])
-        .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", "h_a", "h_b")
-        .dropDuplicates(["id_a", "id_b"])
-    )
-    dist = F.bit_count(F.col("h_a").bitwiseXOR(F.col("h_b")))
-    return cand.select(
-        "id_a", "id_b", dist.alias("hamming")
-    ).filter(F.col("hamming") <= max_hamming)
 
 
 # ---------------------------------------------------------------------------
@@ -536,6 +495,9 @@ def fake_wav_corpus(
     channels and the sample stream derive from the sha256 stream of the
     text, so payloads are stable across runs and partitionings."""
     from engine.extended.audiocodec import wav_encode
+
+    if max_frames < 256:
+        raise ValueError(f"max_frames must be >= 256, got {max_frames}")
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for b in batches:

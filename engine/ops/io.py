@@ -178,7 +178,10 @@ def compact_small_files(
     files_before = len(files)
     bytes_total = sum(r["length"] for r in files)
     n_out = max(1, math.ceil(bytes_total / target_file_bytes))
-    df = spark.read.parquet(src_path)
+    # recursive on BOTH passes: the listing counts nested per-batch
+    # subdirectories, so the read must see them too (a plain read throws
+    # on nested-only layouts and silently skips nested files in mixed ones)
+    df = spark.read.option("recursiveFileLookup", "true").parquet(src_path)
     if sort_cols:
         out = df.repartition(n_out).sortWithinPartitions(*sort_cols)
     else:

@@ -35,6 +35,34 @@ from pyspark.sql.types import (
 
 __all__ = ["read_warc_records", "write_warc", "parse_warc"]
 
+def _gunzip_lenient(data: bytes) -> bytes:
+    """Decompress a (possibly multi-member) gzip stream MEMBER BY MEMBER,
+    keeping everything recovered before a truncation: a half-downloaded
+    ``.warc.gz`` segment yields its complete leading records instead of
+    failing the task.  (gzip.decompress — and even a chunked GzipFile
+    read, which crosses member boundaries inside one read() call — raises
+    EOFError on exactly the most common real-world corruption.)  A
+    truncated final member contributes its recovered prefix; parse_warc
+    then stops cleanly mid-record."""
+    import zlib
+
+    out = bytearray()
+    pos = 0
+    while pos < len(data) and data[pos : pos + 2] == b"\x1f\x8b":
+        d = zlib.decompressobj(wbits=31)
+        try:
+            out += d.decompress(data[pos:])
+        except zlib.error:
+            break
+        if not d.eof:
+            break  # truncated member: keep its recovered prefix, stop
+        rest = d.unused_data
+        if not rest:
+            break
+        pos = len(data) - len(rest)
+    return bytes(out)
+
+
 WARC_SCHEMA = StructType(
     [
         StructField("warc_file", StringType()),
@@ -54,7 +82,7 @@ def parse_warc(data: bytes) -> list[dict]:
     """WARC/1.0 bytes → record dicts.  Content-Length framing; CRLF or LF
     header line endings tolerated; stops cleanly at trailing garbage."""
     if data[:2] == b"\x1f\x8b":
-        data = gzip.decompress(data)
+        data = _gunzip_lenient(data)
     out: list[dict] = []
     pos = 0
     n = len(data)
@@ -64,13 +92,18 @@ def parse_warc(data: bytes) -> list[dict]:
             pos += 1
         if not data[pos : pos + 5] == b"WARC/":
             break
-        hdr_end = data.find(b"\r\n\r\n", pos)
-        sep = 4
-        if hdr_end == -1:
-            hdr_end = data.find(b"\n\n", pos)
-            sep = 2
-        if hdr_end == -1:
+        # take the EARLIER of the two terminator conventions: searching
+        # CRLFCRLF first across the whole buffer would find a terminator
+        # inside an LF-headered record's payload (HTTP bodies contain
+        # CRLFCRLF) and misframe everything after it
+        crlf = data.find(b"\r\n\r\n", pos)
+        lf = data.find(b"\n\n", pos)
+        if crlf == -1 and lf == -1:
             break
+        if lf == -1 or (crlf != -1 and crlf <= lf):
+            hdr_end, sep = crlf, 4
+        else:
+            hdr_end, sep = lf, 2
         headers: dict[str, str] = {}
         for line in data[pos:hdr_end].splitlines()[1:]:
             k, _, v = line.partition(b":")
@@ -82,6 +115,10 @@ def parse_warc(data: bytes) -> list[dict]:
             clen = int(headers.get("content-length", ""))
         except ValueError:
             break  # unframed record: cannot advance safely
+        # a crafted/corrupt negative length would move the cursor BACKWARD
+        # (infinite loop + unbounded growth); stop cleanly instead
+        if clen < 0:
+            break
         body_start = hdr_end + sep
         body = data[body_start : body_start + clen]
         rec = {

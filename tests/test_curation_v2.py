@@ -417,3 +417,29 @@ def test_audio_fingerprint_short_clip_nulls(spark):
     short = wav_encode([5] * 10, 8000, 1)  # fewer frames than windows
     df = spark.createDataFrame([(1, short)], "media_id long, payload binary")
     assert audio_fingerprint(df).collect()[0]["afp"] is None
+
+
+def test_wav_header_uses_first_data_chunk():
+    """Review finding: a WAV with two data chunks must report n_frames for
+    the SAME chunk wav_decode returns (the first)."""
+    import struct as st
+
+    from engine.extended.audiocodec import parse_wav_header, wav_decode, wav_encode
+
+    base = wav_encode([1, 2, 3, 4], 8000, 1)
+    extra = b"data" + st.pack("<I", 4) + st.pack("<2h", 9, 9)
+    two = base + extra  # second data chunk appended inside the RIFF body
+    hdr = parse_wav_header(two)
+    samples = wav_decode(two)
+    assert samples == [1, 2, 3, 4]
+    assert hdr["n_frames"] == len(samples)
+
+
+def test_fake_wav_corpus_validates_max_frames(spark):
+    import pytest
+
+    from engine.extended.multimodal import fake_wav_corpus
+
+    d = spark.createDataFrame([(1, "x")], "doc_id long, text string")
+    with pytest.raises(ValueError, match="max_frames"):
+        fake_wav_corpus(d, max_frames=255)

@@ -187,3 +187,19 @@ def test_compact_small_files_with_sort_and_validation(spark, tmp_path):
     assert keys == sorted(keys)  # clustering restored within the file
     with pytest.raises(ValueError, match="target_file_bytes"):
         compact_small_files(spark, src, dst, target_file_bytes=0)
+
+
+def test_compact_small_files_reads_nested_layouts(spark, tmp_path):
+    """Review finding: the listing is recursive, so the read must be too —
+    per-batch subdirectories (the exact pathology compaction exists for)
+    must compact, not crash or silently vanish."""
+    from engine.ops.io import compact_small_files
+
+    src = str(tmp_path / "nested")
+    for i in range(3):
+        spark.range(i * 10, i * 10 + 10).write.parquet(f"{src}/batch={i}/files")
+    dst = str(tmp_path / "out")
+    stats = compact_small_files(spark, src, dst, target_file_bytes=1 << 30)
+    got = spark.read.parquet(dst)
+    assert got.count() == 30
+    assert stats["files_after"] == 1

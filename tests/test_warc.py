@@ -101,3 +101,54 @@ def test_warc_to_curation_chain(spark, tmp_path):
     got = docs.collect()
     assert len(got) == 1
     assert got[0]["toks"] == ["hello", "crawl"]
+
+
+def test_parse_warc_lf_headers_with_crlf_payload():
+    """Review finding: LF-terminated record headers whose payload contains
+    CRLFCRLF (any normal HTTP message) must not misframe — the parser
+    takes the EARLIER terminator, not CRLFCRLF-first."""
+    rec1 = (
+        b"WARC/1.0\n"
+        b"WARC-Type: response\n"
+        b"WARC-Target-URI: http://x/a\n"
+        + f"Content-Length: {len(HTTP)}\n".encode()
+        + b"\n" + HTTP + b"\n\n"
+    )
+    rec2 = (
+        b"WARC/1.0\n"
+        b"WARC-Type: request\n"
+        b"Content-Length: 2\n"
+        b"\n" b"ok" b"\n\n"
+    )
+    recs = parse_warc(rec1 + rec2)
+    assert [r["record_type"] for r in recs] == ["response", "request"]
+    assert recs[0]["http_status"] == 200
+    assert recs[0]["http_body"] == HTML
+    assert recs[1]["payload"] == b"ok"
+
+
+def test_parse_warc_negative_content_length_terminates():
+    """Review finding: a corrupt negative Content-Length must stop the
+    parse, not loop the cursor backward forever."""
+    evil = (
+        b"WARC/1.0\r\n"
+        b"WARC-Type: response\r\n"
+        b"Content-Length: -47\r\n"
+        b"\r\n"
+    )
+    assert parse_warc(evil) == []
+
+
+def test_parse_warc_truncated_gzip_keeps_leading_records(tmp_path):
+    """Review finding: a half-downloaded .warc.gz must yield its complete
+    leading records instead of raising EOFError out of the task."""
+    import os
+
+    p = os.path.join(str(tmp_path), "t.warc.gz")
+    write_warc(RECORDS, p, compress=True)
+    blob = open(p, "rb").read()
+    # cut inside the LAST gzip member: earlier members survive
+    recs = parse_warc(blob[: len(blob) - 10])
+    assert len(recs) >= 2
+    assert recs[0]["record_type"] == "warcinfo"
+    assert recs[1]["http_status"] == 200
