@@ -62,7 +62,12 @@ def pagerank(
     only way an iterative frame survives at scale (an unbroken 3-round
     lineage re-reads the edge table 3^depth times on failure recovery);
     the final frame stays persisted for the caller to unpersist, same
-    contract as bpe_train.
+    contract as bpe_train.  Measured at sf0.1 on local[32]: lazy is
+    FASTER warm (2.2 s vs 6.0 s — AQE reuses exchanges inside the one
+    plan, and per-round counts are three extra barrier jobs), so
+    ``materialize=False`` is the right call for single-process runs and
+    the registry query; the default optimizes for cluster fault
+    tolerance, not local wall time.
     """
     if iters < 1:
         raise ValueError(f"iters must be >= 1, got {iters}")
