@@ -5143,6 +5143,33 @@ def _moji_sql_chain(expr: str) -> str:
     return expr
 
 
+def _html_sql_chain(expr: str) -> str:
+    """SQL twin of curation.html_to_text, generated from the SAME strip/
+    entity constants the Spark expression uses (DuckDB string literals
+    take regex backslashes verbatim; only quotes need doubling)."""
+    from engine.extended.curation import HTML_ENTITIES, HTML_STRIP_STEPS
+
+    e = expr
+    for pat, rep in HTML_STRIP_STEPS:
+        e = f"REGEXP_REPLACE({e}, '{pat.replace(chr(39), chr(39) * 2)}', '{rep}', 'g')"
+    for ent, rep in HTML_ENTITIES:
+        e = f"REPLACE({e}, '{ent.replace(chr(39), chr(39) * 2)}', '{rep.replace(chr(39), chr(39) * 2)}')"
+    e = "REPLACE(" + e + ", '\xa0', ' ')"  # literal U+00A0 -> plain space
+    return (
+        f"REGEXP_REPLACE(REGEXP_REPLACE({e}, '\\s+', ' ', 'g'), '^ +| +$', '', 'g')"
+    )
+
+
+def _pii_sql_chain(expr: str) -> str:
+    """SQL twin of curation.redact_pii, generated from PII_PATTERNS."""
+    from engine.extended.curation import PII_PATTERNS
+
+    e = expr
+    for _, pat, repl in PII_PATTERNS:
+        e = f"REGEXP_REPLACE({e}, '{pat}', '{repl}', 'g')"
+    return e
+
+
 @q(
     "mojibake_repair",
     f"""
@@ -5486,6 +5513,61 @@ def html_extract(spark, sf_dir):
         html_to_text(html).alias("clean_text"),
         F.length(html).alias("n_html_chars"),
     )
+
+
+_RECIPE_PLANT = " cafÃ© bob@x.com 555-123-4567 â€“ "
+_RECIPE_STEPS = [
+    {"op": "fix_mojibake"},
+    {"op": "html_to_text"},
+    {"op": "redact_pii"},
+    {"op": "min_length", "chars": 80},
+    {"op": "exact_dedup"},
+]
+
+
+def _recipe_sql() -> str:
+    pre = _HTML_PRE.replace("'", "''")
+    post = _HTML_POST.replace("'", "''")
+    plant = _RECIPE_PLANT.replace("'", "''")
+    return f"""
+    WITH raw AS (
+      SELECT doc_id, source,
+             '{pre}' || text || '{plant}' || '{post}' AS html
+      FROM documents),
+    moji AS (SELECT doc_id, source, {_moji_sql_chain('html')} AS m FROM raw),
+    extracted AS (SELECT doc_id, source, {_html_sql_chain('m')} AS x FROM moji),
+    red AS (SELECT doc_id, source, {_pii_sql_chain('x')} AS txt FROM extracted),
+    filt AS (SELECT doc_id, source, txt FROM red WHERE LENGTH(txt) >= 80),
+    ranked AS (
+      SELECT doc_id, source, txt,
+             ROW_NUMBER() OVER (
+               PARTITION BY MD5(LOWER(REGEXP_REPLACE(txt, '[^A-Za-z0-9]', '', 'g')))
+               ORDER BY doc_id) AS rn
+      FROM filt)
+    SELECT doc_id, source, txt AS text FROM ranked WHERE rn = 1
+    """
+
+
+@q("recipe_pipeline", _recipe_sql())
+def recipe_pipeline_q(spark, sf_dir):
+    """The DECLARATIVE curation layer end to end: a config-shaped step list
+    (mojibake repair → HTML extraction → PII redaction → length filter →
+    exact dedup) compiled by engine.recipes.apply_recipe into one plan,
+    value-hash-checked against an oracle whose SQL is GENERATED from the
+    same strip/entity/pattern constants the operators use — the recipe
+    form provably equals the operator chain.  Docs are wrapped in the
+    html_extract shell plus planted mojibake/PII so every step has work."""
+    from engine.recipes import apply_recipe
+
+    d = t(spark, sf_dir, "documents")
+    wrapped = d.select(
+        "doc_id",
+        "source",
+        F.concat(
+            F.lit(_HTML_PRE), F.col("text"), F.lit(_RECIPE_PLANT), F.lit(_HTML_POST)
+        ).alias("text"),
+    )
+    return apply_recipe(wrapped, _RECIPE_STEPS).select("doc_id", "source", "text")
 
 
 @q(
