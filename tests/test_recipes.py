@@ -123,3 +123,24 @@ def test_recipe_from_yaml_config(spark, tmp_path):
     out = apply_recipe(_docs(spark), cfg["steps"])
     ids = {r["doc_id"] for r in out.collect()}
     assert ids == {1, 3, 4}  # doc 2 ('short') filtered by length
+
+
+def test_recipe_rejects_typoed_parameters(spark):
+    """Review finding: a typo'd param must fail at compile time, not
+    silently fall back to the default mid-corpus."""
+    with pytest.raises(RecipeError, match=r"unknown parameter.*char"):
+        compile_recipe([{"op": "min_length", "char": 80}])
+    with pytest.raises(RecipeError, match="valid:"):
+        compile_recipe([{"op": "bloom_decontaminate", "bits": 64}])
+
+
+def test_recipe_line_dedup_tolerates_existing_clean_text_column(spark):
+    """Review finding: a frame already carrying clean_text must not make
+    the rewrite join ambiguous."""
+    d = spark.createDataFrame(
+        [(1, "dup line\nbody a", "x"), (2, "dup line\nbody b", "y")],
+        "doc_id long, text string, clean_text string",
+    )
+    got = {r["doc_id"]: r for r in apply_recipe(d, [{"op": "line_dedup"}]).collect()}
+    assert "dup line" not in got[1]["text"]
+    assert got[1]["clean_text"] == "x"  # caller's own column untouched
