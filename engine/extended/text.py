@@ -30,6 +30,7 @@ __all__ = [
     "fingerprint",
     "rolling_fingerprints",
     "rolling_fingerprints_from",
+    "hashed_doc_vectors",
 ]
 
 #: token = maximal ASCII alnum/apostrophe run, matched on the ORIGINAL text
@@ -294,3 +295,67 @@ def rolling_fingerprints(col: str, *, window: int = 64, stride: int = 32) -> Col
     """Inline form of :func:`rolling_fingerprints_from` (re-normalizes per
     slice — tiny/cold paths only; hot paths project :func:`norm_text` first)."""
     return rolling_fingerprints_from(norm_text(col), window=window, stride=stride)
+
+
+def hashed_doc_vectors(
+    df: "DataFrame",
+    *,
+    dim: int = 16,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    hash_fn: str = "md5",
+    round_to: int = 6,
+) -> "DataFrame":
+    """Feature-hashed document vectors: token counts bucketed into ``dim``
+    slots by hash, L2-normalized — the model-free embedding bridge that
+    lets the ENTIRE vector stack (cosine/LSH/IVF/PQ ANN, kNN joins,
+    semdedup, JL/MRL/int8 tiers) run over raw text with no trained model
+    in the loop (Weinberger et al.'s hashing trick).
+
+    Returns (id, vec) with ``vec`` a dense array<double>; documents with
+    no tokens drop out (no direction exists).  Counts are exact integers
+    and the norm is one sqrt of an exact integer sum, so components are
+    engine-exact after rounding — md5 mode makes the whole construction
+    SQL-oracle-checkable.
+
+    Scale shape: explode → (id, bucket) count with map-side partial
+    aggregation, then ONE per-doc aggregate assembling the dense array
+    from a ``map_from_entries`` lookup — the shuffle carries at most
+    ``dim`` entries per doc, never tokens.
+    """
+    if dim < 1:
+        raise ValueError(f"dim must be >= 1, got {dim}")
+    from engine.extended.dedup import _hash64
+
+    toks = df.select(
+        F.col(id_col).alias("id"), F.explode(tokens(text_col)).alias("tok")
+    )
+    counts = toks.groupBy(
+        "id",
+        F.pmod(
+            _hash64(F.concat(F.lit("dv|"), F.col("tok")), hash_fn), F.lit(dim)
+        ).alias("bucket"),
+    ).agg(F.count(F.lit(1)).alias("cnt"))
+    entries = counts.groupBy("id").agg(
+        F.map_from_entries(F.collect_list(F.struct("bucket", "cnt"))).alias("__m")
+    )
+    dense = F.transform(
+        F.sequence(F.lit(0), F.lit(dim - 1)),
+        lambda i: F.coalesce(F.element_at("__m", i.cast("long")), F.lit(0)).cast("long"),
+    )
+    with_vec = entries.withColumn("__raw", dense)
+    # norm projected behind an alias BEFORE the rescale transform (HOF
+    # lambdas get no CSE — the O(d^2) trap quantize_int8 documents);
+    # sumsq is exact integer, its sqrt one correctly-rounded IEEE op
+    nrm = F.sqrt(
+        F.aggregate(
+            F.transform("__raw", lambda x: (x * x).cast("double")),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+    )
+    with_nrm = with_vec.withColumn("__n", nrm)
+    vec = F.transform(
+        "__raw", lambda x: F.round(x.cast("double") / F.col("__n"), round_to)
+    )
+    return with_nrm.select(F.col("id").alias(id_col), vec.alias("vec"))

@@ -3851,6 +3851,46 @@ def embedding_jl_project_q(spark, sf_dir):
 
 
 @q(
+    "doc_vector_hashed",
+    """
+    WITH tok AS (
+      SELECT doc_id,
+             UNNEST(list_transform(regexp_extract_all(text, '[A-Za-z0-9'']+'),
+                                   x -> LOWER(x))) AS tok
+      FROM documents),
+    counts AS (
+      SELECT doc_id,
+             CAST(('0x' || SUBSTRING(MD5('dv|' || tok), 1, 15)) AS BIGINT) % 16 AS bucket,
+             COUNT(*) AS cnt
+      FROM tok GROUP BY doc_id, bucket),
+    ids AS (SELECT DISTINCT doc_id FROM counts),
+    buckets AS (SELECT UNNEST(range(0, 16)) AS b),
+    dense AS (
+      SELECT i.doc_id, b.b, COALESCE(c.cnt, 0) AS v
+      FROM ids i CROSS JOIN buckets b
+      LEFT JOIN counts c ON c.doc_id = i.doc_id AND c.bucket = b.b),
+    vecs AS (SELECT doc_id, list(CAST(v AS BIGINT) ORDER BY b) AS raw
+             FROM dense GROUP BY doc_id)
+    SELECT doc_id,
+           list_transform(raw, x -> ROUND(CAST(x AS DOUBLE) /
+             SQRT(list_sum(list_transform(raw,
+               y -> CAST(y AS DOUBLE) * CAST(y AS DOUBLE)))), 6)) AS vec
+    FROM vecs
+    """,
+)
+def doc_vector_hashed_q(spark, sf_dir):
+    """Feature-hashed document vectors (the hashing trick): token counts
+    bucketed into 16 slots, L2-normalized — the model-free embedding
+    bridge that runs the whole vector stack (ANN, kNN joins, semdedup,
+    storage tiers) over raw text.  Exact-integer counts + one IEEE sqrt →
+    engine-exact components."""
+    from engine.extended.text import hashed_doc_vectors
+
+    d = t(spark, sf_dir, "documents")
+    return hashed_doc_vectors(d, dim=16)
+
+
+@q(
     "pmi_collocations",
     """
     WITH toklist AS (
