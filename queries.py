@@ -4001,8 +4001,13 @@ def timeseries_gapfill_q(spark, sf_dir):
 @q(
     "cohort_retention",
     """
-    WITH ev AS (
-      SELECT user_id AS u, ts FROM events
+    WITH spread AS (
+      SELECT user_id,
+             ts + (user_id % 6) * INTERVAL 31 DAY
+                + (event_id % 3) * INTERVAL 40 DAY AS ts
+      FROM events),
+    ev AS (
+      SELECT user_id AS u, ts FROM spread
       WHERE user_id IS NOT NULL AND ts IS NOT NULL),
     firsts AS (SELECT u, MIN(ts) AS t0 FROM ev GROUP BY u),
     acts AS (
@@ -4016,13 +4021,21 @@ def timeseries_gapfill_q(spark, sf_dir):
 )
 def cohort_retention_q(spark, sf_dir):
     """Monthly cohort-retention matrix over the event stream: users keyed
-    by first-event month, counted per calendar-month offset.  Integer
-    month arithmetic (year·12 + month differences) keeps the result
-    engine-exact; nothing event-cardinality crosses more than one
-    exchange."""
+    by first-event month, counted per calendar-month offset.  The
+    synthetic events span one month, so a deterministic multi-month
+    spread is planted IN-PLAN (pure day arithmetic — interval × integer,
+    identical in both engines, no month-end clamping semantics) to give
+    the matrix real cohorts and offsets.  Integer month arithmetic
+    (year·12 + month differences) keeps the result engine-exact."""
     from engine.extended.funnel import cohort_retention
 
-    e = t(spark, sf_dir, "events")
+    e = t(spark, sf_dir, "events").select(
+        "user_id",
+        F.expr(
+            "ts + (user_id % 6) * INTERVAL '31' DAY"
+            " + (event_id % 3) * INTERVAL '40' DAY"
+        ).alias("ts"),
+    )
     return cohort_retention(e)
 
 
