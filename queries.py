@@ -3999,6 +3999,110 @@ def timeseries_gapfill_q(spark, sf_dir):
 
 
 @q(
+    "timeseries_anomaly",
+    """
+    WITH ev AS (
+      SELECT user_id, event_id, ts, value FROM events
+      WHERE user_id IS NOT NULL AND ts IS NOT NULL AND value IS NOT NULL),
+    s AS (
+      SELECT user_id, event_id, ts, value,
+             COUNT(value) OVER w AS roll_n,
+             AVG(value) OVER w AS roll_mean,
+             STDDEV_SAMP(value) OVER w AS roll_std
+      FROM ev
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN 12 PRECEDING AND 1 PRECEDING)),
+    z AS (
+      SELECT user_id, event_id, ts, value,
+             CASE WHEN roll_n >= 4 AND roll_std > 0
+                  THEN ROUND((value - roll_mean) / roll_std, 3) END AS z
+      FROM s)
+    SELECT user_id, event_id,
+           strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts, value, z
+    FROM z WHERE ABS(z) >= 2.0
+    """,
+)
+def timeseries_anomaly_q(spark, sf_dir):
+    """Rolling z-score anomaly detection over the event stream: each value
+    judged against the trailing 12 observations strictly before it (its own
+    value never contaminates its baseline), flagged at |z| >= 2.  The flag
+    compares the ROUNDED z (the repo's float discipline) so the threshold
+    decision is engine-exact.  One window exchange on user_id; O(12) state
+    per row — the shape that holds on an unbounded metrics stream."""
+    from engine.extended.timeseries import rolling_zscore
+
+    e = (
+        t(spark, sf_dir, "events")
+        .filter(
+            F.col("user_id").isNotNull()
+            & F.col("ts").isNotNull()
+            & F.col("value").isNotNull()
+        )
+        .select("user_id", "event_id", "ts", "value")
+    )
+    out = rolling_zscore(
+        e, order_cols=["event_id"], window_rows=12, min_points=4, z_round=3
+    )
+    return out.filter(F.abs(F.col("z")) >= 2.0).select(
+        "user_id",
+        "event_id",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("ts"),
+        "value",
+        "z",
+    )
+
+
+@q(
+    "ewma_smooth",
+    """
+    WITH ev AS (
+      SELECT user_id, event_id, ts, value FROM events
+      WHERE user_id % 20 = 0
+        AND user_id IS NOT NULL AND ts IS NOT NULL AND value IS NOT NULL),
+    arrs AS (
+      SELECT user_id, event_id, ts, value,
+             list(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                               ROWS BETWEEN 7 PRECEDING AND CURRENT ROW) AS arr
+      FROM ev)
+    SELECT user_id, event_id,
+           strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts, value,
+           ROUND(
+             list_sum(list_transform(
+               list_zip(arr, generate_series(1, len(arr))),
+               z -> z[1] * pow(0.5, len(arr) - z[2])))
+             / (2.0 - pow(2.0, 1 - len(arr))), 4) AS ewma
+    FROM arrs
+    """,
+)
+def ewma_smooth_q(spark, sf_dir):
+    """Finite-window EWMA smoothing (alpha = 1/2, last 8 points) per sampled
+    user: power-of-two weights multiply exactly in IEEE doubles, the
+    closed-form denominator 2 - 2^(1-n) keeps startup windows properly
+    normalized, and the only inexact step (small-list summation) is rounded
+    away.  One window exchange; the collected list never leaves the frame."""
+    from engine.extended.timeseries import ewma
+
+    e = (
+        t(spark, sf_dir, "events")
+        .filter(
+            (F.col("user_id") % 20 == 0)
+            & F.col("user_id").isNotNull()
+            & F.col("ts").isNotNull()
+            & F.col("value").isNotNull()
+        )
+        .select("user_id", "event_id", "ts", "value")
+    )
+    out = ewma(e, order_cols=["event_id"], window_rows=8, round_to=4)
+    return out.select(
+        "user_id",
+        "event_id",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("ts"),
+        "value",
+        "ewma",
+    )
+
+
+@q(
     "cohort_retention",
     """
     WITH spread AS (

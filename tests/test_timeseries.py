@@ -1,4 +1,5 @@
-"""Gap-fill + forward-fill: grid bounds, LOCF semantics, null handling."""
+"""Gap-fill + forward-fill, rolling z-score, EWMA: grid bounds, LOCF
+semantics, null handling, trailing-frame exclusion, weight math."""
 
 from __future__ import annotations
 
@@ -6,7 +7,7 @@ import datetime as dt
 
 import pytest
 
-from engine.extended.timeseries import gapfill_ffill
+from engine.extended.timeseries import ewma, gapfill_ffill, rolling_zscore
 
 
 def _ev(spark, rows):
@@ -78,3 +79,73 @@ def test_gapfill_per_key_bounds_and_validation(spark):
     assert by_key[2] == [(T(5), 9.0)]
     with pytest.raises(ValueError, match="step_seconds"):
         gapfill_ffill(e, step_seconds=0)
+
+
+def test_rolling_zscore_excludes_current_and_needs_min_points(spark):
+    """Frame is strictly-trailing: the spike's own value never contaminates
+    its baseline.  Baseline [10,10,12,12]: mean 11, sd ~1.1547 -> z(25)
+    = 12.124; rows with < min_points history stay NULL."""
+    e = _ev(
+        spark,
+        [(1, T(h), v) for h, v in enumerate([10.0, 10.0, 12.0, 12.0, 25.0])],
+    )
+    out = {
+        r["ts"]: r["z"]
+        for r in rolling_zscore(e, window_rows=12, min_points=4).collect()
+    }
+    assert out[T(0)] is None and out[T(1)] is None and out[T(3)] is None
+    assert out[T(4)] == pytest.approx(12.124, abs=1e-9)
+
+
+def test_rolling_zscore_zero_variance_yields_null(spark):
+    e = _ev(spark, [(1, T(h), 5.0) for h in range(6)])
+    out = rolling_zscore(e, window_rows=12, min_points=4).collect()
+    assert all(r["z"] is None for r in out)
+
+
+def test_rolling_zscore_window_truncates_old_history(spark):
+    """With window_rows=3 the early outlier falls out of the frame."""
+    vals = [100.0, 10.0, 10.0, 12.0, 12.0]
+    e = _ev(spark, [(1, T(h), v) for h, v in enumerate(vals)])
+    out = {
+        r["ts"]: (r["roll_n"], r["roll_mean"])
+        for r in rolling_zscore(e, window_rows=3, min_points=2).collect()
+    }
+    # row at T(4): frame = [10, 10, 12] (the 100 aged out)
+    assert out[T(4)][0] == 3
+    assert out[T(4)][1] == pytest.approx((10 + 10 + 12) / 3)
+
+
+def test_rolling_zscore_validation(spark):
+    e = _ev(spark, [(1, T(0), 1.0)])
+    with pytest.raises(ValueError, match="window_rows"):
+        rolling_zscore(e, window_rows=0)
+    with pytest.raises(ValueError, match="min_points"):
+        rolling_zscore(e, min_points=1)
+
+
+def test_ewma_hand_computed_weights(spark):
+    """Three points [2, 4, 8]: weights 0.25/0.5/1, den = 2 - 2^-2 = 1.75,
+    ewma = (0.5 + 2 + 8) / 1.75 = 6.0.  First row is its own average."""
+    e = _ev(spark, [(1, T(0), 2.0), (1, T(1), 4.0), (1, T(2), 8.0)])
+    out = {r["ts"]: r["ewma"] for r in ewma(e, window_rows=8).collect()}
+    assert out[T(0)] == pytest.approx(2.0)
+    assert out[T(1)] == pytest.approx(round((2.0 * 0.5 + 4.0) / 1.5, 4))
+    assert out[T(2)] == pytest.approx(6.0)
+
+
+def test_ewma_window_truncation_reweights(spark):
+    """window_rows=2 keeps only the last two points: [4, 8] -> (2 + 8)/1.5."""
+    e = _ev(spark, [(1, T(0), 2.0), (1, T(1), 4.0), (1, T(2), 8.0)])
+    out = {r["ts"]: r["ewma"] for r in ewma(e, window_rows=2).collect()}
+    assert out[T(2)] == pytest.approx(round((4.0 * 0.5 + 8.0) / 1.5, 4))
+    with pytest.raises(ValueError, match="window_rows"):
+        ewma(e, window_rows=0)
+
+
+def test_rolling_ops_are_single_exchange(spark):
+    """Both operators cost exactly one shuffle (the key window)."""
+    e = _ev(spark, [(1, T(0), 1.0), (1, T(1), 2.0), (2, T(0), 3.0)])
+    for op in (rolling_zscore, ewma):
+        plan = op(e)._jdf.queryExecution().executedPlan().toString()
+        assert plan.count("Exchange") == 1, plan
