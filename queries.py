@@ -4498,6 +4498,78 @@ def bpe_symbol_stats_q(spark, sf_dir):
     return out
 
 
+def _bpe_encode_sql(rounds: int) -> str:
+    """Encode-side twin: the trained ``b{r}`` argmax CTEs replay over each
+    SAMPLED document's token char-sequences (the same literal-REPLACE chain
+    ``bpe_apply`` runs), then per-doc integer segmentation stats.  A round
+    that learned no rule (empty ``b{r}``) LEFT-JOINs NULL and leaves the
+    sequence unchanged — matching the engine's shorter rule list."""
+    parts = [
+        f""",
+    d AS (
+      SELECT doc_id,
+             UNNEST(list_transform(regexp_extract_all(text, '[A-Za-z0-9'']+'),
+                                   x -> LOWER(x))) AS word
+      FROM documents WHERE doc_id % 10 = 0),
+    e0 AS (
+      SELECT doc_id, ' ' || substr(s, 1, length(s) - 2) || ' ' AS seq
+      FROM (SELECT doc_id, regexp_replace(word, '(.)', '\\1  ', 'g') AS s
+            FROM d))"""
+    ]
+    for r in range(rounds):
+        parts.append(
+            f""",
+    e{r + 1} AS (
+      SELECT doc_id,
+             CASE WHEN b.lhs IS NULL THEN seq
+                  ELSE REPLACE(seq, ' ' || b.lhs || '  ' || b.rhs || ' ',
+                               ' ' || b.lhs || b.rhs || ' ') END AS seq
+      FROM e{r} LEFT JOIN b{r} b ON TRUE)"""
+        )
+    parts.append(
+        f"""
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_tokens,
+           CAST(SUM(len(sy)) AS BIGINT) AS n_symbols,
+           CAST(SUM(len(list_filter(sy, s -> length(s) > 1))) AS BIGINT)
+             AS n_merged
+    FROM (SELECT doc_id,
+                 string_split(substr(seq, 2, length(seq) - 2), '  ') AS sy
+          FROM e{rounds})
+    GROUP BY doc_id"""
+    )
+    return "".join(parts)
+
+
+@q("bpe_encode_tokens", _bpe_sql(_BPE_ROUNDS, _bpe_encode_sql(_BPE_ROUNDS)))
+def bpe_encode_tokens_q(spark, sf_dir):
+    """BPE ENCODING: the trained merge rules replayed over every sampled
+    document's tokens (``bpe_apply`` — a pure-codegen literal-replace
+    chain, zero shuffle beyond the training aggregates), verified by
+    per-doc integer segmentation stats (token count, subword count,
+    multi-char-symbol count — any wrong merge shifts the counts).
+    Training reads the full corpus once; encoding is embarrassingly
+    parallel over documents, the tokenize-100-TB shape."""
+    from engine.extended.bpe import bpe_apply, bpe_train
+
+    d = t(spark, sf_dir, "documents")
+    rules, words = bpe_train(d, rounds=_BPE_ROUNDS)
+    words.unpersist()
+    enc = bpe_apply(d.filter(F.col("doc_id") % 10 == 0), rules)
+    per_tok = enc.select(
+        "doc_id", F.explode("bpe_symbols").alias("sy")
+    ).select(
+        "doc_id",
+        F.size("sy").alias("ns"),
+        F.size(F.filter("sy", lambda s: F.length(s) > 1)).alias("nm"),
+    )
+    return per_tok.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.sum("ns").alias("n_symbols"),
+        F.sum("nm").alias("n_merged"),
+    )
+
+
 @q(
     "contamination_bloom",
     """
