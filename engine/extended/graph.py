@@ -14,7 +14,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["pagerank"]
+__all__ = ["pagerank", "triangle_counts"]
 
 
 def _idiv(a: Column, b: Column) -> Column:
@@ -122,3 +122,76 @@ def pagerank(
         nodes.unpersist()
         od.unpersist()
     return ranks
+
+
+def triangle_counts(
+    edges: DataFrame,
+    *,
+    src_col: str = "src",
+    dst_col: str = "dst",
+) -> DataFrame:
+    """Per-node triangle counts over an undirected graph (clustering /
+    community-density signal).  Input edges may be duplicated, reversed,
+    or self-looped — they are canonicalized first.
+
+    Algorithm (Suri & Vassilvitskii's degree-ordered orientation): each
+    undirected edge is directed from its lower-(degree, id) endpoint to the
+    higher, which bounds every out-neighborhood by O(sqrt(m)); each
+    triangle {a,b,c} with a < b < c in that total order is found EXACTLY
+    once as the wedge (a->b, a->c) closed by the directed edge b->c.  The
+    naive wedge join without orientation explodes on hub nodes (a degree-d
+    hub contributes d^2 wedges); ordering by degree is what makes the
+    count feasible on a power-law 100 TB graph.
+
+    All-integer, join-order-independent — bit-identical across engines.
+    Returns (node, n_triangles); nodes in no triangle are absent.
+
+    Scale shape: one distinct over canonical edges, one degree aggregate,
+    the wedge self-join keyed on the wedge apex, and the closure join
+    keyed on the (v, w) edge pair — all shuffle-partitioned by their keys;
+    nothing is ever per-node quadratic in raw degree.
+    """
+    u, v = F.col(src_col), F.col(dst_col)
+    e = (
+        edges.filter(u.isNotNull() & v.isNotNull() & (u != v))
+        .select(F.least(u, v).alias("u"), F.greatest(u, v).alias("v"))
+        .distinct()
+    )
+    deg = (
+        e.select(F.col("u").alias("node"))
+        .union(e.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    with_deg = (
+        e.join(deg.withColumnRenamed("node", "u").withColumnRenamed("d", "du"), "u")
+        .join(deg.withColumnRenamed("node", "v").withColumnRenamed("d", "dv"), "v")
+    )
+    u_first = F.struct("du", "u") < F.struct("dv", "v")
+    de = with_deg.select(
+        F.when(u_first, F.col("u")).otherwise(F.col("v")).alias("src"),
+        F.when(u_first, F.col("v")).otherwise(F.col("u")).alias("dst"),
+        F.when(u_first, F.col("dv")).otherwise(F.col("du")).alias("ddeg"),
+    )
+    e1, e2 = de.alias("e1"), de.alias("e2")
+    wedges = e1.join(
+        e2,
+        (F.col("e1.src") == F.col("e2.src"))
+        & (
+            F.struct(F.col("e1.ddeg"), F.col("e1.dst"))
+            < F.struct(F.col("e2.ddeg"), F.col("e2.dst"))
+        ),
+    ).select(
+        F.col("e1.src").alias("a"),
+        F.col("e1.dst").alias("b"),
+        F.col("e2.dst").alias("c"),
+    )
+    tri = wedges.join(
+        de.select(F.col("src").alias("b"), F.col("dst").alias("c")),
+        ["b", "c"],
+    )
+    return (
+        tri.select(F.explode(F.array("a", "b", "c")).alias("node"))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("n_triangles"))
+    )

@@ -66,3 +66,59 @@ def test_idiv_exact_up_to_the_documented_bound(spark):
     got = df.select("a", "b", _idiv(F.col("a"), F.col("b")).alias("i")).collect()
     for r in got:
         assert r["i"] == r["a"] // r["b"], (r["a"], r["b"])
+
+
+# ---------------------------------------------------------------------------
+# triangle_counts
+# ---------------------------------------------------------------------------
+
+from engine.extended.graph import triangle_counts  # noqa: E402
+
+
+def _tri(spark, rows):
+    return spark.createDataFrame(rows, "src string, dst string")
+
+
+def _counts(df):
+    return {r["node"]: r["n_triangles"] for r in df.collect()}
+
+
+def test_triangles_k4_every_node_in_three(spark):
+    """K4 has 4 triangles; each node sits in C(3,2) = 3 of them."""
+    nodes = ["a", "b", "c", "d"]
+    e = _tri(
+        spark,
+        [(x, y) for i, x in enumerate(nodes) for y in nodes[i + 1 :]],
+    )
+    assert _counts(triangle_counts(e)) == {n: 3 for n in nodes}
+
+
+def test_triangles_path_and_star_have_none(spark):
+    path = _tri(spark, [("a", "b"), ("b", "c"), ("c", "d")])
+    assert triangle_counts(path).count() == 0
+    star = _tri(spark, [("hub", x) for x in "abcdef"])
+    assert triangle_counts(star).count() == 0
+
+
+def test_triangles_canonicalize_duplicates_reversals_selfloops(spark):
+    """One triangle reported once despite duplicate, reversed, and
+    self-loop edges; NULL endpoints drop."""
+    e = _tri(
+        spark,
+        [
+            ("a", "b"), ("b", "a"), ("a", "b"),   # dup + reversed
+            ("b", "c"), ("c", "a"),
+            ("a", "a"),                            # self-loop
+            (None, "b"), ("c", None),
+        ],
+    )
+    assert _counts(triangle_counts(e)) == {"a": 1, "b": 1, "c": 1}
+
+
+def test_triangles_two_shared_edge(spark):
+    """Two triangles sharing edge (a,b): a and b are in 2, c and d in 1."""
+    e = _tri(
+        spark,
+        [("a", "b"), ("a", "c"), ("b", "c"), ("a", "d"), ("b", "d")],
+    )
+    assert _counts(triangle_counts(e)) == {"a": 2, "b": 2, "c": 1, "d": 1}
