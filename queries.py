@@ -4478,6 +4478,97 @@ def triangle_count_topk(spark, sf_dir):
     )
 
 
+@q(
+    "entity_match",
+    """
+    WITH clean AS (SELECT c_custkey AS rid, c_name AS rt FROM customer),
+    src AS (
+      SELECT c_custkey, c_name, c_custkey % 10 + 2 AS p
+      FROM customer WHERE c_custkey % 5 = 0),
+    dirty AS (
+      SELECT c_custkey AS lid,
+             CASE c_custkey % 3
+               WHEN 0 THEN substr(c_name, 1, p - 1) || substr(c_name, p + 1)
+               WHEN 1 THEN substr(c_name, 1, p - 1) || 'Q'
+                           || substr(c_name, p + 1)
+               ELSE md5(CAST(c_custkey AS VARCHAR))
+             END AS lt
+      FROM src),
+    lk AS (
+      SELECT lid, lt, left(lt, 4) AS bk FROM dirty WHERE lt IS NOT NULL
+      UNION ALL
+      SELECT lid, lt, right(lt, 4) AS bk FROM dirty WHERE lt IS NOT NULL),
+    rk0 AS (
+      SELECT rid, rt, left(rt, 4) AS bk FROM clean WHERE rt IS NOT NULL
+      UNION ALL
+      SELECT rid, rt, right(rt, 4) AS bk FROM clean WHERE rt IS NOT NULL),
+    rk AS (
+      SELECT rid, rt, bk FROM (
+        SELECT rid, rt, bk,
+               ROW_NUMBER() OVER (PARTITION BY bk ORDER BY rid) AS rn
+        FROM rk0)
+      WHERE rn <= 1000),
+    cand AS (SELECT DISTINCT lid, lt, rid, rt FROM lk JOIN rk USING (bk)),
+    scored AS (
+      SELECT lid, rid, levenshtein(lt, rt) AS d
+      FROM cand WHERE levenshtein(lt, rt) <= 2),
+    best AS (
+      SELECT lid, rid, d FROM (
+        SELECT lid, rid, d,
+               ROW_NUMBER() OVER (PARTITION BY lid ORDER BY d, rid) AS rn
+        FROM scored)
+      WHERE rn = 1)
+    SELECT dirty.lid AS dirty_id, b.rid AS match_id, CAST(b.d AS INT) AS dist
+    FROM dirty LEFT JOIN best b ON b.lid = dirty.lid
+    """,
+)
+def entity_match_q(spark, sf_dir):
+    """Entity resolution: noisy customer records (planted IN-PLAN — a
+    deterministic char deletion, a char substitution, or an unmatchable
+    random string per sampled row) resolved against the clean customer
+    table by multi-pass blocking (prefix + suffix keys — a single edit
+    damages at most one of the two) and thresholded levenshtein verify,
+    best match per dirty row.  Never all-pairs: candidates come from
+    equi-joins on block keys with the bucket_cap discipline on hot
+    blocks — the record-linkage shape that survives 100 TB."""
+    from engine.extended.linkage import blocked_levenshtein_match
+
+    c = t(spark, sf_dir, "customer")
+    clean = c.select(
+        F.col("c_custkey").alias("rid"), F.col("c_name").alias("rt")
+    )
+    head = F.expr("substr(c_name, 1, c_custkey % 10 + 1)")
+    tail = F.expr("substr(c_name, c_custkey % 10 + 3)")
+    dirty = (
+        c.filter(F.col("c_custkey") % 5 == 0)
+        .select(
+            F.col("c_custkey").alias("lid"),
+            F.when(F.col("c_custkey") % 3 == 0, F.concat(head, tail))
+            .when(
+                F.col("c_custkey") % 3 == 1,
+                F.concat(head, F.lit("Q"), tail),
+            )
+            .otherwise(F.md5(F.col("c_custkey").cast("string")))
+            .alias("lt"),
+        )
+    )
+    return blocked_levenshtein_match(
+        dirty,
+        clean,
+        left_id="lid",
+        left_text="lt",
+        right_id="rid",
+        right_text="rt",
+        max_dist=2,
+        block_len=4,
+        block_cap=1000,
+    ).select(
+        F.col("lid").alias("dirty_id"),
+        F.col("match_id"),
+        F.col("dist"),
+    )
+
+
 def _bpe_sql(rounds: int, final: str) -> str:
     """DuckDB twin of bpe_train (engine/extended/bpe.py): word frequencies,
     space-framed double-space-joined char sequences, then ``rounds``

@@ -1,0 +1,89 @@
+"""Blocked levenshtein entity matching: blocking recall, cap semantics,
+tie-breaks, null handling."""
+
+from __future__ import annotations
+
+import pytest
+
+from engine.extended.linkage import blocked_levenshtein_match
+
+
+def _df(spark, rows, idc, tc):
+    return spark.createDataFrame(rows, f"{idc} long, {tc} string")
+
+
+def _match(spark, left_rows, right_rows, **kw):
+    left = _df(spark, left_rows, "left_id", "left_text")
+    right = _df(spark, right_rows, "right_id", "right_text")
+    out = blocked_levenshtein_match(left, right, **kw)
+    return {r["left_id"]: (r["match_id"], r["dist"]) for r in out.collect()}
+
+
+def test_exact_and_single_edit_matches(spark):
+    got = _match(
+        spark,
+        [(1, "alphabet soup"), (2, "alphabXt soup"), (3, "zzzzzzzz")],
+        [(10, "alphabet soup"), (20, "different thing")],
+    )
+    assert got[1] == (10, 0)
+    assert got[2] == (10, 1)      # substitution inside the middle
+    assert got[3] == (None, None)  # nothing within max_dist
+
+
+def test_prefix_damage_caught_by_suffix_block(spark):
+    """An edit in the first block_len chars breaks the prefix key; the
+    suffix pass still finds the pair."""
+    got = _match(spark, [(1, "Xbcdefghij")], [(10, "abcdefghij")])
+    assert got[1] == (10, 1)
+
+
+def test_suffix_damage_caught_by_prefix_block(spark):
+    got = _match(spark, [(1, "abcdefghiX")], [(10, "abcdefghij")])
+    assert got[1] == (10, 1)
+
+
+def test_best_match_prefers_lower_distance_then_lower_id(spark):
+    got = _match(
+        spark,
+        [(1, "abcdef")],
+        [(30, "abcdeX"), (20, "abcdef"), (10, "abcdeY")],
+    )
+    assert got[1] == (20, 0)
+    # distance tie (both dist 1) -> lowest right_id wins
+    got2 = _match(spark, [(1, "abcdef")], [(30, "abcdeX"), (10, "abcdeY")])
+    assert got2[1] == (10, 1)
+
+
+def test_null_text_rows_preserved_unmatched(spark):
+    got = _match(spark, [(1, None), (2, "abcdef")], [(10, "abcdef")])
+    assert got[1] == (None, None)
+    assert got[2] == (10, 0)
+
+
+def test_block_cap_overflow_reachable_via_other_key(spark):
+    """cap=1 keeps only the lowest rid in the shared-prefix block, but the
+    overflow row's distinct SUFFIX key still carries the pair."""
+    got = _match(
+        spark,
+        [(1, "aaaa_target_x")],
+        [(10, "aaaa_other_yyy"), (20, "aaaa_target_x")],
+        block_cap=1,
+    )
+    assert got[1] == (20, 0)
+
+
+def test_short_strings_block_whole_string(spark):
+    """Strings shorter than block_len key on themselves in both passes."""
+    got = _match(spark, [(1, "ab")], [(10, "ab"), (20, "ax")])
+    assert got[1] == (10, 0)
+
+
+def test_validation(spark):
+    left = _df(spark, [(1, "x")], "left_id", "left_text")
+    right = _df(spark, [(2, "x")], "right_id", "right_text")
+    with pytest.raises(ValueError, match="max_dist"):
+        blocked_levenshtein_match(left, right, max_dist=-1)
+    with pytest.raises(ValueError, match="block_len"):
+        blocked_levenshtein_match(left, right, block_len=0)
+    with pytest.raises(ValueError, match="block_cap"):
+        blocked_levenshtein_match(left, right, block_cap=0)
