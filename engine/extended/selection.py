@@ -32,7 +32,7 @@ from pyspark.sql import functions as F
 
 from engine.extended.text import tokens
 
-__all__ = ["importance_scores", "dsir_select", "quantile_buckets"]
+__all__ = ["importance_scores", "dsir_select", "quantile_buckets", "mmr_select"]
 
 
 def importance_scores(
@@ -160,3 +160,106 @@ def quantile_buckets(
         .withColumn(bucket_col, bucket)
         .drop(*[f"__qb{i}" for i in range(len(probs))])
     )
+
+
+def mmr_select(
+    candidates: DataFrame,
+    *,
+    k: int,
+    lam_pct: int = 50,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    quality_col: str = "quality",
+    round_to: int = 4,
+    materialize: bool = False,
+) -> list[dict]:
+    """Greedy maximal-marginal-relevance selection (Carbonell & Goldstein
+    1998): pick ``k`` items maximizing ``lam·quality − (1−lam)·max-sim-to-
+    already-selected`` — the diversity-aware subset selection a training-
+    data pipeline runs after scoring (high-quality but non-redundant).
+
+    Returns selected rows as dicts ``{sel_rank, id, score}`` in selection
+    order (fewer than ``k`` when the pool runs out).  ``lam_pct`` is an
+    integer percent so the blend weights are identical literals in any
+    engine; similarities and scores are ROUNDED to ``round_to`` before the
+    argmax, and ties break by id — the greedy path is engine-exact and
+    the whole chain unrolls to SQL.
+
+    Scale shape: each round is one argmax over the pool (a 1-row collect,
+    like every argmax in this repo) with the newly selected vector folded
+    in as a broadcast literal — no pairwise-materialized similarity
+    matrix, ever.  The running max-sim column accumulates as expression
+    depth; ``materialize=True`` persists the pool each round (the
+    bpe_train/pagerank discipline) so round r+1 scans the persisted pool
+    instead of re-deriving r rounds of expressions — the >1-executor
+    scale path; lazy mode keeps the registry sweep cache-clean.
+    """
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    if not 0 <= lam_pct <= 100:
+        raise ValueError(f"lam_pct must be in [0, 100], got {lam_pct}")
+    lam = lam_pct / 100.0
+    pool = candidates.filter(
+        F.col(id_col).isNotNull() & F.col(vec_col).isNotNull()
+    ).select(
+        F.col(id_col).alias("__id"),
+        F.col(vec_col).alias("__v"),
+        F.sqrt(
+            F.aggregate(
+                F.transform(vec_col, lambda x: x.cast("double") * x.cast("double")),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+        ).alias("__n"),
+        F.col(quality_col).cast("double").alias("__q"),
+        F.lit(0.0).alias("__ms"),
+    )
+    if materialize:
+        pool = pool.persist()
+    selected: list[dict] = []
+    prev = pool if materialize else None
+    for rank in range(k):
+        score = F.round(
+            F.lit(lam) * F.col("__q") - F.lit(1.0 - lam) * F.col("__ms"),
+            round_to,
+        )
+        best = (
+            pool.select("__id", "__v", "__n", score.alias("__s"))
+            .orderBy(F.col("__s").desc(), "__id")
+            .limit(1)
+            .collect()
+        )
+        if not best:
+            break
+        b = best[0]
+        selected.append(
+            {"sel_rank": rank + 1, "id": b["__id"], "score": float(b["__s"])}
+        )
+        bv = F.array(*[F.lit(float(x)) for x in b["__v"]])
+        bn = float(b["__n"])
+        dot = F.aggregate(
+            F.zip_with("__v", bv, lambda x, y: x.cast("double") * y),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        sim = (
+            F.when(
+                F.col("__n") * F.lit(bn) > 0,
+                F.round(dot / (F.col("__n") * F.lit(bn)), round_to),
+            ).otherwise(F.lit(0.0))
+        )
+        pool = pool.filter(F.col("__id") != F.lit(b["__id"])).select(
+            "__id",
+            "__v",
+            "__n",
+            "__q",
+            F.greatest("__ms", sim).alias("__ms"),
+        )
+        if materialize:
+            pool = pool.persist()
+            pool.count()
+            prev.unpersist()
+            prev = pool
+    if materialize and prev is not None:
+        prev.unpersist()
+    return selected

@@ -4478,6 +4478,73 @@ def triangle_count_topk(spark, sf_dir):
     )
 
 
+def _mmr_sql(k: int) -> str:
+    """Unrolled DuckDB twin of the greedy MMR loop: round r's argmax CTE
+    ``s{r}`` picks (rounded score DESC, id) from pool ``v{r-1}``; pool
+    ``v{r}`` drops the pick and folds its rounded cosine into the running
+    max-sim.  An exhausted pool makes every later CTE empty, matching the
+    operator's early break."""
+    parts = [
+        """
+    WITH v0 AS (
+      SELECT vec_id AS id, embedding AS emb,
+             SQRT(list_sum(list_transform(embedding,
+                  x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm,
+             (vec_id % 100) / 100.0 AS q,
+             0.0 AS ms
+      FROM embeddings WHERE embedding IS NOT NULL AND vec_id IS NOT NULL)"""
+    ]
+    for r in range(1, k + 1):
+        parts.append(
+            f""",
+    s{r} AS (
+      SELECT id, emb, nrm, ROUND(0.5 * q - 0.5 * ms, 4) AS s
+      FROM v{r - 1} ORDER BY s DESC, id LIMIT 1),
+    v{r} AS (
+      SELECT v.id, v.emb, v.nrm, v.q,
+             GREATEST(v.ms,
+               CASE WHEN v.nrm * s.nrm > 0 THEN ROUND(
+                 list_sum(list_transform(list_zip(v.emb, s.emb),
+                          x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))
+                 / (v.nrm * s.nrm), 4)
+               ELSE 0.0 END) AS ms
+      FROM v{r - 1} v, s{r} s WHERE v.id <> s.id)"""
+        )
+    selects = [
+        f"SELECT {r} AS sel_rank, id AS vec_id, s AS score FROM s{r}"
+        for r in range(1, k + 1)
+    ]
+    parts.append("\n    " + "\n    UNION ALL ".join(selects))
+    return "".join(parts)
+
+
+_MMR_K = 6
+
+
+@q("mmr_select_topk", _mmr_sql(_MMR_K))
+def mmr_select_topk_q(spark, sf_dir):
+    """Diversity-aware selection: greedy maximal marginal relevance over
+    the embedding pool (quality blended against max similarity to the
+    already-selected set, lambda = 1/2) — the pick-high-quality-but-
+    non-redundant step after corpus scoring.  Scores and similarities
+    are rounded before each argmax, so the greedy path is engine-exact;
+    each round is one pool argmax with the new pick folded in as a
+    broadcast literal, never a materialized similarity matrix."""
+    from engine.extended.selection import mmr_select
+
+    e = t(spark, sf_dir, "embeddings").filter(F.col("vec_id").isNotNull())
+    pool = e.select(
+        "vec_id",
+        "embedding",
+        ((F.col("vec_id") % 100) / F.lit(100.0)).alias("quality"),
+    )
+    picks = mmr_select(pool, k=_MMR_K, lam_pct=50, quality_col="quality")
+    return spark.createDataFrame(
+        [(p["sel_rank"], p["id"], p["score"]) for p in picks],
+        "sel_rank int, vec_id bigint, score double",
+    )
+
+
 @q(
     "entity_match",
     """

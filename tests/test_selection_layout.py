@@ -96,3 +96,64 @@ def test_zorder_write_clusters_files(spark, tmp_path):
     assert len(stats) >= 2
     for a, b in zip(stats, stats[1:]):
         assert a["hi"] <= b["lo"]
+
+
+# ---------------------------------------------------------------------------
+# mmr_select
+# ---------------------------------------------------------------------------
+
+import pytest as _pytest
+
+from engine.extended.selection import mmr_select
+
+
+def _pool(spark, rows):
+    return spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, quality double"
+    )
+
+
+def test_mmr_diversity_beats_quality(spark):
+    """b duplicates a's direction with high quality; orthogonal c wins
+    round 2 because a's similarity fully penalizes b."""
+    p = _pool(
+        spark,
+        [
+            (1, [1.0, 0.0], 1.0),
+            (2, [1.0, 0.0], 0.9),
+            (3, [0.0, 1.0], 0.5),
+        ],
+    )
+    picks = mmr_select(p, k=3)
+    assert [x["id"] for x in picks] == [1, 3, 2]
+    assert picks[0]["score"] == _pytest.approx(0.5)     # 0.5·1.0 − 0
+    assert picks[1]["score"] == _pytest.approx(0.25)    # 0.5·0.5 − 0.5·0
+    assert picks[2]["score"] == _pytest.approx(-0.05)   # 0.5·0.9 − 0.5·1.0
+
+
+def test_mmr_pool_exhaustion_and_zero_norm(spark):
+    """Fewer rows than k returns what exists; a zero vector's similarity
+    is defined 0, so it is pure quality."""
+    p = _pool(spark, [(1, [1.0, 0.0], 0.8), (2, [0.0, 0.0], 0.4)])
+    picks = mmr_select(p, k=5)
+    assert [x["id"] for x in picks] == [1, 2]
+    assert picks[1]["score"] == _pytest.approx(0.2)     # 0.5·0.4 − 0.5·0
+
+
+def test_mmr_materialized_agrees_with_lazy(spark):
+    rows = [
+        (i, [float(i % 3), float((i * 7) % 5), 1.0], (i % 10) / 10.0)
+        for i in range(1, 30)
+    ]
+    p = _pool(spark, rows)
+    lazy = mmr_select(p, k=4, materialize=False)
+    mat = mmr_select(p, k=4, materialize=True)
+    assert lazy == mat
+
+
+def test_mmr_validation(spark):
+    p = _pool(spark, [(1, [1.0], 0.5)])
+    with _pytest.raises(ValueError, match="k must"):
+        mmr_select(p, k=0)
+    with _pytest.raises(ValueError, match="lam_pct"):
+        mmr_select(p, k=1, lam_pct=101)
