@@ -17,6 +17,7 @@ from pyspark.sql import functions as F
 
 __all__ = [
     "hash_split",
+    "weighted_sample",
     "stratified_sample",
     "mixture_sample",
     "per_key_sample",
@@ -292,4 +293,58 @@ def global_order(
         ranked.join(F.broadcast(offsets), "__shard")
         .withColumn("global_pos", (F.col("__offset") + F.col("__rk") - 1).cast("long"))
         .drop("__h", "__shard", "__rk", "__offset")
+    )
+
+
+def weighted_sample(
+    df: DataFrame,
+    group_col: str,
+    *,
+    k: int,
+    weight_col: str,
+    id_col: str = "doc_id",
+    salt: str = "wrs",
+    key_round: int = 6,
+) -> DataFrame:
+    """Weighted sampling WITHOUT replacement, at most ``k`` rows per group,
+    inclusion probability proportional to ``weight_col`` (Efraimidis &
+    Spirakis 2006): each row draws a deterministic uniform u from the md5
+    of its id and keeps key ``ln(u) / w``; the k largest keys per group
+    are exactly a weighted sample without replacement.
+
+    RNG-free and order-independent like :func:`per_key_sample` — the md5
+    tag IS the randomness, so the sample reproduces across runs, row
+    orders, partition counts, and engines.  Keys are ROUNDED to
+    ``key_round`` decimals before ranking (ties break by id): natural log
+    is correctly-rounded-ulp territory where JVM and C runtimes may
+    disagree, and ranking on the rounded key is what keeps the selection
+    engine-exact.  Rows with NULL/non-positive weight or NULL id are
+    excluded (a zero-weight row must never be sampled).
+
+    Scale shape: pure expression + one shuffle on ``group_col`` with the
+    WindowGroupLimit top-k heap — same cost as per_key_sample.
+    """
+    from pyspark.sql import Window
+
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    h = F.md5(F.concat(F.col(id_col).cast("string"), F.lit("|" + salt)))
+    bucket = F.conv(F.substring(h, 1, 8), 16, 10).cast("long")
+    # u in (0, 1) strictly: (bucket + 1) / (2^32 + 1)
+    u = (bucket + 1) / F.lit(float(2**32 + 1))
+    key = F.round(F.log(u) / F.col(weight_col).cast("double"), key_round)
+    w = Window.partitionBy(group_col).orderBy(
+        F.col("__wk").desc(), F.col(id_col)
+    )
+    return (
+        df.filter(
+            F.col(id_col).isNotNull()
+            & F.col(weight_col).isNotNull()
+            & (F.col(weight_col) > 0)
+        )
+        .withColumn("__wk", key)
+        .withColumn("__rk", F.row_number().over(w))
+        .filter(F.col("__rk") <= k)
+        .drop("__rk")
+        .withColumnRenamed("__wk", "sample_key")
     )

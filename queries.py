@@ -4478,6 +4478,43 @@ def triangle_count_topk(spark, sf_dir):
     )
 
 
+@q(
+    "weighted_sample_topk",
+    """
+    WITH d AS (
+      SELECT lang, doc_id, CAST(n_chars AS DOUBLE) AS w FROM documents
+      WHERE doc_id IS NOT NULL AND n_chars IS NOT NULL AND n_chars > 0),
+    keyed AS (
+      SELECT lang, doc_id, w,
+             ROUND(
+               ln((CAST(('0x' || SUBSTRING(
+                     MD5(CAST(doc_id AS VARCHAR) || '|wrs'), 1, 8))
+                   AS BIGINT) + 1) / 4294967297.0) / w, 6) AS sample_key
+      FROM d)
+    SELECT lang, doc_id, sample_key FROM (
+      SELECT lang, doc_id, sample_key,
+             ROW_NUMBER() OVER (PARTITION BY lang
+                                ORDER BY sample_key DESC, doc_id) AS rn
+      FROM keyed)
+    WHERE rn <= 20
+    """,
+)
+def weighted_sample_topk_q(spark, sf_dir):
+    """Weighted sampling without replacement (Efraimidis-Spirakis A-ES):
+    20 docs per language with inclusion probability proportional to
+    length — the quality-weighted subsampling step of corpus curation,
+    RNG-free (the md5 tag is the randomness) so the sample reproduces
+    across runs, partitionings, and engines.  Keys rounded before
+    ranking: ln() is ulp territory where JVM and C runtimes may differ."""
+    from engine.extended.sampling import weighted_sample
+
+    d = t(spark, sf_dir, "documents").select("lang", "doc_id", "n_chars")
+    out = weighted_sample(
+        d, "lang", k=20, weight_col="n_chars", id_col="doc_id"
+    )
+    return out.select("lang", "doc_id", "sample_key")
+
+
 def _mmr_sql(k: int) -> str:
     """Unrolled DuckDB twin of the greedy MMR loop: round r's argmax CTE
     ``s{r}`` picks (rounded score DESC, id) from pool ``v{r-1}``; pool

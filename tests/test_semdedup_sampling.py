@@ -226,3 +226,44 @@ def test_semdedup_incremental_caps_corpus_side(spark):
         for r in semdedup_incremental(batch, corpus, threshold=0.99).collect()
     }
     assert kept_exact == set()
+
+
+# ---------------------------------------------------------------------------
+# weighted_sample (Efraimidis-Spirakis)
+# ---------------------------------------------------------------------------
+
+from engine.extended.sampling import weighted_sample
+
+
+def _wdf(spark, rows):
+    return spark.createDataFrame(rows, "source string, doc_id long, w double")
+
+
+def test_weighted_sample_caps_and_is_partition_invariant(spark):
+    rows = [("a", i, 1.0) for i in range(30)] + [("b", 100 + i, 1.0) for i in range(3)]
+    df = _wdf(spark, rows)
+    out = weighted_sample(df, "source", k=5, weight_col="w").collect()
+    by = {}
+    for r in out:
+        by.setdefault(r["source"], set()).add(r["doc_id"])
+    assert len(by["a"]) == 5 and len(by["b"]) == 3
+    again = weighted_sample(
+        df.repartition(7), "source", k=5, weight_col="w"
+    ).collect()
+    assert {(r["source"], r["doc_id"]) for r in again} == {
+        (r["source"], r["doc_id"]) for r in out
+    }
+
+
+def test_weighted_sample_dominant_weight_always_selected(spark):
+    """key = ln(u)/w -> a w=1e12 row's key is ~0 (the max possible), so it
+    beats every unit-weight row regardless of its uniform draw."""
+    rows = [("a", i, 1.0) for i in range(50)] + [("a", 999, 1e12)]
+    out = weighted_sample(_wdf(spark, rows), "source", k=1, weight_col="w").collect()
+    assert [r["doc_id"] for r in out] == [999]
+
+
+def test_weighted_sample_excludes_nonpositive_and_null(spark):
+    rows = [("a", 1, 1.0), ("a", 2, 0.0), ("a", 3, -4.0), ("a", 4, None), ("a", None, 1.0)]
+    out = weighted_sample(_wdf(spark, rows), "source", k=10, weight_col="w").collect()
+    assert [r["doc_id"] for r in out] == [1]
