@@ -36,6 +36,7 @@ __all__ = [
     "check_foreign_key",
     "row_hash",
     "snapshot_diff",
+    "split_leakage_audit",
 ]
 
 _IDENT_RE = re.compile(r"^[A-Za-z0-9_][A-Za-z0-9_ .-]*$")
@@ -146,4 +147,69 @@ def snapshot_diff(
         joined.withColumn("change", change)
         .filter(F.col("change").isNotNull())
         .select(*key_cols, "change")
+    )
+
+
+def split_leakage_audit(
+    df: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    splits: dict[str, float] | None = None,
+) -> DataFrame:
+    """Cross-split contamination audit for a train/val/test assignment:
+    counts normalized-text fingerprints that appear in more than one
+    split (an eval document with a training twin invalidates the eval —
+    the leakage check every LLM data pipeline must run before shipping a
+    split).
+
+    Uses :func:`engine.extended.sampling.hash_split` for the assignment
+    and :func:`engine.extended.text.fingerprint` for identity, so the
+    audit measures exactly what the engine's own split + dedup operators
+    ship.  Returns one row per ordered split pair ``(split_a < split_b,
+    n_shared)`` — pairs with no leakage are absent.
+
+    Scale shape: one distinct over (fingerprint, split) — the fingerprint
+    shuffle exact dedup already pays — then pair generation INSIDE the
+    per-fingerprint split set (bounded by the number of splits, never by
+    corpus size) and a splits²-cardinality aggregate.
+    """
+    from engine.extended.sampling import hash_split
+    from engine.extended.text import fingerprint
+
+    labeled = df.filter(
+        F.col(id_col).isNotNull() & F.col(text_col).isNotNull()
+    ).select(
+        fingerprint(text_col).alias("fp"),
+        hash_split(F.col(id_col), splits=splits).alias("split"),
+    )
+    per_fp = (
+        labeled.distinct()
+        .groupBy("fp")
+        .agg(F.array_sort(F.collect_set("split")).alias("ss"))
+        .filter(F.size("ss") >= 2)
+    )
+    pairs = per_fp.select(
+        F.explode(
+            F.flatten(
+                F.transform(
+                    F.col("ss"),
+                    lambda x: F.filter(
+                        F.transform(
+                            F.col("ss"),
+                            lambda y: F.struct(
+                                x.alias("split_a"), y.alias("split_b")
+                            ),
+                        ),
+                        lambda p: p["split_a"] < p["split_b"],
+                    ),
+                )
+            )
+        ).alias("p")
+    )
+    return (
+        pairs.select(F.col("p.split_a").alias("split_a"),
+                     F.col("p.split_b").alias("split_b"))
+        .groupBy("split_a", "split_b")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
     )

@@ -4479,6 +4479,51 @@ def triangle_count_topk(spark, sf_dir):
 
 
 @q(
+    "split_leakage_audit",
+    """
+    WITH aug AS (
+      SELECT doc_id, text FROM documents
+      UNION ALL
+      SELECT doc_id + 1000000 AS doc_id, text
+      FROM documents WHERE doc_id % 7 = 0),
+    lab AS (
+      SELECT MD5(LOWER(REGEXP_REPLACE(text, '[^A-Za-z0-9]', '', 'g'))) AS fp,
+             CASE
+               WHEN CAST(('0x' || SUBSTRING(MD5(CAST(doc_id AS VARCHAR)), 1, 4))
+                    AS INTEGER) < CAST(0.8 * 65536 AS INTEGER) THEN 'train'
+               WHEN CAST(('0x' || SUBSTRING(MD5(CAST(doc_id AS VARCHAR)), 1, 4))
+                    AS INTEGER) < CAST(0.9 * 65536 AS INTEGER) THEN 'val'
+               ELSE 'test' END AS split
+      FROM aug WHERE doc_id IS NOT NULL AND text IS NOT NULL),
+    ds AS (SELECT DISTINCT fp, split FROM lab)
+    SELECT a.split AS split_a, b.split AS split_b, COUNT(*) AS n_shared
+    FROM ds a JOIN ds b ON a.fp = b.fp AND a.split < b.split
+    GROUP BY split_a, split_b
+    """,
+)
+def split_leakage_audit_q(spark, sf_dir):
+    """Train/val/test leakage audit: normalized-text fingerprints that
+    land in more than one hash-assigned split, counted per split pair —
+    the eval-contamination gate run before any split ships.  Composes the
+    engine's own hash_split + fingerprint, so the audit measures exactly
+    what the split/dedup operators produce; pair generation happens
+    inside each fingerprint's split set (bounded by the split count), on
+    top of the one fingerprint shuffle exact dedup already pays.  A
+    deterministic twin of every 7th document is planted IN-PLAN under a
+    shifted id (different hash split, same text) so the audit always has
+    known positives to count."""
+    from engine.ops.quality import split_leakage_audit
+
+    d = t(spark, sf_dir, "documents")
+    aug = d.select("doc_id", "text").unionByName(
+        d.filter(F.col("doc_id") % 7 == 0).select(
+            (F.col("doc_id") + 1000000).alias("doc_id"), "text"
+        )
+    )
+    return split_leakage_audit(aug)
+
+
+@q(
     "weighted_sample_topk",
     """
     WITH d AS (

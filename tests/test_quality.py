@@ -132,3 +132,46 @@ def test_zorder_key_sql_range_guard():
 
     with pytest.raises(ValueError):
         zorder_key_sql(["a", "b", "c", "d"], bits=16)
+
+
+# ---------------------------------------------------------------------------
+# split_leakage_audit
+# ---------------------------------------------------------------------------
+
+from engine.ops.quality import split_leakage_audit
+
+
+def test_split_leakage_counts_cross_split_twins(spark):
+    """Twin texts under ids landing in different splits are counted per
+    pair; expectations derived from hash_split itself on the same ids."""
+    from pyspark.sql import functions as F
+    from engine.extended.sampling import hash_split
+
+    rows = [(i, f"unique text {i} paddingpadding") for i in range(40)]
+    rows += [(100 + i, f"unique text {i} paddingpadding") for i in range(40)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    split_of = {
+        r["doc_id"]: r["s"]
+        for r in df.select(
+            "doc_id", hash_split(F.col("doc_id")).alias("s")
+        ).collect()
+    }
+    expected = {}
+    for i in range(40):
+        a, b = sorted([split_of[i], split_of[100 + i]])
+        if a != b:
+            expected[(a, b)] = expected.get((a, b), 0) + 1
+    got = {
+        (r["split_a"], r["split_b"]): r["n_shared"]
+        for r in split_leakage_audit(df).collect()
+    }
+    assert got == expected
+    assert expected  # the fixture must actually exercise leakage
+
+
+def test_split_leakage_clean_corpus_is_empty_and_nulls_excluded(spark):
+    df = spark.createDataFrame(
+        [(1, "aaa bbb"), (2, "ccc ddd"), (3, None), (None, "aaa bbb")],
+        "doc_id long, text string",
+    )
+    assert split_leakage_audit(df).count() == 0
