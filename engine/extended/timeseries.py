@@ -15,7 +15,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["gapfill_ffill", "rolling_zscore", "ewma"]
+__all__ = ["gapfill_ffill", "rolling_zscore", "ewma", "lttb_downsample"]
 
 
 def gapfill_ffill(
@@ -184,3 +184,128 @@ def ewma(
     num = F.aggregate(weighted, F.lit(0.0), lambda acc, x: acc + x)
     den = F.lit(2.0) - F.pow(F.lit(2.0), (F.lit(1) - n).cast("double"))
     return df.withColumn(out_col, F.round(num / den, round_to))
+
+
+def lttb_downsample(
+    df: DataFrame,
+    *,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    order_cols: list[str] | None = None,
+    n_buckets: int = 12,
+    area_round: int = 3,
+    avg_round: int = 6,
+) -> DataFrame:
+    """Visually-representative per-key downsampling to ~``n_buckets``
+    points — the largest-triangle-three-buckets idea (Steinarsson 2013)
+    in its FIXED-ANCHOR variant: each equal-count bucket keeps the point
+    forming the largest triangle with the NEIGHBOR BUCKETS' AVERAGES
+    (canonical LTTB uses the previously-selected point as the left
+    anchor, a sequential dependency; fixed anchors make every bucket's
+    choice independent, i.e. one parallel pass — the variant that runs
+    on a cluster).  First and last points are always kept; keys with
+    <= ``n_buckets`` points pass through whole.
+
+    Determinism: x-coordinates are exact epoch MICROSECONDS (integer
+    sums, exact bucket means), bucket y-means are rounded to
+    ``avg_round`` (double summation order is the one engine-dependent
+    step), and triangle areas are rounded to ``area_round`` before the
+    per-bucket argmax with (area DESC, time) tie-break — the selection
+    is engine-exact and SQL-oracle-checkable.
+
+    Scale shape: one window exchange on the key (rank + count), one
+    (key, bucket) aggregate for anchors, two broadcast-sized joins per
+    point against the anchor table, one argmax window — everything keyed,
+    nothing quadratic.
+    """
+    if n_buckets < 3:
+        raise ValueError(f"n_buckets must be >= 3, got {n_buckets}")
+    ev = df.filter(
+        F.col(key_col).isNotNull()
+        & F.col(ts_col).isNotNull()
+        & F.col(value_col).isNotNull()
+    ).select(
+        F.col(key_col).alias("k"),
+        F.col(ts_col).alias("t"),
+        F.col(value_col).cast("double").alias("v"),
+        *[F.col(c) for c in (order_cols or [])],
+    )
+    w = Window.partitionBy("k").orderBy("t", *[(c) for c in (order_cols or [])])
+    base = ev.select(
+        "k",
+        "t",
+        "v",
+        (F.row_number().over(w) - 1).alias("rank"),
+        F.count(F.lit(1)).over(
+            Window.partitionBy("k").orderBy("t").rowsBetween(
+                Window.unboundedPreceding, Window.unboundedFollowing
+            )
+        ).alias("n"),
+    )
+    small = base.filter(F.col("n") <= n_buckets).select(
+        "k", "t", "v", F.col("rank").cast("int").alias("bucket")
+    )
+    big = base.filter(F.col("n") > n_buckets).withColumn(
+        "bucket", F.expr(f"CAST((rank * {n_buckets}) div n AS INT)")
+    )
+    # x is REBASED to the key's first timestamp: triangle areas are
+    # translation-invariant, and small integers keep every partial sum
+    # inside double-exact range (raw epoch-micros ~1.7e18 would make the
+    # bucket-mean summation order-dependent across engines)
+    kw = Window.partitionBy("k")
+    big = big.withColumn(
+        "x", F.unix_micros(F.col("t")) - F.min(F.unix_micros(F.col("t"))).over(kw)
+    )
+    anchors = big.groupBy("k", "bucket").agg(
+        F.avg("x").alias("bx"),
+        F.round(F.avg("v"), avg_round).alias("by"),
+    )
+    prev = anchors.select(
+        "k", (F.col("bucket") + 1).alias("bucket"),
+        F.col("bx").alias("px"), F.col("by").alias("py"),
+    )
+    nxt = anchors.select(
+        "k", (F.col("bucket") - 1).alias("bucket"),
+        F.col("bx").alias("nx"), F.col("by").alias("ny"),
+    )
+    interior = (
+        big.filter(
+            (F.col("bucket") >= 1) & (F.col("bucket") <= n_buckets - 2)
+        )
+        .join(prev, ["k", "bucket"])
+        .join(nxt, ["k", "bucket"])
+        .withColumn(
+            "area",
+            F.round(
+                F.abs(
+                    (F.col("px") - F.col("nx"))
+                    * (F.col("v") - F.col("py"))
+                    - (F.col("px") - F.col("x").cast("double"))
+                    * (F.col("ny") - F.col("py"))
+                ),
+                area_round,
+            ),
+        )
+    )
+    aw = Window.partitionBy("k", "bucket").orderBy(
+        F.col("area").desc(), "rank"
+    )
+    picked = (
+        interior.withColumn("__rn", F.row_number().over(aw))
+        .filter(F.col("__rn") == 1)
+        .select("k", "t", "v", "bucket")
+    )
+    ends = big.filter(
+        (F.col("rank") == 0) | (F.col("rank") == F.col("n") - 1)
+    ).select("k", "t", "v", "bucket")
+    return (
+        small.unionByName(ends)
+        .unionByName(picked)
+        .select(
+            F.col("k").alias(key_col),
+            F.col("t").alias("tick"),
+            F.col("v").alias("picked_value"),
+            "bucket",
+        )
+    )

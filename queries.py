@@ -4103,6 +4103,73 @@ def ewma_smooth_q(spark, sf_dir):
 
 
 @q(
+    "timeseries_lttb",
+    """
+    WITH ev AS (
+      SELECT user_id AS k, ts AS t, value AS v, event_id FROM events
+      WHERE user_id IS NOT NULL AND ts IS NOT NULL AND value IS NOT NULL
+        AND user_id % 25 = 0),
+    base AS (
+      SELECT k, t, v,
+             ROW_NUMBER() OVER (PARTITION BY k ORDER BY t, event_id) - 1 AS rk,
+             COUNT(*) OVER (PARTITION BY k) AS n
+      FROM ev),
+    small AS (SELECT k, t, v, CAST(rk AS INT) AS bucket FROM base WHERE n <= 12),
+    big AS (
+      SELECT k, t, v, rk, n, CAST((rk * 12) // n AS INT) AS bucket,
+             epoch_us(t) - MIN(epoch_us(t)) OVER (PARTITION BY k) AS x
+      FROM base WHERE n > 12),
+    anchors AS (
+      SELECT k, bucket, AVG(x) AS bx, ROUND(AVG(v), 6) AS by
+      FROM big GROUP BY k, bucket),
+    interior AS (
+      SELECT b.k, b.t, b.v, b.rk, b.bucket,
+             ROUND(ABS((p.bx - nx.bx) * (b.v - p.by)
+                       - (p.bx - CAST(b.x AS DOUBLE)) * (nx.by - p.by)),
+                   3) AS area
+      FROM big b
+      JOIN anchors p ON p.k = b.k AND p.bucket = b.bucket - 1
+      JOIN anchors nx ON nx.k = b.k AND nx.bucket = b.bucket + 1
+      WHERE b.bucket BETWEEN 1 AND 10),
+    picked AS (
+      SELECT k, t, v, bucket FROM (
+        SELECT k, t, v, bucket,
+               ROW_NUMBER() OVER (PARTITION BY k, bucket
+                                  ORDER BY area DESC, rk) AS rn
+        FROM interior) WHERE rn = 1),
+    ends AS (SELECT k, t, v, bucket FROM big WHERE rk = 0 OR rk = n - 1),
+    allp AS (
+      SELECT * FROM small UNION ALL SELECT * FROM ends
+      UNION ALL SELECT * FROM picked)
+    SELECT k AS user_id, strftime(t, '%Y-%m-%d %H:%M:%S') AS tick,
+           v AS picked_value, bucket
+    FROM allp
+    """,
+)
+def timeseries_lttb_q(spark, sf_dir):
+    """Largest-triangle downsampling (fixed-anchor LTTB variant) of each
+    sampled user's event series to ~12 visually-representative points:
+    equal-count buckets, each keeping the point with the largest rounded
+    triangle area against the neighbor buckets' means, endpoints always
+    kept.  x-coordinates are rebased epoch-micros so every mean is
+    double-exact; one key window + one (key, bucket) aggregate + an
+    argmax window — the dashboard-downsample shape for billions of
+    series."""
+    from engine.extended.timeseries import lttb_downsample
+
+    e = t(spark, sf_dir, "events").filter(F.col("user_id") % 25 == 0)
+    out = lttb_downsample(
+        e, order_cols=["event_id"], n_buckets=12, area_round=3, avg_round=6
+    )
+    return out.select(
+        "user_id",
+        F.date_format("tick", "yyyy-MM-dd HH:mm:ss").alias("tick"),
+        "picked_value",
+        "bucket",
+    )
+
+
+@q(
     "cohort_retention",
     """
     WITH spread AS (

@@ -149,3 +149,44 @@ def test_rolling_ops_are_single_exchange(spark):
     for op in (rolling_zscore, ewma):
         plan = op(e)._jdf.queryExecution().executedPlan().toString()
         assert plan.count("Exchange") == 1, plan
+
+
+# ---------------------------------------------------------------------------
+# lttb_downsample
+# ---------------------------------------------------------------------------
+
+from engine.extended.timeseries import lttb_downsample
+
+
+def test_lttb_small_series_passes_through_whole(spark):
+    e = _ev(spark, [(1, T(h), float(h)) for h in range(5)])
+    out = lttb_downsample(e, n_buckets=12).collect()
+    assert len(out) == 5
+    assert {r["picked_value"] for r in out} == {0.0, 1.0, 2.0, 3.0, 4.0}
+
+
+def test_lttb_keeps_endpoints_and_one_point_per_bucket(spark):
+    e = _ev(spark, [(1, T(h % 24, h // 24), float(h % 7)) for h in range(60)])
+    out = sorted(lttb_downsample(e, n_buckets=6).collect(), key=lambda r: r["tick"])
+    assert len(out) == 6
+    assert {r["bucket"] for r in out} == set(range(6))
+    # endpoints are the true first/last observations
+    assert out[0]["tick"] == min(T(h % 24, h // 24) for h in range(60))
+    assert out[-1]["tick"] == max(T(h % 24, h // 24) for h in range(60))
+
+
+def test_lttb_selects_the_spike(spark):
+    """Flat series with one huge spike: the spike's bucket must pick it."""
+    vals = [1.0] * 30
+    vals[14] = 500.0
+    e = _ev(spark, [(1, T(h % 24, h // 24), v) for h, v in enumerate(vals)])
+    out = lttb_downsample(e, n_buckets=6).collect()
+    assert 500.0 in {r["picked_value"] for r in out}
+
+
+def test_lttb_validation_and_null_handling(spark):
+    e = _ev(spark, [(1, T(0), 1.0), (None, T(1), 2.0), (1, None, 3.0), (1, T(2), None)])
+    with pytest.raises(ValueError, match="n_buckets"):
+        lttb_downsample(e, n_buckets=2)
+    out = lttb_downsample(e, n_buckets=3).collect()
+    assert [(r["user_id"], r["picked_value"]) for r in out] == [(1, 1.0)]
