@@ -81,6 +81,16 @@ SECONDARY = [
     "funnel_conversion",
     "pmi_collocations",
     "embedding_jl_project",
+    # round-4 second-continuation additions
+    "timeseries_anomaly",
+    "ewma_smooth",
+    "timeseries_lttb",
+    "bpe_encode_tokens",
+    "triangle_count_topk",
+    "entity_match",
+    "mmr_select_topk",
+    "weighted_sample_topk",
+    "split_leakage_audit",
 ]
 
 

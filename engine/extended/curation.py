@@ -25,6 +25,8 @@ from pyspark.sql import functions as F
 from engine.extended.text import ngrams_from, tokens
 
 __all__ = [
+    "code_detect_exprs",
+    "CODE_KEYWORDS",
     "PII_PATTERNS",
     "redact_pii",
     "pii_counts",
@@ -908,3 +910,76 @@ def pmi_collocations(
         .orderBy(F.col("pmi").desc(), "a", "b")
         .limit(k)
     )
+
+
+# ---------------------------------------------------------------------------
+# Code detection (corpus-composition heuristic)
+# ---------------------------------------------------------------------------
+
+#: ASCII identifier keywords counted by :func:`code_detect_exprs`.  \b is
+#: the ASCII word boundary in BOTH engines (Java's default \w and RE2's \w
+#: are ASCII), so the hit counts are engine-invariant.
+CODE_KEYWORDS = (
+    "def|function|return|import|const|class|void|public|static|lambda"
+)
+
+
+def code_detect_exprs(col: str) -> dict[str, Column]:
+    """Per-document code-likeness signals — the composition heuristic that
+    tells a curation pipeline how much of a web corpus is source code
+    (to route it, weight it, or drop it):
+
+    - ``n_lines`` / ``indented_lines`` (4-space or tab indent, the
+      layout signature of code blocks),
+    - ``brace_chars`` (``{ } ; = < >`` density feeds the flag),
+    - ``fence_blocks`` (markdown ``` fences, counted by literal replace),
+    - ``code_kw_hits`` (ASCII keyword matches),
+    - ``is_code`` — the combined flag, thresholded on ROUNDED ratios with
+      ASCII-only denominators so the decision is engine-exact.
+
+    Everything is exact integer counting (length differences, literal
+    replaces, regexp match counts) — zero shuffle, pure codegen.
+    """
+    c = F.col(col)
+    n_lines = (
+        F.length(c) - F.length(F.regexp_replace(c, "\n", "")) + 1
+    ).cast("long")
+    # explicit (?:^|\n) line anchor, never (?m): Java's multiline ^ also
+    # matches after \r and Unicode line separators where RE2's only
+    # matches after \n (fuzz-found divergence) — a literal-\n anchor is
+    # the same operation in both engines
+    indented = F.size(
+        F.regexp_extract_all(c, F.lit(r"(?:^|\n)(?:    |\t)\S"), F.lit(0))
+    ).cast("long")
+    braces = (
+        F.length(c) - F.length(F.regexp_replace(c, "[{};=<>]", ""))
+    ).cast("long")
+    fences = (
+        (F.length(c) - F.length(F.replace(c, F.lit("```"), F.lit("")))) / 3
+    ).cast("long")
+    kw = F.size(
+        F.regexp_extract_all(c, F.lit(rf"\b(?:{CODE_KEYWORDS})\b"), F.lit(0))
+    ).cast("long")
+    ascii_len = F.length(F.regexp_replace(c, "[^ -~]", ""))
+    indent_ratio = F.round(
+        indented / F.greatest(n_lines, F.lit(1)).cast("double"), 4
+    )
+    brace_density = F.round(
+        braces / F.greatest(ascii_len, F.lit(1)).cast("double"), 4
+    )
+    is_code = (
+        (fences > 0)
+        | (indent_ratio >= 0.25)
+        | (brace_density >= 0.02)
+        | (kw >= 3)
+    )
+    return {
+        "n_lines": n_lines,
+        "indented_lines": indented,
+        "brace_chars": braces,
+        "fence_blocks": fences,
+        "code_kw_hits": kw,
+        "indent_ratio": indent_ratio,
+        "brace_density": brace_density,
+        "is_code": is_code,
+    }

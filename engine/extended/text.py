@@ -14,6 +14,8 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 __all__ = [
+    "script_count_exprs",
+    "SCRIPT_BLOCKS",
     "tokens",
     "token_count",
     "ngrams_from",
@@ -359,3 +361,42 @@ def hashed_doc_vectors(
         "__raw", lambda x: F.round(x.cast("double") / F.col("__n"), round_to)
     )
     return with_nrm.select(F.col("id").alias(id_col), vec.alias("vec"))
+
+
+# ---------------------------------------------------------------------------
+# Script composition (writing-system profiling)
+# ---------------------------------------------------------------------------
+
+#: BMP script blocks profiled by :func:`script_count_exprs`.  All ranges are
+#: single UTF-16 units, which is what makes the length-difference counting
+#: trick engine-invariant even when astral-plane characters are present in
+#: the surrounding text (they stay in both strings and cancel).
+SCRIPT_BLOCKS = {
+    "latin_chars": "[A-Za-z]",
+    "digit_chars": "[0-9]",
+    "cyrillic_chars": r"[\x{0400}-\x{04FF}]",
+    "greek_chars": r"[\x{0370}-\x{03FF}]",
+    "cjk_chars": r"[\x{4E00}-\x{9FFF}]",
+    "arabic_chars": r"[\x{0600}-\x{06FF}]",
+    "ws_chars": r"\s",
+}
+
+
+def script_count_exprs(col: str) -> dict[str, Column]:
+    """Per-document character counts by writing system — the corpus
+    composition signal (mixed-script spam, wrong-language contamination,
+    transliteration artifacts) language-ID alone misses.
+
+    Counts are computed as ``length(s) - length(regexp_replace(s, block,
+    ''))``: exact integers, zero shuffle, and engine-invariant because
+    every profiled block is BMP (one UTF-16 unit — the difference cancels
+    any astral-plane characters elsewhere in the text, sidestepping the
+    unit-vs-codepoint ``length`` divergence the ASCII normal form
+    documents).  Ratios are the caller's division to round.
+    """
+    c = F.col(col)
+    n = F.length(c)
+    return {
+        name: (n - F.length(F.regexp_replace(c, pat, ""))).cast("long")
+        for name, pat in SCRIPT_BLOCKS.items()
+    }

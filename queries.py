@@ -4546,6 +4546,99 @@ def triangle_count_topk(spark, sf_dir):
 
 
 @q(
+    "script_profile",
+    """
+    SELECT lang, COUNT(*) AS n_docs,
+           CAST(SUM(length(text) - length(regexp_replace(text,
+                '[A-Za-z]', '', 'g'))) AS BIGINT) AS latin_chars,
+           CAST(SUM(length(text) - length(regexp_replace(text,
+                '[0-9]', '', 'g'))) AS BIGINT) AS digit_chars,
+           CAST(SUM(length(text) - length(regexp_replace(text,
+                '[\\x{0400}-\\x{04FF}]', '', 'g'))) AS BIGINT) AS cyrillic_chars,
+           CAST(SUM(length(text) - length(regexp_replace(text,
+                '[\\x{0370}-\\x{03FF}]', '', 'g'))) AS BIGINT) AS greek_chars,
+           CAST(SUM(length(text) - length(regexp_replace(text,
+                '[\\x{4E00}-\\x{9FFF}]', '', 'g'))) AS BIGINT) AS cjk_chars,
+           CAST(SUM(length(text) - length(regexp_replace(text,
+                '[\\x{0600}-\\x{06FF}]', '', 'g'))) AS BIGINT) AS arabic_chars,
+           CAST(SUM(length(text) - length(regexp_replace(text,
+                '\\s', '', 'g'))) AS BIGINT) AS ws_chars
+    FROM documents WHERE text IS NOT NULL
+    GROUP BY lang
+    """,
+)
+def script_profile_q(spark, sf_dir):
+    """Writing-system composition per language tag: exact char counts by
+    BMP script block (latin/digit/cyrillic/greek/CJK/arabic/whitespace) —
+    the mixed-script/contamination signal language-ID alone misses.
+    Length-difference counting keeps everything integer, zero-shuffle
+    codegen, and engine-invariant even around astral-plane characters."""
+    from engine.extended.text import script_count_exprs
+
+    d = t(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    exprs = script_count_exprs("text")
+    return d.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        *[F.sum(e).alias(name) for name, e in exprs.items()],
+    )
+
+
+@q(
+    "code_detect_stats",
+    """
+    WITH m AS (
+      SELECT source,
+             length(text) - length(regexp_replace(text, '\\n', '', 'g')) + 1
+               AS n_lines,
+             len(regexp_extract_all(text, '(?:^|\\n)(?:    |\\t)\\S'))
+               AS indented,
+             length(text) - length(regexp_replace(text, '[{};=<>]', '', 'g'))
+               AS braces,
+             (length(text) - length(replace(text, '```', ''))) // 3
+               AS fences,
+             len(regexp_extract_all(text,
+                 '\\b(?:def|function|return|import|const|class|void|public|static|lambda)\\b'))
+               AS kw,
+             length(regexp_replace(text, '[^ -~]', '', 'g')) AS ascii_len
+      FROM documents WHERE text IS NOT NULL),
+    f AS (
+      SELECT source, indented, fences, kw,
+             ROUND(indented / CAST(GREATEST(n_lines, 1) AS DOUBLE), 4)
+               AS indent_ratio,
+             ROUND(braces / CAST(GREATEST(ascii_len, 1) AS DOUBLE), 4)
+               AS brace_density
+      FROM m)
+    SELECT source, COUNT(*) AS n_docs,
+           CAST(SUM(CASE WHEN fences > 0 OR indent_ratio >= 0.25
+                          OR brace_density >= 0.02 OR kw >= 3
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_code,
+           CAST(SUM(indented) AS BIGINT) AS indented_lines,
+           CAST(SUM(fences) AS BIGINT) AS fence_blocks,
+           CAST(SUM(kw) AS BIGINT) AS code_kw_hits
+    FROM f GROUP BY source
+    """,
+)
+def code_detect_stats_q(spark, sf_dir):
+    """Code-likeness composition per source: indent-layout, brace density,
+    markdown fences, and keyword hits combined into an is_code flag
+    (thresholds compare ROUNDED ratios with ASCII-only denominators, so
+    the decision is engine-exact) — the route/weight/drop signal for
+    source code inside a web corpus.  Exact integer counting, one scan,
+    pure codegen."""
+    from engine.extended.curation import code_detect_exprs
+
+    d = t(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    e = code_detect_exprs("text")
+    return d.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.when(e["is_code"], 1).otherwise(0)).alias("n_code"),
+        F.sum(e["indented_lines"]).alias("indented_lines"),
+        F.sum(e["fence_blocks"]).alias("fence_blocks"),
+        F.sum(e["code_kw_hits"]).alias("code_kw_hits"),
+    )
+
+
+@q(
     "split_leakage_audit",
     """
     WITH aug AS (

@@ -223,3 +223,55 @@ def test_mixture_sample_missing_target_group_yields_empty(spark):
     )
     out = mixture_sample(df, {"web": 0.6, "book": 0.4}, group_col="source")
     assert out.count() == 0
+
+
+# ---------------------------------------------------------------------------
+# script_count_exprs / code_detect_exprs (composition analysis)
+# ---------------------------------------------------------------------------
+
+from engine.extended.curation import code_detect_exprs
+from engine.extended.text import script_count_exprs
+
+
+def _one(spark, text, exprs_fn):
+    df = spark.createDataFrame([(text,)], "text string")
+    e = exprs_fn("text")
+    return df.select(*[v.alias(k) for k, v in e.items()]).collect()[0].asDict()
+
+
+def test_script_counts_mixed_text(spark):
+    got = _one(spark, "abc Привет 北京 123 αβ", script_count_exprs)
+    assert got["latin_chars"] == 3
+    assert got["cyrillic_chars"] == 6
+    assert got["cjk_chars"] == 2
+    assert got["digit_chars"] == 3
+    assert got["greek_chars"] == 2
+    assert got["ws_chars"] == 4
+
+
+def test_script_counts_survive_astral_chars(spark):
+    """Emoji elsewhere in the text must not shift BMP class counts (the
+    length-difference cancellation the module docstring promises)."""
+    got = _one(spark, "ab\U0001F600cd", script_count_exprs)
+    assert got["latin_chars"] == 4
+
+
+def test_code_detect_flags_real_code_shapes(spark):
+    code = "def f(x):\n    return x + 1\n\n    y = {1: 2};\n"
+    got = _one(spark, code, code_detect_exprs)
+    assert got["indented_lines"] == 2
+    assert got["code_kw_hits"] == 2          # def, return
+    assert got["is_code"] is True
+    prose = "The quick brown fox jumps over the lazy dog. " * 5
+    got2 = _one(spark, prose, code_detect_exprs)
+    assert got2["is_code"] is False and got2["indented_lines"] == 0
+
+
+def test_code_detect_counts_fences_and_cr_anchor_semantics(spark):
+    """Fence count is per ``` triple; an indent after a bare \r (no \n)
+    is NOT a line start — the explicit literal-\n anchor both engines
+    share (fuzz ledger: Java (?m)^ matches after \r, RE2 does not)."""
+    txt = "```python\nx = 1\n```\n    code here\r    not a line start"
+    got = _one(spark, txt, code_detect_exprs)
+    assert got["fence_blocks"] == 2
+    assert got["indented_lines"] == 1

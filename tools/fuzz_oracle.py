@@ -38,6 +38,9 @@ Found-by-this-tool ledger (fixes land at the OPERATOR level):
   semantics that is engine-invariant AND batch/streaming-consistent.
 - keep_first ordered NULLS FIRST (Spark default), so an unknown-ts row
   beat known ones → NULLS LAST pinned (Postgres/reference semantics).
+- code_detect_exprs used (?m)^ for indent detection: Java's multiline ^
+  also matches after \r and Unicode line separators where RE2's only
+  matches after \n → line anchors are now an explicit (?:^|\n).
 - funnel windows partitioned NULL user_ids into a group the oracle's
   equi-joins can never produce → unidentified users excluded.
 - asof_join carried bare values with last(ignorenulls), conflating "build
