@@ -28,7 +28,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["table_profile", "group_quantiles", "int_histogram"]
+__all__ = ["table_profile", "group_quantiles", "int_histogram", "winsorized_stats"]
 
 
 def _canon_str(c, dtype: str):
@@ -212,3 +212,61 @@ def int_histogram(
         ),
         "n_rows",
     ).orderBy("bucket")
+
+
+def winsorized_stats(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    *,
+    lo: float = 0.05,
+    hi: float = 0.95,
+    bound_round: int = 4,
+    mean_round: int = 4,
+) -> DataFrame:
+    """Outlier-robust per-group statistics: values clipped to the group's
+    [lo, hi] exact interpolated percentiles (winsorization — the robust
+    aggregate a metrics/feature pipeline uses where a single fat-finger
+    reading would poison a plain mean).
+
+    Returns (group, n, lo_bound, hi_bound, n_clipped_lo, n_clipped_hi,
+    win_mean).  Bounds are ROUNDED before clipping so the clip decision —
+    and therefore every downstream count — compares identical values in
+    any engine; the clipped mean is rounded last (the one
+    accumulation-order-dependent number).
+
+    Scale shape: one percentile aggregate per group (Spark's exact
+    ``percentile`` is a sort-based per-group aggregate; at extreme group
+    sizes swap in ``approx_percentile`` — same plan shape) broadcast back
+    onto the stream, then one clipped aggregate: two shuffles on the
+    group key, no self-join, no global sort.
+    """
+    if not 0.0 <= lo < hi <= 1.0:
+        raise ValueError(f"need 0 <= lo < hi <= 1, got lo={lo}, hi={hi}")
+    g = F.col(group_col)
+    v = F.col(value_col)
+    base = df.filter(g.isNotNull() & v.isNotNull())
+    bounds = base.groupBy(group_col).agg(
+        F.round(F.percentile(value_col, F.lit(lo)), bound_round).alias(
+            "lo_bound"
+        ),
+        F.round(F.percentile(value_col, F.lit(hi)), bound_round).alias(
+            "hi_bound"
+        ),
+    )
+    joined = base.join(F.broadcast(bounds), group_col)
+    clipped = F.least(
+        F.greatest(v.cast("double"), F.col("lo_bound")), F.col("hi_bound")
+    )
+    return joined.groupBy(group_col).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.first("lo_bound").alias("lo_bound"),
+        F.first("hi_bound").alias("hi_bound"),
+        F.sum(F.when(v < F.col("lo_bound"), 1).otherwise(0)).alias(
+            "n_clipped_lo"
+        ),
+        F.sum(F.when(v > F.col("hi_bound"), 1).otherwise(0)).alias(
+            "n_clipped_hi"
+        ),
+        F.round(F.avg(clipped), mean_round).alias("win_mean"),
+    )

@@ -4546,6 +4546,41 @@ def triangle_count_topk(spark, sf_dir):
 
 
 @q(
+    "winsorized_stats",
+    """
+    WITH base AS (
+      SELECT l_returnflag AS g, CAST(l_extendedprice AS DOUBLE) AS v
+      FROM lineitem
+      WHERE l_returnflag IS NOT NULL AND l_extendedprice IS NOT NULL),
+    bounds AS (
+      SELECT g, ROUND(quantile_cont(v, 0.05), 4) AS lo_bound,
+             ROUND(quantile_cont(v, 0.95), 4) AS hi_bound
+      FROM base GROUP BY g)
+    SELECT b.g AS l_returnflag, COUNT(*) AS n,
+           ANY_VALUE(lo_bound) AS lo_bound, ANY_VALUE(hi_bound) AS hi_bound,
+           CAST(SUM(CASE WHEN v < lo_bound THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_clipped_lo,
+           CAST(SUM(CASE WHEN v > hi_bound THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_clipped_hi,
+           ROUND(AVG(LEAST(GREATEST(v, lo_bound), hi_bound)), 4) AS win_mean
+    FROM base b JOIN bounds USING (g)
+    GROUP BY b.g
+    """,
+)
+def winsorized_stats_q(spark, sf_dir):
+    """Outlier-robust pricing stats: per return flag, values clipped to the
+    group's exact [p05, p95] (winsorization), with clip counts and the
+    winsorized mean.  Bounds are rounded BEFORE clipping so the clip
+    decision is engine-exact; two shuffles on the group key (percentile
+    aggregate broadcast back, then the clipped aggregate) — no sort, no
+    self-join."""
+    from engine.ops.profile import winsorized_stats
+
+    li = t(spark, sf_dir, "lineitem")
+    return winsorized_stats(li, "l_returnflag", "l_extendedprice")
+
+
+@q(
     "script_profile",
     """
     SELECT lang, COUNT(*) AS n_docs,

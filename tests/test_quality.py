@@ -175,3 +175,43 @@ def test_split_leakage_clean_corpus_is_empty_and_nulls_excluded(spark):
         "doc_id long, text string",
     )
     assert split_leakage_audit(df).count() == 0
+
+
+# ---------------------------------------------------------------------------
+# winsorized_stats
+# ---------------------------------------------------------------------------
+
+import pytest as _pt
+
+from engine.ops.profile import winsorized_stats
+
+
+def test_winsorize_clips_outliers_and_counts(spark):
+    """19 unit values + one 1000.0 outlier: p95 (interpolated) pins the
+    clip boundary; the outlier is counted and the mean is bounded."""
+    rows = [("a", 1.0)] * 19 + [("a", 1000.0)]
+    df = spark.createDataFrame(rows, "g string, v double")
+    r = winsorized_stats(df, "g", "v", lo=0.05, hi=0.95).collect()[0]
+    assert r["n"] == 20
+    assert r["n_clipped_hi"] == 1
+    assert r["n_clipped_lo"] == 0
+    # p95 of 19×1.0 + 1000.0 = 1.0 + 0.05·999·...: just assert boundedness
+    assert r["win_mean"] < 100.0
+    assert r["hi_bound"] < 1000.0
+
+
+def test_winsorize_uniform_group_is_identity(spark):
+    df = spark.createDataFrame([("a", 5.0)] * 8, "g string, v double")
+    r = winsorized_stats(df, "g", "v").collect()[0]
+    assert (r["n_clipped_lo"], r["n_clipped_hi"]) == (0, 0)
+    assert r["win_mean"] == _pt.approx(5.0)
+
+
+def test_winsorize_validation_and_null_exclusion(spark):
+    df = spark.createDataFrame(
+        [("a", 1.0), ("a", None), (None, 2.0)], "g string, v double"
+    )
+    with _pt.raises(ValueError, match="lo"):
+        winsorized_stats(df, "g", "v", lo=0.9, hi=0.1)
+    out = winsorized_stats(df, "g", "v").collect()
+    assert len(out) == 1 and out[0]["n"] == 1
