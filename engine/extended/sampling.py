@@ -18,6 +18,7 @@ from pyspark.sql import functions as F
 __all__ = [
     "hash_split",
     "weighted_sample",
+    "negative_sample",
     "stratified_sample",
     "mixture_sample",
     "per_key_sample",
@@ -347,4 +348,100 @@ def weighted_sample(
         .filter(F.col("__rk") <= k)
         .drop("__rk")
         .withColumnRenamed("__wk", "sample_key")
+    )
+
+
+def negative_sample(
+    anchors: DataFrame,
+    corpus: DataFrame,
+    *,
+    k: int,
+    n_probes: int | None = None,
+    anchor_id: str = "vec_id",
+    anchor_label: str = "label",
+    corpus_id: str = "vec_id",
+    corpus_label: str = "label",
+    salt: str = "neg",
+) -> DataFrame:
+    """Deterministic pseudo-random negatives for contrastive training: for
+    each anchor, up to ``k`` corpus rows with a DIFFERENT label, drawn
+    "randomly" but RNG-free — probe ``j``'s target is
+    ``md5(anchor|j|salt) mod N`` over the corpus's deterministic global
+    positions (:func:`global_order`), so every epoch, engine, and restart
+    draws the same negatives.
+
+    Probes that land on the anchor itself, on a same-label row (null-safe:
+    a NULL corpus label never equals anything, so unlabeled rows are valid
+    negatives), or on an already-drawn negative are skipped; losses are
+    absorbed by overprobing (``n_probes`` defaults to 3k) and survivors
+    keep probe order, so ``neg_rank`` is stable.  Returns (anchor id,
+    neg_rank, negative id, negative label).
+
+    Scale shape: anchors × n_probes rows equi-join the position index —
+    linear in anchors, never anchors × corpus; the corpus count rides
+    along as a broadcast 1-row table.
+    """
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    n_probes = n_probes or 3 * k
+    if n_probes < k:
+        raise ValueError(f"n_probes must be >= k, got {n_probes} < {k}")
+    from pyspark.sql import Window
+
+    from engine.extended.dedup import md5_long
+
+    c = corpus.filter(F.col(corpus_id).isNotNull()).select(
+        F.col(corpus_id).alias("__cid"), F.col(corpus_label).alias("__cl")
+    )
+    pos = global_order(c, id_col="__cid", salt=salt + "o").select(
+        "__cid", "__cl", F.col("global_pos").alias("__gp")
+    )
+    cnt = c.agg(F.count(F.lit(1)).alias("__n"))
+    probes = (
+        anchors.filter(F.col(anchor_id).isNotNull())
+        .select(
+            F.col(anchor_id).alias("__aid"),
+            F.col(anchor_label).alias("__al"),
+        )
+        .crossJoin(F.broadcast(cnt))
+        .select(
+            "__aid",
+            "__al",
+            "__n",
+            F.explode(F.sequence(F.lit(0), F.lit(n_probes - 1))).alias("__j"),
+        )
+        .withColumn(
+            "__tp",
+            md5_long(
+                F.concat(
+                    F.col("__aid").cast("string"),
+                    F.lit("|"),
+                    F.col("__j").cast("string"),
+                    F.lit("|" + salt),
+                )
+            )
+            % F.col("__n"),
+        )
+    )
+    cand = (
+        probes.join(pos, probes["__tp"] == pos["__gp"])
+        .filter(
+            (F.col("__cid") != F.col("__aid"))
+            & ~F.col("__cl").eqNullSafe(F.col("__al"))
+        )
+        .select("__aid", "__j", "__cid", "__cl")
+    )
+    dedup_w = Window.partitionBy("__aid", "__cid").orderBy("__j")
+    rank_w = Window.partitionBy("__aid").orderBy("__j")
+    return (
+        cand.withColumn("__dup", F.row_number().over(dedup_w))
+        .filter(F.col("__dup") == 1)
+        .withColumn("neg_rank", F.row_number().over(rank_w))
+        .filter(F.col("neg_rank") <= k)
+        .select(
+            F.col("__aid").alias(anchor_id),
+            "neg_rank",
+            F.col("__cid").alias("neg_id"),
+            F.col("__cl").alias("neg_label"),
+        )
     )

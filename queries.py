@@ -4546,6 +4546,61 @@ def triangle_count_topk(spark, sf_dir):
 
 
 @q(
+    "negative_sample_topk",
+    """
+    WITH c AS (
+      SELECT vec_id AS cid, label AS cl FROM embeddings
+      WHERE vec_id IS NOT NULL),
+    pos AS (
+      SELECT cid, cl,
+             CAST(ROW_NUMBER() OVER (
+               ORDER BY MD5(CAST(cid AS VARCHAR) || '|nego'), cid) - 1
+               AS BIGINT) AS gp
+      FROM c),
+    nn AS (SELECT COUNT(*) AS n FROM c),
+    anch AS (
+      SELECT vec_id AS aid, label AS al FROM embeddings
+      WHERE vec_id IS NOT NULL AND vec_id % 50 = 0),
+    probes AS (
+      SELECT aid, al, gs.j,
+             CAST(('0x' || SUBSTRING(MD5(CAST(aid AS VARCHAR) || '|'
+                   || CAST(gs.j AS VARCHAR) || '|neg'), 1, 15)) AS BIGINT)
+               % (SELECT n FROM nn) AS tp
+      FROM anch CROSS JOIN
+           (SELECT UNNEST(generate_series(0, 14)) AS j) gs),
+    cand AS (
+      SELECT aid, j, cid, cl
+      FROM probes JOIN pos ON pos.gp = probes.tp
+      WHERE cid <> aid AND cl IS DISTINCT FROM al),
+    dd AS (
+      SELECT aid, j, cid, cl,
+             ROW_NUMBER() OVER (PARTITION BY aid, cid ORDER BY j) AS dup
+      FROM cand),
+    rk AS (
+      SELECT aid, j, cid, cl,
+             ROW_NUMBER() OVER (PARTITION BY aid ORDER BY j) AS neg_rank
+      FROM dd WHERE dup = 1)
+    SELECT aid AS vec_id, CAST(neg_rank AS INT) AS neg_rank,
+           cid AS neg_id, cl AS neg_label
+    FROM rk WHERE neg_rank <= 5
+    """,
+)
+def negative_sample_topk_q(spark, sf_dir):
+    """Contrastive-training negatives: 5 deterministic pseudo-random
+    different-label corpus rows per sampled anchor — probe j targets
+    md5(anchor|j) mod N over the corpus's deterministic global positions,
+    so every epoch, engine, and restart draws the same negatives with no
+    RNG state.  Linear in anchors (probes equi-join the position index;
+    never anchors × corpus); self/same-label/duplicate hits are skipped
+    and absorbed by 3x overprobing."""
+    from engine.extended.sampling import negative_sample
+
+    e = t(spark, sf_dir, "embeddings")
+    anchors = e.filter(F.col("vec_id") % 50 == 0)
+    return negative_sample(anchors, e, k=5, n_probes=15)
+
+
+@q(
     "winsorized_stats",
     """
     WITH base AS (

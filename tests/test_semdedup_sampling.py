@@ -267,3 +267,58 @@ def test_weighted_sample_excludes_nonpositive_and_null(spark):
     rows = [("a", 1, 1.0), ("a", 2, 0.0), ("a", 3, -4.0), ("a", 4, None), ("a", None, 1.0)]
     out = weighted_sample(_wdf(spark, rows), "source", k=10, weight_col="w").collect()
     assert [r["doc_id"] for r in out] == [1]
+
+
+# ---------------------------------------------------------------------------
+# negative_sample
+# ---------------------------------------------------------------------------
+
+import pytest as _npt
+
+from engine.extended.sampling import negative_sample
+
+
+def _emb(spark, rows):
+    return spark.createDataFrame(rows, "vec_id long, label int")
+
+
+def test_negative_sample_never_returns_self_or_same_label(spark):
+    corpus = _emb(spark, [(i, i % 3) for i in range(60)])
+    anchors = _emb(spark, [(0, 0), (1, 1)])
+    out = negative_sample(anchors, corpus, k=5, n_probes=30).collect()
+    by = {}
+    for r in out:
+        by.setdefault(r["vec_id"], []).append(r)
+        assert r["neg_id"] != r["vec_id"]
+    for a, rows in by.items():
+        alabel = a % 3
+        assert all(r["neg_label"] != alabel for r in rows)
+        assert len(rows) == 5
+        assert [r["neg_rank"] for r in sorted(rows, key=lambda x: x["neg_rank"])] == [1, 2, 3, 4, 5]
+        assert len({r["neg_id"] for r in rows}) == 5  # no duplicate negatives
+
+
+def test_negative_sample_is_deterministic_across_partitionings(spark):
+    corpus = _emb(spark, [(i, i % 4) for i in range(40)])
+    anchors = _emb(spark, [(2, 2), (7, 3)])
+    a = {(r["vec_id"], r["neg_rank"], r["neg_id"])
+         for r in negative_sample(anchors, corpus, k=3).collect()}
+    b = {(r["vec_id"], r["neg_rank"], r["neg_id"])
+         for r in negative_sample(anchors.repartition(5), corpus.repartition(9), k=3).collect()}
+    assert a == b and len(a) == 6
+
+
+def test_negative_sample_null_labels_are_valid_negatives(spark):
+    corpus = _emb(spark, [(1, 0), (2, None), (3, None), (4, None), (5, None)])
+    anchors = _emb(spark, [(1, 0)])
+    out = negative_sample(anchors, corpus, k=4, n_probes=12).collect()
+    assert {r["neg_id"] for r in out} <= {2, 3, 4, 5}
+    assert len(out) >= 1
+
+
+def test_negative_sample_validation(spark):
+    df = _emb(spark, [(1, 0)])
+    with _npt.raises(ValueError, match="k must"):
+        negative_sample(df, df, k=0)
+    with _npt.raises(ValueError, match="n_probes"):
+        negative_sample(df, df, k=5, n_probes=2)
