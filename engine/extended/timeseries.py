@@ -89,14 +89,16 @@ def rolling_zscore(
     ts_col: str = "ts",
     value_col: str = "value",
     order_cols: list[str] | None = None,
-    window_rows: int = 12,
+    window_rows: int | None = 12,
     min_points: int = 4,
     z_round: int = 3,
 ) -> DataFrame:
     """Per-key rolling z-score of each observation against the trailing
     ``window_rows`` observations STRICTLY BEFORE it (the streaming-metrics
     anomaly primitive: a point is judged against history it did not
-    contribute to).
+    contribute to).  ``window_rows=None`` scores against ALL trailing
+    history — the batch twin of
+    :func:`engine.streaming.stateful.streaming_zscore`.
 
     Adds ``roll_n`` (trailing count), ``roll_mean``, ``roll_std`` (sample),
     and ``z`` — NULL when fewer than ``min_points`` trailing points exist
@@ -114,14 +116,15 @@ def rolling_zscore(
     corpus size.  Skewed keys cost what any per-key window costs — bound
     key cardinality upstream, not here.
     """
-    if window_rows < 1:
+    if window_rows is not None and window_rows < 1:
         raise ValueError(f"window_rows must be >= 1, got {window_rows}")
     if min_points < 2:
         raise ValueError(f"min_points must be >= 2, got {min_points}")
+    lo = Window.unboundedPreceding if window_rows is None else -window_rows
     w = (
         Window.partitionBy(key_col)
         .orderBy(*_order_cols(ts_col, order_cols))
-        .rowsBetween(-window_rows, -1)
+        .rowsBetween(lo, -1)
     )
     v = F.col(value_col)
     n = F.count(v).over(w)

@@ -37,6 +37,7 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 from pyspark.sql.types import (
+    DoubleType,
     LongType,
     StringType,
     StructField,
@@ -44,7 +45,7 @@ from pyspark.sql.types import (
     TimestampType,
 )
 
-__all__ = ["dedup_with_audit", "running_stats", "rocksdb_state_conf"]
+__all__ = ["dedup_with_audit", "running_stats", "rocksdb_state_conf", "streaming_zscore"]
 
 
 def rocksdb_state_conf(*, changelog: bool = True) -> dict[str, str]:
@@ -210,6 +211,89 @@ def running_stats(df: DataFrame, key_col: str, value_col: str) -> DataFrame:
         _stats_fn,
         outputStructType=STATS_OUTPUT,
         stateStructType=STATS_STATE,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+ZSCORE_OUTPUT = StructType(
+    [
+        StructField("key", StringType()),
+        StructField("ts", TimestampType()),
+        StructField("value", DoubleType()),
+        StructField("z", DoubleType()),
+    ]
+)
+
+ZSCORE_STATE = StructType(
+    [
+        StructField("n", LongType()),
+        StructField("mean", DoubleType()),
+        StructField("m2", DoubleType()),
+    ]
+)
+
+
+def _make_zscore_fn(min_points: int, z_round: int):
+    import math
+
+    def fn(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        n, mean, m2 = state.get if state.exists else (0, 0.0, 0.0)
+        pdf = pd.concat(list(pdfs))
+        pdf = pdf.sort_values(["ts", "value"], kind="mergesort")
+        out = []
+        for ts, v in zip(pdf["ts"], pdf["value"]):
+            v = float(v)
+            z = None
+            if n >= min_points:
+                var = m2 / (n - 1)
+                if var > 0:
+                    z = round((v - mean) / math.sqrt(var), z_round)
+            n += 1
+            d = v - mean
+            mean += d / n
+            m2 += d * (v - mean)
+            out.append((key[0], ts, v, z))
+        state.update((n, float(mean), float(m2)))
+        yield pd.DataFrame(out, columns=["key", "ts", "value", "z"])
+
+    return fn
+
+
+def streaming_zscore(
+    df: DataFrame,
+    key_col: str,
+    *,
+    ts_col: str = "ts",
+    value_col: str = "value",
+    min_points: int = 4,
+    z_round: int = 3,
+) -> DataFrame:
+    """Streaming anomaly scoring: each arriving value z-scored against ALL
+    the key's history strictly before it, with the history carried across
+    micro-batches as WELFORD state (count, mean, M2) — three numbers per
+    key, never a value buffer, so state is O(1) per key forever.
+
+    The batch twin is ``rolling_zscore(window_rows=None)``; they agree (to
+    float tolerance — Welford vs Spark's moment aggregate) when batches
+    arrive in event-time order, and within a batch rows are sorted by
+    (ts, value) to pin the accumulation order.  A built-in can't express
+    this: window functions don't span micro-batches, and streaming aggs
+    emit per-group rows, not per-event scores.
+    """
+    if min_points < 2:
+        raise ValueError(f"min_points must be >= 2, got {min_points}")
+    keyed = df.select(
+        df[key_col].cast("string").alias("key"),
+        df[ts_col].alias("ts"),
+        df[value_col].cast("double").alias("value"),
+    )
+    return keyed.groupBy("key").applyInPandasWithState(
+        _make_zscore_fn(min_points, z_round),
+        outputStructType=ZSCORE_OUTPUT,
+        stateStructType=ZSCORE_STATE,
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )

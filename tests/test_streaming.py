@@ -244,3 +244,64 @@ def test_streaming_session_window(spark, tmp_path):
         if r["window_start"] < flush_ts  # exclude the flush sessions
     }
     assert got == expected
+
+
+def test_streaming_zscore_matches_batch_twin_across_batches(spark, tmp_path):
+    """Welford state carries the full trailing history across TWO
+    availableNow runs; per-event scores match rolling_zscore(None) run
+    over the combined batch data (float tolerance: Welford vs Spark's
+    moment aggregate)."""
+    from engine.extended.timeseries import rolling_zscore
+    from engine.streaming.stateful import streaming_zscore
+
+    src_dir = str(tmp_path / "zs")
+    ckpt = str(tmp_path / "zs_ck")
+    base = dt.datetime(2024, 1, 1)
+    vals1 = [10.0, 11.0, 9.0, 10.5, 9.5, 30.0]
+    vals2 = [10.2, 50.0, 9.8]
+    b1 = [(i, base + dt.timedelta(minutes=i), i % 2, "m", v, None)
+          for i, v in enumerate(vals1)]
+    b2 = [(100 + i, base + dt.timedelta(minutes=30 + i), i % 2, "m", v, None)
+          for i, v in enumerate(vals2)]
+
+    collected = []
+
+    def sink(df, bid):
+        collected.extend(
+            (r["key"], r["ts"], r["z"]) for r in df.collect()
+        )
+
+    spark.createDataFrame(b1, EVENTS).coalesce(1).write.mode("append").parquet(src_dir)
+    def run():
+        stream = streaming_zscore(
+            parquet_stream(spark, src_dir, EVENTS), "user_id", min_points=2
+        )
+        q = (
+            stream.writeStream.outputMode("append")
+            .foreachBatch(sink)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    run()
+    spark.createDataFrame(b2, EVENTS).coalesce(1).write.mode("append").parquet(src_dir)
+    run()
+
+    stream_z = {(k, ts): z for k, ts, z in collected}
+    batch = spark.createDataFrame(b1 + b2, EVENTS)
+    batch_out = rolling_zscore(
+        batch, window_rows=None, min_points=2, order_cols=["value"]
+    ).collect()
+    assert len(stream_z) == len(vals1) + len(vals2)
+    n_scored = 0
+    for r in batch_out:
+        key = (str(r["user_id"]), r["ts"])
+        bz, sz = r["z"], stream_z[key]
+        if bz is None or sz is None:
+            assert bz == sz, (key, bz, sz)
+        else:
+            assert abs(bz - sz) <= 1e-3, (key, bz, sz)
+            n_scored += 1
+    assert n_scored >= 4  # the parity check actually compared real scores
