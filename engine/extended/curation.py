@@ -19,6 +19,7 @@ Scale shape (the design point is 100 TB of `documents`):
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -26,6 +27,7 @@ from engine.extended.text import ngrams_from, tokens
 
 __all__ = [
     "code_detect_exprs",
+    "compression_ratio",
     "CODE_KEYWORDS",
     "PII_PATTERNS",
     "redact_pii",
@@ -983,3 +985,41 @@ def code_detect_exprs(col: str) -> dict[str, Column]:
         "brace_density": brace_density,
         "is_code": is_code,
     }
+
+
+# ---------------------------------------------------------------------------
+# Compression-ratio quality signal
+# ---------------------------------------------------------------------------
+
+
+def compression_ratio(col: str, *, level: int = 6) -> Column:
+    """zlib-compressed size over raw UTF-8 size — the classic
+    repetitiveness proxy (boilerplate and templated spam compress far
+    below natural prose; random noise compresses above it) used alongside
+    the Gopher repetition metrics when a cheap single-number signal is
+    enough.
+
+    An Arrow ``pandas_udf`` (the repo's only sanctioned Python seam —
+    batch-vectorized, never row-at-a-time): zlib at a FIXED level is
+    deterministic bytes-for-bytes, so the ratio is reproducible across
+    runs and machines; it is still a UDF, so the operator is rows-only
+    in the oracle harness and pinned by golden tests instead.  NULL and
+    empty text yield NULL.
+    """
+    import zlib
+
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("double")
+    def ratio(s: pd.Series) -> pd.Series:
+        def one(txt):
+            if txt is None:
+                return None
+            raw = txt.encode("utf-8")
+            if not raw:
+                return None
+            return round(len(zlib.compress(raw, level)) / len(raw), 4)
+
+        return s.map(one)
+
+    return ratio(F.col(col))

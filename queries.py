@@ -4545,6 +4545,26 @@ def triangle_count_topk(spark, sf_dir):
     )
 
 
+@q("compression_quality")  # rows-only: zlib UDF has no SQL twin
+def compression_quality_q(spark, sf_dir):
+    """Compression-ratio quality signal per source: zlib size over raw
+    size (repetitive boilerplate compresses far below natural prose) via
+    the sanctioned Arrow pandas_udf seam — deterministic at a fixed
+    level, golden-pinned in pytest; rows-only here because no SQL engine
+    exposes zlib."""
+    from engine.extended.curation import compression_ratio
+
+    d = t(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    r = d.select("source", compression_ratio("text").alias("ratio"))
+    return r.groupBy("source").agg(
+        F.count("ratio").alias("n_docs"),
+        F.round(F.avg("ratio"), 4).alias("avg_ratio"),
+        F.sum(F.when(F.col("ratio") <= 0.3, 1).otherwise(0)).alias(
+            "n_repetitive"
+        ),
+    )
+
+
 @q(
     "negative_sample_topk",
     """

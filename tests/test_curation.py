@@ -275,3 +275,46 @@ def test_code_detect_counts_fences_and_cr_anchor_semantics(spark):
     got = _one(spark, txt, code_detect_exprs)
     assert got["fence_blocks"] == 2
     assert got["indented_lines"] == 1
+
+
+# ---------------------------------------------------------------------------
+# compression_ratio
+# ---------------------------------------------------------------------------
+
+from engine.extended.curation import compression_ratio
+
+
+def test_compression_ratio_separates_repetition_from_prose(spark):
+    """Pure repetition compresses an order of magnitude below varied prose;
+    null/empty yield NULL.  Golden values pin zlib-level-6 determinism."""
+    import zlib
+
+    rows = [
+        (1, "spam " * 400),
+        (2, "The quick brown fox jumps over the lazy dog; "
+            "pack my box with five dozen liquor jugs. " * 10),
+        (3, None),
+        (4, ""),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["doc_id"]: r["ratio"]
+        for r in df.select(
+            "doc_id", compression_ratio("text").alias("ratio")
+        ).collect()
+    }
+    for i in (1, 2):
+        raw = rows[i - 1][1].encode()
+        assert got[i] == round(len(zlib.compress(raw, 6)) / len(raw), 4)
+    assert got[1] < 0.05 < got[2]
+    assert got[3] is None and got[4] is None
+
+
+def test_compression_ratio_runs_in_registry_query(spark):
+    import queries as q
+
+    out = q.SPARK_QUERIES["compression_quality"](
+        spark, "/root/testdata/sf0.001"
+    ).collect()
+    assert len(out) > 0
+    assert all(0 < r["avg_ratio"] <= 1.5 for r in out)
