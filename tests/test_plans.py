@@ -355,3 +355,58 @@ def test_cohort_retention_partial_aggregates(spark):
     assert "partial_min" in p  # firsts aggregate combines map-side
     assert "HashAggregate" in p
     assert "BroadcastNestedLoopJoin" not in p
+
+
+def test_session_r4c2_ops_plan_shapes(spark):
+    """Round-4 second-continuation operators: composition scans stay pure
+    codegen (no Python eval), the anomaly window pushes its null filters
+    to the scan, and the weighted sample keeps the WindowGroupLimit
+    heap."""
+    from queries import SPARK_QUERIES
+
+    p = plan(SPARK_QUERIES["script_profile"](spark, SF))
+    assert "EvalPython" not in p          # length-diff counting is codegen
+    assert "partial_count" in p or "partial_sum" in p
+
+    p = plan(SPARK_QUERIES["code_detect_stats"](spark, SF))
+    assert "EvalPython" not in p
+    assert p.count("Exchange") <= 2       # one agg exchange (+AQE reuse)
+
+    p = plan(SPARK_QUERIES["timeseries_anomaly"](spark, SF))
+    assert "PushedFilters" in p
+    pushed = p.split("PushedFilters")[1][:300]
+    assert "IsNotNull(user_id)" in pushed and "IsNotNull(value)" in pushed
+
+    p = plan(SPARK_QUERIES["weighted_sample_topk"](spark, SF))
+    assert "WindowGroupLimit" in p        # top-k heap, not full group sort
+
+
+def test_entity_match_and_triangles_never_nested_loop(spark):
+    """Blocked linkage and degree-ordered triangles are equi-join plans —
+    a CartesianProduct or non-broadcast nested loop is the all-pairs
+    failure both operators exist to avoid."""
+    from queries import SPARK_QUERIES
+
+    for name in ("entity_match", "triangle_count_topk"):
+        p = plan(SPARK_QUERIES[name](spark, SF))
+        assert "CartesianProduct" not in p, name
+        assert "BroadcastNestedLoopJoin" not in p, name
+
+
+def test_negative_sample_joins_position_index_by_key(spark):
+    """Probes equi-join the position index; the only nested-loop join is
+    the broadcast 1-row corpus count."""
+    from queries import SPARK_QUERIES
+
+    p = plan(SPARK_QUERIES["negative_sample_topk"](spark, SF))
+    assert "CartesianProduct" not in p
+    assert p.count("BroadcastNestedLoopJoin") <= 1  # the 1-row count table
+
+
+def test_compression_quality_single_arrow_seam(spark):
+    """Exactly one Arrow-vectorized Python eval — never row-at-a-time."""
+    from queries import SPARK_QUERIES
+
+    p = plan(SPARK_QUERIES["compression_quality"](spark, SF))
+    assert p.count("ArrowEvalPython") == 1
+    assert "BatchEvalPython" not in p     # the row-at-a-time path
