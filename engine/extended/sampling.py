@@ -333,7 +333,13 @@ def weighted_sample(
     bucket = F.conv(F.substring(h, 1, 8), 16, 10).cast("long")
     # u in (0, 1) strictly: (bucket + 1) / (2^32 + 1)
     u = (bucket + 1) / F.lit(float(2**32 + 1))
-    key = F.round(F.log(u) / F.col(weight_col).cast("double"), key_round)
+    # + 0.0 merges IEEE -0.0 into 0.0 (a huge weight rounds the key to
+    # zero from below; the two zeros render differently across engines —
+    # the table_profile canonical-value discipline)
+    key = (
+        F.round(F.log(u) / F.col(weight_col).cast("double"), key_round)
+        + F.lit(0.0)
+    )
     w = Window.partitionBy(group_col).orderBy(
         F.col("__wk").desc(), F.col(id_col)
     )

@@ -219,9 +219,14 @@ def mmr_select(
     selected: list[dict] = []
     prev = pool if materialize else None
     for rank in range(k):
-        score = F.round(
-            F.lit(lam) * F.col("__q") - F.lit(1.0 - lam) * F.col("__ms"),
-            round_to,
+        # + 0.0 merges IEEE -0.0 into 0.0 (the rendered score must not
+        # depend on which side of zero the blend rounded from)
+        score = (
+            F.round(
+                F.lit(lam) * F.col("__q") - F.lit(1.0 - lam) * F.col("__ms"),
+                round_to,
+            )
+            + F.lit(0.0)
         )
         best = (
             pool.select("__id", "__v", "__n", score.alias("__s"))

@@ -4804,7 +4804,8 @@ def split_leakage_audit_q(spark, sf_dir):
              ROUND(
                ln((CAST(('0x' || SUBSTRING(
                      MD5(CAST(doc_id AS VARCHAR) || '|wrs'), 1, 8))
-                   AS BIGINT) + 1) / 4294967297.0) / w, 6) AS sample_key
+                   AS BIGINT) + 1) / 4294967297.0) / w, 6) + 0.0
+               AS sample_key
       FROM d)
     SELECT lang, doc_id, sample_key FROM (
       SELECT lang, doc_id, sample_key,
@@ -4850,7 +4851,7 @@ def _mmr_sql(k: int) -> str:
         parts.append(
             f""",
     s{r} AS (
-      SELECT id, emb, nrm, ROUND(0.5 * q - 0.5 * ms, 4) AS s
+      SELECT id, emb, nrm, ROUND(0.5 * q - 0.5 * ms, 4) + 0.0 AS s
       FROM v{r - 1} ORDER BY s DESC, id LIMIT 1),
     v{r} AS (
       SELECT v.id, v.emb, v.nrm, v.q,
