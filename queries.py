@@ -4468,7 +4468,7 @@ def pagerank_topk(spark, sf_dir):
           ON a.l_orderkey = b.l_orderkey AND a.l_suppkey < b.l_suppkey
         WHERE a.l_suppkey IS NOT NULL AND b.l_suppkey IS NOT NULL
         GROUP BY u, v)
-      WHERE w >= 7),
+      ORDER BY w DESC, u, v LIMIT 6000),
     deg AS (
       SELECT node, COUNT(*) AS d FROM (
         SELECT u AS node FROM raw UNION ALL SELECT v AS node FROM raw)
@@ -4531,10 +4531,13 @@ def triangle_count_topk(spark, sf_dir):
         .select(F.col("p.u").alias("u"), F.col("p.v").alias("v"))
         .groupBy("u", "v")
         .agg(F.count(F.lit(1)).alias("w"))
-        # strong ties only (>= 7 shared orders): co-occurrence graphs
-        # densify toward complete as volume grows — thresholding support
-        # is what keeps the graph sparse at scale, not the algorithm
-        .filter(F.col("w") >= 7)
+        # strongest-ties-only graph: co-occurrence graphs densify toward
+        # complete as volume grows, so an ABSOLUTE support threshold goes
+        # superlinear at 10x (measured) — a top-K edge budget keeps the
+        # graph (and the triangle pass) cardinality-bound at any volume;
+        # TakeOrderedAndProject keeps a K-heap, never a global sort
+        .orderBy(F.col("w").desc(), "u", "v")
+        .limit(6000)
         .select("u", "v")
     )
     counts = triangle_counts(edges, src_col="u", dst_col="v")
