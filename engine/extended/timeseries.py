@@ -15,7 +15,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["gapfill_ffill", "rolling_zscore", "ewma", "lttb_downsample"]
+__all__ = ["gapfill_ffill", "rolling_zscore", "ewma", "lttb_downsample", "rollup_partials", "rollup_merge"]
 
 
 def gapfill_ffill(
@@ -311,4 +311,101 @@ def lttb_downsample(
             F.col("v").alias("picked_value"),
             "bucket",
         )
+    )
+
+
+def rollup_partials(
+    df: DataFrame,
+    *,
+    key_cols: list[str],
+    ts_col: str = "ts",
+    value_col: str = "value",
+    bucket: str = "hour",
+) -> DataFrame:
+    """Fine-grained mergeable partial aggregates — the materialized layer
+    of a continuous aggregate (TimescaleDB caggs / Druid rollup): per
+    (keys, time bucket) keep (n, sum, min, max), the state from which any
+    coarser aggregate is derivable WITHOUT re-reading raw rows.
+
+    Mergeability is the whole design: count and sum re-sum, min/max
+    re-min/max — so hourly partials roll to days, days to months, each
+    level reading only the level below.  AVG is emitted at READ time as
+    sum/n (storing avg would break the merge).
+
+    The sum is kept in INTEGER MICRO-UNITS (``round(v·1e6)`` as long, the
+    seeded-IVF quantization idiom): float partial sums re-summed in a
+    different grouping order land on rounding boundaries (measured under
+    fuzz), while integer sums merge EXACTLY at any depth.  Exactness
+    bound: |v|·1e6 · rows-per-bucket must stay under 2^63 — at larger
+    magnitudes shrink the unit, same trade as integer pagerank.
+    """
+    b = F.date_trunc(bucket, F.col(ts_col))
+    units = F.round(F.col(value_col).cast("double") * 1_000_000.0).cast(
+        "long"
+    )
+    return (
+        df.filter(F.col(ts_col).isNotNull() & F.col(value_col).isNotNull())
+        .groupBy(*key_cols, b.alias("bucket_ts"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(units).alias("s_units"),
+            F.min(value_col).alias("mn"),
+            F.max(value_col).alias("mx"),
+        )
+    )
+
+
+def rollup_merge(
+    partials: DataFrame,
+    *,
+    key_cols: list[str],
+    bucket: str = "day",
+    avg_round: int = 4,
+    sum_round: int = 4,
+) -> DataFrame:
+    """Derive a coarser rollup FROM the partial layer (never from raw
+    rows): re-truncate the fine bucket, re-sum n and the integer-unit
+    sum, re-min/max.  Returns (keys, bucket_ts, n, total, vmin, vmax,
+    vavg) — counts, extrema, and the unit sum merge EXACTLY; only the
+    final unit→double conversion rounds, identically at any merge depth.
+
+    At 100 TB this is the only affordable shape for standing dashboards:
+    the raw stream is aggregated once into the fine layer, and every
+    coarser resolution is a merge over data that is already
+    bucket-cardinality, not row-cardinality.
+    """
+    if not 0 <= sum_round <= 6 or not 0 <= avg_round <= 6:
+        raise ValueError("sum_round/avg_round must be in [0, 6]")
+    b = F.date_trunc(bucket, F.col("bucket_ts"))
+
+    def idiv_pos(a: Column, b: Column) -> Column:
+        # exact floor division of non-negative longs (the integer-pagerank
+        # _idiv identity; exact while a stays under 2^53)
+        return ((a - F.pmod(a, b)) / b).cast("long")
+
+    def half_away(s: Column, den: Column, scale: int) -> Column:
+        # round-half-away-from-zero of (s / den / 10^(6-scale)) computed
+        # ENTIRELY in integer space: quantized sums make exact .5 cases
+        # common, and float ROUND half-cases resolve differently across
+        # engines (fuzz-measured) — integer arithmetic cannot disagree.
+        d = den * F.lit(int(10 ** (6 - scale))).cast("long")
+        sign = F.when(s < 0, F.lit(-1)).otherwise(F.lit(1)).cast("long")
+        q = idiv_pos(F.lit(2).cast("long") * F.abs(s) + d, F.lit(2).cast("long") * d)
+        return (sign * q).cast("double") / F.lit(float(10**scale))
+
+    agg = partials.groupBy(*key_cols, b.alias("bucket_ts")).agg(
+        F.sum("n").alias("n"),
+        F.sum("s_units").alias("__s"),
+        F.min("mn").alias("vmin"),
+        F.max("mx").alias("vmax"),
+    )
+    s = F.col("__s")
+    return agg.select(
+        *key_cols,
+        "bucket_ts",
+        "n",
+        half_away(s, F.lit(1).cast("long"), sum_round).alias("total"),
+        "vmin",
+        "vmax",
+        half_away(s, F.col("n"), avg_round).alias("vavg"),
     )

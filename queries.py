@@ -4548,6 +4548,49 @@ def triangle_count_topk(spark, sf_dir):
     )
 
 
+@q(
+    "rollup_hour_to_day",
+    """
+    WITH p AS (
+      SELECT event_type, date_trunc('day', ts) AS d,
+             COUNT(value) AS n,
+             SUM(CAST(round(value * 1000000.0) AS BIGINT)) AS s,
+             MIN(value) AS vmin, MAX(value) AS vmax
+      FROM events WHERE ts IS NOT NULL AND value IS NOT NULL
+      GROUP BY event_type, date_trunc('day', ts))
+    SELECT event_type, strftime(d, '%Y-%m-%d') AS bucket_ts,
+           CAST(n AS BIGINT) AS n,
+           (CASE WHEN s < 0 THEN -1 ELSE 1 END
+            * ((2 * abs(s) + 100) // 200)) / 10000.0 AS total,
+           vmin, vmax,
+           (CASE WHEN s < 0 THEN -1 ELSE 1 END
+            * ((2 * abs(s) + 100 * n) // (200 * n))) / 10000.0 AS vavg
+    FROM p
+    """,
+)
+def rollup_hour_to_day_q(spark, sf_dir):
+    """Continuous-aggregate layering: daily statistics derived by MERGING
+    hourly mergeable partials (n/sum/min/max re-aggregate; avg computed at
+    read time) — never by re-reading raw events.  The oracle aggregates
+    the raw rows directly, so the hash match PROVES the merge is lossless;
+    counts and extrema merge exactly, the re-summed floats are rounded.
+    At 100 TB every coarser dashboard resolution reads only the
+    bucket-cardinality layer below it."""
+    from engine.extended.timeseries import rollup_merge, rollup_partials
+
+    e = t(spark, sf_dir, "events")
+    hourly = rollup_partials(
+        e, key_cols=["event_type"], ts_col="ts", value_col="value",
+        bucket="hour",
+    )
+    daily = rollup_merge(hourly, key_cols=["event_type"], bucket="day")
+    return daily.select(
+        "event_type",
+        F.date_format("bucket_ts", "yyyy-MM-dd").alias("bucket_ts"),
+        "n", "total", "vmin", "vmax", "vavg",
+    )
+
+
 @q("compression_quality")  # rows-only: zlib UDF has no SQL twin
 def compression_quality_q(spark, sf_dir):
     """Compression-ratio quality signal per source: zlib size over raw

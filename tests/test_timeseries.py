@@ -190,3 +190,65 @@ def test_lttb_validation_and_null_handling(spark):
         lttb_downsample(e, n_buckets=2)
     out = lttb_downsample(e, n_buckets=3).collect()
     assert [(r["user_id"], r["picked_value"]) for r in out] == [(1, 1.0)]
+
+
+# ---------------------------------------------------------------------------
+# rollup_partials / rollup_merge (continuous-aggregate layering)
+# ---------------------------------------------------------------------------
+
+from engine.extended.timeseries import rollup_merge, rollup_partials
+
+
+def test_rollup_merge_is_lossless_vs_direct(spark):
+    """Hourly partials merged to a day equal the direct daily aggregate:
+    counts/extrema exactly, sums at the quantization unit."""
+    rows = [
+        (1, dt.datetime(2024, 1, 1, h, m), 1, "m", float(h) + m / 100, None)
+        for h in range(5)
+        for m in (0, 30)
+    ]
+    from engine.schemas import EVENTS
+
+    df = spark.createDataFrame(rows, EVENTS)
+    hourly = rollup_partials(df, key_cols=["event_type"], bucket="hour")
+    assert hourly.count() == 5  # one partial per hour
+    daily = rollup_merge(hourly, key_cols=["event_type"], bucket="day").collect()
+    assert len(daily) == 1
+    r = daily[0]
+    vals = [float(h) + m / 100 for h in range(5) for m in (0, 30)]
+    assert r["n"] == len(vals)
+    assert r["vmin"] == min(vals) and r["vmax"] == max(vals)
+    assert r["total"] == pytest.approx(round(sum(vals), 4))
+    assert r["vavg"] == pytest.approx(round(sum(vals) / len(vals), 4))
+
+
+def test_rollup_half_cases_round_away_from_zero_exactly(spark):
+    """Quantized sums make exact .00005 halves common; the integer
+    rounding path resolves them away from zero on both signs."""
+    from engine.schemas import EVENTS
+
+    base = dt.datetime(2024, 1, 1)
+    rows = [
+        (1, base, 1, "pos", 0.00005, None),
+        (2, base, 1, "neg", -0.00005, None),
+    ]
+    df = spark.createDataFrame(rows, EVENTS)
+    out = {
+        r["event_type"]: (r["total"], r["vavg"])
+        for r in rollup_merge(
+            rollup_partials(df, key_cols=["event_type"], bucket="hour"),
+            key_cols=["event_type"],
+            bucket="day",
+        ).collect()
+    }
+    assert out["pos"] == (0.0001, 0.0001)
+    assert out["neg"] == (-0.0001, -0.0001)
+
+
+def test_rollup_validation(spark):
+    from engine.schemas import EVENTS
+
+    df = spark.createDataFrame([], EVENTS)
+    p = rollup_partials(df, key_cols=["event_type"])
+    with pytest.raises(ValueError, match="sum_round"):
+        rollup_merge(p, key_cols=["event_type"], sum_round=7)
