@@ -4549,6 +4549,42 @@ def triangle_count_topk(spark, sf_dir):
 
 
 @q(
+    "vocab_drift_kl",
+    """
+    WITH tok AS (
+      SELECT source AS grp,
+             UNNEST(list_transform(regexp_extract_all(text, '[A-Za-z0-9'']+'),
+                                   x -> LOWER(x))) AS t
+      FROM documents),
+    gc AS (SELECT grp, t, COUNT(*) AS c_s FROM tok GROUP BY grp, t),
+    tt AS (SELECT t, SUM(c_s) AS c_g FROM gc GROUP BY t),
+    pg AS (SELECT grp, SUM(c_s) AS n_s FROM gc GROUP BY grp),
+    gl AS (SELECT SUM(c_s) AS n_g, COUNT(DISTINCT t) AS v FROM gc),
+    j AS (
+      SELECT gc.grp, gc.c_s, tt.c_g, pg.n_s, gl.n_g, gl.v
+      FROM gc JOIN tt USING (t) JOIN pg USING (grp) CROSS JOIN gl)
+    SELECT grp AS source, CAST(ANY_VALUE(n_s) AS BIGINT) AS n_tokens,
+           ROUND(SUM(
+             ((c_s + 1.0) / (n_s + v))
+             * ln(((c_s + 1.0) / (n_s + v))
+                  / ((c_g - c_s + 1.0) / (n_g - n_s + v)))), 4) AS kl
+    FROM j GROUP BY grp
+    """,
+)
+def vocab_drift_kl_q(spark, sf_dir):
+    """Corpus-drift detection: per source, the KL divergence of its
+    unigram distribution against the rest of the corpus (add-1 smoothed,
+    observed-support variant) — a spam farm, wrong-language feed, or
+    machine-generated source scores high.  Same partial-agg pipeline as
+    TF-IDF: one explode, a (group, token) and a token aggregate joined on
+    the token key, two broadcast scalars; never group x vocabulary."""
+    from engine.extended.text import vocab_kl_by_group
+
+    d = t(spark, sf_dir, "documents")
+    return vocab_kl_by_group(d, group_col="source")
+
+
+@q(
     "rollup_hour_to_day",
     """
     WITH p AS (

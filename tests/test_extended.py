@@ -642,3 +642,36 @@ def test_hashed_doc_vectors_validation(spark):
     d = spark.createDataFrame([(1, "x")], "doc_id long, text string")
     with pytest.raises(ValueError, match="dim"):
         hashed_doc_vectors(d, dim=0)
+
+
+# ---------------------------------------------------------------------------
+# vocab_kl_by_group
+# ---------------------------------------------------------------------------
+
+
+def test_vocab_kl_outlier_source_scores_highest(spark):
+    """A source speaking a disjoint vocabulary diverges more than two
+    near-identical prose sources; identical sources sit near zero."""
+    import math
+
+    from engine.extended.text import vocab_kl_by_group
+
+    prose = "the cat sat on the mat and the dog sat too"
+    rows = (
+        [(i, prose, "a") for i in range(5)]
+        + [(10 + i, prose, "b") for i in range(5)]
+        + [(20 + i, "zorp blee krunk zorp blee vex nim", "weird") for i in range(5)]
+    )
+    df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    got = {r["source"]: r for r in vocab_kl_by_group(df).collect()}
+    assert got["weird"]["kl"] > 2 * got["a"]["kl"]
+    assert got["weird"]["kl"] > 2 * got["b"]["kl"]
+    # a and b are identical corpora: equal divergence from the rest
+    assert got["a"]["kl"] == got["b"]["kl"]
+    assert got["a"]["n_tokens"] == 5 * len(prose.split())
+    # hand-check one term of source 'weird': p/q for token 'zorp'
+    n_s, n_g = 35, 145
+    v = len({w for _, t, _ in rows for w in t.split()})
+    p = (10 + 1) / (n_s + v)
+    q = (10 - 10 + 1) / (n_g - n_s + v)
+    assert p * math.log(p / q) > 0  # drift terms dominate positively
