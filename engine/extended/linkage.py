@@ -23,7 +23,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["blocked_levenshtein_match"]
+__all__ = ["blocked_levenshtein_match", "incremental_entity_ids"]
 
 
 def blocked_levenshtein_match(
@@ -105,4 +105,107 @@ def blocked_levenshtein_match(
         F.col("__lid").alias(left_id),
         F.col("__rid").alias("match_id"),
         F.col("__d").alias("dist"),
+    )
+
+
+def incremental_entity_ids(
+    batch: DataFrame,
+    canonical: DataFrame,
+    *,
+    batch_id: str = "record_id",
+    batch_text: str = "record_text",
+    canon_id: str = "entity_id",
+    canon_text: str = "entity_text",
+    max_dist: int = 2,
+    block_len: int = 4,
+    block_cap: int = 1000,
+    salt: str = "ent",
+) -> DataFrame:
+    """Incremental entity resolution: match a new batch against the
+    existing canonical entity table and MINT ids for genuinely new
+    entities — the master-data-update step downstream of
+    :func:`blocked_levenshtein_match`.
+
+    - matched records inherit their best match's entity id (``is_new`` 0);
+    - unmatched records first collapse on the exact normalized-text
+      fingerprint (two identical newcomers share one new entity), then
+      each representative gets ``max(existing id) + 1 + global_pos`` with
+      positions from the scale-safe md5 global order — new ids are dense,
+      deterministic, and collision-free without a global sort or a
+      driver-side counter.  Fuzzy twins WITHIN one batch stay separate
+      entities (documented: intra-batch fuzzy merge is a near-dup-groups
+      problem, not a linkage lookup);
+    - NULL-text records return a NULL entity id (nothing to identify).
+
+    Returns (batch_id, entity_id, is_new, dist).
+
+    Scale shape: the blocked match's equi-joins, one fingerprint
+    aggregate over the unmatched slice, the 256-shard global-order
+    window, and a broadcast 1-row max id.
+    """
+    m = blocked_levenshtein_match(
+        batch,
+        canonical,
+        left_id=batch_id,
+        left_text=batch_text,
+        right_id=canon_id,
+        right_text=canon_text,
+        max_dist=max_dist,
+        block_len=block_len,
+        block_cap=block_cap,
+    )
+    b = batch.select(
+        F.col(batch_id).alias("__bid"), F.col(batch_text).alias("__bt")
+    )
+    m = m.select(
+        F.col(batch_id).alias("__bid"),
+        F.col("match_id").alias("__mid"),
+        F.col("dist").alias("__d"),
+    ).join(b, "__bid")
+    matched = m.filter(F.col("__mid").isNotNull()).select(
+        "__bid",
+        F.col("__mid").alias("entity_id"),
+        F.lit(0).alias("is_new"),
+        F.col("__d").alias("dist"),
+    )
+    from engine.extended.sampling import global_order
+    from engine.extended.text import fingerprint
+
+    maxid = canonical.agg(
+        F.coalesce(F.max(canon_id), F.lit(0)).cast("long").alias("__max")
+    )
+    un = (
+        m.filter(F.col("__mid").isNull() & F.col("__bt").isNotNull())
+        .withColumn("__fp", fingerprint("__bt"))
+    )
+    rep_w = Window.partitionBy("__fp").orderBy("__bid")
+    reps = (
+        un.withColumn("__rn", F.row_number().over(rep_w))
+        .filter(F.col("__rn") == 1)
+        .select(F.col("__fp"), F.col("__bid").alias("__rep"))
+    )
+    numbered = global_order(reps, id_col="__rep", salt=salt).crossJoin(
+        F.broadcast(maxid)
+    ).select(
+        "__fp",
+        (F.col("__max") + 1 + F.col("global_pos")).alias("entity_id"),
+    )
+    new = un.join(numbered, "__fp").select(
+        "__bid",
+        "entity_id",
+        F.lit(1).alias("is_new"),
+        F.lit(None).cast("int").alias("dist"),
+    )
+    nulls = m.filter(F.col("__mid").isNull() & F.col("__bt").isNull()).select(
+        "__bid",
+        F.lit(None).cast("long").alias("entity_id"),
+        F.lit(1).alias("is_new"),
+        F.lit(None).cast("int").alias("dist"),
+    )
+    return (
+        matched.unionByName(new)
+        .unionByName(nulls)
+        .select(
+            F.col("__bid").alias(batch_id), "entity_id", "is_new", "dist"
+        )
     )

@@ -4549,6 +4549,172 @@ def triangle_count_topk(spark, sf_dir):
 
 
 @q(
+    "entity_ids_incremental",
+    """
+    WITH clean AS (SELECT c_custkey AS rid, c_name AS rt FROM customer),
+    src AS (
+      SELECT c_custkey, c_name, c_custkey % 10 + 2 AS p
+      FROM customer WHERE c_custkey % 4 = 0),
+    dirty AS (
+      SELECT c_custkey + 9000000 AS lid,
+             CASE c_custkey % 3
+               WHEN 0 THEN substr(c_name, 1, p - 1) || substr(c_name, p + 1)
+               WHEN 1 THEN c_name
+               ELSE 'new entity ' || MD5(CAST(c_custkey // 16 AS VARCHAR))
+             END AS lt
+      FROM src),
+    lk AS (
+      SELECT lid, lt, left(lt, 4) AS bk FROM dirty WHERE lt IS NOT NULL
+      UNION ALL
+      SELECT lid, lt, right(lt, 4) AS bk FROM dirty WHERE lt IS NOT NULL),
+    rk0 AS (
+      SELECT rid, rt, left(rt, 4) AS bk FROM clean WHERE rt IS NOT NULL
+      UNION ALL
+      SELECT rid, rt, right(rt, 4) AS bk FROM clean WHERE rt IS NOT NULL),
+    rk AS (
+      SELECT rid, rt, bk FROM (
+        SELECT rid, rt, bk,
+               ROW_NUMBER() OVER (PARTITION BY bk ORDER BY rid) AS rn
+        FROM rk0)
+      WHERE rn <= 1000),
+    cand AS (SELECT DISTINCT lid, lt, rid, rt FROM lk JOIN rk USING (bk)),
+    scored AS (
+      SELECT lid, rid, levenshtein(lt, rt) AS d
+      FROM cand WHERE levenshtein(lt, rt) <= 2),
+    best AS (
+      SELECT lid, rid, d FROM (
+        SELECT lid, rid, d,
+               ROW_NUMBER() OVER (PARTITION BY lid ORDER BY d, rid) AS rn
+        FROM scored)
+      WHERE rn = 1),
+    matched AS (
+      SELECT d.lid, b.rid AS entity_id, 0 AS is_new, CAST(b.d AS INT) AS dist
+      FROM dirty d JOIN best b ON b.lid = d.lid),
+    mx AS (SELECT MAX(c_custkey) AS m FROM customer),
+    un AS (
+      SELECT d.lid,
+             MD5(LOWER(REGEXP_REPLACE(d.lt, '[^A-Za-z0-9]', '', 'g'))) AS fp
+      FROM dirty d LEFT JOIN best b ON b.lid = d.lid
+      WHERE b.lid IS NULL AND d.lt IS NOT NULL),
+    reps AS (
+      SELECT fp, lid AS rep FROM (
+        SELECT fp, lid,
+               ROW_NUMBER() OVER (PARTITION BY fp ORDER BY lid) AS rn
+        FROM un)
+      WHERE rn = 1),
+    numbered AS (
+      SELECT fp,
+             (SELECT m FROM mx) + CAST(ROW_NUMBER() OVER (
+               ORDER BY MD5(CAST(rep AS VARCHAR) || '|ent'), rep) AS BIGINT)
+               AS entity_id
+      FROM reps),
+    newr AS (
+      SELECT un.lid, n.entity_id, 1 AS is_new, CAST(NULL AS INT) AS dist
+      FROM un JOIN numbered n USING (fp)),
+    nullr AS (
+      SELECT d.lid, CAST(NULL AS BIGINT) AS entity_id, 1 AS is_new,
+             CAST(NULL AS INT) AS dist
+      FROM dirty d LEFT JOIN best b ON b.lid = d.lid
+      WHERE b.lid IS NULL AND d.lt IS NULL)
+    SELECT lid AS record_id, entity_id, CAST(is_new AS INT) AS is_new, dist
+    FROM matched
+    UNION ALL SELECT lid, entity_id, CAST(is_new AS INT), dist FROM newr
+    UNION ALL SELECT lid, entity_id, CAST(is_new AS INT), dist FROM nullr
+    """,
+)
+def entity_ids_incremental_q(spark, sf_dir):
+    """Incremental entity resolution with id minting: a batch of noisy
+    records (planted in-plan: a deletion, an exact copy, or a genuinely
+    new entity — some new ones exact twins of each other) resolves
+    against the customer catalog; matches inherit the catalog id, twins
+    collapse on the normalized fingerprint, and new entities get dense
+    deterministic ids from max(existing) + the md5 global order — no
+    global sort, no driver counter."""
+    from engine.extended.linkage import incremental_entity_ids
+
+    c = t(spark, sf_dir, "customer")
+    canonical = c.select(
+        F.col("c_custkey").alias("rid"), F.col("c_name").alias("rt")
+    )
+    head = F.expr("substr(c_name, 1, c_custkey % 10 + 1)")
+    tail = F.expr("substr(c_name, c_custkey % 10 + 3)")
+    batch = c.filter(F.col("c_custkey") % 4 == 0).select(
+        (F.col("c_custkey") + 9000000).alias("lid"),
+        F.when(F.col("c_custkey") % 3 == 0, F.concat(head, tail))
+        .when(F.col("c_custkey") % 3 == 1, F.col("c_name"))
+        .otherwise(
+            F.concat(
+                F.lit("new entity "),
+                F.md5(F.expr("CAST(c_custkey div 16 AS STRING)")),
+            )
+        )
+        .alias("lt"),
+    )
+    out = incremental_entity_ids(
+        batch,
+        canonical,
+        batch_id="lid",
+        batch_text="lt",
+        canon_id="rid",
+        canon_text="rt",
+        max_dist=2,
+        block_len=4,
+        block_cap=1000,
+    )
+    return out.select(
+        F.col("lid").alias("record_id"),
+        "entity_id",
+        F.col("is_new").cast("int").alias("is_new"),
+        "dist",
+    )
+
+
+@q(
+    "event_path_topk",
+    """
+    WITH ev AS (
+      SELECT user_id, ts, event_id, event_type FROM events
+      WHERE user_id IS NOT NULL AND ts IS NOT NULL
+        AND event_type IS NOT NULL),
+    seq AS (
+      SELECT event_type || '>' ||
+             LEAD(event_type, 1) OVER w || '>' ||
+             LEAD(event_type, 2) OVER w AS path
+      FROM ev
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+    SELECT path, COUNT(*) AS n FROM seq WHERE path IS NOT NULL
+    GROUP BY path ORDER BY n DESC, path LIMIT 10
+    """,
+)
+def event_path_topk_q(spark, sf_dir):
+    """Behavioral sequence mining: the 10 most common 3-step event-type
+    paths across user journeys (each user's events in (ts, id) order;
+    windows never cross users).  LEAD over one key window + a global
+    count — the path-analysis primitive behind funnel discovery, at one
+    exchange on the user key plus a path-cardinality aggregate."""
+    e = t(spark, sf_dir, "events").filter(
+        F.col("user_id").isNotNull()
+        & F.col("ts").isNotNull()
+        & F.col("event_type").isNotNull()
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    path = F.concat_ws(
+        ">",
+        F.col("event_type"),
+        F.lead("event_type", 1).over(w),
+        F.lead("event_type", 2).over(w),
+    )
+    seq = e.select(path.alias("path"), F.lead("event_type", 2).over(w).alias("__l2"))
+    return (
+        seq.filter(F.col("__l2").isNotNull())
+        .groupBy("path")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), "path")
+        .limit(10)
+    )
+
+
+@q(
     "vocab_drift_kl",
     """
     WITH tok AS (

@@ -87,3 +87,62 @@ def test_validation(spark):
         blocked_levenshtein_match(left, right, block_len=0)
     with pytest.raises(ValueError, match="block_cap"):
         blocked_levenshtein_match(left, right, block_cap=0)
+
+
+# ---------------------------------------------------------------------------
+# incremental_entity_ids
+# ---------------------------------------------------------------------------
+
+from engine.extended.linkage import incremental_entity_ids
+
+
+def test_incremental_ids_match_mint_and_collapse(spark):
+    canonical = _df(
+        spark,
+        [(100, "alphabet soup"), (200, "totally different")],
+        "entity_id",
+        "entity_text",
+    )
+    batch = _df(
+        spark,
+        [
+            (1, "alphabet soup"),       # exact match -> 100, dist 0
+            (2, "alphabXt soup"),       # fuzzy match -> 100, dist 1
+            (3, "brand new thing"),     # new entity
+            (4, "brand new thing"),     # exact twin of 3: same minted id
+            (5, None),                  # unidentifiable
+            (6, "another new one"),     # second new entity
+        ],
+        "record_id",
+        "record_text",
+    )
+    out = {
+        r["record_id"]: (r["entity_id"], r["is_new"], r["dist"])
+        for r in incremental_entity_ids(batch, canonical).collect()
+    }
+    assert out[1] == (100, 0, 0)
+    assert out[2] == (100, 0, 1)
+    assert out[5] == (None, 1, None)
+    assert out[3] == out[4]                       # twins collapse
+    assert out[3][1] == 1 and out[3][2] is None
+    minted = {out[3][0], out[6][0]}
+    assert minted == {201, 202}                   # dense above max existing
+
+
+def test_incremental_ids_deterministic_across_partitionings(spark):
+    canonical = _df(spark, [(10, "base entity")], "entity_id", "entity_text")
+    rows = [(i, f"fresh item number {i % 7}") for i in range(1, 30)]
+    batch = _df(spark, rows, "record_id", "record_text")
+    a = sorted(
+        (r["record_id"], r["entity_id"])
+        for r in incremental_entity_ids(batch, canonical).collect()
+    )
+    b = sorted(
+        (r["record_id"], r["entity_id"])
+        for r in incremental_entity_ids(
+            batch.repartition(7), canonical
+        ).collect()
+    )
+    assert a == b
+    # 7 distinct texts -> 7 minted ids, dense 11..17
+    assert {e for _, e in a} == set(range(11, 18))
