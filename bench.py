@@ -91,6 +91,15 @@ SECONDARY = [
     "mmr_select_topk",
     "weighted_sample_topk",
     "split_leakage_audit",
+    "script_profile",
+    "code_detect_stats",
+    "winsorized_stats",
+    "negative_sample_topk",
+    "compression_quality",
+    "vocab_drift_kl",
+    "rollup_hour_to_day",
+    "event_path_topk",
+    "entity_ids_incremental",
 ]
 
 
@@ -135,8 +144,12 @@ def main() -> None:
     # warm-up (untimed): run every headline query once at sf0.001.  Identical
     # plan shapes → codegen/planner caches are hot for the timed pass, whose
     # numbers then scale with data volume, not first-use JVM compilation.
+    # The headline pack is warmed AND timed before any secondary query runs:
+    # the secondary list grows every round, and warming it first measurably
+    # inflates the timed headline (~15% heap/GC drag at r4's 31 entries) —
+    # ordering keeps the frozen pack's total comparable round-over-round.
     warm_dir = os.environ.get("SPARK_GRAFT_WARM_DIR", "/root/testdata/sf0.001")
-    for name in HEADLINE + SECONDARY:
+    for name in HEADLINE:
         force(SPARK_QUERIES[name](spark, warm_dir))
         spark.catalog.clearCache()
     # parquet footers of the target SF (I/O warm-up, not plan warm-up)
@@ -155,6 +168,9 @@ def main() -> None:
         spark.catalog.clearCache()
 
     secondary: dict[str, float] = {}
+    for name in SECONDARY:
+        force(SPARK_QUERIES[name](spark, warm_dir))
+        spark.catalog.clearCache()
     for name in SECONDARY:
         fn = SPARK_QUERIES[name]
         t0 = time.time()
