@@ -23,7 +23,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["blocked_levenshtein_match", "incremental_entity_ids"]
+__all__ = ["blocked_levenshtein_match", "incremental_entity_ids", "golden_record"]
 
 
 def blocked_levenshtein_match(
@@ -209,3 +209,76 @@ def incremental_entity_ids(
             F.col("__bid").alias(batch_id), "entity_id", "is_new", "dist"
         )
     )
+
+
+def golden_record(
+    df: DataFrame,
+    entity_col: str,
+    rules: dict[str, str],
+    *,
+    ts_col: str = "ts",
+    id_col: str | None = None,
+) -> DataFrame:
+    """Survivorship merge: collapse each entity's duplicate records into
+    one golden row, field by field, under a declared rule — the
+    master-data step AFTER linkage has grouped records:
+
+    - ``latest``   — value from the most recent record carrying a
+      non-null value (recency by ``ts_col``, tie-broken by ``id_col``);
+    - ``longest``  — the longest non-null string (ties -> lexicographic
+      max, so the pick is total-order deterministic);
+    - ``majority`` — the most frequent non-null value (ties -> the
+      greater value).
+
+    Every rule is expressed as ``max(struct(...))`` over deterministic
+    sort keys — never ``max_by`` (whose tie behavior is
+    engine-dependent) — so the golden row is identical in any engine and
+    under any shuffle order.
+
+    Scale shape: ``latest``/``longest`` are ONE aggregate over the
+    entity key (structs compare in codegen); ``majority`` needs its own
+    (entity, column, value) count per column, aggregated back — budget
+    one extra shuffle per majority column.
+    """
+    if not rules:
+        raise ValueError("rules must be non-empty")
+    known = {"latest", "longest", "majority"}
+    bad = {r for r in rules.values()} - known
+    if bad:
+        raise ValueError(f"unknown rules: {sorted(bad)}; known: {sorted(known)}")
+    tie = F.col(id_col) if id_col else F.lit(0)
+    simple_aggs = []
+    for col, rule in rules.items():
+        v = F.col(col)
+        if rule == "latest":
+            # a NULL recency can't rank "latest" — guard it out rather
+            # than leaning on engine-specific null-in-struct ordering
+            s = F.when(
+                v.isNotNull() & F.col(ts_col).isNotNull(),
+                F.struct(F.col(ts_col).alias("o1"), tie.alias("o2"), v.alias("v")),
+            )
+            simple_aggs.append(F.max(s)["v"].alias(col))
+        elif rule == "longest":
+            s = F.when(
+                v.isNotNull(), F.struct(F.length(v).alias("o1"), v.alias("v"))
+            )
+            simple_aggs.append(F.max(s)["v"].alias(col))
+    out = df.groupBy(entity_col).agg(*simple_aggs) if simple_aggs else (
+        df.select(entity_col).distinct()
+    )
+    for col, rule in rules.items():
+        if rule != "majority":
+            continue
+        counts = (
+            df.filter(F.col(col).isNotNull())
+            .groupBy(entity_col, col)
+            .agg(F.count(F.lit(1)).alias("__c"))
+            .groupBy(entity_col)
+            .agg(
+                F.max(
+                    F.struct(F.col("__c").alias("o1"), F.col(col).alias("v"))
+                )["v"].alias(col)
+            )
+        )
+        out = out.join(counts, entity_col, "left")
+    return out

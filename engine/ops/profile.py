@@ -28,7 +28,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["table_profile", "group_quantiles", "int_histogram", "winsorized_stats"]
+__all__ = ["table_profile", "group_quantiles", "int_histogram", "winsorized_stats", "categorical_mi"]
 
 
 def _canon_str(c, dtype: str):
@@ -269,4 +269,56 @@ def winsorized_stats(
             "n_clipped_hi"
         ),
         F.round(F.avg(clipped), mean_round).alias("win_mean"),
+    )
+
+
+def categorical_mi(
+    df: DataFrame,
+    col_x: str,
+    col_y: str,
+    *,
+    round_to: int = 4,
+) -> DataFrame:
+    """Mutual information (nats) between two categorical columns — the
+    feature-association audit (is ``lang`` informative about ``source``?
+    is a split column accidentally correlated with a label?).  Returns
+    one row: (n, h_x, h_y, mi, nmi) with NMI = MI / min(H) (0 when either
+    marginal entropy is 0 — a constant column carries no information).
+
+    Rows with a NULL in either column are excluded (MI over observed
+    pairs).  All probabilities come from exact integer counts; the only
+    floats are the final ln terms, rounded.
+
+    Scale shape: one (x, y) aggregate, two marginal aggregates joined
+    back on their keys, the total as a broadcast 1-row table — joint
+    cardinality bounds everything after the first aggregate.
+    """
+    base = df.filter(F.col(col_x).isNotNull() & F.col(col_y).isNotNull())
+    joint = base.groupBy(col_x, col_y).agg(F.count(F.lit(1)).alias("c_xy"))
+    px = base.groupBy(col_x).agg(F.count(F.lit(1)).alias("c_x"))
+    py = base.groupBy(col_y).agg(F.count(F.lit(1)).alias("c_y"))
+    n = base.agg(F.count(F.lit(1)).alias("n"))
+    j = joint.join(px, col_x).join(py, col_y).crossJoin(F.broadcast(n))
+    p_xy = F.col("c_xy") / F.col("n")
+    mi = F.sum(
+        p_xy * F.log(p_xy / ((F.col("c_x") / F.col("n")) * (F.col("c_y") / F.col("n"))))
+    )
+    hx = px.crossJoin(F.broadcast(n)).agg(
+        (-F.sum((F.col("c_x") / F.col("n")) * F.log(F.col("c_x") / F.col("n"))))
+        .alias("h_x")
+    )
+    hy = py.crossJoin(F.broadcast(n)).agg(
+        (-F.sum((F.col("c_y") / F.col("n")) * F.log(F.col("c_y") / F.col("n"))))
+        .alias("h_y")
+    )
+    agg = j.agg(mi.alias("mi")).crossJoin(hx).crossJoin(hy).crossJoin(n)
+    hmin = F.least(F.col("h_x"), F.col("h_y"))
+    return agg.select(
+        F.col("n").cast("long").alias("n"),
+        F.round("h_x", round_to).alias("h_x"),
+        F.round("h_y", round_to).alias("h_y"),
+        F.round("mi", round_to).alias("mi"),
+        F.when(hmin > 0, F.round(F.col("mi") / hmin, round_to))
+        .otherwise(F.lit(0.0))
+        .alias("nmi"),
     )

@@ -4549,6 +4549,102 @@ def triangle_count_topk(spark, sf_dir):
 
 
 @q(
+    "lang_source_mi",
+    """
+    WITH base AS (
+      SELECT lang, source FROM documents
+      WHERE lang IS NOT NULL AND source IS NOT NULL),
+    n AS (SELECT COUNT(*) AS n FROM base),
+    joint AS (SELECT lang, source, COUNT(*) AS c_xy FROM base
+              GROUP BY lang, source),
+    px AS (SELECT lang, COUNT(*) AS c_x FROM base GROUP BY lang),
+    py AS (SELECT source, COUNT(*) AS c_y FROM base GROUP BY source),
+    mi AS (
+      SELECT SUM((c_xy * 1.0 / nn.n)
+                 * ln((c_xy * 1.0 / nn.n)
+                      / ((c_x * 1.0 / nn.n) * (c_y * 1.0 / nn.n)))) AS mi
+      FROM joint JOIN px USING (lang) JOIN py USING (source)
+      CROSS JOIN n nn),
+    hx AS (SELECT -SUM((c_x * 1.0 / nn.n) * ln(c_x * 1.0 / nn.n)) AS h_x
+           FROM px CROSS JOIN n nn),
+    hy AS (SELECT -SUM((c_y * 1.0 / nn.n) * ln(c_y * 1.0 / nn.n)) AS h_y
+           FROM py CROSS JOIN n nn)
+    SELECT CAST(n.n AS BIGINT) AS n,
+           ROUND(h_x, 4) AS h_x, ROUND(h_y, 4) AS h_y,
+           ROUND(mi.mi, 4) AS mi,
+           CASE WHEN LEAST(h_x, h_y) > 0
+                THEN ROUND(mi.mi / LEAST(h_x, h_y), 4) ELSE 0.0 END AS nmi
+    FROM mi CROSS JOIN hx CROSS JOIN hy CROSS JOIN n
+    """,
+)
+def lang_source_mi_q(spark, sf_dir):
+    """Feature-association audit: mutual information between language and
+    source tags (is one informative about the other? is a split column
+    secretly correlated with a label?).  Exact integer counts feed the
+    probabilities; one joint aggregate bounds everything downstream at
+    joint cardinality; normalized by the smaller marginal entropy."""
+    from engine.ops.profile import categorical_mi
+
+    d = t(spark, sf_dir, "documents")
+    return categorical_mi(d, "lang", "source")
+
+
+@q(
+    "golden_user_profile",
+    """
+    WITH ev AS (
+      SELECT user_id, ts, event_id, event_type, value, props
+      FROM events WHERE user_id IS NOT NULL),
+    users AS (SELECT DISTINCT user_id FROM ev),
+    lv AS (
+      SELECT user_id, value FROM (
+        SELECT user_id, value,
+               ROW_NUMBER() OVER (PARTITION BY user_id
+                                  ORDER BY ts DESC, event_id DESC) AS rn
+        FROM ev WHERE value IS NOT NULL AND ts IS NOT NULL)
+      WHERE rn = 1),
+    lp AS (
+      SELECT user_id, props FROM (
+        SELECT user_id, props,
+               ROW_NUMBER() OVER (PARTITION BY user_id
+                                  ORDER BY length(props) DESC, props DESC)
+                 AS rn
+        FROM ev WHERE props IS NOT NULL)
+      WHERE rn = 1),
+    mt AS (
+      SELECT user_id, event_type FROM (
+        SELECT user_id, event_type,
+               ROW_NUMBER() OVER (PARTITION BY user_id
+                                  ORDER BY c DESC, event_type DESC) AS rn
+        FROM (SELECT user_id, event_type, COUNT(*) AS c FROM ev
+              WHERE event_type IS NOT NULL GROUP BY user_id, event_type))
+      WHERE rn = 1)
+    SELECT u.user_id, lv.value, lp.props AS props, mt.event_type
+    FROM users u
+    LEFT JOIN lv ON lv.user_id = u.user_id
+    LEFT JOIN lp ON lp.user_id = u.user_id
+    LEFT JOIN mt ON mt.user_id = u.user_id
+    """,
+)
+def golden_user_profile_q(spark, sf_dir):
+    """Survivorship merge: one golden profile per user from their event
+    records — latest non-null value (recency with id tie-break), longest
+    props payload, majority event_type — every rule a deterministic
+    struct-max (never max_by, whose tie behavior is engine-dependent).
+    The master-data collapse that runs after linkage groups records."""
+    from engine.extended.linkage import golden_record
+
+    e = t(spark, sf_dir, "events").filter(F.col("user_id").isNotNull())
+    return golden_record(
+        e,
+        "user_id",
+        {"value": "latest", "props": "longest", "event_type": "majority"},
+        ts_col="ts",
+        id_col="event_id",
+    ).select("user_id", "value", "props", "event_type")
+
+
+@q(
     "entity_ids_incremental",
     """
     WITH clean AS (SELECT c_custkey AS rid, c_name AS rt FROM customer),

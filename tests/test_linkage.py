@@ -146,3 +146,60 @@ def test_incremental_ids_deterministic_across_partitionings(spark):
     assert a == b
     # 7 distinct texts -> 7 minted ids, dense 11..17
     assert {e for _, e in a} == set(range(11, 18))
+
+
+# ---------------------------------------------------------------------------
+# golden_record
+# ---------------------------------------------------------------------------
+
+import datetime as _dt
+
+from engine.extended.linkage import golden_record
+
+
+def test_golden_record_rules(spark):
+    T0 = _dt.datetime(2024, 1, 1)
+    rows = [
+        # (entity, ts, id, name, status)
+        (1, T0, 10, "Bob", "a"),
+        (1, _dt.datetime(2024, 2, 1), 11, None, "b"),      # latest name skips null
+        (1, _dt.datetime(2024, 3, 1), 12, "Robert", "b"),  # latest name
+        (2, T0, 20, "Zo", "x"),
+        (2, None, 21, "Zoe-from-null-ts", "x"),            # null ts never "latest"
+    ]
+    df = spark.createDataFrame(
+        rows, "eid long, ts timestamp, rid long, name string, status string"
+    )
+    got = {
+        r["eid"]: (r["name"], r["status"])
+        for r in golden_record(
+            df, "eid", {"name": "latest", "status": "majority"},
+            ts_col="ts", id_col="rid",
+        ).collect()
+    }
+    assert got[1] == ("Robert", "b")
+    assert got[2] == ("Zo", "x")
+    # longest rule with lexicographic tie-break
+    got2 = {
+        r["eid"]: r["name"]
+        for r in golden_record(df, "eid", {"name": "longest"}).collect()
+    }
+    assert got2[2] == "Zoe-from-null-ts"
+    got3 = golden_record(
+        spark.createDataFrame(
+            [(1, "aa"), (1, "bb")], "eid long, name string"
+        ),
+        "eid",
+        {"name": "longest"},
+    ).collect()
+    assert got3[0]["name"] == "bb"  # equal length -> lexicographic max
+
+
+def test_golden_record_validation(spark):
+    df = spark.createDataFrame([(1, "x")], "eid long, name string")
+    import pytest as pt
+
+    with pt.raises(ValueError, match="non-empty"):
+        golden_record(df, "eid", {})
+    with pt.raises(ValueError, match="unknown rules"):
+        golden_record(df, "eid", {"name": "newest"})

@@ -215,3 +215,35 @@ def test_winsorize_validation_and_null_exclusion(spark):
         winsorized_stats(df, "g", "v", lo=0.9, hi=0.1)
     out = winsorized_stats(df, "g", "v").collect()
     assert len(out) == 1 and out[0]["n"] == 1
+
+
+# ---------------------------------------------------------------------------
+# categorical_mi
+# ---------------------------------------------------------------------------
+
+from engine.ops.profile import categorical_mi
+
+
+def test_mi_perfect_dependence_equals_entropy(spark):
+    """y = f(x) bijectively: MI = H(X) = H(Y), NMI = 1."""
+    rows = [("a", "1")] * 4 + [("b", "2")] * 4
+    df = spark.createDataFrame(rows, "x string, y string")
+    r = categorical_mi(df, "x", "y").collect()[0]
+    assert r["mi"] == r["h_x"] == r["h_y"]
+    assert r["nmi"] == _pt.approx(1.0)
+
+
+def test_mi_independence_is_zero_and_nulls_excluded(spark):
+    rows = [(x, y) for x in "ab" for y in "12" for _ in range(3)]
+    rows += [(None, "1"), ("a", None)]
+    df = spark.createDataFrame(rows, "x string, y string")
+    r = categorical_mi(df, "x", "y").collect()[0]
+    assert r["n"] == 12
+    assert r["mi"] == _pt.approx(0.0)
+    assert r["nmi"] == _pt.approx(0.0)
+
+
+def test_mi_constant_column_yields_zero_nmi(spark):
+    df = spark.createDataFrame([("a", "1"), ("a", "2")], "x string, y string")
+    r = categorical_mi(df, "x", "y").collect()[0]
+    assert r["h_x"] == 0.0 and r["nmi"] == 0.0
