@@ -4549,6 +4549,58 @@ def triangle_count_topk(spark, sf_dir):
 
 
 @q(
+    "quality_calibration",
+    f"""
+    WITH tok AS (
+      SELECT doc_id, source, {_TOKS_SQL} AS toks FROM documents),
+    ws AS (
+      SELECT doc_id, source,
+             CASE WHEN toks IS NULL THEN NULL ELSE CAST(COALESCE(
+               list_aggregate(list_transform(toks,
+                 t -> ({_MD5H.format(x="'q|' || t")} % 4096) % 197 - 98),
+                 'sum'), 0) AS BIGINT) END AS weight_sum
+      FROM tok)
+    SELECT doc_id, source, weight_sum,
+           ROUND(PERCENT_RANK() OVER (PARTITION BY source
+                                      ORDER BY weight_sum), 4) AS pct,
+           CAST(ROUND(PERCENT_RANK() OVER (PARTITION BY source
+                                           ORDER BY weight_sum), 4) >= 0.5
+                AS INT) AS keep_calibrated
+    FROM ws WHERE weight_sum IS NOT NULL
+    """,
+)
+def quality_calibration_q(spark, sf_dir):
+    """Per-source calibration of the hashed quality classifier: raw
+    scores are NOT comparable across sources (each domain has its own
+    score distribution), so the keep decision uses the score's
+    percent-rank WITHIN its source — the per-domain threshold discipline
+    real curation pipelines apply.  Ranking runs on the classifier's
+    EXACT INTEGER weight sum (ties share a rank in both engines), one
+    window exchange on source."""
+    from engine.extended.curation import hashed_quality_score
+    from engine.extended.text import tokens
+
+    d = t(spark, sf_dir, "documents")
+    toked = d.select("doc_id", "source", tokens("text").alias("__toks"))
+    ws = toked.select(
+        "doc_id",
+        "source",
+        hashed_quality_score(F.col("__toks"))["weight_sum"].alias(
+            "weight_sum"
+        ),
+    ).filter(F.col("weight_sum").isNotNull())
+    w = Window.partitionBy("source").orderBy("weight_sum")
+    pct = F.round(F.percent_rank().over(w), 4)
+    return ws.select(
+        "doc_id",
+        "source",
+        "weight_sum",
+        pct.alias("pct"),
+        (pct >= 0.5).cast("int").alias("keep_calibrated"),
+    )
+
+
+@q(
     "lang_source_mi",
     """
     WITH base AS (
@@ -5481,6 +5533,69 @@ def _bpe_encode_sql(rounds: int) -> str:
     GROUP BY doc_id"""
     )
     return "".join(parts)
+
+
+def _bpe_fertility_sql(rounds: int) -> str:
+    """Per-language fertility twin: the encode replay keyed by ``lang``
+    instead of ``doc_id``, aggregated to tokens/symbols per language."""
+    parts = [
+        f""",
+    d AS (
+      SELECT lang,
+             UNNEST(list_transform(regexp_extract_all(text, '[A-Za-z0-9'']+'),
+                                   x -> LOWER(x))) AS word
+      FROM documents WHERE doc_id % 10 = 0),
+    e0 AS (
+      SELECT lang, ' ' || substr(s, 1, length(s) - 2) || ' ' AS seq
+      FROM (SELECT lang, regexp_replace(word, '(.)', '\\1  ', 'g') AS s
+            FROM d))"""
+    ]
+    for r in range(rounds):
+        parts.append(
+            f""",
+    e{r + 1} AS (
+      SELECT lang,
+             CASE WHEN b.lhs IS NULL THEN seq
+                  ELSE REPLACE(seq, ' ' || b.lhs || '  ' || b.rhs || ' ',
+                               ' ' || b.lhs || b.rhs || ' ') END AS seq
+      FROM e{r} LEFT JOIN b{r} b ON TRUE)"""
+        )
+    parts.append(
+        f"""
+    SELECT lang,
+           CAST(COUNT(*) AS BIGINT) AS n_tokens,
+           CAST(SUM(len(sy)) AS BIGINT) AS n_symbols,
+           ROUND(SUM(len(sy)) * 1.0 / COUNT(*), 4) AS fertility
+    FROM (SELECT lang,
+                 string_split(substr(seq, 2, length(seq) - 2), '  ') AS sy
+          FROM e{rounds})
+    GROUP BY lang"""
+    )
+    return "".join(parts)
+
+
+@q("bpe_fertility_by_lang", _bpe_sql(_BPE_ROUNDS, _bpe_fertility_sql(_BPE_ROUNDS)))
+def bpe_fertility_by_lang_q(spark, sf_dir):
+    """Tokenizer fertility per language: average subword symbols per token
+    after the learned merges — the diagnostic that shows which languages
+    the vocabulary under-serves (high fertility = more pieces per word =
+    costlier training tokens for that language).  Training reads the
+    corpus once; the sampled encode is a pure-codegen replay; the ratio
+    divides exact integers, so it is bit-identical across engines."""
+    from engine.extended.bpe import bpe_apply, bpe_train
+
+    d = t(spark, sf_dir, "documents")
+    rules, words = bpe_train(d, rounds=_BPE_ROUNDS)
+    words.unpersist()
+    enc = bpe_apply(d.filter(F.col("doc_id") % 10 == 0), rules)
+    per_tok = enc.select("lang", F.explode("bpe_symbols").alias("sy"))
+    return per_tok.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.sum(F.size("sy")).alias("n_symbols"),
+        F.round(
+            F.sum(F.size("sy")) * 1.0 / F.count(F.lit(1)), 4
+        ).alias("fertility"),
+    )
 
 
 @q("bpe_encode_tokens", _bpe_sql(_BPE_ROUNDS, _bpe_encode_sql(_BPE_ROUNDS)))
