@@ -4549,6 +4549,53 @@ def triangle_count_topk(spark, sf_dir):
 
 
 @q(
+    "range_frame_hour_sum",
+    """
+    WITH ev AS (
+      SELECT user_id, event_id, ts,
+             CAST(floor(epoch(ts)) AS BIGINT) AS es, value
+      FROM events
+      WHERE user_id IS NOT NULL AND ts IS NOT NULL AND value IS NOT NULL)
+    SELECT user_id, event_id,
+           strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts,
+           CAST(COUNT(*) OVER w AS BIGINT) AS n_trailing,
+           ROUND(SUM(CAST(round(value * 1000000.0) AS BIGINT)) OVER w
+                 / 1000000.0, 4) AS hour_sum
+    FROM ev
+    WINDOW w AS (PARTITION BY user_id ORDER BY es
+                 RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW)
+    """,
+)
+def range_frame_hour_sum_q(spark, sf_dir):
+    """VALUE-based window frames (the RANGE sibling of the ROWS frames
+    used elsewhere): each event's trailing-hour activity — count and sum
+    of values within 3600 seconds BY TIMESTAMP VALUE, not by row count —
+    per user.  The frame orders on epoch seconds so both engines use the
+    same numeric RANGE semantics; the sum rides in integer micro-units
+    (same-instant rows share one frame, so float order would be
+    ambiguous).  One window exchange on the key."""
+    e = t(spark, sf_dir, "events").filter(
+        F.col("user_id").isNotNull()
+        & F.col("ts").isNotNull()
+        & F.col("value").isNotNull()
+    )
+    es = F.unix_timestamp("ts")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(es)
+        .rangeBetween(-3600, Window.currentRow)
+    )
+    units = F.round(F.col("value") * 1_000_000.0).cast("long")
+    return e.select(
+        "user_id",
+        "event_id",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("ts"),
+        F.count(F.lit(1)).over(w).alias("n_trailing"),
+        F.round(F.sum(units).over(w) / 1_000_000.0, 4).alias("hour_sum"),
+    )
+
+
+@q(
     "quality_calibration",
     f"""
     WITH tok AS (
