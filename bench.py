@@ -100,6 +100,11 @@ SECONDARY = [
     "rollup_hour_to_day",
     "event_path_topk",
     "entity_ids_incremental",
+    "golden_user_profile",
+    "lang_source_mi",
+    "quality_calibration",
+    "bpe_fertility_by_lang",
+    "range_frame_hour_sum",
 ]
 
 

@@ -410,3 +410,22 @@ def test_compression_quality_single_arrow_seam(spark):
     p = plan(SPARK_QUERIES["compression_quality"](spark, SF))
     assert p.count("ArrowEvalPython") == 1
     assert "BatchEvalPython" not in p     # the row-at-a-time path
+
+
+def test_golden_record_and_mi_plan_shapes(spark):
+    """Survivorship's latest/longest rules are ONE aggregate (struct-max,
+    no join); MI's marginals join at joint cardinality with the total as
+    a broadcast 1-row table; calibration keeps the single key window."""
+    from queries import SPARK_QUERIES
+
+    p = plan(SPARK_QUERIES["golden_user_profile"](spark, SF))
+    assert "EvalPython" not in p
+    assert "partial_max" in p          # struct-max combines map-side
+
+    p = plan(SPARK_QUERIES["lang_source_mi"](spark, SF))
+    assert "CartesianProduct" not in p
+    assert "partial_count" in p
+
+    p = plan(SPARK_QUERIES["quality_calibration"](spark, SF))
+    assert "EvalPython" not in p
+    assert p.count("Exchange") <= 2    # tokenize scan + one source window
