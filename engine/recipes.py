@@ -117,6 +117,35 @@ def _op_bloom_decontaminate(
     return df.join(flagged, id_col, "left_anti")
 
 
+def _op_drop_code(df, text_col):
+    from engine.extended.curation import code_detect_exprs
+
+    return df.filter(~code_detect_exprs(text_col)["is_code"])
+
+
+def _op_min_zlib_ratio(df, text_col, *, min_ratio: float = 0.2):
+    # low ratio = highly compressible = templated/repetitive spam; the
+    # one Python (Arrow) seam in the vocabulary — documented, since every
+    # other step stays pure codegen
+    from engine.extended.curation import compression_ratio
+
+    return df.filter(compression_ratio(text_col) >= float(min_ratio))
+
+
+def _op_latin_fraction_min(df, text_col, *, frac: float = 0.5):
+    from engine.extended.text import script_count_exprs
+
+    c = script_count_exprs(text_col)
+    letters = (
+        c["latin_chars"] + c["cyrillic_chars"] + c["greek_chars"]
+        + c["cjk_chars"] + c["arabic_chars"]
+    )
+    return df.filter(
+        (letters == 0)
+        | (c["latin_chars"] >= F.lit(float(frac)) * letters)
+    )
+
+
 class _Op:
     """An op's callable plus its declared parameter vocabulary.  ``context``
     names parameters apply_recipe injects (e.g. eval_df) when the step
@@ -144,6 +173,9 @@ RECIPE_OPS: dict[str, _Op] = {
         frozenset({"id_col", "shingle_n", "n_hashes", "m_bits"}),
         frozenset({"eval_df"}),
     ),
+    "drop_code": _Op(_op_drop_code),
+    "min_zlib_ratio": _Op(_op_min_zlib_ratio, frozenset({"min_ratio"})),
+    "latin_fraction_min": _Op(_op_latin_fraction_min, frozenset({"frac"})),
 }
 
 

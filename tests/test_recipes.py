@@ -144,3 +144,50 @@ def test_recipe_line_dedup_tolerates_existing_clean_text_column(spark):
     got = {r["doc_id"]: r for r in apply_recipe(d, [{"op": "line_dedup"}]).collect()}
     assert "dup line" not in got[1]["text"]
     assert got[1]["clean_text"] == "x"  # caller's own column untouched
+
+
+def test_new_composition_steps_equal_direct_operators(spark):
+    """drop_code / min_zlib_ratio / latin_fraction_min behave exactly as
+    the operators they name."""
+    from engine.extended.curation import code_detect_exprs, compression_ratio
+    from engine.recipes import apply_recipe
+
+    rows = [
+        (1, "Plain prose about perfectly ordinary things, at length. " * 4),
+        (2, "def f(x):\n    return {x: 1};\n    y = 2;\n"),          # code
+        (3, "spam " * 300),                                           # repetitive
+        (4, "Привет мир Привет мир Привет это тест без латиницы"),    # non-latin
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+
+    got = {
+        r["doc_id"]
+        for r in apply_recipe(
+            df,
+            [
+                {"op": "drop_code"},
+                {"op": "min_zlib_ratio", "min_ratio": 0.2},
+                {"op": "latin_fraction_min", "frac": 0.5},
+            ],
+        ).collect()
+    }
+    direct = df.filter(~code_detect_exprs("text")["is_code"])
+    direct = direct.filter(compression_ratio("text") >= 0.2)
+    from engine.extended.text import script_count_exprs
+
+    c = script_count_exprs("text")
+    letters = (
+        c["latin_chars"] + c["cyrillic_chars"] + c["greek_chars"]
+        + c["cjk_chars"] + c["arabic_chars"]
+    )
+    direct = direct.filter((letters == 0) | (c["latin_chars"] >= 0.5 * letters))
+    assert got == {r["doc_id"] for r in direct.collect()}
+    assert got == {1}  # each hostile doc died to exactly one step
+
+
+def test_new_steps_reject_unknown_params(spark):
+    from engine.recipes import RecipeError, compile_recipe
+    import pytest as pt
+
+    with pt.raises(RecipeError, match="min_zlib_ratio"):
+        compile_recipe([{"op": "min_zlib_ratio", "ratio": 0.1}])
