@@ -4548,6 +4548,79 @@ def triangle_count_topk(spark, sf_dir):
     )
 
 
+def _spatial_sql() -> str:
+    import math as _m
+
+    radius = 150.0
+    cell_lat = radius / 111.0
+    cell_lon = radius / (111.0 * _m.cos(_m.radians(66.0)))
+    return f"""
+    WITH pts AS (
+      SELECT c_custkey AS id,
+             (c_custkey * 7919 % 12000) / 100.0 - 60 AS lat,
+             (c_custkey * 104729 % 36000) / 100.0 - 180 AS lon
+      FROM customer WHERE c_custkey IS NOT NULL),
+    lpts AS (
+      SELECT id, lat, lon,
+             CAST(floor(lat / {cell_lat!r}) AS BIGINT) AS cy,
+             CAST(floor(lon / {cell_lon!r}) AS BIGINT) AS cx
+      FROM pts WHERE id % 40 = 0 AND abs(lat) <= 66.0),
+    rpts AS (
+      SELECT id, lat, lon,
+             CAST(floor(lat / {cell_lat!r}) AS BIGINT) AS cy,
+             CAST(floor(lon / {cell_lon!r}) AS BIGINT) AS cx
+      FROM pts WHERE abs(lat) <= 66.0),
+    probes AS (
+      SELECT l.*, l.cy + dy.d AS pcy, l.cx + dx.d AS pcx
+      FROM lpts l
+      CROSS JOIN (SELECT UNNEST(generate_series(-1, 1)) AS d) dy
+      CROSS JOIN (SELECT UNNEST(generate_series(-1, 1)) AS d) dx),
+    cand AS (
+      SELECT p.id AS store_id, p.lat AS la1, p.lon AS lo1,
+             r.id AS cust_id, r.lat AS la2, r.lon AS lo2
+      FROM probes p JOIN rpts r ON r.cy = p.pcy AND r.cx = p.pcx),
+    d AS (
+      SELECT store_id, cust_id,
+             ROUND(2.0 * 6371.0 * asin(sqrt(
+               sin(radians(la2 - la1) / 2) * sin(radians(la2 - la1) / 2)
+               + cos(radians(la1)) * cos(radians(la2))
+                 * sin(radians(lo2 - lo1) / 2) * sin(radians(lo2 - lo1) / 2)
+             )), 3) AS dist_km
+      FROM cand)
+    SELECT store_id, cust_id, dist_km FROM d WHERE dist_km <= 150.0
+    """
+
+
+@q("spatial_radius_join", _spatial_sql())
+def spatial_radius_join_q(spark, sf_dir):
+    """Spatial radius join: every customer within 150 km of each sampled
+    'store' (coordinates planted in-plan from the key — deterministic
+    integer arithmetic).  Grid-cell bucketing first (integer floors, 3x3
+    neighborhood probe — constant fan-out equi-join, never an all-pairs
+    distance product), exact rounded haversine second: the geo-join shape
+    that survives planetary-scale point sets."""
+    from engine.extended.spatial import radius_join
+
+    c = t(spark, sf_dir, "customer").filter(F.col("c_custkey").isNotNull())
+    pts = c.select(
+        F.col("c_custkey").alias("id"),
+        ((F.col("c_custkey") * 7919 % 12000) / 100.0 - 60).alias("lat"),
+        ((F.col("c_custkey") * 104729 % 36000) / 100.0 - 180).alias("lon"),
+    )
+    stores = pts.filter(F.col("id") % 40 == 0).select(
+        F.col("id").alias("store_id"), "lat", "lon"
+    )
+    custs = pts.select(F.col("id").alias("cust_id"), "lat", "lon")
+    return radius_join(
+        stores,
+        custs,
+        radius_km=150.0,
+        left_id="store_id",
+        right_id="cust_id",
+        max_abs_lat=66.0,
+    )
+
+
 @q(
     "range_frame_hour_sum",
     """
