@@ -105,6 +105,7 @@ SECONDARY = [
     "quality_calibration",
     "bpe_fertility_by_lang",
     "range_frame_hour_sum",
+    "spatial_radius_join",
 ]
 
 
