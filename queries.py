@@ -4548,6 +4548,78 @@ def triangle_count_topk(spark, sf_dir):
     )
 
 
+@q(
+    "multivariate_outliers",
+    """
+    WITH base AS (
+      SELECT l_orderkey, l_linenumber,
+             CAST(l_quantity AS DOUBLE) AS q,
+             CAST(l_extendedprice AS DOUBLE) AS p,
+             CAST(l_discount AS DOUBLE) AS d
+      FROM lineitem
+      WHERE l_quantity IS NOT NULL AND l_extendedprice IS NOT NULL
+        AND l_discount IS NOT NULL),
+    stats AS (
+      SELECT AVG(q) AS mq, STDDEV_SAMP(q) AS sq,
+             AVG(p) AS mp, STDDEV_SAMP(p) AS sp,
+             AVG(d) AS md, STDDEV_SAMP(d) AS sd
+      FROM base),
+    scored AS (
+      SELECT l_orderkey, l_linenumber,
+             ROUND(
+               CASE WHEN sq > 0 THEN ((q - mq) / sq) * ((q - mq) / sq)
+                    ELSE 0.0 END
+               + CASE WHEN sp > 0 THEN ((p - mp) / sp) * ((p - mp) / sp)
+                      ELSE 0.0 END
+               + CASE WHEN sd > 0 THEN ((d - md) / sd) * ((d - md) / sd)
+                      ELSE 0.0 END, 3) AS m2
+      FROM base CROSS JOIN stats)
+    SELECT l_orderkey, l_linenumber, m2 FROM scored
+    ORDER BY m2 DESC, l_orderkey, l_linenumber LIMIT 20
+    """,
+)
+def multivariate_outliers_q(spark, sf_dir):
+    """Multivariate outlier mining: diagonal-covariance Mahalanobis
+    distance over (quantity, price, discount) — rows whose JOINT position
+    is extreme even when each coordinate alone looks ordinary.  Global
+    moments ride as a broadcast 1-row table; scoring is one codegen pass;
+    ranking uses the ROUNDED score with key tie-breaks, and a
+    TakeOrderedAndProject heap keeps top-k without a global sort."""
+    li = t(spark, sf_dir, "lineitem").filter(
+        F.col("l_quantity").isNotNull()
+        & F.col("l_extendedprice").isNotNull()
+        & F.col("l_discount").isNotNull()
+    )
+    base = li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.col("l_quantity").cast("double").alias("q"),
+        F.col("l_extendedprice").cast("double").alias("p"),
+        F.col("l_discount").cast("double").alias("d"),
+    )
+    stats = base.agg(
+        F.avg("q").alias("mq"), F.stddev_samp("q").alias("sq"),
+        F.avg("p").alias("mp"), F.stddev_samp("p").alias("sp"),
+        F.avg("d").alias("md"), F.stddev_samp("d").alias("sd"),
+    )
+
+    def z2(v, m, s):
+        zz = (F.col(v) - F.col(m)) / F.col(s)
+        return F.when(F.col(s) > 0, zz * zz).otherwise(F.lit(0.0))
+
+    scored = base.crossJoin(F.broadcast(stats)).select(
+        "l_orderkey",
+        "l_linenumber",
+        F.round(
+            z2("q", "mq", "sq") + z2("p", "mp", "sp") + z2("d", "md", "sd"),
+            3,
+        ).alias("m2"),
+    )
+    return scored.orderBy(
+        F.col("m2").desc(), "l_orderkey", "l_linenumber"
+    ).limit(20)
+
+
 def _spatial_sql() -> str:
     import math as _m
 
