@@ -16,6 +16,7 @@ from pyspark.sql import functions as F
 __all__ = [
     "script_count_exprs",
     "vocab_kl_by_group",
+    "readability_counts",
     "SCRIPT_BLOCKS",
     "tokens",
     "token_count",
@@ -456,3 +457,35 @@ def vocab_kl_by_group(
         )
         .select(F.col("grp").alias(group_col), "n_tokens", "kl")
     )
+
+
+def readability_counts(col: str) -> dict[str, Column]:
+    """Per-document integer counts for readability scoring: words (the
+    standard tokenization), sentences (runs of ``.!?``, floored at 1 so
+    fragments still score), and estimated syllables (vowel-group runs per
+    word, floored at 1 per word — the classic approximation).
+
+    Everything is exact integer counting (regexp matches), so any
+    readability formula computed from AGGREGATED counts — rather than
+    averaged per-doc floats — is engine-exact up to one final rounded
+    division.
+    """
+    c = F.col(col)
+    words = tokens(col)
+    n_words = F.size(words).cast("long")
+    n_sents = F.greatest(
+        F.size(F.regexp_extract_all(c, F.lit(r"[.!?]+"), F.lit(0))),
+        F.lit(1),
+    ).cast("long")
+    syl = F.aggregate(
+        F.transform(
+            words,
+            lambda w: F.greatest(
+                F.size(F.regexp_extract_all(w, F.lit("[aeiouy]+"), F.lit(0))),
+                F.lit(1),
+            ),
+        ),
+        F.lit(0),
+        lambda acc, x: acc + x,
+    ).cast("long")
+    return {"n_words": n_words, "n_sentences": n_sents, "n_syllables": syl}

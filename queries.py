@@ -4549,6 +4549,74 @@ def triangle_count_topk(spark, sf_dir):
 
 
 @q(
+    "readability_by_source",
+    """
+    WITH toks AS (
+      SELECT source,
+             list_transform(regexp_extract_all(text, '[A-Za-z0-9'']+'),
+                            x -> LOWER(x)) AS ws,
+             GREATEST(len(regexp_extract_all(text, '[.!?]+')), 1) AS n_sents
+      FROM documents WHERE text IS NOT NULL),
+    counts AS (
+      SELECT source, len(ws) AS n_words, n_sents,
+             COALESCE(list_sum(list_transform(ws,
+               w -> GREATEST(len(regexp_extract_all(w, '[aeiouy]+')), 1))),
+               0) AS n_syl
+      FROM toks),
+    agg AS (
+      SELECT source,
+             CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(SUM(n_words) AS BIGINT) AS n_words,
+             CAST(SUM(n_sents) AS BIGINT) AS n_sentences,
+             CAST(SUM(n_syl) AS BIGINT) AS n_syllables
+      FROM counts WHERE n_words > 0 GROUP BY source)
+    SELECT source, n_docs, n_words, n_sentences, n_syllables,
+           ROUND(0.39 * (n_words * 1.0 / n_sentences)
+                 + 11.8 * (n_syllables * 1.0 / n_words) - 15.59, 2)
+             AS fk_grade
+    FROM agg
+    """,
+)
+def readability_by_source_q(spark, sf_dir):
+    """Flesch-Kincaid readability per source — the classic prose-quality
+    signal (a spam farm's fragments and a legal dump's run-ons both land
+    far from natural-web grade levels).  Words / sentence runs / vowel-
+    group syllables are exact integer counts, and the grade is computed
+    from SUMMED counts per source (never averaged per-doc floats), so the
+    only float step is one final rounded formula over exact integers —
+    engine-identical."""
+    from engine.extended.text import readability_counts
+
+    d = t(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    c = readability_counts("text")
+    per_doc = d.select(
+        "source",
+        c["n_words"].alias("w"),
+        c["n_sentences"].alias("s"),
+        c["n_syllables"].alias("y"),
+    ).filter(F.col("w") > 0)
+    agg = per_doc.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("w").alias("n_words"),
+        F.sum("s").alias("n_sentences"),
+        F.sum("y").alias("n_syllables"),
+    )
+    return agg.select(
+        "source",
+        "n_docs",
+        "n_words",
+        "n_sentences",
+        "n_syllables",
+        F.round(
+            F.lit(0.39) * (F.col("n_words") * 1.0 / F.col("n_sentences"))
+            + F.lit(11.8) * (F.col("n_syllables") * 1.0 / F.col("n_words"))
+            - F.lit(15.59),
+            2,
+        ).alias("fk_grade"),
+    )
+
+
+@q(
     "multivariate_outliers",
     """
     WITH base AS (

@@ -675,3 +675,27 @@ def test_vocab_kl_outlier_source_scores_highest(spark):
     p = (10 + 1) / (n_s + v)
     q = (10 - 10 + 1) / (n_g - n_s + v)
     assert p * math.log(p / q) > 0  # drift terms dominate positively
+
+
+def test_readability_counts_hand_computed(spark):
+    """'The cat sat. It ran!' -> 5 words, 2 sentences, 5 syllables;
+    'strength' (no vowel groups beyond 'e') still counts >= 1 per word."""
+    from engine.extended.text import readability_counts
+
+    df = spark.createDataFrame(
+        [(1, "The cat sat. It ran!"), (2, "strength myth")],
+        "doc_id long, text string",
+    )
+    c = readability_counts("text")
+    got = {
+        r["doc_id"]: (r["w"], r["s"], r["y"])
+        for r in df.select(
+            "doc_id",
+            c["n_words"].alias("w"),
+            c["n_sentences"].alias("s"),
+            c["n_syllables"].alias("y"),
+        ).collect()
+    }
+    assert got[1] == (5, 2, 5)
+    # 'strength': vowel group 'e' -> 1; 'myth': 'y' counts as vowel -> 1
+    assert got[2] == (2, 1, 2)
