@@ -4549,6 +4549,77 @@ def triangle_count_topk(spark, sf_dir):
 
 
 @q(
+    "token_gini_by_source",
+    """
+    WITH tok AS (
+      SELECT doc_id, source,
+             UNNEST(list_transform(regexp_extract_all(text, '[A-Za-z0-9'']+'),
+                                   x -> LOWER(x))) AS t
+      FROM documents WHERE text IS NOT NULL),
+    tc AS (SELECT doc_id, source, t, COUNT(*) AS c
+           FROM tok GROUP BY doc_id, source, t),
+    per_doc AS (
+      SELECT doc_id, source,
+             list_sort(list(c)) AS cs,
+             CAST(SUM(c) AS BIGINT) AS total,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM tc GROUP BY doc_id, source),
+    gini AS (
+      SELECT doc_id, source,
+             ROUND(
+               list_sum(list_transform(
+                 list_zip(cs, generate_series(1, len(cs))),
+                 z -> (2 * z[2] - len(cs) - 1) * z[1]))
+               * 1.0 / (n * total), 4) AS g
+      FROM per_doc)
+    SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+           ROUND(AVG(g), 4) AS avg_gini
+    FROM gini GROUP BY source
+    """,
+)
+def token_gini_by_source_q(spark, sf_dir):
+    """Vocabulary concentration per source: the Gini coefficient of each
+    document's token-frequency distribution (0 = every token used
+    equally, near 1 = a few tokens dominate — keyword-stuffed spam and
+    templated boilerplate score high where prose stays low), averaged by
+    source.  The per-doc numerator is EXACT integer arithmetic over the
+    sorted count list (ties are interchangeable, so sort order cannot
+    matter); only the final ratio and the per-source mean round."""
+    from engine.extended.text import tokens
+
+    d = t(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    tc = (
+        d.select(
+            "doc_id", "source", F.explode(tokens("text")).alias("t")
+        )
+        .groupBy("doc_id", "source", "t")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    per_doc = tc.groupBy("doc_id", "source").agg(
+        F.sort_array(F.collect_list("c")).alias("cs"),
+        F.sum("c").alias("total"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    num = F.aggregate(
+        F.zip_with(
+            F.col("cs"),
+            F.sequence(F.lit(1), F.size("cs")),
+            lambda c, i: (2 * i.cast("long") - F.col("n") - 1) * c,
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    gini = per_doc.select(
+        "source",
+        F.round(num * 1.0 / (F.col("n") * F.col("total")), 4).alias("g"),
+    )
+    return gini.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.round(F.avg("g"), 4).alias("avg_gini"),
+    )
+
+
+@q(
     "readability_by_source",
     """
     WITH toks AS (
