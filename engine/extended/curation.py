@@ -950,8 +950,13 @@ def code_detect_exprs(col: str) -> dict[str, Column]:
     # matches after \r and Unicode line separators where RE2's only
     # matches after \n (fuzz-found divergence) — a literal-\n anchor is
     # the same operation in both engines
+    # explicit ASCII class, not \S: Java's \s includes vertical tab
+    # (0x0B) where RE2's does not, so \S disagrees on VT (review-found,
+    # DuckDB-verified) — the negated literal set is identical in both
     indented = F.size(
-        F.regexp_extract_all(c, F.lit(r"(?:^|\n)(?:    |\t)\S"), F.lit(0))
+        F.regexp_extract_all(
+            c, F.lit("(?:^|\n)(?:    |\t)[^ \t\n\x0B\f\r]"), F.lit(0)
+        )
     ).cast("long")
     braces = (
         F.length(c) - F.length(F.regexp_replace(c, "[{};=<>]", ""))

@@ -389,7 +389,8 @@ def negative_sample(
     """
     if k < 1:
         raise ValueError(f"k must be >= 1, got {k}")
-    n_probes = n_probes or 3 * k
+    if n_probes is None:  # `or` would silently resurrect an explicit 0
+        n_probes = 3 * k
     if n_probes < k:
         raise ValueError(f"n_probes must be >= k, got {n_probes} < {k}")
     from pyspark.sql import Window

@@ -200,7 +200,11 @@ def mmr_select(
         raise ValueError(f"lam_pct must be in [0, 100], got {lam_pct}")
     lam = lam_pct / 100.0
     pool = candidates.filter(
-        F.col(id_col).isNotNull() & F.col(vec_col).isNotNull()
+        F.col(id_col).isNotNull()
+        & F.col(vec_col).isNotNull()
+        # a NULL component would crash the driver-side literal rebuild of
+        # a winning vector (review finding) — exclude ragged rows up front
+        & ~F.exists(F.col(vec_col), lambda x: x.isNull())
     ).select(
         F.col(id_col).alias("__id"),
         F.col(vec_col).alias("__v"),
@@ -260,7 +264,9 @@ def mmr_select(
             "__q",
             F.greatest("__ms", sim).alias("__ms"),
         )
-        if materialize:
+        if materialize and rank < k - 1:
+            # the final round's shrunken pool is never read again — don't
+            # pay a full materialization for it (review finding)
             pool = pool.persist()
             pool.count()
             prev.unpersist()

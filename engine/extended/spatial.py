@@ -67,7 +67,10 @@ def radius_join(
     fixed degree width sized at the highest allowed latitude stays
     conservative); rows beyond ``max_abs_lat`` are excluded — document
     the bound to callers rather than silently missing polar pairs.
-    NULL coordinates are excluded.
+    Longitude cells WRAP across the ±180° antimeridian (the probe uses
+    modular cell ids, and haversine itself is wrap-correct), so a pair
+    straddling the date line is found like any other.  NULL coordinates
+    are excluded.
 
     Returns (left_id, right_id, dist_km).
     """
@@ -79,8 +82,14 @@ def radius_join(
     cell_lon = radius_km / (
         KM_PER_DEG_LAT * math.cos(math.radians(max_abs_lat))
     )
+    # lon cells are modular: shift to [0, 360) and wrap the probe ids
+    n_lon_cells = int(math.ceil(360.0 / cell_lon))
 
     def prep(df: DataFrame, idc: str, pre: str) -> DataFrame:
+        cx = F.pmod(
+            F.floor((F.col(lon_col) + 180.0) / cell_lon).cast("long"),
+            F.lit(n_lon_cells),
+        )
         return df.filter(
             F.col(idc).isNotNull()
             & F.col(lat_col).isNotNull()
@@ -91,7 +100,7 @@ def radius_join(
             F.col(lat_col).cast("double").alias(f"{pre}lat"),
             F.col(lon_col).cast("double").alias(f"{pre}lon"),
             F.floor(F.col(lat_col) / cell_lat).cast("long").alias(f"{pre}cy"),
-            F.floor(F.col(lon_col) / cell_lon).cast("long").alias(f"{pre}cx"),
+            cx.alias(f"{pre}cx"),
         )
 
     l_ = prep(left, left_id, "l_")
@@ -107,7 +116,10 @@ def radius_join(
             "l_lat",
             "l_lon",
             (F.col("l_cy") + F.col("__dy")).alias("cy"),
-            (F.col("l_cx") + F.col("__dx")).alias("cx"),
+            F.pmod(
+                F.col("l_cx") + F.col("__dx") + F.lit(n_lon_cells),
+                F.lit(n_lon_cells),
+            ).alias("cx"),
         )
     )
     cand = probes.join(

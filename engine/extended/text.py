@@ -380,7 +380,8 @@ SCRIPT_BLOCKS = {
     "greek_chars": r"[\x{0370}-\x{03FF}]",
     "cjk_chars": r"[\x{4E00}-\x{9FFF}]",
     "arabic_chars": r"[\x{0600}-\x{06FF}]",
-    "ws_chars": r"\s",
+    # explicit ASCII set, not \s: Java includes VT (0x0B), RE2 does not
+    "ws_chars": "[ \t\n\x0B\f\r]",
 }
 
 

@@ -167,9 +167,15 @@ def ewma(
 
     Scale shape: one window exchange on the key; O(window_rows) state per
     row; the aggregate list never leaves the frame.
+
+    NULL-value rows are DROPPED (review finding: collect_list silently
+    skips NULLs, which would compress the frame so older observations get
+    newer weights, and a missing observation has no meaningful smoothed
+    value) — filter upstream if you need them carried.
     """
     if window_rows < 1:
         raise ValueError(f"window_rows must be >= 1, got {window_rows}")
+    df = df.filter(F.col(value_col).isNotNull())
     w = (
         Window.partitionBy(key_col)
         .orderBy(*_order_cols(ts_col, order_cols))
@@ -378,19 +384,18 @@ def rollup_merge(
         raise ValueError("sum_round/avg_round must be in [0, 6]")
     b = F.date_trunc(bucket, F.col("bucket_ts"))
 
-    def idiv_pos(a: Column, b: Column) -> Column:
-        # exact floor division of non-negative longs (the integer-pagerank
-        # _idiv identity; exact while a stays under 2^53)
-        return ((a - F.pmod(a, b)) / b).cast("long")
-
-    def half_away(s: Column, den: Column, scale: int) -> Column:
-        # round-half-away-from-zero of (s / den / 10^(6-scale)) computed
+    def half_away(den_sql: str, scale: int) -> Column:
+        # round-half-away-from-zero of (__s / den / 10^(6-scale)) computed
         # ENTIRELY in integer space: quantized sums make exact .5 cases
         # common, and float ROUND half-cases resolve differently across
-        # engines (fuzz-measured) — integer arithmetic cannot disagree.
-        d = den * F.lit(int(10 ** (6 - scale))).cast("long")
-        sign = F.when(s < 0, F.lit(-1)).otherwise(F.lit(1)).cast("long")
-        q = idiv_pos(F.lit(2).cast("long") * F.abs(s) + d, F.lit(2).cast("long") * d)
+        # engines (fuzz-measured).  SQL `div` is true 64-bit integer
+        # division (review finding: the double-based _idiv identity is
+        # only exact below 2^53, short of the documented 2^63 sum bound).
+        d = f"(({den_sql}) * {int(10 ** (6 - scale))}L)"
+        q = F.expr(f"(2L * abs(__s) + {d}) div (2L * {d})")
+        sign = F.when(F.col("__s") < 0, F.lit(-1)).otherwise(F.lit(1)).cast(
+            "long"
+        )
         return (sign * q).cast("double") / F.lit(float(10**scale))
 
     agg = partials.groupBy(*key_cols, b.alias("bucket_ts")).agg(
@@ -399,13 +404,12 @@ def rollup_merge(
         F.min("mn").alias("vmin"),
         F.max("mx").alias("vmax"),
     )
-    s = F.col("__s")
     return agg.select(
         *key_cols,
         "bucket_ts",
         "n",
-        half_away(s, F.lit(1).cast("long"), sum_round).alias("total"),
+        half_away("1L", sum_round).alias("total"),
         "vmin",
         "vmax",
-        half_away(s, F.col("n"), avg_round).alias("vavg"),
+        half_away("n", avg_round).alias("vavg"),
     )

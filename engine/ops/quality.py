@@ -189,22 +189,11 @@ def split_leakage_audit(
         .agg(F.array_sort(F.collect_set("split")).alias("ss"))
         .filter(F.size("ss") >= 2)
     )
+    from engine.ops.relational import ordered_pairs
+
     pairs = per_fp.select(
         F.explode(
-            F.flatten(
-                F.transform(
-                    F.col("ss"),
-                    lambda x: F.filter(
-                        F.transform(
-                            F.col("ss"),
-                            lambda y: F.struct(
-                                x.alias("split_a"), y.alias("split_b")
-                            ),
-                        ),
-                        lambda p: p["split_a"] < p["split_b"],
-                    ),
-                )
-            )
+            ordered_pairs(F.col("ss"), "split_a", "split_b")
         ).alias("p")
     )
     return (

@@ -23,6 +23,7 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 __all__ = [
+    "ordered_pairs",
     "normalize_code_col",
     "trim_cols",
     "range_scan",
@@ -221,3 +222,24 @@ def missing_key_audit(df: DataFrame, dim: DataFrame, key: str, *, sample: int = 
     count = missing.count()
     sample_vals = [r[key] for r in missing.limit(sample).collect()] if count else []
     return count, sample_vals
+
+
+def ordered_pairs(arr: Column, a_name: str = "a", b_name: str = "b") -> Column:
+    """All strictly-ordered (x < y) element pairs of an array, as an array
+    of 2-field structs — the in-array pair generator shared by the
+    split-leakage audit and the co-occurrence edge builder (one extracted
+    helper instead of two hand-synced copies of the nested
+    transform/filter idiom).  O(len²) per row: for BOUNDED arrays only
+    (split sets, order line counts) — never explode an unbounded list
+    through this."""
+    return F.flatten(
+        F.transform(
+            arr,
+            lambda x: F.filter(
+                F.transform(
+                    arr, lambda y: F.struct(x.alias(a_name), y.alias(b_name))
+                ),
+                lambda p: p[a_name] < p[b_name],
+            ),
+        )
+    )

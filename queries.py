@@ -3107,9 +3107,9 @@ def dedup_minhash_cc(spark, sf_dir):
       SELECT doc_id,
              CASE
                WHEN CAST(('0x' || SUBSTRING(MD5(CAST(doc_id AS VARCHAR)), 1, 4)) AS INTEGER)
-                    < CAST(0.8 * 65536 AS INTEGER) THEN 'train'
+                    < 52428 THEN 'train'
                WHEN CAST(('0x' || SUBSTRING(MD5(CAST(doc_id AS VARCHAR)), 1, 4)) AS INTEGER)
-                    < CAST(0.9 * 65536 AS INTEGER) THEN 'val'
+                    < 58982 THEN 'val'
                ELSE 'test' END AS split
       FROM documents)
     SELECT split, COUNT(*) AS n FROM labeled GROUP BY split
@@ -3472,9 +3472,9 @@ def pipeline_updated_mode(spark, sf_dir):
     split AS (
       SELECT *,
         CASE WHEN CAST(('0x' || SUBSTRING(MD5(CAST(doc_id AS VARCHAR)), 1, 4))
-                       AS INTEGER) < CAST(0.8 * 65536 AS INTEGER) THEN 'train'
+                       AS INTEGER) < 52428 THEN 'train'
              WHEN CAST(('0x' || SUBSTRING(MD5(CAST(doc_id AS VARCHAR)), 1, 4))
-                       AS INTEGER) < CAST(0.9 * 65536 AS INTEGER) THEN 'val'
+                       AS INTEGER) < 58982 THEN 'val'
              ELSE 'test' END AS split
       FROM deduped)
     SELECT split, COUNT(*) AS n_docs,
@@ -4513,20 +4513,7 @@ def triangle_count_topk(spark, sf_dir):
     arr = li.groupBy("l_orderkey").agg(F.collect_list("l_suppkey").alias("ss"))
     edges = (
         arr.select(
-            F.explode(
-                F.flatten(
-                    F.transform(
-                        F.col("ss"),
-                        lambda x: F.filter(
-                            F.transform(
-                                F.col("ss"),
-                                lambda y: F.struct(x.alias("u"), y.alias("v")),
-                            ),
-                            lambda p: p["u"] < p["v"],
-                        ),
-                    )
-                )
-            ).alias("p")
+            F.explode(R.ordered_pairs(F.col("ss"), "u", "v")).alias("p")
         )
         .select(F.col("p.u").alias("u"), F.col("p.v").alias("v"))
         .groupBy("u", "v")
@@ -4765,6 +4752,9 @@ def _spatial_sql() -> str:
     radius = 150.0
     cell_lat = radius / 111.0
     cell_lon = radius / (111.0 * _m.cos(_m.radians(66.0)))
+    # lon cells are modular so pairs straddling the ±180° antimeridian
+    # meet (review finding) — mirror of engine/extended/spatial.py
+    n_lon = int(_m.ceil(360.0 / cell_lon))
     return f"""
     WITH pts AS (
       SELECT c_custkey AS id,
@@ -4774,15 +4764,18 @@ def _spatial_sql() -> str:
     lpts AS (
       SELECT id, lat, lon,
              CAST(floor(lat / {cell_lat!r}) AS BIGINT) AS cy,
-             CAST(floor(lon / {cell_lon!r}) AS BIGINT) AS cx
+             CAST(floor((lon + 180.0) / {cell_lon!r}) AS BIGINT) % {n_lon}
+               AS cx
       FROM pts WHERE id % 40 = 0 AND abs(lat) <= 66.0),
     rpts AS (
       SELECT id, lat, lon,
              CAST(floor(lat / {cell_lat!r}) AS BIGINT) AS cy,
-             CAST(floor(lon / {cell_lon!r}) AS BIGINT) AS cx
+             CAST(floor((lon + 180.0) / {cell_lon!r}) AS BIGINT) % {n_lon}
+               AS cx
       FROM pts WHERE abs(lat) <= 66.0),
     probes AS (
-      SELECT l.*, l.cy + dy.d AS pcy, l.cx + dx.d AS pcx
+      SELECT l.*, l.cy + dy.d AS pcy,
+             (l.cx + dx.d + {n_lon}) % {n_lon} AS pcx
       FROM lpts l
       CROSS JOIN (SELECT UNNEST(generate_series(-1, 1)) AS d) dy
       CROSS JOIN (SELECT UNNEST(generate_series(-1, 1)) AS d) dx),
@@ -5399,7 +5392,7 @@ def winsorized_stats_q(spark, sf_dir):
            CAST(SUM(length(text) - length(regexp_replace(text,
                 '[\\x{0600}-\\x{06FF}]', '', 'g'))) AS BIGINT) AS arabic_chars,
            CAST(SUM(length(text) - length(regexp_replace(text,
-                '\\s', '', 'g'))) AS BIGINT) AS ws_chars
+                '[ \\t\\n\\x0B\\f\\r]', '', 'g'))) AS BIGINT) AS ws_chars
     FROM documents WHERE text IS NOT NULL
     GROUP BY lang
     """,
@@ -5427,7 +5420,8 @@ def script_profile_q(spark, sf_dir):
       SELECT source,
              length(text) - length(regexp_replace(text, '\\n', '', 'g')) + 1
                AS n_lines,
-             len(regexp_extract_all(text, '(?:^|\\n)(?:    |\\t)\\S'))
+             len(regexp_extract_all(text,
+                 '(?:^|\\n)(?:    |\\t)[^ \\t\\n\\x0B\\f\\r]'))
                AS indented,
              length(text) - length(regexp_replace(text, '[{};=<>]', '', 'g'))
                AS braces,
@@ -5487,9 +5481,9 @@ def code_detect_stats_q(spark, sf_dir):
       SELECT MD5(LOWER(REGEXP_REPLACE(text, '[^A-Za-z0-9]', '', 'g'))) AS fp,
              CASE
                WHEN CAST(('0x' || SUBSTRING(MD5(CAST(doc_id AS VARCHAR)), 1, 4))
-                    AS INTEGER) < CAST(0.8 * 65536 AS INTEGER) THEN 'train'
+                    AS INTEGER) < 52428 THEN 'train'
                WHEN CAST(('0x' || SUBSTRING(MD5(CAST(doc_id AS VARCHAR)), 1, 4))
-                    AS INTEGER) < CAST(0.9 * 65536 AS INTEGER) THEN 'val'
+                    AS INTEGER) < 58982 THEN 'val'
                ELSE 'test' END AS split
       FROM aug WHERE doc_id IS NOT NULL AND text IS NOT NULL),
     ds AS (SELECT DISTINCT fp, split FROM lab)
@@ -5572,7 +5566,9 @@ def _mmr_sql(k: int) -> str:
                   x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm,
              (vec_id % 100) / 100.0 AS q,
              0.0 AS ms
-      FROM embeddings WHERE embedding IS NOT NULL AND vec_id IS NOT NULL)"""
+      FROM embeddings
+      WHERE embedding IS NOT NULL AND vec_id IS NOT NULL
+        AND len(list_filter(embedding, x -> x IS NULL)) = 0)"""
     ]
     for r in range(1, k + 1):
         parts.append(

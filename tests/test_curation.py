@@ -318,3 +318,23 @@ def test_compression_ratio_runs_in_registry_query(spark):
     ).collect()
     assert len(out) > 0
     assert all(0 < r["avg_ratio"] <= 1.5 for r in out)
+
+
+def test_vertical_tab_is_whitespace_in_both_counting_paths(spark):
+    """Java \\s includes VT (0x0B); RE2's does not — both code paths now
+    use explicit ASCII classes, so a VT neither starts an indented line's
+    payload nor escapes the whitespace count (review finding, pinned
+    against the DuckDB twin semantics)."""
+    import duckdb
+
+    txt = "a\x0bb\n    \x0bc"
+    got = _one(spark, txt, code_detect_exprs)
+    assert got["indented_lines"] == 0     # payload after indent is VT
+    s = _one(spark, txt, script_count_exprs)
+    assert s["ws_chars"] == 7             # 2 VT + \n + 4 indent spaces
+    con = duckdb.connect()
+    duck = con.execute(
+        "SELECT length(?) - length(regexp_replace(?, '[ \\t\\n\\x0B\\f\\r]', '', 'g'))",
+        [txt, txt],
+    ).fetchone()[0]
+    assert duck == 7                      # the oracle class agrees

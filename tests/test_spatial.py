@@ -69,3 +69,16 @@ def test_radius_join_excludes_polar_and_null_rows(spark):
         radius_join(left, right, radius_km=0)
     with pytest.raises(ValueError, match="max_abs_lat"):
         radius_join(left, right, radius_km=1, max_abs_lat=89.5)
+
+
+def test_radius_join_wraps_the_antimeridian(spark):
+    """~11 km apart across the date line: modular lon cells pair them."""
+    left = _pts(spark, [(1, 0.0, 179.95)])
+    right = _pts(spark, [(9, 0.0, -179.95)])
+    out = radius_join(
+        left.withColumnRenamed("pid", "lpid"),
+        right.withColumnRenamed("pid", "rpid"),
+        radius_km=150.0, left_id="lpid", right_id="rpid",
+    ).collect()
+    assert len(out) == 1
+    assert out[0]["dist_km"] == pytest.approx(11.1, abs=0.5)
