@@ -14,7 +14,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["pagerank", "triangle_counts"]
+__all__ = ["pagerank", "triangle_counts", "clustering_coefficients"]
 
 
 def _idiv(a: Column, b: Column) -> Column:
@@ -194,4 +194,51 @@ def triangle_counts(
         tri.select(F.explode(F.array("a", "b", "c")).alias("node"))
         .groupBy("node")
         .agg(F.count(F.lit(1)).alias("n_triangles"))
+    )
+
+
+def clustering_coefficients(
+    edges: DataFrame,
+    *,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    round_to: int = 4,
+) -> DataFrame:
+    """Local clustering coefficient per node: 2·T(v) / (d(v)·(d(v)−1)) —
+    how close each node's neighborhood is to a clique (the
+    community-cohesion signal on top of raw triangle counts).  Nodes with
+    degree < 2 are excluded (the coefficient is undefined).
+
+    Both inputs are exact integers from :func:`triangle_counts` and the
+    canonical degree aggregate, so the only float step is one final
+    rounded division — engine-identical.  Returns (node, degree,
+    n_triangles, coefficient).
+    """
+    u, v = F.col(src_col), F.col(dst_col)
+    e = (
+        edges.filter(u.isNotNull() & v.isNotNull() & (u != v))
+        .select(F.least(u, v).alias("u"), F.greatest(u, v).alias("v"))
+        .distinct()
+    )
+    deg = (
+        e.select(F.col("u").alias("node"))
+        .union(e.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("degree"))
+    )
+    tri = triangle_counts(edges, src_col=src_col, dst_col=dst_col)
+    return (
+        deg.filter(F.col("degree") >= 2)
+        .join(tri, "node", "left")
+        .select(
+            "node",
+            "degree",
+            F.coalesce("n_triangles", F.lit(0)).alias("n_triangles"),
+            F.round(
+                2.0
+                * F.coalesce("n_triangles", F.lit(0))
+                / (F.col("degree") * (F.col("degree") - 1)),
+                round_to,
+            ).alias("coefficient"),
+        )
     )

@@ -4458,9 +4458,7 @@ def pagerank_topk(spark, sf_dir):
     return out
 
 
-@q(
-    "triangle_count_topk",
-    """
+_TRI_GRAPH_SQL = """
     WITH raw AS (
       SELECT u, v FROM (
         SELECT a.l_suppkey AS u, b.l_suppkey AS v, COUNT(*) AS w
@@ -4493,6 +4491,13 @@ def pagerank_topk(spark, sf_dir):
         SELECT b AS node FROM tri UNION ALL
         SELECT c AS node FROM tri)
       GROUP BY node)
+"""
+
+
+@q(
+    "triangle_count_topk",
+    _TRI_GRAPH_SQL
+    + """
     SELECT node AS suppkey, CAST(n_triangles AS BIGINT) AS n_triangles
     FROM pern ORDER BY n_triangles DESC, suppkey LIMIT 20
     """,
@@ -4532,6 +4537,100 @@ def triangle_count_topk(spark, sf_dir):
         counts.select(F.col("node").alias("suppkey"), "n_triangles")
         .orderBy(F.col("n_triangles").desc(), "suppkey")
         .limit(20)
+    )
+
+
+@q(
+    "centroid_drift_by_label",
+    """
+    WITH x AS (
+      SELECT label, vec_id % 2 AS half, generate_subscripts(embedding, 1) AS pos,
+             CAST(round(CAST(UNNEST(embedding) AS DOUBLE) * 1000000.0)
+                  AS BIGINT) AS q
+      FROM embeddings
+      WHERE embedding IS NOT NULL AND vec_id IS NOT NULL AND label IS NOT NULL),
+    comp AS (
+      SELECT label, half, pos,
+             SUM(q) / 1000000.0 / COUNT(*) AS m, COUNT(*) AS n
+      FROM x GROUP BY label, half, pos),
+    joined AS (
+      SELECT a.label, a.pos, a.m AS ma, b.m AS mb,
+             a.n AS na, b.n AS nb
+      FROM comp a JOIN comp b
+        ON a.label = b.label AND a.pos = b.pos
+       AND a.half = 0 AND b.half = 1),
+    agg AS (
+      SELECT label, ANY_VALUE(na) AS n_a, ANY_VALUE(nb) AS n_b,
+             SUM(ma * mb) AS dot,
+             SUM(ma * ma) AS qa, SUM(mb * mb) AS qb,
+             SUM((ma - mb) * (ma - mb)) AS d2
+      FROM joined GROUP BY label)
+    SELECT label, CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
+           CASE WHEN qa * qb > 0
+                THEN ROUND(dot / (sqrt(qa) * sqrt(qb)), 4) + 0.0 END
+             AS cos_sim,
+           ROUND(sqrt(d2), 4) AS l2_dist
+    FROM agg
+    """,
+)
+def centroid_drift_by_label_q(spark, sf_dir):
+    """Embedding-drift monitoring: per label, the cosine and L2 distance
+    between the centroids of two deterministic halves of the data (the
+    batch-over-batch stability check a training pipeline runs on its
+    feature store — a drifting or corrupted extraction shows up as
+    centroid movement long before eval metrics do).  Per-component means
+    come from exact integer-unit sums, so the only float steps are the
+    final fixed-size reductions, rounded."""
+    e = t(spark, sf_dir, "embeddings").filter(
+        F.col("embedding").isNotNull()
+        & F.col("vec_id").isNotNull()
+        & F.col("label").isNotNull()
+    )
+    x = e.select(
+        "label",
+        (F.col("vec_id") % 2).alias("half"),
+        F.posexplode("embedding").alias("pos0", "v"),
+    ).select(
+        "label",
+        "half",
+        (F.col("pos0") + 1).alias("pos"),
+        F.round(F.col("v").cast("double") * 1_000_000.0)
+        .cast("long")
+        .alias("q"),
+    )
+    comp = x.groupBy("label", "half", "pos").agg(
+        (F.sum("q") / 1_000_000.0 / F.count(F.lit(1))).alias("m"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    a = comp.filter(F.col("half") == 0).select(
+        "label", "pos", F.col("m").alias("ma"), F.col("n").alias("na")
+    )
+    b = comp.filter(F.col("half") == 1).select(
+        "label", "pos", F.col("m").alias("mb"), F.col("n").alias("nb")
+    )
+    joined = a.join(b, ["label", "pos"])
+    agg = joined.groupBy("label").agg(
+        F.first("na").alias("n_a"),
+        F.first("nb").alias("n_b"),
+        F.sum(F.col("ma") * F.col("mb")).alias("dot"),
+        F.sum(F.col("ma") * F.col("ma")).alias("qa"),
+        F.sum(F.col("mb") * F.col("mb")).alias("qb"),
+        F.sum((F.col("ma") - F.col("mb")) * (F.col("ma") - F.col("mb"))).alias(
+            "d2"
+        ),
+    )
+    return agg.select(
+        "label",
+        F.col("n_a").cast("long").alias("n_a"),
+        F.col("n_b").cast("long").alias("n_b"),
+        F.when(
+            F.col("qa") * F.col("qb") > 0,
+            F.round(
+                F.col("dot") / (F.sqrt("qa") * F.sqrt("qb")), 4
+            )
+            + F.lit(0.0),
+        ).alias("cos_sim"),
+        F.round(F.sqrt("d2"), 4).alias("l2_dist"),
     )
 
 
@@ -5709,6 +5808,59 @@ def entity_match_q(spark, sf_dir):
         F.col("lid").alias("dirty_id"),
         F.col("match_id"),
         F.col("dist"),
+    )
+
+
+@q(
+    "clustering_coeff_topk",
+    _TRI_GRAPH_SQL
+    + """
+    , deg2 AS (
+      SELECT node, COUNT(*) AS degree FROM (
+        SELECT u AS node FROM raw UNION ALL SELECT v AS node FROM raw)
+      GROUP BY node),
+    coef AS (
+      SELECT d.node, CAST(d.degree AS BIGINT) AS degree,
+             CAST(COALESCE(p.n_triangles, 0) AS BIGINT) AS n_triangles,
+             ROUND(2.0 * COALESCE(p.n_triangles, 0)
+                   / (d.degree * (d.degree - 1)), 4) AS coefficient
+      FROM deg2 d LEFT JOIN pern p ON p.node = d.node
+      WHERE d.degree >= 2)
+    SELECT node AS suppkey, degree, n_triangles, coefficient
+    FROM coef ORDER BY coefficient DESC, suppkey LIMIT 20
+    """,
+)
+def clustering_coeff_topk_q(spark, sf_dir):
+    """Local clustering coefficients over the strongest-ties supplier
+    graph: how close each node's neighborhood is to a clique (2T/d(d-1))
+    — the cohesion ranking on top of raw triangle counts.  Exact integer
+    triangles and degrees; the single rounded division is the only float
+    step, so the iterative-free graph metric is oracle-exact."""
+    from engine.extended.graph import clustering_coefficients
+
+    li = t(spark, sf_dir, "lineitem").filter(F.col("l_suppkey").isNotNull())
+    arr = li.groupBy("l_orderkey").agg(
+        F.collect_list("l_suppkey").alias("ss")
+    )
+    edges = (
+        arr.select(F.explode(R.ordered_pairs(F.col("ss"), "u", "v")).alias("p"))
+        .select(F.col("p.u").alias("u"), F.col("p.v").alias("v"))
+        .groupBy("u", "v")
+        .agg(F.count(F.lit(1)).alias("w"))
+        .orderBy(F.col("w").desc(), "u", "v")
+        .limit(6000)
+        .select("u", "v")
+    )
+    out = clustering_coefficients(edges, src_col="u", dst_col="v")
+    return (
+        out.select(
+            F.col("node").alias("suppkey"),
+            "degree",
+            "n_triangles",
+            "coefficient",
+        )
+        .orderBy(F.col("coefficient").desc(), "suppkey")
+        .limit(20)
     )
 
 

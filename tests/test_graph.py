@@ -122,3 +122,24 @@ def test_triangles_two_shared_edge(spark):
         [("a", "b"), ("a", "c"), ("b", "c"), ("a", "d"), ("b", "d")],
     )
     assert _counts(triangle_counts(e)) == {"a": 2, "b": 2, "c": 1, "d": 1}
+
+
+def test_clustering_coefficients_k4_and_path(spark):
+    """K4: every node's neighborhood is complete -> coefficient 1.0;
+    a path's middle node has 2 unconnected neighbors -> 0.0; degree-1
+    endpoints are excluded."""
+    from engine.extended.graph import clustering_coefficients
+
+    nodes = ["a", "b", "c", "d"]
+    k4 = _tri(
+        spark, [(x, y) for i, x in enumerate(nodes) for y in nodes[i + 1 :]]
+    )
+    got = {
+        r["node"]: (r["degree"], r["coefficient"])
+        for r in clustering_coefficients(k4).collect()
+    }
+    assert got == {n: (3, 1.0) for n in nodes}
+
+    path = _tri(spark, [("a", "b"), ("b", "c")])
+    got2 = {r["node"]: r["coefficient"] for r in clustering_coefficients(path).collect()}
+    assert got2 == {"b": 0.0}
