@@ -106,6 +106,11 @@ SECONDARY = [
     "bpe_fertility_by_lang",
     "range_frame_hour_sum",
     "spatial_radius_join",
+    "readability_by_source",
+    "token_gini_by_source",
+    "multivariate_outliers",
+    "centroid_drift_by_label",
+    "clustering_coeff_topk",
 ]
 
 
