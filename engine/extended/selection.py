@@ -198,7 +198,6 @@ def mmr_select(
         raise ValueError(f"k must be >= 1, got {k}")
     if not 0 <= lam_pct <= 100:
         raise ValueError(f"lam_pct must be in [0, 100], got {lam_pct}")
-    lam = lam_pct / 100.0
     pool = candidates.filter(
         F.col(id_col).isNotNull()
         & F.col(vec_col).isNotNull()
@@ -222,15 +221,22 @@ def mmr_select(
         pool = pool.persist()
     selected: list[dict] = []
     prev = pool if materialize else None
+    scale = 10**round_to
     for rank in range(k):
-        # + 0.0 merges IEEE -0.0 into 0.0 (the rendered score must not
-        # depend on which side of zero the blend rounded from)
+        # the blend is computed in EXACT INTEGER space (quality and the
+        # running max-sim quantized to round_to decimals, integer-percent
+        # weights): blending two rounded inputs lands on exact half-way
+        # cases where engine float ROUNDs disagree (5-seed-soak finding —
+        # the rollup_merge lesson applied here), while an integer
+        # difference divided once is the same double everywhere
         score = (
-            F.round(
-                F.lit(lam) * F.col("__q") - F.lit(1.0 - lam) * F.col("__ms"),
-                round_to,
-            )
-            + F.lit(0.0)
+            (
+                F.lit(int(lam_pct)).cast("long")
+                * F.round(F.col("__q") * scale).cast("long")
+                - F.lit(int(100 - lam_pct)).cast("long")
+                * F.round(F.col("__ms") * scale).cast("long")
+            ).cast("double")
+            / F.lit(float(100 * scale))
         )
         best = (
             pool.select("__id", "__v", "__n", score.alias("__s"))

@@ -5673,7 +5673,9 @@ def _mmr_sql(k: int) -> str:
         parts.append(
             f""",
     s{r} AS (
-      SELECT id, emb, nrm, ROUND(0.5 * q - 0.5 * ms, 4) + 0.0 AS s
+      SELECT id, emb, nrm,
+             (50 * CAST(round(q * 10000) AS BIGINT)
+              - 50 * CAST(round(ms * 10000) AS BIGINT)) / 1000000.0 AS s
       FROM v{r - 1} ORDER BY s DESC, id LIMIT 1),
     v{r} AS (
       SELECT v.id, v.emb, v.nrm, v.q,

@@ -41,6 +41,12 @@ Found-by-this-tool ledger (fixes land at the OPERATOR level):
 - code_detect_exprs used (?m)^ for indent detection: Java's multiline ^
   also matches after \r and Unicode line separators where RE2's only
   matches after \n → line anchors are now an explicit (?:^|\n).
+- mmr_select blended two ALREADY-ROUNDED inputs and re-rounded: the blend
+  of 4-decimal values lands on exact half-way cases where Spark's
+  BigDecimal HALF_UP and DuckDB's multiply-then-rint disagree → the
+  blend now runs in exact integer space (quantized inputs,
+  integer-percent weights, one final division) — the rollup_merge
+  half-away lesson generalized.
 - funnel windows partitioned NULL user_ids into a group the oracle's
   equi-joins can never produce → unidentified users excluded.
 - asof_join carried bare values with last(ignorenulls), conflating "build
