@@ -124,6 +124,26 @@ def pagerank(
     return ranks
 
 
+def _canonical_and_degrees(edges, src_col, dst_col):
+    """Canonical undirected edge list (self-loops/NULLs dropped, (u, v)
+    ordered, distinct) and the node degree table — the shared front end
+    of triangle_counts and clustering_coefficients (one copy, review
+    finding)."""
+    u, v = F.col(src_col), F.col(dst_col)
+    e = (
+        edges.filter(u.isNotNull() & v.isNotNull() & (u != v))
+        .select(F.least(u, v).alias("u"), F.greatest(u, v).alias("v"))
+        .distinct()
+    )
+    deg = (
+        e.select(F.col("u").alias("node"))
+        .union(e.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    return e, deg
+
+
 def triangle_counts(
     edges: DataFrame,
     *,
@@ -151,18 +171,7 @@ def triangle_counts(
     keyed on the (v, w) edge pair — all shuffle-partitioned by their keys;
     nothing is ever per-node quadratic in raw degree.
     """
-    u, v = F.col(src_col), F.col(dst_col)
-    e = (
-        edges.filter(u.isNotNull() & v.isNotNull() & (u != v))
-        .select(F.least(u, v).alias("u"), F.greatest(u, v).alias("v"))
-        .distinct()
-    )
-    deg = (
-        e.select(F.col("u").alias("node"))
-        .union(e.select(F.col("v").alias("node")))
-        .groupBy("node")
-        .agg(F.count(F.lit(1)).alias("d"))
-    )
+    e, deg = _canonical_and_degrees(edges, src_col, dst_col)
     with_deg = (
         e.join(deg.withColumnRenamed("node", "u").withColumnRenamed("d", "du"), "u")
         .join(deg.withColumnRenamed("node", "v").withColumnRenamed("d", "dv"), "v")
@@ -214,18 +223,8 @@ def clustering_coefficients(
     rounded division — engine-identical.  Returns (node, degree,
     n_triangles, coefficient).
     """
-    u, v = F.col(src_col), F.col(dst_col)
-    e = (
-        edges.filter(u.isNotNull() & v.isNotNull() & (u != v))
-        .select(F.least(u, v).alias("u"), F.greatest(u, v).alias("v"))
-        .distinct()
-    )
-    deg = (
-        e.select(F.col("u").alias("node"))
-        .union(e.select(F.col("v").alias("node")))
-        .groupBy("node")
-        .agg(F.count(F.lit(1)).alias("degree"))
-    )
+    _e, deg0 = _canonical_and_degrees(edges, src_col, dst_col)
+    deg = deg0.select("node", F.col("d").alias("degree"))
     tri = triangle_counts(edges, src_col=src_col, dst_col=dst_col)
     return (
         deg.filter(F.col("degree") >= 2)

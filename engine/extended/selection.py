@@ -181,9 +181,12 @@ def mmr_select(
     Returns selected rows as dicts ``{sel_rank, id, score}`` in selection
     order (fewer than ``k`` when the pool runs out).  ``lam_pct`` is an
     integer percent so the blend weights are identical literals in any
-    engine; similarities and scores are ROUNDED to ``round_to`` before the
-    argmax, and ties break by id — the greedy path is engine-exact and
-    the whole chain unrolls to SQL.
+    engine; similarities AND the quality column are QUANTIZED to
+    ``round_to`` decimals and blended in exact integer space (two
+    already-rounded inputs blend onto exact half-way cases where engine
+    float ROUNDs disagree), and ties break by id — the greedy path is
+    engine-exact and the whole chain unrolls to SQL.  Rows with a NULL
+    id, vector, vector component, or quality are excluded.
 
     Scale shape: each round is one argmax over the pool (a 1-row collect,
     like every argmax in this repo) with the newly selected vector folded
@@ -196,14 +199,19 @@ def mmr_select(
     """
     if k < 1:
         raise ValueError(f"k must be >= 1, got {k}")
-    if not 0 <= lam_pct <= 100:
-        raise ValueError(f"lam_pct must be in [0, 100], got {lam_pct}")
+    if not 0 <= lam_pct <= 100 or int(lam_pct) != lam_pct:
+        raise ValueError(
+            f"lam_pct must be an integer in [0, 100], got {lam_pct!r}"
+        )
     pool = candidates.filter(
         F.col(id_col).isNotNull()
         & F.col(vec_col).isNotNull()
         # a NULL component would crash the driver-side literal rebuild of
         # a winning vector (review finding) — exclude ragged rows up front
         & ~F.exists(F.col(vec_col), lambda x: x.isNull())
+        # NULL quality would produce a NULL score and crash the
+        # driver-side collect once only NULL-score rows remain
+        & F.col(quality_col).isNotNull()
     ).select(
         F.col(id_col).alias("__id"),
         F.col(vec_col).alias("__v"),

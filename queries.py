@@ -4458,6 +4458,29 @@ def pagerank_topk(spark, sf_dir):
     return out
 
 
+def _strongest_ties_edges(spark, sf_dir):
+    """The strongest-ties supplier co-occurrence edge list shared by the
+    two graph queries (one Python copy, like the shared _TRI_GRAPH_SQL
+    prefix on the oracle side): per-order supplier pairs via ONE shuffle
+    on the order key (order sizes are bounded, so the in-array cross
+    product is O(k^2) with small k), weighted by shared orders, top-6000
+    edges by (weight, key order) — a top-K edge budget keeps the graph
+    cardinality-bound at any volume (an absolute support threshold
+    measured superlinear at 10x); TakeOrderedAndProject keeps a K-heap,
+    never a global sort."""
+    li = t(spark, sf_dir, "lineitem").filter(F.col("l_suppkey").isNotNull())
+    arr = li.groupBy("l_orderkey").agg(F.collect_list("l_suppkey").alias("ss"))
+    return (
+        arr.select(F.explode(R.ordered_pairs(F.col("ss"), "u", "v")).alias("p"))
+        .select(F.col("p.u").alias("u"), F.col("p.v").alias("v"))
+        .groupBy("u", "v")
+        .agg(F.count(F.lit(1)).alias("w"))
+        .orderBy(F.col("w").desc(), "u", "v")
+        .limit(6000)
+        .select("u", "v")
+    )
+
+
 _TRI_GRAPH_SQL = """
     WITH raw AS (
       SELECT u, v FROM (
@@ -4511,27 +4534,7 @@ def triangle_count_topk(spark, sf_dir):
     all-integer, shuffle-order-independent, oracle-exact."""
     from engine.extended.graph import triangle_counts
 
-    li = t(spark, sf_dir, "lineitem").filter(F.col("l_suppkey").isNotNull())
-    # pair generation via per-order supplier lists: ONE shuffle on the
-    # order key (order sizes are bounded, so the in-array cross product
-    # is O(k^2) with small k) instead of a lineitem self-join
-    arr = li.groupBy("l_orderkey").agg(F.collect_list("l_suppkey").alias("ss"))
-    edges = (
-        arr.select(
-            F.explode(R.ordered_pairs(F.col("ss"), "u", "v")).alias("p")
-        )
-        .select(F.col("p.u").alias("u"), F.col("p.v").alias("v"))
-        .groupBy("u", "v")
-        .agg(F.count(F.lit(1)).alias("w"))
-        # strongest-ties-only graph: co-occurrence graphs densify toward
-        # complete as volume grows, so an ABSOLUTE support threshold goes
-        # superlinear at 10x (measured) — a top-K edge budget keeps the
-        # graph (and the triangle pass) cardinality-bound at any volume;
-        # TakeOrderedAndProject keeps a K-heap, never a global sort
-        .orderBy(F.col("w").desc(), "u", "v")
-        .limit(6000)
-        .select("u", "v")
-    )
+    edges = _strongest_ties_edges(spark, sf_dir)
     counts = triangle_counts(edges, src_col="u", dst_col="v")
     return (
         counts.select(F.col("node").alias("suppkey"), "n_triangles")
@@ -4560,7 +4563,7 @@ def triangle_count_topk(spark, sf_dir):
         ON a.label = b.label AND a.pos = b.pos
        AND a.half = 0 AND b.half = 1),
     agg AS (
-      SELECT label, ANY_VALUE(na) AS n_a, ANY_VALUE(nb) AS n_b,
+      SELECT label, MAX(na) AS n_a, MAX(nb) AS n_b,
              SUM(ma * mb) AS dot,
              SUM(ma * ma) AS qa, SUM(mb * mb) AS qb,
              SUM((ma - mb) * (ma - mb)) AS d2
@@ -4610,8 +4613,8 @@ def centroid_drift_by_label_q(spark, sf_dir):
     )
     joined = a.join(b, ["label", "pos"])
     agg = joined.groupBy("label").agg(
-        F.first("na").alias("n_a"),
-        F.first("nb").alias("n_b"),
+        F.max("na").alias("n_a"),
+        F.max("nb").alias("n_b"),
         F.sum(F.col("ma") * F.col("mb")).alias("dot"),
         F.sum(F.col("ma") * F.col("ma")).alias("qa"),
         F.sum(F.col("mb") * F.col("mb")).alias("qb"),
@@ -5817,10 +5820,7 @@ def entity_match_q(spark, sf_dir):
     "clustering_coeff_topk",
     _TRI_GRAPH_SQL
     + """
-    , deg2 AS (
-      SELECT node, COUNT(*) AS degree FROM (
-        SELECT u AS node FROM raw UNION ALL SELECT v AS node FROM raw)
-      GROUP BY node),
+    , deg2 AS (SELECT node, d AS degree FROM deg),
     coef AS (
       SELECT d.node, CAST(d.degree AS BIGINT) AS degree,
              CAST(COALESCE(p.n_triangles, 0) AS BIGINT) AS n_triangles,
@@ -5840,19 +5840,7 @@ def clustering_coeff_topk_q(spark, sf_dir):
     step, so the iterative-free graph metric is oracle-exact."""
     from engine.extended.graph import clustering_coefficients
 
-    li = t(spark, sf_dir, "lineitem").filter(F.col("l_suppkey").isNotNull())
-    arr = li.groupBy("l_orderkey").agg(
-        F.collect_list("l_suppkey").alias("ss")
-    )
-    edges = (
-        arr.select(F.explode(R.ordered_pairs(F.col("ss"), "u", "v")).alias("p"))
-        .select(F.col("p.u").alias("u"), F.col("p.v").alias("v"))
-        .groupBy("u", "v")
-        .agg(F.count(F.lit(1)).alias("w"))
-        .orderBy(F.col("w").desc(), "u", "v")
-        .limit(6000)
-        .select("u", "v")
-    )
+    edges = _strongest_ties_edges(spark, sf_dir)
     out = clustering_coefficients(edges, src_col="u", dst_col="v")
     return (
         out.select(

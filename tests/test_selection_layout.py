@@ -157,3 +157,11 @@ def test_mmr_validation(spark):
         mmr_select(p, k=0)
     with _pytest.raises(ValueError, match="lam_pct"):
         mmr_select(p, k=1, lam_pct=101)
+
+
+def test_mmr_rejects_non_integer_lambda_and_skips_null_quality(spark):
+    p = _pool(spark, [(1, [1.0, 0.0], 0.9), (2, [0.0, 1.0], None)])
+    with _pytest.raises(ValueError, match="integer"):
+        mmr_select(p, k=1, lam_pct=50.5)
+    picks = mmr_select(p, k=5)
+    assert [x["id"] for x in picks] == [1]  # NULL quality excluded, no crash
