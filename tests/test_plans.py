@@ -429,3 +429,28 @@ def test_golden_record_and_mi_plan_shapes(spark):
     p = plan(SPARK_QUERIES["quality_calibration"](spark, SF))
     assert "EvalPython" not in p
     assert p.count("Exchange") <= 2    # tokenize scan + one source window
+
+
+def test_final_batch_plan_shapes(spark):
+    """Late-session operators: equi-join-only spatial probe, partial
+    aggregation in the rollup merge and readability/gini scans, and a
+    codegen-only centroid pipeline (no Python eval anywhere)."""
+    from queries import SPARK_QUERIES
+
+    p = plan(SPARK_QUERIES["spatial_radius_join"](spark, SF))
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p   # cells meet in equi-joins
+
+    p = plan(SPARK_QUERIES["rollup_hour_to_day"](spark, SF))
+    assert "partial_sum" in p or "partial_count" in p
+    assert "EvalPython" not in p
+
+    for name in ("readability_by_source", "token_gini_by_source",
+                 "centroid_drift_by_label", "clustering_coeff_topk",
+                 "multivariate_outliers", "range_frame_hour_sum"):
+        p = plan(SPARK_QUERIES[name](spark, SF))
+        assert "EvalPython" not in p, name
+
+    # top-k outliers ride a TakeOrderedAndProject heap, never a global sort
+    p = plan(SPARK_QUERIES["multivariate_outliers"](spark, SF))
+    assert "TakeOrderedAndProject" in p
