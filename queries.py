@@ -34,6 +34,10 @@ SALT = "spark-graft"
 
 def q(name: str, sql: str | None = None):
     def register(fn):
+        # Duplicate names silently shadowed an entire query + oracle in r4
+        # (funnel_conversion, VERDICT r4 #2) — fail the import instead.
+        if name in SPARK_QUERIES:
+            raise ValueError(f"duplicate query registration: {name!r}")
         SPARK_QUERIES[name] = fn
         if sql is not None:
             ORACLE_SQL[name] = sql
@@ -44,6 +48,27 @@ def q(name: str, sql: str | None = None):
 
 def t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return load_table(spark, sf_dir, name)
+
+
+def _arr_str(col, scale: float | None = None):
+    """Render an array column as a deterministic comma-joined string.
+
+    The driver's comparator sorts raw cells with pandas and cannot factorize
+    list cells (CORRECTNESS_r04: `TypeError: unhashable type: 'list'`), so no
+    registry query may emit Array/Map/Struct output columns.  Float arrays are
+    rendered via scaled BIGINTs (``round(x * scale)``) because Spark and
+    DuckDB disagree on double→string formatting (scientific-notation
+    thresholds); integer rendering is engine-exact.  DuckDB twin:
+    ``array_to_string(list_transform(v, x -> CAST(ROUND(x * scale) AS
+    BIGINT)), ',')`` (or plain ``array_to_string(v, ',')`` for int arrays).
+    NULL arrays render as NULL in both engines.
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    if scale is not None:
+        # values are pre-rounded so x*scale is within ulps of an integer —
+        # never near .5, where Spark HALF_UP and DuckDB rint would diverge
+        c = F.transform(c, lambda x: F.round(x * F.lit(float(scale)), 0).cast("long"))
+    return F.array_join(c.cast("array<string>"), ",")
 
 
 # ===========================================================================
@@ -1732,19 +1757,24 @@ def domain_blocklist_kept(spark, sf_dir):
     n AS (SELECT vec_id, v,
           SQRT(list_sum(list_transform(v, x -> x * x))) AS nrm FROM tr)
     SELECT vec_id,
-           CASE WHEN nrm > 0 THEN list_transform(v, x -> ROUND(x / nrm, 4) + 0.0)
-                ELSE list_transform(v, x -> ROUND(x, 4) + 0.0) END AS mrl_vec
+           array_to_string(list_transform(
+             CASE WHEN nrm > 0 THEN list_transform(v, x -> ROUND(x / nrm, 4))
+                  ELSE list_transform(v, x -> ROUND(x, 4)) END,
+             x -> CAST(ROUND(x * 10000.0) AS BIGINT)), ',') AS mrl_vec
     FROM n
     """,
 )
 def embedding_matryoshka_q(spark, sf_dir):
     """Matryoshka truncation: first-16-dim prefix, L2-renormalized — the
     vector storage/recall tier below full embeddings (engine.extended.
-    similarity.matryoshka_truncate; pure expressions, zero shuffle)."""
+    similarity.matryoshka_truncate; pure expressions, zero shuffle).
+    Components render as comma-joined 1e4-scaled integers so the driver
+    comparator can canonicalize the row (VERDICT r4 #1)."""
     from engine.extended.similarity import matryoshka_truncate
 
     e = t(spark, sf_dir, "embeddings")
-    return matryoshka_truncate(e, 16, round_to=4).select("vec_id", "mrl_vec")
+    out = matryoshka_truncate(e, 16, round_to=4)
+    return out.select("vec_id", _arr_str("mrl_vec", 1e4).alias("mrl_vec"))
 
 
 @q(
@@ -2267,17 +2297,18 @@ def date_funcs_pack(spark, sf_dir):
     "array_agg_sorted",
     """
     SELECT o_custkey,
-           list_sort(list(o_orderkey)) AS order_keys,
+           array_to_string(list_sort(list(o_orderkey)), ',') AS order_keys,
            COUNT(*) AS n
     FROM orders GROUP BY o_custkey
     """,
 )
 def array_agg_sorted(spark, sf_dir):
     """Deterministic array aggregation: collect + sort (collect_list order is
-    partition-dependent; array_sort pins it)."""
+    partition-dependent; array_sort pins it), rendered as a comma-joined
+    string so the driver comparator can canonicalize it (VERDICT r4 #1)."""
     o = t(spark, sf_dir, "orders")
     return o.groupBy("o_custkey").agg(
-        F.array_sort(F.collect_list("o_orderkey")).alias("order_keys"),
+        _arr_str(F.array_sort(F.collect_list("o_orderkey"))).alias("order_keys"),
         F.count(F.lit(1)).alias("n"),
     )
 
@@ -2286,19 +2317,25 @@ def array_agg_sorted(spark, sf_dir):
     "percentiles_exact",
     """
     SELECT l_returnflag,
-           list_transform(quantile_cont(l_extendedprice, [0.25, 0.5, 0.75]),
-                          x -> ROUND(x, 4)) AS price_quartiles
+           array_to_string(list_transform(
+             quantile_cont(l_extendedprice, [0.25, 0.5, 0.75]),
+             x -> CAST(ROUND(ROUND(x, 4) * 10000.0) AS BIGINT)), ',')
+             AS price_quartiles
     FROM lineitem GROUP BY l_returnflag
     """,
 )
 def percentiles_exact(spark, sf_dir):
     """Exact interpolated quantiles (Spark `percentile` ≡ DuckDB
-    `quantile_cont`)."""
+    `quantile_cont`), rendered as comma-joined 1e4-scaled integers
+    (driver-canonicalizable, engine-exact string form)."""
     li = t(spark, sf_dir, "lineitem")
     return li.groupBy("l_returnflag").agg(
-        F.transform(
-            F.percentile("l_extendedprice", F.lit([0.25, 0.5, 0.75])),
-            lambda x: F.round(x, 4),
+        _arr_str(
+            F.transform(
+                F.percentile("l_extendedprice", F.lit([0.25, 0.5, 0.75])),
+                lambda x: F.round(x, 4),
+            ),
+            1e4,
         ).alias("price_quartiles")
     )
 
@@ -3512,7 +3549,7 @@ def corpus_curation_pipeline(spark, sf_dir):
 
 
 @q(
-    "funnel_conversion",
+    "funnel_conversion_unbounded",
     """
     WITH fv AS (
       SELECT user_id, MIN(CASE WHEN event_type = 'view' THEN ts END) AS first_view
@@ -3535,10 +3572,13 @@ def corpus_curation_pipeline(spark, sf_dir):
     FROM fp
     """,
 )
-def funnel_conversion(spark, sf_dir):
-    """Ordered funnel (view → click → purchase) per user: each stage's first
-    timestamp must be at or after the previous stage's.  Two window passes
-    over the same user partitioning — one shuffle total, no self-joins."""
+def funnel_conversion_unbounded(spark, sf_dir):
+    """Ordered funnel (view → click → purchase) per user with NO time bound:
+    each stage's first timestamp must be at or after the previous stage's.
+    Three window passes over the same user partitioning — one shuffle total,
+    no self-joins.  (The 7-day-windowed cohort variant is
+    ``funnel_conversion``; this one was shadowed by it in r4 — VERDICT #2 —
+    and is now registered under its own name with its own oracle.)"""
     from pyspark.sql import Window as W
 
     # a funnel needs an identified user: NULL user_id would form a window
@@ -3825,15 +3865,17 @@ def _jl_sql(*, dim: int = 64, out_dim: int = 8) -> str:
     comps = []
     for p in planes:
         lit = "list_value(" + ", ".join(repr(float(v)) for v in p) + ")"
+        # 1e6-scaled BIGINT render of the rounded component: double→string
+        # formatting diverges across engines, integer strings do not
         comps.append(
-            f"ROUND(list_sum(list_transform(list_zip(embedding, {lit}), "
-            f"z -> CAST(z[1] AS DOUBLE) * z[2])) * {scale}, 6) + 0.0"
+            f"CAST(ROUND(ROUND(list_sum(list_transform(list_zip(embedding, {lit}), "
+            f"z -> CAST(z[1] AS DOUBLE) * z[2])) * {scale}, 6) * 1000000.0) AS BIGINT)"
         )
     comps_sql = ",\n             ".join(comps)
     return f"""
     SELECT vec_id,
-           CASE WHEN embedding IS NOT NULL THEN list_value(
-             {comps_sql})
+           CASE WHEN embedding IS NOT NULL THEN array_to_string(list_value(
+             {comps_sql}), ',')
            END AS jl_vec
     FROM embeddings"""
 
@@ -3847,7 +3889,8 @@ def embedding_jl_project_q(spark, sf_dir):
     from engine.extended.similarity import jl_project
 
     emb = t(spark, sf_dir, "embeddings")
-    return jl_project(emb, 8, dim=64).select("vec_id", "jl_vec")
+    out = jl_project(emb, 8, dim=64)
+    return out.select("vec_id", _arr_str("jl_vec", 1e6).alias("jl_vec"))
 
 
 @q(
@@ -3872,9 +3915,11 @@ def embedding_jl_project_q(spark, sf_dir):
     vecs AS (SELECT doc_id, list(CAST(v AS BIGINT) ORDER BY b) AS raw
              FROM dense GROUP BY doc_id)
     SELECT doc_id,
-           list_transform(raw, x -> ROUND(CAST(x AS DOUBLE) /
-             SQRT(list_sum(list_transform(raw,
-               y -> CAST(y AS DOUBLE) * CAST(y AS DOUBLE)))), 6)) AS vec
+           array_to_string(list_transform(raw,
+             x -> CAST(ROUND(ROUND(CAST(x AS DOUBLE) /
+               SQRT(list_sum(list_transform(raw,
+                 y -> CAST(y AS DOUBLE) * CAST(y AS DOUBLE)))), 6)
+               * 1000000.0) AS BIGINT)), ',') AS vec
     FROM vecs
     """,
 )
@@ -3887,7 +3932,8 @@ def doc_vector_hashed_q(spark, sf_dir):
     from engine.extended.text import hashed_doc_vectors
 
     d = t(spark, sf_dir, "documents")
-    return hashed_doc_vectors(d, dim=16)
+    out = hashed_doc_vectors(d, dim=16)
+    return out.select("doc_id", _arr_str("vec", 1e6).alias("vec"))
 
 
 @q(
@@ -6621,22 +6667,26 @@ def contamination_attribution_q(spark, sf_dir):
       FROM embeddings)
     SELECT vec_id,
            ROUND(amax / 127.0, 6) AS qscale_r,
-           CASE WHEN amax > 0 THEN
-             list_transform(embedding,
-               x -> CAST(ROUND(CAST(x AS DOUBLE) / (amax / 127.0)) AS INTEGER))
-           ELSE list_transform(embedding, x -> 0) END AS qvec
+           array_to_string(
+             CASE WHEN amax > 0 THEN
+               list_transform(embedding,
+                 x -> CAST(ROUND(CAST(x AS DOUBLE) / (amax / 127.0)) AS INTEGER))
+             ELSE list_transform(embedding, x -> 0) END, ',') AS qvec
     FROM m
     """,
 )
 def embedding_quantize_q(spark, sf_dir):
     """Symmetric int8 scalar quantization of the embedding column — the 4×
     vector-storage code path; int codes compare bit-for-bit across engines
-    (engine.extended.similarity.quantize_int8)."""
+    (engine.extended.similarity.quantize_int8).  Codes render comma-joined
+    so the driver comparator can canonicalize them (VERDICT r4 #1)."""
     from engine.extended.similarity import quantize_int8
 
     e = t(spark, sf_dir, "embeddings")
     return quantize_int8(e).select(
-        "vec_id", F.round("qscale", 6).alias("qscale_r"), "qvec"
+        "vec_id",
+        F.round("qscale", 6).alias("qscale_r"),
+        _arr_str("qvec").alias("qvec"),
     )
 
 
