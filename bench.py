@@ -148,7 +148,13 @@ def _ensure_skew_pack() -> str | None:
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
-    spark = get_spark(app_name="spark-graft-bench")
+    # no stage-progress bar: its \r spam consumed the driver's output tail
+    # buffer in r4 and truncated the JSON record (BENCH_r04 "parsed": null)
+    spark = get_spark(
+        app_name="spark-graft-bench",
+        extra_conf={"spark.ui.showConsoleProgress": "false"},
+    )
+    spark.sparkContext.setLogLevel("ERROR")
 
     from queries import SPARK_QUERIES
 
@@ -218,8 +224,10 @@ def main() -> None:
                 "skewed_total": round(sum(skewed.values()), 3),
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }
-        )
+        ),
+        flush=True,
     )
+    sys.stderr.flush()
     spark.stop()
 
 

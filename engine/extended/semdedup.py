@@ -94,7 +94,7 @@ def pairwise_sims(
     vec_col: str = "embedding",
     round_to: int = 4,
     probe_parallelism: int | None = None,
-    cluster_cap: int | None = None,
+    cluster_cap: int | None = 500,
 ) -> DataFrame:
     """All within-cluster pairs (a_id < b_id) with exact cosine similarity.
 
@@ -116,8 +116,10 @@ def pairwise_sims(
     the row_number pre-pass — the same discipline as ``bucket_cap`` in
     :func:`engine.extended.dedup.minhash_candidates`.  Overflow rows emit no
     pairs (they are all KEPT by the downstream anti-join); re-cluster with a
-    larger k when that matters.  ``None`` (the oracle-exact default)
-    disables the cap.
+    larger k when that matters.  The DEFAULT is 500 (mirroring
+    ``bucket_cap``) so an unconfigured caller at corpus scale is bounded
+    without doing anything; pass ``None`` explicitly for the uncapped
+    oracle-exact behavior (the registry queries do).
     """
     if probe_parallelism:
         df = df.repartition(probe_parallelism)
@@ -171,7 +173,7 @@ def semdedup_pairs(
     vec_col: str = "embedding",
     round_to: int = 4,
     probe_parallelism: int | None = None,
-    cluster_cap: int | None = None,
+    cluster_cap: int | None = 500,
 ) -> DataFrame:
     """Within-cluster semantic-duplicate pairs: cosine >= ``threshold``.
 
@@ -199,7 +201,7 @@ def semdedup(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     broadcast_drops: bool | None = None,
-    cluster_cap: int | None = None,
+    cluster_cap: int | None = 500,
 ) -> DataFrame:
     """Semantic dedup: drop every row that has a qualifying near-twin with a
     smaller id; keep everything else.
@@ -243,7 +245,7 @@ def cross_pairs(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     round_to: int = 4,
-    cluster_cap: int | None = None,
+    cluster_cap: int | None = 500,
 ) -> DataFrame:
     """Within-cluster (batch × corpus) pairs with exact cosine — the probe
     step of incremental semantic dedup.  Same norm-once discipline as
@@ -295,7 +297,7 @@ def semdedup_incremental(
     cluster_col: str = "label",
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    cluster_cap: int | None = None,
+    cluster_cap: int | None = 500,
 ) -> DataFrame:
     """Incremental semantic dedup: accept only batch rows that are novel
     against the ALREADY-ACCEPTED corpus and within the batch itself.

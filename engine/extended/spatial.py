@@ -82,8 +82,15 @@ def radius_join(
     cell_lon = radius_km / (
         KM_PER_DEG_LAT * math.cos(math.radians(max_abs_lat))
     )
-    # lon cells are modular: shift to [0, 360) and wrap the probe ids
-    n_lon_cells = int(math.ceil(360.0 / cell_lon))
+    # lon cells are modular: shift to [0, 360) and wrap the probe ids.
+    # Tile evenly with FLOOR, then widen cell_lon to 360/n: ceil would make
+    # the LAST cell narrower than the radius (e.g. radius 150 km at
+    # max_abs_lat 66 → 1.19° ≈ 132 km), so a pair straddling that seam sat
+    # 2 cells apart and escaped the 3×3 probe (advisor-found, with a
+    # date-line counterexample).  Widening keeps every cell ≥ the
+    # conservative bound, so adjacency still covers the radius.
+    n_lon_cells = max(1, int(math.floor(360.0 / cell_lon)))
+    cell_lon = 360.0 / n_lon_cells
 
     def prep(df: DataFrame, idc: str, pre: str) -> DataFrame:
         cx = F.pmod(

@@ -30,12 +30,16 @@ _MEM_UNITS = {"k": 1 << 10, "m": 1 << 20, "g": 1 << 30, "t": 1 << 40}
 
 
 def _mem_bytes(size: str) -> int:
-    """JVM memory string -> bytes ('4g', '4096m', '512', '1gb' all parse;
-    a bare number is bytes, matching Spark's byteStringAsBytes)."""
+    """JVM memory string -> bytes ('4g', '4096m', '512', '1gb' all parse).
+
+    A bare number is MiB: ``spark.driver.memory`` parses unitless strings
+    with byteStringAsMb (JavaUtils.byteStringAsMb), so the comparison below
+    must use the same magnitude or a unitless env/gateway value mis-warns
+    by 2^20."""
     s = size.strip().lower().removesuffix("b")
     if s and s[-1] in _MEM_UNITS:
         return int(float(s[:-1]) * _MEM_UNITS[s[-1]])
-    return int(s)
+    return int(s) * _MEM_UNITS["m"]
 
 
 def get_spark(

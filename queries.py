@@ -6413,8 +6413,13 @@ def semdedup_pairs_q(spark, sf_dir):
     from engine.extended.semdedup import semdedup_pairs
 
     e = t(spark, sf_dir, "embeddings")
+    # cluster_cap=None: the oracle is uncapped; the operator default (500)
+    # is the unconfigured-caller safety net, opted out of here explicitly
     return semdedup_pairs(
-        e, threshold=0.4, probe_parallelism=spark.sparkContext.defaultParallelism
+        e,
+        threshold=0.4,
+        probe_parallelism=spark.sparkContext.defaultParallelism,
+        cluster_cap=None,
     )
 
 
@@ -6438,7 +6443,7 @@ def semdedup_prune_q(spark, sf_dir):
 
     e = t(spark, sf_dir, "embeddings")
     drops = (
-        semdedup_pairs(e, threshold=0.3)
+        semdedup_pairs(e, threshold=0.3, cluster_cap=None)
         .select(F.col("b_id").alias("vec_id"))
         .distinct()
         .withColumn("__dropped", F.lit(1))
@@ -6732,6 +6737,7 @@ def semdedup_incremental_q(spark, sf_dir):
         e.filter(F.col("vec_id") % 2 == 1),
         e.filter(F.col("vec_id") % 2 == 0),
         threshold=0.3,
+        cluster_cap=None,
     ).select("vec_id", "label")
 
 

@@ -192,9 +192,31 @@ def test_pairwise_sims_cluster_cap_bounds_mega_cluster(spark):
     assert set(range(10, n_mega)) <= kept  # overflow never compared
     assert 1000 in kept and 1001 not in kept
 
-    # default (no cap) semantics unchanged: every dup beyond the min id drops
+    # default cap (500) > cluster size here, so the unconfigured call still
+    # deduplicates fully: every dup beyond the min id drops
     kept_exact = {r["vec_id"] for r in semdedup(df, threshold=0.99).collect()}
     assert kept_exact == {0, 1000}
+    # explicit opt-out restores the uncapped oracle-exact path
+    kept_uncapped = {
+        r["vec_id"]
+        for r in semdedup(df, threshold=0.99, cluster_cap=None).collect()
+    }
+    assert kept_uncapped == {0, 1000}
+
+
+def test_semdedup_unconfigured_default_bounds_mega_cluster(spark):
+    """VERDICT r4 #5: the UNCONFIGURED path must be bounded.  cluster_cap
+    now defaults to 500 (mirroring dedup.bucket_cap), so a forgetful caller
+    at corpus scale gets O(500^2) per cluster, never O(size^2): on a
+    600-row duplicate mega-cluster only the 500 lowest ids pair (min id
+    survives, 1-499 drop) and the 100 overflow rows are kept un-compared."""
+    n = 600
+    df = spark.createDataFrame(
+        [(i, [1.0, 0.0], 0) for i in range(n)],
+        "vec_id long, embedding array<float>, label int",
+    )
+    kept = {r["vec_id"] for r in semdedup(df, threshold=0.99).collect()}
+    assert kept == {0} | set(range(500, n))
 
 
 def test_semdedup_incremental_caps_corpus_side(spark):

@@ -82,3 +82,20 @@ def test_radius_join_wraps_the_antimeridian(spark):
     ).collect()
     assert len(out) == 1
     assert out[0]["dist_km"] == pytest.approx(11.1, abs=0.5)
+
+
+def test_radius_join_covers_the_narrow_seam_cell(spark):
+    """Advisor counterexample: with ceil-tiling, the LAST longitude cell was
+    narrower than the radius (radius 150 at max_abs_lat 66 → 1.19° ≈ 132 km
+    wide), so (0, 178.815) and (0, -179.99) — 132.9 km apart — sat 2 cells
+    apart and the 3×3 probe missed them.  Floor-tiling + widened cell_lon
+    makes every cell ≥ the conservative bound, so the pair must be found."""
+    left = _pts(spark, [(1, 0.0, 178.815)])
+    right = _pts(spark, [(9, 0.0, -179.99)])
+    out = radius_join(
+        left.withColumnRenamed("pid", "lpid"),
+        right.withColumnRenamed("pid", "rpid"),
+        radius_km=150.0, left_id="lpid", right_id="rpid",
+    ).collect()
+    assert len(out) == 1
+    assert out[0]["dist_km"] == pytest.approx(132.9, abs=0.5)
