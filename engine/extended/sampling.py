@@ -274,6 +274,15 @@ def global_order(
     )
     w = Window.partitionBy("__shard").orderBy("__h", F.col(id_col))
     ranked = sharded.withColumn("__rk", F.row_number().over(w))
+    # The offsets cumsum runs over the 16^prefix_len-row shard-count table
+    # (256 rows at the default) — bounded by construction, so one partition
+    # is CORRECT here, not a scale hazard.  The partition key is a
+    # non-foldable empty prefix of __shard: it hashes every row to the same
+    # partition (same execution as an unpartitioned window) while keeping
+    # partitionSpec non-empty, so WindowExec does not emit its "No Partition
+    # Defined ... serious performance degradation" warning for a 256-row
+    # frame on every global_order / negative_sample / entity-id-minting run
+    # (a plain lit() gets constant-folded away and the warning returns).
     offsets = (
         sharded.groupBy("__shard")
         .agg(F.count(F.lit(1)).alias("__cnt"))
@@ -281,9 +290,9 @@ def global_order(
             "__offset",
             F.coalesce(
                 F.sum("__cnt").over(
-                    Window.orderBy("__shard").rowsBetween(
-                        Window.unboundedPreceding, -1
-                    )
+                    Window.partitionBy(F.substring(F.col("__shard"), 0, 0))
+                    .orderBy("__shard")
+                    .rowsBetween(Window.unboundedPreceding, -1)
                 ),
                 F.lit(0),
             ),
