@@ -1,0 +1,122 @@
+"""Mergeable frequency sketches: deterministic count-min with heavy-hitter
+extraction.
+
+The reference engine keeps exact per-key counters driver-side (its corpora
+fit one process); at 100 TB the frequency table for a hot column (URLs,
+n-grams, part keys) does not fit anywhere, and the classic answer is a
+count-min sketch [Cormode & Muthukrishnan 2005]: a ``depth × width`` grid of
+counters where each key increments one counter per row (chosen by a per-row
+hash) and a key's frequency estimate is the MIN over its ``depth`` counters
+— always an overestimate, with error ≤ ``e/width × N`` at probability
+``1 - e^-depth``.
+
+Why this shape survives 100 TB:
+
+- **The build is one pass with NO per-key shuffle.** Each input row explodes
+  into ``depth`` (row, col) cells and the aggregate groups by cell — at most
+  ``depth × width`` distinct groups, so map-side partial aggregation
+  collapses everything executor-locally and the shuffle moves ≤ a few
+  thousand rows regardless of input size or key skew.  This is exactly the
+  case partial aggregation is best at (tiny group cardinality), and exactly
+  what a per-key exact count cannot do on a skewed key column.
+- **Sketches are linear**, so per-partition / per-day / per-shard sketches
+  merge by element-wise addition (:func:`cms_merge`) into the sketch of the
+  union — the incremental-corpus pattern used across this repo (line
+  fingerprint index, minhash incremental) applied to frequencies.
+- **Estimation joins a broadcast.** The materialized sketch is ≤
+  ``depth × width`` rows; probing any candidate set is a broadcast hash
+  join, never a shuffle of the candidates.
+
+Determinism / oracle story: the row hashes are the dual-implementable md5
+family (``engine.extended.dedup.md5_long`` seeded per row as ``"{row}:{key}"``),
+so a DuckDB twin computes the bit-identical sketch and the driver's value-hash
+gate covers the whole pipeline — sketch build, merge, and estimates.
+
+Reference parity anchor: the reference's only frequency surface is exact
+pandas ``value_counts`` on driver-resident batches
+(/root/reference/lib/pipeline_controller.py's per-batch stats); this module is
+the scale path for the same question.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from engine.extended.dedup import md5_long
+
+__all__ = ["cms_hash_col", "cms_build", "cms_merge", "cms_estimate"]
+
+
+def cms_hash_col(key: Column, row: int, width: int) -> Column:
+    """Column for the counter index of ``key`` in sketch row ``row``.
+
+    ``md5_long`` of ``"{row}:{key}"`` modulo ``width``: nonnegative in both
+    engines (md5_long < 2^60), so ``%`` agrees between Spark's ``pmod``-free
+    ``%`` and DuckDB's ``%`` with no sign divergence.
+    """
+    return md5_long(F.concat(F.lit(f"{row}:"), key)) % width
+
+
+def cms_build(
+    df: DataFrame, key_col: str, *, depth: int = 3, width: int = 512
+) -> DataFrame:
+    """One-pass count-min sketch build → DataFrame ``(row, col, cnt)``.
+
+    Each input row contributes ``depth`` cells via a posexplode of its
+    per-row counter indices; the groupBy has ≤ ``depth × width`` groups so
+    the aggregation is map-side-collapsed (no key-cardinality shuffle —
+    the whole point versus an exact count on a skewed column).
+    NULL keys are skipped, matching ``COUNT(key)`` semantics.
+    """
+    key = F.col(key_col).cast("string")
+    cells = df.where(key.isNotNull()).select(
+        F.posexplode(
+            F.array(*[cms_hash_col(key, r, width) for r in range(depth)])
+        ).alias("row", "col")
+    )
+    return cells.groupBy("row", "col").agg(F.count(F.lit(1)).alias("cnt"))
+
+
+def cms_merge(*sketches: DataFrame) -> DataFrame:
+    """Element-wise sum of sketches built with the same (depth, width).
+
+    Linearity: sketch(A) + sketch(B) == sketch(A ∪ B) exactly — the merge
+    is a union + re-aggregate over ≤ depth × width cells.
+    """
+    if not sketches:
+        raise ValueError("cms_merge needs at least one sketch")
+    out = sketches[0]
+    for s in sketches[1:]:
+        out = out.unionByName(s)
+    return out.groupBy("row", "col").agg(F.sum("cnt").alias("cnt"))
+
+
+def cms_estimate(
+    sketch: DataFrame,
+    keys: DataFrame,
+    key_col: str,
+    *,
+    depth: int = 3,
+    width: int = 512,
+    est_col: str = "est_n",
+) -> DataFrame:
+    """Frequency estimates for ``keys[key_col]`` → keys + ``est_col``.
+
+    Probing is a broadcast hash join of the candidates against the ≤
+    depth × width cell table, then MIN over the ``depth`` matched counters.
+    Keys absent from the build still get their (over)estimate from whatever
+    shares their cells — CMS semantics; a true zero only if all ``depth``
+    cells are empty, in which case the join drops the key (inner join), so
+    callers probing open-world keys should left-join semantics themselves.
+    """
+    key = F.col(key_col).cast("string")
+    probes = keys.select(
+        "*",
+        F.posexplode(
+            F.array(*[cms_hash_col(key, r, width) for r in range(depth)])
+        ).alias("row", "col"),
+    )
+    joined = probes.join(F.broadcast(sketch), ["row", "col"])
+    group_cols = [c for c in keys.columns]
+    return joined.groupBy(*group_cols).agg(F.min("cnt").alias(est_col))

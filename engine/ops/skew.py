@@ -20,7 +20,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["salted_join", "null_safe_split_join"]
+__all__ = ["salted_join", "null_safe_split_join", "salted_count_distinct"]
 
 
 def salted_join(
@@ -64,3 +64,42 @@ def null_safe_split_join(
     for c in right_only_cols:
         nulls = nulls.withColumn(c, F.lit(None).cast(dict(nn.dtypes)[c]))
     return nn.unionByName(nulls.select(*nn.columns))
+
+
+def salted_count_distinct(
+    df: DataFrame,
+    group_cols: list[str],
+    value_col: str,
+    *,
+    salts: int = 16,
+    out_col: str = "n_distinct",
+) -> DataFrame:
+    """COUNT(DISTINCT value) per group with the distinct phase salted.
+
+    Plain ``countDistinct`` shuffles EVERY (group, value) pair to the
+    group's reducer before de-duplicating — a hot group (one URL domain with
+    10^9 distinct paths) serializes into a single task and spills.  Algebraic
+    aggregates don't have this problem (map-side partials compress them);
+    DISTINCT does, because partial aggregation must retain every distinct
+    value it has seen.
+
+    Salting fixes the reducer, not the semantics: each value hashes to
+    exactly one salt bucket (``pmod(xxhash64(value), salts)``), so the
+    per-(group, salt) distinct sets are disjoint and their sizes sum to the
+    true distinct count.  Phase 1 de-duplicates within (group, salt) across
+    ``salts`` reducers per group; phase 2 sums ``salts`` small partial
+    counts per group.  Result is exactly ``COUNT(DISTINCT value)`` — NULL
+    values excluded, matching SQL — with the hot group's distinct state
+    spread over ``salts`` tasks.  This is also what
+    ``spark.sql.optimizer.distinctAggregatorHashPartitioning``-class
+    rewrites do internally; the explicit operator makes the shape pinnable
+    by the plan gate and usable where the optimizer rewrite doesn't fire.
+    """
+    v = F.col(value_col)
+    salt = F.pmod(F.xxhash64(v), F.lit(salts))
+    partial = (
+        df.where(v.isNotNull())
+        .groupBy(*group_cols, salt.alias("__salt"))
+        .agg(F.count_distinct(v).alias("__partial"))
+    )
+    return partial.groupBy(*group_cols).agg(F.sum("__partial").alias(out_col))

@@ -2458,6 +2458,176 @@ def approx_sketches(spark, sf_dir):
     )
 
 
+_CMS_HASH = (
+    "CAST(('0x' || SUBSTRING(MD5(CAST({i} AS VARCHAR) || ':' || {k}), 1, 15)) "
+    "AS BIGINT) % 512"
+)
+
+
+@q(
+    "cms_heavy_hitters",
+    f"""
+    WITH src AS (
+      SELECT CAST(l_partkey AS VARCHAR) AS k
+      FROM lineitem WHERE l_partkey IS NOT NULL),
+    rows3 AS (SELECT * FROM (VALUES (0), (1), (2)) r(i)),
+    cells AS (
+      SELECT i AS row_i, {_CMS_HASH.format(i='i', k='k')} AS col_i,
+             COUNT(*) AS cnt
+      FROM src CROSS JOIN rows3 GROUP BY 1, 2),
+    exact AS (SELECT k, COUNT(*) AS exact_n FROM src GROUP BY k),
+    probe AS (
+      SELECT e.k, e.exact_n, MIN(c.cnt) AS est_n
+      FROM exact e
+      CROSS JOIN rows3 r
+      JOIN cells c
+        ON c.row_i = r.i
+       AND c.col_i = {_CMS_HASH.format(i='r.i', k='e.k')}
+      GROUP BY e.k, e.exact_n)
+    SELECT CAST(k AS BIGINT) AS l_partkey, exact_n, est_n,
+           est_n - exact_n AS overcount
+    FROM probe ORDER BY est_n DESC, l_partkey LIMIT 20
+    """,
+)
+def cms_heavy_hitters(spark, sf_dir):
+    """Heavy hitters via a deterministic count-min sketch (d=3, w=512).
+
+    The sketch build is the 100 TB frequency path: one pass, ≤ d×w groups,
+    so map-side partials collapse everything and NO per-key shuffle happens
+    (vs. the exact count's full key shuffle).  Estimates probe the broadcast
+    cell table and take MIN over rows — always ≥ exact (`overcount` ≥ 0 is
+    pinned cross-engine).  Hashes are the md5_long dual family so DuckDB
+    computes the bit-identical sketch.  Reference parity: the reference's
+    per-batch pandas value_counts (driver-resident) answered the same
+    question at toy scale."""
+    from engine.extended.sketch import cms_build, cms_estimate
+
+    li = t(spark, sf_dir, "lineitem")
+    sk = cms_build(li, "l_partkey", depth=3, width=512)
+    exact = (
+        li.where(F.col("l_partkey").isNotNull())
+        .groupBy("l_partkey")
+        .agg(F.count(F.lit(1)).alias("exact_n"))
+    )
+    est = cms_estimate(sk, exact, "l_partkey", depth=3, width=512, est_col="est_n")
+    return (
+        est.select(
+            "l_partkey",
+            "exact_n",
+            "est_n",
+            (F.col("est_n") - F.col("exact_n")).alias("overcount"),
+        )
+        .orderBy(F.desc("est_n"), F.asc("l_partkey"))
+        .limit(20)
+    )
+
+
+@q(
+    "cms_merge_shards",
+    f"""
+    WITH src AS (
+      SELECT CAST(l_partkey AS VARCHAR) AS k, l_orderkey % 2 AS shard
+      FROM lineitem WHERE l_partkey IS NOT NULL),
+    rows3 AS (SELECT * FROM (VALUES (0), (1), (2)) r(i)),
+    by_shard AS (
+      SELECT shard, i AS row_i, {_CMS_HASH.format(i='i', k='k')} AS col_i,
+             COUNT(*) AS cnt
+      FROM src CROSS JOIN rows3 GROUP BY 1, 2, 3),
+    merged AS (
+      SELECT row_i, col_i, CAST(SUM(cnt) AS BIGINT) AS cnt
+      FROM by_shard GROUP BY 1, 2),
+    whole AS (
+      SELECT i AS row_i, {_CMS_HASH.format(i='i', k='k')} AS col_i,
+             COUNT(*) AS cnt
+      FROM src CROSS JOIN rows3 GROUP BY 1, 2)
+    SELECT COUNT(*) AS n_cells,
+           CAST(SUM(CASE WHEN m.cnt <> w.cnt THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_diff,
+           CAST(SUM(m.cnt) AS BIGINT) AS total_increments,
+           CAST(MAX(m.cnt) AS BIGINT) AS max_cell
+    FROM merged m JOIN whole w ON m.row_i = w.row_i AND m.col_i = w.col_i
+    """,
+)
+def cms_merge_shards(spark, sf_dir):
+    """CMS linearity pinned cross-engine: sketches built on disjoint shards
+    (even/odd l_orderkey) merged element-wise equal the whole-corpus sketch
+    cell for cell (`n_diff` = 0).  This is the property that lets per-day /
+    per-partition sketches roll up without re-reading history — the
+    incremental-corpus pattern applied to frequencies."""
+    from engine.extended.sketch import cms_build, cms_merge
+
+    li = t(spark, sf_dir, "lineitem")
+    even = cms_build(li.where(F.col("l_orderkey") % 2 == 0), "l_partkey")
+    odd = cms_build(li.where(F.col("l_orderkey") % 2 == 1), "l_partkey")
+    merged = cms_merge(even, odd)
+    whole = cms_build(li, "l_partkey")
+    j = merged.select("row", "col", F.col("cnt").alias("m_cnt")).join(
+        whole.select("row", "col", F.col("cnt").alias("w_cnt")), ["row", "col"]
+    )
+    return j.agg(
+        F.count(F.lit(1)).alias("n_cells"),
+        F.sum(F.when(F.col("m_cnt") != F.col("w_cnt"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_diff"),
+        F.sum("m_cnt").cast("long").alias("total_increments"),
+        F.max("m_cnt").cast("long").alias("max_cell"),
+    )
+
+
+@q(
+    "salted_distinct_users",
+    """
+    SELECT event_type, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+    FROM events GROUP BY event_type
+    """,
+)
+def salted_distinct_users(spark, sf_dir):
+    """COUNT(DISTINCT) with the distinct phase salted (engine.ops.skew.
+    salted_count_distinct): each value lands in exactly one of 16 salt
+    buckets, per-(group, salt) distinct counts are disjoint and sum to the
+    exact answer — the hot group's distinct state spreads over 16 reducers
+    instead of one.  Result is exactly SQL COUNT(DISTINCT)."""
+    from engine.ops.skew import salted_count_distinct
+
+    e = t(spark, sf_dir, "events")
+    return salted_count_distinct(
+        e, ["event_type"], "user_id", salts=16, out_col="n_users"
+    ).withColumn("n_users", F.col("n_users").cast("long"))
+
+
+@q(
+    "skew_salted_enrich",
+    """
+    SELECT c.c_mktsegment AS segment, COUNT(*) AS n_events,
+           ROUND(SUM(e.value), 2) AS total_value
+    FROM events e JOIN customer c ON e.user_id = c.c_custkey
+    GROUP BY c.c_mktsegment
+    """,
+)
+def skew_salted_enrich(spark, sf_dir):
+    """Fact-to-dim enrichment through an explicitly salted join (engine.ops.
+    skew.salted_join): events' power-law user fan-in (150 users × 10k events
+    at sf0.01) is spread over 8 salt buckets, the dim side replicated 8×.
+    Results are identical to the plain join — pinned by the oracle — while
+    the hot key's rows land on 8 reducers.  This is the manual fallback for
+    the skew AQE can't fix (hash joins, pre-AQE planners)."""
+    from engine.ops.skew import salted_join
+
+    e = (
+        t(spark, sf_dir, "events")
+        .select("user_id", "value")
+        .where(F.col("user_id").isNotNull())
+    )
+    c = t(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("user_id"), "c_mktsegment"
+    )
+    joined = salted_join(e, c, "user_id", salts=8)
+    return joined.groupBy(F.col("c_mktsegment").alias("segment")).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(F.sum("value"), 2).alias("total_value"),
+    )
+
+
 def _ivf_seeded_sql(
     *, n_lists: int = 8, iters: int = 2, nprobe: int = 3, k: int = 10, qid: int = 7
 ) -> str:

@@ -1,0 +1,123 @@
+"""Count-min sketch + salted-distinct semantics and plan-shape gates.
+
+Semantics: CMS estimates never under-count, collisions over-count (forced
+with a tiny width), merge is exactly linear; salted_count_distinct equals
+plain COUNT(DISTINCT) including NULL exclusion and many-salts-vs-few.
+
+Plan shapes (the 100 TB claims): the sketch build shuffles on (row, col) —
+the d×w cell grid — NOT on the key column; estimation probes the sketch via
+a broadcast hash join; the salted distinct's first aggregate shuffles on
+(group, salt).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from engine.extended.sketch import cms_build, cms_estimate, cms_merge
+from engine.ops.skew import salted_count_distinct
+
+
+def plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def _df(spark, rows, cols):
+    return spark.createDataFrame(rows, cols)
+
+
+def test_cms_never_undercounts_and_exact_when_wide(spark):
+    rows = [(k,) for k in ["a"] * 5 + ["b"] * 3 + ["c"] * 2 + ["d"]]
+    df = _df(spark, rows, ["k"])
+    sk = cms_build(df, "k", depth=3, width=4096)
+    exact = df.groupBy("k").agg(F.count(F.lit(1)).alias("exact_n"))
+    est = cms_estimate(sk, exact, "k", depth=3, width=4096)
+    got = {r["k"]: (r["exact_n"], r["est_n"]) for r in est.collect()}
+    assert got == {"a": (5, 5), "b": (3, 3), "c": (2, 2), "d": (1, 1)}
+
+
+def test_cms_collisions_overcount_never_undercount(spark):
+    rows = [(f"k{i}",) for i in range(40) for _ in range(i % 3 + 1)]
+    df = _df(spark, rows, ["k"])
+    sk = cms_build(df, "k", depth=2, width=8)  # forced collisions
+    exact = df.groupBy("k").agg(F.count(F.lit(1)).alias("exact_n"))
+    est = cms_estimate(sk, exact, "k", depth=2, width=8)
+    rows_out = est.collect()
+    assert len(rows_out) == 40
+    assert all(r["est_n"] >= r["exact_n"] for r in rows_out)
+    assert any(r["est_n"] > r["exact_n"] for r in rows_out)  # w=8 must collide
+
+
+def test_cms_null_keys_skipped(spark):
+    df = _df(spark, [("a",), (None,), ("a",), (None,)], ["k"])
+    sk = cms_build(df, "k", depth=3, width=64)
+    total = sk.agg(F.sum("cnt").alias("s")).collect()[0]["s"]
+    assert total == 2 * 3  # two non-null rows × depth
+
+
+def test_cms_merge_is_linear(spark):
+    rows = [(f"k{i % 7}", i) for i in range(50)]
+    df = _df(spark, rows, ["k", "i"])
+    a = cms_build(df.where(F.col("i") < 20), "k", depth=3, width=32)
+    b = cms_build(df.where(F.col("i") >= 20), "k", depth=3, width=32)
+    merged = {(r["row"], r["col"]): r["cnt"] for r in cms_merge(a, b).collect()}
+    whole = {
+        (r["row"], r["col"]): r["cnt"]
+        for r in cms_build(df, "k", depth=3, width=32).collect()
+    }
+    assert merged == whole
+
+
+def test_cms_build_shuffles_on_cells_not_keys(spark):
+    li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+    p = plan(cms_build(li, "l_partkey"))
+    # partial aggregation before the exchange, grouping on the cell grid
+    assert "hashpartitioning" in p
+    part = p.split("hashpartitioning(")[1].split(")")[0]
+    assert "row" in part and "col" in part and "l_partkey" not in part
+    assert p.count("HashAggregate") >= 2  # map-side partial + final
+
+
+def test_cms_estimate_broadcasts_sketch(spark):
+    li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+    sk = cms_build(li, "l_partkey")
+    keys = li.select("l_partkey").distinct()
+    p = plan(cms_estimate(sk, keys, "l_partkey"))
+    assert "BroadcastHashJoin" in p
+
+
+def test_salted_distinct_matches_plain(spark):
+    rows = [(f"g{i % 3}", f"v{i % 17}") for i in range(200)] + [
+        ("g0", None),
+        (None, "v1"),
+    ]
+    df = _df(spark, rows, ["g", "v"])
+    got = {
+        r["g"]: r["n_distinct"]
+        for r in salted_count_distinct(df, ["g"], "v", salts=16).collect()
+    }
+    want = {
+        r["g"]: r["n"]
+        for r in df.groupBy("g").agg(F.count_distinct("v").alias("n")).collect()
+    }
+    assert got == want
+    # degenerate salts=1 also exact
+    got1 = {
+        r["g"]: r["n_distinct"]
+        for r in salted_count_distinct(df, ["g"], "v", salts=1).collect()
+    }
+    assert got1 == want
+
+
+def test_salted_distinct_partial_shuffles_on_salt(spark):
+    import re
+
+    li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+    p = plan(salted_count_distinct(li, ["l_returnflag"], "l_partkey", salts=16))
+    parts = re.findall(r"hashpartitioning\(([^)]*)\)", p)
+    # the distinct phase must spread on (group, salt, value) — the salt alias
+    # shows up as a _groupingexpression in the physical plan
+    assert any(
+        "l_returnflag" in x and "l_partkey" in x and "_groupingexpression" in x
+        for x in parts
+    ), parts
