@@ -111,6 +111,14 @@ SECONDARY = [
     "multivariate_outliers",
     "centroid_drift_by_label",
     "clustering_coeff_topk",
+    # round-5 additions
+    "cms_heavy_hitters",
+    "cms_merge_shards",
+    "salted_distinct_users",
+    "skew_salted_enrich",
+    "bloom_prefilter_join",
+    "bucketed_join_colocated",
+    "hll_shard_merge",
 ]
 
 

@@ -49,7 +49,22 @@ def write_bucketed(
     Joins/aggregations on ``bucket_col`` between tables bucketed with the
     same (col, n) read co-located buckets and skip the exchange entirely —
     verified by the no-Exchange plan gate in tests/test_layout.py.
+
+    A managed table's location can survive its metastore entry (the local
+    derby catalog is per-session while spark-warehouse/ persists), and
+    ``saveAsTable`` refuses to adopt an orphaned location
+    (LOCATION_ALREADY_EXISTS) even in overwrite mode — so drop the catalog
+    entry AND clear a stale location before writing.
     """
+    spark = df.sparkSession
+    if mode == "overwrite":
+        spark.sql(f"DROP TABLE IF EXISTS {table}")
+        if not spark.catalog.tableExists(table):
+            import shutil
+            from urllib.parse import urlparse
+
+            wh = urlparse(spark.conf.get("spark.sql.warehouse.dir")).path
+            shutil.rmtree(f"{wh}/{table.lower()}", ignore_errors=True)
     w = df.write.mode(mode).bucketBy(n_buckets, bucket_col)
     if sort_col:
         w = w.sortBy(sort_col)

@@ -1,0 +1,74 @@
+"""Runtime semi-join reduction: Bloom-prefilter the big side of a join.
+
+At 100 TB the dominant join cost is shuffling fact rows that CANNOT match —
+a selective dimension (say 0.1% of part keys survive a filter) still forces
+the full fact table through the exchange before the join drops 99.9% of it.
+The classic fix is a runtime filter: collapse the build side's key set into
+a constant-size Bloom filter, broadcast it as a literal, and drop
+non-matching fact rows DURING THE SCAN, before any shuffle.  Spark's own
+optimizer does this opportunistically (``spark.sql.optimizer.runtime.
+bloomFilter.enabled``); this operator makes the reduction explicit,
+deterministic (md5 hash family — the DuckDB oracle reproduces the exact bit
+pattern when needed), and pinnable by a plan gate.
+
+Semantics are EXACT for the downstream join: a Bloom filter has no false
+negatives, so every fact row that would join survives the prefilter; false
+positives (rate ``(1 - e^(-kn/m))^k``) pass through and are eliminated by
+the join itself.  ``bloom_prefilter`` therefore composes with any
+equi-join without changing its result — pinned by the oracle-paired
+registry query (`bloom_prefilter_join`) whose DuckDB twin is the PLAIN join.
+
+Reference parity: the reference engine probes its memo/dimension stores row
+by row over the network (e.g. the keyed Redshift lookups in
+lib/redshift_client helpers); a Bloom prefilter is the scan-side analogue
+that makes the same "only fetch what can match" decision without a
+round-trip per key.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+__all__ = ["bloom_prefilter"]
+
+
+def bloom_prefilter(
+    fact: DataFrame,
+    build_keys: DataFrame,
+    fact_key: str,
+    build_key: str | None = None,
+    *,
+    n_hashes: int = 3,
+    m_bits: int = 16384,
+    hash_fn: str = "md5",
+) -> DataFrame:
+    """Filter ``fact`` to rows whose ``fact_key`` MAY appear in
+    ``build_keys[build_key]`` (no false negatives).
+
+    The build side is aggregated to distinct bit positions — a collect
+    bounded by ``m_bits`` (2 KiB of filter at the 16384 default) no matter
+    how many build rows exist — and the probe is pure codegen (hash →
+    literal-array bit test): no join, no shuffle, no Python on the fact
+    side.  Rows with a NULL key are dropped, matching inner-equi-join
+    semantics (NULL never equi-matches).
+    """
+    from engine.extended.curation import bloom_bit_words, bloom_member
+
+    build_key = build_key or fact_key
+    keys = build_keys.select(
+        F.col(build_key).cast("string").alias("__bf_key")
+    ).where(F.col("__bf_key").isNotNull())
+    words = bloom_bit_words(
+        keys, key_col="__bf_key", n_hashes=n_hashes, m_bits=m_bits, hash_fn=hash_fn
+    )
+    probe: Column = bloom_member(
+        F.col(fact_key).cast("string"),
+        words,
+        n_hashes=n_hashes,
+        m_bits=m_bits,
+        hash_fn=hash_fn,
+    )
+    # bloom_member yields NULL for NULL keys; coalesce keeps the predicate
+    # three-valued-logic-safe (NULL key -> dropped, like the join would)
+    return fact.where(F.coalesce(probe, F.lit(False)))

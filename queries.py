@@ -2628,6 +2628,130 @@ def skew_salted_enrich(spark, sf_dir):
     )
 
 
+@q(
+    "bloom_prefilter_join",
+    """
+    SELECT p.p_brand, COUNT(*) AS n_items,
+           ROUND(SUM(l.l_quantity), 2) AS sum_qty
+    FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    WHERE p.p_size = 1
+    GROUP BY p.p_brand
+    """,
+)
+def bloom_prefilter_join(spark, sf_dir):
+    """Selective fact-to-dim join behind a Bloom runtime filter (engine.ops.
+    runtime_filter.bloom_prefilter): the surviving dim keys (p_size = 1,
+    ~2% of part) collapse into a 2 KiB literal bit array and non-matching
+    lineitem rows are dropped IN THE SCAN — before any exchange — via pure
+    codegen bit tests.  No false negatives, so the downstream join result is
+    exactly the plain join's (the oracle IS the plain join); false positives
+    are eliminated by the join itself.  At 100 TB this is the difference
+    between shuffling the whole fact table and shuffling the ~2% that can
+    match."""
+    from engine.ops.runtime_filter import bloom_prefilter
+
+    li = t(spark, sf_dir, "lineitem").select("l_partkey", "l_quantity")
+    dim = (
+        t(spark, sf_dir, "part")
+        .where(F.col("p_size") == 1)
+        .select("p_partkey", "p_brand")
+    )
+    pre = bloom_prefilter(li, dim.select("p_partkey"), "l_partkey", "p_partkey")
+    j = pre.join(F.broadcast(dim), pre.l_partkey == dim.p_partkey)
+    return j.groupBy("p_brand").agg(
+        F.count(F.lit(1)).alias("n_items"),
+        F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+    )
+
+
+@q(
+    "bucketed_join_colocated",
+    """
+    SELECT c.c_mktsegment AS segment, COUNT(*) AS n_orders,
+           ROUND(SUM(o.o_totalprice), 2) AS total_price
+    FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    GROUP BY c.c_mktsegment
+    """,
+)
+def bucketed_join_colocated(spark, sf_dir):
+    """Fact-to-dim join through bucketed catalog tables (engine.ops.io.
+    write_bucketed): both sides land in 16 hash buckets on the join key, so
+    the join reads co-located buckets and needs NO exchange on either side —
+    the layout answer to repeated 100 TB joins, paying one shuffle at write
+    time and zero per query after.  The no-Exchange sort-merge plan shape is
+    pinned in tests/test_layout.py (broadcast disabled there to force SMJ);
+    at oracle scale AQE may still pick a broadcast — the RESULT is layout-
+    independent, which is what the oracle pins here."""
+    from engine.ops.io import read_table, write_bucketed
+
+    o = t(spark, sf_dir, "orders").select("o_custkey", "o_totalprice")
+    c = t(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    write_bucketed(o, "bj_orders", "o_custkey", 16, sort_col="o_custkey")
+    write_bucketed(c, "bj_customer", "c_custkey", 16, sort_col="c_custkey")
+    ob = read_table(spark, "bj_orders")
+    cb = read_table(spark, "bj_customer")
+    j = ob.join(cb, ob.o_custkey == cb.c_custkey)
+    return j.groupBy(F.col("c_mktsegment").alias("segment")).agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.round(F.sum("o_totalprice"), 2).alias("total_price"),
+    )
+
+
+@q(
+    "hll_shard_merge",
+    """
+    SELECT CAST(COUNT(DISTINCT l_partkey) AS BIGINT) AS exact_n,
+           1 AS merge_matches_whole, 1 AS rel_err_lt_5pct
+    FROM lineitem WHERE l_partkey IS NOT NULL
+    """,
+)
+def hll_shard_merge(spark, sf_dir):
+    """Mergeable distinct-count sketches (Spark's Datasketches HLL family):
+    per-shard sketches (l_orderkey % 4) union into the corpus sketch without
+    re-reading history — the incremental-corpus pattern applied to distinct
+    counts, and the only distinct-count shape that rolls up per-day at
+    100 TB.  DuckDB cannot reproduce Datasketches register values, so the
+    oracle pins the PROPERTIES the sketches must satisfy, computed
+    Spark-side from deterministic sketches: the shard-merged estimate equals
+    the whole-corpus estimate within 1% (register-max merge is associative),
+    and the estimate lands within 5% of the exact count (lgK=12 → ~1.6%
+    rsd; exact in sparse mode at oracle scale).  `exact_n` itself is the
+    cross-engine value check."""
+    li = (
+        t(spark, sf_dir, "lineitem")
+        .where(F.col("l_partkey").isNotNull())
+        .select("l_orderkey", "l_partkey")
+    )
+    shards = li.groupBy(F.pmod("l_orderkey", F.lit(4)).alias("shard")).agg(
+        F.hll_sketch_agg("l_partkey", F.lit(12)).alias("sk")
+    )
+    merged = shards.agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("merged_est")
+    )
+    whole = li.agg(
+        F.hll_sketch_estimate(F.hll_sketch_agg("l_partkey", F.lit(12))).alias(
+            "whole_est"
+        ),
+        F.count_distinct("l_partkey").cast("long").alias("exact_n"),
+    )
+    both = whole.crossJoin(F.broadcast(merged))
+    return both.select(
+        "exact_n",
+        (
+            F.abs(F.col("merged_est") - F.col("whole_est"))
+            <= 0.01 * F.col("whole_est")
+        )
+        .cast("int")
+        .alias("merge_matches_whole"),
+        (
+            F.abs(F.col("merged_est") - F.col("exact_n"))
+            <= 0.05 * F.col("exact_n")
+        )
+        .cast("int")
+        .alias("rel_err_lt_5pct"),
+    )
+
+
 def _ivf_seeded_sql(
     *, n_lists: int = 8, iters: int = 2, nprobe: int = 3, k: int = 10, qid: int = 7
 ) -> str:

@@ -1,0 +1,91 @@
+"""Bloom runtime-filter, bucketed-write recovery, and HLL merge gates.
+
+Semantics: bloom_prefilter never drops a matching fact row (no false
+negatives), drops NULL keys like the equi-join would, and composes with the
+join to the exact plain-join result; write_bucketed recovers from an
+orphaned warehouse location (catalog lost, directory left behind); the HLL
+shard-merge estimate equals the whole-corpus estimate.
+
+Plan shape (the 100 TB claim): the prefiltered fact side is a bare
+Filter-over-scan — no Join, no Exchange — so the reduction happens before
+any shuffle.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import functions as F
+
+from engine.ops.runtime_filter import bloom_prefilter
+
+
+def plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_bloom_prefilter_no_false_negatives_exact_join(spark):
+    fact = spark.createDataFrame(
+        [(i % 37, i) for i in range(500)] + [(None, 999)], "k int, v int"
+    )
+    build = spark.createDataFrame([(3,), (11,), (36,), (None,)], "bk int")
+    pre = bloom_prefilter(fact, build, "k", "bk")
+    got = pre.join(build.where(F.col("bk").isNotNull()), pre.k == F.col("bk"))
+    plain = fact.join(build.where(F.col("bk").isNotNull()), fact.k == F.col("bk"))
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, plain.collect()))
+    # every matching key survived the prefilter
+    kept = {r["k"] for r in pre.select("k").distinct().collect()}
+    assert {3, 11, 36} <= kept
+    assert None not in kept  # NULL keys drop, matching inner-join semantics
+
+
+def test_bloom_prefilter_tiny_filter_overselects_never_underselects(spark):
+    # m_bits=64 forces false positives; correctness must not depend on them
+    fact = spark.createDataFrame([(i, i) for i in range(200)], "k int, v int")
+    build = spark.createDataFrame([(7,), (8,)], "bk int")
+    pre = bloom_prefilter(fact, build, "k", "bk", n_hashes=2, m_bits=64)
+    kept = {r["k"] for r in pre.collect()}
+    assert {7, 8} <= kept  # no false negatives, ever
+
+
+def test_bloom_prefilter_plan_is_scan_side_only(spark):
+    fact = spark.createDataFrame([(i, i) for i in range(100)], "k int, v int")
+    build = spark.createDataFrame([(1,), (2,)], "bk int")
+    p = plan(bloom_prefilter(fact, build, "k", "bk"))
+    assert "Join" not in p and "Exchange" not in p  # pure filter, pre-shuffle
+
+
+def test_write_bucketed_recovers_orphaned_location(spark):
+    """A leftover spark-warehouse/<table> dir without a catalog entry must
+    not break the next overwrite (LOCATION_ALREADY_EXISTS regression: the
+    local derby catalog is per-session, the warehouse dir is not)."""
+    from urllib.parse import urlparse
+
+    from engine.ops.io import read_table, write_bucketed
+
+    spark.sql("DROP TABLE IF EXISTS t_orphan")
+    wh = urlparse(spark.conf.get("spark.sql.warehouse.dir")).path
+    os.makedirs(os.path.join(wh, "t_orphan"), exist_ok=True)
+    with open(os.path.join(wh, "t_orphan", "stale.parquet"), "w") as f:
+        f.write("junk")
+    df = spark.range(100).select((F.col("id") % 7).alias("k"), "id")
+    try:
+        write_bucketed(df, "t_orphan", "k", 4)
+        assert read_table(spark, "t_orphan").count() == 100
+    finally:
+        spark.sql("DROP TABLE IF EXISTS t_orphan")
+
+
+def test_hll_shard_merge_equals_whole(spark):
+    df = spark.createDataFrame(
+        [(i % 5, f"u{i % 400}") for i in range(3000)], "shard int, u string"
+    )
+    shards = df.groupBy("shard").agg(F.hll_sketch_agg("u", F.lit(12)).alias("sk"))
+    merged = shards.agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("m")
+    ).collect()[0]["m"]
+    whole = df.agg(
+        F.hll_sketch_estimate(F.hll_sketch_agg("u", F.lit(12))).alias("w")
+    ).collect()[0]["w"]
+    assert merged == whole  # register-max merge is associative
+    assert abs(merged - 400) <= 0.05 * 400
