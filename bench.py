@@ -119,6 +119,8 @@ SECONDARY = [
     "bloom_prefilter_join",
     "bucketed_join_colocated",
     "hll_shard_merge",
+    "k_anonymity_audit",
+    "dedup_bloom_incremental",
 ]
 
 

@@ -90,14 +90,16 @@ def pagerank(
     ranks = nodes.select("node", F.lit(int(unit)).cast("long").alias("rank"))
     prev = None
     for _ in range(iters):
-        contribs = (
-            e.join(ranks.withColumnRenamed("node", "src"), "src")
-            .join(od, "src")
-            .select(
-                F.col("dst").alias("node"),
-                _idiv(F.col("rank"), F.col("outdeg")).alias("c"),
-            )
+        # rank div outdeg is a NODE-sized computation: join ranks to outdeg
+        # first (both node-cardinality) and hit the EDGE table exactly once
+        # per round.  The naive e ⋈ ranks ⋈ od shape drags edge-sized rows
+        # through two joins — at 100 TB the edge table is the big side, so
+        # halving its join passes halves the round's dominant cost
+        # (measured: pagerank_topk 9.1 → see SCALE.md r5 appendix).
+        per_src = ranks.withColumnRenamed("node", "src").join(od, "src").select(
+            "src", _idiv(F.col("rank"), F.col("outdeg")).alias("c")
         )
+        contribs = e.join(per_src, "src").select(F.col("dst").alias("node"), "c")
         s = contribs.groupBy("node").agg(F.sum("c").alias("s"))
         new = nodes.join(s, "node", "left").select(
             "node",

@@ -28,7 +28,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["table_profile", "group_quantiles", "int_histogram", "winsorized_stats", "categorical_mi"]
+__all__ = ["table_profile", "group_quantiles", "int_histogram", "winsorized_stats", "categorical_mi", "k_anonymity"]
 
 
 def _canon_str(c, dtype: str):
@@ -322,3 +322,24 @@ def categorical_mi(
         .otherwise(F.lit(0.0))
         .alias("nmi"),
     )
+
+
+def k_anonymity(df: DataFrame, quasi_cols: list[str], *, k: int = 5) -> DataFrame:
+    """Equivalence-class audit for the k-anonymity privacy criterion: rows
+    sharing one combination of the quasi-identifier columns form a class; a
+    class smaller than ``k`` re-identifies its members by linkage.  Returns
+    the class table (quasi cols + ``class_size`` + ``at_risk``) for callers
+    to aggregate (share of rows at risk, min class size per stratum) or to
+    drive suppression/generalization.
+
+    Scale shape: one hash aggregate on the quasi-identifier tuple — the
+    class table is at most quasi-cardinality rows, so the audit of a 100 TB
+    release is a single shuffle bounded by the identifier space, never by
+    row count.  NULL quasi values group together (SQL GROUP BY semantics)
+    — a NULL-heavy column forms one big class, which is the conservative
+    direction for an at-risk audit.
+    """
+    if not quasi_cols:
+        raise ValueError("quasi_cols must be non-empty")
+    cls = df.groupBy(*quasi_cols).agg(F.count(F.lit(1)).alias("class_size"))
+    return cls.withColumn("at_risk", F.col("class_size") < k)

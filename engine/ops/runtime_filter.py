@@ -4,8 +4,9 @@ At 100 TB the dominant join cost is shuffling fact rows that CANNOT match —
 a selective dimension (say 0.1% of part keys survive a filter) still forces
 the full fact table through the exchange before the join drops 99.9% of it.
 The classic fix is a runtime filter: collapse the build side's key set into
-a constant-size Bloom filter, broadcast it as a literal, and drop
-non-matching fact rows DURING THE SCAN, before any shuffle.  Spark's own
+a small Bloom filter (sized from the key count, bounded by a literal
+budget), broadcast it as a literal, and drop non-matching fact rows DURING
+THE SCAN, before any shuffle.  Spark's own
 optimizer does this opportunistically (``spark.sql.optimizer.runtime.
 bloomFilter.enabled``); this operator makes the reduction explicit,
 deterministic (md5 hash family — the DuckDB oracle reproduces the exact bit
@@ -40,25 +41,48 @@ def bloom_prefilter(
     build_key: str | None = None,
     *,
     n_hashes: int = 3,
-    m_bits: int = 16384,
+    m_bits: int | None = None,
+    bits_per_key: int = 10,
+    max_bits: int = 1 << 20,
     hash_fn: str = "md5",
 ) -> DataFrame:
     """Filter ``fact`` to rows whose ``fact_key`` MAY appear in
     ``build_keys[build_key]`` (no false negatives).
 
     The build side is aggregated to distinct bit positions — a collect
-    bounded by ``m_bits`` (2 KiB of filter at the 16384 default) no matter
-    how many build rows exist — and the probe is pure codegen (hash →
-    literal-array bit test): no join, no shuffle, no Python on the fact
-    side.  Rows with a NULL key are dropped, matching inner-equi-join
-    semantics (NULL never equi-matches).
+    bounded by the filter size no matter how many build rows exist — and
+    the probe is pure codegen (hash → literal-array bit test): no join, no
+    shuffle, no Python on the fact side.  Rows with a NULL key are dropped,
+    matching inner-equi-join semantics (NULL never equi-matches).
+
+    Sizing: ``m_bits=None`` (default) sizes the filter from the DISTINCT
+    build-key count at ``bits_per_key`` (10 → ~1% false positives with 3
+    hashes).  A FIXED filter under a growing build side is the classic
+    silent failure — at 10× the keys it saturates, FP → 1, and the probe
+    degenerates to "hash every fact row, keep everything" (measured: the
+    x10 probe went 6× superlinear under a hard-coded 16384 before this).
+    If the needed size exceeds ``max_bits`` (a literal-array budget: 2^20
+    bits = 16 K longs — beyond that the embedded literal bloats codegen
+    and the filter stops being 'small'), the prefilter DEGRADES to the
+    NULL-key drop only: semantics are unchanged (callers always follow
+    with the exact join) and the plan falls back to the plain join the
+    optimizer would have run anyway — the honest behavior when the build
+    side is no longer 'small' relative to the filter budget.
     """
     from engine.extended.curation import bloom_bit_words, bloom_member
 
     build_key = build_key or fact_key
-    keys = build_keys.select(
-        F.col(build_key).cast("string").alias("__bf_key")
-    ).where(F.col("__bf_key").isNotNull())
+    keys = (
+        build_keys.select(F.col(build_key).cast("string").alias("__bf_key"))
+        .where(F.col("__bf_key").isNotNull())
+        .distinct()
+    )
+    if m_bits is None:
+        n_keys = keys.count()
+        need = max(64, 64 * ((n_keys * bits_per_key + 63) // 64))
+        if need > max_bits:
+            return fact.where(F.col(fact_key).isNotNull())
+        m_bits = need
     words = bloom_bit_words(
         keys, key_col="__bf_key", n_hashes=n_hashes, m_bits=m_bits, hash_fn=hash_fn
     )

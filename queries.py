@@ -2752,6 +2752,97 @@ def hll_shard_merge(spark, sf_dir):
     )
 
 
+@q(
+    "k_anonymity_audit",
+    """
+    WITH cls AS (
+      SELECT c_mktsegment, c_nationkey, COUNT(*) AS class_size
+      FROM customer GROUP BY c_mktsegment, c_nationkey)
+    SELECT c_mktsegment AS segment,
+           COUNT(*) AS n_classes,
+           CAST(MIN(class_size) AS BIGINT) AS min_class_size,
+           CAST(SUM(CASE WHEN class_size < 5 THEN 1 ELSE 0 END) AS BIGINT)
+             AS small_classes,
+           CAST(SUM(CASE WHEN class_size < 5 THEN class_size ELSE 0 END)
+             AS BIGINT) AS rows_at_risk
+    FROM cls GROUP BY c_mktsegment
+    """,
+)
+def k_anonymity_audit(spark, sf_dir):
+    """k-anonymity release audit (engine.ops.profile.k_anonymity, k=5) over
+    the (segment, nation) quasi-identifier pair: classes smaller than k
+    re-identify their members by linkage, so a privacy-gated training-data
+    release needs this count at zero (or those rows suppressed).  One hash
+    aggregate bounded by quasi-identifier cardinality — row volume never
+    reaches the audit's shuffle."""
+    from engine.ops.profile import k_anonymity
+
+    c = t(spark, sf_dir, "customer")
+    cls = k_anonymity(c, ["c_mktsegment", "c_nationkey"], k=5)
+    return cls.groupBy(F.col("c_mktsegment").alias("segment")).agg(
+        F.count(F.lit(1)).alias("n_classes"),
+        F.min("class_size").cast("long").alias("min_class_size"),
+        F.sum(F.when(F.col("at_risk"), 1).otherwise(0))
+        .cast("long")
+        .alias("small_classes"),
+        F.sum(F.when(F.col("at_risk"), F.col("class_size")).otherwise(0))
+        .cast("long")
+        .alias("rows_at_risk"),
+    )
+
+
+@q(
+    "dedup_bloom_incremental",
+    """
+    WITH k AS (
+      SELECT doc_id, source,
+             MD5(LOWER(REGEXP_REPLACE(text, '[^A-Za-z0-9]', '', 'g'))) AS key
+      FROM documents),
+    corpus AS (
+      SELECT DISTINCT key FROM k WHERE doc_id % 2 = 0 AND key IS NOT NULL),
+    batch AS (SELECT doc_id, source, key FROM k WHERE doc_id % 2 = 1)
+    SELECT b.doc_id, b.source,
+           CASE WHEN c.key IS NOT NULL THEN 1 ELSE 0 END AS is_dup
+    FROM batch b LEFT JOIN corpus c ON b.key = c.key
+    """,
+)
+def dedup_bloom_incremental(spark, sf_dir):
+    """Incremental exact dedup with a Bloom-prereduced index probe: the
+    corpus's normalized-text hashes become a constant-size Bloom filter
+    (engine.ops.runtime_filter.bloom_prefilter), the incoming batch drops
+    its certainly-new docs in the scan, and only the flagged slice joins
+    the real corpus index — so the verdict is EXACT (the oracle is the
+    plain semi-join; Bloom false positives are resolved by the back-check
+    join) while the per-batch join input shrinks from |batch| to
+    |batch ∩ corpus| + ε.  This is the ingestion-time shape of
+    dedup_exact: at 100 TB the nightly batch probes a 2 KiB filter instead
+    of shuffling against the full corpus index (sibling of
+    dedup_minhash_incremental, which does the same for NEAR-dups).
+    Batch-internal duplicates are intentionally not flagged — the verdict
+    is against the accepted corpus, matching the index-probe contract."""
+    from engine.ops.runtime_filter import bloom_prefilter
+
+    d = t(spark, sf_dir, "documents")
+    key = F.md5(F.lower(F.regexp_replace("text", "[^A-Za-z0-9]", "")))
+    with_key = d.select("doc_id", "source", key.alias("key"))
+    corpus = (
+        with_key.where(F.col("doc_id") % 2 == 0)
+        .select("key")
+        .where(F.col("key").isNotNull())
+        .distinct()
+    )
+    batch = with_key.where(F.col("doc_id") % 2 == 1)
+    cand = bloom_prefilter(batch, corpus, "key")
+    dup_ids = cand.join(corpus, "key").select("doc_id").distinct()
+    return batch.join(
+        dup_ids.withColumn("__hit", F.lit(1)), "doc_id", "left"
+    ).select(
+        "doc_id",
+        "source",
+        F.coalesce(F.col("__hit"), F.lit(0)).alias("is_dup"),
+    )
+
+
 def _ivf_seeded_sql(
     *, n_lists: int = 8, iters: int = 2, nprobe: int = 3, k: int = 10, qid: int = 7
 ) -> str:

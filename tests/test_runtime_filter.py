@@ -48,6 +48,31 @@ def test_bloom_prefilter_tiny_filter_overselects_never_underselects(spark):
     assert {7, 8} <= kept  # no false negatives, ever
 
 
+def test_bloom_prefilter_autosizes_to_key_count(spark):
+    """Default sizing must track the distinct build-key count (~1% FP at
+    10 bits/key) — a fixed filter saturates at 10x the keys (x10-probe
+    regression: FP -> 1 degenerated the prefilter to a full pass-through)."""
+    fact = spark.createDataFrame([(i, i) for i in range(5000)], "k int, v int")
+    build = spark.createDataFrame([(i,) for i in range(2000)], "bk int")
+    pre = bloom_prefilter(fact, build, "k", "bk")
+    kept = pre.count()
+    assert kept >= 2000  # no false negatives
+    assert kept <= 2000 + 0.05 * 3000  # FP rate stayed low at 2000 keys
+
+
+def test_bloom_prefilter_degrades_when_over_budget(spark):
+    """Needed bits beyond max_bits -> skip the filter (NULL drop only):
+    semantics unchanged, no saturated-bloom work."""
+    fact = spark.createDataFrame(
+        [(1, 1), (2, 2), (None, 3)], "k int, v int"
+    )
+    build = spark.createDataFrame([(i,) for i in range(100)], "bk int")
+    pre = bloom_prefilter(fact, build, "k", "bk", max_bits=64)
+    assert sorted(r["k"] for r in pre.collect()) == [1, 2]
+    p = plan(pre)
+    assert "md5" not in p.lower()  # degraded path must not hash per row
+
+
 def test_bloom_prefilter_plan_is_scan_side_only(spark):
     fact = spark.createDataFrame([(i, i) for i in range(100)], "k int, v int")
     build = spark.createDataFrame([(1,), (2,)], "bk int")
