@@ -115,18 +115,27 @@ def radius_join(
     offsets = F.expr(
         "array(-1, 0, 1)"
     )
+    # wrap BEFORE exploding and de-duplicate the wrapped ids: with fewer
+    # than 3 longitude cells (radius so large the globe tiles into 1-2
+    # cells) the three dx offsets collapse onto the same wrapped cell, and
+    # exploding them raw would emit the same candidate pair 2-3 times
+    wrapped_dx = F.array_distinct(
+        F.transform(
+            offsets,
+            lambda d: F.pmod(
+                F.col("l_cx") + d + F.lit(n_lon_cells), F.lit(n_lon_cells)
+            ),
+        )
+    )
     probes = (
         l_.withColumn("__dy", F.explode(offsets))
-        .withColumn("__dx", F.explode(offsets))
+        .withColumn("cx", F.explode(wrapped_dx))
         .select(
             "l_id",
             "l_lat",
             "l_lon",
             (F.col("l_cy") + F.col("__dy")).alias("cy"),
-            F.pmod(
-                F.col("l_cx") + F.col("__dx") + F.lit(n_lon_cells),
-                F.lit(n_lon_cells),
-            ).alias("cx"),
+            "cx",
         )
     )
     cand = probes.join(

@@ -99,3 +99,18 @@ def test_radius_join_covers_the_narrow_seam_cell(spark):
     ).collect()
     assert len(out) == 1
     assert out[0]["dist_km"] == pytest.approx(132.9, abs=0.5)
+
+
+def test_huge_radius_no_duplicate_pairs(spark):
+    """With radius so large the globe tiles into < 3 longitude cells, the
+    wrapped 3x3 probe offsets collapse onto the same cell — pairs must
+    still appear exactly once (wrapped ids are distinct-ed pre-explode)."""
+    from engine.extended.spatial import radius_join
+
+    l = spark.createDataFrame([(1, 0.0, 10.0)], "left_id int, lat double, lon double")
+    r = spark.createDataFrame(
+        [(2, 1.0, 12.0), (3, 0.0, 90.0)], "right_id int, lat double, lon double"
+    )
+    got = radius_join(l, r, radius_km=9000.0).collect()
+    keys = [(x["left_id"], x["right_id"]) for x in got]
+    assert sorted(keys) == [(1, 2), (1, 3)]  # each pair once, both in radius
