@@ -121,6 +121,7 @@ SECONDARY = [
     "hll_shard_merge",
     "k_anonymity_audit",
     "dedup_bloom_incremental",
+    "hist_shard_merge",
 ]
 
 

@@ -120,3 +120,101 @@ def cms_estimate(
     joined = probes.join(F.broadcast(sketch), ["row", "col"])
     group_cols = [c for c in keys.columns]
     return joined.groupBy(*group_cols).agg(F.min("cnt").alias(est_col))
+
+
+# ---------------------------------------------------------------------------
+# Mergeable equi-width histograms: the quantile member of the sketch family
+# (frequencies = count-min above, distinct counts = Datasketches HLL in
+# queries.hll_shard_merge, quantiles = this)
+# ---------------------------------------------------------------------------
+
+
+def hist_build(
+    df: DataFrame, value_col: str, *, lo: float, hi: float, n_buckets: int = 256
+) -> DataFrame:
+    """One-pass equi-width histogram → ``(bucket, cnt)``.
+
+    The grid (``lo``, ``hi``, ``n_buckets``) is DATA-INDEPENDENT, which is
+    what makes the histogram mergeable (same buckets everywhere) and
+    oracle-reproducible (no engine-specific quantile interpolation inside
+    the sketch).  Values clamp into the edge buckets, so outliers never
+    grow the grid; NULLs are skipped.  Like the CMS build, the aggregate
+    has ≤ ``n_buckets`` groups — map-side partials collapse everything and
+    the shuffle is constant-size in input volume.  Quantile estimates read
+    off the cumulative histogram with error ≤ one bucket width — the
+    trade that lets per-shard/per-day histograms roll up without
+    re-reading history (a t-digest is tighter but not exactly
+    reproducible across engines).
+    """
+    if not hi > lo:
+        raise ValueError(f"need hi > lo, got ({lo}, {hi})")
+    if n_buckets < 1:
+        raise ValueError(f"n_buckets must be >= 1, got {n_buckets}")
+    w = (hi - lo) / n_buckets
+    v = F.col(value_col).cast("double")
+    bucket = F.least(
+        F.greatest(F.floor((v - F.lit(lo)) / F.lit(w)), F.lit(0)),
+        F.lit(n_buckets - 1),
+    ).cast("long")
+    return (
+        df.where(v.isNotNull())
+        .select(bucket.alias("bucket"))
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def hist_merge(*hists: DataFrame) -> DataFrame:
+    """Element-wise sum of histograms on the same grid: hist(A) + hist(B)
+    == hist(A ∪ B) exactly (same linearity as :func:`cms_merge`)."""
+    if not hists:
+        raise ValueError("hist_merge needs at least one histogram")
+    out = hists[0]
+    for h in hists[1:]:
+        out = out.unionByName(h)
+    return out.groupBy("bucket").agg(F.sum("cnt").alias("cnt"))
+
+
+def hist_quantile(
+    hist: DataFrame, q: float, *, lo: float, hi: float, n_buckets: int = 256
+) -> Column:
+    """Scalar quantile estimate (upper edge of the bucket where the
+    cumulative count first reaches ``q · N``) as a 1-row aggregate-ready
+    expression: callers ``hist.agg(...)`` or select from the windowed
+    cumulative.  Returned estimate is within one bucket width of the true
+    quantile by construction.
+
+    Implemented as a plain aggregate over the ≤ ``n_buckets``-row histogram
+    (min bucket whose cumulative share ≥ q via a conditional min over a
+    sorted-array scan — no window needed on a bounded table).
+    """
+    if not 0 < q <= 1:
+        raise ValueError(f"q must be in (0, 1], got {q}")
+    w = (hi - lo) / n_buckets
+    # cumulative share per bucket without a window: sum counts of buckets
+    # <= b for each candidate b, via a self-aggregated sorted array
+    pairs = F.array_sort(
+        F.collect_list(F.struct(F.col("bucket"), F.col("cnt")))
+    )
+    total = F.aggregate(
+        pairs, F.lit(0).cast("long"), lambda acc, x: acc + x["cnt"]
+    )
+    # fold: track (cum, answer_bucket); first bucket reaching q*total wins
+    folded = F.aggregate(
+        pairs,
+        F.struct(
+            F.lit(0).cast("long").alias("cum"),
+            F.lit(None).cast("long").alias("ans"),
+        ),
+        lambda acc, x: F.struct(
+            (acc["cum"] + x["cnt"]).alias("cum"),
+            F.when(
+                acc["ans"].isNull()
+                & ((acc["cum"] + x["cnt"]) >= F.lit(q) * total),
+                x["bucket"],
+            )
+            .otherwise(acc["ans"])
+            .alias("ans"),
+        ),
+    )
+    return F.lit(lo) + (folded["ans"] + 1) * F.lit(w)

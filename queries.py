@@ -2753,6 +2753,100 @@ def hll_shard_merge(spark, sf_dir):
 
 
 @q(
+    "hist_shard_merge",
+    """
+    WITH src AS (
+      SELECT CAST(l_extendedprice AS DOUBLE) AS v, l_orderkey % 2 AS shard
+      FROM lineitem WHERE l_extendedprice IS NOT NULL),
+    b AS (
+      SELECT shard,
+             CAST(LEAST(GREATEST(FLOOR(v / 468.75), 0), 255) AS BIGINT)
+               AS bucket
+      FROM src),
+    by_shard AS (SELECT shard, bucket, COUNT(*) AS cnt FROM b GROUP BY 1, 2),
+    merged AS (
+      SELECT bucket, CAST(SUM(cnt) AS BIGINT) AS cnt FROM by_shard GROUP BY 1),
+    whole AS (SELECT bucket, COUNT(*) AS cnt FROM b GROUP BY 1),
+    tot AS (SELECT SUM(cnt) AS n FROM merged),
+    cum AS (SELECT bucket, SUM(cnt) OVER (ORDER BY bucket) AS c FROM merged),
+    p50b AS (SELECT MIN(bucket) AS bk FROM cum, tot WHERE c >= 0.5 * n),
+    est AS (SELECT ROUND((bk + 1) * 468.75, 2) AS est_p50 FROM p50b),
+    ex AS (
+      SELECT percentile_cont(0.5) WITHIN GROUP (ORDER BY v) AS m FROM src)
+    SELECT (SELECT COUNT(*) FROM merged) AS n_buckets_used,
+           (SELECT CAST(SUM(CASE WHEN m2.cnt <> w2.cnt THEN 1 ELSE 0 END)
+                    AS BIGINT)
+              FROM merged m2 JOIN whole w2 USING (bucket)) AS n_diff,
+           est.est_p50,
+           CASE WHEN ABS(est.est_p50 - ex.m) <= 468.75 THEN 1 ELSE 0 END
+             AS within_one_bucket
+    FROM est, ex
+    """,
+)
+def hist_shard_merge(spark, sf_dir):
+    """Mergeable equi-width histogram — the QUANTILE member of the sketch
+    family (frequencies = count-min, distinct = HLL union, quantiles =
+    this).  Per-shard histograms on a data-independent grid (0..120000,
+    256 buckets over l_extendedprice) merge by element-wise addition into
+    the whole-corpus histogram (n_diff = 0 pinned cell-for-cell
+    cross-engine), and the p50 read off the cumulative histogram lands
+    within one bucket width of the exact median (flag pinned).  Unlike a
+    t-digest the grid sketch is bit-identically reproducible in the
+    oracle; the trade is fixed resolution.  Build shuffle ≤ n_buckets
+    groups — constant in input volume."""
+    from engine.extended.sketch import hist_build, hist_merge, hist_quantile
+
+    lo, hi, nb = 0.0, 120000.0, 256
+    w = (hi - lo) / nb
+    li = t(spark, sf_dir, "lineitem").where(
+        F.col("l_extendedprice").isNotNull()
+    )
+    even = hist_build(
+        li.where(F.col("l_orderkey") % 2 == 0),
+        "l_extendedprice",
+        lo=lo,
+        hi=hi,
+        n_buckets=nb,
+    )
+    odd = hist_build(
+        li.where(F.col("l_orderkey") % 2 == 1),
+        "l_extendedprice",
+        lo=lo,
+        hi=hi,
+        n_buckets=nb,
+    )
+    merged = hist_merge(even, odd)
+    whole = hist_build(li, "l_extendedprice", lo=lo, hi=hi, n_buckets=nb)
+    diff = (
+        merged.select("bucket", F.col("cnt").alias("m_cnt"))
+        .join(whole.select("bucket", F.col("cnt").alias("w_cnt")), "bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_buckets_used"),
+            F.sum(F.when(F.col("m_cnt") != F.col("w_cnt"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_diff"),
+        )
+    )
+    est = merged.agg(
+        F.round(hist_quantile(merged, 0.5, lo=lo, hi=hi, n_buckets=nb), 2).alias(
+            "est_p50"
+        )
+    )
+    exact = li.agg(
+        F.expr("percentile(l_extendedprice, 0.5)").alias("__m")
+    )
+    out = diff.crossJoin(F.broadcast(est)).crossJoin(F.broadcast(exact))
+    return out.select(
+        "n_buckets_used",
+        "n_diff",
+        "est_p50",
+        (F.abs(F.col("est_p50") - F.col("__m")) <= F.lit(w))
+        .cast("int")
+        .alias("within_one_bucket"),
+    )
+
+
+@q(
     "k_anonymity_audit",
     """
     WITH cls AS (

@@ -121,3 +121,47 @@ def test_salted_distinct_partial_shuffles_on_salt(spark):
         "l_returnflag" in x and "l_partkey" in x and "_groupingexpression" in x
         for x in parts
     ), parts
+
+
+# ---------------------------------------------------------------------------
+# Mergeable equi-width histogram (quantile sketch family member)
+# ---------------------------------------------------------------------------
+
+
+def test_hist_merge_equals_whole_and_quantile_bound(spark):
+    from engine.extended.sketch import hist_build, hist_merge, hist_quantile
+
+    rows = [(float(i), i % 2) for i in range(1000)]
+    df = spark.createDataFrame(rows, "v double, shard int")
+    kw = dict(lo=0.0, hi=1000.0, n_buckets=50)
+    parts = [
+        hist_build(df.where(F.col("shard") == s), "v", **kw) for s in (0, 1)
+    ]
+    merged = hist_merge(*parts)
+    whole = hist_build(df, "v", **kw)
+    j = merged.select("bucket", F.col("cnt").alias("m")).join(
+        whole.select("bucket", F.col("cnt").alias("w")), "bucket", "full"
+    )
+    assert j.where("m IS NULL OR w IS NULL OR m <> w").count() == 0
+    est = merged.agg(hist_quantile(merged, 0.5, **kw).alias("e")).collect()[0]["e"]
+    assert abs(est - 499.5) <= 20.0  # one bucket width of the true median
+
+
+def test_hist_clamps_outliers_and_skips_nulls(spark):
+    from engine.extended.sketch import hist_build
+
+    df = spark.createDataFrame(
+        [(-50.0,), (5.0,), (999.0,), (None,)], "v double"
+    )
+    h = {r["bucket"]: r["cnt"] for r in
+         hist_build(df, "v", lo=0.0, hi=100.0, n_buckets=10).collect()}
+    assert h == {0: 2, 9: 1}  # -50 clamps to 0, 999 clamps to top, NULL gone
+
+
+def test_hist_build_constant_group_cardinality_plan(spark):
+    from engine.extended.sketch import hist_build
+
+    df = spark.createDataFrame([(float(i),) for i in range(100)], "v double")
+    h = hist_build(df, "v", lo=0.0, hi=100.0, n_buckets=8)
+    p = plan(h)
+    assert "Join" not in p  # one aggregate chain, bucket-bounded
