@@ -103,12 +103,14 @@ def cms_estimate(
 ) -> DataFrame:
     """Frequency estimates for ``keys[key_col]`` → keys + ``est_col``.
 
-    Probing is a broadcast hash join of the candidates against the ≤
-    depth × width cell table, then MIN over the ``depth`` matched counters.
-    Keys absent from the build still get their (over)estimate from whatever
-    shares their cells — CMS semantics; a true zero only if all ``depth``
-    cells are empty, in which case the join drops the key (inner join), so
-    callers probing open-world keys should left-join semantics themselves.
+    Probing is a broadcast hash LEFT join of the candidates against the ≤
+    depth × width cell table, then MIN over the ``depth`` counters with an
+    empty cell counting as ZERO.  That empty-cell zero is load-bearing for
+    open-world probes: a key the sketch has never seen whose cells are
+    (hot-collision 100, 50, empty) must estimate min(100, 50, 0) = 0 — an
+    inner join would drop the empty cell and return 50, a false positive
+    frequency for a provably-absent key (review catch; the registry
+    queries never hit it because their probes are build subsets).
     """
     key = F.col(key_col).cast("string")
     probes = keys.select(
@@ -117,9 +119,11 @@ def cms_estimate(
             F.array(*[cms_hash_col(key, r, width) for r in range(depth)])
         ).alias("row", "col"),
     )
-    joined = probes.join(F.broadcast(sketch), ["row", "col"])
+    joined = probes.join(F.broadcast(sketch), ["row", "col"], "left")
     group_cols = [c for c in keys.columns]
-    return joined.groupBy(*group_cols).agg(F.min("cnt").alias(est_col))
+    return joined.groupBy(*group_cols).agg(
+        F.min(F.coalesce(F.col("cnt"), F.lit(0).cast("long"))).alias(est_col)
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -176,16 +180,24 @@ def hist_merge(*hists: DataFrame) -> DataFrame:
 
 
 def hist_quantile(
-    hist: DataFrame, q: float, *, lo: float, hi: float, n_buckets: int = 256
-) -> Column:
-    """Scalar quantile estimate (upper edge of the bucket where the
-    cumulative count first reaches ``q · N``) as a 1-row aggregate-ready
-    expression: callers ``hist.agg(...)`` or select from the windowed
-    cumulative.  Returned estimate is within one bucket width of the true
-    quantile by construction.
+    hist: DataFrame,
+    q: float,
+    *,
+    lo: float,
+    hi: float,
+    n_buckets: int = 256,
+    out_col: str = "est",
+) -> DataFrame:
+    """1-row DataFrame with the quantile estimate of ``hist`` (upper edge
+    of the bucket where the cumulative count first reaches ``q · N``) —
+    within one bucket width of the true quantile by construction.
+
+    Returns the aggregated frame rather than a bare Column so the estimate
+    is bound to THIS histogram (review catch: a Column version silently
+    aggregated whatever DataFrame it was later attached to).
 
     Implemented as a plain aggregate over the ≤ ``n_buckets``-row histogram
-    (min bucket whose cumulative share ≥ q via a conditional min over a
+    (min bucket whose cumulative share ≥ q via a conditional fold over a
     sorted-array scan — no window needed on a bounded table).
     """
     if not 0 < q <= 1:
@@ -217,4 +229,6 @@ def hist_quantile(
             .alias("ans"),
         ),
     )
-    return F.lit(lo) + (folded["ans"] + 1) * F.lit(w)
+    return hist.agg(
+        (F.lit(lo) + (folded["ans"] + 1) * F.lit(w)).alias(out_col)
+    )

@@ -58,13 +58,24 @@ def write_bucketed(
     """
     spark = df.sparkSession
     if mode == "overwrite":
+        # DROP removes a managed table's files when the catalog knows it;
+        # the rmtree handles the orphan case (location without an entry).
+        # Managed locations: default db -> <wh>/<t>, other -> <wh>/<db>.db/<t>
+        # (review catch: the first cut used <wh>/<db>.<t> for qualified
+        # names, missing the orphan it was meant to clear).
         spark.sql(f"DROP TABLE IF EXISTS {table}")
-        if not spark.catalog.tableExists(table):
-            import shutil
-            from urllib.parse import urlparse
+        import shutil
+        from urllib.parse import urlparse
 
-            wh = urlparse(spark.conf.get("spark.sql.warehouse.dir")).path
-            shutil.rmtree(f"{wh}/{table.lower()}", ignore_errors=True)
+        parts = table.lower().split(".")
+        if len(parts) > 1 and parts[0] == "spark_catalog":
+            parts = parts[1:]
+        wh = urlparse(spark.conf.get("spark.sql.warehouse.dir")).path
+        if len(parts) == 1 or parts[0] == "default":
+            loc = f"{wh}/{parts[-1]}"
+        else:
+            loc = f"{wh}/{parts[-2]}.db/{parts[-1]}"
+        shutil.rmtree(loc, ignore_errors=True)
     w = df.write.mode(mode).bucketBy(n_buckets, bucket_col)
     if sort_col:
         w = w.sortBy(sort_col)

@@ -89,17 +89,20 @@ def salted_count_distinct(
     true distinct count.  Phase 1 de-duplicates within (group, salt) across
     ``salts`` reducers per group; phase 2 sums ``salts`` small partial
     counts per group.  Result is exactly ``COUNT(DISTINCT value)`` — NULL
-    values excluded, matching SQL — with the hot group's distinct state
-    spread over ``salts`` tasks.  This is also what
-    ``spark.sql.optimizer.distinctAggregatorHashPartitioning``-class
-    rewrites do internally; the explicit operator makes the shape pinnable
-    by the plan gate and usable where the optimizer rewrite doesn't fire.
+    values excluded from the COUNT but NOT from the grouping: a group whose
+    values are all NULL still appears with count 0, exactly like the plain
+    aggregate (review catch: a pre-groupBy ``WHERE v IS NOT NULL`` dropped
+    such groups entirely).  ``count_distinct`` already ignores NULLs, so no
+    row filter is needed; NULL values hash to one constant salt bucket and
+    contribute nothing.  The hot group's distinct state spreads over
+    ``salts`` tasks — this is also what ``spark.sql.optimizer.
+    distinctAggregatorHashPartitioning``-class rewrites do internally; the
+    explicit operator makes the shape pinnable by the plan gate and usable
+    where the optimizer rewrite doesn't fire.
     """
     v = F.col(value_col)
     salt = F.pmod(F.xxhash64(v), F.lit(salts))
-    partial = (
-        df.where(v.isNotNull())
-        .groupBy(*group_cols, salt.alias("__salt"))
-        .agg(F.count_distinct(v).alias("__partial"))
+    partial = df.groupBy(*group_cols, salt.alias("__salt")).agg(
+        F.count_distinct(v).alias("__partial")
     )
     return partial.groupBy(*group_cols).agg(F.sum("__partial").alias(out_col))

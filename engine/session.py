@@ -35,11 +35,15 @@ def _mem_bytes(size: str) -> int:
     A bare number is MiB: ``spark.driver.memory`` parses unitless strings
     with byteStringAsMb (JavaUtils.byteStringAsMb), so the comparison below
     must use the same magnitude or a unitless env/gateway value mis-warns
-    by 2^20."""
-    s = size.strip().lower().removesuffix("b")
+    by 2^20.  An explicit byte suffix ('4294967296b') stays BYTES — the
+    MiB default applies only to truly unitless strings (review catch: the
+    first cut stripped the 'b' and then multiplied bytes by 2^20)."""
+    s = size.strip().lower()
+    had_b = s.endswith("b")
+    s = s.removesuffix("b")
     if s and s[-1] in _MEM_UNITS:
         return int(float(s[:-1]) * _MEM_UNITS[s[-1]])
-    return int(s) * _MEM_UNITS["m"]
+    return int(s) if had_b else int(s) * _MEM_UNITS["m"]
 
 
 def get_spark(

@@ -2599,7 +2599,8 @@ def salted_distinct_users(spark, sf_dir):
     "skew_salted_enrich",
     """
     SELECT c.c_mktsegment AS segment, COUNT(*) AS n_events,
-           ROUND(SUM(e.value), 2) AS total_value
+           CAST(ROUND(SUM(CAST(e.value AS DECIMAL(18,2))), 2) AS DOUBLE)
+             AS total_value
     FROM events e JOIN customer c ON e.user_id = c.c_custkey
     GROUP BY c.c_mktsegment
     """,
@@ -2624,7 +2625,9 @@ def skew_salted_enrich(spark, sf_dir):
     joined = salted_join(e, c, "user_id", salts=8)
     return joined.groupBy(F.col("c_mktsegment").alias("segment")).agg(
         F.count(F.lit(1)).alias("n_events"),
-        F.round(F.sum("value"), 2).alias("total_value"),
+        F.round(F.sum(F.col("value").cast("decimal(18,2)")), 2)
+        .cast("double")
+        .alias("total_value"),
     )
 
 
@@ -2668,7 +2671,8 @@ def bloom_prefilter_join(spark, sf_dir):
     "bucketed_join_colocated",
     """
     SELECT c.c_mktsegment AS segment, COUNT(*) AS n_orders,
-           ROUND(SUM(o.o_totalprice), 2) AS total_price
+           CAST(ROUND(SUM(CAST(o.o_totalprice AS DECIMAL(18,2))), 2)
+             AS DOUBLE) AS total_price
     FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
     GROUP BY c.c_mktsegment
     """,
@@ -2681,19 +2685,31 @@ def bucketed_join_colocated(spark, sf_dir):
     time and zero per query after.  The no-Exchange sort-merge plan shape is
     pinned in tests/test_layout.py (broadcast disabled there to force SMJ);
     at oracle scale AQE may still pick a broadcast — the RESULT is layout-
-    independent, which is what the oracle pins here."""
+    independent, which is what the oracle pins here.  Monetary sums go
+    through DECIMAL (the q1 discipline: float partial sums crossing ROUND
+    diverge across engines/partition counts).  NOTE: calling this query
+    function MATERIALIZES the bucketed layout (that is the operator);
+    table names are namespaced per sf_dir so concurrent registry consumers
+    on different packs cannot race on a shared name."""
+    import hashlib
+
     from engine.ops.io import read_table, write_bucketed
 
+    sfx = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
     o = t(spark, sf_dir, "orders").select("o_custkey", "o_totalprice")
     c = t(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
-    write_bucketed(o, "bj_orders", "o_custkey", 16, sort_col="o_custkey")
-    write_bucketed(c, "bj_customer", "c_custkey", 16, sort_col="c_custkey")
-    ob = read_table(spark, "bj_orders")
-    cb = read_table(spark, "bj_customer")
+    write_bucketed(o, f"bj_orders_{sfx}", "o_custkey", 16, sort_col="o_custkey")
+    write_bucketed(
+        c, f"bj_customer_{sfx}", "c_custkey", 16, sort_col="c_custkey"
+    )
+    ob = read_table(spark, f"bj_orders_{sfx}")
+    cb = read_table(spark, f"bj_customer_{sfx}")
     j = ob.join(cb, ob.o_custkey == cb.c_custkey)
     return j.groupBy(F.col("c_mktsegment").alias("segment")).agg(
         F.count(F.lit(1)).alias("n_orders"),
-        F.round(F.sum("o_totalprice"), 2).alias("total_price"),
+        F.round(F.sum(F.col("o_totalprice").cast("decimal(18,2)")), 2)
+        .cast("double")
+        .alias("total_price"),
     )
 
 
@@ -2827,11 +2843,9 @@ def hist_shard_merge(spark, sf_dir):
             .alias("n_diff"),
         )
     )
-    est = merged.agg(
-        F.round(hist_quantile(merged, 0.5, lo=lo, hi=hi, n_buckets=nb), 2).alias(
-            "est_p50"
-        )
-    )
+    est = hist_quantile(
+        merged, 0.5, lo=lo, hi=hi, n_buckets=nb, out_col="__e"
+    ).select(F.round("__e", 2).alias("est_p50"))
     exact = li.agg(
         F.expr("percentile(l_extendedprice, 0.5)").alias("__m")
     )

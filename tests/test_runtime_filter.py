@@ -114,3 +114,23 @@ def test_hll_shard_merge_equals_whole(spark):
     ).collect()[0]["w"]
     assert merged == whole  # register-max merge is associative
     assert abs(merged - 400) <= 0.05 * 400
+
+
+def test_write_bucketed_recovers_orphan_with_default_db_prefix(spark):
+    """'default.t' must resolve to <warehouse>/t (not <warehouse>/default.t)
+    when clearing an orphaned location."""
+    from urllib.parse import urlparse
+
+    from engine.ops.io import read_table, write_bucketed
+
+    spark.sql("DROP TABLE IF EXISTS t_orphan2")
+    wh = urlparse(spark.conf.get("spark.sql.warehouse.dir")).path
+    os.makedirs(os.path.join(wh, "t_orphan2"), exist_ok=True)
+    with open(os.path.join(wh, "t_orphan2", "stale"), "w") as f:
+        f.write("junk")
+    df = spark.range(50).select((F.col("id") % 3).alias("k"), "id")
+    try:
+        write_bucketed(df, "default.t_orphan2", "k", 4)
+        assert read_table(spark, "default.t_orphan2").count() == 50
+    finally:
+        spark.sql("DROP TABLE IF EXISTS default.t_orphan2")

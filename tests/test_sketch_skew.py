@@ -143,7 +143,7 @@ def test_hist_merge_equals_whole_and_quantile_bound(spark):
         whole.select("bucket", F.col("cnt").alias("w")), "bucket", "full"
     )
     assert j.where("m IS NULL OR w IS NULL OR m <> w").count() == 0
-    est = merged.agg(hist_quantile(merged, 0.5, **kw).alias("e")).collect()[0]["e"]
+    est = hist_quantile(merged, 0.5, **kw).collect()[0]["est"]
     assert abs(est - 499.5) <= 20.0  # one bucket width of the true median
 
 
@@ -165,3 +165,35 @@ def test_hist_build_constant_group_cardinality_plan(spark):
     h = hist_build(df, "v", lo=0.0, hi=100.0, n_buckets=8)
     p = plan(h)
     assert "Join" not in p  # one aggregate chain, bucket-bounded
+
+
+def test_cms_estimate_absent_key_is_zero_via_empty_cell(spark):
+    """Open-world probe: a key with at least one EMPTY counter cell must
+    estimate 0 — the left-join + coalesce(0) path (an inner join returned
+    the min of only the occupied cells: a false positive frequency)."""
+    from engine.extended.sketch import cms_build, cms_estimate
+
+    df = spark.createDataFrame([("a",)] * 4, ["k"])
+    sk = cms_build(df, "k", depth=3, width=4096)
+    probe = spark.createDataFrame([("a",), ("never-seen-key",)], ["k"])
+    got = {
+        r["k"]: r["est_n"]
+        for r in cms_estimate(sk, probe, "k", depth=3, width=4096).collect()
+    }
+    assert got["a"] == 4
+    # with one key in a width-4096 sketch, any other key has >= 1 empty cell
+    assert got["never-seen-key"] == 0
+
+
+def test_salted_count_distinct_keeps_all_null_groups(spark):
+    """A group whose values are all NULL must appear with count 0, exactly
+    like the plain COUNT(DISTINCT) aggregate."""
+    df = spark.createDataFrame(
+        [("g1", None), ("g1", None), ("g2", "v"), ("g2", None)],
+        "g string, v string",
+    )
+    got = {
+        r["g"]: r["n_distinct"]
+        for r in salted_count_distinct(df, ["g"], "v", salts=4).collect()
+    }
+    assert got == {"g1": 0, "g2": 1}
