@@ -122,6 +122,7 @@ SECONDARY = [
     "k_anonymity_audit",
     "dedup_bloom_incremental",
     "hist_shard_merge",
+    "corpus_pipeline_v4",
 ]
 
 

@@ -2769,6 +2769,93 @@ def hll_shard_merge(spark, sf_dir):
 
 
 @q(
+    "corpus_pipeline_v4",
+    """
+    WITH k AS (
+      SELECT doc_id, source, text,
+             MD5(LOWER(REGEXP_REPLACE(text, '[^A-Za-z0-9]', '', 'g'))) AS key
+      FROM documents),
+    corpus AS (
+      SELECT DISTINCT key FROM k WHERE doc_id % 2 = 0 AND key IS NOT NULL),
+    batch AS (SELECT * FROM k WHERE doc_id % 2 = 1),
+    dup AS (
+      SELECT DISTINCT b.doc_id FROM batch b JOIN corpus c ON b.key = c.key),
+    feat AS (
+      SELECT b.doc_id, b.source,
+             (d.doc_id IS NOT NULL) AS is_dup,
+             COALESCE(
+               LENGTH(regexp_extract_all(b.text, '[A-Za-z0-9'']+')) >= 10
+               AND ROUND(
+                 LENGTH(REGEXP_REPLACE(b.text, '[^A-Za-z]', '', 'g'))
+                 * 1.0 / NULLIF(LENGTH(b.text), 0), 4) >= 0.5,
+               FALSE) AS q_ok
+      FROM batch b LEFT JOIN dup d ON b.doc_id = d.doc_id)
+    SELECT source,
+           COUNT(*) AS n_batch,
+           CAST(SUM(CASE WHEN is_dup THEN 1 ELSE 0 END) AS BIGINT) AS n_dup,
+           CAST(SUM(CASE WHEN NOT is_dup AND NOT q_ok THEN 1 ELSE 0 END)
+             AS BIGINT) AS n_lowq,
+           CAST(SUM(CASE WHEN NOT is_dup AND q_ok THEN 1 ELSE 0 END)
+             AS BIGINT) AS n_accepted
+    FROM feat GROUP BY source
+    """,
+)
+def corpus_pipeline_v4(spark, sf_dir):
+    """Composed INGESTION pipeline v4 — the round-5 levers end to end in one
+    plan: the incoming batch (odd doc_ids) probes the accepted corpus's
+    Bloom filter and back-checks the flagged slice exactly
+    (dedup_bloom_incremental's shape), survivors pass the length/alpha
+    quality gate (n_tokens ≥ 10, alpha_ratio ≥ 0.5 — quality_exprs), and
+    the per-source funnel report (batch → dup-dropped → low-quality →
+    accepted) is the nightly-ingest accounting a 100 TB corpus needs.
+    Scale shape: one content-hash scan over the batch, a bloom-prereduced
+    back-check join, codegen feature exprs — no pass re-reads the corpus
+    beyond its key projection."""
+    from engine.extended.text import quality_exprs
+    from engine.ops.runtime_filter import bloom_prefilter
+
+    d = t(spark, sf_dir, "documents")
+    key = F.md5(F.lower(F.regexp_replace("text", "[^A-Za-z0-9]", "")))
+    with_key = d.select("doc_id", "source", "text", key.alias("key"))
+    corpus = (
+        with_key.where(F.col("doc_id") % 2 == 0)
+        .select("key")
+        .where(F.col("key").isNotNull())
+        .distinct()
+    )
+    batch = with_key.where(F.col("doc_id") % 2 == 1)
+    dup_ids = (
+        bloom_prefilter(batch, corpus, "key")
+        .join(corpus, "key")
+        .select("doc_id")
+        .distinct()
+        .withColumn("__dup", F.lit(1))
+    )
+    fx = quality_exprs("text")
+    feat = (
+        batch.join(dup_ids, "doc_id", "left")
+        .withColumn("is_dup", F.col("__dup").isNotNull())
+        .withColumn(
+            "q_ok",
+            F.coalesce(
+                (fx["n_tokens"] >= 10) & (fx["alpha_ratio"] >= 0.5),
+                F.lit(False),
+            ),
+        )
+    )
+    return feat.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_batch"),
+        F.sum(F.when(F.col("is_dup"), 1).otherwise(0)).cast("long").alias("n_dup"),
+        F.sum(F.when(~F.col("is_dup") & ~F.col("q_ok"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_lowq"),
+        F.sum(F.when(~F.col("is_dup") & F.col("q_ok"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_accepted"),
+    )
+
+
+@q(
     "hist_shard_merge",
     """
     WITH src AS (

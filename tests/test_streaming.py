@@ -305,3 +305,35 @@ def test_streaming_zscore_matches_batch_twin_across_batches(spark, tmp_path):
             assert abs(bz - sz) <= 1e-3, (key, bz, sz)
             n_scored += 1
     assert n_scored >= 4  # the parity check actually compared real scores
+
+
+def test_streaming_cms_matches_batch_sketch_across_batches(spark, tmp_path):
+    """CMS linearity through real streaming machinery: two availableNow
+    drains over files arriving in two waves produce EXACTLY the batch
+    sketch of the combined data — the same batch/stream parity contract as
+    streaming_zscore, with no per-key state (cells bounded by depth x
+    width)."""
+    from engine.extended.sketch import cms_build
+    from engine.streaming.sketches import streaming_cms
+
+    src = str(tmp_path / "cms_src")
+    ckpt = str(tmp_path / "cms_ck")
+    schema = "k string"
+    wave1 = spark.createDataFrame([(f"k{i % 5}",) for i in range(40)], schema)
+    wave2 = spark.createDataFrame([(f"k{i % 9}",) for i in range(33)], schema)
+    wave1.coalesce(1).write.mode("append").parquet(src)
+
+    cells: dict = {}
+    stream = spark.readStream.schema("k string").format("parquet").load(src)
+    streaming_cms(stream, "k", ckpt, depth=3, width=64, cells=cells)
+    wave2.coalesce(1).write.mode("append").parquet(src)
+    stream = spark.readStream.schema("k string").format("parquet").load(src)
+    streaming_cms(stream, "k", ckpt, depth=3, width=64, cells=cells)
+
+    want = {
+        (r["row"], r["col"]): r["cnt"]
+        for r in cms_build(
+            wave1.unionAll(wave2), "k", depth=3, width=64
+        ).collect()
+    }
+    assert cells == want
