@@ -123,6 +123,7 @@ SECONDARY = [
     "dedup_bloom_incremental",
     "hist_shard_merge",
     "corpus_pipeline_v4",
+    "asof_join_forward",
 ]
 
 

@@ -32,13 +32,21 @@ def asof_join(
     value_cols: list[str],
     *,
     how: str = "left",
+    direction: str = "backward",
 ) -> DataFrame:
-    """For each probe row, attach ``value_cols`` from the latest build row of
-    the same ``key`` with ``build_ts <= probe_ts`` (inclusive).
+    """For each probe row, attach ``value_cols`` from the matching build row
+    of the same ``key``: ``direction="backward"`` (default) takes the latest
+    build row with ``build_ts <= probe_ts``, ``"forward"`` the earliest with
+    ``build_ts >= probe_ts``, ``"nearest"`` whichever of the two is closer
+    in time (tie → backward) — the pandas ``merge_asof`` direction contract.
 
     merge_asof semantics via union + window: build rows sort before probe rows
     at equal timestamps (inclusive bound), then ``last(ignorenulls)`` carries
-    the most recent build values forward onto every probe row.
+    the most recent build values forward onto every probe row (the forward
+    direction is the same window over the REVERSED timestamp order; nearest
+    computes both and picks per row).  Ties between build rows at the same
+    (key, timestamp) are resolved arbitrarily — supply a unique build_ts
+    (or pre-dedup) when that matters, same as any sort-based ASOF.
 
     NULL timestamps: a build row with NULL ``build_ts`` is dropped (an
     unknown event time cannot be "the latest at or before" anything — left
@@ -49,6 +57,10 @@ def asof_join(
     NULLS LAST hands a NULL probe the LATEST build row — so the contract
     is pinned explicitly (fuzz-found).
     """
+    if direction not in ("backward", "forward", "nearest"):
+        raise ValueError(
+            f"direction must be backward|forward|nearest, got {direction!r}"
+        )
     clash = set(value_cols) & {c for c in probe.columns if c != key}
     if clash:
         raise ValueError(
@@ -76,7 +88,12 @@ def asof_join(
     from pyspark.sql import types as T
 
     bschema = {f.name: f for f in build.schema.fields}
-    bv_type = T.StructType([bschema[c] for c in value_cols])
+    # carry the matched build timestamp inside the struct: nearest needs it
+    # to compare distances, and it rides along invisibly otherwise
+    bv_type = T.StructType(
+        [bschema[c] for c in value_cols]
+        + [T.StructField("__asof_bts", bschema[build_ts].dataType)]
+    )
     sel_p = p.select(
         *all_cols,
         *[F.col(c).alias(f"__p_{c}") for c in p_cols if c != key],
@@ -85,21 +102,71 @@ def asof_join(
     sel_b = b.select(
         *all_cols,
         *[F.lit(None).cast(dict(probe.dtypes)[c]).alias(f"__p_{c}") for c in p_cols if c != key],
-        F.struct(*[F.col(c) for c in value_cols]).alias("__bv"),
+        F.struct(
+            *[F.col(c) for c in value_cols],
+            F.col(build_ts).alias("__asof_bts"),
+        ).alias("__bv"),
     )
     unioned = sel_p.unionByName(sel_b)
-    w = (
+    w_back = (
         Window.partitionBy(key)
         .orderBy(F.col("__ts"), F.col("__side"))
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    carried = unioned.select(
+    # forward = the same carry over the REVERSED timestamp order: in desc
+    # order the last non-null before the probe row is the SMALLEST build_ts
+    # >= probe_ts; __side still sorts build before probe at equal ts so the
+    # bound stays inclusive
+    w_fwd = (
+        Window.partitionBy(key)
+        .orderBy(F.col("__ts").desc(), F.col("__side"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carry_cols = [
         key,
         "__ts",
         "__side",
         *[F.col(f"__p_{c}") for c in p_cols if c != key],
-        F.last(F.col("__bv"), ignorenulls=True).over(w).alias("__bv"),
-    )
+    ]
+    # a NULL probe_ts matches nothing in ANY direction: backward is safe by
+    # NULLS-FIRST accident, but desc ordering puts NULL ts LAST where the
+    # forward frame sees every build row — guard explicitly
+    null_ts_guard = F.col("__ts").isNotNull()
+    if direction == "backward":
+        bv = F.last(F.col("__bv"), ignorenulls=True).over(w_back)
+        carried = unioned.select(
+            *carry_cols, F.when(null_ts_guard, bv).alias("__bv")
+        )
+    elif direction == "forward":
+        bv = F.last(F.col("__bv"), ignorenulls=True).over(w_fwd)
+        carried = unioned.select(
+            *carry_cols, F.when(null_ts_guard, bv).alias("__bv")
+        )
+    else:  # nearest: closer of the two, tie -> backward
+        bb = F.last(F.col("__bv"), ignorenulls=True).over(w_back)
+        bf = F.last(F.col("__bv"), ignorenulls=True).over(w_fwd)
+        stage = unioned.select(
+            *carry_cols, bb.alias("__bb"), bf.alias("__bf")
+        )
+        pick = (
+            F.when(F.col("__bf").isNull(), F.col("__bb"))
+            .when(F.col("__bb").isNull(), F.col("__bf"))
+            .when(
+                (
+                    F.col("__ts").cast("double")
+                    - F.col("__bb")["__asof_bts"].cast("double")
+                )
+                <= (
+                    F.col("__bf")["__asof_bts"].cast("double")
+                    - F.col("__ts").cast("double")
+                ),
+                F.col("__bb"),
+            )
+            .otherwise(F.col("__bf"))
+        )
+        carried = stage.select(
+            *carry_cols, F.when(null_ts_guard, pick).alias("__bv")
+        )
     matched = carried.filter(F.col("__side") == 1)
     if how == "inner":
         matched = matched.filter(F.col("__bv").isNotNull())

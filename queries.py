@@ -2421,6 +2421,64 @@ def asof_join_events_orders(spark, sf_dir):
 
 
 @q(
+    "asof_join_forward",
+    """
+    WITH probe AS (
+      SELECT o_orderkey, o_custkey % 50 AS key, o_orderdate AS pts FROM orders),
+    build AS (
+      SELECT user_id % 50 AS key,
+             TIMESTAMP '1992-01-01 00:00:00' + INTERVAL (event_id % 2000) DAY
+               + INTERVAL (event_id) SECOND AS bts,
+             value FROM events)
+    SELECT p.o_orderkey, p.key,
+           CAST(b.bts AS VARCHAR) AS next_ts,
+           ROUND(b.value, 2) AS next_value
+    FROM (SELECT * FROM probe WHERE pts IS NOT NULL) p ASOF LEFT JOIN build b
+      ON p.key = b.key AND b.bts >= p.pts
+    UNION ALL
+    SELECT o_orderkey, key, CAST(NULL AS VARCHAR) AS next_ts,
+           CAST(NULL AS DOUBLE) AS next_value
+    FROM probe WHERE pts IS NULL
+    """,
+)
+def asof_join_forward(spark, sf_dir):
+    """FORWARD as-of join (direction="forward"): for each order, the
+    EARLIEST event tick at or after the order date per key — the
+    look-ahead twin of asof_join_events_orders (label generation, "next
+    touch" attribution).  Same union+window shape over the reversed
+    timestamp order, one shuffle on the key; a NULL probe timestamp
+    matches nothing in any direction (guarded explicitly — desc ordering
+    would otherwise sort NULLs last where the frame sees every build
+    row)."""
+    from engine.ops.asof import asof_join
+
+    o = t(spark, sf_dir, "orders")
+    e = t(spark, sf_dir, "events")
+    probe = o.select(
+        "o_orderkey",
+        (F.col("o_custkey") % 50).alias("key"),
+        F.col("o_orderdate").alias("pts"),
+    )
+    build = e.select(
+        (F.col("user_id") % 50).alias("key"),
+        (
+            F.lit("1992-01-01 00:00:00").cast("timestamp")
+            + F.make_dt_interval(days=F.col("event_id") % 2000, secs=F.col("event_id"))
+        ).alias("bts"),
+        "value",
+    )
+    out = asof_join(
+        probe, build, "key", "pts", "bts", ["bts", "value"], direction="forward"
+    )
+    return out.select(
+        "o_orderkey",
+        "key",
+        F.col("bts").cast("string").alias("next_ts"),
+        F.round("value", 2).alias("next_value"),
+    )
+
+
+@q(
     "range_join_sessions",
     """
     SELECT a.event_id AS id_a, b.event_id AS id_b

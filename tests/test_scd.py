@@ -60,3 +60,58 @@ def test_scd2_merge_closes_and_appends(spark):
     assert (1, "silver", dt.datetime(2019, 1, 1), t0) in rows  # history intact
     assert (2, "bronze", t0, None) in rows      # untouched current
     assert len(rows) == 4
+
+
+def test_asof_join_forward_direction(spark):
+    from engine.ops.asof import asof_join
+
+    probe = spark.createDataFrame(
+        [(1, 5), (1, 20), (1, 10), (2, 7), (1, None)],
+        "key int, pts int",
+    )
+    build = spark.createDataFrame(
+        [(1, 10, "a"), (1, 15, "b"), (2, 3, "c")], "key int, bts int, v string"
+    )
+    out = asof_join(
+        probe, build, "key", "pts", "bts", ["v"], direction="forward"
+    )
+    got = {(r["key"], r["pts"]): r["v"] for r in out.collect()}
+    assert got == {
+        (1, 5): "a",     # earliest bts >= 5 is 10
+        (1, 10): "a",    # inclusive bound
+        (1, 20): None,   # nothing after 15
+        (2, 7): None,    # build at 3 is before the probe
+        (1, None): None, # NULL probe ts matches nothing in any direction
+    }
+
+
+def test_asof_join_nearest_direction_tie_goes_backward(spark):
+    from engine.ops.asof import asof_join
+
+    probe = spark.createDataFrame(
+        [(1, 12), (1, 14), (1, 1), (1, 30)], "key int, pts int"
+    )
+    build = spark.createDataFrame(
+        [(1, 10, "lo"), (1, 15, "hi")], "key int, bts int, v string"
+    )
+    out = asof_join(
+        probe, build, "key", "pts", "bts", ["v"], direction="nearest"
+    )
+    got = {r["pts"]: r["v"] for r in out.collect()}
+    assert got == {
+        12: "lo",  # |12-10| = 2 < |15-12| = 3
+        14: "hi",  # |14-15| = 1 < |14-10| = 4
+        1: "lo",   # only forward side exists? no: backward none, forward 10 -> lo
+        30: "hi",  # only backward side exists
+    }
+
+
+def test_asof_join_bad_direction_rejected(spark):
+    import pytest
+
+    from engine.ops.asof import asof_join
+
+    df = spark.createDataFrame([(1, 1)], "key int, pts int")
+    b = spark.createDataFrame([(1, 1, "x")], "key int, bts int, v string")
+    with pytest.raises(ValueError):
+        asof_join(df, b, "key", "pts", "bts", ["v"], direction="sideways")
