@@ -124,6 +124,8 @@ SECONDARY = [
     "hist_shard_merge",
     "corpus_pipeline_v4",
     "asof_join_forward",
+    "hll_set_ops",
+    "hll_windowed_users",
 ]
 
 

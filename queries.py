@@ -3006,6 +3006,126 @@ def hist_shard_merge(spark, sf_dir):
 
 
 @q(
+    "hll_set_ops",
+    """
+    WITH a AS (SELECT DISTINCT user_id FROM events
+               WHERE event_type = 'click' AND user_id IS NOT NULL),
+         b AS (SELECT DISTINCT user_id FROM events
+               WHERE event_type = 'view' AND user_id IS NOT NULL)
+    SELECT (SELECT COUNT(*) FROM a) AS n_a,
+           (SELECT COUNT(*) FROM b) AS n_b,
+           (SELECT COUNT(*) FROM (SELECT * FROM a UNION SELECT * FROM b))
+             AS n_union,
+           (SELECT COUNT(*) FROM (SELECT * FROM a INTERSECT SELECT * FROM b))
+             AS n_intersect,
+           1 AS union_est_ok, 1 AS intersect_est_ok
+    """,
+)
+def hll_set_ops(spark, sf_dir):
+    """Sketch set algebra: |A ∪ B| straight from the HLL union, |A ∩ B| by
+    inclusion-exclusion (|A| + |B| − |A ∪ B|) — set overlap between two
+    100 TB key sets with constant-size state and no pairwise join (the
+    audience-overlap / cross-corpus-user question).  The exact
+    cardinalities are the cross-engine value check; the sketch estimates
+    (deterministic Datasketches registers) are pinned within 5% of exact
+    for the union and within 10% of the union for the intersection
+    (inclusion-exclusion compounds the register error — the documented
+    trade; exact-sparse at oracle scale)."""
+    e = t(spark, sf_dir, "events").where(F.col("user_id").isNotNull())
+    a = e.where(F.col("event_type") == "click").select("user_id")
+    b = e.where(F.col("event_type") == "view").select("user_id")
+    sk = (
+        a.select(F.lit("a").alias("s"), "user_id")
+        .unionByName(b.select(F.lit("b").alias("s"), "user_id"))
+        .groupBy("s")
+        .agg(F.hll_sketch_agg("user_id", F.lit(12)).alias("sk"))
+    )
+    ests = sk.agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("est_union"),
+        F.sum(F.hll_sketch_estimate("sk")).alias("est_sum"),
+    )
+    exact = (
+        a.agg(F.count_distinct("user_id").cast("long").alias("n_a"))
+        .crossJoin(
+            F.broadcast(
+                b.agg(F.count_distinct("user_id").cast("long").alias("n_b"))
+            )
+        )
+        .crossJoin(
+            F.broadcast(
+                a.unionByName(b).agg(
+                    F.count_distinct("user_id").cast("long").alias("n_union")
+                )
+            )
+        )
+        .crossJoin(
+            F.broadcast(
+                a.intersect(b).agg(
+                    F.count(F.lit(1)).cast("long").alias("n_intersect")
+                )
+            )
+        )
+    )
+    out = exact.crossJoin(F.broadcast(ests))
+    est_i = F.col("est_sum") - F.col("est_union")
+    return out.select(
+        "n_a",
+        "n_b",
+        "n_union",
+        "n_intersect",
+        (
+            F.abs(F.col("est_union") - F.col("n_union"))
+            <= 0.05 * F.col("n_union")
+        )
+        .cast("int")
+        .alias("union_est_ok"),
+        (F.abs(est_i - F.col("n_intersect")) <= 0.10 * F.col("n_union"))
+        .cast("int")
+        .alias("intersect_est_ok"),
+    )
+
+
+@q(
+    "hll_windowed_users",
+    """
+    SELECT CAST(CAST(ts AS DATE) AS VARCHAR) AS day,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_users,
+           1 AS est_ok
+    FROM events WHERE ts IS NOT NULL AND user_id IS NOT NULL
+    GROUP BY 1
+    """,
+)
+def hll_windowed_users(spark, sf_dir):
+    """Distinct users per event-time day with a mergeable sketch riding
+    next to the exact count: the per-day HLL sketches are what a 100 TB
+    deployment STORES (daily rollups union into weekly/monthly distincts
+    without re-reading events — the only distinct-count shape that
+    composes over time); the exact count is the cross-engine value check
+    and the 5% flag pins the sketch against it per day."""
+    e = t(spark, sf_dir, "events").where(
+        F.col("ts").isNotNull() & F.col("user_id").isNotNull()
+    )
+    byday = e.groupBy(
+        F.col("ts").cast("date").cast("string").alias("day")
+    ).agg(
+        F.count_distinct("user_id").cast("long").alias("exact_users"),
+        F.hll_sketch_estimate(
+            F.hll_sketch_agg("user_id", F.lit(12))
+        ).alias("__est"),
+    )
+    return byday.select(
+        "day",
+        "exact_users",
+        (
+            F.abs(F.col("__est") - F.col("exact_users"))
+            <= 0.05 * F.col("exact_users")
+        )
+        .cast("int")
+        .alias("est_ok"),
+    )
+
+
+@q(
     "k_anonymity_audit",
     """
     WITH cls AS (

@@ -134,3 +134,23 @@ def test_write_bucketed_recovers_orphan_with_default_db_prefix(spark):
         assert read_table(spark, "default.t_orphan2").count() == 50
     finally:
         spark.sql("DROP TABLE IF EXISTS default.t_orphan2")
+
+
+def test_hll_inclusion_exclusion_intersection(spark):
+    """|A ∩ B| by inclusion-exclusion on HLL sketches stays within 10% of
+    the union even at dense (non-sparse) cardinalities."""
+    a = spark.range(0, 6000).select(F.col("id").alias("u"))
+    b = spark.range(4000, 10000).select(F.col("id").alias("u"))
+    sk = (
+        a.select(F.lit("a").alias("s"), "u")
+        .unionByName(b.select(F.lit("b").alias("s"), "u"))
+        .groupBy("s")
+        .agg(F.hll_sketch_agg("u", F.lit(12)).alias("sk"))
+    )
+    r = sk.agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("u"),
+        F.sum(F.hll_sketch_estimate("sk")).alias("s"),
+    ).collect()[0]
+    est_i = r["s"] - r["u"]
+    assert abs(r["u"] - 10000) <= 0.05 * 10000
+    assert abs(est_i - 2000) <= 0.10 * 10000
