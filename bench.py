@@ -126,6 +126,7 @@ SECONDARY = [
     "asof_join_forward",
     "hll_set_ops",
     "hll_windowed_users",
+    "dp_noisy_counts",
 ]
 
 

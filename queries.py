@@ -3006,6 +3006,62 @@ def hist_shard_merge(spark, sf_dir):
 
 
 @q(
+    "dp_noisy_counts",
+    """
+    WITH g AS (
+      SELECT c_mktsegment AS segment, COUNT(*) AS n FROM customer
+      GROUP BY c_mktsegment),
+    u AS (
+      SELECT segment, n,
+             (CAST(('0x' || SUBSTRING(MD5(COALESCE(segment, '<null>')
+                || '|dp-noise|spark-graft'), 1, 13)) AS BIGINT) % 4503599627370496)
+               / 4503599627370496.0 AS uu
+      FROM g)
+    SELECT segment,
+           ROUND(n + CASE WHEN uu < 0.5 THEN 2.0 * LN(2.0 * uu)
+                          ELSE -2.0 * LN(2.0 * (1.0 - uu)) END, 4)
+             AS noisy_count,
+           CAST(0.5 AS DOUBLE) AS epsilon
+    FROM u
+    """,
+)
+def dp_noisy_counts(spark, sf_dir):
+    """ε-differentially-private counts (Laplace mechanism, sensitivity 1,
+    ε = 0.5 → scale b = 2): per-segment counts released with additive
+    Laplace noise, the governance sibling of k_anonymity_audit for
+    publishing corpus statistics.  Noise is SEEDED per group
+    (md5-uniform → inverse-CDF Laplace) so the mechanism's arithmetic is
+    bit-reproducible cross-engine — the ln-on-dyadic-rational + ROUND(4)
+    discipline the bigram-LM oracles already pin.  NOTE: a seeded
+    deterministic draw demonstrates the mechanism but is NOT DP-secure
+    randomness — production callers must swap in a secret per-release
+    seed (parameterized salt), which changes none of the plan shape (one
+    hash aggregate, noise is pure codegen)."""
+    c = t(spark, sf_dir, "customer")
+    g = c.groupBy(F.col("c_mktsegment").alias("segment")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    seed = F.concat(
+        F.coalesce(F.col("segment"), F.lit("<null>")),
+        F.lit("|dp-noise|spark-graft"),
+    )
+    # 13 hex digits = 52 bits < 2^53: the % and the division are exact in
+    # doubles, so uu is the same dyadic rational in both engines
+    uu = (
+        F.conv(F.substring(F.md5(seed), 1, 13), 16, 10).cast("long")
+        % F.lit(4503599627370496)
+    ) / F.lit(4503599627370496.0)
+    noise = F.when(uu < 0.5, 2.0 * F.log(2.0 * uu)).otherwise(
+        -2.0 * F.log(2.0 * (1.0 - uu))
+    )
+    return g.select(
+        "segment",
+        F.round(F.col("n") + noise, 4).alias("noisy_count"),
+        F.lit(0.5).alias("epsilon"),
+    )
+
+
+@q(
     "hll_set_ops",
     """
     WITH a AS (SELECT DISTINCT user_id FROM events
