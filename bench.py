@@ -127,6 +127,7 @@ SECONDARY = [
     "hll_set_ops",
     "hll_windowed_users",
     "dp_noisy_counts",
+    "rolling_median_value",
 ]
 
 

@@ -4859,6 +4859,47 @@ def timeseries_gapfill_q(spark, sf_dir):
 
 
 @q(
+    "rolling_median_value",
+    """
+    SELECT user_id, event_id,
+           CAST(ROUND(1000 * quantile_cont(value, 0.5) OVER (
+             PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN 9 PRECEDING AND CURRENT ROW)) AS BIGINT)
+             AS med10_milli
+    FROM events
+    WHERE user_id IS NOT NULL AND ts IS NOT NULL
+    """,
+)
+def rolling_median_value(spark, sf_dir):
+    """Trailing 10-event rolling MEDIAN per user — the robust-statistics
+    sibling of rolling_zscore (a single hot outlier shifts a mean-based
+    detector for its whole trailing window; the median shrugs it off).
+    Spark's `percentile` over a ROWS frame interpolates identically to
+    DuckDB's `quantile_cont` (both continuous-quantile); the output is the
+    SCALED-BIGINT rendering (×1000) because an even window's median is the
+    average of two 2-decimal values — exactly the x.xx5 cases where
+    Spark's HALF_UP and DuckDB's rint diverge at ROUND(…, 2) (caught by
+    the oracle gate on first cut; the _arr_str scale discipline applies).
+    Ordering includes event_id so timestamp ties cannot reorder the
+    frame.  One shuffle on user_id, frame-bounded memory — the 100 TB
+    rolling-robust shape."""
+    e = t(spark, sf_dir, "events").where(
+        F.col("user_id").isNotNull() & F.col("ts").isNotNull()
+    )
+    e.createOrReplaceTempView("__rmv_events")
+    return spark.sql(
+        """
+        SELECT user_id, event_id,
+               CAST(ROUND(1000 * percentile(value, 0.5) OVER (
+                 PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN 9 PRECEDING AND CURRENT ROW), 0) AS BIGINT)
+                 AS med10_milli
+        FROM __rmv_events
+        """
+    )
+
+
+@q(
     "timeseries_anomaly",
     """
     WITH ev AS (
