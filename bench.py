@@ -128,6 +128,7 @@ SECONDARY = [
     "hll_windowed_users",
     "dp_noisy_counts",
     "rolling_median_value",
+    "join_key_skew_stats",
 ]
 
 

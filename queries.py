@@ -2690,6 +2690,58 @@ def skew_salted_enrich(spark, sf_dir):
 
 
 @q(
+    "join_key_skew_stats",
+    """
+    WITH k AS (
+      SELECT user_id, COUNT(*) AS n FROM events
+      WHERE user_id IS NOT NULL GROUP BY user_id),
+    tot AS (SELECT SUM(n) AS total, COUNT(*) AS n_keys, AVG(n) AS mean_n,
+                   MAX(n) AS max_n,
+                   quantile_cont(n, 0.99) AS p99_n
+            FROM k)
+    SELECT CAST(n_keys AS BIGINT) AS n_keys,
+           CAST(max_n AS BIGINT) AS max_n,
+           CAST(ROUND(10000.0 * max_n / total) AS BIGINT) AS max_share_bp,
+           CAST(ROUND(100.0 * p99_n / mean_n) AS BIGINT) AS p99_to_mean_pct,
+           CASE WHEN max_n > 20 * mean_n THEN 1 ELSE 0 END AS skewed
+    FROM tot
+    """,
+)
+def join_key_skew_stats(spark, sf_dir):
+    """Join-key skew diagnostic — the DETECTION companion to salted_join /
+    salted_count_distinct / AQE skew handling: per-key cardinality profile
+    of the prospective join column (key count, hottest key's share in
+    basis points, p99-to-mean ratio, a 20×-mean skew flag).  Run this
+    before choosing a join strategy at 100 TB: one hash aggregate on the
+    key plus a second aggregate over the key-cardinality table — the
+    profile costs one shuffle bounded by key cardinality, the decision it
+    informs saves the serialized-reducer retry.  Scaled-integer outputs
+    (basis points / percent) keep the ratio rendering engine-exact."""
+    e = t(spark, sf_dir, "events").where(F.col("user_id").isNotNull())
+    k = e.groupBy("user_id").agg(F.count(F.lit(1)).alias("n"))
+    tot = k.agg(
+        F.sum("n").alias("total"),
+        F.count(F.lit(1)).alias("n_keys"),
+        F.avg("n").alias("mean_n"),
+        F.max("n").alias("max_n"),
+        F.expr("percentile(n, 0.99)").alias("p99_n"),
+    )
+    return tot.select(
+        F.col("n_keys").cast("long").alias("n_keys"),
+        F.col("max_n").cast("long").alias("max_n"),
+        F.round(10000.0 * F.col("max_n") / F.col("total"), 0)
+        .cast("long")
+        .alias("max_share_bp"),
+        F.round(100.0 * F.col("p99_n") / F.col("mean_n"), 0)
+        .cast("long")
+        .alias("p99_to_mean_pct"),
+        F.when(F.col("max_n") > 20 * F.col("mean_n"), 1)
+        .otherwise(0)
+        .alias("skewed"),
+    )
+
+
+@q(
     "bloom_prefilter_join",
     """
     SELECT p.p_brand, COUNT(*) AS n_items,
