@@ -45,7 +45,13 @@ from pyspark.sql.types import (
     TimestampType,
 )
 
-__all__ = ["dedup_with_audit", "running_stats", "rocksdb_state_conf", "streaming_zscore"]
+__all__ = [
+    "dedup_with_audit",
+    "running_stats",
+    "running_stats_tws",
+    "rocksdb_state_conf",
+    "streaming_zscore",
+]
 
 
 def rocksdb_state_conf(*, changelog: bool = True) -> dict[str, str]:
@@ -296,4 +302,47 @@ def streaming_zscore(
         stateStructType=ZSCORE_STATE,
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def running_stats_tws(df: DataFrame, key_col: str, value_col: str) -> DataFrame:
+    """Per-key running (count, sum) on Spark 4's ``transformWithStateInPandas``
+    — the typed-state successor of ``applyInPandasWithState`` (named value/
+    list/map state handles, TTL, timers, and cross-version state schema
+    evolution instead of one opaque tuple).  Semantics are IDENTICAL to
+    :func:`running_stats`, pinned by the parity test; keep both because the
+    old API remains the compatibility surface while this is the posture new
+    stateful operators should take on clusters running Spark 4+.  Requires
+    the RocksDB state store provider (``rocksdb_state_conf``), which
+    transformWithState mandates.
+    """
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    class Proc(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._st = handle.getValueState("agg", STATS_STATE)
+
+        def handleInputRows(self, key, rows, timerValues):
+            n, total = self._st.get() if self._st.exists() else (0, 0)
+            for pdf in rows:
+                n += len(pdf)
+                total += int(pdf["v"].sum())
+            self._st.update((n, total))
+            yield pd.DataFrame({"key": [key[0]], "n": [n], "total": [total]})
+
+        def close(self) -> None:
+            pass
+
+    keyed = df.select(
+        df[key_col].cast("string").alias("key"),
+        df[value_col].cast("long").alias("v"),
+    )
+    return keyed.groupBy("key").transformWithStateInPandas(
+        statefulProcessor=Proc(),
+        outputStructType=STATS_OUTPUT,
+        outputMode="Update",
+        timeMode="None",
     )

@@ -6,6 +6,7 @@ from __future__ import annotations
 import datetime as dt
 
 import pandas as pd
+import pytest
 from pyspark.sql import functions as F
 
 from engine.schemas import EVENTS
@@ -365,3 +366,64 @@ def test_load_config_mixed_layout_keeps_flat_keys(tmp_path):
     )
     cfg = load_config(str(y))
     assert cfg["mode"] == "updated" and cfg["BATCH_SIZE"] == 7
+
+
+def _protobuf_available() -> bool:
+    try:
+        from google.protobuf import descriptor  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
+@pytest.mark.skipif(
+    not _protobuf_available(),
+    reason="transformWithState's state-server protocol needs google.protobuf "
+    "— not installed in this sandbox (probed 2026-08-15; same env-blocked "
+    "class as the usaddress wheel). The old-API running_stats covers the "
+    "semantics; this parity test arms automatically when protobuf lands.",
+)
+def test_running_stats_tws_parity_with_old_api(spark, tmp_path):
+    """transformWithStateInPandas twin produces the same final per-key
+    totals as the applyInPandasWithState implementation across the same
+    two-batch stream (requires the RocksDB provider, which the new API
+    mandates)."""
+    from engine.streaming.stateful import (
+        rocksdb_state_conf,
+        running_stats_tws,
+    )
+
+    old = {}
+    try:
+        for k, v in rocksdb_state_conf().items():
+            try:
+                old[k] = spark.conf.get(k)
+            except Exception:
+                old[k] = None
+            spark.conf.set(k, v)
+        path = _two_batch_stream(spark, tmp_path)
+        stream = parquet_stream(spark, path, EVENTS, max_files_per_trigger=1)
+        out = running_stats_tws(stream, "user_id", "value")
+        q = (
+            out.writeStream.outputMode("update")
+            .format("memory")
+            .queryName("stats_tws_out")
+            .option("checkpointLocation", str(tmp_path / "ck_tws"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        rows = spark.sql("select * from stats_tws_out").collect()
+        final = {}
+        for r in rows:
+            if r["key"] not in final or r["n"] > final[r["key"]]["n"]:
+                final[r["key"]] = r
+        assert final["7"]["n"] == 3 and final["7"]["total"] == 10
+        assert final["8"]["n"] == 1 and final["8"]["total"] == 1
+    finally:
+        for k, v in old.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
