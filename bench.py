@@ -129,6 +129,7 @@ SECONDARY = [
     "dp_noisy_counts",
     "rolling_median_value",
     "join_key_skew_stats",
+    "ann_recall_audit",
 ]
 
 

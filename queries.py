@@ -3434,6 +3434,83 @@ def ann_ivf_topk(spark, sf_dir):
     return ivf_topk_seeded(assigned, cents, qq, qv, k=10, nprobe=3)
 
 
+_BRUTE_TOPK_SQL = """
+    WITH qv AS (SELECT embedding AS q FROM embeddings WHERE embedding IS NOT NULL AND vec_id = (SELECT MIN(vec_id) FROM embeddings WHERE embedding IS NOT NULL AND vec_id >= 7)),
+    sims AS (
+      SELECT e.vec_id,
+             CASE WHEN SQRT(list_sum(list_transform(e.embedding,
+                        x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) *
+                       SQRT(list_sum(list_transform(qv.q,
+                        x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) > 0
+             THEN ROUND(
+               list_sum(list_transform(list_zip(e.embedding, qv.q),
+                        p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE))) /
+               (SQRT(list_sum(list_transform(e.embedding,
+                        x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) *
+                SQRT(list_sum(list_transform(qv.q,
+                        x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))), 4)
+             END AS sim
+      FROM embeddings e, qv)
+    SELECT vec_id, sim FROM sims ORDER BY sim DESC NULLS LAST, vec_id LIMIT 10
+"""
+
+
+@q(
+    "ann_recall_audit",
+    f"""
+    SELECT 10 AS k,
+           CAST(COUNT(*) AS BIGINT) AS n_overlap,
+           CAST(COUNT(*) * 10 AS BIGINT) AS recall_pct
+    FROM (
+      SELECT vec_id FROM ({_ivf_seeded_sql()})
+      INTERSECT
+      SELECT vec_id FROM ({_BRUTE_TOPK_SQL})
+    )
+    """,
+)
+def ann_recall_audit(spark, sf_dir):
+    """ANN quality audit: recall@10 of the IVF index (3-of-8-list probe)
+    against the exact brute-force top-10 — the evaluation a deployment
+    reads before trading exactness for partition pruning.  Both rankings
+    are the registry's own deterministic constructions
+    (ann_ivf_topk / ann_cosine_topk), so the overlap — and therefore the
+    recall number itself — is pinned cross-engine rather than summarized.
+    Shape: the two top-10 lists are k-row frames; the audit join costs
+    nothing beyond the index builds it audits."""
+    from engine.extended.similarity import (
+        cosine_topk,
+        ivf_build_seeded,
+        ivf_topk_seeded,
+        quantized_vec,
+    )
+
+    emb = t(spark, sf_dir, "embeddings")
+    qrows = (
+        emb.filter(F.col("embedding").isNotNull() & (F.col("vec_id") >= 7))
+        .orderBy("vec_id")
+        .limit(1)
+        .select(F.col("embedding"), quantized_vec("embedding").alias("qq"))
+        .collect()
+    )
+    if not qrows:
+        return spark.createDataFrame(
+            [(10, 0, 0)], "k int, n_overlap long, recall_pct long"
+        )
+    qv = [float(x) for x in qrows[0]["embedding"]]
+    qq = [float(x) for x in qrows[0]["qq"]]
+    assigned, cents = ivf_build_seeded(emb, n_lists=8, iters=2, dim=len(qv))
+    ivf = ivf_topk_seeded(assigned, cents, qq, qv, k=10, nprobe=3).select("vec_id")
+    brute = cosine_topk(emb, qv, k=10).select("vec_id")
+    overlap = ivf.join(brute, "vec_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_overlap")
+    )
+    return overlap.select(
+        F.lit(10).alias("k"),
+        "n_overlap",
+        (F.col("n_overlap") * 10).cast("long").alias("recall_pct"),
+    )
+
+
 def _pq_adc_sql(
     *,
     m: int = 4,
