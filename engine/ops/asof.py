@@ -148,17 +148,28 @@ def asof_join(
         stage = unioned.select(
             *carry_cols, bb.alias("__bb"), bf.alias("__bf")
         )
+
+        # distance compare needs a numeric view of the timestamps; DATE
+        # cannot cast straight to double in Spark (review-caught), so route
+        # date/timestamp types through a timestamp cast first
+        ts_type = dict(probe.dtypes)[probe_ts]
+
+        def _num(c):
+            if ts_type in ("date", "timestamp", "timestamp_ntz"):
+                return c.cast("timestamp").cast("double")
+            return c.cast("double")
+
         pick = (
             F.when(F.col("__bf").isNull(), F.col("__bb"))
             .when(F.col("__bb").isNull(), F.col("__bf"))
             .when(
                 (
-                    F.col("__ts").cast("double")
-                    - F.col("__bb")["__asof_bts"].cast("double")
+                    _num(F.col("__ts"))
+                    - _num(F.col("__bb")["__asof_bts"])
                 )
                 <= (
-                    F.col("__bf")["__asof_bts"].cast("double")
-                    - F.col("__ts").cast("double")
+                    _num(F.col("__bf")["__asof_bts"])
+                    - _num(F.col("__ts"))
                 ),
                 F.col("__bb"),
             )

@@ -43,12 +43,22 @@ def streaming_cms(
     the accumulator, or read the returned one.  Returns ``(query, cells)``.
     """
     acc: dict[tuple[int, int], int] = cells if cells is not None else {}
+    # foreachBatch is at-least-once: a failed batch can be re-delivered
+    # with the SAME batch_id, and re-merging it would inflate every count
+    # (silently — CMS errors are already one-sided).  The accumulator IS
+    # the sink here, so it owns its own idempotence: skip seen batch ids
+    # (review-caught).  Across restarts the checkpoint skips completed
+    # batches, so the in-process guard is the only gap.
+    seen: set[int] = set()
 
     def process(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_id in seen:
+            return
         rows = cms_build(batch_df, key_col, depth=depth, width=width).collect()
         for r in rows:
             k = (r["row"], r["col"])
             acc[k] = acc.get(k, 0) + r["cnt"]
+        seen.add(batch_id)
 
     query = (
         stream_df.writeStream.foreachBatch(process)

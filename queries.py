@@ -1435,9 +1435,7 @@ def _query_vec_rows(emb, preferred: int):
     return [float(x) for x in rows[0][0]] if rows else None
 
 
-@q(
-    "ann_cosine_topk",
-    """
+_BRUTE_TOPK_SQL = """
     WITH qv AS (SELECT embedding AS q FROM embeddings WHERE embedding IS NOT NULL AND vec_id = (SELECT MIN(vec_id) FROM embeddings WHERE embedding IS NOT NULL AND vec_id >= 7)),
     sims AS (
       SELECT e.vec_id,
@@ -1455,8 +1453,10 @@ def _query_vec_rows(emb, preferred: int):
              END AS sim
       FROM embeddings e, qv)
     SELECT vec_id, sim FROM sims ORDER BY sim DESC NULLS LAST, vec_id LIMIT 10
-    """,
-)
+"""
+
+
+@q("ann_cosine_topk", _BRUTE_TOPK_SQL)
 
 
 def ann_cosine_topk(spark, sf_dir):
@@ -2701,8 +2701,10 @@ def skew_salted_enrich(spark, sf_dir):
             FROM k)
     SELECT CAST(n_keys AS BIGINT) AS n_keys,
            CAST(max_n AS BIGINT) AS max_n,
-           CAST(ROUND(10000.0 * max_n / total) AS BIGINT) AS max_share_bp,
-           CAST(ROUND(100.0 * p99_n / mean_n) AS BIGINT) AS p99_to_mean_pct,
+           CAST(FLOOR(10000.0 * max_n / total + 0.5) AS BIGINT)
+             AS max_share_bp,
+           CAST(FLOOR(100.0 * p99_n / mean_n + 0.5) AS BIGINT)
+             AS p99_to_mean_pct,
            CASE WHEN max_n > 20 * mean_n THEN 1 ELSE 0 END AS skewed
     FROM tot
     """,
@@ -2715,8 +2717,12 @@ def join_key_skew_stats(spark, sf_dir):
     before choosing a join strategy at 100 TB: one hash aggregate on the
     key plus a second aggregate over the key-cardinality table — the
     profile costs one shuffle bounded by key cardinality, the decision it
-    informs saves the serialized-reducer retry.  Scaled-integer outputs
-    (basis points / percent) keep the ratio rendering engine-exact."""
+    informs saves the serialized-reducer retry.  Ratios render via
+    FLOOR(x + 0.5) — NOT ROUND, whose half-rounding mode differs between
+    Spark (HALF_UP on BigDecimal) and DuckDB (rint) exactly when the
+    ratio is a representable x.5 (e.g. one hot row in a power-of-two
+    total: 10000·1/4000 = 2.5 — review-caught); floor-plus-half has one
+    semantic in both engines on identically-computed doubles."""
     e = t(spark, sf_dir, "events").where(F.col("user_id").isNotNull())
     k = e.groupBy("user_id").agg(F.count(F.lit(1)).alias("n"))
     tot = k.agg(
@@ -2729,10 +2735,10 @@ def join_key_skew_stats(spark, sf_dir):
     return tot.select(
         F.col("n_keys").cast("long").alias("n_keys"),
         F.col("max_n").cast("long").alias("max_n"),
-        F.round(10000.0 * F.col("max_n") / F.col("total"), 0)
+        F.floor(10000.0 * F.col("max_n") / F.col("total") + 0.5)
         .cast("long")
         .alias("max_share_bp"),
-        F.round(100.0 * F.col("p99_n") / F.col("mean_n"), 0)
+        F.floor(100.0 * F.col("p99_n") / F.col("mean_n") + 0.5)
         .cast("long")
         .alias("p99_to_mean_pct"),
         F.when(F.col("max_n") > 20 * F.col("mean_n"), 1)
@@ -3071,7 +3077,7 @@ def hist_shard_merge(spark, sf_dir):
       FROM g)
     SELECT segment,
            ROUND(n + CASE WHEN uu < 0.5 THEN 2.0 * LN(2.0 * uu)
-                          ELSE -2.0 * LN(2.0 * (1.0 - uu)) END, 4)
+                          ELSE -2.0 * LN(2.0 * (1.0 - uu)) END, 4) + 0.0
              AS noisy_count,
            CAST(0.5 AS DOUBLE) AS epsilon
     FROM u
@@ -3106,9 +3112,11 @@ def dp_noisy_counts(spark, sf_dir):
     noise = F.when(uu < 0.5, 2.0 * F.log(2.0 * uu)).otherwise(
         -2.0 * F.log(2.0 * (1.0 - uu))
     )
+    # + 0.0 folds a rounded -0.0 (noise within 5e-5 of -n) to +0.0 — the
+    # ledger's rendering-divergence guard for near-zero negative outputs
     return g.select(
         "segment",
-        F.round(F.col("n") + noise, 4).alias("noisy_count"),
+        (F.round(F.col("n") + noise, 4) + F.lit(0.0)).alias("noisy_count"),
         F.lit(0.5).alias("epsilon"),
     )
 
@@ -3176,20 +3184,27 @@ def hll_set_ops(spark, sf_dir):
     )
     out = exact.crossJoin(F.broadcast(ests))
     est_i = F.col("est_sum") - F.col("est_union")
+    # both-sets-empty corpora (hostile fuzz: zero click AND zero view rows)
+    # leave the sketch frame empty and the estimates NULL — the flags
+    # coalesce to 1 (trivially within bound), matching the oracle's literals
     return out.select(
         "n_a",
         "n_b",
         "n_union",
         "n_intersect",
-        (
-            F.abs(F.col("est_union") - F.col("n_union"))
-            <= 0.05 * F.col("n_union")
-        )
-        .cast("int")
-        .alias("union_est_ok"),
-        (F.abs(est_i - F.col("n_intersect")) <= 0.10 * F.col("n_union"))
-        .cast("int")
-        .alias("intersect_est_ok"),
+        F.coalesce(
+            (
+                F.abs(F.col("est_union") - F.col("n_union"))
+                <= 0.05 * F.col("n_union")
+            ).cast("int"),
+            F.lit(1),
+        ).alias("union_est_ok"),
+        F.coalesce(
+            (
+                F.abs(est_i - F.col("n_intersect")) <= 0.10 * F.col("n_union")
+            ).cast("int"),
+            F.lit(1),
+        ).alias("intersect_est_ok"),
     )
 
 
@@ -3432,27 +3447,6 @@ def ann_ivf_topk(spark, sf_dir):
     qq = [float(x) for x in qrows[0]["qq"]]
     assigned, cents = ivf_build_seeded(emb, n_lists=8, iters=2, dim=len(qv))
     return ivf_topk_seeded(assigned, cents, qq, qv, k=10, nprobe=3)
-
-
-_BRUTE_TOPK_SQL = """
-    WITH qv AS (SELECT embedding AS q FROM embeddings WHERE embedding IS NOT NULL AND vec_id = (SELECT MIN(vec_id) FROM embeddings WHERE embedding IS NOT NULL AND vec_id >= 7)),
-    sims AS (
-      SELECT e.vec_id,
-             CASE WHEN SQRT(list_sum(list_transform(e.embedding,
-                        x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) *
-                       SQRT(list_sum(list_transform(qv.q,
-                        x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) > 0
-             THEN ROUND(
-               list_sum(list_transform(list_zip(e.embedding, qv.q),
-                        p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE))) /
-               (SQRT(list_sum(list_transform(e.embedding,
-                        x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) *
-                SQRT(list_sum(list_transform(qv.q,
-                        x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))), 4)
-             END AS sim
-      FROM embeddings e, qv)
-    SELECT vec_id, sim FROM sims ORDER BY sim DESC NULLS LAST, vec_id LIMIT 10
-"""
 
 
 @q(

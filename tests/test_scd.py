@@ -115,3 +115,20 @@ def test_asof_join_bad_direction_rejected(spark):
     b = spark.createDataFrame([(1, 1, "x")], "key int, bts int, v string")
     with pytest.raises(ValueError):
         asof_join(df, b, "key", "pts", "bts", ["v"], direction="sideways")
+
+
+def test_asof_join_nearest_on_date_columns(spark):
+    """direction='nearest' must work on DateType timestamps (DATE cannot
+    cast straight to double — routed through a timestamp cast)."""
+    from engine.ops.asof import asof_join
+
+    probe = spark.createDataFrame(
+        [(1, "2024-01-12"), (1, "2024-01-14")], "key int, pts string"
+    ).select("key", F.col("pts").cast("date").alias("pts"))
+    build = spark.createDataFrame(
+        [(1, "2024-01-10", "lo"), (1, "2024-01-15", "hi")],
+        "key int, bts string, v string",
+    ).select("key", F.col("bts").cast("date").alias("bts"), "v")
+    out = asof_join(probe, build, "key", "pts", "bts", ["v"], direction="nearest")
+    got = {str(r["pts"]): r["v"] for r in out.collect()}
+    assert got == {"2024-01-12": "lo", "2024-01-14": "hi"}

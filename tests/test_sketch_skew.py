@@ -197,3 +197,41 @@ def test_salted_count_distinct_keeps_all_null_groups(spark):
         for r in salted_count_distinct(df, ["g"], "v", salts=4).collect()
     }
     assert got == {"g1": 0, "g2": 1}
+
+
+
+def test_hll_shard_merge_equals_whole(spark):
+    df = spark.createDataFrame(
+        [(i % 5, f"u{i % 400}") for i in range(3000)], "shard int, u string"
+    )
+    shards = df.groupBy("shard").agg(F.hll_sketch_agg("u", F.lit(12)).alias("sk"))
+    merged = shards.agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("m")
+    ).collect()[0]["m"]
+    whole = df.agg(
+        F.hll_sketch_estimate(F.hll_sketch_agg("u", F.lit(12))).alias("w")
+    ).collect()[0]["w"]
+    assert merged == whole  # register-max merge is associative
+    assert abs(merged - 400) <= 0.05 * 400
+
+
+
+def test_hll_inclusion_exclusion_intersection(spark):
+    """|A ∩ B| by inclusion-exclusion on HLL sketches stays within 10% of
+    the union even at dense (non-sparse) cardinalities."""
+    a = spark.range(0, 6000).select(F.col("id").alias("u"))
+    b = spark.range(4000, 10000).select(F.col("id").alias("u"))
+    sk = (
+        a.select(F.lit("a").alias("s"), "u")
+        .unionByName(b.select(F.lit("b").alias("s"), "u"))
+        .groupBy("s")
+        .agg(F.hll_sketch_agg("u", F.lit(12)).alias("sk"))
+    )
+    r = sk.agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("u"),
+        F.sum(F.hll_sketch_estimate("sk")).alias("s"),
+    ).collect()[0]
+    est_i = r["s"] - r["u"]
+    assert abs(r["u"] - 10000) <= 0.05 * 10000
+    assert abs(est_i - 2000) <= 0.10 * 10000
+
