@@ -130,6 +130,8 @@ SECONDARY = [
     "rolling_median_value",
     "join_key_skew_stats",
     "ann_recall_audit",
+    "dup_cluster_size_hist",
+    "cross_source_overlap",
 ]
 
 

@@ -3064,6 +3064,96 @@ def hist_shard_merge(spark, sf_dir):
 
 
 @q(
+    "dup_cluster_size_hist",
+    """
+    WITH k AS (
+      SELECT MD5(LOWER(REGEXP_REPLACE(text, '[^A-Za-z0-9]', '', 'g'))) AS key
+      FROM documents WHERE text IS NOT NULL),
+    c AS (SELECT key, COUNT(*) AS sz FROM k GROUP BY key)
+    SELECT CAST(LEAST(sz, 10) AS BIGINT) AS cluster_size,
+           CAST(COUNT(*) AS BIGINT) AS n_clusters,
+           CAST(SUM(sz) AS BIGINT) AS n_docs
+    FROM c GROUP BY 1
+    """,
+)
+def dup_cluster_size_hist(spark, sf_dir):
+    """Duplicate-cluster size distribution — the corpus-health metric that
+    tells you WHETHER to dedup before you pay for it: clusters of
+    normalized-content hashes bucketed by size (10+ capped into one
+    bucket), with cluster and document counts per size.  A healthy crawl
+    is dominated by size-1; a fat tail here is the signal that
+    dedup_exact / dedup_bloom_incremental will shrink the corpus.  Two
+    hash aggregates, both key-bounded — the audit never costs more than
+    the dedup it justifies."""
+    d = t(spark, sf_dir, "documents").where(F.col("text").isNotNull())
+    key = F.md5(F.lower(F.regexp_replace("text", "[^A-Za-z0-9]", "")))
+    c = d.select(key.alias("key")).groupBy("key").agg(
+        F.count(F.lit(1)).alias("sz")
+    )
+    return c.groupBy(
+        F.least(F.col("sz"), F.lit(10)).cast("long").alias("cluster_size")
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n_clusters"),
+        F.sum("sz").cast("long").alias("n_docs"),
+    )
+
+
+@q(
+    "cross_source_overlap",
+    """
+    WITH k AS (
+      SELECT DISTINCT source,
+             MD5(LOWER(REGEXP_REPLACE(text, '[^A-Za-z0-9]', '', 'g'))) AS key
+      FROM documents WHERE text IS NOT NULL AND source IS NOT NULL),
+    n AS (SELECT source, COUNT(*) AS n_keys FROM k GROUP BY source)
+    SELECT a.source AS source_a, b.source AS source_b,
+           CAST(COUNT(*) AS BIGINT) AS n_shared,
+           CAST(FLOOR(10000.0 * COUNT(*) / LEAST(na.n_keys, nb.n_keys) + 0.5)
+             AS BIGINT) AS overlap_bp
+    FROM k a JOIN k b ON a.key = b.key AND a.source < b.source
+    JOIN n na ON na.source = a.source
+    JOIN n nb ON nb.source = b.source
+    GROUP BY a.source, b.source, na.n_keys, nb.n_keys
+    """,
+)
+def cross_source_overlap(spark, sf_dir):
+    """Cross-source content overlap: for each source pair, how many exact
+    (normalized) contents they share, and that count as basis points of
+    the smaller source's distinct-content set — the provenance audit that
+    catches mirror sites, syndication, and upstream contamination BETWEEN
+    corpus slices (the within-corpus twin of ngram_contamination's
+    train-vs-eval check).  Shape: distinct (source, key) projection, then
+    a self-equi-join on the content hash — candidate pairs are bounded by
+    duplicate-key fan-in, never |corpus|²; ratio rendered with
+    FLOOR(x + 0.5) (the engine-exact half rule)."""
+    d = t(spark, sf_dir, "documents").where(
+        F.col("text").isNotNull() & F.col("source").isNotNull()
+    )
+    key = F.md5(F.lower(F.regexp_replace("text", "[^A-Za-z0-9]", "")))
+    k = d.select("source", key.alias("key")).distinct()
+    n = k.groupBy("source").agg(F.count(F.lit(1)).alias("n_keys"))
+    a = k.select(F.col("source").alias("source_a"), "key")
+    b = k.select(F.col("source").alias("source_b"), "key")
+    pairs = a.join(b, "key").where(F.col("source_a") < F.col("source_b"))
+    g = pairs.groupBy("source_a", "source_b").agg(
+        F.count(F.lit(1)).cast("long").alias("n_shared")
+    )
+    na = n.select(F.col("source").alias("source_a"), F.col("n_keys").alias("__na"))
+    nb = n.select(F.col("source").alias("source_b"), F.col("n_keys").alias("__nb"))
+    out = g.join(F.broadcast(na), "source_a").join(F.broadcast(nb), "source_b")
+    return out.select(
+        "source_a",
+        "source_b",
+        "n_shared",
+        F.floor(
+            10000.0 * F.col("n_shared") / F.least("__na", "__nb") + 0.5
+        )
+        .cast("long")
+        .alias("overlap_bp"),
+    )
+
+
+@q(
     "dp_noisy_counts",
     """
     WITH g AS (
