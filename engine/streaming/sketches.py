@@ -23,7 +23,7 @@ from pyspark.sql import DataFrame
 
 from engine.extended.sketch import cms_build
 
-__all__ = ["streaming_cms"]
+__all__ = ["streaming_cms", "streaming_hll", "streaming_hll_estimate"]
 
 
 def streaming_cms(
@@ -69,3 +69,66 @@ def streaming_cms(
     )
     query.awaitTermination()
     return query, acc
+
+
+def streaming_hll(
+    stream_df: DataFrame,
+    key_col: str,
+    checkpoint_dir: str,
+    *,
+    lg_k: int = 12,
+    sketches: list[bytes] | None = None,
+    query_name: str = "engine-streaming-hll",
+):
+    """Maintain a distinct-count HLL over a stream (availableNow drain) —
+    the distinct-count twin of :func:`streaming_cms`.
+
+    Each micro-batch collapses to ONE Datasketches HLL binary
+    (``hll_sketch_agg`` — register-bounded regardless of batch size);
+    the accumulator keeps one sketch per batch and
+    :func:`streaming_hll_estimate` unions them Spark-side (register-max
+    merge is associative, so batch boundaries are invisible — exact
+    batch/stream parity, pinned in tests/test_streaming.py).  Same
+    at-least-once discipline as streaming_cms: a seen-batch_id guard
+    makes the in-process accumulator idempotent under re-delivery
+    (re-merging an HLL is actually harmless — max is idempotent — but
+    the guard keeps the one-sketch-per-batch invariant honest).
+    """
+    from pyspark.sql import functions as F
+
+    acc: list[bytes] = sketches if sketches is not None else []
+    seen: set[int] = set()
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_id in seen:
+            return
+        row = batch_df.where(F.col(key_col).isNotNull()).agg(
+            F.hll_sketch_agg(F.col(key_col).cast("string"), F.lit(lg_k)).alias("sk")
+        ).collect()[0]
+        if row["sk"] is not None:
+            acc.append(bytes(row["sk"]))
+        seen.add(batch_id)
+
+    query = (
+        stream_df.writeStream.foreachBatch(process)
+        .option("checkpointLocation", checkpoint_dir)
+        .queryName(query_name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination()
+    return query, acc
+
+
+def streaming_hll_estimate(spark, sketches: list[bytes]) -> float:
+    """Union the per-batch sketches and estimate — one Spark-side
+    ``hll_union_agg`` over a batch-count-sized frame."""
+    from pyspark.sql import functions as F
+
+    if not sketches:
+        return 0.0
+    df = spark.createDataFrame([(s,) for s in sketches], "sk binary")
+    return float(
+        df.agg(F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("e"))
+        .collect()[0]["e"]
+    )
