@@ -1,20 +1,24 @@
-"""Streaming sketch maintenance: count-min over a stream.
+"""Streaming sketch maintenance: count-min AND HLL over a stream.
 
-Sketch linearity (cms_merge: sketch(A) + sketch(B) == sketch(A ∪ B)) makes
-frequency state TRIVIALLY incremental: each micro-batch contributes its own
-``depth × width``-bounded cell table and the running sketch is the
-cell-wise sum — no per-key state store, no watermark bookkeeping, and the
-state is the SAME object a batch job would compute, so batch/streaming
-parity is exact (pinned by tests/test_streaming.py's availableNow parity
-test, the same contract as streaming_zscore).
+Sketch linearity / merge-associativity makes sketch state TRIVIALLY
+incremental: each micro-batch contributes its own geometry-bounded summary
+(CMS: a ``depth × width`` cell table summed cell-wise; HLL: a
+register-bounded binary folded by register-max union) — no per-key state
+store, no watermark bookkeeping.  For CMS the merged state is bit-identical
+to the batch sketch (integer sums — exact parity pinned in
+tests/test_streaming.py); for HLL the REGISTERS merge exactly but the
+ESTIMATE can differ from a direct single-pass sketch's (Datasketches uses
+the HIP estimator on a directly-built sketch and the composite estimator
+after a union), so HLL parity is pinned within 1% — the same tolerance
+hll_shard_merge claims, and the honest contract for any merged-HLL rollup.
 
-The accumulator here is a driver-side dict of ≤ ``depth × width`` cells —
-bounded by the sketch geometry, never by stream volume (the bloom_bit_words
-discipline).  A cluster deployment would instead upsert the per-batch cell
-table into a storage table (cells are idempotent under re-aggregation, so
-an at-least-once sink re-merge is safe: re-running a batch after failure
-requires the usual foreachBatch idempotence via batch_id, which the
-caller's sink owns — documented, not hidden).
+Both accumulators are driver-side and bounded by the SKETCH GEOMETRY,
+never by stream volume or lifetime: the CMS dict holds ≤ depth × width
+cells; the HLL accumulator folds every batch into ONE running sketch
+binary.  A cluster deployment would instead upsert the same summaries into
+a storage table; at-least-once re-delivery is handled in-process by a
+seen-batch_id guard in both functions (the accumulator IS the sink here,
+so it owns its own idempotence).
 """
 
 from __future__ import annotations
@@ -84,29 +88,41 @@ def streaming_hll(
     the distinct-count twin of :func:`streaming_cms`.
 
     Each micro-batch collapses to ONE Datasketches HLL binary
-    (``hll_sketch_agg`` — register-bounded regardless of batch size);
-    the accumulator keeps one sketch per batch and
-    :func:`streaming_hll_estimate` unions them Spark-side (register-max
-    merge is associative, so batch boundaries are invisible — exact
-    batch/stream parity, pinned in tests/test_streaming.py).  Same
+    (``hll_sketch_agg`` over the RAW column — the same hash space as the
+    batch hll twins in queries.py, so streaming and batch sketches of the
+    same column union correctly; cast upstream only if your batch twin
+    does) and is immediately FOLDED into the single running sketch via a
+    Spark-side ``hll_union_agg`` — O(1) driver state no matter how long
+    the stream lives.  Register-max merge is associative, so batch
+    boundaries are invisible at the register level; the ESTIMATE of a
+    merged sketch can differ from a direct single-pass sketch's by the
+    estimator family (HIP vs composite — see the module docstring), so
+    parity is pinned within 1% in tests/test_streaming.py.  Same
     at-least-once discipline as streaming_cms: a seen-batch_id guard
-    makes the in-process accumulator idempotent under re-delivery
-    (re-merging an HLL is actually harmless — max is idempotent — but
-    the guard keeps the one-sketch-per-batch invariant honest).
+    keeps re-delivered batches from re-folding.
     """
     from pyspark.sql import functions as F
 
     acc: list[bytes] = sketches if sketches is not None else []
     seen: set[int] = set()
+    spark = stream_df.sparkSession
 
     def process(batch_df: DataFrame, batch_id: int) -> None:
         if batch_id in seen:
             return
         row = batch_df.where(F.col(key_col).isNotNull()).agg(
-            F.hll_sketch_agg(F.col(key_col).cast("string"), F.lit(lg_k)).alias("sk")
+            F.hll_sketch_agg(key_col, F.lit(lg_k)).alias("sk")
         ).collect()[0]
         if row["sk"] is not None:
-            acc.append(bytes(row["sk"]))
+            batch_sk = bytes(row["sk"])
+            if acc:
+                both = spark.createDataFrame(
+                    [(acc[0],), (batch_sk,)], "sk binary"
+                )
+                merged = both.agg(F.hll_union_agg("sk").alias("u")).collect()[0]["u"]
+                acc[0] = bytes(merged)
+            else:
+                acc.append(batch_sk)
         seen.add(batch_id)
 
     query = (
@@ -121,8 +137,9 @@ def streaming_hll(
 
 
 def streaming_hll_estimate(spark, sketches: list[bytes]) -> float:
-    """Union the per-batch sketches and estimate — one Spark-side
-    ``hll_union_agg`` over a batch-count-sized frame."""
+    """Estimate from the running sketch (``streaming_hll`` keeps exactly
+    one folded binary; a caller-assembled multi-sketch list still unions
+    fine — the merge is associative)."""
     from pyspark.sql import functions as F
 
     if not sketches:

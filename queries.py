@@ -3130,7 +3130,11 @@ def cross_source_overlap(spark, sf_dir):
         F.col("text").isNotNull() & F.col("source").isNotNull()
     )
     key = F.md5(F.lower(F.regexp_replace("text", "[^A-Za-z0-9]", "")))
-    k = d.select("source", key.alias("key")).distinct()
+    # the distinct (source, key) frame feeds THREE branches (counts + both
+    # join sides) whose divergent projections defeat ReusedExchange —
+    # persist the cut point so the corpus scan + normalize-hash + distinct
+    # run once (the corpus_pipeline_v3 discipline)
+    k = d.select("source", key.alias("key")).distinct().persist()
     n = k.groupBy("source").agg(F.count(F.lit(1)).alias("n_keys"))
     a = k.select(F.col("source").alias("source_a"), "key")
     b = k.select(F.col("source").alias("source_b"), "key")
