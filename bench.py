@@ -194,16 +194,23 @@ def main() -> None:
     for name in ("region", "lineitem", "documents"):
         spark.read.parquet(f"{sf_dir}/{name}.parquet").limit(1).count()
 
-    timings: dict[str, float] = {}
-    total = 0.0
-    for name in HEADLINE:
-        fn = SPARK_QUERIES[name]
-        t0 = time.time()
-        force(fn(spark, sf_dir))
-        dt = round(time.time() - t0, 3)
-        timings[name] = dt
-        total += dt
-        spark.catalog.clearCache()
+    # Timed headline pass runs 3× and reports per-query MEDIANS: the host's
+    # hypervisor-steal band (±18% on identical code, measured r3-r5) exceeds
+    # any real round-over-round delta, so a single pass can't distinguish a
+    # plan regression from scheduler noise.  Medians of 3 cut the band to a
+    # usable signal at ~2 min added wall time.  secondary/skewed stay 1×.
+    passes = int(os.environ.get("SPARK_GRAFT_BENCH_PASSES", "3"))
+    samples: dict[str, list[float]] = {name: [] for name in HEADLINE}
+    for _ in range(passes):
+        for name in HEADLINE:
+            fn = SPARK_QUERIES[name]
+            t0 = time.time()
+            force(fn(spark, sf_dir))
+            samples[name].append(time.time() - t0)
+            spark.catalog.clearCache()
+    timings = {name: round(sorted(ts)[len(ts) // 2], 3)
+               for name, ts in samples.items()}
+    total = sum(timings.values())
 
     secondary: dict[str, float] = {}
     for name in SECONDARY:
@@ -233,6 +240,23 @@ def main() -> None:
                 skewed[name] = round(time.time() - t0, 3)
                 spark.catalog.clearCache()
 
+    # Output contract: the driver records only the last ~2,000 chars of
+    # stdout, so the big secondary/skewed blocks print FIRST on their own
+    # lines and the headline JSON (metric/value/queries — ~850 chars for the
+    # frozen 21-query pack) is the guaranteed LAST line.  r4 and r5 both lost
+    # the headline to tail truncation when everything shared one 3.3k line.
+    print(
+        json.dumps({"metric": "secondary_query_timings", "unit": "sec",
+                    "secondary": secondary,
+                    "secondary_total": round(sum(secondary.values()), 3)}),
+        flush=True,
+    )
+    print(
+        json.dumps({"metric": "skewed_headline_pack", "unit": "sec",
+                    "skewed": skewed,
+                    "skewed_total": round(sum(skewed.values()), 3)}),
+        flush=True,
+    )
     print(
         json.dumps(
             {
@@ -240,9 +264,8 @@ def main() -> None:
                 "value": round(total, 3),
                 "unit": "sec",
                 "queries": timings,
-                "secondary": secondary,
-                "skewed": skewed,
                 "skewed_total": round(sum(skewed.values()), 3),
+                "passes": passes,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }
         ),
