@@ -54,6 +54,52 @@ def _norm(vec_col: Column) -> Column:
     )
 
 
+#: one-time truncation probe guard: the cluster_cap default changed from
+#: None (exact) to 500 in r5, silently switching unconfigured callers from
+#: exact pair generation to capped.  The first capped call per process pays
+#: one bounded aggregate (groupBy cluster → count, cluster-cardinality
+#: groups) to count actually-truncated clusters and WARN if any — so the
+#: silent-result-change is observable exactly once, and steady-state calls
+#: pay nothing (advice-review item).
+_CAP_PROBED = False
+
+
+def _apply_cluster_cap(
+    df: DataFrame, cluster_col: str, id_col: str, cluster_cap: int
+) -> DataFrame:
+    """Keep each cluster's ``cluster_cap`` lowest-id rows (row_number over a
+    per-cluster window); warn once per process when the cap is actually
+    truncating (see ``_CAP_PROBED``)."""
+    global _CAP_PROBED
+    if not _CAP_PROBED:
+        _CAP_PROBED = True
+        n_trunc = (
+            df.groupBy(cluster_col)
+            .count()
+            .filter(F.col("count") > cluster_cap)
+            .count()
+        )
+        if n_trunc:
+            import warnings
+
+            warnings.warn(
+                f"cluster_cap={cluster_cap} is truncating {n_trunc} cluster(s):"
+                " overflow rows emit no pairs (they are all kept by the"
+                " downstream anti-join). Pass cluster_cap=None for exact pair"
+                " generation, or re-cluster with a larger k."
+                " This warning probes once per process.",
+                stacklevel=3,
+            )
+    from pyspark.sql import Window
+
+    wcap = Window.partitionBy(cluster_col).orderBy(id_col)
+    return (
+        df.withColumn("__cn", F.row_number().over(wcap))
+        .filter(F.col("__cn") <= cluster_cap)
+        .drop("__cn")
+    )
+
+
 def centroids_by(
     df: DataFrame,
     *,
@@ -124,14 +170,7 @@ def pairwise_sims(
     if probe_parallelism:
         df = df.repartition(probe_parallelism)
     if cluster_cap:
-        from pyspark.sql import Window
-
-        wcap = Window.partitionBy(cluster_col).orderBy(id_col)
-        df = (
-            df.withColumn("__cn", F.row_number().over(wcap))
-            .filter(F.col("__cn") <= cluster_cap)
-            .drop("__cn")
-        )
+        df = _apply_cluster_cap(df, cluster_col, id_col, cluster_cap)
     v = df.select(
         F.col(cluster_col).alias("__c"),
         F.col(id_col).alias("__id"),
@@ -259,14 +298,7 @@ def cross_pairs(
     construction and stays uncapped.
     """
     if cluster_cap:
-        from pyspark.sql import Window
-
-        wcap = Window.partitionBy(cluster_col).orderBy(id_col)
-        corpus = (
-            corpus.withColumn("__cn", F.row_number().over(wcap))
-            .filter(F.col("__cn") <= cluster_cap)
-            .drop("__cn")
-        )
+        corpus = _apply_cluster_cap(corpus, cluster_col, id_col, cluster_cap)
 
     def side(df: DataFrame, prefix: str) -> DataFrame:
         return df.select(

@@ -111,18 +111,33 @@ def cms_estimate(
     inner join would drop the empty cell and return 50, a false positive
     frequency for a provably-absent key (review catch; the registry
     queries never hit it because their probes are build subsets).
+
+    Probe rows are grouped on a per-row id, not on ``keys``'s columns, so
+    duplicate probe rows each keep their own output row (advice-review
+    catch: grouping on the columns silently collapsed duplicates).  The
+    internal ``row``/``col``/``cnt`` names would make the join ambiguous if
+    ``keys`` already carries one of them — raise rather than mis-group.
     """
+    reserved = {"row", "col", "cnt"} & set(keys.columns)
+    if reserved:
+        raise ValueError(
+            f"cms_estimate probe frame must not contain columns {sorted(reserved)}"
+            " (internal sketch-cell names); rename them before probing"
+        )
     key = F.col(key_col).cast("string")
-    probes = keys.select(
+    probes = keys.withColumn("__probe_id", F.monotonically_increasing_id()).select(
         "*",
         F.posexplode(
             F.array(*[cms_hash_col(key, r, width) for r in range(depth)])
         ).alias("row", "col"),
     )
     joined = probes.join(F.broadcast(sketch), ["row", "col"], "left")
-    group_cols = [c for c in keys.columns]
-    return joined.groupBy(*group_cols).agg(
-        F.min(F.coalesce(F.col("cnt"), F.lit(0).cast("long"))).alias(est_col)
+    return (
+        joined.groupBy("__probe_id", *keys.columns)
+        .agg(
+            F.min(F.coalesce(F.col("cnt"), F.lit(0).cast("long"))).alias(est_col)
+        )
+        .drop("__probe_id")
     )
 
 

@@ -20,6 +20,8 @@ from pyspark.sql import DataFrame, SparkSession
 __all__ = [
     "write_partitioned",
     "write_bucketed",
+    "write_bucketed_cached",
+    "path_fingerprint",
     "read_table",
     "zorder_key",
     "zorder_key_sql",
@@ -64,22 +66,99 @@ def write_bucketed(
         # (review catch: the first cut used <wh>/<db>.<t> for qualified
         # names, missing the orphan it was meant to clear).
         spark.sql(f"DROP TABLE IF EXISTS {table}")
+        import os
         import shutil
         from urllib.parse import urlparse
 
         parts = table.lower().split(".")
         if len(parts) > 1 and parts[0] == "spark_catalog":
             parts = parts[1:]
+        # an unqualified name lives in the session's CURRENT database, not
+        # necessarily 'default' — assuming default here deleted the files
+        # of an unrelated default-db table whenever the caller had switched
+        # databases (advice-review catch: silent data loss on a healthy
+        # table whose catalog entry survived the rmtree)
+        if len(parts) == 1:
+            parts = [spark.catalog.currentDatabase().lower(), parts[0]]
         wh = urlparse(spark.conf.get("spark.sql.warehouse.dir")).path
-        if len(parts) == 1 or parts[0] == "default":
+        if parts[0] == "default":
             loc = f"{wh}/{parts[-1]}"
         else:
             loc = f"{wh}/{parts[-2]}.db/{parts[-1]}"
-        shutil.rmtree(loc, ignore_errors=True)
+        # only clear a TRUE orphan: the DROP above removed any catalog
+        # entry, so a table that still exists means the drop was blocked —
+        # leave its files alone.  And only if the directory actually looks
+        # like a table location (data/marker files, no nested *.db catalog
+        # dirs), so a mis-resolved path can never take out a database dir.
+        if (
+            os.path.isdir(loc)
+            and not spark.catalog.tableExists(table)
+            and all(
+                not (os.path.isdir(os.path.join(loc, e)) and e.endswith(".db"))
+                for e in os.listdir(loc)
+            )
+        ):
+            shutil.rmtree(loc, ignore_errors=True)
     w = df.write.mode(mode).bucketBy(n_buckets, bucket_col)
     if sort_col:
         w = w.sortBy(sort_col)
     w.format("parquet").saveAsTable(table)
+
+
+#: session-scoped layout cache: table name -> the content fingerprint its
+#: current bucketed materialization was written from.  Process-local by
+#: design — the local derby catalog is per-session too, so a new session
+#: starts cold and the first write repopulates both.
+_BUCKETED_FP: dict[str, str] = {}
+
+
+def path_fingerprint(*paths: str) -> str:
+    """Cheap content fingerprint of parquet files/directories: (name, size,
+    mtime_ns) of every file at or under each path, hashed.  No Spark job —
+    pure driver-side stat walk, so cache probes cost microseconds.
+    Regenerating a pack in place (new mtimes) or pointing at different data
+    changes the fingerprint and invalidates any layout keyed on it."""
+    import hashlib
+    import os
+
+    h = hashlib.md5()
+    for p in paths:
+        if os.path.isfile(p):
+            st = os.stat(p)
+            h.update(f"{p}|{st.st_size}|{st.st_mtime_ns};".encode())
+            continue
+        for root, dirs, files in sorted(os.walk(p)):
+            for f in sorted(files):
+                st = os.stat(os.path.join(root, f))
+                h.update(f"{root}/{f}|{st.st_size}|{st.st_mtime_ns};".encode())
+    return h.hexdigest()
+
+
+def write_bucketed_cached(
+    df: DataFrame,
+    table: str,
+    bucket_col: str,
+    n_buckets: int,
+    *,
+    sort_col: str | None = None,
+    fingerprint: str = "",
+) -> bool:
+    """:func:`write_bucketed`, skipped when this session already wrote
+    ``table`` from data with the same ``fingerprint`` (see
+    :func:`path_fingerprint`) and the catalog still holds it.
+
+    Returns True when a write happened, False on a cache hit.  This is the
+    session-scoped answer to a registry/demo caller invoking a bucketed
+    join repeatedly: the layout is paid once per (table, data-version), not
+    per call — exactly how a production deployment would treat a bucketed
+    table as durable infrastructure rather than a per-query artifact.
+    """
+    spark = df.sparkSession
+    if _BUCKETED_FP.get(table) == fingerprint and spark.catalog.tableExists(table):
+        return False
+    write_bucketed(df, table, bucket_col, n_buckets, sort_col=sort_col)
+    _BUCKETED_FP[table] = fingerprint
+    return True
 
 
 def read_table(spark: SparkSession, table: str) -> DataFrame:

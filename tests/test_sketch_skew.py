@@ -185,6 +185,34 @@ def test_cms_estimate_absent_key_is_zero_via_empty_cell(spark):
     assert got["never-seen-key"] == 0
 
 
+def test_cms_estimate_keeps_duplicate_probe_rows(spark):
+    """Duplicate probe rows each get their own output row (advice-review
+    catch: grouping on the probe frame's columns collapsed them)."""
+    from engine.extended.sketch import cms_build, cms_estimate
+
+    df = spark.createDataFrame([("a",)] * 3 + [("b",)], ["k"])
+    sk = cms_build(df, "k", depth=3, width=4096)
+    probe = spark.createDataFrame([("a",), ("a",), ("b",)], ["k"])
+    rows = cms_estimate(sk, probe, "k", depth=3, width=4096).collect()
+    assert sorted((r["k"], r["est_n"]) for r in rows) == [
+        ("a", 3), ("a", 3), ("b", 1),
+    ]
+
+
+def test_cms_estimate_rejects_reserved_probe_columns(spark):
+    """A probe frame already carrying row/col/cnt would make the cell join
+    ambiguous — raise instead of mis-grouping (advice-review catch)."""
+    import pytest
+
+    from engine.extended.sketch import cms_build, cms_estimate
+
+    df = spark.createDataFrame([("a",)], ["k"])
+    sk = cms_build(df, "k", depth=3, width=64)
+    probe = spark.createDataFrame([("a", 1)], ["k", "cnt"])
+    with pytest.raises(ValueError, match="cnt"):
+        cms_estimate(sk, probe, "k", depth=3, width=64)
+
+
 def test_salted_count_distinct_keeps_all_null_groups(spark):
     """A group whose values are all NULL must appear with count 0, exactly
     like the plain COUNT(DISTINCT) aggregate."""
