@@ -132,6 +132,12 @@ SECONDARY = [
     "ann_recall_audit",
     "dup_cluster_size_hist",
     "cross_source_overlap",
+    # round-6 additions
+    "incremental_agg_merge",
+    "dedup_keep_best",
+    "balanced_shards",
+    "moments_shard_merge",
+    "length_bucket_batches",
 ]
 
 

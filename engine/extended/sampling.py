@@ -23,6 +23,8 @@ __all__ = [
     "mixture_sample",
     "per_key_sample",
     "shard_assign",
+    "balanced_shards",
+    "length_bucket_batches",
     "global_order",
 ]
 
@@ -241,6 +243,153 @@ def temperature_mixture(
         .join(F.broadcast(quotas), group_col)
         .filter(F.col("__rk") <= F.col("__quota"))
         .drop("__rk", "__quota")
+    )
+
+
+def _size_rank(
+    df: DataFrame,
+    size_col: str,
+    id_col: str,
+    *,
+    descending: bool,
+    with_total: bool = False,
+) -> DataFrame:
+    """Attach ``__sz`` (clamped size) and ``__grank`` (0-based global rank
+    by size then id) — scale-safely, with no single-reducer window.
+
+    The :func:`global_order` pattern adapted to a size ordering: rows
+    bucket by the BIT LENGTH of their size (``length(bin(sz))`` —
+    integer-exact and monotone in sz, so bucket order is consistent with
+    the total order, unlike a float ``log2`` whose ulp error could
+    misorder boundary values), rank within buckets via a partitioned
+    window, and add bucket offsets cumsum-ed over the ≤64-row bucket-count
+    table.  Heavily CONCENTRATED size distributions (most rows sharing one
+    bit-length) shrink the rank stage's parallelism toward one bucket;
+    production layout for that shape is ``repartitionByRange(size)`` + the
+    same within-partition rank, at the cost of a sampled range exchange.
+
+    NULL and negative sizes clamp to 0 (a negative long's two's-complement
+    bin() is 64 bits and would otherwise outrank every real size).
+    ``with_total`` also attaches ``__total`` (the row count, from the same
+    bounded side — no extra corpus pass).
+    """
+    from pyspark.sql import Window
+
+    sz = F.greatest(F.coalesce(F.col(size_col).cast("long"), F.lit(0)), F.lit(0))
+    d2 = df.withColumn("__sz", sz).withColumn(
+        "__blen", F.length(F.bin(F.col("__sz"))).cast("int")
+    )
+    sz_ord = F.col("__sz").desc() if descending else F.col("__sz").asc()
+    w = Window.partitionBy("__blen").orderBy(sz_ord, F.col(id_col).asc_nulls_last())
+    ranked = d2.withColumn("__rk", F.row_number().over(w))
+    blen_ord = F.col("__blen").desc() if descending else F.col("__blen").asc()
+    # ≤64 buckets (bit lengths of a signed long) — the cumsum side is
+    # bounded by construction; same non-foldable empty-prefix partition
+    # trick as global_order to keep WindowExec quiet on a 64-row frame.
+    full64 = Window.partitionBy(
+        F.substring(F.col("__blen").cast("string"), 0, 0)
+    )
+    counts = d2.groupBy("__blen").agg(F.count(F.lit(1)).alias("__cnt"))
+    offsets = counts.withColumn(
+        "__offset",
+        F.coalesce(
+            F.sum("__cnt").over(
+                full64.orderBy(blen_ord)
+                .rowsBetween(Window.unboundedPreceding, -1)
+            ),
+            F.lit(0),
+        ),
+    )
+    if with_total:
+        offsets = offsets.withColumn(
+            "__total",
+            F.sum("__cnt").over(
+                full64.orderBy(blen_ord).rowsBetween(
+                    Window.unboundedPreceding, Window.unboundedFollowing
+                )
+            ),
+        )
+    keep = ["__blen", "__offset"] + (["__total"] if with_total else [])
+    return (
+        ranked.join(F.broadcast(offsets.select(*keep)), "__blen")
+        .withColumn("__grank", (F.col("__offset") + F.col("__rk") - 1).cast("long"))
+        .drop("__blen", "__rk", "__offset")
+    )
+
+
+def balanced_shards(
+    df: DataFrame,
+    size_col: str,
+    *,
+    n_shards: int,
+    id_col: str = "doc_id",
+    out_col: str = "shard",
+) -> DataFrame:
+    """SIZE-balanced shard assignment: serpentine fold of the size-descending
+    global rank into ``n_shards`` — the straggler killer :func:`shard_assign`
+    is not.
+
+    Hash sharding balances ROW counts; when per-row cost follows size
+    (tokens, bytes, decode time), the hot shard gets the fat tail and every
+    epoch waits on it.  Ranking rows by size descending and dealing them
+    boustrophedon (0,1,…,k-1,k-1,…,1,0 — the classic LPT/serpentine
+    schedule) bounds the shard-sum spread by ONE row's size per fold pair,
+    instead of the O(√n·σ) drift of plain round-robin on sorted input.
+    The global rank comes from :func:`_size_rank` (bit-length buckets +
+    offsets — no single-reducer window; see its scale notes).
+
+    Output: input columns + ``out_col``.
+    """
+    ranked = _size_rank(df, size_col, id_col, descending=True)
+    pos = F.col("__grank") % (2 * n_shards)
+    shard = F.when(pos < n_shards, pos).otherwise(2 * n_shards - 1 - pos)
+    return (
+        ranked.withColumn(out_col, shard.cast("int"))
+        .drop("__sz", "__grank")
+    )
+
+
+def length_bucket_batches(
+    df: DataFrame,
+    size_col: str,
+    *,
+    n_buckets: int = 8,
+    batch_size: int = 32,
+    id_col: str = "doc_id",
+    bucket_col: str = "bucket",
+    batch_col: str = "batch",
+) -> DataFrame:
+    """Length-bucketed batching: equal-frequency size buckets, fixed-size
+    batches within each — the padding killer for batched training/inference.
+
+    Batching documents in arbitrary order pads every sequence to its
+    batch's max length; with a heavy-tailed length distribution most of
+    the compute is padding.  Grouping by length first makes batch-mates
+    similar-sized, so the pad-to-max waste collapses (the bucketing trick
+    behind dynamic batching in every serious serving/training stack).
+
+    Everything derives from ONE global size rank (:func:`_size_rank` — no
+    single-reducer window) by pure integer codegen expressions:
+    ``bucket = (rank·k) div N`` (equal-frequency buckets differing by ≤1
+    row), ``batch = (rank − bucket_start) div batch_size`` where
+    ``bucket_start = (bucket·N + k−1) div k`` — no second window, no
+    per-bucket shuffle.  The last batch of each bucket may run short;
+    callers that need exactly-full batches drop ``batch`` ==
+    ``bucket_rows div batch_size``.
+
+    Output: input columns + ``bucket_col`` (int) + ``batch_col`` (long).
+    """
+    k = n_buckets
+    ranked = _size_rank(df, size_col, id_col, descending=False, with_total=True)
+    bucket = F.expr(f"CAST((__grank * {k}) div __total AS INT)")
+    with_b = ranked.withColumn(bucket_col, bucket)
+    batch = F.expr(
+        f"(__grank - (({bucket_col} * __total + {k - 1}) div {k}))"
+        f" div {batch_size}"
+    )
+    return (
+        with_b.withColumn(batch_col, batch.cast("long"))
+        .drop("__sz", "__grank", "__total")
     )
 
 

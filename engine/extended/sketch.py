@@ -45,7 +45,18 @@ from pyspark.sql import functions as F
 
 from engine.extended.dedup import md5_long
 
-__all__ = ["cms_hash_col", "cms_build", "cms_merge", "cms_estimate"]
+__all__ = [
+    "cms_hash_col",
+    "cms_build",
+    "cms_merge",
+    "cms_estimate",
+    "hist_build",
+    "hist_merge",
+    "hist_quantile",
+    "moments_build",
+    "moments_merge",
+    "moments_stats",
+]
 
 
 def cms_hash_col(key: Column, row: int, width: int) -> Column:
@@ -246,4 +257,76 @@ def hist_quantile(
     )
     return hist.agg(
         (F.lit(lo) + (folded["ans"] + 1) * F.lit(w)).alias(out_col)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Mergeable exact moments: the EXACT member of the summary family (count-min
+# = approximate frequencies, HLL = approximate distinct, histogram =
+# approximate quantiles; (n, Σv, Σv²) = exact mean/variance, losslessly
+# mergeable because all three components are plain sums)
+# ---------------------------------------------------------------------------
+
+
+def moments_build(
+    df: DataFrame, value_expr: str, *, by: list[str] | None = None
+) -> DataFrame:
+    """Per-group exact moment partials ``(by..., n, sum_v, sumsq_v)``.
+
+    ``value_expr`` must evaluate to an INTEGRAL type (cast upstream): with
+    BIGINT components every partial — and every merge of partials — is
+    exact, so shard moments equal whole-corpus moments bit-for-bit, the
+    property that makes per-day/per-shard rollups of mean and variance
+    safe (float partials re-added in a different order are not — the q1
+    discipline applied to second moments).  NULL values are skipped (all
+    three sums ignore them consistently).
+
+    One map-side-combining aggregate: the shuffle carries one partial per
+    (task, group), never the values.
+    """
+    v = F.expr(value_expr)
+    base = df.where(v.isNotNull())
+    keys = [F.col(c) for c in (by or [])]
+    return base.groupBy(*keys).agg(
+        F.count(v).cast("long").alias("n"),
+        F.sum(v).cast("long").alias("sum_v"),
+        F.sum(v * v).cast("long").alias("sumsq_v"),
+    )
+
+
+def moments_merge(parts: DataFrame, *, by: list[str] | None = None) -> DataFrame:
+    """Fold moment partials over ``by`` (drop keys entirely when None →
+    one global row): counts, sums, and sums-of-squares all add."""
+    aggs = [
+        F.sum("n").cast("long").alias("n"),
+        F.sum("sum_v").cast("long").alias("sum_v"),
+        F.sum("sumsq_v").cast("long").alias("sumsq_v"),
+    ]
+    if by:
+        return parts.groupBy(*by).agg(*aggs)
+    return parts.agg(*aggs)
+
+
+def moments_stats(df: DataFrame, *, scale: int = 1000) -> DataFrame:
+    """Attach ``mean_milli`` / ``var_milli`` (population variance) rendered
+    as scaled BIGINTs via the engine-exact half rule FLOOR(x + 0.5).
+
+    The doubles feeding FLOOR are computed the same way any engine would
+    from the exact integer components (cast → one divide → one multiply),
+    so the rendered values reproduce cross-engine; components stay exact
+    as long as ``n·sumsq`` fits a double's 2^53 integer range — beyond
+    that, derive statistics from the raw BIGINT components instead.
+    """
+    n = F.col("n").cast("double")
+    s = F.col("sum_v").cast("double")
+    q = F.col("sumsq_v").cast("double")
+    mean = F.lit(float(scale)) * (s / n) + F.lit(0.5)
+    var = F.lit(float(scale)) * (
+        (F.col("n") * F.col("sumsq_v") - F.col("sum_v") * F.col("sum_v"))
+        .cast("double") / (n * n)
+    ) + F.lit(0.5)
+    return df.select(
+        "*",
+        F.floor(mean).cast("long").alias("mean_milli"),
+        F.floor(var).cast("long").alias("var_milli"),
     )

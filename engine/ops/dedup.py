@@ -21,7 +21,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["keep_first", "exact_dedup", "accumulate_keys"]
+__all__ = ["keep_first", "keep_best", "exact_dedup", "accumulate_keys"]
 
 
 def keep_first(df: DataFrame, key_cols: list[str], order_cols: list[str]) -> DataFrame:
@@ -44,6 +44,45 @@ def keep_first(df: DataFrame, key_cols: list[str], order_cols: list[str]) -> Dat
         .filter(F.col("__rn") == 1)
         .drop("__rn")
     )
+
+
+def keep_best(
+    df: DataFrame,
+    key_cols: list[str],
+    score_col: str,
+    tie_cols: list[str],
+    *,
+    size_col: str | None = None,
+) -> DataFrame:
+    """Keep the HIGHEST-``score_col`` row per ``key_cols`` — survivor
+    selection by quality, the curation-grade twin of :func:`keep_first`.
+
+    Where keep-first preserves ingestion order (the reference's
+    ``duplicated(keep='first')`` contract), a training-corpus dedup wants
+    the BEST member of each duplicate cluster — longest cleanly-extracted
+    variant, highest quality score — because mirrors and re-crawls differ
+    in boilerplate even when their content key collides.  Determinism:
+    score DESC NULLS LAST (an unknown score must never beat a known one),
+    then ``tie_cols`` ASC NULLS LAST.
+
+    ``size_col`` optionally emits the duplicate-cluster size on the
+    surviving row (same window partition — no extra shuffle), so the
+    output doubles as the dedup's audit record.
+
+    Same scale shape as keep_first: one hash exchange on the key, then a
+    partition-local sort; AQE splits skewed clusters.
+    """
+    order = [F.col(score_col).desc_nulls_last()] + [
+        F.col(c).asc_nulls_last() for c in tie_cols
+    ]
+    w = Window.partitionBy(*key_cols).orderBy(*order)
+    out = df.withColumn("__rn", F.row_number().over(w))
+    if size_col:
+        out = out.withColumn(
+            size_col,
+            F.count(F.lit(1)).over(Window.partitionBy(*key_cols)).cast("long"),
+        )
+    return out.filter(F.col("__rn") == 1).drop("__rn")
 
 
 def exact_dedup(df: DataFrame, on_cols: list[str], keep_by: list[str] | None = None) -> DataFrame:

@@ -8964,6 +8964,289 @@ def supplier_value_share(spark, sf_dir):
 
 
 # ===========================================================================
+# Round 6: incremental aggregate maintenance, survivor-quality dedup,
+# size-balanced sharding, mergeable moments, padding-aware batching
+# ===========================================================================
+
+
+@q(
+    "incremental_agg_merge",
+    """
+    WITH agg AS (
+      SELECT o_custkey AS custkey, COUNT(*) AS n,
+             CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,2))), 2)
+               AS DOUBLE) AS total_spend,
+             MAX(o_orderdate) AS last_order
+      FROM orders GROUP BY o_custkey),
+    flags AS (
+      SELECT o_custkey AS custkey,
+             MAX(CASE WHEN o_orderdate <  DATE '1997-01-01' THEN 1 ELSE 0 END)
+               AS has_hist,
+             MAX(CASE WHEN o_orderdate >= DATE '1997-01-01'
+                        OR o_orderdate IS NULL THEN 1 ELSE 0 END)
+               AS has_batch
+      FROM orders GROUP BY o_custkey)
+    SELECT j.custkey, j.n, j.total_spend, j.last_order,
+           CASE WHEN has_hist = 1 AND has_batch = 1 THEN 'update'
+                WHEN has_batch = 1 THEN 'insert'
+                ELSE 'unchanged' END AS op
+    FROM agg j JOIN flags f ON j.custkey IS NOT DISTINCT FROM f.custkey
+    """,
+)
+def incremental_agg_merge(spark, sf_dir):
+    """Materialized-view maintenance (engine.ops.matview): per-customer
+    order aggregates maintained as stored mergeable partials — history
+    before 1997 is the SNAPSHOT (one partial row per customer), 1997+ is
+    the incoming BATCH, and the refresh is one groupBy over the batch plus
+    one co-partitioned full-outer join, never a re-scan of history.  The
+    op column (insert/update/unchanged) is the refresh's changelog, free
+    from the same join.  The oracle recomputes the merged result from
+    scratch over ALL orders — pinning the merge identities (counts add,
+    DECIMAL sums add, maxes take greatest) against an independent path.
+    Work per refresh at 100 TB: O(batch + customers), snapshot bucketed on
+    the key makes the join exchange-free on its side."""
+    from engine.ops.matview import agg_partials, merge_agg_snapshot
+
+    o = t(spark, sf_dir, "orders")
+    split = F.lit("1997-01-01").cast("date")
+    spec = dict(
+        sums={"__spend": "CAST(o_totalprice AS DECIMAL(18,2))"},
+        maxs={"last_order": "o_orderdate"},
+    )
+    snap = agg_partials(o.where(F.col("o_orderdate") < split),
+                        ["o_custkey"], **spec)
+    # NULL order dates ride the CURRENT batch (late/unknown-date rows must
+    # land in exactly one slice or they vanish from the maintained view —
+    # fuzz-caught); the oracle's has_batch flag mirrors the OR IS NULL.
+    bp = agg_partials(
+        o.where((F.col("o_orderdate") >= split)
+                | F.col("o_orderdate").isNull()),
+        ["o_custkey"], **spec)
+    merged = merge_agg_snapshot(
+        snap, bp, ["o_custkey"],
+        sum_cols=("__spend",), max_cols=("last_order",),
+    )
+    return merged.select(
+        F.col("o_custkey").alias("custkey"),
+        "n",
+        F.round("__spend", 2).cast("double").alias("total_spend"),
+        "last_order",
+        "op",
+    )
+
+
+@q(
+    "dedup_keep_best",
+    """
+    WITH scored AS (
+      SELECT doc_id, source,
+             MD5(LOWER(REGEXP_REPLACE(text, '[^A-Za-z0-9]', '', 'g'))) AS key,
+             LENGTH(REGEXP_REPLACE(COALESCE(text, ''), '[^A-Za-z0-9]', '', 'g'))
+               AS score
+      FROM documents),
+    r AS (
+      SELECT doc_id, source, score,
+             ROW_NUMBER() OVER (
+               PARTITION BY key ORDER BY score DESC, doc_id) AS rk,
+             COUNT(*) OVER (PARTITION BY key) AS n_dups
+      FROM scored)
+    SELECT doc_id, source, CAST(score AS BIGINT) AS score,
+           CAST(n_dups AS BIGINT) AS n_dups
+    FROM r WHERE rk = 1
+    """,
+)
+def dedup_keep_best(spark, sf_dir):
+    """Survivor-selection dedup (engine.ops.dedup.keep_best): per
+    normalized-content cluster, keep the HIGHEST-quality member (here:
+    alphanumeric character count — mirrors differ in boilerplate even when
+    the content key collides) instead of keep-first's ingestion order —
+    with the duplicate-cluster size riding on the surviving row as the
+    audit record.  The score counts ONLY [A-Za-z0-9] chars, so Spark's
+    UTF-16 length and DuckDB's codepoint length agree (astral chars are
+    stripped before counting — the length-divergence pitfall).  One hash
+    exchange on the content key; both window functions share it."""
+    from engine.ops.dedup import keep_best
+
+    d = t(spark, sf_dir, "documents")
+    scored = d.select(
+        "doc_id",
+        "source",
+        F.md5(F.lower(F.regexp_replace("text", "[^A-Za-z0-9]", ""))).alias(
+            "key"
+        ),
+        F.length(
+            F.regexp_replace(F.coalesce("text", F.lit("")), "[^A-Za-z0-9]", "")
+        ).alias("score"),
+    )
+    kept = keep_best(scored, ["key"], "score", ["doc_id"], size_col="n_dups")
+    return kept.select(
+        "doc_id", "source", F.col("score").cast("long").alias("score"), "n_dups"
+    )
+
+
+@q(
+    "balanced_shards",
+    """
+    WITH s AS (
+      SELECT doc_id,
+             GREATEST(COALESCE(n_chars, 0), 0) AS sz
+      FROM documents),
+    r AS (
+      SELECT sz,
+             ROW_NUMBER() OVER (ORDER BY sz DESC, doc_id) - 1 AS rk
+      FROM s)
+    SELECT CAST(CASE WHEN rk % 16 < 8 THEN rk % 16
+                     ELSE 15 - (rk % 16) END AS INTEGER) AS shard,
+           COUNT(*) AS n_docs,
+           CAST(SUM(sz) AS BIGINT) AS total_chars
+    FROM r GROUP BY 1
+    """,
+)
+def balanced_shards_q(spark, sf_dir):
+    """SIZE-balanced training shards (engine.extended.sampling.
+    balanced_shards): docs ranked by size descending and dealt serpentine
+    (0..7,7..0) into 8 shards, so per-shard byte sums stay within one
+    document of each other — the straggler fix hash sharding (shard_assign)
+    cannot give when cost follows size.  The global rank is computed with
+    the bit-length-bucket + offset pattern (no single-reducer window); the
+    oracle ranks directly.  Output: per-shard doc and byte totals — the
+    balance is the result."""
+    from engine.extended.sampling import balanced_shards
+
+    d = t(spark, sf_dir, "documents")
+    sharded = balanced_shards(d, "n_chars", n_shards=8, id_col="doc_id")
+    return sharded.groupBy("shard").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.greatest(F.coalesce(F.col("n_chars").cast("long"), F.lit(0)),
+                         F.lit(0))).cast("long").alias("total_chars"),
+    )
+
+
+@q(
+    "moments_shard_merge",
+    """
+    WITH v AS (
+      SELECT ((l_orderkey % 4) + 4) % 4 AS shard,
+             CAST(l_quantity AS BIGINT) AS v
+      FROM lineitem WHERE l_quantity IS NOT NULL),
+    p AS (
+      SELECT shard, COUNT(v) AS n, SUM(v) AS sum_v, SUM(v * v) AS sumsq_v
+      FROM v GROUP BY shard),
+    m AS (
+      SELECT -1 AS shard, COUNT(v) AS n, SUM(v) AS sum_v, SUM(v * v) AS sumsq_v
+      FROM v),
+    u AS (SELECT * FROM p UNION ALL SELECT * FROM m)
+    SELECT CAST(shard AS INTEGER) AS shard,
+           CAST(n AS BIGINT) AS n,
+           CAST(sum_v AS BIGINT) AS sum_v,
+           CAST(sumsq_v AS BIGINT) AS sumsq_v,
+           CAST(FLOOR(1000.0 * (CAST(sum_v AS DOUBLE) / CAST(n AS DOUBLE))
+             + 0.5) AS BIGINT) AS mean_milli,
+           CAST(FLOOR(1000.0 * (CAST(n * sumsq_v - sum_v * sum_v AS DOUBLE)
+             / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE))) + 0.5) AS BIGINT)
+             AS var_milli
+    FROM u
+    """,
+)
+def moments_shard_merge(spark, sf_dir):
+    """Mergeable EXACT moments (engine.extended.sketch.moments_build/merge/
+    stats) — the exact member of the summary family: per-shard (n, Σv, Σv²)
+    BIGINT partials merge by plain addition into whole-corpus mean and
+    population variance, bit-for-bit (no float partial-sum order
+    divergence — the q1 discipline applied to second moments).  The merged
+    row (shard = -1) is computed by MERGING the four shard partials on the
+    Spark side while the oracle recomputes it directly over all rows —
+    pinning the rollup identity the per-day statistics table relies on.
+    mean/variance render as milli-scaled BIGINTs via FLOOR(x + 0.5) from
+    identically-computed doubles (components stay within 2^53 at integral
+    TPC-H quantities ≤ 50)."""
+    from engine.extended.sketch import moments_build, moments_merge, moments_stats
+
+    li = (
+        t(spark, sf_dir, "lineitem")
+        .where(F.col("l_quantity").isNotNull())
+        .select(
+            F.pmod("l_orderkey", F.lit(4)).cast("int").alias("shard"),
+            F.col("l_quantity").cast("bigint").alias("v"),
+        )
+    )
+    parts = moments_build(li, "v", by=["shard"])
+    merged = moments_merge(parts).select(
+        F.lit(-1).cast("int").alias("shard"), "n", "sum_v", "sumsq_v"
+    )
+    u = parts.select("shard", "n", "sum_v", "sumsq_v").unionByName(merged)
+    return moments_stats(u)
+
+
+@q(
+    "length_bucket_batches",
+    """
+    WITH s AS (
+      SELECT doc_id, GREATEST(COALESCE(n_chars, 0), 0) AS sz
+      FROM documents),
+    r AS (
+      SELECT sz, ROW_NUMBER() OVER (ORDER BY sz, doc_id) - 1 AS rk,
+             COUNT(*) OVER () AS n
+      FROM s),
+    b AS (
+      SELECT sz, (rk * 8) // n AS bucket,
+             (rk - ((((rk * 8) // n) * n + 7) // 8)) // 32 AS batch
+      FROM r),
+    g AS (
+      SELECT bucket, batch, COUNT(*) AS cnt, MAX(sz) AS mx, SUM(sz) AS rsum
+      FROM b GROUP BY bucket, batch)
+    SELECT CAST(bucket AS INTEGER) AS bucket,
+           COUNT(*) AS n_batches,
+           CAST(SUM(cnt) AS BIGINT) AS n_docs,
+           CAST(SUM(cnt * mx) AS BIGINT) AS padded_cells,
+           CAST(SUM(rsum) AS BIGINT) AS real_cells,
+           CAST(CASE WHEN SUM(cnt * mx) = 0 THEN 0
+                     ELSE FLOOR(10000.0 * (SUM(cnt * mx) - SUM(rsum))
+                                / SUM(cnt * mx) + 0.5) END AS BIGINT)
+             AS waste_bp
+    FROM g GROUP BY bucket
+    """,
+)
+def length_bucket_batches_q(spark, sf_dir):
+    """Length-bucketed batching audit (engine.extended.sampling.
+    length_bucket_batches): docs fall into 8 equal-frequency length
+    buckets and fixed 32-doc batches within each; every batch pads to its
+    max member, and the per-bucket waste_bp measures what bucketing saves
+    (batch-mates are similar-sized, so pad-to-max collapses).  The whole
+    assignment derives from one scale-safe global size rank by integer
+    codegen — no per-bucket window, no second shuffle; the oracle ranks
+    directly and applies the identical integer formulas."""
+    from engine.extended.sampling import length_bucket_batches
+
+    d = t(spark, sf_dir, "documents")
+    bb = length_bucket_batches(
+        d, "n_chars", n_buckets=8, batch_size=32, id_col="doc_id"
+    )
+    sz = F.greatest(F.coalesce(F.col("n_chars").cast("long"), F.lit(0)), F.lit(0))
+    g = bb.groupBy("bucket", "batch").agg(
+        F.count(F.lit(1)).alias("cnt"),
+        F.max(sz).alias("mx"),
+        F.sum(sz).alias("rsum"),
+    )
+    out = g.groupBy("bucket").agg(
+        F.count(F.lit(1)).alias("n_batches"),
+        F.sum("cnt").cast("long").alias("n_docs"),
+        F.sum(F.col("cnt") * F.col("mx")).cast("long").alias("padded_cells"),
+        F.sum("rsum").cast("long").alias("real_cells"),
+    )
+    waste = F.when(F.col("padded_cells") == 0, F.lit(0)).otherwise(
+        F.floor(
+            F.lit(10000.0) * (F.col("padded_cells") - F.col("real_cells"))
+            / F.col("padded_cells") + F.lit(0.5)
+        )
+    )
+    return out.select(
+        "bucket", "n_batches", "n_docs", "padded_cells", "real_cells",
+        waste.cast("long").alias("waste_bp"),
+    )
+
+
+# ===========================================================================
 # Registration order (driver verification window)
 # ===========================================================================
 # The driver's correctness gate checks the FIRST 50 registered queries, so
