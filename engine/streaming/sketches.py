@@ -31,7 +31,13 @@ from pyspark.sql import DataFrame
 
 from engine.extended.sketch import cms_build
 
-__all__ = ["streaming_cms", "streaming_hll", "streaming_hll_estimate"]
+__all__ = [
+    "streaming_cms",
+    "streaming_hll",
+    "streaming_hll_estimate",
+    "streaming_topk",
+    "streaming_topk_estimate",
+]
 
 
 def streaming_cms(
@@ -157,3 +163,122 @@ def streaming_hll_estimate(spark, sketches: list[bytes]) -> float:
         df.agg(F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("e"))
         .collect()[0]["e"]
     )
+
+
+def _py_cms_index(key: str, row: int, width: int) -> int:
+    """Driver-side replica of engine.extended.sketch.cms_hash_col:
+    md5_long("{row}:{key}") % width, with md5_long = first 15 md5 hex
+    digits as an integer (engine/extended/dedup.py:99).  Bit-identical to
+    the JVM expression for STRING keys, so candidate pruning can rank by
+    the merged sketch without launching a Spark job."""
+    import hashlib
+
+    return int(hashlib.md5(f"{row}:{key}".encode()).hexdigest()[:15], 16) % width
+
+
+def _py_cms_estimate(
+    cells: dict[tuple[int, int], int], key: str, *, depth: int, width: int
+) -> int:
+    return min(
+        cells.get((r, _py_cms_index(key, r, width)), 0) for r in range(depth)
+    )
+
+
+def streaming_topk(
+    stream_df: DataFrame,
+    key_col: str,
+    checkpoint_dir: str,
+    *,
+    k: int = 10,
+    depth: int = 3,
+    width: int = 512,
+    candidate_factor: int = 4,
+    state: dict | None = None,
+    query_name: str = "engine-streaming-topk",
+):
+    """Maintain heavy hitters over a stream: the streaming twin of the
+    batch ``cms_heavy_hitters`` registry query.
+
+    State is two GEOMETRY-bounded structures: the merged count-min cells
+    (≤ depth × width, same linearity as :func:`streaming_cms`) and a
+    candidate key set capped at ``8 · candidate_factor · k`` entries.
+    Each micro-batch runs exactly two bounded Spark jobs — the batch
+    sketch (d × w rows) and the batch's LOCAL top
+    ``candidate_factor · k`` keys (a TakeOrdered, never a full key
+    collect) — then folds both driver-side; candidate pruning ranks by
+    the merged-sketch estimate via a bit-identical Python replica of the
+    md5 cell hash, so no extra job is ever launched for maintenance (the
+    streaming_hll lesson).
+
+    Honest coverage contract: candidates are the union of per-batch local
+    tops, so a key that is globally heavy but never batch-locally hot can
+    be missed — the standard caveat of candidate-set heavy hitters;
+    ``candidate_factor`` widens the net, and estimates for surviving keys
+    keep CMS's one-sided guarantee (never under the true count).
+    ``key_col`` must be a STRING column (the Python hash replica matches
+    Spark's hash of the string value itself; cast upstream).
+
+    Same at-least-once discipline as the other accumulators (seen-batch_id
+    guard).  Returns ``(query, state)``; read results with
+    :func:`streaming_topk_estimate`.
+    """
+    from pyspark.sql import functions as F
+
+    from engine.extended.sketch import cms_build
+
+    st = state if state is not None else {}
+    st.setdefault("cells", {})
+    st.setdefault("candidates", set())
+    seen: set[int] = set()
+    cap = 8 * candidate_factor * k
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_id in seen:
+            return
+        for r in cms_build(batch_df, key_col, depth=depth, width=width).collect():
+            cell = (r["row"], r["col"])
+            st["cells"][cell] = st["cells"].get(cell, 0) + r["cnt"]
+        local_top = (
+            batch_df.where(F.col(key_col).isNotNull())
+            .groupBy(key_col)
+            .agg(F.count(F.lit(1)).alias("__cnt"))
+            .orderBy(F.col("__cnt").desc(), F.col(key_col))
+            .limit(candidate_factor * k)
+            .collect()
+        )
+        st["candidates"].update(str(r[key_col]) for r in local_top)
+        if len(st["candidates"]) > cap:
+            ranked = sorted(
+                st["candidates"],
+                key=lambda key: (
+                    -_py_cms_estimate(st["cells"], key, depth=depth, width=width),
+                    key,
+                ),
+            )
+            st["candidates"] = set(ranked[:cap])
+        seen.add(batch_id)
+
+    query = (
+        stream_df.writeStream.foreachBatch(process)
+        .option("checkpointLocation", checkpoint_dir)
+        .queryName(query_name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination()
+    return query, st
+
+
+def streaming_topk_estimate(
+    state: dict, *, k: int = 10, depth: int = 3, width: int = 512
+) -> list[tuple[str, int]]:
+    """Top-k (key, estimate) from the maintained state — pure driver math
+    over the bounded candidate set, zero Spark jobs."""
+    ranked = sorted(
+        (
+            (key, _py_cms_estimate(state["cells"], key, depth=depth, width=width))
+            for key in state["candidates"]
+        ),
+        key=lambda kv: (-kv[1], kv[0]),
+    )
+    return ranked[:k]

@@ -185,6 +185,26 @@ def test_cms_estimate_absent_key_is_zero_via_empty_cell(spark):
     assert got["never-seen-key"] == 0
 
 
+def test_py_cms_index_matches_jvm_hash(spark):
+    """The driver-side hash replica used by streaming_topk's candidate
+    pruning must be bit-identical to the JVM cms_hash_col expression —
+    a drift here silently re-ranks candidates."""
+    from engine.extended.sketch import cms_hash_col
+    from engine.streaming.sketches import _py_cms_index
+
+    keys = ["a", "hot-key", "üñïçødé", "", "user|123", "x" * 100]
+    df = spark.createDataFrame([(k,) for k in keys], ["k"])
+    for row in range(3):
+        got = {
+            r["k"]: r["h"]
+            for r in df.select(
+                "k", cms_hash_col(F.col("k"), row, 512).alias("h")
+            ).collect()
+        }
+        for k in keys:
+            assert got[k] == _py_cms_index(k, row, 512), (k, row)
+
+
 def test_cms_estimate_keeps_duplicate_probe_rows(spark):
     """Duplicate probe rows each get their own output row (advice-review
     catch: grouping on the probe frame's columns collapsed them)."""

@@ -405,3 +405,40 @@ def test_streaming_hll_folds_past_threshold(spark, tmp_path):
         .collect()[0]["e"]
     )
     assert abs(got - want) <= 0.01 * want
+
+
+def test_streaming_topk_matches_exact_heavy_hitters(spark, tmp_path):
+    """Heavy-hitter maintenance across two availableNow drains: with a
+    wide sketch (no collisions at this scale) the maintained top-k equals
+    the exact counter top-k of the combined data; estimates keep CMS's
+    one-sided guarantee, and state stays geometry-bounded."""
+    from engine.streaming.sketches import streaming_topk, streaming_topk_estimate
+
+    src = str(tmp_path / "topk_src")
+    ckpt = str(tmp_path / "topk_ck")
+    # hot keys h0..h4 dominate both waves; tail keys churn
+    w1 = [(f"h{i % 5}",) for i in range(200)] + [(f"t{i}",) for i in range(60)]
+    w2 = [(f"h{i % 5}",) for i in range(150)] + [(f"u{i}",) for i in range(40)]
+    wave1 = spark.createDataFrame(w1, "k string")
+    wave2 = spark.createDataFrame(w2, "k string")
+    wave1.coalesce(1).write.mode("append").parquet(src)
+
+    state: dict = {}
+    stream = spark.readStream.schema("k string").format("parquet").load(src)
+    streaming_topk(stream, "k", ckpt, k=5, width=4096, state=state)
+    wave2.coalesce(1).write.mode("append").parquet(src)
+    stream = spark.readStream.schema("k string").format("parquet").load(src)
+    streaming_topk(stream, "k", ckpt, k=5, width=4096, state=state)
+
+    got = streaming_topk_estimate(state, k=5, width=4096)
+    exact: dict = {}
+    for (key,) in w1 + w2:
+        exact[key] = exact.get(key, 0) + 1
+    want = sorted(exact.items(), key=lambda kv: (-kv[1], kv[0]))[:5]
+    assert [k for k, _ in got] == [k for k, _ in want]
+    for key, est in got:
+        assert est >= exact[key]  # one-sided, never under
+    assert got == want  # width 4096, ~300 keys: no collisions, estimates exact
+    # state bounds: cells <= depth*width, candidates <= 8*factor*k
+    assert len(state["cells"]) <= 3 * 4096
+    assert len(state["candidates"]) <= 8 * 4 * 5
