@@ -138,6 +138,8 @@ SECONDARY = [
     "balanced_shards",
     "moments_shard_merge",
     "length_bucket_batches",
+    "token_budget_select",
+    "curriculum_interleave",
 ]
 
 

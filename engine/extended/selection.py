@@ -32,7 +32,14 @@ from pyspark.sql import functions as F
 
 from engine.extended.text import tokens
 
-__all__ = ["importance_scores", "dsir_select", "quantile_buckets", "mmr_select"]
+__all__ = [
+    "importance_scores",
+    "dsir_select",
+    "quantile_buckets",
+    "mmr_select",
+    "budget_select",
+    "curriculum_interleave",
+]
 
 
 def importance_scores(
@@ -288,3 +295,148 @@ def mmr_select(
     if materialize and prev is not None:
         prev.unpersist()
     return selected
+
+
+def budget_select(
+    df: DataFrame,
+    score_col: str,
+    cost_col: str,
+    *,
+    budget: int,
+    id_col: str = "doc_id",
+    running_col: str = "running_cost",
+) -> DataFrame:
+    """Greedy selection under a cost budget: walk the corpus in
+    (``score_col`` DESC, ``id_col``) order and keep every row whose
+    RUNNING cost — including itself — still fits ``budget``.
+
+    This is the "fill a token budget with the best documents" primitive of
+    corpus mixing: quality-rank the candidates, take the maximal prefix
+    the budget covers.  The prefix rule (a row whose own cost overflows
+    the remaining budget is dropped, and so is everything after it) keeps
+    the result a clean rank cutoff — deterministic, order-free, and
+    engine-reproducible.
+
+    The global running sum is computed scale-safely, no single-reducer
+    window: rows bucket by the BIT LENGTH of their score (integer-exact,
+    monotone — the :func:`engine.extended.sampling._size_rank` machinery
+    applied to a cumsum), the per-bucket window produces local running
+    cost sums, and per-bucket cost totals cumsum into offsets over the
+    ≤64-row bucket table.  ``score_col`` must therefore be a NON-NEGATIVE
+    INTEGER (quantize float scores upstream — e.g. ``floor(1e6·p)``);
+    NULL/negative scores clamp to 0 (selected last), NULL costs count 0.
+
+    Output: the selected rows + ``running_col`` (cumulative cost through
+    each row, for audit/resume).
+    """
+    from pyspark.sql import Window
+
+    sc = F.greatest(
+        F.coalesce(F.col(score_col).cast("long"), F.lit(0)), F.lit(0)
+    )
+    cost = F.greatest(
+        F.coalesce(F.col(cost_col).cast("long"), F.lit(0)), F.lit(0)
+    )
+    d2 = (
+        df.withColumn("__score", sc)
+        .withColumn("__cost", cost)
+        .withColumn("__blen", F.length(F.bin(F.col("__score"))).cast("int"))
+    )
+    w = (
+        Window.partitionBy("__blen")
+        .orderBy(F.col("__score").desc(), F.col(id_col).asc_nulls_last())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    ranked = d2.withColumn("__run_local", F.sum("__cost").over(w))
+    # bucket cost totals -> offsets (≤64 rows; same non-foldable
+    # empty-prefix partition trick as global_order)
+    offsets = (
+        d2.groupBy("__blen")
+        .agg(F.sum("__cost").alias("__csum"))
+        .withColumn(
+            "__offset",
+            F.coalesce(
+                F.sum("__csum").over(
+                    Window.partitionBy(
+                        F.substring(F.col("__blen").cast("string"), 0, 0)
+                    )
+                    .orderBy(F.col("__blen").desc())
+                    .rowsBetween(Window.unboundedPreceding, -1)
+                ),
+                F.lit(0),
+            ),
+        )
+        .select("__blen", "__offset")
+    )
+    return (
+        ranked.join(F.broadcast(offsets), "__blen")
+        .withColumn(
+            running_col,
+            (F.col("__offset") + F.col("__run_local")).cast("long"),
+        )
+        .where(F.col(running_col) <= budget)
+        .drop("__score", "__cost", "__blen", "__run_local", "__offset")
+    )
+
+
+def curriculum_interleave(
+    df: DataFrame,
+    score_col: str,
+    *,
+    group_col: str = "source",
+    id_col: str = "doc_id",
+    pos_col: str = "cur_pos",
+) -> DataFrame:
+    """Curriculum position interleaving groups by quality: rank rows
+    within each group (``score_col`` DESC, id ASC), then deal rank-r rows
+    of all groups adjacently — ``pos = (rank−1)·n_groups + group_index``.
+
+    The resulting global order feeds training best-first while keeping
+    every prefix mixture-balanced across sources (a pure quality sort
+    front-loads whichever source scores systematically higher; epoch one
+    then sees a skewed mixture).  Groups of unequal size leave holes in
+    the tail positions — ``pos`` is a strict total order, not a dense one.
+
+    Two bounded pieces beyond the per-group rank window: the group index
+    and group count come from a group-cardinality aggregate broadcast
+    back.  NULL groups are dropped (a curriculum slot needs a mixture
+    identity); NULL scores rank last within their group.
+    """
+    from pyspark.sql import Window
+
+    base = df.where(F.col(group_col).isNotNull())
+    w = Window.partitionBy(group_col).orderBy(
+        F.col(score_col).desc_nulls_last(), F.col(id_col).asc_nulls_last()
+    )
+    ranked = base.withColumn("__grk", F.row_number().over(w))
+    groups = (
+        base.select(group_col)
+        .distinct()
+        .withColumn(
+            "__gidx",
+            F.row_number().over(
+                Window.partitionBy(
+                    F.substring(F.col(group_col).cast("string"), 0, 0)
+                ).orderBy(group_col)
+            )
+            - 1,
+        )
+        .withColumn(
+            "__ng",
+            F.count(F.lit(1)).over(
+                Window.partitionBy(
+                    F.substring(F.col(group_col).cast("string"), 0, 0)
+                )
+            ),
+        )
+    )
+    return (
+        ranked.join(F.broadcast(groups), group_col)
+        .withColumn(
+            pos_col,
+            (
+                (F.col("__grk") - 1) * F.col("__ng") + F.col("__gidx")
+            ).cast("long"),
+        )
+        .drop("__grk", "__gidx", "__ng")
+    )

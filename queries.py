@@ -9246,6 +9246,109 @@ def length_bucket_batches_q(spark, sf_dir):
     )
 
 
+@q(
+    "token_budget_select",
+    """
+    WITH s AS (
+      SELECT doc_id, source,
+             GREATEST(COALESCE(LENGTH(REGEXP_REPLACE(COALESCE(text, ''),
+               '[^A-Za-z0-9]', '', 'g')), 0), 0) AS score,
+             GREATEST(COALESCE(n_chars, 0), 0) AS cost
+      FROM documents),
+    r AS (
+      SELECT source, cost,
+             SUM(cost) OVER (ORDER BY score DESC, doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS running
+      FROM s)
+    SELECT source, COUNT(*) AS n_docs, CAST(SUM(cost) AS BIGINT) AS total_chars
+    FROM r WHERE running <= 100000 GROUP BY source
+    """,
+)
+def token_budget_select(spark, sf_dir):
+    """Budget-constrained corpus selection (engine.extended.selection.
+    budget_select): quality-rank every document (alphanumeric char count —
+    the ASCII-only score both engines length identically) and keep the
+    maximal best-first prefix whose cumulative size fits a 100k-char
+    budget — the "fill the token budget with the best docs" mixing
+    primitive.  The global running sum is scale-safe (bit-length score
+    buckets + per-bucket cumsum + ≤64-row offset table, no single-reducer
+    window); the oracle runs the naive total-order window.  Output:
+    per-source composition of the selected slice — what the budget
+    actually bought."""
+    from engine.extended.selection import budget_select
+
+    d = t(spark, sf_dir, "documents")
+    scored = d.select(
+        "doc_id",
+        "source",
+        F.length(
+            F.regexp_replace(F.coalesce("text", F.lit("")), "[^A-Za-z0-9]", "")
+        ).alias("score"),
+        F.col("n_chars").alias("cost"),
+    )
+    sel = budget_select(scored, "score", "cost", budget=100_000, id_col="doc_id")
+    return sel.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(
+            F.greatest(F.coalesce(F.col("cost").cast("long"), F.lit(0)), F.lit(0))
+        ).cast("long").alias("total_chars"),
+    )
+
+
+@q(
+    "curriculum_interleave",
+    """
+    WITH s AS (
+      SELECT doc_id, source,
+             GREATEST(COALESCE(LENGTH(REGEXP_REPLACE(COALESCE(text, ''),
+               '[^A-Za-z0-9]', '', 'g')), 0), 0) AS score
+      FROM documents WHERE source IS NOT NULL),
+    g AS (
+      SELECT source, ROW_NUMBER() OVER (ORDER BY source) - 1 AS gidx,
+             COUNT(*) OVER () AS ng
+      FROM (SELECT DISTINCT source FROM s)),
+    r AS (
+      SELECT s.doc_id, s.source, s.score,
+             ROW_NUMBER() OVER (
+               PARTITION BY s.source ORDER BY s.score DESC, s.doc_id) AS grk
+      FROM s)
+    SELECT r.doc_id, r.source, CAST(r.score AS BIGINT) AS score,
+           CAST((r.grk - 1) * g.ng + g.gidx AS BIGINT) AS cur_pos
+    FROM r JOIN g ON r.source = g.source
+    WHERE (r.grk - 1) * g.ng + g.gidx < 200
+    """,
+)
+def curriculum_interleave_q(spark, sf_dir):
+    """Mixture-balanced curriculum order (engine.extended.selection.
+    curriculum_interleave): rank docs by quality WITHIN each source, then
+    deal rank-r rows of all sources adjacently (pos = (rank−1)·n_sources +
+    source_index) — best-first training order whose every prefix keeps the
+    source mixture balanced, unlike a pure quality sort that front-loads
+    the systematically higher-scoring source.  Per-source rank window +
+    a broadcast group-index table; the query emits the first 200
+    curriculum slots."""
+    from engine.extended.selection import curriculum_interleave
+
+    d = t(spark, sf_dir, "documents")
+    scored = d.select(
+        "doc_id",
+        "source",
+        F.greatest(
+            F.length(
+                F.regexp_replace(
+                    F.coalesce("text", F.lit("")), "[^A-Za-z0-9]", ""
+                )
+            ).cast("long"),
+            F.lit(0),
+        ).alias("score"),
+    )
+    cur = curriculum_interleave(scored, "score", group_col="source",
+                                id_col="doc_id")
+    return cur.where(F.col("cur_pos") < 200).select(
+        "doc_id", "source", F.col("score").cast("long").alias("score"), "cur_pos"
+    )
+
+
 # ===========================================================================
 # Registration order (driver verification window)
 # ===========================================================================

@@ -88,7 +88,7 @@ def test_length_bucket_batches_invariants(spark):
     by_bucket: dict = {}
     for r in out:
         by_bucket.setdefault(r["bucket"], []).append(r)
-    # equal-frequency buckets (差 <= 1 row)
+    # equal-frequency buckets (sizes differ by <= 1 row)
     counts = sorted(len(v) for v in by_bucket.values())
     assert counts[-1] - counts[0] <= 1 and len(by_bucket) == 4
     # buckets are contiguous size ranges: max(sz) of bucket b <= min of b+1
@@ -128,3 +128,55 @@ def test_moments_merge_matches_whole_and_skips_nulls(spark):
     assert stats["mean_milli"] == 3000  # mean 3.0
     # population variance of (2,4,6,0): mean 3, var (1+1+9+9)/4 = 5.0
     assert stats["var_milli"] == 5000
+
+
+def test_budget_select_prefix_rule_matches_brute_force(spark):
+    from engine.extended.selection import budget_select
+
+    rows = [(i, (i * 7) % 50, 10 + (i % 5)) for i in range(100)]
+    rows += [(200, None, 30), (201, 45, None)]  # NULL score / NULL cost
+    df = spark.createDataFrame(rows, "doc_id long, score long, cost long")
+    got = {r["doc_id"]: r["running_cost"] for r in
+           budget_select(df, "score", "cost", budget=300).collect()}
+    # brute force: sort by (clamped score desc, id), cumulative cost prefix
+    order = sorted(rows, key=lambda x: (-(max(x[1] or 0, 0)), x[0]))
+    run, want = 0, {}
+    for i, _s, c in order:
+        run += max(c or 0, 0)
+        if run > 300:
+            break
+        want[i] = run
+    assert got == want
+    assert sum(1 for _ in want) > 0
+
+
+def test_budget_select_zero_cost_rows_ride_free(spark):
+    from engine.extended.selection import budget_select
+
+    df = spark.createDataFrame(
+        [(1, 10, 0), (2, 9, 5), (3, 8, 0)], "doc_id long, score long, cost long"
+    )
+    kept = {r["doc_id"] for r in
+            budget_select(df, "score", "cost", budget=5).collect()}
+    assert kept == {1, 2, 3}
+
+
+def test_curriculum_interleave_prefix_mixture_balanced(spark):
+    from engine.extended.selection import curriculum_interleave
+
+    rows = [(i, "a", 1000 - i) for i in range(50)]       # a scores high
+    rows += [(100 + i, "b", 100 - i) for i in range(50)]  # b scores low
+    rows += [(999, None, 5)]                              # NULL group dropped
+    df = spark.createDataFrame(rows, "doc_id long, source string, score long")
+    out = curriculum_interleave(df, "score", group_col="source",
+                                id_col="doc_id").collect()
+    assert len(out) == 100  # NULL-source row dropped
+    pos = {r["cur_pos"]: r for r in out}
+    assert len(pos) == 100  # strict total order, no collisions
+    # every 2-slot prefix pair holds one 'a' and one 'b' (rank-r dealt
+    # adjacently), so ANY prefix is mixture-balanced within one row
+    first20 = [pos[p]["source"] for p in sorted(pos)[:20]]
+    assert first20.count("a") == 10 and first20.count("b") == 10
+    # within a group, positions increase as score decreases
+    a_rows = sorted((r["cur_pos"], r["score"]) for r in out if r["source"] == "a")
+    assert all(s1 >= s2 for (_, s1), (_, s2) in zip(a_rows, a_rows[1:]))
