@@ -140,6 +140,8 @@ SECONDARY = [
     "length_bucket_batches",
     "token_budget_select",
     "curriculum_interleave",
+    "label_propagation_communities",
+    "mad_outliers_by_user",
 ]
 
 

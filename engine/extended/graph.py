@@ -14,7 +14,12 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["pagerank", "triangle_counts", "clustering_coefficients"]
+__all__ = [
+    "pagerank",
+    "triangle_counts",
+    "clustering_coefficients",
+    "label_propagation",
+]
 
 
 def _idiv(a: Column, b: Column) -> Column:
@@ -243,3 +248,69 @@ def clustering_coefficients(
             ).alias("coefficient"),
         )
     )
+
+
+def label_propagation(
+    edges: DataFrame,
+    *,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    iters: int = 3,
+) -> DataFrame:
+    """Synchronous label propagation (community detection) with a fixed
+    round count and deterministic tie-breaks — the community member of
+    this module's fixed-iteration family.
+
+    Edges are treated as UNDIRECTED (symmetrized + distinct).  Every node
+    starts labeled with itself; each round a node adopts the label most
+    frequent among its neighbors' current labels, ties broken by the
+    SMALLEST label (Raghavan et al. 2007's LPA with the random choice
+    replaced by a total order, so the result is shuffle-order-independent
+    and oracle-reproducible with unrolled CTEs).  Isolated nodes keep
+    their own label.  Synchronous updates can oscillate on bipartite
+    cores — the fixed round count makes that a bounded, deterministic
+    outcome rather than a convergence hazard.
+
+    Scale shape per round: one neighbor-label join co-partitioned on the
+    node key, one (node, label) count with map-side partials, one
+    node-partitioned window for the argmax, one label-update left join —
+    all node/edge-cardinality, no global structure.
+
+    Returns (node, label).
+    """
+    from pyspark.sql import Window
+
+    und = (
+        edges.select(F.col(src_col).alias("s"), F.col(dst_col).alias("d"))
+        .union(
+            edges.select(F.col(dst_col).alias("s"), F.col(src_col).alias("d"))
+        )
+        .where(F.col("s").isNotNull() & F.col("d").isNotNull())
+        .distinct()
+    )
+    labels = und.select(F.col("s").alias("node")).distinct().withColumn(
+        "label", F.col("node")
+    )
+    for _ in range(iters):
+        votes = und.join(
+            labels.select(F.col("node").alias("d"), "label"), "d"
+        ).select(F.col("s").alias("node"), "label")
+        counts = votes.groupBy("node", "label").agg(
+            F.count(F.lit(1)).alias("__c")
+        )
+        w = Window.partitionBy("node").orderBy(
+            F.col("__c").desc(), F.col("label").asc()
+        )
+        picked = (
+            counts.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1)
+            .select("node", F.col("label").alias("__new"))
+        )
+        labels = (
+            labels.join(picked, "node", "left")
+            .select(
+                "node",
+                F.coalesce(F.col("__new"), F.col("label")).alias("label"),
+            )
+        )
+    return labels

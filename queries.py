@@ -5649,15 +5649,19 @@ def _strongest_ties_edges(spark, sf_dir):
     )
 
 
-_TRI_GRAPH_SQL = """
-    WITH raw AS (
+#: the strongest-ties supplier co-occurrence edge CTE shared by every graph
+#: oracle (one SQL copy, like the one Python copy in _strongest_ties_edges)
+_EDGE_RAW_SQL = """raw AS (
       SELECT u, v FROM (
         SELECT a.l_suppkey AS u, b.l_suppkey AS v, COUNT(*) AS w
         FROM lineitem a JOIN lineitem b
           ON a.l_orderkey = b.l_orderkey AND a.l_suppkey < b.l_suppkey
         WHERE a.l_suppkey IS NOT NULL AND b.l_suppkey IS NOT NULL
         GROUP BY u, v)
-      ORDER BY w DESC, u, v LIMIT 6000),
+      ORDER BY w DESC, u, v LIMIT 6000)"""
+
+_TRI_GRAPH_SQL = f"""
+    WITH {_EDGE_RAW_SQL},
     deg AS (
       SELECT node, COUNT(*) AS d FROM (
         SELECT u AS node FROM raw UNION ALL SELECT v AS node FROM raw)
@@ -7018,6 +7022,61 @@ def clustering_coeff_topk_q(spark, sf_dir):
             "coefficient",
         )
         .orderBy(F.col("coefficient").desc(), "suppkey")
+        .limit(20)
+    )
+
+
+def _lpa_round_sql(i: int) -> str:
+    """One unrolled synchronous LPA round (votes → deterministic argmax →
+    label update), mirroring engine.extended.graph.label_propagation."""
+    p = i - 1
+    return f"""
+    v{i} AS (
+      SELECT und.s AS node, lab{p}.label, COUNT(*) AS c
+      FROM und JOIN lab{p} ON lab{p}.node = und.d
+      GROUP BY und.s, lab{p}.label),
+    p{i} AS (
+      SELECT node, label FROM (
+        SELECT node, label,
+               ROW_NUMBER() OVER (PARTITION BY node ORDER BY c DESC, label)
+                 AS rn
+        FROM v{i}) WHERE rn = 1),
+    lab{i} AS (
+      SELECT l.node, COALESCE(p.label, l.label) AS label
+      FROM lab{p} l LEFT JOIN p{i} p ON p.node = l.node)"""
+
+
+@q(
+    "label_propagation_communities",
+    f"""
+    WITH {_EDGE_RAW_SQL},
+    und AS (SELECT u AS s, v AS d FROM raw UNION SELECT v, u FROM raw),
+    lab0 AS (SELECT s AS node, s AS label FROM (SELECT DISTINCT s FROM und)),
+    {",".join(_lpa_round_sql(i) for i in (1, 2, 3))}
+    SELECT label AS community, CAST(COUNT(*) AS BIGINT) AS n_members
+    FROM lab3 GROUP BY label
+    ORDER BY n_members DESC, community LIMIT 20
+    """,
+)
+def label_propagation_communities(spark, sf_dir):
+    """Community detection over the strongest-ties supplier graph
+    (engine.extended.graph.label_propagation): 3 synchronous LPA rounds —
+    each node adopts its neighbors' most frequent label, ties to the
+    smallest — with the random choice of classic LPA replaced by a total
+    order, so the iterative result is shuffle-order-independent and the
+    oracle unrolls the rounds as CTEs (the pagerank/BPE discipline).
+    Output: the 20 largest communities.  Per-round cost is one
+    co-partitioned neighbor join + one (node, label) count — edge-
+    cardinality, no global structure, same 100 TB shape as pagerank's
+    rounds."""
+    from engine.extended.graph import label_propagation
+
+    edges = _strongest_ties_edges(spark, sf_dir)
+    labels = label_propagation(edges, src_col="u", dst_col="v", iters=3)
+    return (
+        labels.groupBy(F.col("label").alias("community"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n_members"))
+        .orderBy(F.col("n_members").desc(), "community")
         .limit(20)
     )
 
@@ -9347,6 +9406,47 @@ def curriculum_interleave_q(spark, sf_dir):
     return cur.where(F.col("cur_pos") < 200).select(
         "doc_id", "source", F.col("score").cast("long").alias("score"), "cur_pos"
     )
+
+
+@q(
+    "mad_outliers_by_user",
+    """
+    WITH e AS (
+      SELECT user_id,
+             CAST(FLOOR(1000.0 * value + 0.5) AS BIGINT) AS vm
+      FROM events WHERE value IS NOT NULL AND user_id IS NOT NULL),
+    med AS (
+      SELECT user_id, quantile_cont(vm, 0.5) AS med FROM e GROUP BY user_id),
+    d AS (
+      SELECT e.user_id, ABS(vm - med) AS dev, med
+      FROM e JOIN med USING (user_id)),
+    mad AS (
+      SELECT user_id, quantile_cont(dev, 0.5) AS mad FROM d GROUP BY user_id)
+    SELECT d.user_id,
+           COUNT(*) AS n_events,
+           CAST(SUM(CASE WHEN dev > 3.0 * mad THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_outliers,
+           CAST(FLOOR(MAX(med) + 0.5) AS BIGINT) AS med_milli,
+           CAST(FLOOR(MAX(mad) + 0.5) AS BIGINT) AS mad_milli
+    FROM d JOIN mad USING (user_id)
+    GROUP BY d.user_id
+    """,
+)
+def mad_outliers_by_user(spark, sf_dir):
+    """Robust per-user outlier audit (engine.extended.timeseries.
+    mad_outliers): median / MAD baselines instead of rolling mean/std —
+    a handful of extreme points inflate a std yardstick and mask each
+    other (the z-score's 0% breakdown point); the MAD barely moves (50%).
+    Values quantize to milli-units through FLOOR(x+0.5) BEFORE the
+    medians, so interpolated medians are exact 0.5-multiples and the
+    |v−med| > 3·MAD decision never sits on a float boundary (Spark
+    `percentile` ≡ DuckDB `quantile_cont` on those inputs — the
+    rolling-median discipline).  Two key-partitioned aggregates + two
+    co-partitioned joins; no global structure."""
+    from engine.extended.timeseries import mad_outliers
+
+    e = t(spark, sf_dir, "events").where(F.col("user_id").isNotNull())
+    return mad_outliers(e, ["user_id"], "value", k=3)
 
 
 # ===========================================================================

@@ -180,3 +180,57 @@ def test_curriculum_interleave_prefix_mixture_balanced(spark):
     # within a group, positions increase as score decreases
     a_rows = sorted((r["cur_pos"], r["score"]) for r in out if r["source"] == "a")
     assert all(s1 >= s2 for (_, s1), (_, s2) in zip(a_rows, a_rows[1:]))
+
+
+def test_label_propagation_separates_two_cliques(spark):
+    from engine.extended.graph import label_propagation
+
+    # two 4-cliques bridged by a single edge
+    c1, c2 = [1, 2, 3, 4], [10, 11, 12, 13]
+    edges = [(a, b) for i, a in enumerate(c1) for b in c1[i + 1:]]
+    edges += [(a, b) for i, a in enumerate(c2) for b in c2[i + 1:]]
+    edges += [(4, 10)]  # bridge
+    df = spark.createDataFrame(edges, "src long, dst long")
+    labels = {r["node"]: r["label"] for r in
+              label_propagation(df, iters=3).collect()}
+    # each clique converges to its own min label; the bridge doesn't merge
+    assert {labels[n] for n in c1} == {1}
+    assert {labels[n] for n in c2} == {10}
+
+
+def test_label_propagation_is_deterministic_under_shuffle(spark):
+    from engine.extended.graph import label_propagation
+
+    edges = [(i, (i * 3) % 17) for i in range(40) if i != (i * 3) % 17]
+    df1 = spark.createDataFrame(edges, "src long, dst long")
+    df2 = spark.createDataFrame(list(reversed(edges)), "src long, dst long").repartition(7)
+    l1 = sorted(map(tuple, label_propagation(df1, iters=3).collect()))
+    l2 = sorted(map(tuple, label_propagation(df2, iters=3).collect()))
+    assert l1 == l2
+
+
+def test_mad_outliers_resists_masking_where_zscore_fails(spark):
+    from engine.extended.timeseries import mad_outliers
+
+    # 20 values at ~10.0 plus TWO extreme points: they inflate the std
+    # (z of each extreme ~ 3.1... masked near threshold) but leave the
+    # median/MAD untouched, so MAD flags exactly the two extremes.
+    vals = [10.0 + 0.1 * (i % 5) for i in range(20)] + [100.0, -80.0]
+    df = spark.createDataFrame([("u", v) for v in vals], "user_id string, value double")
+    row = mad_outliers(df, ["user_id"], "value", k=3).collect()[0]
+    assert row["n_events"] == 22
+    assert row["n_outliers"] == 2
+    assert row["med_milli"] == 10200  # median of the bulk
+    # MAD of the bulk is ~100-200 milli, never inflated by the extremes
+    assert row["mad_milli"] <= 200
+
+
+def test_mad_outliers_zero_mad_flags_any_deviation(spark):
+    from engine.extended.timeseries import mad_outliers
+
+    df = spark.createDataFrame(
+        [("u", 5.0)] * 10 + [("u", 5.001)], "user_id string, value double"
+    )
+    row = mad_outliers(df, ["user_id"], "value", k=3).collect()[0]
+    assert row["mad_milli"] == 0
+    assert row["n_outliers"] == 1  # the lone deviating row
