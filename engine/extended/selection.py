@@ -325,6 +325,9 @@ def budget_select(
     ≤64-row bucket table.  ``score_col`` must therefore be a NON-NEGATIVE
     INTEGER (quantize float scores upstream — e.g. ``floor(1e6·p)``);
     NULL/negative scores clamp to 0 (selected last), NULL costs count 0.
+    ``id_col`` must be UNIQUE: it is the total-order tie-break, and with
+    duplicate (score, id) pairs the running sum — and therefore which of
+    the duplicates fits the budget — would be processing-order-dependent.
 
     Output: the selected rows + ``running_col`` (cumulative cost through
     each row, for audit/resume).
