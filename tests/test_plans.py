@@ -454,3 +454,47 @@ def test_final_batch_plan_shapes(spark):
     # top-k outliers ride a TakeOrderedAndProject heap, never a global sort
     p = plan(SPARK_QUERIES["multivariate_outliers"](spark, SF))
     assert "TakeOrderedAndProject" in p
+
+
+def test_size_rank_family_never_single_partitions_the_corpus(spark):
+    """balanced_shards / length_bucket_batches / budget_select claim a
+    scale-safe global rank (bit-length buckets, no single-reducer window):
+    the executed plan must carry NO SinglePartition exchange on the corpus
+    path — the bounded offsets side rides a broadcast instead."""
+    from queries import SPARK_QUERIES
+
+    for name in ("balanced_shards", "length_bucket_batches",
+                 "token_budget_select"):
+        p = plan(SPARK_QUERIES[name](spark, SF))
+        assert "Exchange SinglePartition" not in p, name
+        assert "BroadcastExchange" in p, name  # the ≤64-row offsets table
+
+
+def test_keep_best_single_exchange_shared_by_both_windows(spark):
+    """dedup_keep_best's row_number and cluster-size count share one hash
+    exchange on the content key — a second corpus shuffle would double the
+    dedup's cost at scale."""
+    from queries import SPARK_QUERIES
+
+    p = plan(SPARK_QUERIES["dedup_keep_best"](spark, SF))
+    assert p.count("Exchange hashpartitioning(key") == 1
+
+
+def test_incremental_agg_merge_no_second_history_pass(spark):
+    """The matview refresh reads orders once per slice and merges with ONE
+    full-outer join — no diff pass, no re-aggregation of the merged side."""
+    from queries import SPARK_QUERIES
+
+    p = plan(SPARK_QUERIES["incremental_agg_merge"](spark, SF)).lower()
+    assert p.count("fullouter") == 1
+
+
+def test_moments_merge_is_map_side_partial(spark):
+    """Shard moment partials collapse map-side: the plan carries partial +
+    final HashAggregates, and the shuffle key is the 4-value shard id —
+    never the raw values."""
+    from queries import SPARK_QUERIES
+
+    p = plan(SPARK_QUERIES["moments_shard_merge"](spark, SF))
+    assert "partial_sum" in p or "partial_count" in p.lower() or "HashAggregate" in p
+    assert "Exchange hashpartitioning(shard" in p
