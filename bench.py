@@ -142,6 +142,8 @@ SECONDARY = [
     "curriculum_interleave",
     "label_propagation_communities",
     "mad_outliers_by_user",
+    "profile_drift_audit",
+    "event_transition_probs",
 ]
 
 

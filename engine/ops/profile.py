@@ -28,7 +28,15 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["table_profile", "group_quantiles", "int_histogram", "winsorized_stats", "categorical_mi", "k_anonymity"]
+__all__ = [
+    "table_profile",
+    "group_quantiles",
+    "int_histogram",
+    "winsorized_stats",
+    "categorical_mi",
+    "k_anonymity",
+    "profile_drift",
+]
 
 
 def _canon_str(c, dtype: str):
@@ -343,3 +351,97 @@ def k_anonymity(df: DataFrame, quasi_cols: list[str], *, k: int = 5) -> DataFram
         raise ValueError("quasi_cols must be non-empty")
     cls = df.groupBy(*quasi_cols).agg(F.count(F.lit(1)).alias("class_size"))
     return cls.withColumn("at_risk", F.col("class_size") < k)
+
+
+def profile_drift(
+    old_df: DataFrame,
+    new_df: DataFrame,
+    numeric_cols: list[str],
+    *,
+    drift_bp: int = 500,
+    scale: int = 1000,
+) -> DataFrame:
+    """Per-column distribution drift between two snapshots of the same
+    table — the data-ops monitor that catches an upstream schema change,
+    unit change, or silent NULL flood before it reaches training.
+
+    For each column: row count, NULL rate (basis points), and mean in
+    milli-units, computed for BOTH snapshots in ONE aggregate pass each
+    (all columns' sums ride one map-side-combined agg — never a pass per
+    column), then joined per column.  ``drift_flag`` fires when the NULL
+    rate moved more than ``drift_bp`` or the mean moved more than
+    ``drift_bp`` RELATIVE basis points.
+
+    Determinism discipline: values quantize to ``scale`` units through
+    FLOOR(x + 0.5) before summing (BIGINT sums are partition-order-exact;
+    double sums are not), and every rendered ratio goes through the same
+    engine-exact half rule.
+
+    Returns one row per column:
+    ``(col_name, old_n, new_n, old_null_bp, new_null_bp, old_mean_milli,
+    new_mean_milli, drift_flag)``.
+    """
+    def side(df: DataFrame, tag: str) -> DataFrame:
+        aggs = []
+        for c in numeric_cols:
+            vm = F.floor(F.lit(float(scale)) * F.col(c) + F.lit(0.5)).cast(
+                "long"
+            )
+            aggs += [
+                F.count(F.lit(1)).cast("long").alias(f"{c}__n"),
+                F.sum(F.col(c).isNull().cast("long")).cast("long").alias(
+                    f"{c}__nulls"
+                ),
+                F.sum(vm).alias(f"{c}__vsum"),
+                F.count(F.col(c)).cast("long").alias(f"{c}__vn"),
+            ]
+        one = df.agg(*aggs)
+        pairs = ", ".join(
+            f"'{c}', {c}__n, {c}__nulls, {c}__vsum, {c}__vn"
+            for c in numeric_cols
+        )
+        stacked = one.select(
+            F.expr(
+                f"stack({len(numeric_cols)}, {pairs})"
+                " AS (col_name, n, nulls, vsum, vn)"
+            )
+        )
+        half = F.lit(0.5)
+        return stacked.select(
+            "col_name",
+            F.col("n").alias(f"{tag}_n"),
+            F.when(F.col("n") == 0, F.lit(0))
+            .otherwise(
+                F.floor(10000.0 * F.col("nulls") / F.col("n") + half)
+            )
+            .cast("long")
+            .alias(f"{tag}_null_bp"),
+            F.when(F.col("vn") == 0, F.lit(None))
+            .otherwise(
+                F.floor(F.col("vsum").cast("double") / F.col("vn") + half)
+            )
+            .cast("long")
+            .alias(f"{tag}_mean_milli"),
+        )
+
+    j = side(old_df, "old").join(side(new_df, "new"), "col_name", "full_outer")
+    null_moved = (
+        F.abs(
+            F.coalesce("new_null_bp", F.lit(0))
+            - F.coalesce("old_null_bp", F.lit(0))
+        )
+        > drift_bp
+    )
+    om = F.coalesce(F.col("old_mean_milli"), F.lit(0)).cast("double")
+    nm = F.coalesce(F.col("new_mean_milli"), F.lit(0)).cast("double")
+    mean_moved = (
+        F.floor(10000.0 * F.abs(nm - om) / F.greatest(F.abs(om), F.lit(1.0))
+                + F.lit(0.5))
+        > drift_bp
+    )
+    return j.select(
+        "col_name",
+        "old_n", "new_n", "old_null_bp", "new_null_bp",
+        "old_mean_milli", "new_mean_milli",
+        (null_moved | mean_moved).cast("int").alias("drift_flag"),
+    )

@@ -9449,6 +9449,135 @@ def mad_outliers_by_user(spark, sf_dir):
     return mad_outliers(e, ["user_id"], "value", k=3)
 
 
+def _drift_metric_sql(tag: str, src: str, cols: list[str]) -> str:
+    """One-pass conditional aggregate per snapshot slice, mirroring
+    engine.ops.profile.profile_drift's quantize-then-sum discipline."""
+    terms = []
+    for c in cols:
+        terms += [
+            f"COUNT(*) AS {c}_n",
+            f"SUM(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) AS {c}_nulls",
+            f"SUM(CAST(FLOOR(1000.0 * {c} + 0.5) AS BIGINT)) AS {c}_vsum",
+            f"COUNT({c}) AS {c}_vn",
+        ]
+    return f"{tag} AS (SELECT {', '.join(terms)} FROM {src})"
+
+
+def _drift_row_sql(c: str) -> str:
+    def m(tag: str) -> str:
+        return (
+            f"CAST({tag}.{c}_n AS BIGINT) AS {tag}_n, "
+            f"CAST(CASE WHEN {tag}.{c}_n = 0 THEN 0 ELSE FLOOR(10000.0 *"
+            f" {tag}.{c}_nulls / {tag}.{c}_n + 0.5) END AS BIGINT)"
+            f" AS {tag}_null_bp, "
+            f"CAST(CASE WHEN {tag}.{c}_vn = 0 THEN NULL ELSE FLOOR("
+            f"CAST({tag}.{c}_vsum AS DOUBLE) / {tag}.{c}_vn + 0.5) END"
+            f" AS BIGINT) AS {tag}_mean_milli"
+        )
+    return f"SELECT '{c}' AS col_name, {m('o')}, {m('n')} FROM o, n"
+
+
+_DRIFT_COLS = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+
+
+@q(
+    "profile_drift_audit",
+    f"""
+    WITH {_drift_metric_sql('o',
+        "lineitem WHERE l_shipdate < TIMESTAMP '1999-01-01'", _DRIFT_COLS)},
+    {_drift_metric_sql('n',
+        "lineitem WHERE l_shipdate >= TIMESTAMP '1999-01-01'"
+        " OR l_shipdate IS NULL", _DRIFT_COLS)},
+    rows_ AS ({' UNION ALL '.join(_drift_row_sql(c) for c in _DRIFT_COLS)})
+    SELECT col_name,
+           o_n AS old_n, n_n AS new_n,
+           o_null_bp AS old_null_bp, n_null_bp AS new_null_bp,
+           o_mean_milli AS old_mean_milli, n_mean_milli AS new_mean_milli,
+           CAST(CASE WHEN ABS(COALESCE(n_null_bp, 0) - COALESCE(o_null_bp, 0))
+                          > 500
+                     OR FLOOR(10000.0 * ABS(CAST(COALESCE(n_mean_milli, 0)
+                          AS DOUBLE) - COALESCE(o_mean_milli, 0))
+                        / GREATEST(ABS(CAST(COALESCE(o_mean_milli, 0)
+                          AS DOUBLE)), 1.0) + 0.5) > 500
+                THEN 1 ELSE 0 END AS INTEGER) AS drift_flag
+    FROM rows_
+    """,
+)
+def profile_drift_audit(spark, sf_dir):
+    """Snapshot-over-snapshot column drift (engine.ops.profile.
+    profile_drift): lineitem's four measure columns compared between the
+    pre-1999 slice and everything after (NULL ship dates ride the new
+    slice, the matview routing rule) — NULL-rate movement in basis points
+    and milli-unit mean movement in relative bp, flagged past 500 bp.
+    The data-ops gate that catches a unit change or NULL flood upstream
+    of training.  Each slice is ONE map-side-combined aggregate pass
+    carrying all columns' quantized BIGINT sums (partition-order-exact);
+    the per-column unpivot is a stack over the 1-row result."""
+    from engine.ops.profile import profile_drift
+
+    li = t(spark, sf_dir, "lineitem")
+    split = F.lit("1999-01-01").cast("timestamp")
+    old = li.where(F.col("l_shipdate") < split)
+    new = li.where(
+        (F.col("l_shipdate") >= split) | F.col("l_shipdate").isNull()
+    )
+    return profile_drift(old, new, _DRIFT_COLS, drift_bp=500)
+
+
+@q(
+    "event_transition_probs",
+    """
+    WITH e AS (
+      SELECT user_id, event_type, ts, event_id,
+             LEAD(event_type) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id) AS next_type
+      FROM events
+      WHERE user_id IS NOT NULL AND ts IS NOT NULL
+        AND event_type IS NOT NULL),
+    tr AS (
+      SELECT event_type AS from_type, next_type AS to_type, COUNT(*) AS n
+      FROM e WHERE next_type IS NOT NULL GROUP BY 1, 2),
+    tot AS (
+      SELECT from_type, SUM(n) AS n_from FROM tr GROUP BY from_type)
+    SELECT tr.from_type, tr.to_type,
+           CAST(tr.n AS BIGINT) AS n_transitions,
+           CAST(FLOOR(10000.0 * tr.n / tot.n_from + 0.5) AS BIGINT) AS p_bp
+    FROM tr JOIN tot ON tr.from_type = tot.from_type
+    """,
+)
+def event_transition_probs(spark, sf_dir):
+    """First-order Markov transition matrix over user event streams: for
+    each (from, to) event-type pair, the transition count and conditional
+    probability in basis points — the behavioral model behind
+    next-action prediction and anomalous-flow detection (event_path_topk
+    mines the popular 3-step paths; this gives the full conditional
+    next-step distribution).  One LEAD window per user (ties broken by
+    event_id), one type-pair aggregate (cardinality = |types|²), and a
+    broadcast of the from-state marginals."""
+    e = t(spark, sf_dir, "events").filter(
+        F.col("user_id").isNotNull()
+        & F.col("ts").isNotNull()
+        & F.col("event_type").isNotNull()
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = e.select(
+        F.col("event_type").alias("from_type"),
+        F.lead("event_type").over(w).alias("to_type"),
+    ).where(F.col("to_type").isNotNull())
+    tr = pairs.groupBy("from_type", "to_type").agg(
+        F.count(F.lit(1)).alias("__n")
+    )
+    tot = tr.groupBy("from_type").agg(F.sum("__n").alias("__n_from"))
+    return tr.join(F.broadcast(tot), "from_type").select(
+        "from_type",
+        "to_type",
+        F.col("__n").cast("long").alias("n_transitions"),
+        F.floor(10000.0 * F.col("__n") / F.col("__n_from") + F.lit(0.5))
+        .cast("long")
+        .alias("p_bp"),
+    )
+
+
 # ===========================================================================
 # Registration order (driver verification window)
 # ===========================================================================

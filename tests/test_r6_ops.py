@@ -234,3 +234,26 @@ def test_mad_outliers_zero_mad_flags_any_deviation(spark):
     row = mad_outliers(df, ["user_id"], "value", k=3).collect()[0]
     assert row["mad_milli"] == 0
     assert row["n_outliers"] == 1  # the lone deviating row
+
+
+def test_profile_drift_flags_null_flood_and_unit_change(spark):
+    from engine.ops.profile import profile_drift
+
+    old = spark.createDataFrame(
+        [(float(i % 7), 10.0) for i in range(100)], "a double, b double"
+    )
+    # a: 30% NULL flood; b: silent unit change (x1000)
+    new_rows = [(float(i % 7), 10000.0) for i in range(70)] + [
+        (None, 10000.0)
+    ] * 30
+    new = spark.createDataFrame(new_rows, "a double, b double")
+    got = {r["col_name"]: r for r in
+           profile_drift(old, new, ["a", "b"]).collect()}
+    assert got["a"]["drift_flag"] == 1      # null_bp 0 -> 3000
+    assert got["a"]["new_null_bp"] == 3000
+    assert got["b"]["drift_flag"] == 1      # mean 10 -> 10000
+    assert got["b"]["old_mean_milli"] == 10000
+    assert got["b"]["new_mean_milli"] == 10000000
+    # steady columns don't flare
+    same = profile_drift(old, old, ["a", "b"]).collect()
+    assert all(r["drift_flag"] == 0 for r in same)
