@@ -144,6 +144,7 @@ SECONDARY = [
     "mad_outliers_by_user",
     "profile_drift_audit",
     "event_transition_probs",
+    "snapshot_diff_changelog",
 ]
 
 

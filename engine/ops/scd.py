@@ -19,7 +19,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["apply_changelog", "scd2_merge"]
+__all__ = ["apply_changelog", "scd2_merge", "snapshot_diff"]
 
 
 def apply_changelog(
@@ -93,3 +93,78 @@ def scd2_merge(
         .unionByName(closed.select(*out_cols))
         .unionByName(new_rows.select(*out_cols))
     )
+
+
+def snapshot_diff(
+    old: DataFrame,
+    new: DataFrame,
+    key_cols: list[str],
+    *,
+    compare_cols: list[str] | None = None,
+    op_col: str = "op",
+    include_unchanged: bool = False,
+) -> DataFrame:
+    """DERIVE the changelog between two snapshots of the same table — the
+    inverse of :func:`apply_changelog`: given yesterday's and today's full
+    extracts, emit per key ``insert`` / ``update`` / ``delete`` (and
+    optionally ``unchanged``), with today's values for I/U and yesterday's
+    for D.
+
+    This is how CDC is bootstrapped when the source has no log (the
+    reference's Sierra polling is exactly this shape: full-ish extracts,
+    diff downstream), and how a backfill is reconciled against what the
+    incremental path produced.
+
+    Change detection hashes the ``compare_cols`` (default: all non-key
+    columns present on BOTH sides) with a null-tagged canonical encoding —
+    ``NULL`` and ``'NULL'`` (the string) hash differently, and column
+    order is fixed by the caller's list so the digest is stable across
+    snapshots.  One full-outer join on the key; both hash projections are
+    scan-local.  Row identity per key is assumed (snapshots, not event
+    logs) — pre-dedup with :func:`engine.ops.dedup.keep_first` otherwise.
+    """
+    if compare_cols is None:
+        compare_cols = [
+            c for c in new.columns
+            if c not in key_cols and c in old.columns
+        ]
+
+    def canon(c: str):
+        return F.when(
+            F.col(c).isNull(), F.lit("\x00null")
+        ).otherwise(F.concat(F.lit("\x01"), F.col(c).cast("string")))
+
+    def keyed(df: DataFrame, tag: str) -> DataFrame:
+        digest = F.md5(F.concat_ws("\x1f", *[canon(c) for c in compare_cols]))
+        return df.select(
+            *[F.col(k).alias(f"__{tag}k_{k}") for k in key_cols],
+            digest.alias(f"__{tag}_digest"),
+            F.struct(*compare_cols).alias(f"__{tag}_vals"),
+        )
+
+    o, n = keyed(old, "o"), keyed(new, "n")
+    cond = None
+    for k in key_cols:
+        eq = o[f"__ok_{k}"].eqNullSafe(n[f"__nk_{k}"])
+        cond = eq if cond is None else cond & eq
+    j = o.join(n, cond, "full_outer")
+    op = (
+        F.when(F.col("__o_digest").isNull(), F.lit("insert"))
+        .when(F.col("__n_digest").isNull(), F.lit("delete"))
+        .when(F.col("__o_digest") != F.col("__n_digest"), F.lit("update"))
+        .otherwise(F.lit("unchanged"))
+    )
+    vals = F.when(
+        F.col("__n_digest").isNotNull(), F.col("__n_vals")
+    ).otherwise(F.col("__o_vals"))
+    out = j.select(
+        *[
+            F.coalesce(F.col(f"__ok_{k}"), F.col(f"__nk_{k}")).alias(k)
+            for k in key_cols
+        ],
+        op.alias(op_col),
+        *[vals[c].alias(c) for c in compare_cols],
+    )
+    if include_unchanged:
+        return out
+    return out.where(F.col(op_col) != "unchanged")

@@ -9578,6 +9578,89 @@ def event_transition_probs(spark, sf_dir):
     )
 
 
+@q(
+    "snapshot_diff_changelog",
+    """
+    WITH old_s AS (
+      SELECT c_custkey, c_mktsegment, c_nationkey FROM customer),
+    act AS (SELECT DISTINCT o_custkey FROM orders WHERE o_custkey IS NOT NULL),
+    rec AS (
+      SELECT DISTINCT o_custkey FROM orders
+      WHERE o_orderdate >= DATE '1998-01-01' AND o_custkey IS NOT NULL),
+    new_s AS (
+      SELECT c.c_custkey,
+             CASE WHEN r.o_custkey IS NOT NULL THEN 'MIGRATED'
+                  ELSE c.c_mktsegment END AS c_mktsegment,
+             c.c_nationkey
+      FROM customer c
+      JOIN act a ON c.c_custkey = a.o_custkey
+      LEFT JOIN rec r ON c.c_custkey = r.o_custkey
+      UNION ALL
+      SELECT c_custkey + 10000000, c_mktsegment, c_nationkey
+      FROM customer WHERE c_custkey % 997 = 0),
+    d AS (
+      SELECT COALESCE(o.c_custkey, n.c_custkey) AS c_custkey,
+             CASE WHEN o.c_custkey IS NULL THEN 'insert'
+                  WHEN n.c_custkey IS NULL THEN 'delete'
+                  WHEN o.c_mktsegment IS DISTINCT FROM n.c_mktsegment
+                    OR o.c_nationkey IS DISTINCT FROM n.c_nationkey
+                    THEN 'update'
+                  ELSE 'unchanged' END AS op,
+             CASE WHEN n.c_custkey IS NOT NULL THEN n.c_mktsegment
+                  ELSE o.c_mktsegment END AS c_mktsegment,
+             CASE WHEN n.c_custkey IS NOT NULL THEN n.c_nationkey
+                  ELSE o.c_nationkey END AS c_nationkey
+      FROM old_s o FULL OUTER JOIN new_s n ON o.c_custkey = n.c_custkey)
+    SELECT c_custkey, op, c_mktsegment, c_nationkey
+    FROM d WHERE op <> 'unchanged'
+    """,
+)
+def snapshot_diff_changelog(spark, sf_dir):
+    """Changelog DERIVATION between two snapshots (engine.ops.scd.
+    snapshot_diff) — the inverse of cdc_apply_changelog, and how CDC is
+    bootstrapped when the source has no log (the reference's Sierra
+    polling shape: full-ish extracts, diff downstream).  The synthetic
+    'today' snapshot migrates recently-active customers' segments
+    (updates), drops never-ordered customers (deletes), and re-keys a
+    0.1% clone slice (inserts); the diff classifies every key with one
+    full-outer join over null-tagged value digests.  The oracle diffs by
+    direct IS DISTINCT FROM value comparison — an independent change-
+    detection path, so a digest canonicalization bug cannot self-confirm."""
+    from engine.ops.scd import snapshot_diff
+
+    c = t(spark, sf_dir, "customer")
+    o = t(spark, sf_dir, "orders").where(F.col("o_custkey").isNotNull())
+    old_s = c.select("c_custkey", "c_mktsegment", "c_nationkey")
+    act = o.select("o_custkey").distinct()
+    rec = (
+        o.where(F.col("o_orderdate") >= F.lit("1998-01-01").cast("date"))
+        .select(F.col("o_custkey").alias("__rk"))
+        .distinct()
+    )
+    new_s = (
+        c.join(act, c.c_custkey == act.o_custkey, "left_semi")
+        .join(rec, F.col("c_custkey") == F.col("__rk"), "left")
+        .select(
+            "c_custkey",
+            F.when(F.col("__rk").isNotNull(), F.lit("MIGRATED"))
+            .otherwise(F.col("c_mktsegment"))
+            .alias("c_mktsegment"),
+            "c_nationkey",
+        )
+        .unionByName(
+            c.where(F.col("c_custkey") % 997 == 0).select(
+                (F.col("c_custkey") + 10_000_000).alias("c_custkey"),
+                "c_mktsegment",
+                "c_nationkey",
+            )
+        )
+    )
+    return snapshot_diff(
+        old_s, new_s, ["c_custkey"],
+        compare_cols=["c_mktsegment", "c_nationkey"],
+    )
+
+
 # ===========================================================================
 # Registration order (driver verification window)
 # ===========================================================================

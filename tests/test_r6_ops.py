@@ -257,3 +257,42 @@ def test_profile_drift_flags_null_flood_and_unit_change(spark):
     # steady columns don't flare
     same = profile_drift(old, old, ["a", "b"]).collect()
     assert all(r["drift_flag"] == 0 for r in same)
+
+
+def test_snapshot_diff_classifies_and_carries_right_values(spark):
+    from engine.ops.scd import snapshot_diff
+
+    old = spark.createDataFrame(
+        [(1, "a", 10), (2, "b", 20), (3, "c", None), (4, None, 40)],
+        "k int, s string, v int",
+    )
+    new = spark.createDataFrame(
+        [(1, "a", 10),        # unchanged
+         (2, "B", 20),        # update (value change)
+         (3, "c", 30),        # update (NULL -> value)
+         (5, "e", 50)],       # insert; key 4 deleted
+        "k int, s string, v int",
+    )
+    got = {r["k"]: (r["op"], r["s"], r["v"]) for r in
+           snapshot_diff(old, new, ["k"]).collect()}
+    assert got == {
+        2: ("update", "B", 20),
+        3: ("update", "c", 30),   # today's values on update
+        4: ("delete", None, 40),  # yesterday's values on delete
+        5: ("insert", "e", 50),
+    }
+    # include_unchanged surfaces key 1
+    all_rows = {r["k"]: r["op"] for r in
+                snapshot_diff(old, new, ["k"], include_unchanged=True).collect()}
+    assert all_rows[1] == "unchanged" and len(all_rows) == 5
+
+
+def test_snapshot_diff_null_vs_null_string_distinct(spark):
+    """The null-tagged digest must distinguish NULL from the string
+    'NULL' (and from empty) — a plain concat_ws would collapse them."""
+    from engine.ops.scd import snapshot_diff
+
+    old = spark.createDataFrame([(1, None), (2, "NULL")], "k int, s string")
+    new = spark.createDataFrame([(1, "NULL"), (2, None)], "k int, s string")
+    got = {r["k"]: r["op"] for r in snapshot_diff(old, new, ["k"]).collect()}
+    assert got == {1: "update", 2: "update"}
