@@ -212,7 +212,7 @@ def main() -> None:
     # any real round-over-round delta, so a single pass can't distinguish a
     # plan regression from scheduler noise.  Medians of 3 cut the band to a
     # usable signal at ~2 min added wall time.  secondary/skewed stay 1×.
-    passes = int(os.environ.get("SPARK_GRAFT_BENCH_PASSES", "3"))
+    passes = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_PASSES", "3")))
     samples: dict[str, list[float]] = {name: [] for name in HEADLINE}
     for _ in range(passes):
         for name in HEADLINE:

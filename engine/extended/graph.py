@@ -256,6 +256,7 @@ def label_propagation(
     src_col: str = "src",
     dst_col: str = "dst",
     iters: int = 3,
+    materialize: bool = True,
 ) -> DataFrame:
     """Synchronous label propagation (community detection) with a fixed
     round count and deterministic tie-breaks — the community member of
@@ -266,15 +267,23 @@ def label_propagation(
     frequent among its neighbors' current labels, ties broken by the
     SMALLEST label (Raghavan et al. 2007's LPA with the random choice
     replaced by a total order, so the result is shuffle-order-independent
-    and oracle-reproducible with unrolled CTEs).  Isolated nodes keep
-    their own label.  Synchronous updates can oscillate on bipartite
-    cores — the fixed round count makes that a bounded, deterministic
-    outcome rather than a convergence hazard.
+    and oracle-reproducible with unrolled CTEs).  The node universe is
+    edge-derived (symmetrized, so every node has ≥1 neighbor and receives
+    a vote every round); truly isolated nodes never enter it.
+    Synchronous updates can oscillate on bipartite cores — the fixed
+    round count makes that a bounded, deterministic outcome rather than
+    a convergence hazard.
 
     Scale shape per round: one neighbor-label join co-partitioned on the
     node key, one (node, label) count with map-side partials, one
-    node-partitioned window for the argmax, one label-update left join —
-    all node/edge-cardinality, no global structure.
+    node-partitioned window for the argmax — all node/edge-cardinality,
+    no global structure, and the labels frame is referenced exactly ONCE
+    per round, so the lazy lineage grows linearly in ``iters`` (a
+    two-reference update join would re-execute each prior round's
+    subtree twice — review catch).  ``materialize`` additionally persists
+    the per-round labels (pagerank's discipline: cuts recovery lineage on
+    a real cluster); pass False for one-shot registry-style sweeps that
+    must not leave cached frames behind.
 
     Returns (node, label).
     """
@@ -288,9 +297,12 @@ def label_propagation(
         .where(F.col("s").isNotNull() & F.col("d").isNotNull())
         .distinct()
     )
+    if materialize:
+        und = und.persist()
     labels = und.select(F.col("s").alias("node")).distinct().withColumn(
         "label", F.col("node")
     )
+    prev = None
     for _ in range(iters):
         votes = und.join(
             labels.select(F.col("node").alias("d"), "label"), "d"
@@ -301,16 +313,19 @@ def label_propagation(
         w = Window.partitionBy("node").orderBy(
             F.col("__c").desc(), F.col("label").asc()
         )
-        picked = (
+        # the symmetrized universe guarantees every node votes, so the
+        # argmax IS the next label frame — no update join back to labels
+        labels = (
             counts.withColumn("__rn", F.row_number().over(w))
             .filter(F.col("__rn") == 1)
-            .select("node", F.col("label").alias("__new"))
+            .select("node", "label")
         )
-        labels = (
-            labels.join(picked, "node", "left")
-            .select(
-                "node",
-                F.coalesce(F.col("__new"), F.col("label")).alias("label"),
-            )
-        )
+        if materialize:
+            labels = labels.persist()
+            labels.count()
+            if prev is not None:
+                prev.unpersist()
+            prev = labels
+    if materialize:
+        und.unpersist()
     return labels

@@ -253,35 +253,56 @@ def _size_rank(
     *,
     descending: bool,
     with_total: bool = False,
+    weight_col: str | None = None,
 ) -> DataFrame:
-    """Attach ``__sz`` (clamped size) and ``__grank`` (0-based global rank
-    by size then id) — scale-safely, with no single-reducer window.
+    """Attach ``__sz`` (clamped size) and a GLOBAL running weight sum over
+    the (size, id) total order — scale-safely, with no single-reducer
+    window.  With the default unit weight this is a global rank: the
+    output carries ``__grank`` (0-based); with ``weight_col`` it is a
+    global cumulative sum and carries ``__runsum`` (inclusive of the
+    current row) — one machinery for both balanced_shards'
+    rank-and-deal and budget_select's running-cost prefix (review catch:
+    the two used to carry duplicate copies of this pattern).
 
     The :func:`global_order` pattern adapted to a size ordering: rows
     bucket by the BIT LENGTH of their size (``length(bin(sz))`` —
     integer-exact and monotone in sz, so bucket order is consistent with
     the total order, unlike a float ``log2`` whose ulp error could
-    misorder boundary values), rank within buckets via a partitioned
-    window, and add bucket offsets cumsum-ed over the ≤64-row bucket-count
-    table.  Heavily CONCENTRATED size distributions (most rows sharing one
-    bit-length) shrink the rank stage's parallelism toward one bucket;
-    production layout for that shape is ``repartitionByRange(size)`` + the
-    same within-partition rank, at the cost of a sampled range exchange.
+    misorder boundary values), running-sum within buckets via a
+    partitioned window, and add per-bucket weight totals cumsum-ed over
+    the ≤64-row bucket table.  Heavily CONCENTRATED size distributions
+    (most rows sharing one bit-length) shrink the stage's parallelism
+    toward one bucket; production layout for that shape is
+    ``repartitionByRange(size)`` + the same within-partition pass, at the
+    cost of a sampled range exchange.
 
     NULL and negative sizes clamp to 0 (a negative long's two's-complement
-    bin() is 64 bits and would otherwise outrank every real size).
-    ``with_total`` also attaches ``__total`` (the row count, from the same
-    bounded side — no extra corpus pass).
+    bin() is 64 bits and would otherwise outrank every real size); NULL
+    and negative weights also clamp to 0.  ``with_total`` attaches
+    ``__total`` (the global weight sum, from the same bounded side — no
+    extra corpus pass).
     """
     from pyspark.sql import Window
 
     sz = F.greatest(F.coalesce(F.col(size_col).cast("long"), F.lit(0)), F.lit(0))
-    d2 = df.withColumn("__sz", sz).withColumn(
-        "__blen", F.length(F.bin(F.col("__sz"))).cast("int")
+    if weight_col is None:
+        wt = F.lit(1).cast("long")
+    else:
+        wt = F.greatest(
+            F.coalesce(F.col(weight_col).cast("long"), F.lit(0)), F.lit(0)
+        )
+    d2 = (
+        df.withColumn("__sz", sz)
+        .withColumn("__w", wt)
+        .withColumn("__blen", F.length(F.bin(F.col("__sz"))).cast("int"))
     )
     sz_ord = F.col("__sz").desc() if descending else F.col("__sz").asc()
-    w = Window.partitionBy("__blen").orderBy(sz_ord, F.col(id_col).asc_nulls_last())
-    ranked = d2.withColumn("__rk", F.row_number().over(w))
+    w = (
+        Window.partitionBy("__blen")
+        .orderBy(sz_ord, F.col(id_col).asc_nulls_last())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    ranked = d2.withColumn("__rs", F.sum("__w").over(w))
     blen_ord = F.col("__blen").desc() if descending else F.col("__blen").asc()
     # ≤64 buckets (bit lengths of a signed long) — the cumsum side is
     # bounded by construction; same non-foldable empty-prefix partition
@@ -289,7 +310,7 @@ def _size_rank(
     full64 = Window.partitionBy(
         F.substring(F.col("__blen").cast("string"), 0, 0)
     )
-    counts = d2.groupBy("__blen").agg(F.count(F.lit(1)).alias("__cnt"))
+    counts = d2.groupBy("__blen").agg(F.sum("__w").alias("__cnt"))
     offsets = counts.withColumn(
         "__offset",
         F.coalesce(
@@ -310,11 +331,13 @@ def _size_rank(
             ),
         )
     keep = ["__blen", "__offset"] + (["__total"] if with_total else [])
-    return (
-        ranked.join(F.broadcast(offsets.select(*keep)), "__blen")
-        .withColumn("__grank", (F.col("__offset") + F.col("__rk") - 1).cast("long"))
-        .drop("__blen", "__rk", "__offset")
-    )
+    out = ranked.join(F.broadcast(offsets.select(*keep)), "__blen")
+    run = (F.col("__offset") + F.col("__rs")).cast("long")
+    if weight_col is None:
+        out = out.withColumn("__grank", (run - 1).cast("long"))
+    else:
+        out = out.withColumn("__runsum", run)
+    return out.drop("__blen", "__rs", "__offset", "__w")
 
 
 def balanced_shards(

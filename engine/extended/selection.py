@@ -317,68 +317,30 @@ def budget_select(
     the result a clean rank cutoff — deterministic, order-free, and
     engine-reproducible.
 
-    The global running sum is computed scale-safely, no single-reducer
-    window: rows bucket by the BIT LENGTH of their score (integer-exact,
-    monotone — the :func:`engine.extended.sampling._size_rank` machinery
-    applied to a cumsum), the per-bucket window produces local running
-    cost sums, and per-bucket cost totals cumsum into offsets over the
-    ≤64-row bucket table.  ``score_col`` must therefore be a NON-NEGATIVE
-    INTEGER (quantize float scores upstream — e.g. ``floor(1e6·p)``);
-    NULL/negative scores clamp to 0 (selected last), NULL costs count 0.
-    ``id_col`` must be UNIQUE: it is the total-order tie-break, and with
-    duplicate (score, id) pairs the running sum — and therefore which of
-    the duplicates fits the budget — would be processing-order-dependent.
+    The global running sum is computed scale-safely by
+    :func:`engine.extended.sampling._size_rank` with the cost column as
+    the window weight (bit-length score buckets, per-bucket cumsum,
+    ≤64-row offset table — one machinery shared with balanced_shards /
+    length_bucket_batches, not a second copy).  ``score_col`` must
+    therefore be a NON-NEGATIVE INTEGER (quantize float scores upstream —
+    e.g. ``floor(1e6·p)``); NULL/negative scores clamp to 0 (selected
+    last), NULL costs count 0.  ``id_col`` must be UNIQUE: it is the
+    total-order tie-break, and with duplicate (score, id) pairs the
+    running sum — and therefore which of the duplicates fits the budget —
+    would be processing-order-dependent.
 
     Output: the selected rows + ``running_col`` (cumulative cost through
     each row, for audit/resume).
     """
-    from pyspark.sql import Window
+    from engine.extended.sampling import _size_rank
 
-    sc = F.greatest(
-        F.coalesce(F.col(score_col).cast("long"), F.lit(0)), F.lit(0)
-    )
-    cost = F.greatest(
-        F.coalesce(F.col(cost_col).cast("long"), F.lit(0)), F.lit(0)
-    )
-    d2 = (
-        df.withColumn("__score", sc)
-        .withColumn("__cost", cost)
-        .withColumn("__blen", F.length(F.bin(F.col("__score"))).cast("int"))
-    )
-    w = (
-        Window.partitionBy("__blen")
-        .orderBy(F.col("__score").desc(), F.col(id_col).asc_nulls_last())
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    ranked = d2.withColumn("__run_local", F.sum("__cost").over(w))
-    # bucket cost totals -> offsets (≤64 rows; same non-foldable
-    # empty-prefix partition trick as global_order)
-    offsets = (
-        d2.groupBy("__blen")
-        .agg(F.sum("__cost").alias("__csum"))
-        .withColumn(
-            "__offset",
-            F.coalesce(
-                F.sum("__csum").over(
-                    Window.partitionBy(
-                        F.substring(F.col("__blen").cast("string"), 0, 0)
-                    )
-                    .orderBy(F.col("__blen").desc())
-                    .rowsBetween(Window.unboundedPreceding, -1)
-                ),
-                F.lit(0),
-            ),
-        )
-        .select("__blen", "__offset")
+    ranked = _size_rank(
+        df, score_col, id_col, descending=True, weight_col=cost_col
     )
     return (
-        ranked.join(F.broadcast(offsets), "__blen")
-        .withColumn(
-            running_col,
-            (F.col("__offset") + F.col("__run_local")).cast("long"),
-        )
+        ranked.withColumn(running_col, F.col("__runsum"))
         .where(F.col(running_col) <= budget)
-        .drop("__score", "__cost", "__blen", "__run_local", "__offset")
+        .drop("__sz", "__runsum")
     )
 
 

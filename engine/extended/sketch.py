@@ -312,19 +312,22 @@ def moments_stats(df: DataFrame, *, scale: int = 1000) -> DataFrame:
     as scaled BIGINTs via the engine-exact half rule FLOOR(x + 0.5).
 
     The doubles feeding FLOOR are computed the same way any engine would
-    from the exact integer components (cast → one divide → one multiply),
-    so the rendered values reproduce cross-engine; components stay exact
-    as long as ``n·sumsq`` fits a double's 2^53 integer range — beyond
-    that, derive statistics from the raw BIGINT components instead.
+    from the exact integer components (cast each component to double
+    FIRST, then multiply/subtract/divide), so the rendered values
+    reproduce cross-engine.  The variance numerator is deliberately NOT
+    formed in BIGINT arithmetic: ``n·sumsq − sum²`` wraps past 2^63
+    silently in Spark (non-ANSI) while the DuckDB twin errors — at
+    milli-quantized values over ~10^7 rows ``sum²`` alone exceeds int64
+    (review catch).  In double space the products are exact while each
+    component stays under 2^53 and degrade to relative-precision loss —
+    never wraparound — beyond it; past 2^53, derive statistics from the
+    raw BIGINT components instead.
     """
     n = F.col("n").cast("double")
     s = F.col("sum_v").cast("double")
     q = F.col("sumsq_v").cast("double")
     mean = F.lit(float(scale)) * (s / n) + F.lit(0.5)
-    var = F.lit(float(scale)) * (
-        (F.col("n") * F.col("sumsq_v") - F.col("sum_v") * F.col("sum_v"))
-        .cast("double") / (n * n)
-    ) + F.lit(0.5)
+    var = F.lit(float(scale)) * ((n * q - s * s) / (n * n)) + F.lit(0.5)
     return df.select(
         "*",
         F.floor(mean).cast("long").alias("mean_milli"),

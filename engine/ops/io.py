@@ -152,12 +152,22 @@ def write_bucketed_cached(
     join repeatedly: the layout is paid once per (table, data-version), not
     per call — exactly how a production deployment would treat a bucketed
     table as durable infrastructure rather than a per-query artifact.
+
+    An EMPTY fingerprint bypasses the cache entirely (always writes): a
+    caller that omits it has declared no data-version identity, and
+    matching ""=="" would serve the first write's data forever — a
+    permanent stale hit (review catch).
     """
     spark = df.sparkSession
-    if _BUCKETED_FP.get(table) == fingerprint and spark.catalog.tableExists(table):
+    if (
+        fingerprint
+        and _BUCKETED_FP.get(table) == fingerprint
+        and spark.catalog.tableExists(table)
+    ):
         return False
     write_bucketed(df, table, bucket_col, n_buckets, sort_col=sort_col)
-    _BUCKETED_FP[table] = fingerprint
+    if fingerprint:
+        _BUCKETED_FP[table] = fingerprint
     return True
 
 

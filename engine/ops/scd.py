@@ -116,12 +116,18 @@ def snapshot_diff(
     incremental path produced.
 
     Change detection hashes the ``compare_cols`` (default: all non-key
-    columns present on BOTH sides) with a null-tagged canonical encoding —
-    ``NULL`` and ``'NULL'`` (the string) hash differently, and column
-    order is fixed by the caller's list so the digest is stable across
-    snapshots.  One full-outer join on the key; both hash projections are
-    scan-local.  Row identity per key is assumed (snapshots, not event
-    logs) — pre-dedup with :func:`engine.ops.dedup.keep_first` otherwise.
+    columns present on BOTH sides) with a LENGTH-PREFIXED canonical
+    encoding: each field serializes as ``"<len>:<value>"`` (NULL as the
+    unambiguous ``"n"`` — a length prefix is always a digit, so NULL and
+    the string ``'NULL'`` can never collide), making the concatenation
+    prefix-free — no value can shift a column boundary, so two different
+    rows never share a digest by separator injection (review catch: a
+    plain tagged concat collapsed ``("a\\x1f\\x01b", "c")`` with
+    ``("a", "b\\x1f\\x01c")``).  Column order is fixed by the caller's
+    list so the digest is stable across snapshots.  One full-outer join
+    on the key; both hash projections are scan-local.  Row identity per
+    key is assumed (snapshots, not event logs) — pre-dedup with
+    :func:`engine.ops.dedup.keep_first` otherwise.
     """
     if compare_cols is None:
         compare_cols = [
@@ -130,12 +136,13 @@ def snapshot_diff(
         ]
 
     def canon(c: str):
-        return F.when(
-            F.col(c).isNull(), F.lit("\x00null")
-        ).otherwise(F.concat(F.lit("\x01"), F.col(c).cast("string")))
+        s = F.col(c).cast("string")
+        return F.when(F.col(c).isNull(), F.lit("n")).otherwise(
+            F.concat(F.length(s).cast("string"), F.lit(":"), s)
+        )
 
     def keyed(df: DataFrame, tag: str) -> DataFrame:
-        digest = F.md5(F.concat_ws("\x1f", *[canon(c) for c in compare_cols]))
+        digest = F.md5(F.concat(*[canon(c) for c in compare_cols]))
         return df.select(
             *[F.col(k).alias(f"__{tag}k_{k}") for k in key_cols],
             digest.alias(f"__{tag}_digest"),

@@ -151,9 +151,11 @@ def streaming_hll(
 
 
 def streaming_hll_estimate(spark, sketches: list[bytes]) -> float:
-    """Estimate from the running sketch (``streaming_hll`` keeps exactly
-    one folded binary; a caller-assembled multi-sketch list still unions
-    fine — the merge is associative)."""
+    """Estimate from the accumulator: unions whatever mix of folded and
+    unfolded batch sketches the list holds (``streaming_hll`` keeps up to
+    ``fold_threshold`` unfolded binaries between folds — never index
+    ``sketches[0]`` as "the one running sketch"; go through this
+    estimator, the merge is associative)."""
     from pyspark.sql import functions as F
 
     if not sketches:

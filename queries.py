@@ -7072,7 +7072,10 @@ def label_propagation_communities(spark, sf_dir):
     from engine.extended.graph import label_propagation
 
     edges = _strongest_ties_edges(spark, sf_dir)
-    labels = label_propagation(edges, src_col="u", dst_col="v", iters=3)
+    # lazy mode for the registry sweep (no cached frames left behind);
+    # lineage stays linear because labels is referenced once per round
+    labels = label_propagation(edges, src_col="u", dst_col="v", iters=3,
+                               materialize=False)
     return (
         labels.groupBy(F.col("label").alias("community"))
         .agg(F.count(F.lit(1)).cast("long").alias("n_members"))
@@ -9201,7 +9204,8 @@ def balanced_shards_q(spark, sf_dir):
            CAST(sumsq_v AS BIGINT) AS sumsq_v,
            CAST(FLOOR(1000.0 * (CAST(sum_v AS DOUBLE) / CAST(n AS DOUBLE))
              + 0.5) AS BIGINT) AS mean_milli,
-           CAST(FLOOR(1000.0 * (CAST(n * sumsq_v - sum_v * sum_v AS DOUBLE)
+           CAST(FLOOR(1000.0 * ((CAST(n AS DOUBLE) * CAST(sumsq_v AS DOUBLE)
+               - CAST(sum_v AS DOUBLE) * CAST(sum_v AS DOUBLE))
              / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE))) + 0.5) AS BIGINT)
              AS var_milli
     FROM u

@@ -287,6 +287,22 @@ def test_snapshot_diff_classifies_and_carries_right_values(spark):
     assert all_rows[1] == "unchanged" and len(all_rows) == 5
 
 
+def test_snapshot_diff_resists_separator_injection(spark):
+    """Length-prefixed field encoding: values containing the old
+    tag/separator bytes must not shift column boundaries (review catch —
+    a tagged concat collapsed these two different rows)."""
+    from engine.ops.scd import snapshot_diff
+
+    old = spark.createDataFrame(
+        [(1, "a\x1f\x01b", "c"), (2, "x1:", "y")], "k int, a string, b string"
+    )
+    new = spark.createDataFrame(
+        [(1, "a", "b\x1f\x01c"), (2, "x", "1:y")], "k int, a string, b string"
+    )
+    got = {r["k"]: r["op"] for r in snapshot_diff(old, new, ["k"]).collect()}
+    assert got == {1: "update", 2: "update"}
+
+
 def test_snapshot_diff_null_vs_null_string_distinct(spark):
     """The null-tagged digest must distinguish NULL from the string
     'NULL' (and from empty) — a plain concat_ws would collapse them."""

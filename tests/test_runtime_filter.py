@@ -187,6 +187,10 @@ def test_write_bucketed_cached_skips_second_write(spark, tmp_path):
         # dropped table (catalog miss) -> re-written even with a cached fp
         spark.sql("DROP TABLE t_cached")
         assert write_bucketed_cached(df, "t_cached", "k", 4, fingerprint=fp2)
+        # empty fingerprint = no data-version identity -> cache bypassed
+        # every time (review catch: ""=="" served the first write forever)
+        assert write_bucketed_cached(df, "t_cached", "k", 4)
+        assert write_bucketed_cached(df, "t_cached", "k", 4)
     finally:
         spark.sql("DROP TABLE IF EXISTS t_cached")
         io_mod._BUCKETED_FP.pop("t_cached", None)
