@@ -1,0 +1,132 @@
+"""Streaming materialized-view maintenance: a per-key aggregate snapshot
+kept live over a stream.
+
+Composes the repo's two maintenance primitives under ``foreachBatch``:
+each micro-batch collapses to mergeable partials
+(:func:`engine.ops.matview.agg_partials` — one map-side-combining
+groupBy over the batch only) and folds into the stored snapshot with one
+co-partitioned full-outer join (:func:`engine.ops.matview.
+merge_agg_snapshot`).  Work per batch is O(batch + |keys|) no matter how
+long the stream has lived — the streaming twin of the batch
+``incremental_agg_merge`` registry query, and the EXACT-aggregate sibling
+of the sketch maintainers in :mod:`engine.streaming.sketches` (those keep
+geometry-bounded approximate state; this keeps key-cardinality exact
+state, on disk).
+
+Snapshot storage is VERSIONED parquet with an atomically-swapped pointer
+(``_CURRENT`` written via tmp + ``os.replace``): a concurrent reader sees
+either the previous complete version or the new complete version, never a
+half-written directory — the lightweight cousin of
+:func:`engine.ops.publish.publish_dataset` for state that turns over
+every batch.  The previous version is retained for readers in flight;
+older ones are pruned.  At-least-once re-delivery is guarded by the
+seen-batch_id set in process (the accumulator owns its idempotence, as in
+streaming_cms) and by the version naming across the checkpoint's replay.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+from engine.ops.matview import agg_partials, merge_agg_snapshot
+
+__all__ = ["streaming_agg_maintenance", "read_agg_snapshot"]
+
+_CURRENT = "_CURRENT"
+
+
+def read_agg_snapshot(spark: SparkSession, snapshot_dir: str) -> DataFrame | None:
+    """The current snapshot, or None before the first publish."""
+    ptr = os.path.join(snapshot_dir, _CURRENT)
+    if not os.path.exists(ptr):
+        return None
+    with open(ptr) as fh:
+        version = fh.read().strip()
+    return spark.read.parquet(os.path.join(snapshot_dir, version))
+
+
+def _swap_pointer(snapshot_dir: str, version: str) -> None:
+    ptr = os.path.join(snapshot_dir, _CURRENT)
+    tmp = ptr + ".tmp"
+    with open(tmp, "w") as fh:
+        fh.write(version + "\n")
+    os.replace(tmp, ptr)  # atomic on POSIX
+
+
+def _prune_old_versions(snapshot_dir: str, keep: set[str]) -> None:
+    import shutil
+
+    for name in os.listdir(snapshot_dir):
+        if name.startswith("v") and name not in keep:
+            shutil.rmtree(os.path.join(snapshot_dir, name), ignore_errors=True)
+
+
+def streaming_agg_maintenance(
+    stream_df: DataFrame,
+    key_cols: list[str],
+    checkpoint_dir: str,
+    snapshot_dir: str,
+    *,
+    count_col: str = "n",
+    sums: dict[str, str] | None = None,
+    mins: dict[str, str] | None = None,
+    maxs: dict[str, str] | None = None,
+    query_name: str = "engine-streaming-matview",
+):
+    """Maintain the per-key aggregate snapshot over a stream
+    (availableNow drain).  Measure specs as in :func:`agg_partials`.
+
+    Returns ``(query, snapshot_dir)``; read results with
+    :func:`read_agg_snapshot`.
+    """
+    os.makedirs(snapshot_dir, exist_ok=True)
+    spark = stream_df.sparkSession
+    sum_cols = tuple((sums or {}).keys())
+    min_cols = tuple((mins or {}).keys())
+    max_cols = tuple((maxs or {}).keys())
+    seen: set[int] = set()
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_id in seen:
+            return
+        version = f"v{batch_id:012d}"
+        vdir = os.path.join(snapshot_dir, version)
+        if os.path.exists(vdir):
+            # checkpoint replay after a crash between write and swap:
+            # the version is already on disk — just repair the pointer
+            _swap_pointer(snapshot_dir, version)
+            seen.add(batch_id)
+            return
+        bp = agg_partials(
+            batch_df, key_cols,
+            count_col=count_col, sums=sums, mins=mins, maxs=maxs,
+        )
+        cur = read_agg_snapshot(spark, snapshot_dir)
+        prev_version = None
+        if cur is not None:
+            with open(os.path.join(snapshot_dir, _CURRENT)) as fh:
+                prev_version = fh.read().strip()
+            merged = merge_agg_snapshot(
+                cur, bp, key_cols,
+                count_col=count_col, sum_cols=sum_cols,
+                min_cols=min_cols, max_cols=max_cols, op_col=None,
+            )
+        else:
+            merged = bp
+        merged.write.mode("overwrite").parquet(vdir)
+        _swap_pointer(snapshot_dir, version)
+        keep = {version} | ({prev_version} if prev_version else set())
+        _prune_old_versions(snapshot_dir, keep)
+        seen.add(batch_id)
+
+    query = (
+        stream_df.writeStream.foreachBatch(process)
+        .option("checkpointLocation", checkpoint_dir)
+        .queryName(query_name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination()
+    return query, snapshot_dir

@@ -442,3 +442,48 @@ def test_streaming_topk_matches_exact_heavy_hitters(spark, tmp_path):
     # state bounds: cells <= depth*width, candidates <= 8*factor*k
     assert len(state["cells"]) <= 3 * 4096
     assert len(state["candidates"]) <= 8 * 4 * 5
+
+
+def test_streaming_agg_maintenance_matches_full_recompute(spark, tmp_path):
+    """The maintained snapshot after two availableNow drains equals the
+    one-shot partials of the combined data (count/sum/min/max identities
+    through real streaming machinery), and the pointer swap keeps exactly
+    current+previous versions on disk."""
+    import os
+
+    from engine.ops.matview import agg_partials
+    from engine.streaming.matview import (
+        read_agg_snapshot,
+        streaming_agg_maintenance,
+    )
+
+    src = str(tmp_path / "mv_src")
+    ckpt = str(tmp_path / "mv_ck")
+    snap = str(tmp_path / "mv_snap")
+    spec = dict(sums={"s": "v"}, mins={"lo": "v"}, maxs={"hi": "v"})
+    wave1 = spark.createDataFrame(
+        [(f"k{i % 5}", i) for i in range(40)], "k string, v int"
+    )
+    wave2 = spark.createDataFrame(
+        [(f"k{i % 9}", -i) for i in range(33)], "k string, v int"
+    )
+    wave1.coalesce(1).write.mode("append").parquet(src)
+    stream = spark.readStream.schema("k string, v int").format("parquet").load(src)
+    streaming_agg_maintenance(stream, ["k"], ckpt, snap, **spec)
+    wave2.coalesce(1).write.mode("append").parquet(src)
+    stream = spark.readStream.schema("k string, v int").format("parquet").load(src)
+    streaming_agg_maintenance(stream, ["k"], ckpt, snap, **spec)
+
+    got = {
+        r["k"]: (r["n"], r["s"], r["lo"], r["hi"])
+        for r in read_agg_snapshot(spark, snap).collect()
+    }
+    want = {
+        r["k"]: (r["n"], r["s"], r["lo"], r["hi"])
+        for r in agg_partials(
+            wave1.unionAll(wave2), ["k"], **spec
+        ).collect()
+    }
+    assert got == want
+    versions = [d for d in os.listdir(snap) if d.startswith("v")]
+    assert len(versions) <= 2  # current + previous, older pruned
