@@ -7071,8 +7071,12 @@ def label_propagation_communities(spark, sf_dir):
     rounds."""
     from engine.extended.graph import label_propagation
 
-    edges = _strongest_ties_edges(spark, sf_dir)
-    # lazy mode for the registry sweep (no cached frames left behind);
+    # persist the edge cut point: the strongest-ties subtree (pair scan +
+    # top-6000 budget) is referenced once per LPA round and would re-run
+    # 3x lazily — the cross_source_overlap persist-by-contract convention
+    # (caller owns the frame; bench/tests clearCache between queries)
+    edges = _strongest_ties_edges(spark, sf_dir).persist()
+    # lazy label mode for the registry sweep (no per-round cached frames);
     # lineage stays linear because labels is referenced once per round
     labels = label_propagation(edges, src_col="u", dst_col="v", iters=3,
                                materialize=False)
