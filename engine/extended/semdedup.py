@@ -54,13 +54,14 @@ def _norm(vec_col: Column) -> Column:
     )
 
 
-#: one-time truncation probe guard: the cluster_cap default changed from
-#: None (exact) to 500 in r5, silently switching unconfigured callers from
-#: exact pair generation to capped.  The first capped call per process pays
-#: one bounded aggregate (groupBy cluster → count, cluster-cardinality
-#: groups) to count actually-truncated clusters and WARN if any — so the
-#: silent-result-change is observable exactly once, and steady-state calls
-#: pay nothing (advice-review item).
+#: truncation probe guard: the cluster_cap default changed from None
+#: (exact) to 500 in r5, silently switching unconfigured callers from
+#: exact pair generation to capped.  Every capped call pays one bounded
+#: aggregate (groupBy cluster → count, cluster-cardinality groups) UNTIL a
+#: truncation is actually observed and warned — only then is the guard
+#: consumed, so a first un-truncated call cannot silence the warning for a
+#: later call that IS truncating (advice-review items, r6 + r7).  Once a
+#: truncation has warned, steady-state calls pay nothing.
 _CAP_PROBED = False
 
 
@@ -72,7 +73,6 @@ def _apply_cluster_cap(
     truncating (see ``_CAP_PROBED``)."""
     global _CAP_PROBED
     if not _CAP_PROBED:
-        _CAP_PROBED = True
         n_trunc = (
             df.groupBy(cluster_col)
             .count()
@@ -80,6 +80,11 @@ def _apply_cluster_cap(
             .count()
         )
         if n_trunc:
+            # Consume the guard only once a truncation is actually
+            # OBSERVED: a first capped call with no oversized clusters must
+            # not silence the warning for a later call that IS truncating
+            # (advice-review catch).
+            _CAP_PROBED = True
             import warnings
 
             warnings.warn(

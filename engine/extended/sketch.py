@@ -129,11 +129,11 @@ def cms_estimate(
     internal ``row``/``col``/``cnt`` names would make the join ambiguous if
     ``keys`` already carries one of them — raise rather than mis-group.
     """
-    reserved = {"row", "col", "cnt"} & set(keys.columns)
+    reserved = {"row", "col", "cnt", "__probe_id"} & set(keys.columns)
     if reserved:
         raise ValueError(
             f"cms_estimate probe frame must not contain columns {sorted(reserved)}"
-            " (internal sketch-cell names); rename them before probing"
+            " (internal sketch-cell/probe-id names); rename them before probing"
         )
     key = F.col(key_col).cast("string")
     probes = keys.withColumn("__probe_id", F.monotonically_increasing_id()).select(

@@ -117,7 +117,13 @@ def path_fingerprint(*paths: str) -> str:
     mtime_ns) of every file at or under each path, hashed.  No Spark job —
     pure driver-side stat walk, so cache probes cost microseconds.
     Regenerating a pack in place (new mtimes) or pointing at different data
-    changes the fingerprint and invalidates any layout keyed on it."""
+    changes the fingerprint and invalidates any layout keyed on it.
+
+    A path that exists as neither a file nor a directory RAISES: silently
+    hashing the empty walk would give every missing/typo'd input the same
+    constant digest, and fed to :func:`write_bucketed_cached` that constant
+    produces a permanent stale cache hit — the exact failure mode the
+    empty-string bypass exists to prevent (advice-review catch)."""
     import hashlib
     import os
 
@@ -127,6 +133,12 @@ def path_fingerprint(*paths: str) -> str:
             st = os.stat(p)
             h.update(f"{p}|{st.st_size}|{st.st_mtime_ns};".encode())
             continue
+        if not os.path.isdir(p):
+            raise FileNotFoundError(
+                f"path_fingerprint: {p!r} is neither a file nor an existing"
+                " directory — refusing to hash an empty walk (it would alias"
+                " every missing path to one constant fingerprint)"
+            )
         for root, dirs, files in sorted(os.walk(p)):
             for f in sorted(files):
                 st = os.stat(os.path.join(root, f))

@@ -94,11 +94,19 @@ def streaming_agg_maintenance(
         version = f"v{batch_id:012d}"
         vdir = os.path.join(snapshot_dir, version)
         if os.path.exists(vdir):
-            # checkpoint replay after a crash between write and swap:
-            # the version is already on disk — just repair the pointer
-            _swap_pointer(snapshot_dir, version)
-            seen.add(batch_id)
-            return
+            if os.path.exists(os.path.join(vdir, "_SUCCESS")):
+                # checkpoint replay after a crash between write and swap:
+                # the version is COMPLETE on disk — just repair the pointer
+                _swap_pointer(snapshot_dir, version)
+                seen.add(batch_id)
+                return
+            # crash MID-write left a partial vdir (no _SUCCESS): swapping
+            # the pointer to it would merge every later batch from corrupt
+            # state.  Discard the partial and recompute the merge from the
+            # still-valid _CURRENT snapshot (advice-review catch).
+            import shutil
+
+            shutil.rmtree(vdir, ignore_errors=True)
         bp = agg_partials(
             batch_df, key_cols,
             count_col=count_col, sums=sums, mins=mins, maxs=maxs,

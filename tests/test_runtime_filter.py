@@ -194,3 +194,20 @@ def test_write_bucketed_cached_skips_second_write(spark, tmp_path):
     finally:
         spark.sql("DROP TABLE IF EXISTS t_cached")
         io_mod._BUCKETED_FP.pop("t_cached", None)
+
+
+def test_path_fingerprint_raises_on_missing_path(tmp_path):
+    """ADVICE r6 (low): a nonexistent path must raise, not hash an empty
+    walk — the constant empty-walk digest fed to write_bucketed_cached is
+    a permanent stale cache hit."""
+    import pytest
+
+    from engine.ops.io import path_fingerprint
+
+    with pytest.raises(FileNotFoundError, match="neither a file"):
+        path_fingerprint(str(tmp_path / "no_such_dir"))
+    # existing dir and file still fingerprint fine
+    f = tmp_path / "ok.txt"
+    f.write_text("x")
+    assert path_fingerprint(str(tmp_path))
+    assert path_fingerprint(str(f))

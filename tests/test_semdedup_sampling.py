@@ -372,3 +372,34 @@ def test_negative_sample_validation(spark):
         negative_sample(df, df, k=0)
     with _npt.raises(ValueError, match="n_probes"):
         negative_sample(df, df, k=5, n_probes=2)
+
+
+def test_cluster_cap_probe_survives_untruncated_first_call(spark):
+    """ADVICE r6 (low): the one-shot probe guard must be consumed only
+    when a truncation is OBSERVED — a first capped call with no oversized
+    clusters must not silence the warning for a later call that IS
+    truncating."""
+    import warnings
+
+    import engine.extended.semdedup as sd
+
+    small = spark.createDataFrame(
+        [(i, [1.0, 0.0], i) for i in range(4)],  # 4 singleton clusters
+        "vec_id long, embedding array<float>, label int",
+    )
+    big = spark.createDataFrame(
+        [(i, [1.0, 0.0], 0) for i in range(30)],  # one 30-row cluster
+        "vec_id long, embedding array<float>, label int",
+    )
+    sd._CAP_PROBED = False
+    try:
+        with warnings.catch_warnings(record=True) as w1:
+            warnings.simplefilter("always")
+            pairwise_sims(small, cluster_cap=10).collect()
+        assert not any("truncating" in str(x.message) for x in w1)
+        with warnings.catch_warnings(record=True) as w2:
+            warnings.simplefilter("always")
+            pairwise_sims(big, cluster_cap=10).collect()
+        assert any("truncating" in str(x.message) for x in w2)
+    finally:
+        sd._CAP_PROBED = True  # later tests must not pay the probe

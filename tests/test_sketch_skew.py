@@ -283,3 +283,18 @@ def test_hll_inclusion_exclusion_intersection(spark):
     assert abs(r["u"] - 10000) <= 0.05 * 10000
     assert abs(est_i - 2000) <= 0.10 * 10000
 
+
+
+def test_cms_estimate_rejects_probe_id_column(spark):
+    """ADVICE r6 (low): a probe frame already carrying __probe_id was
+    silently overwritten by the internal id (and dropped from the output);
+    it is reserved like row/col/cnt now."""
+    import pytest
+
+    from engine.extended.sketch import cms_build, cms_estimate
+
+    df = spark.createDataFrame([("a",)], ["k"])
+    sk = cms_build(df, "k", depth=3, width=64)
+    probe = spark.createDataFrame([("a", 7)], ["k", "__probe_id"])
+    with pytest.raises(ValueError, match="__probe_id"):
+        cms_estimate(sk, probe, "k", depth=3, width=64)

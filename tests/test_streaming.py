@@ -487,3 +487,136 @@ def test_streaming_agg_maintenance_matches_full_recompute(spark, tmp_path):
     assert got == want
     versions = [d for d in os.listdir(snap) if d.startswith("v")]
     assert len(versions) <= 2  # current + previous, older pruned
+
+
+def test_streaming_agg_maintenance_discards_partial_version_dir(spark, tmp_path):
+    """ADVICE r6 (medium): a crash mid-parquet-write leaves a version dir
+    WITHOUT _SUCCESS.  Replay must not swap the pointer onto that corpse —
+    it discards the partial dir and recomputes the merge from the
+    still-valid _CURRENT snapshot, so the final state equals the full
+    recompute."""
+    import os
+
+    from engine.ops.matview import agg_partials
+    from engine.streaming.matview import (
+        read_agg_snapshot,
+        streaming_agg_maintenance,
+    )
+
+    src = str(tmp_path / "pv_src")
+    ckpt = str(tmp_path / "pv_ck")
+    snap = str(tmp_path / "pv_snap")
+    spec = dict(sums={"s": "v"})
+    wave1 = spark.createDataFrame([("a", 1), ("b", 2)], "k string, v int")
+    wave2 = spark.createDataFrame([("a", 10), ("c", 3)], "k string, v int")
+    wave1.coalesce(1).write.mode("append").parquet(src)
+    stream = spark.readStream.schema("k string, v int").format("parquet").load(src)
+    streaming_agg_maintenance(stream, ["k"], ckpt, snap, **spec)
+    # simulate the crash: batch 1's vdir exists, half-written (no _SUCCESS)
+    partial = os.path.join(snap, "v000000000001")
+    os.makedirs(partial)
+    with open(os.path.join(partial, "part-00000.parquet"), "wb") as fh:
+        fh.write(b"\x00truncated-mid-write")
+    wave2.coalesce(1).write.mode("append").parquet(src)
+    stream = spark.readStream.schema("k string, v int").format("parquet").load(src)
+    streaming_agg_maintenance(stream, ["k"], ckpt, snap, **spec)
+
+    got = {
+        r["k"]: (r["n"], r["s"])
+        for r in read_agg_snapshot(spark, snap).collect()
+    }
+    want = {
+        r["k"]: (r["n"], r["s"])
+        for r in agg_partials(wave1.unionAll(wave2), ["k"], **spec).collect()
+    }
+    assert got == want
+    # the recomputed v1 is complete (marker present)
+    assert os.path.exists(os.path.join(partial, "_SUCCESS"))
+
+
+def test_streaming_agg_maintenance_replay_repairs_pointer_without_recompute(
+    spark, tmp_path
+):
+    """Crash BETWEEN a complete write and the pointer swap: replay must
+    only repair the pointer (no recompute).  Pinned by planting a complete
+    vdir with sentinel data — if replay recomputed, the sentinel would be
+    overwritten with the true merge."""
+    import os
+
+    from engine.streaming.matview import (
+        read_agg_snapshot,
+        streaming_agg_maintenance,
+    )
+
+    src = str(tmp_path / "rp_src")
+    ckpt = str(tmp_path / "rp_ck")
+    snap = str(tmp_path / "rp_snap")
+    wave1 = spark.createDataFrame([("a", 1)], "k string, v int")
+    wave1.coalesce(1).write.mode("append").parquet(src)
+    stream = spark.readStream.schema("k string, v int").format("parquet").load(src)
+    streaming_agg_maintenance(stream, ["k"], ckpt, snap, sums={"s": "v"})
+    # plant batch 1: COMPLETE (with _SUCCESS) but pointer still at v0
+    sentinel = spark.createDataFrame(
+        [("SENTINEL", 99, 99)], "k string, n long, s long"
+    )
+    vdir = os.path.join(snap, "v000000000001")
+    sentinel.coalesce(1).write.parquet(vdir)
+    assert os.path.exists(os.path.join(vdir, "_SUCCESS"))
+    spark.createDataFrame([("b", 2)], "k string, v int").coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+    stream = spark.readStream.schema("k string, v int").format("parquet").load(src)
+    streaming_agg_maintenance(stream, ["k"], ckpt, snap, sums={"s": "v"})
+    got = [r["k"] for r in read_agg_snapshot(spark, snap).collect()]
+    assert got == ["SENTINEL"]  # pointer repaired, vdir NOT recomputed
+
+
+def test_streaming_agg_maintenance_concurrent_reader_sees_complete_prev(
+    spark, tmp_path, monkeypatch
+):
+    """VERDICT r6 #7: a reader that lands BETWEEN the new version's write
+    and the pointer swap must see exactly the previous complete snapshot —
+    never the in-flight version, never a partial dir."""
+    import engine.streaming.matview as mv
+    from engine.ops.matview import agg_partials
+
+    src = str(tmp_path / "cc_src")
+    ckpt = str(tmp_path / "cc_ck")
+    snap = str(tmp_path / "cc_snap")
+    spec = dict(sums={"s": "v"})
+    wave1 = spark.createDataFrame([("a", 1), ("b", 2)], "k string, v int")
+    wave2 = spark.createDataFrame([("a", 10)], "k string, v int")
+    wave1.coalesce(1).write.mode("append").parquet(src)
+    stream = spark.readStream.schema("k string, v int").format("parquet").load(src)
+    mv.streaming_agg_maintenance(stream, ["k"], ckpt, snap, **spec)
+    want_prev = {
+        r["k"]: (r["n"], r["s"])
+        for r in agg_partials(wave1, ["k"], **spec).collect()
+    }
+
+    seen_between: list[dict] = []
+    real_swap = mv._swap_pointer
+
+    def spying_swap(snapshot_dir, version):
+        # the window between write-complete and pointer-swap: what does a
+        # concurrent reader observe?
+        cur = mv.read_agg_snapshot(spark, snapshot_dir)
+        seen_between.append(
+            {r["k"]: (r["n"], r["s"]) for r in cur.collect()}
+        )
+        real_swap(snapshot_dir, version)
+
+    monkeypatch.setattr(mv, "_swap_pointer", spying_swap)
+    wave2.coalesce(1).write.mode("append").parquet(src)
+    stream = spark.readStream.schema("k string, v int").format("parquet").load(src)
+    mv.streaming_agg_maintenance(stream, ["k"], ckpt, snap, **spec)
+    assert seen_between == [want_prev]  # the previous COMPLETE version
+    got = {
+        r["k"]: (r["n"], r["s"])
+        for r in mv.read_agg_snapshot(spark, snap).collect()
+    }
+    want_now = {
+        r["k"]: (r["n"], r["s"])
+        for r in agg_partials(wave1.unionAll(wave2), ["k"], **spec).collect()
+    }
+    assert got == want_now
