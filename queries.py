@@ -9682,51 +9682,70 @@ def snapshot_diff_changelog(spark, sf_dir):
 # entries first.
 
 _WINDOW_PRIORITY = [
-    # ---- r6 ROTATION (VERDICT r5 #2): 59 oracle-paired queries still lack
-    # a driver row after r5; this window fronts 44 of them — all round-5
-    # additions (sketch/skew/HLL/governance/corpus-health), the SQL-surface
-    # packs, and the sampling/profile families — and keeps one driver-green
-    # §2 representative per family.  The 15 remaining first-timers
-    # (doclen/readability/centroid/TPC-H-shape stats, zorder_key, ...) queue
-    # for r7.  Every rotated-out query stays green under the full local
-    # oracle gate (tools/check_oracle.py, gate #1 of the verify ladder).
-    # §2 core representatives (driver-green r1-r5).
+    # ---- r7 ROTATION (VERDICT r6 #1): after six artifacts, exactly 37
+    # registry queries have never earned a driver row — 27 oracle-paired
+    # (the 12 r6 operators + the 15 r6-queued leftovers) and 10 rows-only
+    # seams.  This window fronts ALL 37 (the rows-only ones intentionally:
+    # a driver rows-only row is the hardest signal those seams can earn —
+    # see _WINDOW_ROWS_ONLY) plus 13 driver-green representatives covering
+    # every §2 family and the headline end-to-end chains.  Every rotated-
+    # out query stays green under the full local oracle gate
+    # (tools/check_oracle.py, gate #1 of the verify ladder).
+    # §2 core representatives (driver-green r1-r6).
     "p5_range_scan",            # P: scan + range/null predicates
     "j4_keepfirst_dedup",       # J + window dedup
     "a1_stall_guard_minmax",    # A: min/max stall aggregate
     "f1_f2_address_key_hash",   # F: null-safe concat + keyed hash
     "st4_stream_dedup",         # ST: cross-batch dedup
     "flagship_patron_chain",    # flagship chain
-    # r5 sketch / skew-lever family.
-    "cms_heavy_hitters", "cms_merge_shards", "hist_shard_merge",
-    "hll_shard_merge", "hll_set_ops", "hll_windowed_users",
-    "salted_distinct_users", "skew_salted_enrich", "join_key_skew_stats",
-    "bloom_prefilter_join", "bucketed_join_colocated",
-    # r5 governance / ingestion / corpus-health.
-    "k_anonymity_audit", "dp_noisy_counts", "dedup_bloom_incremental",
-    "corpus_pipeline_v4", "dup_cluster_size_hist", "cross_source_overlap",
-    # r5 as-of / rolling / ANN audit.
-    "asof_join_forward", "rolling_median_value", "ann_recall_audit",
-    # SQL-surface packs (never windowed; r1-r2 era).
-    "q6_selective_agg", "json_extract_props", "exists_subquery",
-    "scalar_subquery_above_avg", "correlated_above_group_avg",
-    "grouping_sets_agg", "cube_agg", "unpivot_part_attrs",
-    "string_funcs_pack", "null_funcs_pack", "window_functions_pack",
-    "regex_pack", "sequence_pack",
-    # Sampling / sharding / profile families (never windowed).
-    "mixture_sample", "per_key_sample", "shard_assign", "dataset_split",
-    "vocab_stats", "quality_filter_rate", "dup_rate_by_source",
-    "corpus_curation_pipeline", "stats_aggregates",
-    # Cache-probe join + LSH kNN join (never windowed).
-    "memo_lookup_or_compute", "knn_join_lsh",
+    "pipeline_new_mode",        # end-to-end NEW-mode pipeline
+    "q1_pricing_summary",       # TPC-H-shape aggregate
+    "dedup_minhash_lsh",        # near-dup family
+    "ann_cosine_topk",          # similarity family
+    "semdedup_pairs",           # embedding-dedup family
+    "cdc_apply_changelog",      # CDC family
+    "dsir_select",              # selection family
+    # r6 operators (judge-green at sf0.01, never driver-windowed).
+    "incremental_agg_merge", "dedup_keep_best", "balanced_shards",
+    "moments_shard_merge", "length_bucket_batches", "token_budget_select",
+    "curriculum_interleave", "label_propagation_communities",
+    "mad_outliers_by_user", "profile_drift_audit", "event_transition_probs",
+    "snapshot_diff_changelog",
+    # r6-queued leftovers (judge-green at sf0.01, never driver-windowed).
+    "centroid_drift_by_label", "token_gini_by_source",
+    "readability_by_source", "multivariate_outliers", "lang_source_mi",
+    "bpe_symbol_stats", "zorder_key", "label_centroids", "chunk_tokens",
+    "corpus_pipeline_v2", "doclen_quantiles", "doclen_histogram",
+    "exists_order_priority", "rich_idle_customers", "supplier_value_share",
+    # Rows-only seams (weaker driver check — rows>0 + stable schema — but
+    # it is the only driver signal these can ever earn; see allowlist).
+    "multimodal_features", "multimodal_decode", "image_near_dup",
+    "audio_features", "audio_near_dup", "approx_sketches",
+    "stratified_sample", "geocode_cascade_fake", "address_parse",
+    "compression_quality",
 ]
 assert len(_WINDOW_PRIORITY) == 50, len(_WINDOW_PRIORITY)
+
+#: rows-only queries DELIBERATELY spent on window slots this round (r7):
+#: each name here lacks a SQL oracle by nature (external-call seams, binary
+#: media, engine-native hash families) and has never appeared in a
+#: CORRECTNESS artifact.  Any window entry that is rows-only but NOT in
+#: this allowlist is still an error — a slot burned by accident.
+_WINDOW_ROWS_ONLY = {
+    "multimodal_features", "multimodal_decode", "image_near_dup",
+    "audio_features", "audio_near_dup", "approx_sketches",
+    "stratified_sample", "geocode_cascade_fake", "address_parse",
+    "compression_quality",
+}
 
 
 def _reorder_registry() -> None:
     missing = [n for n in _WINDOW_PRIORITY if n not in SPARK_QUERIES]
     assert not missing, f"priority names not registered: {missing}"
-    unpaired = [n for n in _WINDOW_PRIORITY if n not in ORACLE_SQL]
+    unpaired = [
+        n for n in _WINDOW_PRIORITY
+        if n not in ORACLE_SQL and n not in _WINDOW_ROWS_ONLY
+    ]
     assert not unpaired, f"rows-only queries in the window: {unpaired}"
     rest_oracle = [
         n for n in SPARK_QUERIES
