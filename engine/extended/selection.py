@@ -179,6 +179,7 @@ def mmr_select(
     quality_col: str = "quality",
     round_to: int = 4,
     materialize: bool = False,
+    batch: int = 16,
 ) -> list[dict]:
     """Greedy maximal-marginal-relevance selection (Carbonell & Goldstein
     1998): pick ``k`` items maximizing ``lam·quality − (1−lam)·max-sim-to-
@@ -188,28 +189,50 @@ def mmr_select(
     Returns selected rows as dicts ``{sel_rank, id, score}`` in selection
     order (fewer than ``k`` when the pool runs out).  ``lam_pct`` is an
     integer percent so the blend weights are identical literals in any
-    engine; similarities AND the quality column are QUANTIZED to
-    ``round_to`` decimals and blended in exact integer space (two
-    already-rounded inputs blend onto exact half-way cases where engine
-    float ROUNDs disagree), and ties break by id — the greedy path is
-    engine-exact and the whole chain unrolls to SQL.  Rows with a NULL
-    id, vector, vector component, or quality are excluded.
+    engine; similarities and the quality column are QUANTIZED to scaled
+    BIGINTs via ``FLOOR(x·10^round_to + 0.5)`` — pure IEEE multiply /
+    add / floor, the one rounding semantic every engine (and driver-side
+    Python) computes bit-identically on the same double, unlike a decimal
+    HALF_UP ``ROUND`` — and blended in exact integer space.  Ties break
+    by id; the greedy path is engine-exact and the whole chain unrolls to
+    SQL.  Rows with a NULL id, vector, vector component, or quality are
+    excluded.
 
-    Scale shape: each round is one argmax over the pool (a 1-row collect,
-    like every argmax in this repo) with the newly selected vector folded
-    in as a broadcast literal — no pairwise-materialized similarity
-    matrix, ever.  The running max-sim column accumulates as expression
-    depth; ``materialize=True`` persists the pool each round (the
-    bpe_train/pagerank discipline) so round r+1 scans the persisted pool
-    instead of re-deriving r rounds of expressions — the >1-executor
-    scale path; lazy mode keeps the registry sweep cache-clean.
+    Scale shape (r6 verdict item: the original loop was one Spark job per
+    selected item — driver-paced for k in the thousands): each round
+    collects the top ``batch + 1`` candidates by current score (ONE job)
+    and continues the greedy selection on the driver *within* that batch,
+    which is exact because scores only ever decrease as picks accumulate:
+    a batch item may be selected while its updated score numerator stays
+    strictly above the (batch+1)-th item's collect-time numerator — every
+    hidden item's current score is bounded by it — and when the bound
+    trips (or ties, since a hidden equal-score item could win the id
+    tie-break), the pool is re-collected with the accumulated picks
+    folded in as broadcast literals.  Driver-side similarity updates
+    replicate the JVM chain op-for-op (left-fold dot, divide, scale,
+    floor), so the batched path selects EXACTLY the per-item loop's
+    items; jobs collapse from k to ceil(k/batch) when diversity pressure
+    is low (quality-dominant blends) and degrade gracefully toward k
+    per-item collects when every pick reshuffles the ranking.  No
+    pairwise-materialized similarity matrix, ever.  The running max-sim
+    column accumulates as expression depth; ``materialize=True`` persists
+    the pool each re-collect round (the bpe_train/pagerank discipline) —
+    the >1-executor scale path; lazy mode keeps the registry sweep
+    cache-clean.
     """
+    import math
+
     if k < 1:
         raise ValueError(f"k must be >= 1, got {k}")
+    if batch < 1:
+        raise ValueError(f"batch must be >= 1, got {batch}")
     if not 0 <= lam_pct <= 100 or int(lam_pct) != lam_pct:
         raise ValueError(
             f"lam_pct must be an integer in [0, 100], got {lam_pct!r}"
         )
+    scale = 10**round_to
+    lam = int(lam_pct)
+    lam2 = 100 - lam
     pool = candidates.filter(
         F.col(id_col).isNotNull()
         & F.col(vec_col).isNotNull()
@@ -229,65 +252,110 @@ def mmr_select(
                 lambda acc, x: acc + x,
             )
         ).alias("__n"),
-        F.col(quality_col).cast("double").alias("__q"),
-        F.lit(0.0).alias("__ms"),
+        F.floor(F.col(quality_col).cast("double") * scale + F.lit(0.5))
+        .cast("long")
+        .alias("__ql"),
+        F.lit(0).cast("long").alias("__msl"),
     )
     if materialize:
         pool = pool.persist()
     selected: list[dict] = []
     prev = pool if materialize else None
-    scale = 10**round_to
-    for rank in range(k):
-        # the blend is computed in EXACT INTEGER space (quality and the
-        # running max-sim quantized to round_to decimals, integer-percent
-        # weights): blending two rounded inputs lands on exact half-way
-        # cases where engine float ROUNDs disagree (5-seed-soak finding —
-        # the rollup_merge lesson applied here), while an integer
-        # difference divided once is the same double everywhere
-        score = (
-            (
-                F.lit(int(lam_pct)).cast("long")
-                * F.round(F.col("__q") * scale).cast("long")
-                - F.lit(int(100 - lam_pct)).cast("long")
-                * F.round(F.col("__ms") * scale).cast("long")
-            ).cast("double")
-            / F.lit(float(100 * scale))
-        )
-        best = (
-            pool.select("__id", "__v", "__n", score.alias("__s"))
-            .orderBy(F.col("__s").desc(), "__id")
-            .limit(1)
+    denom = float(100 * scale)
+    while len(selected) < k:
+        m = min(batch, k - len(selected))
+        # ONE job: the top m+1 by current score numerator (integer exact).
+        sn = (F.lit(lam).cast("long") * F.col("__ql")
+              - F.lit(lam2).cast("long") * F.col("__msl"))
+        rows = (
+            pool.select("__id", "__v", "__n", "__ql", "__msl", sn.alias("__sn"))
+            .orderBy(F.col("__sn").desc(), "__id")
+            .limit(m + 1)
             .collect()
         )
-        if not best:
+        if not rows:
             break
-        b = best[0]
-        selected.append(
-            {"sel_rank": rank + 1, "id": b["__id"], "score": float(b["__s"])}
-        )
-        bv = F.array(*[F.lit(float(x)) for x in b["__v"]])
-        bn = float(b["__n"])
-        dot = F.aggregate(
-            F.zip_with("__v", bv, lambda x, y: x.cast("double") * y),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
-        )
-        sim = (
-            F.when(
-                F.col("__n") * F.lit(bn) > 0,
-                F.round(dot / (F.col("__n") * F.lit(bn)), round_to),
-            ).otherwise(F.lit(0.0))
-        )
-        pool = pool.filter(F.col("__id") != F.lit(b["__id"])).select(
+        # the (m+1)-th row is a SENTINEL, never selected here: its
+        # collect-time numerator bounds every hidden item's score for the
+        # rest of this batch (numerators only decrease as msl grows)
+        sentinel_sn = rows[m]["__sn"] if len(rows) == m + 1 else None
+        items = [
+            {
+                "id": r["__id"],
+                "v": [float(x) for x in r["__v"]],
+                "n": float(r["__n"]),
+                "ql": r["__ql"],
+                "msl": r["__msl"],
+            }
+            for r in rows[: m]
+        ]
+        picks: list[dict] = []
+        first = True
+        while items and len(selected) < k:
+            best = min(items, key=lambda it: (-(lam * it["ql"] - lam2 * it["msl"]), it["id"]))
+            num = lam * best["ql"] - lam2 * best["msl"]
+            # the FIRST pick after a fresh collect is the JVM-ordered
+            # argmax — always safe (guarantees progress per job).  Later
+            # picks need num STRICTLY above the sentinel: at equality a
+            # hidden item could win the id tie-break.
+            if not first and sentinel_sn is not None and num <= sentinel_sn:
+                break
+            first = False
+            items.remove(best)
+            picks.append(best)
+            selected.append(
+                {
+                    "sel_rank": len(selected) + 1,
+                    "id": best["id"],
+                    "score": float(num) / denom,
+                }
+            )
+            # replicate the JVM similarity chain op-for-op: left-fold
+            # dot, divide by the norm product, scale, +0.5, floor — all
+            # IEEE-deterministic given identical operand order
+            for it in items:
+                np_ = it["n"] * best["n"]
+                if np_ > 0:
+                    dot = 0.0
+                    for x, y in zip(it["v"], best["v"]):
+                        dot += x * y
+                    siml = int(math.floor(dot / np_ * scale + 0.5))
+                    if siml > it["msl"]:
+                        it["msl"] = siml
+        if len(selected) >= k:
+            break
+        if sentinel_sn is None and not items:
+            break  # the collect saw the whole pool and it is now spent
+        # fold this round's picks into the pool as broadcast literals and
+        # go collect the next batch
+        sims = []
+        for p in picks:
+            bv = F.array(*[F.lit(x) for x in p["v"]])
+            dot = F.aggregate(
+                F.zip_with("__v", bv, lambda x, y: x.cast("double") * y),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+            sims.append(
+                F.when(
+                    F.col("__n") * F.lit(p["n"]) > 0,
+                    F.floor(
+                        dot / (F.col("__n") * F.lit(p["n"])) * scale
+                        + F.lit(0.5)
+                    ).cast("long"),
+                ).otherwise(F.lit(0).cast("long"))
+            )
+        pool = pool.filter(
+            ~F.col("__id").isin([p["id"] for p in picks])
+        ).select(
             "__id",
             "__v",
             "__n",
-            "__q",
-            F.greatest("__ms", sim).alias("__ms"),
+            "__ql",
+            F.greatest("__msl", *sims).alias("__msl") if sims
+            else F.col("__msl").alias("__msl"),
         )
-        if materialize and rank < k - 1:
-            # the final round's shrunken pool is never read again — don't
-            # pay a full materialization for it (review finding)
+        if materialize:
             pool = pool.persist()
             pool.count()
             prev.unpersist()

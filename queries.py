@@ -6828,18 +6828,20 @@ def weighted_sample_topk_q(spark, sf_dir):
 
 def _mmr_sql(k: int) -> str:
     """Unrolled DuckDB twin of the greedy MMR loop: round r's argmax CTE
-    ``s{r}`` picks (rounded score DESC, id) from pool ``v{r-1}``; pool
-    ``v{r}`` drops the pick and folds its rounded cosine into the running
-    max-sim.  An exhausted pool makes every later CTE empty, matching the
-    operator's early break."""
+    ``s{r}`` picks (score DESC, id) from pool ``v{r-1}``; pool ``v{r}``
+    drops the pick and folds its FLOOR(cos·10⁴ + 0.5)-quantized cosine
+    into the running integer max-sim (the one rounding semantic Spark,
+    DuckDB, and the operator's driver-side batch path all compute
+    bit-identically on the same double).  An exhausted pool makes every
+    later CTE empty, matching the operator's early break."""
     parts = [
         """
     WITH v0 AS (
       SELECT vec_id AS id, embedding AS emb,
              SQRT(list_sum(list_transform(embedding,
                   x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm,
-             (vec_id % 100) / 100.0 AS q,
-             0.0 AS ms
+             CAST(FLOOR((vec_id % 100) / 100.0 * 10000 + 0.5) AS BIGINT) AS ql,
+             CAST(0 AS BIGINT) AS msl
       FROM embeddings
       WHERE embedding IS NOT NULL AND vec_id IS NOT NULL
         AND len(list_filter(embedding, x -> x IS NULL)) = 0)"""
@@ -6849,17 +6851,16 @@ def _mmr_sql(k: int) -> str:
             f""",
     s{r} AS (
       SELECT id, emb, nrm,
-             (50 * CAST(round(q * 10000) AS BIGINT)
-              - 50 * CAST(round(ms * 10000) AS BIGINT)) / 1000000.0 AS s
+             (50 * ql - 50 * msl) / 1000000.0 AS s
       FROM v{r - 1} ORDER BY s DESC, id LIMIT 1),
     v{r} AS (
-      SELECT v.id, v.emb, v.nrm, v.q,
-             GREATEST(v.ms,
-               CASE WHEN v.nrm * s.nrm > 0 THEN ROUND(
+      SELECT v.id, v.emb, v.nrm, v.ql,
+             GREATEST(v.msl,
+               CASE WHEN v.nrm * s.nrm > 0 THEN CAST(FLOOR(
                  list_sum(list_transform(list_zip(v.emb, s.emb),
                           x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))
-                 / (v.nrm * s.nrm), 4)
-               ELSE 0.0 END) AS ms
+                 / (v.nrm * s.nrm) * 10000 + 0.5) AS BIGINT)
+               ELSE CAST(0 AS BIGINT) END) AS msl
       FROM v{r - 1} v, s{r} s WHERE v.id <> s.id)"""
         )
     selects = [
@@ -6879,9 +6880,10 @@ def mmr_select_topk_q(spark, sf_dir):
     the embedding pool (quality blended against max similarity to the
     already-selected set, lambda = 1/2) — the pick-high-quality-but-
     non-redundant step after corpus scoring.  Scores and similarities
-    are rounded before each argmax, so the greedy path is engine-exact;
-    each round is one pool argmax with the new pick folded in as a
-    broadcast literal, never a materialized similarity matrix."""
+    are floor-quantized to scaled integers before each argmax, so the
+    greedy path is engine-exact; selection runs in driver-side batches
+    bounded by the (batch+1)-th score (one Spark job per batch, not per
+    pick), never a materialized similarity matrix."""
     from engine.extended.selection import mmr_select
 
     e = t(spark, sf_dir, "embeddings").filter(F.col("vec_id").isNotNull())

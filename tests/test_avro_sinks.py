@@ -180,3 +180,39 @@ def test_sink_construction_fails_fast_on_drifted_registry(spark):
     row.update(patron_id="p1", ptype_code=3)
     df = spark.createDataFrame([row], SINK_RECORD)
     assert sink(df, 0) == 1
+
+
+def test_write_kinesis_default_mode_never_collects(spark, tmp_path, monkeypatch):
+    """VERDICT r6 #3: the DEFAULT path must be the executor-side
+    foreachPartition put — nobody should ship the driver collect to a real
+    cluster by habit.  Pinned by poisoning DataFrame.collect for the call:
+    the default mode must deliver every record without touching it;
+    mode='driver' remains an explicit ordered-put opt-in."""
+    import glob
+    import os
+    import uuid
+
+    from pyspark.sql import DataFrame
+
+    out_dir = str(tmp_path / "dputs")
+    os.makedirs(out_dir, exist_ok=True)
+
+    def transport(records, batch_id):
+        p = os.path.join(out_dir, f"{batch_id}-{uuid.uuid4().hex}.chunk")
+        with open(p, "wb") as f:
+            f.write(b"\n".join(bytes(r) for r in records))
+
+    def poisoned_collect(self):
+        raise AssertionError("default write_kinesis path called df.collect()")
+
+    df = spark.createDataFrame(
+        [(f"r{i}".encode(),) for i in range(700)], "record binary"
+    ).repartition(2)
+    monkeypatch.setattr(DataFrame, "collect", poisoned_collect)
+    n = write_kinesis(df, transport, batch_id=3)  # no mode: the default
+    assert n == 700
+    total = 0
+    for p in glob.glob(f"{out_dir}/3-*.chunk"):
+        with open(p, "rb") as f:
+            total += len(f.read().split(b"\n"))
+    assert total == 700

@@ -165,3 +165,57 @@ def test_mmr_rejects_non_integer_lambda_and_skips_null_quality(spark):
         mmr_select(p, k=1, lam_pct=50.5)
     picks = mmr_select(p, k=5)
     assert [x["id"] for x in picks] == [1]  # NULL quality excluded, no crash
+
+
+def test_mmr_batched_path_matches_per_item_loop(spark):
+    """VERDICT r6 #4: the batched greedy path (one collect of batch+1
+    candidates, driver-side selection under the sentinel bound) must
+    select EXACTLY the per-item loop's items with identical scores — on a
+    pool with duplicate/collinear vectors where every pick reshuffles the
+    ranking (the case where the bound actually trips)."""
+    import random
+
+    from engine.extended.selection import mmr_select
+
+    rng = random.Random(23)
+    rows = []
+    for i in range(120):
+        base = [1.0, 0.0, 0.0] if i % 3 == 0 else [0.0, 1.0, 0.0]
+        v = [b + rng.random() * 0.3 for b in base]
+        rows.append((i, v, rng.randrange(0, 1000) / 1000.0))
+    # hostile additions: zero vector, exact duplicates
+    rows += [(900, [0.0, 0.0, 0.0], 0.9), (901, [1.0, 1.0, 1.0], 0.8),
+             (902, [1.0, 1.0, 1.0], 0.8)]
+    df = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, quality double"
+    )
+    for lam in (0, 30, 50, 100):
+        a = mmr_select(df, k=12, lam_pct=lam, batch=1)
+        b = mmr_select(df, k=12, lam_pct=lam, batch=5)
+        c = mmr_select(df, k=12, lam_pct=lam, batch=64)
+        assert a == b == c, f"lam={lam}"
+
+
+def test_mmr_batched_job_count_bounded(spark):
+    """VERDICT r6 #4 done-condition: with a quality-dominant blend
+    (lam=100: picks never reshuffle the ranking) the batched path must run
+    at most ceil(k/batch) + 1 Spark jobs — not one per selected item."""
+    from engine.extended.selection import mmr_select
+
+    rows = [
+        (i, [float(i % 7 + 1), float(i % 5 + 1)], (i * 37 % 997) / 997.0)
+        for i in range(400)
+    ]
+    df = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, quality double"
+    )
+    sc = spark.sparkContext
+    group = "mmr-jobcount-pin"
+    sc.setJobGroup(group, "mmr batched job-count pin")
+    try:
+        picks = mmr_select(df, k=40, lam_pct=100, batch=20)
+    finally:
+        sc.setJobGroup(None, None)
+    assert len(picks) == 40
+    jobs = sc.statusTracker().getJobIdsForGroup(group)
+    assert len(jobs) <= (40 + 19) // 20 + 1, f"{len(jobs)} jobs"
