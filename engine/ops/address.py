@@ -294,12 +294,37 @@ _AMBIGUOUS_STATE_CODES = frozenset(
 )
 
 
+#: occupancy markers that REQUIRE a following identifier token ('APT 1',
+#: 'STE 200' — usaddress OccupancyType + OccupancyIdentifier, reference
+#: tag-group helpers/address_helper.py:14-17)
+_OCC_WITH_ID = r"APT|UNIT|STE|SUITE|FL|FLOOR|RM|ROOM|BLDG|DEPT|LOT|TRLR|SPC"
+#: occupancy/subaddress markers that stand ALONE ('BSMT', 'PH') — an
+#: identifier is attached only when it looks like one (has a digit or is
+#: ≤2 chars), so 'PH B' keeps the B but 'PH NEW YORK' leaves the city be
+_OCC_STANDALONE = r"PH|BSMT|LBBY|FRNT|REAR|UPPR|LOWR"
+#: the marker-identifier separator is a dot or REQUIRED whitespace — a bare
+#: ``\s*`` would let 'FLATBUSH' match as FL + ATBUSH
+_UNIT_RE = re.compile(
+    rf"(?:#\s*[\w-]+"
+    rf"|\b\d+(?:ST|ND|RD|TH)\s+(?:FL|FLOOR)\b\.?"  # identifier-first: 2ND FLOOR
+    rf"|\b(?:{_OCC_WITH_ID})(?:\.\s*|\s+)[\w-]+"
+    rf"|\b(?:{_OCC_STANDALONE})\b(?:\s+(?:[\w-]*\d[\w-]*|[\w-]{{1,2}}\b))?)",
+    re.I,
+)
+#: abbreviated directionals only — full words stay in the city slot so
+#: real places ('WEST NEW YORK NJ') never lose their first token
+_POST_DIRECTIONAL_RE = re.compile(r"^(N|S|E|W|NE|NW|SE|SW)\b\.?\s*", re.I)
+
+
 def _fallback_tagger(addr: str):
     """Deterministic stand-in for ``usaddress.tag(s, tag_mapping=...)`` when
     the wheel is absent: trailing zip, then trailing state code (USPS
     allowlist; ambiguous codes need zip/comma corroboration), leading house
-    number, unit marker, remainder split street/city at the last street-type
-    word.  Covers the reference's test shapes, not the CRF."""
+    number, occupancy/unit marker (identifier-required and standalone sets,
+    plus identifier-first floors), remainder split street/city at the last
+    street-type word with an abbreviated post-directional re-attached to
+    the street ('MAIN ST W', 'AVE W').  Covers the reference's test shapes
+    (helpers/address_helper.py:10-17 tag groups), not the CRF."""
     s = addr.strip()
     out: dict[str, str] = {}
     m = re.search(r"(\d{5}(?:-\d{4})?)\s*$", s)
@@ -319,7 +344,7 @@ def _fallback_tagger(addr: str):
         out["AddressNumber"] = m.group(1)
         s = s[m.end():].strip()
     unit, post = "", ""
-    m = re.search(r"(?:#|\b(?:APT\.?|UNIT|STE\.?|SUITE|FL\.?|RM\.?))\s*[\w-]+", s, re.I)
+    m = _UNIT_RE.search(s)
     if m:
         unit = m.group(0).strip()
         post = s[m.end():].strip(" ,")
@@ -333,8 +358,17 @@ def _fallback_tagger(addr: str):
     for m in street_type.finditer(s):
         last = m
     if last:
-        out["street"] = s[: last.end()].strip(" ,")
-        rest = (s[last.end():].strip(" ,") + " " + post).strip()
+        street = s[: last.end()].strip(" ,")
+        rest = s[last.end():].strip(" ,")
+        # StreetNamePostDirectional: an abbreviated compass token right
+        # after the street type belongs to the street ('MAIN ST W'
+        # post-directional, 'AVE W' lettered avenues), not the city
+        dm = _POST_DIRECTIONAL_RE.match(rest)
+        if dm:
+            street = f"{street} {dm.group(1)}"
+            rest = rest[dm.end():].strip(" ,")
+        out["street"] = street
+        rest = (rest + " " + post).strip()
         if rest:
             out["PlaceName"] = rest
     else:
