@@ -498,3 +498,24 @@ def test_moments_merge_is_map_side_partial(spark):
     p = plan(SPARK_QUERIES["moments_shard_merge"](spark, SF))
     assert "partial_sum" in p or "partial_count" in p.lower() or "HashAggregate" in p
     assert "Exchange hashpartitioning(shard" in p
+
+
+def test_tpch_subquery_shapes_avoid_nested_loops(spark):
+    """VERDICT r6 #6: the Q2-style correlated min (window-decorrelated) and
+    the Q20-style nested semi-join chain must plan as broadcast/hash joins
+    only — a BroadcastNestedLoopJoin or CartesianProduct here is the
+    decorrelation failing and is quadratic at scale."""
+    from queries import q2_min_cost_supplier, q20_excess_share_suppliers
+
+    for fn in (q2_min_cost_supplier, q20_excess_share_suppliers):
+        p = plan(fn(spark, SF))
+        assert "BroadcastNestedLoopJoin" not in p, fn.__name__
+        assert "CartesianProduct" not in p, fn.__name__
+    # Q2: the correlated MIN decorrelates into ONE window over the offer
+    # set (one shuffle), not a re-scan + self-join of lineitem
+    p2 = plan(q2_min_cost_supplier(spark, SF))
+    assert p2.count("Window") >= 1
+    assert p2.count("FileScan parquet") <= 5  # each table scanned once
+    # Q20: every membership level is a semi join
+    p20 = plan(q20_excess_share_suppliers(spark, SF))
+    assert "LeftSemi" in p20
