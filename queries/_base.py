@@ -1,0 +1,73 @@
+"""The engine's query pack — one named query per implemented operator from
+SURVEY.md §2 (+ the north-star extended operators), each with a DuckDB oracle
+SQL twin where the semantics are ANSI-SQL-expressible.
+
+Registration model: ``@q(name, sql)`` adds a (spark_fn, oracle_sql) pair to
+the module registries consumed by ``__spark_entry__``.  Spark fns take
+``(spark, sf_dir)`` and return a DataFrame; every computed column is aliased
+identically in both the DataFrame code and the SQL so the driver's
+column-sorted value hash lines up.
+
+Float discipline: every floating aggregate/ratio is rounded (usually 2-4
+decimals) in BOTH engines so double accumulation-order differences cannot
+break value hashes; date/timestamp outputs are emitted as formatted strings
+for the same reason.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from engine.ops import relational as R
+from engine.ops.dedup import keep_first
+from engine.ops.hashing import address_key, normalize_id, obfuscate_col
+from engine.schemas import load_table
+
+SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+ORACLE_SQL: dict[str, str] = {}
+
+SALT = "spark-graft"
+
+
+def q(name: str, sql: str | None = None):
+    def register(fn):
+        # Duplicate names silently shadowed an entire query + oracle in r4
+        # (funnel_conversion, VERDICT r4 #2) — fail the import instead.
+        if name in SPARK_QUERIES:
+            raise ValueError(f"duplicate query registration: {name!r}")
+        SPARK_QUERIES[name] = fn
+        if sql is not None:
+            ORACLE_SQL[name] = sql
+        return fn
+
+    return register
+
+
+def t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return load_table(spark, sf_dir, name)
+
+
+def _arr_str(col, scale: float | None = None):
+    """Render an array column as a deterministic comma-joined string.
+
+    The driver's comparator sorts raw cells with pandas and cannot factorize
+    list cells (CORRECTNESS_r04: `TypeError: unhashable type: 'list'`), so no
+    registry query may emit Array/Map/Struct output columns.  Float arrays are
+    rendered via scaled BIGINTs (``round(x * scale)``) because Spark and
+    DuckDB disagree on double→string formatting (scientific-notation
+    thresholds); integer rendering is engine-exact.  DuckDB twin:
+    ``array_to_string(list_transform(v, x -> CAST(ROUND(x * scale) AS
+    BIGINT)), ',')`` (or plain ``array_to_string(v, ',')`` for int arrays).
+    NULL arrays render as NULL in both engines.
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    if scale is not None:
+        # values are pre-rounded so x*scale is within ulps of an integer —
+        # never near .5, where Spark HALF_UP and DuckDB rint would diverge
+        c = F.transform(c, lambda x: F.round(x * F.lit(float(scale)), 0).cast("long"))
+    return F.array_join(c.cast("array<string>"), ",")
+
+

@@ -1,0 +1,934 @@
+"""North-star extended operators: text quality, exact/MinHash/SimHash dedup, ANN similarity, multimodal columns.
+
+Split out of the flat queries.py (VERDICT r6 #8); all entries register
+into the shared ``queries._base.SPARK_QUERIES`` / ``ORACLE_SQL``.
+"""
+
+from __future__ import annotations
+
+from queries._base import *  # noqa: F401,F403
+from queries._base import _arr_str  # noqa: F401
+
+# ===========================================================================
+# North-star extended operators (text / dedup / similarity / multimodal)
+# ===========================================================================
+
+
+@q(
+    "text_token_stats",
+    """
+    SELECT doc_id,
+           LENGTH(list_transform(regexp_extract_all(text, '[A-Za-z0-9'']+'), x -> LOWER(x))) AS n_tokens,
+           MD5(LOWER(REGEXP_REPLACE(text, '[^A-Za-z0-9]', '', 'g'))) AS fp
+    FROM documents
+    """,
+)
+def text_token_stats(spark, sf_dir):
+    """Token counting + document fingerprint (north-star text ops)."""
+    from engine.extended.text import fingerprint, token_count
+
+    d = t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id", token_count("text").cast("long").alias("n_tokens"), fingerprint("text").alias("fp")
+    )
+
+
+@q(
+    "text_quality",
+    """
+    SELECT doc_id,
+           LENGTH(text) AS n_chars,
+           ROUND(LENGTH(REGEXP_REPLACE(text, '[^A-Za-z]', '', 'g')) * 1.0
+                 / LENGTH(text), 4) AS alpha_ratio,
+           CASE WHEN LENGTH(list_transform(regexp_extract_all(text, '[A-Za-z0-9'']+'), x -> LOWER(x))) = 0
+                THEN NULL
+                ELSE ROUND(LENGTH(list_filter(
+                       list_transform(regexp_extract_all(text, '[A-Za-z0-9'']+'), x -> LOWER(x)),
+                       x -> x IN ('the','and','of','to','in','is','that','for','with','was'))) * 1.0
+                     / LENGTH(list_transform(regexp_extract_all(text, '[A-Za-z0-9'']+'), x -> LOWER(x))), 4)
+                END AS stopword_ratio
+    FROM documents WHERE LENGTH(text) > 0
+    """,
+)
+def text_quality(spark, sf_dir):
+    """Quality-scoring ratios for corpus filtering (north-star)."""
+    from engine.extended.text import lang_hits_from, tokens
+
+    d = t(spark, sf_dir, "documents").filter(F.length("text") > 0)
+    toks = F.col("__toks")
+    n_toks = F.size(toks)
+    n_chars = F.length("text")
+    alpha = F.length(F.regexp_replace(F.col("text"), "[^A-Za-z]", ""))
+    return d.select("doc_id", "text", tokens("text").alias("__toks")).select(
+        "doc_id",
+        n_chars.cast("long").alias("n_chars"),
+        F.round(alpha / n_chars.cast("double"), 4).alias("alpha_ratio"),
+        F.round(
+            lang_hits_from(toks, "en") / F.when(n_toks > 0, n_toks.cast("double")),
+            4,
+        ).alias("stopword_ratio"),
+    )
+
+
+@q(
+    "lang_id",
+    """
+    WITH tok AS (
+      SELECT doc_id,
+             list_transform(regexp_extract_all(text, '[A-Za-z0-9'']+'), x -> LOWER(x)) AS toks
+      FROM documents),
+    hits AS (
+      SELECT doc_id,
+        LENGTH(list_filter(toks, x -> x IN ('the','and','of','to','in','is','that','for','with','was'))) AS h_en,
+        LENGTH(list_filter(toks, x -> x IN ('der','die','das','und','ist','nicht','mit','ein','eine','zu'))) AS h_de,
+        LENGTH(list_filter(toks, x -> x IN ('le','la','les','et','est','une','pour','dans','que','des'))) AS h_fr,
+        LENGTH(list_filter(toks, x -> x IN ('el','la','los','las','es','una','por','para','con','del'))) AS h_es,
+        LENGTH(list_filter(toks, x -> x IN ('il','la','che','di','e','un','una','per','non','sono'))) AS h_it
+      FROM tok)
+    SELECT doc_id,
+      CASE WHEN COALESCE(GREATEST(h_de, h_en, h_es, h_fr, h_it), 0) < 1 THEN 'und'
+           WHEN h_de >= GREATEST(h_en, h_es, h_fr, h_it) THEN 'de'
+           WHEN h_en >= GREATEST(h_es, h_fr, h_it) THEN 'en'
+           WHEN h_es >= GREATEST(h_fr, h_it) THEN 'es'
+           WHEN h_fr >= h_it THEN 'fr'
+           ELSE 'it' END AS lang_pred
+    FROM hits
+    """,
+)
+def lang_id(spark, sf_dir):
+    """Language-ID heuristic: argmax of per-language marker hits, ties to the
+    alphabetically-first language (north-star)."""
+    from engine.extended.text import lang_id_from, tokens
+
+    d = t(spark, sf_dir, "documents")
+    return d.select("doc_id", tokens("text").alias("__toks")).select(
+        "doc_id", lang_id_from(F.col("__toks")).alias("lang_pred")
+    )
+
+
+@q(
+    "dedup_exact",
+    """
+    SELECT doc_id, source FROM (
+      SELECT doc_id, source,
+             ROW_NUMBER() OVER (
+               PARTITION BY MD5(LOWER(REGEXP_REPLACE(text, '[^A-Za-z0-9]', '', 'g')))
+               ORDER BY doc_id) AS rn
+      FROM documents) WHERE rn = 1
+    """,
+)
+def dedup_exact(spark, sf_dir):
+    """Exact dedup via normalized-text hash groupBy, keep lowest id
+    (north-star)."""
+    from engine.extended.dedup import exact_dedup_docs
+
+    d = t(spark, sf_dir, "documents")
+    return exact_dedup_docs(d).select("doc_id", "source")
+
+
+# --- dual-implementable (md5-mode) oracle SQL for the LSH families --------
+# The production hash family is xxhash64 (fastest JVM path, no DuckDB twin);
+# these registry queries run the SAME operators in hash_fn="md5" mode, whose
+# 60-bit hash (first 15 md5 hex digits) is bit-identical in DuckDB
+# (`CAST(('0x' || SUBSTRING(MD5(x), 1, 15)) AS BIGINT)`), making the whole
+# signature pipeline — OPH binning, rotation densification, banding, bucket
+# caps, pair estimation — value-hash-checkable by the driver.
+
+_MD5H = "CAST(('0x' || SUBSTRING(MD5({x}), 1, 15)) AS BIGINT)"
+_TOKS_SQL = "list_transform(regexp_extract_all(text, '[A-Za-z0-9'']+'), x -> LOWER(x))"
+_OPH_C_SQL = 0x3779B97F4A7C15
+
+
+def _minhash_with_sql(*, k: int = 64, n: int = 3, bands: int = 16, recursive: bool = False) -> str:
+    """WITH-clause chain ending in banded(doc_id, sig, band, bkey) — the
+    DuckDB twin of minhash_sigs + band explosion in md5 mode.
+
+    ``recursive=True`` opens the clause as WITH RECURSIVE so callers can
+    append a recursive CTE (the connected-components closure)."""
+    rpb = k // bands
+    branches = []
+    for b in range(bands):
+        # bkey is the RAW band slice (list equality == band equality; no
+        # hash needed) — mirrors _band_col's md5-mode slice key exactly
+        key = f"list_slice(sig, {b * rpb + 1}, {b * rpb + rpb})"
+        branches.append(f"SELECT doc_id, sig, {b} AS band, {key} AS bkey FROM sigs")
+    banded = "\n      UNION ALL\n      ".join(branches)
+    return f"""
+    WITH {"RECURSIVE " if recursive else ""}toks AS (
+      SELECT doc_id, {_TOKS_SQL} AS toks FROM documents),
+    shingles AS (
+      SELECT doc_id, UNNEST(list_distinct(CASE WHEN LENGTH(toks) < {n}
+        THEN CAST([] AS VARCHAR[])
+        ELSE list_transform(range(0, LENGTH(toks) - {n - 1}),
+             i -> array_to_string(list_slice(toks, i + 1, i + {n}), ' ')) END)) AS shingle
+      FROM toks),
+    hashed AS (SELECT doc_id, {_MD5H.format(x='shingle')} AS h FROM shingles),
+    binned AS (SELECT doc_id, h % {k} AS bin, MIN(h) AS mh
+               FROM hashed GROUP BY doc_id, h % {k}),
+    slots AS (
+      SELECT doc_id, i,
+             xor(arg_min(mh, ((bin - i) % {k} + {k}) % {k}),
+                 MIN(((bin - i) % {k} + {k}) % {k}) * {_OPH_C_SQL}) AS sv
+      FROM binned CROSS JOIN (SELECT UNNEST(range(0, {k})) AS i) ix
+      GROUP BY doc_id, i),
+    sigs AS MATERIALIZED (
+      SELECT doc_id, list(sv ORDER BY i) AS sig FROM slots GROUP BY doc_id),
+    banded AS MATERIALIZED (
+      {banded})"""
+
+
+def _est_sql(a: str, b: str, *, k: int = 64) -> str:
+    """Jaccard-estimate expression over two ``sig`` arrays; the divisor is
+    the signature length, so it must track ``_minhash_with_sql(k=...)``."""
+    return (
+        f"LENGTH(list_filter(list_zip({a}.sig, {b}.sig), p -> p[1] = p[2]))"
+        f" / {float(k)}"
+    )
+
+
+
+
+@q(
+    "dedup_minhash_lsh",
+    # pair-first shape: dedupe bare (id_a, id_b) BEFORE touching signatures —
+    # the raw band join multiplies rows by Σ C(bucket, 2), and carrying two
+    # 64-slot sigs (plus a list_zip per row) through that blow-up spilled
+    # DuckDB past local disk on the skewed pack; 16-byte id pairs stream
+    # through fine and the sigs join back once per DISTINCT pair (exactly
+    # what the Spark side does: est computed in the join projection, 8-byte
+    # pair exchange).
+    _minhash_with_sql()
+    + f""",
+    capped AS MATERIALIZED (
+      SELECT doc_id, band, bkey FROM (
+        SELECT doc_id, band, bkey,
+               ROW_NUMBER() OVER (PARTITION BY band, bkey ORDER BY doc_id) AS rn
+        FROM banded) WHERE rn <= 500),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM capped a JOIN capped b
+        ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id)
+    SELECT c.id_a, c.id_b, ROUND({_est_sql('sa', 'sb')}, 4) AS est_jaccard
+    FROM cand c
+    JOIN sigs sa ON sa.doc_id = c.id_a
+    JOIN sigs sb ON sb.doc_id = c.id_b
+    """,
+)
+def dedup_minhash_lsh(spark, sf_dir):
+    """MinHash+LSH near-dup candidate pairs (north-star; SURVEY §7 step 7).
+    md5-mode hash family so the full pipeline is oracle-checkable; the
+    xxhash64 production family is benchmarked separately (bench.py)."""
+    from engine.extended.dedup import minhash_candidates
+
+    d = t(spark, sf_dir, "documents")
+    # no trailing global sort: the driver comparator sorts rows itself, and
+    # at 100 TB a total order over all candidate pairs is never wanted.
+    return minhash_candidates(d, num_hashes=64, bands=16, hash_fn="md5")
+
+
+@q(
+    "dedup_minhash_incremental",
+    # pair-first + per-build bucket caps, mirroring minhash_band_index's
+    # bucket_cap=500 (lowest ids per (band, bkey) within each build) and the
+    # lean candidate shape (bare id pairs through the band join; sigs joined
+    # back once per DISTINCT pair for the est filter).
+    _minhash_with_sql()
+    + f""",
+    cb AS MATERIALIZED (SELECT doc_id, band, bkey FROM (
+      SELECT doc_id, band, bkey,
+             ROW_NUMBER() OVER (PARTITION BY band, bkey ORDER BY doc_id) AS rn
+      FROM banded WHERE doc_id % 2 = 0) WHERE rn <= 500),
+    bb AS MATERIALIZED (SELECT doc_id, band, bkey FROM (
+      SELECT doc_id, band, bkey,
+             ROW_NUMBER() OVER (PARTITION BY band, bkey ORDER BY doc_id) AS rn
+      FROM banded WHERE doc_id % 2 = 1) WHERE rn <= 500),
+    cand AS (
+      SELECT DISTINCT n.doc_id AS dup_id, c.doc_id AS other_id
+      FROM bb n JOIN cb c ON n.band = c.band AND n.bkey = c.bkey
+      UNION
+      SELECT DISTINCT b.doc_id AS dup_id, a.doc_id AS other_id
+      FROM bb a JOIN bb b ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id),
+    dups AS (
+      SELECT DISTINCT cand.dup_id
+      FROM cand
+      JOIN sigs sa ON sa.doc_id = cand.dup_id
+      JOIN sigs sb ON sb.doc_id = cand.other_id
+      WHERE {_est_sql('sa', 'sb')} >= 0.5)
+    SELECT d.doc_id, d.source FROM documents d
+    WHERE d.doc_id % 2 = 1 AND d.doc_id NOT IN (SELECT dup_id FROM dups)
+    """,
+)
+def dedup_minhash_incremental(spark, sf_dir):
+    """Incremental batch dedup against a persisted LSH band index: docs are
+    split by id parity into an indexed 'corpus' and an incoming 'batch'; the
+    batch probes the corpus index without recomputing corpus signatures
+    (the reference's memoized-poll pattern applied to dedup state —
+    lib/pipeline_controller.py:110-124's batch loop)."""
+    from pyspark.sql import functions as F
+
+    from engine.extended.dedup import minhash_band_index, minhash_incremental
+
+    d = t(spark, sf_dir, "documents")
+    corpus = d.filter(F.col("doc_id") % 2 == 0)
+    batch = d.filter(F.col("doc_id") % 2 == 1)
+    index = minhash_band_index(corpus, hash_fn="md5").persist()
+    kept, _ = minhash_incremental(batch, index, threshold=0.5, hash_fn="md5")
+    return kept.select("doc_id", "source").orderBy("doc_id")
+
+
+def _simhash_sql() -> str:
+    sums = ",\n             ".join(
+        f"SUM(CASE WHEN (hv >> {j}) & 1 = 1 THEN 1 ELSE -1 END) AS b{j}"
+        for j in range(64)
+    )
+    c = lambda j: (1 << j) if j < 63 else -(1 << 63)  # noqa: E731
+    assembly = " | ".join(
+        f"(CASE WHEN b{j} > 0 THEN CAST({c(j)} AS BIGINT) ELSE CAST(0 AS BIGINT) END)"
+        for j in range(64)
+    )
+    return f"""
+    WITH tk AS (SELECT doc_id, UNNEST({_TOKS_SQL}) AS tok FROM documents),
+    h AS (SELECT doc_id, {_MD5H.format(x='tok')} AS hv FROM tk),
+    bits AS (SELECT doc_id,
+             {sums}
+             FROM h GROUP BY doc_id),
+    sg AS (SELECT doc_id, ({assembly}) AS sh FROM bits),
+    chunks AS (
+      SELECT doc_id, sh, c AS chunk, (sh >> (16 * c)) & 65535 AS ckey
+      FROM sg CROSS JOIN (SELECT UNNEST(range(0, 4)) AS c) t),
+    capped AS (SELECT doc_id, sh, chunk, ckey FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY chunk, ckey ORDER BY doc_id) AS rn
+      FROM chunks) WHERE rn <= 500)
+    SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+           CAST(bit_count(xor(a.sh, b.sh)) AS INTEGER) AS hamming
+    FROM capped a JOIN capped b
+      ON a.chunk = b.chunk AND a.ckey = b.ckey AND a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.sh, b.sh)) <= 3
+    """
+
+
+@q("dedup_simhash", _simhash_sql())
+def dedup_simhash(spark, sf_dir):
+    """SimHash near-dup pairs within hamming≤3 via 16-bit chunk bucketing
+    (md5-mode hash family — oracle-checkable; see dedup_minhash_lsh)."""
+    from engine.extended.dedup import simhash_candidates
+
+    d = t(spark, sf_dir, "documents")
+    return simhash_candidates(d, max_hamming=3, hash_fn="md5").orderBy("id_a", "id_b")
+
+
+@q(
+    "dedup_ngram_jaccard",
+    """
+    WITH sh AS (
+      SELECT doc_id,
+             list_distinct(list_transform(
+               generate_series(1, GREATEST(LENGTH(toks) - 2, 0)),
+               i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS shingles,
+             toks[1] || ' ' || toks[2] || ' ' || toks[3] || ' ' || toks[4] || ' ' || toks[5] AS pkey
+      FROM (SELECT doc_id, list_transform(regexp_extract_all(text, '[A-Za-z0-9'']+'), x -> LOWER(x)) AS toks
+            FROM documents)
+      WHERE LENGTH(toks) >= 5)
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           ROUND(LENGTH(list_intersect(a.shingles, b.shingles)) * 1.0 /
+                 LENGTH(list_distinct(list_concat(a.shingles, b.shingles))), 4) AS jaccard
+    FROM sh a JOIN sh b ON a.pkey = b.pkey AND a.doc_id < b.doc_id
+    """,
+)
+def dedup_ngram_jaccard(spark, sf_dir):
+    """Exact word-3-gram Jaccard over candidate pairs blocked on a shared
+    5-token prefix (north-star; SQL-checkable blocking)."""
+    from engine.extended.dedup import ngram_jaccard_pairs
+    from engine.extended.text import tokens
+
+    d = t(spark, sf_dir, "documents")
+    toks = tokens("text")
+    keyed = d.select(
+        "doc_id",
+        F.when(F.size(toks) >= 5, F.array_join(F.slice(toks, 1, 5), " ")).alias("pkey"),
+    ).filter(F.col("pkey").isNotNull())
+    a = keyed.alias("a")
+    b = keyed.alias("b")
+    pairs = a.join(
+        b, (F.col("a.pkey") == F.col("b.pkey")) & (F.col("a.doc_id") < F.col("b.doc_id"))
+    ).select(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
+    return ngram_jaccard_pairs(d, pairs)
+
+
+def _query_vec_rows(emb, preferred: int):
+    """Deterministic query-vector pick that survives hostile data: the
+    embedding of the smallest vec_id >= ``preferred`` with a non-null
+    vector (== ``preferred`` itself on the real testdata), fetched in ONE
+    TakeOrderedAndProject job.  Returns None when no such vector exists —
+    callers emit an EMPTY result then, matching the oracle's empty qv CTE
+    (fuzz-found: a NULL embedding at the hard-coded id crashed the
+    driver-side literal build)."""
+    rows = (
+        emb.filter(F.col("embedding").isNotNull() & (F.col("vec_id") >= preferred))
+        .orderBy("vec_id")
+        .limit(1)
+        .select("embedding")
+        .collect()
+    )
+    return [float(x) for x in rows[0][0]] if rows else None
+
+
+_BRUTE_TOPK_SQL = """
+    WITH qv AS (SELECT embedding AS q FROM embeddings WHERE embedding IS NOT NULL AND vec_id = (SELECT MIN(vec_id) FROM embeddings WHERE embedding IS NOT NULL AND vec_id >= 7)),
+    sims AS (
+      SELECT e.vec_id,
+             CASE WHEN SQRT(list_sum(list_transform(e.embedding,
+                        x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) *
+                       SQRT(list_sum(list_transform(qv.q,
+                        x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) > 0
+             THEN ROUND(
+               list_sum(list_transform(list_zip(e.embedding, qv.q),
+                        p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE))) /
+               (SQRT(list_sum(list_transform(e.embedding,
+                        x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) *
+                SQRT(list_sum(list_transform(qv.q,
+                        x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))), 4)
+             END AS sim
+      FROM embeddings e, qv)
+    SELECT vec_id, sim FROM sims ORDER BY sim DESC NULLS LAST, vec_id LIMIT 10
+"""
+
+
+@q("ann_cosine_topk", _BRUTE_TOPK_SQL)
+
+
+def ann_cosine_topk(spark, sf_dir):
+    """Brute-force cosine top-10 against vec_id=7 (the exact baseline the
+    LSH path is measured against)."""
+    from engine.extended.similarity import cosine_topk
+
+    emb = t(spark, sf_dir, "embeddings")
+    qv = _query_vec_rows(emb, 7)
+    if qv is None:
+        return emb.select("vec_id", F.lit(None).cast("double").alias("sim")).limit(0)
+    return cosine_topk(emb, qv, k=10)
+
+
+# --- hyperplane sign-LSH oracles ------------------------------------------
+# The hyperplanes are deterministic constants (engine.extended.dedup.
+# _unit_hyperplanes — a splitmix-style integer stream), so the SAME literal
+# arrays are embedded in the DuckDB SQL: the sign signatures, hamming
+# pre-filter, and cosine verification are all reproducible bit-for-bit.
+# Generated for the testdata embedding dim (64); the adversarial edge tables
+# use the same dim.
+
+_EMB_DIM = 64
+
+
+def _plane_literal(plane: list[float]) -> str:
+    return "[" + ", ".join(repr(float(w)) for w in plane) + "]"
+
+
+def _lsh_sig_sql(vec_expr: str, hp: list[list[float]], *, bit_base: int = 0) -> str:
+    """OR-of-sign-bits signature over the given hyperplanes (DuckDB twin of
+    engine.extended.similarity.with_signature / the per-band keys)."""
+    terms = []
+    for p, plane in enumerate(hp):
+        dot = (
+            f"list_sum(list_transform(list_zip({vec_expr}, {_plane_literal(plane)}), "
+            f"x -> CAST(x[1] AS DOUBLE) * x[2]))"
+        )
+        terms.append(
+            f"(CASE WHEN {dot} >= 0 THEN CAST({1 << (bit_base + p)} AS BIGINT)"
+            f" ELSE CAST(0 AS BIGINT) END)"
+        )
+    return "(" + " | ".join(terms) + ")"
+
+
+def _ann_lsh_sql() -> str:
+    from engine.extended.dedup import _unit_hyperplanes
+
+    hp = _unit_hyperplanes(_EMB_DIM, 16)
+    return f"""
+    WITH q AS (SELECT embedding AS qv FROM embeddings WHERE embedding IS NOT NULL AND vec_id = (SELECT MIN(vec_id) FROM embeddings WHERE embedding IS NOT NULL AND vec_id >= 7)),
+    sq AS (SELECT qv, {_lsh_sig_sql('qv', hp)} AS qsig,
+           SQRT(list_sum(list_transform(qv, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS qn
+           FROM q),
+    s AS (SELECT vec_id, embedding, {_lsh_sig_sql('embedding', hp)} AS sig,
+          SQRT(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm
+          FROM embeddings)
+    SELECT s.vec_id,
+           CASE WHEN s.nrm * sq.qn > 0 THEN ROUND(
+             list_sum(list_transform(list_zip(s.embedding, sq.qv),
+                      x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))
+             / (s.nrm * sq.qn), 4) END AS sim
+    FROM s CROSS JOIN sq
+    WHERE bit_count(xor(s.sig, sq.qsig)) <= 4
+    ORDER BY sim DESC NULLS LAST, s.vec_id
+    LIMIT 10
+    """
+
+
+@q("ann_lsh_topk", _ann_lsh_sql())
+def ann_lsh_topk(spark, sf_dir):
+    """LSH-bucketed approximate top-10 for the same query vector."""
+    from engine.extended.similarity import lsh_topk
+
+    emb = t(spark, sf_dir, "embeddings")
+    qv = _query_vec_rows(emb, 7)
+    if qv is None:
+        return emb.select("vec_id", F.lit(None).cast("double").alias("sim")).limit(0)
+    return lsh_topk(emb, qv, k=10, dim=len(qv))
+
+
+def _embedding_near_dup_sql() -> str:
+    from engine.extended.dedup import _unit_hyperplanes
+
+    hp = _unit_hyperplanes(_EMB_DIM, 16)
+    per_band = 4
+    branches = []
+    for b in range(4):
+        key = _lsh_sig_sql("v", hp[b * per_band : (b + 1) * per_band])
+        branches.append(f"SELECT vec_id, v, {b} AS band, {key} AS bkey FROM aug")
+    banded = "\n      UNION ALL\n      ".join(branches)
+    return f"""
+    WITH aug AS (
+      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      FROM embeddings
+      UNION ALL
+      SELECT vec_id + 1000000000,
+             list_transform(embedding,
+               (x, i) -> CAST(x AS DOUBLE) + CASE WHEN i = 1 THEN 0.01 ELSE 0.0 END)
+      FROM embeddings WHERE vec_id % 10 = 0),
+    banded AS (
+      {banded}),
+    cand AS (
+      SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+      FROM banded a JOIN banded b
+        ON a.band = b.band AND a.bkey = b.bkey AND a.vec_id < b.vec_id),
+    v2 AS (SELECT vec_id, v,
+           SQRT(list_sum(list_transform(v, x -> x * x))) AS nrm FROM aug),
+    scored AS (
+      SELECT c.id_a, c.id_b,
+             CASE WHEN va.nrm * vb.nrm > 0 THEN ROUND(
+               list_sum(list_transform(list_zip(va.v, vb.v), x -> x[1] * x[2]))
+               / (va.nrm * vb.nrm), 4) END AS cos_sim
+      FROM cand c JOIN v2 va ON va.vec_id = c.id_a
+                  JOIN v2 vb ON vb.vec_id = c.id_b)
+    SELECT id_a, id_b, cos_sim FROM scored WHERE cos_sim >= 0.95
+    """
+
+
+@q("embedding_near_dup", _embedding_near_dup_sql())
+def embedding_near_dup_q(spark, sf_dir):
+    """Embedding-cosine near-duplicate pairs (cos ≥ 0.95) via banded sign-LSH.
+
+    The synthetic embeddings have no natural near-dups (max pairwise cosine
+    ≈0.48), so the query plants them: every 10th vector gets a slightly
+    perturbed twin (id + 10^9) that the operator must recover.
+    """
+    from engine.extended.dedup import embedding_near_dup
+
+    emb = t(spark, sf_dir, "embeddings")
+    first = emb.select(F.size("embedding").alias("d")).first()
+    perturbed = emb.filter(F.col("vec_id") % 10 == 0).select(
+        (F.col("vec_id") + F.lit(1_000_000_000)).alias("vec_id"),
+        F.transform(
+            "embedding", lambda x, i: x + F.when(i == 0, F.lit(0.01)).otherwise(F.lit(0.0))
+        ).alias("embedding"),
+        "label",
+    )
+    aug = emb.unionByName(perturbed)
+    return embedding_near_dup(aug, dim=first["d"], threshold=0.95).orderBy(
+        "id_a", "id_b"
+    )
+
+
+@q(
+    "multimodal_meta",
+    """
+    SELECT doc_id AS media_id,
+           CAST(OCTET_LENGTH(ENCODE(text)) AS BIGINT) AS n_bytes,
+           CASE WHEN doc_id % 3 = 0 THEN 'image/png'
+                WHEN doc_id % 3 = 1 THEN 'audio/wav'
+                ELSE 'video/mp4' END AS mime_fake
+    FROM documents
+    """,
+)
+def multimodal_meta(spark, sf_dir):
+    """Multimodal binary-column plumbing: payload byte length + typed mime
+    metadata (engine.schemas.MEDIA convention)."""
+    d = t(spark, sf_dir, "documents")
+    payload = F.encode(F.col("text"), "utf-8")
+    m = F.col("doc_id") % 3
+    return d.select(
+        F.col("doc_id").alias("media_id"),
+        F.octet_length(payload).cast("long").alias("n_bytes"),
+        F.when(m == 0, F.lit("image/png"))
+        .when(m == 1, F.lit("audio/wav"))
+        .otherwise(F.lit("video/mp4"))
+        .alias("mime_fake"),
+    )
+
+
+@q("multimodal_features")  # rows-only: mapInPandas feature extraction
+def multimodal_features(spark, sf_dir):
+    """Byte-level media features through the mapInPandas seam (entropy +
+    histogram signature) over fake deterministic payloads."""
+    from engine.extended.multimodal import fake_media_from_text, media_features
+
+    d = t(spark, sf_dir, "documents")
+    media = fake_media_from_text(d)
+    return media_features(media).select("media_id", "mime", "n_bytes", "byte_entropy")
+
+
+@q(
+    "bigram_lm_quality",
+    """
+    WITH toks AS (
+      SELECT doc_id, list_transform(regexp_extract_all(text, '[A-Za-z0-9'']+'),
+                                    x -> LOWER(x)) AS toks
+      FROM documents),
+    bg AS (
+      SELECT doc_id, UNNEST(CASE WHEN LENGTH(toks) < 2 THEN CAST([] AS VARCHAR[])
+        ELSE list_transform(range(0, LENGTH(toks) - 1),
+             i -> array_to_string(list_slice(toks, i + 1, i + 2), ' ')) END) AS bg
+      FROM toks),
+    c2 AS (SELECT bg, COUNT(*) AS c2 FROM bg GROUP BY bg),
+    c1 AS (SELECT split_part(bg, ' ', 1) AS w1, SUM(c2) AS c1 FROM c2 GROUP BY 1)
+    SELECT b.doc_id, COUNT(*) AS n_bigrams,
+           ROUND(AVG(log2(c2.c2 / c1.c1)), 4) AS avg_logp
+    FROM bg b JOIN c2 ON b.bg = c2.bg
+    JOIN c1 ON split_part(b.bg, ' ', 1) = c1.w1
+    GROUP BY b.doc_id
+    """,
+)
+def bigram_lm_quality(spark, sf_dir):
+    """Model-based quality scoring: per-doc average bigram log-prob under the
+    corpus's own bigram LM (the KenLM-perplexity filtering shape with model
+    training fused into the plan — engine.extended.curation.bigram_lm_scores)."""
+    from engine.extended.curation import bigram_lm_scores
+
+    d = t(spark, sf_dir, "documents")
+    return bigram_lm_scores(d)
+
+
+_URL_T2_SQL = """
+      SELECT doc_id, source,
+             text || ' see https://' || source || '.example.org/doc/'
+                  || CAST(doc_id AS VARCHAR)
+                  || CASE WHEN doc_id % 5 = 0
+                     THEN ' and http://blocked.example.net/x' ELSE '' END AS tx
+      FROM documents"""
+
+
+def _url_text2_expr():
+    return F.concat(
+        F.col("text"),
+        F.lit(" see https://"), F.col("source"), F.lit(".example.org/doc/"),
+        F.col("doc_id").cast("string"),
+        F.when(
+            F.col("doc_id") % 5 == 0, F.lit(" and http://blocked.example.net/x")
+        ).otherwise(F.lit("")),
+    )
+
+
+@q(
+    "url_domain_stats",
+    f"""
+    WITH t2 AS ({_URL_T2_SQL}),
+    u AS (SELECT doc_id,
+          UNNEST(regexp_extract_all(tx, 'https?://[A-Za-z0-9.-]+(?:/[^\\s]*)?')) AS url
+          FROM t2)
+    SELECT regexp_extract(url, 'https?://([A-Za-z0-9.-]+)', 1) AS domain,
+           COUNT(*) AS n_urls, COUNT(DISTINCT doc_id) AS n_docs
+    FROM u GROUP BY 1
+    """,
+)
+def url_domain_stats(spark, sf_dir):
+    """URL extraction + per-domain stats (the C4/RefinedWeb domain-profile
+    step).  Documents get deterministic URLs planted (the synthetic corpus
+    has none), then extraction/domain-grouping runs the real operators
+    (engine.extended.curation.extract_urls/url_domain)."""
+    from engine.extended.curation import extract_urls, url_domain
+
+    d = t(spark, sf_dir, "documents")
+    u = d.select(
+        "doc_id", F.explode(extract_urls(_url_text2_expr())).alias("url")
+    ).withColumn("domain", url_domain(F.col("url")))
+    return u.groupBy("domain").agg(
+        F.count(F.lit(1)).alias("n_urls"),
+        F.countDistinct("doc_id").alias("n_docs"),
+    )
+
+
+@q(
+    "domain_blocklist_kept",
+    f"""
+    WITH t2 AS ({_URL_T2_SQL}),
+    u AS (SELECT doc_id,
+          UNNEST(regexp_extract_all(tx, 'https?://[A-Za-z0-9.-]+(?:/[^\\s]*)?')) AS url
+          FROM t2),
+    flagged AS (
+      SELECT DISTINCT doc_id FROM u
+      WHERE regexp_extract(url, 'https?://([A-Za-z0-9.-]+)', 1) = 'blocked.example.net')
+    SELECT t2.source, COUNT(*) AS n_kept FROM t2
+    WHERE t2.doc_id NOT IN (SELECT doc_id FROM flagged)
+    GROUP BY t2.source
+    """,
+)
+def domain_blocklist_kept(spark, sf_dir):
+    """Domain blocklist filter: docs containing any URL on a blocked domain
+    are dropped (broadcast anti-join; engine.extended.curation.
+    domain_blocklist_filter); per-source survivor counts."""
+    from engine.extended.curation import domain_blocklist_filter
+
+    d = t(spark, sf_dir, "documents")
+    d2 = d.select("doc_id", _url_text2_expr().alias("text"), "source")
+    blocked = spark.createDataFrame([("blocked.example.net",)], "domain string")
+    kept = domain_blocklist_filter(d2, blocked)
+    return kept.groupBy("source").agg(F.count(F.lit(1)).alias("n_kept"))
+
+
+@q(
+    "embedding_matryoshka",
+    """
+    WITH tr AS (
+      SELECT vec_id, list_transform(list_slice(embedding, 1, 16),
+                                    x -> CAST(x AS DOUBLE)) AS v
+      FROM embeddings),
+    n AS (SELECT vec_id, v,
+          SQRT(list_sum(list_transform(v, x -> x * x))) AS nrm FROM tr)
+    SELECT vec_id,
+           array_to_string(list_transform(
+             CASE WHEN nrm > 0 THEN list_transform(v, x -> ROUND(x / nrm, 4))
+                  ELSE list_transform(v, x -> ROUND(x, 4)) END,
+             x -> CAST(ROUND(x * 10000.0) AS BIGINT)), ',') AS mrl_vec
+    FROM n
+    """,
+)
+def embedding_matryoshka_q(spark, sf_dir):
+    """Matryoshka truncation: first-16-dim prefix, L2-renormalized — the
+    vector storage/recall tier below full embeddings (engine.extended.
+    similarity.matryoshka_truncate; pure expressions, zero shuffle).
+    Components render as comma-joined 1e4-scaled integers so the driver
+    comparator can canonicalize the row (VERDICT r4 #1)."""
+    from engine.extended.similarity import matryoshka_truncate
+
+    e = t(spark, sf_dir, "embeddings")
+    out = matryoshka_truncate(e, 16, round_to=4)
+    return out.select("vec_id", _arr_str("mrl_vec", 1e4).alias("mrl_vec"))
+
+
+@q(
+    "temperature_mixture_sample",
+    """
+    WITH c AS (SELECT source, COUNT(*) AS n FROM documents GROUP BY source),
+    w AS (SELECT source, n, POWER(n, 0.5) AS w FROM c),
+    q AS (SELECT source,
+          LEAST(n, CAST(FLOOR(200.0 * w / (SELECT SUM(w) FROM w) + 1e-9) AS BIGINT)) AS quota
+          FROM w)
+    SELECT source, quota AS n_sampled FROM q WHERE quota > 0
+    """,
+)
+def temperature_mixture_q(spark, sf_dir):
+    """Temperature-weighted (alpha=0.5) domain rebalancing sample of 200
+    docs: quota_g = floor(200 * n_g^0.5 / sum n^0.5), rows by md5-rank
+    (engine.extended.sampling.temperature_mixture)."""
+    from engine.extended.sampling import temperature_mixture
+
+    d = t(spark, sf_dir, "documents")
+    out = temperature_mixture(d, alpha=0.5, total=200, group_col="source")
+    return out.groupBy("source").agg(F.count(F.lit(1)).alias("n_sampled"))
+
+
+@q(
+    "corpus_pipeline_v3",
+    f"""
+    WITH t2 AS ({_URL_T2_SQL}),
+    u AS (SELECT doc_id,
+          UNNEST(regexp_extract_all(tx, 'https?://[A-Za-z0-9.-]+(?:/[^\\s]*)?')) AS url
+          FROM t2),
+    flagged AS (
+      SELECT DISTINCT doc_id FROM u
+      WHERE regexp_extract(url, 'https?://([A-Za-z0-9.-]+)', 1) = 'blocked.example.net'),
+    kept AS (
+      SELECT doc_id, tx, source FROM t2
+      WHERE doc_id NOT IN (SELECT doc_id FROM flagged)),
+    toks AS (
+      SELECT doc_id, source, list_transform(regexp_extract_all(tx, '[A-Za-z0-9'']+'),
+                                            x -> LOWER(x)) AS toks
+      FROM kept),
+    bg AS (
+      SELECT doc_id, UNNEST(CASE WHEN LENGTH(toks) < 2 THEN CAST([] AS VARCHAR[])
+        ELSE list_transform(range(0, LENGTH(toks) - 1),
+             i -> array_to_string(list_slice(toks, i + 1, i + 2), ' ')) END) AS bg
+      FROM toks),
+    c2 AS (SELECT bg, COUNT(*) AS c2 FROM bg GROUP BY bg),
+    c1 AS (SELECT split_part(bg, ' ', 1) AS w1, SUM(c2) AS c1 FROM c2 GROUP BY 1),
+    scores AS (
+      SELECT b.doc_id, COUNT(*) AS n_bigrams,
+             ROUND(AVG(log2(c2.c2 / c1.c1)), 4) AS avg_logp
+      FROM bg b JOIN c2 ON b.bg = c2.bg
+      JOIN c1 ON split_part(b.bg, ' ', 1) = c1.w1
+      GROUP BY b.doc_id),
+    good AS (
+      SELECT k.doc_id, k.source, s.avg_logp
+      FROM kept k JOIN scores s ON k.doc_id = s.doc_id
+      WHERE s.avg_logp >= -4.9),
+    ranked AS (
+      SELECT g.*, ROW_NUMBER() OVER (
+        PARTITION BY source
+        ORDER BY MD5(CAST(doc_id AS VARCHAR) || '|temp'), doc_id) AS rk
+      FROM good g),
+    cnt AS (SELECT source, COUNT(*) AS n FROM good GROUP BY source),
+    w AS (SELECT source, n, POWER(n, 0.5) AS w FROM cnt),
+    q AS (SELECT source,
+          LEAST(n, CAST(FLOOR(150.0 * w / (SELECT SUM(w) FROM w) + 1e-9) AS BIGINT)) AS quota
+          FROM w),
+    mixed AS (SELECT r.source, r.avg_logp FROM ranked r
+              JOIN q ON r.source = q.source WHERE r.rk <= q.quota)
+    SELECT source, COUNT(*) AS n_docs, ROUND(AVG(avg_logp), 4) AS mean_logp
+    FROM mixed GROUP BY source
+    """,
+)
+def corpus_pipeline_v3(spark, sf_dir):
+    """Composed curation pipeline v3 — the round-2 operators end to end in
+    ONE plan: URL blocklist filter → self-scored bigram-LM quality gate
+    (avg_logp ≥ -4.9) → temperature mixture (α=0.5, 150 docs) → per-source
+    stats.  The LM trains on the POST-FILTER corpus inside the same DAG
+    (no separate training pass — the count tables are plan nodes)."""
+    from engine.extended.curation import bigram_lm_scores, domain_blocklist_filter
+    from engine.extended.sampling import temperature_mixture
+
+    d = t(spark, sf_dir, "documents")
+    d2 = d.select("doc_id", _url_text2_expr().alias("text"), "source")
+    blocked = spark.createDataFrame([("blocked.example.net",)], "domain string")
+    # The composed DAG consumes the post-filter corpus 4× unaided (model
+    # counts + probe inside the scorer, then quota counts + ranked stream
+    # inside the mixture), each consumption re-running the scan + URL
+    # explode + anti-join.  Persist the two cut points instead: `kept`
+    # (post-filter corpus — MEMORY_AND_DISK, one materialization feeds both
+    # scorer passes) and `good` (per-doc score rows, tiny) so the mixture's
+    # two reads never re-run the scoring joins.  A window-based single-pass
+    # scorer was rejected: count-over-partition(bg) serializes hot bigrams
+    # into one task — a 100 TB skew regression the hash aggregate avoids.
+    kept = domain_blocklist_filter(d2, blocked).persist()
+    # source rides THROUGH the scorer (carry_cols) — joining scores back to
+    # `kept` would re-evaluate the blocklist-filter subtree a third time.
+    scores = bigram_lm_scores(kept, carry_cols=["source"])
+    good = (
+        scores.filter(F.col("avg_logp") >= -4.9)
+        .select("doc_id", "source", "avg_logp")
+        .persist()
+    )
+    mixed = temperature_mixture(good, alpha=0.5, total=150, group_col="source")
+    return mixed.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.round(F.avg("avg_logp"), 4).alias("mean_logp"),
+    )
+
+
+@q("multimodal_decode")  # rows-only: stdlib image decode runs in an Arrow UDF
+def multimodal_decode(spark, sf_dir):
+    """REAL image decode end to end over a MIXED corpus: deterministic PNGs
+    (zlib + filters) and baseline JPEGs (Huffman + IDCT + chroma upsample)
+    are decoded by the stdlib codecs on the DEFAULT path — no injected
+    backend — and every decoded byte count must equal
+    width*height*channels from the header, for BOTH formats."""
+    from engine.extended.multimodal import decode_media, fake_image_corpus
+
+    d = t(spark, sf_dir, "documents")
+    decoded = decode_media(fake_image_corpus(d))
+    return decoded.select(
+        "media_id",
+        "mime",
+        "width",
+        "height",
+        "channels",
+        "n_bytes",
+        (F.col("n_bytes") == F.col("width") * F.col("height") * F.col("channels")).alias(
+            "decode_exact"
+        ),
+    ).orderBy("media_id")
+
+
+@q("image_near_dup")  # rows-only: the aHash fingerprint needs the pixel decode UDF
+def image_near_dup_q(spark, sf_dir):
+    """Image near-duplicate detection end to end: deterministic PNG corpus
+    (every doc_id % 50 == 0 gets its successor's image planted, so known
+    duplicate pairs exist) → stdlib decode → 64-bit average-hash (integer
+    arithmetic, platform-stable) → banded hamming pair join (4 × 16-bit
+    chunk buckets, bit_count verify).  Only the grid²-bit fingerprints
+    reach the join — at 100 TB of images the pair stage never touches
+    pixels."""
+    from engine.extended.multimodal import (
+        fake_png_corpus,
+        image_ahash,
+        image_near_dup_pairs,
+    )
+
+    d = t(spark, sf_dir, "documents")
+    donor = d.select(
+        (F.col("doc_id") - 1).alias("doc_id"), F.col("text").alias("__donor")
+    )
+    planted = (
+        d.select("doc_id", "text")
+        .join(donor, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.when(
+                (F.col("doc_id") % 50 == 0) & F.col("__donor").isNotNull(),
+                F.col("__donor"),
+            )
+            .otherwise(F.col("text"))
+            .alias("text"),
+        )
+    )
+    hashes = image_ahash(fake_png_corpus(planted))
+    return image_near_dup_pairs(hashes, max_hamming=6).orderBy("id_a", "id_b")
+
+
+@q("audio_features")  # rows-only: stdlib WAV decode runs in an Arrow UDF
+def audio_features_q(spark, sf_dir):
+    """REAL audio decode end to end: deterministic PCM16 WAV corpus →
+    stdlib RIFF parse + sample decode → per-clip features (peak, RMS,
+    zero crossings, duration).  The audio leg of the multimodal surface,
+    same mapInPandas seam and null-survival contract as the image leg."""
+    from engine.extended.multimodal import audio_features, fake_wav_corpus
+
+    d = t(spark, sf_dir, "documents")
+    return audio_features(fake_wav_corpus(d)).orderBy("media_id")
+
+
+@q("audio_near_dup")  # rows-only: fingerprint needs the PCM decode UDF
+def audio_near_dup_q(spark, sf_dir):
+    """Audio near-duplicate detection: energy-delta-sign fingerprints
+    (64 windows, integer comparisons) through the SAME hamming band join
+    the image path uses — one fingerprint-dedup engine, two modalities.
+    Duplicate clips are planted (doc_id % 50 == 0 borrows its successor's
+    audio) so known positives exist."""
+    from engine.extended.multimodal import (
+        audio_fingerprint,
+        fake_wav_corpus,
+        image_near_dup_pairs,
+    )
+
+    d = t(spark, sf_dir, "documents")
+    donor = d.select(
+        (F.col("doc_id") - 1).alias("doc_id"), F.col("text").alias("__donor")
+    )
+    planted = (
+        d.select("doc_id", "text")
+        .join(donor, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.when(
+                (F.col("doc_id") % 50 == 0) & F.col("__donor").isNotNull(),
+                F.col("__donor"),
+            )
+            .otherwise(F.col("text"))
+            .alias("text"),
+        )
+    )
+    fps = audio_fingerprint(fake_wav_corpus(planted))
+    return image_near_dup_pairs(fps, max_hamming=4, hash_col="afp").orderBy(
+        "id_a", "id_b"
+    )
+
+
