@@ -145,6 +145,14 @@ SECONDARY = [
     "profile_drift_audit",
     "event_transition_probs",
     "snapshot_diff_changelog",
+    # round-7 additions
+    "q2_min_cost_supplier",
+    "q20_excess_share_suppliers",
+    "scd2_point_in_time_join",
+    "l_diversity_audit",
+    "attribution_last_click",
+    "phrase_search_topk",
+    "embedding_covariance_block",
 ]
 
 

@@ -19,7 +19,7 @@ from pyspark.sql import functions as F
 from engine.extended.dedup import cosine
 from engine.extended.text import tokens
 
-__all__ = ["tfidf_scores", "bm25_scores", "hybrid_topk"]
+__all__ = ["tfidf_scores", "bm25_scores", "hybrid_topk", "inverted_postings", "phrase_match_counts"]
 
 
 def _term_tf(toks: Column, term: str) -> Column:
@@ -161,3 +161,53 @@ def hybrid_topk(
         ).alias("score"),
     )
     return fused.orderBy(F.col("score").desc_nulls_last(), F.col(doc_id)).limit(k)
+
+
+def inverted_postings(
+    df: DataFrame, *, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Positional postings ``(id, pos, token)`` — the inverted-index build
+    (0-based positions, the engine's standard tokenizer).  One explode; at
+    scale this is written bucketed by ``token`` so term lookups prune."""
+    return df.filter(
+        F.col(id_col).isNotNull() & F.col(text_col).isNotNull()
+    ).select(
+        F.col(id_col), F.posexplode(tokens(text_col)).alias("pos", "token")
+    )
+
+
+def phrase_match_counts(
+    df: DataFrame,
+    phrase: str,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Exact phrase occurrence counts per document via positional-postings
+    intersection — ``(id, n_matches)``, overlapping occurrences counted
+    (start positions), docs without a match absent.
+
+    The phrase is tokenized with the SAME rule as the corpus; a start
+    position matches when term *i* of the phrase appears at ``pos + i``
+    for every *i* — the classic positional-index AND, expressed as a chain
+    of semi-joins on ``(id, shifted pos)``.  Scale shape: the postings are
+    FILTERED to the phrase's terms before any join (term-selective — the
+    scan prunes on the token predicate), every join keys on (id, pos) so
+    the per-term slices co-partition, and semi-join semantics keep the
+    base side's cardinality monotonically shrinking.  Never a per-doc
+    Python loop; never a regex over the raw text (that would re-scan every
+    byte per query instead of reusing the index shape).
+    """
+    import re as _re
+
+    terms = [w.lower() for w in _re.findall(r"[A-Za-z0-9']+", phrase)]
+    if not terms:
+        raise ValueError(f"phrase has no tokens: {phrase!r}")
+    post = inverted_postings(df, id_col=id_col, text_col=text_col)
+    match = post.filter(F.col("token") == terms[0]).select(id_col, "pos")
+    for i, term in enumerate(terms[1:], start=1):
+        ti = post.filter(F.col("token") == term).select(
+            F.col(id_col), (F.col("pos") - i).alias("pos")
+        )
+        match = match.join(ti, [id_col, "pos"], "left_semi")
+    return match.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_matches"))

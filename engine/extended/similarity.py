@@ -44,6 +44,8 @@ __all__ = [
     "dequantize_int8",
     "matryoshka_truncate",
     "jl_project",
+    "embedding_covariance_block",
+    "pca_whiten",
 ]
 
 
@@ -882,4 +884,119 @@ def jl_project(
         comps.append(c)
     return df.withColumn(
         out_col, F.when(F.col(vec_col).isNotNull(), F.array(*comps))
+    )
+
+
+def embedding_covariance_block(
+    df: DataFrame,
+    dims: list[int],
+    *,
+    vec_col: str = "embedding",
+    quant: int = 1000,
+) -> DataFrame:
+    """EXACT covariance matrix of a dimension block → ``(i, j, n,
+    cov_micro)`` rows (upper triangle i ≤ j), covariance in micro-units of
+    the original scale as BIGINT-safe integers.
+
+    Components quantize to ``FLOOR(x·quant + 0.5)`` integers, so the
+    cross-moment sums are EXACT BIGINTs that merge across any partitioning
+    (the moments_shard_merge discipline applied to second moments); the
+    covariance assembles in double space from those exact components
+    (``Σqq/n − (Σq_i/n)(Σq_j/n)`` — identical operand order in any engine)
+    because the integer numerator ``n·Σqq − Σq_iΣq_j`` would overflow
+    2^63 at corpus scale.
+
+    Scale shape: ONE aggregate over the corpus carrying |dims|(|dims|+3)/2
+    sum expressions — no per-pair explode (which would blow the row count
+    up |dims|² times), no self-join, full map-side partial combine; the
+    pair table unpivots from the single result row.  Rows missing any
+    block component (NULL vector, short vector, NULL component) are
+    excluded entirely so every pair sees the same row set.
+    """
+    if not dims:
+        raise ValueError("dims must be non-empty")
+    need = max(dims) + 1
+    v = F.col(vec_col)
+    ok = v.isNotNull() & (F.size(v) >= need)
+    for i in dims:
+        ok = ok & v[i].isNotNull()
+    base = df.filter(ok)
+    qd = {i: F.floor(v[i].cast("double") * quant + F.lit(0.5)).cast("long") for i in dims}
+    aggs = [F.count(F.lit(1)).alias("n")]
+    aggs += [F.sum(qd[i]).alias(f"s{i}") for i in dims]
+    pairs = [(i, j) for a, i in enumerate(dims) for j in dims[a:]]
+    aggs += [F.sum(qd[i] * qd[j]).alias(f"p{i}_{j}") for i, j in pairs]
+    row = base.agg(*aggs)
+    nD = F.col("n").cast("double")
+    cells = [
+        F.struct(
+            F.lit(i).alias("i"),
+            F.lit(j).alias("j"),
+            F.col("n").alias("n"),
+            F.floor(
+                (
+                    F.col(f"p{i}_{j}").cast("double") / nD
+                    - (F.col(f"s{i}").cast("double") / nD)
+                    * (F.col(f"s{j}").cast("double") / nD)
+                )
+                + F.lit(0.5)
+            ).cast("long").alias("cov_micro"),
+        )
+        for i, j in pairs
+    ]
+    return row.select(F.explode(F.array(*cells)).alias("c")).select(
+        "c.i", "c.j", "c.n", "c.cov_micro"
+    )
+
+
+def pca_whiten(
+    df: DataFrame,
+    dims: list[int],
+    *,
+    vec_col: str = "embedding",
+    out_col: str = "whitened",
+    eps: float = 1e-6,
+    quant: int = 1000,
+) -> DataFrame:
+    """PCA-whiten a dimension block: project onto the covariance
+    eigenbasis and rescale each direction to unit variance — the
+    decorrelation step before cosine-based dedup/retrieval when raw
+    embedding dimensions are correlated (anisotropy flattens cosine
+    contrast).
+
+    The |dims|×|dims| covariance comes from ONE corpus pass
+    (:func:`embedding_covariance_block`) and is DRIVER-sized by
+    construction (the bounded-collect family: k-means centroids, Bloom
+    bits); ``numpy.linalg.eigh`` runs on the driver and the whitening
+    matrix returns to the plan as broadcast literals — the projection is a
+    pure JVM expression, no Python in the row path.  Rows the covariance
+    pass excluded (short/NULL-component vectors) get a NULL ``out_col``.
+    """
+    import numpy as np
+
+    cov_rows = embedding_covariance_block(
+        df, dims, vec_col=vec_col, quant=quant
+    ).collect()
+    k = len(dims)
+    pos = {d: a for a, d in enumerate(dims)}
+    C = np.zeros((k, k))
+    for r in cov_rows:
+        a, b = pos[r["i"]], pos[r["j"]]
+        C[a, b] = C[b, a] = r["cov_micro"] / 1e6
+    w, V = np.linalg.eigh(C)
+    W = V @ np.diag(1.0 / np.sqrt(np.maximum(w, 0.0) + eps)) @ V.T  # ZCA
+    v = F.col(vec_col)
+    need = max(dims) + 1
+    ok = v.isNotNull() & (F.size(v) >= need)
+    for i in dims:
+        ok = ok & v[i].isNotNull()
+    comps = [
+        sum(
+            (v[dims[b]].cast("double") * float(W[a, b]) for b in range(1, k)),
+            v[dims[0]].cast("double") * float(W[a, 0]),
+        )
+        for a in range(k)
+    ]
+    return df.withColumn(
+        out_col, F.when(ok, F.array(*comps)).otherwise(F.lit(None))
     )

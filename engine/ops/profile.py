@@ -35,6 +35,7 @@ __all__ = [
     "winsorized_stats",
     "categorical_mi",
     "k_anonymity",
+    "l_diversity",
     "profile_drift",
 ]
 
@@ -445,3 +446,32 @@ def profile_drift(
         "old_mean_milli", "new_mean_milli",
         (null_moved | mean_moved).cast("int").alias("drift_flag"),
     )
+
+
+def l_diversity(
+    df: DataFrame,
+    quasi_cols: list[str],
+    sensitive_col: str,
+    *,
+    l: int = 3,
+) -> DataFrame:
+    """Distinct-l-diversity audit, the companion criterion to
+    :func:`k_anonymity`: a quasi-identifier class whose SENSITIVE column
+    holds fewer than ``l`` distinct values leaks that attribute by
+    association even when the class is large (the homogeneity attack
+    k-anonymity alone cannot see).  Returns the class table (quasi cols +
+    ``class_size`` + ``sensitive_diversity`` + ``at_risk``).
+
+    Scale shape: one exact COUNT(DISTINCT) aggregate on the quasi tuple —
+    Spark plans it as the standard two-phase expand/partial, still bounded
+    by quasi-cardinality output.  NULL sensitive values do not count
+    toward diversity (SQL COUNT DISTINCT semantics): an all-NULL class
+    audits as zero-diverse, the conservative direction.
+    """
+    if not quasi_cols:
+        raise ValueError("quasi_cols must be non-empty")
+    cls = df.groupBy(*quasi_cols).agg(
+        F.count(F.lit(1)).alias("class_size"),
+        F.countDistinct(sensitive_col).alias("sensitive_diversity"),
+    )
+    return cls.withColumn("at_risk", F.col("sensitive_diversity") < l)

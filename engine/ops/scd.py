@@ -19,7 +19,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["apply_changelog", "scd2_merge", "snapshot_diff"]
+__all__ = ["apply_changelog", "scd2_merge", "scd2_point_in_time", "snapshot_diff"]
 
 
 def apply_changelog(
@@ -175,3 +175,42 @@ def snapshot_diff(
     if include_unchanged:
         return out
     return out.where(F.col(op_col) != "unchanged")
+
+
+def scd2_point_in_time(
+    facts: DataFrame,
+    dim: DataFrame,
+    key: str,
+    ts_col: str,
+    *,
+    valid_from: str = "valid_from",
+    valid_to: str = "valid_to",
+    how: str = "left",
+) -> DataFrame:
+    """Point-in-time (temporal) join: attach to each fact the dimension
+    VERSION that was valid at the fact's timestamp — the read side of
+    :func:`scd2_merge`, and the join every training-data snapshot over a
+    versioned dimension needs (features as-of the event, never leaked from
+    the future).
+
+    Validity is the half-open ``[valid_from, valid_to)`` with NULL
+    ``valid_to`` = still current, exactly the tiling :func:`scd2_merge`
+    writes, so every fact timestamp matches at most one version and a
+    version-boundary fact lands in the NEWER version.  A NULL fact
+    timestamp matches nothing (kept with NULL attributes under
+    ``how='left'``).
+
+    Scale shape: the join carries the KEY equality as its hash/sort-merge
+    condition — one shuffle on the key, the validity range applied as the
+    join's residual filter — never a nested loop over versions (the
+    versions of one key meet that key's facts inside one partition).
+    """
+    f = facts.alias("__f")
+    d = dim.alias("__d")
+    fts = F.col(f"__f.{ts_col}")
+    cond = (
+        (F.col(f"__f.{key}") == F.col(f"__d.{key}"))
+        & (fts >= F.col(f"__d.{valid_from}"))
+        & (F.col(f"__d.{valid_to}").isNull() | (fts < F.col(f"__d.{valid_to}")))
+    )
+    return f.join(d, cond, how).drop(F.col(f"__d.{key}"))

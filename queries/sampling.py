@@ -1541,3 +1541,87 @@ def supplier_value_share(spark, sf_dir):
     )
 
 
+
+
+@q(
+    "phrase_search_topk",
+    f"""
+    WITH toks AS (
+      SELECT doc_id, {_TOKS_SQL} AS tk FROM documents
+      WHERE text IS NOT NULL AND doc_id IS NOT NULL),
+    pos AS (
+      SELECT doc_id, UNNEST(range(1, GREATEST(len(tk) - 1, 0) + 1)) AS i, tk
+      FROM toks),
+    hits AS (
+      SELECT doc_id FROM pos WHERE list_slice(tk, i, i + 1) = ['fast', 'table']),
+    cnt AS (SELECT doc_id, COUNT(*) AS n_matches FROM hits GROUP BY doc_id)
+    SELECT doc_id, n_matches FROM cnt
+    ORDER BY n_matches DESC, doc_id LIMIT 20
+    """,
+)
+def phrase_search_topk(spark, sf_dir):
+    """Exact phrase search over a positional inverted index
+    (engine.extended.search.phrase_match_counts): postings filtered to the
+    phrase's terms, start positions surviving a chain of (doc, shifted-pos)
+    semi-joins, occurrence counts per doc, top-20.  The oracle counts the
+    same phrase by slicing the token array directly — an INDEPENDENT
+    verification path, so an off-by-one in the positional intersection
+    cannot self-confirm.  Overlapping occurrences count (start positions),
+    the lexical sibling of bm25_rank for exact-match retrieval."""
+    from engine.extended.search import phrase_match_counts
+
+    d = t(spark, sf_dir, "documents")
+    return (
+        phrase_match_counts(d, "fast table")
+        .orderBy(F.col("n_matches").desc(), "doc_id")
+        .limit(20)
+    )
+
+
+def _cov_sql(dims: list[int], quant: int = 1000) -> str:
+    """DuckDB twin of embedding_covariance_block: identical quantization
+    (FLOOR(x·quant + 0.5) BIGINTs), identical exact sums, identical
+    double-space assembly operand order (1-based list indexing)."""
+    pairs = [(i, j) for a, i in enumerate(dims) for j in dims[a:]]
+
+    def qd(i: int) -> str:
+        return (
+            f"CAST(FLOOR(CAST(embedding[{i + 1}] AS DOUBLE) * {quant} + 0.5)"
+            " AS BIGINT)"
+        )
+
+    filt = " AND ".join(f"embedding[{i + 1}] IS NOT NULL" for i in dims)
+    sums = ", ".join(
+        [f"SUM({qd(i)}) AS s{i}" for i in dims]
+        + [f"SUM({qd(i)} * {qd(j)}) AS p{i}_{j}" for i, j in pairs]
+    )
+    cells = " UNION ALL ".join(
+        f"SELECT {i} AS i, {j} AS j, n, CAST(FLOOR("
+        f"(CAST(p{i}_{j} AS DOUBLE) / CAST(n AS DOUBLE)"
+        f" - (CAST(s{i} AS DOUBLE) / CAST(n AS DOUBLE))"
+        f" * (CAST(s{j} AS DOUBLE) / CAST(n AS DOUBLE))) + 0.5) AS BIGINT)"
+        f" AS cov_micro FROM agg"
+        for i, j in pairs
+    )
+    return (
+        f"WITH agg AS (SELECT COUNT(*) AS n, {sums} FROM embeddings"
+        f" WHERE embedding IS NOT NULL AND len(embedding) >= {max(dims) + 1}"
+        f" AND {filt}) {cells}"
+    )
+
+
+_COV_DIMS = list(range(8))
+
+
+@q("embedding_covariance_block", _cov_sql(_COV_DIMS))
+def embedding_covariance_block_q(spark, sf_dir):
+    """Exact covariance of the embedding's first 8 dimensions
+    (engine.extended.similarity.embedding_covariance_block): ONE corpus
+    aggregate carrying all 44 exact quantized sums — no per-pair explode,
+    no self-join — unpivoted to (i, j, n, cov_micro) upper-triangle rows.
+    The anisotropy audit before cosine retrieval, and the input to
+    pca_whiten's driver-side eigenbasis (the bounded-collect family)."""
+    from engine.extended.similarity import embedding_covariance_block
+
+    e = t(spark, sf_dir, "embeddings")
+    return embedding_covariance_block(e, _COV_DIMS)

@@ -2269,3 +2269,125 @@ def hybrid_search_topk(spark, sf_dir):
     return hybrid_topk(d, emb, ["spark", "merge"], qv, k=10, alpha=1.0)
 
 
+
+
+@q(
+    "l_diversity_audit",
+    """
+    WITH j AS (
+      SELECT c.c_mktsegment, c.c_nationkey, o.o_orderpriority
+      FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey),
+    cls AS (
+      SELECT c_mktsegment, c_nationkey, COUNT(*) AS class_size,
+             COUNT(DISTINCT o_orderpriority) AS sdiv
+      FROM j GROUP BY c_mktsegment, c_nationkey)
+    SELECT c_mktsegment AS segment,
+           COUNT(*) AS n_classes,
+           CAST(MIN(sdiv) AS BIGINT) AS min_diversity,
+           CAST(SUM(CASE WHEN sdiv < 3 THEN 1 ELSE 0 END) AS BIGINT)
+             AS low_div_classes,
+           CAST(SUM(CASE WHEN sdiv < 3 THEN class_size ELSE 0 END) AS BIGINT)
+             AS rows_at_risk
+    FROM cls GROUP BY c_mktsegment
+    """,
+)
+def l_diversity_audit(spark, sf_dir):
+    """l-diversity release audit (engine.ops.profile.l_diversity, l=3) —
+    the homogeneity-attack companion to k_anonymity_audit: a (segment,
+    nation) class whose orders all share one priority leaks that sensitive
+    attribute by association no matter how large the class is.  One exact
+    COUNT(DISTINCT) aggregate bounded by quasi-identifier cardinality."""
+    from engine.ops.profile import l_diversity
+
+    o = t(spark, sf_dir, "orders")
+    c = t(spark, sf_dir, "customer")
+    j = o.join(c, o.o_custkey == c.c_custkey).select(
+        "c_mktsegment", "c_nationkey", "o_orderpriority"
+    )
+    cls = l_diversity(j, ["c_mktsegment", "c_nationkey"], "o_orderpriority", l=3)
+    return cls.groupBy(F.col("c_mktsegment").alias("segment")).agg(
+        F.count(F.lit(1)).alias("n_classes"),
+        F.min("sensitive_diversity").cast("long").alias("min_diversity"),
+        F.sum(F.when(F.col("at_risk"), 1).otherwise(0))
+        .cast("long")
+        .alias("low_div_classes"),
+        F.sum(F.when(F.col("at_risk"), F.col("class_size")).otherwise(0))
+        .cast("long")
+        .alias("rows_at_risk"),
+    )
+
+
+@q(
+    "attribution_last_click",
+    """
+    WITH p AS (
+      SELECT event_id AS p_id, user_id, ts AS p_ts FROM events
+      WHERE event_type = 'purchase' AND user_id IS NOT NULL
+        AND ts IS NOT NULL),
+    c AS (
+      SELECT event_id AS c_id, user_id, ts AS c_ts FROM events
+      WHERE event_type = 'click' AND user_id IS NOT NULL
+        AND ts IS NOT NULL),
+    cand AS (
+      SELECT p.p_id, p.user_id, p.p_ts, c.c_id, c.c_ts
+      FROM p JOIN c ON p.user_id = c.user_id
+       AND c.c_ts <= p.p_ts AND c.c_ts >= p.p_ts - INTERVAL 1 HOUR),
+    best AS (
+      SELECT * FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY p_id
+                     ORDER BY c_ts DESC, c_id DESC) AS rn
+        FROM cand) WHERE rn = 1)
+    SELECT p.p_id, p.user_id, CAST(p.p_ts AS VARCHAR) AS p_ts_s,
+           b.c_id AS attributed_click,
+           epoch_ms(p.p_ts) - epoch_ms(b.c_ts) AS gap_ms
+    FROM p LEFT JOIN best b ON p.p_id = b.p_id
+    """,
+)
+def attribution_last_click(spark, sf_dir):
+    """Last-touch attribution — the batch twin of the stream-stream join
+    (ST family): each purchase attributed to the same user's most recent
+    click within the hour (ties by click id), unattributed purchases kept
+    with NULLs.  The candidate join carries user_id as its hash key with
+    the time window as residual predicate (the watermark-bounded
+    stream-stream join's state-pruning window, batch-planned); one
+    purchase-keyed window picks the survivor.  Gap reported in exact
+    integer milliseconds (unix_millis/epoch_ms — never fractional-epoch
+    subtraction, whose floor order differs by engine)."""
+    e = t(spark, sf_dir, "events").filter(
+        F.col("user_id").isNotNull() & F.col("ts").isNotNull()
+    )
+    p = e.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("p_id"), "user_id", F.col("ts").alias("p_ts")
+    )
+    c = e.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("c_id"),
+        F.col("user_id").alias("c_user"),
+        F.col("ts").alias("c_ts"),
+    )
+    cand = p.join(
+        c,
+        (p.user_id == c.c_user)
+        & (c.c_ts <= p.p_ts)
+        & (c.c_ts >= p.p_ts - F.expr("INTERVAL 1 HOUR")),
+    )
+    w = Window.partitionBy("p_id").orderBy(
+        F.col("c_ts").desc(), F.col("c_id").desc()
+    )
+    best = (
+        cand.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("p_id", "c_id", "c_ts")
+    )
+    b = best.alias("b")
+    return (
+        p.alias("pp")
+        .join(b, F.col("pp.p_id") == F.col("b.p_id"), "left")
+        .select(
+            F.col("pp.p_id").alias("p_id"),
+            F.col("pp.user_id").alias("user_id"),
+            F.col("pp.p_ts").cast("string").alias("p_ts_s"),
+            F.col("b.c_id").alias("attributed_click"),
+            (F.unix_millis(F.col("pp.p_ts")) - F.unix_millis(F.col("b.c_ts")))
+            .alias("gap_ms"),
+        )
+    )

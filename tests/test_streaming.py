@@ -620,3 +620,79 @@ def test_streaming_agg_maintenance_concurrent_reader_sees_complete_prev(
         for r in agg_partials(wave1.unionAll(wave2), ["k"], **spec).collect()
     }
     assert got == want_now
+
+
+def test_stream_stream_join_matches_batch_attribution_candidates(spark, tmp_path):
+    """ST family, round 7: a REAL watermarked stream-stream join (clicks ⋈
+    purchases within the hour, per user) drained with availableNow must
+    produce exactly the batch candidate join of attribution_last_click —
+    the state-pruning window online, the hash+residual join offline."""
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+
+    TS = dt.datetime
+    rows = []
+    for u in range(6):
+        for k in range(8):
+            rows.append((100 * u + k, TS(2024, 1, 1, 9 + u % 3, 7 * k % 60), u, "click"))
+        for k in range(3):
+            rows.append((1000 * u + k, TS(2024, 1, 1, 9 + u % 3, 15 + 13 * k), u, "purchase"))
+    src = str(tmp_path / "ss_src")
+    ev = spark.createDataFrame(rows, "event_id long, ts timestamp, user_id long, event_type string")
+    ev.coalesce(2).write.mode("overwrite").parquet(src)
+
+    stream = spark.readStream.schema(
+        "event_id long, ts timestamp, user_id long, event_type string"
+    ).parquet(src)
+    clicks = (
+        stream.filter(F.col("event_type") == "click")
+        .withWatermark("ts", "2 hours")
+        .select(F.col("event_id").alias("c_id"), F.col("user_id").alias("c_u"),
+                F.col("ts").alias("c_ts"))
+    )
+    purchases = (
+        stream.filter(F.col("event_type") == "purchase")
+        .withWatermark("ts", "2 hours")
+        .select(F.col("event_id").alias("p_id"), F.col("user_id").alias("p_u"),
+                F.col("ts").alias("p_ts"))
+    )
+    joined = purchases.join(
+        clicks,
+        F.expr(
+            "p_u = c_u AND c_ts <= p_ts AND c_ts >= p_ts - INTERVAL 1 HOUR"
+        ),
+    )
+    got_rows = []
+
+    def sink(batch_df, batch_id):
+        got_rows.extend(
+            (r["p_id"], r["c_id"]) for r in batch_df.collect()
+        )
+
+    q = (
+        joined.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", str(tmp_path / "ss_ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    b = spark.read.parquet(src)
+    bc = b.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("c_id"), F.col("user_id").alias("c_u"),
+        F.col("ts").alias("c_ts"))
+    bp = b.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("p_id"), F.col("user_id").alias("p_u"),
+        F.col("ts").alias("p_ts"))
+    want = {
+        (r["p_id"], r["c_id"])
+        for r in bp.join(
+            bc,
+            (F.col("p_u") == F.col("c_u"))
+            & (F.col("c_ts") <= F.col("p_ts"))
+            & (F.col("c_ts") >= F.col("p_ts") - F.expr("INTERVAL 1 HOUR")),
+        ).collect()
+    }
+    assert want and set(got_rows) == want
+    assert len(got_rows) == len(want)  # exactly-once within the drain
