@@ -153,6 +153,8 @@ SECONDARY = [
     "attribution_last_click",
     "phrase_search_topk",
     "embedding_covariance_block",
+    "bottomk_shard_merge",
+    "jaccard_bottomk_overlap",
 ]
 
 

@@ -56,6 +56,9 @@ __all__ = [
     "moments_build",
     "moments_merge",
     "moments_stats",
+    "bottomk_build",
+    "bottomk_merge",
+    "bottomk_jaccard",
 ]
 
 
@@ -332,4 +335,87 @@ def moments_stats(df: DataFrame, *, scale: int = 1000) -> DataFrame:
         "*",
         F.floor(mean).cast("long").alias("mean_milli"),
         F.floor(var).cast("long").alias("var_milli"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Bottom-k sketches: the SAMPLE member of the mergeable-summary family
+# (frequencies = count-min, distinct = HLL, quantiles = histogram,
+# mean/variance = moments, distinct-SAMPLE + set overlap = this)
+# ---------------------------------------------------------------------------
+
+
+def bottomk_build(
+    df: DataFrame, key_col: str, *, k: int = 32, salt: str = "bk"
+) -> DataFrame:
+    """Bottom-k distinct sample of ``key_col`` → ``(hash, key)`` rows, the k
+    SMALLEST ``md5_long(key)`` values over the distinct keys.
+
+    A bottom-k sketch is a mergeable uniform sample of the distinct-key
+    set: merging shard sketches (union → global bottom-k) gives EXACTLY
+    the sketch of the union, because min-ranks commute with union — no
+    approximation in the merge itself, so the merge identity is
+    oracle-checkable bit-for-bit (unlike the estimator built on top).
+    Deterministic: the md5 rank is a pure key function, no RNG, identical
+    in every engine.  NULL keys carry no hash and are excluded.
+
+    Scale shape: per-shard maintenance is a size-k top-k (TakeOrdered /
+    partial sort, no global shuffle of the keys); the merge side is k-row
+    frames.
+    """
+    return (
+        df.filter(F.col(key_col).isNotNull())
+        .select(F.col(key_col).cast("string").alias("key"))
+        .distinct()
+        .select(
+            md5_long(F.concat(F.col("key"), F.lit("|" + salt))).alias("hash"),
+            "key",
+        )
+        .orderBy("hash", "key")
+        .limit(k)
+    )
+
+
+def bottomk_merge(sketches: list[DataFrame], *, k: int = 32) -> DataFrame:
+    """Union shard bottom-k sketches → the union's bottom-k (exact)."""
+    out = sketches[0]
+    for s in sketches[1:]:
+        out = out.unionByName(s)
+    return out.distinct().orderBy("hash", "key").limit(k)
+
+
+def bottomk_jaccard(
+    a: DataFrame, b: DataFrame, *, k: int = 32
+) -> DataFrame:
+    """Jaccard estimate between two key sets from their bottom-k sketches →
+    one row ``(k_used, n_both, jaccard_bp)``.
+
+    The standard bottom-k estimator: take the k smallest hashes of the
+    UNION of the two sketches, count how many belong to both sets; the
+    share estimates |A∩B| / |A∪B|.  Everything downstream of the (tiny,
+    ≤2k-row) sketches — deterministic, so the ESTIMATE itself is
+    engine-reproducible and oracle-paired even though it approximates the
+    true Jaccard.  Reported in basis points via integer math.
+    """
+    au = a.select("hash").withColumn("in_a", F.lit(1))
+    bu = b.select("hash").withColumn("in_b", F.lit(1))
+    uni = (
+        au.join(bu, "hash", "full_outer")
+        .select(
+            "hash",
+            F.coalesce("in_a", F.lit(0)).alias("in_a"),
+            F.coalesce("in_b", F.lit(0)).alias("in_b"),
+        )
+        .orderBy("hash")
+        .limit(k)
+    )
+    return uni.agg(
+        F.count(F.lit(1)).alias("k_used"),
+        F.sum(F.col("in_a") * F.col("in_b")).cast("long").alias("n_both"),
+        # FLOOR of the double quotient, never CAST: Spark's double→long cast
+        # truncates while DuckDB's rounds (determinism ledger)
+        F.floor(
+            F.sum(F.col("in_a") * F.col("in_b")).cast("long") * 10000
+            / F.greatest(F.count(F.lit(1)), F.lit(1))
+        ).cast("long").alias("jaccard_bp"),
     )

@@ -2391,3 +2391,91 @@ def attribution_last_click(spark, sf_dir):
             .alias("gap_ms"),
         )
     )
+
+
+_BK_HASH = "CAST(('0x' || SUBSTRING(MD5({x} || '|bk'), 1, 15)) AS BIGINT)"
+
+
+@q(
+    "bottomk_shard_merge",
+    f"""
+    WITH keys AS (
+      SELECT DISTINCT CAST(o_custkey AS VARCHAR) AS key FROM orders
+      WHERE o_custkey IS NOT NULL)
+    SELECT {_BK_HASH.format(x="key")} AS hash, key
+    FROM keys ORDER BY hash, key LIMIT 32
+    """,
+)
+def bottomk_shard_merge(spark, sf_dir):
+    """Bottom-k distinct sample, shard-merged
+    (engine.extended.sketch.bottomk_build/merge): five per-priority shard
+    sketches of the order customer keys merged Spark-side must equal the
+    oracle's DIRECT bottom-32 of the global key set bit-for-bit — min-ranks
+    commute with union, the merge identity that makes the bottom-k sketch
+    the distinct-SAMPLE member of the mergeable-summary quartet.  Per-shard
+    maintenance is a size-k top-k (no key-cardinality shuffle); merges act
+    on k-row frames."""
+    from engine.extended.sketch import bottomk_build, bottomk_merge
+
+    o = t(spark, sf_dir, "orders")
+    prios = [r["o_orderpriority"] for r in o.select("o_orderpriority").distinct().collect()]
+    shards = [
+        bottomk_build(
+            o.filter(
+                F.col("o_orderpriority").eqNullSafe(p)
+            ),
+            "o_custkey",
+            k=32,
+        )
+        for p in sorted(prios, key=lambda x: (x is None, x))
+    ]
+    return bottomk_merge(shards, k=32)
+
+
+@q(
+    "jaccard_bottomk_overlap",
+    f"""
+    WITH a AS (
+      SELECT DISTINCT CAST(o_custkey AS VARCHAR) AS key FROM orders
+      WHERE o_orderpriority = '1-URGENT' AND o_custkey IS NOT NULL),
+    b AS (
+      SELECT DISTINCT CAST(o_custkey AS VARCHAR) AS key FROM orders
+      WHERE o_orderpriority = '2-HIGH' AND o_custkey IS NOT NULL),
+    ska AS (SELECT hash FROM (
+      SELECT {_BK_HASH.format(x="key")} AS hash, key FROM a
+      ORDER BY hash, key LIMIT 64)),
+    skb AS (SELECT hash FROM (
+      SELECT {_BK_HASH.format(x="key")} AS hash, key FROM b
+      ORDER BY hash, key LIMIT 64)),
+    uni AS (
+      SELECT hash, MAX(in_a) AS in_a, MAX(in_b) AS in_b FROM (
+        SELECT hash, 1 AS in_a, 0 AS in_b FROM ska
+        UNION ALL
+        SELECT hash, 0 AS in_a, 1 AS in_b FROM skb)
+      GROUP BY hash ORDER BY hash LIMIT 64)
+    SELECT COUNT(*) AS k_used,
+           CAST(SUM(in_a * in_b) AS BIGINT) AS n_both,
+           CAST(FLOOR(SUM(in_a * in_b) * 10000
+                / GREATEST(COUNT(*), 1)) AS BIGINT) AS jaccard_bp
+    FROM uni
+    """,
+)
+def jaccard_bottomk_overlap(spark, sf_dir):
+    """Set-overlap estimation from bottom-k sketches
+    (engine.extended.sketch.bottomk_jaccard): the Jaccard similarity of the
+    urgent-order and high-order customer sets estimated from two 64-hash
+    sketches — the cheap cross-corpus overlap probe that runs on sketch
+    exchanges instead of key exchanges (the cross_source_overlap question
+    when the sources cannot ship their key sets).  The estimator is
+    deterministic downstream of the sketches, so the ESTIMATE itself
+    oracle-checks even though it approximates the true Jaccard."""
+    from engine.extended.sketch import bottomk_build, bottomk_jaccard
+
+    o = t(spark, sf_dir, "orders")
+    a = bottomk_build(
+        o.filter(F.col("o_orderpriority") == "1-URGENT"), "o_custkey", k=64
+    )
+    b = bottomk_build(
+        o.filter(F.col("o_orderpriority") == "2-HIGH"), "o_custkey", k=64
+    )
+    return bottomk_jaccard(a, b, k=64)

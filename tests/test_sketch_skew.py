@@ -336,3 +336,55 @@ def test_size_rank_spreads_single_bitlength_corpus(spark):
         )
     }
     assert got == want
+
+
+def test_bottomk_merge_identity_random_shards(spark):
+    """Min-ranks commute with union: merging per-shard bottom-k sketches
+    equals the direct bottom-k of the combined key set, for any sharding
+    (including overlapping shards and duplicate keys)."""
+    import random
+
+    from engine.extended.sketch import bottomk_build, bottomk_merge
+
+    rng = random.Random(5)
+    keys = [f"k{rng.randrange(0, 5000)}" for _ in range(20000)]
+    df = spark.createDataFrame([(k, rng.randrange(4)) for k in keys], "k string, shard int")
+    direct = [
+        (r["hash"], r["key"]) for r in bottomk_build(df, "k", k=16).collect()
+    ]
+    shards = [
+        bottomk_build(df.filter(F.col("shard") == s), "k", k=16)
+        for s in range(4)
+    ]
+    merged = [
+        (r["hash"], r["key"]) for r in bottomk_merge(shards, k=16).collect()
+    ]
+    assert merged == direct and len(direct) == 16
+
+
+def test_bottomk_jaccard_extremes_and_nulls(spark):
+    """Identical sets estimate 10000 bp, disjoint sets 0 bp; NULL keys are
+    excluded from the sketch."""
+    from engine.extended.sketch import bottomk_build, bottomk_jaccard
+
+    a = spark.createDataFrame([(f"x{i}",) for i in range(200)] + [(None,)], ["k"])
+    b = spark.createDataFrame([(f"y{i}",) for i in range(200)], ["k"])
+    ska, skb = bottomk_build(a, "k", k=32), bottomk_build(b, "k", k=32)
+    same = bottomk_jaccard(ska, ska, k=32).first()
+    assert (same["k_used"], same["n_both"], same["jaccard_bp"]) == (32, 32, 10000)
+    disj = bottomk_jaccard(ska, skb, k=32).first()
+    assert (disj["n_both"], disj["jaccard_bp"]) == (0, 0)
+    assert ska.count() == 32  # NULL key contributed nothing
+
+
+def test_bottomk_jaccard_estimates_true_overlap(spark):
+    """On a 50%-overlap pair the bottom-64 estimate lands near the true
+    Jaccard (1/3), well away from the extremes."""
+    from engine.extended.sketch import bottomk_build, bottomk_jaccard
+
+    a = spark.createDataFrame([(f"s{i}",) for i in range(0, 2000)], ["k"])
+    b = spark.createDataFrame([(f"s{i}",) for i in range(1000, 3000)], ["k"])
+    est = bottomk_jaccard(
+        bottomk_build(a, "k", k=64), bottomk_build(b, "k", k=64), k=64
+    ).first()["jaccard_bp"]
+    assert 1500 < est < 5500, est  # true 3333 bp, k=64 sampling noise
