@@ -32,6 +32,7 @@ from pyspark.sql import DataFrame
 from engine.extended.sketch import cms_build
 
 __all__ = [
+    "streaming_bottomk",
     "streaming_cms",
     "streaming_hll",
     "streaming_hll_estimate",
@@ -284,3 +285,54 @@ def streaming_topk_estimate(
         key=lambda kv: (-kv[1], kv[0]),
     )
     return ranked[:k]
+
+
+def streaming_bottomk(
+    stream_df: DataFrame,
+    key_col: str,
+    checkpoint_dir: str,
+    *,
+    k: int = 32,
+    salt: str = "bk",
+    state: list | None = None,
+    query_name: str = "engine-streaming-bottomk",
+):
+    """Maintain a bottom-k distinct sample over a stream (availableNow
+    drain) — the distinct-SAMPLE twin of :func:`streaming_cms` /
+    :func:`streaming_hll`, and the streaming maintainer of
+    :func:`engine.extended.sketch.bottomk_build`.
+
+    Each micro-batch collapses to its own ≤k-row bottom-k (ONE size-k
+    top-k job, no key-cardinality shuffle) collected as (hash, key)
+    pairs; the driver folds it into the running sample with a pure-Python
+    sorted-merge — min-ranks commute with union, so the maintained sample
+    is EXACTLY ``bottomk_build`` of everything drained so far (pinned
+    against the batch op in tests).  State is bounded at k pairs; folding
+    costs zero extra Spark jobs.  Same at-least-once discipline as the
+    other maintainers: a seen-batch_id guard makes re-delivered batches
+    no-ops (and re-merging a batch would be a no-op anyway — union
+    idempotence, the property the CMS counter family does NOT have).
+    """
+    from engine.extended.sketch import bottomk_build
+
+    acc: list = state if state is not None else []
+    seen: set[int] = set()
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_id in seen:
+            return
+        rows = bottomk_build(batch_df, key_col, k=k, salt=salt).collect()
+        merged = {(r["hash"], r["key"]) for r in rows} | set(acc)
+        acc.clear()
+        acc.extend(sorted(merged)[:k])
+        seen.add(batch_id)
+
+    query = (
+        stream_df.writeStream.foreachBatch(process)
+        .option("checkpointLocation", checkpoint_dir)
+        .queryName(query_name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination()
+    return query, acc

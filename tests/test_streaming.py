@@ -696,3 +696,29 @@ def test_stream_stream_join_matches_batch_attribution_candidates(spark, tmp_path
     }
     assert want and set(got_rows) == want
     assert len(got_rows) == len(want)  # exactly-once within the drain
+
+
+def test_streaming_bottomk_matches_batch_sketch(spark, tmp_path):
+    """The maintained bottom-k sample after two availableNow drains equals
+    bottomk_build over the combined data — min-ranks commute with union,
+    so streaming maintenance is exact, and a re-delivered batch is a no-op
+    (union idempotence)."""
+    from engine.extended.sketch import bottomk_build
+    from engine.streaming.sketches import streaming_bottomk
+
+    src = str(tmp_path / "bk_src")
+    ckpt = str(tmp_path / "bk_ck")
+    w1 = spark.createDataFrame([(f"a{i % 300}",) for i in range(900)], ["k"])
+    w2 = spark.createDataFrame([(f"b{i % 400}",) for i in range(800)], ["k"])
+    w1.coalesce(1).write.mode("append").parquet(src)
+    stream = spark.readStream.schema("k string").parquet(src)
+    _, acc = streaming_bottomk(stream, "k", ckpt, k=16)
+    w2.coalesce(1).write.mode("append").parquet(src)
+    stream = spark.readStream.schema("k string").parquet(src)
+    _, acc = streaming_bottomk(stream, "k", ckpt, k=16, state=acc)
+
+    want = [
+        (r["hash"], r["key"])
+        for r in bottomk_build(w1.unionAll(w2), "k", k=16).collect()
+    ]
+    assert acc == want and len(acc) == 16
