@@ -200,7 +200,12 @@ def phrase_match_counts(
     """
     import re as _re
 
-    terms = [w.lower() for w in _re.findall(r"[A-Za-z0-9']+", phrase)]
+    from engine.extended.text import _TOKEN_RE
+
+    # the phrase MUST tokenize with the corpus tokenizer's own pattern —
+    # a second inline copy would silently desynchronize from _TOKEN_RE
+    # edits and make every phrase return 0 matches (review catch)
+    terms = [w.lower() for w in _re.findall(_TOKEN_RE, phrase)]
     if not terms:
         raise ValueError(f"phrase has no tokens: {phrase!r}")
     post = inverted_postings(df, id_col=id_col, text_col=text_col)

@@ -239,6 +239,15 @@ def mmr_select(
         # a NULL component would crash the driver-side literal rebuild of
         # a winning vector (review finding) — exclude ragged rows up front
         & ~F.exists(F.col(vec_col), lambda x: x.isNull())
+        # a NaN/Inf component diverges driver-vs-JVM comparison semantics
+        # (Spark orders NaN above everything; Python's `> 0` says False) —
+        # exclude non-finite rows so both paths see the same arithmetic
+        # (review catch)
+        & ~F.exists(
+            F.col(vec_col),
+            lambda x: F.isnan(x.cast("double"))
+            | (F.abs(x.cast("double")) == F.lit(float("inf"))),
+        )
         # NULL quality would produce a NULL score and crash the
         # driver-side collect once only NULL-score rows remain
         & F.col(quality_col).isNotNull()
@@ -312,8 +321,13 @@ def mmr_select(
             )
             # replicate the JVM similarity chain op-for-op: left-fold
             # dot, divide by the norm product, scale, +0.5, floor — all
-            # IEEE-deterministic given identical operand order
+            # IEEE-deterministic given identical operand order.  A
+            # length mismatch mirrors zip_with's null-padding → NULL dot
+            # → greatest() leaves msl unchanged (review catch: a Python
+            # zip() truncates and would compute a sim the JVM never sees)
             for it in items:
+                if len(it["v"]) != len(best["v"]):
+                    continue
                 np_ = it["n"] * best["n"]
                 if np_ > 0:
                     dot = 0.0

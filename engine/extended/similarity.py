@@ -887,6 +887,17 @@ def jl_project(
     )
 
 
+def _block_ok(v: Column, dims: list[int]) -> Column:
+    """Row eligibility for a dimension block: non-NULL vector, long enough,
+    every block component non-NULL — ONE definition shared by the
+    covariance pass and the whitening projection so the 'excluded rows get
+    NULL output' contract cannot drift between them."""
+    ok = v.isNotNull() & (F.size(v) >= max(dims) + 1)
+    for i in dims:
+        ok = ok & v[i].isNotNull()
+    return ok
+
+
 def embedding_covariance_block(
     df: DataFrame,
     dims: list[int],
@@ -915,12 +926,8 @@ def embedding_covariance_block(
     """
     if not dims:
         raise ValueError("dims must be non-empty")
-    need = max(dims) + 1
     v = F.col(vec_col)
-    ok = v.isNotNull() & (F.size(v) >= need)
-    for i in dims:
-        ok = ok & v[i].isNotNull()
-    base = df.filter(ok)
+    base = df.filter(_block_ok(v, dims))
     qd = {i: F.floor(v[i].cast("double") * quant + F.lit(0.5)).cast("long") for i in dims}
     aggs = [F.count(F.lit(1)).alias("n")]
     aggs += [F.sum(qd[i]).alias(f"s{i}") for i in dims]
@@ -982,14 +989,16 @@ def pca_whiten(
     C = np.zeros((k, k))
     for r in cov_rows:
         a, b = pos[r["i"]], pos[r["j"]]
-        C[a, b] = C[b, a] = r["cov_micro"] / 1e6
+        # cov_micro is in units of quant² (review catch: a hard-coded 1e6
+        # here mis-scaled the eigenbasis for any quant != 1000)
+        C[a, b] = C[b, a] = r["cov_micro"] / float(quant * quant)
     w, V = np.linalg.eigh(C)
     W = V @ np.diag(1.0 / np.sqrt(np.maximum(w, 0.0) + eps)) @ V.T  # ZCA
     v = F.col(vec_col)
-    need = max(dims) + 1
-    ok = v.isNotNull() & (F.size(v) >= need)
-    for i in dims:
-        ok = ok & v[i].isNotNull()
+    # the SAME eligibility predicate the covariance pass used (shared
+    # helper — review catch: two hand-synced copies would let the NULL-out
+    # contract drift)
+    ok = _block_ok(v, dims)
     comps = [
         sum(
             (v[dims[b]].cast("double") * float(W[a, b]) for b in range(1, k)),

@@ -378,6 +378,8 @@ def bottomk_build(
 
 def bottomk_merge(sketches: list[DataFrame], *, k: int = 32) -> DataFrame:
     """Union shard bottom-k sketches → the union's bottom-k (exact)."""
+    if not sketches:
+        raise ValueError("bottomk_merge needs at least one sketch")
     out = sketches[0]
     for s in sketches[1:]:
         out = out.unionByName(s)

@@ -2074,7 +2074,9 @@ def _mmr_sql(k: int) -> str:
              CAST(0 AS BIGINT) AS msl
       FROM embeddings
       WHERE embedding IS NOT NULL AND vec_id IS NOT NULL
-        AND len(list_filter(embedding, x -> x IS NULL)) = 0)"""
+        AND len(list_filter(embedding, x -> x IS NULL)) = 0
+        AND len(list_filter(embedding, x -> isnan(CAST(x AS DOUBLE))
+                 OR isinf(CAST(x AS DOUBLE)))) = 0)"""
     ]
     for r in range(1, k + 1):
         parts.append(

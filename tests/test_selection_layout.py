@@ -219,3 +219,51 @@ def test_mmr_batched_job_count_bounded(spark):
     assert len(picks) == 40
     jobs = sc.statusTracker().getJobIdsForGroup(group)
     assert len(jobs) <= (40 + 19) // 20 + 1, f"{len(jobs)} jobs"
+
+
+def test_mmr_batched_matches_per_item_on_hostile_vectors(spark):
+    """Review catch: mixed-length vectors (zip_with null-pads, Python zip
+    truncates) and NaN/Inf components (Spark orders NaN above everything,
+    Python's `> 0` says False) must not desynchronize the batched path
+    from the per-item loop — ragged rows update nothing, non-finite rows
+    are excluded up front."""
+    from engine.extended.selection import mmr_select
+
+    rows = [
+        (1, [1.0, 0.0], 0.9),
+        (2, [1.0, 0.0, 0.0], 0.8),     # longer vector
+        (3, [0.9, 0.1], 0.7),
+        (4, [float("nan"), 1.0], 0.99),   # NaN: excluded
+        (5, [float("inf"), 1.0], 0.99),   # Inf: excluded
+        (6, [0.5, 0.5], 0.6),
+    ]
+    df = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, quality double"
+    )
+    for lam in (0, 50, 100):
+        a = mmr_select(df, k=4, lam_pct=lam, batch=1)
+        b = mmr_select(df, k=4, lam_pct=lam, batch=8)
+        assert a == b, f"lam={lam}"
+        assert all(p["id"] not in (4, 5) for p in a)
+
+
+def test_pca_whiten_respects_quant(spark):
+    """Review catch: the eigenbasis scale must follow the quant parameter
+    (cov_micro is in quant² units), so whitening decorrelates identically
+    at quant=100."""
+    import random
+
+    import numpy as np
+
+    from engine.extended.similarity import pca_whiten
+
+    rng = random.Random(9)
+    rows = [
+        (i, [z := rng.gauss(0, 1), 0.8 * z + rng.gauss(0, 0.4)])
+        for i in range(3000)
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = pca_whiten(df, [0, 1], out_col="w", quant=100).collect()
+    W = np.array([r["w"] for r in out if r["w"] is not None])
+    C = np.cov(W.T, bias=True)
+    assert np.allclose(C, np.eye(2), atol=0.1), C

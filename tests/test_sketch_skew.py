@@ -388,3 +388,14 @@ def test_bottomk_jaccard_estimates_true_overlap(spark):
         bottomk_build(a, "k", k=64), bottomk_build(b, "k", k=64), k=64
     ).first()["jaccard_bp"]
     assert 1500 < est < 5500, est  # true 3333 bp, k=64 sampling noise
+
+
+def test_bottomk_merge_empty_list_raises(spark):
+    """Review catch: an empty sketches list raises the explicit ValueError
+    (like cms_merge), not IndexError."""
+    import pytest
+
+    from engine.extended.sketch import bottomk_merge
+
+    with pytest.raises(ValueError, match="at least one"):
+        bottomk_merge([])
