@@ -155,6 +155,9 @@ SECONDARY = [
     "embedding_covariance_block",
     "bottomk_shard_merge",
     "jaccard_bottomk_overlap",
+    "hilbert_key",
+    "stratified_kfold_balance",
+    "rendezvous_routing",
 ]
 
 

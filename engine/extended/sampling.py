@@ -26,6 +26,8 @@ __all__ = [
     "balanced_shards",
     "length_bucket_batches",
     "global_order",
+    "stratified_kfold",
+    "rendezvous_assign",
 ]
 
 
@@ -669,4 +671,82 @@ def negative_sample(
             F.col("__cid").alias("neg_id"),
             F.col("__cl").alias("neg_label"),
         )
+    )
+
+
+def stratified_kfold(
+    df: DataFrame,
+    stratum_col: str,
+    *,
+    k: int,
+    id_col: str = "doc_id",
+    out_col: str = "fold",
+    salt: str = "fold",
+) -> DataFrame:
+    """Deterministic stratified k-fold assignment: within each stratum,
+    rows rank by their md5 order and fold = rank mod k — every stratum
+    splits EXACTLY evenly across folds (±1 row), unlike independent
+    hash-mod folds whose per-stratum balance is only ~binomial.  The
+    cross-validation / eval-shard splitter that keeps every fold's source
+    mixture identical to the corpus's.
+
+    Epoch-stable (pure key function of (id, salt)); NULL ids rank last
+    within their stratum, NULL strata form their own stratum (GROUP BY
+    semantics).  One window shuffle on the stratum key.
+    """
+    if k < 2:
+        raise ValueError(f"k must be >= 2, got {k}")
+    from pyspark.sql import Window
+
+    h = F.md5(F.concat(F.coalesce(F.col(id_col).cast("string"), F.lit("")),
+                       F.lit("|" + salt)))
+    w = Window.partitionBy(stratum_col).orderBy(
+        h.asc(), F.col(id_col).asc_nulls_last()
+    )
+    return df.withColumn(
+        out_col, ((F.row_number().over(w) - 1) % k).cast("int")
+    )
+
+
+def rendezvous_assign(
+    df: DataFrame,
+    key_col: str,
+    nodes: list[str],
+    *,
+    out_col: str = "node",
+    salt: str = "hrw",
+) -> DataFrame:
+    """Rendezvous (highest-random-weight) assignment of keys to nodes:
+    ``node = argmax over nodes of md5(key | node | salt)`` — the routing
+    function whose MINIMAL-DISRUPTION property consistent-hashing rings
+    approximate: removing a node reassigns ONLY that node's keys (every
+    other key's argmax is unchanged), and adding one steals ~1/(n+1) from
+    each.  The shard-router / cache-affinity primitive for incremental
+    index maintenance (which executor owns which band bucket / IVF list).
+
+    Pure expression per row (|nodes| hashes + one array_max over
+    (hash, node) structs — deterministic tie-break), no shuffle, NULL keys
+    get a NULL node.
+    """
+    if not nodes:
+        raise ValueError("nodes must be non-empty")
+    from engine.extended.dedup import md5_long
+
+    cells = [
+        F.struct(
+            md5_long(
+                F.concat(
+                    F.col(key_col).cast("string"),
+                    F.lit(f"|{node}|{salt}"),
+                )
+            ).alias("h"),
+            F.lit(node).alias("n"),
+        )
+        for node in nodes
+    ]
+    return df.withColumn(
+        out_col,
+        F.when(
+            F.col(key_col).isNotNull(), F.array_max(F.array(*cells))["n"]
+        ),
     )

@@ -25,6 +25,8 @@ __all__ = [
     "read_table",
     "zorder_key",
     "zorder_key_sql",
+    "with_hilbert_key",
+    "hilbert_key_sql",
     "cluster_by_zorder",
     "zorder_write",
     "compact_small_files",
@@ -325,3 +327,95 @@ def compact_small_files(
         "bytes_total": bytes_total,
         "files_after": files_after,
     }
+
+
+def with_hilbert_key(df: DataFrame, x_col, y_col, *, bits: int = 8, out_col: str = "hkey") -> DataFrame:
+    """Attach the Hilbert-curve distance of a 2-D point — the
+    locality-clustering key whose neighborhoods beat Morton's (Z-order has
+    long diagonal jumps; Hilbert is a continuous curve, so consecutive key
+    ranges are compact squares and range scans touch fewer files).
+
+    The classic xy→d loop (one step per bit, rotate-and-reflect each
+    quadrant) unrolled into BRANCHLESS integer arithmetic — the rotation's
+    if/swap becomes arithmetic selects (``ry·x + (1−ry)(rx·(s−1−y) +
+    (1−rx)·y)``), so NULL inputs propagate to a NULL key through plain
+    arithmetic in every engine (a CASE-based unroll would hit
+    engine-specific NULL-branch semantics).  Callers pre-scale both
+    columns into ``[0, 2**bits)``, the :func:`zorder_key` contract.
+
+    Emitted as ONE PROJECTION PER BIT over a DataFrame (not a single
+    Column): each step's (hx, hy) feeds the next step FOUR times, so an
+    inlined expression tree grows ~4^bits and OOMs Catalyst at 8 bits —
+    the per-step aliases keep the plan linear (CollapseProject leaves
+    multiply-referenced non-cheap aliases alone), exactly like
+    :func:`hilbert_key_sql`'s chained subqueries, which the SAME Python
+    loop generates so the two cannot drift independently.
+    """
+    from pyspark.sql import functions as F
+
+    if 2 * bits > 62:
+        raise ValueError(f"2*bits = {2 * bits} exceeds signed-64 range")
+    if {"__hx", "__hy", out_col} & set(df.columns):
+        raise ValueError(f"df must not already carry __hx/__hy/{out_col}")
+    x = (F.col(x_col) if isinstance(x_col, str) else x_col).cast("long")
+    y = (F.col(y_col) if isinstance(y_col, str) else y_col).cast("long")
+    cur = df.select(
+        "*", x.alias("__hx"), y.alias("__hy"),
+        F.lit(0).cast("long").alias(out_col),
+    )
+    base_cols = df.columns
+    one = F.lit(1).cast("long")
+    for k in range(bits - 1, -1, -1):
+        s = 1 << k
+        hx, hy, hd = F.col("__hx"), F.col("__hy"), F.col(out_col)
+        rx = F.shiftright(hx, k).bitwiseAND(F.lit(1))
+        ry = F.shiftright(hy, k).bitwiseAND(F.lit(1))
+        cur = cur.select(
+            *base_cols,
+            (ry * hx + (one - ry) * (rx * (F.lit(s - 1) - hy) + (one - rx) * hy)).alias("__hx"),
+            (ry * hy + (one - ry) * (rx * (F.lit(s - 1) - hx) + (one - rx) * hx)).alias("__hy"),
+            (hd + F.lit(s * s) * ((F.lit(3) * rx).bitwiseXOR(ry))).alias(out_col),
+        )
+    return cur.drop("__hx", "__hy")
+
+
+def hilbert_key_sql(
+    x_expr: str,
+    y_expr: str,
+    *,
+    bits: int = 8,
+    from_sql: str,
+    keep_cols: list[str],
+    out_col: str = "hkey",
+) -> str:
+    """ANSI-SQL twin of :func:`hilbert_key`: the same unrolled iterations
+    emitted as a CHAIN of nested subqueries, one per bit, each carrying
+    (hx, hy, hd) forward as columns — linear in ``bits`` (a pure textual
+    substitution of x/y grows ~4^bits and hits 38 MB at 8 bits).  Returns
+    a full SELECT producing ``keep_cols`` + ``out_col`` from ``from_sql``.
+    One Python loop produces both engines' arithmetic, so they cannot
+    drift independently."""
+    if 2 * bits > 62:
+        raise ValueError(f"2*bits = {2 * bits} exceeds signed-64 range")
+    keep = ", ".join(keep_cols)
+    inner = (
+        f"SELECT {keep}, CAST(({x_expr}) AS BIGINT) AS hx,"
+        f" CAST(({y_expr}) AS BIGINT) AS hy,"
+        f" CAST(0 AS BIGINT) AS hd FROM {from_sql}"
+    )
+    for k in range(bits - 1, -1, -1):
+        s = 1 << k
+        with_bits = (
+            f"SELECT {keep}, hx, hy, hd, ((hx >> {k}) & 1) AS rx,"
+            f" ((hy >> {k}) & 1) AS ry FROM ({inner})"
+        )
+        inner = (
+            f"SELECT {keep},"
+            f" (ry * hx + (1 - ry) * (rx * ({s - 1} - hy)"
+            f" + (1 - rx) * hy)) AS hx,"
+            f" (ry * hy + (1 - ry) * (rx * ({s - 1} - hx)"
+            f" + (1 - rx) * hx)) AS hy,"
+            f" hd + {s * s} * xor(3 * rx, ry) AS hd"
+            f" FROM ({with_bits})"
+        )
+    return f"SELECT {keep}, hd AS {out_col} FROM ({inner})"

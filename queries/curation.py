@@ -2732,3 +2732,35 @@ def zorder_key_q(spark, sf_dir):
     )
 
 
+
+
+def _hilbert_oracle_sql() -> str:
+    from engine.ops.io import hilbert_key_sql
+
+    return hilbert_key_sql(
+        "o_orderkey % 256",
+        "o_custkey % 256",
+        bits=8,
+        from_sql="orders",
+        keep_cols=["o_orderkey"],
+    )
+
+
+@q("hilbert_key", _hilbert_oracle_sql())
+def hilbert_key_q(spark, sf_dir):
+    """Hilbert-curve clustering key over (orderkey, custkey) low bytes —
+    the locality layout key whose consecutive ranges are compact squares
+    (Z-order's diagonal jumps leave range scans touching more files;
+    zorder_key is the sibling).  The xy→d loop unrolls to BRANCHLESS
+    integer arithmetic (engine.ops.io.hilbert_key), bit-identical across
+    engines; the oracle runs the same arithmetic as a chained-subquery
+    twin generated by the SAME Python loop."""
+    from engine.ops.io import with_hilbert_key
+
+    o = t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    return with_hilbert_key(
+        o,
+        F.pmod("o_orderkey", F.lit(256)),
+        F.pmod("o_custkey", F.lit(256)),
+        bits=8,
+    ).select("o_orderkey", "hkey")

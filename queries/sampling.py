@@ -1625,3 +1625,69 @@ def embedding_covariance_block_q(spark, sf_dir):
 
     e = t(spark, sf_dir, "embeddings")
     return embedding_covariance_block(e, _COV_DIMS)
+
+
+@q(
+    "stratified_kfold_balance",
+    """
+    WITH folded AS (
+      SELECT source,
+             (ROW_NUMBER() OVER (PARTITION BY source
+                ORDER BY MD5(COALESCE(CAST(doc_id AS VARCHAR), '') || '|fold'),
+                         doc_id NULLS LAST) - 1) % 5 AS fold
+      FROM documents)
+    SELECT source, CAST(fold AS INTEGER) AS fold, COUNT(*) AS n
+    FROM folded GROUP BY source, fold
+    """,
+)
+def stratified_kfold_balance(spark, sf_dir):
+    """Stratified k-fold assignment (engine.extended.sampling.
+    stratified_kfold, k=5): within each source, md5-ranked rows deal into
+    folds round-robin, so every fold's source mixture matches the corpus
+    EXACTLY (±1 row per stratum) — the cross-validation splitter whose
+    per-stratum balance independent hash-mod folds only approximate.  The
+    per-(source, fold) counts are the balance audit."""
+    from engine.extended.sampling import stratified_kfold
+
+    d = t(spark, sf_dir, "documents")
+    out = stratified_kfold(d, "source", k=5)
+    return out.groupBy("source", "fold").agg(F.count(F.lit(1)).alias("n"))
+
+
+def _hrw_sql(nodes: list[str]) -> str:
+    h = lambda n: (  # noqa: E731
+        "CAST(('0x' || SUBSTRING(MD5(CAST(c_custkey AS VARCHAR)"
+        f" || '|{n}|hrw'), 1, 15)) AS BIGINT)"
+    )
+    cols = ", ".join(f"{h(n)} AS h{i}" for i, n in enumerate(nodes))
+    great = ", ".join(f"h{i}" for i in range(len(nodes)))
+    whens = " ".join(
+        f"WHEN h{i} THEN '{n}'" for i, n in enumerate(nodes)
+    )
+    return f"""
+    WITH h AS (
+      SELECT c_custkey, {cols} FROM customer WHERE c_custkey IS NOT NULL),
+    a AS (
+      SELECT c_custkey,
+             CASE GREATEST({great}) {whens} END AS node
+      FROM h)
+    SELECT node, COUNT(*) AS n_keys FROM a GROUP BY node
+    """
+
+
+_HRW_NODES = [f"node{i}" for i in range(5)]
+
+
+@q("rendezvous_routing", _hrw_sql(_HRW_NODES))
+def rendezvous_routing(spark, sf_dir):
+    """Rendezvous / highest-random-weight routing
+    (engine.extended.sampling.rendezvous_assign): every customer key owned
+    by the node with the highest md5(key|node) weight — the
+    minimal-disruption router (removing a node reassigns ONLY its keys,
+    pinned in pytest) for shard-stable incremental index ownership.  Pure
+    per-row expressions; the output is the per-node load table."""
+    from engine.extended.sampling import rendezvous_assign
+
+    c = t(spark, sf_dir, "customer").filter(F.col("c_custkey").isNotNull())
+    out = rendezvous_assign(c, "c_custkey", _HRW_NODES)
+    return out.groupBy("node").agg(F.count(F.lit(1)).alias("n_keys"))

@@ -160,3 +160,84 @@ def test_attribution_window_boundary_and_ties(spark):
     assert out[1] == (2, 3_600_000)     # boundary click attributes
     assert out[10] == (12, 1_800_000)   # tie -> larger click id
     assert out[20] == (None, None)      # unattributed survives the left join
+
+
+def test_hilbert_key_matches_reference_and_is_a_curve(spark):
+    """The branchless unrolled Spark expression equals the classic
+    iterative xy→d transform on a full 6-bit grid, is bijective, and
+    consecutive distances are unit steps (the locality property that
+    justifies preferring it to Z-order); NULL inputs give a NULL key."""
+    from engine.ops.io import with_hilbert_key
+
+    def ref(x, y, bits):
+        d = 0
+        for k in range(bits - 1, -1, -1):
+            s = 1 << k
+            rx = 1 if (x & s) else 0
+            ry = 1 if (y & s) else 0
+            d += s * s * ((3 * rx) ^ ry)
+            if ry == 0:
+                if rx == 1:
+                    x, y = s - 1 - x, s - 1 - y
+                x, y = y, x
+        return d
+
+    bits, n = 6, 64
+    pts = [(x, y) for x in range(n) for y in range(n)]
+    df = spark.createDataFrame(pts + [(None, 3), (5, None)], "x int, y int")
+    rows = with_hilbert_key(df, "x", "y", bits=bits).collect()
+    got = {(r["x"], r["y"]): r["hkey"] for r in rows}
+    assert got[(None, 3)] is None and got[(5, None)] is None
+    pos = {}
+    for (x, y) in pts:
+        assert got[(x, y)] == ref(x, y, bits), (x, y)
+        pos[got[(x, y)]] = (x, y)
+    assert len(pos) == n * n  # bijective
+    for d in range(n * n - 1):
+        (x1, y1), (x2, y2) = pos[d], pos[d + 1]
+        assert abs(x1 - x2) + abs(y1 - y2) == 1  # unit-step curve
+
+
+def test_stratified_kfold_exact_balance(spark):
+    """Every stratum splits across folds within one row, including a
+    stratum smaller than k and a NULL stratum."""
+    from engine.extended.sampling import stratified_kfold
+
+    rows = (
+        [(i, "big") for i in range(103)]
+        + [(1000 + i, "tiny") for i in range(3)]
+        + [(2000 + i, None) for i in range(7)]
+    )
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+    out = stratified_kfold(df, "source", k=5).collect()
+    from collections import Counter
+
+    per = Counter((r["source"], r["fold"]) for r in out)
+    for src, total in [("big", 103), ("tiny", 3), (None, 7)]:
+        counts = [per.get((src, f), 0) for f in range(5)]
+        assert sum(counts) == total
+        assert max(counts) - min(counts) <= 1, (src, counts)
+
+
+def test_rendezvous_assign_minimal_disruption(spark):
+    """The HRW property: dropping one node reassigns ONLY that node's
+    keys — every other key keeps its owner (the reason this beats
+    mod-N, which reshuffles ~everything)."""
+    from engine.extended.sampling import rendezvous_assign
+
+    df = spark.createDataFrame([(i,) for i in range(2000)], ["k"])
+    nodes = [f"n{i}" for i in range(5)]
+    before = {
+        r["k"]: r["node"] for r in rendezvous_assign(df, "k", nodes).collect()
+    }
+    after = {
+        r["k"]: r["node"]
+        for r in rendezvous_assign(df, "k", nodes[:-1]).collect()
+    }
+    moved = {k for k in before if before[k] != after[k]}
+    assert moved == {k for k, n in before.items() if n == "n4"}
+    # and the load is roughly uniform (within 3x of fair share)
+    from collections import Counter
+
+    load = Counter(before.values())
+    assert all(2000 / 5 / 2 < c < 2000 / 5 * 2 for c in load.values()), load
