@@ -158,6 +158,8 @@ SECONDARY = [
     "hilbert_key",
     "stratified_kfold_balance",
     "rendezvous_routing",
+    "join_size_estimate",
+    "score_quantile_normalize",
 ]
 
 

@@ -59,6 +59,7 @@ __all__ = [
     "bottomk_build",
     "bottomk_merge",
     "bottomk_jaccard",
+    "cms_inner_product",
 ]
 
 
@@ -421,3 +422,35 @@ def bottomk_jaccard(
             / F.greatest(F.count(F.lit(1)), F.lit(1))
         ).cast("long").alias("jaccard_bp"),
     )
+
+
+def cms_inner_product(
+    a: DataFrame, b: DataFrame
+) -> DataFrame:
+    """Join-size / self-join-size estimate from two count-min sketches
+    (same depth × width): ``min over rows of Σ_col cntA·cntB`` — the
+    classic sketch inner product, an UPPER bound on ``Σ_k cntA(k)·cntB(k)``
+    (exact when no hash collisions; collisions only add).  This is the
+    query-optimizer / blocking-audit primitive: how many pairs would a
+    join or a dedup-blocking key produce, answered from two ≤depth×width
+    cell tables without touching either corpus again.  One row
+    ``(est_pairs)``."""
+    bb = b.select(
+        F.col("row").alias("row"),
+        F.col("col").alias("col"),
+        F.col("cnt").alias("__cnt_b"),
+    )
+    per_row = a.join(bb, ["row", "col"]).groupBy("row").agg(
+        F.sum(F.col("cnt") * F.col("__cnt_b")).alias("__p")
+    )
+    # a sketch row sharing NO cell with b has true inner product 0 — it
+    # must participate in the MIN as 0, not vanish from it (an inner-join
+    # min over the surviving rows would overestimate, or go NULL for
+    # fully-disjoint sketches)
+    rows = a.select("row").distinct()
+    prod = rows.join(per_row, "row", "left").select(
+        F.coalesce(F.col("__p"), F.lit(0).cast("long")).alias("__p")
+    )
+    # empty `a` stays NULL (no sketch, no estimate) — only present-but-
+    # disjoint rows coalesce to 0 above
+    return prod.agg(F.min("__p").cast("long").alias("est_pairs"))

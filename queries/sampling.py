@@ -1691,3 +1691,33 @@ def rendezvous_routing(spark, sf_dir):
     c = t(spark, sf_dir, "customer").filter(F.col("c_custkey").isNotNull())
     out = rendezvous_assign(c, "c_custkey", _HRW_NODES)
     return out.groupBy("node").agg(F.count(F.lit(1)).alias("n_keys"))
+
+
+@q(
+    "score_quantile_normalize",
+    """
+    SELECT doc_id, source,
+           CAST(FLOOR(PERCENT_RANK() OVER (
+                  PARTITION BY source ORDER BY n_chars NULLS FIRST)
+                * 1000 + 0.5) AS BIGINT) AS pr_milli
+    FROM documents WHERE doc_id IS NOT NULL
+    """,
+)
+def score_quantile_normalize(spark, sf_dir):
+    """Per-source quantile normalization: each document's raw score
+    (n_chars) replaced by its percent-rank WITHIN its source — the
+    cross-source score calibration step before mixing corpora whose raw
+    quality scales differ (a 0.9 from one scorer is not a 0.9 from
+    another; percentiles are).  percent_rank's (rank−1)/(n−1) is the same
+    double in every engine given identical tie groups; quantized to
+    milli-units via the FLOOR(+0.5) discipline.  One window shuffle on
+    the source key."""
+    d = t(spark, sf_dir, "documents").filter(F.col("doc_id").isNotNull())
+    w = Window.partitionBy("source").orderBy(F.col("n_chars").asc_nulls_first())
+    return d.select(
+        "doc_id",
+        "source",
+        F.floor(F.percent_rank().over(w) * 1000 + F.lit(0.5))
+        .cast("long")
+        .alias("pr_milli"),
+    )

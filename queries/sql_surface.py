@@ -2479,3 +2479,52 @@ def jaccard_bottomk_overlap(spark, sf_dir):
         o.filter(F.col("o_orderpriority") == "2-HIGH"), "o_custkey", k=64
     )
     return bottomk_jaccard(a, b, k=64)
+
+
+@q(
+    "join_size_estimate",
+    f"""
+    WITH cells AS (
+      SELECT r.i AS row, {_CMS_HASH.format(i="r.i", k="CAST(l_partkey AS VARCHAR)").replace("% 512", "% 4096")} AS col,
+             COUNT(*) AS cnt
+      FROM lineitem, (SELECT UNNEST([0, 1, 2]) AS i) r
+      WHERE l_partkey IS NOT NULL
+      GROUP BY 1, 2),
+    ip AS (SELECT row, SUM(cnt * cnt) AS p FROM cells GROUP BY row),
+    est AS (SELECT CAST(MIN(p) AS BIGINT) AS est_pairs FROM ip),
+    ex AS (
+      SELECT CAST(SUM(c * c) AS BIGINT) AS exact_pairs FROM (
+        SELECT COUNT(*) AS c FROM lineitem
+        WHERE l_partkey IS NOT NULL GROUP BY l_partkey))
+    SELECT est_pairs, exact_pairs,
+           CAST(FLOOR(est_pairs * 10000.0 / exact_pairs) AS BIGINT)
+             AS ratio_bp
+    FROM est, ex
+    """,
+)
+def join_size_estimate(spark, sf_dir):
+    """Self-join size estimation from a count-min sketch inner product
+    (engine.extended.sketch.cms_inner_product): the number of candidate
+    pairs a blocking key (here l_partkey) would explode into, answered
+    from a 3×4096 cell table instead of a second corpus pass — the
+    query-optimizer / dedup-blocking-audit primitive.  The sketch inner
+    product upper-bounds the exact Σ count² (collisions only ADD), so
+    ratio_bp ≥ 10000 always; both numbers ride the output so the audit
+    shows its own error."""
+    from engine.extended.sketch import cms_build, cms_inner_product
+
+    li = t(spark, sf_dir, "lineitem").filter(F.col("l_partkey").isNotNull())
+    sk = cms_build(li, "l_partkey", depth=3, width=4096)
+    est = cms_inner_product(sk, sk)
+    exact = (
+        li.groupBy("l_partkey")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .agg(F.sum(F.col("c") * F.col("c")).cast("long").alias("exact_pairs"))
+    )
+    return est.crossJoin(F.broadcast(exact)).select(
+        "est_pairs",
+        "exact_pairs",
+        F.floor(
+            F.col("est_pairs") * F.lit(10000.0) / F.col("exact_pairs")
+        ).cast("long").alias("ratio_bp"),
+    )

@@ -399,3 +399,47 @@ def test_bottomk_merge_empty_list_raises(spark):
 
     with pytest.raises(ValueError, match="at least one"):
         bottomk_merge([])
+
+
+def test_cms_inner_product_bounds_and_exactness(spark):
+    """The sketch inner product upper-bounds the exact pair count always
+    (collisions only add), and equals it when width dwarfs the key space;
+    cross-sketch products estimate A-join-B size the same way."""
+    from engine.extended.sketch import cms_build, cms_inner_product
+
+    rows = [(f"k{i % 50}",) for i in range(4000)]
+    df = spark.createDataFrame(rows, ["k"])
+    exact_self = 50 * 80 * 80
+    for width in (64, 4096):
+        sk = cms_build(df, "k", depth=3, width=width)
+        est = cms_inner_product(sk, sk).first()["est_pairs"]
+        assert est >= exact_self, (width, est)
+        if width == 4096:
+            assert est == exact_self  # 50 keys, 4096 cells: no collision
+    # cross product: disjoint key sets -> near zero (exact 0 sans collision)
+    other = spark.createDataFrame([(f"x{i}",) for i in range(500)], ["k"])
+    ska = cms_build(df, "k", depth=3, width=4096)
+    skb = cms_build(other, "k", depth=3, width=4096)
+    cross = cms_inner_product(ska, skb).first()["est_pairs"]
+    exact_cross = 0
+    assert cross is not None and cross >= exact_cross and cross < 4000 * 2
+
+
+def test_cms_inner_product_disjoint_rows_count_as_zero(spark):
+    """A sketch row sharing no cell with the other sketch contributes 0 to
+    the MIN (review-of-own-code catch: the inner join dropped it, biasing
+    the estimate up or to NULL on fully-disjoint sketches)."""
+    from engine.extended.sketch import cms_inner_product
+
+    a = spark.createDataFrame(
+        [(0, 1, 5), (1, 2, 7), (2, 3, 9)], "row int, col int, cnt long"
+    )
+    b = spark.createDataFrame(
+        [(0, 1, 2), (1, 9, 7), (2, 9, 9)], "row int, col int, cnt long"
+    )
+    # row 0 overlaps (5*2=10); rows 1,2 are disjoint -> 0 -> min = 0
+    assert cms_inner_product(a, b).first()["est_pairs"] == 0
+    fully = spark.createDataFrame([(0, 7, 1)], "row int, col int, cnt long")
+    assert cms_inner_product(a, fully.filter("col = 99")).first()[
+        "est_pairs"
+    ] == 0
