@@ -160,6 +160,7 @@ SECONDARY = [
     "rendezvous_routing",
     "join_size_estimate",
     "score_quantile_normalize",
+    "video_frame_sample",
 ]
 
 

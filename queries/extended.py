@@ -932,3 +932,41 @@ def audio_near_dup_q(spark, sf_dir):
     )
 
 
+
+
+@q(
+    "video_frame_sample",
+    """
+    WITH m AS (
+      SELECT doc_id AS media_id, OCTET_LENGTH(ENCODE(text)) AS L
+      FROM documents WHERE text IS NOT NULL AND doc_id IS NOT NULL),
+    fr AS (
+      SELECT media_id, UNNEST(range(0, GREATEST(L, 1), 128)) AS start, L
+      FROM m)
+    SELECT media_id,
+           CAST(COUNT(*) AS BIGINT) AS n_frames,
+           CAST(SUM(LEAST(48, GREATEST(L - start, 0))) AS BIGINT)
+             AS frame_bytes
+    FROM fr GROUP BY media_id
+    """,
+)
+def video_frame_sample_q(spark, sf_dir):
+    """Video frame-sampling plumbing (engine.extended.multimodal.
+    frame_sample): every payload explodes into fixed-stride frame slices
+    through the mapInPandas seam — the schema/batch shape a real decoder
+    (ffmpeg keyframe extraction) plugs into.  The per-media frame count
+    and byte totals are a CLOSED FORM of the payload length, so the
+    Arrow-UDF plumbing itself is oracle-checked against pure SQL
+    arithmetic — an Arrow batching or slicing bug (dropped tail frame,
+    off-by-one stride) cannot hide behind a rows-only check."""
+    from engine.extended.multimodal import fake_media_from_text, frame_sample
+
+    d = t(spark, sf_dir, "documents").filter(
+        F.col("text").isNotNull() & F.col("doc_id").isNotNull()
+    )
+    media = fake_media_from_text(d).select("media_id", "payload")
+    fr = frame_sample(media, every_n_bytes=128, frame_len=48)
+    return fr.groupBy("media_id").agg(
+        F.count(F.lit(1)).alias("n_frames"),
+        F.sum(F.octet_length("frame")).cast("long").alias("frame_bytes"),
+    )
