@@ -161,6 +161,7 @@ SECONDARY = [
     "join_size_estimate",
     "score_quantile_normalize",
     "video_frame_sample",
+    "ivf_index_incremental",
 ]
 
 

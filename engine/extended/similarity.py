@@ -46,6 +46,7 @@ __all__ = [
     "jl_project",
     "embedding_covariance_block",
     "pca_whiten",
+    "ivf_add_batch",
 ]
 
 
@@ -1009,3 +1010,28 @@ def pca_whiten(
     return df.withColumn(
         out_col, F.when(ok, F.array(*comps)).otherwise(F.lit(None))
     )
+
+
+def ivf_add_batch(
+    vectors: DataFrame,
+    cents: list[list[float]],
+    *,
+    vec_col: str = "embedding",
+    quant: float = 1_000_000.0,
+) -> DataFrame:
+    """Incremental IVF maintenance — assign a NEW batch of vectors against
+    an EXISTING coarse quantizer (the FAISS ``add()`` contract: train once
+    on the base corpus, add batches forever).  One pure-expression pass
+    over the batch only: no retraining, no rescan of the indexed base, no
+    shuffle — at 100 TB the nightly ingest assigns its own rows and
+    appends them to the list-partitioned index layout.
+
+    Assignment is :func:`ivf_build_seeded`'s own ``_seeded_argmin`` against
+    the fixed centroid literals, so a batch row lands in EXACTLY the list
+    a full rebuild with the same centroids would give it — the parity the
+    ``ivf_index_incremental`` registry query hash-checks end to end.
+    """
+    pts = vectors.filter(F.col(vec_col).isNotNull()).select(
+        *vectors.columns, quantized_vec(vec_col, quant).alias("__q")
+    )
+    return pts.withColumn("ivf_list", _seeded_argmin(cents)).drop("__q")

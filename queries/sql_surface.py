@@ -1435,17 +1435,35 @@ def dedup_bloom_incremental(spark, sf_dir):
 
 
 def _ivf_seeded_sql(
-    *, n_lists: int = 8, iters: int = 2, nprobe: int = 3, k: int = 10, qid: int = 7
+    *,
+    n_lists: int = 8,
+    iters: int = 2,
+    nprobe: int = 3,
+    k: int = 10,
+    qid: int = 7,
+    train_where: str | None = None,
 ) -> str:
     """DuckDB twin of ivf_build_seeded + ivf_topk_seeded: md5-rank seeds,
     ``iters`` unrolled Lloyd rounds over exact-integer quantized components
     (sums are order-independent bigint arithmetic; centroid components are
     one IEEE division of exact ints), squared-euclid assignment with the
     same left-to-right double fold Spark's ``aggregate(zip_with(...))``
-    performs, cosine re-rank of the ``nprobe`` probed lists."""
+    performs, cosine re-rank of the ``nprobe`` probed lists.
+
+    ``train_where`` restricts the QUANTIZER TRAINING (seeds + Lloyd
+    rounds) to a slice while the final assignment and probe still cover
+    every vector — the incremental-maintenance contract (train once on the
+    base corpus, add later batches against the FIXED centroids)."""
     dist = (
         "list_sum(list_transform(list_zip({a}, {b}), "
         "z -> (CAST(z[1] AS DOUBLE) - z[2]) * (CAST(z[1] AS DOUBLE) - z[2])))"
+    )
+    train = "train" if train_where else "pts"
+    train_cte = (
+        f""",
+    train AS (SELECT * FROM pts WHERE {train_where})"""
+        if train_where
+        else ""
     )
     parts = [
         f"""
@@ -1453,10 +1471,10 @@ def _ivf_seeded_sql(
       SELECT vec_id, embedding,
              list_transform(embedding,
                x -> CAST(round(CAST(x AS DOUBLE) * 1000000.0) AS BIGINT)) AS q
-      FROM embeddings WHERE embedding IS NOT NULL),
+      FROM embeddings WHERE embedding IS NOT NULL){train_cte},
     seeds AS (
       SELECT q, ROW_NUMBER() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1 AS cid
-      FROM (SELECT vec_id, q FROM pts
+      FROM (SELECT vec_id, q FROM {train}
             ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT {n_lists})),
     c0 AS (SELECT cid, list_transform(q, x -> CAST(x AS DOUBLE)) AS c FROM seeds)"""
     ]
@@ -1468,7 +1486,7 @@ def _ivf_seeded_sql(
         SELECT p.vec_id, p.q, c.cid,
                ROW_NUMBER() OVER (PARTITION BY p.vec_id
                  ORDER BY {dist.format(a='p.q', b='c.c')}, c.cid) AS rn
-        FROM pts p CROSS JOIN c{it} c) WHERE rn = 1),
+        FROM {train} p CROSS JOIN c{it} c) WHERE rn = 1),
     s{it} AS (
       SELECT cid, i, SUM(x) AS s, COUNT(*) AS cnt FROM (
         SELECT cid, generate_subscripts(q, 1) AS i, UNNEST(q) AS x FROM a{it})
@@ -2528,3 +2546,46 @@ def join_size_estimate(spark, sf_dir):
             F.col("est_pairs") * F.lit(10000.0) / F.col("exact_pairs")
         ).cast("long").alias("ratio_bp"),
     )
+
+
+@q(
+    "ivf_index_incremental",
+    _ivf_seeded_sql(train_where="vec_id % 10 <> 0"),
+)
+def ivf_index_incremental(spark, sf_dir):
+    """Incremental IVF index maintenance: the coarse quantizer trains on
+    the base corpus (vec_id % 10 != 0) ONCE; the held-out batch is added
+    against the FIXED centroids (engine.extended.similarity.ivf_add_batch
+    — one pure-expression pass over the batch, no retrain, no base
+    rescan); the probe runs over the merged index.  The oracle rebuilds
+    the whole thing with training restricted to the same base slice, so
+    the query proves the incremental add lands every batch row in exactly
+    the list a from-scratch assignment would — the FAISS train-once /
+    add-forever contract, hash-checked.  Completes the incremental index
+    family (minhash band index, line-fingerprint index, SemDeDup
+    centroids)."""
+    from engine.extended.similarity import (
+        ivf_add_batch,
+        ivf_build_seeded,
+        ivf_topk_seeded,
+        quantized_vec,
+    )
+
+    emb = t(spark, sf_dir, "embeddings")
+    base = emb.filter(F.col("vec_id") % 10 != 0)
+    batch = emb.filter(F.col("vec_id") % 10 == 0)
+    qrows = (
+        emb.filter(F.col("embedding").isNotNull() & (F.col("vec_id") >= 7))
+        .orderBy("vec_id")
+        .limit(1)
+        .select(F.col("embedding"), quantized_vec("embedding").alias("qq"))
+        .collect()
+    )
+    if not qrows:
+        return emb.select("vec_id", F.lit(None).cast("double").alias("sim")).limit(0)
+    qv = [float(x) for x in qrows[0]["embedding"]]
+    qq = [float(x) for x in qrows[0]["qq"]]
+    assigned_base, cents = ivf_build_seeded(base, n_lists=8, iters=2, dim=len(qv))
+    added = ivf_add_batch(batch, cents)
+    merged = assigned_base.unionByName(added)
+    return ivf_topk_seeded(merged, cents, qq, qv, k=10, nprobe=3)

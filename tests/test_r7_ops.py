@@ -241,3 +241,37 @@ def test_rendezvous_assign_minimal_disruption(spark):
 
     load = Counter(before.values())
     assert all(2000 / 5 / 2 < c < 2000 / 5 * 2 for c in load.values()), load
+
+
+def test_ivf_add_batch_matches_rebuild_assignment(spark):
+    """The FAISS train-once/add-forever contract: a batch assigned against
+    the fixed centroids lands in exactly the lists a from-scratch
+    assignment of the full corpus (same centroids) produces, and vectors
+    with NULL embeddings are excluded like the build's own contract."""
+    import random
+
+    from engine.extended.similarity import ivf_add_batch, ivf_build_seeded
+
+    rng = random.Random(17)
+    rows = [
+        (i, [rng.gauss(0, 1) for _ in range(8)]) for i in range(300)
+    ] + [(999, None)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    base = df.filter(F.col("vec_id") % 3 != 0)
+    batch = df.filter(F.col("vec_id") % 3 == 0)
+    assigned_base, cents = ivf_build_seeded(base, n_lists=4, iters=2, dim=8)
+    added = {
+        r["vec_id"]: r["ivf_list"]
+        for r in ivf_add_batch(batch, cents).collect()
+    }
+    # rebuild-parity: assign the SAME batch rows via the build's own final
+    # assignment path (fixed centroids)
+    from engine.extended.similarity import _seeded_argmin, quantized_vec
+
+    full = (
+        batch.filter(F.col("embedding").isNotNull())
+        .select("vec_id", quantized_vec("embedding", 1_000_000.0).alias("__q"))
+        .withColumn("ivf_list", _seeded_argmin(cents))
+    )
+    want = {r["vec_id"]: r["ivf_list"] for r in full.collect()}
+    assert added == want and 999 not in added and len(added) > 0
