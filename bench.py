@@ -162,6 +162,7 @@ SECONDARY = [
     "score_quantile_normalize",
     "video_frame_sample",
     "ivf_index_incremental",
+    "lsh_recall_audit",
 ]
 
 

@@ -139,12 +139,17 @@ _TOKS_SQL = "list_transform(regexp_extract_all(text, '[A-Za-z0-9'']+'), x -> LOW
 _OPH_C_SQL = 0x3779B97F4A7C15
 
 
-def _minhash_with_sql(*, k: int = 64, n: int = 3, bands: int = 16, recursive: bool = False) -> str:
+def _minhash_with_sql(
+    *, k: int = 64, n: int = 3, bands: int = 16, recursive: bool = False,
+    where: str = "",
+) -> str:
     """WITH-clause chain ending in banded(doc_id, sig, band, bkey) — the
     DuckDB twin of minhash_sigs + band explosion in md5 mode.
 
     ``recursive=True`` opens the clause as WITH RECURSIVE so callers can
-    append a recursive CTE (the connected-components closure)."""
+    append a recursive CTE (the connected-components closure); ``where``
+    restricts the corpus slice (the recall audit runs on a bounded
+    subset)."""
     rpb = k // bands
     branches = []
     for b in range(bands):
@@ -155,7 +160,7 @@ def _minhash_with_sql(*, k: int = 64, n: int = 3, bands: int = 16, recursive: bo
     banded = "\n      UNION ALL\n      ".join(branches)
     return f"""
     WITH {"RECURSIVE " if recursive else ""}toks AS (
-      SELECT doc_id, {_TOKS_SQL} AS toks FROM documents),
+      SELECT doc_id, {_TOKS_SQL} AS toks FROM documents{(' WHERE ' + where) if where else ''}),
     shingles AS (
       SELECT doc_id, UNNEST(list_distinct(CASE WHEN LENGTH(toks) < {n}
         THEN CAST([] AS VARCHAR[])
@@ -969,4 +974,94 @@ def video_frame_sample_q(spark, sf_dir):
     return fr.groupBy("media_id").agg(
         F.count(F.lit(1)).alias("n_frames"),
         F.sum(F.octet_length("frame")).cast("long").alias("frame_bytes"),
+    )
+
+
+_LSH_AUDIT_WHERE = "doc_id IS NOT NULL AND doc_id < 300 AND text IS NOT NULL"
+
+
+@q(
+    "lsh_recall_audit",
+    _minhash_with_sql(where=_LSH_AUDIT_WHERE)
+    + f""",
+    cand AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM banded a JOIN banded b
+        ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id),
+    sh AS (
+      SELECT doc_id, list_distinct(CASE WHEN LENGTH(toks) < 3
+        THEN CAST([] AS VARCHAR[])
+        ELSE list_transform(range(0, LENGTH(toks) - 2),
+             i -> array_to_string(list_slice(toks, i + 1, i + 3), ' ')) END)
+        AS sh
+      FROM toks),
+    truep AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+      WHERE LENGTH(list_distinct(list_concat(a.sh, b.sh))) > 0
+        AND 2 * LENGTH(list_intersect(a.sh, b.sh))
+            >= LENGTH(list_distinct(list_concat(a.sh, b.sh)))),
+    caught AS (SELECT * FROM truep INTERSECT SELECT * FROM cand)
+    SELECT CAST((SELECT COUNT(*) FROM truep) AS BIGINT) AS n_true,
+           CAST((SELECT COUNT(*) FROM caught) AS BIGINT) AS n_caught,
+           CAST((SELECT COUNT(*) FROM cand) AS BIGINT) AS n_candidates,
+           CAST(FLOOR((SELECT COUNT(*) FROM caught) * 10000.0
+                / GREATEST((SELECT COUNT(*) FROM truep), 1)) AS BIGINT)
+             AS recall_bp
+    """,
+)
+def lsh_recall_audit(spark, sf_dir):
+    """LSH quality audit — the minhash sibling of ann_recall_audit: on a
+    bounded 300-doc slice, the TRUE Jaccard-≥-0.5 pairs come from an
+    exact all-pairs 3-gram comparison (integer test: 2·|∩| ≥ |∪|, no
+    float threshold), and recall_bp measures how many the banded-LSH
+    candidate generator catches; n_candidates shows the price paid.  The
+    audit slice is what makes exactness affordable — all-pairs on ≤300
+    docs, the deliberate bounded exception to the no-quadratic rule, while
+    the LSH side is the production candidate path itself (md5 mode, the
+    same signatures the oracle rebuilds)."""
+    from engine.extended.dedup import minhash_candidates, ngrams_from
+    from engine.extended.text import tokens
+
+    d = t(spark, sf_dir, "documents")
+    sub = d.filter(
+        F.col("doc_id").isNotNull()
+        & (F.col("doc_id") < 300)
+        & F.col("text").isNotNull()
+    )
+    cand = minhash_candidates(sub, hash_fn="md5").select("id_a", "id_b")
+    sh = sub.select(
+        "doc_id",
+        F.array_distinct(ngrams_from(tokens("text"), 3)).alias("sh"),
+    )
+    a, b = sh.alias("a"), sh.alias("b")
+    truep = (
+        a.join(b, F.col("a.doc_id") < F.col("b.doc_id"))
+        .filter(
+            (F.size(F.array_union("a.sh", "b.sh")) > 0)
+            & (
+                F.size(F.array_intersect("a.sh", "b.sh")) * 2
+                >= F.size(F.array_union("a.sh", "b.sh"))
+            )
+        )
+        .select(
+            F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b")
+        )
+    )
+    caught = truep.join(cand, ["id_a", "id_b"], "left_semi")
+    nt = truep.agg(F.count(F.lit(1)).alias("n_true"))
+    nc = caught.agg(F.count(F.lit(1)).alias("n_caught"))
+    ncand = cand.agg(F.count(F.lit(1)).alias("n_candidates"))
+    return (
+        nt.crossJoin(nc)
+        .crossJoin(ncand)
+        .select(
+            "n_true",
+            "n_caught",
+            "n_candidates",
+            F.floor(
+                F.col("n_caught") * F.lit(10000.0)
+                / F.greatest(F.col("n_true"), F.lit(1))
+            ).cast("long").alias("recall_bp"),
+        )
     )
