@@ -163,6 +163,7 @@ SECONDARY = [
     "video_frame_sample",
     "ivf_index_incremental",
     "lsh_recall_audit",
+    "ranking_auc_value",
 ]
 
 

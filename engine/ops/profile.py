@@ -36,6 +36,7 @@ __all__ = [
     "categorical_mi",
     "k_anonymity",
     "l_diversity",
+    "ranking_auc",
     "profile_drift",
 ]
 
@@ -475,3 +476,70 @@ def l_diversity(
         F.countDistinct(sensitive_col).alias("sensitive_diversity"),
     )
     return cls.withColumn("at_risk", F.col("sensitive_diversity") < l)
+
+
+def ranking_auc(
+    df: DataFrame,
+    score_col: str,
+    label_col: str,
+    *,
+    quant: int = 1000,
+    score_cap: int = 1_000_000_000,
+) -> DataFrame:
+    """ROC AUC of a score against a binary label — the classifier/quality-
+    scorer evaluation every selection pipeline reads before trusting a
+    score column — computed SCALE-SAFELY: no global rank window over the
+    corpus.
+
+    Uses the pairwise identity ``AUC = Σ_v npos(v)·(cumneg(<v) + nneg(v)/2)
+    / (P·N)`` over the DISTINCT-score table: one groupBy collapses the
+    corpus to per-score (npos, nneg) counts, and the cumulative-negative
+    running sum rides :func:`engine.extended.sampling._size_rank`'s
+    bit-length-bucketed machinery (no SinglePartition exchange) with the
+    negatives count as the window weight.  Ties contribute the standard
+    half credit exactly (everything stays integer until ONE final
+    division).  Scores quantize to ``quant`` units and clamp to
+    ``[0, score_cap]`` so hostile magnitudes can't break the integer
+    rank machinery; NULL scores and labels are excluded.  Returns one row
+    ``(n_pos, n_neg, auc_micro)`` with NULL auc when either class is
+    empty.
+    """
+    from engine.extended.sampling import _size_rank
+
+    lab = F.col(label_col).cast("int")
+    sc = F.least(
+        F.greatest(
+            F.floor(F.col(score_col).cast("double") * quant + F.lit(0.5))
+            .cast("long"),
+            F.lit(0).cast("long"),
+        ),
+        F.lit(int(score_cap)).cast("long"),
+    )
+    s = df.filter(
+        F.col(score_col).isNotNull() & F.col(label_col).isNotNull()
+    ).select(sc.alias("score"), lab.alias("lab"))
+    vt = s.groupBy("score").agg(
+        F.sum("lab").alias("np"),
+        F.sum(F.lit(1) - F.col("lab")).alias("nn"),
+    )
+    ranked = _size_rank(
+        vt, "score", "score", descending=False, weight_col="nn"
+    )
+    # __runsum is cumulative negatives INCLUSIVE of this score's group
+    return ranked.select(
+        "np", "nn", (F.col("__runsum") - F.col("nn")).alias("cumneg")
+    ).agg(
+        F.sum("np").cast("long").alias("n_pos"),
+        F.sum("nn").cast("long").alias("n_neg"),
+        F.when(
+            (F.sum("np") > 0) & (F.sum("nn") > 0),
+            F.floor(
+                F.sum(
+                    F.col("np") * (2 * F.col("cumneg") + F.col("nn"))
+                ).cast("double")
+                / (2 * F.sum("np") * F.sum("nn")).cast("double")
+                * 1000000
+                + F.lit(0.5)
+            ).cast("long"),
+        ).alias("auc_micro"),
+    )

@@ -2589,3 +2589,50 @@ def ivf_index_incremental(spark, sf_dir):
     added = ivf_add_batch(batch, cents)
     merged = assigned_base.unionByName(added)
     return ivf_topk_seeded(merged, cents, qq, qv, k=10, nprobe=3)
+
+
+@q(
+    "ranking_auc_value",
+    """
+    WITH s AS (
+      SELECT LEAST(GREATEST(CAST(FLOOR(value * 1000 + 0.5) AS BIGINT), 0),
+                   1000000000) AS score,
+             CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS lab
+      FROM events
+      WHERE value IS NOT NULL AND event_type IN ('purchase', 'view')),
+    vt AS (
+      SELECT score, SUM(lab) AS np, SUM(1 - lab) AS nn
+      FROM s GROUP BY score),
+    r AS (
+      SELECT score, np, nn,
+             COALESCE(SUM(nn) OVER (ORDER BY score
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS cumneg
+      FROM vt),
+    agg AS (SELECT SUM(np * (2 * cumneg + nn)) AS s2,
+                   SUM(np) AS p, SUM(nn) AS n FROM r)
+    SELECT CAST(p AS BIGINT) AS n_pos, CAST(n AS BIGINT) AS n_neg,
+           CASE WHEN p > 0 AND n > 0 THEN
+             CAST(FLOOR(CAST(s2 AS DOUBLE) / CAST(2 * p * n AS DOUBLE)
+                  * 1000000 + 0.5) AS BIGINT) END AS auc_micro
+    FROM agg
+    """,
+)
+def ranking_auc_value(spark, sf_dir):
+    """ROC AUC of the event value as a purchase-vs-view discriminator
+    (engine.ops.profile.ranking_auc) — the scorer evaluation read before
+    trusting a quality column for selection.  Computed via the pairwise
+    identity over the DISTINCT-score table (ties at exact half credit,
+    integer arithmetic until one final division) with the cumulative
+    running sum on the shared bit-length-bucket rank machinery — never a
+    SinglePartition rank window over the corpus."""
+    from engine.ops.profile import ranking_auc
+
+    e = t(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("purchase", "view")
+    )
+    return ranking_auc(
+        e.select("value", (F.col("event_type") == "purchase").alias("lab")),
+        "value",
+        "lab",
+    )

@@ -275,3 +275,31 @@ def test_ivf_add_batch_matches_rebuild_assignment(spark):
     )
     want = {r["vec_id"]: r["ivf_list"] for r in full.collect()}
     assert added == want and 999 not in added and len(added) > 0
+
+
+def test_ranking_auc_known_values(spark):
+    """Hand-checkable AUCs: a perfect separator scores 1.0, a reversed one
+    0.0, all-ties 0.5, and a known mixed case matches sklearn's tie
+    convention (pairwise half-credit); one-class inputs yield NULL."""
+    from engine.ops.profile import ranking_auc
+
+    def auc(rows):
+        df = spark.createDataFrame(rows, "score double, lab int")
+        r = ranking_auc(df, "score", "lab").first()
+        return r["auc_micro"]
+
+    perfect = [(1.0, 0), (2.0, 0), (3.0, 1), (4.0, 1)]
+    assert auc(perfect) == 1_000_000
+    reversed_ = [(s, 1 - l) for s, l in perfect]
+    assert auc(reversed_) == 0
+    ties = [(5.0, 0), (5.0, 1), (5.0, 0), (5.0, 1)]
+    assert auc(ties) == 500_000
+    # mixed: pos scores {3, 1}, neg {2, 1}: pairs (3>2)=1, (3>1)=1,
+    # (1<2)=0, (1=1)=0.5 -> AUC = 2.5/4 = 0.625
+    mixed = [(3.0, 1), (1.0, 1), (2.0, 0), (1.0, 0)]
+    assert auc(mixed) == 625_000
+    one_class = [(1.0, 1), (2.0, 1)]
+    assert auc(one_class) is None
+    # NULL score/label rows are excluded, not crashed on
+    with_nulls = mixed + [(None, 1), (9.0, None)]
+    assert auc(with_nulls) == 625_000
