@@ -690,9 +690,14 @@ def stratified_kfold(
     cross-validation / eval-shard splitter that keeps every fold's source
     mixture identical to the corpus's.
 
-    Epoch-stable (pure key function of (id, salt)); NULL ids rank last
-    within their stratum, NULL strata form their own stratum (GROUP BY
-    semantics).  One window shuffle on the stratum key.
+    Epoch-stability REQUIRES ``id_col`` to be unique and non-NULL: the
+    fold follows the (md5(id), id) order, so duplicate or NULL ids tie
+    and the tied rows' fold split becomes partition-order-dependent
+    (review catch — the per-stratum BALANCE still holds either way, only
+    which tied row lands in which fold floats).  NULL ids hash as the
+    empty string (they sort at md5('')'s position, together); NULL strata
+    form their own stratum (GROUP BY semantics).  One window shuffle on
+    the stratum key.
     """
     if k < 2:
         raise ValueError(f"k must be >= 2, got {k}")

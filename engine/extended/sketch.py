@@ -440,8 +440,17 @@ def cms_inner_product(
         F.col("col").alias("col"),
         F.col("cnt").alias("__cnt_b"),
     )
+    # products accumulate in DECIMAL: a single hot cell past ~3e9 rows
+    # makes cnt² wrap a signed long, and a wrapped-negative row would win
+    # the MIN and silently invert the upper-bound contract exactly when
+    # the join-explosion warning matters (review catch).  The LONG output
+    # cast below bounds the reportable estimate at 2^63 — the caller's
+    # pair count is unrepresentable long before that matters.
     per_row = a.join(bb, ["row", "col"]).groupBy("row").agg(
-        F.sum(F.col("cnt") * F.col("__cnt_b")).alias("__p")
+        F.sum(
+            F.col("cnt").cast("decimal(19,0)")
+            * F.col("__cnt_b").cast("decimal(19,0)")
+        ).alias("__p")
     )
     # a sketch row sharing NO cell with b has true inner product 0 — it
     # must participate in the MIN as 0, not vanish from it (an inner-join

@@ -498,23 +498,29 @@ def ranking_auc(
     bit-length-bucketed machinery (no SinglePartition exchange) with the
     negatives count as the window weight.  Ties contribute the standard
     half credit exactly (everything stays integer until ONE final
-    division).  Scores quantize to ``quant`` units and clamp to
-    ``[0, score_cap]`` so hostile magnitudes can't break the integer
-    rank machinery; NULL scores and labels are excluded.  Returns one row
-    ``(n_pos, n_neg, auc_micro)`` with NULL auc when either class is
-    empty.
+    division — accumulated in DECIMAL so the ≈2·P·N numerator cannot wrap
+    a signed long at billions-per-class scale, review catch).  Scores
+    quantize to ``quant`` units, clamp to ``[-score_cap, score_cap]``,
+    and SHIFT by ``score_cap`` into non-negative longs — an
+    order-preserving affine map, so negative scores (logits, z-scores,
+    centered sims) rank correctly instead of collapsing into one tie at
+    zero (review catch: the first cut clamped at 0 and scored a perfect
+    negative-range separator as 0.5).  NULL scores and labels are
+    excluded.  Returns one row ``(n_pos, n_neg, auc_micro)`` with NULL
+    auc when either class is empty.
     """
     from engine.extended.sampling import _size_rank
 
     lab = F.col(label_col).cast("int")
+    cap = int(score_cap)
     sc = F.least(
         F.greatest(
             F.floor(F.col(score_col).cast("double") * quant + F.lit(0.5))
             .cast("long"),
-            F.lit(0).cast("long"),
+            F.lit(-cap).cast("long"),
         ),
-        F.lit(int(score_cap)).cast("long"),
-    )
+        F.lit(cap).cast("long"),
+    ) + F.lit(cap).cast("long")
     s = df.filter(
         F.col(score_col).isNotNull() & F.col(label_col).isNotNull()
     ).select(sc.alias("score"), lab.alias("lab"))
@@ -535,9 +541,14 @@ def ranking_auc(
             (F.sum("np") > 0) & (F.sum("nn") > 0),
             F.floor(
                 F.sum(
-                    F.col("np") * (2 * F.col("cumneg") + F.col("nn"))
+                    (F.col("np") * (2 * F.col("cumneg") + F.col("nn")))
+                    .cast("decimal(38,0)")
                 ).cast("double")
-                / (2 * F.sum("np") * F.sum("nn")).cast("double")
+                / (
+                    F.lit(2.0)
+                    * F.sum("np").cast("double")
+                    * F.sum("nn").cast("double")
+                )
                 * 1000000
                 + F.lit(0.5)
             ).cast("long"),

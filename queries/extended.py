@@ -1020,8 +1020,8 @@ def lsh_recall_audit(spark, sf_dir):
     docs, the deliberate bounded exception to the no-quadratic rule, while
     the LSH side is the production candidate path itself (md5 mode, the
     same signatures the oracle rebuilds)."""
-    from engine.extended.dedup import minhash_candidates, ngrams_from
-    from engine.extended.text import tokens
+    from engine.extended.dedup import minhash_candidates
+    from engine.extended.text import word_ngrams
 
     d = t(spark, sf_dir, "documents")
     sub = d.filter(
@@ -1032,7 +1032,7 @@ def lsh_recall_audit(spark, sf_dir):
     cand = minhash_candidates(sub, hash_fn="md5").select("id_a", "id_b")
     sh = sub.select(
         "doc_id",
-        F.array_distinct(ngrams_from(tokens("text"), 3)).alias("sh"),
+        F.array_distinct(word_ngrams("text", 3)).alias("sh"),
     )
     a, b = sh.alias("a"), sh.alias("b")
     truep = (

@@ -1661,8 +1661,13 @@ def _hrw_sql(nodes: list[str]) -> str:
     )
     cols = ", ".join(f"{h(n)} AS h{i}" for i, n in enumerate(nodes))
     great = ", ".join(f"h{i}" for i in range(len(nodes)))
+    # tie-break must match Spark's array_max(struct(h, n)) — largest node
+    # NAME wins on an (astronomically unlikely) hash tie — so the CASE
+    # tests the LAST-listed node first (review catch: index order broke
+    # toward node0)
     whens = " ".join(
-        f"WHEN h{i} THEN '{n}'" for i, n in enumerate(nodes)
+        f"WHEN h{i} THEN '{n}'"
+        for i, n in sorted(enumerate(nodes), key=lambda t: t[1], reverse=True)
     )
     return f"""
     WITH h AS (

@@ -467,9 +467,11 @@ def approx_sketches(spark, sf_dir):
     )
 
 
+#: width is a FORMAT parameter ({w}) — a .replace() on the literal was a
+#: silent-no-op trap if the template ever changed (review catch)
 _CMS_HASH = (
     "CAST(('0x' || SUBSTRING(MD5(CAST({i} AS VARCHAR) || ':' || {k}), 1, 15)) "
-    "AS BIGINT) % 512"
+    "AS BIGINT) % {w}"
 )
 
 
@@ -481,7 +483,7 @@ _CMS_HASH = (
       FROM lineitem WHERE l_partkey IS NOT NULL),
     rows3 AS (SELECT * FROM (VALUES (0), (1), (2)) r(i)),
     cells AS (
-      SELECT i AS row_i, {_CMS_HASH.format(i='i', k='k')} AS col_i,
+      SELECT i AS row_i, {_CMS_HASH.format(i='i', k='k', w=512)} AS col_i,
              COUNT(*) AS cnt
       FROM src CROSS JOIN rows3 GROUP BY 1, 2),
     exact AS (SELECT k, COUNT(*) AS exact_n FROM src GROUP BY k),
@@ -491,7 +493,7 @@ _CMS_HASH = (
       CROSS JOIN rows3 r
       JOIN cells c
         ON c.row_i = r.i
-       AND c.col_i = {_CMS_HASH.format(i='r.i', k='e.k')}
+       AND c.col_i = {_CMS_HASH.format(i='r.i', k='e.k', w=512)}
       GROUP BY e.k, e.exact_n)
     SELECT CAST(k AS BIGINT) AS l_partkey, exact_n, est_n,
            est_n - exact_n AS overcount
@@ -539,14 +541,14 @@ def cms_heavy_hitters(spark, sf_dir):
       FROM lineitem WHERE l_partkey IS NOT NULL),
     rows3 AS (SELECT * FROM (VALUES (0), (1), (2)) r(i)),
     by_shard AS (
-      SELECT shard, i AS row_i, {_CMS_HASH.format(i='i', k='k')} AS col_i,
+      SELECT shard, i AS row_i, {_CMS_HASH.format(i='i', k='k', w=512)} AS col_i,
              COUNT(*) AS cnt
       FROM src CROSS JOIN rows3 GROUP BY 1, 2, 3),
     merged AS (
       SELECT row_i, col_i, CAST(SUM(cnt) AS BIGINT) AS cnt
       FROM by_shard GROUP BY 1, 2),
     whole AS (
-      SELECT i AS row_i, {_CMS_HASH.format(i='i', k='k')} AS col_i,
+      SELECT i AS row_i, {_CMS_HASH.format(i='i', k='k', w=512)} AS col_i,
              COUNT(*) AS cnt
       FROM src CROSS JOIN rows3 GROUP BY 1, 2)
     SELECT COUNT(*) AS n_cells,
@@ -2503,7 +2505,7 @@ def jaccard_bottomk_overlap(spark, sf_dir):
     "join_size_estimate",
     f"""
     WITH cells AS (
-      SELECT r.i AS row, {_CMS_HASH.format(i="r.i", k="CAST(l_partkey AS VARCHAR)").replace("% 512", "% 4096")} AS col,
+      SELECT r.i AS row, {_CMS_HASH.format(i="r.i", k="CAST(l_partkey AS VARCHAR)", w=4096)} AS col,
              COUNT(*) AS cnt
       FROM lineitem, (SELECT UNNEST([0, 1, 2]) AS i) r
       WHERE l_partkey IS NOT NULL
@@ -2595,8 +2597,8 @@ def ivf_index_incremental(spark, sf_dir):
     "ranking_auc_value",
     """
     WITH s AS (
-      SELECT LEAST(GREATEST(CAST(FLOOR(value * 1000 + 0.5) AS BIGINT), 0),
-                   1000000000) AS score,
+      SELECT LEAST(GREATEST(CAST(FLOOR(value * 1000 + 0.5) AS BIGINT),
+                            -1000000000), 1000000000) + 1000000000 AS score,
              CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS lab
       FROM events
       WHERE value IS NOT NULL AND event_type IN ('purchase', 'view')),
@@ -2613,7 +2615,8 @@ def ivf_index_incremental(spark, sf_dir):
                    SUM(np) AS p, SUM(nn) AS n FROM r)
     SELECT CAST(p AS BIGINT) AS n_pos, CAST(n AS BIGINT) AS n_neg,
            CASE WHEN p > 0 AND n > 0 THEN
-             CAST(FLOOR(CAST(s2 AS DOUBLE) / CAST(2 * p * n AS DOUBLE)
+             CAST(FLOOR(CAST(s2 AS DOUBLE)
+                  / (2.0 * CAST(p AS DOUBLE) * CAST(n AS DOUBLE))
                   * 1000000 + 0.5) AS BIGINT) END AS auc_micro
     FROM agg
     """,

@@ -303,3 +303,18 @@ def test_ranking_auc_known_values(spark):
     # NULL score/label rows are excluded, not crashed on
     with_nulls = mixed + [(None, 1), (9.0, None)]
     assert auc(with_nulls) == 625_000
+
+
+def test_ranking_auc_negative_scores(spark):
+    """Review catch: a perfect separator living entirely in negative score
+    territory must score 1.0 — the first cut clamped negatives into one
+    tie at zero and returned 0.5."""
+    from engine.ops.profile import ranking_auc
+
+    rows = [(-3.0, 0), (-2.0, 0), (-1.0, 1), (-0.5, 1)]
+    df = spark.createDataFrame(rows, "score double, lab int")
+    assert ranking_auc(df, "score", "lab").first()["auc_micro"] == 1_000_000
+    # and mixed-sign ordering is preserved across the shift
+    rows2 = [(-1.0, 0), (0.5, 1), (-2.0, 0), (2.0, 1)]
+    df2 = spark.createDataFrame(rows2, "score double, lab int")
+    assert ranking_auc(df2, "score", "lab").first()["auc_micro"] == 1_000_000
