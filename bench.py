@@ -164,6 +164,7 @@ SECONDARY = [
     "ivf_index_incremental",
     "lsh_recall_audit",
     "ranking_auc_value",
+    "corpus_pipeline_v5",
 ]
 
 

@@ -736,3 +736,69 @@ def scd2_point_in_time_q(spark, sf_dir):
         F.col("c_mktsegment").alias("segment_at_order"),
         F.col("valid_from").cast("string").alias("version_from_s"),
     )
+
+
+@q(
+    "corpus_pipeline_v5",
+    """
+    WITH s AS (
+      SELECT doc_id, source, GREATEST(COALESCE(n_chars, 0), 0) AS cost,
+             CAST(FLOOR(PERCENT_RANK() OVER (
+                    PARTITION BY source ORDER BY n_chars NULLS FIRST)
+                  * 1000 + 0.5) AS BIGINT) AS pr
+      FROM documents WHERE doc_id IS NOT NULL),
+    r AS (
+      SELECT doc_id, cost, pr,
+             SUM(cost) OVER (ORDER BY pr DESC, doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS running
+      FROM s),
+    sel AS (SELECT doc_id, cost, pr FROM r WHERE running <= 150000),
+    rk AS (
+      SELECT cost, pr,
+             ROW_NUMBER() OVER (ORDER BY cost DESC, doc_id) - 1 AS rk
+      FROM sel)
+    SELECT CAST(CASE WHEN rk % 16 < 8 THEN rk % 16
+                     ELSE 15 - (rk % 16) END AS INTEGER) AS shard,
+           COUNT(*) AS n_docs,
+           CAST(SUM(cost) AS BIGINT) AS total_chars,
+           CAST(FLOOR(CAST(SUM(pr) AS DOUBLE) / COUNT(*) + 0.5) AS BIGINT)
+             AS mean_pr_milli
+    FROM rk GROUP BY 1
+    """,
+)
+def corpus_pipeline_v5(spark, sf_dir):
+    """End-to-end training-layout pipeline from the round-7 primitives:
+    per-source QUANTILE-NORMALIZED quality (cross-source calibration) →
+    best-first BUDGET fill (150k chars, running cost on the shared
+    bit-length-bucket machinery) → size-BALANCED serpentine shards of the
+    selection.  Per-shard doc/byte totals plus the mean normalized
+    quality per shard — the audit that the budget bought high-percentile
+    docs AND the shards stayed byte-balanced.  Every stage is the
+    registry operator itself (score_quantile_normalize / budget_select /
+    balanced_shards), composed; the oracle chains the naive total-order
+    SQL of each."""
+    from engine.extended.sampling import balanced_shards
+    from engine.extended.selection import budget_select
+
+    d = t(spark, sf_dir, "documents").filter(F.col("doc_id").isNotNull())
+    w = Window.partitionBy("source").orderBy(F.col("n_chars").asc_nulls_first())
+    scored = d.select(
+        "doc_id",
+        F.greatest(
+            F.coalesce(F.col("n_chars").cast("long"), F.lit(0)), F.lit(0)
+        ).alias("cost"),
+        F.floor(F.percent_rank().over(w) * 1000 + F.lit(0.5))
+        .cast("long")
+        .alias("pr"),
+    )
+    sel = budget_select(scored, "pr", "cost", budget=150_000, id_col="doc_id")
+    sharded = balanced_shards(
+        sel.select("doc_id", "cost", "pr"), "cost", n_shards=8, id_col="doc_id"
+    )
+    return sharded.groupBy("shard").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("cost").cast("long").alias("total_chars"),
+        F.floor(F.sum("pr").cast("double") / F.count(F.lit(1)) + F.lit(0.5))
+        .cast("long")
+        .alias("mean_pr_milli"),
+    )
