@@ -519,3 +519,41 @@ def test_tpch_subquery_shapes_avoid_nested_loops(spark):
     # Q20: every membership level is a semi join
     p20 = plan(q20_excess_share_suppliers(spark, SF))
     assert "LeftSemi" in p20
+
+
+def test_r7_temporal_and_eval_plan_shapes(spark):
+    """Round-7 scale gates: the point-in-time join and attribution
+    candidate join carry their KEY equality as the hash/sort-merge
+    condition (never a nested loop over versions/clicks), and the AUC's
+    cumulative sum runs with NO SinglePartition exchange."""
+    from queries import (
+        attribution_last_click,
+        ranking_auc_value,
+        scd2_point_in_time_q,
+    )
+
+    for fn in (scd2_point_in_time_q, attribution_last_click):
+        p = plan(fn(spark, SF))
+        assert "BroadcastNestedLoopJoin" not in p, fn.__name__
+        assert "CartesianProduct" not in p, fn.__name__
+        assert ("BroadcastHashJoin" in p) or ("SortMergeJoin" in p), fn.__name__
+    p = plan(ranking_auc_value(spark, SF))
+    # the ONLY SinglePartition exchange is the final ≤1-row aggregate —
+    # every Window over data runs partitioned by the bit-length bucket
+    # (a corpus-wide rank window would add a second SinglePartition)
+    assert p.count("Exchange SinglePartition") == 1
+    for line in p.splitlines():
+        if "windowspecdefinition" in line:
+            assert "__bkt" in line or "_w0" in line, line[:120]
+
+
+def test_r7_search_and_index_plan_shapes(spark):
+    """Phrase search's positional AND is a chain of semi joins on
+    term-FILTERED postings (the token predicate must reach the join
+    inputs), and the incremental IVF add is expression-only: its plan
+    holds no extra shuffle beyond the build's own aggregates."""
+    from queries import phrase_search_topk
+
+    p = plan(phrase_search_topk(spark, SF))
+    assert "LeftSemi" in p
+    assert "BroadcastNestedLoopJoin" not in p and "CartesianProduct" not in p
