@@ -57,16 +57,24 @@ del _m, _k, _v
 # entries first.
 
 _WINDOW_PRIORITY = [
-    # ---- r7 ROTATION (VERDICT r6 #1): after six artifacts, exactly 37
-    # registry queries have never earned a driver row — 27 oracle-paired
-    # (the 12 r6 operators + the 15 r6-queued leftovers) and 10 rows-only
-    # seams.  This window fronts ALL 37 (the rows-only ones intentionally:
-    # a driver rows-only row is the hardest signal those seams can earn —
-    # see _WINDOW_ROWS_ONLY) plus 13 driver-green representatives covering
-    # every §2 family and the headline end-to-end chains.  Every rotated-
-    # out query stays green under the full local oracle gate
-    # (tools/check_oracle.py, gate #1 of the verify ladder).
-    # §2 core representatives (driver-green r1-r6).
+    # ---- r8 ROTATION (VERDICT r7 #1): exactly 17 registry queries have
+    # never earned a driver row — the r7 additions, all judge-verified at
+    # sf0.01 in the r7 verdict.  This window fronts all 17, then the three
+    # seams upgraded from rows-only to oracle-paired this round (their
+    # first chance at a hash-match row), the 11 standing §2/family
+    # representatives, and r3-era re-validation picks in the tail (swapped
+    # for new r8 queries as they land, per the windowed-at-birth rule).
+    # The 17 r7 additions (judge-green sf0.01, never driver-windowed).
+    "scd2_point_in_time_join", "l_diversity_audit", "attribution_last_click",
+    "phrase_search_topk", "embedding_covariance_block", "bottomk_shard_merge",
+    "jaccard_bottomk_overlap", "hilbert_key", "stratified_kfold_balance",
+    "rendezvous_routing", "join_size_estimate", "score_quantile_normalize",
+    "video_frame_sample", "ivf_index_incremental", "lsh_recall_audit",
+    "ranking_auc_value", "corpus_pipeline_v5",
+    # Seams upgraded rows-only → oracle-paired in r8 (VERDICT r7 #4):
+    # their r7 driver rows were rows-only; these slots buy hash matches.
+    "stratified_sample", "image_near_dup", "audio_near_dup",
+    # §2 core representatives (driver-green r1-r7; continuity picks).
     "p5_range_scan",            # P: scan + range/null predicates
     "j4_keepfirst_dedup",       # J + window dedup
     "a1_stall_guard_minmax",    # A: min/max stall aggregate
@@ -78,39 +86,27 @@ _WINDOW_PRIORITY = [
     "dedup_minhash_lsh",        # near-dup family
     "ann_cosine_topk",          # similarity family
     "cdc_apply_changelog",      # CDC family
-    # r7 TPC-H subquery shapes (VERDICT r6 #6) — windowed at birth
-    "q2_min_cost_supplier", "q20_excess_share_suppliers",
-    # r6 operators (judge-green at sf0.01, never driver-windowed).
-    "incremental_agg_merge", "dedup_keep_best", "balanced_shards",
-    "moments_shard_merge", "length_bucket_batches", "token_budget_select",
-    "curriculum_interleave", "label_propagation_communities",
-    "mad_outliers_by_user", "profile_drift_audit", "event_transition_probs",
-    "snapshot_diff_changelog",
-    # r6-queued leftovers (judge-green at sf0.01, never driver-windowed).
-    "centroid_drift_by_label", "token_gini_by_source",
-    "readability_by_source", "multivariate_outliers", "lang_source_mi",
-    "bpe_symbol_stats", "zorder_key", "label_centroids", "chunk_tokens",
-    "corpus_pipeline_v2", "doclen_quantiles", "doclen_histogram",
-    "exists_order_priority", "rich_idle_customers", "supplier_value_share",
-    # Rows-only seams (weaker driver check — rows>0 + stable schema — but
-    # it is the only driver signal these can ever earn; see allowlist).
-    "multimodal_features", "multimodal_decode", "image_near_dup",
-    "audio_features", "audio_near_dup", "approx_sketches",
-    "stratified_sample", "geocode_cascade_fake", "address_parse",
-    "compression_quality",
+    # r8 NEW-QUERY SLOTS: swapped in at birth as each lands this round;
+    # until then they hold r3-era re-validation picks so the window is
+    # valid at every commit.
+    "window_running_total", "topk_per_group", "q5_nation_revenue",
+    "text_quality", "lang_id", "pii_redact", "session_window_agg",
+    "rollup_revenue",
+    # r3-era re-validation (oracle-paired, last driver row r3; tail slots).
+    "pipeline_deleted_mode", "pipeline_updated_mode", "j1_left_join_fanout",
+    "j3_anti_join", "j7_overlay_join", "a3_watermark_advance",
+    "f3_f4_scrub_assemble", "f7_f8_geoid_assembly", "f13_json_records",
+    "st2_incremental_page", "setops_customer_keys",
 ]
 assert len(_WINDOW_PRIORITY) == 50, len(_WINDOW_PRIORITY)
 
-#: rows-only queries DELIBERATELY spent on window slots this round (r7):
+#: rows-only queries DELIBERATELY spent on window slots this round:
 #: each name here lacks a SQL oracle by nature (external-call seams, binary
-#: media, engine-native hash families) and has never appeared in a
-#: CORRECTNESS artifact.  Any window entry that is rows-only but NOT in
-#: this allowlist is still an error — a slot burned by accident.
+#: media, engine-native hash families).  Any window entry that is rows-only
+#: but NOT in this allowlist is still an error — a slot burned by accident.
+#: (r8: shrinks to empty as each windowed ex-seam gains its oracle twin.)
 _WINDOW_ROWS_ONLY = {
-    "multimodal_features", "multimodal_decode", "image_near_dup",
-    "audio_features", "audio_near_dup", "approx_sketches",
-    "stratified_sample", "geocode_cascade_fake", "address_parse",
-    "compression_quality",
+    "stratified_sample", "image_near_dup", "audio_near_dup",
 }
 
 
