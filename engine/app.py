@@ -22,7 +22,7 @@ from dataclasses import dataclass
 from pyspark.sql import DataFrame, SparkSession
 
 from engine.ops.avro_codec import to_avro_col
-from engine.ops.sinks import kinesis_put_batch
+from engine.ops.sinks import write_kinesis
 from engine.pipeline import (
     IncrementalRunner,
     PipelineConfig,
@@ -51,10 +51,15 @@ def make_avro_kinesis_sink(
     dry_run: bool = False,
     schema_source: str | dict | None = None,
     schema_transport=None,
+    mode: str = "executor",
 ):
     """Sink callable for IncrementalRunner: project to the 11-field contract,
-    Avro-encode, put in ≤500 chunks.  Collect happens per micro-batch (the
-    batch is bounded by batch_size, like the reference's in-memory batch).
+    Avro-encode, put via :func:`engine.ops.sinks.write_kinesis`.  The default
+    ``mode='executor'`` ships each partition's ≤500-record chunks from the
+    executors (foreachPartition — the driver never holds the batch, same
+    collect-free default the raw sink carries); ``mode='driver'`` is the
+    explicit opt-in for in-memory test transports and strictly-ordered puts
+    (the reference's single-process order, lib/kinesis_client.py).
 
     ``schema_source`` enables the SURVEY §1.3 startup guard (reference:
     registry fetch at controller construction, lib/pipeline_controller.py:59):
@@ -79,10 +84,9 @@ def make_avro_kinesis_sink(
 
     def sink(df: DataFrame, batch_id: int) -> int:
         enc = df.select(to_avro_col(df, cols, avro_schema).alias("record"))
-        records = [bytes(r["record"]) for r in enc.collect()]
-        if not dry_run and transport is not None:
-            kinesis_put_batch(records, transport, batch_id=batch_id)
-        return len(records)
+        return write_kinesis(
+            enc, transport, batch_id=batch_id, dry_run=dry_run, mode=mode
+        )
 
     return sink
 

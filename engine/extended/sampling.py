@@ -20,6 +20,7 @@ __all__ = [
     "weighted_sample",
     "negative_sample",
     "stratified_sample",
+    "stratified_sample_det",
     "mixture_sample",
     "per_key_sample",
     "shard_assign",
@@ -57,11 +58,77 @@ def hash_split(
     return (expr.otherwise(last)) if expr is not None else F.lit(last)
 
 
+def stratified_sample_det(
+    df: DataFrame,
+    strata_col: str,
+    fractions_bp: int | dict,
+    *,
+    id_col: str = "doc_id",
+    seed: int = 42,
+    default_bp: int = 0,
+) -> DataFrame:
+    """Deterministic per-stratum Bernoulli sample — the hash-rank sibling of
+    :func:`stratified_sample`: keep a row iff its md5 rank (first 15 hex
+    chars of ``md5(seed|stratum|id)`` as a 60-bit integer, mod 10000) falls
+    below the stratum's basis-point fraction.  Reproducible across runs,
+    row orders, partition counts, and engines (the md5_long dual family —
+    the DuckDB oracle replays the exact keep set), which seeded
+    ``sampleBy`` cannot promise.
+
+    ``fractions_bp`` is an int (uniform basis points for every stratum) or
+    a user-declared ``{stratum: bp}`` dict applied as a literal CASE —
+    never collected from data.  NULL strata/ids sample deterministically
+    via sentinels (concat_ws would silently SKIP nulls — the cross-engine
+    trap in the determinism ledger).
+
+    Scale shape: pure expression filter, no shuffle, no driver collect —
+    the fix for the distinct().collect() the rows-only query carried
+    (VERDICT r7 #6).
+    """
+    strat = F.coalesce(F.col(strata_col).cast("string"), F.lit("␀"))
+    ident = F.coalesce(F.col(id_col).cast("string"), F.lit("␀"))
+    tag = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.lit(str(seed)), F.lit("|"), strat, F.lit("|"), ident
+                    )
+                ),
+                1,
+                15,
+            ),
+            16,
+            10,
+        ).cast("long")
+        % 10000
+    )
+    if isinstance(fractions_bp, dict):
+        thr = None
+        for name, bp in fractions_bp.items():
+            cond = (
+                F.col(strata_col).isNull()
+                if name is None
+                else (F.col(strata_col) == F.lit(name))
+            )
+            thr = (
+                F.when(cond, F.lit(int(bp)))
+                if thr is None
+                else thr.when(cond, F.lit(int(bp)))
+            )
+        thr = thr.otherwise(F.lit(int(default_bp))) if thr is not None else F.lit(int(default_bp))
+    else:
+        thr = F.lit(int(fractions_bp))
+    return df.filter(tag < thr)
+
+
 def stratified_sample(
     df: DataFrame, strata_col: str, fractions: dict, *, seed: int = 42
 ) -> DataFrame:
     """Per-stratum Bernoulli sample (seeded, one pass, no group-size
-    collection).  Engine-native randomness → rows-only in the harness."""
+    collection).  Engine-native randomness → rows-only in the harness;
+    :func:`stratified_sample_det` is the engine-portable deterministic
+    variant the registry query pins."""
     return df.sampleBy(strata_col, fractions, seed=seed)
 
 

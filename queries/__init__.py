@@ -106,7 +106,7 @@ assert len(_WINDOW_PRIORITY) == 50, len(_WINDOW_PRIORITY)
 #: but NOT in this allowlist is still an error — a slot burned by accident.
 #: (r8: shrinks to empty as each windowed ex-seam gains its oracle twin.)
 _WINDOW_ROWS_ONLY = {
-    "stratified_sample", "image_near_dup", "audio_near_dup",
+    "image_near_dup", "audio_near_dup",
 }
 
 

@@ -2217,16 +2217,34 @@ def dataset_split(spark, sf_dir):
     )
 
 
-@q("stratified_sample")  # rows-only: seeded engine-native RNG
+@q(
+    "stratified_sample",
+    """
+    SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_sampled
+    FROM documents
+    WHERE CAST(('0x' || SUBSTRING(MD5(
+            '42|' || COALESCE(lang, '␀') || '|'
+                  || COALESCE(CAST(doc_id AS VARCHAR), '␀')), 1, 15))
+          AS BIGINT) % 10000 < 5000
+    GROUP BY lang ORDER BY lang NULLS LAST
+    """,
+)
 def stratified_sample_q(spark, sf_dir):
-    """Seeded per-language stratified sample of documents (class-balanced
-    subset without collecting group sizes)."""
-    from engine.extended.sampling import stratified_sample
+    """Deterministic per-language stratified sample of documents
+    (class-balanced subset): md5-rank Bernoulli keep at 5000 bp per
+    stratum — no group-size collection, no driver-collected lang domain
+    (the distinct().collect() this query carried until r8), and exactly
+    reproducible by the SQL oracle, upgrading it from rows-only to
+    hash-matched."""
+    from engine.extended.sampling import stratified_sample_det
 
     d = t(spark, sf_dir, "documents")
-    langs = [r["lang"] for r in d.select("lang").distinct().collect()]
-    out = stratified_sample(d, "lang", {lg: 0.5 for lg in langs}, seed=42)
-    return out.groupBy("lang").agg(F.count(F.lit(1)).alias("n_sampled")).orderBy("lang")
+    out = stratified_sample_det(d, "lang", 5000, id_col="doc_id", seed=42)
+    return (
+        out.groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("n_sampled"))
+        .orderBy(F.col("lang").asc_nulls_last())
+    )
 
 
 @q(
@@ -2428,26 +2446,24 @@ _BK_HASH = "CAST(('0x' || SUBSTRING(MD5({x} || '|bk'), 1, 15)) AS BIGINT)"
 )
 def bottomk_shard_merge(spark, sf_dir):
     """Bottom-k distinct sample, shard-merged
-    (engine.extended.sketch.bottomk_build/merge): five per-priority shard
-    sketches of the order customer keys merged Spark-side must equal the
-    oracle's DIRECT bottom-32 of the global key set bit-for-bit — min-ranks
-    commute with union, the merge identity that makes the bottom-k sketch
-    the distinct-SAMPLE member of the mergeable-summary quartet.  Per-shard
-    maintenance is a size-k top-k (no key-cardinality shuffle); merges act
-    on k-row frames."""
+    (engine.extended.sketch.bottomk_build/merge): five shard sketches of
+    the order customer keys — sharded by a derived priority bucket
+    ``crc32(priority) mod 5``, total by construction, so no
+    distinct().collect() of the priority domain is needed (VERDICT r7 #6)
+    — merged Spark-side must equal the oracle's DIRECT bottom-32 of the
+    global key set bit-for-bit: min-ranks commute with union, the merge
+    identity that makes the bottom-k sketch the distinct-SAMPLE member of
+    the mergeable-summary quartet.  Per-shard maintenance is a size-k
+    top-k (no key-cardinality shuffle); merges act on k-row frames."""
     from engine.extended.sketch import bottomk_build, bottomk_merge
 
     o = t(spark, sf_dir, "orders")
-    prios = [r["o_orderpriority"] for r in o.select("o_orderpriority").distinct().collect()]
+    bucket = F.pmod(
+        F.crc32(F.coalesce(F.col("o_orderpriority"), F.lit("␀"))), F.lit(5)
+    )
     shards = [
-        bottomk_build(
-            o.filter(
-                F.col("o_orderpriority").eqNullSafe(p)
-            ),
-            "o_custkey",
-            k=32,
-        )
-        for p in sorted(prios, key=lambda x: (x is None, x))
+        bottomk_build(o.filter(bucket == i), "o_custkey", k=32)
+        for i in range(5)
     ]
     return bottomk_merge(shards, k=32)
 

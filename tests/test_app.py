@@ -22,7 +22,9 @@ def test_run_all_modes_cross_mode_dedup(spark, sierra_df, tmp_path):
     store = LocalJsonStateStore(str(tmp_path / "state.json"))
     cfg = PipelineConfig(salt="app", batch_size=10)
     transport = CollectingTransport()
-    sink = make_avro_kinesis_sink(transport)
+    # driver mode: CollectingTransport is driver-side-only; the factory
+    # default is the executor foreachPartition path.
+    sink = make_avro_kinesis_sink(transport, mode="driver")
     patron_info = spark.createDataFrame([], SINK_RECORD)
     deleted = spark.createDataFrame(
         [(123, dt.date(2021, 5, 1)), (555, dt.date(2021, 5, 2))],

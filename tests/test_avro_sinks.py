@@ -216,3 +216,49 @@ def test_write_kinesis_default_mode_never_collects(spark, tmp_path, monkeypatch)
         with open(p, "rb") as f:
             total += len(f.read().split(b"\n"))
     assert total == 700
+
+
+def test_avro_sink_factory_default_never_collects(spark, tmp_path, monkeypatch):
+    """VERDICT r7 #8: the app-level sink factory must carry the same
+    collect-free default as the raw sink — its old body collected every
+    encoded record on the driver unconditionally.  Pinned the same way:
+    poison DataFrame.collect, run the factory-default sink end to end
+    (encode + executor put), and require every record delivered."""
+    import glob
+    import os
+    import uuid
+
+    from pyspark.sql import DataFrame
+
+    from engine.app import make_avro_kinesis_sink
+
+    out_dir = str(tmp_path / "fputs")
+    os.makedirs(out_dir, exist_ok=True)
+
+    def transport(records, batch_id):
+        # record COUNT per put, not joined bytes: Avro binaries may
+        # contain the join byte, so a split-based recount would drift.
+        p = os.path.join(out_dir, f"{batch_id}-{uuid.uuid4().hex}.chunk")
+        with open(p, "w") as f:
+            f.write(str(len(records)))
+
+    sink = make_avro_kinesis_sink(transport)  # no mode: the default
+    rows = []
+    for i in range(7):
+        row = {f.name: None for f in SINK_RECORD.fields}
+        row.update(patron_id=f"p{i}", ptype_code=i)
+        rows.append(row)
+    df = spark.createDataFrame(rows, SINK_RECORD).repartition(2)
+    monkeypatch.setattr(
+        DataFrame,
+        "collect",
+        lambda self: (_ for _ in ()).throw(
+            AssertionError("factory-default sink called df.collect()")
+        ),
+    )
+    assert sink(df, 5) == 7
+    total = 0
+    for p in glob.glob(f"{out_dir}/5-*.chunk"):
+        with open(p) as f:
+            total += int(f.read())
+    assert total == 7
