@@ -104,10 +104,11 @@ assert len(_WINDOW_PRIORITY) == 50, len(_WINDOW_PRIORITY)
 #: each name here lacks a SQL oracle by nature (external-call seams, binary
 #: media, engine-native hash families).  Any window entry that is rows-only
 #: but NOT in this allowlist is still an error — a slot burned by accident.
-#: (r8: shrinks to empty as each windowed ex-seam gains its oracle twin.)
-_WINDOW_ROWS_ONLY = {
-    "image_near_dup", "audio_near_dup",
-}
+#: (r8: empty — every windowed ex-seam gained its oracle twin: the fake
+#: corpora now chain their byte streams through ASCII-hex sha256, so the
+#: DuckDB oracle replays payload bytes and the decode → fingerprint →
+#: banded-hamming-join pipelines are value-hash-checked end to end.)
+_WINDOW_ROWS_ONLY: set[str] = set()
 
 
 def _reorder_registry() -> None:

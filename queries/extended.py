@@ -853,7 +853,79 @@ def multimodal_decode(spark, sf_dir):
     ).orderBy("media_id")
 
 
-@q("image_near_dup")  # rows-only: the aHash fingerprint needs the pixel decode UDF
+@q(
+    "image_near_dup",
+    """
+WITH donor AS (
+  SELECT doc_id - 1 AS doc_id, text AS donor_text FROM documents
+),
+planted AS (
+  SELECT d.doc_id,
+         CASE WHEN d.doc_id % 50 = 0 AND dn.donor_text IS NOT NULL
+              THEN dn.donor_text ELSE d.text END AS text
+  FROM documents d LEFT JOIN donor dn ON d.doc_id = dn.doc_id
+),
+dims AS (
+  SELECT doc_id, sh,
+         4 + CAST(('0x' || SUBSTRING(sh, 1, 2)) AS INTEGER) % 21 AS w,
+         4 + CAST(('0x' || SUBSTRING(sh, 3, 2)) AS INTEGER) % 21 AS h,
+         CASE CAST(('0x' || SUBSTRING(sh, 5, 2)) AS INTEGER) % 3
+              WHEN 0 THEN 1 WHEN 1 THEN 3 ELSE 4 END AS ch
+  FROM (SELECT doc_id, sha256(COALESCE(text, '')) AS sh FROM planted)
+),
+streams AS (
+  SELECT doc_id, sh, ANY_VALUE(w) AS w, ANY_VALUE(h) AS h, ANY_VALUE(ch) AS ch,
+         string_agg(chunk, '' ORDER BY i) AS hexstream
+  FROM (
+    SELECT d.doc_id, d.sh, d.w, d.h, d.ch, t.i,
+           sha256(d.sh || ':' || CAST(t.i AS VARCHAR)) AS chunk
+    FROM dims d, UNNEST(range(0, CAST(CEIL(d.w * d.h * d.ch / 32.0) AS BIGINT))) AS t(i))
+  GROUP BY doc_id, sh
+),
+grays AS (
+  SELECT s.doc_id, s.sh,
+         g.g AS cell,
+         (
+           CAST(('0x' || SUBSTRING(s.hexstream, 2 * (((g.g // 8) * s.h // 8) * s.w + ((g.g % 8) * s.w // 8)) * s.ch + 1, 2)) AS INTEGER)
+           + CASE WHEN s.ch >= 3 THEN
+               CAST(('0x' || SUBSTRING(s.hexstream, 2 * ((((g.g // 8) * s.h // 8) * s.w + ((g.g % 8) * s.w // 8)) * s.ch + 1) + 1, 2)) AS INTEGER)
+             + CAST(('0x' || SUBSTRING(s.hexstream, 2 * ((((g.g // 8) * s.h // 8) * s.w + ((g.g % 8) * s.w // 8)) * s.ch + 2) + 1, 2)) AS INTEGER)
+             ELSE 0 END
+           + CASE WHEN s.ch = 4 THEN
+               CAST(('0x' || SUBSTRING(s.hexstream, 2 * ((((g.g // 8) * s.h // 8) * s.w + ((g.g % 8) * s.w // 8)) * s.ch + 3) + 1, 2)) AS INTEGER)
+             ELSE 0 END
+         ) // s.ch AS gray
+  FROM streams s, UNNEST(range(0, 64)) AS g(g)
+),
+hashes AS (
+  SELECT doc_id AS id, ubits,
+         CAST(CASE WHEN ubits >= 9223372036854775808::HUGEINT
+                   THEN ubits - 18446744073709551616::HUGEINT
+                   ELSE ubits END AS BIGINT) AS sh64
+  FROM (
+    SELECT doc_id, sh,
+           SUM(CASE WHEN gray > mean_gray THEN (1::HUGEINT << cell) ELSE 0::HUGEINT END) AS ubits
+    FROM (SELECT *, SUM(gray) OVER (PARTITION BY doc_id, sh) // 64 AS mean_gray FROM grays)
+    GROUP BY doc_id, sh)
+),
+chunks AS (
+  SELECT id, sh64, c.c AS chunk,
+         CAST((ubits >> (16 * c.c)) % 65536 AS BIGINT) AS ckey
+  FROM hashes, UNNEST([0, 1, 2, 3]) AS c(c)
+),
+capped AS (
+  SELECT id, sh64, chunk, ckey
+  FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY chunk, ckey ORDER BY id NULLS FIRST) AS rn FROM chunks)
+  WHERE rn <= 500
+)
+SELECT DISTINCT a.id AS id_a, b.id AS id_b,
+       bit_count(xor(a.sh64, b.sh64)) AS hamming
+FROM capped a JOIN capped b
+  ON a.chunk = b.chunk AND a.ckey = b.ckey AND a.id < b.id
+WHERE bit_count(xor(a.sh64, b.sh64)) <= 6
+ORDER BY id_a, id_b
+    """,
+)
 def image_near_dup_q(spark, sf_dir):
     """Image near-duplicate detection end to end: deterministic PNG corpus
     (every doc_id % 50 == 0 gets its successor's image planted, so known
@@ -901,7 +973,86 @@ def audio_features_q(spark, sf_dir):
     return audio_features(fake_wav_corpus(d)).orderBy("media_id")
 
 
-@q("audio_near_dup")  # rows-only: fingerprint needs the PCM decode UDF
+@q(
+    "audio_near_dup",
+    """
+WITH donor AS (
+  SELECT doc_id - 1 AS doc_id, text AS donor_text FROM documents
+),
+planted AS (
+  SELECT d.doc_id,
+         CASE WHEN d.doc_id % 50 = 0 AND dn.donor_text IS NOT NULL
+              THEN dn.donor_text ELSE d.text END AS text
+  FROM documents d LEFT JOIN donor dn ON d.doc_id = dn.doc_id
+),
+dims AS (
+  SELECT doc_id, sh,
+         256 + (CAST(('0x' || SUBSTRING(sh, 1, 2)) AS INTEGER)
+                + 256 * CAST(('0x' || SUBSTRING(sh, 3, 2)) AS INTEGER)) % 1793
+           AS n_frames,
+         1 + CAST(('0x' || SUBSTRING(sh, 5, 2)) AS INTEGER) % 2 AS ch
+  FROM (SELECT doc_id, sha256(COALESCE(text, '')) AS sh FROM planted)
+),
+streams AS (
+  SELECT doc_id, sh, ANY_VALUE(n_frames) AS n_frames, ANY_VALUE(ch) AS ch,
+         string_agg(chunk, '' ORDER BY i) AS hexstream
+  FROM (
+    SELECT d.doc_id, d.sh, d.n_frames, d.ch, t.i,
+           sha256(d.sh || ':' || CAST(t.i AS VARCHAR)) AS chunk
+    FROM dims d,
+         UNNEST(range(0, CAST(CEIL(d.n_frames * d.ch * 2 / 32.0) AS BIGINT))) AS t(i))
+  GROUP BY doc_id, sh
+),
+-- mono sample i = int16le at byte offset 2*i*ch; energies over 64 windows of
+-- win = n_frames // 64 samples (remainder dropped)
+samples AS (
+  SELECT s.doc_id, s.sh,
+         t.i // (s.n_frames // 64) AS win_i,
+         (CAST(('0x' || SUBSTRING(s.hexstream, 4 * t.i * s.ch + 1, 2)) AS INTEGER)
+          + 256 * CAST(('0x' || SUBSTRING(s.hexstream, 4 * t.i * s.ch + 3, 2)) AS INTEGER)
+         ) AS u16
+  FROM streams s, UNNEST(range(0, 64 * (s.n_frames // 64))) AS t(i)
+),
+energies AS (
+  SELECT doc_id, sh, win_i,
+         SUM(CAST(CASE WHEN u16 >= 32768 THEN u16 - 65536 ELSE u16 END AS BIGINT)
+             * CAST(CASE WHEN u16 >= 32768 THEN u16 - 65536 ELSE u16 END AS BIGINT)) AS e
+  FROM samples GROUP BY doc_id, sh, win_i
+),
+hashes AS (
+  SELECT doc_id AS id, ubits,
+         CAST(CASE WHEN ubits >= 9223372036854775808::HUGEINT
+                   THEN ubits - 18446744073709551616::HUGEINT
+                   ELSE ubits END AS BIGINT) AS sh64
+  FROM (
+    SELECT doc_id, sh,
+           SUM(CASE WHEN e > prev_e THEN (1::HUGEINT << CAST(win_i AS INTEGER)) ELSE 0::HUGEINT END) AS ubits
+    FROM (SELECT *, LAG(e, 1) OVER (PARTITION BY doc_id, sh ORDER BY win_i) AS lag_e,
+                 LAST_VALUE(e) OVER (PARTITION BY doc_id, sh ORDER BY win_i
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS wrap_e
+          FROM energies)
+         t(doc_id, sh, win_i, e, lag_e, wrap_e)
+    , LATERAL (SELECT COALESCE(lag_e, wrap_e) AS prev_e) p
+    GROUP BY doc_id, sh)
+),
+chunks AS (
+  SELECT id, sh64, c.c AS chunk,
+         CAST((ubits >> (16 * c.c)) % 65536 AS BIGINT) AS ckey
+  FROM hashes, UNNEST([0, 1, 2, 3]) AS c(c)
+),
+capped AS (
+  SELECT id, sh64, chunk, ckey
+  FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY chunk, ckey ORDER BY id NULLS FIRST) AS rn FROM chunks)
+  WHERE rn <= 500
+)
+SELECT DISTINCT a.id AS id_a, b.id AS id_b,
+       bit_count(xor(a.sh64, b.sh64)) AS hamming
+FROM capped a JOIN capped b
+  ON a.chunk = b.chunk AND a.ckey = b.ckey AND a.id < b.id
+WHERE bit_count(xor(a.sh64, b.sh64)) <= 4
+ORDER BY id_a, id_b
+    """,
+)
 def audio_near_dup_q(spark, sf_dir):
     """Audio near-duplicate detection: energy-delta-sign fingerprints
     (64 windows, integer comparisons) through the SAME hamming band join
