@@ -582,7 +582,11 @@ def audio_features(df: DataFrame) -> DataFrame:
                 mono = samples[::ch]  # first channel
                 peak = max(abs(s) for s in samples)
                 ms = sum(s * s for s in samples) // len(samples)
-                rms = round(math.sqrt(ms), 4)
+                # FLOOR(x*1e4 + 0.5)/1e4, not round(x, 4): the ledger idiom —
+                # every step is one correctly-rounded IEEE op, so the SQL
+                # oracle (FLOOR in DuckDB) lands on the identical double,
+                # where decimal-string rounding could differ by 1 ulp.
+                rms = math.floor(math.sqrt(ms) * 10000 + 0.5) / 10000
                 zc = sum(
                     1
                     for i in range(1, len(mono))

@@ -74,6 +74,7 @@ _WINDOW_PRIORITY = [
     # Seams upgraded rows-only → oracle-paired in r8 (VERDICT r7 #4):
     # their r7 driver rows were rows-only; these slots buy hash matches.
     "stratified_sample", "image_near_dup", "audio_near_dup",
+    "audio_features", "multimodal_decode",
     # §2 core representatives (driver-green r1-r7; continuity picks).
     "p5_range_scan",            # P: scan + range/null predicates
     "j4_keepfirst_dedup",       # J + window dedup
@@ -89,7 +90,7 @@ _WINDOW_PRIORITY = [
     # r8 NEW-QUERY SLOTS: swapped in at birth as each lands this round;
     # until then they hold r3-era re-validation picks so the window is
     # valid at every commit.
-    "window_running_total", "topk_per_group", "q5_nation_revenue",
+    "q5_nation_revenue",
     "text_quality", "lang_id", "pii_redact", "session_window_agg",
     "rollup_revenue",
     # r3-era re-validation (oracle-paired, last driver row r3; tail slots).

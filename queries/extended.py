@@ -829,7 +829,30 @@ def corpus_pipeline_v3(spark, sf_dir):
     )
 
 
-@q("multimodal_decode")  # rows-only: stdlib image decode runs in an Arrow UDF
+@q(
+    "multimodal_decode",
+    """
+WITH dims AS (
+  SELECT doc_id, sh,
+         4 + CAST(('0x' || SUBSTRING(sh, 1, 2)) AS INTEGER) % 21 AS w,
+         4 + CAST(('0x' || SUBSTRING(sh, 3, 2)) AS INTEGER) % 21 AS h,
+         CAST(('0x' || SUBSTRING(sh, 7, 2)) AS INTEGER) % 2 = 1 AS as_jpeg,
+         CAST(('0x' || SUBSTRING(sh, 5, 2)) AS INTEGER) AS b2
+  FROM (SELECT doc_id, sha256(COALESCE(text, '')) AS sh FROM documents)
+)
+SELECT doc_id AS media_id,
+       CASE WHEN as_jpeg THEN 'image/jpeg' ELSE 'image/png' END AS mime,
+       w AS width, h AS height,
+       CASE WHEN as_jpeg THEN CASE b2 % 2 WHEN 0 THEN 1 ELSE 3 END
+            ELSE CASE b2 % 3 WHEN 0 THEN 1 WHEN 1 THEN 3 ELSE 4 END END
+         AS channels,
+       CAST(w * h * (CASE WHEN as_jpeg THEN CASE b2 % 2 WHEN 0 THEN 1 ELSE 3 END
+                          ELSE CASE b2 % 3 WHEN 0 THEN 1 WHEN 1 THEN 3 ELSE 4 END END)
+            AS BIGINT) AS n_bytes,
+       TRUE AS decode_exact
+FROM dims ORDER BY media_id
+    """,
+)
 def multimodal_decode(spark, sf_dir):
     """REAL image decode end to end over a MIXED corpus: deterministic PNGs
     (zlib + filters) and baseline JPEGs (Huffman + IDCT + chroma upsample)
@@ -961,7 +984,69 @@ def image_near_dup_q(spark, sf_dir):
     return image_near_dup_pairs(hashes, max_hamming=6).orderBy("id_a", "id_b")
 
 
-@q("audio_features")  # rows-only: stdlib WAV decode runs in an Arrow UDF
+@q(
+    "audio_features",
+    """
+WITH rows_tab AS (
+  SELECT doc_id, sha256(COALESCE(text, '')) AS sh FROM documents
+),
+dims AS (
+  SELECT doc_id, sh,
+         256 + (CAST(('0x' || SUBSTRING(sh, 1, 2)) AS INTEGER)
+                + 256 * CAST(('0x' || SUBSTRING(sh, 3, 2)) AS INTEGER)) % 1793
+           AS n_frames,
+         1 + CAST(('0x' || SUBSTRING(sh, 5, 2)) AS INTEGER) % 2 AS ch,
+         CASE CAST(('0x' || SUBSTRING(sh, 7, 2)) AS INTEGER) % 3
+              WHEN 0 THEN 8000 WHEN 1 THEN 16000 ELSE 44100 END AS rate
+  FROM (SELECT DISTINCT doc_id, sh FROM rows_tab)
+),
+-- a 32-byte sha256 chunk holds exactly 16 aligned int16 samples, so samples
+-- never cross chunk boundaries: extract per 64-char chunk hex, no giant
+-- string_agg stream needed
+chunkrows AS (
+  SELECT d.doc_id, d.sh, d.n_frames, d.ch, t.i,
+         sha256(d.sh || ':' || CAST(t.i AS VARCHAR)) AS chunk
+  FROM dims d,
+       UNNEST(range(0, CAST(CEIL(d.n_frames * d.ch * 2 / 32.0) AS BIGINT))) AS t(i)
+),
+samples AS (
+  SELECT c.doc_id, c.sh, c.ch, 16 * c.i + k.k AS idx,
+         CAST(CASE WHEN u16 >= 32768 THEN u16 - 65536 ELSE u16 END AS BIGINT) AS v
+  FROM chunkrows c, UNNEST(range(0, 16)) AS k(k),
+       LATERAL (SELECT CAST(('0x' || SUBSTRING(c.chunk, 4 * k.k + 1, 2)) AS INTEGER)
+                + 256 * CAST(('0x' || SUBSTRING(c.chunk, 4 * k.k + 3, 2)) AS INTEGER) AS u16) u
+  WHERE 16 * c.i + k.k < c.n_frames * c.ch
+),
+feats AS (
+  SELECT doc_id, sh,
+         MAX(ABS(v)) AS peak,
+         SUM(v * v) // COUNT(*) AS ms
+  FROM samples GROUP BY doc_id, sh
+),
+zc AS (
+  SELECT doc_id, sh,
+         COALESCE(SUM(CASE WHEN prev_v IS NOT NULL
+                            AND ((prev_v < 0) != (v < 0)) THEN 1 END), 0) AS zero_crossings
+  FROM (SELECT doc_id, sh, v,
+               LAG(v) OVER (PARTITION BY doc_id, sh ORDER BY idx) AS prev_v
+        FROM samples WHERE idx % ch = 0)
+  GROUP BY doc_id, sh
+)
+SELECT r.doc_id AS media_id,
+       d.rate AS sample_rate,
+       d.ch AS channels,
+       CAST(d.n_frames AS BIGINT) AS n_frames,
+       CAST(d.n_frames * 1000 // d.rate AS BIGINT) AS duration_ms,
+       CAST(f.peak AS INTEGER) AS peak,
+       FLOOR(SQRT(f.ms) * 10000 + 0.5) / 10000 AS rms,
+       CAST(z.zero_crossings AS BIGINT) AS zero_crossings
+FROM rows_tab r
+JOIN dims d ON r.doc_id IS NOT DISTINCT FROM d.doc_id AND r.sh = d.sh
+JOIN feats f ON r.doc_id IS NOT DISTINCT FROM f.doc_id AND r.sh = f.sh
+JOIN zc z ON r.doc_id IS NOT DISTINCT FROM z.doc_id AND r.sh = z.sh
+ORDER BY media_id
+    """,
+)
 def audio_features_q(spark, sf_dir):
     """REAL audio decode end to end: deterministic PCM16 WAV corpus →
     stdlib RIFF parse + sample decode → per-clip features (peak, RMS,
@@ -993,25 +1078,26 @@ dims AS (
          1 + CAST(('0x' || SUBSTRING(sh, 5, 2)) AS INTEGER) % 2 AS ch
   FROM (SELECT doc_id, sha256(COALESCE(text, '')) AS sh FROM planted)
 ),
-streams AS (
-  SELECT doc_id, sh, ANY_VALUE(n_frames) AS n_frames, ANY_VALUE(ch) AS ch,
-         string_agg(chunk, '' ORDER BY i) AS hexstream
-  FROM (
-    SELECT d.doc_id, d.sh, d.n_frames, d.ch, t.i,
-           sha256(d.sh || ':' || CAST(t.i AS VARCHAR)) AS chunk
-    FROM dims d,
-         UNNEST(range(0, CAST(CEIL(d.n_frames * d.ch * 2 / 32.0) AS BIGINT))) AS t(i))
-  GROUP BY doc_id, sh
+-- a 32-byte sha256 chunk holds exactly 16 aligned int16 samples, so no
+-- giant string_agg stream is needed: extract per 64-char chunk hex.  Mono
+-- sample i lives at all-channel index i*ch = chunk (i*ch)//16, slot
+-- (i*ch)%16; energies over 64 windows of win = n_frames // 64 samples
+-- (remainder dropped).
+chunkrows AS (
+  SELECT d.doc_id, d.sh, d.n_frames, d.ch, t.i,
+         sha256(d.sh || ':' || CAST(t.i AS VARCHAR)) AS chunk
+  FROM dims d,
+       UNNEST(range(0, CAST(CEIL(d.n_frames * d.ch * 2 / 32.0) AS BIGINT))) AS t(i)
 ),
--- mono sample i = int16le at byte offset 2*i*ch; energies over 64 windows of
--- win = n_frames // 64 samples (remainder dropped)
 samples AS (
-  SELECT s.doc_id, s.sh,
-         t.i // (s.n_frames // 64) AS win_i,
-         (CAST(('0x' || SUBSTRING(s.hexstream, 4 * t.i * s.ch + 1, 2)) AS INTEGER)
-          + 256 * CAST(('0x' || SUBSTRING(s.hexstream, 4 * t.i * s.ch + 3, 2)) AS INTEGER)
+  SELECT c.doc_id, c.sh,
+         ((16 * c.i + k.k) // c.ch) // (c.n_frames // 64) AS win_i,
+         (CAST(('0x' || SUBSTRING(c.chunk, 4 * k.k + 1, 2)) AS INTEGER)
+          + 256 * CAST(('0x' || SUBSTRING(c.chunk, 4 * k.k + 3, 2)) AS INTEGER)
          ) AS u16
-  FROM streams s, UNNEST(range(0, 64 * (s.n_frames // 64))) AS t(i)
+  FROM chunkrows c, UNNEST(range(0, 16)) AS k(k)
+  WHERE (16 * c.i + k.k) % c.ch = 0
+    AND (16 * c.i + k.k) // c.ch < 64 * (c.n_frames // 64)
 ),
 energies AS (
   SELECT doc_id, sh, win_i,
