@@ -314,6 +314,13 @@ _UNIT_RE = re.compile(
 #: abbreviated directionals only — full words stay in the city slot so
 #: real places ('WEST NEW YORK NJ') never lose their first token
 _POST_DIRECTIONAL_RE = re.compile(r"^(N|S|E|W|NE|NW|SE|SW)\b\.?\s*", re.I)
+#: street-type suffixes that end a street segment (shared by the simple
+#: street/city split and the intersection cross-street split)
+_STREET_TYPE_RE = re.compile(
+    r"\b(AVE(?:NUE)?|ST(?:REET)?|R(?:OA)?D|BLVD|BOULEVARD|DR(?:IVE)?|"
+    r"LN|LANE|CT|COURT|PL(?:ACE)?|WAY|TER(?:RACE)?|PKWY|PARKWAY)\b\.?",
+    re.I,
+)
 
 
 def _fallback_tagger(addr: str):
@@ -343,19 +350,42 @@ def _fallback_tagger(addr: str):
     if m:
         out["AddressNumber"] = m.group(1)
         s = s[m.end():].strip()
+    im = re.search(r"\s(?:&|AND)\s", s, re.I) if "AddressNumber" not in out else None
+    if im and s[: im.start()].strip() and s[im.end():].strip():
+        # Intersection ('BROADWAY & W 79TH ST [NEW YORK]'): usaddress tags
+        # the first street as StreetName* (mapped → street), the separator
+        # as IntersectionSeparator, and the cross street as SecondStreet* —
+        # which the reference's field extraction never reads
+        # (helpers/address_helper.py:29-36 touches only street/PlaceName/
+        # StateName/ZipCode/AddressNumber), so street = first street and
+        # the cross street is dropped; a trailing place after the cross
+        # street's type word still lands in PlaceName.  Tag type mirrors
+        # usaddress's 'Intersection'.
+        out["street"] = s[: im.start()].strip(" ,")
+        rest2 = s[im.end():].strip(" ,")
+        tm = _STREET_TYPE_RE.search(rest2)
+        if tm:
+            after = rest2[tm.end():].strip(" ,")
+            dm = _POST_DIRECTIONAL_RE.match(after)
+            if dm:
+                after = after[dm.end():].strip(" ,")
+            second = rest2[: tm.end()].strip(" ,")
+            if dm:
+                second = f"{second} {dm.group(1)}"
+            out["SecondStreetName"] = second
+            if after:
+                out["PlaceName"] = after
+        else:
+            out["SecondStreetName"] = rest2
+        return out, "Intersection"
     unit, post = "", ""
     m = _UNIT_RE.search(s)
     if m:
         unit = m.group(0).strip()
         post = s[m.end():].strip(" ,")
         s = s[: m.start()].strip()
-    street_type = re.compile(
-        r"\b(AVE(?:NUE)?|ST(?:REET)?|R(?:OA)?D|BLVD|BOULEVARD|DR(?:IVE)?|"
-        r"LN|LANE|CT|COURT|PL(?:ACE)?|WAY|TER(?:RACE)?|PKWY|PARKWAY)\b\.?",
-        re.I,
-    )
     last = None
-    for m in street_type.finditer(s):
+    for m in _STREET_TYPE_RE.finditer(s):
         last = m
     if last:
         street = s[: last.end()].strip(" ,")

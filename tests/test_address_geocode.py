@@ -494,3 +494,64 @@ def test_fallback_full_word_directional_stays_in_city():
     assert out["street_name"] == "PARK AVE"
     assert out["city"] == "WEST NEW YORK"
     assert out["region"] == "NJ"
+
+
+def test_fallback_intersection_basic():
+    # VERDICT r7 #5: intersections — usaddress tags the first street as
+    # StreetName* (mapped -> street), '&' as IntersectionSeparator, and the
+    # cross street as SecondStreet*, which reformat_malformed_address never
+    # reads (helpers/address_helper.py:29-36), so street = first street and
+    # the cross street is dropped from the assembled address
+    from engine.ops.address import _fallback_tagger
+
+    parsed, kind = _fallback_tagger("BROADWAY & W 79TH ST")
+    assert kind == "Intersection"
+    assert parsed["street"] == "BROADWAY"
+    assert parsed["SecondStreetName"] == "W 79TH ST"
+    assert "PlaceName" not in parsed
+
+    out = _reformat_fallback("BROADWAY & W 79TH ST")
+    assert out["street_name"] == "BROADWAY"
+    assert out["address"] == "BROADWAY"
+    assert out["house_number"] == ""
+
+
+def test_fallback_intersection_with_place_state_zip():
+    from engine.ops.address import _fallback_tagger
+
+    parsed, kind = _fallback_tagger("BROADWAY AND W 79TH ST NEW YORK NY 10024")
+    assert kind == "Intersection"
+    assert parsed["street"] == "BROADWAY"
+    assert parsed["SecondStreetName"] == "W 79TH ST"
+    assert parsed["PlaceName"] == "NEW YORK"
+    assert parsed["StateName"] == "NY"
+    assert parsed["ZipCode"] == "10024"
+
+    out = _reformat_fallback("BROADWAY AND W 79TH ST NEW YORK NY 10024")
+    assert out["street_name"] == "BROADWAY"
+    assert out["city"] == "NEW YORK"
+    assert out["region"] == "NY"
+    assert out["postal_code"] == "10024"
+
+
+def test_fallback_intersection_cross_street_post_directional():
+    # the cross street's lettered-avenue directional stays with it, so the
+    # trailing borough still lands in PlaceName
+    from engine.ops.address import _fallback_tagger
+
+    parsed, kind = _fallback_tagger("OCEAN PKWY & AVE W BROOKLYN NY")
+    assert kind == "Intersection"
+    assert parsed["street"] == "OCEAN PKWY"
+    assert parsed["SecondStreetName"] == "AVE W"
+    assert parsed["PlaceName"] == "BROOKLYN"
+    assert parsed["StateName"] == "NY"
+
+
+def test_fallback_house_number_means_no_intersection():
+    # '&' after a house number is an address oddity, not an intersection —
+    # the numbered-street shape keeps its normal parse
+    from engine.ops.address import _fallback_tagger
+
+    parsed, kind = _fallback_tagger("123 SMITH & SONS PLAZA BROOKLYN NY 11201")
+    assert kind == "StreetAddress"
+    assert parsed["AddressNumber"] == "123"
