@@ -87,12 +87,10 @@ _WINDOW_PRIORITY = [
     "dedup_minhash_lsh",        # near-dup family
     "ann_cosine_topk",          # similarity family
     "cdc_apply_changelog",      # CDC family
-    # r8 NEW-QUERY SLOTS: swapped in at birth as each lands this round;
-    # until then they hold r3-era re-validation picks so the window is
-    # valid at every commit.
-    "q5_nation_revenue",
-    "text_quality", "lang_id", "pii_redact", "session_window_agg",
-    "rollup_revenue",
+    # r8 new queries, windowed at birth.
+    "q7_volume_shipping", "q13_customer_distribution",
+    "q14_promo_revenue_share", "q17_small_quantity_revenue",
+    "q18_large_orders", "q21_waiting_suppliers",
     # r3-era re-validation (oracle-paired, last driver row r3; tail slots).
     "pipeline_deleted_mode", "pipeline_updated_mode", "j1_left_join_fanout",
     "j3_anti_join", "j7_overlay_join", "a3_watermark_advance",

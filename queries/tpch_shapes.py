@@ -164,3 +164,330 @@ def q20_excess_share_suppliers(spark, sf_dir):
     )
 
 
+
+
+# ===========================================================================
+# Round 8: six more TPC-H shapes (Q7/Q13/Q14/Q17/Q18/Q21 families), adapted
+# to the testdata schema (no partsupp/shipmode/commitdate columns).  Money
+# follows the pack's exactness disciplines: DECIMAL accumulation + ROUND for
+# grouped revenue (q5), per-row FLOOR(x*100+0.5) integer cents + BIGINT sums
+# wherever a ratio/threshold/division would touch float accumulation order.
+# ===========================================================================
+
+
+@q(
+    "q7_volume_shipping",
+    """
+    SELECT ns.n_name AS supp_nation, nc.n_name AS cust_nation,
+           CAST(YEAR(l.l_shipdate) AS BIGINT) AS l_year,
+           CAST(ROUND(SUM(CAST(l.l_extendedprice AS DECIMAL(12,2))
+                          * (1 - CAST(l.l_discount AS DECIMAL(4,2)))), 2)
+                AS DOUBLE) AS revenue
+    FROM lineitem l
+    JOIN orders o   ON o.o_orderkey = l.l_orderkey
+    JOIN customer c ON c.c_custkey = o.o_custkey
+    JOIN nation nc  ON nc.n_nationkey = c.c_nationkey
+    JOIN supplier s ON s.s_suppkey = l.l_suppkey
+    JOIN nation ns  ON ns.n_nationkey = s.s_nationkey
+    WHERE (ns.n_name = 'NATION_1' AND nc.n_name = 'NATION_2')
+       OR (ns.n_name = 'NATION_2' AND nc.n_name = 'NATION_1')
+    GROUP BY ns.n_name, nc.n_name, YEAR(l.l_shipdate)
+    ORDER BY supp_nation, cust_nation, l_year NULLS LAST
+    """,
+)
+def q7_volume_shipping(spark, sf_dir):
+    """TPC-H Q7 shape — bilateral shipping volume: revenue between two
+    nations in both directions by ship year.  The fact joins two
+    independent dimension CHAINS (supplier-side nation and customer-side
+    nation through orders); both chains broadcast, so the only shuffle is
+    the final 3-key aggregate.  The disjunctive nation-pair predicate is
+    applied post-join on broadcast columns — no fact re-scan."""
+    li = t(spark, sf_dir, "lineitem")
+    o = t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    c = t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    s = t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    n = t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    cust_n = (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .select("c_custkey", F.col("n_name").alias("cust_nation"))
+    )
+    supp_n = (
+        s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .select("s_suppkey", F.col("n_name").alias("supp_nation"))
+    )
+    pair = (
+        ((F.col("supp_nation") == "NATION_1") & (F.col("cust_nation") == "NATION_2"))
+        | ((F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1"))
+    )
+    return (
+        li.join(F.broadcast(o), li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(cust_n), F.col("o_custkey") == cust_n.c_custkey)
+        .join(F.broadcast(supp_n), li.l_suppkey == supp_n.s_suppkey)
+        .filter(pair)
+        .groupBy(
+            "supp_nation", "cust_nation",
+            F.year("l_shipdate").cast("long").alias("l_year"),
+        )
+        .agg(
+            F.round(
+                F.sum(
+                    F.col("l_extendedprice").cast("decimal(12,2)")
+                    * (F.lit(1) - F.col("l_discount").cast("decimal(4,2)"))
+                ),
+                2,
+            ).cast("double").alias("revenue")
+        )
+        .orderBy("supp_nation", "cust_nation", F.col("l_year").asc_nulls_last())
+    )
+
+
+@q(
+    "q13_customer_distribution",
+    """
+    WITH c_orders AS (
+      SELECT c.c_custkey, COUNT(o.o_orderkey) AS c_count
+      FROM customer c
+      LEFT JOIN orders o
+        ON o.o_custkey = c.c_custkey AND o.o_orderpriority <> '1-URGENT'
+      GROUP BY c.c_custkey)
+    SELECT c_count, CAST(COUNT(*) AS BIGINT) AS custdist
+    FROM c_orders GROUP BY c_count
+    ORDER BY custdist DESC, c_count DESC
+    """,
+)
+def q13_customer_distribution(spark, sf_dir):
+    """TPC-H Q13 shape — customer order-count distribution: LEFT join so
+    zero-order customers keep their c_count = 0 bucket (COUNT of the
+    right-side key, not COUNT(*), is what makes the null rows count as
+    zero), then a second aggregate over the first.  Two shuffles by
+    construction (custkey, then c_count); the priority filter stands in
+    for the reference query's comment anti-pattern filter."""
+    c = t(spark, sf_dir, "customer").select("c_custkey")
+    o = t(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") != "1-URGENT"
+    ).select("o_custkey", "o_orderkey")
+    per_cust = (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return (
+        per_cust.groupBy("c_count")
+        .agg(F.count(F.lit(1)).cast("long").alias("custdist"))
+        .orderBy(F.col("custdist").desc(), F.col("c_count").desc())
+    )
+
+
+@q(
+    "q14_promo_revenue_share",
+    """
+    WITH cents AS (
+      SELECT CAST(FLOOR(l.l_extendedprice * (1 - l.l_discount) * 100 + 0.5)
+                  AS BIGINT) AS rev_cents,
+             p.p_type
+      FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey)
+    SELECT CAST(FLOOR(10000.0 * SUM(CASE WHEN p_type = 'PROMO'
+                                         THEN rev_cents ELSE 0 END)
+                / SUM(rev_cents)) AS BIGINT) AS promo_share_bp,
+           CAST(SUM(CASE WHEN p_type = 'PROMO' THEN rev_cents ELSE 0 END)
+                AS BIGINT) AS promo_cents,
+           CAST(SUM(rev_cents) AS BIGINT) AS total_cents
+    FROM cents
+    """,
+)
+def q14_promo_revenue_share(spark, sf_dir):
+    """TPC-H Q14 shape — promo revenue share: conditional aggregate ratio
+    over the part-joined fact.  Per-row integer cents + BIGINT sums keep
+    the ratio exact across engines and partition orders (a DOUBLE sum
+    here would make the 4th basis-point digit accumulation-order
+    noise); the share renders as FLOOR basis points."""
+    li = t(spark, sf_dir, "lineitem")
+    p = t(spark, sf_dir, "part").select("p_partkey", "p_type")
+    rev_cents = F.floor(
+        F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount")) * 100
+        + F.lit(0.5)
+    ).cast("long")
+    promo = F.when(F.col("p_type") == "PROMO", F.col("__rc")).otherwise(F.lit(0))
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .select(rev_cents.alias("__rc"), "p_type")
+        .agg(
+            F.floor(
+                F.lit(10000.0) * F.sum(promo) / F.sum("__rc")
+            ).cast("long").alias("promo_share_bp"),
+            F.sum(promo).cast("long").alias("promo_cents"),
+            F.sum("__rc").cast("long").alias("total_cents"),
+        )
+    )
+
+
+@q(
+    "q17_small_quantity_revenue",
+    """
+    WITH li AS (
+      SELECT l.l_partkey,
+             CAST(l.l_quantity AS BIGINT) AS qty,
+             CAST(FLOOR(l.l_extendedprice * 100 + 0.5) AS BIGINT) AS price_cents
+      FROM lineitem l
+      JOIN part p ON p.p_partkey = l.l_partkey AND p.p_brand = 'Brand#1'),
+    stats AS (
+      SELECT l_partkey, SUM(qty) AS sum_qty, COUNT(*) AS cnt
+      FROM li GROUP BY l_partkey)
+    SELECT CAST(SUM(li.price_cents) // 7 AS BIGINT) AS avg_yearly_cents,
+           CAST(COUNT(*) AS BIGINT) AS n_small_lines
+    FROM li JOIN stats st ON st.l_partkey = li.l_partkey
+    WHERE li.qty * 5 * st.cnt < st.sum_qty
+    """,
+)
+def q17_small_quantity_revenue(spark, sf_dir):
+    """TPC-H Q17 shape — small-quantity revenue: the correlated
+    ``l_quantity < 0.2 * (SELECT AVG(...))`` per part, decorrelated into
+    one per-part aggregate joined back to the lines (one shuffle on
+    partkey reused by both sides).  The threshold is cross-multiplied
+    into integers (qty*5*cnt < sum_qty) so no float average ever enters
+    the comparison — the classic epsilon trap of this query — and
+    revenue/7 renders as exact integer-divided cents."""
+    li = (
+        t(spark, sf_dir, "lineitem")
+        .join(
+            F.broadcast(
+                t(spark, sf_dir, "part")
+                .filter(F.col("p_brand") == "Brand#1")
+                .select("p_partkey")
+            ),
+            F.col("l_partkey") == F.col("p_partkey"),
+        )
+        .select(
+            "l_partkey",
+            F.col("l_quantity").cast("long").alias("qty"),
+            F.floor(F.col("l_extendedprice") * 100 + F.lit(0.5))
+            .cast("long").alias("price_cents"),
+        )
+    )
+    stats = li.groupBy("l_partkey").agg(
+        F.sum("qty").alias("sum_qty"), F.count(F.lit(1)).alias("cnt")
+    )
+    small = li.join(stats, "l_partkey").filter(
+        F.col("qty") * 5 * F.col("cnt") < F.col("sum_qty")
+    )
+    return small.agg(
+        F.expr("sum(price_cents) div 7").cast("long").alias("avg_yearly_cents"),
+        F.count(F.lit(1)).cast("long").alias("n_small_lines"),
+    )
+
+
+@q(
+    "q18_large_orders",
+    """
+    WITH big AS (
+      SELECT l_orderkey, SUM(CAST(l_quantity AS BIGINT)) AS total_qty
+      FROM lineitem GROUP BY l_orderkey
+      HAVING SUM(CAST(l_quantity AS BIGINT)) > 300)
+    SELECT c.c_name, o.o_custkey, o.o_orderkey,
+           STRFTIME(o.o_orderdate, '%Y-%m-%d') AS o_orderdate,
+           CAST(FLOOR(o.o_totalprice * 100 + 0.5) AS BIGINT) AS totalprice_cents,
+           CAST(b.total_qty AS BIGINT) AS total_qty
+    FROM big b
+    JOIN orders o   ON o.o_orderkey = b.l_orderkey
+    JOIN customer c ON c.c_custkey = o.o_custkey
+    ORDER BY totalprice_cents DESC, o_orderdate NULLS LAST, o_orderkey
+    LIMIT 100
+    """,
+)
+def q18_large_orders(spark, sf_dir):
+    """TPC-H Q18 shape — large-volume orders: HAVING over a fact
+    pre-aggregate (map-side combine collapses lines before the shuffle),
+    then the ≤100-row survivor set joins orders/customer broadcast-side.
+    Quantity sums are BIGINT (quantities are integral); money renders as
+    cents; the top-100 tie-break is fully keyed so LIMIT is
+    engine-deterministic."""
+    li = t(spark, sf_dir, "lineitem")
+    o = t(spark, sf_dir, "orders")
+    c = t(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum(F.col("l_quantity").cast("long")).alias("total_qty"))
+        .filter(F.col("total_qty") > 300)
+    )
+    return (
+        big.join(o, big.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .select(
+            "c_name", "o_custkey", "o_orderkey",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("o_orderdate"),
+            F.floor(F.col("o_totalprice") * 100 + F.lit(0.5))
+            .cast("long").alias("totalprice_cents"),
+            "total_qty",
+        )
+        .orderBy(
+            F.col("totalprice_cents").desc(),
+            F.col("o_orderdate").asc_nulls_last(),
+            "o_orderkey",
+        )
+        .limit(100)
+    )
+
+
+@q(
+    "q21_waiting_suppliers",
+    """
+    WITH rl AS (
+      SELECT DISTINCT l_orderkey, l_suppkey, l_returnflag FROM lineitem),
+    multi AS (
+      SELECT l_orderkey FROM rl GROUP BY l_orderkey
+      HAVING COUNT(DISTINCT l_suppkey) >= 2)
+    SELECT s.s_name, CAST(COUNT(*) AS BIGINT) AS numwait
+    FROM rl r
+    JOIN multi m ON m.l_orderkey = r.l_orderkey
+    JOIN supplier s ON s.s_suppkey = r.l_suppkey
+    WHERE r.l_returnflag = 'R'
+      AND NOT EXISTS (
+        SELECT 1 FROM rl r2
+        WHERE r2.l_orderkey = r.l_orderkey
+          AND r2.l_suppkey <> r.l_suppkey
+          AND r2.l_returnflag = 'R')
+    GROUP BY s.s_name
+    ORDER BY numwait DESC, s_name
+    LIMIT 100
+    """,
+)
+def q21_waiting_suppliers(spark, sf_dir):
+    """TPC-H Q21 shape — the EXISTS + NOT EXISTS double correlation: in
+    multi-supplier orders, count per supplier the orders where THEY
+    returned a line ('R' stands in for the missing receipt-delay
+    columns) and no other supplier did.  Planned the way Catalyst
+    decorrelates it: a semi join (multi-supplier orders) and an anti
+    join (no other returning supplier) on the same (orderkey) shuffle
+    key — no nested-loop, no fact re-scan per row."""
+    rl = (
+        t(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_suppkey", "l_returnflag")
+        .distinct()
+    )
+    multi = (
+        rl.groupBy("l_orderkey")
+        .agg(F.count_distinct("l_suppkey").alias("__ns"))
+        .filter(F.col("__ns") >= 2)
+        .select("l_orderkey")
+    )
+    mine_r = rl.filter(F.col("l_returnflag") == "R")
+    others_r = mine_r.select(
+        F.col("l_orderkey").alias("__ok"), F.col("l_suppkey").alias("__sk")
+    )
+    survivors = (
+        mine_r.join(multi, "l_orderkey", "left_semi")
+        .join(
+            others_r,
+            (F.col("l_orderkey") == F.col("__ok"))
+            & (F.col("l_suppkey") != F.col("__sk")),
+            "left_anti",
+        )
+    )
+    s = t(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (
+        survivors.join(F.broadcast(s), survivors.l_suppkey == s.s_suppkey)
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).cast("long").alias("numwait"))
+        .orderBy(F.col("numwait").desc(), "s_name")
+        .limit(100)
+    )

@@ -557,3 +557,30 @@ def test_r7_search_and_index_plan_shapes(spark):
     p = plan(phrase_search_topk(spark, SF))
     assert "LeftSemi" in p
     assert "BroadcastNestedLoopJoin" not in p and "CartesianProduct" not in p
+
+
+def test_r8_tpch_shapes_plan_gates(spark):
+    """Round-8 TPC-H shapes: the double-correlation (Q21) and the
+    decorrelated per-part threshold (Q17) must plan as hash joins on the
+    shared shuffle key — a nested loop or cartesian here is the
+    decorrelation failing; Q7's two dimension chains must broadcast (the
+    only exchange is the final aggregate)."""
+    from queries import (
+        q7_volume_shipping,
+        q17_small_quantity_revenue,
+        q21_waiting_suppliers,
+    )
+
+    for fn in (q7_volume_shipping, q17_small_quantity_revenue,
+               q21_waiting_suppliers):
+        p = plan(fn(spark, SF))
+        assert "BroadcastNestedLoopJoin" not in p, fn.__name__
+        assert "CartesianProduct" not in p, fn.__name__
+    # Q21: the EXISTS/NOT EXISTS pair became semi + anti joins
+    p21 = plan(q21_waiting_suppliers(spark, SF))
+    assert "LeftSemi" in p21 and "LeftAnti" in p21
+    # Q7: every dimension side is broadcast — the fact is never shuffled
+    # for a join, only for the final 3-key aggregate
+    p7 = plan(q7_volume_shipping(spark, SF))
+    assert p7.count("BroadcastHashJoin") >= 3
+    assert "SortMergeJoin" not in p7
