@@ -249,6 +249,7 @@ def minhash_candidates(
     shingle_n: int = 3,
     bucket_cap: int = 500,
     hash_fn: str = "xxhash64",
+    sigs: DataFrame | None = None,
 ) -> DataFrame:
     """Candidate near-dup pairs via LSH banding.
 
@@ -260,16 +261,22 @@ def minhash_candidates(
     the self-join: a degenerate bucket (identical boilerplate across millions
     of docs) costs O(cap²) instead of O(n²).  True dup groups larger than the
     cap still chain through their lowest-id member in other bands/rounds.
+
+    ``sigs`` injects a precomputed (ideally persisted) :func:`minhash_sigs`
+    frame — signatures are band-count-independent, so a band-parameter
+    sweep (the recall frontier) computes them once and re-bands k times
+    instead of re-hashing the corpus per operating point.
     """
     rows_per_band = num_hashes // bands
-    sigs = minhash_sigs(
-        df,
-        id_col=id_col,
-        text_col=text_col,
-        num_hashes=num_hashes,
-        shingle_n=shingle_n,
-        hash_fn=hash_fn,
-    ).persist()
+    if sigs is None:
+        sigs = minhash_sigs(
+            df,
+            id_col=id_col,
+            text_col=text_col,
+            num_hashes=num_hashes,
+            shingle_n=shingle_n,
+            hash_fn=hash_fn,
+        ).persist()
     banded = sigs.select(
         "id",
         "sig",

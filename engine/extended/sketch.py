@@ -59,6 +59,8 @@ __all__ = [
     "bottomk_build",
     "bottomk_merge",
     "bottomk_jaccard",
+    "bottomk_cardinality",
+    "bottomk_setops_estimate",
     "cms_inner_product",
 ]
 
@@ -421,6 +423,71 @@ def bottomk_jaccard(
             F.sum(F.col("in_a") * F.col("in_b")).cast("long") * 10000
             / F.greatest(F.count(F.lit(1)), F.lit(1))
         ).cast("long").alias("jaccard_bp"),
+    )
+
+
+def bottomk_cardinality(sk: DataFrame, *, k: int = 64) -> DataFrame:
+    """Distinct-cardinality estimate from a bottom-k (KMV/theta) sketch →
+    one row ``(n_rows, est_distinct)``.
+
+    The classic KMV estimator: with k smallest 60-bit hashes, the k-th
+    smallest ``h_k`` estimates density k/|D| of the hash space, so
+    |D| ≈ (k-1)·2^60 / h_k.  A sketch holding fewer than k rows has seen
+    the WHOLE distinct set — the exact count is returned instead (the
+    estimator's denominator would be meaningless).  All inputs to the one
+    double division are exact integers, so the estimate is bit-identical
+    across engines (the FLOOR-not-CAST ledger rule renders it)."""
+    scale = float((k - 1) * (1 << 60))
+    return sk.agg(
+        F.count(F.lit(1)).alias("n_rows"), F.max("hash").alias("__hk")
+    ).select(
+        F.col("n_rows").cast("long").alias("n_rows"),
+        F.when(F.col("n_rows") < k, F.col("n_rows").cast("long"))
+        .otherwise(F.floor(F.lit(scale) / F.col("__hk")).cast("long"))
+        .alias("est_distinct"),
+    )
+
+
+def bottomk_setops_estimate(
+    a: DataFrame, b: DataFrame, *, k: int = 64
+) -> DataFrame:
+    """Theta-sketch-style set-operation estimates from two bottom-k
+    sketches → one row ``(est_a, est_b, est_union, n_both,
+    est_intersection, est_only_a)``.
+
+    Composition of the family's two identities: the merge of bottom-k
+    sketches IS the union's sketch (min-ranks commute with union →
+    est_union is just :func:`bottomk_cardinality` of the merge), and the
+    union's k-sample is uniform over A∪B, so the fraction of it belonging
+    to both sets estimates |A∩B|/|A∪B| (:func:`bottomk_jaccard`'s
+    counter).  est_intersection = n_both·est_union/k_used and the
+    difference follows by inclusion — the full theta-sketch set algebra
+    (union / intersection / A-not-B) from nothing but mergeable k-row
+    samples.  Every division is a FLOOR over exact integers."""
+    est_a = bottomk_cardinality(a, k=k).select(
+        F.col("est_distinct").alias("est_a")
+    )
+    est_b = bottomk_cardinality(b, k=k).select(
+        F.col("est_distinct").alias("est_b")
+    )
+    est_u = bottomk_cardinality(bottomk_merge([a, b], k=k), k=k).select(
+        F.col("est_distinct").alias("est_union")
+    )
+    jac = bottomk_jaccard(a, b, k=k).select("k_used", "n_both")
+    out = est_a.crossJoin(est_b).crossJoin(est_u).crossJoin(jac)
+    inter = F.floor(
+        (F.col("n_both") * F.col("est_union")).cast("double")
+        / F.greatest(F.col("k_used"), F.lit(1))
+    ).cast("long")
+    return out.select(
+        "est_a",
+        "est_b",
+        "est_union",
+        "n_both",
+        inter.alias("est_intersection"),
+        F.greatest(
+            F.col("est_a") - inter, F.lit(0).cast("long")
+        ).alias("est_only_a"),
     )
 
 

@@ -1260,7 +1260,7 @@ def lsh_recall_audit(spark, sf_dir):
     return lsh_recall_frame(spark, sf_dir, max_doc=300)
 
 
-def lsh_recall_frame(spark, sf_dir, *, max_doc=300):
+def lsh_recall_frame(spark, sf_dir, *, max_doc=300, bands=16):
     """Parametrized body of :func:`lsh_recall_audit` — the audit slice
     bound is the lever that keeps the exact side affordable; the registry
     pins 300 (hash-stable), while tests/SCALE.md drive it at 1000 to show
@@ -1281,7 +1281,9 @@ def lsh_recall_frame(spark, sf_dir, *, max_doc=300):
         & (F.col("doc_id") < max_doc)
         & F.col("text").isNotNull()
     )
-    cand = minhash_candidates(sub, hash_fn="md5").select("id_a", "id_b")
+    cand = minhash_candidates(sub, hash_fn="md5", bands=bands).select(
+        "id_a", "id_b"
+    )
     sh = sub.select(
         "doc_id",
         F.array_distinct(word_ngrams("text", 3)).alias("sh"),
@@ -1316,3 +1318,113 @@ def lsh_recall_frame(spark, sf_dir, *, max_doc=300):
             / F.greatest(F.col("n_true"), F.lit(1))
         ).cast("long").alias("recall_bp"),
     )
+
+
+def _lsh_audit_sql(bands: int) -> str:
+    """One full recall-audit SELECT at the given band count (the
+    lsh_recall_audit chain, band-parametrized for the frontier sweep)."""
+    return (
+        _minhash_with_sql(where=_LSH_AUDIT_WHERE, bands=bands)
+        + """,
+    cand AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM banded a JOIN banded b
+        ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id),
+    sh AS (
+      SELECT doc_id, list_distinct(CASE WHEN LENGTH(toks) < 3
+        THEN CAST([] AS VARCHAR[])
+        ELSE list_transform(range(0, LENGTH(toks) - 2),
+             i -> array_to_string(list_slice(toks, i + 1, i + 3), ' ')) END)
+        AS sh
+      FROM toks),
+    truep AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+      WHERE LENGTH(list_distinct(list_concat(a.sh, b.sh))) > 0
+        AND 2 * LENGTH(list_intersect(a.sh, b.sh))
+            >= LENGTH(list_distinct(list_concat(a.sh, b.sh)))),
+    caught AS (SELECT * FROM truep INTERSECT SELECT * FROM cand)
+    SELECT CAST((SELECT COUNT(*) FROM truep) AS BIGINT) AS n_true,
+           CAST((SELECT COUNT(*) FROM caught) AS BIGINT) AS n_caught,
+           CAST((SELECT COUNT(*) FROM cand) AS BIGINT) AS n_candidates,
+           CAST(FLOOR((SELECT COUNT(*) FROM caught) * 10000.0
+                / GREATEST((SELECT COUNT(*) FROM truep), 1)) AS BIGINT)
+             AS recall_bp
+    """
+    )
+
+
+@q(
+    "minhash_recall_frontier",
+    "\n    UNION ALL\n".join(
+        f"SELECT CAST({b} AS BIGINT) AS bands, * FROM ({_lsh_audit_sql(b)})"
+        for b in (8, 16, 32)
+    ),
+)
+def minhash_recall_frontier(spark, sf_dir):
+    """The LSH operating-curve audit — lsh_recall_audit swept across band
+    counts {8, 16, 32} (rows-per-band 8/4/2) on the same bounded 300-doc
+    slice: more bands → higher recall_bp AND more candidates (the
+    precision price), so one result table exposes the frontier a pipeline
+    tunes against.  Same exact-side bounding and md5-mode signatures as
+    the single-point audit; the oracle rebuilds all three operating
+    points.  The exact all-pairs side is band-INDEPENDENT, so it is
+    computed once and persisted (a ≤300-doc pair frame) rather than
+    re-derived under each band's plan — the sweep pays 3x only for the
+    cheap banded candidate generation."""
+    from engine.extended.dedup import minhash_candidates, minhash_sigs
+    from engine.extended.text import word_ngrams
+
+    d = t(spark, sf_dir, "documents")
+    sub = d.filter(
+        F.col("doc_id").isNotNull()
+        & (F.col("doc_id") < 300)
+        & F.col("text").isNotNull()
+    )
+    sigs = minhash_sigs(sub, hash_fn="md5").persist()
+    sh = sub.select(
+        "doc_id", F.array_distinct(word_ngrams("text", 3)).alias("sh")
+    )
+    a, b_ = sh.alias("a"), sh.alias("b")
+    truep = (
+        a.join(b_, F.col("a.doc_id") < F.col("b.doc_id"))
+        .filter(
+            (F.size(F.array_union("a.sh", "b.sh")) > 0)
+            & (
+                F.size(F.array_intersect("a.sh", "b.sh")) * 2
+                >= F.size(F.array_union("a.sh", "b.sh"))
+            )
+        )
+        .select(
+            F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b")
+        )
+        .persist()
+    )
+    frames = []
+    for b in (8, 16, 32):
+        cand = minhash_candidates(
+            sub, hash_fn="md5", bands=b, sigs=sigs
+        ).select("id_a", "id_b")
+        counts = truep.join(
+            cand.withColumn("__hit", F.lit(1)), ["id_a", "id_b"], "left"
+        ).agg(
+            F.count(F.lit(1)).alias("n_true"),
+            F.count("__hit").alias("n_caught"),
+        )
+        ncand = cand.agg(F.count(F.lit(1)).alias("n_candidates"))
+        frames.append(
+            counts.crossJoin(ncand).select(
+                F.lit(b).cast("long").alias("bands"),
+                "n_true",
+                "n_caught",
+                "n_candidates",
+                F.floor(
+                    F.col("n_caught") * F.lit(10000.0)
+                    / F.greatest(F.col("n_true"), F.lit(1))
+                ).cast("long").alias("recall_bp"),
+            )
+        )
+    out = frames[0]
+    for f in frames[1:]:
+        out = out.unionByName(f)
+    return out.orderBy("bands")

@@ -2468,6 +2468,72 @@ def bottomk_shard_merge(spark, sf_dir):
     return bottomk_merge(shards, k=32)
 
 
+_BK_EST = (
+    "CASE WHEN {n} < 64 THEN CAST({n} AS BIGINT) "
+    "ELSE CAST(FLOOR(CAST(72634054790231359488 AS DOUBLE) / {hk}) AS BIGINT) END"
+)
+
+
+@q(
+    "theta_sketch_setops",
+    f"""
+    WITH a AS (
+      SELECT DISTINCT CAST(o_custkey AS VARCHAR) AS key FROM orders
+      WHERE o_orderpriority = '1-URGENT' AND o_custkey IS NOT NULL),
+    b AS (
+      SELECT DISTINCT CAST(o_custkey AS VARCHAR) AS key FROM orders
+      WHERE o_orderpriority = '2-HIGH' AND o_custkey IS NOT NULL),
+    ska AS (SELECT * FROM (
+      SELECT {_BK_HASH.format(x="key")} AS hash, key FROM a
+      ORDER BY hash, key LIMIT 64)),
+    skb AS (SELECT * FROM (
+      SELECT {_BK_HASH.format(x="key")} AS hash, key FROM b
+      ORDER BY hash, key LIMIT 64)),
+    sku AS (SELECT * FROM (
+      SELECT DISTINCT hash, key FROM (SELECT * FROM ska UNION ALL SELECT * FROM skb)
+      ORDER BY hash, key LIMIT 64)),
+    ea AS (SELECT {_BK_EST.format(n="COUNT(*)", hk="MAX(hash)")} AS est_a FROM ska),
+    eb AS (SELECT {_BK_EST.format(n="COUNT(*)", hk="MAX(hash)")} AS est_b FROM skb),
+    eu AS (SELECT {_BK_EST.format(n="COUNT(*)", hk="MAX(hash)")} AS est_union FROM sku),
+    uni AS (SELECT * FROM (
+      SELECT COALESCE(x.hash, y.hash) AS hash,
+             CASE WHEN x.hash IS NULL THEN 0 ELSE 1 END AS in_a,
+             CASE WHEN y.hash IS NULL THEN 0 ELSE 1 END AS in_b
+      FROM ska x FULL OUTER JOIN skb y ON x.hash = y.hash
+      ORDER BY hash LIMIT 64)),
+    jac AS (SELECT COUNT(*) AS k_used,
+                   CAST(SUM(in_a * in_b) AS BIGINT) AS n_both FROM uni)
+    SELECT est_a, est_b, est_union, n_both,
+           CAST(FLOOR(CAST(n_both * est_union AS DOUBLE)
+                / GREATEST(k_used, 1)) AS BIGINT) AS est_intersection,
+           GREATEST(est_a - CAST(FLOOR(CAST(n_both * est_union AS DOUBLE)
+                / GREATEST(k_used, 1)) AS BIGINT), 0) AS est_only_a
+    FROM ea, eb, eu, jac
+    """,
+)
+def theta_sketch_setops(spark, sf_dir):
+    """Theta-sketch set algebra from bottom-k samples
+    (engine.extended.sketch.bottomk_setops_estimate): union cardinality
+    from the merged sketch (merge IS the union's sketch), intersection
+    from the shared fraction of the union's uniform k-sample, difference
+    by inclusion — the full union/intersect/A-not-B estimate family over
+    two order-priority customer segments, from nothing but two mergeable
+    64-row samples.  The KMV estimator (k-1)·2^60/h_k and every division
+    render as FLOOR over exact integers, so the APPROXIMATION itself is
+    bit-reproducible and the oracle replays it (the same contract
+    bottomk_jaccard established)."""
+    from engine.extended.sketch import bottomk_build, bottomk_setops_estimate
+
+    o = t(spark, sf_dir, "orders")
+    ska = bottomk_build(
+        o.filter(F.col("o_orderpriority") == "1-URGENT"), "o_custkey", k=64
+    )
+    skb = bottomk_build(
+        o.filter(F.col("o_orderpriority") == "2-HIGH"), "o_custkey", k=64
+    )
+    return bottomk_setops_estimate(ska, skb, k=64)
+
+
 @q(
     "jaccard_bottomk_overlap",
     f"""

@@ -443,3 +443,58 @@ def test_cms_inner_product_disjoint_rows_count_as_zero(spark):
     assert cms_inner_product(a, fully.filter("col = 99")).first()[
         "est_pairs"
     ] == 0
+
+
+def test_bottomk_cardinality_exact_below_k_and_estimates_above(spark):
+    """Below k the sketch HAS the whole distinct set — the exact count must
+    come back, not the estimator; above k the KMV estimate lands within
+    the standard ~1/sqrt(k) band of the truth."""
+    from engine.extended.sketch import bottomk_build, bottomk_cardinality
+
+    small = spark.createDataFrame([(f"k{i}",) for i in range(10)], "key string")
+    got = bottomk_cardinality(
+        bottomk_build(small, "key", k=64), k=64
+    ).collect()[0]
+    assert got["n_rows"] == 10 and got["est_distinct"] == 10
+
+    big = spark.createDataFrame(
+        [(f"user-{i % 5000}",) for i in range(8000)], "key string"
+    )
+    est = bottomk_cardinality(
+        bottomk_build(big, "key", k=64), k=64
+    ).collect()[0]["est_distinct"]
+    assert abs(est - 5000) <= 5000 * 0.5  # k=64 → wide but sane band
+
+
+def test_bottomk_setops_estimate_identities(spark):
+    """Set-algebra sanity on a known overlap: A = 0..999, B = 500..1499.
+    Union ≈ 1500, intersection ≈ 500, A-only ≈ 500; and the disjoint /
+    identical extremes pin the estimator's edges exactly (n_both = 0 and
+    n_both = k_used respectively)."""
+    from engine.extended.sketch import bottomk_build, bottomk_setops_estimate
+
+    a = spark.createDataFrame([(f"id{i}",) for i in range(1000)], "key string")
+    b = spark.createDataFrame(
+        [(f"id{i}",) for i in range(500, 1500)], "key string"
+    )
+    ska = bottomk_build(a, "key", k=64)
+    skb = bottomk_build(b, "key", k=64)
+    r = bottomk_setops_estimate(ska, skb, k=64).collect()[0]
+    assert abs(r["est_union"] - 1500) <= 1500 * 0.5
+    assert 0 < r["n_both"] < 64
+    assert r["est_intersection"] <= r["est_union"]
+    assert r["est_only_a"] + r["est_intersection"] <= r["est_union"] * 2
+
+    disj = bottomk_setops_estimate(
+        bottomk_build(a, "key", k=64),
+        bottomk_build(
+            spark.createDataFrame([(f"zz{i}",) for i in range(1000)], "key string"),
+            "key", k=64,
+        ),
+        k=64,
+    ).collect()[0]
+    assert disj["n_both"] == 0 and disj["est_intersection"] == 0
+    same = bottomk_setops_estimate(ska, ska, k=64).collect()[0]
+    assert same["n_both"] == 64
+    assert same["est_intersection"] == same["est_union"]
+    assert same["est_only_a"] == max(same["est_a"] - same["est_union"], 0)
