@@ -92,10 +92,11 @@ _WINDOW_PRIORITY = [
     "q14_promo_revenue_share", "q17_small_quantity_revenue",
     "q18_large_orders", "q21_waiting_suppliers",
     "theta_sketch_setops", "minhash_recall_frontier",
+    "gaps_and_islands", "winsorized_robust_stats",
     # r3-era re-validation (oracle-paired, last driver row r3; tail slots).
     "pipeline_deleted_mode", "pipeline_updated_mode", "j1_left_join_fanout",
     "j3_anti_join", "j7_overlay_join", "a3_watermark_advance",
-    "f3_f4_scrub_assemble", "f7_f8_geoid_assembly", "f13_json_records",
+    "f3_f4_scrub_assemble",
 ]
 assert len(_WINDOW_PRIORITY) == 50, len(_WINDOW_PRIORITY)
 

@@ -2721,3 +2721,123 @@ def ranking_auc_value(spark, sf_dir):
         "value",
         "lab",
     )
+
+
+@q(
+    "gaps_and_islands",
+    """
+    WITH days AS (
+      SELECT DISTINCT user_id, CAST(ts AS DATE) AS d
+      FROM events WHERE ts IS NOT NULL AND user_id IS NOT NULL),
+    isl AS (
+      SELECT user_id, d,
+             d - CAST(ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY d)
+                      AS INTEGER) AS anchor
+      FROM days),
+    runs AS (
+      SELECT user_id, anchor, COUNT(*) AS len_days
+      FROM isl GROUP BY user_id, anchor)
+    SELECT user_id,
+           CAST(COUNT(*) AS BIGINT) AS n_streaks,
+           CAST(MAX(len_days) AS BIGINT) AS longest_streak,
+           CAST(SUM(len_days) AS BIGINT) AS active_days
+    FROM runs GROUP BY user_id ORDER BY user_id
+    """,
+)
+def gaps_and_islands(spark, sf_dir):
+    """Gaps-and-islands — consecutive-day activity streaks per user: the
+    classic ``date - row_number`` anchor groups each user's distinct
+    active days into maximal consecutive runs with ZERO self-joins (the
+    naive formulation is a quadratic date self-join).  Two window-free
+    aggregations ride the same user_id shuffle as the ranking window —
+    one exchange end to end.  Engagement-streak / retention analysis over
+    the events stream."""
+    e = t(spark, sf_dir, "events").filter(
+        F.col("ts").isNotNull() & F.col("user_id").isNotNull()
+    )
+    days = e.select("user_id", F.col("ts").cast("date").alias("d")).distinct()
+    w = Window.partitionBy("user_id").orderBy("d")
+    isl = days.select(
+        "user_id",
+        "d",
+        F.expr("date_sub(d, CAST(row_number() OVER "
+               "(PARTITION BY user_id ORDER BY d) AS INT))").alias("anchor"),
+    )
+    runs = isl.groupBy("user_id", "anchor").agg(
+        F.count(F.lit(1)).alias("len_days")
+    )
+    return (
+        runs.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_streaks"),
+            F.max("len_days").cast("long").alias("longest_streak"),
+            F.sum("len_days").cast("long").alias("active_days"),
+        )
+        .orderBy("user_id")
+    )
+
+
+@q(
+    "winsorized_robust_stats",
+    """
+    WITH v AS (
+      SELECT event_type, event_id,
+             CAST(FLOOR(value * 1000000 + 0.5) AS BIGINT) AS mu
+      FROM events WHERE value IS NOT NULL),
+    ranked AS (
+      SELECT event_type, mu,
+             ROW_NUMBER() OVER (PARTITION BY event_type
+                                ORDER BY mu, event_id NULLS FIRST) AS rn,
+             COUNT(*) OVER (PARTITION BY event_type) AS n
+      FROM v),
+    kept AS (SELECT * FROM ranked WHERE rn > n // 10 AND rn <= n - n // 10)
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_kept,
+           CAST(FLOOR(CAST(SUM(mu) AS DOUBLE) / COUNT(*)) AS BIGINT)
+             AS trimmed_mean_mu,
+           CAST(MIN(mu) AS BIGINT) AS lo_mu,
+           CAST(MAX(mu) AS BIGINT) AS hi_mu
+    FROM kept GROUP BY event_type ORDER BY event_type NULLS LAST
+    """,
+)
+def winsorized_robust_stats(spark, sf_dir):
+    """Rank-based 10% trimmed (winsorized-style) statistics per event
+    type: drop exactly the lowest and highest n//10 ROWS by a fully keyed
+    rank (value micro-units, event_id tie-break — never a float
+    percentile, whose interpolation diverges across engines per the
+    determinism ledger), then report the trimmed mean in floored integer
+    micro-units.  The robust-aggregate member of the data-quality family
+    (outlier-insensitive per-group centers at corpus scale); one
+    event_type shuffle shared by both windows and the final aggregate."""
+    e = t(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    v = e.select(
+        "event_type",
+        "event_id",
+        F.floor(F.col("value") * 1000000 + F.lit(0.5)).cast("long").alias("mu"),
+    )
+    wr = Window.partitionBy("event_type").orderBy(
+        F.col("mu"), F.col("event_id").asc_nulls_first()
+    )
+    wn = Window.partitionBy("event_type")
+    ranked = v.select(
+        "event_type",
+        "mu",
+        F.row_number().over(wr).alias("rn"),
+        F.count(F.lit(1)).over(wn).alias("n"),
+    )
+    kept = ranked.filter(
+        (F.col("rn") > F.expr("n div 10"))
+        & (F.col("rn") <= F.col("n") - F.expr("n div 10"))
+    )
+    return (
+        kept.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_kept"),
+            F.floor(
+                F.sum("mu").cast("double") / F.count(F.lit(1))
+            ).cast("long").alias("trimmed_mean_mu"),
+            F.min("mu").cast("long").alias("lo_mu"),
+            F.max("mu").cast("long").alias("hi_mu"),
+        )
+        .orderBy(F.col("event_type").asc_nulls_last())
+    )
