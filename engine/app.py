@@ -20,6 +20,7 @@ import datetime as dt
 from dataclasses import dataclass
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from engine.ops.avro_codec import to_avro_col
 from engine.ops.sinks import write_kinesis
@@ -84,9 +85,19 @@ def make_avro_kinesis_sink(
 
     def sink(df: DataFrame, batch_id: int) -> int:
         enc = df.select(to_avro_col(df, cols, avro_schema).alias("record"))
-        return write_kinesis(
-            enc, transport, batch_id=batch_id, dry_run=dry_run, mode=mode
-        )
+        if dry_run or transport is None:
+            # A bare count would let Catalyst prune the encode projection
+            # away entirely — the dry run is exactly the run that must
+            # SURFACE per-record encode failures before production
+            # (reference IGNORE_KINESIS still encodes).  Aggregating over
+            # the record bytes forces every row through the encoder
+            # (review catch r8).
+            row = enc.agg(
+                F.count(F.lit(1)).alias("n"),
+                F.sum(F.octet_length("record")).alias("__bytes"),
+            ).collect()[0]
+            return row["n"]
+        return write_kinesis(enc, transport, batch_id=batch_id, mode=mode)
 
     return sink
 

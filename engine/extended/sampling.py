@@ -85,22 +85,14 @@ def stratified_sample_det(
     the fix for the distinct().collect() the rows-only query carried
     (VERDICT r7 #6).
     """
+    from engine.extended.dedup import md5_long
+
     strat = F.coalesce(F.col(strata_col).cast("string"), F.lit("␀"))
     ident = F.coalesce(F.col(id_col).cast("string"), F.lit("␀"))
     tag = (
-        F.conv(
-            F.substring(
-                F.md5(
-                    F.concat(
-                        F.lit(str(seed)), F.lit("|"), strat, F.lit("|"), ident
-                    )
-                ),
-                1,
-                15,
-            ),
-            16,
-            10,
-        ).cast("long")
+        md5_long(
+            F.concat(F.lit(str(seed)), F.lit("|"), strat, F.lit("|"), ident)
+        )
         % 10000
     )
     if isinstance(fractions_bp, dict):

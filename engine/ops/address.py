@@ -375,6 +375,16 @@ def _fallback_tagger(addr: str):
             out["SecondStreetName"] = second
             if after:
                 out["PlaceName"] = after
+        elif ("StateName" in out or "ZipCode" in out) and " " in rest2:
+            # a type-less cross street ('& BROADWAY NEW YORK NY'): when a
+            # trailing state/zip corroborates that a place follows, the
+            # first token is the cross street and the remainder the place
+            # (usaddress's CRF splits here too; review catch r8) — with no
+            # such corroboration the whole remainder stays the cross
+            # street ('MAIN ST & SAINT MARKS')
+            first_tok, place = rest2.split(" ", 1)
+            out["SecondStreetName"] = first_tok
+            out["PlaceName"] = place.strip(" ,")
         else:
             out["SecondStreetName"] = rest2
         return out, "Intersection"

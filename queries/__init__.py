@@ -59,7 +59,7 @@ del _m, _k, _v
 _WINDOW_PRIORITY = [
     # ---- r8 ROTATION (VERDICT r7 #1): exactly 17 registry queries have
     # never earned a driver row — the r7 additions, all judge-verified at
-    # sf0.01 in the r7 verdict.  This window fronts all 17, then the three
+    # sf0.01 in the r7 verdict.  This window fronts all 17, then the five
     # seams upgraded from rows-only to oracle-paired this round (their
     # first chance at a hash-match row), the 11 standing §2/family
     # representatives, and r3-era re-validation picks in the tail (swapped

@@ -199,30 +199,38 @@ def q7_volume_shipping(spark, sf_dir):
     """TPC-H Q7 shape — bilateral shipping volume: revenue between two
     nations in both directions by ship year.  The fact joins two
     independent dimension CHAINS (supplier-side nation and customer-side
-    nation through orders); both chains broadcast, so the only shuffle is
-    the final 3-key aggregate.  The disjunctive nation-pair predicate is
-    applied post-join on broadcast columns — no fact re-scan."""
+    nation through orders); each chain's nation dim broadcasts
+    PRE-FILTERED to the two nations so both facts shrink before the one
+    orderkey shuffle join; the disjunctive pair predicate applies
+    post-join on broadcast columns — no fact re-scan, and the orders
+    FACT is never broadcast."""
     li = t(spark, sf_dir, "lineitem")
     o = t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
     c = t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
     s = t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
     n = t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    both = n.filter(F.col("n_name").isin("NATION_1", "NATION_2"))
     cust_n = (
-        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        c.join(F.broadcast(both), c.c_nationkey == F.col("n_nationkey"))
         .select("c_custkey", F.col("n_name").alias("cust_nation"))
     )
     supp_n = (
-        s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        s.join(F.broadcast(both), s.s_nationkey == F.col("n_nationkey"))
         .select("s_suppkey", F.col("n_name").alias("supp_nation"))
     )
     pair = (
         ((F.col("supp_nation") == "NATION_1") & (F.col("cust_nation") == "NATION_2"))
         | ((F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1"))
     )
+    # Both fact sides shrink BEFORE the fact-fact join: lineitem keeps only
+    # the two supplier nations, orders only the two customer nations (the
+    # nation dims broadcast pre-filtered), so the one shuffle join moves
+    # ~2/|nations| of each fact.  orders is a FACT — broadcasting it OOMs
+    # the driver at scale (review catch r8); the orderkey join shuffles.
+    li_f = li.join(F.broadcast(supp_n), li.l_suppkey == supp_n.s_suppkey)
+    o_f = o.join(F.broadcast(cust_n), o.o_custkey == cust_n.c_custkey)
     return (
-        li.join(F.broadcast(o), li.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(cust_n), F.col("o_custkey") == cust_n.c_custkey)
-        .join(F.broadcast(supp_n), li.l_suppkey == supp_n.s_suppkey)
+        li_f.join(o_f, li_f.l_orderkey == o_f.o_orderkey)
         .filter(pair)
         .groupBy(
             "supp_nation", "cust_nation",
@@ -326,7 +334,7 @@ def q14_promo_revenue_share(spark, sf_dir):
     """
     WITH li AS (
       SELECT l.l_partkey,
-             CAST(l.l_quantity AS BIGINT) AS qty,
+             CAST(FLOOR(l.l_quantity) AS BIGINT) AS qty,
              CAST(FLOOR(l.l_extendedprice * 100 + 0.5) AS BIGINT) AS price_cents
       FROM lineitem l
       JOIN part p ON p.p_partkey = l.l_partkey AND p.p_brand = 'Brand#1'),
@@ -359,7 +367,7 @@ def q17_small_quantity_revenue(spark, sf_dir):
         )
         .select(
             "l_partkey",
-            F.col("l_quantity").cast("long").alias("qty"),
+            F.floor(F.col("l_quantity")).cast("long").alias("qty"),
             F.floor(F.col("l_extendedprice") * 100 + F.lit(0.5))
             .cast("long").alias("price_cents"),
         )
@@ -380,9 +388,9 @@ def q17_small_quantity_revenue(spark, sf_dir):
     "q18_large_orders",
     """
     WITH big AS (
-      SELECT l_orderkey, SUM(CAST(l_quantity AS BIGINT)) AS total_qty
+      SELECT l_orderkey, SUM(CAST(FLOOR(l_quantity) AS BIGINT)) AS total_qty
       FROM lineitem GROUP BY l_orderkey
-      HAVING SUM(CAST(l_quantity AS BIGINT)) > 300)
+      HAVING SUM(CAST(FLOOR(l_quantity) AS BIGINT)) > 300)
     SELECT c.c_name, o.o_custkey, o.o_orderkey,
            STRFTIME(o.o_orderdate, '%Y-%m-%d') AS o_orderdate,
            CAST(FLOOR(o.o_totalprice * 100 + 0.5) AS BIGINT) AS totalprice_cents,
@@ -398,7 +406,9 @@ def q18_large_orders(spark, sf_dir):
     """TPC-H Q18 shape — large-volume orders: HAVING over a fact
     pre-aggregate (map-side combine collapses lines before the shuffle),
     then the ≤100-row survivor set joins orders/customer broadcast-side.
-    Quantity sums are BIGINT (quantities are integral); money renders as
+    Quantity sums are BIGINT via FLOOR on BOTH engines (a bare cast
+    rounds in DuckDB and truncates in Spark — the determinism-ledger
+    rule; review catch); money renders as
     cents; the top-100 tie-break is fully keyed so LIMIT is
     engine-deterministic."""
     li = t(spark, sf_dir, "lineitem")
@@ -406,7 +416,9 @@ def q18_large_orders(spark, sf_dir):
     c = t(spark, sf_dir, "customer").select("c_custkey", "c_name")
     big = (
         li.groupBy("l_orderkey")
-        .agg(F.sum(F.col("l_quantity").cast("long")).alias("total_qty"))
+        .agg(
+            F.sum(F.floor(F.col("l_quantity")).cast("long")).alias("total_qty")
+        )
         .filter(F.col("total_qty") > 300)
     )
     return (

@@ -555,3 +555,20 @@ def test_fallback_house_number_means_no_intersection():
     parsed, kind = _fallback_tagger("123 SMITH & SONS PLAZA BROOKLYN NY 11201")
     assert kind == "StreetAddress"
     assert parsed["AddressNumber"] == "123"
+
+
+def test_fallback_intersection_typeless_cross_street_keeps_place():
+    # r8 review catch: a cross street with no street-type suffix must not
+    # swallow the city when a state/zip corroborates that a place follows
+    from engine.ops.address import _fallback_tagger
+
+    parsed, kind = _fallback_tagger("W 79TH ST & BROADWAY NEW YORK NY")
+    assert kind == "Intersection"
+    assert parsed["street"] == "W 79TH ST"
+    assert parsed["SecondStreetName"] == "BROADWAY"
+    assert parsed["PlaceName"] == "NEW YORK"
+    assert parsed["StateName"] == "NY"
+    # without corroboration, a multiword type-less cross street stays whole
+    parsed2, _ = _fallback_tagger("MAIN ST & SAINT MARKS")
+    assert parsed2["SecondStreetName"] == "SAINT MARKS"
+    assert "PlaceName" not in parsed2

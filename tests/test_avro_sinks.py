@@ -262,3 +262,31 @@ def test_avro_sink_factory_default_never_collects(spark, tmp_path, monkeypatch):
         with open(p) as f:
             total += int(f.read())
     assert total == 7
+
+
+def test_dry_run_sink_still_evaluates_the_encoder(spark, monkeypatch):
+    """r8 review catch: routing the factory sink through write_kinesis made
+    dry_run return a bare count, which let Catalyst PRUNE the encode
+    projection — a dry 'validation' that never ran the encoder.  Pinned by
+    substituting an encoder column that raises ON EVALUATION
+    (assert_true(false)): if the dry-run path prunes the encode, no error
+    surfaces and this test fails; the fixed path aggregates over the
+    record bytes, forcing every row through the encoder."""
+    import engine.app as app_mod
+    from engine.app import make_avro_kinesis_sink
+    from pyspark.sql import functions as SF
+    from pyspark.sql.utils import AnalysisException  # noqa: F401
+
+    import pytest
+
+    monkeypatch.setattr(
+        app_mod,
+        "to_avro_col",
+        lambda df, cols, schema: SF.assert_true(SF.lit(False)).cast("binary"),
+    )
+    sink = make_avro_kinesis_sink(None, dry_run=True)
+    row = {f.name: None for f in SINK_RECORD.fields}
+    row.update(patron_id="p1", ptype_code=3)
+    df = spark.createDataFrame([row], SINK_RECORD)
+    with pytest.raises(Exception, match="(?i)not true|assert"):
+        sink(df, 0)
