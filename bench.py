@@ -165,6 +165,17 @@ SECONDARY = [
     "lsh_recall_audit",
     "ranking_auc_value",
     "corpus_pipeline_v5",
+    # round-8 additions
+    "q7_volume_shipping",
+    "q13_customer_distribution",
+    "q14_promo_revenue_share",
+    "q17_small_quantity_revenue",
+    "q18_large_orders",
+    "q21_waiting_suppliers",
+    "theta_sketch_setops",
+    "minhash_recall_frontier",
+    "gaps_and_islands",
+    "trimmed_mean_stats",
 ]
 
 

@@ -87,8 +87,13 @@ def fake_media_from_text(df: DataFrame, *, id_col: str = "doc_id", text_col: str
     """Deterministic media table from a text corpus: payload = utf-8 bytes,
     dimensions derived from stable hashes.  Stands in for a real binary
     ingest (S3 object fetch / tar shards) with identical column shapes."""
+    from engine.extended.dedup import md5_long
+
     payload = F.encode(F.col(text_col), "utf-8")
-    h = F.abs(F.xxhash64(F.col(text_col)))
+    # md5_long, not xxhash64: the dual-implementable family, so mime/dims
+    # are SQL-oracle-replayable (r8 — pairs multimodal_features); NULL text
+    # still propagates to the otherwise-branches exactly as before
+    h = md5_long(F.col(text_col))
     return df.select(
         F.col(id_col).alias("media_id"),
         payload.alias("payload"),
@@ -291,7 +296,11 @@ def media_features(df: DataFrame, *, sig_dim: int = 8) -> DataFrame:
                     sum(counts[i * bucket : (i + 1) * bucket]) / n if n else 0.0
                     for i in range(sig_dim)
                 ]
-                rows.append((mid, mime, n, round(ent, 4), sig))
+                # FLOOR(x*1e4+0.5)/1e4, not round(): the ledger idiom the
+                # SQL oracle replays exactly (entropy is nonnegative)
+                rows.append(
+                    (mid, mime, n, math.floor(ent * 10000 + 0.5) / 10000, sig)
+                )
             yield pd.DataFrame(
                 rows, columns=["media_id", "mime", "n_bytes", "byte_entropy", "signature"]
             )

@@ -59,7 +59,7 @@ del _m, _k, _v
 _WINDOW_PRIORITY = [
     # ---- r8 ROTATION (VERDICT r7 #1): exactly 17 registry queries have
     # never earned a driver row — the r7 additions, all judge-verified at
-    # sf0.01 in the r7 verdict.  This window fronts all 17, then the five
+    # sf0.01 in the r7 verdict.  This window fronts all 17, then the six
     # seams upgraded from rows-only to oracle-paired this round (their
     # first chance at a hash-match row), the 11 standing §2/family
     # representatives, and r3-era re-validation picks in the tail (swapped
@@ -74,7 +74,7 @@ _WINDOW_PRIORITY = [
     # Seams upgraded rows-only → oracle-paired in r8 (VERDICT r7 #4):
     # their r7 driver rows were rows-only; these slots buy hash matches.
     "stratified_sample", "image_near_dup", "audio_near_dup",
-    "audio_features", "multimodal_decode",
+    "audio_features", "multimodal_decode", "multimodal_features",
     # §2 core representatives (driver-green r1-r7; continuity picks).
     "p5_range_scan",            # P: scan + range/null predicates
     "j4_keepfirst_dedup",       # J + window dedup
@@ -92,11 +92,10 @@ _WINDOW_PRIORITY = [
     "q14_promo_revenue_share", "q17_small_quantity_revenue",
     "q18_large_orders", "q21_waiting_suppliers",
     "theta_sketch_setops", "minhash_recall_frontier",
-    "gaps_and_islands", "winsorized_robust_stats",
+    "gaps_and_islands", "trimmed_mean_stats",
     # r3-era re-validation (oracle-paired, last driver row r3; tail slots).
     "pipeline_deleted_mode", "pipeline_updated_mode", "j1_left_join_fanout",
     "j3_anti_join", "j7_overlay_join", "a3_watermark_advance",
-    "f3_f4_scrub_assemble",
 ]
 assert len(_WINDOW_PRIORITY) == 50, len(_WINDOW_PRIORITY)
 

@@ -571,7 +571,44 @@ def multimodal_meta(spark, sf_dir):
     )
 
 
-@q("multimodal_features")  # rows-only: mapInPandas feature extraction
+@q(
+    "multimodal_features",
+    """
+WITH m AS (
+  SELECT doc_id, text,
+         CAST(('0x' || SUBSTRING(MD5(text), 1, 15)) AS BIGINT) AS h,
+         HEX(ENCODE(text)) AS hx,
+         OCTET_LENGTH(ENCODE(text)) AS n
+  FROM documents),
+-- distinct payloads only (duplicate doc_id rows must not merge their byte
+-- counts — the per-ROW contract; same join-back shape as audio_features)
+counts AS (
+  SELECT hx, n, b, COUNT(*) AS c
+  FROM (SELECT u.hx, u.n,
+               CAST(('0x' || SUBSTRING(u.hx, 2 * t.i + 1, 2)) AS INTEGER) AS b
+        FROM (SELECT DISTINCT hx, n FROM m WHERE text IS NOT NULL) u,
+             UNNEST(range(0, u.n)) AS t(i))
+  GROUP BY hx, n, b),
+-- terms folded in ASCENDING byte order, the exact accumulation order of the
+-- engine's per-byte loop: IEEE round-to-nearest is sign-symmetric, so
+-- -(t0+t1+...) == the engine's running 0-t0-t1-... bit for bit
+ent AS (
+  SELECT hx,
+         FLOOR(-(list_aggregate(
+             list((c / CAST(n AS DOUBLE)) * log2(c / CAST(n AS DOUBLE))
+                  ORDER BY b), 'sum')) * 10000 + 0.5) / 10000 AS e
+  FROM counts GROUP BY hx, n)
+SELECT m.doc_id AS media_id,
+       CASE WHEN h % 3 = 0 THEN 'image/png'
+            WHEN h % 3 = 1 THEN 'audio/wav'
+            ELSE 'video/mp4' END AS mime,
+       CASE WHEN m.text IS NULL THEN NULL ELSE CAST(m.n AS BIGINT) END
+         AS n_bytes,
+       CASE WHEN m.text IS NULL THEN NULL ELSE COALESCE(e.e, 0.0) END
+         AS byte_entropy
+FROM m LEFT JOIN ent e ON m.hx = e.hx
+    """,
+)
 def multimodal_features(spark, sf_dir):
     """Byte-level media features through the mapInPandas seam (entropy +
     histogram signature) over fake deterministic payloads."""

@@ -2778,7 +2778,7 @@ def gaps_and_islands(spark, sf_dir):
 
 
 @q(
-    "winsorized_robust_stats",
+    "trimmed_mean_stats",
     """
     WITH v AS (
       SELECT event_type, event_id,
@@ -2800,13 +2800,13 @@ def gaps_and_islands(spark, sf_dir):
     FROM kept GROUP BY event_type ORDER BY event_type NULLS LAST
     """,
 )
-def winsorized_robust_stats(spark, sf_dir):
-    """Rank-based 10% trimmed (winsorized-style) statistics per event
-    type: drop exactly the lowest and highest n//10 ROWS by a fully keyed
+def trimmed_mean_stats(spark, sf_dir):
+    """Rank-based 10% TRIMMED statistics per event type (drop, not clip —
+    the clip sibling is ``winsorized_stats`` over lineitem prices): drop exactly the lowest and highest n//10 ROWS by a fully keyed
     rank (value micro-units, event_id tie-break — never a float
     percentile, whose interpolation diverges across engines per the
     determinism ledger), then report the trimmed mean in floored integer
-    micro-units.  The robust-aggregate member of the data-quality family
+    micro-units.  The drop-variant robust aggregate of the data-quality family
     (outlier-insensitive per-group centers at corpus scale); one
     event_type shuffle shared by both windows and the final aggregate."""
     e = t(spark, sf_dir, "events").filter(F.col("value").isNotNull())
