@@ -74,6 +74,7 @@ def merge_agg_snapshot(
     min_cols: tuple[str, ...] = (),
     max_cols: tuple[str, ...] = (),
     op_col: str | None = "op",
+    null_safe_keys: bool = True,
 ) -> DataFrame:
     """Merge a batch's partials into the stored snapshot → next snapshot.
 
@@ -89,9 +90,20 @@ def merge_agg_snapshot(
     (batch-only), ``update`` (both sides), ``unchanged`` (snapshot-only) —
     filter ``op != 'unchanged'`` for the refresh's changelog.
 
-    One full-outer sort-merge/hash join on the key; when the snapshot is
-    stored bucketed on the key (engine.ops.io.write_bucketed) the refresh
-    runs exchange-free on the snapshot side.
+    One full-outer sort-merge/hash join on the key.  ``null_safe_keys``
+    (default True) joins with ``eqNullSafe`` so a NULL group key merges
+    correctly — but the null-safe wrapper means Catalyst cannot reuse a
+    bucketed snapshot's partitioning, so BOTH sides exchange.  When the
+    key columns are known non-nullable (the usual case: group keys of a
+    NOT NULL fact column), pass ``null_safe_keys=False`` — plain equality
+    lets a snapshot stored bucketed on the key (engine.ops.io.
+    write_bucketed) refresh EXCHANGE-FREE on the snapshot side (one
+    shuffle total, the batch partials re-bucketing; plan-gated in
+    tests/test_layout.py).  Partitioning reuse also needs the bucket
+    count to match the join's numPartitions (size the buckets to the
+    session's shuffle partitions, or enable bucket coalescing).  With ``null_safe_keys=False`` a NULL key that
+    does sneak in never matches and duplicates its row on both sides —
+    the caller owns the non-nullability claim.
     """
     missing = [c for c in (count_col, *sum_cols, *min_cols, *max_cols)
                if c not in snapshot.columns or c not in batch_partials.columns]
@@ -112,7 +124,10 @@ def merge_agg_snapshot(
     )
     cond = None
     for k in key_cols:
-        eq = s[f"__sk_{k}"].eqNullSafe(b[f"__bk_{k}"])
+        if null_safe_keys:
+            eq = s[f"__sk_{k}"].eqNullSafe(b[f"__bk_{k}"])
+        else:
+            eq = s[f"__sk_{k}"] == b[f"__bk_{k}"]
         cond = eq if cond is None else cond & eq
     j = s.join(b, cond, "full_outer")
 

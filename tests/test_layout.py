@@ -203,3 +203,57 @@ def test_compact_small_files_reads_nested_layouts(spark, tmp_path):
     got = spark.read.parquet(dst)
     assert got.count() == 30
     assert stats["files_after"] == 1
+
+
+def test_bucketed_snapshot_merge_exchange_free_on_snapshot_side(spark):
+    """The matview refresh's storage story, plan-gated (r8): a snapshot
+    stored bucketed on the group key merges the next batch's partials
+    with NO exchange on the snapshot side — only the batch partials
+    re-bucket (one hash exchange total).  Requires plain-equality keys
+    (null_safe_keys=False, the non-nullable-key fast path): the default
+    eqNullSafe wrapper hides the key from Catalyst's partitioning reuse.
+    Values must equal the full recompute exactly."""
+    from pyspark.sql import functions as F
+
+    from engine.ops.matview import agg_partials, merge_agg_snapshot
+
+    df1 = spark.range(0, 1000).select(
+        (F.col("id") % 97).alias("k"), (F.col("id") * 3).alias("v")
+    )
+    df2 = spark.range(500, 1500).select(
+        (F.col("id") % 97).alias("k"), (F.col("id") * 7).alias("v")
+    )
+    snap = agg_partials(df1, ["k"], sums={"s": "v"})
+    # bucket count matches the session's shuffle partitions: partitioning
+    # reuse requires the join's chosen numPartitions to equal the bucket
+    # count (a mismatch re-shuffles BOTH sides)
+    write_bucketed(snap, "t_snap_merge_gate", "k", 4, sort_col="k")
+    snap_b = read_table(spark, "t_snap_merge_gate")
+    bp = agg_partials(df2, ["k"], sums={"s": "v"})
+
+    merged = merge_agg_snapshot(
+        snap_b, bp, ["k"], sum_cols=("s",), op_col=None, null_safe_keys=False
+    )
+    p = merged._jdf.queryExecution().executedPlan().toString()
+    assert p.count("Exchange hashpartitioning") <= 1
+
+    got = {r["k"]: (r["n"], r["s"]) for r in merged.collect()}
+    want = {
+        r["k"]: (r["n"], r["s"])
+        for r in agg_partials(
+            df1.unionAll(df2), ["k"], sums={"s": "v"}
+        ).collect()
+    }
+    assert got == want
+
+    # and the default null-safe path still merges NULL keys correctly
+    n1 = spark.createDataFrame([(None, 5)], "k long, v long")
+    n2 = spark.createDataFrame([(None, 7)], "k long, v long")
+    m = merge_agg_snapshot(
+        agg_partials(n1, ["k"], sums={"s": "v"}),
+        agg_partials(n2, ["k"], sums={"s": "v"}),
+        ["k"],
+        sum_cols=("s",),
+        op_col=None,
+    ).collect()
+    assert len(m) == 1 and m[0]["s"] == 12
