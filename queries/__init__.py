@@ -59,7 +59,7 @@ del _m, _k, _v
 _WINDOW_PRIORITY = [
     # ---- r8 ROTATION (VERDICT r7 #1): exactly 17 registry queries have
     # never earned a driver row — the r7 additions, all judge-verified at
-    # sf0.01 in the r7 verdict.  This window fronts all 17, then the seven
+    # sf0.01 in the r7 verdict.  This window fronts all 17, then the eight
     # seams upgraded from rows-only to oracle-paired this round (their
     # first chance at a hash-match row), the 11 standing §2/family
     # representatives, and r3-era re-validation picks in the tail (swapped
@@ -75,7 +75,7 @@ _WINDOW_PRIORITY = [
     # their r7 driver rows were rows-only; these slots buy hash matches.
     "stratified_sample", "image_near_dup", "audio_near_dup",
     "audio_features", "multimodal_decode", "multimodal_features",
-    "geocode_cascade_fake",
+    "geocode_cascade_fake", "address_parse",
     # §2 core representatives (driver-green r1-r7; continuity picks).
     "p5_range_scan",            # P: scan + range/null predicates
     "j4_keepfirst_dedup",       # J + window dedup
@@ -95,7 +95,7 @@ _WINDOW_PRIORITY = [
     "theta_sketch_setops", "minhash_recall_frontier",
     "gaps_and_islands", "trimmed_mean_stats",
     # r3-era re-validation (oracle-paired, last driver row r3; tail slots).
-    "pipeline_deleted_mode", "pipeline_updated_mode", "j1_left_join_fanout",
+    "pipeline_deleted_mode", "pipeline_updated_mode",
     "j3_anti_join", "a3_watermark_advance",
 ]
 assert len(_WINDOW_PRIORITY) == 50, len(_WINDOW_PRIORITY)

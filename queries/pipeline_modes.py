@@ -528,11 +528,53 @@ def geocode_cascade_fake(spark, sf_dir):
     return out.select("patron_id", "geoid").orderBy("patron_id")
 
 
-@q("address_parse")  # rows-only: regex+NFKD parser runs in an Arrow UDF
+@q(
+    "address_parse",
+    """
+WITH src AS (
+  SELECT c_custkey,
+         CAST(c_custkey % 9000 + 1000 AS VARCHAR) || ' '
+           || COALESCE(c_name, 'Elm') || ' Ave Apt '
+           || CAST(c_custkey % 50 AS VARCHAR) AS full_address
+  FROM customer),
+-- _to_ascii mirror for this corpus: NFKD-style diacritic fold then drop
+-- whatever is still non-printable-ASCII (the engine's translit table only
+-- matters for Cyrillic/Greek, which these synthesized lines never carry)
+norm AS (
+  SELECT c_custkey,
+         CASE WHEN full_address IS NULL THEN NULL
+              ELSE REGEXP_REPLACE(strip_accents(full_address), '[^ -~]', '', 'g')
+         END AS a
+  FROM src),
+pat AS (
+  SELECT c_custkey, a,
+         regexp_matches(a, '(?i)^\s*(\d+[A-Za-z]?(?:-\d+)?)?\s*([^,#]*?)(?:\s*(?:#|APT\.?|UNIT|STE\.?|SUITE|FL\.?|RM\.?)\s*([\w-]+))?\s*$') AS m
+  FROM norm)
+SELECT c_custkey,
+       CASE WHEN a IS NULL OR TRIM(a) = '' THEN NULL
+            WHEN m THEN NULLIF(regexp_extract(a, '(?i)^\s*(\d+[A-Za-z]?(?:-\d+)?)?\s*([^,#]*?)(?:\s*(?:#|APT\.?|UNIT|STE\.?|SUITE|FL\.?|RM\.?)\s*([\w-]+))?\s*$', 1), '')
+       END AS house_number,
+       CASE WHEN a IS NULL OR TRIM(a) = '' THEN NULL
+            WHEN m THEN NULLIF(TRIM(regexp_extract(a, '(?i)^\s*(\d+[A-Za-z]?(?:-\d+)?)?\s*([^,#]*?)(?:\s*(?:#|APT\.?|UNIT|STE\.?|SUITE|FL\.?|RM\.?)\s*([\w-]+))?\s*$', 2), ' ,'), '')
+            ELSE NULLIF(TRIM(a), '')
+       END AS street_name,
+       CASE WHEN a IS NULL OR TRIM(a) = '' THEN NULL
+            WHEN m THEN NULLIF(regexp_extract(a, '(?i)^\s*(\d+[A-Za-z]?(?:-\d+)?)?\s*([^,#]*?)(?:\s*(?:#|APT\.?|UNIT|STE\.?|SUITE|FL\.?|RM\.?)\s*([\w-]+))?\s*$', 3), '')
+       END AS unit
+FROM pat ORDER BY c_custkey
+    """,
+)
 def address_parse(spark, sf_dir):
     """Free-text address parsing (F9+F10): house number / street / unit
     extraction with unicode→ASCII transliteration, via the Arrow-batched
-    parse UDF over synthetic address lines."""
+    parse UDF over synthetic address lines.
+
+    Oracle-paired in r8 (8th rows-only upgrade): the twin folds
+    diacritics with strip_accents + ASCII strip (equal to _to_ascii on
+    this corpus — the engine's Cyrillic/Greek translit table never fires
+    on these lines) and replays _ADDR_RE under RE2, where the lazy/
+    optional-group preference order matches Python re for this ASCII
+    universe (the cascade oracle's precedent)."""
     from engine.ops.address import with_parsed_address
 
     c = t(spark, sf_dir, "customer")
