@@ -421,7 +421,8 @@ def stats_aggregates(spark, sf_dir):
 WITH src AS (
   SELECT CAST(c_custkey AS VARCHAR) AS patron_id,
          REPLACE(REPLACE(REPLACE(CAST(c_custkey % 900 + 100 AS VARCHAR) || ' '
-             || REGEXP_REPLACE(COALESCE(c_name, 'Main'), '[^ -~]', '', 'g')
+             || REGEXP_REPLACE(REPLACE(COALESCE(c_name, 'Main'), '#', ' '),
+                               '[^ -~]', '', 'g')
              || ' St', CHR(39), ''), CHR(34), ''), CHR(92), '') AS address,
          REPLACE(REPLACE(REPLACE(REGEXP_REPLACE(c_mktsegment, '[^ -~]', '', 'g'), CHR(39), ''), CHR(34), ''), CHR(92), '') AS city,
          'NY' AS region,
@@ -502,18 +503,24 @@ def geocode_cascade_fake(spark, sf_dir):
     )
 
     c = t(spark, sf_dir, "customer")
-    # input normalization to ASCII up front (the reference unidecodes
-    # before geocoding): keeps the cascade's per-attempt arithmetic in the
-    # regime where Python re and RE2 agree, so the oracle can replay the
-    # reparse leg; the transliteration path itself stays golden-pinned in
-    # tests (engine.ops.address._to_ascii)
+    # input normalization up front (the reference unidecodes before
+    # geocoding): ASCII strip keeps the cascade's per-attempt arithmetic
+    # in the regime where Python re and RE2 agree, and '#' becomes a
+    # space so the reparse regex can actually MATCH TPC-H names — without
+    # it every row took the no-match fall-through and the Geosupport leg
+    # was structurally dead on every gate corpus (r8 review catch); the
+    # transliteration path itself stays golden-pinned in tests
     ascii_ = lambda col: F.regexp_replace(col, "[^ -~]", "")  # noqa: E731
     addresses = c.select(
         F.col("c_custkey").cast("string").alias("patron_id"),
         F.concat(
             (F.col("c_custkey") % 900 + 100).cast("string"),
             F.lit(" "),
-            ascii_(F.coalesce(F.col("c_name"), F.lit("Main"))),
+            ascii_(
+                F.regexp_replace(
+                    F.coalesce(F.col("c_name"), F.lit("Main")), "#", " "
+                )
+            ),
             F.lit(" St"),
         ).alias("address"),
         ascii_(F.col("c_mktsegment")).alias("city"),
@@ -530,60 +537,62 @@ def geocode_cascade_fake(spark, sf_dir):
 
 @q(
     "address_parse",
-    """
+    r"""
 WITH src AS (
   SELECT c_custkey,
          CAST(c_custkey % 9000 + 1000 AS VARCHAR) || ' '
-           || COALESCE(c_name, 'Elm') || ' Ave Apt '
-           || CAST(c_custkey % 50 AS VARCHAR) AS full_address
+           || REGEXP_REPLACE(REPLACE(COALESCE(c_name, 'Elm'), '#', ' '),
+                             '[^ -~]', '', 'g')
+           || ' Ave Apt ' || CAST(c_custkey % 50 AS VARCHAR) AS a
   FROM customer),
--- _to_ascii mirror for this corpus: NFKD-style diacritic fold then drop
--- whatever is still non-printable-ASCII (the engine's translit table only
--- matters for Cyrillic/Greek, which these synthesized lines never carry)
-norm AS (
-  SELECT c_custkey,
-         CASE WHEN full_address IS NULL THEN NULL
-              ELSE REGEXP_REPLACE(strip_accents(full_address), '[^ -~]', '', 'g')
-         END AS a
-  FROM src),
 pat AS (
   SELECT c_custkey, a,
+         '(?i)^\s*(\d+[A-Za-z]?(?:-\d+)?)?\s*([^,#]*?)(?:\s*(?:#|APT\.?|UNIT|STE\.?|SUITE|FL\.?|RM\.?)\s*([\w-]+))?\s*$' AS p,
          regexp_matches(a, '(?i)^\s*(\d+[A-Za-z]?(?:-\d+)?)?\s*([^,#]*?)(?:\s*(?:#|APT\.?|UNIT|STE\.?|SUITE|FL\.?|RM\.?)\s*([\w-]+))?\s*$') AS m
-  FROM norm)
+  FROM src)
 SELECT c_custkey,
        CASE WHEN a IS NULL OR TRIM(a) = '' THEN NULL
-            WHEN m THEN NULLIF(regexp_extract(a, '(?i)^\s*(\d+[A-Za-z]?(?:-\d+)?)?\s*([^,#]*?)(?:\s*(?:#|APT\.?|UNIT|STE\.?|SUITE|FL\.?|RM\.?)\s*([\w-]+))?\s*$', 1), '')
+            WHEN m THEN NULLIF(regexp_extract(a, p, 1), '')
        END AS house_number,
        CASE WHEN a IS NULL OR TRIM(a) = '' THEN NULL
-            WHEN m THEN NULLIF(TRIM(regexp_extract(a, '(?i)^\s*(\d+[A-Za-z]?(?:-\d+)?)?\s*([^,#]*?)(?:\s*(?:#|APT\.?|UNIT|STE\.?|SUITE|FL\.?|RM\.?)\s*([\w-]+))?\s*$', 2), ' ,'), '')
+            WHEN m THEN NULLIF(TRIM(regexp_extract(a, p, 2), ' ,'), '')
             ELSE NULLIF(TRIM(a), '')
        END AS street_name,
        CASE WHEN a IS NULL OR TRIM(a) = '' THEN NULL
-            WHEN m THEN NULLIF(regexp_extract(a, '(?i)^\s*(\d+[A-Za-z]?(?:-\d+)?)?\s*([^,#]*?)(?:\s*(?:#|APT\.?|UNIT|STE\.?|SUITE|FL\.?|RM\.?)\s*([\w-]+))?\s*$', 3), '')
+            WHEN m THEN NULLIF(regexp_extract(a, p, 3), '')
        END AS unit
 FROM pat ORDER BY c_custkey
     """,
 )
 def address_parse(spark, sf_dir):
     """Free-text address parsing (F9+F10): house number / street / unit
-    extraction with unicode→ASCII transliteration, via the Arrow-batched
-    parse UDF over synthetic address lines.
+    extraction via the Arrow-batched parse UDF over synthetic address
+    lines.
 
-    Oracle-paired in r8 (8th rows-only upgrade): the twin folds
-    diacritics with strip_accents + ASCII strip (equal to _to_ascii on
-    this corpus — the engine's Cyrillic/Greek translit table never fires
-    on these lines) and replays _ADDR_RE under RE2, where the lazy/
-    optional-group preference order matches Python re for this ASCII
-    universe (the cascade oracle's precedent)."""
+    Oracle-paired in r8 (8th rows-only upgrade).  The synthesis
+    normalizes its input exactly like the cascade query — '#' becomes a
+    space and non-ASCII is stripped ON BOTH SIDES, so (a) _to_ascii
+    inside the UDF is the identity (no corpus-conditional equivalence
+    claim; the NFKD/translit path stays golden-pinned in pytest) and
+    (b) the _ADDR_RE match branch actually FIRES: house numbers and the
+    'Apt N' unit capture are hash-checked on every row, not just the
+    no-match fall-through (r8 review catch — with '#' in the TPC-H
+    names, 100% of rows took the degenerate branch and a capture-group
+    bug would have stayed green)."""
     from engine.ops.address import with_parsed_address
 
     c = t(spark, sf_dir, "customer")
+    ascii_ = lambda col: F.regexp_replace(col, "[^ -~]", "")  # noqa: E731
     lines = c.select(
         "c_custkey",
         F.concat(
             (F.col("c_custkey") % 9000 + 1000).cast("string"),
             F.lit(" "),
-            F.coalesce(F.col("c_name"), F.lit("Elm")),
+            ascii_(
+                F.regexp_replace(
+                    F.coalesce(F.col("c_name"), F.lit("Elm")), "#", " "
+                )
+            ),
             F.lit(" Ave Apt "),
             (F.col("c_custkey") % 50).cast("string"),
         ).alias("full_address"),
@@ -591,5 +600,3 @@ def address_parse(spark, sf_dir):
     return with_parsed_address(lines).select(
         "c_custkey", "house_number", "street_name", "unit"
     ).orderBy("c_custkey")
-
-

@@ -228,23 +228,26 @@ def test_bucketed_snapshot_merge_exchange_free_on_snapshot_side(spark):
     # reuse requires the join's chosen numPartitions to equal the bucket
     # count (a mismatch re-shuffles BOTH sides)
     write_bucketed(snap, "t_snap_merge_gate", "k", 4, sort_col="k")
-    snap_b = read_table(spark, "t_snap_merge_gate")
-    bp = agg_partials(df2, ["k"], sums={"s": "v"})
+    try:
+        snap_b = read_table(spark, "t_snap_merge_gate")
+        bp = agg_partials(df2, ["k"], sums={"s": "v"})
 
-    merged = merge_agg_snapshot(
-        snap_b, bp, ["k"], sum_cols=("s",), op_col=None, null_safe_keys=False
-    )
-    p = merged._jdf.queryExecution().executedPlan().toString()
-    assert p.count("Exchange hashpartitioning") <= 1
+        merged = merge_agg_snapshot(
+            snap_b, bp, ["k"], sum_cols=("s",), op_col=None,
+            null_safe_keys=False,
+        )
+        assert plan(merged).count("Exchange hashpartitioning") <= 1
 
-    got = {r["k"]: (r["n"], r["s"]) for r in merged.collect()}
-    want = {
-        r["k"]: (r["n"], r["s"])
-        for r in agg_partials(
-            df1.unionAll(df2), ["k"], sums={"s": "v"}
-        ).collect()
-    }
-    assert got == want
+        got = {r["k"]: (r["n"], r["s"]) for r in merged.collect()}
+        want = {
+            r["k"]: (r["n"], r["s"])
+            for r in agg_partials(
+                df1.unionAll(df2), ["k"], sums={"s": "v"}
+            ).collect()
+        }
+        assert got == want
+    finally:
+        spark.sql("DROP TABLE IF EXISTS t_snap_merge_gate")
 
     # and the default null-safe path still merges NULL keys correctly
     n1 = spark.createDataFrame([(None, 5)], "k long, v long")
