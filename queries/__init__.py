@@ -57,46 +57,37 @@ del _m, _k, _v
 # entries first.
 
 _WINDOW_PRIORITY = [
-    # ---- r8 ROTATION (VERDICT r7 #1): exactly 17 registry queries have
-    # never earned a driver row — the r7 additions, all judge-verified at
-    # sf0.01 in the r7 verdict.  This window fronts all 17, then the eight
-    # seams upgraded from rows-only to oracle-paired this round (their
-    # first chance at a hash-match row), the 11 standing §2/family
-    # representatives, and r3-era re-validation picks in the tail (swapped
-    # for new r8 queries as they land, per the windowed-at-birth rule).
-    # The 17 r7 additions (judge-green sf0.01, never driver-windowed).
-    "scd2_point_in_time_join", "l_diversity_audit", "attribution_last_click",
-    "phrase_search_topk", "embedding_covariance_block", "bottomk_shard_merge",
-    "jaccard_bottomk_overlap", "hilbert_key", "stratified_kfold_balance",
-    "rendezvous_routing", "join_size_estimate", "score_quantile_normalize",
-    "video_frame_sample", "ivf_index_incremental", "lsh_recall_audit",
-    "ranking_auc_value", "corpus_pipeline_v5",
-    # Seams upgraded rows-only → oracle-paired in r8 (VERDICT r7 #4):
-    # their r7 driver rows were rows-only; these slots buy hash matches.
-    "stratified_sample", "image_near_dup", "audio_near_dup",
-    "audio_features", "multimodal_decode", "multimodal_features",
-    "geocode_cascade_fake", "address_parse",
-    # §2 core representatives (driver-green r1-r7; continuity picks).
-    "p5_range_scan",            # P: scan + range/null predicates
-    "j4_keepfirst_dedup",       # J + window dedup
-    "a1_stall_guard_minmax",    # A: min/max stall aggregate
-    "f1_f2_address_key_hash",   # F: null-safe concat + keyed hash
-    "st4_stream_dedup",         # ST: cross-batch dedup
-    "flagship_patron_chain",    # flagship chain
-    "pipeline_new_mode",        # end-to-end NEW-mode pipeline
-    "q1_pricing_summary",       # TPC-H-shape aggregate
-    "dedup_minhash_lsh",        # near-dup family
-    "ann_cosine_topk",          # similarity family
-    "cdc_apply_changelog",      # CDC family
-    # r8 new queries, windowed at birth.
-    "q7_volume_shipping", "q13_customer_distribution",
-    "q14_promo_revenue_share", "q17_small_quantity_revenue",
-    "q18_large_orders", "q21_waiting_suppliers",
-    "theta_sketch_setops", "minhash_recall_frontier",
-    "gaps_and_islands", "trimmed_mean_stats",
-    # r3-era re-validation (oracle-paired, last driver row r3; tail slots).
-    "pipeline_deleted_mode", "pipeline_updated_mode",
-    "j3_anti_join", "a3_watermark_advance",
+    # ---- r9 ROTATION (VERDICT r8 #1): with zero never-driver-checked
+    # queries left, the window's job flips from coverage to REGRESSION
+    # INSURANCE.  These are the 50 registry queries whose latest driver row
+    # is OLDEST (2×r1, 34×r3, 14×r4 — computed from CORRECTNESS_r01..r08);
+    # the code under them has churned since (queries-package split r7,
+    # oracle re-pairings and scrub/regex fixes r8).  Tail r4 slots are
+    # swapped for new r9 queries as they land (windowed-at-birth rule) —
+    # the displaced r4 names stay stalest-first for the r10 rotation.
+    # Last driver row r1.
+    "window_running_total", "topk_per_group",
+    # Last driver row r3.
+    "p2_null_normalize", "p3_trim_projection", "p4_ts_to_date", "p6_in_list",
+    "j1_left_join_fanout", "j2_dim_chain_join", "j6_deleted_enrich",
+    "j8_coalesce_fill", "j9_retry_overlay", "j7_overlay_join", "a5_null_rate",
+    "f3_f4_scrub_assemble", "f5_f12_casts", "f7_f8_geoid_assembly",
+    "f13_json_records", "q3_order_revenue_topk", "q5_nation_revenue",
+    "rollup_revenue", "pivot_status_counts", "setops_customer_keys",
+    "st2_incremental_page", "st5_stall_detect", "tumbling_window_agg",
+    "sliding_window_agg", "session_window_agg", "text_token_stats",
+    "text_quality", "lang_id", "dedup_exact", "dedup_ngram_jaccard",
+    "multimodal_meta", "date_funcs_pack", "pii_redact", "repetition_metrics",
+    # Last driver row r4.
+    "j5_memo_probe", "o1_keyset_page", "f6_tz_local_date",
+    "dedup_minhash_incremental", "dedup_simhash", "ann_lsh_topk",
+    "embedding_near_dup", "dedup_minhash_cc",
+    # r9 new queries, windowed at birth (displacing the 6 stalest-r4 tail
+    # picks ann_ivf_topk/knn_join_exact/semdedup_pairs/semdedup_prune/
+    # semdedup_incremental/bm25_rank, which lead the r10 rotation).
+    "q4_order_priority", "q12_shipmode_priority", "q16_part_supplier_counts",
+    "q19_discounted_revenue", "q22_global_sales_opportunity",
+    "hll_native_cells",
 ]
 assert len(_WINDOW_PRIORITY) == 50, len(_WINDOW_PRIORITY)
 

@@ -454,16 +454,55 @@ def range_join_sessions(spark, sf_dir):
     return out.filter(F.col("id_a") != F.col("id_b")).select("id_a", "id_b")
 
 
-@q("approx_sketches")  # rows-only: approximate results have no exact oracle
-def approx_sketches(spark, sf_dir):
-    """Approximate aggregates for the 100 TB path: HLL distinct counts and
-    approximate quantiles (t-digest class) per group — the operators that
-    replace exact distinct/percentile when keys don't fit memory."""
-    li = t(spark, sf_dir, "lineitem")
-    return li.groupBy("l_returnflag").agg(
-        F.approx_count_distinct("l_partkey").alias("approx_parts"),
-        F.percentile_approx("l_extendedprice", 0.5, 1000).alias("approx_median"),
-        F.count(F.lit(1)).alias("n"),
+@q(
+    "hll_native_cells",
+    """
+    WITH h AS (
+      SELECT l_returnflag,
+             CAST(('0x' || SUBSTRING(MD5(CAST(l_partkey AS VARCHAR)), 1, 15))
+                  AS BIGINT) AS h60
+      FROM lineitem
+      WHERE l_partkey IS NOT NULL AND l_returnflag IS NOT NULL)
+    SELECT l_returnflag,
+           CAST(h60 % 256 AS BIGINT) AS bucket,
+           CAST(MAX(CASE WHEN h60 // 256 = 0 THEN 53
+                         ELSE 53 - LENGTH(BIN(h60 // 256)) END)
+                AS BIGINT) AS max_rho
+    FROM h GROUP BY l_returnflag, h60 % 256
+    ORDER BY l_returnflag, bucket
+    """,
+)
+def hll_native_cells(spark, sf_dir):
+    """Grouped HLL register construction, value-hash-checked end to end
+    (the driver slot that replaced the rows-only ``approx_sketches`` —
+    VERDICT r8 #3; Spark's native Datasketches registers stay pinned by
+    pytest against known-cardinality fixtures in
+    tests/test_sketch_skew.py).  A real HyperLogLog register table over
+    the dual-implementable md5_long family: 60-bit hash, p=8 → bucket =
+    h mod 256, rho = leading-zeros-in-52-bit-value + 1 = 53 − bitlength
+    (pure integer via length(bin(v)), never float log2 — the
+    determinism-ledger bucketing rule), MAX per (group, bucket).  The
+    100 TB shape: map-side partial MAX collapses every partition to
+    ≤ |groups|·256 cells before ONE tiny shuffle — the same reason HLL
+    replaces exact distinct at scale, demonstrated with registers both
+    engines can replay bit for bit."""
+    from engine.extended.dedup import md5_long
+
+    li = t(spark, sf_dir, "lineitem").filter(
+        F.col("l_partkey").isNotNull() & F.col("l_returnflag").isNotNull()
+    )
+    h60 = md5_long(F.col("l_partkey").cast("string"))
+    v52 = F.expr("__h60 div 256")
+    rho = F.when(v52 == 0, F.lit(53)).otherwise(
+        F.lit(53) - F.length(F.bin(v52)).cast("long")
+    )
+    return (
+        li.select("l_returnflag", h60.alias("__h60"))
+        .groupBy(
+            "l_returnflag", (F.col("__h60") % 256).cast("long").alias("bucket")
+        )
+        .agg(F.max(rho).cast("long").alias("max_rho"))
+        .orderBy("l_returnflag", "bucket")
     )
 
 

@@ -503,3 +503,275 @@ def q21_waiting_suppliers(spark, sf_dir):
         .orderBy(F.col("numwait").desc(), "s_name")
         .limit(100)
     )
+
+
+# ===========================================================================
+# Round 9: the five remaining TPC-H shape families (Q4/Q12/Q16/Q19/Q22),
+# adapted to the testdata schema (no commitdate/receiptdate/shipmode/
+# partsupp/phone columns — each query's docstring names its stand-in).
+# Exactness disciplines unchanged: FLOOR(x*100+0.5) integer cents wherever a
+# ratio/threshold touches float accumulation, fully-keyed ORDER BY.
+# ===========================================================================
+
+
+@q(
+    "q4_order_priority",
+    """
+    SELECT o.o_orderpriority, CAST(COUNT(*) AS BIGINT) AS order_count
+    FROM orders o
+    WHERE o.o_orderdate >= TIMESTAMP '1996-07-01'
+      AND o.o_orderdate <  TIMESTAMP '1996-10-01'
+      AND EXISTS (
+        SELECT 1 FROM lineitem l
+        WHERE l.l_orderkey = o.o_orderkey
+          AND l.l_shipdate > o.o_orderdate + INTERVAL 90 DAY)
+    GROUP BY o.o_orderpriority
+    ORDER BY o.o_orderpriority
+    """,
+)
+def q4_order_priority(spark, sf_dir):
+    """TPC-H Q4 shape — order-priority checking: count one quarter's
+    orders per priority where EXISTS a late line.  Lateness is
+    ``l_shipdate > o_orderdate + 90 days`` (the pack has no
+    commitdate/receiptdate pair), which keeps Q4's defining feature: the
+    EXISTS condition references BOTH tables, so the semi join carries a
+    non-equi residual on top of the orderkey equi key.  Planned as ONE
+    left-semi join on l_orderkey — the date filter shrinks orders before
+    the shuffle, lineitem is never aggregated or re-scanned, and the
+    semi join deduplicates multi-late-line orders for free (no DISTINCT
+    stage)."""
+    o = t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-07-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1996-10-01").cast("timestamp"))
+    )
+    li = t(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    late = (F.col("l_shipdate")
+            > F.col("o_orderdate") + F.expr("INTERVAL 90 DAYS"))
+    return (
+        o.join(li, (o.o_orderkey == li.l_orderkey) & late, "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).cast("long").alias("order_count"))
+        .orderBy("o_orderpriority")
+    )
+
+
+@q(
+    "q12_shipmode_priority",
+    """
+    SELECT l.l_returnflag AS ship_class,
+           CAST(SUM(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+           CAST(SUM(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                         THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+    FROM lineitem l
+    JOIN orders o ON o.o_orderkey = l.l_orderkey
+    WHERE l.l_shipdate >= TIMESTAMP '1997-01-01'
+      AND l.l_shipdate <  TIMESTAMP '1998-01-01'
+      AND l.l_shipdate > o.o_orderdate
+    GROUP BY l.l_returnflag
+    ORDER BY ship_class
+    """,
+)
+def q12_shipmode_priority(spark, sf_dir):
+    """TPC-H Q12 shape — the two-branch CASE aggregation: per ship class
+    (l_returnflag stands in for the missing l_shipmode), one pass counts
+    high-priority and low-priority lines shipped during 1997 after their
+    order date (the commitdate/receiptdate sanity chain collapsed to the
+    one date pair the pack has).  Both CASE branches fold in the SAME
+    aggregate — one orderkey shuffle join, one group-by, no second scan;
+    the year filter prunes lineitem BEFORE the join.  The low branch is
+    the high branch's complement (CASE ... THEN 0 ELSE 1), so NULL
+    priorities count as low in both engines identically rather than
+    falling out of a NOT IN."""
+    li = t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+    ).select("l_orderkey", "l_returnflag", "l_shipdate")
+    o = t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate", "o_orderpriority"
+    )
+    hi = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .filter(F.col("l_shipdate") > F.col("o_orderdate"))
+        .groupBy(F.col("l_returnflag").alias("ship_class"))
+        .agg(
+            F.sum(F.when(hi, 1).otherwise(0)).cast("long")
+            .alias("high_line_count"),
+            F.sum(F.when(hi, 0).otherwise(1)).cast("long")
+            .alias("low_line_count"),
+        )
+        .orderBy("ship_class")
+    )
+
+
+@q(
+    "q16_part_supplier_counts",
+    """
+    SELECT p.p_brand, p.p_type, CAST(p.p_size AS BIGINT) AS p_size,
+           CAST(COUNT(DISTINCT l.l_suppkey) AS BIGINT) AS supplier_cnt
+    FROM lineitem l
+    JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE p.p_brand <> 'Brand#1'
+      AND p.p_type <> 'PROMO'
+      AND p.p_size IN (1, 4, 9, 14, 23, 36, 45, 49)
+      AND l.l_suppkey NOT IN (
+        SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+    GROUP BY p.p_brand, p.p_type, p.p_size
+    ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
+    """,
+)
+def q16_part_supplier_counts(spark, sf_dir):
+    """TPC-H Q16 shape — supplier variety per (brand, type, size): the
+    NOT-IN-subquery + COUNT(DISTINCT) combination.  Negative account
+    balance stands in for the complaints LIKE filter (the pack has no
+    supplier comments); lineitem stands in for partsupp as the
+    part-supplier relation.  The NOT IN compiles to a broadcast
+    left-anti join (s_suppkey is non-null, so anti ≡ NOT IN — no
+    null-aware single-partition plan), the part predicate trio prunes
+    the dim BEFORE its broadcast, and COUNT(DISTINCT) shuffles once on
+    the (brand, type, size) group key with a partial distinct below
+    it."""
+    li = t(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey")
+    p = t(spark, sf_dir, "part").filter(
+        (F.col("p_brand") != "Brand#1")
+        & (F.col("p_type") != "PROMO")
+        & F.col("p_size").isin(1, 4, 9, 14, 23, 36, 45, 49)
+    ).select("p_partkey", "p_brand", "p_type", "p_size")
+    bad = t(spark, sf_dir, "supplier").filter(
+        F.col("s_acctbal") < 0
+    ).select("s_suppkey")
+    return (
+        li.join(F.broadcast(bad), li.l_suppkey == bad.s_suppkey, "left_anti")
+        .join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .groupBy("p_brand", "p_type", F.col("p_size").cast("long").alias("p_size"))
+        .agg(F.count_distinct("l_suppkey").cast("long").alias("supplier_cnt"))
+        .orderBy(
+            F.col("supplier_cnt").desc(), "p_brand", "p_type", "p_size"
+        )
+    )
+
+
+@q(
+    "q19_discounted_revenue",
+    """
+    SELECT CAST(SUM(CAST(FLOOR(l.l_extendedprice * (1 - l.l_discount) * 100
+                               + 0.5) AS BIGINT)) AS BIGINT) AS revenue_cents,
+           CAST(COUNT(*) AS BIGINT) AS n_lines
+    FROM lineitem l
+    JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE (p.p_brand = 'Brand#12' AND p.p_type = 'SMALL'
+           AND l.l_quantity BETWEEN 1 AND 11 AND p.p_size BETWEEN 1 AND 5)
+       OR (p.p_brand = 'Brand#23' AND p.p_type = 'MEDIUM'
+           AND l.l_quantity BETWEEN 10 AND 20 AND p.p_size BETWEEN 1 AND 10)
+       OR (p.p_brand = 'Brand#3' AND p.p_type = 'LARGE'
+           AND l.l_quantity BETWEEN 20 AND 30 AND p.p_size BETWEEN 1 AND 15)
+    """,
+)
+def q19_discounted_revenue(spark, sf_dir):
+    """TPC-H Q19 shape — the OR-of-ANDs pushdown stress: three
+    brand/type/quantity/size conjunctions OR'd across the lineitem×part
+    join (p_type stands in for the container lists).  Catalyst cannot
+    split a cross-table disjunction, so the scale move is done
+    EXPLICITLY: each side pre-filters on its branch-union ENVELOPE —
+    lineitem on l_quantity ∈ [1, 30] (reaches the parquet scan as a
+    PushedFilter, plan-gated), part on the brand/type/size union — so
+    the join moves only candidate rows and the exact disjunction runs
+    post-join on the survivors.  The envelopes are implied by the
+    disjunction, so results are identical with or without them; revenue
+    renders as exact per-row integer cents."""
+    li = t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_quantity") >= 1) & (F.col("l_quantity") <= 30)
+    ).select("l_partkey", "l_quantity", "l_extendedprice", "l_discount")
+    p = t(spark, sf_dir, "part").filter(
+        F.col("p_brand").isin("Brand#12", "Brand#23", "Brand#3")
+        & F.col("p_type").isin("SMALL", "MEDIUM", "LARGE")
+        & (F.col("p_size") >= 1) & (F.col("p_size") <= 15)
+    ).select("p_partkey", "p_brand", "p_type", "p_size")
+    qty, sz = F.col("l_quantity"), F.col("p_size")
+    branch = (
+        ((F.col("p_brand") == "Brand#12") & (F.col("p_type") == "SMALL")
+         & qty.between(1, 11) & sz.between(1, 5))
+        | ((F.col("p_brand") == "Brand#23") & (F.col("p_type") == "MEDIUM")
+           & qty.between(10, 20) & sz.between(1, 10))
+        | ((F.col("p_brand") == "Brand#3") & (F.col("p_type") == "LARGE")
+           & qty.between(20, 30) & sz.between(1, 15))
+    )
+    cents = F.floor(
+        F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount")) * 100
+        + F.lit(0.5)
+    ).cast("long")
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .filter(branch)
+        .agg(
+            F.sum(cents).cast("long").alias("revenue_cents"),
+            F.count(F.lit(1)).cast("long").alias("n_lines"),
+        )
+    )
+
+
+@q(
+    "q22_global_sales_opportunity",
+    """
+    WITH pos AS (
+      SELECT c_custkey, c_nationkey,
+             CAST(FLOOR(c_acctbal * 100 + 0.5) AS BIGINT) AS bal_cents
+      FROM customer
+      WHERE c_nationkey IN (1, 3, 5, 7, 9, 11, 13)
+        AND c_acctbal IS NOT NULL),
+    avg_ref AS (
+      SELECT SUM(bal_cents) AS s, COUNT(*) AS n
+      FROM pos WHERE bal_cents > 0)
+    SELECT p.c_nationkey AS cntrycode,
+           CAST(COUNT(*) AS BIGINT) AS numcust,
+           CAST(SUM(p.bal_cents) AS BIGINT) AS totacctbal_cents
+    FROM pos p CROSS JOIN avg_ref a
+    WHERE p.bal_cents * a.n > a.s
+      AND NOT EXISTS (
+        SELECT 1 FROM orders o
+        WHERE o.o_custkey = p.c_custkey
+          AND o.o_orderdate >= TIMESTAMP '2000-01-01')
+    GROUP BY p.c_nationkey
+    ORDER BY cntrycode
+    """,
+)
+def q22_global_sales_opportunity(spark, sf_dir):
+    """TPC-H Q22 shape — idle rich customers: in seven country codes
+    (c_nationkey stands in for the phone prefix), customers with no
+    RECENT orders (none since 2000 — every synthetic customer has SOME
+    order, so the classic no-orders-ever anti join would be vacuously
+    empty at every SF) whose balance beats the positive-balance
+    average.  The scalar
+    AVG subquery is the float trap of this query: an engine-ordered
+    double average makes boundary customers flicker, so the comparison
+    cross-multiplies in exact integer cents (bal·n > Σbal — same
+    predicate, no division).  Planned as: the 1-row aggregate broadcast
+    cross join, then ONE left-anti join against orders on custkey (the
+    NOT EXISTS — the date filter prunes the anti side BEFORE the join);
+    customer is filtered to the seven codes at the scan."""
+    pos = t(spark, sf_dir, "customer").filter(
+        F.col("c_nationkey").isin(1, 3, 5, 7, 9, 11, 13)
+        & F.col("c_acctbal").isNotNull()
+    ).select(
+        "c_custkey", "c_nationkey",
+        F.floor(F.col("c_acctbal") * 100 + F.lit(0.5)).cast("long")
+        .alias("bal_cents"),
+    )
+    avg_ref = pos.filter(F.col("bal_cents") > 0).agg(
+        F.sum("bal_cents").alias("__s"), F.count(F.lit(1)).alias("__n")
+    )
+    o = t(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") >= F.lit("2000-01-01").cast("timestamp")
+    ).select("o_custkey")
+    return (
+        pos.crossJoin(F.broadcast(avg_ref))
+        .filter(F.col("bal_cents") * F.col("__n") > F.col("__s"))
+        .join(o, pos.c_custkey == o.o_custkey, "left_anti")
+        .groupBy(F.col("c_nationkey").alias("cntrycode"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("numcust"),
+            F.sum("bal_cents").cast("long").alias("totacctbal_cents"),
+        )
+        .orderBy("cntrycode")
+    )

@@ -320,6 +320,53 @@ def test_compression_ratio_runs_in_registry_query(spark):
     assert all(0 < r["avg_ratio"] <= 1.5 for r in out)
 
 
+def test_compression_quality_golden_literals(spark):
+    """VERDICT r8 #3: `compression_quality` is the registry's PERMANENT
+    rows-only exception (no SQL engine exposes zlib), so its outputs are
+    pinned as HARD-CODED literals — both the per-string byte counts and
+    the full registry-query output at sf0.001.  A zlib version that
+    compresses differently, an Arrow seam change, or a rounding drift
+    all fail here instead of hiding behind the rows-only driver check."""
+    import queries as q
+
+    # exact zlib-level-6 byte counts for two fixed strings (literals, not
+    # recomputed — this catches zlib library drift itself)
+    df = spark.createDataFrame(
+        [
+            (1, "spam " * 400),
+            (2, "The quick brown fox jumps over the lazy dog; "
+                "pack my box with five dozen liquor jugs. " * 10),
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        r["doc_id"]: r["ratio"]
+        for r in df.select(
+            "doc_id", compression_ratio("text").alias("ratio")
+        ).collect()
+    }
+    assert got[1] == round(28 / 2000, 4)   # 2000 raw → 28 compressed
+    assert got[2] == round(89 / 860, 4)    # 860 raw → 89 compressed
+    # the full registry-query output at sf0.001 (20 sources × 25 docs)
+    out = sorted(
+        (tuple(r) for r in q.SPARK_QUERIES["compression_quality"](
+            spark, "/root/testdata/sf0.001").collect()),
+        key=lambda r: r[0],
+    )
+    assert out == [
+        ("src0", 25, 0.5417, 0), ("src1", 25, 0.5548, 0),
+        ("src10", 25, 0.5751, 0), ("src11", 25, 0.5488, 0),
+        ("src12", 25, 0.5253, 0), ("src13", 25, 0.5928, 0),
+        ("src14", 25, 0.5206, 0), ("src15", 25, 0.5544, 0),
+        ("src16", 25, 0.5538, 0), ("src17", 25, 0.5751, 0),
+        ("src18", 25, 0.566, 0), ("src19", 25, 0.524, 0),
+        ("src2", 25, 0.6029, 0), ("src3", 25, 0.5169, 0),
+        ("src4", 25, 0.5608, 0), ("src5", 25, 0.5727, 0),
+        ("src6", 25, 0.5239, 0), ("src7", 25, 0.6164, 0),
+        ("src8", 25, 0.4992, 0), ("src9", 25, 0.5697, 0),
+    ]
+
+
 def test_vertical_tab_is_whitespace_in_both_counting_paths(spark):
     """Java \\s includes VT (0x0B); RE2's does not — both code paths now
     use explicit ASCII classes, so a VT neither starts an indented line's

@@ -586,3 +586,48 @@ def test_r8_tpch_shapes_plan_gates(spark):
     p7 = plans["q7_volume_shipping"]
     assert p7.count("BroadcastHashJoin") >= 2
     assert p7.count("SortMergeJoin") + p7.count("ShuffledHashJoin") <= 1
+
+
+def test_r9_tpch_shapes_plan_gates(spark):
+    """Round-9 TPC-H shapes: Q4's cross-table EXISTS stays ONE semi join
+    with the non-equi residual riding the orderkey key (a nested loop
+    here is the correlation failing); Q19's quantity ENVELOPE reaches the
+    lineitem parquet scan as a PushedFilter (the whole point of deriving
+    it from the OR-of-ANDs); Q22's NOT EXISTS is an anti join and its
+    scalar average rides a 1-row broadcast; Q16's NOT IN compiles to a
+    broadcast anti join, never the null-aware single-partition plan."""
+    from queries import (
+        q4_order_priority,
+        q12_shipmode_priority,
+        q16_part_supplier_counts,
+        q19_discounted_revenue,
+        q22_global_sales_opportunity,
+    )
+
+    plans = {}
+    for fn in (q4_order_priority, q12_shipmode_priority,
+               q16_part_supplier_counts, q19_discounted_revenue,
+               q22_global_sales_opportunity):
+        p = plans[fn.__name__] = plan(fn(spark, SF))
+        if fn is not q22_global_sales_opportunity:
+            assert "BroadcastNestedLoopJoin" not in p, fn.__name__
+        assert "CartesianProduct" not in p, fn.__name__
+    # Q22's ONE allowed nested loop is the 1-row scalar-average broadcast
+    # (|customer| × 1 — linear; the same plan Spark gives a scalar
+    # subquery); the custkey NOT EXISTS must still be a HASH anti join
+    assert plans["q22_global_sales_opportunity"].count(
+        "BroadcastNestedLoopJoin") <= 1
+    p4 = plans["q4_order_priority"]
+    assert "LeftSemi" in p4
+    assert p4.count("FileScan parquet") == 2  # each table scanned once
+    p19 = plans["q19_discounted_revenue"]
+    pushed = p19.split("PushedFilters")[1][:400]
+    assert "l_quantity" in pushed  # the derived envelope reached the scan
+    p16 = plans["q16_part_supplier_counts"]
+    assert "LeftAnti" in p16
+    p22 = plans["q22_global_sales_opportunity"]
+    assert "BroadcastHashJoin" in p22 and "LeftAnti" in p22
+    # Q12: one orderkey join + one two-branch aggregate — no second
+    # scan of either fact for the second CASE branch
+    p12 = plans["q12_shipmode_priority"]
+    assert p12.count("FileScan parquet") == 2

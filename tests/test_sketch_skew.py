@@ -498,3 +498,49 @@ def test_bottomk_setops_estimate_identities(spark):
     assert same["n_both"] == 64
     assert same["est_intersection"] == same["est_union"]
     assert same["est_only_a"] == max(same["est_a"] - same["est_union"], 0)
+
+
+def test_native_sketch_parity_known_cardinalities(spark):
+    """VERDICT r8 #3: the native-sketch behavior that `approx_sketches`
+    rows-only-checked now pins here against KNOWN cardinalities (the
+    driver slot moved to the md5-register `hll_native_cells`, which is
+    value-hash-checked against DuckDB).
+
+    Spark's Datasketches HLL (lgK=12) is EXACT in sparse mode at these
+    cardinalities; approx_count_distinct (HLL++, rsd=5% default) must
+    land within its advertised error; percentile_approx at full accuracy
+    returns an exact member of the input (KLL-class contract)."""
+    n_keys = 3000
+    rows = [(i % n_keys, float(i % 1000)) for i in range(3 * n_keys)]
+    df = spark.createDataFrame(rows, ["k", "v"])
+    got = df.agg(
+        F.approx_count_distinct("k").alias("acd"),
+        F.hll_sketch_estimate(
+            F.hll_sketch_agg("k", F.lit(12))
+        ).alias("hll"),
+        F.percentile_approx("v", 0.5, 2147483647).alias("med"),
+        F.expr("approx_count_distinct(k, 0.01)").alias("acd_tight"),
+    ).collect()[0]
+    assert abs(got["acd"] - n_keys) <= 0.05 * n_keys * 3  # 3σ at rsd=5%
+    assert abs(got["acd_tight"] - n_keys) <= 0.01 * n_keys * 3
+    # Datasketches HLL lgK=12 holds ~2.5k exact sparse entries; at 3k it
+    # may have promoted to dense — allow its 1.6% rsd at 3σ
+    assert abs(got["hll"] - n_keys) <= 0.016 * n_keys * 3
+    # exact-accuracy approx median of 0..999 (each value ×9): the true
+    # median interval is [499, 500]; the estimate must be a member value
+    assert got["med"] in (499.0, 500.0)
+    # per-group form (the old approx_sketches shape): grouped estimates
+    # carry the same contracts independently per group
+    g = (
+        df.withColumn("grp", F.col("k") % 3)
+        .groupBy("grp")
+        .agg(
+            F.approx_count_distinct("k").alias("acd"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .collect()
+    )
+    per_grp = n_keys / 3
+    for r in g:
+        assert r["n"] == 3 * per_grp
+        assert abs(r["acd"] - per_grp) <= 0.05 * per_grp * 3
