@@ -140,10 +140,31 @@ def merge_agg_snapshot(
             .alias(c)
         )
 
-    out = [
-        F.coalesce(F.col(f"__sk_{k}"), F.col(f"__bk_{k}")).alias(k)
-        for k in key_cols
-    ]
+    def key_out(k: str) -> F.Column:
+        merged_key = F.coalesce(F.col(f"__sk_{k}"), F.col(f"__bk_{k}"))
+        if null_safe_keys:
+            return merged_key.alias(k)
+        # With plain equality a NULL key never matches, so ANY NULL in the
+        # merged key column means a NULL-key row just duplicated across the
+        # full outer join — raise instead of silently corrupting the
+        # snapshot (advice-review catch).  The guard lives INSIDE the key
+        # expression (a separate assert column would be pruned; the
+        # determinism-ledger dry-run rule), costs one isNull per row, and
+        # sits above the join so partitioning reuse is untouched.
+        return (
+            F.when(
+                merged_key.isNull(),
+                F.raise_error(F.lit(
+                    f"merge_agg_snapshot(null_safe_keys=False): NULL {k!r}"
+                    " group key — the caller claimed non-nullable keys;"
+                    " use the default null-safe path for nullable keys"
+                )),
+            )
+            .otherwise(merged_key)
+            .alias(k)
+        )
+
+    out = [key_out(k) for k in key_cols]
     out.append(
         (
             F.coalesce(F.col(f"__s_{count_col}"), F.lit(0))

@@ -22,6 +22,18 @@ every batch.  The previous version is retained for readers in flight;
 older ones are pruned.  At-least-once re-delivery is guarded by the
 seen-batch_id set in process (the accumulator owns its idempotence, as in
 streaming_cms) and by the version naming across the checkpoint's replay.
+
+Exchange budget (VERDICT r8 #2): with ``non_nullable_keys=True`` the
+maintainer stores each snapshot version as a BUCKETED catalog table on
+the group key and merges with plain-equality keys
+(``merge_agg_snapshot(null_safe_keys=False)``), so every refresh after
+the first runs with ONE hash exchange — the batch partials re-bucketing;
+the snapshot side reads co-located buckets exchange-free (the batch-op
+plan gate in tests/test_layout.py, now pinned on the STREAMING path by
+tests/test_streaming_soak.py).  The default (False) keeps the
+null-safe/plain-parquet path for nullable keys; the pointer file then
+carries a ``table:`` prefix in bucketed mode so
+:func:`read_agg_snapshot` knows which storage to open.
 """
 
 from __future__ import annotations
@@ -38,12 +50,19 @@ _CURRENT = "_CURRENT"
 
 
 def read_agg_snapshot(spark: SparkSession, snapshot_dir: str) -> DataFrame | None:
-    """The current snapshot, or None before the first publish."""
+    """The current snapshot, or None before the first publish.
+
+    A ``table:`` pointer (bucketed mode) opens the catalog table — going
+    through the catalog is what hands Catalyst the bucket layout; reading
+    the same files as raw parquet would silently drop the
+    exchange-free-merge property."""
     ptr = os.path.join(snapshot_dir, _CURRENT)
     if not os.path.exists(ptr):
         return None
     with open(ptr) as fh:
         version = fh.read().strip()
+    if version.startswith("table:"):
+        return spark.table(version[len("table:"):])
     return spark.read.parquet(os.path.join(snapshot_dir, version))
 
 
@@ -74,9 +93,28 @@ def streaming_agg_maintenance(
     mins: dict[str, str] | None = None,
     maxs: dict[str, str] | None = None,
     query_name: str = "engine-streaming-matview",
+    non_nullable_keys: bool = False,
+    n_buckets: int | None = None,
+    table_prefix: str | None = None,
+    _plan_sink: list | None = None,
 ):
     """Maintain the per-key aggregate snapshot over a stream
     (availableNow drain).  Measure specs as in :func:`agg_partials`.
+
+    ``non_nullable_keys=True`` turns on the exchange-free refresh
+    (VERDICT r8 #2): snapshot versions are stored as bucketed catalog
+    tables on the (single) group key via
+    :func:`engine.ops.io.write_bucketed` and merged with plain-equality
+    keys, so every refresh after the first shuffles ONLY the batch
+    partials — O(batch), not O(batch + |keys|) exchange volume.  The
+    CALLER owns the claim that the key column never holds NULL (a NULL
+    key would duplicate across the plain-equality full-outer join; the
+    contract documented on ``merge_agg_snapshot``).  ``n_buckets``
+    defaults to the session's shuffle partitions — partitioning reuse
+    requires the bucket count to match the join's partition count.
+    ``table_prefix`` names the catalog tables (default derived from
+    ``query_name``); ``_plan_sink`` (tests) receives each refresh's
+    executed-plan string so soak gates can pin the exchange budget.
 
     Returns ``(query, snapshot_dir)``; read results with
     :func:`read_agg_snapshot`.
@@ -87,26 +125,56 @@ def streaming_agg_maintenance(
     min_cols = tuple((mins or {}).keys())
     max_cols = tuple((maxs or {}).keys())
     seen: set[int] = set()
+    if non_nullable_keys:
+        if len(key_cols) != 1:
+            raise ValueError(
+                "non_nullable_keys=True buckets the snapshot on ONE key"
+                f" column; got {key_cols!r} (composite keys: concat into a"
+                " single key column upstream, or use the default path)"
+            )
+        prefix = table_prefix or "".join(
+            ch if ch.isalnum() else "_" for ch in query_name
+        )
+        buckets = n_buckets or int(
+            spark.conf.get("spark.sql.shuffle.partitions")
+        )
+
+    def _bucketed_versions() -> list[str]:
+        rows = spark.sql(f"SHOW TABLES LIKE '{prefix}_v*'").collect()
+        return [r["tableName"] for r in rows]
 
     def process(batch_df: DataFrame, batch_id: int) -> None:
         if batch_id in seen:
             return
-        version = f"v{batch_id:012d}"
-        vdir = os.path.join(snapshot_dir, version)
-        if os.path.exists(vdir):
-            if os.path.exists(os.path.join(vdir, "_SUCCESS")):
+        from engine.ops.io import write_bucketed
+
+        if non_nullable_keys:
+            version_table = f"{prefix}_v{batch_id:012d}"
+            if spark.catalog.tableExists(version_table):
                 # checkpoint replay after a crash between write and swap:
-                # the version is COMPLETE on disk — just repair the pointer
-                _swap_pointer(snapshot_dir, version)
+                # saveAsTable registers the entry only after a COMPLETE
+                # write, so an existing table is whole — repair the pointer
+                _swap_pointer(snapshot_dir, "table:" + version_table)
                 seen.add(batch_id)
                 return
-            # crash MID-write left a partial vdir (no _SUCCESS): swapping
-            # the pointer to it would merge every later batch from corrupt
-            # state.  Discard the partial and recompute the merge from the
-            # still-valid _CURRENT snapshot (advice-review catch).
-            import shutil
+        else:
+            version = f"v{batch_id:012d}"
+            vdir = os.path.join(snapshot_dir, version)
+            if os.path.exists(vdir):
+                if os.path.exists(os.path.join(vdir, "_SUCCESS")):
+                    # crash between write and swap: the version is COMPLETE
+                    # on disk — just repair the pointer
+                    _swap_pointer(snapshot_dir, version)
+                    seen.add(batch_id)
+                    return
+                # crash MID-write left a partial vdir (no _SUCCESS):
+                # swapping the pointer to it would merge every later batch
+                # from corrupt state.  Discard the partial and recompute
+                # the merge from the still-valid _CURRENT snapshot
+                # (advice-review catch).
+                import shutil
 
-            shutil.rmtree(vdir, ignore_errors=True)
+                shutil.rmtree(vdir, ignore_errors=True)
         bp = agg_partials(
             batch_df, key_cols,
             count_col=count_col, sums=sums, mins=mins, maxs=maxs,
@@ -120,13 +188,31 @@ def streaming_agg_maintenance(
                 cur, bp, key_cols,
                 count_col=count_col, sum_cols=sum_cols,
                 min_cols=min_cols, max_cols=max_cols, op_col=None,
+                null_safe_keys=not non_nullable_keys,
             )
         else:
             merged = bp
-        merged.write.mode("overwrite").parquet(vdir)
-        _swap_pointer(snapshot_dir, version)
-        keep = {version} | ({prev_version} if prev_version else set())
-        _prune_old_versions(snapshot_dir, keep)
+        if _plan_sink is not None:
+            _plan_sink.append(
+                merged._jdf.queryExecution().executedPlan().toString()
+            )
+        if non_nullable_keys:
+            write_bucketed(
+                merged, version_table, key_cols[0], buckets,
+                sort_col=key_cols[0],
+            )
+            _swap_pointer(snapshot_dir, "table:" + version_table)
+            keep = {version_table}
+            if prev_version and prev_version.startswith("table:"):
+                keep.add(prev_version[len("table:"):])
+            for name in _bucketed_versions():
+                if name not in keep:
+                    spark.sql(f"DROP TABLE IF EXISTS {name}")
+        else:
+            merged.write.mode("overwrite").parquet(vdir)
+            _swap_pointer(snapshot_dir, version)
+            keep = {version} | ({prev_version} if prev_version else set())
+            _prune_old_versions(snapshot_dir, keep)
         seen.add(batch_id)
 
     query = (

@@ -92,3 +92,30 @@ def test_merge_plan_is_single_join_no_history_rescan(spark):
     assert p.count("Join") >= 1
     # exactly one full-outer join in the merged plan (no self-join diff pass)
     assert p.lower().count("fullouter") == 1
+
+
+def test_merge_fast_path_raises_on_null_key(spark):
+    """advice r8: null_safe_keys=False silently duplicated a NULL-key row
+    on both sides of the full-outer join — now the merged key expression
+    itself raises, so the corruption cannot ship, and the guard survives
+    column pruning (it IS the key column)."""
+    import pytest as _pytest
+
+    from engine.ops.matview import agg_partials, merge_agg_snapshot
+
+    n1 = spark.createDataFrame([(None, 5), (1, 2)], "k long, v long")
+    n2 = spark.createDataFrame([(None, 7), (1, 3)], "k long, v long")
+    bad = merge_agg_snapshot(
+        agg_partials(n1, ["k"], sums={"s": "v"}),
+        agg_partials(n2, ["k"], sums={"s": "v"}),
+        ["k"], sum_cols=("s",), op_col=None, null_safe_keys=False,
+    )
+    with _pytest.raises(Exception, match="NULL 'k' group key"):
+        bad.collect()
+    # clean keys still merge exactly on the fast path
+    ok = merge_agg_snapshot(
+        agg_partials(n1.filter("k IS NOT NULL"), ["k"], sums={"s": "v"}),
+        agg_partials(n2.filter("k IS NOT NULL"), ["k"], sums={"s": "v"}),
+        ["k"], sum_cols=("s",), op_col=None, null_safe_keys=False,
+    ).collect()
+    assert len(ok) == 1 and ok[0]["s"] == 5

@@ -163,3 +163,75 @@ def test_soak_stateful_dedup_sf01(spark, tmp_path):
         f"SOAK dedup: emitted={sum(out)} batches={len(out)} "
         f"state_rows={max(progress_state)}"
     )
+
+
+def test_soak_matview_bucketed_one_exchange_sf01(spark, tmp_path):
+    """VERDICT r8 #2: the exchange-free refresh wired into the STREAMING
+    maintainer.  Same 8-batch sf0.1 drain as the default-path soak, but
+    with ``non_nullable_keys=True``: snapshot versions live as bucketed
+    catalog tables, the merge runs plain-equality, and every refresh
+    after the first carries exactly ONE hash exchange (the batch
+    partials re-bucketing — the snapshot side reads co-located buckets).
+    Results must still equal the batch aggregate exactly, and the
+    version tables must stay pruned to ≤2."""
+    from engine.streaming.matview import (
+        read_agg_snapshot,
+        streaming_agg_maintenance,
+    )
+
+    ev, src = _soak_source(spark, tmp_path)
+    snap = str(tmp_path / "soak_snap_bkt")
+    ckpt = str(tmp_path / "soak_ck_bkt")
+    plans: list[str] = []
+    try:
+        streaming_agg_maintenance(
+            _soak_stream(spark, src),
+            ["user_id"],
+            ckpt,
+            snap,
+            sums={"sum_mu": "value_mu"},
+            mins={"min_mu": "value_mu"},
+            maxs={"max_mu": "value_mu"},
+            query_name="soak-bucketed-matview",
+            non_nullable_keys=True,
+            table_prefix="t_soak_mv",
+            _plan_sink=plans,
+        )
+        got = {
+            r["user_id"]: (r["n"], r["sum_mu"], r["min_mu"], r["max_mu"])
+            for r in read_agg_snapshot(spark, snap).collect()
+        }
+        want = {
+            r["user_id"]: (r["n"], r["sum_mu"], r["min_mu"], r["max_mu"])
+            for r in ev.groupBy("user_id")
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("n"),
+                F.sum("value_mu").alias("sum_mu"),
+                F.min("value_mu").alias("min_mu"),
+                F.max("value_mu").alias("max_mu"),
+            )
+            .collect()
+        }
+        assert got == want
+        # a real multi-batch drain: first batch is partials-only, every
+        # later one is a refresh whose ONLY hash exchange is the batch side
+        assert len(plans) >= 4
+        refresh_exchanges = [
+            p.count("Exchange hashpartitioning") for p in plans[1:]
+        ]
+        assert refresh_exchanges and max(refresh_exchanges) <= 1, (
+            refresh_exchanges
+        )
+        # version tables pruned to current + previous
+        vtables = [
+            r["tableName"]
+            for r in spark.sql("SHOW TABLES LIKE 't_soak_mv_v*'").collect()
+        ]
+        assert len(vtables) <= 2
+        print(
+            f"SOAK bucketed matview: keys={len(got)} batches={len(plans)} "
+            f"refresh_exchanges={refresh_exchanges}"
+        )
+    finally:
+        for r in spark.sql("SHOW TABLES LIKE 't_soak_mv_v*'").collect():
+            spark.sql(f"DROP TABLE IF EXISTS {r['tableName']}")
