@@ -99,14 +99,29 @@ def write_kinesis(
 
 
 class CollectingTransport:
-    """In-memory transport for tests (driver-side only — use with coalesce(1)
-    or small frames; mirrors the reference's mocked KinesisClient)."""
+    """In-memory transport for tests (driver-side only — mirrors the
+    reference's mocked KinesisClient).
+
+    Use with ``mode='driver'``: under the default ``mode='executor'`` the
+    transport would be pickled into Python workers, puts would mutate
+    worker-side copies, and the sink would still report the full record
+    count — success with zero records visible on the driver (advice-review
+    catch r8).  Pickling therefore FAILS LOUDLY: task serialization raises
+    before any put runs, instead of the silent record loss."""
 
     def __init__(self):
         self.batches: list[tuple[int, list]] = []
 
     def __call__(self, records: list, batch_id: int) -> None:
         self.batches.append((batch_id, list(records)))
+
+    def __getstate__(self):
+        raise TypeError(
+            "CollectingTransport is driver-side only: shipping it to"
+            " executors (write_kinesis mode='executor') would collect into"
+            " worker-side copies and silently drop every record — pass"
+            " mode='driver', or use a picklable transport"
+        )
 
     @property
     def records(self) -> list:

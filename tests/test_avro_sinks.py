@@ -290,3 +290,24 @@ def test_dry_run_sink_still_evaluates_the_encoder(spark, monkeypatch):
     df = spark.createDataFrame([row], SINK_RECORD)
     with pytest.raises(Exception, match="(?i)not true|assert"):
         sink(df, 0)
+
+
+def test_collecting_transport_refuses_executor_mode(spark):
+    """advice r8: CollectingTransport under the default mode='executor'
+    was silently broken (puts mutated pickled worker-side copies while
+    the sink still reported full counts).  Pickling now raises, so the
+    misuse fails at task serialization instead of losing every record."""
+    import pickle
+
+    import pytest
+
+    transport = CollectingTransport()
+    with pytest.raises(TypeError, match="driver-side only"):
+        pickle.dumps(transport)
+    df = spark.createDataFrame([(b"a",), (b"b",)], "record binary")
+    with pytest.raises(Exception, match="driver-side only"):
+        write_kinesis(df, transport, mode="executor")
+    assert transport.records == []  # nothing silently 'delivered'
+    # driver mode remains the sanctioned path
+    assert write_kinesis(df, transport, mode="driver") == 2
+    assert len(transport.records) == 2
