@@ -239,6 +239,78 @@ def _band_col(sig: Column, band: int, rows_per_band: int, hash_fn: str = "xxhash
     return F.slice(sig, band * rows_per_band + 1, rows_per_band)
 
 
+#: 1-deep ledger of the most recent INTERNALLY-persisted signature frame
+#: (see minhash_candidates) — bounds the session cache leak to one frame.
+_INTERNAL_SIGS_LAST: list = []
+
+
+def minhash_band_sweep(
+    sigs: DataFrame,
+    *,
+    widths: tuple[int, ...] = (8, 16, 32),
+    num_hashes: int = 64,
+    bucket_cap: int = 500,
+    hash_fn: str = "xxhash64",
+    width_col: str = "bands",
+) -> DataFrame:
+    """Candidate pairs at SEVERAL band widths in ONE plan: (width, id_a,
+    id_b), distinct per width.
+
+    The recall frontier's scale fix (VERDICT r8 #6): sweeping
+    ``minhash_candidates`` per width compiled an independent
+    explode→cap→self-join subtree per operating point — ~3× fixed codegen
+    for one small output table.  Here every (width, band) key of every
+    width explodes from the signature ONCE (Σ widths keys per doc instead
+    of one plan per width), the bucket cap windows on (width, band,
+    bkey), and a single self-join + distinct yields all widths' pairs
+    together.  ``sigs`` is referenced once on each side of the one
+    self-join — exactly the cost profile of a single
+    ``minhash_candidates`` call, independent of how many widths sweep.
+    """
+    keys = []
+    for w in widths:
+        rpb = num_hashes // w
+        for b in range(w):
+            keys.append(
+                F.struct(
+                    F.lit(w).alias("w"),
+                    F.lit(b).alias("band"),
+                    _band_col(F.col("sig"), b, rpb, hash_fn).alias("bkey"),
+                )
+            )
+    banded = sigs.select(
+        "id", F.explode(F.array(*keys)).alias("bb")
+    ).select(
+        "id",
+        F.col("bb.w").alias("w"),
+        F.col("bb.band").alias("band"),
+        F.col("bb.bkey").alias("bkey"),
+    )
+    if bucket_cap:
+        wcap = Window.partitionBy("w", "band", "bkey").orderBy("id")
+        banded = (
+            banded.withColumn("__bn", F.row_number().over(wcap))
+            .filter(F.col("__bn") <= bucket_cap)
+            .drop("__bn")
+        )
+    a, b = banded.alias("a"), banded.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.w") == F.col("b.w"))
+            & (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bkey") == F.col("b.bkey"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(
+            F.col("a.w").alias(width_col),
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+        )
+        .dropDuplicates([width_col, "id_a", "id_b"])
+    )
+
+
 def minhash_candidates(
     df: DataFrame,
     *,
@@ -277,6 +349,16 @@ def minhash_candidates(
             shingle_n=shingle_n,
             hash_fn=hash_fn,
         ).persist()
+        # The cache is load-bearing (the banded self-join references sigs
+        # twice and Catalyst does not reuse the exchange across the alias
+        # pair), but a one-shot caller would otherwise leak it for the
+        # session (advice r8).  A 1-deep ledger bounds the leak: each
+        # internal-sigs call releases the previous call's cache —
+        # unpersist is lineage-safe, an un-collected earlier result just
+        # recomputes.  Sweep callers pass ``sigs=`` and own persistence.
+        while _INTERNAL_SIGS_LAST:
+            _INTERNAL_SIGS_LAST.pop().unpersist()
+        _INTERNAL_SIGS_LAST.append(sigs)
     banded = sigs.select(
         "id",
         "sig",
