@@ -436,13 +436,31 @@ def bottomk_cardinality(sk: DataFrame, *, k: int = 64) -> DataFrame:
     the WHOLE distinct set — the exact count is returned instead (the
     estimator's denominator would be meaningless).  All inputs to the one
     double division are exact integers, so the estimate is bit-identical
-    across engines (the FLOOR-not-CAST ledger rule renders it)."""
+    across engines (the FLOOR-not-CAST ledger rule renders it).
+
+    ``k`` must be the k the sketch was BUILT with: ``max('hash')`` is only
+    h_k when the frame really is a bottom-k sample of that k.  The
+    verifiable half of that claim is enforced in-plan — a sketch with
+    MORE than k rows (built at a larger k) raises instead of silently
+    scaling by the wrong (k-1) (advice r8).  The converse (built smaller,
+    claimed larger) is indistinguishable from a complete small set, so it
+    stays the caller's contract."""
     scale = float((k - 1) * (1 << 60))
     return sk.agg(
         F.count(F.lit(1)).alias("n_rows"), F.max("hash").alias("__hk")
     ).select(
         F.col("n_rows").cast("long").alias("n_rows"),
-        F.when(F.col("n_rows") < k, F.col("n_rows").cast("long"))
+        F.when(
+            F.col("n_rows") > k,
+            F.raise_error(
+                F.concat(
+                    F.lit("bottomk_cardinality: sketch holds "),
+                    F.col("n_rows").cast("string"),
+                    F.lit(f" rows > k={k} — built with a larger k?"),
+                )
+            ).cast("long"),
+        )
+        .when(F.col("n_rows") < k, F.col("n_rows").cast("long"))
         .otherwise(F.floor(F.lit(scale) / F.col("__hk")).cast("long"))
         .alias("est_distinct"),
     )

