@@ -176,6 +176,17 @@ SECONDARY = [
     "minhash_recall_frontier",
     "gaps_and_islands",
     "trimmed_mean_stats",
+    # round-9 additions (Q4/Q12/Q16/Q19/Q22 landed earlier in the round)
+    "q4_order_priority",
+    "q12_shipmode_priority",
+    "q16_part_supplier_counts",
+    "q19_discounted_revenue",
+    "q22_global_sales_opportunity",
+    "q8_national_market_share",
+    "q9_product_type_profit",
+    "q10_returned_item_revenue",
+    "q11_important_parts",
+    "q15_top_supplier",
 ]
 
 

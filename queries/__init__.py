@@ -80,14 +80,16 @@ _WINDOW_PRIORITY = [
     "multimodal_meta", "date_funcs_pack", "pii_redact", "repetition_metrics",
     # Last driver row r4.
     "j5_memo_probe", "o1_keyset_page", "f6_tz_local_date",
-    "dedup_minhash_incremental", "dedup_simhash", "ann_lsh_topk",
-    "embedding_near_dup", "dedup_minhash_cc",
-    # r9 new queries, windowed at birth (displacing the 6 stalest-r4 tail
+    # r9 new queries, windowed at birth (displacing the 11 stalest-r4 tail
     # picks ann_ivf_topk/knn_join_exact/semdedup_pairs/semdedup_prune/
-    # semdedup_incremental/bm25_rank, which lead the r10 rotation).
+    # semdedup_incremental/bm25_rank/dedup_minhash_incremental/
+    # dedup_simhash/ann_lsh_topk/embedding_near_dup/dedup_minhash_cc,
+    # which lead the r10 rotation).
     "q4_order_priority", "q12_shipmode_priority", "q16_part_supplier_counts",
     "q19_discounted_revenue", "q22_global_sales_opportunity",
     "hll_native_cells",
+    "q8_national_market_share", "q9_product_type_profit",
+    "q10_returned_item_revenue", "q11_important_parts", "q15_top_supplier",
 ]
 assert len(_WINDOW_PRIORITY) == 50, len(_WINDOW_PRIORITY)
 

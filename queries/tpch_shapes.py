@@ -775,3 +775,342 @@ def q22_global_sales_opportunity(spark, sf_dir):
         )
         .orderBy("cntrycode")
     )
+
+
+# ===========================================================================
+# Round 9: the five remaining TPC-H shapes (Q8/Q9/Q10/Q11/Q15) — the catalog
+# now covers all 22 query families.  partsupp-dependent inputs (Q9 supply
+# cost, Q11 stock value) are re-expressed on lineitem/part, preserving each
+# query's SHAPE (the two-level share aggregate, the scalar-threshold HAVING,
+# the argmax-by-scalar-subquery) on the tables the pack has.  Money stays in
+# the per-row integer-cents ledger: every ratio / threshold / argmax compares
+# exact BIGINTs, so no float accumulation order can flip a boundary row.
+# ===========================================================================
+
+
+@q(
+    "q8_national_market_share",
+    """
+    WITH mkt AS (
+      SELECT YEAR(o.o_orderdate) AS o_year,
+             CAST(FLOOR(l.l_extendedprice * (1 - l.l_discount) * 100 + 0.5)
+                  AS BIGINT) AS vol_cents,
+             ns.n_name AS supp_nation
+      FROM lineitem l
+      JOIN part p     ON p.p_partkey = l.l_partkey AND p.p_type = 'STANDARD'
+      JOIN supplier s ON s.s_suppkey = l.l_suppkey
+      JOIN nation ns  ON ns.n_nationkey = s.s_nationkey
+      JOIN orders o   ON o.o_orderkey = l.l_orderkey
+      JOIN customer c ON c.c_custkey = o.o_custkey
+      JOIN nation nc  ON nc.n_nationkey = c.c_nationkey
+      JOIN region r   ON r.r_regionkey = nc.n_regionkey AND r.r_name = 'ASIA'
+      WHERE o.o_orderdate >= TIMESTAMP '1995-01-01'
+        AND o.o_orderdate <  TIMESTAMP '1997-01-01')
+    SELECT CAST(o_year AS BIGINT) AS o_year,
+           CAST(SUM(CASE WHEN supp_nation = 'NATION_1'
+                         THEN vol_cents ELSE 0 END) AS BIGINT) AS nation_cents,
+           CAST(SUM(vol_cents) AS BIGINT) AS total_cents,
+           CAST(FLOOR(SUM(CASE WHEN supp_nation = 'NATION_1'
+                               THEN vol_cents ELSE 0 END) * 10000.0
+                      / GREATEST(SUM(vol_cents), 1)) AS BIGINT) AS mkt_share_bp
+    FROM mkt GROUP BY o_year ORDER BY o_year
+    """,
+)
+def q8_national_market_share(spark, sf_dir):
+    """TPC-H Q8 shape — national market share: NATION_1's share of the
+    Asian market's revenue on STANDARD parts by order year.  Shape
+    preserved exactly: the two-level aggregate (per-year conditional sum
+    over a 7-table join tree) with the share computed from the SAME
+    aggregate pass — never two scans.  Scale plan: part (filtered) and
+    the nation/region dims broadcast; supplier and customer carry no
+    filter, so their joins take NO broadcast hint — AQE may broadcast
+    them at bench scale but they degrade to shuffle joins on their own
+    keys at 100× (the q21 discipline: correct by design, fast where
+    possible).  The share divides two exact BIGINT cent-sums once per
+    year row, FLOOR'd to basis points."""
+    li = t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey", "l_suppkey", "l_extendedprice",
+        "l_discount",
+    )
+    p = t(spark, sf_dir, "part").filter(
+        F.col("p_type") == "STANDARD"
+    ).select("p_partkey")
+    s = t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    n = t(spark, sf_dir, "nation")
+    r = t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    o = t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1995-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
+    ).select("o_orderkey", "o_custkey", "o_orderdate")
+    c = t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+
+    supp_n = s.join(
+        F.broadcast(n.select("n_nationkey", "n_name")),
+        s.s_nationkey == F.col("n_nationkey"),
+    ).select("s_suppkey", F.col("n_name").alias("supp_nation"))
+    asia_keys = n.join(
+        F.broadcast(r.select("r_regionkey")),
+        n.n_regionkey == F.col("r_regionkey"),
+        "left_semi",
+    ).select("n_nationkey")
+    cust_asia = c.join(
+        F.broadcast(asia_keys), c.c_nationkey == F.col("n_nationkey"),
+        "left_semi",
+    ).select("c_custkey")
+
+    li_f = li.join(F.broadcast(p), li.l_partkey == p.p_partkey).join(
+        supp_n, li.l_suppkey == supp_n.s_suppkey
+    )
+    o_f = o.join(cust_asia, o.o_custkey == cust_asia.c_custkey)
+    vol = F.floor(
+        F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount")) * 100
+        + F.lit(0.5)
+    ).cast("long")
+    nation_sum = F.sum(
+        F.when(F.col("supp_nation") == "NATION_1", vol)
+        .otherwise(F.lit(0).cast("long"))
+    )
+    total_sum = F.sum(vol)
+    return (
+        li_f.join(o_f, li_f.l_orderkey == o_f.o_orderkey)
+        .groupBy(F.year("o_orderdate").cast("long").alias("o_year"))
+        .agg(
+            nation_sum.cast("long").alias("nation_cents"),
+            total_sum.cast("long").alias("total_cents"),
+            F.floor(
+                nation_sum * F.lit(10000.0) / F.greatest(total_sum, F.lit(1))
+            ).cast("long").alias("mkt_share_bp"),
+        )
+        .orderBy("o_year")
+    )
+
+
+@q(
+    "q9_product_type_profit",
+    """
+    SELECT n.n_name AS nation,
+           CAST(YEAR(o.o_orderdate) AS BIGINT) AS o_year,
+           CAST(SUM(CAST(FLOOR(l.l_extendedprice * (1 - l.l_discount) * 100
+                               + 0.5) AS BIGINT)
+                  - CAST(FLOOR(p.p_retailprice * l.l_quantity * 80 + 0.5)
+                         AS BIGINT)) AS BIGINT) AS profit_cents
+    FROM lineitem l
+    JOIN part p     ON p.p_partkey = l.l_partkey
+                   AND p.p_name LIKE '%widget%'
+    JOIN supplier s ON s.s_suppkey = l.l_suppkey
+    JOIN nation n   ON n.n_nationkey = s.s_nationkey
+    JOIN orders o   ON o.o_orderkey = l.l_orderkey
+    GROUP BY n.n_name, YEAR(o.o_orderdate)
+    ORDER BY nation, o_year DESC
+    """,
+)
+def q9_product_type_profit(spark, sf_dir):
+    """TPC-H Q9 shape — product-type profit by nation and year: revenue
+    minus cost over every 'widget' lineitem, attributed to the
+    supplier's nation and the order year.  The pack has no partsupp, so
+    unit cost is re-expressed as 80% of p_retailprice — same shape (a
+    part attribute joined into the profit expression), same 5-table
+    tree.  part (name-filtered) broadcasts; supplier and orders join
+    un-hinted on their own keys (AQE chooses; shuffle-safe at 100×).
+    Both profit terms quantize to exact per-row cents BEFORE the
+    subtraction so the grouped sum is pure BIGINT math."""
+    li = t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey", "l_suppkey", "l_quantity",
+        "l_extendedprice", "l_discount",
+    )
+    p = t(spark, sf_dir, "part").filter(
+        F.col("p_name").like("%widget%")
+    ).select("p_partkey", "p_retailprice")
+    s = t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    n = t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    o = t(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    supp_n = s.join(
+        F.broadcast(n), s.s_nationkey == n.n_nationkey
+    ).select("s_suppkey", F.col("n_name").alias("nation"))
+    rev = F.floor(
+        F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount")) * 100
+        + F.lit(0.5)
+    ).cast("long")
+    cost = F.floor(
+        F.col("p_retailprice") * F.col("l_quantity") * 80 + F.lit(0.5)
+    ).cast("long")
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(supp_n, li.l_suppkey == supp_n.s_suppkey)
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy(
+            "nation", F.year("o_orderdate").cast("long").alias("o_year")
+        )
+        .agg(F.sum(rev - cost).cast("long").alias("profit_cents"))
+        .orderBy("nation", F.col("o_year").desc())
+    )
+
+
+@q(
+    "q10_returned_item_revenue",
+    """
+    SELECT c.c_custkey, c.c_name, n.n_name,
+           CAST(SUM(CAST(FLOOR(l.l_extendedprice * (1 - l.l_discount) * 100
+                               + 0.5) AS BIGINT)) AS BIGINT) AS revenue_cents
+    FROM lineitem l
+    JOIN orders o   ON o.o_orderkey = l.l_orderkey
+                   AND o.o_orderdate >= TIMESTAMP '1995-01-01'
+                   AND o.o_orderdate <  TIMESTAMP '1995-04-01'
+    JOIN customer c ON c.c_custkey = o.o_custkey
+    JOIN nation n   ON n.n_nationkey = c.c_nationkey
+    WHERE l.l_returnflag = 'R'
+    GROUP BY c.c_custkey, c.c_name, n.n_name
+    ORDER BY revenue_cents DESC, c_custkey
+    LIMIT 20
+    """,
+)
+def q10_returned_item_revenue(spark, sf_dir):
+    """TPC-H Q10 shape — returned-item revenue: the 20 customers who lost
+    the most revenue to returns ('R' lineitems) among one quarter's
+    orders.  Both facts pre-shrink AT THE SCAN — the returnflag equality
+    and the quarter's date range reach the parquet readers as pushed
+    filters (plan-gated) — then ONE orderkey shuffle joins them; the
+    customer join carries no hint (shuffle-safe at scale) and nation
+    broadcasts.  Revenue is exact per-row cents so the top-20 cut and
+    its custkey tie-break are engine-deterministic; the global sort is
+    a TakeOrderedAndProject, never a full exchange."""
+    li = t(spark, sf_dir, "lineitem").filter(
+        F.col("l_returnflag") == "R"
+    ).select("l_orderkey", "l_extendedprice", "l_discount")
+    o = t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1995-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1995-04-01").cast("timestamp"))
+    ).select("o_orderkey", "o_custkey")
+    c = t(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_nationkey"
+    )
+    n = t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    cents = F.floor(
+        F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount")) * 100
+        + F.lit(0.5)
+    ).cast("long")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(F.sum(cents).cast("long").alias("revenue_cents"))
+        .orderBy(F.col("revenue_cents").desc(), "c_custkey")
+        .limit(20)
+    )
+
+
+@q(
+    "q11_important_parts",
+    """
+    WITH val AS (
+      SELECT l.l_partkey,
+             SUM(CAST(FLOOR(l.l_extendedprice * 100 + 0.5) AS BIGINT))
+               AS value_cents
+      FROM lineitem l
+      JOIN supplier s ON s.s_suppkey = l.l_suppkey
+      JOIN nation n   ON n.n_nationkey = s.s_nationkey
+                     AND n.n_name = 'NATION_1'
+      GROUP BY l.l_partkey),
+    tot AS (SELECT SUM(value_cents) AS total FROM val)
+    SELECT v.l_partkey, CAST(v.value_cents AS BIGINT) AS value_cents
+    FROM val v CROSS JOIN tot
+    WHERE v.value_cents * 10000 > tot.total
+    ORDER BY value_cents DESC, l_partkey
+    """,
+)
+def q11_important_parts(spark, sf_dir):
+    """TPC-H Q11 shape — important stock: parts whose traded value
+    through NATION_1's suppliers exceeds 0.01% of that nation's total
+    (partsupp value re-expressed as the lineitem extendedprice sum).
+    The signature shape is the scalar-subquery HAVING: the grouped
+    aggregate feeds both the per-part rows and the global threshold.
+    Planned as an l_partkey aggregate over the supplier-pruned fact
+    (nation semi-join broadcasts onto supplier, supplier onto the
+    scan), the 1-row total broadcast as a cross join, and an exact
+    integer cross-multiplied threshold (value·10⁴ > total — no
+    division, no float boundary flicker).  The threshold side
+    re-evaluates the pruned aggregate subtree (Spark's scalar-subquery
+    planning — two passes over the column-pruned, supplier-pruned
+    scan); the single-pass alternative is a global window over the
+    grouped frame, which costs a SinglePartition exchange of |part|
+    rows — unboundedly worse at scale than a second pruned scan."""
+    li = t(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_suppkey", "l_extendedprice"
+    )
+    s = t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    n = t(spark, sf_dir, "nation").filter(
+        F.col("n_name") == "NATION_1"
+    ).select("n_nationkey")
+    nat_supp = s.join(
+        F.broadcast(n), s.s_nationkey == F.col("n_nationkey"), "left_semi"
+    ).select("s_suppkey")
+    cents = F.floor(F.col("l_extendedprice") * 100 + F.lit(0.5)).cast("long")
+    val = (
+        li.join(F.broadcast(nat_supp), li.l_suppkey == nat_supp.s_suppkey,
+                "left_semi")
+        .groupBy("l_partkey")
+        .agg(F.sum(cents).alias("value_cents"))
+    )
+    tot = val.agg(F.sum("value_cents").alias("__total"))
+    return (
+        val.crossJoin(F.broadcast(tot))
+        .filter(F.col("value_cents") * 10000 > F.col("__total"))
+        .select("l_partkey", F.col("value_cents").cast("long").alias("value_cents"))
+        .orderBy(F.col("value_cents").desc(), "l_partkey")
+    )
+
+
+@q(
+    "q15_top_supplier",
+    """
+    WITH rev AS (
+      SELECT l_suppkey,
+             SUM(CAST(FLOOR(l_extendedprice * (1 - l_discount) * 100 + 0.5)
+                      AS BIGINT)) AS total_cents
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1995-04-01'
+        AND l_shipdate <  TIMESTAMP '1995-07-01'
+      GROUP BY l_suppkey),
+    mx AS (SELECT MAX(total_cents) AS m FROM rev)
+    SELECT s.s_suppkey, s.s_name, CAST(r.total_cents AS BIGINT) AS total_cents
+    FROM rev r
+    CROSS JOIN mx
+    JOIN supplier s ON s.s_suppkey = r.l_suppkey
+    WHERE r.total_cents = mx.m
+    ORDER BY s.s_suppkey
+    """,
+)
+def q15_top_supplier(spark, sf_dir):
+    """TPC-H Q15 shape — top supplier: the supplier(s) with the maximum
+    revenue over one quarter (the revenue VIEW + correlated max
+    subquery, decorrelated the way Catalyst plans it).  A suppkey
+    aggregate over the date-pruned scan builds the view; its 1-row MAX
+    broadcasts as a cross join and an exact BIGINT equality keeps every
+    argmax tie (the reference query's semantics).  The MAX side
+    re-evaluates the date-pruned aggregate subtree (scalar-subquery
+    planning — same trade as q11: a second pruned scan instead of a
+    SinglePartition window over |supplier| rows).  The supplier name
+    join is un-hinted — broadcast at bench scale, suppkey shuffle at
+    100×.  Exact cents make the argmax engine-deterministic."""
+    li = t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1995-04-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1995-07-01").cast("timestamp"))
+    ).select("l_suppkey", "l_extendedprice", "l_discount")
+    s = t(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    cents = F.floor(
+        F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount")) * 100
+        + F.lit(0.5)
+    ).cast("long")
+    rev = li.groupBy("l_suppkey").agg(F.sum(cents).alias("total_cents"))
+    mx = rev.agg(F.max("total_cents").alias("__m"))
+    return (
+        rev.crossJoin(F.broadcast(mx))
+        .filter(F.col("total_cents") == F.col("__m"))
+        .join(s, F.col("l_suppkey") == s.s_suppkey)
+        .select(
+            "s_suppkey", "s_name",
+            F.col("total_cents").cast("long").alias("total_cents"),
+        )
+        .orderBy("s_suppkey")
+    )

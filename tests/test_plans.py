@@ -631,3 +631,42 @@ def test_r9_tpch_shapes_plan_gates(spark):
     # scan of either fact for the second CASE branch
     p12 = plans["q12_shipmode_priority"]
     assert p12.count("FileScan parquet") == 2
+
+
+def test_r9b_tpch_shapes_plan_gates(spark):
+    """The round-9 completion set (Q8/Q9/Q10/Q11/Q15 — the catalog now
+    covers all 22 TPC-H families): no cartesian anywhere; the only
+    nested loops allowed are the 1-row scalar broadcasts (Q11 threshold,
+    Q15 max); Q10's top-20 must be a TakeOrderedAndProject, never a full
+    sort exchange, and both its fact filters must reach the parquet
+    scans; Q8's share must come from ONE aggregate (no second scan of
+    the join tree for the denominator)."""
+    from queries import (
+        q8_national_market_share,
+        q9_product_type_profit,
+        q10_returned_item_revenue,
+        q11_important_parts,
+        q15_top_supplier,
+    )
+
+    plans = {}
+    for fn in (q8_national_market_share, q9_product_type_profit,
+               q10_returned_item_revenue, q11_important_parts,
+               q15_top_supplier):
+        p = plans[fn.__name__] = plan(fn(spark, SF))
+        assert "CartesianProduct" not in p, fn.__name__
+        allowed_bnlj = 1 if fn in (q11_important_parts, q15_top_supplier) else 0
+        assert p.count("BroadcastNestedLoopJoin") <= allowed_bnlj, fn.__name__
+    p10 = plans["q10_returned_item_revenue"]
+    assert "TakeOrderedAndProject" in p10
+    pushed = p10.split("FileScan")
+    assert any("l_returnflag" in s and "PushedFilters" in s for s in pushed)
+    assert any("o_orderdate" in s and "GreaterThanOrEqual" in s for s in pushed)
+    # Q8: 8 scans = each of the 7 tables once (nation twice by role) —
+    # a 9th would be the share denominator re-scanning the tree
+    p8 = plans["q8_national_market_share"]
+    assert p8.count("FileScan parquet") == 8
+    assert p8.count("HashAggregate") <= 2  # partial + final of ONE aggregate
+    # Q9: dims broadcast, fact joins un-hinted; nothing may nested-loop
+    p9 = plans["q9_product_type_profit"]
+    assert p9.count("BroadcastHashJoin") >= 2
