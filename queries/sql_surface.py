@@ -269,24 +269,36 @@ def array_agg_sorted(spark, sf_dir):
     """
     SELECT l_returnflag,
            array_to_string(list_transform(
-             quantile_cont(l_extendedprice, [0.25, 0.5, 0.75]),
-             x -> CAST(ROUND(ROUND(x, 4) * 10000.0) AS BIGINT)), ',')
+             quantile_cont(CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT),
+                           [0.25, 0.5, 0.75]),
+             x -> CAST(ROUND(x * 100.0) AS BIGINT)), ',')
              AS price_quartiles
     FROM lineitem GROUP BY l_returnflag
     """,
 )
 def percentiles_exact(spark, sf_dir):
     """Exact interpolated quantiles (Spark `percentile` ≡ DuckDB
-    `quantile_cont`), rendered as comma-joined 1e4-scaled integers
-    (driver-canonicalizable, engine-exact string form)."""
+    `quantile_cont`), computed in the INTEGER-CENTS domain and rendered as
+    comma-joined 1e4-scaled integers.
+
+    Quantizing to cents BEFORE the quantile is load-bearing, not cosmetic:
+    the r9 adversarial fixtures caught the double-domain form one off in
+    the last digit — the two engines' interpolation formulas
+    (``a + f·(b−a)`` vs ``(1−f)·a + f·b``) differ by an ulp on hostile
+    prices, and a result an ulp either side of a decimal half is rounded
+    apart by Spark's HALF_UP (decimal-string space) vs DuckDB's rint
+    (binary space).  Over exact-integer cents with quarter fractions the
+    interpolation is EXACT in IEEE arithmetic under BOTH formulas (b−a,
+    ·0.25, and the sum are all representable), so no rounding decision is
+    ever made on a knife edge."""
     li = t(spark, sf_dir, "lineitem")
+    cents = F.floor(F.col("l_extendedprice") * 100 + F.lit(0.5)).cast("long")
     return li.groupBy("l_returnflag").agg(
         _arr_str(
             F.transform(
-                F.percentile("l_extendedprice", F.lit([0.25, 0.5, 0.75])),
-                lambda x: F.round(x, 4),
+                F.percentile(cents, F.lit([0.25, 0.5, 0.75])),
+                lambda x: F.round(x * 100.0, 0).cast("long"),
             ),
-            1e4,
         ).alias("price_quartiles")
     )
 

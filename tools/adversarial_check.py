@@ -43,14 +43,18 @@ def build_tables(path: str, spark) -> None:
 
     write(
         "region",
-        [(0, "ALPHA"), (1, "ALPHA"), (2, "beta ")],  # duplicate names, trailing space
+        # duplicate names, trailing space; ASIA so the q8 market join fires
+        [(0, "ALPHA"), (1, "ALPHA"), (2, "beta "), (3, "ASIA")],
         "r_regionkey int, r_name string",
     )
     write(
         "nation",
         [(i, n, i % 3) for i, n in enumerate(
             ["CHINA", "CHINA", "FRANCE", "none", "", "  ", "PERU", "peru"]
-        )],
+        )]
+        # NATION_1/NATION_2 in the ASIA region so the q7/q8/q11 nation
+        # literals match edge rows (they were vacuously empty before r9)
+        + [(8, "NATION_1", 3), (9, "NATION_2", 3)],
         "n_nationkey int, n_name string, n_regionkey int",
     )
     write(
@@ -62,12 +66,16 @@ def build_tables(path: str, spark) -> None:
             (4, "Dora", 2, 0.0, ""),                 # empty segment
             (5, "Eve", 2, 5000.0, "MACHINERY"),
             (6, "O'Hara \"Q\"", 1, None, "BUILDING"),  # quotes + null bal
+            (7, "Zed", 8, 0.005, "MACHINERY"),  # NATION_1/ASIA (q8 market)
         ],
         "c_custkey long, c_name string, c_nationkey int, c_acctbal double, c_mktsegment string",
     )
     write(
         "supplier",
-        [(1, "S1", 0, 10.0), (2, "S1", 0, 10.0)],
+        # suppliers 3/4 sit in NATION_1/NATION_2 (q8 share / q11 prune);
+        # 0.005 acctbal is a cents-rounding half-way trap
+        [(1, "S1", 0, 10.0), (2, "S1", 0, 10.0), (3, "S3", 8, 0.005),
+         (4, "S4", 9, -0.005)],
         "s_suppkey long, s_name string, s_nationkey int, s_acctbal double",
     )
     write(
@@ -76,6 +84,10 @@ def build_tables(path: str, spark) -> None:
             (1, "azure linen", "Brand#1", "PROMO BURNISHED", 5, 1.005),
             (2, "azure linen", "Brand#1", "PROMO BURNISHED", 5, 1.005),  # dup
             (3, "x", "B2", " ", 0, 0.0),  # whitespace type
+            # STANDARD + widget names so q8/q9 fire on edge rows; .005 and
+            # .995 retail prices stress FLOOR(x*100+0.5) in the q9 cost term
+            (4, "mega widget", "Brand#12", "STANDARD", 1, 10.005),
+            (5, "tiny widget", "Brand#3", "STANDARD", 1, 0.995),
         ],
         "p_partkey long, p_name string, p_brand string, p_type string, p_size int, p_retailprice double",
     )
@@ -92,6 +104,11 @@ def build_tables(path: str, spark) -> None:
             (15, 5, "O", 300000.5, dt.datetime(1996, 1, 1), "5-LOW"),
             (20, 6, "F", 500.0, d0, "2-HIGH"),  # F + orderkey%10==0 → CDC delete
             (21, 4, "O", -123.455, d0, "3-MEDIUM"),  # negative price
+            # inside Q1-1995 (q10's quarter; boundary row at its last second)
+            # and q8's 1995-96 order window; customer 7 is the ASIA edge row
+            (16, 7, "O", 100.0, dt.datetime(1995, 2, 1), "1-URGENT"),
+            (17, 1, "F", 100.0,
+             dt.datetime(1995, 3, 31, 23, 59, 59), "2-HIGH"),
         ],
         "o_orderkey long, o_custkey long, o_orderstatus string, o_totalprice double, o_orderdate timestamp, o_orderpriority string",
     )
@@ -104,6 +121,21 @@ def build_tables(path: str, spark) -> None:
             (10, 2, 1, 2, 3.0, 50.0, 0.06, 0.01, "N", "O", d0),
             (11, 3, 2, 1, 0.0, 0.0, 0.0, 0.0, "R", "F", dt.datetime(1994, 3, 1)),
             (12, 1, 1, 1, 24.0, 10.0, 0.07, 0.0, "A", "F", dt.datetime(1994, 6, 1)),
+            # r9: rows that light up the TPC-H completion set on edge data —
+            # R-flag lines on the Q1-1995 orders (q10), NATION_1 supplier 3
+            # (q8 share numerator, q11 prune), widget/STANDARD parts 4/5
+            # (q9), shipdates at both q15 window boundaries (>= start, just
+            # under end), and .005/.015/.995 money endings whose float
+            # representations sit just BELOW the half-cent (FLOOR(x*100+0.5)
+            # must agree bit-for-bit across engines)
+            (16, 4, 3, 1, 2.0, 1.005, 0.0, 0.0, "R", "O",
+             dt.datetime(1995, 5, 1)),
+            (16, 4, 3, 2, 1.0, 99.995, 0.05, 0.0, "N", "O",
+             dt.datetime(1995, 6, 30, 23, 59, 59)),
+            (17, 5, 3, 1, 3.0, 0.015, 0.1, 0.0, "R", "F",
+             dt.datetime(1995, 4, 1)),
+            (17, 5, 4, 2, 1.0, 200.0, 1.0, 0.0, "R", "F",  # 100% discount
+             dt.datetime(1995, 7, 1)),  # first instant PAST the q15 window
         ],
         "l_orderkey long, l_partkey long, l_suppkey long, l_linenumber int, "
         "l_quantity double, l_extendedprice double, l_discount double, l_tax double, "
