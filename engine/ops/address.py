@@ -426,7 +426,11 @@ def _fallback_tagger(addr: str):
             # (usaddress's CRF splits here too; review catch r8) — with no
             # such corroboration the whole remainder stays the cross
             # street ('MAIN ST & SAINT MARKS')
-            up = rest2.upper()
+            # the suffix list is NY-specific, so the carve requires the
+            # parsed state to corroborate NY — without the gate,
+            # 'BERGENLINE WEST NEW YORK NJ' (a real NJ municipality) would
+            # lose 'WEST' to the cross street (review catch r9)
+            up = rest2.upper() if out.get("StateName") == "NY" else ""
             for city in _KNOWN_CITY_SUFFIXES:
                 if up.endswith(city) and len(rest2) > len(city) and (
                     up[-len(city) - 1] in " ,"

@@ -50,6 +50,18 @@ def t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return load_table(spark, sf_dir, name)
 
 
+def money_cents(expr) -> F.Column:
+    """``FLOOR(x·100 + 0.5)`` as BIGINT — the pack's money-quantization
+    ledger idiom, one canonical definition (review catch r9: the rule is
+    the central determinism invariant and was hand-copied per query).
+    The float ops are exactly ``x * 100 + 0.5``, matching every oracle
+    twin's ``CAST(FLOOR(x * 100 + 0.5) AS BIGINT)`` bit for bit; callers
+    pass the ready product for compound money (``price * (1 - disc)``)
+    so the multiplication order stays identical to the SQL."""
+    c = F.col(expr) if isinstance(expr, str) else expr
+    return F.floor(c * 100 + F.lit(0.5)).cast("long")
+
+
 def _arr_str(col, scale: float | None = None):
     """Render an array column as a deterministic comma-joined string.
 

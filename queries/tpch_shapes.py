@@ -68,7 +68,7 @@ def q2_min_cost_supplier(spark, sf_dir):
         )
     )
     w = Window.partitionBy("l_partkey")
-    cents = lambda c: F.floor(F.col(c) * 100 + F.lit(0.5)).cast("long")  # noqa: E731
+    cents = money_cents
     return (
         offers.withColumn("__mn", F.min("price").over(w))
         .filter(F.col("price") == F.col("__mn"))
@@ -128,7 +128,7 @@ def q20_excess_share_suppliers(spark, sf_dir):
     s = t(spark, sf_dir, "supplier")
     n = t(spark, sf_dir, "nation")
     r = t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
-    qc = F.floor(F.col("l_quantity") * 100 + F.lit(0.5)).cast("long")
+    qc = money_cents("l_quantity")
     in95 = (F.col("l_shipdate") >= F.lit("1995-01-01").cast("timestamp")) & (
         F.col("l_shipdate") < F.lit("1996-01-01").cast("timestamp")
     )
@@ -311,10 +311,9 @@ def q14_promo_revenue_share(spark, sf_dir):
     noise); the share renders as FLOOR basis points."""
     li = t(spark, sf_dir, "lineitem")
     p = t(spark, sf_dir, "part").select("p_partkey", "p_type")
-    rev_cents = F.floor(
-        F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount")) * 100
-        + F.lit(0.5)
-    ).cast("long")
+    rev_cents = money_cents(
+        F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount"))
+    )
     promo = F.when(F.col("p_type") == "PROMO", F.col("__rc")).otherwise(F.lit(0))
     return (
         li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
@@ -368,8 +367,7 @@ def q17_small_quantity_revenue(spark, sf_dir):
         .select(
             "l_partkey",
             F.floor(F.col("l_quantity")).cast("long").alias("qty"),
-            F.floor(F.col("l_extendedprice") * 100 + F.lit(0.5))
-            .cast("long").alias("price_cents"),
+            money_cents("l_extendedprice").alias("price_cents"),
         )
     )
     stats = li.groupBy("l_partkey").agg(
@@ -427,8 +425,7 @@ def q18_large_orders(spark, sf_dir):
         .select(
             "c_name", "o_custkey", "o_orderkey",
             F.date_format("o_orderdate", "yyyy-MM-dd").alias("o_orderdate"),
-            F.floor(F.col("o_totalprice") * 100 + F.lit(0.5))
-            .cast("long").alias("totalprice_cents"),
+            money_cents("o_totalprice").alias("totalprice_cents"),
             "total_qty",
         )
         .orderBy(
@@ -697,10 +694,9 @@ def q19_discounted_revenue(spark, sf_dir):
         | ((F.col("p_brand") == "Brand#3") & (F.col("p_type") == "LARGE")
            & qty.between(20, 30) & sz.between(1, 15))
     )
-    cents = F.floor(
-        F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount")) * 100
-        + F.lit(0.5)
-    ).cast("long")
+    cents = money_cents(
+        F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount"))
+    )
     return (
         li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
         .filter(branch)
@@ -755,8 +751,7 @@ def q22_global_sales_opportunity(spark, sf_dir):
         & F.col("c_acctbal").isNotNull()
     ).select(
         "c_custkey", "c_nationkey",
-        F.floor(F.col("c_acctbal") * 100 + F.lit(0.5)).cast("long")
-        .alias("bal_cents"),
+        money_cents("c_acctbal").alias("bal_cents"),
     )
     avg_ref = pos.filter(F.col("bal_cents") > 0).agg(
         F.sum("bal_cents").alias("__s"), F.count(F.lit(1)).alias("__n")
@@ -862,10 +857,9 @@ def q8_national_market_share(spark, sf_dir):
         supp_n, li.l_suppkey == supp_n.s_suppkey
     )
     o_f = o.join(cust_asia, o.o_custkey == cust_asia.c_custkey)
-    vol = F.floor(
-        F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount")) * 100
-        + F.lit(0.5)
-    ).cast("long")
+    vol = money_cents(
+        F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount"))
+    )
     nation_sum = F.sum(
         F.when(F.col("supp_nation") == "NATION_1", vol)
         .otherwise(F.lit(0).cast("long"))
@@ -927,10 +921,9 @@ def q9_product_type_profit(spark, sf_dir):
     supp_n = s.join(
         F.broadcast(n), s.s_nationkey == n.n_nationkey
     ).select("s_suppkey", F.col("n_name").alias("nation"))
-    rev = F.floor(
-        F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount")) * 100
-        + F.lit(0.5)
-    ).cast("long")
+    rev = money_cents(
+        F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount"))
+    )
     cost = F.floor(
         F.col("p_retailprice") * F.col("l_quantity") * 80 + F.lit(0.5)
     ).cast("long")
@@ -985,10 +978,9 @@ def q10_returned_item_revenue(spark, sf_dir):
         "c_custkey", "c_name", "c_nationkey"
     )
     n = t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
-    cents = F.floor(
-        F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount")) * 100
-        + F.lit(0.5)
-    ).cast("long")
+    cents = money_cents(
+        F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount"))
+    )
     return (
         li.join(o, li.l_orderkey == o.o_orderkey)
         .join(c, o.o_custkey == c.c_custkey)
@@ -1045,7 +1037,7 @@ def q11_important_parts(spark, sf_dir):
     nat_supp = s.join(
         F.broadcast(n), s.s_nationkey == F.col("n_nationkey"), "left_semi"
     ).select("s_suppkey")
-    cents = F.floor(F.col("l_extendedprice") * 100 + F.lit(0.5)).cast("long")
+    cents = money_cents("l_extendedprice")
     val = (
         li.join(F.broadcast(nat_supp), li.l_suppkey == nat_supp.s_suppkey,
                 "left_semi")
@@ -1098,10 +1090,9 @@ def q15_top_supplier(spark, sf_dir):
         & (F.col("l_shipdate") < F.lit("1995-07-01").cast("timestamp"))
     ).select("l_suppkey", "l_extendedprice", "l_discount")
     s = t(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
-    cents = F.floor(
-        F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount")) * 100
-        + F.lit(0.5)
-    ).cast("long")
+    cents = money_cents(
+        F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount"))
+    )
     rev = li.groupBy("l_suppkey").agg(F.sum(cents).alias("total_cents"))
     mx = rev.agg(F.max("total_cents").alias("__m"))
     return (

@@ -592,6 +592,12 @@ def test_fallback_intersection_multiword_typeless_cross_street():
     parsed3, _ = _fallback_tagger("MAIN ST & BROADWAY YONKERS NY")
     assert parsed3["SecondStreetName"] == "BROADWAY"
     assert parsed3["PlaceName"] == "YONKERS"
+    # the carve is NY-gated: 'WEST NEW YORK NJ' is a real municipality and
+    # must NOT lose 'WEST' to the cross street (review catch r9)
+    parsed4, _ = _fallback_tagger("MAIN ST & BERGENLINE WEST NEW YORK NJ")
+    assert parsed4["SecondStreetName"] == "BERGENLINE"
+    assert parsed4["PlaceName"] == "WEST NEW YORK"
+    assert parsed4["StateName"] == "NJ"
 
 
 def test_fallback_po_box():

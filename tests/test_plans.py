@@ -659,9 +659,12 @@ def test_r9b_tpch_shapes_plan_gates(spark):
         assert p.count("BroadcastNestedLoopJoin") <= allowed_bnlj, fn.__name__
     p10 = plans["q10_returned_item_revenue"]
     assert "TakeOrderedAndProject" in p10
-    pushed = p10.split("FileScan")
-    assert any("l_returnflag" in s and "PushedFilters" in s for s in pushed)
-    assert any("o_orderdate" in s and "GreaterThanOrEqual" in s for s in pushed)
+    # assert the pushed-filter SYNTAX, not mere column presence — the
+    # column name appears in ReadSchema even when nothing is pushed
+    # (review catch r9)
+    assert "EqualTo(l_returnflag,R)" in p10
+    assert any("o_orderdate" in s and "GreaterThanOrEqual" in s
+               for s in p10.split("FileScan"))
     # Q8: 8 scans = each of the 7 tables once (nation twice by role) —
     # a 9th would be the share denominator re-scanning the tree
     p8 = plans["q8_national_market_share"]
