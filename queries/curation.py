@@ -358,28 +358,34 @@ def timeseries_gapfill_q(spark, sf_dir):
 @q(
     "rolling_median_value",
     """
+    WITH e AS (
+      SELECT user_id, event_id, ts,
+             CAST(FLOOR(1000.0 * value + 0.5) AS BIGINT) AS vm
+      FROM events
+      WHERE user_id IS NOT NULL AND ts IS NOT NULL)
     SELECT user_id, event_id,
-           CAST(ROUND(1000 * quantile_cont(value, 0.5) OVER (
+           CAST(FLOOR(2 * quantile_cont(vm, 0.5) OVER (
              PARTITION BY user_id ORDER BY ts, event_id
              ROWS BETWEEN 9 PRECEDING AND CURRENT ROW)) AS BIGINT)
-             AS med10_milli
-    FROM events
-    WHERE user_id IS NOT NULL AND ts IS NOT NULL
+             AS med10_half_milli
+    FROM e
     """,
 )
 def rolling_median_value(spark, sf_dir):
     """Trailing 10-event rolling MEDIAN per user — the robust-statistics
     sibling of rolling_zscore (a single hot outlier shifts a mean-based
     detector for its whole trailing window; the median shrugs it off).
-    Spark's `percentile` over a ROWS frame interpolates identically to
-    DuckDB's `quantile_cont` (both continuous-quantile); the output is the
-    SCALED-BIGINT rendering (×1000) because an even window's median is the
-    average of two 2-decimal values — exactly the x.xx5 cases where
-    Spark's HALF_UP and DuckDB's rint diverge at ROUND(…, 2) (caught by
-    the oracle gate on first cut; the _arr_str scale discipline applies).
-    Ordering includes event_id so timestamp ties cannot reorder the
-    frame.  One shuffle on user_id, frame-bounded memory — the 100 TB
-    rolling-robust shape."""
+
+    The mad_outliers discipline, applied after the r9 quantile-knife-edge
+    catch (percentiles_exact): values quantize to integer MILLI-units
+    BEFORE the window percentile, so an even window's interpolated median
+    is an exact k/2 under BOTH engines' formulas (`a + 0.5·(b−a)` and
+    `0.5·a + 0.5·b` are each exact IEEE over int64-range integers), and
+    the output doubles the scale (half-milli units) so NO rounding
+    decision is ever made — the old ROUND(1000·median) sat an ulp from a
+    half whenever raw doubles interpolated.  Ordering includes event_id
+    so timestamp ties cannot reorder the frame.  One shuffle on user_id,
+    frame-bounded memory — the 100 TB rolling-robust shape."""
     e = t(spark, sf_dir, "events").where(
         F.col("user_id").isNotNull() & F.col("ts").isNotNull()
     )
@@ -387,10 +393,11 @@ def rolling_median_value(spark, sf_dir):
     return spark.sql(
         """
         SELECT user_id, event_id,
-               CAST(ROUND(1000 * percentile(value, 0.5) OVER (
+               CAST(FLOOR(2 * percentile(
+                 CAST(FLOOR(1000.0 * value + 0.5) AS BIGINT), 0.5) OVER (
                  PARTITION BY user_id ORDER BY ts, event_id
-                 ROWS BETWEEN 9 PRECEDING AND CURRENT ROW), 0) AS BIGINT)
-                 AS med10_milli
+                 ROWS BETWEEN 9 PRECEDING AND CURRENT ROW)) AS BIGINT)
+                 AS med10_half_milli
         FROM __rmv_events
         """
     )
