@@ -240,10 +240,18 @@ def winsorized_stats(
     reading would poison a plain mean).
 
     Returns (group, n, lo_bound, hi_bound, n_clipped_lo, n_clipped_hi,
-    win_mean).  Bounds are ROUNDED before clipping so the clip decision —
-    and therefore every downstream count — compares identical values in
-    any engine; the clipped mean is rounded last (the one
-    accumulation-order-dependent number).
+    win_mean).
+
+    Determinism (reworked after the r9 percentiles_exact catch): values
+    quantize to INTEGER ``10^bound_round``-units before the percentile —
+    Spark ``percentile`` and DuckDB ``quantile_cont`` are bit-identical
+    over integer inputs (verified empirically: same ``(1−f)·a + f·b``
+    double ops for every fraction) — and every rendering is
+    ``FLOOR(x + 0.5)``, never ``ROUND``: Spark rounds the double's
+    SHORTEST DECIMAL STRING half-up while DuckDB rints the binary value,
+    so ``ROUND`` diverges on any double whose shortest string ends in a
+    half digit even when both engines hold the identical double.  The
+    clip decision and both clip counts are pure integer comparisons.
 
     Scale shape: one percentile aggregate per group (Spark's exact
     ``percentile`` is a sort-based per-group aggregate; at extreme group
@@ -255,30 +263,39 @@ def winsorized_stats(
         raise ValueError(f"need 0 <= lo < hi <= 1, got lo={lo}, hi={hi}")
     g = F.col(group_col)
     v = F.col(value_col)
-    base = df.filter(g.isNotNull() & v.isNotNull())
+    scale = float(10 ** bound_round)
+    mscale = float(10 ** mean_round)
+    base = df.filter(g.isNotNull() & v.isNotNull()).withColumn(
+        "__vi",
+        F.floor(v.cast("double") * F.lit(scale) + F.lit(0.5)).cast("long"),
+    )
     bounds = base.groupBy(group_col).agg(
-        F.round(F.percentile(value_col, F.lit(lo)), bound_round).alias(
-            "lo_bound"
-        ),
-        F.round(F.percentile(value_col, F.lit(hi)), bound_round).alias(
-            "hi_bound"
-        ),
+        F.floor(F.percentile("__vi", F.lit(lo)) + F.lit(0.5))
+        .cast("long").alias("__lo_i"),
+        F.floor(F.percentile("__vi", F.lit(hi)) + F.lit(0.5))
+        .cast("long").alias("__hi_i"),
     )
     joined = base.join(F.broadcast(bounds), group_col)
     clipped = F.least(
-        F.greatest(v.cast("double"), F.col("lo_bound")), F.col("hi_bound")
+        F.greatest(F.col("__vi"), F.col("__lo_i")), F.col("__hi_i")
     )
     return joined.groupBy(group_col).agg(
         F.count(F.lit(1)).alias("n"),
-        F.first("lo_bound").alias("lo_bound"),
-        F.first("hi_bound").alias("hi_bound"),
-        F.sum(F.when(v < F.col("lo_bound"), 1).otherwise(0)).alias(
+        (F.first("__lo_i") / F.lit(scale)).alias("lo_bound"),
+        (F.first("__hi_i") / F.lit(scale)).alias("hi_bound"),
+        F.sum(F.when(F.col("__vi") < F.col("__lo_i"), 1).otherwise(0)).alias(
             "n_clipped_lo"
         ),
-        F.sum(F.when(v > F.col("hi_bound"), 1).otherwise(0)).alias(
+        F.sum(F.when(F.col("__vi") > F.col("__hi_i"), 1).otherwise(0)).alias(
             "n_clipped_hi"
         ),
-        F.round(F.avg(clipped), mean_round).alias("win_mean"),
+        (
+            F.floor(
+                F.sum(clipped).cast("double") * F.lit(mscale)
+                / (F.count(F.lit(1)) * F.lit(scale))
+                + F.lit(0.5)
+            ) / F.lit(mscale)
+        ).alias("win_mean"),
     )
 
 

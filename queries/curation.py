@@ -377,13 +377,13 @@ def rolling_median_value(spark, sf_dir):
     detector for its whole trailing window; the median shrugs it off).
 
     The mad_outliers discipline, applied after the r9 quantile-knife-edge
-    catch (percentiles_exact): values quantize to integer MILLI-units
-    BEFORE the window percentile, so an even window's interpolated median
-    is an exact k/2 under BOTH engines' formulas (`a + 0.5·(b−a)` and
-    `0.5·a + 0.5·b` are each exact IEEE over int64-range integers), and
-    the output doubles the scale (half-milli units) so NO rounding
-    decision is ever made — the old ROUND(1000·median) sat an ulp from a
-    half whenever raw doubles interpolated.  Ordering includes event_id
+    catch (percentiles_exact — root cause: ROUND half-up on the double's
+    shortest decimal string in Spark vs rint on the binary in DuckDB;
+    the interpolation itself is bit-identical across engines): values
+    quantize to integer MILLI-units BEFORE the window percentile, so an
+    even window's interpolated median is an exact k/2, and the output
+    doubles the scale (half-milli units) so NO rounding decision is ever
+    made.  Ordering includes event_id
     so timestamp ties cannot reorder the frame.  One shuffle on user_id,
     frame-bounded memory — the 100 TB rolling-robust shape."""
     e = t(spark, sf_dir, "events").where(
@@ -1855,20 +1855,26 @@ def negative_sample_topk_q(spark, sf_dir):
     "winsorized_stats",
     """
     WITH base AS (
-      SELECT l_returnflag AS g, CAST(l_extendedprice AS DOUBLE) AS v
+      SELECT l_returnflag AS g,
+             CAST(FLOOR(CAST(l_extendedprice AS DOUBLE) * 10000.0 + 0.5)
+                  AS BIGINT) AS vi
       FROM lineitem
       WHERE l_returnflag IS NOT NULL AND l_extendedprice IS NOT NULL),
     bounds AS (
-      SELECT g, ROUND(quantile_cont(v, 0.05), 4) AS lo_bound,
-             ROUND(quantile_cont(v, 0.95), 4) AS hi_bound
+      SELECT g,
+             CAST(FLOOR(quantile_cont(vi, 0.05) + 0.5) AS BIGINT) AS lo_i,
+             CAST(FLOOR(quantile_cont(vi, 0.95) + 0.5) AS BIGINT) AS hi_i
       FROM base GROUP BY g)
     SELECT b.g AS l_returnflag, COUNT(*) AS n,
-           ANY_VALUE(lo_bound) AS lo_bound, ANY_VALUE(hi_bound) AS hi_bound,
-           CAST(SUM(CASE WHEN v < lo_bound THEN 1 ELSE 0 END) AS BIGINT)
+           ANY_VALUE(lo_i) / 10000.0 AS lo_bound,
+           ANY_VALUE(hi_i) / 10000.0 AS hi_bound,
+           CAST(SUM(CASE WHEN vi < lo_i THEN 1 ELSE 0 END) AS BIGINT)
              AS n_clipped_lo,
-           CAST(SUM(CASE WHEN v > hi_bound THEN 1 ELSE 0 END) AS BIGINT)
+           CAST(SUM(CASE WHEN vi > hi_i THEN 1 ELSE 0 END) AS BIGINT)
              AS n_clipped_hi,
-           ROUND(AVG(LEAST(GREATEST(v, lo_bound), hi_bound)), 4) AS win_mean
+           FLOOR(CAST(SUM(LEAST(GREATEST(vi, lo_i), hi_i)) AS DOUBLE)
+                 * 10000.0 / (COUNT(*) * 10000.0) + 0.5) / 10000.0
+             AS win_mean
     FROM base b JOIN bounds USING (g)
     GROUP BY b.g
     """,
@@ -1876,10 +1882,14 @@ def negative_sample_topk_q(spark, sf_dir):
 def winsorized_stats_q(spark, sf_dir):
     """Outlier-robust pricing stats: per return flag, values clipped to the
     group's exact [p05, p95] (winsorization), with clip counts and the
-    winsorized mean.  Bounds are rounded BEFORE clipping so the clip
-    decision is engine-exact; two shuffles on the group key (percentile
-    aggregate broadcast back, then the clipped aggregate) — no sort, no
-    self-join."""
+    winsorized mean.  The r9 determinism rework: values quantize to
+    integer 1e-4 units BEFORE the percentile (integer-input quantiles are
+    bit-identical across the engines) and every rendering is
+    FLOOR(x + 0.5) — ROUND diverges on identical doubles whose shortest
+    decimal string ends in a half digit (Spark HALF_UP on the string,
+    DuckDB rint on the binary).  Two shuffles on the group key
+    (percentile aggregate broadcast back, then the clipped aggregate) —
+    no sort, no self-join."""
     from engine.ops.profile import winsorized_stats
 
     li = t(spark, sf_dir, "lineitem")

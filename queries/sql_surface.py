@@ -283,14 +283,15 @@ def percentiles_exact(spark, sf_dir):
 
     Quantizing to cents BEFORE the quantile is load-bearing, not cosmetic:
     the r9 adversarial fixtures caught the double-domain form one off in
-    the last digit — the two engines' interpolation formulas
-    (``a + f·(b−a)`` vs ``(1−f)·a + f·b``) differ by an ulp on hostile
-    prices, and a result an ulp either side of a decimal half is rounded
-    apart by Spark's HALF_UP (decimal-string space) vs DuckDB's rint
-    (binary space).  Over exact-integer cents with quarter fractions the
-    interpolation is EXACT in IEEE arithmetic under BOTH formulas (b−a,
-    ·0.25, and the sum are all representable), so no rounding decision is
-    ever made on a knife edge."""
+    the last digit.  Root cause (pinned empirically): both engines use
+    the SAME interpolation (``(1−f)·a + f·b``, bit-identical on shared
+    inputs) — the divergence is ``ROUND`` itself, which Spark applies
+    half-up to the double's SHORTEST DECIMAL STRING while DuckDB rints
+    the binary value, so any result whose shortest string ends in a half
+    digit rounds apart.  Over exact-integer cents with quarter fractions
+    the interpolated quantile is EXACT (b−a, ·0.25, and the sum are all
+    representable), so the final ROUND only ever sees exact integers —
+    no rounding decision on a knife edge."""
     li = t(spark, sf_dir, "lineitem")
     cents = F.floor(F.col("l_extendedprice") * 100 + F.lit(0.5)).cast("long")
     return li.groupBy("l_returnflag").agg(
