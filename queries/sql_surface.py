@@ -293,7 +293,7 @@ def percentiles_exact(spark, sf_dir):
     representable), so the final ROUND only ever sees exact integers —
     no rounding decision on a knife edge."""
     li = t(spark, sf_dir, "lineitem")
-    cents = F.floor(F.col("l_extendedprice") * 100 + F.lit(0.5)).cast("long")
+    cents = money_cents("l_extendedprice")
     return li.groupBy("l_returnflag").agg(
         _arr_str(
             F.transform(
