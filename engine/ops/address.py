@@ -332,6 +332,22 @@ _PO_BOX_RE = re.compile(
 #: AddressNumberSuffix, also unmapped by the reference, so the fraction is
 #: dropped from every output field rather than polluting the street
 _FRACTION_RE = re.compile(r"^(\d+/\d+)\s+")
+#: highway street shape — usaddress tags 'ROUTE 9W' / 'US HIGHWAY 1' as
+#: StreetNamePreType + StreetName (both mapped → street); the generic
+#: last-type-suffix split has no type word to anchor on and swallowed the
+#: trailing city into the street (r9)
+_HIGHWAY_RE = re.compile(
+    r"^((?:US\s+|STATE\s+|COUNTY\s+)?(?:ROUTE|RTE|RT|HIGHWAY|HWY|SR|CR)"
+    r"\.?\s+\d+[A-Z]?)\b\.?\s*",
+    re.I,
+)
+#: pre-type street names ('AVENUE OF THE AMERICAS') — the type word LEADS
+#: (usaddress StreetNamePreType) and the name follows through the OF-phrase,
+#: so the last-type-suffix split must not cut after the type word
+_PRETYPE_OF_RE = re.compile(
+    r"^((?:AVE(?:NUE)?|BLVD|BOULEVARD|ST(?:REET)?)\.?\s+OF\s+(?:THE\s+)?)",
+    re.I,
+)
 #: known multi-token place names tried BEFORE the single-token cross-street
 #: split on type-less intersections (advice r8: '& SAINT MARKS BROOKLYN NY'
 #: must not split as SecondStreetName='SAINT', PlaceName='MARKS BROOKLYN').
@@ -348,6 +364,24 @@ _KNOWN_CITY_SUFFIXES = tuple(
         reverse=True,
     )
 )
+
+
+def _carve_known_city(rest: str, ny_ok: bool) -> tuple[str, str | None]:
+    """Split ``rest`` at a KNOWN trailing city name → (head, place).
+
+    The suffix list is NY-specific, so the carve only runs when the parsed
+    state corroborates NY (``ny_ok``) — without the gate 'BERGENLINE WEST
+    NEW YORK NJ' would lose 'WEST' to the head (review catch r9).  Returns
+    ``(rest, None)`` when nothing matches."""
+    up = rest.upper() if ny_ok else ""
+    for city in _KNOWN_CITY_SUFFIXES:
+        if up.endswith(city) and len(rest) > len(city) and (
+            up[-len(city) - 1] in " ,"
+        ):
+            head = rest[: -len(city)].strip(" ,")
+            if head:
+                return head, rest[-len(city):]
+    return rest, None
 
 
 def _fallback_tagger(addr: str):
@@ -426,24 +460,16 @@ def _fallback_tagger(addr: str):
             # (usaddress's CRF splits here too; review catch r8) — with no
             # such corroboration the whole remainder stays the cross
             # street ('MAIN ST & SAINT MARKS')
-            # the suffix list is NY-specific, so the carve requires the
-            # parsed state to corroborate NY — without the gate,
-            # 'BERGENLINE WEST NEW YORK NJ' (a real NJ municipality) would
-            # lose 'WEST' to the cross street (review catch r9)
-            up = rest2.upper() if out.get("StateName") == "NY" else ""
-            for city in _KNOWN_CITY_SUFFIXES:
-                if up.endswith(city) and len(rest2) > len(city) and (
-                    up[-len(city) - 1] in " ,"
-                ):
-                    cross = rest2[: -len(city)].strip(" ,")
-                    if cross:
-                        out["SecondStreetName"] = cross
-                        out["PlaceName"] = rest2[-len(city):]
-                        break
+            cross, place = _carve_known_city(
+                rest2, out.get("StateName") == "NY"
+            )
+            if place is not None:
+                out["SecondStreetName"] = cross
+                out["PlaceName"] = place
             else:
-                first_tok, place = rest2.split(" ", 1)
+                first_tok, place2 = rest2.split(" ", 1)
                 out["SecondStreetName"] = first_tok
-                out["PlaceName"] = place.strip(" ,")
+                out["PlaceName"] = place2.strip(" ,")
         else:
             out["SecondStreetName"] = rest2
         return out, "Intersection"
@@ -453,6 +479,33 @@ def _fallback_tagger(addr: str):
         unit = m.group(0).strip()
         post = s[m.end():].strip(" ,")
         s = s[: m.start()].strip()
+    ny = out.get("StateName") == "NY"
+    hm = _HIGHWAY_RE.match(s)
+    if hm:
+        # 'ROUTE 9W POUGHKEEPSIE': the street is the highway designation;
+        # everything after it is the place (the CRF tags PreType + number
+        # as street and the trailing tokens PlaceName)
+        out["street"] = hm.group(1)
+        rest = (s[hm.end():].strip(" ,") + " " + post).strip()
+        if rest:
+            out["PlaceName"] = rest
+        if unit:
+            out["line2"] = unit
+        return out, "StreetAddress"
+    pm = _PRETYPE_OF_RE.match(s)
+    if pm:
+        # 'AVENUE OF THE AMERICAS [NEW YORK]': the type word LEADS and the
+        # name runs through the OF-phrase — carve a KNOWN trailing city
+        # (NY-gated) off the street; with no recognized city the whole
+        # remainder is the street (mirrors the type-less intersection rule)
+        street, place = _carve_known_city(s, ny)
+        out["street"] = street
+        rest = ((place or "") + " " + post).strip()
+        if rest:
+            out["PlaceName"] = rest
+        if unit:
+            out["line2"] = unit
+        return out, "StreetAddress"
     last = None
     for m in _STREET_TYPE_RE.finditer(s):
         last = m

@@ -629,6 +629,41 @@ def test_fallback_po_box():
     assert out["postal_code"] == "11431"
 
 
+def test_fallback_highway_and_pretype_streets():
+    # r9: highway designations (StreetNamePreType + number) and pre-type
+    # names ('AVENUE OF THE AMERICAS') — the generic last-type-suffix
+    # split swallowed the city into the street on both shapes
+    from engine.ops.address import _fallback_tagger
+
+    parsed, _ = _fallback_tagger("ROUTE 9W POUGHKEEPSIE NY")
+    assert parsed["street"] == "ROUTE 9W"
+    assert parsed["PlaceName"] == "POUGHKEEPSIE"
+
+    parsed2, _ = _fallback_tagger("1234 US HIGHWAY 1 EDISON NJ 08817")
+    assert parsed2["AddressNumber"] == "1234"
+    assert parsed2["street"] == "US HIGHWAY 1"
+    assert parsed2["PlaceName"] == "EDISON"
+
+    parsed3, _ = _fallback_tagger("STATE ROUTE 17 APT 3 MONROE NY")
+    assert parsed3["street"] == "STATE ROUTE 17"
+    assert parsed3["PlaceName"] == "MONROE"
+    assert parsed3["line2"] == "APT 3"
+
+    parsed4, _ = _fallback_tagger("1211 AVENUE OF THE AMERICAS NEW YORK NY 10036")
+    assert parsed4["street"] == "AVENUE OF THE AMERICAS"
+    assert parsed4["PlaceName"] == "NEW YORK"
+    assert parsed4["AddressNumber"] == "1211"
+    # no recognized trailing city -> the whole remainder stays the street
+    parsed5, _ = _fallback_tagger("AVENUE OF THE AMERICAS")
+    assert parsed5["street"] == "AVENUE OF THE AMERICAS"
+    assert "PlaceName" not in parsed5
+
+    out = _reformat_fallback("ROUTE 9W POUGHKEEPSIE NY 12601")
+    assert out["street_name"] == "ROUTE 9W"
+    assert out["city"] == "POUGHKEEPSIE"
+    assert out["address"] == "ROUTE 9W"
+
+
 def test_fallback_fractional_house_number():
     # '123 1/2 MAIN ST': usaddress labels the fraction AddressNumberSuffix,
     # unmapped by the reference — dropped from street and house_number both
