@@ -391,7 +391,9 @@ def _fallback_tagger(addr: str):
     number (with an unmapped AddressNumberSuffix fraction — '123 1/2'),
     PO boxes (USPSBoxType/USPSBoxID, both unmapped by the reference's tag
     map so street stays empty), occupancy/unit marker (identifier-required
-    and standalone sets, plus identifier-first floors), remainder split
+    and standalone sets, plus identifier-first floors), highway
+    designations ('ROUTE 9W', 'US HIGHWAY 1') and pre-type OF-names
+    ('AVENUE OF THE AMERICAS') as whole streets, remainder split
     street/city at the last street-type word with an abbreviated
     post-directional re-attached to the street ('MAIN ST W', 'AVE W').
     Covers the reference's test shapes (helpers/address_helper.py:10-17
