@@ -244,6 +244,23 @@ def _band_col(sig: Column, band: int, rows_per_band: int, hash_fn: str = "xxhash
 _INTERNAL_SIGS_LAST: list = []
 
 
+def ledger_persist(df: DataFrame) -> DataFrame:
+    """Persist ``df`` under the module's 1-deep release ledger: the
+    previous ledger entry (if any) is unpersisted first, so at most ONE
+    signature-sized frame stays cached per session (advice r8 — a bare
+    ``persist()`` leaked for the session; unpersist is lineage-safe, an
+    un-collected earlier result just recomputes).  Use for any frame a
+    banded self-join references twice — Catalyst does not reuse the
+    exchange across the alias pair, so without the cache the whole
+    signature subtree evaluates once PER SIDE (review catch r9: the
+    frontier recomputed 64 md5 minhashes per doc twice)."""
+    while _INTERNAL_SIGS_LAST:
+        _INTERNAL_SIGS_LAST.pop().unpersist()
+    df.persist()
+    _INTERNAL_SIGS_LAST.append(df)
+    return df
+
+
 def minhash_band_sweep(
     sigs: DataFrame,
     *,
@@ -348,17 +365,12 @@ def minhash_candidates(
             num_hashes=num_hashes,
             shingle_n=shingle_n,
             hash_fn=hash_fn,
-        ).persist()
+        )
         # The cache is load-bearing (the banded self-join references sigs
         # twice and Catalyst does not reuse the exchange across the alias
-        # pair), but a one-shot caller would otherwise leak it for the
-        # session (advice r8).  A 1-deep ledger bounds the leak: each
-        # internal-sigs call releases the previous call's cache —
-        # unpersist is lineage-safe, an un-collected earlier result just
-        # recomputes.  Sweep callers pass ``sigs=`` and own persistence.
-        while _INTERNAL_SIGS_LAST:
-            _INTERNAL_SIGS_LAST.pop().unpersist()
-        _INTERNAL_SIGS_LAST.append(sigs)
+        # pair); :func:`ledger_persist` bounds the would-be session leak
+        # to one frame.  Sweep callers pass ``sigs=`` and own persistence.
+        sigs = ledger_persist(sigs)
     banded = sigs.select(
         "id",
         "sig",

@@ -47,12 +47,20 @@ def write_bucketed(
     *,
     sort_col: str | None = None,
     mode: str = "overwrite",
+    path: str | None = None,
 ) -> None:
     """Persist as a bucketed (and optionally sorted) catalog table.
 
     Joins/aggregations on ``bucket_col`` between tables bucketed with the
     same (col, n) read co-located buckets and skip the exchange entirely —
     verified by the no-Exchange plan gate in tests/test_layout.py.
+
+    ``path`` makes the table EXTERNAL at that location (r9): the data then
+    outlives the session-scoped derby catalog, and a caller that records
+    (schema, bucket spec, location) can re-register the table in a fresh
+    session — the restart contract the streaming matview maintainer needs
+    (review catch r9: managed snapshot tables were unrecoverable across
+    sessions).
 
     A managed table's location can survive its metastore entry (the local
     derby catalog is per-session while spark-warehouse/ persists), and
@@ -61,7 +69,13 @@ def write_bucketed(
     entry AND clear a stale location before writing.
     """
     spark = df.sparkSession
-    if mode == "overwrite":
+    if mode == "overwrite" and path is not None:
+        # external mode: DROP leaves the files; clear the location too
+        import shutil
+
+        spark.sql(f"DROP TABLE IF EXISTS {table}")
+        shutil.rmtree(path, ignore_errors=True)
+    elif mode == "overwrite":
         # DROP removes a managed table's files when the catalog knows it;
         # the rmtree handles the orphan case (location without an entry).
         # Managed locations: default db -> <wh>/<t>, other -> <wh>/<db>.db/<t>
@@ -104,6 +118,8 @@ def write_bucketed(
     w = df.write.mode(mode).bucketBy(n_buckets, bucket_col)
     if sort_col:
         w = w.sortBy(sort_col)
+    if path is not None:
+        w = w.option("path", path)
     w.format("parquet").saveAsTable(table)
 
 

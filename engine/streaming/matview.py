@@ -34,6 +34,15 @@ tests/test_streaming_soak.py).  The default (False) keeps the
 null-safe/plain-parquet path for nullable keys; the pointer file then
 carries a ``table:`` prefix in bucketed mode so
 :func:`read_agg_snapshot` knows which storage to open.
+
+Bucketed durability (review catches r9): version tables are EXTERNAL
+(data under ``snapshot_dir``) with a JSON sidecar recording (schema,
+bucket spec, location), so a fresh session — whose derby catalog forgot
+the entries — re-registers and resumes instead of permanently losing
+checkpoint-committed state; and the catalog namespace is scoped by an
+md5 tag of ``snapshot_dir``, so a stale same-``query_name`` table from
+an unrelated run can neither satisfy the replay-repair check nor be
+pruned by a different maintainer.
 """
 
 from __future__ import annotations
@@ -49,20 +58,64 @@ __all__ = ["streaming_agg_maintenance", "read_agg_snapshot"]
 _CURRENT = "_CURRENT"
 
 
+def _table_meta_path(snapshot_dir: str, table: str) -> str:
+    return os.path.join(snapshot_dir, table + ".tablemeta.json")
+
+
+def _ensure_bucketed_table(
+    spark: SparkSession, snapshot_dir: str, table: str
+) -> bool:
+    """Make ``table`` queryable in THIS session → True when available.
+
+    Bucketed snapshot versions are EXTERNAL tables whose data lives under
+    ``snapshot_dir`` with a JSON sidecar recording (schema, bucket spec,
+    location).  The derby catalog is session-scoped, so after a restart
+    the table entry is gone while the data persists — re-issue the CREATE
+    from the sidecar (review catch r9: the managed-table form lost the
+    whole snapshot state across sessions; the checkpoint had already
+    marked those batches committed, so the loss was permanent)."""
+    if spark.catalog.tableExists(table):
+        return True
+    meta_p = _table_meta_path(snapshot_dir, table)
+    if not os.path.exists(meta_p):
+        return False
+    import json
+
+    with open(meta_p) as fh:
+        meta = json.load(fh)
+    if not os.path.exists(os.path.join(meta["location"], "_SUCCESS")):
+        return False  # mid-write crash artifact: not a complete version
+    spark.sql(
+        f"CREATE TABLE {table} ({meta['schema_ddl']}) USING PARQUET "
+        f"CLUSTERED BY ({meta['key']}) SORTED BY ({meta['key']}) "
+        f"INTO {meta['buckets']} BUCKETS "
+        f"LOCATION '{meta['location']}'"
+    )
+    return True
+
+
 def read_agg_snapshot(spark: SparkSession, snapshot_dir: str) -> DataFrame | None:
     """The current snapshot, or None before the first publish.
 
     A ``table:`` pointer (bucketed mode) opens the catalog table — going
     through the catalog is what hands Catalyst the bucket layout; reading
     the same files as raw parquet would silently drop the
-    exchange-free-merge property."""
+    exchange-free-merge property.  A fresh session re-registers the
+    external table from its sidecar first."""
     ptr = os.path.join(snapshot_dir, _CURRENT)
     if not os.path.exists(ptr):
         return None
     with open(ptr) as fh:
         version = fh.read().strip()
     if version.startswith("table:"):
-        return spark.table(version[len("table:"):])
+        table = version[len("table:"):]
+        if not _ensure_bucketed_table(spark, snapshot_dir, table):
+            raise FileNotFoundError(
+                f"bucketed snapshot table {table!r} has no catalog entry, "
+                f"and no complete sidecar/location under {snapshot_dir!r} "
+                "to re-register it from"
+            )
+        return spark.table(table)
     return spark.read.parquet(os.path.join(snapshot_dir, version))
 
 
@@ -132,16 +185,37 @@ def streaming_agg_maintenance(
                 f" column; got {key_cols!r} (composite keys: concat into a"
                 " single key column upstream, or use the default path)"
             )
-        prefix = table_prefix or "".join(
+        import hashlib
+
+        base_prefix = table_prefix or "".join(
             ch if ch.isalnum() else "_" for ch in query_name
         )
+        # scope the catalog namespace by snapshot_dir (review catch r9):
+        # a bare query_name prefix let a stale same-name table from an
+        # unrelated run satisfy the replay-repair check (silently skipping
+        # a real batch), and two concurrent maintainers with the default
+        # name pruned each other's version tables.  Same dir → same
+        # prefix, so restart recovery still works.
+        dir_tag = hashlib.md5(
+            os.path.abspath(snapshot_dir).encode()
+        ).hexdigest()[:8]
+        prefix = f"{base_prefix}_{dir_tag}"
         buckets = n_buckets or int(
             spark.conf.get("spark.sql.shuffle.partitions")
         )
 
-    def _bucketed_versions() -> list[str]:
+    def _bucketed_versions() -> set[str]:
         rows = spark.sql(f"SHOW TABLES LIKE '{prefix}_v*'").collect()
-        return [r["tableName"] for r in rows]
+        names = {r["tableName"] for r in rows}
+        # a fresh session's catalog is empty — disk sidecars are the
+        # durable listing
+        suffix = ".tablemeta.json"
+        names.update(
+            f[: -len(suffix)]
+            for f in os.listdir(snapshot_dir)
+            if f.startswith(prefix + "_v") and f.endswith(suffix)
+        )
+        return names
 
     def process(batch_df: DataFrame, batch_id: int) -> None:
         if batch_id in seen:
@@ -150,10 +224,12 @@ def streaming_agg_maintenance(
 
         if non_nullable_keys:
             version_table = f"{prefix}_v{batch_id:012d}"
-            if spark.catalog.tableExists(version_table):
+            if _ensure_bucketed_table(spark, snapshot_dir, version_table):
                 # checkpoint replay after a crash between write and swap:
-                # saveAsTable registers the entry only after a COMPLETE
-                # write, so an existing table is whole — repair the pointer
+                # the sidecar is written only after a COMPLETE write (and
+                # _ensure checks the location's _SUCCESS), so an available
+                # table is whole — repair the pointer.  Works in a fresh
+                # session too: the sidecar re-registers the external table.
                 _swap_pointer(snapshot_dir, "table:" + version_table)
                 seen.add(batch_id)
                 return
@@ -193,13 +269,46 @@ def streaming_agg_maintenance(
         else:
             merged = bp
         if _plan_sink is not None:
+            # Measurement boundary (review note r9): this captures the
+            # refresh MERGE subtree's plan, not the enclosing
+            # InsertIntoHadoopFsRelation command the write executes.  In
+            # Spark 4.x the bucketed V1 write adds only a within-partition
+            # sort on the bucket key on top of this subtree — no exchange —
+            # so the soak's one-exchange pin measures the real budget; if a
+            # Spark upgrade changes V1Writes distribution requirements,
+            # re-pin against the write's own QueryExecution.
             _plan_sink.append(
                 merged._jdf.queryExecution().executedPlan().toString()
             )
         if non_nullable_keys:
+            import json
+            import shutil
+
+            location = os.path.join(snapshot_dir, version_table)
             write_bucketed(
                 merged, version_table, key_cols[0], buckets,
-                sort_col=key_cols[0],
+                sort_col=key_cols[0], path=location,
+            )
+            # sidecar AFTER the complete write: its existence is the
+            # durable "this version is whole" marker a fresh session's
+            # _ensure_bucketed_table re-registers from
+            schema_ddl = ", ".join(
+                f"`{f.name}` {f.dataType.simpleString()}"
+                for f in merged.schema.fields
+            )
+            meta_tmp = _table_meta_path(snapshot_dir, version_table) + ".tmp"
+            with open(meta_tmp, "w") as fh:
+                json.dump(
+                    {
+                        "location": location,
+                        "key": key_cols[0],
+                        "buckets": buckets,
+                        "schema_ddl": schema_ddl,
+                    },
+                    fh,
+                )
+            os.replace(
+                meta_tmp, _table_meta_path(snapshot_dir, version_table)
             )
             _swap_pointer(snapshot_dir, "table:" + version_table)
             keep = {version_table}
@@ -207,7 +316,15 @@ def streaming_agg_maintenance(
                 keep.add(prev_version[len("table:"):])
             for name in _bucketed_versions():
                 if name not in keep:
+                    # external tables: drop the entry AND the data+sidecar
                     spark.sql(f"DROP TABLE IF EXISTS {name}")
+                    shutil.rmtree(
+                        os.path.join(snapshot_dir, name), ignore_errors=True
+                    )
+                    try:
+                        os.remove(_table_meta_path(snapshot_dir, name))
+                    except FileNotFoundError:
+                        pass
         else:
             merged.write.mode("overwrite").parquet(vdir)
             _swap_pointer(snapshot_dir, version)

@@ -1448,10 +1448,18 @@ def minhash_recall_frontier(spark, sf_dir):
     one signature pass and self-joins once, and the exact all-pairs side
     is referenced ONCE via a full-outer join of (truep × widths) against
     the candidate pairs — per-width n_true / n_caught / n_candidates
-    fall out of a single aggregate, so nothing needs ``persist`` (the r8
-    sigs/truep caches leaked for the session — advice r8).  The exact
-    side is :func:`_true_jaccard_pairs` (postings equi-join, r9)."""
-    from engine.extended.dedup import minhash_band_sweep, minhash_sigs
+    fall out of a single aggregate.  The one double-referenced frame is
+    ``sigs`` (both sides of the sweep's self-join): it rides
+    :func:`ledger_persist`, the 1-deep release ledger, so the 64-hash
+    signature pass evaluates once WITHOUT the r8 session leak (advice
+    r8; review catch r9 — the leak fix had dropped the persist and was
+    recomputing the signatures twice).  The exact side is
+    :func:`_true_jaccard_pairs` (postings equi-join, r9)."""
+    from engine.extended.dedup import (
+        ledger_persist,
+        minhash_band_sweep,
+        minhash_sigs,
+    )
 
     widths = (8, 16, 32)
     d = t(spark, sf_dir, "documents")
@@ -1460,7 +1468,10 @@ def minhash_recall_frontier(spark, sf_dir):
         & (F.col("doc_id") < 300)
         & F.col("text").isNotNull()
     )
-    sigs = minhash_sigs(sub, hash_fn="md5")
+    # the sweep self-joins the banded frame, so sigs is referenced on both
+    # sides — ledger_persist keeps the 64-hash signature pass evaluated
+    # ONCE without the r8 session leak (review catch r9)
+    sigs = ledger_persist(minhash_sigs(sub, hash_fn="md5"))
     cand = minhash_band_sweep(sigs, widths=widths, hash_fn="md5")
     truep = _true_jaccard_pairs(sub)
     # truep is width-independent: replicate it across the three widths and

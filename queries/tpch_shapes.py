@@ -612,6 +612,7 @@ def q12_shipmode_priority(spark, sf_dir):
     WHERE p.p_brand <> 'Brand#1'
       AND p.p_type <> 'PROMO'
       AND p.p_size IN (1, 4, 9, 14, 23, 36, 45, 49)
+      AND l.l_suppkey IS NOT NULL
       AND l.l_suppkey NOT IN (
         SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
     GROUP BY p.p_brand, p.p_type, p.p_size
@@ -624,12 +625,17 @@ def q16_part_supplier_counts(spark, sf_dir):
     balance stands in for the complaints LIKE filter (the pack has no
     supplier comments); lineitem stands in for partsupp as the
     part-supplier relation.  The NOT IN compiles to a broadcast
-    left-anti join (s_suppkey is non-null, so anti ≡ NOT IN — no
-    null-aware single-partition plan), the part predicate trio prunes
+    left-anti join (NULL outer keys are excluded EXPLICITLY on both
+    sides — an anti join keeps a NULL probe key while SQL's NOT IN
+    against a non-empty set drops it, the review-caught r9 divergence —
+    and s_suppkey itself is non-null, so no null-aware single-partition
+    plan), the part predicate trio prunes
     the dim BEFORE its broadcast, and COUNT(DISTINCT) shuffles once on
     the (brand, type, size) group key with a partial distinct below
     it."""
-    li = t(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey")
+    li = t(spark, sf_dir, "lineitem").filter(
+        F.col("l_suppkey").isNotNull()
+    ).select("l_partkey", "l_suppkey")
     p = t(spark, sf_dir, "part").filter(
         (F.col("p_brand") != "Brand#1")
         & (F.col("p_type") != "PROMO")

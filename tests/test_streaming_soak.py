@@ -414,8 +414,13 @@ def test_soak_watermark_bounded_dedup_sf01(spark, tmp_path):
     # there at 100 batches, which is the whole point.
     per_group = n_distinct // 8
     assert max(state_rows) <= 5 * per_group
-    # genuine plateau: the final batches hold at the cap, not still rising
-    assert state_rows[-1] <= max(state_rows)
+    # genuine plateau: the cap is REACHED before the final batch (state
+    # stopped growing) and the last reading still holds within one
+    # hour-group of it (neither climbing nor drained) — the old
+    # `last <= max` form was a tautology (review catch r9)
+    cap = max(state_rows)
+    assert state_rows.index(cap) < len(state_rows) - 1
+    assert state_rows[-1] >= cap - per_group
     print(
         f"SOAK watermark dedup: emitted={sum(emitted)} batches={len(emitted)} "
         f"max_state_rows={max(state_rows)} (domain={n_distinct})"
