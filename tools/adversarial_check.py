@@ -136,6 +136,10 @@ def build_tables(path: str, spark) -> None:
              dt.datetime(1995, 4, 1)),
             (17, 5, 4, 2, 1.0, 200.0, 1.0, 0.0, "R", "F",  # 100% discount
              dt.datetime(1995, 7, 1)),  # first instant PAST the q15 window
+            # NULL suppkey: SQL NOT IN drops it, a bare anti join keeps
+            # it — pins q16's explicit NULL exclusion (review catch r9)
+            (12, 4, None, 3, 2.0, 7.005, 0.0, 0.0, "N", "O",
+             dt.datetime(1995, 6, 2)),
         ],
         "l_orderkey long, l_partkey long, l_suppkey long, l_linenumber int, "
         "l_quantity double, l_extendedprice double, l_discount double, l_tax double, "
