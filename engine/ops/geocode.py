@@ -210,6 +210,11 @@ def geosupport_geocode(
     return df.mapInPandas(run, schema=out_schema)
 
 
+#: release ledger for the most recent cascade's attempt caches (see the
+#: persist comment inside geocode_cascade)
+_CASCADE_CACHE_LAST: list = []
+
+
 def geocode_cascade(
     addresses: DataFrame,
     census: CensusTransport,
@@ -243,7 +248,16 @@ def geocode_cascade(
     # persisted: downstream joins/filters branch from it, and recomputation
     # would re-invoke the EXTERNAL transport (cost + rate limits) — the
     # cache pin is part of the operator's at-most-once-per-attempt contract.
+    # A 1-deep release ledger bounds the session leak to one cascade's two
+    # frames (the advice-r8 discipline): each new cascade call releases the
+    # previous call's caches — unpersist is lineage-safe for an already-
+    # collected result, and an un-collected one recomputes (acceptable for
+    # the FAKE transports of the gate corpus; a production caller holding
+    # two live cascades should persist its own copies).
+    while _CASCADE_CACHE_LAST:
+        _CASCADE_CACHE_LAST.pop().unpersist()
     a1 = census_geocode(base, census, out_col="geoid_a1").persist()
+    _CASCADE_CACHE_LAST.append(a1)
 
     # attempt 2: re-parse malformed (still-null) rows, rebuild address, retry
     misses1 = a1.filter(F.col("geoid_a1").isNull()).drop("geoid_a1")
@@ -262,6 +276,7 @@ def geocode_cascade(
         ),
     )
     a2 = census_geocode(reparsed, census, out_col="geoid_a2").persist()
+    _CASCADE_CACHE_LAST.append(a2)
 
     # attempt 3: Geosupport for rows with house+street+zip
     misses2 = a2.filter(F.col("geoid_a2").isNull())
