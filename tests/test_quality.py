@@ -247,3 +247,38 @@ def test_mi_constant_column_yields_zero_nmi(spark):
     df = spark.createDataFrame([("a", "1"), ("a", "2")], "x string, y string")
     r = categorical_mi(df, "x", "y").collect()[0]
     assert r["h_x"] == 0.0 and r["nmi"] == 0.0
+
+
+# ---------------------------------------------------------------------------
+# money_cents — the canonical ledger idiom (queries/_base.py)
+# ---------------------------------------------------------------------------
+
+
+def test_money_cents_matches_duckdb_idiom(spark):
+    """The centralized FLOOR(x·100+0.5) idiom must match DuckDB's
+    CAST(FLOOR(x*100+0.5) AS BIGINT) bit-for-bit on hostile endings —
+    .005/.995 shortest-string traps, negatives, zero, large magnitudes
+    (the r9 ROUND-divergence ledger: FLOOR in binary space is the one
+    half-up with a single cross-engine semantic)."""
+    import duckdb
+
+    from queries._base import money_cents
+
+    vals = [
+        1.005, 0.995, 99.995, 50.75375, -1.005, -0.005, 0.0, -0.0,
+        123456789.555, 2.675, 8.875, 1e-8, -99999999.995,
+    ]
+    df = spark.createDataFrame([(v,) for v in vals], "v double")
+    got = [
+        r["c"]
+        for r in df.select(money_cents("v").alias("c")).collect()
+    ]
+    con = duckdb.connect()
+    want = [
+        con.execute(
+            "SELECT CAST(FLOOR(CAST(? AS DOUBLE) * 100 + 0.5) AS BIGINT)",
+            [v],
+        ).fetchone()[0]
+        for v in vals
+    ]
+    assert got == want
