@@ -73,40 +73,71 @@ def _ensure_bucketed_table(
     the table entry is gone while the data persists — re-issue the CREATE
     from the sidecar (review catch r9: the managed-table form lost the
     whole snapshot state across sessions; the checkpoint had already
-    marked those batches committed, so the loss was permanent)."""
-    if spark.catalog.tableExists(table):
-        return True
-    meta_p = _table_meta_path(snapshot_dir, table)
-    if not os.path.exists(meta_p):
-        return False
+    marked those batches committed, so the loss was permanent).
+
+    The catalog fast path validates, never trusts (second review r9): a
+    catalog entry whose location was wiped (user restarted from a cleared
+    snapshot_dir in a live session) is DROPPED and reported unavailable —
+    treating it as whole would skip a real batch; and an entry whose
+    sidecar is missing (crash between saveAsTable and the sidecar write)
+    gets the sidecar REGENERATED from the catalog's own bucket spec so a
+    later fresh session can still recover."""
     import json
 
+    location = os.path.join(snapshot_dir, table)
+    complete = os.path.exists(os.path.join(location, "_SUCCESS"))
+    meta_p = _table_meta_path(snapshot_dir, table)
+    if spark.catalog.tableExists(table):
+        if not complete:
+            spark.sql(f"DROP TABLE IF EXISTS `{table}`")
+            return False
+        if not os.path.exists(meta_p):
+            info = {
+                r["col_name"]: r["data_type"]
+                for r in spark.sql(f"DESCRIBE TABLE EXTENDED `{table}`")
+                .collect()
+            }
+            schema_ddl = ", ".join(
+                f"`{f.name}` {f.dataType.simpleString()}"
+                for f in spark.table(table).schema.fields
+            )
+            meta = {
+                "location": location,
+                "key": info["Bucket Columns"].strip("[]` "),
+                "buckets": int(info["Num Buckets"]),
+                "schema_ddl": schema_ddl,
+            }
+            with open(meta_p + ".tmp", "w") as fh:
+                json.dump(meta, fh)
+            os.replace(meta_p + ".tmp", meta_p)
+        return True
+    if not os.path.exists(meta_p):
+        return False
     with open(meta_p) as fh:
         meta = json.load(fh)
     if not os.path.exists(os.path.join(meta["location"], "_SUCCESS")):
         return False  # mid-write crash artifact: not a complete version
     spark.sql(
-        f"CREATE TABLE {table} ({meta['schema_ddl']}) USING PARQUET "
-        f"CLUSTERED BY ({meta['key']}) SORTED BY ({meta['key']}) "
+        f"CREATE TABLE IF NOT EXISTS `{table}` ({meta['schema_ddl']}) "
+        f"USING PARQUET "
+        f"CLUSTERED BY (`{meta['key']}`) SORTED BY (`{meta['key']}`) "
         f"INTO {meta['buckets']} BUCKETS "
         f"LOCATION '{meta['location']}'"
     )
     return True
 
 
-def read_agg_snapshot(spark: SparkSession, snapshot_dir: str) -> DataFrame | None:
-    """The current snapshot, or None before the first publish.
-
-    A ``table:`` pointer (bucketed mode) opens the catalog table — going
-    through the catalog is what hands Catalyst the bucket layout; reading
-    the same files as raw parquet would silently drop the
-    exchange-free-merge property.  A fresh session re-registers the
-    external table from its sidecar first."""
+def _read_pointer(snapshot_dir: str) -> str | None:
     ptr = os.path.join(snapshot_dir, _CURRENT)
     if not os.path.exists(ptr):
         return None
     with open(ptr) as fh:
-        version = fh.read().strip()
+        return fh.read().strip()
+
+
+def _load_version(
+    spark: SparkSession, snapshot_dir: str, version: str
+) -> DataFrame:
     if version.startswith("table:"):
         table = version[len("table:"):]
         if not _ensure_bucketed_table(spark, snapshot_dir, table):
@@ -117,6 +148,20 @@ def read_agg_snapshot(spark: SparkSession, snapshot_dir: str) -> DataFrame | Non
             )
         return spark.table(table)
     return spark.read.parquet(os.path.join(snapshot_dir, version))
+
+
+def read_agg_snapshot(spark: SparkSession, snapshot_dir: str) -> DataFrame | None:
+    """The current snapshot, or None before the first publish.
+
+    A ``table:`` pointer (bucketed mode) opens the catalog table — going
+    through the catalog is what hands Catalyst the bucket layout; reading
+    the same files as raw parquet would silently drop the
+    exchange-free-merge property.  A fresh session re-registers the
+    external table from its sidecar first."""
+    version = _read_pointer(snapshot_dir)
+    if version is None:
+        return None
+    return _load_version(spark, snapshot_dir, version)
 
 
 def _swap_pointer(snapshot_dir: str, version: str) -> None:
@@ -178,6 +223,19 @@ def streaming_agg_maintenance(
     min_cols = tuple((mins or {}).keys())
     max_cols = tuple((maxs or {}).keys())
     seen: set[int] = set()
+    ptr0 = _read_pointer(snapshot_dir)
+    if ptr0 is not None and ptr0.startswith("table:") != non_nullable_keys:
+        # switching storage modes on a live snapshot_dir would strand the
+        # other mode's versions forever (neither prune loop sees the other
+        # family) and merge from a differently-laid-out snapshot — refuse
+        # (second review r9)
+        raise ValueError(
+            f"snapshot_dir {snapshot_dir!r} already holds a "
+            f"{'bucketed' if ptr0.startswith('table:') else 'parquet'} "
+            f"snapshot ({ptr0!r}) but non_nullable_keys="
+            f"{non_nullable_keys} selects the other storage mode; use a"
+            " fresh snapshot_dir (and checkpoint) to switch modes"
+        )
     if non_nullable_keys:
         if len(key_cols) != 1:
             raise ValueError(
@@ -187,8 +245,12 @@ def streaming_agg_maintenance(
             )
         import hashlib
 
-        base_prefix = table_prefix or "".join(
-            ch if ch.isalnum() else "_" for ch in query_name
+        # sanitize table_prefix exactly like query_name — a raw prefix is
+        # interpolated into DDL/SHOW TABLES and a hyphen or quote would
+        # fail identifier parsing on the first batch (second review r9)
+        base_prefix = "".join(
+            ch if ch.isalnum() else "_"
+            for ch in (table_prefix or query_name)
         )
         # scope the catalog namespace by snapshot_dir (review catch r9):
         # a bare query_name prefix let a stale same-name table from an
@@ -255,11 +317,16 @@ def streaming_agg_maintenance(
             batch_df, key_cols,
             count_col=count_col, sums=sums, mins=mins, maxs=maxs,
         )
-        cur = read_agg_snapshot(spark, snapshot_dir)
-        prev_version = None
+        # one pointer read per batch: cur and prev_version must name the
+        # SAME version (second review r9 — the old double read was a
+        # latent TOCTOU between load and prune)
+        prev_version = _read_pointer(snapshot_dir)
+        cur = (
+            None
+            if prev_version is None
+            else _load_version(spark, snapshot_dir, prev_version)
+        )
         if cur is not None:
-            with open(os.path.join(snapshot_dir, _CURRENT)) as fh:
-                prev_version = fh.read().strip()
             merged = merge_agg_snapshot(
                 cur, bp, key_cols,
                 count_col=count_col, sum_cols=sum_cols,

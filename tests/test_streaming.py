@@ -805,3 +805,63 @@ def test_bucketed_matview_survives_catalog_loss(spark, tmp_path):
     finally:
         for r in spark.sql("SHOW TABLES LIKE 't_bmv_loss_*'").collect():
             spark.sql(f"DROP TABLE IF EXISTS {r['tableName']}")
+
+
+def test_bucketed_matview_guards(spark, tmp_path):
+    """Second review r9: (a) switching storage modes on a live
+    snapshot_dir refuses instead of stranding the other family's
+    versions; (b) a dangling catalog entry (location wiped) is dropped,
+    not trusted, so replay recomputes the batch; (c) a hyphenated
+    table_prefix is sanitized into a valid identifier."""
+    import pytest
+
+    from engine.streaming.matview import (
+        read_agg_snapshot,
+        streaming_agg_maintenance,
+    )
+
+    src = str(tmp_path / "g_src")
+    wave = spark.createDataFrame(
+        [(f"k{i % 4}", i) for i in range(20)], "k string, v int"
+    )
+    wave.coalesce(1).write.mode("append").parquet(src)
+
+    def stream():
+        return spark.readStream.schema("k string, v int").format(
+            "parquet"
+        ).load(src)
+
+    # (c) hyphenated prefix sanitizes and runs
+    snap1, ck1 = str(tmp_path / "g_snap1"), str(tmp_path / "g_ck1")
+    streaming_agg_maintenance(
+        stream(), ["k"], ck1, snap1, sums={"s": "v"},
+        non_nullable_keys=True, table_prefix="my-mv guard",
+    )
+    got = {r["k"]: r["s"] for r in read_agg_snapshot(spark, snap1).collect()}
+    assert len(got) == 4
+
+    # (a) mode switch on the same dir refuses
+    with pytest.raises(ValueError, match="other storage mode"):
+        streaming_agg_maintenance(
+            stream(), ["k"], str(tmp_path / "g_ck2"), snap1,
+            sums={"s": "v"}, non_nullable_keys=False,
+        )
+
+    # (b) wipe the data dirs but leave the catalog entries dangling: the
+    # fast path must DROP them and report unavailable; a fresh run over a
+    # CLEAN dir then recomputes from scratch rather than repairing onto
+    # the corpse
+    import shutil
+
+    tables = [
+        r["tableName"]
+        for r in spark.sql("SHOW TABLES LIKE 'my_mv_guard_*'").collect()
+    ]
+    assert tables
+    shutil.rmtree(snap1)
+    from engine.streaming.matview import _ensure_bucketed_table
+
+    for name in tables:
+        assert not _ensure_bucketed_table(spark, snap1, name)
+        assert not spark.catalog.tableExists(name)
+    assert read_agg_snapshot(spark, snap1) is None
