@@ -337,7 +337,8 @@ _FRACTION_RE = re.compile(r"^(\d+/\d+)\s+")
 #: last-type-suffix split has no type word to anchor on and swallowed the
 #: trailing city into the street (r9)
 _HIGHWAY_RE = re.compile(
-    r"^((?:US\s+|STATE\s+|COUNTY\s+)?(?:ROUTE|RTE|RT|HIGHWAY|HWY|SR|CR)"
+    r"^((?:(?:US\s+|STATE\s+|COUNTY\s+)?(?:ROUTE|RTE|RT|HIGHWAY|HWY|SR|CR)"
+    r"|(?:COUNTY|CO)\.?\s+R(?:OA)?D)"  # 'COUNTY RD 12' (second review r9)
     r"\.?\s+\d+[A-Z]?)\b\.?\s*",
     re.I,
 )
@@ -364,6 +365,20 @@ _KNOWN_CITY_SUFFIXES = tuple(
         reverse=True,
     )
 )
+
+
+def _ny_corroborated(out: dict) -> bool:
+    """Should the NY-specific city-suffix carve run?  A parsed NY state
+    settles it; with NO state token, a NY-range zip (100xx-149xx) is the
+    corroboration (second review r9 — '1211 AVENUE OF THE AMERICAS NEW
+    YORK 10036' has a zip but no state and must still carve); an
+    explicit non-NY state vetoes."""
+    if out.get("StateName") == "NY":
+        return True
+    if "StateName" not in out:
+        z = out.get("ZipCode", "")
+        return len(z) >= 3 and "100" <= z[:3] <= "149"
+    return False
 
 
 def _carve_known_city(rest: str, ny_ok: bool) -> tuple[str, str | None]:
@@ -463,7 +478,7 @@ def _fallback_tagger(addr: str):
             # such corroboration the whole remainder stays the cross
             # street ('MAIN ST & SAINT MARKS')
             cross, place = _carve_known_city(
-                rest2, out.get("StateName") == "NY"
+                rest2, _ny_corroborated(out)
             )
             if place is not None:
                 out["SecondStreetName"] = cross
@@ -481,7 +496,7 @@ def _fallback_tagger(addr: str):
         unit = m.group(0).strip()
         post = s[m.end():].strip(" ,")
         s = s[: m.start()].strip()
-    ny = out.get("StateName") == "NY"
+    ny = _ny_corroborated(out)
     hm = _HIGHWAY_RE.match(s)
     if hm:
         # 'ROUTE 9W POUGHKEEPSIE': the street is the highway designation;

@@ -253,7 +253,11 @@ def geocode_cascade(
     # previous call's caches — unpersist is lineage-safe for an already-
     # collected result, and an un-collected one recomputes (acceptable for
     # the FAKE transports of the gate corpus; a production caller holding
-    # two live cascades should persist its own copies).
+    # two live cascades should persist AND materialize its own copies
+    # before starting the next cascade).  NOT thread-safe: concurrent
+    # cascades in one session would release each other's in-flight
+    # attempt caches and re-invoke the external transport — serialize
+    # cascade calls or fork sessions (second review r9).
     while _CASCADE_CACHE_LAST:
         _CASCADE_CACHE_LAST.pop().unpersist()
     a1 = census_geocode(base, census, out_col="geoid_a1").persist()

@@ -70,11 +70,39 @@ def write_bucketed(
     """
     spark = df.sparkSession
     if mode == "overwrite" and path is not None:
-        # external mode: DROP leaves the files; clear the location too
+        # external mode: DROP leaves the files; clear the location too.
+        # Local paths only — shutil cannot clear remote schemes, and a
+        # silently-skipped cleanup would hit the LOCATION_ALREADY_EXISTS
+        # refusal on the next overwrite (second review r9)
+        import os as _os
         import shutil
+        from urllib.parse import urlparse
 
+        u = urlparse(path)
+        if u.scheme not in ("", "file"):
+            raise ValueError(
+                f"write_bucketed(path={path!r}): external-mode overwrite"
+                " cleanup supports local/file: paths only"
+            )
+        local = u.path or path
+        # refuse to clear anything that looks like a snapshot ROOT or a
+        # database dir rather than one table's leaf location — the same
+        # can't-take-out-the-world guard the managed branch applies
+        if _os.path.isdir(local):
+            entries = _os.listdir(local)
+            if any(
+                e == "_CURRENT"
+                or e.endswith(".db")
+                or e.endswith(".tablemeta.json")
+                for e in entries
+            ):
+                raise ValueError(
+                    f"write_bucketed(path={local!r}): refusing to clear a"
+                    " directory that looks like a snapshot root or"
+                    " database dir, not a single table location"
+                )
         spark.sql(f"DROP TABLE IF EXISTS {table}")
-        shutil.rmtree(path, ignore_errors=True)
+        shutil.rmtree(local, ignore_errors=True)
     elif mode == "overwrite":
         # DROP removes a managed table's files when the catalog knows it;
         # the rmtree handles the orphan case (location without an entry).

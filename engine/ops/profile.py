@@ -265,7 +265,13 @@ def winsorized_stats(
     v = F.col(value_col)
     scale = float(10 ** bound_round)
     mscale = float(10 ** mean_round)
-    base = df.filter(g.isNotNull() & v.isNotNull()).withColumn(
+    # NaN is excluded like NULL (second review r9): Spark's
+    # floor(NaN)→long silently yields 0, which would inject a fake 0.0
+    # reading into the robust statistic (and the oracle's CAST raises on
+    # NaN) — an undefined reading carries no information either way
+    base = df.filter(
+        g.isNotNull() & v.isNotNull() & ~F.isnan(v.cast("double"))
+    ).withColumn(
         "__vi",
         F.floor(v.cast("double") * F.lit(scale) + F.lit(0.5)).cast("long"),
     )
@@ -290,8 +296,14 @@ def winsorized_stats(
             "n_clipped_hi"
         ),
         (
+            # DECIMAL(38,0) accumulation: Spark's non-ANSI sum(long) wraps
+            # past 2^63 while DuckDB sums BIGINT into HUGEINT — the exact
+            # 38-digit sum matches HUGEINT's range, and casting the exact
+            # integer to double is the same rounding in both engines
+            # (second review r9)
             F.floor(
-                F.sum(clipped).cast("double") * F.lit(mscale)
+                F.sum(clipped.cast("decimal(38,0)")).cast("double")
+                * F.lit(mscale)
                 / (F.count(F.lit(1)) * F.lit(scale))
                 + F.lit(0.5)
             ) / F.lit(mscale)

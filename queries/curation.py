@@ -1859,7 +1859,8 @@ def negative_sample_topk_q(spark, sf_dir):
              CAST(FLOOR(CAST(l_extendedprice AS DOUBLE) * 10000.0 + 0.5)
                   AS BIGINT) AS vi
       FROM lineitem
-      WHERE l_returnflag IS NOT NULL AND l_extendedprice IS NOT NULL),
+      WHERE l_returnflag IS NOT NULL AND l_extendedprice IS NOT NULL
+        AND NOT isnan(CAST(l_extendedprice AS DOUBLE))),
     bounds AS (
       SELECT g,
              CAST(FLOOR(quantile_cont(vi, 0.05) + 0.5) AS BIGINT) AS lo_i,

@@ -657,6 +657,14 @@ def test_fallback_highway_and_pretype_streets():
     parsed5, _ = _fallback_tagger("AVENUE OF THE AMERICAS")
     assert parsed5["street"] == "AVENUE OF THE AMERICAS"
     assert "PlaceName" not in parsed5
+    # a NY-range zip with NO state token still corroborates the carve
+    parsed6, _ = _fallback_tagger("1211 AVENUE OF THE AMERICAS NEW YORK 10036")
+    assert parsed6["street"] == "AVENUE OF THE AMERICAS"
+    assert parsed6["PlaceName"] == "NEW YORK"
+    # county-road spelling is a highway designation, not a RD type split
+    parsed7, _ = _fallback_tagger("123 COUNTY RD 12 GOSHEN NY")
+    assert parsed7["street"] == "COUNTY RD 12"
+    assert parsed7["PlaceName"] == "GOSHEN"
 
     out = _reformat_fallback("ROUTE 9W POUGHKEEPSIE NY 12601")
     assert out["street_name"] == "ROUTE 9W"
