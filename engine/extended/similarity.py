@@ -82,7 +82,13 @@ def with_signature(
     out_col: str = "lsh_sig",
 ) -> DataFrame:
     """Attach the random-hyperplane sign signature (deterministic planes —
-    same family as :func:`engine.extended.dedup.embedding_near_dup`)."""
+    same family as :func:`engine.extended.dedup.embedding_near_dup`).
+
+    A vector whose length differs from ``dim`` gets a NULL signature
+    (review catch r9): ``zip_with`` pads the shorter side with NULLs, so
+    a mismatched row would silently collapse every plane test to 0 — a
+    signature that MATCHES other degenerate rows instead of standing out.
+    NULL signatures fall out of every downstream probe filter."""
     hp = _unit_hyperplanes(dim, planes)
     sig = F.aggregate(
         F.array(
@@ -94,7 +100,9 @@ def with_signature(
         F.lit(0).cast("long"),
         lambda acc, v: acc.bitwiseOR(v.cast("long")),
     )
-    return vectors.withColumn(out_col, sig)
+    return vectors.withColumn(
+        out_col, F.when(F.size(F.col(vec_col)) == dim, sig)
+    )
 
 
 def lsh_topk(
@@ -117,6 +125,13 @@ def lsh_topk(
     the table partitioned/bucketed by signature prefix, whole partitions
     prune away.  Recall rises with ``max_probe_hamming`` (→ planes = scan).
     """
+    if len(query_vec) != dim:
+        # the Python zip below TRUNCATES while the Spark fold NULL-pads —
+        # a silent dim mismatch produced a real query signature probed
+        # against all-NULL row signatures (review catch r9)
+        raise ValueError(
+            f"lsh_topk: len(query_vec)={len(query_vec)} != dim={dim}"
+        )
     hp = _unit_hyperplanes(dim, planes)
     qsig = 0
     for p in range(planes):
@@ -293,6 +308,14 @@ def ivf_build_seeded(
     cents = [[float(v) for v in r["__q"]] for r in seed_rows]
     if not cents:
         raise ValueError("ivf_build_seeded: no non-null vectors to cluster")
+    if any(len(c) != dim for c in cents):
+        # Lloyd updates produce dim-component centroids; a longer vector
+        # would NULL-pad round-2 distances (every row lands in list 0, a
+        # silent full-scan index), a shorter one crashes the sums loop
+        # (review catch r9)
+        raise ValueError(
+            f"ivf_build_seeded: vector length {len(cents[0])} != dim={dim}"
+        )
     # fewer vectors than n_lists → operate with what exists (the oracle's
     # seeds-LIMIT degrades the same way; indexing past cents crashed)
     n_lists = len(cents)
@@ -309,6 +332,12 @@ def ivf_build_seeded(
         new = {r["__cid"]: [r[f"s{i}"] / r["cnt"] for i in range(dim)] for r in sums}
         cents = [new.get(j, cents[j]) for j in range(n_lists)]
     assigned = pts.withColumn("ivf_list", _seeded_argmin(cents)).drop("__q")
+    # the persist served the iters+1 driver collections above; release it
+    # here (the documented unpersist-the-returned-frame contract was a
+    # no-op — unpersist only matches the exact persisted plan, review
+    # catch r9).  The returned frame lazily redoes the quantize projection
+    # on first use: one cheap codegen pass, no driver round-trips.
+    pts.unpersist()
     return assigned, cents
 
 
@@ -513,13 +542,23 @@ def pq_encode(
     representation; at deployment scale this column replaces the raw
     vectors in the index and the float column moves to cold storage).
 
-    Pure per-row expressions, zero shuffle; NULL vectors get NULL codes.
+    Pure per-row expressions, zero shuffle; NULL vectors — and vectors
+    whose length differs from ``m·dsub`` (review catch r9: a short vector
+    NULL-padded every subspace distance and silently took code 0,
+    fabricating ADC distances) — get NULL codes.
     """
     m = len(codebooks)
     ksub = len(codebooks[0])
     dsub = len(codebooks[0][0])
     qv = quantized_vec(vec_col, quant)
-    out = df.withColumn("__pq_q", F.when(F.col(vec_col).isNotNull(), qv))
+    out = df.withColumn(
+        "__pq_q",
+        F.when(
+            F.col(vec_col).isNotNull()
+            & (F.size(F.col(vec_col)) == m * dsub),
+            qv,
+        ),
+    )
     codes = F.array(
         *[
             _pq_argmin(
@@ -683,10 +722,13 @@ def lsh_knn_join(
     bands: int = 4,
     bucket_cap: int | None = None,
     round_to: int = 4,
-    exclude_self: bool = False,
+    exclude_self: bool = True,
 ) -> DataFrame:
     """Approximate kNN join for query sides too big to broadcast — the
-    scale path :func:`knn_join`'s docstring points at.
+    scale path :func:`knn_join`'s docstring points at.  ``exclude_self``
+    defaults True to MATCH :func:`knn_join` (review catch r9: opposite
+    defaults meant the documented broadcast→LSH migration silently
+    reintroduced rank-1 self-pairs).
 
     Both sides get band keys from the SAME deterministic hyperplanes
     (sign-LSH, ``planes`` bits split into ``bands`` keys); a (query,
@@ -780,13 +822,18 @@ def quantize_int8(
         + F.lit(0.0)
     )
     scaled = df.withColumn(scale_col, amax / F.lit(127.0))
+    # TINYINT codes (review catch r9): values are guaranteed in
+    # [-127, 127], and an int32 array made the advertised 4x in-memory
+    # reduction parquet-only — byte realizes it in executor memory and
+    # shuffles too
     codes = F.when(
         F.col(scale_col) > 0,
         F.transform(
             vec_col,
-            lambda x: F.round(x.cast("double") / F.col(scale_col)).cast("int"),
+            lambda x: F.round(x.cast("double") / F.col(scale_col))
+            .cast("byte"),
         ),
-    ).otherwise(F.transform(vec_col, lambda x: F.lit(0)))
+    ).otherwise(F.transform(vec_col, lambda x: F.lit(0).cast("byte")))
     return scaled.withColumn(code_col, codes)
 
 
@@ -873,8 +920,6 @@ def jl_project(
     """
     if out_dim < 1 or out_dim > dim:
         raise ValueError(f"out_dim must be in [1, {dim}], got {out_dim}")
-    from engine.extended.dedup import _dot, _unit_hyperplanes
-
     planes = _unit_hyperplanes(dim, out_dim)
     scale = (3.0 / out_dim) ** 0.5
     comps = []
@@ -979,6 +1024,13 @@ def pca_whiten(
     matrix returns to the plan as broadcast literals — the projection is a
     pure JVM expression, no Python in the row path.  Rows the covariance
     pass excluded (short/NULL-component vectors) get a NULL ``out_col``.
+
+    The projection is MEAN-SUBTRACTED — ``W·(x − μ)`` (review catch r9:
+    applying W to raw x left the constant ``W·μ`` term in every output, so
+    the shared-direction dominance whitening exists to remove survived
+    whenever the block had a common offset).  μ comes from the same
+    eligible rows as the covariance; a block with NO eligible rows raises
+    (the degenerate input previously crashed with an opaque TypeError).
     """
     import numpy as np
 
@@ -987,24 +1039,35 @@ def pca_whiten(
     ).collect()
     k = len(dims)
     pos = {d: a for a, d in enumerate(dims)}
+    if not cov_rows or any(r["cov_micro"] is None for r in cov_rows):
+        raise ValueError(
+            "pca_whiten: no eligible vectors in the dimension block"
+            " (every row NULL, short, or NULL-component)"
+        )
     C = np.zeros((k, k))
     for r in cov_rows:
         a, b = pos[r["i"]], pos[r["j"]]
         # cov_micro is in units of quant² (review catch: a hard-coded 1e6
         # here mis-scaled the eigenbasis for any quant != 1000)
         C[a, b] = C[b, a] = r["cov_micro"] / float(quant * quant)
-    w, V = np.linalg.eigh(C)
-    W = V @ np.diag(1.0 / np.sqrt(np.maximum(w, 0.0) + eps)) @ V.T  # ZCA
     v = F.col(vec_col)
     # the SAME eligibility predicate the covariance pass used (shared
     # helper — review catch: two hand-synced copies would let the NULL-out
     # contract drift)
     ok = _block_ok(v, dims)
+    mu_row = df.filter(ok).agg(
+        *[F.avg(v[d].cast("double")).alias(f"m{a}") for a, d in enumerate(dims)]
+    ).collect()[0]
+    mu = [float(mu_row[f"m{a}"]) for a in range(k)]
+    w, V = np.linalg.eigh(C)
+    W = V @ np.diag(1.0 / np.sqrt(np.maximum(w, 0.0) + eps)) @ V.T  # ZCA
+    shift = [float(sum(W[a, b] * mu[b] for b in range(k))) for a in range(k)]
     comps = [
         sum(
             (v[dims[b]].cast("double") * float(W[a, b]) for b in range(1, k)),
             v[dims[0]].cast("double") * float(W[a, 0]),
         )
+        - F.lit(shift[a])
         for a in range(k)
     ]
     return df.withColumn(

@@ -118,6 +118,9 @@ def test_pca_whiten_decorrelates(spark):
     W = np.array([r["w"] for r in out if r["w"] is not None])
     C = np.cov(W.T, bias=True)
     assert np.allclose(C, np.eye(3), atol=0.08), C
+    # r9: the projection is mean-subtracted — without W·(x−μ) the constant
+    # W·μ term survives in every output (review catch); whitened mean ≈ 0
+    assert np.allclose(W.mean(axis=0), 0.0, atol=0.05), W.mean(axis=0)
     # and the covariance op itself: off-diagonal (0,1) strongly positive
     cov = {
         (r["i"], r["j"]): r["cov_micro"]

@@ -381,3 +381,47 @@ def test_pq_encode_and_adc_are_shuffle_free(spark):
     )
     assert "TakeOrderedAndProject" in plan
     assert "Exchange" not in plan
+
+
+def test_ann_degenerate_input_guards(spark):
+    """Review catches r9: dim mismatches must fail loudly or NULL out, not
+    silently collapse to 0-signatures / list-0 assignments / code-0 PQ."""
+    import pytest
+
+    from engine.extended.similarity import (
+        ivf_build_seeded,
+        lsh_topk,
+        pq_encode,
+        with_signature,
+    )
+
+    df = spark.createDataFrame(
+        [(0, [1.0] * 64), (1, [0.5] * 64), (2, [1.0] * 16)],
+        "vec_id long, embedding array<float>",
+    )
+    # with_signature: wrong-length vector -> NULL signature, not 0
+    sigs = {
+        r["vec_id"]: r["lsh_sig"]
+        for r in with_signature(df, dim=64, planes=16).collect()
+    }
+    assert sigs[0] is not None and sigs[1] is not None
+    assert sigs[2] is None
+
+    # lsh_topk: query length must match dim
+    with pytest.raises(ValueError, match="query_vec"):
+        lsh_topk(df, [1.0] * 16, k=2, dim=64)
+
+    # ivf_build_seeded: vector length must match dim
+    with pytest.raises(ValueError, match="!= dim"):
+        ivf_build_seeded(
+            df.filter(F.col("vec_id") < 2), n_lists=2, dim=16, iters=1
+        )
+
+    # pq_encode: wrong-length vector -> NULL codes (never fabricated 0s)
+    books = [[[0.0] * 8, [1000000.0] * 8] for _ in range(8)]  # m=8, dsub=8
+    codes = {
+        r["vec_id"]: r["pq_code"]
+        for r in pq_encode(df, books).collect()
+    }
+    assert codes[0] is not None and codes[1] is not None
+    assert codes[2] is None
