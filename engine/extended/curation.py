@@ -60,13 +60,17 @@ __all__ = [
 #: (name, regex, replacement) applied IN ORDER.  Patterns are written in the
 #: common subset of Java regex and RE2 (no lookaround, no \b) so the DuckDB
 #: oracle can run the identical expressions.  Email runs first so an address
-#: host is consumed before the IP rule sees it; replacement tokens contain no
-#: digits, so later rules can never match inside an earlier substitution.
+#: host is consumed before the IP rule sees it; SSN before phone so 3-2-4
+#: hyphen groups stay SSN; phone BEFORE ip (review catch r9: the ip rule
+#: half-ate dot-separated phones with a country-code prefix —
+#: '1.555.123.4567' became '<IP>7', leaking a digit); replacement tokens
+#: contain no digits, so later rules can never match inside an earlier
+#: substitution.
 PII_PATTERNS: list[tuple[str, str, str]] = [
     ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
-    ("ip", r"[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}", "<IP>"),
     ("ssn", r"[0-9]{3}-[0-9]{2}-[0-9]{4}", "<SSN>"),
     ("phone", r"\(?[0-9]{3}\)?[-. ][0-9]{3}[-. ][0-9]{4}", "<PHONE>"),
+    ("ip", r"[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}", "<IP>"),
 ]
 
 
@@ -297,11 +301,20 @@ def chunk_tokens(
     the RAG / long-context chunking layout; stride == size ⇒ disjoint).
 
     Returns (id, chunk_id, n_tokens, chunk_text).  Zero-token documents are
-    dropped (no chunk to emit).  Per-row compute only: tokenize ONCE behind
+    dropped (no chunk to emit), and so are tail windows FULLY CONTAINED in
+    their predecessor (review catch r9: with stride < size the last
+    ceil(size/stride)−1 starts per doc emitted strict suffixes of the
+    previous chunk — duplicate content in every RAG index built from
+    this).  A start survives iff it is 0 or its predecessor did not
+    already reach the document end (``start − stride + size < n``).
+    Per-row compute only: tokenize ONCE behind
     an alias boundary (HOF lambdas get no CSE — see engine.extended.text),
     then explode the start offsets and slice.  No shuffle at all — the
     operator is a pure flatMap, so it pipelines into whatever follows.
     """
+    if size <= 0 or stride <= 0:
+        raise ValueError(f"chunk_tokens: need size > 0 and stride > 0, got"
+                         f" size={size}, stride={stride}")
     toks = df.select(
         F.col(id_col),
         tokens(text_col).alias("__toks"),
@@ -309,7 +322,12 @@ def chunk_tokens(
     starts = F.sequence(F.lit(0), F.col("__n") - 1, F.lit(int(stride)))
     return (
         toks.filter(F.col("__n") > 0)
-        .select(F.col(id_col), F.col("__toks"), F.explode(starts).alias("__start"))
+        .select(F.col(id_col), F.col("__toks"), F.col("__n"),
+                F.explode(starts).alias("__start"))
+        .filter(
+            (F.col("__start") == 0)
+            | (F.col("__start") - stride + size < F.col("__n"))
+        )
         .select(
             id_col,
             (F.col("__start") / stride).cast("int").alias("chunk_id"),
@@ -392,7 +410,11 @@ def bigram_lm_scores(
     ``P(w2 | w1) = c(w1 w2) / c(w1·)`` with ``c(w1·)`` = bigrams starting
     with w1 (so P sums to 1 per history, and self-scoring needs no
     smoothing: every scored bigram exists in the model).  Returns
-    (doc_id, n_bigrams, avg_logp); boilerplate-heavy docs score high,
+    (doc_id, n_bigrams, avg_logp) — documents with FEWER THAN TWO tokens
+    produce no bigrams and are ABSENT from the output (review note r9:
+    composed gates that inner-join on this frame drop such docs without
+    an explicit quality decision; left-join and decide if they must
+    survive).  Boilerplate-heavy docs score high,
     unusual token sequences score low.
 
     Scale shape: bigram counts via one explode + groupBy with map-side
@@ -438,8 +460,10 @@ def bigram_lm_scores(
 # ---------------------------------------------------------------------------
 
 #: Java-regex ∩ RE2 subset (no lookaround, no \b) — the oracle runs the
-#: identical pattern.
-URL_RE = r"https?://[A-Za-z0-9.-]+(?:/[^\s]*)?"
+#: identical pattern.  Scheme matching is case-insensitive (review catch
+#: r9: 'HTTP://...' was invisible to extraction, stats, and the
+#: blocklist even though canonical_url handles uppercase schemes).
+URL_RE = r"(?i:https?)://[A-Za-z0-9.-]+(?:/[^\s]*)?"
 
 
 def extract_urls(col: Column | str) -> Column:
@@ -451,7 +475,7 @@ def extract_urls(col: Column | str) -> Column:
 def url_domain(col: Column | str) -> Column:
     """Host part of one URL string (empty string on non-URL input)."""
     c = F.col(col) if isinstance(col, str) else col
-    return F.regexp_extract(c, "https?://([A-Za-z0-9.-]+)", 1)
+    return F.regexp_extract(c, "(?i:https?)://([A-Za-z0-9.-]+)", 1)
 
 
 #: cp1252-mojibake repair table: the UTF-8 byte sequences of the most
@@ -551,7 +575,12 @@ def canonical_url(col: Column | str) -> Column:
         .otherwise(host)
     )
     rest = F.regexp_extract(u, r"^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([\s\S]*)", 1)
-    rest = F.regexp_replace(rest, r"/+\z", "")
+    # trailing-slash trim applies to the PATH only (review catch r9: the
+    # old whole-rest trim stripped slashes from the end of QUERY VALUES —
+    # '?next=/' and '?next=' collapsed to one canonical key)
+    path = F.regexp_extract(rest, r"^([^?]*)", 1)
+    q2 = F.regexp_extract(rest, r"^[^?]*([\s\S]*)", 1)
+    rest = F.concat(F.regexp_replace(path, r"/+\z", ""), q2)
     return F.when(scheme != "", F.concat(scheme, F.lit("://"), host, rest))
 
 
@@ -583,12 +612,23 @@ def domain_blocklist_filter(
     """
     if id_col not in df.columns:
         raise ValueError(f"id_col {id_col!r} not in {df.columns}")
+
+    def _canon_dom(c):
+        # DNS names are case-insensitive and 'www.' is cosmetic — without
+        # this normalization on BOTH sides, 'WWW.BadSite.com' trivially
+        # bypassed the blocklist (review catch r9; the same rules
+        # canonical_url already applies to dedup keys)
+        return F.regexp_replace(F.lower(c), r"^www\.", "")
+
     doc_domains = df.select(
         id_col, F.explode_outer(extract_urls(text_col)).alias("__url")
-    ).withColumn("__dom", url_domain(F.col("__url")))
+    ).withColumn("__dom", _canon_dom(url_domain(F.col("__url"))))
     flagged = (
         doc_domains.join(
-            F.broadcast(blocked.select(F.col(domain_col).alias("__dom"))), "__dom"
+            F.broadcast(
+                blocked.select(_canon_dom(F.col(domain_col)).alias("__dom"))
+            ),
+            "__dom",
         )
         .select(id_col)
         .distinct()
@@ -692,10 +732,13 @@ def hashed_quality_score(
     n = F.size(toks)
     raw = F.when(n > 0, wsum.cast("double") / (F.lit(98.0) * n)).otherwise(F.lit(0.0))
     score = F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-F.lit(4.0) * raw)), 4)
+    # a token-free document carries NO quality evidence: its sigmoid(0)
+    # score of exactly 0.5 classified every empty/non-tokenizable doc as
+    # QUALITY under `>= 0.5` (review catch r9) — label it 0 explicitly
     return {
         "weight_sum": wsum,
         "quality_score": score,
-        "quality_label": (score >= 0.5).cast("int"),
+        "quality_label": ((score >= 0.5) & (n > 0)).cast("int"),
     }
 
 
@@ -955,7 +998,7 @@ def code_detect_exprs(col: str) -> dict[str, Column]:
     # DuckDB-verified) — the negated literal set is identical in both
     indented = F.size(
         F.regexp_extract_all(
-            c, F.lit("(?:^|\n)(?:    |\t)[^ \t\n\x0B\f\r]"), F.lit(0)
+            c, F.lit("(?:^|\n)(?:    |\t)[ \t]*[^ \t\n\x0B\f\r]"), F.lit(0)
         )
     ).cast("long")
     braces = (

@@ -22,9 +22,9 @@ from queries.sql_surface import cross_source_overlap  # noqa: F401
     SELECT doc_id,
            REGEXP_REPLACE(REGEXP_REPLACE(REGEXP_REPLACE(REGEXP_REPLACE(text,
              '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
-             '[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}', '<IP>', 'g'),
              '[0-9]{3}-[0-9]{2}-[0-9]{4}', '<SSN>', 'g'),
-             '\\(?[0-9]{3}\\)?[-. ][0-9]{3}[-. ][0-9]{4}', '<PHONE>', 'g')
+             '\\(?[0-9]{3}\\)?[-. ][0-9]{3}[-. ][0-9]{4}', '<PHONE>', 'g'),
+             '[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}', '<IP>', 'g')
              AS redacted,
            LENGTH(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')) AS n_email,
            LENGTH(regexp_extract_all(text, '[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}')) AS n_ip,
@@ -1943,7 +1943,7 @@ def script_profile_q(spark, sf_dir):
              length(text) - length(regexp_replace(text, '\\n', '', 'g')) + 1
                AS n_lines,
              len(regexp_extract_all(text,
-                 '(?:^|\\n)(?:    |\\t)[^ \\t\\n\\x0B\\f\\r]'))
+                 '(?:^|\\n)(?:    |\\t)[ \\t]*[^ \\t\\n\\x0B\\f\\r]'))
                AS indented,
              length(text) - length(regexp_replace(text, '[{};=<>]', '', 'g'))
                AS braces,

@@ -675,9 +675,9 @@ def _url_text2_expr():
     f"""
     WITH t2 AS ({_URL_T2_SQL}),
     u AS (SELECT doc_id,
-          UNNEST(regexp_extract_all(tx, 'https?://[A-Za-z0-9.-]+(?:/[^\\s]*)?')) AS url
+          UNNEST(regexp_extract_all(tx, '(?i:https?)://[A-Za-z0-9.-]+(?:/[^\\s]*)?')) AS url
           FROM t2)
-    SELECT regexp_extract(url, 'https?://([A-Za-z0-9.-]+)', 1) AS domain,
+    SELECT regexp_extract(url, '(?i:https?)://([A-Za-z0-9.-]+)', 1) AS domain,
            COUNT(*) AS n_urls, COUNT(DISTINCT doc_id) AS n_docs
     FROM u GROUP BY 1
     """,
@@ -704,11 +704,11 @@ def url_domain_stats(spark, sf_dir):
     f"""
     WITH t2 AS ({_URL_T2_SQL}),
     u AS (SELECT doc_id,
-          UNNEST(regexp_extract_all(tx, 'https?://[A-Za-z0-9.-]+(?:/[^\\s]*)?')) AS url
+          UNNEST(regexp_extract_all(tx, '(?i:https?)://[A-Za-z0-9.-]+(?:/[^\\s]*)?')) AS url
           FROM t2),
     flagged AS (
       SELECT DISTINCT doc_id FROM u
-      WHERE regexp_extract(url, 'https?://([A-Za-z0-9.-]+)', 1) = 'blocked.example.net')
+      WHERE regexp_replace(LOWER(regexp_extract(url, '(?i:https?)://([A-Za-z0-9.-]+)', 1)), '^www\\.', '') = 'blocked.example.net')
     SELECT t2.source, COUNT(*) AS n_kept FROM t2
     WHERE t2.doc_id NOT IN (SELECT doc_id FROM flagged)
     GROUP BY t2.source
@@ -784,11 +784,11 @@ def temperature_mixture_q(spark, sf_dir):
     f"""
     WITH t2 AS ({_URL_T2_SQL}),
     u AS (SELECT doc_id,
-          UNNEST(regexp_extract_all(tx, 'https?://[A-Za-z0-9.-]+(?:/[^\\s]*)?')) AS url
+          UNNEST(regexp_extract_all(tx, '(?i:https?)://[A-Za-z0-9.-]+(?:/[^\\s]*)?')) AS url
           FROM t2),
     flagged AS (
       SELECT DISTINCT doc_id FROM u
-      WHERE regexp_extract(url, 'https?://([A-Za-z0-9.-]+)', 1) = 'blocked.example.net'),
+      WHERE regexp_replace(LOWER(regexp_extract(url, '(?i:https?)://([A-Za-z0-9.-]+)', 1)), '^www\\.', '') = 'blocked.example.net'),
     kept AS (
       SELECT doc_id, tx, source FROM t2
       WHERE doc_id NOT IN (SELECT doc_id FROM flagged)),

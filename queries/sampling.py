@@ -208,6 +208,7 @@ def dsir_select_q(spark, sf_dir):
            len(list_slice(toks, s + 1, s + 32)) AS n_tokens,
            array_to_string(list_slice(toks, s + 1, s + 32), ' ') AS chunk_text
     FROM st
+    WHERE s = 0 OR s - 16 + 32 < len(toks)
     """,
 )
 def chunk_tokens_q(spark, sf_dir):
@@ -744,8 +745,12 @@ def mojibake_repair(spark, sf_dir):
              WHEN 'http' THEN regexp_replace(hostn, ':80\\z', '')
              WHEN 'https' THEN regexp_replace(hostn, ':443\\z', '')
              ELSE hostn END
-          || regexp_replace(regexp_extract(u3, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([\\s\\S]*)', 1),
-                            '/+\\z', '')
+          || regexp_replace(regexp_extract(regexp_extract(u3,
+                 '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([\\s\\S]*)', 1),
+                 '^([^?]*)', 1), '/+\\z', '')
+          || regexp_extract(regexp_extract(u3,
+                 '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([\\s\\S]*)', 1),
+                 '^[^?]*([\\s\\S]*)', 1)
         END AS canon_url
       FROM (
         SELECT doc_id, url, u3,
@@ -1098,7 +1103,7 @@ def recipe_pipeline_q(spark, sf_dir):
              AS quality_score,
            CAST(ROUND(1.0 / (1.0 + EXP(-4.0 *
              CASE WHEN n > 0 THEN weight_sum / (98.0 * n) ELSE 0.0 END)), 4)
-             >= 0.5 AS INT) AS quality_label
+             >= 0.5 AND n > 0 AS INT) AS quality_label
     FROM ws
     """,
 )

@@ -385,3 +385,33 @@ def test_vertical_tab_is_whitespace_in_both_counting_paths(spark):
         [txt, txt],
     ).fetchone()[0]
     assert duck == 7                      # the oracle class agrees
+
+
+def test_pii_dotted_phone_with_country_prefix(spark):
+    """Review catch r9: the ip rule ran before phone and half-ate
+    '1.555.123.4567' as an IP, leaving '<IP>7' with a leaked digit."""
+    from engine.extended.curation import redact_pii
+
+    df = spark.createDataFrame([("call 1.555.123.4567",)], "text string")
+    out = df.select(redact_pii("text").alias("r")).collect()[0]["r"]
+    assert "<PHONE>" in out
+    assert "7" not in out.replace("<PHONE>", ""), out
+    # plain IPv4s still redact as IPs
+    df2 = spark.createDataFrame([("host 10.0.0.1 up",)], "text string")
+    out2 = df2.select(redact_pii("text").alias("r")).collect()[0]["r"]
+    assert out2 == "host <IP> up"
+
+
+def test_code_detect_counts_deep_indents(spark):
+    """Review catch r9: the indent regex required a non-space right after
+    the 4-space/tab prefix, so depth>=2 lines (8 spaces, 2 tabs) never
+    counted and class/method bodies classified as prose."""
+    from engine.extended.curation import code_detect_exprs
+
+    body = "def f():\n    if a:\n        return x\n\t\tdeep()\n"
+    df = spark.createDataFrame([(0, body * 4)], "doc_id long, text string")
+    r = df.select(
+        *[c.alias(n) for n, c in code_detect_exprs("text").items()]
+    ).collect()[0]
+    # 3 of every 4 non-blank lines are indented (two of them deep)
+    assert r["indented_lines"] == 12, r["indented_lines"]

@@ -235,7 +235,12 @@ def test_canonical_url_chain(spark):
     from engine.extended.curation import canonical_url
 
     cases = [
-        ("HTTP://WWW.Site.com:80/a/?utm_source=x&q=1#top", "http://site.com/a/?q=1"),
+        # r9: the trailing-PATH-slash trim now applies before '?' too
+        # (consistent with the no-query case below), while QUERY VALUES
+        # keep their slashes — the old whole-rest trim collapsed
+        # '?next=/' and '?next=' into one key (review catch)
+        ("HTTP://WWW.Site.com:80/a/?utm_source=x&q=1#top", "http://site.com/a?q=1"),
+        ("http://site.com/login?next=/", "http://site.com/login?next=/"),
         ("https://site.com:443/a?utm_campaign=z", "https://site.com/a"),
         ("http://site.com/a/", "http://site.com/a"),
         ("https://Other.org/Path/To?b=2&utm_medium=m&c=3",
