@@ -284,9 +284,10 @@ def ivf_build_seeded(
     Scale shape: each round is ONE groupBy shuffle producing ``n_lists``
     rows of ``dim`` integer sums (collected — dimension-sized, like every
     1-row aggregate collect in this repo); the points table is scanned
-    ``iters + 1`` times, so the caller persists/writes it at deployment
-    scale (the returned frame is built on a persisted quantized view; call
-    ``.unpersist()`` on it when done, same caller contract as read_jsonl).
+    ``iters + 1`` times against an internally persisted quantized view that
+    this function RELEASES itself before returning (advice r10 — no caller
+    unpersist contract remains; at deployment scale pre-persist/write the
+    input if the extra scans matter).
 
     Returns ``(assigned, centroids)``: the input plus ``ivf_list``, and the
     final centroid component doubles.
@@ -308,13 +309,15 @@ def ivf_build_seeded(
     cents = [[float(v) for v in r["__q"]] for r in seed_rows]
     if not cents:
         raise ValueError("ivf_build_seeded: no non-null vectors to cluster")
-    if any(len(c) != dim for c in cents):
+    bad = next((c for c in cents if len(c) != dim), None)
+    if bad is not None:
         # Lloyd updates produce dim-component centroids; a longer vector
         # would NULL-pad round-2 distances (every row lands in list 0, a
         # silent full-scan index), a shorter one crashes the sums loop
-        # (review catch r9)
+        # (review catch r9; advice r10 — report the OFFENDING seed's
+        # length, not cents[0]'s)
         raise ValueError(
-            f"ivf_build_seeded: vector length {len(cents[0])} != dim={dim}"
+            f"ivf_build_seeded: vector length {len(bad)} != dim={dim}"
         )
     # fewer vectors than n_lists → operate with what exists (the oracle's
     # seeds-LIMIT degrades the same way; indexing past cents crashed)
@@ -747,8 +750,12 @@ def lsh_knn_join(
     ``bucket_cap`` bounds a hot corpus bucket (identical-vector floods) to
     its cap lowest-id rows, like every other cap in the dedup family.
 
-    ``exclude_self=False`` is the default — two DIFFERENT tables may share
-    ids by accident; pass True only for self-kNN over one id space.
+    Same caveat as :func:`knn_join`: the aligned ``exclude_self=True``
+    default is correct ONLY when queries share the corpus's id space
+    (self-kNN).  Joining two DISJOINT tables whose ids coincide by
+    accident silently loses legitimate equal-id neighbors — pass
+    ``exclude_self=False`` there (advice r10; the knn_join test pins the
+    broadcast-path caveat).
     """
     from pyspark.sql import Window
 

@@ -84,7 +84,11 @@ def _ensure_bucketed_table(
     later fresh session can still recover."""
     import json
 
-    location = os.path.join(snapshot_dir, table)
+    # abspath (advice r10): with a relative snapshot_dir the CREATE's
+    # LOCATION resolves against the Spark warehouse/defaultFS while the
+    # os.path.exists checks resolve against the driver cwd — absolute
+    # paths make both sides validate and register the SAME directory
+    location = os.path.abspath(os.path.join(snapshot_dir, table))
     complete = os.path.exists(os.path.join(location, "_SUCCESS"))
     meta_p = _table_meta_path(snapshot_dir, table)
     if spark.catalog.tableExists(table):
@@ -115,6 +119,8 @@ def _ensure_bucketed_table(
         return False
     with open(meta_p) as fh:
         meta = json.load(fh)
+    # sidecars written before the abspath fix may hold a relative location
+    meta["location"] = os.path.abspath(meta["location"])
     if not os.path.exists(os.path.join(meta["location"], "_SUCCESS")):
         return False  # mid-write crash artifact: not a complete version
     spark.sql(
@@ -351,7 +357,12 @@ def streaming_agg_maintenance(
             import json
             import shutil
 
-            location = os.path.join(snapshot_dir, version_table)
+            # abspath before the sidecar write (advice r10): keeps the
+            # recorded LOCATION and the _SUCCESS existence check resolving
+            # to one directory under a relative snapshot_dir
+            location = os.path.abspath(
+                os.path.join(snapshot_dir, version_table)
+            )
             write_bucketed(
                 merged, version_table, key_cols[0], buckets,
                 sort_col=key_cols[0], path=location,

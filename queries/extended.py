@@ -1450,7 +1450,7 @@ def minhash_recall_frontier(spark, sf_dir):
     the candidate pairs — per-width n_true / n_caught / n_candidates
     fall out of a single aggregate.  The one double-referenced frame is
     ``sigs`` (both sides of the sweep's self-join): it rides
-    :func:`ledger_persist`, the 1-deep release ledger, so the 64-hash
+    :func:`ledger_persist`, the keyed release ledger, so the 64-hash
     signature pass evaluates once WITHOUT the r8 session leak (advice
     r8; review catch r9 — the leak fix had dropped the persist and was
     recomputing the signatures twice).  The exact side is

@@ -699,3 +699,37 @@ def test_readability_counts_hand_computed(spark):
     assert got[1] == (5, 2, 5)
     # 'strength': vowel group 'e' -> 1; 'myth': 'y' counts as vowel -> 1
     assert got[2] == (2, 1, 2)
+
+
+def test_ledger_persist_keyed_no_interleaved_eviction(spark):
+    """verdict r9 #8: the keyed ledger must (a) return the SAME cached frame
+    for a repeated identical plan (multi-pass bench → one signature build
+    per session) and (b) not evict an un-collected frame when a second,
+    different dedup pipeline is built before the first is collected."""
+    from engine.extended.dedup import (
+        _INTERNAL_SIGS_LAST,
+        ledger_persist,
+        minhash_sigs,
+    )
+
+    _INTERNAL_SIGS_LAST.clear()
+    docs = _docs(spark)
+    s1 = ledger_persist(minhash_sigs(docs))
+    # repeat of the same plan: cache hit, same object, still persisted
+    s1b = ledger_persist(minhash_sigs(docs))
+    assert s1b is s1
+    assert s1.storageLevel.useMemory
+    # a DIFFERENT plan built before s1 is collected must not evict s1
+    other = docs.filter(F.col("doc_id") < 3)
+    s2 = ledger_persist(minhash_sigs(other))
+    assert s2 is not s1
+    assert s1.storageLevel.useMemory  # survived the interleaved build
+    assert s2.storageLevel.useMemory
+    assert s1.count() == 4 and s2.count() == 3  # doc 4 ("short"): no shingles
+    # a third distinct plan LRU-evicts the stalest (s1), not the fresh s2
+    s3 = ledger_persist(minhash_sigs(docs.filter(F.col("doc_id") >= 1)))
+    assert s3.storageLevel.useMemory and s2.storageLevel.useMemory
+    assert not s1.storageLevel.useMemory  # bounded: cap=2, LRU out
+    _INTERNAL_SIGS_LAST.clear()
+    for f in (s2, s3):
+        f.unpersist()

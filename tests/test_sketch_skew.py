@@ -471,8 +471,8 @@ def test_bottomk_cardinality_rejects_oversized_sketch(spark):
     apply the wrong (k-1)·2^60/h_k scale — the n_rows > k half of the
     k-contract is verifiable in-plan and must raise, not estimate."""
     import pytest
-    from pyspark.errors import PySparkRuntimeError
     from py4j.protocol import Py4JJavaError
+    from pyspark.errors import SparkRuntimeException
 
     from engine.extended.sketch import bottomk_build, bottomk_cardinality
 
@@ -480,7 +480,9 @@ def test_bottomk_cardinality_rejects_oversized_sketch(spark):
         [(f"user-{i}",) for i in range(500)], "key string"
     )
     sk = bottomk_build(big, "key", k=64)
-    with pytest.raises((PySparkRuntimeError, Py4JJavaError, Exception)) as ei:
+    # raise_error surfaces as SparkRuntimeException (advice r10: the bare
+    # Exception previously in this tuple would have swallowed any failure)
+    with pytest.raises((SparkRuntimeException, Py4JJavaError)) as ei:
         bottomk_cardinality(sk, k=32).collect()
     assert "built with a larger k" in str(ei.value)
 
