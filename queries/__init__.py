@@ -57,39 +57,35 @@ del _m, _k, _v
 # entries first.
 
 _WINDOW_PRIORITY = [
-    # ---- r9 ROTATION (VERDICT r8 #1): with zero never-driver-checked
-    # queries left, the window's job flips from coverage to REGRESSION
-    # INSURANCE.  These are the 50 registry queries whose latest driver row
-    # is OLDEST (2×r1, 34×r3, 14×r4 — computed from CORRECTNESS_r01..r08);
-    # the code under them has churned since (queries-package split r7,
-    # oracle re-pairings and scrub/regex fixes r8).  Tail r4 slots are
-    # swapped for new r9 queries as they land (windowed-at-birth rule) —
-    # the displaced r4 names stay stalest-first for the r10 rotation.
-    # Last driver row r1.
-    "window_running_total", "topk_per_group",
-    # Last driver row r3.
-    "p2_null_normalize", "p3_trim_projection", "p4_ts_to_date", "p6_in_list",
-    "j1_left_join_fanout", "j2_dim_chain_join", "j6_deleted_enrich",
-    "j8_coalesce_fill", "j9_retry_overlay", "j7_overlay_join", "a5_null_rate",
-    "f3_f4_scrub_assemble", "f5_f12_casts", "f7_f8_geoid_assembly",
-    "f13_json_records", "q3_order_revenue_topk", "q5_nation_revenue",
-    "rollup_revenue", "pivot_status_counts", "setops_customer_keys",
-    "st2_incremental_page", "st5_stall_detect", "tumbling_window_agg",
-    "sliding_window_agg", "session_window_agg", "text_token_stats",
-    "text_quality", "lang_id", "dedup_exact", "dedup_ngram_jaccard",
-    "multimodal_meta", "date_funcs_pack", "pii_redact", "repetition_metrics",
-    # Last driver row r4.
-    "j5_memo_probe", "o1_keyset_page", "f6_tz_local_date",
-    # r9 new queries, windowed at birth (displacing the 11 stalest-r4 tail
-    # picks ann_ivf_topk/knn_join_exact/semdedup_pairs/semdedup_prune/
-    # semdedup_incremental/bm25_rank/dedup_minhash_incremental/
-    # dedup_simhash/ann_lsh_topk/embedding_near_dup/dedup_minhash_cc,
-    # which lead the r10 rotation).
-    "q4_order_priority", "q12_shipmode_priority", "q16_part_supplier_counts",
-    "q19_discounted_revenue", "q22_global_sales_opportunity",
-    "hll_native_cells",
-    "q8_national_market_share", "q9_product_type_profit",
-    "q10_returned_item_revenue", "q11_important_parts", "q15_top_supplier",
+    # ---- r10 ROTATION (VERDICT r9 #2): regression insurance on the
+    # now-stalest cohort.  These are the 50 registry queries whose latest
+    # driver row is OLDEST (36×r4 + 14×r5, computed from
+    # CORRECTNESS_r01..r09 against the live registry; the verdict's own
+    # staleness computation names the same set).  They are exactly the
+    # ANN/semdedup/BM25/dedup/timeseries families the r9 cold-area review
+    # sweeps (8315e50, 2d4d16f) churned, so a regression here is likeliest.
+    # Tail slots swap for new r10 queries as they land (windowed-at-birth
+    # rule); displaced names stay stalest-first for the r11 rotation.
+    # Last driver row r4 (36).
+    "dedup_minhash_incremental", "dedup_simhash", "ann_lsh_topk",
+    "embedding_near_dup", "bigram_lm_quality", "url_domain_stats",
+    "domain_blocklist_kept", "temperature_mixture_sample",
+    "corpus_pipeline_v3", "asof_join_events_orders", "range_join_sessions",
+    "ann_ivf_topk", "doc_overlap_winnow", "scd2_history_merge",
+    "dedup_minhash_cc", "hybrid_search_topk", "tfidf_top_terms",
+    "ngram_contamination", "semdedup_pairs", "semdedup_prune",
+    "dsir_select", "knn_join_exact", "contamination_attribution",
+    "semdedup_incremental", "bm25_rank", "span_dup_stats",
+    "span_dedup_rewrite", "global_order_positions", "html_extract",
+    "quality_classifier", "char_entropy", "table_profile",
+    "perplexity_buckets", "constraint_audit", "referential_audit",
+    "snapshot_audit",
+    # Last driver row r5 (14).
+    "embedding_matryoshka", "array_agg_sorted", "percentiles_exact",
+    "ann_pq_adc_topk", "funnel_conversion_unbounded", "embedding_jl_project",
+    "doc_vector_hashed", "pmi_collocations", "timeseries_gapfill",
+    "timeseries_anomaly", "ewma_smooth", "timeseries_lttb",
+    "cohort_retention", "funnel_conversion",
 ]
 assert len(_WINDOW_PRIORITY) == 50, len(_WINDOW_PRIORITY)
 

@@ -6,10 +6,17 @@ names, and order-insensitive values (columns sorted by name, rows sorted by
 all columns, values stringified).  Usage:
 
     python tools/check_oracle.py [sf_dir] [query ...]
+
+Set ``ORACLE_LOCAL_OUT=/path/to/ORACLE_LOCAL_rN.json`` to also write the
+per-query results (status, rows, seconds, message) as a committed artifact
+the judge can read — VERDICT r9 #7: full-pack gate runs were claimed each
+round but only prose-reported.
 """
 
 from __future__ import annotations
 
+import json
+import os
 import sys
 import time
 
@@ -93,6 +100,7 @@ def main() -> int:
     qs = entrymod.queries()
     oracles = entrymod.oracle_sql()
     failures = []
+    results: dict[str, dict] = {}
     for name, fn in qs.items():
         if only and name not in only:
             continue
@@ -101,22 +109,54 @@ def main() -> int:
             sdf = fn(spark, sf_dir).toPandas()
         except Exception as e:
             failures.append(name)
-            print(f"FAIL {name}: spark raised {type(e).__name__}: {e}")
+            msg = f"spark raised {type(e).__name__}: {e}"
+            print(f"FAIL {name}: {msg}")
+            results[name] = {"status": "fail", "detail": msg,
+                             "sec": round(time.time() - t0, 1)}
             continue
         if name not in oracles:
-            print(f"rows {name}: {len(sdf)} rows (no oracle) [{time.time()-t0:.1f}s]")
+            dt = time.time() - t0
+            print(f"rows {name}: {len(sdf)} rows (no oracle) [{dt:.1f}s]")
+            results[name] = {"status": "rows_only", "rows": len(sdf),
+                             "sec": round(dt, 1)}
             continue
         try:
             odf = con.execute(oracles[name]).df()
         except Exception as e:
             failures.append(name)
-            print(f"FAIL {name}: duckdb raised {type(e).__name__}: {e}")
+            msg = f"duckdb raised {type(e).__name__}: {e}"
+            print(f"FAIL {name}: {msg}")
+            results[name] = {"status": "fail", "detail": msg,
+                             "sec": round(time.time() - t0, 1)}
             continue
         ok, msg = compare(name, sdf, odf)
-        print(("PASS" if ok else "FAIL"), name, msg, f"[{time.time()-t0:.1f}s]")
+        dt = time.time() - t0
+        print(("PASS" if ok else "FAIL"), name, msg, f"[{dt:.1f}s]")
         if not ok:
             failures.append(name)
+        results[name] = {
+            "status": "pass" if ok else "fail",
+            "rows": len(sdf),
+            "sec": round(dt, 1),
+            **({} if ok else {"detail": msg}),
+        }
     print(f"\n{len(failures)} failures" + (f": {failures}" if failures else ""))
+    out = os.environ.get("ORACLE_LOCAL_OUT")
+    if out and not only:  # artifact = the FULL pack, never a filtered run
+        payload = {
+            "sf_dir": sf_dir,
+            "n_queries": len(results),
+            "n_pass": sum(r["status"] == "pass" for r in results.values()),
+            "n_rows_only": sum(
+                r["status"] == "rows_only" for r in results.values()
+            ),
+            "n_fail": len(failures),
+            "failures": failures,
+            "queries": results,
+        }
+        with open(out, "w") as fh:
+            json.dump(payload, fh, indent=1, sort_keys=True)
+        print(f"wrote {out}")
     return 1 if failures else 0
 
 
