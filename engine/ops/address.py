@@ -140,7 +140,7 @@ def _to_ascii(s: str) -> str:
 
 # Fallback tagger: leading house number, optional unit suffix, rest = street.
 _ADDR_RE = re.compile(
-    r"^\s*(?P<house>\d+[A-Za-z]?(?:-\d+)?)?\s*(?P<street>[^,#]*?)"
+    r"^\s*(?P<house>\d+[A-Za-z]?(?:-\d+[A-Za-z]?)?)?\s*(?P<street>[^,#]*?)"
     r"(?:\s*(?:#|APT\.?|UNIT|STE\.?|SUITE|FL\.?|RM\.?)\s*(?P<unit>[\w-]+))?\s*$",
     re.IGNORECASE,
 )
@@ -435,7 +435,11 @@ def _fallback_tagger(addr: str):
         if rest:
             out["PlaceName"] = rest
         return out, "POBox"
-    m = re.match(r"^(\d+[A-Za-z]?(?:-\d+)?)\s+", s)
+    # Queens-style hyphenated house numbers ('37-61 82ND ST', '37-61A')
+    # are one usaddress AddressNumber — ubiquitous in the reference's own
+    # NYC service area (VERDICT r9 #4); the optional trailing letter rides
+    # either segment
+    m = re.match(r"^(\d+[A-Za-z]?(?:-\d+[A-Za-z]?)?)\s+", s)
     if m:
         out["AddressNumber"] = m.group(1)
         s = s[m.end():].strip()

@@ -691,3 +691,47 @@ def test_fallback_fractional_house_number():
     # a plain house number is not a fraction: '1/2' alone never matches
     parsed2, _ = _fallback_tagger("123 MAIN ST")
     assert "AddressNumberSuffix" not in parsed2
+
+
+def test_fallback_queens_hyphenated_house_numbers():
+    # VERDICT r9 #4: '37-61 82ND ST' — usaddress tags the whole hyphenated
+    # pair as ONE AddressNumber; ubiquitous in the reference's NYC domain
+    from engine.ops.address import _fallback_tagger, _parse_one
+
+    parsed, kind = _fallback_tagger("37-61 82ND ST JACKSON HEIGHTS NY 11372")
+    assert kind == "StreetAddress"
+    assert parsed["AddressNumber"] == "37-61"
+    assert parsed["street"] == "82ND ST"
+    assert parsed["PlaceName"] == "JACKSON HEIGHTS"
+    assert parsed["StateName"] == "NY"
+    assert parsed["ZipCode"] == "11372"
+
+    out = _reformat_fallback("144-80 SANFORD AVE FLUSHING NY 11355")
+    assert out["house_number"] == "144-80"
+    assert out["street_name"] == "SANFORD AVE"
+    assert out["city"] == "FLUSHING"
+    assert out["address"] == "144-80 SANFORD AVE"
+
+    # trailing letter on the second segment stays in the number
+    parsed2, _ = _fallback_tagger("37-61A 82ND ST QUEENS NY")
+    assert parsed2["AddressNumber"] == "37-61A"
+    assert parsed2["street"] == "82ND ST"
+    assert parsed2["PlaceName"] == "QUEENS"
+
+    # with a unit: number, street, and line2 all land correctly
+    out2 = _reformat_fallback("82-17 153RD AVE APT 2B HOWARD BEACH NY 11414")
+    assert out2["house_number"] == "82-17"
+    assert out2["street_name"] == "153RD AVE"
+    assert out2["address"] == "82-17 153RD AVE APT 2B"
+    assert out2["city"] == "HOWARD BEACH"
+
+    # ambiguity guard: the ordinal street is NOT eaten by the number — the
+    # hyphen pair binds only the LEADING numeric token pair, so a plain
+    # number before an ordinal street stays plain
+    parsed3, _ = _fallback_tagger("61 82ND ST QUEENS NY")
+    assert parsed3["AddressNumber"] == "61"
+    assert parsed3["street"] == "82ND ST"
+
+    # the street-line parser (_parse_one regex path) honors the same family
+    assert _parse_one("37-61 82ND ST") == ("37-61", "82ND ST", None)
+    assert _parse_one("37-61A 82ND ST APT 4") == ("37-61A", "82ND ST", "4")
