@@ -464,33 +464,38 @@ def q21_waiting_suppliers(spark, sf_dir):
     """TPC-H Q21 shape — the EXISTS + NOT EXISTS double correlation: in
     multi-supplier orders, count per supplier the orders where THEY
     returned a line ('R' stands in for the missing receipt-delay
-    columns) and no other supplier did.  Planned the way Catalyst
-    decorrelates it: a semi join (multi-supplier orders) and an anti
-    join (no other returning supplier) on the same (orderkey) shuffle
-    key — no nested-loop, no fact re-scan per row."""
-    rl = (
+    columns) and no other supplier did.
+
+    ONE fact scan (r10; the r9 form referenced a shared distinct three
+    ways — semi, anti, and probe — and each branch's pushed-down filters
+    de-canonicalized the scans, so the reuse audit measured THREE
+    lineitem scans and zero ReusedExchange): a (orderkey, suppkey)
+    aggregate computes per-pair 'did this supplier return', a second
+    orderkey-level aggregate derives (n_suppliers, n_returning), and the
+    double correlation collapses to the filter ``n_suppliers ≥ 2 AND
+    n_returning = 1`` on returning pairs.  per_os feeds both consumers
+    with an IDENTICAL subtree — no post-aggregate filter can push below
+    the agg — so AQE's stage reuse fires (final plan: 2 scans total =
+    lineitem + supplier, ReusedExchange ≥ 1; measured ~1.4× at ×10).
+    The up-front ``l_suppkey IS NOT NULL`` mirrors what count_distinct /
+    the supplier inner join already dropped, keeping hashes unchanged."""
+    li = (
         t(spark, sf_dir, "lineitem")
         .select("l_orderkey", "l_suppkey", "l_returnflag")
-        .distinct()
+        .filter(F.col("l_suppkey").isNotNull())
     )
-    multi = (
-        rl.groupBy("l_orderkey")
-        .agg(F.count_distinct("l_suppkey").alias("__ns"))
-        .filter(F.col("__ns") >= 2)
-        .select("l_orderkey")
+    per_os = li.groupBy("l_orderkey", "l_suppkey").agg(
+        F.max(
+            F.when(F.col("l_returnflag") == "R", 1).otherwise(0)
+        ).alias("__r")
     )
-    mine_r = rl.filter(F.col("l_returnflag") == "R")
-    others_r = mine_r.select(
-        F.col("l_orderkey").alias("__ok"), F.col("l_suppkey").alias("__sk")
+    per_o = per_os.groupBy("l_orderkey").agg(
+        F.count(F.lit(1)).alias("__ns"),
+        F.sum("__r").alias("__nr"),
     )
-    survivors = (
-        mine_r.join(multi, "l_orderkey", "left_semi")
-        .join(
-            others_r,
-            (F.col("l_orderkey") == F.col("__ok"))
-            & (F.col("l_suppkey") != F.col("__sk")),
-            "left_anti",
-        )
+    survivors = per_os.filter(F.col("__r") == 1).join(
+        per_o.filter((F.col("__ns") >= 2) & (F.col("__nr") == 1)),
+        "l_orderkey",
     )
     s = t(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
     return (

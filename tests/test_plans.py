@@ -577,9 +577,14 @@ def test_r8_tpch_shapes_plan_gates(spark):
         p = plans[fn.__name__] = plan(fn(spark, SF))
         assert "BroadcastNestedLoopJoin" not in p, fn.__name__
         assert "CartesianProduct" not in p, fn.__name__
-    # Q21: the EXISTS/NOT EXISTS pair became semi + anti joins
+    # Q21 (r10 one-scan rewrite): the double correlation is two stacked
+    # aggregates over ONE lineitem scan — the static plan prints the
+    # shared per-(order, supplier) subtree twice, but both copies must be
+    # scan+aggregate (no semi/anti decorrelation remnants), and the
+    # runtime gate (test_q11_q15_runtime_exchange_reuse's sibling below)
+    # pins the ReusedExchange
     p21 = plans["q21_waiting_suppliers"]
-    assert "LeftSemi" in p21 and "LeftAnti" in p21
+    assert p21.count("HashAggregate") >= 4  # partial+final × two levels
     # Q7: the nation dims broadcast onto BOTH fact sides; the fact-fact
     # orderkey join may shuffle (orders is a fact — broadcasting it was
     # the r8 review catch), but nothing else may
@@ -685,9 +690,13 @@ def test_q11_q15_runtime_exchange_reuse(spark):
     infers it into only the left subtree otherwise, breaking
     canonicalization — the r10 fix); regressing that filter regresses
     this gate."""
-    from queries import q11_important_parts, q15_top_supplier
+    from queries import (
+        q11_important_parts,
+        q15_top_supplier,
+        q21_waiting_suppliers,
+    )
 
-    for fn in (q11_important_parts, q15_top_supplier):
+    for fn in (q11_important_parts, q15_top_supplier, q21_waiting_suppliers):
         # sf0.01, not the usual sf0.001: at the smaller SF Q11's threshold
         # filter yields zero rows and AQE's empty-propagation replaces the
         # whole subtree with EmptyRelation — no exchange left to reuse
