@@ -727,28 +727,46 @@ def sign_band_structs(vec_col: str, hp: list[list[float]], bands: int) -> Column
     :func:`engine.extended.similarity.lsh_knn_join` on the other side of
     the import edge).  Validates the split: ``len(hp) % bands != 0`` would
     silently drop trailing hyperplanes (lower recall than configured) and
-    ``bands > len(hp)`` would build empty keys."""
+    ``bands > len(hp)`` would build empty keys.
+
+    Built as ONE ``F.expr`` SQL string, not a Column tree (r10): the
+    py4j-call version constructed planes × (zip_with + aggregate + dim
+    literals) ≈ 600 gateway round trips and cost ~1 s of DRIVER time per
+    invocation — 4× per lsh_knn_join call, dominating the whole query at
+    bench scale (measured: build 0.96 s vs execute 0.21 s on 2k rows).
+    One expr string is one gateway call; the JVM parser handles the rest.
+    ``{x!r}`` float formatting is the shortest round-trip repr, so the
+    parsed doubles are bit-identical to the former ``F.lit`` path."""
     planes = len(hp)
     if bands < 1 or planes % bands != 0:
         raise ValueError(
             f"planes ({planes}) must be a positive multiple of bands ({bands})"
         )
     per_band = planes // bands
-    band_cols = []
+    structs = []
     for bidx in range(bands):
-        bits = [
-            F.when(
-                _dot(F.col(vec_col), hp[bidx * per_band + p]) >= 0, F.lit(1 << p)
-            ).otherwise(F.lit(0))
+        bits = " | ".join(
+            f"IF({dot_sql(vec_col, hp[bidx * per_band + p])} >= 0, {1 << p}, 0)"
             for p in range(per_band)
-        ]
-        acc = bits[0]
-        for x in bits[1:]:
-            acc = acc.bitwiseOR(x)
-        band_cols.append(
-            F.struct(F.lit(bidx).alias("band"), acc.cast("long").alias("bkey"))
         )
-    return F.array(*band_cols)
+        structs.append(
+            f"named_struct('band', {bidx}, 'bkey', CAST(({bits}) AS BIGINT))"
+        )
+    return F.expr("array(" + ", ".join(structs) + ")")
+
+
+def dot_sql(vec_col: str, plane: list[float]) -> str:
+    """SQL text for the fixed left-to-right dot fold of ``vec_col`` with a
+    constant vector — the string sibling of :func:`_dot`, shared by every
+    hyperplane-family expression that is built per plane (see
+    sign_band_structs's rationale: expression STRINGS cost one py4j call
+    total; Column trees cost hundreds).  ``{x!r}`` is shortest-round-trip,
+    so parsed doubles match the ``F.lit`` path bit-for-bit."""
+    arr = ", ".join(f"{float(x)!r}D" for x in plane)
+    return (
+        f"aggregate(zip_with(`{vec_col}`, array({arr}), "
+        f"(a, b) -> CAST(a AS DOUBLE) * b), 0.0D, (acc, x) -> acc + x)"
+    )
 
 
 def embedding_near_dup(

@@ -89,16 +89,19 @@ def with_signature(
     a mismatched row would silently collapse every plane test to 0 — a
     signature that MATCHES other degenerate rows instead of standing out.
     NULL signatures fall out of every downstream probe filter."""
+    from engine.extended.dedup import dot_sql
+
     hp = _unit_hyperplanes(dim, planes)
-    sig = F.aggregate(
-        F.array(
-            *[
-                F.when(_dot(F.col(vec_col), hp[p]) >= 0, F.lit(1 << p)).otherwise(F.lit(0))
-                for p in range(planes)
-            ]
-        ),
-        F.lit(0).cast("long"),
-        lambda acc, v: acc.bitwiseOR(v.cast("long")),
+    # one F.expr string, not planes × _dot Column trees — the py4j
+    # round-trip cost of per-plane builders dominated driver time at
+    # bench scale (see sign_band_structs r10)
+    bits = ", ".join(
+        f"IF({dot_sql(vec_col, hp[p])} >= 0, {1 << p}, 0)"
+        for p in range(planes)
+    )
+    sig = F.expr(
+        f"aggregate(array({bits}), CAST(0 AS BIGINT), "
+        f"(acc, v) -> acc | CAST(v AS BIGINT))"
     )
     return vectors.withColumn(
         out_col, F.when(F.size(F.col(vec_col)) == dim, sig)
@@ -927,16 +930,22 @@ def jl_project(
     """
     if out_dim < 1 or out_dim > dim:
         raise ValueError(f"out_dim must be in [1, {dim}], got {out_dim}")
+    from engine.extended.dedup import dot_sql
+
     planes = _unit_hyperplanes(dim, out_dim)
     scale = (3.0 / out_dim) ** 0.5
+    # one F.expr string, not out_dim × _dot Column trees (py4j round-trip
+    # cost — see sign_band_structs r10); round/+0.0 reproduce the F.round
+    # + F.lit(0.0) semantics exactly (HALF_UP, -0.0 canonicalized)
     comps = []
     for p in planes:
-        c = _dot(F.col(vec_col), p) * F.lit(scale)
+        c = f"({dot_sql(vec_col, p)} * {scale!r}D)"
         if round_to is not None:
-            c = F.round(c, round_to) + F.lit(0.0)
+            c = f"(round({c}, {round_to}) + 0.0D)"
         comps.append(c)
+    arr = F.expr("array(" + ", ".join(comps) + ")")
     return df.withColumn(
-        out_col, F.when(F.col(vec_col).isNotNull(), F.array(*comps))
+        out_col, F.when(F.col(vec_col).isNotNull(), arr)
     )
 
 
