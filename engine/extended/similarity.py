@@ -23,7 +23,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from engine.extended.dedup import _dot, _unit_hyperplanes, cosine
+from engine.extended.dedup import _unit_hyperplanes, cosine
 
 __all__ = [
     "cosine_topk",
