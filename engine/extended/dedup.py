@@ -181,41 +181,31 @@ def minhash_sigs(
     # sorting by slot is O(k log k) per doc; the previous per-slot scan over
     # all entries was O(k²) (64×64 = 4096 conditional struct evaluations per
     # doc) and dominated signature time.
-    def seg(e: Column, j: Column) -> Column:
-        filled = F.transform(
-            F.sequence(
-                F.when(j == 0, F.lit(0)).otherwise(
-                    F.element_at(F.col("ent"), j)["bin"] + 1
-                ),
-                e["bin"],
-            ),
-            lambda i: F.struct(
-                i.alias("slot"),
-                e["mh"].bitwiseXOR((e["bin"] - i) * F.lit(_OPH_C)).alias("v"),
-            ),
-        )
-        last_bin = F.element_at(F.col("ent"), F.size(F.col("ent")))["bin"]
-        wrap = F.when(
-            (j == 0) & (last_bin < k - 1),
-            F.transform(
-                F.sequence(last_bin + 1, F.lit(k - 1)),
-                lambda i: F.struct(
-                    i.alias("slot"),
-                    e["mh"]
-                    .bitwiseXOR((e["bin"] + k - i) * F.lit(_OPH_C))
-                    .alias("v"),
-                ),
-            ),
-        ).otherwise(F.slice(filled, 1, 0))
-        return F.concat(filled, wrap)
-
-    return ent.select(
-        "id",
-        F.transform(
-            F.sort_array(F.flatten(F.transform(F.col("ent"), seg))),
-            lambda s: s["v"],
-        ).alias("sig"),
+    #
+    # Built as ONE F.expr string (r10): the Column-tree form of this
+    # closure cost hundreds of py4j round trips per invocation — the
+    # dominant term of the minhash BUILD time the bench pays per pass
+    # (same rationale as sign_band_structs; old-vs-new sigs verified
+    # element-identical for both hash modes at k ∈ {32, 64}).
+    C = _OPH_C
+    filled = (
+        f"transform(sequence(IF(j = 0, 0L, element_at(ent, j).bin + 1L), "
+        f"CAST(e.bin AS BIGINT)), "
+        f"i -> struct(i AS slot, (e.mh ^ ((e.bin - i) * {C}L)) AS v))"
     )
+    wrap = (
+        f"IF(j = 0 AND element_at(ent, size(ent)).bin < {k - 1}, "
+        f"transform(sequence(element_at(ent, size(ent)).bin + 1L, "
+        f"CAST({k - 1} AS BIGINT)), "
+        f"i -> struct(i AS slot, (e.mh ^ ((e.bin + {k} - i) * {C}L)) AS v)), "
+        f"slice(transform(sequence(0L, 0L), "
+        f"i -> struct(i AS slot, 0L AS v)), 1, 0))"
+    )
+    sig = (
+        f"transform(sort_array(flatten(transform(ent, (e, j) -> "
+        f"concat({filled}, {wrap})))), s -> s.v)"
+    )
+    return ent.select("id", F.expr(sig).alias("sig"))
 
 
 def _band_col(sig: Column, band: int, rows_per_band: int, hash_fn: str = "xxhash64") -> Column:
@@ -237,6 +227,19 @@ def _band_col(sig: Column, band: int, rows_per_band: int, hash_fn: str = "xxhash
         ]
         return F.xxhash64(*elems, F.lit(band))
     return F.slice(sig, band * rows_per_band + 1, rows_per_band)
+
+
+def _band_key_sql(sig_col: str, band: int, rows_per_band: int, hash_fn: str) -> str:
+    """SQL-text sibling of :func:`_band_col` — same key, one py4j call for
+    the whole band array instead of bands × (element_at/slice + struct)
+    Column objects (see sign_band_structs r10)."""
+    if hash_fn == "xxhash64":
+        elems = ", ".join(
+            f"element_at(`{sig_col}`, {band * rows_per_band + i + 1})"
+            for i in range(rows_per_band)
+        )
+        return f"xxhash64({elems}, {band})"
+    return f"slice(`{sig_col}`, {band * rows_per_band + 1}, {rows_per_band})"
 
 
 #: semanticHash-keyed ledger of INTERNALLY-persisted signature frames (see
@@ -333,14 +336,11 @@ def minhash_band_sweep(
         rpb = num_hashes // w
         for b in range(w):
             keys.append(
-                F.struct(
-                    F.lit(w).alias("w"),
-                    F.lit(b).alias("band"),
-                    _band_col(F.col("sig"), b, rpb, hash_fn).alias("bkey"),
-                )
+                f"named_struct('w', {w}, 'band', {b}, "
+                f"'bkey', {_band_key_sql('sig', b, rpb, hash_fn)})"
             )
     banded = sigs.select(
-        "id", F.explode(F.array(*keys)).alias("bb")
+        "id", F.explode(F.expr("array(" + ", ".join(keys) + ")")).alias("bb")
     ).select(
         "id",
         F.col("bb.w").alias("w"),
@@ -417,20 +417,15 @@ def minhash_candidates(
         # over the same corpus (multi-pass bench, interleaved queries).
         # Sweep callers pass ``sigs=`` and own persistence.
         sigs = ledger_persist(sigs)
+    band_arr = "array(" + ", ".join(
+        f"named_struct('band', {b}, "
+        f"'bkey', {_band_key_sql('sig', b, rows_per_band, hash_fn)})"
+        for b in range(bands)
+    ) + ")"
     banded = sigs.select(
         "id",
         "sig",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(b).alias("band"),
-                        _band_col(F.col("sig"), b, rows_per_band, hash_fn).alias("bkey"),
-                    )
-                    for b in range(bands)
-                ]
-            )
-        ).alias("bb"),
+        F.explode(F.expr(band_arr)).alias("bb"),
     ).select("id", "sig", F.col("bb.band").alias("band"), F.col("bb.bkey").alias("bkey"))
     if bucket_cap:
         wcap = Window.partitionBy("band", "bkey").orderBy("id")
@@ -512,24 +507,19 @@ def simhash_sigs(
     exploded = _spread(df).select(
         F.col(id_col).alias("id"), F.explode(tokens(text_col)).alias("tok")
     ).withColumn("h", _hash64(F.col("tok"), hash_fn))
-    aggs = [
-        F.sum(
-            F.when(
-                F.shiftright(F.col("h"), j).bitwiseAND(F.lit(1)) == 1, F.lit(1)
-            ).otherwise(F.lit(-1))
-        ).alias(f"b{j}")
-        for j in range(64)
-    ]
-    counts = exploded.groupBy("id").agg(*aggs)
-    # assemble the signature long; bit 63's constant is -(1<<63) (sign bit)
-    sh = None
+    # 64 conditional-sum aggregates + threshold + OR-assembly as ONE SQL
+    # string (r10): the Column-object form cost ~500 py4j round trips of
+    # driver time per invocation (same rationale as sign_band_structs);
+    # bit 63's constant is -(1<<63) (sign bit).  Disjoint powers of two
+    # make | and + equivalent; | kept for intent.
+    terms = []
     for j in range(64):
         c = (1 << j) if j < 63 else -(1 << 63)
-        term = F.when(F.col(f"b{j}") > 0, F.lit(c).cast("long")).otherwise(
-            F.lit(0).cast("long")
+        terms.append(
+            f"IF(sum(IF(((h >> {j}) & 1) = 1, 1, -1)) > 0, {c}L, 0L)"
         )
-        sh = term if sh is None else sh.bitwiseOR(term)
-    return counts.select("id", sh.alias("sh"))
+    sh_sql = " | ".join(terms)
+    return exploded.groupBy("id").agg(F.expr(sh_sql).alias("sh"))
 
 
 def hamming_band_pairs(
@@ -958,17 +948,11 @@ def minhash_band_index(
     index = sigs.select(
         "id",
         "sig",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(b).alias("band"),
-                        _band_col(F.col("sig"), b, rows_per_band, hash_fn).alias("bkey"),
-                    )
-                    for b in range(bands)
-                ]
-            )
-        ).alias("bb"),
+        F.explode(F.expr("array(" + ", ".join(
+            f"named_struct('band', {b}, "
+            f"'bkey', {_band_key_sql('sig', b, rows_per_band, hash_fn)})"
+            for b in range(bands)
+        ) + ")")).alias("bb"),
     ).select("id", "sig", F.col("bb.band").alias("band"), F.col("bb.bkey").alias("bkey"))
     if bucket_cap:
         w = Window.partitionBy("band", "bkey").orderBy("id")
