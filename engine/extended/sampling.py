@@ -230,10 +230,17 @@ def mixture_sample(
     scale = counts.agg(
         F.min(F.col("__n_avail") / F.col("__w")).alias("__scale")
     )
+    # +1e-9: ``scale = min(n/w)`` is a double, so the BINDING group's own
+    # quota ``w·(n/w)`` sits exactly on the floor boundary and one ulp of
+    # division error drops a row the caller is owed (0.6·(3/0.6) =
+    # 2.9999999999999996 → floor 2, not 3).  The epsilon resolves the
+    # boundary upward deterministically — temperature_mixture's discipline
+    # (r10 review); it can never push a quota past n_avail because
+    # w·scale ≤ n by construction and floor(n + 1e-9) = n.
     quotas = counts.crossJoin(F.broadcast(scale)).select(
         group_col,
         "__n_avail",
-        F.floor(F.col("__w") * F.col("__scale")).alias("__quota"),
+        F.floor(F.col("__w") * F.col("__scale") + F.lit(1e-9)).alias("__quota"),
     )
     rk = Window.partitionBy(group_col).orderBy(
         F.md5(F.concat(F.col(id_col).cast("string"), F.lit("|mix"))), id_col

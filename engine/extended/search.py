@@ -45,16 +45,28 @@ def tfidf_scores(
     """
     import math
 
-    n_docs = docs.count()
-    dfs = {}
-    df_row = docs.agg(
-        *[
-            F.count(F.when(F.array_contains(tokens("text"), term), 1)).alias(term)
-            for term in query_terms
-        ]
-    ).collect()[0]
-    for term in query_terms:
-        dfs[term] = df_row[term]
+    # ONE stats scan (r10 review): the previous form paid a separate
+    # count() pass for N AND re-ran tokens("text") per term inside the
+    # df aggregate (HOFs get no CSE — len(terms)× the regex per row, the
+    # same 12× trap bm25_scores already avoids).  Tokenize once behind an
+    # alias boundary and fold N into the same aggregate.
+    stats = (
+        docs.select(tokens("text").alias("__toks"))
+        .agg(
+            F.count(F.lit(1)).alias("__n"),
+            *[
+                F.count(F.when(F.array_contains("__toks", term), 1)).alias(
+                    f"__df_{i}"
+                )
+                for i, term in enumerate(query_terms)
+            ],
+        )
+        .collect()[0]
+    )
+    n_docs = stats["__n"]
+    dfs = {
+        term: stats[f"__df_{i}"] for i, term in enumerate(query_terms)
+    }
 
     # tokenize ONCE behind an alias boundary — the per-term tf filters then
     # reference the array instead of re-running the regex per term

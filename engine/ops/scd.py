@@ -34,6 +34,11 @@ def apply_changelog(
     ``changes`` carries (key, *ts_cols, op_col, <same value columns as
     snapshot>).  ``ts_cols`` must be a total order within a key (include a
     tiebreaker).  Returns the post-image snapshot.
+
+    ``op_col`` must be non-NULL: a NULL op behaves as a DELETE (the filter
+    ``op != 'D'`` null-drops the row from the upsert set while its key
+    still joins the touched anti-join — identical in both engines, r10
+    review).  Validate ops upstream if the log can carry NULLs.
     """
     w = Window.partitionBy(key).orderBy(*[F.col(c).desc() for c in ts_cols])
     latest = (

@@ -2678,9 +2678,17 @@ def sequence_pack(spark, sf_dir):
                          WHEN 'src2' THEN 0.2 END AS w
       FROM documents GROUP BY source),
     eligible AS (SELECT * FROM weighted WHERE w > 0),
-    scaled AS (SELECT MIN(n_avail / w) AS scale FROM eligible),
+    -- DOUBLE division + the 1e-9 floor epsilon, mirroring the engine: the
+    -- binding group's quota w*(n/w) sits on the floor boundary in doubles
+    -- (DuckDB's decimal CASE literals would otherwise compute an exact
+    -- quota the engine's double path drops by one)
+    scaled AS (
+      SELECT MIN(CAST(n_avail AS DOUBLE) / CAST(w AS DOUBLE)) AS scale
+      FROM eligible),
     quotas AS (
-      SELECT e.source, e.n_avail, CAST(FLOOR(e.w * s.scale) AS BIGINT) AS quota
+      SELECT e.source, e.n_avail,
+             CAST(FLOOR(CAST(e.w AS DOUBLE) * s.scale + 1e-9) AS BIGINT)
+               AS quota
       FROM eligible e, scaled s),
     ranked AS (
       SELECT d.doc_id, d.source,

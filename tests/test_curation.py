@@ -415,3 +415,19 @@ def test_code_detect_counts_deep_indents(spark):
     ).collect()[0]
     # 3 of every 4 non-blank lines are indented (two of them deep)
     assert r["indented_lines"] == 12, r["indented_lines"]
+
+
+def test_mixture_sample_binding_group_floor_boundary(spark):
+    """r10 review: scale = min(n/w) is a double, so the BINDING group's own
+    quota w*(n/w) sits exactly on the floor boundary — 0.6*(3/0.6) =
+    2.9999999999999996 floored to 2 silently shorted the binding group one
+    row.  The 1e-9 epsilon (temperature_mixture's discipline) keeps it."""
+    from engine.extended.sampling import mixture_sample
+
+    rows = [(i, "a") for i in range(3)] + [(100 + i, "b") for i in range(999)]
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+    kept = mixture_sample(df, {"a": 0.6, "b": 0.4}, group_col="source")
+    counts = {r["source"]: r["n"] for r in
+              kept.groupBy("source").agg(F.count(F.lit(1)).alias("n")).collect()}
+    # binding group a: scale = 3/0.6 = 5 -> quota 3 (ALL rows), b: floor(2)
+    assert counts == {"a": 3, "b": 2}
