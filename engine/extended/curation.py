@@ -180,8 +180,21 @@ def tfidf_top_terms(
         F.col(group_col).alias("grp"),
         F.explode(tokens(text_col)).alias("term"),
     )
-    tf = tok.groupBy("grp", "term").agg(F.count(F.lit(1)).alias("tf"))
-    dfreq = tok.groupBy("term").agg(F.countDistinct("id").alias("df"))
+    # ONE tokenize/scan (r10 reuse-audit): tf and df both derive from a
+    # shared (term, grp, id) count whose identical subtree AQE's stage
+    # reuse evaluates once — the old form scanned + tokenized the corpus
+    # separately for each.  A doc has ONE group, so (term, id) is unique
+    # within g1 and count(*) per term IS the distinct-doc frequency.
+    g1 = tok.groupBy("term", "grp", "id").agg(F.count(F.lit(1)).alias("__c"))
+    tf = g1.groupBy("grp", "term").agg(F.sum("__c").cast("long").alias("tf"))
+    # count(IF(__c > 0, 1)): __c is always ≥ 1, so this IS the group count —
+    # but phrased so the optimizer cannot prune __c out of the df-side
+    # aggregate (plain count(1)/count(__c) both rewrite to a function-less
+    # distinct aggregate whose exchange no longer canonically matches the
+    # tf side's, killing the stage reuse this shape exists for)
+    dfreq = g1.groupBy("term").agg(
+        F.count(F.when(F.col("__c") > 0, 1)).alias("df")
+    )
     n_docs = df.agg(F.count(F.lit(1)).alias("n_docs"))
     scored = (
         tf.join(dfreq, "term")
