@@ -437,11 +437,26 @@ def vocab_kl_by_group(
     gc = tok.groupBy("grp", "t").agg(F.count(F.lit(1)).alias("c_s"))
     tot_tok = gc.groupBy("t").agg(F.sum("c_s").alias("c_g"))
     per_grp = gc.groupBy("grp").agg(F.sum("c_s").alias("n_s"))
-    globals_ = gc.agg(
-        F.sum("c_s").alias("n_g"), F.countDistinct("t").alias("v")
+    # globals derive from tot_tok's OUTPUT, not a fourth pass over gc:
+    # n_g = Σ c_g and v = |distinct t| = tot_tok's row count (counted via
+    # IF(c_g > 0, 1) so the optimizer cannot prune c_g and de-canonicalize
+    # the shared subtree — the tfidf_top_terms trap).  Combined with the
+    # null-safe t join below (tokens are never NULL, so semantics are
+    # identical, but plain equality would infer isnotnull(t) into ONLY the
+    # join's copies of gc), the four gc consumers collapse to two
+    # canonical classes and AQE's stage reuse evaluates gc twice, not
+    # four times (r10 reuse audit: 4 scans + 4 tokenizations → 2).
+    globals_ = tot_tok.agg(
+        F.sum("c_g").alias("n_g"),
+        F.count(F.when(F.col("c_g") > 0, 1)).alias("v"),
     )
     j = (
-        gc.join(tot_tok, "t")
+        gc.alias("g")
+        .join(
+            tot_tok.alias("tt"),
+            F.col("g.t").eqNullSafe(F.col("tt.t")),
+        )
+        .select("g.*", "tt.c_g")
         .join(F.broadcast(per_grp), "grp")
         .crossJoin(F.broadcast(globals_))
     )
