@@ -41,6 +41,13 @@ def lookup_or_compute(
     (key, *value_cols) for them.  Returns ``df`` + ``value_cols``, where each
     row's values come from the cache when present, else from the computation.
 
+    Miss detection is ``value_cols[0] IS NULL`` after the probe join, so a
+    cache row whose FIRST value column is legitimately NULL reads as a miss
+    and recomputes every batch (r10 review note) — a negative cache
+    ("known failed") needs a non-NULL sentinel in ``value_cols[0]``, the
+    same contract the reference's geocode cache satisfies by construction
+    (it only stores successful lookups).
+
     ``broadcast_overlays``: ``True`` (default) hints both the cache slice and
     the computed-miss overlay broadcast — right when the cache probe is
     key-bounded and misses are rare (the reference's operating regime, where
