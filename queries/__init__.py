@@ -57,35 +57,36 @@ del _m, _k, _v
 # entries first.
 
 _WINDOW_PRIORITY = [
-    # ---- r10 ROTATION (VERDICT r9 #2): regression insurance on the
-    # now-stalest cohort.  These are the 50 registry queries whose latest
-    # driver row is OLDEST (36×r4 + 14×r5, computed from
-    # CORRECTNESS_r01..r09 against the live registry; the verdict's own
-    # staleness computation names the same set).  They are exactly the
-    # ANN/semdedup/BM25/dedup/timeseries families the r9 cold-area review
-    # sweeps (8315e50, 2d4d16f) churned, so a regression here is likeliest.
-    # Tail slots swap for new r10 queries as they land (windowed-at-birth
-    # rule); displaced names stay stalest-first for the r11 rotation.
-    # Last driver row r4 (36).
-    "dedup_minhash_incremental", "dedup_simhash", "ann_lsh_topk",
-    "embedding_near_dup", "bigram_lm_quality", "url_domain_stats",
-    "domain_blocklist_kept", "temperature_mixture_sample",
-    "corpus_pipeline_v3", "asof_join_events_orders", "range_join_sessions",
-    "ann_ivf_topk", "doc_overlap_winnow", "scd2_history_merge",
-    "dedup_minhash_cc", "hybrid_search_topk", "tfidf_top_terms",
-    "ngram_contamination", "semdedup_pairs", "semdedup_prune",
-    "dsir_select", "knn_join_exact", "contamination_attribution",
-    "semdedup_incremental", "bm25_rank", "span_dup_stats",
-    "span_dedup_rewrite", "global_order_positions", "html_extract",
-    "quality_classifier", "char_entropy", "table_profile",
-    "perplexity_buckets", "constraint_audit", "referential_audit",
-    "snapshot_audit",
-    # Last driver row r5 (14).
-    "embedding_matryoshka", "array_agg_sorted", "percentiles_exact",
-    "ann_pq_adc_topk", "funnel_conversion_unbounded", "embedding_jl_project",
-    "doc_vector_hashed", "pmi_collocations", "timeseries_gapfill",
-    "timeseries_anomaly", "ewma_smooth", "timeseries_lttb",
-    "cohort_retention", "funnel_conversion",
+    # ---- r11 ROTATION (VERDICT r10 #1): regression insurance on the
+    # now-stalest cohort.  Staleness histogram after r10 (latest driver row
+    # per live query, computed from CORRECTNESS_r01..r10): r5:30, r6:44,
+    # r7:30, r8:50, r9:50, r10:50.  The 50 slots fill stalest-first: ALL 30
+    # r5-checked queries, then 20 of the 44 r6-checked.  Within the r6 tie
+    # the two queries whose code/oracle is touched THIS round go first
+    # (windowed-at-birth rule: memo_lookup_or_compute — r11 __hit-marker
+    # rework; mixture_sample — r10 epsilon fix never driver-rechecked),
+    # then alphabetical.  The 24 displaced r6 names stay stalest-first for
+    # the r12 rotation.
+    # Last driver row r5 (30 — the full cohort).
+    "ann_ivfpq_topk", "bpe_encode_tokens", "bpe_fertility_by_lang",
+    "bpe_merge_rules", "clustering_coeff_topk", "code_detect_stats",
+    "contamination_bloom", "embedding_quantize", "entity_ids_incremental",
+    "entity_match", "event_path_topk", "golden_user_profile",
+    "line_dedup_incremental", "line_dedup_rewrite", "mmr_select_topk",
+    "mojibake_repair", "negative_sample_topk", "pagerank_topk",
+    "quality_calibration", "range_frame_hour_sum", "recipe_pipeline",
+    "rollup_hour_to_day", "script_profile", "spatial_radius_join",
+    "split_leakage_audit", "triangle_count_topk", "url_canonical_groups",
+    "vocab_drift_kl", "weighted_sample_topk", "winsorized_stats",
+    # Last driver row r6 (20 of 44: touched-this-round first, then A-Z).
+    "memo_lookup_or_compute", "mixture_sample",
+    "ann_recall_audit", "asof_join_forward", "bloom_prefilter_join",
+    "bucketed_join_colocated", "cms_heavy_hitters", "cms_merge_shards",
+    "corpus_curation_pipeline", "corpus_pipeline_v4",
+    "correlated_above_group_avg", "cross_source_overlap", "cube_agg",
+    "dataset_split", "dedup_bloom_incremental", "dp_noisy_counts",
+    "dup_cluster_size_hist", "dup_rate_by_source", "exists_subquery",
+    "grouping_sets_agg",
 ]
 assert len(_WINDOW_PRIORITY) == 50, len(_WINDOW_PRIORITY)
 
