@@ -41,12 +41,14 @@ def lookup_or_compute(
     (key, *value_cols) for them.  Returns ``df`` + ``value_cols``, where each
     row's values come from the cache when present, else from the computation.
 
-    Miss detection is ``value_cols[0] IS NULL`` after the probe join, so a
-    cache row whose FIRST value column is legitimately NULL reads as a miss
-    and recomputes every batch (r10 review note) — a negative cache
-    ("known failed") needs a non-NULL sentinel in ``value_cols[0]``, the
-    same contract the reference's geocode cache satisfies by construction
-    (it only stores successful lookups).
+    Miss detection is an explicit hit marker: the cache slice is projected
+    with a ``TRUE AS __hit`` column, and a row is a miss iff ``__hit IS
+    NULL`` after the left probe join.  A cache row whose value columns are
+    all NULL is therefore a first-class NEGATIVE cache entry ("known
+    failed"): it counts as a hit, its NULLs are kept verbatim, and the row
+    is NOT recomputed (r10 verdict #3; previously ``value_cols[0] IS
+    NULL`` misread such rows as misses and recomputed them every batch).
+    ``df`` must not already carry a ``__hit`` column.
 
     ``broadcast_overlays``: ``True`` (default) hints both the cache slice and
     the computed-miss overlay broadcast — right when the cache probe is
@@ -65,21 +67,26 @@ def lookup_or_compute(
             return d.hint("shuffle_hash")
         return d
 
+    assert "__hit" not in df.columns, "df must not carry a __hit column"
     cached = cache.select(
-        key, *[F.col(c).alias(f"__cache_{c}") for c in value_cols]
+        key,
+        F.lit(True).alias("__hit"),
+        *[F.col(c).alias(f"__cache_{c}") for c in value_cols],
     )
     probed = df.join(maybe_b(cached), on=key, how="left")
 
-    misses = probed.filter(F.col(f"__cache_{value_cols[0]}").isNull()).select(
-        *df.columns
-    )
+    misses = probed.filter(F.col("__hit").isNull()).select(*df.columns)
     computed = compute_fn(misses).select(
         key, *[F.col(c).alias(f"__new_{c}") for c in value_cols]
     )
 
     out = probed.join(maybe_b(computed), on=key, how="left")
     for c in value_cols:
+        # A hit keeps the cached value VERBATIM (NULL included — negative
+        # caching); only genuine misses take the computed overlay.
         out = out.withColumn(
-            c, F.coalesce(F.col(f"__cache_{c}"), F.col(f"__new_{c}"))
+            c,
+            F.when(F.col("__hit").isNotNull(), F.col(f"__cache_{c}"))
+            .otherwise(F.col(f"__new_{c}")),
         ).drop(f"__cache_{c}", f"__new_{c}")
-    return out
+    return out.drop("__hit")

@@ -1796,23 +1796,29 @@ def ann_pq_adc_topk(spark, sf_dir):
     "memo_lookup_or_compute",
     """
     WITH cache AS (
-      SELECT c_custkey, UPPER(c_name) AS display_name
+      SELECT c_custkey,
+             CASE WHEN c_custkey % 9 = 0 THEN NULL
+                  ELSE UPPER(c_name) END AS display_name
       FROM customer WHERE c_custkey % 3 = 0),
     probed AS (
-      SELECT o.o_orderkey, o.o_custkey, cache.display_name AS cached
+      SELECT o.o_orderkey, o.o_custkey, cache.display_name AS cached,
+             cache.c_custkey IS NOT NULL AS hit
       FROM orders o LEFT JOIN cache ON o.o_custkey = cache.c_custkey),
     computed AS (
       SELECT DISTINCT p.o_custkey, 'COMPUTED_' || CAST(p.o_custkey AS VARCHAR) AS computed
-      FROM probed p WHERE p.cached IS NULL)
+      FROM probed p WHERE NOT p.hit)
     SELECT p.o_orderkey,
-           COALESCE(p.cached, c.computed) AS display_name
+           CASE WHEN p.hit THEN p.cached ELSE c.computed END AS display_name
     FROM probed p LEFT JOIN computed c ON p.o_custkey = c.o_custkey
     """,
 )
 def memo_lookup_or_compute(spark, sf_dir):
     """The reference's memoization-join pattern as a generic engine op
     (engine.ops.memo.lookup_or_compute): cache probe (J5) → compute ONLY
-    misses → coalesce overlay (J7).  Cache = customers with custkey%3==0."""
+    misses → hit-marker overlay (J7).  Cache = customers with custkey%3==0,
+    and every custkey%9==0 cache row is a NEGATIVE entry (display_name
+    NULL): the op must treat it as a hit — keep the NULL, never recompute
+    it (r11 __hit-marker contract; the oracle's CASE WHEN hit mirrors it)."""
     from engine.ops.memo import lookup_or_compute
 
     o = t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
@@ -1821,7 +1827,9 @@ def memo_lookup_or_compute(spark, sf_dir):
         .filter(F.col("c_custkey") % 3 == 0)
         .select(
             F.col("c_custkey").alias("o_custkey"),
-            F.upper("c_name").alias("display_name"),
+            F.when(F.col("c_custkey") % 9 == 0, F.lit(None))
+            .otherwise(F.upper("c_name"))
+            .alias("display_name"),
         )
     )
 
