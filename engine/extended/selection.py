@@ -59,11 +59,18 @@ def importance_scores(
     keeps tokens absent from the target slice finite.  Documents with zero
     tokens are dropped (no evidence either way).
     """
+    # Explicit isnotnull: the broadcast probe join downstream INFERS
+    # isnotnull(token) on its side of the counts subtree but the totals
+    # aggregate does not, so without this filter the two consumers of the
+    # token-shuffle exchange canonicalize differently and AQE cannot emit a
+    # ReusedExchange — the corpus would be tokenized and shuffled TWICE
+    # (the q15 bug class; r11 reuse-audit find).  Tokens are never null
+    # (explode of a regexp match array), so the filter is semantics-free.
     tok = df.select(
         F.col(id_col),
         target.alias("__is_target"),
         F.explode(tokens(text_col)).alias("token"),
-    )
+    ).filter(F.col("token").isNotNull())
     counts = tok.groupBy("token").agg(
         F.count(F.lit(1)).alias("n_bg"),
         F.sum(F.when(F.col("__is_target"), 1).otherwise(0)).alias("n_t"),
