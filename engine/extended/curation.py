@@ -169,6 +169,12 @@ def tfidf_top_terms(
     the ROUNDED score (ties → lexicographically-first term) so the result is
     stable across engines whose ``ln`` differs in the last ulp.
 
+    PRECONDITION: each ``id_col`` value maps to exactly ONE ``group_col``
+    value (df is derived from a shared (term, group, id) aggregate, so an
+    id reused across groups — dirty input, id collisions across sources —
+    counts once PER GROUP and silently inflates df, shifting idf).  If ids
+    may repeat across groups, dedupe/namespace them first.
+
     Shape: one explode, a (group, term) aggregate, a term-level aggregate
     joined back, and a per-group top-k window — all partial-agg friendly;
     N is a broadcast scalar, not a driver-side collect.

@@ -269,8 +269,12 @@ def ledger_persist(df: DataFrame) -> DataFrame:
     md5 minhashes per doc twice).
 
     Contract: cache hits assume the plan's inputs are unchanged within the
-    session — the same staleness semantics as Spark's own ``persist``.
-    Entries from a stopped SparkSession are dropped, not returned."""
+    session — the same staleness semantics as Spark's own ``persist``, but
+    STRONGER in effect: a hit returns a previously MATERIALIZED frame, so a
+    caller that rewrites its corpus files mid-session and re-runs the same
+    logical plan gets the pre-rewrite data.  Such callers must call
+    :func:`ledger_clear` after rewriting (advice r10).  Entries from a
+    stopped SparkSession are dropped, not returned."""
     try:
         key = df.semanticHash()
     except Exception:  # plan not hashable (e.g. foreign session): no cache
@@ -306,6 +310,20 @@ def ledger_persist(df: DataFrame) -> DataFrame:
     df.persist()
     _INTERNAL_SIGS_LAST[key] = df
     return df
+
+
+def ledger_clear() -> None:
+    """Invalidate the signature ledger (advice r10): unpersist and drop
+    every cached frame.  Call after rewriting corpus files a cached plan
+    reads — a subsequent ``ledger_persist`` of the same logical plan then
+    rebuilds from the new data instead of serving the stale materialization.
+    Also useful to release executor memory between unrelated pipelines."""
+    while _INTERNAL_SIGS_LAST:
+        old = _INTERNAL_SIGS_LAST.pop(next(iter(_INTERNAL_SIGS_LAST)))
+        try:
+            old.unpersist()
+        except Exception:
+            pass
 
 
 def minhash_band_sweep(
@@ -415,6 +433,9 @@ def minhash_candidates(
         # pair); :func:`ledger_persist` bounds the would-be session leak
         # and returns the already-persisted frame on a repeat invocation
         # over the same corpus (multi-pass bench, interleaved queries).
+        # NOTE: if the corpus FILES are rewritten mid-session, that repeat
+        # hit is stale — callers that reread mutable inputs must
+        # :func:`ledger_clear` after rewriting (advice r10).
         # Sweep callers pass ``sigs=`` and own persistence.
         sigs = ledger_persist(sigs)
     band_arr = "array(" + ", ".join(

@@ -119,8 +119,16 @@ def _ensure_bucketed_table(
         return False
     with open(meta_p) as fh:
         meta = json.load(fh)
-    # sidecars written before the abspath fix may hold a relative location
-    meta["location"] = os.path.abspath(meta["location"])
+    # Sidecars written before the abspath fix may hold a relative location.
+    # Resolve it against the sidecar's own directory (the data lives under
+    # snapshot_dir by construction — see the `location` assignment above),
+    # NOT the process cwd: a recovering session launched from a different
+    # cwd would otherwise check (or worse, coincidentally match and
+    # register) an unrelated same-named path (advice r10).
+    if not os.path.isabs(meta["location"]):
+        meta["location"] = os.path.abspath(
+            os.path.join(snapshot_dir, os.path.basename(meta["location"].rstrip("/")))
+        )
     if not os.path.exists(os.path.join(meta["location"], "_SUCCESS")):
         return False  # mid-write crash artifact: not a complete version
     spark.sql(

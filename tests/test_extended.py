@@ -733,3 +733,28 @@ def test_ledger_persist_keyed_no_interleaved_eviction(spark):
     _INTERNAL_SIGS_LAST.clear()
     for f in (s2, s3):
         f.unpersist()
+
+
+def test_ledger_clear_invalidates_and_unpersists(spark):
+    """advice r10: ledger_clear must unpersist every cached frame and empty
+    the ledger, so a caller that rewrote its corpus files gets a REBUILT
+    frame (new object, fresh materialization) on the next ledger_persist of
+    the same logical plan instead of the stale cached one."""
+    from engine.extended.dedup import (
+        _INTERNAL_SIGS_LAST,
+        ledger_clear,
+        ledger_persist,
+        minhash_sigs,
+    )
+
+    _INTERNAL_SIGS_LAST.clear()
+    docs = _docs(spark)
+    s1 = ledger_persist(minhash_sigs(docs))
+    assert s1.storageLevel.useMemory
+    ledger_clear()
+    assert not _INTERNAL_SIGS_LAST
+    assert not s1.storageLevel.useMemory  # released, not leaked
+    s2 = ledger_persist(minhash_sigs(docs))
+    assert s2 is not s1  # rebuilt, not served from the stale ledger
+    assert s2.storageLevel.useMemory
+    ledger_clear()
