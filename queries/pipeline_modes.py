@@ -417,7 +417,7 @@ def stats_aggregates(spark, sf_dir):
 
 @q(
     "geocode_cascade_fake",
-    """
+    r"""
 WITH src AS (
   SELECT CAST(c_custkey AS VARCHAR) AS patron_id,
          REPLACE(REPLACE(REPLACE(CAST(c_custkey % 900 + 100 AS VARCHAR) || ' '

@@ -380,9 +380,11 @@ def _protobuf_available() -> bool:
 @pytest.mark.skipif(
     not _protobuf_available(),
     reason="transformWithState's state-server protocol needs google.protobuf "
-    "— not installed in this sandbox (probed 2026-08-15; same env-blocked "
-    "class as the usaddress wheel). The old-API running_stats covers the "
-    "semantics; this parity test arms automatically when protobuf lands.",
+    "— not installed in this sandbox (probed 2026-08-15 and again 2026-08-16: "
+    "pip download/install both DNS-blocked, no wheel anywhere on the host; "
+    "same env-blocked class as the usaddress wheel). The old-API "
+    "running_stats covers the semantics; this parity test arms "
+    "automatically when protobuf lands.",
 )
 def test_running_stats_tws_parity_with_old_api(spark, tmp_path):
     """transformWithStateInPandas twin produces the same final per-key
