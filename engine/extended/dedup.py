@@ -789,6 +789,7 @@ def embedding_near_dup(
     planes: int = 16,
     bands: int = 4,
     threshold: float = 0.95,
+    bucket_cap: int | None = 500,
 ) -> DataFrame:
     """Near-duplicate vectors by cosine ≥ threshold.
 
@@ -797,6 +798,16 @@ def embedding_near_dup(
     of sign bits matches, which keeps recall high for cos≈1 pairs
     (per-band collide prob (1-θ/π)^(planes/bands), any-of-``bands`` boosted).
     Exact cosine verifies within buckets.  Returns (id_a, id_b, cos_sim).
+
+    ``bucket_cap`` bounds each (band, bkey) bucket to its lowest-id members
+    before the self-join — the same contract as the MinHash path (overflow
+    rows emit no pairs).  This is load-bearing at scale: each band has only
+    2^(planes/bands) possible keys (16 at the defaults), so an UNCAPPED
+    banded self-join over clustered embeddings is quadratic in corpus size
+    (r11 ×100 probe: a 220k-vector fixture spilled >79 GB before dying).
+    At corpus scale ALSO raise ``planes``/``bands`` so the expected bucket
+    size sits well under the cap (e.g. planes=64, bands=8 → 256 keys/band,
+    ~99% any-band recall at cos 0.95).
     """
     hp = _unit_hyperplanes(dim, planes)
     sigs = (
@@ -806,9 +817,21 @@ def embedding_near_dup(
             F.explode(sign_band_structs(vec_col, hp, bands)).alias("bb"),
         )
         .select("id", "v", F.col("bb.band").alias("band"), F.col("bb.bkey").alias("bkey"))
-        .persist()
     )
+    if bucket_cap:
+        wcap = Window.partitionBy("band", "bkey").orderBy("id")
+        sigs = (
+            sigs.withColumn("__bn", F.row_number().over(wcap))
+            .filter(F.col("__bn") <= bucket_cap)
+            .drop("__bn")
+        )
+    sigs = sigs.persist()
     a, b = sigs.alias("a"), sigs.alias("b")
+    # cosine computed IN the join projection: the pair-dedup exchange then
+    # carries one 8-byte double per candidate instead of two dim-long float
+    # arrays (the MinHash path's est-in-projection discipline); a pair
+    # colliding in k bands scores k times — CPU for shuffle bytes, the
+    # right trade at scale
     return (
         a.join(
             b,
@@ -816,11 +839,13 @@ def embedding_near_dup(
             & (F.col("a.bkey") == F.col("b.bkey"))
             & (F.col("a.id") < F.col("b.id")),
         )
-        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"), F.col("a.v").alias("va"), F.col("b.v").alias("vb"))
-        .dropDuplicates(["id_a", "id_b"])
-        .withColumn("cos_sim", F.round(cosine(F.col("va"), F.col("vb")), 4))
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.round(cosine(F.col("a.v"), F.col("b.v")), 4).alias("cos_sim"),
+        )
         .filter(F.col("cos_sim") >= threshold)
-        .select("id_a", "id_b", "cos_sim")
+        .dropDuplicates(["id_a", "id_b"])
     )
 
 

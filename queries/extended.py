@@ -502,9 +502,12 @@ def _embedding_near_dup_sql() -> str:
       FROM embeddings WHERE vec_id % 10 = 0),
     banded AS (
       {banded}),
+    bcap AS (
+      SELECT * FROM banded
+      QUALIFY ROW_NUMBER() OVER (PARTITION BY band, bkey ORDER BY vec_id) <= 500),
     cand AS (
       SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
-      FROM banded a JOIN banded b
+      FROM bcap a JOIN bcap b
         ON a.band = b.band AND a.bkey = b.bkey AND a.vec_id < b.vec_id),
     v2 AS (SELECT vec_id, v,
            SQRT(list_sum(list_transform(v, x -> x * x))) AS nrm FROM aug),
@@ -539,7 +542,10 @@ def embedding_near_dup_q(spark, sf_dir):
         "label",
     )
     aug = emb.unionByName(perturbed)
-    return embedding_near_dup(aug, dim=first["d"], threshold=0.95).orderBy(
+    # bucket_cap=500 (engine scale default), mirrored in the oracle's
+    # QUALIFY — inert at test SFs (largest bucket ≪ 500), load-bearing at
+    # corpus scale (r11 ×100 probe: uncapped spilled >79 GB)
+    return embedding_near_dup(aug, dim=first["d"], threshold=0.95, bucket_cap=500).orderBy(
         "id_a", "id_b"
     )
 

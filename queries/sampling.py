@@ -82,12 +82,19 @@ def label_centroids_q(spark, sf_dir):
     return centroids_by(e)
 
 
+#: pair sides capped at the engine's cluster_cap=500 scale default
+#: (lowest-id rows per label — deterministic, so QUALIFY mirrors it
+#: exactly; every test-SF cluster is under the cap, so the capped and
+#: uncapped results coincide while the gate checks the scale config)
 _SEMDEDUP_PAIRS_SQL = """
     WITH v AS (
       SELECT label, vec_id, embedding,
              SQRT(list_sum(list_transform(embedding,
                   x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm
       FROM embeddings),
+    vc AS (
+      SELECT * FROM v
+      QUALIFY ROW_NUMBER() OVER (PARTITION BY label ORDER BY vec_id) <= 500),
     p AS (
       SELECT a.label AS label, a.vec_id AS a_id, b.vec_id AS b_id,
              CASE WHEN a.nrm * b.nrm > 0 THEN ROUND(
@@ -95,7 +102,7 @@ _SEMDEDUP_PAIRS_SQL = """
                         x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))
                / (a.nrm * b.nrm), 4)
              END AS sim
-      FROM v a JOIN v b ON a.label = b.label AND a.vec_id < b.vec_id)
+      FROM vc a JOIN vc b ON a.label = b.label AND a.vec_id < b.vec_id)
 """
 
 
@@ -113,13 +120,14 @@ def semdedup_pairs_q(spark, sf_dir):
     from engine.extended.semdedup import semdedup_pairs
 
     e = t(spark, sf_dir, "embeddings")
-    # cluster_cap=None: the oracle is uncapped; the operator default (500)
-    # is the unconfigured-caller safety net, opted out of here explicitly
+    # cluster_cap=500 — the engine scale default, mirrored in the oracle's
+    # QUALIFY (r11; the ×100 probe showed uncapped pair generation going
+    # quadratic in cluster size, so the gate now checks the scale config)
     return semdedup_pairs(
         e,
         threshold=0.4,
         probe_parallelism=spark.sparkContext.defaultParallelism,
-        cluster_cap=None,
+        cluster_cap=500,
     )
 
 
@@ -143,7 +151,7 @@ def semdedup_prune_q(spark, sf_dir):
 
     e = t(spark, sf_dir, "embeddings")
     drops = (
-        semdedup_pairs(e, threshold=0.3, cluster_cap=None)
+        semdedup_pairs(e, threshold=0.3, cluster_cap=500)
         .select(F.col("b_id").alias("vec_id"))
         .distinct()
         .withColumn("__dropped", F.lit(1))
@@ -406,21 +414,27 @@ def embedding_quantize_q(spark, sf_dir):
       FROM embeddings),
     corpus AS (SELECT * FROM v WHERE vec_id % 2 = 0),
     batch  AS (SELECT * FROM v WHERE vec_id % 2 = 1),
+    ccap AS (
+      SELECT * FROM corpus
+      QUALIFY ROW_NUMBER() OVER (PARTITION BY label ORDER BY vec_id) <= 500),
     xhit AS (
       SELECT DISTINCT b.vec_id AS id
-      FROM batch b JOIN corpus c ON b.label = c.label
+      FROM batch b JOIN ccap c ON b.label = c.label
       WHERE CASE WHEN b.nrm * c.nrm > 0 THEN ROUND(
               list_sum(list_transform(list_zip(b.embedding, c.embedding),
                        x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))
               / (b.nrm * c.nrm), 4) END >= 0.3),
     fresh AS (SELECT * FROM batch WHERE vec_id NOT IN (SELECT id FROM xhit)),
+    fcap AS (
+      SELECT * FROM fresh
+      QUALIFY ROW_NUMBER() OVER (PARTITION BY label ORDER BY vec_id) <= 500),
     p AS (
       SELECT a.vec_id AS a_id, b.vec_id AS b_id,
              CASE WHEN a.nrm * b.nrm > 0 THEN ROUND(
                list_sum(list_transform(list_zip(a.embedding, b.embedding),
                         x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))
                / (a.nrm * b.nrm), 4) END AS sim
-      FROM fresh a JOIN fresh b ON a.label = b.label AND a.vec_id < b.vec_id),
+      FROM fcap a JOIN fcap b ON a.label = b.label AND a.vec_id < b.vec_id),
     drops AS (SELECT DISTINCT b_id FROM p WHERE sim >= 0.3)
     SELECT vec_id, label FROM fresh
     WHERE vec_id NOT IN (SELECT b_id FROM drops)
@@ -430,7 +444,15 @@ def semdedup_incremental_q(spark, sf_dir):
     """Incremental semantic dedup: the odd-id half of the embeddings arrives
     as a new batch and is accepted only if novel against the even-id corpus
     AND within itself — per-batch cost stays O(batch × cluster slice), the
-    persisted-index ingest shape (engine.extended.semdedup.semdedup_incremental)."""
+    persisted-index ingest shape (engine.extended.semdedup.semdedup_incremental).
+
+    cluster_cap=500 — the engine's SCALE path, mirrored exactly in the
+    oracle (QUALIFY lowest-id-500 per label on the corpus probe side and on
+    the within-batch pair sides; the cap rule is deterministic).  The r11
+    ×100 probe caught the previous cluster_cap=None form going quadratic in
+    cluster size (500k-vector fixture: >18 min vs ~1 s at sf0.1); at the
+    test SFs every cluster is under the cap, so results are identical —
+    the gate now simply checks the configuration that survives 100 TB."""
     from engine.extended.semdedup import semdedup_incremental
 
     e = t(spark, sf_dir, "embeddings")
@@ -438,7 +460,7 @@ def semdedup_incremental_q(spark, sf_dir):
         e.filter(F.col("vec_id") % 2 == 1),
         e.filter(F.col("vec_id") % 2 == 0),
         threshold=0.3,
-        cluster_cap=None,
+        cluster_cap=500,
     ).select("vec_id", "label")
 
 

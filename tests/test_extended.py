@@ -116,6 +116,21 @@ def test_embedding_near_dup_finds_planted_pair(spark):
     assert (0, 1000) in pairs
 
 
+def test_embedding_near_dup_bucket_cap_bounds_pairs(spark):
+    """bucket_cap keeps the banded self-join bounded in a hot bucket (r11
+    ×100 probe: uncapped, a 220k-vector fixture spilled >79 GB): only the
+    cap lowest-id members of a bucket pair up, overflow rows emit nothing —
+    the MinHash-path contract."""
+    # 8 identical vectors: every band key collides, cosine = 1.0 for all
+    rows = [(i, [1.0, 2.0, 3.0, 4.0]) for i in range(8)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    capped = embedding_near_dup(df, dim=4, planes=8, threshold=0.99, bucket_cap=3)
+    got = {(r["id_a"], r["id_b"]) for r in capped.collect()}
+    assert got == {(0, 1), (0, 2), (1, 2)}  # C(cap,2), lowest ids only
+    uncapped = embedding_near_dup(df, dim=4, planes=8, threshold=0.99, bucket_cap=None)
+    assert uncapped.count() == 28  # C(8,2) — cap=None restores exact pairs
+
+
 def test_text_ops(spark):
     df = spark.createDataFrame(
         [(0, "The cat and the dog."), (1, "Der Hund ist nicht ein Katze und zu"), (2, "")],

@@ -44,10 +44,19 @@ def _stride(con, table: str, key: str) -> int:
     return con.execute(f"SELECT MAX({key}) + 1 FROM {table}").fetchone()[0] or 1
 
 
-def generate(base: str, out: str, factor: int) -> None:
+def generate(
+    base: str, out: str, factor: int, tables: list[str] | None = None
+) -> None:
+    """``tables``: restrict generation to a subset (e.g. documents +
+    embeddings for the near-dup/ANN family probe at factors where the full
+    FK chain would dominate generation time and disk for no added signal)."""
+    keyed = {t: k for t, k in KEYED.items() if tables is None or t in tables}
+    verbatim = [t for t in VERBATIM if tables is None or t in tables]
+    want_lineitem = tables is None or "lineitem" in tables
     os.makedirs(out, exist_ok=True)
     con = duckdb.connect()
-    for t in list(KEYED) + VERBATIM + ["lineitem"]:
+    src = list(keyed) + verbatim + (["lineitem", "orders"] if want_lineitem else [])
+    for t in dict.fromkeys(src):
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{base}/{t}.parquet'")
     con.execute(f"CREATE VIEW rep AS SELECT UNNEST(range({factor})) AS rep")
 
@@ -56,7 +65,7 @@ def generate(base: str, out: str, factor: int) -> None:
         n = con.execute(f"SELECT COUNT(*) FROM '{out}/{name}.parquet'").fetchone()[0]
         print(f"{name}: {n} rows")
 
-    for t in VERBATIM:
+    for t in verbatim:
         copy(f"SELECT * FROM {t}", t)
 
     #: per-table non-key rewrites keeping replica 0 verbatim
@@ -71,7 +80,7 @@ def generate(base: str, out: str, factor: int) -> None:
                          "embedding[2:]) END AS embedding"
         },
     }
-    for t, keys in KEYED.items():
+    for t, keys in keyed.items():
         strides = {k: _stride(con, t, k) for k in keys}
         shifted = [f"{k} + {strides[k]} * rep AS {k}" for k in keys]
         rewritten = list(perturb.get(t, {}).values())
@@ -81,12 +90,13 @@ def generate(base: str, out: str, factor: int) -> None:
             f"FROM {t} CROSS JOIN rep",
             t,
         )
-    o_stride = _stride(con, "orders", "o_orderkey")
-    copy(
-        f"SELECT l_orderkey + {o_stride} * rep AS l_orderkey, "
-        "* EXCLUDE (l_orderkey, rep) FROM lineitem CROSS JOIN rep",
-        "lineitem",
-    )
+    if want_lineitem:
+        o_stride = _stride(con, "orders", "o_orderkey")
+        copy(
+            f"SELECT l_orderkey + {o_stride} * rep AS l_orderkey, "
+            "* EXCLUDE (l_orderkey, rep) FROM lineitem CROSS JOIN rep",
+            "lineitem",
+        )
 
 
 def main() -> None:
@@ -94,8 +104,10 @@ def main() -> None:
     p.add_argument("--base", default="/root/testdata/sf0.1")
     p.add_argument("--out", required=True)
     p.add_argument("--factor", type=int, default=10)
+    p.add_argument("--tables", nargs="*", default=None,
+                   help="restrict to these tables (default: all)")
     a = p.parse_args()
-    generate(a.base, a.out, a.factor)
+    generate(a.base, a.out, a.factor, tables=a.tables)
 
 
 if __name__ == "__main__":
