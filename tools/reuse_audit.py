@@ -29,6 +29,37 @@ def table_scans(plan: str) -> dict[str, int]:
     return counts
 
 
+def identical_scans(plan: str) -> dict[tuple, int]:
+    """(table, ReadSchema, PushedFilters, DataFilters) tuples appearing MORE
+    THAN ONCE in the final plan — the high-suspicion signature (r11 triage):
+    two scans with different columns/filters are usually different roles,
+    but byte-identical scans mean a shared subtree whose consumers failed
+    to canonicalize (the q15/dsir isnotnull class) — OR a persisted frame
+    whose cached child plan prints per reference (check for
+    InMemoryRelation before treating it as a defect)."""
+    final = plan.split("== Initial Plan ==")[0]
+    seen: dict[tuple, int] = {}
+    for m in re.finditer(r"FileScan parquet \[[^\]]*\][^\n]*", final):
+        line = m.group(0)
+        tm = re.search(r"\[file:([^\]]+)\]", line)
+        t = (
+            tm.group(1).rstrip("/").rsplit("/", 1)[-1].replace(".parquet", "")
+            if tm
+            else "?"
+        )
+        rs = re.search(r"ReadSchema: (\S+)", line)
+        pf = re.search(r"PushedFilters: (\[[^\]]*\])", line)
+        dfl = re.search(r"DataFilters: (\[[^\]]*\])", line)
+        key = (
+            t,
+            rs.group(1) if rs else "",
+            pf.group(1) if pf else "",
+            dfl.group(1) if dfl else "",
+        )
+        seen[key] = seen.get(key, 0) + 1
+    return {k: v for k, v in seen.items() if v > 1}
+
+
 def main() -> int:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     only = set(sys.argv[2:])
@@ -53,7 +84,9 @@ def main() -> int:
         dupes = {t: c for t, c in table_scans(plan).items() if c > 1}
         if dupes and not reused:
             flagged.append(name)
-            print(f"FLAG {name}: repeat scans {dupes}, no ReusedExchange")
+            ident = identical_scans(plan)
+            sev = " [IDENTICAL-SCANS — triage first]" if ident else ""
+            print(f"FLAG {name}: repeat scans {dupes}, no ReusedExchange{sev}")
     print(f"\n{len(flagged)} flagged" + (f": {flagged}" if flagged else ""))
     return 0
 
