@@ -1857,9 +1857,13 @@ def memo_lookup_or_compute(spark, sf_dir):
                ELSE range(0, CAST(LENGTH(n) - 64 AS BIGINT) + 1, 32) END) AS s
       FROM nrm),
     fp AS (SELECT DISTINCT doc_id,
-           {_MD5H.format(x='SUBSTRING(n, s + 1, 64)')} AS fp FROM st)
+           {_MD5H.format(x='SUBSTRING(n, s + 1, 64)')} AS fp FROM st),
+    fpok AS (
+      SELECT doc_id, fp FROM (
+        SELECT doc_id, fp, COUNT(*) OVER (PARTITION BY fp) AS __fn FROM fp)
+      WHERE __fn <= 500)
     SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS shared_windows
-    FROM fp a JOIN fp b ON a.fp = b.fp AND a.doc_id < b.doc_id
+    FROM fpok a JOIN fpok b ON a.fp = b.fp AND a.doc_id < b.doc_id
     GROUP BY a.doc_id, b.doc_id
     """,
 )
@@ -1871,7 +1875,15 @@ def doc_overlap_winnow(spark, sf_dir):
     md5-mode hash + ASCII-restricted normalization (non-ASCII stripped
     BEFORE lowering): ASCII lowercasing is engine-invariant, Unicode
     lowering is not (Java vs utf8proc disagree on İ and friends), so the
-    oracle twin is exact by construction."""
+    oracle twin is exact by construction.
+
+    Ubiquity cap (r11): fingerprints shared by MORE than 500 docs are
+    dropped before the self-join — standard winnowing practice (a window in
+    thousands of docs is boilerplate, not overlap signal) and the bound
+    that keeps the fp join from going quadratic on a hot shared header at
+    corpus scale.  One count-over-fp window on the SAME fp-hash exchange
+    the join needs anyway; oracle-mirrored; inert on every test corpus
+    (max fp fan-out ≪ 500)."""
     from engine.extended.text import ascii_norm_text, rolling_fingerprints_from
 
     d = t(spark, sf_dir, "documents")
@@ -1887,6 +1899,12 @@ def doc_overlap_winnow(spark, sf_dir):
             ).alias("fp"),
         )
         .distinct()
+    )
+    wfp = Window.partitionBy("fp")
+    fp = (
+        fp.withColumn("__fn", F.count(F.lit(1)).over(wfp))
+        .filter(F.col("__fn") <= 500)
+        .drop("__fn")
     )
     a, b = fp.alias("a"), fp.alias("b")
     return (

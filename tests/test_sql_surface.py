@@ -46,3 +46,25 @@ def test_sql_pipeline_query_end_to_end(spark):
     ).collect()
     assert len(out) == 150
     assert all(len(r["pid"]) == 64 for r in out)
+
+
+def test_doc_overlap_winnow_ubiquity_cap(spark, tmp_path):
+    """Fingerprints shared by >500 docs are boilerplate, not overlap signal:
+    they must be dropped BEFORE the fp self-join (r11 — the bound that
+    keeps a hot shared header from going quadratic at corpus scale), while
+    rare shared windows still pair up."""
+    from queries import doc_overlap_winnow
+
+    boiler = "the quick brown fox jumps over the lazy dog near the river bank today"
+    rare = "zq" * 40  # 80 chars, unique window shared by exactly two docs
+    rows = [(i, boiler, "s", "en") for i in range(600)]
+    rows += [(1001, rare, "s", "en"), (1002, rare, "s", "en")]
+    spark.createDataFrame(
+        rows, "doc_id long, text string, source string, lang string"
+    ).write.mode("overwrite").parquet(f"{tmp_path}/documents.parquet")
+
+    got = {(r["id_a"], r["id_b"]) for r in
+           doc_overlap_winnow(spark, str(tmp_path)).collect()}
+    # 600 boilerplate docs share every window (fan-out 600 > 500) -> no
+    # pairs from them; the rare window (fan-out 2) still pairs
+    assert got == {(1001, 1002)}
