@@ -790,6 +790,7 @@ def embedding_near_dup(
     bands: int = 4,
     threshold: float = 0.95,
     bucket_cap: int | None = 500,
+    pair_score: str = "per_collision",
 ) -> DataFrame:
     """Near-duplicate vectors by cosine ≥ threshold.
 
@@ -808,7 +809,25 @@ def embedding_near_dup(
     At corpus scale ALSO raise ``planes``/``bands`` so the expected bucket
     size sits well under the cap (e.g. planes=64, bands=8 → 256 keys/band,
     ~99% any-band recall at cos 0.95).
+
+    ``pair_score`` picks where the exact cosine is evaluated — results are
+    identical, cost profiles are not (both A/B-measured r11):
+
+    - ``"per_collision"`` (default): score inside the banded join, dedup
+      the surviving (id_a, id_b, sim) rows.  A pair colliding in k bands
+      scores k times, but NOTHING outside the banded join is ever touched —
+      the right default at corpus scale, where candidate pairs are sparse
+      and a corpus-wide vector fetch would dominate.
+    - ``"dedup_first"``: dedup bare id pairs, then fetch both vectors back
+      from ``df`` by id and score once per unique pair.  3× faster on a
+      hot-bucket hostile fixture (21.5 s → 6.4 s at 20k vectors: capped hot
+      buckets collide in every band, so per-collision pays bands× the
+      cosine work), a wash on uniform data — but the fetch joins touch the
+      FULL corpus embedding column, so prefer it only when the corpus is
+      modest or buckets are known-hot.
     """
+    if pair_score not in ("per_collision", "dedup_first"):
+        raise ValueError(f"unknown pair_score: {pair_score!r}")
     hp = _unit_hyperplanes(dim, planes)
     sigs = (
         df.select(
@@ -827,19 +846,35 @@ def embedding_near_dup(
         )
     sigs = sigs.persist()
     a, b = sigs.alias("a"), sigs.alias("b")
+    joined = a.join(
+        b,
+        (F.col("a.band") == F.col("b.band"))
+        & (F.col("a.bkey") == F.col("b.bkey"))
+        & (F.col("a.id") < F.col("b.id")),
+    )
+    if pair_score == "dedup_first":
+        cand = joined.select(
+            F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b")
+        ).dropDuplicates(["id_a", "id_b"])
+        va = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("__va"))
+        vb = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("__vb"))
+        return (
+            cand.join(va, "id_a")
+            .join(vb, "id_b")
+            .select(
+                "id_a",
+                "id_b",
+                F.round(cosine(F.col("__va"), F.col("__vb")), 4).alias("cos_sim"),
+            )
+            .filter(F.col("cos_sim") >= threshold)
+        )
     # cosine computed IN the join projection: the pair-dedup exchange then
     # carries one 8-byte double per candidate instead of two dim-long float
     # arrays (the MinHash path's est-in-projection discipline); a pair
     # colliding in k bands scores k times — CPU for shuffle bytes, the
     # right trade at scale
     return (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.bkey") == F.col("b.bkey"))
-            & (F.col("a.id") < F.col("b.id")),
-        )
-        .select(
+        joined.select(
             F.col("a.id").alias("id_a"),
             F.col("b.id").alias("id_b"),
             F.round(cosine(F.col("a.v"), F.col("b.v")), 4).alias("cos_sim"),
