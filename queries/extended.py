@@ -544,8 +544,15 @@ def embedding_near_dup_q(spark, sf_dir):
     aug = emb.unionByName(perturbed)
     # bucket_cap=500 (engine scale default), mirrored in the oracle's
     # QUALIFY — inert at test SFs (largest bucket ≪ 500), load-bearing at
-    # corpus scale (r11 ×100 probe: uncapped spilled >79 GB)
-    return embedding_near_dup(aug, dim=first["d"], threshold=0.95, bucket_cap=500).orderBy(
+    # corpus scale (r11 ×100 probe: uncapped spilled >79 GB).
+    # pair_score="dedup_first": the gate/bench corpora are modest and the
+    # skew fixture hot-bucketed — the regime where scoring once per unique
+    # pair wins 3× (A/B r11); pairs are identical either way, so the
+    # oracle is mode-agnostic.
+    return embedding_near_dup(
+        aug, dim=first["d"], threshold=0.95, bucket_cap=500,
+        pair_score="dedup_first",
+    ).orderBy(
         "id_a", "id_b"
     )
 
