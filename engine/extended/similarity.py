@@ -50,6 +50,30 @@ __all__ = [
 ]
 
 
+def _arr_lit(vals) -> Column:
+    """1-D double-array literal as ONE F.expr SQL string — the r10
+    driver-side build-cost discipline (a 64-component F.array/F.lit tree
+    costs ~65 py4j round trips; this costs one).  ``{v!r}D`` is
+    shortest-round-trip, bit-identical to ``F.lit(float(v))``."""
+    return F.expr("array(" + ", ".join(f"{float(v)!r}D" for v in vals) + ")")
+
+
+def _arr2_sql(rows) -> str:
+    """2-D double-array literal as SQL text (codebooks, ADC lookup tables)."""
+    return (
+        "array("
+        + ", ".join(
+            "array(" + ", ".join(f"{float(v)!r}D" for v in r) + ")" for r in rows
+        )
+        + ")"
+    )
+
+
+def _arr2_lit(rows) -> Column:
+    """2-D sibling of :func:`_arr_lit`."""
+    return F.expr(_arr2_sql(rows))
+
+
 def cosine_topk(
     vectors: DataFrame,
     query_vec: list[float],
@@ -64,7 +88,7 @@ def cosine_topk(
     The query vector is a literal array (broadcast by the plan, no join);
     ordering ties break by id so the result is deterministic.
     """
-    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    q = _arr_lit(query_vec)
     sim = F.round(cosine(F.col(vec_col), q), round_to)
     return (
         vectors.select(F.col(id_col), sim.alias("sim"))
@@ -145,7 +169,7 @@ def lsh_topk(
     probe = sigged.filter(
         F.bit_count(F.col("lsh_sig").bitwiseXOR(F.lit(qsig))) <= max_probe_hamming
     )
-    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    q = _arr_lit(query_vec)
     sim = F.round(cosine(F.col(vec_col), q), round_to)
     return (
         probe.select(F.col(id_col), sim.alias("sim"))
@@ -214,7 +238,7 @@ def ivf_topk(
 
     ranked = sorted(range(len(centroids)), key=lambda i: -cos(centroids[i], query_vec))
     probe_lists = ranked[:nprobe]
-    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    q = _arr_lit(query_vec)
     sim = F.round(cosine(F.col(vec_col), q), round_to)
     return (
         assigned.filter(F.col("ivf_list").isin(probe_lists))
@@ -232,19 +256,22 @@ def _seeded_argmin(cents: list[list[float]], q_col: str = "__q") -> Column:
     double accumulation, the same operation order the DuckDB oracle's
     ``list_sum(list_transform(list_zip(...)))`` performs, so distances are
     bit-identical across engines (inputs are exact: quantized bigints and
-    centroid doubles derived from exact integer sums)."""
-    structs = []
-    for j, c in enumerate(cents):
-        carr = F.array(*[F.lit(float(v)) for v in c])
-        d = F.aggregate(
-            F.zip_with(
-                q_col, carr, lambda x, y: (x.cast("double") - y) * (x.cast("double") - y)
-            ),
-            F.lit(0.0),
-            lambda acc, v: acc + v,
-        )
-        structs.append(F.struct(d.alias("d"), F.lit(j).alias("cid")))
-    return F.array_min(F.array(*structs))["cid"]
+    centroid doubles derived from exact integer sums).
+
+    ONE F.expr SQL string (r11, the r10 build-cost class): the per-centroid
+    Column-tree form cost ~0.7 s of py4j round trips per call at
+    n_lists=8 × dim=64 — paid per Lloyd round — vs ~0.16 s for the single
+    string; verified element-equal on real data."""
+    def arr(c):
+        return "array(" + ", ".join(f"{float(v)!r}D" for v in c) + ")"
+
+    structs = ", ".join(
+        f"named_struct('d', aggregate(zip_with(`{q_col}`, {arr(c)}, "
+        f"(x, y) -> (CAST(x AS DOUBLE) - y) * (CAST(x AS DOUBLE) - y)), 0.0D, "
+        f"(acc, v) -> acc + v), 'cid', {j})"
+        for j, c in enumerate(cents)
+    )
+    return F.expr(f"array_min(array({structs})).cid")
 
 
 def quantized_vec(vec_col: str | Column, quant: float = 1_000_000.0) -> Column:
@@ -385,7 +412,7 @@ def ivf_topk_seeded(
     table is written ``partitionBy(ivf_list)``, same contract as
     :func:`ivf_topk`."""
     probe_lists = probe_lists_seeded(cents, query_qvec, nprobe)
-    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    q = _arr_lit(query_vec)
     sim = F.round(cosine(F.col(vec_col), q), round_to)
     return (
         assigned.filter(F.col("ivf_list").isin(probe_lists))
@@ -407,37 +434,36 @@ def _pq_validate(dim: int, m: int) -> int:
 
 
 def _pq_cb_lit(cents: list[list[list[float]]]) -> Column:
-    """codebooks as a nested literal: cb[sj+1][cid+1] = centroid array."""
-    return F.array(
-        *[
-            F.array(*[F.array(*[F.lit(float(v)) for v in c]) for c in sub])
-            for sub in cents
-        ]
+    """codebooks as a nested literal: cb[sj+1][cid+1] = centroid array.
+
+    ONE ``F.expr`` SQL string (the r10 driver-side build-cost class): the
+    nested F.array/F.lit form cost m·ksub·dsub+ py4j round trips — ~550 at
+    the defaults, paid PER Lloyd round and again at encode/ADC time.
+    ``{v!r}D`` double literals are shortest-round-trip, bit-identical to
+    ``F.lit(float(v))`` (the sign-LSH/OPH families' discipline)."""
+    inner = ", ".join(
+        "array(" + ", ".join(
+            "array(" + ", ".join(f"{float(v)!r}D" for v in c) + ")" for c in sub
+        ) + ")"
+        for sub in cents
     )
+    return F.expr(f"array({inner})")
 
 
-def _pq_sqdist(sub_col: Column, cent_col: Column) -> Column:
-    """Left-to-right double fold of (int - double)^2 — the same operation
-    order as the oracle's ``list_sum(list_transform(list_zip(...)))`` and
-    the driver-side Python fold, so distances are bit-identical across all
-    three (same contract as :func:`_seeded_argmin`)."""
-    return F.aggregate(
-        F.zip_with(
-            sub_col, cent_col, lambda x, y: (x.cast("double") - y) * (x.cast("double") - y)
-        ),
-        F.lit(0.0),
-        lambda acc, v: acc + v,
+def _pq_argmin(cb_sql: str, sub_sql: str, ksub: int) -> Column:
+    """Nearest-centroid id within one subspace's codebook (``cb_sql`` is SQL
+    text for the ksub×dsub array), tie-break lowest cid.  ONE F.expr string
+    per call — the same r10/r11 build-cost discipline as
+    :func:`_seeded_argmin`; semantics (left-to-right double fold, array_min
+    struct tie-break) unchanged and verified element-equal."""
+    structs = ", ".join(
+        f"named_struct('d', aggregate(zip_with({sub_sql}, "
+        f"element_at({cb_sql}, {cidx + 1}), "
+        f"(x, y) -> (CAST(x AS DOUBLE) - y) * (CAST(x AS DOUBLE) - y)), 0.0D, "
+        f"(acc, v) -> acc + v), 'cid', {cidx})"
+        for cidx in range(ksub)
     )
-
-
-def _pq_argmin(cb_col: Column, sub_col: Column, ksub: int) -> Column:
-    """Nearest-centroid id within one subspace's codebook (``cb_col`` is the
-    ksub×dsub array for the row's own subspace), tie-break lowest cid."""
-    structs = []
-    for cidx in range(ksub):
-        d = _pq_sqdist(sub_col, F.element_at(cb_col, cidx + 1))
-        structs.append(F.struct(d.alias("d"), F.lit(cidx).alias("cid")))
-    return F.array_min(F.array(*structs))["cid"]
+    return F.expr(f"array_min(array({structs})).cid")
 
 
 def pq_train_seeded(
@@ -512,7 +538,7 @@ def pq_train_seeded(
         # trap quantize_int8 documents for HOF lambdas)
         assigned = sub.withColumn(
             "__cb", F.element_at(_pq_cb_lit(cents), F.col("sj") + 1)
-        ).withColumn("__cid", _pq_argmin(F.col("__cb"), F.col("subq"), ksub))
+        ).withColumn("__cid", _pq_argmin("`__cb`", "`subq`", ksub))
         sums = (
             assigned.groupBy("sj", "__cid")
             .agg(
@@ -568,8 +594,8 @@ def pq_encode(
     codes = F.array(
         *[
             _pq_argmin(
-                F.array(*[F.array(*[F.lit(float(v)) for v in c]) for c in codebooks[j]]),
-                F.slice("__pq_q", j * dsub + 1, dsub),
+                _arr2_sql(codebooks[j]),
+                f"slice(`__pq_q`, {j * dsub + 1}, {dsub})",
                 ksub,
             )
             for j in range(m)
@@ -594,7 +620,7 @@ def pq_adc_topk(
     """Asymmetric-distance (ADC) top-k over PQ codes: the query's distance
     to every codebook centroid is precomputed into an ``m × ksub`` lookup
     table (driver-side — the same left-to-right fold the SQL oracle and
-    :func:`_pq_sqdist` perform, so table entries are bit-identical), and
+    :func:`_pq_argmin` perform, so table entries are bit-identical), and
     each stored vector's approximate distance is the sum of ``m`` table
     lookups — no float vector is ever read at query time.
 
@@ -619,9 +645,7 @@ def pq_adc_topk(
                 d = d + (float(x) - y) * (float(x) - y)
             row.append(d)
         lut.append(row)
-    lut_lit = F.array(
-        *[F.array(*[F.lit(float(d)) for d in row]) for row in lut]
-    )
+    lut_lit = _arr2_lit(lut)
     terms = F.transform(
         code_col,
         lambda c, i: F.element_at(F.element_at(lut_lit, i + 1), c + 1),
