@@ -88,8 +88,17 @@ def blocked_levenshtein_match(
         .filter(F.col("__rn") <= block_cap)
         .drop("__rn")
     )
+    # Length prefilter (r11): |len(l) - len(r)| > max_dist already implies
+    # edit distance > max_dist, so the pair can never survive the
+    # threshold — dropping it before the candidate-dedup exchange (which
+    # carries both text payloads) is semantics-free.  How much it prunes
+    # is the corpus's within-block length spread: nothing on the
+    # uniform-length gate fixtures (measured — a wash at ×100), real
+    # name/address corpora prune meaningfully.  The thresholded
+    # levenshtein remains the backstop either way.
     cand = (
         lk.join(rk, "__bk")
+        .filter(F.abs(F.length("__lt") - F.length("__rt")) <= max_dist)
         .select("__lid", "__lt", "__rid", "__rt")
         .distinct()
     )
