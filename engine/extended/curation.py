@@ -272,6 +272,62 @@ def ngram_contamination(
     )
 
 
+def ngram_novelty(
+    df: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_n: int = 3,
+) -> DataFrame:
+    """Per-document n-gram novelty: the fraction of a document's DISTINCT
+    word ``shingle_n``-grams whose corpus-wide FIRST occurrence (minimum
+    document id) is this document — the marginal-contribution signal a
+    curation pipeline uses to rank ingest feeds ("how much of this doc is
+    new text vs recombination of what the corpus already has?").
+
+    Returns (id, n_ngrams, n_novel, novelty) for documents with ≥ 1
+    shingle; ``novelty`` is ``n_novel / n_ngrams`` rounded to 4 decimals.
+
+    Scale shape: per-doc distinct shingles collapse to 60-bit md5
+    fingerprints (:func:`engine.extended.dedup.md5_long`) BEFORE the wide
+    exchange, so the shingle shuffle carries 8-byte keys instead of raw
+    strings; first-owner resolution is a ``min`` window on that one
+    fingerprint exchange (no self-join), then a per-doc aggregate — two
+    shuffles total, both on bounded-width keys, no step ever holds more
+    than one doc's shingle set in memory.
+    """
+    from pyspark.sql import Window
+
+    from engine.extended.dedup import md5_long
+
+    e = (
+        df.select(F.col(id_col).alias("id"), tokens(text_col).alias("__toks"))
+        .select(
+            "id",
+            F.explode(
+                F.array_distinct(ngrams_from(F.col("__toks"), shingle_n))
+            ).alias("sh"),
+        )
+        .select("id", md5_long(F.col("sh")).alias("fp"))
+    )
+    w = Window.partitionBy("fp")
+    firsts = e.withColumn("first_id", F.min("id").over(w))
+    return (
+        firsts.groupBy("id")
+        .agg(
+            F.count(F.lit(1)).alias("n_ngrams"),
+            F.sum(
+                F.when(F.col("id") == F.col("first_id"), 1).otherwise(0)
+            ).alias("n_novel"),
+        )
+        .withColumn(
+            "novelty",
+            F.round(F.col("n_novel") / F.col("n_ngrams").cast("double"), 4),
+        )
+        .withColumnRenamed("id", id_col)
+    )
+
+
 def pack_sequences(
     df: DataFrame,
     *,

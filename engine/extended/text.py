@@ -475,6 +475,78 @@ def vocab_kl_by_group(
     )
 
 
+#: the Gopher rule battery's "must contain 2 of these" stop-word set
+#: (Rae et al. 2021, appendix A1.1 — public).  Deliberately the paper's
+#: exact eight words, not LANG_MARKERS: the rule is a spam/gibberish gate,
+#: not language ID.
+GOPHER_STOPWORDS = ["the", "be", "to", "of", "and", "that", "have", "with"]
+
+
+def gopher_rule_exprs(toks: Column, raw: Column | str) -> dict[str, Column]:
+    """Gopher-style document quality rule battery (Rae et al. 2021 §A1.1):
+    word-count bounds, mean-word-length bounds, symbol-to-word ratio
+    (``#`` and ellipsis), alphabetic-word fraction, and stop-word presence
+    — the composite heuristic filter every web-scale corpus pipeline runs
+    before dedup/tokenization, with per-rule flags for failure attribution.
+
+    ``toks`` must be an already-projected token-array alias (the
+    :func:`ngrams_from` re-evaluation trap); ``raw`` is the original text
+    column for symbol counting.
+
+    Every keep flag compares INTEGERS (thresholds cross-multiplied:
+    ``mean_len >= 3`` becomes ``sum_len >= 3·n``), so the filter decision
+    is engine-exact — no float knife-edge can disagree with an oracle.
+    The reported ratio columns are rounded display values only; flags do
+    not derive from them.  Zero shuffles, pure codegen expressions.
+    """
+    c = F.col(raw) if isinstance(raw, str) else raw
+    n = F.size(toks).cast("long")
+    sum_len = F.aggregate(
+        toks, F.lit(0).cast("long"), lambda a, t: a + F.length(t)
+    )
+    # symbol count: '#' + '…' + three-dot runs counted as len-diff/3
+    # (exact: the diff is always a multiple of 3)
+    n_hash = F.length(c) - F.length(F.regexp_replace(c, "#", ""))
+    n_uni_ell = F.length(c) - F.length(F.regexp_replace(c, "…", ""))
+    n_dot_ell = (
+        (F.length(c) - F.length(F.regexp_replace(c, r"\.\.\.", ""))) / 3
+    ).cast("long")
+    n_sym = (n_hash + n_uni_ell).cast("long") + n_dot_ell
+    n_alpha = F.size(F.filter(toks, lambda t: t.rlike("[a-z]"))).cast("long")
+    stop_arr = F.array(*[F.lit(w) for w in GOPHER_STOPWORDS])
+    n_stop = F.size(F.array_intersect(F.array_distinct(toks), stop_arr)).cast(
+        "long"
+    )
+    nz = F.when(n > 0, n.cast("double"))
+    flag_words = ((n >= 50) & (n <= 100000)).cast("int")
+    flag_word_len = (
+        (n > 0) & (sum_len >= 3 * n) & (sum_len <= 10 * n)
+    ).cast("int")
+    flag_symbol = (10 * n_sym <= n).cast("int")
+    flag_alpha = ((n > 0) & (5 * n_alpha >= 4 * n)).cast("int")
+    flag_stop = (n_stop >= 2).cast("int")
+    keep = (
+        (flag_words == 1)
+        & (flag_word_len == 1)
+        & (flag_symbol == 1)
+        & (flag_alpha == 1)
+        & (flag_stop == 1)
+    ).cast("int")
+    return {
+        "n_words": n,
+        "mean_word_len": F.round(sum_len / nz, 4),
+        "symbol_ratio": F.round(n_sym / nz, 4),
+        "alpha_word_frac": F.round(n_alpha / nz, 4),
+        "n_stop_distinct": n_stop,
+        "flag_words": flag_words,
+        "flag_word_len": flag_word_len,
+        "flag_symbol": flag_symbol,
+        "flag_alpha": flag_alpha,
+        "flag_stop": flag_stop,
+        "keep": keep,
+    }
+
+
 def readability_counts(col: str) -> dict[str, Column]:
     """Per-document integer counts for readability scoring: words (the
     standard tokenization), sentences (runs of ``.!?``, floored at 1 so

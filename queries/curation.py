@@ -2790,3 +2790,114 @@ def hilbert_key_q(spark, sf_dir):
         F.pmod("o_custkey", F.lit(256)),
         bits=8,
     ).select("o_orderkey", "hkey")
+
+
+# ===========================================================================
+# r11 late additions: Gopher rule battery + n-gram novelty
+# ===========================================================================
+
+
+@q(
+    "gopher_quality_rules",
+    """
+    WITH toked AS (
+      SELECT doc_id, text,
+             list_transform(regexp_extract_all(text, '[A-Za-z0-9'']+'),
+                            x -> LOWER(x)) AS toks
+      FROM documents),
+    m AS (
+      SELECT doc_id,
+             CAST(LENGTH(toks) AS BIGINT) AS n,
+             CAST(COALESCE(list_aggregate(
+               list_transform(toks, t -> LENGTH(t)), 'sum'), 0) AS BIGINT)
+               AS sum_len,
+             CAST(LENGTH(text) - LENGTH(REPLACE(text, '#', ''))
+               + LENGTH(text) - LENGTH(REPLACE(text, chr(8230), ''))
+               + (LENGTH(text) - LENGTH(REPLACE(text, '...', ''))) // 3
+               AS BIGINT) AS n_sym,
+             CAST(LENGTH(list_filter(toks, t -> regexp_matches(t, '[a-z]')))
+               AS BIGINT) AS n_alpha,
+             CAST(LENGTH(list_intersect(list_distinct(toks),
+               ['the','be','to','of','and','that','have','with']))
+               AS BIGINT) AS n_stop
+      FROM toked),
+    f AS (
+      SELECT *,
+             CAST(n >= 50 AND n <= 100000 AS INT) AS flag_words,
+             CAST(n > 0 AND sum_len >= 3 * n AND sum_len <= 10 * n AS INT)
+               AS flag_word_len,
+             CAST(10 * n_sym <= n AS INT) AS flag_symbol,
+             CAST(n > 0 AND 5 * n_alpha >= 4 * n AS INT) AS flag_alpha,
+             CAST(n_stop >= 2 AS INT) AS flag_stop
+      FROM m)
+    SELECT doc_id,
+           n AS n_words,
+           CASE WHEN n > 0 THEN ROUND(sum_len * 1.0 / n, 4) END
+             AS mean_word_len,
+           CASE WHEN n > 0 THEN ROUND(n_sym * 1.0 / n, 4) END
+             AS symbol_ratio,
+           CASE WHEN n > 0 THEN ROUND(n_alpha * 1.0 / n, 4) END
+             AS alpha_word_frac,
+           n_stop AS n_stop_distinct,
+           flag_words, flag_word_len, flag_symbol, flag_alpha, flag_stop,
+           CAST(flag_words = 1 AND flag_word_len = 1 AND flag_symbol = 1
+                AND flag_alpha = 1 AND flag_stop = 1 AS INT) AS keep
+    FROM f
+    """,
+)
+def gopher_quality_rules(spark, sf_dir):
+    """Gopher-style quality rule battery (Rae et al. 2021 §A1.1): word-count
+    bounds, mean-word-length bounds, symbol-to-word ratio, alphabetic-word
+    fraction, stop-word presence — per-rule flags plus the composite keep.
+    Every flag compares cross-multiplied INTEGERS (engine.extended.text.
+    gopher_rule_exprs), so the filter decision is engine-exact; the rounded
+    ratios are display columns only.  Zero shuffles, one codegen scan."""
+    from engine.extended.text import gopher_rule_exprs, tokens
+
+    d = t(spark, sf_dir, "documents")
+    toked = d.select("doc_id", "text", tokens("text").alias("__toks"))
+    cols = gopher_rule_exprs(F.col("__toks"), "text")
+    return toked.select("doc_id", *[c.alias(nm) for nm, c in cols.items()])
+
+
+@q(
+    "ngram_novelty",
+    """
+    WITH toked AS (
+      SELECT doc_id,
+             list_transform(regexp_extract_all(text, '[A-Za-z0-9'']+'),
+                            x -> LOWER(x)) AS toks
+      FROM documents),
+    sh AS (
+      SELECT doc_id,
+             UNNEST(list_distinct(list_transform(
+               generate_series(1, LENGTH(toks) - 2),
+               i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))) AS s
+      FROM toked WHERE LENGTH(toks) >= 3),
+    e AS (
+      SELECT doc_id,
+             CAST(('0x' || SUBSTRING(MD5(s), 1, 15)) AS BIGINT) AS fp
+      FROM sh),
+    fo AS (
+      SELECT doc_id, fp, MIN(doc_id) OVER (PARTITION BY fp) AS first_id
+      FROM e)
+    SELECT doc_id,
+           COUNT(*) AS n_ngrams,
+           CAST(SUM(CASE WHEN doc_id = first_id THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_novel,
+           ROUND(SUM(CASE WHEN doc_id = first_id THEN 1 ELSE 0 END) * 1.0
+                 / COUNT(*), 4) AS novelty
+    FROM fo GROUP BY doc_id
+    """,
+)
+def ngram_novelty_q(spark, sf_dir):
+    """Per-doc n-gram novelty: fraction of a doc's distinct word 3-grams
+    whose corpus-wide first occurrence (min doc_id) is this doc — the
+    marginal-contribution / feed-ranking signal of corpus curation
+    (engine.extended.curation.ngram_novelty).  Two bounded-key shuffles:
+    shingles collapse to 60-bit md5 fingerprints BEFORE the wide exchange,
+    first-owner is a min-window on that exchange (no self-join)."""
+    from engine.extended.curation import ngram_novelty
+
+    d = t(spark, sf_dir, "documents")
+    return ngram_novelty(d, shingle_n=3)

@@ -282,3 +282,110 @@ def test_money_cents_matches_duckdb_idiom(spark):
         for v in vals
     ]
     assert got == want
+
+
+# ---------------------------------------------------------------------------
+# r11: Gopher rule battery + n-gram novelty
+# ---------------------------------------------------------------------------
+
+
+def _gopher_rows(spark, texts):
+    from engine.extended.text import gopher_rule_exprs, tokens
+
+    df = spark.createDataFrame(
+        [(i, s) for i, s in enumerate(texts)], "doc_id long, text string"
+    )
+    toked = df.select("doc_id", "text", tokens("text").alias("__toks"))
+    cols = gopher_rule_exprs(F.col("__toks"), "text")
+    out = toked.select("doc_id", *[c.alias(n) for n, c in cols.items()])
+    return {r["doc_id"]: r.asDict() for r in out.collect()}
+
+
+def test_gopher_rules_keep_and_flags(spark):
+    good = " ".join(
+        ["the quick brown fox jumps over that lazy dog with vigor"] * 6
+    )  # 66 words, all alpha, stopwords {the, that, with, over...}
+    short = "the dog and the cat have fun"  # 7 words -> flag_words = 0
+    symbolic = good + " " + "#" * 20  # 66 words, 20 '#' -> ratio > 0.1
+    rows = _gopher_rows(spark, [good, short, symbolic])
+
+    g = rows[0]
+    assert g["n_words"] == 66
+    assert g["keep"] == 1 and all(
+        g[f] == 1
+        for f in (
+            "flag_words",
+            "flag_word_len",
+            "flag_symbol",
+            "flag_alpha",
+            "flag_stop",
+        )
+    )
+    assert g["n_stop_distinct"] >= 3  # the, that, with (+ over not in set)
+
+    s = rows[1]
+    assert s["flag_words"] == 0 and s["keep"] == 0
+    assert s["flag_stop"] == 1  # the, and, have >= 2 distinct
+
+    y = rows[2]
+    assert y["flag_symbol"] == 0 and y["keep"] == 0
+    # '#' runs are not tokens, so the word count is unchanged
+    assert y["n_words"] == 66
+
+
+def test_gopher_mean_word_len_flag_is_integer_exact(spark):
+    # 50 words of length exactly 3 -> sum_len == 3*n: boundary must PASS
+    # (>= 3 inclusive), with no float division anywhere in the flag.
+    exact = " ".join(["abc"] * 50)
+    # 50 words of length 2 -> mean 2 < 3: boundary must FAIL.
+    low = " ".join(["ab"] * 50)
+    rows = _gopher_rows(spark, [exact, low])
+    assert rows[0]["flag_word_len"] == 1
+    assert rows[0]["mean_word_len"] == 3.0
+    assert rows[1]["flag_word_len"] == 0
+
+
+def test_gopher_ellipsis_and_empty_doc(spark):
+    # unicode ellipsis and three-dot sequences both count as symbols
+    dotty = " ".join(["word"] * 50) + " ... ... …"
+    rows = _gopher_rows(spark, [dotty, ""])
+    assert rows[0]["n_words"] == 50
+    # 3 symbols / 50 words = 0.06 <= 0.1 -> passes
+    assert rows[0]["symbol_ratio"] == 0.06 and rows[0]["flag_symbol"] == 1
+    e = rows[1]
+    assert e["n_words"] == 0 and e["keep"] == 0
+    assert e["mean_word_len"] is None and e["alpha_word_frac"] is None
+
+
+def test_ngram_novelty_first_owner_semantics(spark):
+    from engine.extended.curation import ngram_novelty
+
+    df = spark.createDataFrame(
+        [
+            (1, "a b c d"),  # shingles {a b c, b c d} - both first here
+            (2, "a b c x"),  # {a b c (seen), b c x (new)} -> 0.5
+            (3, "a b c d"),  # exact dup of doc 1 -> nothing novel
+            (4, "z q"),  # < 3 tokens -> excluded
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r["doc_id"]: r.asDict()
+        for r in ngram_novelty(df, shingle_n=3).collect()
+    }
+    assert set(out) == {1, 2, 3}
+    assert out[1]["n_ngrams"] == 2 and out[1]["novelty"] == 1.0
+    assert out[2]["n_ngrams"] == 2 and out[2]["n_novel"] == 1
+    assert out[2]["novelty"] == 0.5
+    assert out[3]["n_novel"] == 0 and out[3]["novelty"] == 0.0
+
+
+def test_ngram_novelty_repeated_shingle_within_doc_counts_once(spark):
+    from engine.extended.curation import ngram_novelty
+
+    df = spark.createDataFrame(
+        [(1, "a b a b a b")],  # 3-grams: {a b a, b a b} repeated -> distinct 2
+        "doc_id long, text string",
+    )
+    row = ngram_novelty(df, shingle_n=3).collect()[0]
+    assert row["n_ngrams"] == 2 and row["n_novel"] == 2
