@@ -12,11 +12,12 @@
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 __all__ = [
     "hash_split",
+    "group_safe_split",
     "weighted_sample",
     "negative_sample",
     "stratified_sample",
@@ -56,6 +57,40 @@ def hash_split(
         expr = F.when(cond, name) if expr is None else expr.when(cond, name)
     last = items[-1][0]
     return (expr.otherwise(last)) if expr is not None else F.lit(last)
+
+
+def group_safe_split(
+    df: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    splits: dict[str, float] | None = None,
+) -> DataFrame:
+    """Leakage-safe train/val/test split: the assignment unit is the
+    exact-dup GROUP — every doc sharing a normalized-text fingerprint gets
+    the split of the group's canonical member (min id) — so duplicate
+    documents can NEVER straddle splits.  The constructive counterpart of
+    :func:`engine.ops.quality.split_leakage_audit`, which MEASURES the
+    contamination a per-doc split allows; running the audit on this
+    split's output is empty by construction (pinned by test).
+
+    Returns ``(id, group_rep, split)``.  Scale shape: ONE fingerprint
+    shuffle (the exchange exact dedup already pays) carrying only
+    ``(fp, id)``; the representative is a min-window on that exchange (no
+    self-join), and the split itself is a pure md5 expression on the
+    representative — order-, run-, and engine-stable.
+    """
+    from engine.extended.text import fingerprint
+
+    labeled = df.filter(
+        F.col(id_col).isNotNull() & F.col(text_col).isNotNull()
+    ).select(F.col(id_col), fingerprint(text_col).alias("__fp"))
+    rep = F.min(id_col).over(Window.partitionBy("__fp"))
+    return labeled.select(
+        F.col(id_col),
+        rep.alias("group_rep"),
+        hash_split(rep, splits=splits).alias("split"),
+    )
 
 
 def stratified_sample_det(

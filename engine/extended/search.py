@@ -13,13 +13,13 @@ Retrieval over a corpus that has both text and an embedding column:
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from engine.extended.dedup import cosine
 from engine.extended.text import tokens
 
-__all__ = ["tfidf_scores", "bm25_scores", "hybrid_topk", "inverted_postings", "phrase_match_counts"]
+__all__ = ["tfidf_scores", "bm25_scores", "hybrid_topk", "rrf_fuse_topk", "inverted_postings", "phrase_match_counts"]
 
 
 def _term_tf(toks: Column, term: str) -> Column:
@@ -173,6 +173,78 @@ def hybrid_topk(
         ).alias("score"),
     )
     return fused.orderBy(F.col("score").desc_nulls_last(), F.col(doc_id)).limit(k)
+
+
+def rrf_fuse_topk(
+    docs: DataFrame,
+    vectors: DataFrame,
+    query_terms: list[str],
+    query_vec: list[float],
+    *,
+    k: int = 10,
+    rrf_k: int = 60,
+    n_candidates: int = 100,
+    doc_id: str = "doc_id",
+    vec_id: str = "vec_id",
+    vec_col: str = "embedding",
+    round_to: int = 4,
+) -> DataFrame:
+    """Reciprocal-rank fusion (Cormack/Clarke/Büttcher 2009) of the BM25 and
+    cosine candidate lists: ``rrf = Σ_lists 1/(rrf_k + rank)``, absent-from-
+    a-list docs simply lacking that list's contribution — the score-scale-
+    free fusion used when the lexical and vector scores are incomparable
+    (:func:`hybrid_topk` is the score-sum sibling for calibrated scores).
+
+    Scale shape: each side reduces to ``n_candidates`` rows via
+    TakeOrderedAndProject (never a global sort), so the rank windows and
+    the full-outer fusion join run on ≤2·n_candidates rows — one tiny
+    single-partition stage regardless of corpus size.  Ranks order by the
+    ROUNDED side score with id tie-break, and 1/(rrf_k+rank) is an exact
+    IEEE division of small integers, so the fusion is engine-exact.
+    """
+    lex_rank_w = Window.orderBy(
+        F.col("bm25").desc_nulls_last(), F.col(doc_id)
+    )
+    lex = (
+        bm25_scores(docs, query_terms, id_col=doc_id, round_to=round_to)
+        .orderBy(F.col("bm25").desc_nulls_last(), F.col(doc_id))
+        .limit(n_candidates)
+        .select(
+            F.col(doc_id), F.row_number().over(lex_rank_w).alias("lex_rank")
+        )
+    )
+    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    vec_scored = vectors.filter(F.col(vec_col).isNotNull()).select(
+        F.col(vec_id).alias(doc_id),
+        F.round(cosine(F.col(vec_col), q), round_to).alias("__cos"),
+    )
+    vec_rank_w = Window.orderBy(
+        F.col("__cos").desc_nulls_last(), F.col(doc_id)
+    )
+    vec = (
+        vec_scored.orderBy(F.col("__cos").desc_nulls_last(), F.col(doc_id))
+        .limit(n_candidates)
+        .select(
+            F.col(doc_id), F.row_number().over(vec_rank_w).alias("vec_rank")
+        )
+    )
+    fused = lex.join(vec, on=doc_id, how="full_outer").select(
+        doc_id,
+        "lex_rank",
+        "vec_rank",
+        F.round(
+            F.coalesce(
+                F.lit(1.0) / (F.lit(rrf_k) + F.col("lex_rank")), F.lit(0.0)
+            )
+            + F.coalesce(
+                F.lit(1.0) / (F.lit(rrf_k) + F.col("vec_rank")), F.lit(0.0)
+            ),
+            6,
+        ).alias("rrf_score"),
+    )
+    return fused.orderBy(
+        F.col("rrf_score").desc_nulls_last(), F.col(doc_id)
+    ).limit(k)
 
 
 def inverted_postings(

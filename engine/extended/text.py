@@ -17,6 +17,7 @@ __all__ = [
     "script_count_exprs",
     "vocab_kl_by_group",
     "readability_counts",
+    "c4_rule_exprs",
     "SCRIPT_BLOCKS",
     "tokens",
     "token_count",
@@ -544,6 +545,60 @@ def gopher_rule_exprs(toks: Column, raw: Column | str) -> dict[str, Column]:
         "flag_alpha": flag_alpha,
         "flag_stop": flag_stop,
         "keep": keep,
+    }
+
+
+def c4_rule_exprs(text: Column | str) -> dict[str, Column]:
+    """C4-style line-level quality rule battery (Raffel et al. 2020 §2.2):
+    a line survives iff it ends in terminal punctuation (``.!?"``), has at
+    least 5 space-separated words, and does not mention "javascript"; the
+    document survives iff the kept text still has ≥3 sentence terminators
+    and the raw text contains neither "lorem ipsum" nor a curly brace
+    (the code-page exclusion).  Companion to :func:`gopher_rule_exprs`
+    (document-level heuristics) — C4 filters WITHIN the document first.
+
+    Input must be a text column with ``\\n`` line separators.  Returns
+    per-rule counters plus ``clean_text`` (the kept-line reassembly) and
+    the composite ``keep``.  Every decision compares integers or exact
+    string predicates — no float knife-edges.  Zero shuffles, one codegen
+    scan; line handling is array-expression-level (split/filter/join),
+    never an explode, so the pass stays row-local at any corpus size.
+    """
+    c = F.col(text) if isinstance(text, str) else text
+    lines = F.split(c, "\n")
+
+    def _n_words(line: Column) -> Column:
+        # split on single spaces + drop empties: engine-invariant word
+        # count (regex \s+ class semantics differ across engines)
+        return F.size(F.filter(F.split(line, " "), lambda w: w != F.lit("")))
+
+    def _kept(line: Column) -> Column:
+        return (
+            line.rlike('[.!?"]$')
+            & (_n_words(line) >= 5)
+            & ~F.lower(line).rlike("javascript")
+        )
+
+    kept_lines = F.filter(lines, _kept)
+    clean = F.array_join(kept_lines, "\n")
+    n_sent = (
+        F.length(clean) - F.length(F.regexp_replace(clean, "[.!?]", ""))
+    ).cast("long")
+    has_lorem = F.lower(c).rlike("lorem ipsum")
+    has_brace = c.rlike("\\{")
+    flag_sentences = (n_sent >= 3).cast("int")
+    flag_lorem = (~has_lorem).cast("int")
+    flag_brace = (~has_brace).cast("int")
+    keep = ((n_sent >= 3) & ~has_lorem & ~has_brace).cast("int")
+    return {
+        "n_lines": F.size(lines).cast("long"),
+        "n_kept_lines": F.size(kept_lines).cast("long"),
+        "n_sentences": n_sent,
+        "flag_sentences": flag_sentences,
+        "flag_lorem": flag_lorem,
+        "flag_brace": flag_brace,
+        "keep": keep,
+        "clean_text": clean,
     }
 
 

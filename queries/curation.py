@@ -2901,3 +2901,145 @@ def ngram_novelty_q(spark, sf_dir):
 
     d = t(spark, sf_dir, "documents")
     return ngram_novelty(d, shingle_n=3)
+
+
+# Line-fixture synthesis shared by the c4 battery's engine and oracle sides:
+# the corpus is single-line word soup, so (mojibake_repair precedent) the
+# query builds deterministic line structure in BOTH engines — 7-token lines
+# with a cycling terminator pattern (terminal '.', no terminator, a
+# "javascript." line, terminal '!'), plus doc-keyed 'lorem ipsum' and
+# curly-brace tail lines so every document-level rule has both outcomes.
+_C4_SUFFIX_SQL = (
+    "CASE i % 4 WHEN 0 THEN '.' WHEN 1 THEN '' "
+    "WHEN 2 THEN ' javascript.' ELSE '!' END"
+)
+
+
+@q(
+    "c4_quality_rules",
+    f"""
+    WITH toked AS (
+      SELECT doc_id, {_TOKS_SQL} AS toks
+      FROM documents WHERE text IS NOT NULL),
+    nz AS (SELECT doc_id, toks FROM toked WHERE LENGTH(toks) > 0),
+    built AS (
+      SELECT doc_id,
+             array_to_string(list_transform(
+               generate_series(0, CAST(CEIL(LENGTH(toks) / 7.0) AS BIGINT) - 1),
+               i -> array_to_string(list_slice(toks, i*7+1, i*7+7), ' ')
+                    || {_C4_SUFFIX_SQL}), chr(10))
+             || CASE WHEN doc_id % 7 = 0
+                  THEN chr(10) || 'lorem ipsum dolor sit amet consectetur.'
+                  ELSE '' END
+             || CASE WHEN doc_id % 11 = 0
+                  THEN chr(10) || 'var x = {{ a: 1 }};'
+                  ELSE '' END AS tx
+      FROM nz),
+    lined AS (
+      SELECT doc_id, tx, string_split(tx, chr(10)) AS ls FROM built),
+    kept AS (
+      SELECT doc_id, tx, ls,
+             COALESCE(array_to_string(list_filter(ls, l ->
+               regexp_matches(l, '[.!?"]$')
+               AND LENGTH(list_filter(string_split(l, ' '), w -> w <> '')) >= 5
+               AND NOT regexp_matches(LOWER(l), 'javascript')), chr(10)), '')
+               AS ct
+      FROM lined),
+    m AS (
+      SELECT doc_id,
+             CAST(LENGTH(ls) AS BIGINT) AS n_lines,
+             CAST(LENGTH(string_split(ct, chr(10)))
+                  - CASE WHEN ct = '' THEN 1 ELSE 0 END AS BIGINT)
+               AS n_kept_lines,
+             CAST(LENGTH(ct) - LENGTH(REGEXP_REPLACE(ct, '[.!?]', '', 'g'))
+               AS BIGINT) AS n_sentences,
+             CAST(NOT regexp_matches(LOWER(tx), 'lorem ipsum') AS INT)
+               AS flag_lorem,
+             CAST(NOT regexp_matches(tx, '\\{{') AS INT) AS flag_brace,
+             ct AS clean_text
+      FROM kept)
+    SELECT doc_id, n_lines, n_kept_lines, n_sentences,
+           CAST(n_sentences >= 3 AS INT) AS flag_sentences,
+           flag_lorem, flag_brace,
+           CAST(n_sentences >= 3 AND flag_lorem = 1 AND flag_brace = 1
+                AS INT) AS keep,
+           clean_text
+    FROM m
+    """,
+)
+def c4_quality_rules(spark, sf_dir):
+    """C4-style line-level quality rule battery (Raffel et al. 2020 §2.2;
+    engine.extended.text.c4_rule_exprs): keep lines ending in terminal
+    punctuation with ≥5 words and no "javascript"; keep documents whose
+    kept text retains ≥3 sentence terminators and whose raw text has no
+    "lorem ipsum" / curly brace.  Gopher's battery judges the DOCUMENT,
+    C4's filters WITHIN it first — together they are the standard web-
+    corpus pre-dedup gauntlet.  All line handling is array-expression-
+    level (split/filter/join, never an explode): zero shuffles, one
+    codegen scan at any corpus size."""
+    from engine.extended.text import c4_rule_exprs, tokens
+
+    d = t(spark, sf_dir, "documents")
+    toked = d.filter(F.col("text").isNotNull()).select(
+        "doc_id", tokens("text").alias("__toks")
+    ).filter(F.size("__toks") > 0)
+    nch = F.ceil(F.size("__toks") / F.lit(7.0)).cast("int")
+    suffix = lambda i: (  # noqa: E731
+        F.when(i % 4 == F.lit(0), F.lit("."))
+        .when(i % 4 == F.lit(1), F.lit(""))
+        .when(i % 4 == F.lit(2), F.lit(" javascript."))
+        .otherwise(F.lit("!"))
+    )
+    lines_arr = F.transform(
+        F.sequence(F.lit(0), nch - F.lit(1)),
+        lambda i: F.concat(
+            F.array_join(F.slice("__toks", i * 7 + 1, 7), " "), suffix(i)
+        ),
+    )
+    tx = F.concat(
+        F.array_join(lines_arr, "\n"),
+        F.when(
+            F.col("doc_id") % 7 == 0,
+            F.lit("\nlorem ipsum dolor sit amet consectetur."),
+        ).otherwise(F.lit("")),
+        F.when(
+            F.col("doc_id") % 11 == 0, F.lit("\nvar x = { a: 1 };")
+        ).otherwise(F.lit("")),
+    )
+    built = toked.select("doc_id", tx.alias("__tx"))
+    cols = c4_rule_exprs(F.col("__tx"))
+    return built.select("doc_id", *[c.alias(nm) for nm, c in cols.items()])
+
+
+@q(
+    "group_safe_split",
+    """
+    WITH fp AS (
+      SELECT doc_id,
+             MD5(LOWER(REGEXP_REPLACE(text, '[^A-Za-z0-9]', '', 'g'))) AS f
+      FROM documents WHERE doc_id IS NOT NULL AND text IS NOT NULL),
+    g AS (
+      SELECT doc_id, MIN(doc_id) OVER (PARTITION BY f) AS group_rep
+      FROM fp)
+    SELECT doc_id, group_rep,
+           CASE
+             WHEN CAST(('0x' || SUBSTRING(MD5(CAST(group_rep AS VARCHAR)), 1, 4)) AS INTEGER)
+                  < 52428 THEN 'train'
+             WHEN CAST(('0x' || SUBSTRING(MD5(CAST(group_rep AS VARCHAR)), 1, 4)) AS INTEGER)
+                  < 58982 THEN 'val'
+             ELSE 'test' END AS split
+    FROM g
+    """,
+)
+def group_safe_split_q(spark, sf_dir):
+    """Leakage-safe train/val/test split (engine.extended.sampling.
+    group_safe_split): the assignment unit is the exact-dup GROUP (canonical
+    member = min id over the normalized-text fingerprint), so duplicate
+    documents can never straddle splits — the constructive counterpart of
+    split_leakage_audit, which is empty on this split by construction
+    (pinned by test).  One fingerprint shuffle + a min-window on it; the
+    split itself is a pure md5 expression on the representative id."""
+    from engine.extended.sampling import group_safe_split
+
+    d = t(spark, sf_dir, "documents")
+    return group_safe_split(d)

@@ -8,7 +8,7 @@ from __future__ import annotations
 
 from queries._base import *  # noqa: F401,F403
 from queries._base import _arr_str  # noqa: F401
-from queries.extended import _EMB_DIM, _MD5H, _TOKS_SQL, _lsh_sig_sql, corpus_pipeline_v3  # noqa: F401
+from queries.extended import _EMB_DIM, _MD5H, _TOKS_SQL, _lsh_sig_sql, _query_vec_rows, corpus_pipeline_v3  # noqa: F401
 
 # ===========================================================================
 # North-star: deterministic sampling/sharding + SemDeDup (semantic dedup)
@@ -598,6 +598,90 @@ def bm25_rank(spark, sf_dir):
         bm25_scores(d, _BM25_TERMS)
         .orderBy(F.col("bm25").desc_nulls_last(), "doc_id")
         .limit(15)
+    )
+
+
+_RRF_COS_SQL = """
+         CASE WHEN SQRT(list_sum(list_transform(e.embedding,
+                    x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) *
+                   SQRT(list_sum(list_transform(qv.q,
+                    x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) > 0
+         THEN ROUND(
+           list_sum(list_transform(list_zip(e.embedding, qv.q),
+                    p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE))) /
+           (SQRT(list_sum(list_transform(e.embedding,
+                    x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) *
+            SQRT(list_sum(list_transform(qv.q,
+                    x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))), 4)
+         END"""
+
+
+@q(
+    "rrf_fusion_topk",
+    f"""
+    WITH tok AS (SELECT doc_id, {_TOKS_SQL} AS toks FROM documents),
+    stats AS (
+      SELECT COUNT(*) AS n, AVG(LENGTH(toks)) AS avgdl,
+             {", ".join(f"COUNT(CASE WHEN list_contains(toks, '{t_}') THEN 1 END) AS df{i}" for i, t_ in enumerate(_BM25_TERMS))}
+      FROM tok),
+    scored AS (
+      SELECT t.doc_id,
+             ROUND({" + ".join(_bm25_term_sql(t_, i) for i, t_ in enumerate(_BM25_TERMS))}, 4) AS bm25
+      FROM tok t, stats s),
+    lexr AS (
+      SELECT doc_id,
+             ROW_NUMBER() OVER (ORDER BY bm25 DESC NULLS LAST, doc_id) AS lr
+      FROM (SELECT doc_id, bm25 FROM scored
+            ORDER BY bm25 DESC NULLS LAST, doc_id LIMIT 100)),
+    qv AS (SELECT embedding AS q FROM embeddings WHERE embedding IS NOT NULL AND vec_id = (SELECT MIN(vec_id) FROM embeddings WHERE embedding IS NOT NULL AND vec_id >= 3)),
+    cs AS (
+      SELECT e.vec_id AS doc_id,{_RRF_COS_SQL} AS c
+      FROM embeddings e, qv WHERE e.embedding IS NOT NULL),
+    vecr AS (
+      SELECT doc_id,
+             ROW_NUMBER() OVER (ORDER BY c DESC NULLS LAST, doc_id) AS vr
+      FROM (SELECT doc_id, c FROM cs
+            ORDER BY c DESC NULLS LAST, doc_id LIMIT 100)),
+    f AS (
+      SELECT COALESCE(l.doc_id, v.doc_id) AS doc_id,
+             CAST(COALESCE(l.lr, 0) AS BIGINT) AS lex_rank,
+             CAST(COALESCE(v.vr, 0) AS BIGINT) AS vec_rank,
+             ROUND(COALESCE(CAST(1 AS DOUBLE) / (60 + l.lr), CAST(0 AS DOUBLE))
+                 + COALESCE(CAST(1 AS DOUBLE) / (60 + v.vr), CAST(0 AS DOUBLE)),
+                 6) AS rrf_score
+      FROM lexr l FULL JOIN vecr v ON l.doc_id = v.doc_id)
+    SELECT doc_id, lex_rank, vec_rank, rrf_score
+    FROM f ORDER BY rrf_score DESC NULLS LAST, doc_id LIMIT 10
+    """,
+)
+def rrf_fusion_topk(spark, sf_dir):
+    """Reciprocal-rank fusion of the BM25 and cosine candidate lists
+    (engine.extended.search.rrf_fuse_topk): rrf = Σ 1/(60+rank), the
+    score-scale-free fusion for incomparable retrieval scores —
+    hybrid_search_topk's rank-space sibling.  Each side is a
+    TakeOrderedAndProject top-100 (never a global sort or corpus-wide rank
+    window); ranks and the full-outer fusion run on ≤200 rows.  Absent-
+    from-a-list ranks surface as 0 (the gate-stable no-contribution
+    convention); 1/(60+rank) is exact IEEE division of small ints."""
+    from engine.extended.search import rrf_fuse_topk
+
+    d = t(spark, sf_dir, "documents")
+    emb = t(spark, sf_dir, "embeddings")
+    qv = _query_vec_rows(emb, 3)
+    if qv is None:
+        return d.select(
+            "doc_id",
+            F.lit(0).cast("long").alias("lex_rank"),
+            F.lit(0).cast("long").alias("vec_rank"),
+            F.lit(None).cast("double").alias("rrf_score"),
+        ).limit(0)
+    out = rrf_fuse_topk(d, emb, _BM25_TERMS, qv, k=10, rrf_k=60,
+                        n_candidates=100)
+    return out.select(
+        "doc_id",
+        F.coalesce("lex_rank", F.lit(0)).cast("long").alias("lex_rank"),
+        F.coalesce("vec_rank", F.lit(0)).cast("long").alias("vec_rank"),
+        "rrf_score",
     )
 
 

@@ -1,0 +1,166 @@
+"""Round-11 late operators: C4 line-level rule battery, reciprocal-rank
+fusion, leakage-safe group split."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from engine.extended.sampling import group_safe_split, hash_split
+from engine.extended.search import rrf_fuse_topk
+from engine.extended.text import c4_rule_exprs
+
+
+def _c4_rows(spark, texts):
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    cols = c4_rule_exprs("text")
+    out = df.select("doc_id", *[c.alias(n) for n, c in cols.items()])
+    return [r.asDict() for r in out.orderBy("doc_id").collect()]
+
+
+def test_c4_line_keep_semantics(spark):
+    text = "\n".join(
+        [
+            "one two three four five.",  # kept: terminal + 5 words
+            "one two three four.",  # dropped: only 4 words
+            "one two three four five six",  # dropped: no terminal punct
+            "enable javascript to view five items.",  # dropped: javascript
+            'he said "hello there my good friend"',  # kept: quote-terminal
+            "a sixth line that ends with a question?",  # kept
+        ]
+    )
+    row = _c4_rows(spark, [text])[0]
+    assert row["n_lines"] == 6
+    assert row["n_kept_lines"] == 3
+    assert "javascript" not in row["clean_text"]
+    assert row["clean_text"].count("\n") == 2
+    # kept text has 2 sentence terminators ('.' and '?'; the quote line
+    # ends in '"' which keeps the LINE but is not a sentence terminator)
+    assert row["n_sentences"] == 2
+    assert row["flag_sentences"] == 0 and row["keep"] == 0
+
+
+def test_c4_document_level_rules(spark):
+    good = "\n".join(["alpha beta gamma delta epsilon."] * 3)
+    lorem = good + "\nlorem ipsum dolor sit amet consectetur."
+    brace = good + "\nvar x = { a: 1 };"
+    short = "alpha beta gamma delta epsilon."  # only 1 sentence
+    rows = _c4_rows(spark, [good, lorem, brace, short])
+    assert rows[0]["keep"] == 1 and rows[0]["n_sentences"] == 3
+    assert rows[1]["keep"] == 0 and rows[1]["flag_lorem"] == 0
+    # the lorem line itself is terminal with >=5 words, so it IS kept at
+    # line level — the rule kills the DOCUMENT, not the line
+    assert rows[1]["n_kept_lines"] == 4
+    assert rows[2]["keep"] == 0 and rows[2]["flag_brace"] == 0
+    # the brace line has no terminal punctuation -> dropped at line level
+    assert rows[2]["n_kept_lines"] == 3
+    assert rows[3]["keep"] == 0 and rows[3]["flag_sentences"] == 0
+
+
+def test_c4_case_insensitive_doc_rules(spark):
+    text = "alpha beta gamma delta epsilon.\nLOREM IPSUM dolor sit amet."
+    row = _c4_rows(spark, [text])[0]
+    assert row["flag_lorem"] == 0 and row["keep"] == 0
+
+
+def _retrieval_fixture(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, "spark spark spark query engine runs fast"),
+            (2, "spark query planner"),
+            (3, "unrelated words about cooking pasta"),
+            (4, "spark spark appears twice here"),
+        ],
+        "doc_id long, text string",
+    )
+    vecs = spark.createDataFrame(
+        [
+            (1, [0.0, 1.0]),  # orthogonal to query
+            (2, [1.0, 0.0]),  # identical direction -> rank 1
+            (3, [1.0, 1.0]),  # cos = 0.7071 -> rank 2
+            (4, [-1.0, 0.0]),  # cos = -1 -> rank 3 among candidates
+        ],
+        "vec_id long, embedding array<float>",
+    )
+    return docs, vecs
+
+
+def test_rrf_fuses_both_rank_lists(spark):
+    docs, vecs = _retrieval_fixture(spark)
+    out = {
+        r["doc_id"]: r.asDict()
+        for r in rrf_fuse_topk(
+            docs, vecs, ["spark"], [1.0, 0.0], k=4, n_candidates=4
+        ).collect()
+    }
+    # lexical ranks: doc1 (3x spark in 7 words) > doc4 > doc2 > doc3(0, ties
+    # by id). vector ranks: 2, 3, 1, 4.
+    assert out[1]["lex_rank"] == 1 and out[2]["vec_rank"] == 1
+    for r in out.values():
+        contrib = 0.0
+        if r["lex_rank"] is not None:
+            contrib += 1.0 / (60 + r["lex_rank"])
+        if r["vec_rank"] is not None:
+            contrib += 1.0 / (60 + r["vec_rank"])
+        assert abs(r["rrf_score"] - round(contrib, 6)) < 1e-12
+
+
+def test_rrf_candidate_truncation_leaves_one_sided_rows(spark):
+    docs, vecs = _retrieval_fixture(spark)
+    out = {
+        r["doc_id"]: r.asDict()
+        for r in rrf_fuse_topk(
+            docs, vecs, ["spark"], [1.0, 0.0], k=10, n_candidates=2
+        ).collect()
+    }
+    # lex list: docs {1, 4}; vec list: docs {2, 3} -> every row one-sided
+    assert out[1]["vec_rank"] is None and out[1]["lex_rank"] == 1
+    assert out[2]["lex_rank"] is None and out[2]["vec_rank"] == 1
+    assert out[1]["rrf_score"] == round(1.0 / 61, 6)
+    # full outer keeps all 4 candidates
+    assert set(out) == {1, 2, 3, 4}
+
+
+def test_group_safe_split_never_straddles_duplicates(spark):
+    rows = [
+        (i, f"document number {i // 3} with shared content!") for i in range(60)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = group_safe_split(df)
+    # every fingerprint group maps to exactly one split
+    bad = (
+        out.groupBy("group_rep")
+        .agg(F.countDistinct("split").alias("n"))
+        .filter(F.col("n") > 1)
+        .count()
+    )
+    assert bad == 0
+    # groups are the i//3 triples; the rep is the smallest member
+    first = {r["doc_id"]: r for r in out.collect()}
+    assert first[4]["group_rep"] == 3 and first[5]["group_rep"] == 3
+    # and the split equals hash_split of the representative id
+    rep_split = (
+        df.select(F.lit(3).alias("k"))
+        .limit(1)
+        .select(hash_split(F.col("k")).alias("s"))
+        .first()["s"]
+    )
+    assert first[3]["split"] == rep_split
+
+
+def test_group_safe_split_normalization_joins_variants(spark):
+    df = spark.createDataFrame(
+        [
+            (10, "Hello, World!"),
+            (20, "hello world"),
+            (30, "HELLO WORLD?!"),
+            (40, "entirely different text"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in group_safe_split(df).collect()}
+    assert out[10]["group_rep"] == 10
+    assert out[20]["group_rep"] == 10 and out[30]["group_rep"] == 10
+    assert out[40]["group_rep"] == 40
+    assert len({out[i]["split"] for i in (10, 20, 30)}) == 1
