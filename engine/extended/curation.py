@@ -39,6 +39,8 @@ __all__ = [
     "chunk_tokens",
     "contamination_attribution",
     "bigram_lm_scores",
+    "trigram_lm_scores",
+    "shrunk_group_rate",
     "URL_RE",
     "extract_urls",
     "url_domain",
@@ -539,6 +541,144 @@ def bigram_lm_scores(
     return scored.groupBy(id_col, *carry).agg(
         F.count(F.lit(1)).alias("n_bigrams"),
         F.round(F.avg("__logp"), round_to).alias("avg_logp"),
+    )
+
+
+def trigram_lm_scores(
+    df: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    lambdas: tuple[float, float, float] = (0.6, 0.3, 0.1),
+    round_to: int = 4,
+) -> DataFrame:
+    """Per-document average log-probability under a Jelinek-Mercer
+    interpolated trigram LM trained on the corpus itself:
+
+    ``P(w3|w1w2) = λ3·c3(w1w2w3)/c3(w1w2·) + λ2·c2(w2w3)/c2(w2·) + λ1·c1(w3)/N``
+
+    — the step up from :func:`bigram_lm_scores` toward the KenLM-class
+    models CCNet/RedPajama filter with: trigram contexts dominate where
+    observed, backed off through bigram and unigram mass so rare contexts
+    are not scored solely by their own count.  All three component models
+    normalize per history (each c·h is the SUM of its continuations), so
+    every probability is a ratio of exact integers and the interpolation
+    is one fixed-order double expression — engine-reproducible.
+
+    Returns ``(id, n_trigrams, avg_logp)``; docs with <3 tokens have no
+    trigrams and are ABSENT (same contract as the bigram scorer — left-join
+    if they must survive a composed gate).
+
+    Scale shape: three corpus passes (unigram/bigram/trigram explodes — the
+    bigram scorer's measured trade: shuffling distinct-ngram partials beats
+    pre-deduped occurrence-volume exchanges), then hash joins of trigram
+    occurrences against the five COUNT tables (c3, c3-history, c2,
+    c2-history, c1), each distinct-ngram sized.  N is a 1-row scalar
+    (collected once, inlined as a literal — the bm25 stats pattern).
+    """
+    l3, l2, l1 = (float(x) for x in lambdas)
+    toks = df.select(F.col(id_col), tokens(text_col).alias("__toks"))
+    tg = toks.select(
+        id_col, F.explode(ngrams_from(F.col("__toks"), 3)).alias("tg")
+    )
+    c3 = tg.groupBy("tg").agg(F.count(F.lit(1)).alias("__c3"))
+    h2_of = lambda c: F.concat_ws(  # noqa: E731
+        " ",
+        F.element_at(F.split(c, " "), 1),
+        F.element_at(F.split(c, " "), 2),
+    )
+    c3h = c3.groupBy(h2_of(F.col("tg")).alias("__h2")).agg(
+        F.sum("__c3").alias("__c3h")
+    )
+    bg = toks.select(F.explode(ngrams_from(F.col("__toks"), 2)).alias("bg"))
+    c2 = bg.groupBy("bg").agg(F.count(F.lit(1)).alias("__c2"))
+    c2h = c2.groupBy(
+        F.element_at(F.split(F.col("bg"), " "), 1).alias("__w2")
+    ).agg(F.sum("__c2").alias("__c2h"))
+    ug = toks.select(F.explode("__toks").alias("__w"))
+    c1 = ug.groupBy("__w").agg(F.count(F.lit(1)).alias("__c1"))
+    n_total = ug.count()
+    if n_total == 0:
+        return df.select(
+            F.col(id_col),
+            F.lit(0).cast("long").alias("n_trigrams"),
+            F.lit(None).cast("double").alias("avg_logp"),
+        ).limit(0)
+    parts = F.split(F.col("tg"), " ")
+    scored = (
+        tg.join(c3, "tg")
+        .withColumn("__h2", h2_of(F.col("tg")))
+        .join(c3h, "__h2")
+        .withColumn(
+            "__bg23",
+            F.concat_ws(
+                " ", F.element_at(parts, 2), F.element_at(parts, 3)
+            ),
+        )
+        .join(c2.withColumnRenamed("bg", "__bg23"), "__bg23")
+        .withColumn("__w2", F.element_at(parts, 2))
+        .join(c2h, "__w2")
+        .withColumn("__w", F.element_at(parts, 3))
+        .join(c1, "__w")
+        .withColumn(
+            "__logp",
+            F.log2(
+                F.lit(l3) * (F.col("__c3") / F.col("__c3h"))
+                + F.lit(l2) * (F.col("__c2") / F.col("__c2h"))
+                + F.lit(l1) * (F.col("__c1") / F.lit(float(n_total)))
+            ),
+        )
+    )
+    return scored.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_trigrams"),
+        F.round(F.avg("__logp"), round_to).alias("avg_logp"),
+    )
+
+
+def shrunk_group_rate(
+    df: DataFrame,
+    group_col: str,
+    flag_col,
+    *,
+    m: int = 20,
+    round_to: int = 4,
+) -> DataFrame:
+    """Empirical-Bayes shrinkage of a per-group binary rate toward the
+    corpus rate: ``shrunk = (k_g + m·K/N) / (n_g + m)`` with prior
+    strength ``m`` pseudo-documents — the domain-level quality signal
+    (RefinedWeb/FineWeb-style source triage), where a 3-doc domain with
+    3 keeps must NOT outrank a 500-doc domain with 480.
+
+    Computed as the exact integer ratio ``(k_g·N + m·K) / ((n_g+m)·N)``:
+    integer numerator and denominator, ONE rounded double division, so the
+    ranking decision is engine-exact.  ``flag_col`` may be a 0/1 column
+    name or Column expression.
+
+    Scale shape: one groupBy on the group key (map-side partials collapse
+    docs to one partial per group per task); the corpus totals derive from
+    the per-group AGGREGATE (group-count sized, never a second corpus
+    scan) and ride in as a 1-row broadcast cross join.
+    """
+    if m < 0:
+        raise ValueError(f"prior strength m must be >= 0, got {m}")
+    flag = F.col(flag_col) if isinstance(flag_col, str) else flag_col
+    per = df.groupBy(group_col).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(flag.cast("long")).alias("n_flag"),
+    )
+    tot = per.agg(
+        F.sum("n_docs").alias("__N"), F.sum("n_flag").alias("__K")
+    )
+    return per.crossJoin(F.broadcast(tot)).select(
+        group_col,
+        "n_docs",
+        "n_flag",
+        F.round(F.col("n_flag") / F.col("n_docs"), round_to).alias("rate"),
+        F.round(
+            (F.col("n_flag") * F.col("__N") + F.lit(m) * F.col("__K"))
+            / ((F.col("n_docs") + F.lit(m)) * F.col("__N")),
+            round_to,
+        ).alias("shrunk_rate"),
     )
 
 

@@ -3043,3 +3043,124 @@ def group_safe_split_q(spark, sf_dir):
 
     d = t(spark, sf_dir, "documents")
     return group_safe_split(d)
+
+
+@q(
+    "trigram_lm_quality",
+    f"""
+    WITH toks AS (
+      SELECT doc_id, {_TOKS_SQL} AS toks FROM documents),
+    tg AS (
+      SELECT doc_id, UNNEST(CASE WHEN LENGTH(toks) < 3 THEN CAST([] AS VARCHAR[])
+        ELSE list_transform(range(0, LENGTH(toks) - 2),
+             i -> array_to_string(list_slice(toks, i + 1, i + 3), ' ')) END) AS tg
+      FROM toks),
+    c3 AS (SELECT tg, COUNT(*) AS c3 FROM tg GROUP BY tg),
+    c3h AS (SELECT split_part(tg, ' ', 1) || ' ' || split_part(tg, ' ', 2) AS h2,
+                   SUM(c3) AS c3h FROM c3 GROUP BY 1),
+    bg AS (
+      SELECT UNNEST(CASE WHEN LENGTH(toks) < 2 THEN CAST([] AS VARCHAR[])
+        ELSE list_transform(range(0, LENGTH(toks) - 1),
+             i -> array_to_string(list_slice(toks, i + 1, i + 2), ' ')) END) AS bg
+      FROM toks),
+    c2 AS (SELECT bg, COUNT(*) AS c2 FROM bg GROUP BY bg),
+    c2h AS (SELECT split_part(bg, ' ', 1) AS w2, SUM(c2) AS c2h
+            FROM c2 GROUP BY 1),
+    ug AS (SELECT UNNEST(toks) AS w FROM toks),
+    c1 AS (SELECT w, COUNT(*) AS c1 FROM ug GROUP BY w),
+    nt AS (SELECT COUNT(*) AS n FROM ug)
+    SELECT t.doc_id, COUNT(*) AS n_trigrams,
+           ROUND(AVG(log2(
+             CAST(0.6 AS DOUBLE) * (c3.c3 / c3h.c3h)
+           + CAST(0.3 AS DOUBLE) * (c2.c2 / c2h.c2h)
+           + CAST(0.1 AS DOUBLE) * (c1.c1 / CAST(nt.n AS DOUBLE)))), 4)
+             AS avg_logp
+    FROM tg t
+    JOIN c3 ON t.tg = c3.tg
+    JOIN c3h ON split_part(t.tg, ' ', 1) || ' ' || split_part(t.tg, ' ', 2) = c3h.h2
+    JOIN c2 ON split_part(t.tg, ' ', 2) || ' ' || split_part(t.tg, ' ', 3) = c2.bg
+    JOIN c2h ON split_part(t.tg, ' ', 2) = c2h.w2
+    JOIN c1 ON split_part(t.tg, ' ', 3) = c1.w
+    CROSS JOIN nt
+    GROUP BY t.doc_id
+    """,
+)
+def trigram_lm_quality(spark, sf_dir):
+    """Per-doc average log-prob under a Jelinek-Mercer interpolated trigram
+    LM trained on the corpus itself (engine.extended.curation.
+    trigram_lm_scores; λ = 0.6/0.3/0.1 over trigram/bigram/unigram) — the
+    step up from bigram_lm_quality toward KenLM-class perplexity filtering.
+    Every component probability is a ratio of exact integer counts whose
+    histories sum over their continuations; the interpolation is one
+    fixed-order double expression, so both engines score identically."""
+    from engine.extended.curation import trigram_lm_scores
+
+    d = t(spark, sf_dir, "documents")
+    return trigram_lm_scores(d)
+
+
+@q(
+    "source_quality_shrunk",
+    f"""
+    WITH toked AS (
+      SELECT source, {_TOKS_SQL} AS toks
+      FROM documents WHERE text IS NOT NULL),
+    m AS (
+      SELECT source,
+             CAST(LENGTH(toks) AS BIGINT) AS n,
+             CAST(LENGTH(list_filter(toks, t -> regexp_matches(t, '[a-z]')))
+               AS BIGINT) AS na,
+             CAST(LENGTH(list_intersect(list_distinct(toks),
+               ['the','be','to','of','and','that','have','with']))
+               AS BIGINT) AS ns
+      FROM toked),
+    f AS (
+      SELECT source,
+             CAST(n >= 50 AND n <= 100000 AND 5 * na >= 4 * n AND ns >= 2
+                  AS INT) AS keep
+      FROM m),
+    per AS (
+      SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(SUM(keep) AS BIGINT) AS n_flag
+      FROM f GROUP BY source),
+    tot AS (SELECT CAST(SUM(n_docs) AS BIGINT) AS nn,
+                   CAST(SUM(n_flag) AS BIGINT) AS kk FROM per)
+    SELECT source, n_docs, n_flag,
+           ROUND(n_flag / n_docs, 4) AS rate,
+           ROUND((n_flag * nn + 20 * kk) / ((n_docs + 20) * nn), 4)
+             AS shrunk_rate
+    FROM per CROSS JOIN tot
+    """,
+)
+def source_quality_shrunk(spark, sf_dir):
+    """Per-source quality-rate triage with empirical-Bayes shrinkage toward
+    the corpus rate (engine.extended.curation.shrunk_group_rate, prior
+    strength m=20 pseudo-docs): a tiny source with a perfect rate must not
+    outrank a large source with a near-perfect one — the domain-level
+    filtering signal of RefinedWeb/FineWeb-style curation.  The keep flag
+    is the integer-exact core of the Gopher battery (word-count bounds,
+    alphabetic-word fraction, stop-word presence).  One corpus scan + one
+    group-key shuffle; totals derive from the per-group aggregate and ride
+    in as a 1-row broadcast."""
+    from engine.extended.curation import shrunk_group_rate
+    from engine.extended.text import GOPHER_STOPWORDS, tokens
+
+    d = t(spark, sf_dir, "documents")
+    toked = d.filter(F.col("text").isNotNull()).select(
+        "source", tokens("text").alias("__toks")
+    )
+    n = F.size("__toks").cast("long")
+    na = F.size(
+        F.filter(F.col("__toks"), lambda tk: tk.rlike("[a-z]"))
+    ).cast("long")
+    ns = F.size(
+        F.array_intersect(
+            F.array_distinct("__toks"),
+            F.array(*[F.lit(w) for w in GOPHER_STOPWORDS]),
+        )
+    ).cast("long")
+    keep = (
+        (n >= 50) & (n <= 100000) & (5 * na >= 4 * n) & (ns >= 2)
+    ).cast("int")
+    flagged = toked.select("source", keep.alias("__keep"))
+    return shrunk_group_rate(flagged, "source", "__keep", m=20)

@@ -164,3 +164,61 @@ def test_group_safe_split_normalization_joins_variants(spark):
     assert out[20]["group_rep"] == 10 and out[30]["group_rep"] == 10
     assert out[40]["group_rep"] == 40
     assert len({out[i]["split"] for i in (10, 20, 30)}) == 1
+
+
+def test_trigram_lm_interpolated_probability(spark):
+    import math
+
+    from engine.extended.curation import trigram_lm_scores
+
+    df = spark.createDataFrame(
+        [(1, "a b c"), (2, "a b c"), (3, "a b d"), (4, "x y")],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r.asDict() for r in trigram_lm_scores(df).collect()}
+    # doc 4 has no trigram -> absent
+    assert set(out) == {1, 2, 3}
+    # corpus model: c3(a b c)=2, c3(a b d)=1, history (a b)=3;
+    # bigrams: (a b)x3 (b c)x2 (b d)x1, histories a=3 b=3; unigram N
+    # counts EVERY token including trigram-less doc 4's -> N=11.
+    p1 = 0.6 * (2 / 3) + 0.3 * (2 / 3) + 0.1 * (2 / 11)
+    assert out[1]["n_trigrams"] == 1
+    assert out[1]["avg_logp"] == round(math.log2(p1), 4)
+    assert out[1]["avg_logp"] == out[2]["avg_logp"]
+    p3 = 0.6 * (1 / 3) + 0.3 * (1 / 3) + 0.1 * (1 / 11)
+    assert out[3]["avg_logp"] == round(math.log2(p3), 4)
+    # the duplicated trigram scores HIGHER than the rare one
+    assert out[1]["avg_logp"] > out[3]["avg_logp"]
+
+
+def test_shrunk_group_rate_pulls_small_groups_to_the_mean(spark):
+    from engine.extended.curation import shrunk_group_rate
+
+    rows = [("A", 1)] * 3 + [("B", 1)] * 40 + [("B", 0)] * 10
+    df = spark.createDataFrame(rows, "src string, keep int")
+    out = {
+        r["src"]: r.asDict()
+        for r in shrunk_group_rate(df, "src", "keep", m=10).collect()
+    }
+    # A: 3/3 raw; N=53, K=43 -> shrunk = (3*53 + 10*43) / ((3+10)*53)
+    assert out["A"]["rate"] == 1.0
+    assert out["A"]["shrunk_rate"] == round((3 * 53 + 10 * 43) / (13 * 53), 4)
+    assert out["A"]["shrunk_rate"] < 1.0
+    # B is large: shrinkage barely moves it
+    assert abs(out["B"]["shrunk_rate"] - out["B"]["rate"]) < 0.02
+    # despite a perfect raw rate, tiny A must not outrank big B
+    assert out["A"]["shrunk_rate"] < out["B"]["shrunk_rate"] + 0.06
+
+
+def test_shrunk_group_rate_m_zero_is_identity(spark):
+    from engine.extended.curation import shrunk_group_rate
+
+    df = spark.createDataFrame(
+        [("A", 1), ("A", 0), ("B", 1)], "src string, keep int"
+    )
+    out = {
+        r["src"]: r.asDict()
+        for r in shrunk_group_rate(df, "src", "keep", m=0).collect()
+    }
+    assert out["A"]["shrunk_rate"] == out["A"]["rate"] == 0.5
+    assert out["B"]["shrunk_rate"] == out["B"]["rate"] == 1.0
