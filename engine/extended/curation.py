@@ -578,9 +578,15 @@ def trigram_lm_scores(
     """
     l3, l2, l1 = (float(x) for x in lambdas)
     toks = df.select(F.col(id_col), tokens(text_col).alias("__toks"))
+    # every model table derives from an explicitly isnotnull-filtered shared
+    # frame: the probe join INFERS isnotnull(key) on its side while the
+    # aggregate side would not carry it, so without the explicit filter the
+    # two subtrees canonicalize differently and AQE cannot reuse the
+    # exchange (the q15/dsir_select bug class — reuse_audit flagged 6
+    # identical scans here; with the filters the final plan reuses)
     tg = toks.select(
         id_col, F.explode(ngrams_from(F.col("__toks"), 3)).alias("tg")
-    )
+    ).filter(F.col("tg").isNotNull())
     c3 = tg.groupBy("tg").agg(F.count(F.lit(1)).alias("__c3"))
     h2_of = lambda c: F.concat_ws(  # noqa: E731
         " ",
@@ -590,14 +596,20 @@ def trigram_lm_scores(
     c3h = c3.groupBy(h2_of(F.col("tg")).alias("__h2")).agg(
         F.sum("__c3").alias("__c3h")
     )
-    bg = toks.select(F.explode(ngrams_from(F.col("__toks"), 2)).alias("bg"))
+    bg = toks.select(
+        F.explode(ngrams_from(F.col("__toks"), 2)).alias("bg")
+    ).filter(F.col("bg").isNotNull())
     c2 = bg.groupBy("bg").agg(F.count(F.lit(1)).alias("__c2"))
     c2h = c2.groupBy(
         F.element_at(F.split(F.col("bg"), " "), 1).alias("__w2")
     ).agg(F.sum("__c2").alias("__c2h"))
-    ug = toks.select(F.explode("__toks").alias("__w"))
+    ug = toks.select(F.explode("__toks").alias("__w")).filter(
+        F.col("__w").isNotNull()
+    )
     c1 = ug.groupBy("__w").agg(F.count(F.lit(1)).alias("__c1"))
-    n_total = ug.count()
+    # N = Σ c1 — derived from the count table, never a second corpus scan
+    n_row = c1.agg(F.sum("__c1")).collect()[0][0]
+    n_total = int(n_row or 0)
     if n_total == 0:
         return df.select(
             F.col(id_col),
