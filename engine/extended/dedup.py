@@ -33,6 +33,7 @@ __all__ = [
     "simhash_candidates",
     "hamming_band_pairs",
     "ngram_jaccard_pairs",
+    "ngram_containment_pairs",
     "embedding_near_dup",
     "near_dup_groups",
     "minhash_dedup_cc",
@@ -670,6 +671,59 @@ def ngram_jaccard_pairs(
         )
     )
     return out.select("id_a", "id_b", "jaccard")
+
+
+def ngram_containment_pairs(
+    df: DataFrame,
+    pairs: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_n: int = 3,
+) -> DataFrame:
+    """Exact n-gram CONTAINMENT for given (id_a, id_b) candidate pairs:
+    ``contain_a = |A∩B| / |A|`` and ``contain_b = |A∩B| / |B|`` over
+    distinct word shingles — Broder's asymmetric resemblance.  The
+    subset-duplication detector Jaccard misses: a short doc quoted whole
+    inside a long one has tiny Jaccard (the union is large) but
+    containment ≈ 1 on the short side.  Empty shingle sets score NULL,
+    never a division error.
+
+    Same scale shape as :func:`ngram_jaccard_pairs`: shingle arrays join
+    onto the (bounded) candidate set — verification stays candidate-sized,
+    never a corpus-wide shuffle; candidates come from any blocker (banded
+    MinHash at scale, prefix blocking in the gate query).
+    """
+    sh = df.select(
+        F.col(id_col).alias("id"), tokens(text_col).alias("__toks")
+    ).select(
+        "id",
+        F.array_distinct(ngrams_from(F.col("__toks"), shingle_n)).alias("sh"),
+    )
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    out = (
+        pairs.join(
+            sh.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a")),
+            "id_a",
+        )
+        .join(
+            sh.select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b")),
+            "id_b",
+        )
+        .withColumn(
+            "contain_a",
+            F.when(
+                F.size("sh_a") > 0, F.round(inter / F.size("sh_a"), 4)
+            ),
+        )
+        .withColumn(
+            "contain_b",
+            F.when(
+                F.size("sh_b") > 0, F.round(inter / F.size("sh_b"), 4)
+            ),
+        )
+    )
+    return out.select("id_a", "id_b", "contain_a", "contain_b")
 
 
 # ---------------------------------------------------------------------------

@@ -3164,3 +3164,105 @@ def source_quality_shrunk(spark, sf_dir):
     ).cast("int")
     flagged = toked.select("source", keep.alias("__keep"))
     return shrunk_group_rate(flagged, "source", "__keep", m=20)
+
+
+@q(
+    "dedup_containment",
+    f"""
+    WITH sh AS (
+      SELECT doc_id,
+             list_distinct(list_transform(
+               generate_series(1, GREATEST(LENGTH(toks) - 2, 0)),
+               i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS shingles,
+             toks[1] || ' ' || toks[2] || ' ' || toks[3] || ' ' || toks[4]
+               || ' ' || toks[5] AS pkey
+      FROM (SELECT doc_id, {_TOKS_SQL} AS toks FROM documents)
+      WHERE LENGTH(toks) >= 5)
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           CASE WHEN LENGTH(a.shingles) > 0 THEN
+             ROUND(LENGTH(list_intersect(a.shingles, b.shingles)) * 1.0
+                   / LENGTH(a.shingles), 4) END AS contain_a,
+           CASE WHEN LENGTH(b.shingles) > 0 THEN
+             ROUND(LENGTH(list_intersect(a.shingles, b.shingles)) * 1.0
+                   / LENGTH(b.shingles), 4) END AS contain_b
+    FROM sh a JOIN sh b ON a.pkey = b.pkey AND a.doc_id < b.doc_id
+    """,
+)
+def dedup_containment(spark, sf_dir):
+    """Exact word-3-gram CONTAINMENT over candidate pairs blocked on a
+    shared 5-token prefix (engine.extended.dedup.ngram_containment_pairs):
+    |A∩B|/|A| and |A∩B|/|B| — Broder's asymmetric resemblance, the
+    subset-duplication / quote detector symmetric Jaccard misses (a short
+    doc embedded whole in a long one has tiny Jaccard but containment ≈ 1
+    on the short side).  Verification joins shingle arrays onto the
+    bounded candidate set; at corpus scale the blocker is the banded
+    MinHash candidate join, same as dedup_ngram_jaccard."""
+    from engine.extended.dedup import ngram_containment_pairs
+    from engine.extended.text import tokens
+
+    d = t(spark, sf_dir, "documents")
+    toks = tokens("text")
+    keyed = d.select(
+        "doc_id",
+        F.when(
+            F.size(toks) >= 5, F.array_join(F.slice(toks, 1, 5), " ")
+        ).alias("pkey"),
+    ).filter(F.col("pkey").isNotNull())
+    a = keyed.alias("a")
+    b = keyed.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.pkey") == F.col("b.pkey"))
+        & (F.col("a.doc_id") < F.col("b.doc_id")),
+    ).select(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
+    return ngram_containment_pairs(d, pairs)
+
+
+@q(
+    "ccnet_perplexity_buckets",
+    f"""
+    WITH toks AS (
+      SELECT doc_id, {_TOKS_SQL} AS toks FROM documents),
+    bg AS (
+      SELECT doc_id, UNNEST(CASE WHEN LENGTH(toks) < 2 THEN CAST([] AS VARCHAR[])
+        ELSE list_transform(range(0, LENGTH(toks) - 1),
+             i -> array_to_string(list_slice(toks, i + 1, i + 2), ' ')) END) AS bg
+      FROM toks),
+    c2 AS (SELECT bg, COUNT(*) AS c2 FROM bg GROUP BY bg),
+    c1 AS (SELECT split_part(bg, ' ', 1) AS w1, SUM(c2) AS c1 FROM c2 GROUP BY 1),
+    s AS (
+      SELECT b.doc_id, COUNT(*) AS n_bigrams,
+             ROUND(AVG(log2(c2.c2 / c1.c1)), 4) AS avg_logp
+      FROM bg b JOIN c2 ON b.bg = c2.bg
+      JOIN c1 ON split_part(b.bg, ' ', 1) = c1.w1
+      GROUP BY b.doc_id),
+    v AS (
+      SELECT *, CAST(FLOOR(avg_logp * 10000.0 + 0.5) AS BIGINT) AS vi
+      FROM s),
+    q AS (
+      SELECT CAST(FLOOR(quantile_cont(vi, CAST(1 AS DOUBLE) / 3) + 0.5)
+               AS BIGINT) AS c1,
+             CAST(FLOOR(quantile_cont(vi, CAST(2 AS DOUBLE) / 3) + 0.5)
+               AS BIGINT) AS c2
+      FROM v)
+    SELECT v.doc_id, v.n_bigrams, v.avg_logp,
+           CASE WHEN v.vi >= q.c2 THEN 'head'
+                WHEN v.vi >= q.c1 THEN 'middle'
+                ELSE 'tail' END AS ppl_bucket
+    FROM v CROSS JOIN q
+    """,
+)
+def ccnet_perplexity_buckets(spark, sf_dir):
+    """CCNet head/middle/tail corpus partition by LM score (Wenzek et al.
+    2020; engine.extended.curation.perplexity_buckets): per-doc bigram-LM
+    average log-prob bucketed against the corpus's own tertiles — head =
+    most fluent third.  The winsorized_stats determinism discipline: the
+    rounded score quantizes to integer 1e-4 units before the percentile
+    and the bucket decision is an integer compare against FLOOR(q+0.5),
+    so both engines agree exactly.  One global percentile aggregate
+    broadcast back as a 1-row cross join; swap approx_percentile or the
+    hist sketch at extreme corpus sizes (same plan shape)."""
+    from engine.extended.curation import perplexity_buckets
+
+    d = t(spark, sf_dir, "documents")
+    return perplexity_buckets(d)
