@@ -34,6 +34,7 @@ __all__ = [
     "hamming_band_pairs",
     "ngram_jaccard_pairs",
     "ngram_containment_pairs",
+    "prefix_block_pairs",
     "embedding_near_dup",
     "near_dup_groups",
     "minhash_dedup_cc",
@@ -671,6 +672,46 @@ def ngram_jaccard_pairs(
         )
     )
     return out.select("id_a", "id_b", "jaccard")
+
+
+def prefix_block_pairs(
+    df: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_prefix: int = 5,
+    block_cap: int | None = 500,
+) -> DataFrame:
+    """Candidate (id_a, id_b) pairs blocked on a shared ``n_prefix``-token
+    prefix — the SQL-checkable blocker the exact-verification queries
+    (:func:`ngram_jaccard_pairs`, :func:`ngram_containment_pairs`) feed on.
+
+    ``block_cap`` bounds each prefix block to its ``block_cap`` lowest-id
+    members BEFORE the self-join (the MinHash family's bucket_cap
+    contract): a boilerplate opening shared by 10k documents would
+    otherwise make the block quadratic.  Worst case per block is
+    C(block_cap, 2) pairs — the same bound every banded near-dup path in
+    this module accepts.  ``None`` disables (oracle-exactness probes only).
+    """
+    toked = tokens(text_col)
+    keyed = df.select(
+        F.col(id_col).alias("id"),
+        F.when(
+            F.size(toked) >= n_prefix,
+            F.array_join(F.slice(toked, 1, n_prefix), " "),
+        ).alias("pkey"),
+    ).filter(F.col("pkey").isNotNull())
+    if block_cap:
+        wcap = Window.partitionBy("pkey").orderBy("id")
+        keyed = (
+            keyed.withColumn("__bn", F.row_number().over(wcap))
+            .filter(F.col("__bn") <= block_cap)
+            .drop("__bn")
+        )
+    a, b = keyed.alias("a"), keyed.alias("b")
+    return a.join(
+        b, (F.col("a.pkey") == F.col("b.pkey")) & (F.col("a.id") < F.col("b.id"))
+    ).select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
 
 
 def ngram_containment_pairs(

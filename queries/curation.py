@@ -3177,7 +3177,8 @@ def source_quality_shrunk(spark, sf_dir):
              toks[1] || ' ' || toks[2] || ' ' || toks[3] || ' ' || toks[4]
                || ' ' || toks[5] AS pkey
       FROM (SELECT doc_id, {_TOKS_SQL} AS toks FROM documents)
-      WHERE LENGTH(toks) >= 5)
+      WHERE LENGTH(toks) >= 5
+      QUALIFY ROW_NUMBER() OVER (PARTITION BY pkey ORDER BY doc_id) <= 500)
     SELECT a.doc_id AS id_a, b.doc_id AS id_b,
            CASE WHEN LENGTH(a.shingles) > 0 THEN
              ROUND(LENGTH(list_intersect(a.shingles, b.shingles)) * 1.0
@@ -3194,28 +3195,17 @@ def dedup_containment(spark, sf_dir):
     |A∩B|/|A| and |A∩B|/|B| — Broder's asymmetric resemblance, the
     subset-duplication / quote detector symmetric Jaccard misses (a short
     doc embedded whole in a long one has tiny Jaccard but containment ≈ 1
-    on the short side).  Verification joins shingle arrays onto the
-    bounded candidate set; at corpus scale the blocker is the banded
-    MinHash candidate join, same as dedup_ngram_jaccard."""
-    from engine.extended.dedup import ngram_containment_pairs
-    from engine.extended.text import tokens
+    on the short side).  Blocks cap at their 500 lowest-id members (the
+    MinHash bucket_cap contract; engine.extended.dedup.prefix_block_pairs);
+    verification joins shingle arrays onto the bounded candidate set, and
+    at corpus scale the blocker is the banded MinHash candidate join."""
+    from engine.extended.dedup import (
+        ngram_containment_pairs,
+        prefix_block_pairs,
+    )
 
     d = t(spark, sf_dir, "documents")
-    toks = tokens("text")
-    keyed = d.select(
-        "doc_id",
-        F.when(
-            F.size(toks) >= 5, F.array_join(F.slice(toks, 1, 5), " ")
-        ).alias("pkey"),
-    ).filter(F.col("pkey").isNotNull())
-    a = keyed.alias("a")
-    b = keyed.alias("b")
-    pairs = a.join(
-        b,
-        (F.col("a.pkey") == F.col("b.pkey"))
-        & (F.col("a.doc_id") < F.col("b.doc_id")),
-    ).select(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
-    return ngram_containment_pairs(d, pairs)
+    return ngram_containment_pairs(d, prefix_block_pairs(d))
 
 
 @q(

@@ -333,7 +333,8 @@ def dedup_simhash(spark, sf_dir):
              toks[1] || ' ' || toks[2] || ' ' || toks[3] || ' ' || toks[4] || ' ' || toks[5] AS pkey
       FROM (SELECT doc_id, list_transform(regexp_extract_all(text, '[A-Za-z0-9'']+'), x -> LOWER(x)) AS toks
             FROM documents)
-      WHERE LENGTH(toks) >= 5)
+      WHERE LENGTH(toks) >= 5
+      QUALIFY ROW_NUMBER() OVER (PARTITION BY pkey ORDER BY doc_id) <= 500)
     SELECT a.doc_id AS id_a, b.doc_id AS id_b,
            ROUND(LENGTH(list_intersect(a.shingles, b.shingles)) * 1.0 /
                  LENGTH(list_distinct(list_concat(a.shingles, b.shingles))), 4) AS jaccard
@@ -342,22 +343,13 @@ def dedup_simhash(spark, sf_dir):
 )
 def dedup_ngram_jaccard(spark, sf_dir):
     """Exact word-3-gram Jaccard over candidate pairs blocked on a shared
-    5-token prefix (north-star; SQL-checkable blocking)."""
-    from engine.extended.dedup import ngram_jaccard_pairs
-    from engine.extended.text import tokens
+    5-token prefix, blocks capped at their 500 lowest-id members (the
+    MinHash bucket_cap contract — a boilerplate opening shared by 10k docs
+    must not go quadratic; engine.extended.dedup.prefix_block_pairs)."""
+    from engine.extended.dedup import ngram_jaccard_pairs, prefix_block_pairs
 
     d = t(spark, sf_dir, "documents")
-    toks = tokens("text")
-    keyed = d.select(
-        "doc_id",
-        F.when(F.size(toks) >= 5, F.array_join(F.slice(toks, 1, 5), " ")).alias("pkey"),
-    ).filter(F.col("pkey").isNotNull())
-    a = keyed.alias("a")
-    b = keyed.alias("b")
-    pairs = a.join(
-        b, (F.col("a.pkey") == F.col("b.pkey")) & (F.col("a.doc_id") < F.col("b.doc_id"))
-    ).select(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
-    return ngram_jaccard_pairs(d, pairs)
+    return ngram_jaccard_pairs(d, prefix_block_pairs(d))
 
 
 def _query_vec_rows(emb, preferred: int):

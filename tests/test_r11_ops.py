@@ -277,3 +277,26 @@ def test_perplexity_buckets_rank_fluency(spark):
         by_bucket[r["ppl_bucket"]].append(r["avg_logp"])
     assert min(by_bucket["head"]) >= max(by_bucket["middle"])
     assert min(by_bucket["middle"]) >= max(by_bucket["tail"])
+
+
+def test_prefix_block_cap_bounds_hot_blocks(spark):
+    from engine.extended.dedup import prefix_block_pairs
+
+    # 600 docs sharing one 5-token prefix: uncapped would be C(600,2)
+    rows = [(i, f"alpha beta gamma delta epsilon tail{i}") for i in range(600)]
+    rows += [(1000, "zeta eta theta iota kappa solo")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    n = prefix_block_pairs(df, block_cap=500).count()
+    assert n == 500 * 499 // 2
+    # cap keeps the LOWEST ids: doc 599 (rank 600) never pairs
+    assert (
+        prefix_block_pairs(df, block_cap=500)
+        .filter((F.col("id_a") == 599) | (F.col("id_b") == 599))
+        .count()
+        == 0
+    )
+    # small blocks pair fully; the singleton block yields nothing
+    tiny = prefix_block_pairs(
+        spark.createDataFrame(rows[:3] + rows[-1:], "doc_id long, text string")
+    )
+    assert tiny.count() == 3
