@@ -8,7 +8,7 @@ from __future__ import annotations
 
 from queries._base import *  # noqa: F401,F403
 from queries._base import _arr_str  # noqa: F401
-from queries.extended import _BRUTE_TOPK_SQL, _MD5H, _est_sql, _minhash_with_sql, _query_vec_rows, ann_cosine_topk, corpus_pipeline_v3, dedup_exact, dedup_minhash_incremental  # noqa: F401
+from queries.extended import _BRUTE_TOPK_SQL, _MD5H, _TOKS_SQL, _est_sql, _minhash_with_sql, _query_vec_rows, ann_cosine_topk, corpus_pipeline_v3, dedup_exact, dedup_minhash_incremental  # noqa: F401
 
 # ===========================================================================
 # Capability pack 2: subqueries, grouping sets, unpivot, scalar packs,
@@ -2918,4 +2918,149 @@ def trimmed_mean_stats(spark, sf_dir):
             F.max("mu").cast("long").alias("hi_mu"),
         )
         .orderBy(F.col("event_type").asc_nulls_last())
+    )
+
+
+@q(
+    "ann_rank_quality",
+    f"""
+    WITH ivf AS (
+      SELECT vec_id,
+             ROW_NUMBER() OVER (ORDER BY sim DESC NULLS LAST, vec_id) AS r
+      FROM ({_ivf_seeded_sql()})),
+    tru AS (
+      SELECT vec_id,
+             ROW_NUMBER() OVER (ORDER BY sim DESC NULLS LAST, vec_id) AS r
+      FROM ({_BRUTE_TOPK_SQL})),
+    j AS (
+      SELECT i.r AS ir, t.r AS tr
+      FROM ivf i LEFT JOIN tru t ON i.vec_id = t.vec_id),
+    d AS (
+      SELECT SUM(CASE WHEN tr IS NULL THEN CAST(0 AS DOUBLE)
+                      ELSE (11 - tr) / log2(ir + 1) END) AS dcg,
+             SUM(CASE WHEN tr = 1 THEN CAST(1 AS DOUBLE) / ir END) AS mrr_raw,
+             CAST(COUNT(tr) AS BIGINT) AS n_overlap
+      FROM j),
+    i AS (SELECT SUM((11 - r) / log2(r + 1)) AS idcg FROM tru)
+    SELECT 10 AS k, n_overlap,
+           ROUND(COALESCE(mrr_raw, CAST(0 AS DOUBLE)), 4) AS mrr,
+           ROUND(dcg / idcg, 4) AS ndcg
+    FROM d CROSS JOIN i
+    """,
+)
+def ann_rank_quality(spark, sf_dir):
+    """Graded ranking quality of the IVF index against brute-force truth:
+    MRR (reciprocal rank of the TRUE nearest neighbor inside the ANN list;
+    0 if missed) and nDCG@10 with graded relevance 11−truth_rank — the IR
+    metrics that see ORDER quality where ann_recall_audit's set-overlap
+    recall cannot (an index returning the right 10 docs reversed scores
+    recall 100 but low nDCG).  Both rankings are the registry's own
+    deterministic constructions; ranks come from 10-row windows, so the
+    audit costs nothing beyond the index builds it grades.  The three
+    embeddings scans in the final plan are the three inherent ROLES
+    (quantized k-means build, IVF probe, raw brute-force scan — different
+    column sets; the ann_recall_audit shape), not a missed reuse."""
+    from engine.extended.similarity import (
+        cosine_topk,
+        ivf_build_seeded,
+        ivf_topk_seeded,
+        quantized_vec,
+    )
+
+    emb = t(spark, sf_dir, "embeddings")
+    qrows = (
+        emb.filter(F.col("embedding").isNotNull() & (F.col("vec_id") >= 7))
+        .orderBy("vec_id")
+        .limit(1)
+        .select(F.col("embedding"), quantized_vec("embedding").alias("qq"))
+        .collect()
+    )
+    if not qrows:
+        return spark.createDataFrame(
+            [(10, 0, 0.0, 0.0)], "k int, n_overlap long, mrr double, ndcg double"
+        ).limit(0)
+    qv = [float(x) for x in qrows[0]["embedding"]]
+    qq = [float(x) for x in qrows[0]["qq"]]
+    assigned, cents = ivf_build_seeded(emb, n_lists=8, iters=2, dim=len(qv))
+    rank_w = Window.orderBy(F.col("sim").desc_nulls_last(), F.col("vec_id"))
+    ivf = (
+        ivf_topk_seeded(assigned, cents, qq, qv, k=10, nprobe=3)
+        .select("vec_id", F.row_number().over(rank_w).alias("ir"))
+    )
+    tru = cosine_topk(emb, qv, k=10).select(
+        "vec_id", F.row_number().over(rank_w).alias("tr")
+    )
+    j = ivf.join(tru, "vec_id", "left")
+    d = j.agg(
+        F.sum(
+            F.when(F.col("tr").isNull(), F.lit(0.0)).otherwise(
+                (F.lit(11) - F.col("tr")) / F.log2(F.col("ir") + 1)
+            )
+        ).alias("dcg"),
+        F.sum(
+            F.when(F.col("tr") == 1, F.lit(1.0) / F.col("ir"))
+        ).alias("mrr_raw"),
+        F.count("tr").cast("long").alias("n_overlap"),
+    )
+    idcg = tru.agg(
+        F.sum((F.lit(11) - F.col("tr")) / F.log2(F.col("tr") + 1)).alias(
+            "idcg"
+        )
+    )
+    return d.crossJoin(F.broadcast(idcg)).select(
+        F.lit(10).alias("k"),
+        "n_overlap",
+        F.round(F.coalesce("mrr_raw", F.lit(0.0)), 4).alias("mrr"),
+        F.round(F.col("dcg") / F.col("idcg"), 4).alias("ndcg"),
+    )
+
+
+@q(
+    "oov_rate_by_source",
+    f"""
+    WITH tk AS (
+      SELECT source, UNNEST({_TOKS_SQL}) AS tok FROM documents),
+    tokc AS (SELECT source, tok, COUNT(*) AS c FROM tk GROUP BY source, tok),
+    vc AS (SELECT tok, SUM(c) AS cc FROM tokc GROUP BY tok),
+    vocab AS (SELECT tok FROM vc ORDER BY cc DESC, tok LIMIT 500)
+    SELECT source,
+           CAST(SUM(c) AS BIGINT) AS n_tokens,
+           CAST(SUM(CASE WHEN v.tok IS NULL THEN c ELSE 0 END) AS BIGINT)
+             AS n_oov,
+           ROUND(SUM(CASE WHEN v.tok IS NULL THEN c ELSE 0 END) * 1.0
+                 / SUM(c), 4) AS oov_rate
+    FROM tokc LEFT JOIN vocab v ON tokc.tok = v.tok
+    GROUP BY source
+    """,
+)
+def oov_rate_by_source(spark, sf_dir):
+    """Vocabulary-coverage audit: per-source fraction of token occurrences
+    outside the corpus's own top-500 vocabulary (count-desc, token
+    tie-break) — the tokenizer-coverage / domain-shift signal read before
+    fixing a vocab or adding a domain to the mixture.  ONE corpus scan:
+    tokens collapse to (source, token) counts first, and BOTH the
+    vocabulary (a further aggregate, TakeOrdered 500 rows) and the probe
+    (broadcast left join) consume that same distinct-pair exchange — the
+    first draft scanned documents twice (reuse_audit catch); the second
+    shuffle carries distinct pairs, never token volume."""
+    d = t(spark, sf_dir, "documents")
+    from engine.extended.text import tokens
+
+    tk = d.select(
+        "source", F.explode(tokens("text")).alias("tok")
+    ).filter(F.col("tok").isNotNull())
+    tokc = tk.groupBy("source", "tok").agg(F.count(F.lit(1)).alias("c"))
+    vocab = (
+        tokc.groupBy("tok")
+        .agg(F.sum("c").alias("cc"))
+        .orderBy(F.col("cc").desc(), "tok")
+        .limit(500)
+        .select("tok", F.lit(1).alias("__v"))
+    )
+    joined = tokc.join(F.broadcast(vocab), "tok", "left")
+    oov_c = F.sum(F.when(F.col("__v").isNull(), F.col("c")).otherwise(0))
+    return joined.groupBy("source").agg(
+        F.sum("c").cast("long").alias("n_tokens"),
+        oov_c.cast("long").alias("n_oov"),
+        F.round(oov_c / F.sum("c"), 4).alias("oov_rate"),
     )
