@@ -775,3 +775,25 @@ def test_reuse_audit_headline_pack_no_new_candidates(spark):
     assert not new, f"NEW no-reuse candidates (see allowlist docstring): {new}"
     gone = REUSE_AUDIT_ALLOWLIST - set(flagged)
     assert not gone, f"allowlist entries now clean — remove them: {gone}"
+
+
+def test_r11_late_queries_runtime_plan_shape(spark):
+    """Plan gates pinning the two r11 reuse fixes: the trigram LM's shared
+    explode frames must carry a runtime ReusedExchange (without the
+    explicit isnotnull filters the probe/aggregate subtrees canonicalize
+    differently — 6 identical documents scans, +70% wall at ×100), and
+    the OOV audit must stay a SINGLE documents scan (vocabulary and probe
+    both consume the (source, token) count exchange)."""
+    from queries import oov_rate_by_source, trigram_lm_quality
+    from tools.reuse_audit import table_scans
+
+    df = trigram_lm_quality(spark, "/root/testdata/sf0.001")
+    df.collect()
+    p = df._jdf.queryExecution().executedPlan().toString()
+    final = p.split("== Initial Plan ==")[0]
+    assert final.count("ReusedExchange") >= 1
+
+    df2 = oov_rate_by_source(spark, "/root/testdata/sf0.001")
+    df2.collect()
+    p2 = df2._jdf.queryExecution().executedPlan().toString()
+    assert table_scans(p2).get("documents") == 1
