@@ -35,6 +35,7 @@ __all__ = [
     "ngram_jaccard_pairs",
     "ngram_containment_pairs",
     "prefix_block_pairs",
+    "weighted_jaccard_pairs",
     "embedding_near_dup",
     "near_dup_groups",
     "minhash_dedup_cc",
@@ -672,6 +673,77 @@ def ngram_jaccard_pairs(
         )
     )
     return out.select("id_a", "id_b", "jaccard")
+
+
+def weighted_jaccard_pairs(
+    df: DataFrame,
+    pairs: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Multiset (frequency-weighted) token Jaccard for candidate pairs:
+    ``Σ_t min(cA_t, cB_t) / Σ_t max(cA_t, cB_t)`` — the similarity that
+    sees REPETITION where set-based Jaccard collapses it ("spam spam spam"
+    vs "spam" are identical as sets but 1/3 as multisets).  Computed with
+    ONE inner join via the identity ``Σmax = |A| + |B| − Σmin``, so the
+    per-pair token union never materializes.
+
+    Scale shape: per-doc token counts build once ((id, token) aggregate,
+    distinct-pair volume); the candidate set joins its two count slices
+    and the shared-token inner join carries only tokens present on BOTH
+    sides.  Cost is candidates × shared tokens — bounded by the blocker's
+    cap, never corpus-quadratic.
+    """
+    tokc = (
+        df.select(F.col(id_col).alias("id"), F.explode(tokens(text_col)).alias("tok"))
+        .filter(F.col("tok").isNotNull())
+        .groupBy("id", "tok")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    totals = tokc.groupBy("id").agg(F.sum("c").alias("n"))
+    shared = (
+        pairs.join(
+            tokc.select(
+                F.col("id").alias("id_a"),
+                "tok",
+                F.col("c").alias("__ca"),
+            ),
+            "id_a",
+        )
+        .join(
+            tokc.select(
+                F.col("id").alias("id_b"),
+                F.col("tok"),
+                F.col("c").alias("__cb"),
+            ),
+            ["id_b", "tok"],
+        )
+        .groupBy("id_a", "id_b")
+        .agg(F.sum(F.least("__ca", "__cb")).alias("__minsum"))
+    )
+    out = (
+        pairs.join(shared, ["id_a", "id_b"], "left")
+        .join(
+            totals.select(F.col("id").alias("id_a"), F.col("n").alias("__na")),
+            "id_a",
+            "left",
+        )
+        .join(
+            totals.select(F.col("id").alias("id_b"), F.col("n").alias("__nb")),
+            "id_b",
+            "left",
+        )
+        .withColumn("__m", F.coalesce("__minsum", F.lit(0)))
+    )
+    denom = F.col("__na") + F.col("__nb") - F.col("__m")
+    return out.select(
+        "id_a",
+        "id_b",
+        F.when(denom > 0, F.round(F.col("__m") / denom, 4)).alias(
+            "weighted_jaccard"
+        ),
+    )
 
 
 def prefix_block_pairs(

@@ -3256,3 +3256,53 @@ def ccnet_perplexity_buckets(spark, sf_dir):
 
     d = t(spark, sf_dir, "documents")
     return perplexity_buckets(d)
+
+
+@q(
+    "dedup_weighted_jaccard",
+    f"""
+    WITH toked AS (
+      SELECT doc_id, {_TOKS_SQL} AS toks FROM documents),
+    keyed AS (
+      SELECT doc_id,
+             toks[1] || ' ' || toks[2] || ' ' || toks[3] || ' ' || toks[4]
+               || ' ' || toks[5] AS pkey
+      FROM toked WHERE LENGTH(toks) >= 5
+      QUALIFY ROW_NUMBER() OVER (PARTITION BY pkey ORDER BY doc_id) <= 500),
+    pairs AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM keyed a JOIN keyed b
+        ON a.pkey = b.pkey AND a.doc_id < b.doc_id),
+    tc AS (
+      SELECT doc_id AS id, tok, COUNT(*) AS c
+      FROM (SELECT doc_id, UNNEST(toks) AS tok FROM toked)
+      GROUP BY 1, 2),
+    tot AS (SELECT id, SUM(c) AS n FROM tc GROUP BY id),
+    sh AS (
+      SELECT p.id_a, p.id_b, SUM(LEAST(a.c, b.c)) AS msum
+      FROM pairs p
+      JOIN tc a ON a.id = p.id_a
+      JOIN tc b ON b.id = p.id_b AND b.tok = a.tok
+      GROUP BY p.id_a, p.id_b)
+    SELECT p.id_a, p.id_b,
+           CASE WHEN ta.n + tb.n - COALESCE(sh.msum, 0) > 0 THEN
+             ROUND(COALESCE(sh.msum, 0)
+                   / ((ta.n + tb.n - COALESCE(sh.msum, 0)) * 1.0), 4) END
+             AS weighted_jaccard
+    FROM pairs p
+    LEFT JOIN sh ON sh.id_a = p.id_a AND sh.id_b = p.id_b
+    JOIN tot ta ON ta.id = p.id_a
+    JOIN tot tb ON tb.id = p.id_b
+    """,
+)
+def dedup_weighted_jaccard(spark, sf_dir):
+    """Multiset (frequency-weighted) token Jaccard over the capped
+    prefix-blocked candidates (engine.extended.dedup.
+    weighted_jaccard_pairs): Σmin(cA,cB)/Σmax(cA,cB) — sees repetition
+    where set Jaccard collapses it.  Computed with ONE inner join via
+    Σmax = |A|+|B|−Σmin, so the per-pair token UNION never materializes;
+    count tables build once at distinct-(id,token) volume."""
+    from engine.extended.dedup import prefix_block_pairs, weighted_jaccard_pairs
+
+    d = t(spark, sf_dir, "documents")
+    return weighted_jaccard_pairs(d, prefix_block_pairs(d))

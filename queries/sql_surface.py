@@ -1496,6 +1496,7 @@ def _ivf_seeded_sql(
     k: int = 10,
     qid: int = 7,
     train_where: str | None = None,
+    final_select: str | None = None,
 ) -> str:
     """DuckDB twin of ivf_build_seeded + ivf_topk_seeded: md5-rank seeds,
     ``iters`` unrolled Lloyd rounds over exact-integer quantized components
@@ -1558,7 +1559,15 @@ def _ivf_seeded_sql(
         SELECT p.vec_id, c.cid,
                ROW_NUMBER() OVER (PARTITION BY p.vec_id
                  ORDER BY {dist.format(a='p.q', b='c.c')}, c.cid) AS rn
-        FROM pts p CROSS JOIN {cf} c) WHERE rn = 1),
+        FROM pts p CROSS JOIN {cf} c) WHERE rn = 1)"""
+    )
+    # custom consumers of the assignment table (balance audit etc.) stop
+    # here — same training/assignment CTEs, their own final SELECT
+    if final_select is not None:
+        parts.append(final_select)
+        return "".join(parts)
+    parts.append(
+        f""",
     qq AS (SELECT q, embedding AS qv,
            SQRT(list_sum(list_transform(embedding,
              x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS qn
@@ -3063,4 +3072,146 @@ def oov_rate_by_source(spark, sf_dir):
         F.sum("c").cast("long").alias("n_tokens"),
         oov_c.cast("long").alias("n_oov"),
         F.round(oov_c / F.sum("c"), 4).alias("oov_rate"),
+    )
+
+
+@q(
+    "ivf_balance_audit",
+    _ivf_seeded_sql(
+        final_select=""",
+    sz AS (SELECT cid, COUNT(*) AS s FROM af GROUP BY cid)
+    SELECT 8 AS n_lists,
+           CAST(SUM(s) AS BIGINT) AS n_vectors,
+           CAST(MIN(s) AS BIGINT) AS min_sz,
+           CAST(MAX(s) AS BIGINT) AS max_sz,
+           ROUND((8 * SUM(s * s)) / (SUM(s) * SUM(s) * 1.0), 4) AS imbalance
+    FROM sz"""
+    ),
+)
+def ivf_balance_audit(spark, sf_dir):
+    """IVF list-balance audit: per-list population min/max and the
+    imbalance factor ``n_lists·Σs²/(Σs)²`` (1.0 = perfectly even; the
+    expected probe slowdown of an unbalanced index, since probe cost is
+    proportional to the hit lists' sizes).  The ops metric a deployment
+    watches to decide when to retrain the coarse quantizer.  Reads the
+    SAME seeded k-means assignment the ann_ivf_topk family builds; the
+    audit itself is one ≤n_lists-row aggregate."""
+    from engine.extended.similarity import ivf_build_seeded
+
+    emb = t(spark, sf_dir, "embeddings")
+    dim_rows = (
+        emb.filter(F.col("embedding").isNotNull())
+        .select(F.size("embedding").alias("d"))
+        .limit(1)
+        .collect()
+    )
+    if not dim_rows:
+        return spark.createDataFrame(
+            [], "n_lists int, n_vectors long, min_sz long, max_sz long, imbalance double"
+        )
+    assigned, _ = ivf_build_seeded(
+        emb, n_lists=8, iters=2, dim=int(dim_rows[0]["d"])
+    )
+    sz = assigned.groupBy("ivf_list").agg(F.count(F.lit(1)).alias("s"))
+    return sz.agg(
+        F.lit(8).alias("n_lists"),
+        F.sum("s").cast("long").alias("n_vectors"),
+        F.min("s").cast("long").alias("min_sz"),
+        F.max("s").cast("long").alias("max_sz"),
+        F.round(
+            (F.lit(8) * F.sum(F.col("s") * F.col("s")))
+            / (F.sum("s") * F.sum("s") * F.lit(1.0)),
+            4,
+        ).alias("imbalance"),
+    )
+
+
+_BATCH_QIDS = [3, 5, 7, 11]
+
+
+@q(
+    "ann_batch_topk",
+    f"""
+    WITH qs AS (
+      SELECT vec_id AS qid, embedding AS qv,
+             SQRT(list_sum(list_transform(embedding,
+               x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS qn
+      FROM embeddings
+      WHERE embedding IS NOT NULL AND vec_id IN ({", ".join(str(q_) for q_ in _BATCH_QIDS)})),
+    scored AS (
+      SELECT qs.qid, e.vec_id,
+             CASE WHEN SQRT(list_sum(list_transform(e.embedding,
+                      x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) * qs.qn > 0
+             THEN ROUND(
+               list_sum(list_transform(list_zip(e.embedding, qs.qv),
+                        p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE))) /
+               (SQRT(list_sum(list_transform(e.embedding,
+                        x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) * qs.qn),
+               4)
+             END AS sim
+      FROM embeddings e CROSS JOIN qs
+      WHERE e.embedding IS NOT NULL AND e.vec_id <> qs.qid)
+    SELECT qid, vec_id, sim,
+           CAST(rnk AS BIGINT) AS rnk
+    FROM (
+      SELECT qid, vec_id, sim,
+             ROW_NUMBER() OVER (PARTITION BY qid
+               ORDER BY sim DESC NULLS LAST, vec_id) AS rnk
+      FROM scored)
+    WHERE rnk <= 3
+    """,
+)
+def ann_batch_topk(spark, sf_dir):
+    """Batched multi-query brute-force ANN: exact top-3 per query for a
+    4-query batch in ONE corpus scan (each vector scores against every
+    query in the same projection — query batching is how a retrieval
+    deployment amortizes the scan).  Per-query top-k uses the SALTED
+    two-level pattern: rank within (qid, crc32-salt-of-64) buckets first —
+    partition-parallel, never one partition per query — then rank the
+    ≤3·64 survivors per query; exact because a global top-3 row is top-3
+    in its salt bucket.  Rounded sims + id tie-break keep both levels
+    engine-deterministic.  The two embeddings scans in the plan are
+    different ROLES (reviewed, the cdc_apply_changelog class): the
+    4-row query slice with its pushed vec_id IN filter vs the full
+    corpus scan — nothing reusable."""
+    from engine.extended.dedup import cosine
+
+    emb = t(spark, sf_dir, "embeddings")
+    qs = (
+        emb.filter(
+            F.col("embedding").isNotNull()
+            & F.col("vec_id").isin(_BATCH_QIDS)
+        )
+        .select(
+            F.col("vec_id").alias("qid"), F.col("embedding").alias("qv")
+        )
+    )
+    scored = (
+        emb.filter(F.col("embedding").isNotNull())
+        .crossJoin(F.broadcast(qs))
+        .filter(F.col("vec_id") != F.col("qid"))
+        .select(
+            "qid",
+            "vec_id",
+            F.round(cosine(F.col("embedding"), F.col("qv")), 4).alias("sim"),
+        )
+    )
+    salted = scored.withColumn(
+        "__salt", F.crc32(F.col("vec_id").cast("string")) % 64
+    )
+    w_local = Window.partitionBy("qid", "__salt").orderBy(
+        F.col("sim").desc_nulls_last(), F.col("vec_id")
+    )
+    local = (
+        salted.withColumn("__lr", F.row_number().over(w_local))
+        .filter(F.col("__lr") <= 3)
+        .drop("__salt", "__lr")
+    )
+    w_global = Window.partitionBy("qid").orderBy(
+        F.col("sim").desc_nulls_last(), F.col("vec_id")
+    )
+    return (
+        local.withColumn("rnk", F.row_number().over(w_global))
+        .filter(F.col("rnk") <= 3)
+        .select("qid", "vec_id", "sim", F.col("rnk").cast("long").alias("rnk"))
     )

@@ -300,3 +300,48 @@ def test_prefix_block_cap_bounds_hot_blocks(spark):
         spark.createDataFrame(rows[:3] + rows[-1:], "doc_id long, text string")
     )
     assert tiny.count() == 3
+
+
+def test_weighted_jaccard_sees_repetition(spark):
+    from engine.extended.dedup import weighted_jaccard_pairs
+
+    docs = spark.createDataFrame(
+        [
+            (1, "spam spam spam ham"),
+            (2, "spam ham ham ham"),
+            (3, "spam ham"),
+        ],
+        "doc_id long, text string",
+    )
+    pairs = spark.createDataFrame(
+        [(1, 2), (1, 3), (2, 3)], "id_a long, id_b long"
+    )
+    out = {
+        (r["id_a"], r["id_b"]): r["weighted_jaccard"]
+        for r in weighted_jaccard_pairs(docs, pairs).collect()
+    }
+    # sets are identical ({spam, ham} everywhere) — set Jaccard would say
+    # 1.0 for every pair; multisets disagree:
+    # (1,2): min(3,1)+min(1,3)=2, max sums 3+3=6 -> 1/3
+    assert out[(1, 2)] == round(2 / 6, 4)
+    # (1,3): min(3,1)+min(1,1)=2 over max(3,1)+max(1,1)=4 -> 0.5
+    assert out[(1, 3)] == 0.5
+    assert out[(2, 3)] == 0.5
+
+
+def test_weighted_jaccard_disjoint_and_empty_docs(spark):
+    from engine.extended.dedup import weighted_jaccard_pairs
+
+    docs = spark.createDataFrame(
+        [(1, "aa bb"), (2, "cc dd"), (3, "")],
+        "doc_id long, text string",
+    )
+    pairs = spark.createDataFrame(
+        [(1, 2), (1, 3)], "id_a long, id_b long"
+    )
+    out = {
+        (r["id_a"], r["id_b"]): r["weighted_jaccard"]
+        for r in weighted_jaccard_pairs(docs, pairs).collect()
+    }
+    assert out[(1, 2)] == 0.0  # no shared tokens
+    assert out[(1, 3)] is None  # empty side -> null, not an error
