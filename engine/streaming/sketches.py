@@ -34,6 +34,8 @@ from engine.extended.sketch import cms_build
 __all__ = [
     "streaming_bottomk",
     "streaming_cms",
+    "streaming_hist",
+    "streaming_hist_quantile",
     "streaming_hll",
     "streaming_hll_estimate",
     "streaming_topk",
@@ -336,3 +338,77 @@ def streaming_bottomk(
     )
     query.awaitTermination()
     return query, acc
+
+
+def streaming_hist(
+    stream_df: DataFrame,
+    value_col: str,
+    checkpoint_dir: str,
+    *,
+    lo: float,
+    hi: float,
+    n_buckets: int = 256,
+    buckets: dict[int, int] | None = None,
+    query_name: str = "engine-streaming-hist",
+):
+    """Maintain an equi-width histogram over a stream (availableNow drain)
+    — the DISTRIBUTION twin of :func:`streaming_cms` (frequencies) and
+    :func:`streaming_hll` (cardinality), and the streaming maintainer of
+    :func:`engine.extended.sketch.hist_build`.
+
+    The grid (``lo``, ``hi``, ``n_buckets``) is data-independent, so
+    per-batch histograms merge by plain bucket-count addition and the
+    accumulator is EXACTLY ``hist_build`` of everything drained so far
+    (hist_merge linearity; pinned against the batch op in tests).  Each
+    micro-batch costs one ≤n_buckets-group aggregate; state is bounded at
+    n_buckets counters regardless of stream volume.  Same at-least-once
+    discipline as the other counter-family maintainers: a seen-batch_id
+    guard makes re-delivered batches no-ops (addition, like CMS counts
+    and unlike bottom-k union, is NOT idempotent).
+    """
+    from engine.extended.sketch import hist_build
+
+    acc: dict[int, int] = buckets if buckets is not None else {}
+    seen: set[int] = set()
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_id in seen:
+            return
+        rows = hist_build(
+            batch_df, value_col, lo=lo, hi=hi, n_buckets=n_buckets
+        ).collect()
+        for r in rows:
+            acc[r["bucket"]] = acc.get(r["bucket"], 0) + r["cnt"]
+        seen.add(batch_id)
+
+    query = (
+        stream_df.writeStream.foreachBatch(process)
+        .option("checkpointLocation", checkpoint_dir)
+        .queryName(query_name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination()
+    return query, acc
+
+
+def streaming_hist_quantile(
+    buckets: dict[int, int], q: float, *, lo: float, hi: float, n_buckets: int = 256
+) -> float | None:
+    """Quantile estimate from a :func:`streaming_hist` accumulator — the
+    driver-side twin of :func:`engine.extended.sketch.hist_quantile`
+    (same convention: upper edge of the bucket where the cumulative count
+    first reaches ``q·N``; error ≤ one bucket width).  None on an empty
+    accumulator."""
+    if not 0 < q <= 1:
+        raise ValueError(f"q must be in (0, 1], got {q}")
+    total = sum(buckets.values())
+    if total == 0:
+        return None
+    w = (hi - lo) / n_buckets
+    cum = 0
+    for b in sorted(buckets):
+        cum += buckets[b]
+        if cum >= q * total:
+            return lo + (b + 1) * w
+    return hi

@@ -865,3 +865,45 @@ def test_bucketed_matview_guards(spark, tmp_path):
         assert not _ensure_bucketed_table(spark, snap1, name)
         assert not spark.catalog.tableExists(name)
     assert read_agg_snapshot(spark, snap1) is None
+
+
+def test_streaming_hist_matches_batch_sketch_across_batches(spark, tmp_path):
+    """Histogram batch/stream parity: per-micro-batch equi-width histograms
+    merged across two availableNow drains equal EXACTLY the batch
+    histogram of the combined data (hist_merge linearity), and the
+    accumulator quantile matches the batch hist_quantile estimate."""
+    from engine.extended.sketch import hist_build, hist_quantile
+    from engine.streaming.sketches import (
+        streaming_hist,
+        streaming_hist_quantile,
+    )
+
+    src = str(tmp_path / "hist_src")
+    ckpt = str(tmp_path / "hist_ck")
+    schema = "v double"
+    wave1 = spark.createDataFrame([(float(i),) for i in range(50)], schema)
+    wave2 = spark.createDataFrame(
+        [(float(i) * 1.7,) for i in range(40)] + [(None,), (1e9,)], schema
+    )
+    wave1.coalesce(1).write.mode("append").parquet(src)
+
+    grid = dict(lo=0.0, hi=100.0, n_buckets=32)
+    buckets: dict = {}
+    stream = spark.readStream.schema(schema).format("parquet").load(src)
+    streaming_hist(stream, "v", ckpt, buckets=buckets, **grid)
+    wave2.coalesce(1).write.mode("append").parquet(src)
+    stream = spark.readStream.schema(schema).format("parquet").load(src)
+    streaming_hist(stream, "v", ckpt, buckets=buckets, **grid)
+
+    want = {
+        r["bucket"]: r["cnt"]
+        for r in hist_build(wave1.unionAll(wave2), "v", **grid).collect()
+    }
+    assert buckets == want
+    # quantile read off the accumulator == the batch sketch's estimate
+    got_q = streaming_hist_quantile(buckets, 0.5, **grid)
+    want_q = (
+        hist_quantile(hist_build(wave1.unionAll(wave2), "v", **grid), 0.5, **grid)
+        .collect()[0]["est"]
+    )
+    assert got_q == want_q
