@@ -377,7 +377,8 @@ def main() -> None:
             # separately; NOT added to skewed_total (which stays
             # round-over-round comparable for the frozen pack).
             for name in ("embedding_near_dup", "doc_overlap_winnow",
-                         "semdedup_incremental"):
+                         "semdedup_incremental", "dedup_ngram_jaccard",
+                         "dedup_weighted_jaccard"):
                 fn = SPARK_QUERIES[name]
                 t0 = time.time()
                 force(fn(spark, skew_dir))
