@@ -27,6 +27,7 @@ from engine.extended.dedup import _unit_hyperplanes, cosine
 
 __all__ = [
     "cosine_topk",
+    "late_interaction_topk",
     "with_signature",
     "lsh_topk",
     "ivf_build",
@@ -93,6 +94,59 @@ def cosine_topk(
     return (
         vectors.select(F.col(id_col), sim.alias("sim"))
         .orderBy(F.col("sim").desc_nulls_last(), F.col(id_col))
+        .limit(k)
+    )
+
+
+def late_interaction_topk(
+    vectors: DataFrame,
+    query_vec: list[float],
+    *,
+    n_slices: int = 4,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_to: int = 4,
+) -> DataFrame:
+    """ColBERT-style late-interaction (MaxSim) retrieval over subvector
+    slices: ``score = Σ_i max_j cos(q_i, d_j)`` where q_i / d_j are the
+    ``n_slices`` equal slices of the query / document vector — the
+    multi-vector scoring shape (each query facet matches its best document
+    facet independently) on single-vector storage.
+
+    Zero-norm slices score the −2.0 sentinel (below any cosine), so a
+    degenerate document sinks instead of erroring, and the max/sum stays a
+    fixed-order expression both engines evaluate identically.  Pure
+    codegen: n_slices² slice-cosines per row inside one scan, top-k via
+    TakeOrderedAndProject — no shuffle, no join.
+    """
+    dim = len(query_vec)
+    if n_slices < 1 or dim % n_slices != 0:
+        raise ValueError(
+            f"dim ({dim}) must be a positive multiple of n_slices ({n_slices})"
+        )
+    sub = dim // n_slices
+    score = None
+    for i in range(n_slices):
+        qi = _arr_lit(query_vec[i * sub : (i + 1) * sub])
+        best = F.greatest(
+            *[
+                F.coalesce(
+                    cosine(
+                        F.slice(F.col(vec_col), j * sub + 1, sub), qi
+                    ),
+                    F.lit(-2.0),
+                )
+                for j in range(n_slices)
+            ]
+        )
+        score = best if score is None else score + best
+    return (
+        vectors.filter(
+            F.col(vec_col).isNotNull() & (F.size(vec_col) == dim)
+        )
+        .select(F.col(id_col), F.round(score, round_to).alias("maxsim"))
+        .orderBy(F.col("maxsim").desc_nulls_last(), F.col(id_col))
         .limit(k)
     )
 

@@ -3215,3 +3215,53 @@ def ann_batch_topk(spark, sf_dir):
         .filter(F.col("rnk") <= 3)
         .select("qid", "vec_id", "sim", F.col("rnk").cast("long").alias("rnk"))
     )
+
+
+def _li_cos_sql(i: int, j: int, sub: int = 16) -> str:
+    """cosine(doc slice j, query slice i) with the zero-norm CASE guard,
+    COALESCEd to the −2.0 sentinel — generated per (i, j) so the oracle
+    evaluates the IDENTICAL fixed-order expression the engine builds."""
+    a = f"list_slice(e.embedding, {j * sub + 1}, {j * sub + sub})"
+    b = f"list_slice(qv.q, {i * sub + 1}, {i * sub + sub})"
+    na = f"SQRT(list_sum(list_transform({a}, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))"
+    nb = f"SQRT(list_sum(list_transform({b}, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))"
+    dot = (
+        f"list_sum(list_transform(list_zip({a}, {b}), "
+        f"p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))"
+    )
+    return (
+        f"COALESCE(CASE WHEN {na} * {nb} > 0 THEN {dot} / ({na} * {nb}) END, "
+        f"CAST(-2.0 AS DOUBLE))"
+    )
+
+
+@q(
+    "late_interaction_topk",
+    f"""
+    WITH qv AS (SELECT embedding AS q FROM embeddings WHERE embedding IS NOT NULL AND vec_id = (SELECT MIN(vec_id) FROM embeddings WHERE embedding IS NOT NULL AND vec_id >= 5)),
+    scored AS (
+      SELECT e.vec_id,
+             ROUND({" + ".join("GREATEST(" + ", ".join(_li_cos_sql(i, j) for j in range(4)) + ")" for i in range(4))}, 4) AS maxsim
+      FROM embeddings e CROSS JOIN qv
+      WHERE e.embedding IS NOT NULL AND LENGTH(e.embedding) = LENGTH(qv.q))
+    SELECT vec_id, maxsim FROM scored
+    ORDER BY maxsim DESC NULLS LAST, vec_id LIMIT 10
+    """,
+)
+def late_interaction_topk_q(spark, sf_dir):
+    """ColBERT-style late-interaction (MaxSim) retrieval
+    (engine.extended.similarity.late_interaction_topk): the 64-dim vectors
+    split into 4 subvector facets and score = Σ_i max_j cos(q_i, d_j) —
+    each query facet matches its best document facet independently, the
+    multi-vector scoring shape on single-vector storage.  Pure codegen
+    (16 slice-cosines per row in ONE scan, zero-norm slices sink to the
+    −2.0 sentinel), top-k via TakeOrderedAndProject."""
+    from engine.extended.similarity import late_interaction_topk
+
+    emb = t(spark, sf_dir, "embeddings")
+    qv = _query_vec_rows(emb, 5)
+    if qv is None:
+        return emb.select(
+            "vec_id", F.lit(None).cast("double").alias("maxsim")
+        ).limit(0)
+    return late_interaction_topk(emb, qv, n_slices=4, k=10)

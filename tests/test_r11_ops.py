@@ -345,3 +345,44 @@ def test_weighted_jaccard_disjoint_and_empty_docs(spark):
     }
     assert out[(1, 2)] == 0.0  # no shared tokens
     assert out[(1, 3)] is None  # empty side -> null, not an error
+
+
+def test_late_interaction_facet_matching(spark):
+    from engine.extended.similarity import late_interaction_topk
+
+    # 4-dim vectors, 2 slices of 2: query facets point +x and +y
+    vecs = spark.createDataFrame(
+        [
+            (1, [1.0, 0.0, 0.0, 1.0]),  # facets match q exactly -> 2.0
+            (2, [0.0, 1.0, 1.0, 0.0]),  # facets SWAPPED -> MaxSim still 2.0
+            (3, [1.0, 0.0, 0.0, -1.0]),  # second facet anti-aligned -> 1+max(-1,0..)
+            (4, [0.0, 0.0, 0.0, 0.0]),  # zero vector -> sentinel sinks it
+            (5, [1.0, 1.0]),  # wrong dim -> filtered out
+        ],
+        "vec_id long, embedding array<float>",
+    )
+    out = {
+        r["vec_id"]: r["maxsim"]
+        for r in late_interaction_topk(
+            vecs, [1.0, 0.0, 0.0, 1.0], n_slices=2, k=10
+        ).collect()
+    }
+    assert out[1] == 2.0
+    # the swapped doc still scores 2.0 — the late-interaction property a
+    # plain full-vector cosine (which scores doc2 at 0.0) cannot express
+    assert out[2] == 2.0
+    assert out[3] == 1.0
+    assert out[4] == -4.0  # two facets, both at the -2.0 sentinel
+    assert 5 not in out
+
+
+def test_late_interaction_rejects_bad_slicing(spark):
+    import pytest
+
+    from engine.extended.similarity import late_interaction_topk
+
+    vecs = spark.createDataFrame(
+        [(1, [1.0, 0.0, 0.0])], "vec_id long, embedding array<float>"
+    )
+    with pytest.raises(ValueError):
+        late_interaction_topk(vecs, [1.0, 0.0, 0.0], n_slices=2)
