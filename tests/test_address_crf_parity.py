@@ -1,7 +1,7 @@
 """CRF-vs-fallback address-tagger parity harness (VERDICT r10 #6).
 
 The engine's F9 path has two taggers: the real ``usaddress`` CRF (env-gated;
-the wheel is DNS-blocked in this harness — 8 probes r4-r11) and the
+the wheel is DNS-blocked in this harness — 9 probes r4-r11) and the
 deterministic fallback (engine/ops/address.py:_fallback_tagger).  The
 fallback is pinned by goldens, but its residual gap to the CRF has only ever
 been prose.  This test makes it a MEASURED number: it runs
@@ -83,7 +83,7 @@ def nyc_corpus() -> list[str]:
 @pytest.mark.skipif(
     not HAS_USADDRESS,
     reason="usaddress CRF wheel not installed — DNS-blocked in this harness "
-    "(8 download probes r4-r11, latest 2026-08-16: pip cannot resolve the "
+    "(9 download probes r4-r11, latest 2026-08-17: pip cannot resolve the "
     "index host). The fallback tagger is pinned by goldens "
     "(tests/test_address_geocode.py); this parity report arms automatically "
     "when the wheel lands.",

@@ -380,7 +380,7 @@ def _protobuf_available() -> bool:
 @pytest.mark.skipif(
     not _protobuf_available(),
     reason="transformWithState's state-server protocol needs google.protobuf "
-    "— not installed in this sandbox (probed 2026-08-15 and again 2026-08-16: "
+    "— not installed in this sandbox (probed 2026-08-15/16/17: "
     "pip download/install both DNS-blocked, no wheel anywhere on the host; "
     "same env-blocked class as the usaddress wheel). The old-API "
     "running_stats covers the semantics; this parity test arms "
