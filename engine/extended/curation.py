@@ -40,7 +40,6 @@ __all__ = [
     "contamination_attribution",
     "bigram_lm_scores",
     "trigram_lm_scores",
-    "perplexity_buckets",
     "shrunk_group_rate",
     "URL_RE",
     "extract_urls",
@@ -645,63 +644,6 @@ def trigram_lm_scores(
     return scored.groupBy(id_col).agg(
         F.count(F.lit(1)).alias("n_trigrams"),
         F.round(F.avg("__logp"), round_to).alias("avg_logp"),
-    )
-
-
-def perplexity_buckets(
-    df: DataFrame,
-    *,
-    id_col: str = "doc_id",
-    text_col: str = "text",
-    cuts: tuple[float, float] = (1.0 / 3.0, 2.0 / 3.0),
-) -> DataFrame:
-    """CCNet-style head/middle/tail corpus partition by LM score
-    (Wenzek et al. 2020): documents bucket by their
-    :func:`bigram_lm_scores` average log-prob against the corpus's own
-    ``cuts`` quantiles — head = highest log-prob (lowest perplexity,
-    most fluent), tail = lowest.  The standard curation move that keeps
-    perplexity a RANKING signal instead of a hard threshold.
-
-    Determinism (the winsorized_stats discipline): the rounded score
-    quantizes to integer 1e-4 units before the percentile — Spark
-    ``percentile`` and DuckDB ``quantile_cont`` are bit-identical over
-    integer inputs — and the bucket decision is a pure integer compare
-    against the FLOOR(q+0.5) cut, so no float knife-edge can disagree
-    with an oracle.
-
-    Scale shape: the bigram scorer's plan plus ONE global percentile
-    aggregate over the quantized longs broadcast back as a 1-row cross
-    join.  Spark's exact ``percentile`` reduces to a single sorted-merge
-    aggregate; at extreme corpus sizes swap ``approx_percentile`` or
-    :func:`engine.extended.sketch.hist_quantile` — same plan shape,
-    bounded memory.
-    """
-    lo, hi = cuts
-    if not 0.0 < lo < hi < 1.0:
-        raise ValueError(f"need 0 < lo < hi < 1, got {cuts}")
-    scores = bigram_lm_scores(df, id_col=id_col, text_col=text_col)
-    base = scores.withColumn(
-        "__vi",
-        F.floor(F.col("avg_logp") * F.lit(10000.0) + F.lit(0.5)).cast(
-            "long"
-        ),
-    )
-    cut_row = base.agg(
-        F.floor(F.percentile("__vi", F.lit(lo)) + F.lit(0.5))
-        .cast("long")
-        .alias("__c1"),
-        F.floor(F.percentile("__vi", F.lit(hi)) + F.lit(0.5))
-        .cast("long")
-        .alias("__c2"),
-    )
-    return base.crossJoin(F.broadcast(cut_row)).select(
-        F.col(id_col),
-        "n_bigrams",
-        "avg_logp",
-        F.when(F.col("__vi") >= F.col("__c2"), F.lit("head"))
-        .when(F.col("__vi") >= F.col("__c1"), F.lit("middle"))
-        .otherwise(F.lit("tail"))
-        .alias("ppl_bucket"),
     )
 
 

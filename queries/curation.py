@@ -3209,56 +3209,6 @@ def dedup_containment(spark, sf_dir):
 
 
 @q(
-    "ccnet_perplexity_buckets",
-    f"""
-    WITH toks AS (
-      SELECT doc_id, {_TOKS_SQL} AS toks FROM documents),
-    bg AS (
-      SELECT doc_id, UNNEST(CASE WHEN LENGTH(toks) < 2 THEN CAST([] AS VARCHAR[])
-        ELSE list_transform(range(0, LENGTH(toks) - 1),
-             i -> array_to_string(list_slice(toks, i + 1, i + 2), ' ')) END) AS bg
-      FROM toks),
-    c2 AS (SELECT bg, COUNT(*) AS c2 FROM bg GROUP BY bg),
-    c1 AS (SELECT split_part(bg, ' ', 1) AS w1, SUM(c2) AS c1 FROM c2 GROUP BY 1),
-    s AS (
-      SELECT b.doc_id, COUNT(*) AS n_bigrams,
-             ROUND(AVG(log2(c2.c2 / c1.c1)), 4) AS avg_logp
-      FROM bg b JOIN c2 ON b.bg = c2.bg
-      JOIN c1 ON split_part(b.bg, ' ', 1) = c1.w1
-      GROUP BY b.doc_id),
-    v AS (
-      SELECT *, CAST(FLOOR(avg_logp * 10000.0 + 0.5) AS BIGINT) AS vi
-      FROM s),
-    q AS (
-      SELECT CAST(FLOOR(quantile_cont(vi, CAST(1 AS DOUBLE) / 3) + 0.5)
-               AS BIGINT) AS c1,
-             CAST(FLOOR(quantile_cont(vi, CAST(2 AS DOUBLE) / 3) + 0.5)
-               AS BIGINT) AS c2
-      FROM v)
-    SELECT v.doc_id, v.n_bigrams, v.avg_logp,
-           CASE WHEN v.vi >= q.c2 THEN 'head'
-                WHEN v.vi >= q.c1 THEN 'middle'
-                ELSE 'tail' END AS ppl_bucket
-    FROM v CROSS JOIN q
-    """,
-)
-def ccnet_perplexity_buckets(spark, sf_dir):
-    """CCNet head/middle/tail corpus partition by LM score (Wenzek et al.
-    2020; engine.extended.curation.perplexity_buckets): per-doc bigram-LM
-    average log-prob bucketed against the corpus's own tertiles — head =
-    most fluent third.  The winsorized_stats determinism discipline: the
-    rounded score quantizes to integer 1e-4 units before the percentile
-    and the bucket decision is an integer compare against FLOOR(q+0.5),
-    so both engines agree exactly.  One global percentile aggregate
-    broadcast back as a 1-row cross join; swap approx_percentile or the
-    hist sketch at extreme corpus sizes (same plan shape)."""
-    from engine.extended.curation import perplexity_buckets
-
-    d = t(spark, sf_dir, "documents")
-    return perplexity_buckets(d)
-
-
-@q(
     "dedup_weighted_jaccard",
     f"""
     WITH toked AS (

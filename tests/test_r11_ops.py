@@ -252,33 +252,6 @@ def test_ngram_containment_asymmetry(spark):
     assert out[(3, 2)]["contain_b"] == 0.0
 
 
-def test_perplexity_buckets_rank_fluency(spark):
-    from engine.extended.curation import perplexity_buckets
-
-    # three fluency tiers under the corpus's own bigram LM: unique-token
-    # docs have DETERMINISTIC continuations (every history is singleton ->
-    # P=1, logp 0 — the self-trained-LM quirk that makes these "head");
-    # "a b a b" docs mix a certain bigram with a 2/3 one; the mixed docs
-    # carry one 1/18-probability bigram each and land lowest.
-    rows = [(i, f"u{i} v{i} w{i} x{i}") for i in range(6)]
-    rows += [(10 + i, "a b a b a b") for i in range(6)]
-    rows += [(20 + i, "a b " + f"m{i} n{i}") for i in range(6)]
-    df = spark.createDataFrame(rows, "doc_id long, text string")
-    out = {r["doc_id"]: r.asDict() for r in perplexity_buckets(df).collect()}
-    assert len(out) == 18
-    assert all(out[i]["ppl_bucket"] == "head" for i in range(6))
-    assert all(out[10 + i]["ppl_bucket"] == "middle" for i in range(6))
-    assert all(out[20 + i]["ppl_bucket"] == "tail" for i in range(6))
-    assert all(out[i]["avg_logp"] == 0.0 for i in range(6))
-    # bucket boundaries are consistent: every head score >= every
-    # middle score >= every tail score
-    by_bucket = {"head": [], "middle": [], "tail": []}
-    for r in out.values():
-        by_bucket[r["ppl_bucket"]].append(r["avg_logp"])
-    assert min(by_bucket["head"]) >= max(by_bucket["middle"])
-    assert min(by_bucket["middle"]) >= max(by_bucket["tail"])
-
-
 def test_prefix_block_cap_bounds_hot_blocks(spark):
     from engine.extended.dedup import prefix_block_pairs
 
