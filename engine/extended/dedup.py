@@ -765,6 +765,10 @@ def prefix_block_pairs(
     C(block_cap, 2) pairs — the same bound every banded near-dup path in
     this module accepts.  ``None`` disables (oracle-exactness probes only).
     """
+    if block_cap is not None and block_cap < 1:
+        # truthiness would silently read 0 as "no cap" — the exact
+        # unbounded quadratic the cap exists to prevent (review catch)
+        raise ValueError(f"block_cap must be >= 1 or None, got {block_cap}")
     toked = tokens(text_col)
     keyed = df.select(
         F.col(id_col).alias("id"),
@@ -773,7 +777,7 @@ def prefix_block_pairs(
             F.array_join(F.slice(toked, 1, n_prefix), " "),
         ).alias("pkey"),
     ).filter(F.col("pkey").isNotNull())
-    if block_cap:
+    if block_cap is not None:
         wcap = Window.partitionBy("pkey").orderBy("id")
         keyed = (
             keyed.withColumn("__bn", F.row_number().over(wcap))

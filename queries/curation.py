@@ -3139,28 +3139,24 @@ def source_quality_shrunk(spark, sf_dir):
     outrank a large source with a near-perfect one — the domain-level
     filtering signal of RefinedWeb/FineWeb-style curation.  The keep flag
     is the integer-exact core of the Gopher battery (word-count bounds,
-    alphabetic-word fraction, stop-word presence).  One corpus scan + one
-    group-key shuffle; totals derive from the per-group aggregate and ride
-    in as a 1-row broadcast."""
+    alphabetic-word fraction, stop-word presence), COMPOSED from
+    gopher_rule_exprs' own flag columns so a threshold change there can
+    never drift from this triage (review catch: the first draft re-spelled
+    the three rules inline).  One corpus scan + one group-key shuffle;
+    totals derive from the per-group aggregate and ride in as a 1-row
+    broadcast."""
     from engine.extended.curation import shrunk_group_rate
-    from engine.extended.text import GOPHER_STOPWORDS, tokens
+    from engine.extended.text import gopher_rule_exprs, tokens
 
     d = t(spark, sf_dir, "documents")
     toked = d.filter(F.col("text").isNotNull()).select(
-        "source", tokens("text").alias("__toks")
+        "source", "text", tokens("text").alias("__toks")
     )
-    n = F.size("__toks").cast("long")
-    na = F.size(
-        F.filter(F.col("__toks"), lambda tk: tk.rlike("[a-z]"))
-    ).cast("long")
-    ns = F.size(
-        F.array_intersect(
-            F.array_distinct("__toks"),
-            F.array(*[F.lit(w) for w in GOPHER_STOPWORDS]),
-        )
-    ).cast("long")
+    flags = gopher_rule_exprs(F.col("__toks"), "text")
     keep = (
-        (n >= 50) & (n <= 100000) & (5 * na >= 4 * n) & (ns >= 2)
+        (flags["flag_words"] == 1)
+        & (flags["flag_alpha"] == 1)
+        & (flags["flag_stop"] == 1)
     ).cast("int")
     flagged = toked.select("source", keep.alias("__keep"))
     return shrunk_group_rate(flagged, "source", "__keep", m=20)

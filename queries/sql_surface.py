@@ -2985,9 +2985,13 @@ def ann_rank_quality(spark, sf_dir):
         .collect()
     )
     if not qrows:
+        # oracle parity (review catch): the SQL twin's ungrouped aggregate
+        # still emits ONE row on a query-less corpus — (10, 0, 0.0, NULL),
+        # never zero rows (the ann_recall_audit precedent)
         return spark.createDataFrame(
-            [(10, 0, 0.0, 0.0)], "k int, n_overlap long, mrr double, ndcg double"
-        ).limit(0)
+            [(10, 0, 0.0, None)],
+            "k int, n_overlap long, mrr double, ndcg double",
+        )
     qv = [float(x) for x in qrows[0]["embedding"]]
     qq = [float(x) for x in qrows[0]["qq"]]
     assigned, cents = ivf_build_seeded(emb, n_lists=8, iters=2, dim=len(qv))
@@ -2999,7 +3003,11 @@ def ann_rank_quality(spark, sf_dir):
     tru = cosine_topk(emb, qv, k=10).select(
         "vec_id", F.row_number().over(rank_w).alias("tr")
     )
-    j = ivf.join(tru, "vec_id", "left")
+    # full outer so idcg derives from the SAME tru evaluation (review
+    # catch: a separate tru.agg() re-ran the whole brute-force scan);
+    # truth-only rows carry a null ir, so their dcg term nulls out and
+    # only idcg sees them — values identical to the two-pass form
+    j = ivf.join(tru, "vec_id", "full_outer")
     d = j.agg(
         F.sum(
             F.when(F.col("tr").isNull(), F.lit(0.0)).otherwise(
@@ -3009,14 +3017,14 @@ def ann_rank_quality(spark, sf_dir):
         F.sum(
             F.when(F.col("tr") == 1, F.lit(1.0) / F.col("ir"))
         ).alias("mrr_raw"),
-        F.count("tr").cast("long").alias("n_overlap"),
-    )
-    idcg = tru.agg(
+        F.count(
+            F.when(F.col("ir").isNotNull() & F.col("tr").isNotNull(), F.lit(1))
+        ).cast("long").alias("n_overlap"),
         F.sum((F.lit(11) - F.col("tr")) / F.log2(F.col("tr") + 1)).alias(
             "idcg"
-        )
+        ),
     )
-    return d.crossJoin(F.broadcast(idcg)).select(
+    return d.select(
         F.lit(10).alias("k"),
         "n_overlap",
         F.round(F.coalesce("mrr_raw", F.lit(0.0)), 4).alias("mrr"),
@@ -3106,8 +3114,11 @@ def ivf_balance_audit(spark, sf_dir):
         .collect()
     )
     if not dim_rows:
+        # oracle parity (review catch): the SQL twin's ungrouped aggregate
+        # over the empty list-size CTE still emits ONE all-NULL row
         return spark.createDataFrame(
-            [], "n_lists int, n_vectors long, min_sz long, max_sz long, imbalance double"
+            [(8, None, None, None, None)],
+            "n_lists int, n_vectors long, min_sz long, max_sz long, imbalance double",
         )
     assigned, _ = ivf_build_seeded(
         emb, n_lists=8, iters=2, dim=int(dim_rows[0]["d"])
@@ -3238,7 +3249,7 @@ def _li_cos_sql(i: int, j: int, sub: int = 16) -> str:
 @q(
     "late_interaction_topk",
     f"""
-    WITH qv AS (SELECT embedding AS q FROM embeddings WHERE embedding IS NOT NULL AND vec_id = (SELECT MIN(vec_id) FROM embeddings WHERE embedding IS NOT NULL AND vec_id >= 5)),
+    WITH qv AS (SELECT embedding AS q FROM embeddings WHERE embedding IS NOT NULL AND LENGTH(embedding) = 64 AND vec_id = (SELECT MIN(vec_id) FROM embeddings WHERE embedding IS NOT NULL AND LENGTH(embedding) = 64 AND vec_id >= 5)),
     scored AS (
       SELECT e.vec_id,
              ROUND({" + ".join("GREATEST(" + ", ".join(_li_cos_sql(i, j) for j in range(4)) + ")" for i in range(4))}, 4) AS maxsim
@@ -3255,13 +3266,28 @@ def late_interaction_topk_q(spark, sf_dir):
     each query facet matches its best document facet independently, the
     multi-vector scoring shape on single-vector storage.  Pure codegen
     (16 slice-cosines per row in ONE scan, zero-norm slices sink to the
-    −2.0 sentinel), top-k via TakeOrderedAndProject."""
+    −2.0 sentinel), top-k via TakeOrderedAndProject.  The oracle's slice
+    offsets are fixed at 16, so BOTH sides pick the first 64-dim query
+    vector specifically (review catch: a hostile corpus whose min
+    vec_id≥5 vector had an odd dim crashed the engine's slicing while
+    the oracle ran) — no 64-dim vector → empty result on both sides."""
     from engine.extended.similarity import late_interaction_topk
 
     emb = t(spark, sf_dir, "embeddings")
-    qv = _query_vec_rows(emb, 5)
-    if qv is None:
+    qrows = (
+        emb.filter(
+            F.col("embedding").isNotNull()
+            & (F.size("embedding") == 64)
+            & (F.col("vec_id") >= 5)
+        )
+        .orderBy("vec_id")
+        .limit(1)
+        .select("embedding")
+        .collect()
+    )
+    if not qrows:
         return emb.select(
             "vec_id", F.lit(None).cast("double").alias("maxsim")
         ).limit(0)
+    qv = [float(x) for x in qrows[0][0]]
     return late_interaction_topk(emb, qv, n_slices=4, k=10)

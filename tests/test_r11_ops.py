@@ -273,6 +273,11 @@ def test_prefix_block_cap_bounds_hot_blocks(spark):
         spark.createDataFrame(rows[:3] + rows[-1:], "doc_id long, text string")
     )
     assert tiny.count() == 3
+    # 0 must not silently mean "no cap" (truthiness trap)
+    import pytest
+
+    with pytest.raises(ValueError):
+        prefix_block_pairs(df, block_cap=0)
 
 
 def test_weighted_jaccard_sees_repetition(spark):
