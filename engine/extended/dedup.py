@@ -736,7 +736,14 @@ def weighted_jaccard_pairs(
         )
         .withColumn("__m", F.coalesce("__minsum", F.lit(0)))
     )
-    denom = F.col("__na") + F.col("__nb") - F.col("__m")
+    # a token-less doc is absent from the count tables: its total reads 0,
+    # so empty-vs-nonempty scores 0.0 (Σmin=0 over Σmax=|B|) and only the
+    # 0/0 empty-vs-empty pair is NULL (randomized Counter-reference catch)
+    denom = (
+        F.coalesce("__na", F.lit(0))
+        + F.coalesce("__nb", F.lit(0))
+        - F.col("__m")
+    )
     return out.select(
         "id_a",
         "id_b",

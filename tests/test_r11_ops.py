@@ -322,7 +322,9 @@ def test_weighted_jaccard_disjoint_and_empty_docs(spark):
         for r in weighted_jaccard_pairs(docs, pairs).collect()
     }
     assert out[(1, 2)] == 0.0  # no shared tokens
-    assert out[(1, 3)] is None  # empty side -> null, not an error
+    # empty-vs-nonempty is mathematically 0 (Σmin=0 over Σmax=|A|);
+    # only 0/0 (both empty) would be NULL
+    assert out[(1, 3)] == 0.0
 
 
 def test_late_interaction_facet_matching(spark):
@@ -364,3 +366,80 @@ def test_late_interaction_rejects_bad_slicing(spark):
     )
     with pytest.raises(ValueError):
         late_interaction_topk(vecs, [1.0, 0.0, 0.0], n_slices=2)
+
+
+def test_weighted_jaccard_matches_counter_reference(spark):
+    """Randomized (seeded) parity against an independent pure-Python
+    multiset reference: Σmin/Σmax over collections.Counter — a different
+    algorithm (per-pair dict walk) than the engine's single-inner-join
+    identity, so an algebra mistake in either cannot hide."""
+    import random
+    from collections import Counter
+
+    from engine.extended.dedup import weighted_jaccard_pairs
+
+    rng = random.Random(411)
+    vocab = [f"w{i}" for i in range(12)]
+    docs = [
+        (i, " ".join(rng.choice(vocab) for _ in range(rng.randint(0, 25))))
+        for i in range(40)
+    ]
+    pairs = [
+        (a, b)
+        for a in range(40)
+        for b in range(a + 1, 40)
+        if rng.random() < 0.08
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    pf = spark.createDataFrame(pairs, "id_a long, id_b long")
+    got = {
+        (r["id_a"], r["id_b"]): r["weighted_jaccard"]
+        for r in weighted_jaccard_pairs(df, pf).collect()
+    }
+    texts = dict(docs)
+    assert set(got) == set(pairs)
+    for a, b in pairs:
+        ca, cb = Counter(texts[a].split()), Counter(texts[b].split())
+        keys = set(ca) | set(cb)
+        mn = sum(min(ca[k], cb[k]) for k in keys)
+        mx = sum(max(ca[k], cb[k]) for k in keys)
+        want = round(mn / mx, 4) if mx else None
+        assert got[(a, b)] == want, (a, b, got[(a, b)], want)
+        if want is not None:
+            assert 0.0 <= got[(a, b)] <= 1.0
+
+
+def test_containment_matches_set_reference(spark):
+    """Same randomized-parity discipline for containment: |A∩B|/|A| over
+    python-set 3-gram shingles."""
+    import random
+
+    from engine.extended.dedup import ngram_containment_pairs
+
+    rng = random.Random(412)
+    vocab = [f"t{i}" for i in range(8)]
+    docs = [
+        (i, " ".join(rng.choice(vocab) for _ in range(rng.randint(0, 15))))
+        for i in range(30)
+    ]
+    pairs = [(a, a + 1) for a in range(0, 29, 2)]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    pf = spark.createDataFrame(pairs, "id_a long, id_b long")
+    got = {
+        (r["id_a"], r["id_b"]): (r["contain_a"], r["contain_b"])
+        for r in ngram_containment_pairs(df, pf).collect()
+    }
+    texts = dict(docs)
+
+    def shingles(s):
+        toks = s.split()
+        return {
+            " ".join(toks[i : i + 3]) for i in range(len(toks) - 2)
+        }
+
+    for a, b in pairs:
+        sa, sb = shingles(texts[a]), shingles(texts[b])
+        inter = len(sa & sb)
+        want_a = round(inter / len(sa), 4) if sa else None
+        want_b = round(inter / len(sb), 4) if sb else None
+        assert got[(a, b)] == (want_a, want_b), (a, b)
