@@ -641,6 +641,27 @@ def simhash_candidates(
 # ---------------------------------------------------------------------------
 
 
+def _pair_shingles(
+    df: DataFrame, pairs: DataFrame, id_col: str, text_col: str, shingle_n: int
+) -> DataFrame:
+    """(id_a, id_b, sh_a, sh_b): candidate pairs joined with both sides'
+    distinct-shingle arrays — the shared skeleton of the exact-verification
+    scorers (:func:`ngram_jaccard_pairs`, :func:`ngram_containment_pairs`).
+    Joining the arrays onto the (bounded) candidate set keeps verification
+    candidate-sized, never a corpus-wide shuffle."""
+    sh = df.select(
+        F.col(id_col).alias("id"), tokens(text_col).alias("__toks")
+    ).select(
+        "id",
+        F.array_distinct(ngrams_from(F.col("__toks"), shingle_n)).alias("sh"),
+    )
+    return pairs.join(
+        sh.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a")), "id_a"
+    ).join(
+        sh.select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b")), "id_b"
+    )
+
+
 def ngram_jaccard_pairs(
     df: DataFrame,
     pairs: DataFrame,
@@ -651,26 +672,16 @@ def ngram_jaccard_pairs(
 ) -> DataFrame:
     """Exact n-gram Jaccard for given (id_a, id_b) candidate pairs.
 
-    jaccard = |A ∩ B| / |A ∪ B| over distinct word shingles.  Joining the
-    shingle arrays onto the (small) candidate set keeps this a broadcast-side
-    verification, not a corpus-wide shuffle.
+    jaccard = |A ∩ B| / |A ∪ B| over distinct word shingles (see
+    :func:`_pair_shingles` for the scale shape).
     """
-    sh = df.select(
-        F.col(id_col).alias("id"), tokens(text_col).alias("__toks")
-    ).select(
-        "id", F.array_distinct(ngrams_from(F.col("__toks"), shingle_n)).alias("sh")
-    )
-    out = (
-        pairs.join(sh.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a")), "id_a")
-        .join(sh.select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b")), "id_b")
-        .withColumn(
-            "jaccard",
-            F.round(
-                F.size(F.array_intersect("sh_a", "sh_b"))
-                / F.size(F.array_union("sh_a", "sh_b")),
-                4,
-            ),
-        )
+    out = _pair_shingles(df, pairs, id_col, text_col, shingle_n).withColumn(
+        "jaccard",
+        F.round(
+            F.size(F.array_intersect("sh_a", "sh_b"))
+            / F.size(F.array_union("sh_a", "sh_b")),
+            4,
+        ),
     )
     return out.select("id_a", "id_b", "jaccard")
 
@@ -811,29 +822,13 @@ def ngram_containment_pairs(
     subset-duplication detector Jaccard misses: a short doc quoted whole
     inside a long one has tiny Jaccard (the union is large) but
     containment ≈ 1 on the short side.  Empty shingle sets score NULL,
-    never a division error.
-
-    Same scale shape as :func:`ngram_jaccard_pairs`: shingle arrays join
-    onto the (bounded) candidate set — verification stays candidate-sized,
-    never a corpus-wide shuffle; candidates come from any blocker (banded
-    MinHash at scale, prefix blocking in the gate query).
+    never a division error.  Candidates come from any blocker (banded
+    MinHash at scale, prefix blocking in the gate query); see
+    :func:`_pair_shingles` for the candidate-sized scale shape.
     """
-    sh = df.select(
-        F.col(id_col).alias("id"), tokens(text_col).alias("__toks")
-    ).select(
-        "id",
-        F.array_distinct(ngrams_from(F.col("__toks"), shingle_n)).alias("sh"),
-    )
     inter = F.size(F.array_intersect("sh_a", "sh_b"))
     out = (
-        pairs.join(
-            sh.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a")),
-            "id_a",
-        )
-        .join(
-            sh.select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b")),
-            "id_b",
-        )
+        _pair_shingles(df, pairs, id_col, text_col, shingle_n)
         .withColumn(
             "contain_a",
             F.when(

@@ -85,11 +85,17 @@ def group_safe_split(
     labeled = df.filter(
         F.col(id_col).isNotNull() & F.col(text_col).isNotNull()
     ).select(F.col(id_col), fingerprint(text_col).alias("__fp"))
-    rep = F.min(id_col).over(Window.partitionBy("__fp"))
-    return labeled.select(
+    # materialize the rep in its own projection so the min-window runs
+    # ONCE (inlining it into hash_split too would put two copies of the
+    # window expression in one select)
+    with_rep = labeled.select(
         F.col(id_col),
-        rep.alias("group_rep"),
-        hash_split(rep, splits=splits).alias("split"),
+        F.min(id_col).over(Window.partitionBy("__fp")).alias("group_rep"),
+    )
+    return with_rep.select(
+        F.col(id_col),
+        "group_rep",
+        hash_split(F.col("group_rep"), splits=splits).alias("split"),
     )
 
 

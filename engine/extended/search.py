@@ -202,31 +202,32 @@ def rrf_fuse_topk(
     ROUNDED side score with id tie-break, and 1/(rrf_k+rank) is an exact
     IEEE division of small integers, so the fusion is engine-exact.
     """
-    lex_rank_w = Window.orderBy(
-        F.col("bm25").desc_nulls_last(), F.col(doc_id)
-    )
-    lex = (
-        bm25_scores(docs, query_terms, id_col=doc_id, round_to=round_to)
-        .orderBy(F.col("bm25").desc_nulls_last(), F.col(doc_id))
-        .limit(n_candidates)
-        .select(
-            F.col(doc_id), F.row_number().over(lex_rank_w).alias("lex_rank")
+    def ranked_top(scored: DataFrame, score_col: str, rank_name: str) -> DataFrame:
+        # TakeOrderedAndProject to n_candidates, then rank the survivors
+        # (a ≤n_candidates-row single-partition window, by construction)
+        order = [F.col(score_col).desc_nulls_last(), F.col(doc_id)]
+        return (
+            scored.orderBy(*order)
+            .limit(n_candidates)
+            .select(
+                F.col(doc_id),
+                F.row_number().over(Window.orderBy(*order)).alias(rank_name),
+            )
         )
+
+    lex = ranked_top(
+        bm25_scores(docs, query_terms, id_col=doc_id, round_to=round_to),
+        "bm25",
+        "lex_rank",
     )
     q = F.array(*[F.lit(float(x)) for x in query_vec])
-    vec_scored = vectors.filter(F.col(vec_col).isNotNull()).select(
-        F.col(vec_id).alias(doc_id),
-        F.round(cosine(F.col(vec_col), q), round_to).alias("__cos"),
-    )
-    vec_rank_w = Window.orderBy(
-        F.col("__cos").desc_nulls_last(), F.col(doc_id)
-    )
-    vec = (
-        vec_scored.orderBy(F.col("__cos").desc_nulls_last(), F.col(doc_id))
-        .limit(n_candidates)
-        .select(
-            F.col(doc_id), F.row_number().over(vec_rank_w).alias("vec_rank")
-        )
+    vec = ranked_top(
+        vectors.filter(F.col(vec_col).isNotNull()).select(
+            F.col(vec_id).alias(doc_id),
+            F.round(cosine(F.col(vec_col), q), round_to).alias("__cos"),
+        ),
+        "__cos",
+        "vec_rank",
     )
     fused = lex.join(vec, on=doc_id, how="full_outer").select(
         doc_id,

@@ -352,16 +352,21 @@ def dedup_ngram_jaccard(spark, sf_dir):
     return ngram_jaccard_pairs(d, prefix_block_pairs(d))
 
 
-def _query_vec_rows(emb, preferred: int):
+def _query_vec_rows(emb, preferred: int, *, dim: int | None = None):
     """Deterministic query-vector pick that survives hostile data: the
     embedding of the smallest vec_id >= ``preferred`` with a non-null
     vector (== ``preferred`` itself on the real testdata), fetched in ONE
     TakeOrderedAndProject job.  Returns None when no such vector exists —
     callers emit an EMPTY result then, matching the oracle's empty qv CTE
     (fuzz-found: a NULL embedding at the hard-coded id crashed the
-    driver-side literal build)."""
+    driver-side literal build).  ``dim`` restricts the pick to vectors of
+    exactly that length — for callers whose oracle twin hardcodes slice
+    offsets (late_interaction) and must skip odd-dim hostile vectors."""
+    cond = F.col("embedding").isNotNull() & (F.col("vec_id") >= preferred)
+    if dim is not None:
+        cond = cond & (F.size("embedding") == dim)
     rows = (
-        emb.filter(F.col("embedding").isNotNull() & (F.col("vec_id") >= preferred))
+        emb.filter(cond)
         .orderBy("vec_id")
         .limit(1)
         .select("embedding")

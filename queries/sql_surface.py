@@ -3274,20 +3274,9 @@ def late_interaction_topk_q(spark, sf_dir):
     from engine.extended.similarity import late_interaction_topk
 
     emb = t(spark, sf_dir, "embeddings")
-    qrows = (
-        emb.filter(
-            F.col("embedding").isNotNull()
-            & (F.size("embedding") == 64)
-            & (F.col("vec_id") >= 5)
-        )
-        .orderBy("vec_id")
-        .limit(1)
-        .select("embedding")
-        .collect()
-    )
-    if not qrows:
+    qv = _query_vec_rows(emb, 5, dim=64)
+    if qv is None:
         return emb.select(
             "vec_id", F.lit(None).cast("double").alias("maxsim")
         ).limit(0)
-    qv = [float(x) for x in qrows[0][0]]
     return late_interaction_topk(emb, qv, n_slices=4, k=10)
