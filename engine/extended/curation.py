@@ -124,8 +124,19 @@ def repetition_metrics(
     the plan is adopted for the 100 TB term — the corpus scan+tokenize
     is the dominant cost there and this halves it.
     """
+    # ONE exchange (r11 opt): repartitioning the raw docs by id up front
+    # satisfies BOTH downstream groupings (hashpartitioning(id) clusters
+    # (id, u) and (id) alike), so the unit-count and the stats aggregates
+    # run exchange-free where the previous shape shuffled twice more
+    # ((id, u) counts, then (id) partials).  It also spreads the
+    # tokenize+explode map work across the cluster when the scan arrives
+    # as fewer splits than cores (single-row-group files locally; one hot
+    # input file at scale).  Shuffled bytes: the raw text once, instead of
+    # the per-doc unit counts twice — strictly fewer.
     units = (
-        df.select(F.col(id_col).alias("id"), tokens(text_col).alias("__toks"))
+        df.select(F.col(id_col).alias("id"), F.col(text_col))
+        .repartition(F.col("id"))
+        .select("id", tokens(text_col).alias("__toks"))
         .select(
             "id",
             F.explode(

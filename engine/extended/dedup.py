@@ -245,10 +245,15 @@ def _band_key_sql(sig_col: str, band: int, rows_per_band: int, hash_fn: str) -> 
     return f"slice(`{sig_col}`, {band * rows_per_band + 1}, {rows_per_band})"
 
 
-#: semanticHash-keyed ledger of INTERNALLY-persisted signature frames (see
-#: minhash_candidates) — bounds the session cache leak to _LEDGER_CAP
-#: frames, LRU-evicted (dict insertion order).
-_LEDGER_CAP = 2
+#: semanticHash-keyed ledger of INTERNALLY-persisted frames (signature /
+#: banded frames here; iterative-algorithm statics in graph.py and
+#: linkage.py) — bounds the session cache leak to _LEDGER_CAP frames,
+#: LRU-evicted (dict insertion order).  Cap 6 (r11 opt; was 2): one query
+#: may now pin several static frames at once (pagerank: edges + nodes +
+#: outdeg; triangles: canonical edges + degrees + oriented edges), and a
+#: cap below the per-query working set evicts mid-query — lineage-safe
+#: but silently recomputing exactly the double work the ledger prevents.
+_LEDGER_CAP = 6
 _INTERNAL_SIGS_LAST: dict = {}
 
 
@@ -431,16 +436,6 @@ def minhash_candidates(
             shingle_n=shingle_n,
             hash_fn=hash_fn,
         )
-        # The cache is load-bearing (the banded self-join references sigs
-        # twice and Catalyst does not reuse the exchange across the alias
-        # pair); :func:`ledger_persist` bounds the would-be session leak
-        # and returns the already-persisted frame on a repeat invocation
-        # over the same corpus (multi-pass bench, interleaved queries).
-        # NOTE: if the corpus FILES are rewritten mid-session, that repeat
-        # hit is stale — callers that reread mutable inputs must
-        # :func:`ledger_clear` after rewriting (advice r10).
-        # Sweep callers pass ``sigs=`` and own persistence.
-        sigs = ledger_persist(sigs)
     band_arr = "array(" + ", ".join(
         f"named_struct('band', {b}, "
         f"'bkey', {_band_key_sql('sig', b, rows_per_band, hash_fn)})"
@@ -458,6 +453,21 @@ def minhash_candidates(
             .filter(F.col("__bn") <= bucket_cap)
             .drop("__bn")
         )
+    # Persist the CAPPED BANDED frame, not the signature frame (r11 opt
+    # round): the self-join references this subtree on both sides, and
+    # Catalyst/AQE does not reuse the (band, bkey) exchange across the
+    # alias pair — unpersisted, the explode → sort → exchange → window cap
+    # chain (whose exchange carries the k-slot sig array per band row, the
+    # widest shuffle in the plan) ran TWICE per query.  Pinning the frame
+    # one level higher halves the banded shuffles (2 → 1 per query;
+    # measured ~0.4-0.5 s of 2.7 s at sf0.1) and the signature pass is
+    # covered for free (it feeds the materialization exactly once).
+    # :func:`ledger_persist` bounds the session leak and returns the
+    # already-persisted frame on a repeat invocation over the same corpus.
+    # NOTE: if the corpus FILES are rewritten mid-session, that repeat
+    # hit is stale — callers that reread mutable inputs must
+    # :func:`ledger_clear` after rewriting (advice r10).
+    banded = ledger_persist(banded)
 
     a = banded.alias("a")
     b = banded.alias("b")
@@ -877,31 +887,42 @@ def _dot(vec_col: Column, const: list[float]) -> Column:
     )
 
 
-def cosine(a: Column, b: Column) -> Column:
-    """cosine similarity of two float-array columns, computed in double."""
-    dot = F.aggregate(
-        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
-    )
-    na = F.sqrt(
+def vec_norm(a: Column) -> Column:
+    """Euclidean norm of a float-array column, computed in double — the
+    exact per-vector subexpression of :func:`cosine`, exposed so pair
+    pipelines can evaluate it once per ROW instead of once per PAIR."""
+    return F.sqrt(
         F.aggregate(
             F.transform(a, lambda x: x.cast("double") * x.cast("double")),
             F.lit(0.0),
             lambda acc, x: acc + x,
         )
     )
-    nb = F.sqrt(
-        F.aggregate(
-            F.transform(b, lambda x: x.cast("double") * x.cast("double")),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
-        )
+
+
+def cosine_with_norms(a: Column, b: Column, na: Column, nb: Column) -> Column:
+    """:func:`cosine` with the norms supplied by the caller.
+
+    Bit-identical to :func:`cosine` when ``na``/``nb`` are
+    :func:`vec_norm` of the same arrays — the point is WHERE they are
+    evaluated: a banded pair join scores each candidate pair, so inlined
+    norms cost two extra O(dim) folds per PAIR; projecting them per row
+    before the join cuts the dominant per-pair work 3× (r11 opt round,
+    measured on the hot-bucket skew fixture)."""
+    dot = F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
     )
     # zero vectors: null similarity, never a division error (one bad
     # embedding must not fail the job — caught by the adversarial audit)
     denom = na * nb
     return F.when(denom > 0, dot / denom)
+
+
+def cosine(a: Column, b: Column) -> Column:
+    """cosine similarity of two float-array columns, computed in double."""
+    return cosine_with_norms(a, b, vec_norm(a), vec_norm(b))
 
 
 def sign_band_structs(vec_col: str, hp: list[list[float]], bands: int) -> Column:
@@ -1002,13 +1023,29 @@ def embedding_near_dup(
     if pair_score not in ("per_collision", "dedup_first"):
         raise ValueError(f"unknown pair_score: {pair_score!r}")
     hp = _unit_hyperplanes(dim, planes)
+    # per_collision scores inside the banded join, so the banded frame
+    # carries the vector plus its norm — the norm projected once per ROW
+    # (rides the cap window + persist at +8 bytes/row) means the pair
+    # stage pays one dot fold per candidate, not dot + two norm folds
+    # (r11 opt; see cosine_with_norms).  dedup_first only needs bare ids
+    # through the banded join (vectors are fetched back per unique pair),
+    # so its banded/persisted frame drops the payload entirely.
+    payload = (
+        [F.col(vec_col).alias("v"), vec_norm(F.col(vec_col)).alias("n")]
+        if pair_score == "per_collision"
+        else []
+    )
     sigs = (
         df.select(
             F.col(id_col).alias("id"),
-            F.col(vec_col).alias("v"),
+            *payload,
             F.explode(sign_band_structs(vec_col, hp, bands)).alias("bb"),
         )
-        .select("id", "v", F.col("bb.band").alias("band"), F.col("bb.bkey").alias("bkey"))
+        .select(
+            "id",
+            *(["v", "n"] if pair_score == "per_collision" else []),
+            F.col("bb.band").alias("band"), F.col("bb.bkey").alias("bkey"),
+        )
     )
     if bucket_cap:
         wcap = Window.partitionBy("band", "bkey").orderBy("id")
@@ -1029,15 +1066,29 @@ def embedding_near_dup(
         cand = joined.select(
             F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b")
         ).dropDuplicates(["id_a", "id_b"])
-        va = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("__va"))
-        vb = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("__vb"))
+        va = df.select(
+            F.col(id_col).alias("id_a"),
+            F.col(vec_col).alias("__va"),
+            vec_norm(F.col(vec_col)).alias("__na"),
+        )
+        vb = df.select(
+            F.col(id_col).alias("id_b"),
+            F.col(vec_col).alias("__vb"),
+            vec_norm(F.col(vec_col)).alias("__nb"),
+        )
         return (
             cand.join(va, "id_a")
             .join(vb, "id_b")
             .select(
                 "id_a",
                 "id_b",
-                F.round(cosine(F.col("__va"), F.col("__vb")), 4).alias("cos_sim"),
+                F.round(
+                    cosine_with_norms(
+                        F.col("__va"), F.col("__vb"),
+                        F.col("__na"), F.col("__nb"),
+                    ),
+                    4,
+                ).alias("cos_sim"),
             )
             .filter(F.col("cos_sim") >= threshold)
         )
@@ -1050,7 +1101,12 @@ def embedding_near_dup(
         joined.select(
             F.col("a.id").alias("id_a"),
             F.col("b.id").alias("id_b"),
-            F.round(cosine(F.col("a.v"), F.col("b.v")), 4).alias("cos_sim"),
+            F.round(
+                cosine_with_norms(
+                    F.col("a.v"), F.col("b.v"), F.col("a.n"), F.col("b.n")
+                ),
+                4,
+            ).alias("cos_sim"),
         )
         .filter(F.col("cos_sim") >= threshold)
         .dropDuplicates(["id_a", "id_b"])

@@ -80,17 +80,25 @@ def pagerank(
         raise ValueError(f"damping_pct must be in [1, 100], got {damping_pct}")
     if unit < 1:
         raise ValueError(f"unit must be >= 1, got {unit}")
-    e = edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
-    nodes = (
+    from engine.extended.dedup import ledger_persist
+
+    # The three STATIC frames are referenced once per round (plus the seed),
+    # and the lazy lineage re-expands an unpersisted subtree at every
+    # reference — the r11-opt final-plan audit showed 40 parquet scans and
+    # zero ReusedExchange for a 3-round run over a joined edge list.  The
+    # bounded ledger (see engine.extended.dedup.ledger_persist) pins them
+    # in BOTH modes: lazy mode now evaluates the edge construction once
+    # (5.9 → ~1.3 s at sf0.1), and the session leak stays LRU-bounded
+    # instead of requiring the old all-or-nothing materialize choice.
+    e = ledger_persist(
+        edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
+    )
+    nodes = ledger_persist(
         e.select(F.col("src").alias("node"))
         .union(e.select(F.col("dst").alias("node")))
         .distinct()
     )
-    od = e.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
-    if materialize:
-        e = e.persist()
-        nodes = nodes.persist()
-        od = od.persist()
+    od = ledger_persist(e.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg")))
     base = unit * (100 - damping_pct) // 100
     ranks = nodes.select("node", F.lit(int(unit)).cast("long").alias("rank"))
     prev = None
@@ -124,10 +132,9 @@ def pagerank(
                 prev.unpersist()
             prev = new
         ranks = new
-    if materialize:
-        e.unpersist()
-        nodes.unpersist()
-        od.unpersist()
+    # statics stay under the ledger's LRU bound (lazy callers' returned
+    # frame still references them; eager unpersist would silently restore
+    # the per-round re-expansion)
     return ranks
 
 
@@ -136,13 +143,21 @@ def _canonical_and_degrees(edges, src_col, dst_col):
     ordered, distinct) and the node degree table — the shared front end
     of triangle_counts and clustering_coefficients (one copy, review
     finding)."""
+    from engine.extended.dedup import ledger_persist
+
     u, v = F.col(src_col), F.col(dst_col)
-    e = (
+    # Both frames ride the bounded ledger (r11 opt): triangle_counts
+    # references deg twice and the canonical e feeds deg plus the oriented
+    # edge build, and clustering_coefficients calls this helper AND
+    # triangle_counts — the semanticHash key makes both calls share ONE
+    # cached copy instead of re-expanding the distinct/degree subtree per
+    # reference (17 parquet scans in the pre-fix clustering plan).
+    e = ledger_persist(
         edges.filter(u.isNotNull() & v.isNotNull() & (u != v))
         .select(F.least(u, v).alias("u"), F.greatest(u, v).alias("v"))
         .distinct()
     )
-    deg = (
+    deg = ledger_persist(
         e.select(F.col("u").alias("node"))
         .union(e.select(F.col("v").alias("node")))
         .groupBy("node")
@@ -189,6 +204,12 @@ def triangle_counts(
         F.when(u_first, F.col("v")).otherwise(F.col("u")).alias("dst"),
         F.when(u_first, F.col("dv")).otherwise(F.col("du")).alias("ddeg"),
     )
+    # referenced three times (both wedge sides + the closure probe) — pin
+    # once under the ledger instead of evaluating the orientation join per
+    # reference (r11 opt)
+    from engine.extended.dedup import ledger_persist
+
+    de = ledger_persist(de)
     e1, e2 = de.alias("e1"), de.alias("e2")
     wedges = e1.join(
         e2,
@@ -289,7 +310,12 @@ def label_propagation(
     """
     from pyspark.sql import Window
 
-    und = (
+    from engine.extended.dedup import ledger_persist
+
+    # und is referenced once per round plus the label seed — pinned under
+    # the bounded ledger in BOTH modes (r11 opt; the lazy lineage
+    # re-expanded the symmetrize+distinct subtree per reference)
+    und = ledger_persist(
         edges.select(F.col(src_col).alias("s"), F.col(dst_col).alias("d"))
         .union(
             edges.select(F.col(dst_col).alias("s"), F.col(src_col).alias("d"))
@@ -297,8 +323,6 @@ def label_propagation(
         .where(F.col("s").isNotNull() & F.col("d").isNotNull())
         .distinct()
     )
-    if materialize:
-        und = und.persist()
     labels = und.select(F.col("s").alias("node")).distinct().withColumn(
         "label", F.col("node")
     )
@@ -326,6 +350,4 @@ def label_propagation(
             if prev is not None:
                 prev.unpersist()
             prev = labels
-    if materialize:
-        und.unpersist()
     return labels

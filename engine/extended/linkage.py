@@ -171,6 +171,13 @@ def incremental_entity_ids(
         F.col("match_id").alias("__mid"),
         F.col("dist").alias("__d"),
     ).join(b, "__bid")
+    # m is referenced four times (matched / unmatched / null slices) and
+    # each lazy reference re-expanded the whole blocked-match subtree —
+    # block joins, levenshtein, dedup windows (31 parquet scans in the
+    # pre-fix plan).  Pin once under the bounded ledger (r11 opt).
+    from engine.extended.dedup import ledger_persist
+
+    m = ledger_persist(m)
     matched = m.filter(F.col("__mid").isNotNull()).select(
         "__bid",
         F.col("__mid").alias("entity_id"),

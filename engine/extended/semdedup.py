@@ -155,10 +155,20 @@ def pairwise_sims(
     :func:`engine.extended.dedup.cosine`.
 
     ``probe_parallelism``: the pair stage costs O(sum cluster_size**2) dot
-    products — far more than the scan that feeds it — so when the input has
-    fewer splits than cores (small files, post-filter coalesce), one
-    round-robin exchange of the probe side buys full parallelism for the
-    quadratic stage.  Leave None when the scan already yields enough splits.
+    products — far more than the scan that feeds it — yet it inherits the
+    cap window's hash-partitioning on ``cluster_col``: with fewer (or
+    hotter) clusters than cores, the quadratic stage runs on that many
+    tasks no matter how wide the cluster is.  When set, the PROBE side is
+    re-spread by ``id_col`` hash (deterministic key, see guide on
+    rand-derived keys) into ``probe_parallelism`` partitions AFTER the cap
+    window, so the dot-product stage uses every core; the build side stays
+    cluster-partitioned and broadcasts.  (The r11-opt A/B moved this
+    exchange from the INPUT — where the cap window immediately
+    re-partitioned it away, pure waste — to the probe side: 2.4 → 0.65 s
+    uniform, 8.5 → 0.85 s on the hot-cluster skew fixture at sf0.1.)
+    Leave None at corpus scale, where cluster count ≫ cores spreads the
+    join naturally and the extra exchange of the capped corpus would be
+    pure cost.
 
     ``cluster_cap`` bounds the mega-cluster failure mode (one skewed cluster
     turning the whole job into a single O(size²) bucket): only the
@@ -172,8 +182,6 @@ def pairwise_sims(
     without doing anything; pass ``None`` explicitly for the uncapped
     oracle-exact behavior (the registry queries do).
     """
-    if probe_parallelism:
-        df = df.repartition(probe_parallelism)
     if cluster_cap:
         df = _apply_cluster_cap(df, cluster_col, id_col, cluster_cap)
     v = df.select(
@@ -188,6 +196,8 @@ def pairwise_sims(
         F.col("__v").alias("__av"),
         F.col("__n").alias("__an"),
     )
+    if probe_parallelism:
+        a = a.repartition(probe_parallelism, F.col("a_id"))
     b = v.select(
         F.col("__c"),
         F.col("__id").alias("b_id"),
@@ -246,9 +256,13 @@ def semdedup(
     vec_col: str = "embedding",
     broadcast_drops: bool | None = None,
     cluster_cap: int | None = 500,
+    probe_parallelism: int | None = None,
 ) -> DataFrame:
     """Semantic dedup: drop every row that has a qualifying near-twin with a
     smaller id; keep everything else.
+
+    ``probe_parallelism`` is forwarded to :func:`pairwise_sims` (spread the
+    quadratic pair stage when clusters are fewer/hotter than cores).
 
     Deterministic keeper rule — each duplicate pair contributes its higher id
     to the drop set, so the minimum-id member of any duplicate set always
@@ -270,6 +284,7 @@ def semdedup(
             id_col=id_col,
             vec_col=vec_col,
             cluster_cap=cluster_cap,
+            probe_parallelism=probe_parallelism,
         )
         .select(F.col("b_id").alias(id_col))
         .distinct()
@@ -290,6 +305,7 @@ def cross_pairs(
     vec_col: str = "embedding",
     round_to: int = 4,
     cluster_cap: int | None = 500,
+    probe_parallelism: int | None = None,
 ) -> DataFrame:
     """Within-cluster (batch × corpus) pairs with exact cosine — the probe
     step of incremental semantic dedup.  Same norm-once discipline as
@@ -301,6 +317,13 @@ def cross_pairs(
     corpus cluster would otherwise make the probe O(batch_in_cluster ×
     cluster_size) in one bucket.  The batch side is run-bounded by
     construction and stays uncapped.
+
+    ``probe_parallelism``: same knob and rationale as
+    :func:`pairwise_sims` — the probe join inherits cluster-key
+    partitioning, so with few/hot clusters the O(batch × cap) dot-product
+    stage runs on that many tasks; when set, the BATCH side is re-spread
+    by ``id_col`` hash after projection so the scoring stage uses every
+    core.  Leave None at corpus scale (cluster count ≫ cores).
     """
     if cluster_cap:
         corpus = _apply_cluster_cap(corpus, cluster_col, id_col, cluster_cap)
@@ -314,6 +337,8 @@ def cross_pairs(
         )
 
     a, b = side(batch, "a"), side(corpus, "b")
+    if probe_parallelism:
+        a = a.repartition(probe_parallelism, F.col("a_id"))
     dot = F.aggregate(
         F.zip_with("__av", "__bv", lambda x, y: x.cast("double") * y.cast("double")),
         F.lit(0.0),
@@ -335,9 +360,14 @@ def semdedup_incremental(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     cluster_cap: int | None = 500,
+    probe_parallelism: int | None = None,
 ) -> DataFrame:
     """Incremental semantic dedup: accept only batch rows that are novel
     against the ALREADY-ACCEPTED corpus and within the batch itself.
+
+    ``probe_parallelism`` is forwarded to both stages (see
+    :func:`pairwise_sims`): it spreads the dot-product stages when
+    clusters are fewer/hotter than cores.
 
     Two stages, both cluster-confined: (1) anti-join away batch rows with a
     qualifying corpus twin — the corpus never re-pairs with itself, so
@@ -354,6 +384,7 @@ def semdedup_incremental(
             id_col=id_col,
             vec_col=vec_col,
             cluster_cap=cluster_cap,
+            probe_parallelism=probe_parallelism,
         )
         .filter(F.col("sim") >= threshold)
         .select(F.col("a_id").alias(id_col))
@@ -367,4 +398,5 @@ def semdedup_incremental(
         id_col=id_col,
         vec_col=vec_col,
         cluster_cap=cluster_cap,
+        probe_parallelism=probe_parallelism,
     )

@@ -151,7 +151,14 @@ def semdedup_prune_q(spark, sf_dir):
 
     e = t(spark, sf_dir, "embeddings")
     drops = (
-        semdedup_pairs(e, threshold=0.3, cluster_cap=500)
+        # probe_parallelism: the embeddings fixture has ~10 clusters, so the
+        # quadratic pair stage would otherwise run on ~10 tasks (r11 opt)
+        semdedup_pairs(
+            e,
+            threshold=0.3,
+            cluster_cap=500,
+            probe_parallelism=spark.sparkContext.defaultParallelism,
+        )
         .select(F.col("b_id").alias("vec_id"))
         .distinct()
         .withColumn("__dropped", F.lit(1))
@@ -461,6 +468,9 @@ def semdedup_incremental_q(spark, sf_dir):
         e.filter(F.col("vec_id") % 2 == 0),
         threshold=0.3,
         cluster_cap=500,
+        # ~10 clusters in the fixture → the probe/pair stages would run on
+        # ~10 tasks without the spread (r11 opt; see pairwise_sims)
+        probe_parallelism=spark.sparkContext.defaultParallelism,
     ).select("vec_id", "label")
 
 

@@ -741,12 +741,18 @@ def test_ledger_persist_keyed_no_interleaved_eviction(spark):
     assert s1.storageLevel.useMemory  # survived the interleaved build
     assert s2.storageLevel.useMemory
     assert s1.count() == 4 and s2.count() == 3  # doc 4 ("short"): no shingles
-    # a third distinct plan LRU-evicts the stalest (s1), not the fresh s2
-    s3 = ledger_persist(minhash_sigs(docs.filter(F.col("doc_id") >= 1)))
-    assert s3.storageLevel.useMemory and s2.storageLevel.useMemory
-    assert not s1.storageLevel.useMemory  # bounded: cap=2, LRU out
+    # filling the ledger to its cap with distinct plans LRU-evicts the
+    # stalest (s1) while the freshest entries stay pinned
+    from engine.extended.dedup import _LEDGER_CAP
+
+    fresh = [
+        ledger_persist(minhash_sigs(docs.filter(F.col("doc_id") >= i)))
+        for i in range(1, _LEDGER_CAP + 1)
+    ]
+    assert all(f.storageLevel.useMemory for f in fresh[-2:])
+    assert not s1.storageLevel.useMemory  # bounded: cap, LRU out
     _INTERNAL_SIGS_LAST.clear()
-    for f in (s2, s3):
+    for f in (s2, *fresh):
         f.unpersist()
 
 

@@ -797,3 +797,79 @@ def test_r11_late_queries_runtime_plan_shape(spark):
     df2.collect()
     p2 = df2._jdf.queryExecution().executedPlan().toString()
     assert table_scans(p2).get("documents") == 1
+
+
+def test_r11_opt_minhash_persists_banded_not_sigs(spark):
+    """r11 OPTIMIZATION round: minhash_candidates must pin the CAPPED
+    BANDED frame (id, sig, band, bkey) under the ledger — persisting one
+    level higher than the signature frame halves the banded shuffles
+    (the self-join's two sides read the cache instead of re-running the
+    explode → cap-window chain, whose exchange carries the k-slot sig
+    array and is the widest shuffle in the plan)."""
+    from engine.extended.dedup import (
+        _INTERNAL_SIGS_LAST,
+        ledger_clear,
+        minhash_candidates,
+    )
+    ledger_clear()
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    out = minhash_candidates(docs, num_hashes=64, bands=16, hash_fn="md5")
+    out.collect()
+    assert len(_INTERNAL_SIGS_LAST) == 1
+    (frame,) = _INTERNAL_SIGS_LAST.values()
+    assert {"id", "sig", "band", "bkey"} <= set(frame.columns)
+    lvl = frame.storageLevel
+    assert lvl.useMemory or lvl.useDisk
+    ledger_clear()
+
+
+def test_r11_opt_semdedup_probe_respread_after_cap(spark):
+    """r11 OPTIMIZATION round: pairwise_sims' probe_parallelism must
+    re-spread the PROBE side by id hash AFTER the cluster-cap window (the
+    quadratic dot-product stage otherwise inherits the window's
+    cluster-key partitioning — with ~10 clusters it ran on ~10 of 32
+    cores; 2.4 → 0.65 s uniform, 8.5 → 0.85 s on the hot-cluster skew
+    fixture at sf0.1).  The old input-side round-robin (immediately
+    re-partitioned away by the window) must be gone."""
+    from engine.extended.semdedup import pairwise_sims
+
+    e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    df = pairwise_sims(e, id_col="vec_id", probe_parallelism=8)
+    p = df._jdf.queryExecution().executedPlan().toString()
+    assert "hashpartitioning(a_id" in p          # probe spread by id hash
+    assert "RoundRobinPartitioning" not in p     # input spread removed
+    # results identical with and without the spread
+    base = pairwise_sims(e, id_col="vec_id")
+    diff = (
+        df.withColumnRenamed("sim", "s1")
+        .join(base, ["label", "a_id", "b_id"], "full_outer")
+        .filter("s1 IS DISTINCT FROM sim")
+        .count()
+    )
+    assert diff == 0
+
+
+def test_r11_opt_graph_statics_ride_the_ledger(spark):
+    """r11 OPTIMIZATION round: the iterative graph algorithms must pin
+    their static frames (edges / nodes / degrees) under the bounded
+    ledger in LAZY mode too — the unpersisted lineage re-expanded the
+    edge-construction subtree once per reference (pagerank: 40 parquet
+    scans, zero ReusedExchange in the pre-fix final plan)."""
+    from pyspark.sql import functions as F
+
+    from engine.extended.dedup import _INTERNAL_SIGS_LAST, ledger_clear
+    from engine.extended.graph import label_propagation, pagerank, triangle_counts
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 1), (3, 4)], ["src", "dst"]
+    )
+    ledger_clear()
+    pagerank(edges, iters=2, materialize=False).collect()
+    assert len(_INTERNAL_SIGS_LAST) == 3  # e, nodes, outdeg
+    ledger_clear()
+    triangle_counts(edges).collect()
+    assert len(_INTERNAL_SIGS_LAST) == 3  # canonical e, deg, oriented de
+    ledger_clear()
+    label_propagation(edges, iters=2, materialize=False).collect()
+    assert len(_INTERNAL_SIGS_LAST) == 1  # und
+    ledger_clear()
