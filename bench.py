@@ -352,6 +352,13 @@ def main() -> None:
         force(fn(spark, sf_dir))
         secondary[name] = round(time.time() - t0, 3)
         spark.catalog.clearCache()
+    # Post-phase anchor (r11 opt): the headline anchors bracket only the
+    # headline passes, so a steal episode during the (longer) secondary or
+    # skew phase was previously invisible — one r11-opt run read uniform
+    # 2-10× inflation on UNTOUCHED secondary queries with near-nominal
+    # headline anchors.  Additive field; the headline JSON contract is
+    # unchanged.
+    spark_anchor_post_secondary = spark_anchor_sample(spark)
 
     # Skew pass (VERDICT r3 #8): the same frozen headline pack over a
     # skewgen-derived pack of EQUAL volume (sf0.01 base × factor 10 ≈ sf0.1
@@ -390,17 +397,21 @@ def main() -> None:
     # lines and the headline JSON (metric/value/queries — ~850 chars for the
     # frozen 21-query pack) is the guaranteed LAST line.  r4 and r5 both lost
     # the headline to tail truncation when everything shared one 3.3k line.
+    spark_anchor_post_skew = spark_anchor_sample(spark)
     print(
         json.dumps({"metric": "secondary_query_timings", "unit": "sec",
                     "secondary": secondary,
-                    "secondary_total": round(sum(secondary.values()), 3)}),
+                    "secondary_total": round(sum(secondary.values()), 3),
+                    "spark_anchor_post_secondary": spark_anchor_post_secondary,
+                    "spark_anchor_nominal_sec": SPARK_ANCHOR_NOMINAL_SEC}),
         flush=True,
     )
     print(
         json.dumps({"metric": "skewed_headline_pack", "unit": "sec",
                     "skewed": skewed,
                     "skewed_total": round(sum(skewed.values()), 3),
-                    "skew_extra": skew_extra}),
+                    "skew_extra": skew_extra,
+                    "spark_anchor_post_skew": spark_anchor_post_skew}),
         flush=True,
     )
     print(

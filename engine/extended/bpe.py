@@ -103,15 +103,33 @@ def bpe_train(
     """
     if rounds < 1:
         raise ValueError(f"rounds must be >= 1, got {rounds}")
-    words = (
+    base = (
         word_frequencies(corpus, text_col=text_col)
         .select("cnt", char_seq("word").alias("seq"))
         .persist()
     )
+
+    def replayed(upto: int):
+        # replay the first ``upto`` learned merges over the CACHED base
+        # vocabulary as one literal-replace codegen chain (exactly
+        # bpe_apply's segment chain).  r11 opt: the previous loop
+        # persisted + count()-forced the merged table every round — two
+        # jobs per round — where re-running r vocabulary-sized replaces
+        # inside the next argmax job is far cheaper than a materialization
+        # barrier (the corpus-sized pass is behind the persist either way).
+        seq = F.col("seq")
+        for ru in rules[:upto]:
+            seq = F.replace(
+                seq,
+                F.lit(f" {ru['lhs']}  {ru['rhs']} "),
+                F.lit(f" {ru['merged']} "),
+            )
+        return base.select("cnt", seq.alias("seq"))
+
     rules: list[dict] = []
     for rank in range(rounds):
         best = (
-            _pair_counts(words)
+            _pair_counts(replayed(rank))
             .orderBy(F.col("c").desc(), "l", "r")
             .limit(1)
             .collect()
@@ -128,18 +146,11 @@ def bpe_train(
                 "pair_count": c,
             }
         )
-        merged_words = words.select(
-            "cnt",
-            F.replace(
-                F.col("seq"), F.lit(f" {l}  {r} "), F.lit(f" {l}{r} ")
-            ).alias("seq"),
-        ).persist()
-        # materialize the merged table BEFORE dropping its parent's cache —
-        # unpersisting first would leave every later round recomputing from
-        # the corpus (the pagerank persist→force→unpersist-prev discipline)
-        merged_words.count()
-        words.unpersist()
-        words = merged_words
+    words = replayed(len(rules)).persist()
+    # materialize the final table BEFORE dropping the base cache —
+    # unpersisting first would leave the caller recomputing from the corpus
+    words.count()
+    base.unpersist()
     return rules, words
 
 

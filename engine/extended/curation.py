@@ -1040,8 +1040,12 @@ def bloom_bit_words(
     """
     _bloom_validate(n_hashes, m_bits)
     pos = _bloom_positions(F.col(key_col), n_hashes, m_bits, hash_fn)
+    # _spread: the per-key hashing runs in the scan stage and a small
+    # key-set file arrives as one split (r11 opt); no-op at scale
+    from engine.extended.dedup import _spread
+
     rows = (
-        keys.filter(F.col(key_col).isNotNull())
+        _spread(keys.filter(F.col(key_col).isNotNull()).select(key_col))
         .select(F.explode(F.array(*pos)).alias("p"))
         .distinct()
         .collect()
@@ -1076,9 +1080,16 @@ def bloom_member(
     if len(words) != m_bits // 64:
         raise ValueError(f"words has {len(words)} entries, want {m_bits // 64}")
     c = F.col(col) if isinstance(col, str) else col
-    words_lit = F.array(*[F.lit(int(w)).cast("long") for w in words])
+    # ONE F.expr string per literal array (r11 opt): the Column-tree form
+    # cost m_bits/64 + 64 py4j round trips per probe build — the r10
+    # driver-side expression BUILD class (see sign_band_structs)
+    words_lit = F.expr(
+        "array(" + ", ".join(f"{int(w)}L" for w in words) + ")"
+    )
     pow2 = [1 << b for b in range(63)] + [-(1 << 63)]
-    pow2_lit = F.array(*[F.lit(int(v)).cast("long") for v in pow2])
+    pow2_lit = F.expr(
+        "array(" + ", ".join(f"{int(v)}L" for v in pow2) + ")"
+    )
     cond = None
     for p in _bloom_positions(c, n_hashes, m_bits, hash_fn):
         word = F.element_at(words_lit, F.floor(p / 64).cast("int") + 1)

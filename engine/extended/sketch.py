@@ -87,9 +87,16 @@ def cms_build(
     NULL keys are skipped, matching ``COUNT(key)`` semantics.
     """
     key = F.col(key_col).cast("string")
-    cells = df.where(key.isNotNull()).select(
+    # _spread: the depth× md5 hashing is the build's dominant CPU and runs
+    # in the SCAN stage — a small input arriving as 1-2 splits would hash
+    # single-threaded (r11 opt: 1.9 → 1.1 s at sf0.1).  Conditional no-op
+    # when the scan already has enough splits (always true at scale), and
+    # only the projected key column crosses the spread exchange.
+    from engine.extended.dedup import _spread
+
+    cells = _spread(df.where(key.isNotNull()).select(key.alias("__k"))).select(
         F.posexplode(
-            F.array(*[cms_hash_col(key, r, width) for r in range(depth)])
+            F.array(*[cms_hash_col(F.col("__k"), r, width) for r in range(depth)])
         ).alias("row", "col")
     )
     return cells.groupBy("row", "col").agg(F.count(F.lit(1)).alias("cnt"))

@@ -1289,11 +1289,20 @@ _TRUEP_SQL = """
 def _true_jaccard_pairs(sub):
     """Exact 3-gram-Jaccard-≥-0.5 pairs (id_a < id_b) via the postings
     equi-join — the Spark twin of ``_TRUEP_SQL`` (same integer test, no
-    nested loop; one shuffle on the shingle, one on the pair)."""
-    from engine.extended.text import word_ngrams
+    nested loop; one shuffle on the shingle, one on the pair).
 
-    sh = sub.select(
-        "doc_id", F.array_distinct(word_ngrams("text", 3)).alias("sh")
+    The shingle frame is referenced four times (postings a/b + sizes a/b),
+    so it rides the bounded ledger; tokens are projected once behind an
+    alias before shingling (the inline word_ngrams form re-tokenizes per
+    shingle — the documented 12× trap) (r11 opt)."""
+    from engine.extended.dedup import ledger_persist
+    from engine.extended.text import ngrams_from, tokens
+
+    sh = ledger_persist(
+        sub.select("doc_id", tokens("text").alias("__toks")).select(
+            "doc_id",
+            F.array_distinct(ngrams_from(F.col("__toks"), 3)).alias("sh"),
+        )
     )
     post = sh.select("doc_id", F.explode("sh").alias("s"))
     szs = sh.select("doc_id", F.size("sh").alias("nsh"))
@@ -1384,8 +1393,14 @@ def lsh_recall_frame(spark, sf_dir, *, max_doc=300, bands=16):
         & (F.col("doc_id") < max_doc)
         & F.col("text").isNotNull()
     )
-    cand = minhash_candidates(sub, hash_fn="md5", bands=bands).select(
-        "id_a", "id_b"
+    # cand is referenced twice (recall join + candidate count): pin the
+    # few-KB pair list instead of re-running the banded self-join (r11 opt)
+    from engine.extended.dedup import ledger_persist
+
+    cand = ledger_persist(
+        minhash_candidates(sub, hash_fn="md5", bands=bands).select(
+            "id_a", "id_b"
+        )
     )
     truep = _true_jaccard_pairs(sub)
     counts = truep.join(

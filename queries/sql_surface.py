@@ -1049,7 +1049,12 @@ def hist_shard_merge(spark, sf_dir):
         hi=hi,
         n_buckets=nb,
     )
-    merged = hist_merge(even, odd)
+    # merged is referenced twice (cell-diff audit + quantile read) and its
+    # lazy lineage re-ran both shard builds per reference (6 lineitem scans
+    # in the pre-fix plan) — pin the ≤256-row histogram once (r11 opt)
+    from engine.extended.dedup import ledger_persist
+
+    merged = ledger_persist(hist_merge(even, odd))
     whole = hist_build(li, "l_extendedprice", lo=lo, hi=hi, n_buckets=nb)
     diff = (
         merged.select("bucket", F.col("cnt").alias("m_cnt"))
