@@ -90,8 +90,17 @@ def pagerank(
     # in BOTH modes: lazy mode now evaluates the edge construction once
     # (5.9 → ~1.3 s at sf0.1), and the session leak stays LRU-bounded
     # instead of requiring the old all-or-nothing materialize choice.
+    # Co-partition the cached edge table with the per-round contribution
+    # join (guide §2.4: operations keyed the same way share one exchange):
+    # without the repartition every round re-exchanged + re-sorted the
+    # EDGE-sized side to join node-sized per_src (2 SortMergeJoins/round in
+    # the r11 final-plan audit).  One hash(src) exchange at build time is
+    # amortized over all rounds — the cached partitioning satisfies the
+    # join's distribution requirement, so rounds touch only node-sized
+    # exchanges plus the inherent dst-keyed aggregate.
     e = ledger_persist(
         edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
+        .repartition("src")
     )
     nodes = ledger_persist(
         e.select(F.col("src").alias("node"))
@@ -109,9 +118,16 @@ def pagerank(
         # through two joins — at 100 TB the edge table is the big side, so
         # halving its join passes halves the round's dominant cost
         # (measured: pagerank_topk 9.1 → see SCALE.md r5 appendix).
+        # shuffle_hash (guide §3.1): the build side is NODE-cardinality per
+        # partition (bounded wherever the shuffle partition count scales
+        # with the graph), and hashing it skips the per-round SORT of the
+        # edge-sized probe side that sort-merge would force; with the
+        # co-partitioned edge cache above, the edge table crosses no
+        # exchange at all inside the loop.  AQE still upgrades to broadcast
+        # when the rank frame is small enough locally.
         per_src = ranks.withColumnRenamed("node", "src").join(od, "src").select(
             "src", _idiv(F.col("rank"), F.col("outdeg")).alias("c")
-        )
+        ).hint("shuffle_hash")
         contribs = e.join(per_src, "src").select(F.col("dst").alias("node"), "c")
         s = contribs.groupBy("node").agg(F.sum("c").alias("s"))
         new = nodes.join(s, "node", "left").select(

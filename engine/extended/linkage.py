@@ -96,14 +96,35 @@ def blocked_levenshtein_match(
     # uniform-length gate fixtures (measured — a wash at ×100), real
     # name/address corpora prune meaningfully.  The thresholded
     # levenshtein remains the backstop either way.
-    cand = (
+    # Pair-generation parallelism (r11 opt, guide §2.5): the cap window
+    # leaves rk clustered by __bk, so a degenerate block key (every
+    # "Customer#…" name shares one 4-char prefix) concentrates the whole
+    # hot block's pair generation AND its levenshtein in ONE task whenever
+    # the planner broadcasts the other side (measured: ~2 M pairs scored in
+    # 2 tasks, 4.3 s; re-spread, 1.1 s).  One linear exchange of the
+    # already-capped side, explicit partition count so AQE cannot coalesce
+    # the spread away; hash on the unique __rid needs no pre-sort (the
+    # round-robin form would).
+    rk = rk.repartition(
+        rk.sparkSession.sparkContext.defaultParallelism, F.col("__rid")
+    )
+    # Score BEFORE any pair exchange (r11 opt, guide §2.3 "aggregate before
+    # you shuffle" applied to a filter): the thresholded levenshtein keeps
+    # ~3 % of candidates here, so running it in the join's output stage
+    # and dedup-ing afterwards exchanges only survivors — the old
+    # distinct-then-score order shuffled every candidate pair WITH both
+    # text payloads first.  A pair found by both blocking passes is scored
+    # twice (the block intersection is small); duplicates cannot change
+    # the row_number argmax below, which picks the same (d, rid) minimum
+    # either way.
+    dist = F.levenshtein("__lt", "__rt", max_dist)
+    scored = (
         lk.join(rk, "__bk")
         .filter(F.abs(F.length("__lt") - F.length("__rt")) <= max_dist)
-        .select("__lid", "__lt", "__rid", "__rt")
-        .distinct()
+        .withColumn("__d", dist)
+        .filter(F.col("__d") >= 0)
+        .select("__lid", "__rid", "__d")
     )
-    dist = F.levenshtein("__lt", "__rt", max_dist)
-    scored = cand.withColumn("__d", dist).filter(F.col("__d") >= 0)
     best_w = Window.partitionBy("__lid").orderBy("__d", "__rid")
     best = (
         scored.withColumn("__rn", F.row_number().over(best_w))

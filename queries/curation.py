@@ -854,7 +854,13 @@ def pagerank_topk(spark, sf_dir):
         )
         .distinct()
     )
-    edges = fwd.union(fwd.select(F.col("dst").alias("src"), F.col("src").alias("dst"))).distinct()
+    # the union needs no second distinct (r11 opt, guide §2.4 "distinct on
+    # data that is already unique"): fwd is distinct, the reversed branch
+    # is a 1-1 rename of it, and the branches can never collide because
+    # every fwd src is "S…" while every reversed src is "C…" — dropping it
+    # removes a full edge-sized Exchange from the build (the oracle's edge
+    # CTE is unchanged; the edge multiset is identical by construction)
+    edges = fwd.union(fwd.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
     # lazy mode: the registry sweep runs hundreds of queries in one session,
     # and a persisted result frame would stay cached for all of them (the
     # materialized mode is the >1-executor scale path, exercised in pytest)
