@@ -380,6 +380,11 @@ def minhash_band_sweep(
             .filter(F.col("__bn") <= bucket_cap)
             .drop("__bn")
         )
+    # both sides of the self-join reference this subtree, and AQE does not
+    # reuse the (w, band, bkey) exchange across the alias pair — pin the
+    # capped frame so the explode → cap-window chain evaluates once
+    # (the minhash_candidates r11 fix, applied to the sweep)
+    banded = ledger_persist(banded)
     a, b = banded.alias("a"), banded.alias("b")
     return (
         a.join(
@@ -441,11 +446,22 @@ def minhash_candidates(
         f"'bkey', {_band_key_sql('sig', b, rows_per_band, hash_fn)})"
         for b in range(bands)
     ) + ")"
+    # Pair-first shape (r11 opt, guide §2.3 "shuffle keys and metadata
+    # instead of payloads" / §8): the banded frame used to carry the k-slot
+    # sig array through the cap window's sort + (band, bkey) exchange —
+    # ~8 KB per doc at k=64, bands=16, the widest shuffle in the plan — so
+    # est_jaccard could be computed in the self-join projection.  The sig
+    # payload is only needed ONCE PER DISTINCT PAIR, so instead: persist
+    # the sigs frame, band BARE (id, band, bkey) rows (~25× narrower
+    # through the cap sort/exchange), dedup bare id pairs, and join the
+    # persisted signatures back per distinct pair (exactly the DuckDB
+    # oracle's MATERIALIZED-capped shape).  Interleaved A/B at sf0.1:
+    # see OPTIMIZATION_r11.md (dedup_minhash_lsh).
+    sigs = ledger_persist(sigs)
     banded = sigs.select(
         "id",
-        "sig",
         F.explode(F.expr(band_arr)).alias("bb"),
-    ).select("id", "sig", F.col("bb.band").alias("band"), F.col("bb.bkey").alias("bkey"))
+    ).select("id", F.col("bb.band").alias("band"), F.col("bb.bkey").alias("bkey"))
     if bucket_cap:
         wcap = Window.partitionBy("band", "bkey").orderBy("id")
         banded = (
@@ -453,15 +469,10 @@ def minhash_candidates(
             .filter(F.col("__bn") <= bucket_cap)
             .drop("__bn")
         )
-    # Persist the CAPPED BANDED frame, not the signature frame (r11 opt
-    # round): the self-join references this subtree on both sides, and
-    # Catalyst/AQE does not reuse the (band, bkey) exchange across the
-    # alias pair — unpersisted, the explode → sort → exchange → window cap
-    # chain (whose exchange carries the k-slot sig array per band row, the
-    # widest shuffle in the plan) ran TWICE per query.  Pinning the frame
-    # one level higher halves the banded shuffles (2 → 1 per query;
-    # measured ~0.4-0.5 s of 2.7 s at sf0.1) and the signature pass is
-    # covered for free (it feeds the materialization exactly once).
+    # Persist the CAPPED BANDED frame too (r11): the self-join references
+    # this subtree on both sides, and Catalyst/AQE does not reuse the
+    # (band, bkey) exchange across the alias pair — unpersisted, the
+    # explode → sort → exchange → window cap chain ran TWICE per query.
     # :func:`ledger_persist` bounds the session leak and returns the
     # already-persisted frame on a repeat invocation over the same corpus.
     # NOTE: if the corpus FILES are rewritten mid-session, that repeat
@@ -471,31 +482,36 @@ def minhash_candidates(
 
     a = banded.alias("a")
     b = banded.alias("b")
-    # est_jaccard = (# equal signature positions) / num_hashes — computed IN
-    # the join projection so the pair-dedup exchange that follows carries an
-    # 8-byte double per pair, not two k-long signature arrays (~2·8k bytes).
-    est = (
-        F.size(
-            F.filter(
-                F.zip_with(F.col("a.sig"), F.col("b.sig"), lambda x, y: x == y),
-                lambda e: e,
-            )
-        )
-        / F.lit(float(num_hashes))
-    )
-    return (
+    pairs = (
         a.join(
             b,
             (F.col("a.band") == F.col("b.band"))
             & (F.col("a.bkey") == F.col("b.bkey"))
             & (F.col("a.id") < F.col("b.id")),
         )
-        .select(
-            F.col("a.id").alias("id_a"),
-            F.col("b.id").alias("id_b"),
-            F.round(est, 4).alias("est_jaccard"),
-        )
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
         .dropDuplicates(["id_a", "id_b"])
+    )
+    # est_jaccard = (# equal signature positions) / num_hashes, computed
+    # once per DISTINCT pair from the persisted sigs (two id-keyed joins of
+    # the deduped 16-byte pairs — at scale: pairs ≪ banded rows, and the
+    # sigs cross one narrow id-hash exchange each instead of riding every
+    # band row).
+    est = (
+        F.size(
+            F.filter(
+                F.zip_with(F.col("__sa"), F.col("__sb"), lambda x, y: x == y),
+                lambda e: e,
+            )
+        )
+        / F.lit(float(num_hashes))
+    )
+    sa = sigs.select(F.col("id").alias("id_a"), F.col("sig").alias("__sa"))
+    sb = sigs.select(F.col("id").alias("id_b"), F.col("sig").alias("__sb"))
+    return (
+        pairs.join(sa, "id_a")
+        .join(sb, "id_b")
+        .select("id_a", "id_b", F.round(est, 4).alias("est_jaccard"))
     )
 
 

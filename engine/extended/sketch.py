@@ -273,6 +273,180 @@ def hist_quantile(
     )
 
 
+def hist_exact_quantile(
+    df: DataFrame,
+    value_col: str,
+    hist: DataFrame,
+    q: float,
+    *,
+    lo: float,
+    hi: float,
+    n_buckets: int = 256,
+    out_col: str = "exact_q",
+) -> DataFrame:
+    """1-row DataFrame with the EXACT interpolated quantile of
+    ``value_col`` — bit-identical to ``F.percentile(value_col, q)`` —
+    computed by histogram narrowing instead of an all-values aggregation
+    buffer (r11 opt, guide §1.2 "the distributed algorithm").
+
+    ``percentile()`` collects every row's value into a per-task
+    ObjectHashAggregate map and merges + sorts them in ONE final task —
+    both a local bottleneck (the merge is serial in the value count) and
+    the plan's only memory term that grows with rows-per-task.  With an
+    equi-width histogram on (``lo``, ``hi``, ``n_buckets``) already in
+    hand, the quantile's two order statistics are known to lie in the
+    bucket range where the cumulative count crosses ``floor/ceil(q·(n−1))``
+    — so pass 1 reads the ≤``n_buckets``-row histogram for the bounds and
+    pass 2 re-scans ONLY the rows of those buckets (a 1/n_buckets fraction
+    on spread-out data), folds their (value, count) pairs in sorted order,
+    and applies Spark's own interpolation formula
+    ``(higher − pos)·v_lo + (pos − lower)·v_hi`` with the identical
+    double operation order.
+
+    Caveats: NULLs are skipped (like :func:`hist_build`); the narrowed
+    pass is only as small as the histogram's resolution — a single bucket
+    holding most of the mass degrades it toward a value-cardinality fold
+    (use a finer grid).  ``hist`` must have been built by
+    :func:`hist_build` over exactly ``df``'s ``value_col`` rows with the
+    same grid; pin it if it is referenced elsewhere, or the lazy lineage
+    re-runs the build.
+    """
+    if not 0.0 <= q <= 1.0:
+        raise ValueError(f"q must be in [0, 1], got {q}")
+    w = (hi - lo) / n_buckets
+    v = F.col(value_col).cast("double")
+    bucket = F.least(
+        F.greatest(F.floor((v - F.lit(lo)) / F.lit(w)), F.lit(0)),
+        F.lit(n_buckets - 1),
+    ).cast("long")
+    # pass 1: one aggregate over the bounded histogram → (pos, lpos, hpos,
+    # target bucket range [bl, bh], rows before bl) — all via sorted-array
+    # folds, no window, no driver collect (the hist_quantile pattern)
+    pairs = F.array_sort(F.collect_list(F.struct(F.col("bucket"), F.col("cnt"))))
+    total = F.aggregate(pairs, F.lit(0).cast("long"), lambda a, x: a + x["cnt"])
+
+    def first_bucket_reaching(target_1based):
+        # min bucket whose cumulative count >= target (1-based row position)
+        return F.aggregate(
+            F.col("__pairs"),
+            F.struct(
+                F.lit(0).cast("long").alias("cum"),
+                F.lit(None).cast("long").alias("ans"),
+            ),
+            lambda acc, x: F.struct(
+                (acc["cum"] + x["cnt"]).alias("cum"),
+                F.when(
+                    acc["ans"].isNull()
+                    & ((acc["cum"] + x["cnt"]) >= target_1based),
+                    x["bucket"],
+                )
+                .otherwise(acc["ans"])
+                .alias("ans"),
+            ),
+        )["ans"]
+
+    params = (
+        hist.agg(pairs.alias("__pairs"), total.alias("__n"))
+        .select(
+            "__pairs",
+            "__n",
+            (F.lit(float(q)) * (F.col("__n") - 1)).alias("__pos"),
+        )
+        .select(
+            "__pairs",
+            "__n",
+            "__pos",
+            F.floor(F.col("__pos")).cast("long").alias("__lpos"),
+            F.ceil(F.col("__pos")).cast("long").alias("__hpos"),
+        )
+        .select(
+            "__pairs",
+            "__n",
+            "__pos",
+            "__lpos",
+            "__hpos",
+            first_bucket_reaching(F.col("__lpos") + 1).alias("__bl"),
+            first_bucket_reaching(F.col("__hpos") + 1).alias("__bh"),
+        )
+        .select(
+            "__n",
+            "__pos",
+            "__lpos",
+            "__hpos",
+            "__bl",
+            "__bh",
+            F.aggregate(
+                F.col("__pairs"),
+                F.lit(0).cast("long"),
+                lambda a, x: a
+                + F.when(x["bucket"] < F.col("__bl"), x["cnt"]).otherwise(
+                    F.lit(0).cast("long")
+                ),
+            ).alias("__before"),
+        )
+    )
+    # pass 2: only rows whose bucket is in [bl, bh] — aggregate to (value,
+    # count), fold the sorted pairs to the two order statistics, interpolate
+    narrowed = (
+        df.where(v.isNotNull())
+        .select(v.alias("__v"), bucket.alias("__b"))
+        .crossJoin(F.broadcast(params))
+        .filter((F.col("__b") >= F.col("__bl")) & (F.col("__b") <= F.col("__bh")))
+        .groupBy("__v")
+        .agg(
+            F.count(F.lit(1)).alias("__c"),
+            F.max("__before").alias("__before"),
+            F.max("__pos").alias("__pos"),
+            F.max("__lpos").alias("__lpos"),
+            F.max("__hpos").alias("__hpos"),
+        )
+    )
+    def value_at(pos_0based):
+        # value whose cumulative (local) count covers the 0-based position
+        return F.aggregate(
+            F.col("__vp"),
+            F.struct(
+                F.lit(0).cast("long").alias("cum"),
+                F.lit(None).cast("double").alias("ans"),
+            ),
+            lambda acc, x: F.struct(
+                (acc["cum"] + x["__c"]).alias("cum"),
+                F.when(
+                    acc["ans"].isNull()
+                    & ((acc["cum"] + x["__c"]) >= pos_0based + 1),
+                    x["__v"],
+                )
+                .otherwise(acc["ans"])
+                .alias("ans"),
+            ),
+        )["ans"]
+
+    folded = narrowed.agg(
+        F.array_sort(F.collect_list(F.struct(F.col("__v"), F.col("__c"))))
+        .alias("__vp"),
+        F.max("__before").alias("__bef"),
+        F.max("__pos").alias("__p"),
+        F.max("__lpos").alias("__l"),
+        F.max("__hpos").alias("__h"),
+    ).select(
+        value_at(F.col("__l") - F.col("__bef")).alias("__vl"),
+        value_at(F.col("__h") - F.col("__bef")).alias("__vh"),
+        "__p",
+        "__l",
+        "__h",
+    )
+    # Spark Percentile.getPercentile, operation-for-operation:
+    # higher == lower → lowerKey; else (higher−pos)·vl + (pos−lower)·vh
+    return folded.select(
+        F.when(F.col("__h") == F.col("__l"), F.col("__vl"))
+        .otherwise(
+            (F.col("__h").cast("double") - F.col("__p")) * F.col("__vl")
+            + (F.col("__p") - F.col("__l").cast("double")) * F.col("__vh")
+        )
+        .alias(out_col)
+    )
+
+
 # ---------------------------------------------------------------------------
 # Mergeable exact moments: the EXACT member of the summary family (count-min
 # = approximate frequencies, HLL = approximate distinct, histogram =

@@ -846,18 +846,28 @@ def pagerank_topk(spark, sf_dir):
 
     li = t(spark, sf_dir, "lineitem")
     o = t(spark, sf_dir, "orders")
+    # Long-encoded node keys (r11 opt, guide §2.3 "narrower types"): the
+    # "S<k>"/"C<k>" node STRINGS only matter in the final 20-row output, yet
+    # they used to ride every exchange of the edge build, the distinct, and
+    # all three rank rounds.  Encode supplier k as 2k and customer k as
+    # 2k+1 (disjoint by parity, exactly like the S/C prefixes), run the
+    # whole graph on 8-byte longs, decode at the very end.  Rank arithmetic
+    # depends only on the graph structure, which is isomorphic by
+    # construction, so the result rows are IDENTICAL (verified collect-equal
+    # at sf0.01 before landing; interleaved A/B at sf0.1: strings 7.50 s vs
+    # longs 5.80 s median — see OPTIMIZATION_r11.md).
     fwd = (
         li.join(o, li.l_orderkey == o.o_orderkey)
         .select(
-            F.concat(F.lit("S"), F.col("l_suppkey").cast("string")).alias("src"),
-            F.concat(F.lit("C"), F.col("o_custkey").cast("string")).alias("dst"),
+            (F.col("l_suppkey").cast("long") * 2).alias("src"),
+            (F.col("o_custkey").cast("long") * 2 + 1).alias("dst"),
         )
         .distinct()
     )
     # the union needs no second distinct (r11 opt, guide §2.4 "distinct on
     # data that is already unique"): fwd is distinct, the reversed branch
     # is a 1-1 rename of it, and the branches can never collide because
-    # every fwd src is "S…" while every reversed src is "C…" — dropping it
+    # every fwd src is even while every reversed src is odd — dropping it
     # removes a full edge-sized Exchange from the build (the oracle's edge
     # CTE is unchanged; the edge multiset is identical by construction)
     edges = fwd.union(fwd.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
@@ -865,8 +875,14 @@ def pagerank_topk(spark, sf_dir):
     # and a persisted result frame would stay cached for all of them (the
     # materialized mode is the >1-executor scale path, exercised in pytest)
     ranks = pagerank(edges, iters=3, materialize=False)
-    out = ranks.orderBy(F.col("rank").desc(), "node").limit(20)
-    return out
+    dec = F.when(
+        F.col("node") % 2 == 0,
+        F.concat(F.lit("S"), (F.col("node") / 2).cast("long").cast("string")),
+    ).otherwise(
+        F.concat(F.lit("C"), ((F.col("node") - 1) / 2).cast("long").cast("string"))
+    )
+    out = ranks.select(dec.alias("node"), "rank")
+    return out.orderBy(F.col("rank").desc(), "node").limit(20)
 
 
 def _strongest_ties_edges(spark, sf_dir):

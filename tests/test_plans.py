@@ -799,13 +799,14 @@ def test_r11_late_queries_runtime_plan_shape(spark):
     assert table_scans(p2).get("documents") == 1
 
 
-def test_r11_opt_minhash_persists_banded_not_sigs(spark):
-    """r11 OPTIMIZATION round: minhash_candidates must pin the CAPPED
-    BANDED frame (id, sig, band, bkey) under the ledger — persisting one
-    level higher than the signature frame halves the banded shuffles
-    (the self-join's two sides read the cache instead of re-running the
-    explode → cap-window chain, whose exchange carries the k-slot sig
-    array and is the widest shuffle in the plan)."""
+def test_r11_opt_minhash_pair_first_banded_without_sigs(spark):
+    """r11 OPTIMIZATION round, pair-first rework: minhash_candidates must
+    pin TWO frames under the ledger — the signature frame (id, sig) and a
+    capped banded frame that does NOT carry the k-slot sig array (bare
+    id/band/bkey rows, ~25× narrower through the cap window's sort and
+    (band, bkey) exchange).  est_jaccard is computed once per DISTINCT
+    pair by joining the persisted sigs back — the payload crosses one
+    id-keyed exchange per side instead of riding every band row."""
     from engine.extended.dedup import (
         _INTERNAL_SIGS_LAST,
         ledger_clear,
@@ -815,11 +816,15 @@ def test_r11_opt_minhash_persists_banded_not_sigs(spark):
     docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     out = minhash_candidates(docs, num_hashes=64, bands=16, hash_fn="md5")
     out.collect()
-    assert len(_INTERNAL_SIGS_LAST) == 1
-    (frame,) = _INTERNAL_SIGS_LAST.values()
-    assert {"id", "sig", "band", "bkey"} <= set(frame.columns)
-    lvl = frame.storageLevel
-    assert lvl.useMemory or lvl.useDisk
+    assert len(_INTERNAL_SIGS_LAST) == 2
+    frames = {tuple(sorted(f.columns)): f for f in _INTERNAL_SIGS_LAST.values()}
+    assert ("id", "sig") in frames                  # signature frame
+    banded = frames.get(("band", "bkey", "id"))
+    assert banded is not None                       # capped banded frame
+    assert "sig" not in banded.columns              # payload stays out
+    for f in frames.values():
+        lvl = f.storageLevel
+        assert lvl.useMemory or lvl.useDisk
     ledger_clear()
 
 
