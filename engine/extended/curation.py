@@ -537,9 +537,22 @@ def bigram_lm_scores(
     toks = df.select(
         F.col(id_col).alias(id_col), *carry, tokens(text_col).alias("__toks")
     )
+    # Explicit isnotnull pair (r11 opt; the q15/dsir/trigram reuse
+    # discipline): c2's aggregate exchange has TWO consumers — the probe
+    # join (which infers isnotnull(bg) on its side) and c1 (whose __w1
+    # join infers isnotnull(element_at(split(bg), 1)) and pushes it down
+    # through both aggregates) — so the subtrees canonicalized differently
+    # and AQE could not emit a ReusedExchange: the corpus was tokenized
+    # and exploded a THIRD time just to rebuild c2 for c1 (reuse_audit: 3
+    # identical documents scans).  Planting BOTH inferred predicates on
+    # the shared frame makes every consumer's inference redundant; both
+    # are semantics-free (a bigram is a non-null concat of regexp tokens,
+    # and split() of a non-null string never yields a null first element),
+    # and the final plan reuses c2's exchange — the third scan disappears.
+    _w1 = F.element_at(F.split(F.col("bg"), " "), 1)
     bg = toks.select(
         id_col, *carry, F.explode(ngrams_from(F.col("__toks"), 2)).alias("bg")
-    )
+    ).filter(F.col("bg").isNotNull() & _w1.isNotNull())
     c2 = bg.groupBy("bg").agg(F.count(F.lit(1)).alias("__c2"))
     w1 = F.element_at(F.split(F.col("bg"), " "), 1)
     c1 = c2.groupBy(w1.alias("__w1")).agg(F.sum("__c2").alias("__c1"))

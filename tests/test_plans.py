@@ -799,6 +799,26 @@ def test_r11_late_queries_runtime_plan_shape(spark):
     assert table_scans(p2).get("documents") == 1
 
 
+def test_r11_opt_bigram_lm_exchange_reuse(spark):
+    """r11 OPTIMIZATION round: bigram_lm_scores' c2 count exchange has TWO
+    consumers — the probe join (which infers isnotnull(bg)) and the c1
+    history aggregate (whose __w1 join infers
+    isnotnull(element_at(split(bg), 1)) and pushes it through the
+    aggregates).  Without BOTH predicates planted on the shared explode
+    frame the subtrees canonicalize differently and the corpus is
+    tokenized a third time just to rebuild c2 for c1.  The final adaptive
+    plan must reuse the exchange and scan documents at most twice."""
+    from queries import bigram_lm_quality
+    from tools.reuse_audit import table_scans
+
+    df = bigram_lm_quality(spark, "/root/testdata/sf0.001")
+    df.collect()
+    p = df._jdf.queryExecution().executedPlan().toString()
+    final = p.split("== Initial Plan ==")[0]
+    assert final.count("ReusedExchange") >= 1
+    assert table_scans(p).get("documents") == 2
+
+
 def test_r11_opt_minhash_pair_first_banded_without_sigs(spark):
     """r11 OPTIMIZATION round, pair-first rework: minhash_candidates must
     pin TWO frames under the ledger — the signature frame (id, sig) and a
