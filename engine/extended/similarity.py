@@ -345,6 +345,7 @@ def ivf_build_seeded(
     iters: int = 2,
     dim: int = 64,
     quant: float = 1_000_000.0,
+    pts: DataFrame | None = None,
 ) -> tuple[DataFrame, list[list[float]]]:
     """Deterministic seeded k-means coarse quantizer — the oracle-able twin
     of :func:`ivf_build` (MLlib KMeans stays the production training path;
@@ -375,15 +376,25 @@ def ivf_build_seeded(
 
     Returns ``(assigned, centroids)``: the input plus ``ivf_list``, and the
     final centroid component doubles.
+
+    ``pts`` (r11 opt): a caller-owned ALREADY-PERSISTED quantized view —
+    ``vectors.filter(vec_col IS NOT NULL).select(*vectors.columns,
+    quantized_vec(vec_col, quant).alias("__q"))`` — so a composed probe
+    (ann_ivfpq_topk runs this AND :func:`pq_train_seeded` over the same
+    vectors) materializes ONE cache instead of two; the caller unpersists
+    after training.  When omitted, the function builds and releases its
+    own, exactly as before.
     """
-    # a NULL vector belongs to no cluster (and a NULL seed row would crash
-    # the driver-side centroid build; fuzz-found) — exclude up front, same
-    # contract the oracle's pts CTE mirrors
-    pts = (
-        vectors.filter(F.col(vec_col).isNotNull())
-        .select(*vectors.columns, quantized_vec(vec_col, quant).alias("__q"))
-        .persist()
-    )
+    owns_pts = pts is None
+    if pts is None:
+        # a NULL vector belongs to no cluster (and a NULL seed row would
+        # crash the driver-side centroid build; fuzz-found) — exclude up
+        # front, same contract the oracle's pts CTE mirrors
+        pts = (
+            vectors.filter(F.col(vec_col).isNotNull())
+            .select(*vectors.columns, quantized_vec(vec_col, quant).alias("__q"))
+            .persist()
+        )
     seed_rows = (
         pts.orderBy(F.md5(F.col(id_col).cast("string")), F.col(id_col))
         .limit(n_lists)
@@ -426,11 +437,14 @@ def ivf_build_seeded(
         cents = [new.get(j, cents[j]) for j in range(n_lists)]
     assigned = pts.withColumn("ivf_list", _seeded_argmin(cents)).drop("__q")
     # the persist served the iters+1 driver collections above; release it
-    # here (the documented unpersist-the-returned-frame contract was a
-    # no-op — unpersist only matches the exact persisted plan, review
-    # catch r9).  The returned frame lazily redoes the quantize projection
-    # on first use: one cheap codegen pass, no driver round-trips.
-    pts.unpersist()
+    # here when this function built it (the documented
+    # unpersist-the-returned-frame contract was a no-op — unpersist only
+    # matches the exact persisted plan, review catch r9).  The returned
+    # frame lazily redoes the quantize projection on first use: one cheap
+    # codegen pass, no driver round-trips.  A caller-provided ``pts`` is
+    # the caller's to release.
+    if owns_pts:
+        pts.unpersist()
     return assigned, cents
 
 
@@ -536,6 +550,7 @@ def pq_train_seeded(
     iters: int = 2,
     dim: int = 64,
     quant: float = 1_000_000.0,
+    pts: DataFrame | None = None,
 ) -> list[list[list[float]]]:
     """Train deterministic product-quantization codebooks: split every vector
     into ``m`` subvectors of ``dim/m`` components and run an independent
@@ -555,13 +570,26 @@ def pq_train_seeded(
     multiplies row count by ``m`` but each row carries only ``dim/m``
     components, so total shuffled volume equals the input's.  Returns
     ``codebooks[sj][cid]`` centroid-component doubles.
+
+    ``pts`` (r11 opt): the same caller-owned persisted quantized view
+    :func:`ivf_build_seeded` accepts (wide columns + ``__q``); the narrow
+    (__id, __q) projection here then scans the SHARED cache instead of
+    building and materializing a second one.  When omitted, the function
+    builds and releases its own, exactly as before.
     """
     dsub = _pq_validate(dim, m)
-    pts = (
-        vectors.filter(F.col(vec_col).isNotNull())
-        .select(F.col(id_col).alias("__id"), quantized_vec(vec_col, quant).alias("__q"))
-        .persist()
-    )
+    owns_pts = pts is None
+    if pts is None:
+        pts = (
+            vectors.filter(F.col(vec_col).isNotNull())
+            .select(
+                F.col(id_col).alias("__id"),
+                quantized_vec(vec_col, quant).alias("__q"),
+            )
+            .persist()
+        )
+    else:
+        pts = pts.select(F.col(id_col).alias("__id"), "__q")
     seed_rows = (
         pts.orderBy(F.md5(F.col("__id").cast("string")), F.col("__id"))
         .limit(ksub)
@@ -619,7 +647,8 @@ def pq_train_seeded(
         cents = [
             [new.get((j, c), cents[j][c]) for c in range(ksub)] for j in range(m)
         ]
-    pts.unpersist()
+    if owns_pts:
+        pts.unpersist()
     return cents
 
 

@@ -780,19 +780,35 @@ def ann_ivfpq_topk(spark, sf_dir):
     )
 
     emb = t(spark, sf_dir, "embeddings")
+    # ONE shared quantized view for the whole build (r11 opt): the query
+    # vector read, the IVF Lloyd rounds, and the PQ Lloyd rounds all used
+    # to quantize + persist the vectors separately (two cache
+    # materializations + three cold scans); the composed probe now pins
+    # the view once and every build job reads the shared cache.  Released
+    # after training — the terminal ADC scan re-derives the quantize
+    # projection lazily, the ivf_build_seeded contract.
+    pts = (
+        emb.filter(F.col("embedding").isNotNull())
+        .select(*emb.columns, quantized_vec("embedding").alias("__q"))
+        .persist()
+    )
     qrows = (
-        emb.filter(F.col("embedding").isNotNull() & (F.col("vec_id") >= 7))
+        pts.filter(F.col("vec_id") >= 7)
         .orderBy("vec_id")
         .limit(1)
-        .select(quantized_vec("embedding").alias("qq"))
+        .select(F.col("__q").alias("qq"))
         .collect()
     )
     if not qrows:
+        pts.unpersist()
         return emb.select("vec_id", F.lit(None).cast("double").alias("adist")).limit(0)
     qq = [int(x) for x in qrows[0]["qq"]]
-    assigned, cents = ivf_build_seeded(emb, n_lists=8, iters=2, dim=len(qq))
+    assigned, cents = ivf_build_seeded(
+        emb, n_lists=8, iters=2, dim=len(qq), pts=pts
+    )
     probe_lists = probe_lists_seeded(cents, qq, 3)
-    cb = pq_train_seeded(emb, m=4, ksub=8, iters=2, dim=len(qq))
+    cb = pq_train_seeded(emb, m=4, ksub=8, iters=2, dim=len(qq), pts=pts)
+    pts.unpersist()
     enc = pq_encode(assigned, cb)
     return pq_adc_topk(
         enc.filter(F.col("ivf_list").isin(probe_lists)), cb, qq, k=10

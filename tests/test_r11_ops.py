@@ -443,3 +443,41 @@ def test_containment_matches_set_reference(spark):
         want_a = round(inter / len(sa), 4) if sa else None
         want_b = round(inter / len(sb), 4) if sb else None
         assert got[(a, b)] == (want_a, want_b), (a, b)
+
+
+def test_r11_opt_ivfpq_shared_quantized_view(spark):
+    """r11 OPTIMIZATION round: ivf_build_seeded / pq_train_seeded accept a
+    caller-owned persisted quantized view (``pts``) so a composed probe
+    (ann_ivfpq_topk) materializes ONE cache instead of two.  Contract:
+    results are identical to the standalone builds, and the builders must
+    NOT unpersist the caller's frame (the caller owns release)."""
+    from pyspark.sql import functions as F
+
+    from engine.extended.similarity import (
+        ivf_build_seeded,
+        pq_train_seeded,
+        quantized_vec,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    a1, cents1 = ivf_build_seeded(emb, n_lists=8, iters=2, dim=64)
+    cb1 = pq_train_seeded(emb, m=4, ksub=8, iters=2, dim=64)
+
+    pts = (
+        emb.filter(F.col("embedding").isNotNull())
+        .select(*emb.columns, quantized_vec("embedding").alias("__q"))
+        .persist()
+    )
+    a2, cents2 = ivf_build_seeded(emb, n_lists=8, iters=2, dim=64, pts=pts)
+    cb2 = pq_train_seeded(emb, m=4, ksub=8, iters=2, dim=64, pts=pts)
+
+    assert cents1 == cents2
+    assert cb1 == cb2
+    # builders must not release the caller's cache
+    assert pts.storageLevel.useMemory
+    r1 = sorted((r["vec_id"], r["ivf_list"])
+                for r in a1.select("vec_id", "ivf_list").collect())
+    r2 = sorted((r["vec_id"], r["ivf_list"])
+                for r in a2.select("vec_id", "ivf_list").collect())
+    assert r1 == r2
+    pts.unpersist()
