@@ -434,6 +434,14 @@ def main() -> None:
                 "spark_anchor_nominal_sec": SPARK_ANCHOR_NOMINAL_SEC,
                 "steal_factor": steal,
                 "value_steal_normalized": round(total / max(steal, 0.01), 3),
+                # parallelism contract audit (VERDICT r11 #1): the JVM's
+                # actual master + task-slot count, so a c8-vs-c32 driver run
+                # is externally verifiable (the r11 scaling block could not
+                # distinguish "env var lost" from "host caps effective
+                # cores").  Additive fields; the last-line contract holds.
+                "master": spark.sparkContext.master,
+                "default_parallelism": spark.sparkContext.defaultParallelism,
+                "host_cpu_count": os.cpu_count(),
             }
         ),
         flush=True,

@@ -84,6 +84,18 @@ def _pair_counts(words: DataFrame) -> DataFrame:
     )
 
 
+#: Bounded replay (advice r11): replaying ALL merges from the base table
+#: makes round r re-run r chained F.replace calls — O(rounds²) replaces
+#: total and an expression tree growing linearly per round, which at large
+#: ``rounds`` risks codegen/analysis blowup (64 KB codegen fallback, deep
+#: trees) that the old materialize-per-round loop could never hit.  Every
+#: this-many merges the replayed vocabulary is persisted + forced once, so
+#: the live replace chain never exceeds the interval while the per-round
+#: barrier savings remain for small merge counts (the benched rounds=6
+#: never checkpoints).
+_REPLAY_CKPT_EVERY = 64
+
+
 def bpe_train(
     corpus: DataFrame,
     *,
@@ -108,23 +120,24 @@ def bpe_train(
         .select("cnt", char_seq("word").alias("seq"))
         .persist()
     )
+    ckpt, ckpt_rank = base, 0
 
     def replayed(upto: int):
-        # replay the first ``upto`` learned merges over the CACHED base
+        # replay merges [ckpt_rank, upto) over the CACHED checkpoint
         # vocabulary as one literal-replace codegen chain (exactly
         # bpe_apply's segment chain).  r11 opt: the previous loop
         # persisted + count()-forced the merged table every round — two
-        # jobs per round — where re-running r vocabulary-sized replaces
+        # jobs per round — where re-running the bounded replace chain
         # inside the next argmax job is far cheaper than a materialization
         # barrier (the corpus-sized pass is behind the persist either way).
         seq = F.col("seq")
-        for ru in rules[:upto]:
+        for ru in rules[ckpt_rank:upto]:
             seq = F.replace(
                 seq,
                 F.lit(f" {ru['lhs']}  {ru['rhs']} "),
                 F.lit(f" {ru['merged']} "),
             )
-        return base.select("cnt", seq.alias("seq"))
+        return ckpt.select("cnt", seq.alias("seq"))
 
     rules: list[dict] = []
     for rank in range(rounds):
@@ -146,10 +159,18 @@ def bpe_train(
                 "pair_count": c,
             }
         )
+        if len(rules) - ckpt_rank >= _REPLAY_CKPT_EVERY:
+            nxt = replayed(len(rules)).persist()
+            nxt.count()  # force BEFORE dropping the previous checkpoint
+            if ckpt is not base:
+                ckpt.unpersist()
+            ckpt, ckpt_rank = nxt, len(rules)
     words = replayed(len(rules)).persist()
-    # materialize the final table BEFORE dropping the base cache —
+    # materialize the final table BEFORE dropping the caches —
     # unpersisting first would leave the caller recomputing from the corpus
     words.count()
+    if ckpt is not base:
+        ckpt.unpersist()
     base.unpersist()
     return rules, words
 

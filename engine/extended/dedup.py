@@ -280,9 +280,15 @@ def ledger_persist(df: DataFrame) -> DataFrame:
     session — the same staleness semantics as Spark's own ``persist``, but
     STRONGER in effect: a hit returns a previously MATERIALIZED frame, so a
     caller that rewrites its corpus files mid-session and re-runs the same
-    logical plan gets the pre-rewrite data.  Such callers must call
-    :func:`ledger_clear` after rewriting (advice r10).  Entries from a
-    stopped SparkSession are dropped, not returned."""
+    logical plan would get the pre-rewrite data.  GUARD (r12, verdict r11
+    #6): a hit is additionally validated against the requesting plan's
+    ``inputFiles()`` snapshot — Spark writers emit fresh UUID part-file
+    names, so a rewritten source changes the file set and the stale entry
+    is evicted + rebuilt instead of served.  The guard cannot catch an
+    IN-PLACE byte rewrite of an identically-named file (no listing
+    changes); such callers must still :func:`ledger_clear` after rewriting
+    (advice r10).  Entries from a stopped SparkSession are dropped, not
+    returned."""
     try:
         key = df.semanticHash()
     except Exception:  # plan not hashable (e.g. foreign session): no cache
@@ -291,7 +297,11 @@ def ledger_persist(df: DataFrame) -> DataFrame:
     hit = _INTERNAL_SIGS_LAST.get(key)
     if hit is not None:
         try:
-            if hit.sparkSession is df.sparkSession and hit.sameSemantics(df):
+            if (
+                hit.sparkSession is df.sparkSession
+                and hit.sameSemantics(df)
+                and sorted(hit.inputFiles()) == sorted(df.inputFiles())
+            ):
                 lvl = hit.storageLevel
                 if not (lvl.useMemory or lvl.useDisk):
                     # an external spark.catalog.clearCache() (bench.py does
@@ -432,6 +442,7 @@ def minhash_candidates(
     instead of re-hashing the corpus per operating point.
     """
     rows_per_band = num_hashes // bands
+    caller_owns_sigs = sigs is not None
     if sigs is None:
         sigs = minhash_sigs(
             df,
@@ -457,7 +468,14 @@ def minhash_candidates(
     # persisted signatures back per distinct pair (exactly the DuckDB
     # oracle's MATERIALIZED-capped shape).  Interleaved A/B at sf0.1:
     # see OPTIMIZATION_r11.md (dedup_minhash_lsh).
-    sigs = ledger_persist(sigs)
+    # Only INTERNALLY-built sigs are adopted by the ledger (advice r11): a
+    # caller-supplied frame stays under the caller's persistence control —
+    # registering it here would let LRU eviction / ledger_clear() unpersist
+    # it behind the caller's back and silently restore the double-compute
+    # the caller's own persist was preventing.  Callers passing ``sigs=``
+    # should persist it themselves (sigs is referenced three times below).
+    if not caller_owns_sigs:
+        sigs = ledger_persist(sigs)
     banded = sigs.select(
         "id",
         F.explode(F.expr(band_arr)).alias("bb"),

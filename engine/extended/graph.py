@@ -63,16 +63,29 @@ def pagerank(
     Scale shape: each round is one src-keyed join (edges ⋈ ranks ⋈ outdeg —
     co-partitioned on the same key, one exchange per side that AQE reuses)
     and one dst-keyed aggregate with map-side partial sums.
-    ``materialize=True`` (default) persists and forces each round — the
-    only way an iterative frame survives at scale (an unbroken 3-round
-    lineage re-reads the edge table 3^depth times on failure recovery);
-    the final frame stays persisted for the caller to unpersist, same
-    contract as bpe_train.  Measured at sf0.1 on local[32]: lazy is
-    FASTER warm (2.2 s vs 6.0 s — AQE reuses exchanges inside the one
-    plan, and per-round counts are three extra barrier jobs), so
-    ``materialize=False`` is the right call for single-process runs and
-    the registry query; the default optimizes for cluster fault
+    ``materialize=True`` (default) persists and forces each ROUND's rank
+    frame — the only way an iterative frame survives at scale (an unbroken
+    3-round lineage re-reads the edge table 3^depth times on failure
+    recovery); the final frame stays persisted for the caller to
+    unpersist, same contract as bpe_train.  Measured at sf0.1 on
+    local[32]: lazy is FASTER warm (2.2 s vs 6.0 s — AQE reuses exchanges
+    inside the one plan, and per-round counts are three extra barrier
+    jobs), so ``materialize=False`` is the right call for single-process
+    runs and the registry query; the default optimizes for cluster fault
     tolerance, not local wall time.
+
+    **Static-frame lifetime (advice r11):** independent of ``materialize``,
+    the three STATIC frames (edges / nodes / outdeg) are pinned under the
+    module-shared bounded LRU ledger (:func:`engine.extended.dedup.
+    ledger_persist`, cap ``_LEDGER_CAP`` = 6) and are NOT released when
+    this function returns — the lazy caller's returned frame still
+    references them, and a repeat invocation over the same corpus reuses
+    them.  They live until LRU eviction or
+    :func:`engine.extended.dedup.ledger_clear`.  A composed query whose
+    simultaneous ledger working set exceeds the cap evicts-and-recomputes
+    mid-query (lineage-safe, silently slower); this function pins 3
+    entries, so compose with at most one other 3-entry ledger user at a
+    time.
     """
     if iters < 1:
         raise ValueError(f"iters must be >= 1, got {iters}")
@@ -320,7 +333,11 @@ def label_propagation(
     subtree twice — review catch).  ``materialize`` additionally persists
     the per-round labels (pagerank's discipline: cuts recovery lineage on
     a real cluster); pass False for one-shot registry-style sweeps that
-    must not leave cached frames behind.
+    must not leave cached frames behind.  Independent of ``materialize``,
+    the static symmetrized edge frame is pinned under the module-shared
+    bounded LRU ledger and lives until eviction or
+    :func:`engine.extended.dedup.ledger_clear` (see the pagerank
+    docstring's static-frame-lifetime note, advice r11).
 
     Returns (node, label).
     """

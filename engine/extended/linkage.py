@@ -172,6 +172,15 @@ def incremental_entity_ids(
     Scale shape: the blocked match's equi-joins, one fingerprint
     aggregate over the unmatched slice, the 256-shard global-order
     window, and a broadcast 1-row max id.
+
+    .. note:: **Ledger staleness (advice r11).**  The blocked-match frame is
+       pinned under the shared ``ledger_persist`` cache, keyed by the
+       LOGICAL plan.  This primitive's natural use is a MUTABLE canonical
+       table: a caller that rewrites the canonical files between batches
+       and re-runs the same logical plan would be served the PRE-rewrite
+       matches (wrong entity ids).  Such callers must call
+       :func:`engine.extended.dedup.ledger_clear` after every canonical
+       rewrite — same contract as the dedup family (r10).
     """
     m = blocked_levenshtein_match(
         batch,

@@ -204,6 +204,14 @@ def pairwise_sims(
         F.col("__v").alias("__bv"),
         F.col("__n").alias("__bn"),
     )
+    if probe_parallelism:
+        # the id-hash spread above only survives to the dot-product stage
+        # if the build side BROADCASTS (the join key is __c, not a_id): a
+        # planner that picks a shuffle join would re-exchange `a` by __c
+        # and silently negate the knob (advice r11).  The knob's contract
+        # is "few clusters, each capped" — exactly the broadcastable case —
+        # so force it rather than depend on the 10 MB size estimate.
+        b = F.broadcast(b)
     dot = F.aggregate(
         F.zip_with("__av", "__bv", lambda x, y: x.cast("double") * y.cast("double")),
         F.lit(0.0),

@@ -23,7 +23,7 @@ import os
 
 from pyspark.sql import SparkSession
 
-__all__ = ["get_spark", "tune_for_local"]
+__all__ = ["get_spark"]
 
 
 _MEM_UNITS = {"k": 1 << 10, "m": 1 << 20, "g": 1 << 30, "t": 1 << 40}
@@ -114,14 +114,3 @@ def get_spark(
             stacklevel=2,
         )
     return spark
-
-
-def tune_for_local(spark: SparkSession, approx_rows: int) -> None:
-    """Adjust shuffle parallelism to the working-set size.
-
-    At 100 TB the AQE coalescer handles this; on local[32] with tiny SF data
-    a 200-partition shuffle is pure overhead.  Callers that know their input
-    cardinality (e.g. bench.py) can call this once up front.
-    """
-    target = max(4, min(256, approx_rows // 50_000))
-    spark.conf.set("spark.sql.shuffle.partitions", str(target))
