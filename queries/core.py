@@ -669,15 +669,30 @@ def q3_order_revenue_topk(spark, sf_dir):
     """,
 )
 def q5_nation_revenue(spark, sf_dir):
-    """TPC-H Q5 shape: fact × snowflake dims, all dims broadcast."""
+    """TPC-H Q5 shape: fact × snowflake dims, all dims broadcast.
+
+    r12 opt (guide §3.1): the snowflake is collapsed into ONE broadcast
+    dim (s_suppkey → n_name) by pre-joining supplier⋈nation⋈region on the
+    dim side, so every lineitem row pays one hash probe instead of three,
+    and the broadcast payload narrows from three relations to one
+    two-column map.  Inner-join semantics are preserved exactly (the dim
+    pre-join drops the same suppliers the chain would).  The decimal
+    revenue arithmetic is the measured floor: sum/math ≈ 0.5 s of the
+    1.1 s exec at sf0.1, pinned by the oracle's DECIMAL semantics — a
+    long-scaled rewrite was measured (sum exchange-equal, −0.2 s) and
+    REJECTED because a 64-bit sum of 1e-4-scaled revenue silently
+    overflows near ~10^10 rows per group (see OPTIMIZATION_r12.md)."""
     li = t(spark, sf_dir, "lineitem")
     s = t(spark, sf_dir, "supplier")
     n = t(spark, sf_dir, "nation")
     r = t(spark, sf_dir, "region")
+    dim = (
+        s.join(n, s.s_nationkey == n.n_nationkey)
+        .join(r, n.n_regionkey == r.r_regionkey)
+        .select("s_suppkey", "n_name")
+    )
     return (
-        li.join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
-        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
-        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        li.join(F.broadcast(dim), li.l_suppkey == dim.s_suppkey)
         .groupBy("n_name")
         .agg(
             F.round(
