@@ -903,19 +903,31 @@ def pagerank_topk(spark, sf_dir):
 
 def _strongest_ties_edges(spark, sf_dir):
     """The strongest-ties supplier co-occurrence edge list shared by the
-    two graph queries (one Python copy, like the shared _TRI_GRAPH_SQL
-    prefix on the oracle side): per-order supplier pairs via ONE shuffle
-    on the order key (order sizes are bounded, so the in-array cross
-    product is O(k^2) with small k), weighted by shared orders, top-6000
-    edges by (weight, key order) — a top-K edge budget keeps the graph
+    graph queries (one Python copy, like the shared _TRI_GRAPH_SQL prefix
+    on the oracle side): per-order supplier pairs via an orderkey
+    SELF-JOIN (u < v), weighted by shared line pairs, top-6000 edges by
+    (weight, key order) — a top-K edge budget keeps the graph
     cardinality-bound at any volume (an absolute support threshold
     measured superlinear at 10x); TakeOrderedAndProject keeps a K-heap,
-    never a global sort."""
+    never a global sort.
+
+    r12 opt (verdict r11 #7, measured at 1x/x10/x100 — OPTIMIZATION_r12
+    .md): the previous collect_list + in-array O(k^2) pair explode wins
+    ~0.25 s locally (one exchange vs two) but REVERSES at volume — at
+    x100 (60M rows) the ObjectHashAggregate holding 15M per-order arrays
+    ran 22-37 s vs 6.5-9.5 s for the self-join, and OOM'd the default
+    4 g heap outright.  The self-join shape shuffles only narrow
+    (orderkey, suppkey) rows, spills gracefully, lets AQE split a hot
+    orderkey (the in-array product cannot), and is the oracle's own
+    _EDGE_RAW_SQL shape.  Edge weights stay line-pair counts — the pair
+    multiset is identical by construction (proved collect-equal at
+    sf0.01)."""
     li = t(spark, sf_dir, "lineitem").filter(F.col("l_suppkey").isNotNull())
-    arr = li.groupBy("l_orderkey").agg(F.collect_list("l_suppkey").alias("ss"))
+    a = li.select("l_orderkey", F.col("l_suppkey").alias("u"))
+    b = li.select("l_orderkey", F.col("l_suppkey").alias("v"))
     return (
-        arr.select(F.explode(R.ordered_pairs(F.col("ss"), "u", "v")).alias("p"))
-        .select(F.col("p.u").alias("u"), F.col("p.v").alias("v"))
+        a.join(b, "l_orderkey")
+        .filter(F.col("u") < F.col("v"))
         .groupBy("u", "v")
         .agg(F.count(F.lit(1)).alias("w"))
         .orderBy(F.col("w").desc(), "u", "v")
