@@ -224,199 +224,6 @@ def int_histogram(
     ).orderBy("bucket")
 
 
-def _grouped_exact_percentiles(
-    base: DataFrame,
-    group_col: str,
-    value_col: str,
-    ps: list[float],
-    *,
-    n_buckets: int = 1024,
-) -> DataFrame:
-    """(group, __q0, __q1, …): exact interpolated percentiles of the
-    integral ``value_col`` per group, bit-identical to
-    ``F.percentile(value_col, p)`` — computed by per-group histogram
-    narrowing instead of an all-values aggregation buffer (r11 opt; the
-    grouped sibling of ``engine.extended.sketch.hist_exact_quantile``).
-
-    ``percentile`` buffers EVERY row's value per group and merges + sorts
-    them in the group's final task — the dominant stage wherever a few
-    huge groups hold the corpus.  Here: (1) per-group min/max/count, (2) a
-    per-group ``n_buckets``-bucket histogram on that range, (3) fold the
-    bounded histogram to the bucket ranges containing each quantile's two
-    order statistics, (4) re-scan ONLY those buckets' rows and fold their
-    sorted (value, count) pairs to the order statistics, interpolating
-    with percentile()'s own ``(higher−pos)·v_lo + (pos−lower)·v_hi``
-    double operation order.  Three linear scans, no window, no per-group
-    all-values buffer; the worst case (every group value in one bucket —
-    e.g. near-constant groups) degrades to a per-group distinct-value
-    fold, which is what percentile()'s buffer held anyway.
-
-    ``base`` must already be filtered to non-NULL group and value;
-    ``value_col`` must be integral (the bucket map and position targets
-    assume exact long arithmetic; the interpolated RESULT is double,
-    exactly as percentile returns for long input).
-    """
-    g = F.col(group_col)
-    v = F.col(value_col)
-    nb = n_buckets
-    stats = base.groupBy(group_col).agg(
-        F.min(v).alias("__mn"), F.max(v).alias("__mx"),
-        F.count(F.lit(1)).alias("__n"),
-    )
-    # monotone bucket map over the group's own [mn, mx] span (IEEE */÷ are
-    # monotone for positive operands, so double arithmetic cannot reorder
-    # buckets even on extreme longs); clamped into [0, nb-1]
-    bucket = F.least(
-        F.greatest(
-            F.floor(
-                (v.cast("double") - F.col("__mn").cast("double"))
-                * F.lit(float(nb))
-                / (F.col("__mx").cast("double") - F.col("__mn").cast("double") + 1)
-            ),
-            F.lit(0),
-        ),
-        F.lit(nb - 1),
-    ).cast("long")
-    tagged = base.join(F.broadcast(stats), group_col)
-    hist = tagged.groupBy(group_col, bucket.alias("__b")).agg(
-        F.count(F.lit(1)).alias("__c")
-    )
-
-    def first_bucket_reaching(target_1based):
-        return F.aggregate(
-            F.col("__pairs"),
-            F.struct(F.lit(0).cast("long").alias("cum"),
-                     F.lit(None).cast("long").alias("ans")),
-            lambda acc, x: F.struct(
-                (acc["cum"] + x["__c"]).alias("cum"),
-                F.when(acc["ans"].isNull()
-                       & ((acc["cum"] + x["__c"]) >= target_1based), x["__b"])
-                .otherwise(acc["ans"]).alias("ans"),
-            ),
-        )["ans"]
-
-    hb = hist.groupBy(group_col).agg(
-        F.array_sort(F.collect_list(F.struct(F.col("__b"), F.col("__c"))))
-        .alias("__pairs"),
-        F.sum("__c").alias("__n"),
-    )
-    proj = [F.col(group_col), "__pairs", "__n"]
-    for i, p in enumerate(ps):
-        proj.append((F.lit(float(p)) * (F.col("__n") - 1)).alias(f"__pos{i}"))
-    hb = hb.select(*proj)
-    proj = [F.col(group_col), "__pairs"]
-    for i in range(len(ps)):
-        proj += [
-            F.col(f"__pos{i}"),
-            F.floor(F.col(f"__pos{i}")).cast("long").alias(f"__lp{i}"),
-            F.ceil(F.col(f"__pos{i}")).cast("long").alias(f"__hp{i}"),
-        ]
-    hb = hb.select(*proj)
-    proj = [F.col(group_col), "__pairs"]
-    for i in range(len(ps)):
-        proj += [
-            F.col(f"__pos{i}"), F.col(f"__lp{i}"), F.col(f"__hp{i}"),
-            first_bucket_reaching(F.col(f"__lp{i}") + 1).alias(f"__bl{i}"),
-            first_bucket_reaching(F.col(f"__hp{i}") + 1).alias(f"__bh{i}"),
-        ]
-    hb = hb.select(*proj)
-    def before_fold(i):
-        return F.aggregate(
-            F.col("__pairs"), F.lit(0).cast("long"),
-            lambda a, x: a + F.when(
-                x["__b"] < F.col(f"__bl{i}"), x["__c"]
-            ).otherwise(F.lit(0).cast("long")),
-        )
-
-    proj = [F.col(group_col)]
-    for i in range(len(ps)):
-        proj += [
-            F.col(f"__pos{i}"), F.col(f"__lp{i}"), F.col(f"__hp{i}"),
-            F.col(f"__bl{i}"), F.col(f"__bh{i}"),
-            before_fold(i).alias(f"__bef{i}"),
-        ]
-    params = hb.select(*proj)
-    in_any_range = None
-    for i in range(len(ps)):
-        rng = (F.col("__b") >= F.col(f"__bl{i}")) & (F.col("__b") <= F.col(f"__bh{i}"))
-        in_any_range = rng if in_any_range is None else (in_any_range | rng)
-    narrowed = (
-        tagged.select(g, v.alias("__v"), bucket.alias("__b"))
-        .join(F.broadcast(params), group_col)
-        .filter(in_any_range)
-        .groupBy(group_col, "__v", "__b")
-        .agg(
-            F.count(F.lit(1)).alias("__c"),
-            *[
-                c
-                for i in range(len(ps))
-                for c in (
-                    F.max(f"__pos{i}").alias(f"__pos{i}"),
-                    F.max(f"__lp{i}").alias(f"__lp{i}"),
-                    F.max(f"__hp{i}").alias(f"__hp{i}"),
-                    F.max(f"__bl{i}").alias(f"__bl{i}"),
-                    F.max(f"__bh{i}").alias(f"__bh{i}"),
-                    F.max(f"__bef{i}").alias(f"__bef{i}"),
-                )
-            ],
-        )
-    )
-
-    def value_at(i, target_local_1based):
-        # value whose cumulative count over THIS percentile's bucket range
-        # reaches the (local) 1-based target position
-        return F.aggregate(
-            F.col("__vp"),
-            F.struct(F.lit(0).cast("long").alias("cum"),
-                     F.lit(None).cast("double").alias("ans")),
-            lambda acc, x: F.struct(
-                F.when(
-                    (x["__b"] >= F.col(f"__bl{i}"))
-                    & (x["__b"] <= F.col(f"__bh{i}")),
-                    acc["cum"] + x["__c"],
-                ).otherwise(acc["cum"]).alias("cum"),
-                F.when(
-                    acc["ans"].isNull()
-                    & (x["__b"] >= F.col(f"__bl{i}"))
-                    & (x["__b"] <= F.col(f"__bh{i}"))
-                    & ((acc["cum"] + x["__c"]) >= target_local_1based),
-                    x["__v"].cast("double"),
-                ).otherwise(acc["ans"]).alias("ans"),
-            ),
-        )["ans"]
-
-    folded = narrowed.groupBy(group_col).agg(
-        F.array_sort(
-            F.collect_list(F.struct(F.col("__v"), F.col("__b"), F.col("__c")))
-        ).alias("__vp"),
-        *[
-            c
-            for i in range(len(ps))
-            for c in (
-                F.max(f"__pos{i}").alias(f"__pos{i}"),
-                F.max(f"__lp{i}").alias(f"__lp{i}"),
-                F.max(f"__hp{i}").alias(f"__hp{i}"),
-                F.max(f"__bl{i}").alias(f"__bl{i}"),
-                F.max(f"__bh{i}").alias(f"__bh{i}"),
-                F.max(f"__bef{i}").alias(f"__bef{i}"),
-            )
-        ],
-    )
-    out = [F.col(group_col)]
-    for i in range(len(ps)):
-        vl = value_at(i, F.col(f"__lp{i}") + 1 - F.col(f"__bef{i}"))
-        vh = value_at(i, F.col(f"__hp{i}") + 1 - F.col(f"__bef{i}"))
-        out.append(
-            F.when(F.col(f"__hp{i}") == F.col(f"__lp{i}"), vl)
-            .otherwise(
-                (F.col(f"__hp{i}").cast("double") - F.col(f"__pos{i}")) * vl
-                + (F.col(f"__pos{i}") - F.col(f"__lp{i}").cast("double")) * vh
-            )
-            .alias(f"__q{i}")
-        )
-    return folded.select(*out)
-
-
 def winsorized_stats(
     df: DataFrame,
     group_col: str,
@@ -446,14 +253,20 @@ def winsorized_stats(
     half digit even when both engines hold the identical double.  The
     clip decision and both clip counts are pure integer comparisons.
 
-    Scale shape (r11 opt): exact bounds come from
-    :func:`_grouped_exact_percentiles` — per-group histogram narrowing in
-    three linear scans with bounded folds, instead of Spark's
-    ``percentile`` whose per-group buffer holds EVERY value of the group
-    in one final task (an OOM at extreme group sizes; the old advice to
-    swap in ``approx_percentile`` is obsolete — the narrowed form is both
-    exact and memory-bounded).  Bounds broadcast back onto the stream,
-    then one clipped aggregate; no self-join, no global sort.
+    Scale shape: one ``percentile`` aggregate per group broadcast back
+    onto the stream, then one clipped aggregate — two shuffles on the
+    group key, no self-join, no global sort.  Memory is bounded at ANY
+    corpus size because the quantized ``__vi`` domain is bounded:
+    ``percentile``'s partial buffer is a value→count MAP, so its size is
+    capped by DISTINCT quantized values (10^bound_round × value range),
+    not by rows — the r11 percentiles_exact lesson.  An r11 rewrite to
+    per-group histogram narrowing (``_grouped_exact_percentiles``) was
+    bit-identical but measured 7× SLOWER at ×100 (10.4 s vs 1.2 s, and
+    5-6× slower on a hostile single-hot-bucket distribution): its 3-4
+    extra corpus scans can never be repaid when the buffer is
+    domain-bounded, so it was REVERTED in r12 (SCALE.md appendix;
+    histogram narrowing remains correct for UNBOUNDED value domains —
+    see ``engine.extended.sketch.hist_exact_quantile``).
     """
     if not 0.0 <= lo < hi <= 1.0:
         raise ValueError(f"need 0 <= lo < hi <= 1, got lo={lo}, hi={hi}")
@@ -471,17 +284,11 @@ def winsorized_stats(
         "__vi",
         F.floor(v.cast("double") * F.lit(scale) + F.lit(0.5)).cast("long"),
     )
-    # exact percentiles via per-group histogram narrowing (r11 opt): the
-    # percentile() form buffered every __vi per group and merged + sorted
-    # in the group's final task — ~2.5 s of the 2.9 s query at sf0.1 with
-    # 3 corpus-sized groups.  _grouped_exact_percentiles reproduces the
-    # interpolation bit-for-bit (oracle hash unchanged) in three linear
-    # scans with a bounded fold.
-    q = _grouped_exact_percentiles(base, group_col, "__vi", [lo, hi])
-    bounds = q.select(
-        group_col,
-        F.floor(F.col("__q0") + F.lit(0.5)).cast("long").alias("__lo_i"),
-        F.floor(F.col("__q1") + F.lit(0.5)).cast("long").alias("__hi_i"),
+    bounds = base.groupBy(group_col).agg(
+        F.floor(F.percentile("__vi", F.lit(lo)) + F.lit(0.5))
+        .cast("long").alias("__lo_i"),
+        F.floor(F.percentile("__vi", F.lit(hi)) + F.lit(0.5))
+        .cast("long").alias("__hi_i"),
     )
     joined = base.join(F.broadcast(bounds), group_col)
     clipped = F.least(
