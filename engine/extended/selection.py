@@ -348,23 +348,30 @@ def mmr_select(
         if sentinel_sn is None and not items:
             break  # the collect saw the whole pool and it is now spent
         # fold this round's picks into the pool as broadcast literals and
-        # go collect the next batch
+        # go collect the next batch.  Each pick's similarity fold is ONE
+        # F.expr SQL string (r12 opt; the r10 driver-side build-cost
+        # discipline of similarity._arr_lit): the previous
+        # F.array/F.lit-per-component + zip_with/aggregate Column tree
+        # cost ~dim py4j round trips PER PICK — ~2.1 s of the query's
+        # 2.4 s total was driver expression construction.  ``{v!r}D`` is
+        # shortest-round-trip, bit-identical to ``F.lit(float(v))``; the
+        # SQL text replicates the old Column chain op-for-op (CAST to
+        # double, left-fold dot from 0.0, divide by the norm product,
+        # scale, +0.5, floor).
         sims = []
         for p in picks:
-            bv = F.array(*[F.lit(x) for x in p["v"]])
-            dot = F.aggregate(
-                F.zip_with("__v", bv, lambda x, y: x.cast("double") * y),
-                F.lit(0.0),
-                lambda acc, x: acc + x,
+            bv_sql = "array(" + ", ".join(f"{float(x)!r}D" for x in p["v"]) + ")"
+            np_sql = f"(__n * {float(p['n'])!r}D)"
+            dot_sql = (
+                f"aggregate(zip_with(__v, {bv_sql}, "
+                "(x, y) -> CAST(x AS DOUBLE) * y), 0.0D, (acc, x) -> acc + x)"
             )
             sims.append(
-                F.when(
-                    F.col("__n") * F.lit(p["n"]) > 0,
-                    F.floor(
-                        dot / (F.col("__n") * F.lit(p["n"])) * scale
-                        + F.lit(0.5)
-                    ).cast("long"),
-                ).otherwise(F.lit(0).cast("long"))
+                F.expr(
+                    f"CASE WHEN {np_sql} > 0 THEN "
+                    f"CAST(FLOOR({dot_sql} / {np_sql} * {scale} + 0.5D) AS BIGINT) "
+                    "ELSE 0L END"
+                )
             )
         pool = pool.filter(
             ~F.col("__id").isin([p["id"] for p in picks])
