@@ -132,3 +132,40 @@ def test_r12_semdedup_probe_spread_forces_broadcast(spark):
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
     assert out.count() == 2 * (4 * 3 // 2)  # 2 clusters x C(4,2) pairs
+
+
+def test_r12_q5_single_probe_on_lineitem(spark, sf_dir=None):
+    """r12 opt gate: q5's fact table must feed exactly ONE join — the
+    collapsed (s_suppkey -> n_name) broadcast dim; the two dim joins live
+    inside the broadcast subtree, not on the lineitem path."""
+    from queries import SPARK_QUERIES
+
+    df = SPARK_QUERIES["q5_nation_revenue"](spark, "/root/testdata/sf0.001")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    # the lineitem scan's join chain: in the collapsed shape the plan text
+    # between the TOP join and the lineitem scan contains no other join
+    top = plan.index("BroadcastHashJoin")
+    li = plan.index("lineitem.parquet")
+    assert plan.count("BroadcastHashJoin", top, li) == 1, plan[:2000]
+
+
+def test_r12_edge_build_no_collect_list(spark):
+    """r12 opt gate: the strongest-ties edge build must stay the self-join
+    shape (the x100 winner) — no per-order collect_list array aggregate."""
+    from queries.curation import _strongest_ties_edges
+
+    e = _strongest_ties_edges(spark, "/root/testdata/sf0.001")
+    plan = e._jdf.queryExecution().executedPlan().toString()
+    assert "collect_list" not in plan
+    assert "lineitem" in plan
+
+
+def test_r12_winsorized_uses_percentile_buffer(spark):
+    """r12 revert gate: winsorized_stats' bounds must come from the
+    domain-bounded percentile aggregate, not histogram narrowing (which
+    measured 7x slower at x100 on the quantized value domain)."""
+    from queries import SPARK_QUERIES
+
+    df = SPARK_QUERIES["winsorized_stats"](spark, "/root/testdata/sf0.001")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "percentile" in plan
